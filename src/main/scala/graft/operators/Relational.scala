@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators covering the reference's mutation + query
+  * semantics (SURVEY.md §2.4–2.7), expressed as declarative DataFrame
+  * transforms so Catalyst keeps full optimization freedom.
+  *
+  * Scale notes (100 TB posture):
+  *  - `latestPerKey` / `lastWins` are a single hash shuffle on the key; the
+  *    window is rank-only (no full sort of the table, just within key
+  *    groups). AQE handles skewed keys.
+  *  - `insertIfAbsent` is a left-anti join — broadcastable when `existing`'s
+  *    key projection is small, shuffle-hash otherwise; never a driver
+  *    collect.
+  *  - `asOfJoin` is the union+window formulation: ONE shuffle on the
+  *    partition key, no range cross-product. This is the plan that survives
+  *    1000 executors; a naive `leftTs >= rightTs` theta join would explode.
+  */
+object Relational {
+
+  /** Latest row per key, ordered by `orderCols` descending with a total
+    * tiebreak (ref: README.md:66,111 "latest weather readings per city" —
+    * SURVEY.md A7/W1).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Last-write-wins upsert merge: union of base + updates deduplicated on
+    * `keys`, keeping the row with the highest `precedence`
+    * (ref: dags/etl.py:71-76,97-114 `ON CONFLICT ... DO UPDATE` — SURVEY.md
+    * S4/J3/W2). Plain-parquet MERGE substitute; idempotent under replay.
+    */
+  def lastWins(base: DataFrame, updates: DataFrame, keys: Seq[String], precedence: Column): DataFrame =
+    latestPerKey(
+      base.withColumn("__prec", lit(0)).unionByName(updates.withColumn("__prec", lit(1))),
+      keys,
+      Seq(col("__prec").desc, precedence.desc)
+    ).drop("__prec")
+
+  /** First-write-wins insert: rows of `incoming` whose key is absent from
+    * `existing` (ref: notebook cell 19 `ON CONFLICT DO NOTHING` — SURVEY.md
+    * S5/J2). Left-anti join; Catalyst broadcasts when the existing-key side
+    * is small.
+    */
+  def insertIfAbsent(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Deterministic top-k: total order (user sort + tiebreak) + limit.
+    * Spark plans this as TakeOrderedAndProject — per-partition top-k then a
+    * single tiny merge on the driver, no global sort (SURVEY.md O2/O3).
+    */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** As-of join (point-in-time lookup): for each left row, the most recent
+    * right row with `rightTs <= leftTs` within the same `on` keys. Spark has
+    * no native as-of join; this composes union + a last-ignoring-nulls
+    * window — one shuffle on `on`, linear state, no range explosion.
+    *
+    * Output: all of `left`'s columns plus `right`'s non-key, non-ts columns
+    * (null when no right row precedes the left row — left-outer semantics).
+    * Equal timestamps are inclusive (right row at ts == leftTs matches).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val carryCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
+    val leftOnly  = left.columns.filterNot(on.contains).toSeq
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lAligned = carryCols.foldLeft(lTagged) { (df, c) =>
+      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }
+
+    val rTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+    val rRenamed = carryCols.foldLeft(rTagged) { (df, c) => df.withColumnRenamed(c, s"__r_$c") }
+    val rAligned = leftOnly.foldLeft(rRenamed.drop(rightTs)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val unionCols = (on ++ leftOnly ++ Seq("__ts", "__side") ++ carryCols.map(c => s"__r_$c")).map(col)
+    val unioned = lAligned.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
+
+    // __side orders right rows before left at equal ts → inclusive <= match.
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carryCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    val out = filled.filter(col("__side") === 1).drop("__ts", "__side")
+    carryCols.foldLeft(out) { (df, c) => df.withColumnRenamed(s"__r_$c", c) }
+  }
+}

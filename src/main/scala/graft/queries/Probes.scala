@@ -1,0 +1,448 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.Relational
+
+/** Operator-inventory probe queries (SURVEY.md §2) over the driver corpus.
+  *
+  * Each probe is (a) a DataFrame program exercising one operator family and
+  * (b) where ANSI-expressible, a DuckDB oracle SQL producing the identical
+  * result (same column names, same total ORDER BY, doubles rounded —
+  * SURVEY.md §2.11).
+  *
+  * Determinism rules applied throughout:
+  *  - every query ends in a total ORDER BY (full key appended);
+  *  - SUM over doubles rounded to 2 decimals, AVG to 4;
+  *  - raw double *columns* (untouched parquet values) are passed through
+  *    unrounded — both engines read identical bits;
+  *  - timestamps stay in UTC (both sessions pinned).
+  */
+object Probes {
+
+  final case class Probe(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** The corpus' double measures are 2-decimal quantized; summing them as
+    * DECIMAL(18,2) is exact in both Spark and DuckDB, which makes every
+    * rounded aggregate bit-deterministic (no float-summation-order flap —
+    * SURVEY.md §2.11 / §7.4 risk 3). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact-sum decimal aggregate, emitted as a rounded double. */
+  private def sumExact(c: Column, scale: Int = 2): Column =
+    round(sum(dec(c)), scale).cast("double")
+
+  /** Deterministic average: exact decimal sum, one IEEE double division,
+    * then round — identical bits in any engine. */
+  private def avgExact(c: Column, scale: Int = 4): Column =
+    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  // ---------------------------------------------------------------------
+  // Aggregation / filter / projection probes (SURVEY.md §2.2, §2.3, §2.5)
+  // ---------------------------------------------------------------------
+
+  /** A2-A4/A5 analogue: grouped aggregation with partial (map-side) combine.
+    * One hash shuffle on the 6-group key; whole-stage codegen end-to-end. */
+  val pricingSummary = Probe(
+    "q01_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** F1/F3/F4 + P5: selective filter + narrow projection. The predicate and
+    * the 5-column ReadSchema both reach the parquet scan (pushdown). */
+  val filterProject = Probe(
+    "q02_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate").between(ts("1997-01-01 00:00:00"), ts("1997-12-31 00:00:00")) &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+           |FROM lineitem
+           |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  // ---------------------------------------------------------------------
+  // Join probes (SURVEY.md §2.4)
+  // ---------------------------------------------------------------------
+
+  /** J1: dim⋈fact star join. nation/region are broadcast explicitly (tiny
+    * dims, always); customer joins by shuffle hash — the scale-correct
+    * choice at 100 TB — and AQE demotes it to broadcast at small SF. */
+  val joinDim = Probe(
+    "q03_join_dim",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sumExact(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue, count(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name
+           |ORDER BY r_name, n_name""".stripMargin)
+  )
+
+  /** J2: anti join — customers with no large (>200k) order (NOT EXISTS). */
+  val antiJoin = Probe(
+    "q04_anti_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** Semi join — customers with at least one finished ('F') order (EXISTS). */
+  val semiJoin = Probe(
+    "q05_semi_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_acctbal
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin)
+  )
+
+  // ---------------------------------------------------------------------
+  // Dedup / window / sort probes (SURVEY.md §2.5 A1/A7, §2.6, §2.7)
+  // ---------------------------------------------------------------------
+
+  /** A1: distinct projection (ReplaceDeduplicateWithAggregate → one hash
+    * shuffle on the distinct key). */
+  val distinctDim = Probe(
+    "q06_distinct",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+    Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+           |ORDER BY c_mktsegment, c_nationkey""".stripMargin)
+  )
+
+  /** A7/W1: latest row per key — the reference's "latest weather per city"
+    * pattern (README.md:66,111) on orders/customer. */
+  val latestPerKey = Probe(
+    "q07_latest_per_key",
+    (s, d) =>
+      Relational
+        .latestPerKey(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |      FROM orders)
+           |WHERE rn = 1
+           |ORDER BY o_custkey""".stripMargin)
+  )
+
+  /** W2/frame-spec windows: running total + 3-row rolling average per
+    * customer (the time-series extension of SURVEY.md §2.6). */
+  val windowRunning = Probe(
+    "q08_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun  = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wRoll = w.rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          round(sum(dec(col("o_totalprice"))).over(wRun), 2).cast("double"))
+        .withColumn("rolling_avg3",
+          round(sum(dec(col("o_totalprice"))).over(wRoll).cast("double") /
+            count(lit(1)).over(wRoll), 4))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend", "rolling_avg3")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS running_spend,
+           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / count(*) OVER w3, 4) AS rolling_avg3
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  )
+
+  /** O2/O3: deterministic top-k (TakeOrderedAndProject — per-partition
+    * top-k, tiny driver merge; no global sort). */
+  val topK = Probe(
+    "q09_topk",
+    (s, d) =>
+      Relational
+        .topK(Tables.orders(s, d), 10, Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+  )
+
+  /** O1: union-by-name of two branches (pandas-concat analogue). */
+  val unionBranches = Probe(
+    "q10_union",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val open   = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("open").as("bucket"))
+      val closed = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("closed").as("bucket"))
+      open.unionByName(closed).orderBy("bucket", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+           |UNION ALL
+           |SELECT o_orderkey, o_totalprice, 'closed' AS bucket FROM orders WHERE o_orderstatus = 'F'
+           |ORDER BY bucket, o_orderkey""".stripMargin)
+  )
+
+  // ---------------------------------------------------------------------
+  // Time-series / scalar-function probes (SURVEY.md §2.5 A5/A6, §2.8)
+  // ---------------------------------------------------------------------
+
+  /** A5/Q5: the dashboard's "temperature by hour" time series, on events. */
+  val timeSeries = Probe(
+    "q11_timeseries",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          avgExact(col("value")).as("avg_value"),
+          sumExact(col("value")).as("sum_value")
+        )
+        .orderBy("hour"),
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+           |SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+           |FROM ev GROUP BY 1 ORDER BY hour""".stripMargin)
+  )
+
+  /** A6: min/max scale per group (the map color-scale query). */
+  val minMax = Probe(
+    "q12_minmax",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, min(l_extendedprice) AS min_price,
+           |  max(l_extendedprice) AS max_price, count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  /** S4/J3: last-write-wins upsert merge (the reference's ON CONFLICT DO
+    * UPDATE) via graft.operators.Relational.lastWins. */
+  val upsertLastWins = Probe(
+    "q13_upsert_lastwins",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice")
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      Relational.lastWins(base, upd, Seq("o_orderkey"), lit(0))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS prec FROM orders WHERE o_orderkey % 2 = 0),
+           |upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 1 AS prec FROM orders WHERE o_orderkey % 3 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM u)
+           |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** S5/J2: first-write-wins insert-if-absent (ON CONFLICT DO NOTHING). */
+  val insertIfAbsent = Probe(
+    "q14_insert_if_absent",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+      Relational.insertIfAbsent(incoming, existing, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders i
+           |WHERE o_orderkey % 3 = 0
+           |  AND NOT EXISTS (SELECT 1 FROM orders e
+           |                  WHERE e.o_orderkey % 2 = 0 AND e.o_orderkey = i.o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** X5/P1 (semi-structured): JSON field extraction from the events.props
+    * payload — the flatten-JSON capability of the reference's ingest. */
+  val jsonExtract = Probe(
+    "q15_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), avgExact(col("value")).as("avg_value"))
+        .orderBy("k"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           |  count(*) AS n,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+           |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
+  )
+
+  /** X1/X6: datetime scalar surface — truncation, extraction, arithmetic,
+    * formatting (output as strings for engine-neutral comparison). */
+  val datetimeScalars = Probe(
+    "q16_datetime",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+          hour(col("ts")).as("hr"),
+          minute(col("ts")).as("mins"),
+          date_format(col("ts") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("next_hour")
+        )
+        .orderBy("event_id"),
+    Some("""SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_str,
+           |  EXTRACT(hour FROM ts) AS hr, EXTRACT(minute FROM ts) AS mins,
+           |  strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS next_hour
+           |FROM events ORDER BY event_id""".stripMargin)
+  )
+
+  /** X2: timezone conversion — store UTC, convert at presentation
+    * (SURVEY.md §1.4; golden pairs in FIXTURES.md §1.3). */
+  val tzConvert = Probe(
+    "q17_tz_convert",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          date_format(from_utc_timestamp(col("ts"), "Asia/Ho_Chi_Minh"), "yyyy-MM-dd HH:mm:ss")
+            .as("local_str"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  strftime(timezone('Asia/Ho_Chi_Minh', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS local_str
+           |FROM events ORDER BY event_id""".stripMargin)
+  )
+
+  /** Grouping-sets surface: ROLLUP over the pricing hierarchy. Group keys
+    * coalesced to 'ALL' so NULL-ordering differences between engines can't
+    * flap the sort. */
+  val rollup = Probe(
+    "q18_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumExact(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue"), col("n"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY rf, ls""".stripMargin)
+  )
+
+  /** As-of join (point-in-time): for each click, the user's most recent
+    * purchase value at-or-before the click. DuckDB oracle uses its native
+    * ASOF JOIN; our engine composes union + last-ignore-nulls window
+    * (single shuffle — see Relational.asOfJoin). */
+  val asOfJoin = Probe(
+    "q19_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"), col("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM ev WHERE event_type = 'purchase')
+           |SELECT c.event_id, c.user_id, c.ts AS click_ts, p.p_value
+           |FROM clicks c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND p.p_ts <= c.ts
+           |ORDER BY c.event_id""".stripMargin)
+  )
+
+  val relationalProbes: Seq[Probe] = Seq(
+    pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
+    latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
+    upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
+    rollup, asOfJoin
+  )
+
+  def all: Seq[Probe] = relationalProbes
+}
