@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything except the rolling-hash fingerprint is built from
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd, no UDF in the
+  * hot path) so the same plan scales to 100 TB: all of these are narrow,
+  * per-row transforms — no shuffle, fully pipelined with the parquet scan.
+  */
+object Text {
+
+  /** Whitespace tokens (lowercased). `split` on \s+ can yield a leading ""
+    * for leading whitespace; filter empties for stable counts. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Ratio of tokens that are English stopwords — a cheap quality gate. */
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val ws = words(text)
+    val hits = size(filter(ws, w => w.isin(stopwords.map(lit): _*)))
+    when(size(ws) > 0, hits.cast("double") / size(ws)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation density: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      regexp_count(text, lit("[.,;:!?'\"()\\[\\]{}]")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Composite document quality score in [0,1]: length saturation,
+    * stopword presence, low punctuation density. The exact weights are a
+    * policy knob; the point is the *shape* — monotone, bounded, cheap. */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore   = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPen    = least(punctRatio(text) * 10.0, lit(1.0))
+    val raw = lengthScore * 0.4 + stopScore * 0.3 + (lit(1.0) - punctPen) * 0.3
+    // floor-based rounding: binary-deterministic across engines (Spark's
+    // round() rounds the decimal string repr, which oracle engines don't)
+    floor(raw * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Language-ID via stopword-profile scoring + CJK codepoint detection —
+    * the classic n-gram-profile heuristic reduced to its word-level form.
+    * Pure built-ins: per-language occurrence counts, argmax via array_max
+    * over (score, lang) structs (struct ordering = lexicographic, so ties
+    * break deterministically on the language code). Returns ISO code or
+    * 'und' when no profile matches.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "was", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "ich", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pas", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "es", "no", "por")
+  )
+
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, profile) =>
+      struct(
+        size(filter(ws, w => w.isin(profile.map(lit): _*))).as("score"),
+        lit(code).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    val cjkCount = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(cjkCount * 3 > length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint over the normalized text
+    * (lowercased, whitespace collapsed). Karp-Rabin-style base-31 hash with
+    * silent wraparound — implemented as a UDF because ANSI mode (Spark 4
+    * default) makes built-in long arithmetic overflow-checked. Stable
+    * across JVMs (no String.hashCode dependence on anything but the
+    * chars).
+    */
+  private val rollingHash: String => Long = { s =>
+    val norm = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 0L
+    var i = 0
+    while (i < norm.length) { h = h * 31L + norm.charAt(i).toLong; i += 1 }
+    h
+  }
+
+  def fingerprint(text: Column): Column = {
+    val f = udf(rollingHash)
+    f(coalesce(text, lit("")))
+  }
+
+  /** 62-bit SimHash over word tokens, as a pure column expression: per
+    * token, each hash bit votes +1/-1; the final bit is the vote sign.
+    * Entirely higher-order built-ins (no UDF, no explode, no shuffle) —
+    * the whole signature is computed per-row inside codegen'd expressions.
+    * Bits extracted via bin() → char array because shiftright's bit count
+    * must be a literal, and ANSI mode forbids wrapping arithmetic.
+    */
+  def simhash64(text: Column): Column = {
+    val nBits = 62
+    def votes(w: Column): Column = {
+      val chars = split(lpad(bin(xxhash64(w)), 64, "0"), "")
+      transform(sequence(lit(0), lit(nBits - 1)),
+        b => when(element_at(chars, lit(64) - b) === "1", 1L).otherwise(-1L))
+    }
+    val zero = array_repeat(lit(0L), nBits)
+    val tallies = aggregate(words(text), zero,
+      (acc, w) => zip_with(acc, votes(w), (a, v) => a + v))
+    aggregate(
+      zip_with(tallies, sequence(lit(0), lit(nBits - 1)),
+        (t, b) => when(t >= 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  /** Word n-gram shingles as a distinct set — the unit of Jaccard
+    * similarity and MinHash. Short documents (< n words) fall back to the
+    * whole-token set so they still participate. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))
+    array_distinct(when(size(ws) >= n, grams).otherwise(ws))
+  }
+}

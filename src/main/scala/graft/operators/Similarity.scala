@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns (ArrayType(FloatType)).
+  *
+  * Two tiers:
+  *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast
+  *    (it is small by construction); candidates stream through a
+  *    map-side cross join — no shuffle of the big side — then a per-query
+  *    top-k window. Correctness baseline and perfectly adequate when
+  *    |queries| · |corpus| is bounded.
+  *  - `lshTopK`: sign-random-projection bucketed ANN — the 100 TB path.
+  *    Both sides hash to `bits`-bit buckets; the join is an equi-join on
+  *    the bucket id (linear shuffle, no cross product), then exact cosine
+  *    re-ranking inside buckets. Recall tunes with fewer bits / multiple
+  *    tables.
+  */
+object Similarity {
+
+  /** Exact top-k nearest neighbors by cosine for each query row.
+    * `queries` must be small enough to broadcast. Output:
+    * (query_id, vec_id, sim, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__q_vec"))
+    val scored = corpus
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", Vectors.cosine(col(vecCol), col("__q_vec")))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: equi-join on the hyperplane bucket,
+    * exact re-rank within buckets. Lower `bits` → bigger buckets → higher
+    * recall and cost. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val cb = corpus.withColumn("__bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__bucket", Vectors.hyperplaneBucket(col("__q_vec"), bits, dim))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    cb.join(qb, "__bucket")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", Vectors.cosine(col(vecCol), col("__q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Per-bucket occupancy stats for the LSH index — the operational view
+    * of bucket skew (drives the bits/tables tuning). */
+  def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,
+                     vecCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("bucket"))
+
+  /** Element-wise centroid of embeddings per group: posexplode to
+    * (group, dim, value), average per cell. One shuffle keyed by
+    * (group, dim) — scales with |groups| · dim, independent of corpus
+    * size after the partial agg. */
+  def centroids(corpus: DataFrame, groupCol: String,
+                vecCol: String = "embedding", scale: Int = 4): DataFrame =
+    corpus
+      .select(col(groupCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("v")), scale).as("centroid_val"))
+      .orderBy(col(groupCol), col("dim"))
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH blocking
+    * + exact verification (the embedding analogue of MinHash near-dup). */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.withColumn("__bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .distinct()
+  }
+}

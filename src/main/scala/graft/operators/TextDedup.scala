@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash shuffle on the content digest (not the
+  *    text itself — 16-byte keys move through the exchange, not documents);
+  *  - MinHash/LSH is the classic shingle→signature→band→bucket-join
+  *    pipeline: candidate generation is a self-equi-join on (band,
+  *    band_hash) — linear shuffle volume, never an all-pairs cross join;
+  *  - exact Jaccard runs only on LSH candidates, so the quadratic step is
+  *    bounded by collision count;
+  *  - everything is built-in expressions (codegen), no UDF in any
+  *    shuffle-side path.
+  */
+object TextDedup {
+
+  /** Exact dedup: keep the lowest-id document per identical text digest.
+    * Digest first (md5 of the raw text) so the shuffle key is 16 bytes. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Relational.latestPerKey(
+      docs.withColumn("__digest", md5(col(textCol))),
+      Seq("__digest"),
+      Seq(col(idCol).asc)
+    ).drop("__digest")
+
+  /** Per-group duplicate stats: (group, n_docs, n_unique_texts). */
+  def exactStats(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_unique"))
+      .orderBy(col(groupCol))
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash family = xxhash64 salted by the hash index — all built-ins, so
+    * the signature computation is codegen'd and shuffle-free. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingleSet, s => xxhash64(s, k))))
+
+  /** doc_id → (band, band_hash) rows for LSH banding: `bands` bands of
+    * `rows` signature positions each; a pair colliding in ANY band becomes
+    * a candidate. Tune (bands, rows): P(collide) ≈ 1-(1-j^rows)^bands. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int, bands: Int, rows: Int): DataFrame = {
+    val sig = minhashSignature(Text.shingles(col(textCol), shingleN), bands * rows)
+    docs
+      .select(col(idCol), sig.as("__sig"))
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string")))))).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs from LSH: self-join on (band, band_hash),
+    * deduplicated. Returns (id_a, id_b) with id_a < id_b. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val b = lshBands(docs, idCol, textCol, shingleN, bands, rows)
+    val left  = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val right = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    left.join(right, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard on given pairs — the verification step after LSH
+    * candidate generation. `docs` must carry (idCol, textCol). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), Text.shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleN: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame =
+    jaccardVerify(minhashCandidates(docs, idCol, textCol, shingleN, bands, rows),
+      docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+
+  /** Per-document SimHash signatures (see Text.simhash64 — pure column
+    * expression, shuffle-free). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), Text.simhash64(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap
+    * blocking), then keep pairs with Hamming distance ≤ maxHamming. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 8, prefixBits: Int = 12,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+      .withColumn("bucket", shiftright(col("simhash"), 62 - prefixBits))
+    val a = sh.select(col("bucket"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("bucket"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+}

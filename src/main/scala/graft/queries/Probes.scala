@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.Relational
+import graft.operators.{Relational, Similarity, TextDedup}
+import graft.functions.{Text, Vectors}
 
 /** Operator-inventory probe queries (SURVEY.md §2) over the driver corpus.
   *
@@ -41,10 +42,21 @@ object Probes {
   private def sumExact(c: Column, scale: Int = 2): Column =
     round(sum(dec(c)), scale).cast("double")
 
+  /** Binary-deterministic rounding for DOUBLE results: floor(x·10^s + .5).
+    * Spark's round() rounds the shortest decimal STRING of the double
+    * (BigDecimal.valueOf) while DuckDB rounds the BINARY value — they
+    * disagree whenever the shortest repr lands exactly on a midpoint
+    * (e.g. 0.73935). floor over identical IEEE ops can't diverge. Oracle
+    * SQL must use the same floor formula. */
+  private def binRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + 0.5) / p
+  }
+
   /** Deterministic average: exact decimal sum, one IEEE double division,
-    * then round — identical bits in any engine. */
+    * then binary-deterministic rounding — identical bits in any engine. */
   private def avgExact(c: Column, scale: Int = 4): Column =
-    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+    binRound(sum(dec(c)).cast("double") / count(lit(1)), scale)
 
   // ---------------------------------------------------------------------
   // Aggregation / filter / projection probes (SURVEY.md §2.2, §2.3, §2.5)
@@ -72,8 +84,8 @@ object Probes {
            |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
            |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
            |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-           |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+           |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -216,14 +228,14 @@ object Probes {
         .withColumn("running_spend",
           round(sum(dec(col("o_totalprice"))).over(wRun), 2).cast("double"))
         .withColumn("rolling_avg3",
-          round(sum(dec(col("o_totalprice"))).over(wRoll).cast("double") /
+          binRound(sum(dec(col("o_totalprice"))).over(wRoll).cast("double") /
             count(lit(1)).over(wRoll), 4))
         .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend", "rolling_avg3")
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
            |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS running_spend,
-           |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / count(*) OVER w3, 4) AS rolling_avg3
+           |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE) / (count(*) OVER w3) * 10000 + 0.5) / 10000 AS rolling_avg3
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -279,7 +291,7 @@ object Probes {
         .orderBy("hour"),
     Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
            |SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
-           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+           |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_value,
            |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
            |FROM ev GROUP BY 1 ORDER BY hour""".stripMargin)
   )
@@ -353,7 +365,7 @@ object Probes {
         .orderBy("k"),
     Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            |  count(*) AS n,
-           |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+           |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_value
            |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
   )
 
@@ -444,5 +456,256 @@ object Probes {
     rollup, asOfJoin
   )
 
-  def all: Seq[Probe] = relationalProbes
+  // ---------------------------------------------------------------------
+  // LLM-pipeline extension probes (SURVEY.md §2.10 / driver north star):
+  // text analysis, dedup, similarity search over documents + embeddings.
+  // ---------------------------------------------------------------------
+
+  /** Text stats: char length, word count, average word length — pure
+    * narrow per-row transforms (no shuffle except the final sort). */
+  val textStats = Probe(
+    "q20_text_stats",
+    (s, d) => {
+      val ws = Text.words(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("text_len"),
+          size(ws).as("n_words"),
+          when(size(ws) > 0,
+            binRound(aggregate(transform(ws, w => length(w)), lit(0), (a, v) => a + v)
+              .cast("double") / size(ws), 4)).as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+           |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+           |  FROM documents)
+           |SELECT doc_id, length(text) AS text_len, len(ws) AS n_words,
+           |  CASE WHEN len(ws) > 0 THEN
+           |    floor(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) * 10000 + 0.5) / 10000
+           |  END AS avg_word_len
+           |FROM t ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
+  val tokenCount = Probe(
+    "q21_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          Text.tokenCountWs(col("text")).as("n_ws_tokens"),
+          Text.tokenCountRegex(col("text")).cast("long").as("n_re_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Per-document stopword ratio — higher-order filter over the token
+    * array (a quality-gate primitive). Exact rational → deterministic. */
+  val stopwordRatio = Probe(
+    "q22_stopword_ratio",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          binRound(Text.stopwordRatio(col("text")), 4).as("stop_ratio"))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+            |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+            |  FROM documents)
+            |SELECT doc_id, lang,
+            |  floor((CASE WHEN len(ws) > 0 THEN
+            |    CAST(len(list_filter(ws, x -> x IN (${Text.englishStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(ws)
+            |    ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stop_ratio
+            |FROM t ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Exact dedup stats per source: doc counts vs distinct content digests
+    * (16-byte md5 shuffle keys, not document bodies). */
+  val dedupExact = Probe(
+    "q23_dedup_exact",
+    (s, d) => TextDedup.exactStats(Tables.documents(s, d), "source"),
+    Some("""SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  )
+
+  /** P3-style generator: explode tokens → global word frequencies, top 50.
+    * Partial aggregation makes the shuffle carry ≤|vocab| rows per task. */
+  val wordFreq = Probe(
+    "q24_word_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+    Some("""SELECT word, count(*) AS n
+           |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |                    x -> len(x) > 0)) AS word FROM documents)
+           |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin)
+  )
+
+  /** Brute-force cosine top-k (exact ANN baseline): 5 query vectors
+    * broadcast against the corpus, re-ranked per query. Double-precision
+    * sequential fold on both engines → deterministic sims. */
+  val knnBruteForce = Probe(
+    "q25_knn_cosine",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("vec_id"), binRound(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |           FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |sc AS (SELECT query_id, vec_id,
+           |         list_dot_product(cv, qv) /
+           |           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+           |       FROM c, q WHERE vec_id <> query_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM sc)
+           |SELECT query_id, vec_id, floor(sim * 10000 + 0.5) / 10000 AS sim, rnk
+           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
+  )
+
+  /** Embedding centroid per label (custom-aggregate surface): posexplode →
+    * per-(label, dim) average. */
+  val centroid = Probe(
+    "q26_centroid",
+    (s, d) => Similarity.centroids(Tables.embeddings(s, d), "label"),
+    Some("""SELECT label, i AS dim, floor(avg(embedding[i]::DOUBLE) * 10000 + 0.5) / 10000 AS centroid_val
+           |FROM embeddings, range(1, 65) t(i)
+           |GROUP BY label, i ORDER BY label, dim""".stripMargin)
+  )
+
+  /** MinHash+LSH near-dup pipeline (shingle → signature → band join →
+    * exact Jaccard ≥ 0.5). Not ANSI-SQL-expressible with matching hashes →
+    * rows-only check; correctness covered by q28's exact-Jaccard oracle +
+    * the ScalaTest recall spec. */
+  val minhashNearDup = Probe(
+    "q27_minhash_neardup",
+    (s, d) =>
+      TextDedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5, bands = 12, rows = 4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    None
+  )
+
+  /** Exact n-gram Jaccard near-dup pairs on a bounded id range — the
+    * oracle-checkable ground truth for the LSH pipeline. */
+  val ngramJaccard = Probe(
+    "q28_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      TextDedup.jaccardVerify(ids, docs)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), binRound(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, floor(jaccard * 10000 + 0.5) / 10000 AS jaccard
+           |FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  /** SimHash signatures per document (rows-only: hash family not
+    * reproducible in ANSI SQL). */
+  val simhashSig = Probe(
+    "q29_simhash",
+    (s, d) => TextDedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+    None
+  )
+
+  /** LSH-bucketed ANN: nearest in-bucket neighbor per vector (the
+    * linear-shuffle scale path; brute-force q25 is its exact baseline). */
+  val annLsh = Probe(
+    "q30_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity
+        .lshTopK(emb, emb.select(col("vec_id").as("query_id"), col("embedding")), k = 1,
+          bits = 6, dim = 64)
+        .select(col("query_id"), col("vec_id").as("nn_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id")
+    },
+    None
+  )
+
+  /** Rolling-hash document fingerprints (rows-only: wrapping 64-bit
+    * arithmetic isn't expressible in DuckDB SQL). */
+  val fingerprintProbe = Probe(
+    "q31_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    None
+  )
+
+  /** Composite quality score — oracled end-to-end (saturating length,
+    * stopword, punctuation terms; identical IEEE arithmetic both sides). */
+  val qualityScore = Probe(
+    "q32_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+            |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+            |  FROM documents),
+            |m AS (SELECT doc_id,
+            |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+            |  CASE WHEN len(ws) > 0 THEN
+            |    CAST(len(list_filter(ws, x -> x IN (${Text.englishStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(ws)
+            |    ELSE 0.0 END AS stop_ratio,
+            |  CASE WHEN length(text) > 0 THEN
+            |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS DOUBLE) / length(text)
+            |    ELSE 0.0 END AS punct_ratio
+            |  FROM t)
+            |SELECT doc_id,
+            |  floor((len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3 +
+            |        (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3) * 10000 + 0.5) / 10000 AS quality
+            |FROM m ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Language-ID heuristic (stopword profiles + CJK detection) — rows-only
+    * probe; golden-value unit tests cover real snippets. */
+  val langIdProbe = Probe(
+    "q33_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+    None
+  )
+
+  val extensionProbes: Seq[Probe] = Seq(
+    textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
+    centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
+    fingerprintProbe, qualityScore, langIdProbe
+  )
+
+  def all: Seq[Probe] = relationalProbes ++ extensionProbes
 }
