@@ -701,10 +701,25 @@ object Probes {
     None
   )
 
+  /** ST-surface (batch-equivalent of the streaming tumbling-window agg —
+    * identical plan minus the watermark; the streaming variant is
+    * cross-checked against this in ScalaTest). */
+  val windowedAgg = Probe(
+    "q34_windowed_agg",
+    (s, d) =>
+      graft.streaming.Streams.windowedEventStatsBatch(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+           |SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |  count(*) AS n_events,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+           |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
-    fingerprintProbe, qualityScore, langIdProbe
+    fingerprintProbe, qualityScore, langIdProbe, windowedAgg
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

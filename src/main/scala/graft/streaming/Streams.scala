@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.weather.{Flatten, Schemas, Store}
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's "stream" is an hourly cron micro-batch with
+  * upsert-on-key idempotence (ST1–ST3); here that becomes:
+  *  - a file-drop source (the distributed stand-in for the REST fetch:
+  *    payloads land as JSON files, the stream picks them up),
+  *  - watermarked dropDuplicates on the upsert key (bounded state),
+  *  - foreachBatch MERGE-style writes (idempotent under replay),
+  *  - plus windowed event-time aggregation over the driver's `events`
+  *    stream table.
+  */
+object Streams {
+
+  /** ST1: file-drop ingest of current-weather JSON payloads → flattened
+    * typed rows. `Trigger.AvailableNow` drains what exists then stops —
+    * the scheduled-micro-batch shape; a processing-time trigger gives the
+    * continuous shape with the same plan. */
+  def currentWeatherStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(Schemas.currentWeatherRaw)
+      .json(inputDir)
+    // reuse the batch flatten: wrap the parsed struct back under `d`
+    Flatten.flattenCurrent(raw.select(struct(raw.columns.map(col): _*).as("d")))
+  }
+
+  /** ST2: exactly-once-per-key effect — watermarked dedup on the upsert
+    * key (city_id, dt). The watermark bounds state: keys older than the
+    * horizon are evicted, matching the reference's "late replays upsert
+    * the same key" policy. */
+  def dedupedStream(flat: DataFrame, watermark: String = "2 hours"): DataFrame =
+    flat.withWatermark("dt", watermark).dropDuplicates("city_id", "dt")
+
+  /** ST3: idempotent sink — per-batch last-write-wins merge into a
+    * parquet fact table partitioned by date. foreachBatch makes the
+    * streaming write transactional per micro-batch at the partition
+    * granularity. */
+  def upsertSink(deduped: DataFrame, tablePath: String): DataStreamWriter[Row] =
+    deduped.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Store.readFact(spark, tablePath)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], batch.schema) }
+        val merged = Store.upsertLastWins(existing, batch, Seq("city_id", "dt"))
+        Store.writeFactPartitioned(merged, tablePath)
+      }
+
+  /** Tumbling event-time window aggregation over the events stream
+    * (SURVEY.md §2.9 extension): count/sum per (window, event_type) with
+    * a watermark so state is bounded and late rows beyond the horizon are
+    * dropped. */
+  def windowedEventStats(events: DataFrame, window_ : String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch-equivalent of windowedEventStats — identical plan minus the
+    * watermark; used by the oracle probe so batch and streaming results
+    * can be cross-checked in tests. */
+  def windowedEventStatsBatch(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+}

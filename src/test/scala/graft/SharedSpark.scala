@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One SparkSession for the whole test JVM (suites share it — per-suite
+  * sessions would pay JVM+context startup repeatedly). */
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  def sf0001 = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c).head().get(0)
+
+  test("langId identifies real-language snippets") {
+    assert(one("the cat sat on the mat and it was happy", Text.langId($"t")) === "en")
+    assert(one("der Hund ist nicht mit der Katze", Text.langId($"t")) === "de")
+    assert(one("le chat est dans la maison et il dort", Text.langId($"t")) === "fr")
+    assert(one("el perro es grande y no come en la casa", Text.langId($"t")) === "es")
+    assert(one("今天天气很好我们去公园散步吧", Text.langId($"t")) === "zh")
+    assert(one("xyzzy plugh qwerty", Text.langId($"t")) === "und")
+  }
+
+  test("token counts: whitespace vs regex tokens") {
+    assert(one("Hello, world! 42", Text.tokenCountWs($"t")) === 3)
+    // Hello , world ! 42 → 5 regex tokens
+    assert(one("Hello, world! 42", Text.tokenCountRegex($"t")) === 5L)
+    assert(one("  padded   spaces  ", Text.tokenCountWs($"t")) === 2)
+  }
+
+  test("shingles: distinct word n-grams with short-doc fallback") {
+    val sh = one("a b c d", Text.shingles($"t", 3)).asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = one("a b", Text.shingles($"t", 3)).asInstanceOf[scala.collection.Seq[String]]
+    assert(short.toSet === Set("a", "b"))
+  }
+
+  test("simhash: near-identical texts are close in Hamming distance, unrelated far") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base + " extra"
+    val far  = "completely different words about database engines and query planners here"
+    val df = Seq(base, near, far).toDF("t").select(Text.simhash64($"t").as("h"))
+    val Seq(h1, h2, h3) = df.as[Long].collect().toSeq
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) < ham(h1, h3))
+    assert(ham(h1, h2) <= 14)
+  }
+
+  test("fingerprint: whitespace-normalization invariant, content-sensitive") {
+    val a = one("Hello   World", Text.fingerprint($"t"))
+    val b = one("hello world", Text.fingerprint($"t"))
+    val c = one("hello worlds", Text.fingerprint($"t"))
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("qualityScore bounded in [0,1] and monotone-ish") {
+    val long = ("the quick brown fox and it is a fine day " * 20).trim
+    val q1 = one(long, Text.qualityScore($"t")).asInstanceOf[Double]
+    val q2 = one("x", Text.qualityScore($"t")).asInstanceOf[Double]
+    assert(q1 >= 0.0 && q1 <= 1.0 && q2 >= 0.0 && q2 <= 1.0)
+    assert(q1 > q2)
+  }
+
+  test("stopwordRatio exact rational") {
+    assert(one("the dog", Text.stopwordRatio($"t")) === 0.5)
+    assert(one("", Text.stopwordRatio($"t")) === 0.0)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.Tables
+import graft.functions.Vectors
+
+/** MinHash/SimHash/ANN behavior on the real corpus (sf0.001: 500 docs with
+  * planted near-duplicates, 500 64-dim embeddings). */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  def docs = Tables.documents(spark, SharedSpark.sf0001)
+  def emb  = Tables.embeddings(spark, SharedSpark.sf0001)
+
+  lazy val exactPairs: Set[(Long, Long)] = {
+    val ids = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    TextDedup.jaccardVerify(ids, docs)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH recalls the planted >=0.5-Jaccard near-dup pairs") {
+    val found = TextDedup.minhashNearDups(docs, 0.5, bands = 12, rows = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty)
+    // jaccardVerify filters candidates exactly, so found ⊆ exact...
+    assert(found.subsetOf(exactPairs))
+    // ...and LSH recall on the planted (high-jaccard) dups should be high
+    val recall = found.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall, found ${found.size}/${exactPairs.size}")
+  }
+
+  test("simhash near-dups overlap the exact near-dup set") {
+    val sim = TextDedup.simhashNearDups(docs, maxHamming = 10, prefixBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    assert(sim.intersect(exactPairs).nonEmpty)
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val d2 = docs.unionByName(docs) // duplicate everything
+    val r = TextDedup.exact(d2)
+    assert(r.count() === docs.select("text").distinct().count())
+  }
+
+  test("bruteForceTopK matches a manual exact computation") {
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteForceTopK(emb, queries, 5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // manual: compute cosine on the driver
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(v: Array[Float]) = {
+      val d = v.map(_.toDouble)
+      val dot = d.zip(q).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(d.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(got === expected)
+  }
+
+  test("lshTopK sims are genuine cosines and bounded by the brute-force best") {
+    val queries = emb.limit(50).select(col("vec_id").as("query_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(emb, queries, 1)
+      .select(col("query_id"), col("sim").as("best")).as[(Long, Double)].collect().toMap
+    val approx = Similarity.lshTopK(emb, queries, 1, bits = 6, dim = 64)
+      .select(col("query_id"), col("sim")).as[(Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (qid, s) => assert(s <= brute(qid) + 1e-9) }
+  }
+
+  test("centroids: |labels| x 64 cells, values finite") {
+    val c = Similarity.centroids(emb, "label")
+    val nLabels = emb.select("label").distinct().count()
+    assert(c.count() === nLabels * 64)
+    assert(c.filter(col("centroid_val").isNull).count() === 0)
+  }
+
+  test("hyperplane buckets are deterministic across evaluations") {
+    val b1 = emb.select(col("vec_id"), Vectors.hyperplaneBucket(col("embedding"), 6, 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = emb.select(col("vec_id"), Vectors.hyperplaneBucket(col("embedding"), 6, 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+  }
+}

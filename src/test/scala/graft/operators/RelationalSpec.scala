@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("latestPerKey returns exactly one max-order row per key (A7/W1)") {
+    val df = Seq((1L, 1, "a"), (1L, 3, "b"), (1L, 2, "c"), (2L, 5, "d"))
+      .toDF("k", "v", "tag")
+    val r = Relational.latestPerKey(df, Seq("k"), Seq(col("v").desc))
+      .orderBy("k").collect()
+    assert(r.map(_.getString(2)).toSeq === Seq("b", "d"))
+  }
+
+  test("topK is deterministic under ties (tiebreak column)") {
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 5.0)).toDF("id", "x")
+    val r = Relational.topK(df, 2, Seq(col("x").desc, col("id").asc))
+      .select("id").as[Long].collect().toSeq
+    assert(r === Seq(1L, 2L))
+  }
+
+  test("asOfJoin: most recent right row at-or-before left ts, inclusive ties, left-outer") {
+    val clicks = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 1L))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 5L, 50.0), (1L, 8L, 80.0), (2L, 9L, 90.0))
+      .toDF("user_id", "p_ts", "p_value")
+    val r = Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+      .orderBy("event_id")
+      .select("event_id", "p_value").collect()
+    assert(r(0).getDouble(1) === 80.0)      // click@10 ← purchase@8
+    assert(r(1).getDouble(1) === 50.0)      // click@5 ← purchase@5 (inclusive)
+    assert(r(2).isNullAt(1))                // click@7 before purchase@9 → null
+    assert(r(3).isNullAt(1))                // user with no purchases → null
+  }
+
+  test("insertIfAbsent appends only new keys (S5)") {
+    val ex = Seq((1L, "old")).toDF("k", "v")
+    val in = Seq((1L, "new"), (2L, "fresh")).toDF("k", "v")
+    val r = Relational.insertIfAbsent(in, ex, Seq("k")).collect()
+    assert(r.length === 1 && r.head.getString(1) === "fresh")
+  }
+
+  test("lastWins prefers the update batch on key conflict (S4)") {
+    val base = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val upd  = Seq((1L, "new")).toDF("k", "v")
+    val r = Relational.lastWins(base, upd, Seq("k"), lit(0))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(r === Seq("new", "keep"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.Tables
+import graft.weather.Store
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("windowed streaming agg equals the batch-equivalent plan (ST-surface)") {
+    // feed the events table through a file stream and compare to batch
+    val batchEvents = Tables.events(spark, SharedSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val q = Streams.windowedEventStats(streamed)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("win_out")
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().toSeq
+    val want = Streams.windowedEventStatsBatch(batchEvents)
+      .orderBy("window_start", "event_type")
+      .collect().toSeq
+    assert(got === want)
+  }
+
+  test("streaming ingest end-to-end: json drop → flatten → dedup → upsert sink, idempotent") {
+    val inDir  = java.nio.file.Files.createTempDirectory("graft_json_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fact_out").toString
+    val ckDir  = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val payload =
+      """{"coord":{"lon":105.8,"lat":21.0},"weather":[{"id":802,"main":"Clouds","description":"x","icon":"03d"}],
+        |"main":{"temp":22.0,"feels_like":21.0,"temp_min":22.0,"temp_max":22.0,"pressure":1021,"humidity":37},
+        |"wind":{"speed":4.0,"deg":355},"clouds":{"all":34},"dt":1764129959,
+        |"sys":{"country":"VN","sunrise":1764112440,"sunset":1764152047},
+        |"timezone":25200,"id":1581130,"name":"Hanoi","cod":200}""".stripMargin.replace("\n", "")
+    // duplicate payload in two files → dedup must collapse to one fact row
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/a.json"), payload)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/b.json"), payload)
+
+    def runOnce(): Unit = {
+      val flat = Streams.currentWeatherStream(spark, inDir)
+      val q = Streams.upsertSink(Streams.dedupedStream(flat), outDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val after1 = Store.readFact(spark, outDir)
+    assert(after1.count() === 1)
+    assert(after1.head().getAs[Double]("temp") === 22.0)
+
+    // replay with a fresh checkpoint (simulates a re-run of the same hour)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_ck2").toString
+    val flat2 = Streams.currentWeatherStream(spark, inDir)
+    val q2 = Streams.upsertSink(Streams.dedupedStream(flat2), outDir)
+      .option("checkpointLocation", ck2)
+      .start()
+    q2.awaitTermination()
+    assert(Store.readFact(spark, outDir).count() === 1) // idempotent
+  }
+}
