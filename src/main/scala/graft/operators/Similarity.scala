@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
+import graft.plans.HashExprs
 
 /** Similarity search over embedding columns (ArrayType(FloatType)).
   *
@@ -32,7 +33,7 @@ object Similarity {
     val scored = corpus
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", Vectors.cosine(col(vecCol), col("__q_vec")))
+      .withColumn("sim", HashExprs.cosine(corpus.sparkSession, col(vecCol), col("__q_vec")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -46,14 +47,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
-    val cb = corpus.withColumn("__bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+    val spark = corpus.sparkSession
+    val cb = corpus.withColumn("__bucket", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
     val qb = queries
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
-      .withColumn("__bucket", Vectors.hyperplaneBucket(col("__q_vec"), bits, dim))
+      .withColumn("__bucket", HashExprs.srpBucket(spark, col("__q_vec"), bits, dim))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
     cb.join(qb, "__bucket")
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", Vectors.cosine(col(vecCol), col("__q_vec")))
+      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
@@ -64,7 +66,7 @@ object Similarity {
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,
                      vecCol: String = "embedding"): DataFrame =
     corpus
-      .withColumn("bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+      .withColumn("bucket", HashExprs.srpBucket(corpus.sparkSession, col(vecCol), bits, dim))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("bucket"))
@@ -85,12 +87,13 @@ object Similarity {
     * + exact verification (the embedding analogue of MinHash near-dup). */
   def embeddingNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.withColumn("__bucket", Vectors.hyperplaneBucket(col(vecCol), bits, dim))
+    val spark = corpus.sparkSession
+    val b = corpus.withColumn("__bucket", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
     val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     l.join(r, "__bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Vectors.cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", HashExprs.cosine(spark, col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.plans.HashExprs
 
 /** Document deduplication operators for training-data pipelines: exact,
   * MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard verification.
@@ -20,6 +21,15 @@ import graft.functions.Text
   *    shuffle-side path.
   */
 object TextDedup {
+
+  /** Heavy per-row hashing over a small-file scan would otherwise run in
+    * ONE task (a single small parquet file = a single input partition) —
+    * spread it across the cluster first. No-op cost at 100 TB where the
+    * scan already has thousands of partitions. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** Exact dedup: keep the lowest-id document per identical text digest.
     * Digest first (md5 of the raw text) so the shuffle key is 16 bytes. */
@@ -38,28 +48,20 @@ object TextDedup {
         countDistinct(md5(col(textCol))).as("n_unique"))
       .orderBy(col(groupCol))
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family = xxhash64 salted by the hash index — all built-ins, so
-    * the signature computation is codegen'd and shuffle-free. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingleSet, s => xxhash64(s, k))))
-
   /** doc_id → (band, band_hash) rows for LSH banding: `bands` bands of
     * `rows` signature positions each; a pair colliding in ANY band becomes
-    * a candidate. Tune (bands, rows): P(collide) ≈ 1-(1-j^rows)^bands. */
+    * a candidate. Tune (bands, rows): P(collide) ≈ 1-(1-j^rows)^bands.
+    * Shingling/signature/band hashing run as native Catalyst expressions
+    * (graft.plans) — the HOF formulation falls back to interpreted eval
+    * and profiled ~1000× slower. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int, bands: Int, rows: Int): DataFrame = {
-    val sig = minhashSignature(Text.shingles(col(textCol), shingleN), bands * rows)
-    docs
-      .select(col(idCol), sig.as("__sig"))
-      .select(
-        col(idCol),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)),
-            v => v.cast("string")))))).as(Seq("band", "band_hash")))
+    val spark = docs.sparkSession
+    val sh  = HashExprs.shingles(spark, col(textCol), shingleN)
+    val sig = HashExprs.minhashSig(spark, sh, bands * rows)
+    spread(docs)
+      .select(col(idCol), HashExprs.bandHash(spark, sig, bands, rows).as("__bands"))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "band_hash")))
   }
 
   /** Candidate near-dup pairs from LSH: self-join on (band, band_hash),
@@ -80,8 +82,11 @@ object TextDedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), Text.shingles(col(textCol), shingleN).as("sh"))
-    pairs
+    val sh = spread(docs).select(col(idCol),
+      HashExprs.shingles(docs.sparkSession, col(textCol), shingleN).as("sh"))
+    // pairs often arrive in 1-2 partitions (LSH join / cross join output);
+    // the per-pair set intersection is the expensive part — spread it.
+    spread(pairs)
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -98,10 +103,13 @@ object TextDedup {
       docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
 
-  /** Per-document SimHash signatures (see Text.simhash64 — pure column
-    * expression, shuffle-free). */
+  /** Per-document SimHash signatures — the SimHash62 native expression
+    * (graft.plans): tight JVM loop inside codegen, shuffle-free.
+    * (Text.simhash64 is the HOF reference implementation; its hash family
+    * differs, but both satisfy the SimHash locality property.) */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), Text.simhash64(col(textCol)).as("simhash"))
+    spread(docs).select(col(idCol),
+      HashExprs.simhash62(docs.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: bucket by the top `prefixBits` bits (cheap
     * blocking), then keep pairs with Hamming distance ≤ maxHamming. */

@@ -1,0 +1,330 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop hashing kernels used by the custom Catalyst expressions.
+  *
+  * Higher-order-function formulations of SimHash/MinHash run through
+  * Spark's interpreted HOF eval path (ArrayTransform.eval — no whole-stage
+  * codegen), which profiled ~5 orders of magnitude slower than a JVM loop.
+  * These static kernels are called from generated code, so the expressions
+  * stay inside WholeStageCodegen spans.
+  */
+object HashImpl {
+
+  /** 64-bit FNV-1a over a string's UTF-8 bytes — stable across JVMs,
+    * platform-independent (public-domain algorithm). */
+  def fnv1a64(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** finalizer (splitmix64) for better avalanche on top of FNV. */
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash64(s: UTF8String, seed: Long): Long = mix(fnv1a64(s.getBytes, seed))
+
+  /** 62-bit SimHash over whitespace tokens of the lowercased text. */
+  def simhash62(text: UTF8String): Long = {
+    val s = text.toLowerCase.toString
+    val tallies = new Array[Int](62)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          val h = mix(fnv1a64(s.substring(start, i).getBytes("UTF-8"), 0L))
+          var b = 0
+          while (b < 62) {
+            if (((h >>> b) & 1L) == 1L) tallies(b) += 1 else tallies(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 62) {
+      if (tallies(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles of the lowercased text (semantics
+    * identical to the HOF reference graft.functions.Text.shingles:
+    * whitespace tokenization, single-space joints, distinct, whole-token
+    * fallback for docs shorter than n words). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) words += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (words.length >= n) {
+      var j = 0
+      while (j + n <= words.length) {
+        val sb = new java.lang.StringBuilder(words(j))
+        var t = 1
+        while (t < n) { sb.append(' '); sb.append(words(j + t)); t += 1 }
+        out.add(UTF8String.fromString(sb.toString))
+        j += 1
+      }
+    } else {
+      words.foreach(w => out.add(UTF8String.fromString(w)))
+    }
+    new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
+  }
+
+  /** LSH band hashes: hash of each `rows`-wide slice of the signature. */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        val v = sig.getLong(b * rows + r)
+        var k = 0
+        while (k < 8) { h ^= (v >>> (k * 8)) & 0xffL; h *= 0x100000001b3L; k += 1 }
+        r += 1
+      }
+      out(b) = mix(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine similarity between two float arrays, accumulated in double in
+    * index order — numerically identical to the HOF reference
+    * (cast-to-double zip_with/aggregate) and to a sequential oracle.
+    * Returns NaN-free java.lang.Double or null for zero-norm/mismatched
+    * inputs. */
+  def cosineFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) java.lang.Double.valueOf(dot / denom) else null
+  }
+
+  /** Sign-random-projection bucket: sign bits of v·h_i over `bits` planes
+    * given as a flat [bits*dim] array. Double accumulation in index order
+    * — bit-identical to the HOF reference in graft.functions.Vectors. */
+  def srpBucket(v: ArrayData, planes: Array[Double], bits: Int, dim: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var j = 0
+      val off = b * dim
+      while (j < dim) { dot += v.getFloat(j).toDouble * planes(off + j); j += 1 }
+      if (dot >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def gaussianPlanes(bits: Int, dim: Int, seed: Long): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bits * dim)(rng.nextGaussian())
+  }
+
+  /** MinHash signature: k min-hashes over the (already distinct) shingle
+    * array. Empty input → Long.MaxValue sentinel per position. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val bytes = shingles.getUTF8String(i).getBytes
+      val base = fnv1a64(bytes, 0L)
+      var j = 0
+      while (j < k) {
+        // one strong base hash per shingle, re-mixed per hash index —
+        // the standard "cheap family from one hash" construction
+        val h = mix(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** SimHash62 as a native Catalyst expression: null-intolerant unary, long
+  * result, codegen = one static call (stays in the WholeStageCodegen
+  * span). */
+case class SimHash62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.simhash62(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.simhash62($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash62 = copy(c)
+}
+
+/** MinHash signature expression over an array<string> of shingles. */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** Shingle-set expression (text → array<string> of distinct n-grams). */
+case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShinglesN = copy(c)
+}
+
+/** LSH band-hash expression (signature array<long> → array<long> of band
+  * hashes). */
+case class BandHash(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.bandHashes(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.bandHashes($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): BandHash = copy(c)
+}
+
+/** Cosine similarity over two array<float> columns, double accumulation in
+  * index order (bit-compatible with the HOF reference and a sequential
+  * SQL oracle). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashImpl.cosineFloat(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "graft.plans.HashImpl.cosineFloat"
+    nullSafeCodeGen(ctx, ev, (l, r) => s"""
+      java.lang.Double __cos = $f($l, $r);
+      if (__cos == null) { ${ev.isNull} = true; } else { ${ev.value} = __cos.doubleValue(); }
+    """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Sign-random-projection LSH bucket expression: planes derived
+  * deterministically from (seed, bits, dim) — recomputed identically on
+  * every executor, identical to Vectors.hyperplaneBucket's plan-time
+  * literals. */
+case class SrpBucket(child: Expression, bits: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  @transient private lazy val planes: Array[Double] =
+    HashImpl.gaussianPlanes(bits, dim, seed)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.srpBucket(v.asInstanceOf[ArrayData], planes, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.srpBucket($c, $ref, $bits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): SrpBucket = copy(c)
+}
+
+/** Column-facing constructors. Spark 4 removed the public
+  * `new Column(expr)` constructor, so expressions are registered in the
+  * session FunctionRegistry once and invoked via call_function. */
+object HashExprs {
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash62",
+      exprs => SimHash62(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShinglesN(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_band_hash",
+      exprs => BandHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_srp_bucket",
+      exprs => SrpBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
+  }
+
+  def simhash62(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_simhash62", c)
+  }
+
+  def minhashSig(spark: org.apache.spark.sql.SparkSession, c: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash_sig", c, lit(k))
+  }
+
+  def shingles(spark: org.apache.spark.sql.SparkSession, c: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_shingles", c, lit(n))
+  }
+
+  def bandHash(spark: org.apache.spark.sql.SparkSession, c: Column, bands: Int, rows: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_band_hash", c, lit(bands), lit(rows))
+  }
+
+  def cosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_cosine", a, b)
+  }
+
+  def srpBucket(spark: org.apache.spark.sql.SparkSession, c: Column,
+                bits: Int, dim: Int, seed: Long = 42L): Column = {
+    ensureRegistered(spark)
+    call_function("graft_srp_bucket", c, lit(bits), lit(dim), lit(seed))
+  }
+}

@@ -466,15 +466,15 @@ object Probes {
   val textStats = Probe(
     "q20_text_stats",
     (s, d) => {
-      val ws = Text.words(col("text"))
       Tables.documents(s, d)
+        .withColumn("__st", graft.plans.TextExprs.tokenStats(s, col("text")))
         .select(
           col("doc_id"),
           length(col("text")).as("text_len"),
-          size(ws).as("n_words"),
-          when(size(ws) > 0,
-            binRound(aggregate(transform(ws, w => length(w)), lit(0), (a, v) => a + v)
-              .cast("double") / size(ws), 4)).as("avg_word_len"))
+          col("__st.n_words").as("n_words"),
+          when(col("__st.n_words") > 0,
+            binRound(col("__st.sum_word_len").cast("double") / col("__st.n_words"), 4))
+            .as("avg_word_len"))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, text,
@@ -492,9 +492,10 @@ object Probes {
     "q21_token_count",
     (s, d) =>
       Tables.documents(s, d)
+        .withColumn("__st", graft.plans.TextExprs.tokenStats(s, col("text")))
         .select(
           col("doc_id"),
-          Text.tokenCountWs(col("text")).as("n_ws_tokens"),
+          col("__st.n_words").as("n_ws_tokens"),
           Text.tokenCountRegex(col("text")).cast("long").as("n_re_tokens"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -509,8 +510,11 @@ object Probes {
     "q22_stopword_ratio",
     (s, d) =>
       Tables.documents(s, d)
+        .withColumn("__sw", graft.plans.TextExprs.stopwordStats(s, col("text")))
         .select(col("doc_id"), col("lang"),
-          binRound(Text.stopwordRatio(col("text")), 4).as("stop_ratio"))
+          binRound(when(col("__sw.n_words") > 0,
+            col("__sw.hits").cast("double") / col("__sw.n_words")).otherwise(0.0), 4)
+            .as("stop_ratio"))
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, lang,
             |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
@@ -696,7 +700,8 @@ object Probes {
     "q33_lang_id",
     (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_guess"))
+        .select(col("doc_id"), col("lang"),
+          graft.plans.TextExprs.langId(s, col("text")).as("lang_guess"))
         .orderBy("doc_id"),
     None
   )

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.Tables
+import graft.functions.{Text, Vectors}
+
+/** The native expressions must agree with their HOF reference
+  * implementations — the HOF versions define the semantics, the
+  * expressions are the fast path. */
+class HashExprsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("ShinglesN == Text.shingles on the corpus") {
+    val docs = Tables.documents(spark, SharedSpark.sf0001).limit(100)
+    val cmp = docs.select(
+      array_sort(HashExprs.shingles(spark, col("text"), 3)).as("fast"),
+      array_sort(Text.shingles(col("text"), 3)).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("CosineSim == Vectors.cosine bitwise on the corpus") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf0001).limit(100)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b")).limit(500)
+    val cmp = pairs.select(
+      HashExprs.cosine(spark, col("va"), col("vb")).as("fast"),
+      Vectors.cosine(col("va"), col("vb")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("SrpBucket == Vectors.hyperplaneBucket bitwise") {
+    val emb = Tables.embeddings(spark, SharedSpark.sf0001)
+    val cmp = emb.select(
+      HashExprs.srpBucket(spark, col("embedding"), 6, 64).as("fast"),
+      Vectors.hyperplaneBucket(col("embedding"), 6, 64).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("SimHash62 locality: near texts close, far texts far") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base + " extra"
+    val far  = "completely different words about database engines and query planners here"
+    val hs = Seq(base, near, far).toDF("t")
+      .select(HashExprs.simhash62(spark, $"t")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("MinHashSig: k values, identical texts identical, estimates Jaccard") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "z y x w v u t s").toDF("t")
+      .select(HashExprs.minhashSig(spark, HashExprs.shingles(spark, $"t", 3), 48).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.length === 48))
+    assert(sigs(0) === sigs(1))
+    // disjoint shingle sets → signatures agree only by chance (~0)
+    val agree = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }
+    assert(agree <= 2)
+  }
+}
