@@ -127,6 +127,18 @@ object Text {
       (acc, v) => acc + v)
   }
 
+  /** Multi-row generator (§2.10): split a document into fixed-size word
+    * chunks (the training-data chunker). Use with
+    * `posexplode(chunks(...))` for (chunk_idx, chunk_text) rows. */
+  def chunks(text: Column, chunkWords: Int): Column = {
+    val ws = words(text)
+    val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
+    when(size(ws) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
+      .otherwise(array())
+  }
+
   /** Word n-gram shingles as a distinct set — the unit of Jaccard
     * similarity and MinHash. Short documents (< n words) fall back to the
     * whole-token set so they still participate. */

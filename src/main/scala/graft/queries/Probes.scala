@@ -380,13 +380,18 @@ object Probes {
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           hour(col("ts")).as("hr"),
           minute(col("ts")).as("mins"),
-          date_format(col("ts") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("next_hour")
+          date_format(col("ts") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("next_hour"),
+          // X3: parse a textual datetime back into a typed timestamp
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm"), "yyyy-MM-dd HH:mm")
+            .as("ts_minute")
         )
         .orderBy("event_id"),
-    Some("""SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_str,
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+           |SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_str,
            |  EXTRACT(hour FROM ts) AS hr, EXTRACT(minute FROM ts) AS mins,
-           |  strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS next_hour
-           |FROM events ORDER BY event_id""".stripMargin)
+           |  strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS next_hour,
+           |  strptime(strftime(ts, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M') AS ts_minute
+           |FROM ev ORDER BY event_id""".stripMargin)
   )
 
   /** X2: timezone conversion — store UTC, convert at presentation
@@ -721,10 +726,46 @@ object Probes {
            |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
   )
 
+  /** HLL sketch surface: approx_count_distinct vs exact (approx values
+    * are engine-specific → rows-only check; the ScalaTest spec bounds the
+    * relative error). */
+  val approxDistinct = Probe(
+    "q35_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders")),
+    None
+  )
+
+  /** Multi-row generator (§2.10): document → fixed-size word chunks via
+    * posexplode. Oracle replays the chunking with DuckDB list lambdas. */
+  val textChunks = Probe(
+    "q36_text_chunks",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(Text.chunks(col("text"), 16)).as(Seq("chunk_idx", "chunk")))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id,
+           |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+           |  FROM documents WHERE doc_id < 100),
+           |c AS (SELECT doc_id,
+           |  list_transform(range(0, CAST(ceil(len(ws) / 16.0) AS INTEGER)),
+           |    i -> array_to_string(ws[i*16+1 : i*16+16], ' ')) AS chunks
+           |  FROM t WHERE len(ws) > 0)
+           |SELECT doc_id, unnest(range(0, len(chunks))) AS chunk_idx,
+           |       unnest(chunks) AS chunk
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
-    fingerprintProbe, qualityScore, langIdProbe, windowedAgg
+    fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
+    textChunks
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -122,4 +122,44 @@ object Flatten {
     * convert only at the edge — SURVEY.md §1.4 decision). */
   def toLocalTime(df: DataFrame, tsCols: Seq[String], tz: String = "Asia/Ho_Chi_Minh"): DataFrame =
     tsCols.foldLeft(df)((acc, c) => acc.withColumn(c, from_utc_timestamp(col(c), tz)))
+
+  /** P7: derived insertion-time column (`created_at` — designed in
+    * notebook cell 4's schema table). Nondeterministic, so excluded from
+    * oracle queries (SURVEY.md §2.11). */
+  def withCreatedAt(df: DataFrame): DataFrame =
+    df.withColumn("created_at", current_timestamp())
+
+  /** X3: type the forecast's textual datetime (`dt_txt`,
+    * "2025-11-26 06:00:00" — notebook cell 11). */
+  def withTypedDtTxt(df: DataFrame): DataFrame =
+    df.withColumn("dt_txt_ts", to_timestamp(col("dt_txt"), "yyyy-MM-dd HH:mm:ss"))
+
+  /** Typed Dataset view of the current_weather fact (§1.3: compile-time
+    * field checks for the Scala API). */
+  def typedCurrent(fact: DataFrame)(implicit spark: SparkSession): Dataset[CurrentWeather] = {
+    import spark.implicits._
+    fact.as[CurrentWeather]
+  }
 }
+
+/** Typed row of the current_weather fact (sql/createtable.sql:12-33). */
+final case class CurrentWeather(
+    city_id: Long,
+    dt: java.sql.Timestamp,
+    weather_id: Option[Int],
+    weather_main: Option[String],
+    description: Option[String],
+    base: Option[String],
+    temp: Option[Double],
+    feels_like: Option[Double],
+    temp_min: Option[Double],
+    temp_max: Option[Double],
+    pressure: Option[Int],
+    humidity: Option[Int],
+    visibility: Option[Int],
+    wind_speed: Option[Double],
+    wind_deg: Option[Int],
+    wind_gust: Option[Double],
+    clouds_all: Option[Int],
+    sunrise: Option[java.sql.Timestamp],
+    sunset: Option[java.sql.Timestamp])
