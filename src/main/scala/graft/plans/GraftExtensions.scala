@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-grade registration of every graft SQL function via
+  * SparkSessionExtensions (SURVEY.md §7.3: keep custom work behind
+  * extensions so the core engine stays vanilla):
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * The same functions are also registerable per-session through
+  * HashExprs.ensureRegistered / TextExprs.ensureRegistered (used by
+  * graft.sources.Catalog) — this class is the deployment-config path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("graft_simhash62", "62-bit SimHash of a text column") {
+      e => SimHash62(e.head)
+    }
+    inject("graft_minhash_sig", "MinHash signature of a shingle array") {
+      e => MinHashSig(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("graft_shingles", "distinct word n-gram shingles") {
+      e => ShinglesN(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("graft_band_hash", "LSH band hashes of a MinHash signature") {
+      e => BandHash(e.head,
+        e(1).eval().asInstanceOf[Number].intValue(),
+        e(2).eval().asInstanceOf[Number].intValue())
+    }
+    inject("graft_cosine", "cosine similarity of two float arrays") {
+      e => CosineSim(e.head, e(1))
+    }
+    inject("graft_srp_bucket", "sign-random-projection LSH bucket") {
+      e => SrpBucket(e.head,
+        e(1).eval().asInstanceOf[Number].intValue(),
+        e(2).eval().asInstanceOf[Number].intValue(),
+        e(3).eval().asInstanceOf[Number].longValue())
+    }
+    inject("graft_token_stats", "(n_words, sum_word_len) of a text column") {
+      e => TokenStats(e.head)
+    }
+    inject("graft_stopword_stats", "(stopword hits, n_words) of a text column") {
+      e => StopwordStats(e.head, graft.functions.Text.englishStopwords)
+    }
+    inject("graft_lang_id", "heuristic language id of a text column") {
+      e => LangIdExpr(e.head, graft.functions.Text.langProfiles.toSeq)
+    }
+  }
+}
