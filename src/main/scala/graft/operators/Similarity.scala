@@ -61,6 +61,34 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k: each query also probes the buckets at Hamming
+    * distance 1 (single sign-bit flips) — the standard recall lever that
+    * costs probe-factor extra lookups instead of extra index copies.
+    * Shuffle volume stays linear: |queries|·nProbe rows join the bucketed
+    * corpus on the bucket key. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int,
+                        nProbe: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, "nProbe in [1, bits+1]")
+    val spark = corpus.sparkSession
+    val cb = corpus.withColumn("__bucket", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
+    val qBucket = HashExprs.srpBucket(spark, col("__q_vec"), bits, dim)
+    val probes = array(
+      (Seq(qBucket) ++ (0 until nProbe - 1).map(i => qBucket.bitwiseXOR(lit(1L << i)))): _*)
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__bucket", explode(probes))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    cb.join(qb, "__bucket")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .dropDuplicates(queryIdCol, idCol) // same candidate via several probes
+      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,

@@ -77,6 +77,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     approx.foreach { case (qid, s) => assert(s <= brute(qid) + 1e-9) }
   }
 
+  test("multi-probe LSH recall@1 >= single-probe recall@1 (vs brute force)") {
+    val queries = emb.limit(100).select(col("vec_id").as("query_id"), col("embedding"))
+    val truth = Similarity.bruteForceTopK(emb, queries, 1)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter(col("rank") === 1)
+        .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect().toMap
+      got.count { case (q, v) => truth.get(q).contains(v) }.toDouble / truth.size
+    }
+    // random (unstructured) vectors are the worst case for LSH — the true
+    // NN sits at only ~0.4 cosine; use few bits so buckets stay coarse
+    val r1 = recall(Similarity.lshTopK(emb, queries, 1, bits = 4, dim = 64))
+    val rp = recall(Similarity.lshTopKMultiProbe(emb, queries, 1, bits = 4, dim = 64, nProbe = 5))
+    assert(rp >= r1)
+    assert(rp > 0.15, s"multi-probe recall $rp unexpectedly low (single-probe $r1)")
+  }
+
   test("centroids: |labels| x 64 cells, values finite") {
     val c = Similarity.centroids(emb, "label")
     val nLabels = emb.select("label").distinct().count()
