@@ -24,10 +24,15 @@ object Streams {
     * typed rows. `Trigger.AvailableNow` drains what exists then stops —
     * the scheduled-micro-batch shape; a processing-time trigger gives the
     * continuous shape with the same plan. */
-  def currentWeatherStream(spark: SparkSession, inputDir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(Schemas.currentWeatherRaw)
-      .json(inputDir)
+  /** `maxFilesPerTrigger` is the source-side throttle — the streaming
+    * equivalent of the reference's inter-call sleep (ST4, etl.py:136):
+    * bound how much lands per micro-batch instead of sleeping. */
+  def currentWeatherStream(spark: SparkSession, inputDir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(Schemas.currentWeatherRaw)
+    val throttled = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val raw = throttled.json(inputDir)
     // reuse the batch flatten: wrap the parsed struct back under `d`
     Flatten.flattenCurrent(raw.select(struct(raw.columns.map(col): _*).as("d")))
   }

@@ -39,6 +39,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("metrics listener records per-batch input rows (ST5)") {
+    val batchEvents = Tables.events(spark, SharedSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics_in").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val listener = Metrics.attach(spark)
+    try {
+      val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+      val query = Streams.windowedEventStats(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("metrics_out").start()
+      query.processAllAvailable()
+      query.stop()
+      // listener events are async; wait briefly for delivery
+      var tries = 0
+      while (listener.totalInputRows < batchEvents.count() && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(listener.totalInputRows === batchEvents.count())
+      assert(listener.snapshot.forall(_.queryName == "metrics_out"))
+    } finally Metrics.detach(spark, listener)
+  }
+
   test("streaming ingest end-to-end: json drop → flatten → dedup → upsert sink, idempotent") {
     val inDir  = java.nio.file.Files.createTempDirectory("graft_json_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_fact_out").toString
