@@ -72,6 +72,39 @@ object Ingest {
       okCount, badCount)
   }
 
+  /** Forecast backfill (the notebook's §3.2 path): 40-entry fan-out per
+    * city (P3 explode), upsert keyed (city_id, dt) — re-pulls refresh
+    * forecasts for the same horizon (DO UPDATE). Also refreshes the
+    * cities dim (the forecast payload carries the same city attributes
+    * plus population). */
+  def runForecast(spark: SparkSession, source: PayloadSource,
+                  citiesPath: String, factPath: String): IngestResult = {
+    implicit val s: SparkSession = spark
+    val parsed = Flatten.parseForecast(source.fetch(spark))
+    val wide = Flatten.flattenForecast(parsed).cache()
+    val okCount = wide.count()
+    val badCount = Flatten.badRecords(parsed).count()
+
+    val newCities = Flatten.citiesDim(wide)
+    val newFacts  = Flatten.forecastFact(wide)
+
+    val mergedCities = readOr(spark, citiesPath, newCities) match {
+      case Some(existing) => Store.upsertLastWins(existing, newCities, Seq("city_id"))
+      case None           => newCities
+    }
+    val mergedFact = readOr(spark, factPath, newFacts) match {
+      case Some(existing) => Store.upsertLastWins(existing, newFacts, Seq("city_id", "dt"))
+      case None           => newFacts
+    }
+    mergedCities.write.mode("overwrite").parquet(citiesPath)
+    Store.writeFactPartitioned(mergedFact, factPath)
+    wide.unpersist()
+    IngestResult(
+      spark.read.parquet(citiesPath),
+      Store.readFact(spark, factPath),
+      okCount, badCount)
+  }
+
   private def readOr(spark: SparkSession, path: String,
                      template: DataFrame): Option[DataFrame] =
     if (new java.io.File(path).exists()) {

@@ -55,6 +55,39 @@ class IngestSpec extends AnyFunSuite {
     assert(rowsOf(r3.fact) === before)
   }
 
+  test("forecast backfill: 40-entry fan-out, upsert refresh on re-pull (§3.2)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    def fcPayload(temp0: Double): String =
+      s"""{"list":[
+         |{"dt":1764136800,"dt_txt":"2025-11-26 06:00:00",
+         | "main":{"temp":$temp0,"feels_like":21.9,"temp_min":22.6,"temp_max":23.9,
+         |   "pressure":1021,"sea_level":1021,"grnd_level":1018,"humidity":38,"temp_kf":-1.25},
+         | "weather":[{"id":802,"main":"Clouds","description":"d","icon":"03d"}],
+         | "clouds":{"all":26},"wind":{"speed":3.3,"deg":354,"gust":4.4},
+         | "visibility":10000,"pop":0.0,"sys":{"pod":"d"}},
+         |{"dt":1764147600,"dt_txt":"2025-11-26 09:00:00",
+         | "main":{"temp":25.0,"feels_like":25.0,"temp_min":24.0,"temp_max":26.0,
+         |   "pressure":1020,"humidity":40},
+         | "weather":[{"id":800,"main":"Clear","description":"c","icon":"01d"}],
+         | "clouds":{"all":5},"wind":{"speed":2.0,"deg":10},"pop":0.2,"sys":{"pod":"d"}}],
+         |"city":{"id":1581130,"name":"Hanoi","country":"VN",
+         | "coord":{"lat":21.0,"lon":105.8},"population":1431270,"timezone":25200,
+         | "sunrise":1764112440,"sunset":1764152047},"cod":"200"}""".stripMargin.replace("\n", "")
+
+    val r1 = Ingest.runForecast(spark, Ingest.CannedSource(Seq(fcPayload(22.6))),
+      s"$base/cities", s"$base/forecast")
+    assert(r1.fact.count() === 2 && r1.cities.count() === 1)
+    assert(r1.fact.columns.toSeq === Schemas.forecastWeatherColumns)
+
+    // re-pull with an updated forecast for the same horizon → refresh
+    val r2 = Ingest.runForecast(spark, Ingest.CannedSource(Seq(fcPayload(23.5))),
+      s"$base/cities", s"$base/forecast")
+    assert(r2.fact.count() === 2)
+    val t = r2.fact.filter(col("dt_txt") === "2025-11-26 06:00:00")
+      .head().getAs[Double]("temp")
+    assert(t === 23.5)
+  }
+
   test("SQL dashboard path over the registered weather views (§3.3)") {
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_sql").toString
     val r = Ingest.run(spark,
