@@ -761,11 +761,27 @@ object Probes {
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
   )
 
+  /** Multimodal plumbing probe: deterministic synthetic binary assets →
+    * partition-local feature extraction (decode stubbed) → content-hash
+    * dedup stats. Rows-only (binary payloads + engine-internal hash). */
+  val multimodalFeatures = Probe(
+    "q37_multimodal",
+    (s, d) => {
+      implicit val spark = s
+      import graft.multimodal.Multimodal
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 1000, dupEvery = 10))
+      feats.toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_hash"))
+        .orderBy("asset_id")
+    },
+    None
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
-    textChunks
+    textChunks, multimodalFeatures
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
