@@ -59,6 +59,33 @@ object Relational {
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Interval (range) join: points matched to intervals with
+    * `start <= ts < end` (half-open). A naive theta join plans as a
+    * BroadcastNestedLoopJoin — quadratic and broadcast-bound; this
+    * bucketizes time instead: intervals replicate to each `bucketSeconds`
+    * bucket they overlap (replication factor = interval length / bucket),
+    * points hash to one bucket, and the match becomes an equi-join on the
+    * bucket id + a residual filter. A point meets an interval in exactly
+    * one bucket (its own), so no dedup is needed. Linear shuffle volume;
+    * pick `bucketSeconds` near the typical interval length.
+    */
+  def intervalJoin(points: DataFrame, tsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bucketSeconds: Long = 86400L,
+                   joinType: String = "inner"): DataFrame = {
+    val bUs = bucketSeconds * 1000000L
+    val pts = points.withColumn("__bucket",
+      expr(s"unix_micros(`$tsCol`) DIV ${bUs}L"))
+    val ivs = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        expr(s"unix_micros(`$startCol`) DIV ${bUs}L"),
+        expr(s"(unix_micros(`$endCol`) - 1) DIV ${bUs}L"))))
+    pts.join(ivs, Seq("__bucket"), joinType)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join (point-in-time lookup): for each left row, the most recent
     * right row with `rightTs <= leftTs` within the same `on` keys. Spark has
     * no native as-of join; this composes union + a last-ignoring-nulls

@@ -454,11 +454,36 @@ object Probes {
            |ORDER BY c.event_id""".stripMargin)
   )
 
+  /** Interval (range) join: events matched into weekly one-day windows.
+    * Ours bucketizes to an equi-join (Relational.intervalJoin); the DuckDB
+    * oracle uses its native inequality join — same semantics. */
+  val intervalJoin = Probe(
+    "q38_interval_join",
+    (s, d) => {
+      val windows = s.range(8).select(
+        col("id").as("window_id"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") +
+          expr("make_interval(0, 0, 0, CAST(id * 7 AS INT), 0, 0, 0)")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 1 DAY"))
+      Relational.intervalJoin(Tables.events(s, d), "ts", windows, "w_start", "w_end")
+        .select(col("window_id"), col("event_id"), col("event_type"))
+        .orderBy("window_id", "event_id")
+    },
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+           |w AS (SELECT i AS window_id,
+           |        TIMESTAMP '2024-01-01 00:00:00' + i * 7 * INTERVAL 1 DAY AS w_start,
+           |        TIMESTAMP '2024-01-01 00:00:00' + (i * 7 + 1) * INTERVAL 1 DAY AS w_end
+           |      FROM range(8) t(i))
+           |SELECT w.window_id, e.event_id, e.event_type
+           |FROM ev e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+           |ORDER BY window_id, event_id""".stripMargin)
+  )
+
   val relationalProbes: Seq[Probe] = Seq(
     pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
-    rollup, asOfJoin
+    rollup, asOfJoin, intervalJoin
   )
 
   // ---------------------------------------------------------------------

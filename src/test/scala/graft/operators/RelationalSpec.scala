@@ -38,6 +38,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(r(3).isNullAt(1))                // user with no purchases → null
   }
 
+  test("intervalJoin: half-open bounds, bucket-boundary straddle, no dupes") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:00:00")),  // == start (inclusive)
+      (2L, ts("2024-01-02 00:00:00")),  // == end (exclusive)
+      (3L, ts("2024-01-05 12:00:00")),  // inside an interval straddling buckets
+      (4L, ts("2024-03-01 00:00:00"))   // matches nothing
+    ).toDF("pid", "ts")
+    val ivs = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      (11L, ts("2024-01-04 06:00:00"), ts("2024-01-06 06:00:00"))
+    ).toDF("iv", "s", "e")
+    val r = Relational.intervalJoin(pts, "ts", ivs, "s", "e", bucketSeconds = 86400)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 10L), (3L, 11L)))
+    // equals the naive theta join on larger random-ish data
+    val manyPts = (0 until 500).map(i => (i.toLong, ts(f"2024-01-${1 + i % 28}%02d ${i % 24}%02d:30:00")))
+      .toDF("pid", "ts")
+    val naive = manyPts.join(ivs, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val fast = Relational.intervalJoin(manyPts, "ts", ivs, "s", "e", 86400)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+  }
+
   test("insertIfAbsent appends only new keys (S5)") {
     val ex = Seq((1L, "old")).toDF("k", "v")
     val in = Seq((1L, "new"), (2L, "fresh")).toDF("k", "v")
