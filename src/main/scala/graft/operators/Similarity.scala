@@ -107,7 +107,7 @@ object Similarity {
                 vecCol: String = "embedding", scale: Int = 4): DataFrame =
     corpus
       .select(col(groupCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
-      .groupBy(col(groupCol), (col("pos") + 1).as("dim"))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("v")), scale).as("centroid_val"))
       .orderBy(col(groupCol), col("dim"))
 

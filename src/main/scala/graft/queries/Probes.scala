@@ -378,8 +378,8 @@ object Probes {
         .select(
           col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
-          hour(col("ts")).as("hr"),
-          minute(col("ts")).as("mins"),
+          hour(col("ts")).cast("long").as("hr"),
+          minute(col("ts")).cast("long").as("mins"),
           date_format(col("ts") + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").as("next_hour"),
           // X3: parse a textual datetime back into a typed timestamp
           to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm"), "yyyy-MM-dd HH:mm")
@@ -500,8 +500,8 @@ object Probes {
         .withColumn("__st", graft.plans.TextExprs.tokenStats(s, col("text")))
         .select(
           col("doc_id"),
-          length(col("text")).as("text_len"),
-          col("__st.n_words").as("n_words"),
+          length(col("text")).cast("long").as("text_len"),
+          col("__st.n_words").cast("long").as("n_words"),
           when(col("__st.n_words") > 0,
             binRound(col("__st.sum_word_len").cast("double") / col("__st.n_words"), 4))
             .as("avg_word_len"))
@@ -525,7 +525,7 @@ object Probes {
         .withColumn("__st", graft.plans.TextExprs.tokenStats(s, col("text")))
         .select(
           col("doc_id"),
-          col("__st.n_words").as("n_ws_tokens"),
+          col("__st.n_words").cast("long").as("n_ws_tokens"),
           Text.tokenCountRegex(col("text")).cast("long").as("n_re_tokens"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -591,7 +591,7 @@ object Probes {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(emb, queries, 10)
-        .select(col("query_id"), col("vec_id"), binRound(col("sim"), 4).as("sim"), col("rank").as("rnk"))
+        .select(col("query_id"), col("vec_id"), binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
     },
     Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -773,6 +773,7 @@ object Probes {
       Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), posexplode(Text.chunks(col("text"), 16)).as(Seq("chunk_idx", "chunk")))
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
         .orderBy("doc_id", "chunk_idx"),
     Some("""WITH t AS (SELECT doc_id,
            |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
