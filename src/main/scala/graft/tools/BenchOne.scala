@@ -1,3 +1,5 @@
+package graft.tools
+
 object BenchOne {
   def main(a: Array[String]): Unit = {
     val spark = graft.GraftSession.getOrCreate("benchone")
