@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Plan-shape regression guards: the optimizations the engine's scale
+  * posture depends on must be visible in the physical plan — a code
+  * change that silently breaks pushdown or reintroduces a cross join
+  * should fail here, not in a 100 TB run. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  def planOf(name: String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    Probes.all.find(_.name == name).get
+      .run(spark, SharedSpark.sf0001)
+      .queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and column pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    // only the 6 needed columns in ReadSchema (no l_partkey etc.)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q03: dims join via broadcast hash join") {
+    val p = planOf("q03_join_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q07: latest-per-key plans with WindowGroupLimit (rank pushdown)") {
+    val p = planOf("q07_latest_per_key")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q09: deterministic top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q19: as-of join uses exactly one hash shuffle (no range join explosion)") {
+    val p = planOf("q19_asof_join")
+    assert(!p.contains("NestedLoop"))
+    val hashExchanges = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("q27/q38: similarity and range joins never plan a cross join") {
+    assert(!planOf("q27_minhash_neardup").contains("Cross"))
+    assert(!planOf("q38_interval_join").contains("NestedLoop"))
+  }
+}
