@@ -46,6 +46,20 @@ object Store {
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("p_date")
 
+  /** Bucketed table write: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on `bucketCol` between co-bucketed
+    * tables runs with NO exchange — the classic amortization for fact⋈fact
+    * joins that repeat across a workload (SURVEY.md §4: "repartition/
+    * bucketing for co-located joins"). Requires a session catalog
+    * (saveAsTable); bucket counts must match across join partners.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** FK-style referential check (S7: Spark enforces no constraints — this
     * is the validation-job equivalent): fact rows whose key is missing
     * from the dimension. Empty result = constraint holds. */
