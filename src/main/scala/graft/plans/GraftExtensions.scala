@@ -59,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_lang_id", "heuristic language id of a text column") {
       e => LangIdExpr(e.head, graft.functions.Text.langProfiles.toSeq)
     }
+    inject("graft_asof", "as-of join marker: most recent right row at-or-before left ts") {
+      e => AsOfMarker(e.head, e(1))
+    }
+    // the native as-of join operator: rewrite rule + physical strategy
+    ext.injectOptimizerRule(_ => RewriteAsOfJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

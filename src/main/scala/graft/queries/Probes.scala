@@ -479,11 +479,29 @@ object Probes {
            |ORDER BY window_id, event_id""".stripMargin)
   )
 
+  /** The NATIVE as-of join (custom LogicalPlan + Rule + Strategy +
+    * merge-join SparkPlan, graft.plans.AsOfJoinPlan) on the same inputs
+    * and oracle as q19 — both implementations must match DuckDB's ASOF
+    * JOIN independently. */
+  val asOfJoinNative = Probe(
+    "q39_asof_join_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.plans.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"), col("p_value"))
+        .orderBy("event_id")
+    },
+    asOfJoin.oracle
+  )
+
   val relationalProbes: Seq[Probe] = Seq(
     pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
-    rollup, asOfJoin, intervalJoin
+    rollup, asOfJoin, intervalJoin, asOfJoinNative
   )
 
   // ---------------------------------------------------------------------

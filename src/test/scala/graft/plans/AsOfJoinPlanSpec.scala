@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.Tables
+import graft.operators.Relational
+
+/** The native as-of operator must agree exactly with the composed
+  * union+window reference on real and adversarial data, and must actually
+  * plan through AsOfJoinExec. */
+class AsOfJoinPlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  def viaNative(clicks: org.apache.spark.sql.DataFrame,
+                purchases: org.apache.spark.sql.DataFrame) =
+    AsOf.join(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+      .select("event_id", "user_id", "ts", "p_value")
+
+  def viaComposed(clicks: org.apache.spark.sql.DataFrame,
+                  purchases: org.apache.spark.sql.DataFrame) =
+    Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+      .select("event_id", "user_id", "ts", "p_value")
+
+  def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("native == composed on the events corpus") {
+    val ev = Tables.events(spark, SharedSpark.sf0001)
+    val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"value".as("p_value"))
+    assert(rowsOf(viaNative(clicks, purchases)) === rowsOf(viaComposed(clicks, purchases)))
+  }
+
+  test("native == composed on adversarial data (ties, empty groups, no-match users)") {
+    val clicks = Seq(
+      (1L, 1L, 10L), (2L, 1L, 10L),          // duplicate left timestamps
+      (3L, 2L, 5L),                          // user with no purchases
+      (4L, 3L, 7L), (5L, 3L, 100L)
+    ).map { case (e, u, t) => (e, u, new java.sql.Timestamp(t * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, 10L, 1.0),                        // tie with click ts (inclusive)
+      (3L, 7L, 3.0), (3L, 8L, 4.0), (3L, 99L, 5.0)
+    ).map { case (u, t, v) => (u, new java.sql.Timestamp(t * 1000), v) }
+      .toDF("user_id", "p_ts", "p_value")
+    assert(rowsOf(viaNative(clicks, purchases)) === rowsOf(viaComposed(clicks, purchases)))
+    // spot-check semantics
+    val m = viaNative(clicks, purchases).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(m(1L) === Some(1.0) && m(2L) === Some(1.0)) // inclusive tie
+    assert(m(3L) === None)
+    assert(m(4L) === Some(3.0))                        // 7 <= 7, not 8
+    assert(m(5L) === Some(5.0))                        // latest of three
+  }
+
+  test("plans through AsOfJoinExec (no window, no nested loop)") {
+    val ev = Tables.events(spark, SharedSpark.sf0001)
+    val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"value".as("p_value"))
+    val p = viaNative(clicks, purchases).queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"plan missing AsOfJoinExec:\n$p")
+    assert(!p.contains("Window"))
+  }
+}
