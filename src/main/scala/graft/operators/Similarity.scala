@@ -89,6 +89,51 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the second index family next to SRP-LSH:
+    * k-means centroids partition the space into cells; the corpus lives in
+    * its nearest cell, queries probe their `nProbe` nearest cells, exact
+    * cosine re-ranks inside. Training cost is one pass over (a sample of)
+    * the corpus; at 100 TB you fit on a sample and broadcast the
+    * centroids — here they ship inside the NearestCells expression.
+    * Returns (model cells reused across calls via `ivfCentroids`). */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+                   vecCol: String = "embedding", seed: Long = 42L): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    // degenerate corpora (fewer vectors than cells, or empty) can't train
+    // k-means — fall back to a single zero cell: every vector lands in
+    // cell 0 and the search degrades to brute force within it
+    if (train.limit(nCells).count() < nCells) {
+      val dim = corpus.select(size(col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      new Array[Double](nCells * dim)
+    } else {
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
+      model.clusterCenters.flatMap(_.toArray)
+    }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
+              dim: Int, centroids: Array[Double],
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = corpus.withColumn("__cell",
+      element_at(HashExprs.nearestCells(spark, col(vecCol), centroids, nCells, dim, 1), 1))
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__cell",
+        explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids, nCells, dim, nProbe)))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    cb.join(qb, "__cell")
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,

@@ -165,6 +165,28 @@ object HashImpl {
     Array.fill(bits * dim)(rng.nextGaussian())
   }
 
+  /** IVF cell assignment: indices of the `nProbe` nearest centroids (L2)
+    * from a flat [nCells*dim] centroid array, nearest first. */
+  def nearestCells(v: ArrayData, centroids: Array[Double],
+                   nCells: Int, dim: Int, nProbe: Int): ArrayData = {
+    val d2 = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var j = 0
+      val off = c * dim
+      while (j < dim) {
+        val diff = v.getFloat(j).toDouble - centroids(off + j)
+        s += diff * diff
+        j += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val order = d2.zipWithIndex.sortBy(_._1).take(nProbe).map(_._2)
+    new GenericArrayData(order)
+  }
+
   /** MinHash signature: k min-hashes over the (already distinct) shingle
     * array. Empty input → Long.MaxValue sentinel per position. */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
@@ -269,6 +291,22 @@ case class SrpBucket(child: Expression, bits: Int, dim: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SrpBucket = copy(c)
 }
 
+/** IVF nearest-cells expression: centroids ship via addReferenceObj (they
+  * come from a fitted model, not a seed). */
+case class NearestCells(child: Expression, centroids: Array[Double],
+                        nCells: Int, dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.nearestCells(v.asInstanceOf[ArrayData], centroids, nCells, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashImpl.nearestCells($c, $ref, $nCells, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+}
+
 /** Column-facing constructors. Spark 4 removed the public
   * `new Column(expr)` constructor, so expressions are registered in the
   * session FunctionRegistry once and invoked via call_function. */
@@ -326,5 +364,16 @@ object HashExprs {
                 bits: Int, dim: Int, seed: Long = 42L): Column = {
     ensureRegistered(spark)
     call_function("graft_srp_bucket", c, lit(bits), lit(dim), lit(seed))
+  }
+
+  /** IVF cell assignment column. The centroid array comes from a fitted
+    * model, so the builder is (re)registered per call — DataFrames built
+    * earlier keep their own captured expression instances. */
+  def nearestCells(spark: org.apache.spark.sql.SparkSession, c: Column,
+                   centroids: Array[Double], nCells: Int, dim: Int, nProbe: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells",
+      exprs => NearestCells(exprs.head, centroids, nCells, dim, nProbe), "built-in")
+    call_function("graft_ivf_cells", c)
   }
 }

@@ -821,11 +821,29 @@ object Probes {
     None
   )
 
+  /** IVF ANN (second index family next to SRP-LSH): k-means cells +
+    * multi-cell probing + exact re-rank. Rows-only (k-means assignment is
+    * engine-internal); the spec bounds recall against brute force. */
+  val annIvf = Probe(
+    "q40_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cents = Similarity.ivfCentroids(emb, nCells = 8)
+      Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
+        .select(col("query_id"), col("vec_id").as("nn_id"),
+          binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    None
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
-    textChunks, multimodalFeatures
+    textChunks, multimodalFeatures, annIvf
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

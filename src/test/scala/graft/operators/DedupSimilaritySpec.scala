@@ -94,6 +94,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rp > 0.15, s"multi-probe recall $rp unexpectedly low (single-probe $r1)")
   }
 
+  test("IVF ANN: genuine cosines, bounded by brute force, decent recall") {
+    val queries = emb.limit(100).select(col("vec_id").as("query_id"), col("embedding"))
+    val truth = Similarity.bruteForceTopK(emb, queries, 1)
+      .select(col("query_id"), col("vec_id"), col("sim")).as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val cents = Similarity.ivfCentroids(emb, nCells = 8)
+    assert(cents.length === 8 * 64)
+    val got = Similarity.ivfTopK(emb, queries, 1, nCells = 8, nProbe = 3, dim = 64, cents)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"), col("sim")).as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, s) => assert(s <= truth(q)._2 + 1e-9) }
+    val recall = got.count { case (q, v, _) => truth(q)._1 == v }.toDouble / truth.size
+    assert(recall >= 0.3, s"IVF recall@1 $recall too low")
+  }
+
   test("centroids: |labels| x 64 cells, values finite") {
     val c = Similarity.centroids(emb, "label")
     val nLabels = emb.select("label").distinct().count()
