@@ -23,6 +23,22 @@ import graft.plans.HashExprs
   */
 object Similarity {
 
+  /** Shared re-rank tail of every ANN/exact search: self-match filter,
+    * exact cosine, per-query rank, top-k, canonical output shape. The
+    * candidate frame must carry (queryIdCol, idCol, vecCol's candidate
+    * vector, "__q_vec"). */
+  private def rerank(cands: DataFrame, k: Int, idCol: String, queryIdCol: String,
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = cands.sparkSession
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    cands
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+  }
+
   /** Exact top-k nearest neighbors by cosine for each query row.
     * `queries` must be small enough to broadcast. Output:
     * (query_id, vec_id, sim, rank). */
@@ -30,15 +46,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__q_vec"))
-    val scored = corpus
-      .crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", HashExprs.cosine(corpus.sparkSession, col(vecCol), col("__q_vec")))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rerank(corpus.crossJoin(broadcast(q)), k, idCol, queryIdCol, vecCol)
   }
 
   /** LSH-bucketed approximate top-k: equi-join on the hyperplane bucket,
@@ -52,13 +60,7 @@ object Similarity {
     val qb = queries
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
       .withColumn("__bucket", HashExprs.srpBucket(spark, col("__q_vec"), bits, dim))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    cb.join(qb, "__bucket")
-      .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rerank(cb.join(qb, "__bucket"), k, idCol, queryIdCol, vecCol)
   }
 
   /** Multi-probe LSH top-k: each query also probes the buckets at Hamming
@@ -79,14 +81,10 @@ object Similarity {
     val qb = queries
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
       .withColumn("__bucket", explode(probes))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    cb.join(qb, "__bucket")
-      .filter(col(idCol) =!= col(queryIdCol))
-      .dropDuplicates(queryIdCol, idCol) // same candidate via several probes
-      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rerank(
+      cb.join(qb, "__bucket")
+        .dropDuplicates(queryIdCol, idCol), // same candidate via several probes
+      k, idCol, queryIdCol, vecCol)
   }
 
   /** IVF (inverted-file) ANN — the second index family next to SRP-LSH:
@@ -96,21 +94,29 @@ object Similarity {
     * the corpus; at 100 TB you fit on a sample and broadcast the
     * centroids — here they ship inside the NearestCells expression.
     * Returns (model cells reused across calls via `ivfCentroids`). */
-  def ivfCentroids(corpus: DataFrame, nCells: Int,
+  def ivfCentroids(corpus: DataFrame, nCells: Int, dim: Int,
                    vecCol: String = "embedding", seed: Long = 42L): Array[Double] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
     // degenerate corpora (fewer vectors than cells, or empty) can't train
     // k-means — fall back to a single zero cell: every vector lands in
-    // cell 0 and the search degrades to brute force within it
+    // cell 0 and the search degrades to brute force within it. Remaining
+    // cell slots are pushed to +inf so they are never the nearest.
+    def padded(centers: Array[Array[Double]]): Array[Double] = {
+      val out = Array.fill(nCells * dim)(1e300)
+      centers.zipWithIndex.foreach { case (c, i) =>
+        require(c.length == dim, s"centroid dim ${c.length} != expected $dim")
+        System.arraycopy(c, 0, out, i * dim, dim)
+      }
+      out
+    }
     if (train.limit(nCells).count() < nCells) {
-      val dim = corpus.select(size(col(vecCol))).head(1)
-        .headOption.map(_.getInt(0)).getOrElse(1)
-      new Array[Double](nCells * dim)
+      padded(Array(new Array[Double](dim)))
     } else {
       val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
-      model.clusterCenters.flatMap(_.toArray)
+      // KMeans may converge to fewer than k distinct centers
+      padded(model.clusterCenters.map(_.toArray))
     }
   }
 
@@ -118,6 +124,9 @@ object Similarity {
               dim: Int, centroids: Array[Double],
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    require(centroids.length == nCells * dim,
+      s"centroid array length ${centroids.length} != nCells*dim ${nCells * dim}")
     val spark = corpus.sparkSession
     val cb = corpus.withColumn("__cell",
       element_at(HashExprs.nearestCells(spark, col(vecCol), centroids, nCells, dim, 1), 1))
@@ -125,13 +134,7 @@ object Similarity {
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
       .withColumn("__cell",
         explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids, nCells, dim, nProbe)))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    cb.join(qb, "__cell")
-      .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
+    rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol)
   }
 
   /** Per-bucket occupancy stats for the LSH index — the operational view

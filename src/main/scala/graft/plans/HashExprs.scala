@@ -166,7 +166,9 @@ object HashImpl {
   }
 
   /** IVF cell assignment: indices of the `nProbe` nearest centroids (L2)
-    * from a flat [nCells*dim] centroid array, nearest first. */
+    * from a flat [nCells*dim] centroid array, nearest first. Selection is
+    * an allocation-free O(nCells·nProbe) partial pass (no boxing/sort) —
+    * this runs per row inside codegen. */
   def nearestCells(v: ArrayData, centroids: Array[Double],
                    nCells: Int, dim: Int, nProbe: Int): ArrayData = {
     val d2 = new Array[Double](nCells)
@@ -183,8 +185,23 @@ object HashImpl {
       d2(c) = s
       c += 1
     }
-    val order = d2.zipWithIndex.sortBy(_._1).take(nProbe).map(_._2)
-    new GenericArrayData(order)
+    val k = math.min(nProbe, nCells)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nCells)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < nCells) {
+        if (!taken(i) && d2(i) < bestD) { best = i; bestD = d2(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** MinHash signature: k min-hashes over the (already distinct) shingle
@@ -367,13 +384,17 @@ object HashExprs {
   }
 
   /** IVF cell assignment column. The centroid array comes from a fitted
-    * model, so the builder is (re)registered per call — DataFrames built
-    * earlier keep their own captured expression instances. */
+    * model, so the registered name is derived from the configuration —
+    * registration is idempotent per model and concurrent sessions building
+    * different models can't clobber each other's builders. */
   def nearestCells(spark: org.apache.spark.sql.SparkSession, c: Column,
                    centroids: Array[Double], nCells: Int, dim: Int, nProbe: Int): Column = {
+    val name = "graft_ivf_cells_" +
+      (java.util.Arrays.hashCode(centroids) & 0xffffffffL).toHexString +
+      s"_${nCells}_${dim}_$nProbe"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cells",
+      name,
       exprs => NearestCells(exprs.head, centroids, nCells, dim, nProbe), "built-in")
-    call_function("graft_ivf_cells", c)
+    call_function(name, c)
   }
 }

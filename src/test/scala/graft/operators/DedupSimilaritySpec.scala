@@ -99,7 +99,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val truth = Similarity.bruteForceTopK(emb, queries, 1)
       .select(col("query_id"), col("vec_id"), col("sim")).as[(Long, Long, Double)]
       .collect().map(t => t._1 -> (t._2, t._3)).toMap
-    val cents = Similarity.ivfCentroids(emb, nCells = 8)
+    val cents = Similarity.ivfCentroids(emb, nCells = 8, dim = 64)
     assert(cents.length === 8 * 64)
     val got = Similarity.ivfTopK(emb, queries, 1, nCells = 8, nProbe = 3, dim = 64, cents)
       .filter(col("rank") === 1)
