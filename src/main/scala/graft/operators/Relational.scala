@@ -71,8 +71,10 @@ object Relational {
     */
   def intervalJoin(points: DataFrame, tsCol: String,
                    intervals: DataFrame, startCol: String, endCol: String,
-                   bucketSeconds: Long = 86400L,
-                   joinType: String = "inner"): DataFrame = {
+                   bucketSeconds: Long = 86400L): DataFrame = {
+    // inner-join only: the residual range filter runs after the bucket
+    // equi-join, which would silently drop the null-extended rows an
+    // outer variant is supposed to preserve
     val bUs = bucketSeconds * 1000000L
     val pts = points.withColumn("__bucket",
       expr(s"unix_micros(`$tsCol`) DIV ${bUs}L"))
@@ -81,7 +83,7 @@ object Relational {
       .withColumn("__bucket", explode(sequence(
         expr(s"unix_micros(`$startCol`) DIV ${bUs}L"),
         expr(s"(unix_micros(`$endCol`) - 1) DIV ${bUs}L"))))
-    pts.join(ivs, Seq("__bucket"), joinType)
+    pts.join(ivs, Seq("__bucket"), "inner")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
@@ -103,31 +105,38 @@ object Relational {
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val lAligned = carryCols.foldLeft(lTagged) { (df, c) =>
-      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-    }
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(carryCols.map(c => right.schema(c)))))
 
-    val rTagged = right
+    // carry the whole right row as ONE struct: last(ignoreNulls) then
+    // skips only "no right row", never a right row whose carried VALUE
+    // happens to be null (the oracle's ASOF semantics return that null).
+    // Rows with null rightTs can never be "at or before" anything → drop.
+    val rAligned0 = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-    val rRenamed = carryCols.foldLeft(rTagged) { (df, c) => df.withColumnRenamed(c, s"__r_$c") }
-    val rAligned = leftOnly.foldLeft(rRenamed.drop(rightTs)) { (df, c) =>
+      .withColumn("__r", struct(carryCols.map(col): _*))
+      .drop(carryCols :+ rightTs: _*)
+    val rAligned = leftOnly.foldLeft(rAligned0) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val unionCols = (on ++ leftOnly ++ Seq("__ts", "__side") ++ carryCols.map(c => s"__r_$c")).map(col)
-    val unioned = lAligned.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
+    val unionCols = (on ++ leftOnly ++ Seq("__ts", "__side", "__r")).map(col)
+    val unioned = lTagged.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
 
     // __side orders right rows before left at equal ts → inclusive <= match.
     val w = Window
       .partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carryCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side")
 
-    val out = filled.filter(col("__side") === 1).drop("__ts", "__side")
-    carryCols.foldLeft(out) { (df, c) => df.withColumnRenamed(s"__r_$c", c) }
+    carryCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__r").getField(c))
+    }.drop("__r")
   }
 }

@@ -104,7 +104,9 @@ object Similarity {
     // cell 0 and the search degrades to brute force within it. Remaining
     // cell slots are pushed to +inf so they are never the nearest.
     def padded(centers: Array[Array[Double]]): Array[Double] = {
-      val out = Array.fill(nCells * dim)(1e300)
+      // 1e150 keeps pad squared-distances finite (1e300) so selection
+      // ordering stays well-defined; pads are still never nearest
+      val out = Array.fill(nCells * dim)(1e150)
       centers.zipWithIndex.foreach { case (c, i) =>
         require(c.length == dim, s"centroid dim ${c.length} != expected $dim")
         System.arraycopy(c, 0, out, i * dim, dim)
@@ -134,7 +136,7 @@ object Similarity {
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
       .withColumn("__cell",
         explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids, nCells, dim, nProbe)))
-    rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol)
+    rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
   /** Per-bucket occupancy stats for the LSH index — the operational view
@@ -152,12 +154,17 @@ object Similarity {
     * (group, dim) — scales with |groups| · dim, independent of corpus
     * size after the partial agg. */
   def centroids(corpus: DataFrame, groupCol: String,
-                vecCol: String = "embedding", scale: Int = 4): DataFrame =
+                vecCol: String = "embedding", scale: Int = 4): DataFrame = {
+    // floor-based rounding (not round()): Spark rounds the decimal STRING
+    // repr of a double, oracle engines round binary — midpoint values
+    // diverge (see graft.queries.Probes.binRound)
+    val p = math.pow(10.0, scale)
     corpus
       .select(col(groupCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
-      .agg(round(avg(col("v")), scale).as("centroid_val"))
+      .agg((floor(avg(col("v")) * p + 0.5) / p).as("centroid_val"))
       .orderBy(col(groupCol), col("dim"))
+  }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH blocking
     * + exact verification (the embedding analogue of MinHash near-dup). */

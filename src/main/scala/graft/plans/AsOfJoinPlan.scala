@@ -177,12 +177,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         }
         // skip right rows from earlier key groups
         while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-        // consume same-key right rows with ts <= left ts (ts null never matches)
+        // consume same-key right rows with ts <= left ts; null-ts right
+        // rows (sorted first) can never match — advance PAST them, or
+        // they would stall the whole key group
         while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
-               !rTs.isNullAt(0) && !lTsRow.isNullAt(0) &&
-               tsOrd.compare(rTs, lTsRow) <= 0) {
-          lastMatch = rRow.copy()
-          lastMatchKey = rKey.copy()
+               (rTs.isNullAt(0) ||
+                 (!lTsRow.isNullAt(0) && tsOrd.compare(rTs, lTsRow) <= 0))) {
+          if (!rTs.isNullAt(0)) {
+            lastMatch = rRow.copy()
+            lastMatchKey = rKey.copy()
+          }
           advanceRight()
         }
         joined(lRow, if (lastMatch != null) lastMatch else nullRight)

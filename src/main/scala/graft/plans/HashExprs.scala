@@ -18,6 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashImpl {
 
+  /** The regex \s class ([ \t\n\x0B\f\r]) — NOT Character.isWhitespace,
+    * which is Unicode-aware and would tokenize differently from the HOF
+    * references (split on "\\s+") and the DuckDB oracles. */
+  @inline def isRegexSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   /** 64-bit FNV-1a over a string's UTF-8 bytes — stable across JVMs,
     * platform-independent (public-domain algorithm). */
   def fnv1a64(bytes: Array[Byte], seed: Long): Long = {
@@ -49,7 +55,7 @@ object HashImpl {
     val n = s.length
     var i = 0
     while (i <= n) {
-      if (i == n || Character.isWhitespace(s.charAt(i))) {
+      if (i == n || isRegexSpace(s.charAt(i))) {
         if (i > start) {
           val h = mix(fnv1a64(s.substring(start, i).getBytes("UTF-8"), 0L))
           var b = 0
@@ -82,7 +88,7 @@ object HashImpl {
     var i = 0
     val len = s.length
     while (i <= len) {
-      if (i == len || Character.isWhitespace(s.charAt(i))) {
+      if (i == len || isRegexSpace(s.charAt(i))) {
         if (i > start) words += s.substring(start, i)
         start = i + 1
       }
@@ -194,7 +200,10 @@ object HashImpl {
       var bestD = Double.MaxValue
       var i = 0
       while (i < nCells) {
-        if (!taken(i) && d2(i) < bestD) { best = i; bestD = d2(i) }
+        // `best < 0` guard: pad-centroid distances can be +Infinity,
+        // which never beats MaxValue — the first untaken cell must still
+        // be selected or `taken(-1)` throws
+        if (!taken(i) && (best < 0 || d2(i) < bestD)) { best = i; bestD = d2(i) }
         i += 1
       }
       taken(best) = true

@@ -24,7 +24,7 @@ object TextImpl {
     var i = 0
     val n = s.length
     while (i <= n) {
-      if (i == n || Character.isWhitespace(s.charAt(i))) {
+      if (i == n || HashImpl.isRegexSpace(s.charAt(i))) {
         if (i > start) f(s.substring(start, i))
         start = i + 1
       }

@@ -30,11 +30,21 @@ object Sessionize {
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int)
                       (implicit spark: SparkSession): Dataset[UserSession] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
+    // epoch microseconds — java.sql.Timestamp keeps sub-ms precision in
+    // nanos; getTime alone would truncate to ms and disagree with the
+    // batch plan's unix_micros. Local defs: a method on the enclosing
+    // object would drag the (non-serializable) object into the closure.
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
     def toSession(uid: Long, s: SessionState): UserSession =
-      UserSession(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-        s.n, s.sum)
+      UserSession(uid, fromMicros(s.start), fromMicros(s.end), s.n, s.sum)
 
     events
       .groupByKey(_.user_id)
@@ -47,13 +57,13 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.end < gapMs =>
+                case Some(s) if t - s.end < gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= toSession(uid, s)
@@ -64,7 +74,8 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout API takes milliseconds
+              state.setTimeoutTimestamp(s.end / 1000L + gapMinutes * 60000L)
             }
             closed.reverseIterator
           }
@@ -80,7 +91,7 @@ object Sessionize {
       .withColumn("__prev", lag(col("ts"), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          col("ts").cast("long") - col("__prev").cast("long") >= gapMinutes * 60L, 1)
+          unix_micros(col("ts")) - unix_micros(col("__prev")) >= gapMinutes * 60000000L, 1)
           .otherwise(0))
       .withColumn("__sid", sum(col("__new_session"))
         .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

@@ -54,10 +54,14 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // explicit existence check — a catch-all around the read would
+        // turn a transient read failure into an empty "existing" table
+        // and silently drop history in the partition overwrite
         val existing =
-          try Store.readFact(spark, tablePath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], batch.schema) }
+          if (graft.sources.FsUtil.hasData(spark, tablePath))
+            Store.readFact(spark, tablePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], batch.schema)
         val merged = Store.upsertLastWins(existing, batch, Seq("city_id", "dt"))
         Store.writeFactPartitioned(merged, tablePath)
       }

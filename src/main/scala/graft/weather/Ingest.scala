@@ -107,7 +107,7 @@ object Ingest {
 
   private def readOr(spark: SparkSession, path: String,
                      template: DataFrame): Option[DataFrame] =
-    if (new java.io.File(path).exists()) {
+    if (graft.sources.FsUtil.hasData(spark, path)) {
       val raw = spark.read.parquet(path)
       val df = if (raw.columns.contains("p_date")) raw.drop("p_date") else raw
       // align column order to the incoming batch for unionByName safety

@@ -57,6 +57,31 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(m(5L) === Some(5.0))                        // latest of three
   }
 
+  test("null handling: null right-ts rows skipped, null carried values propagate") {
+    val clicks = Seq((1L, 1L, 10L), (2L, 2L, 10L))
+      .map { case (e, u, t) => (e, u, new java.sql.Timestamp(t * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      // user 1: a null-ts row must NOT stall the group — the 09:00 row matches
+      (1L, None, Some(111.0)),
+      (1L, Some(9L), Some(42.0)),
+      // user 2: the LATEST row carries a null value — that null must win
+      (2L, Some(8L), Some(7.0)),
+      (2L, Some(9L), None)
+    ).map { case (u, t, v) =>
+      (u, t.map(x => new java.sql.Timestamp(x * 1000)).orNull,
+        v.map(java.lang.Double.valueOf).orNull)
+    }.toDF("user_id", "p_ts", "p_value")
+
+    for ((impl, name) <- Seq(
+        (viaNative(clicks, purchases), "native"),
+        (viaComposed(clicks, purchases), "composed"))) {
+      val m = impl.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(m(1L) === Some(42.0), s"$name: null-ts row stalled the key group")
+      assert(m(2L) === None, s"$name: latest row's null value must propagate")
+    }
+  }
+
   test("plans through AsOfJoinExec (no window, no nested loop)") {
     val ev = Tables.events(spark, SharedSpark.sf0001)
     val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")

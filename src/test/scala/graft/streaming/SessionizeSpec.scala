@@ -34,6 +34,21 @@ class SessionizeSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("user_id") === 2L && r(2).getAs[Int]("n_events") === 1)
   }
 
+  test("batch and stream agree at sub-second timestamp precision") {
+    import spark.implicits._
+    // gap 1 minute; actual gap 59.4s spans a whole-second boundary:
+    // second-truncated arithmetic would split, microsecond math must not
+    def tsMs(ms: Long) = new java.sql.Timestamp(ms)
+    val evs = Seq(
+      Sessionize.Event(1L, tsMs(900), 1.0),
+      Sessionize.Event(1L, tsMs(60300), 2.0),
+      Sessionize.Event(1L, tsMs(200000), 4.0))
+    val batch = Sessionize.sessionizeBatch(evs.toDF(), gapMinutes = 1)
+      .orderBy("session_start").collect()
+    assert(batch.length === 2)
+    assert(batch(0).getAs[Int]("n_events") === 2) // 0.9s + 60.3s same session
+  }
+
   test("streaming sessionization emits gap-closed sessions matching batch") {
     implicit val s = spark
     import s.implicits._
