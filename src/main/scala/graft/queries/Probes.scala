@@ -830,10 +830,12 @@ object Probes {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      // train on a single sorted partition: k-means aggregation order —
-      // and therefore the centroids and this probe's rows — stay
-      // identical at any parallelism
-      val cents = Similarity.ivfCentroids(emb.orderBy("vec_id").coalesce(1), nCells = 8, dim = 64)
+      // train on a bounded single-partition sample: k-means aggregation
+      // order — and therefore the centroids and this probe's rows — stay
+      // identical at any parallelism, and training cost stays flat as the
+      // corpus grows (the standard fit-on-a-sample IVF recipe)
+      val cents = Similarity.ivfCentroids(
+        emb.orderBy("vec_id").limit(512).coalesce(1), nCells = 8, dim = 64)
       Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
         .select(col("query_id"), col("vec_id").as("nn_id"),
           binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
