@@ -101,6 +101,12 @@ object Relational {
                leftTs: String, rightTs: String): DataFrame = {
     val carryCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
     val leftOnly  = left.columns.filterNot(on.contains).toSeq
+    // loud failure beats silently overwriting a left column with the
+    // carried right value — callers rename colliding columns first
+    val collisions = carryCols.toSet.intersect(leftOnly.toSet)
+    require(collisions.isEmpty,
+      s"asOfJoin: rename right columns colliding with left: ${collisions.mkString(", ")}")
+    require(!left.columns.contains("__r"), "asOfJoin: left must not contain __r")
 
     val lTagged = left
       .withColumn("__ts", col(leftTs))

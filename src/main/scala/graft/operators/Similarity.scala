@@ -102,7 +102,8 @@ object Similarity {
     // degenerate corpora (fewer vectors than cells, or empty) can't train
     // k-means — fall back to a single zero cell: every vector lands in
     // cell 0 and the search degrades to brute force within it. Remaining
-    // cell slots are pushed to +inf so they are never the nearest.
+    // cell slots are padded far away (1e150 per dim — finite, so the
+    // squared distance stays well-ordered) and are never the nearest.
     def padded(centers: Array[Array[Double]]): Array[Double] = {
       // 1e150 keeps pad squared-distances finite (1e300) so selection
       // ordering stays well-defined; pads are still never nearest

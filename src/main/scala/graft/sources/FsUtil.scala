@@ -8,23 +8,35 @@ import org.apache.spark.sql.SparkSession
   * pipeline means treating an existing table as absent and dropping
   * history. */
 object FsUtil {
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
 
-  /** True when the path exists AND holds at least one data file — an
-    * empty directory (e.g. a pre-created output location) is not a
-    * readable table. */
+  /** True when the path exists AND holds at least one data file that
+    * Spark's readers would actually see. Files that are hidden by name
+    * ('_', '.') or that live under a hidden directory (e.g. a crashed
+    * write's `_temporary/...`) don't count — the reader ignores them, so
+    * treating them as data would fail schema inference on read. */
   def hasData(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    def hiddenAncestor(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p.getParent
+      while (cur != null && cur != root && cur.toUri != root.toUri) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+
+    fs.exists(root) && {
+      val it = fs.listFiles(root, true)
       var found = false
       while (!found && it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getLen > 0 && !f.getPath.getName.startsWith("_")) found = true
+        val name = f.getPath.getName
+        if (f.isFile && f.getLen > 0 &&
+            !name.startsWith("_") && !name.startsWith(".") &&
+            !hiddenAncestor(f.getPath)) found = true
       }
       found
     }

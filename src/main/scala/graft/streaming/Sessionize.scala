@@ -39,8 +39,10 @@ object Sessionize {
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000L)
-      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      // floorDiv/floorMod: plain /,% go negative for pre-1970 instants
+      // and setNanos throws on negative values
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
       t
     }
     def toSession(uid: Long, s: SessionState): UserSession =
@@ -75,7 +77,7 @@ object Sessionize {
             cur.foreach { s =>
               state.update(s)
               // timeout API takes milliseconds
-              state.setTimeoutTimestamp(s.end / 1000L + gapMinutes * 60000L)
+              state.setTimeoutTimestamp(Math.floorDiv(s.end, 1000L) + gapMinutes * 60000L)
             }
             closed.reverseIterator
           }

@@ -35,7 +35,8 @@ class SessionizeSpec extends AnyFunSuite {
   }
 
   test("batch and stream agree at sub-second timestamp precision") {
-    import spark.implicits._
+    implicit val s = spark
+    import s.implicits._
     // gap 1 minute; actual gap 59.4s spans a whole-second boundary:
     // second-truncated arithmetic would split, microsecond math must not
     def tsMs(ms: Long) = new java.sql.Timestamp(ms)
@@ -47,6 +48,27 @@ class SessionizeSpec extends AnyFunSuite {
       .orderBy("session_start").collect()
     assert(batch.length === 2)
     assert(batch(0).getAs[Int]("n_events") === 2) // 0.9s + 60.3s same session
+
+    // same data through the STREAMING path: the first session closes when
+    // the 200s event opens a new one, and must match batch's first session
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_subsec").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(evs.toDF().schema).parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(stream, gapMinutes = 1)
+      .writeStream.outputMode("append").format("memory").queryName("subsec_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("subsec_out")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toString)
+    val want = batch.take(1)
+      .map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Int]("n_events"),
+        r.getAs[Double]("sum_value")).toString)
+    assert(got.toSeq === want.toSeq)
   }
 
   test("streaming sessionization emits gap-closed sessions matching batch") {
