@@ -105,8 +105,6 @@ object Similarity {
     // cell slots are padded far away (1e150 per dim — finite, so the
     // squared distance stays well-ordered) and are never the nearest.
     def padded(centers: Array[Array[Double]]): Array[Double] = {
-      // 1e150 keeps pad squared-distances finite (1e300) so selection
-      // ordering stays well-defined; pads are still never nearest
       val out = Array.fill(nCells * dim)(1e150)
       centers.zipWithIndex.foreach { case (c, i) =>
         require(c.length == dim, s"centroid dim ${c.length} != expected $dim")

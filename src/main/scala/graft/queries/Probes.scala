@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.{Relational, Similarity, TextDedup}
-import graft.functions.{Text, Vectors}
+import graft.functions.Text
 
 /** Operator-inventory probe queries (SURVEY.md §2) over the driver corpus.
   *

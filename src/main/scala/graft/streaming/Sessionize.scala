@@ -27,6 +27,7 @@ object Sessionize {
 
   /** Streaming sessionization. Input must carry (user_id, ts, value) with
     * a watermark already set on ts. */
+  // (helpers live inside the method: closures must not capture this object)
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int)
                       (implicit spark: SparkSession): Dataset[UserSession] = {
     import spark.implicits._

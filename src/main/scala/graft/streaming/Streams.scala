@@ -23,10 +23,10 @@ object Streams {
   /** ST1: file-drop ingest of current-weather JSON payloads → flattened
     * typed rows. `Trigger.AvailableNow` drains what exists then stops —
     * the scheduled-micro-batch shape; a processing-time trigger gives the
-    * continuous shape with the same plan. */
-  /** `maxFilesPerTrigger` is the source-side throttle — the streaming
-    * equivalent of the reference's inter-call sleep (ST4, etl.py:136):
-    * bound how much lands per micro-batch instead of sleeping. */
+    * continuous shape with the same plan. `maxFilesPerTrigger` is the
+    * source-side throttle — the streaming equivalent of the reference's
+    * inter-call sleep (ST4, etl.py:136): bound how much lands per
+    * micro-batch instead of sleeping. */
   def currentWeatherStream(spark: SparkSession, inputDir: String,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val reader = spark.readStream.schema(Schemas.currentWeatherRaw)
