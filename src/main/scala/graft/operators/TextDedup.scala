@@ -24,11 +24,14 @@ object TextDedup {
 
   /** Heavy per-row hashing over a small-file scan would otherwise run in
     * ONE task (a single small parquet file = a single input partition) —
-    * spread it across the cluster first. No-op cost at 100 TB where the
-    * scan already has thousands of partitions. */
+    * spread it across the cluster first. Decided from the scan's file
+    * listing (`inputFiles` — already computed by the file index), not
+    * `df.rdd`, which would force an RDD conversion during planning. At
+    * 100 TB the file count far exceeds the parallelism, so this is a
+    * listing-length comparison and no shuffle is added. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Exact dedup: keep the lowest-id document per identical text digest.

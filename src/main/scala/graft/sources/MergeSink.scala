@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage seam for MERGE-style upserts (SURVEY.md §2.1 S4/S5 — the
+  * reference's `INSERT … ON CONFLICT` load path, dags/etl.py:66-121).
+  *
+  * Pipeline code (Ingest, Streams) writes through this trait, not a
+  * concrete store, so backends are drop-ins:
+  *  - [[graft.weather.Store.ParquetDateSink]] — date-partitioned parquet,
+  *    partition-pruned incremental merge (the plain-parquet default);
+  *  - [[graft.weather.Store.ParquetSnapshotSink]] — unpartitioned snapshot
+  *    for small dimension tables;
+  *  - [[JdbcMergeSink]] — staging table + driver-issued MERGE against a
+  *    JDBC database (the reference's actual Postgres path);
+  *  - a transactional table format (Delta/Iceberg MERGE INTO) would slot
+  *    in the same way on a cluster with those catalogs.
+  */
+trait MergeSink {
+
+  /** `ON CONFLICT DO UPDATE` — merge the batch keyed by `keys`; on
+    * conflict the incoming row wins (last-write-wins). Must be idempotent
+    * under replay of the same batch. */
+  def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit
+
+  /** `ON CONFLICT DO NOTHING` — insert only rows whose key is absent
+    * (first-write-wins); existing rows are kept verbatim. */
+  def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit
+
+  /** Current table contents. */
+  def read(spark: SparkSession): DataFrame
+}

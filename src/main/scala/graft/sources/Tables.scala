@@ -22,16 +22,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and convert to a µs
-    * TimestampType with integer division (DIV — ns epochs exceed double's
-    * exact range, so no float path). The corpus has no sub-µs components,
-    * so the conversion is lossless.
+    * reader rejects. Read nanos as long and convert to a µs TimestampType
+    * with integer division (DIV — ns epochs exceed double's exact range,
+    * so no float path). The corpus has no sub-µs components, so the
+    * conversion is lossless.
+    *
+    * The `nanosAsLong` legacy conf is applied only inside a throwaway
+    * child session (`newSession` shares the SparkContext but has its own
+    * SQLConf) to INFER the schema; the returned DataFrame is built on the
+    * caller's session with that schema made explicit, which the reader
+    * accepts without the conf. No caller-visible conf is mutated.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    // nanos arrive as LongType under the legacy conf; a µs-encoded events
-    // table (e.g. one this engine wrote) reads as a timestamp directly
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inferred = iso.read.parquet(s"$d/events.parquet").schema
+    val raw = s.read.schema(inferred).parquet(s"$d/events.parquet")
+    // nanos arrive as LongType under the inferred-as-long schema; a
+    // µs-encoded events table (e.g. one this engine wrote) infers as a
+    // timestamp directly (the conf only affects NANOS columns)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

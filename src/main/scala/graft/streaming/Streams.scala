@@ -47,23 +47,22 @@ object Streams {
   /** ST3: idempotent sink — per-batch last-write-wins merge into a
     * parquet fact table partitioned by date. foreachBatch makes the
     * streaming write transactional per micro-batch at the partition
-    * granularity. */
+    * granularity. The merge is INCREMENTAL: each micro-batch reads and
+    * rewrites only the `p_date` partitions it touches (O(touched days)
+    * per batch, never O(table) — the property that keeps a continuous
+    * upsert stream viable at 100 TB). */
   def upsertSink(deduped: DataFrame, tablePath: String): DataStreamWriter[Row] =
+    upsertSinkTo(deduped, Store.ParquetDateSink(tablePath), Seq("city_id", "dt"))
+
+  /** Storage-agnostic variant: merge each micro-batch into any
+    * [[graft.sources.MergeSink]] (parquet, JDBC, …). */
+  def upsertSinkTo(deduped: DataFrame, sink: graft.sources.MergeSink,
+                   keys: Seq[String]): DataStreamWriter[Row] =
     deduped.writeStream
       .outputMode(OutputMode.Update)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // explicit existence check — a catch-all around the read would
-        // turn a transient read failure into an empty "existing" table
-        // and silently drop history in the partition overwrite
-        val existing =
-          if (graft.sources.FsUtil.hasData(spark, tablePath))
-            Store.readFact(spark, tablePath)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], batch.schema)
-        val merged = Store.upsertLastWins(existing, batch, Seq("city_id", "dt"))
-        Store.writeFactPartitioned(merged, tablePath)
+        sink.mergeLastWins(batch, keys)
       }
 
   /** Tumbling event-time window aggregation over the events stream

@@ -2,6 +2,8 @@ package graft.weather
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import graft.sources.MergeSink
+
 /** The scheduled ingest pipeline — the engine equivalent of the
   * reference's `dags/etl.py main()` (SURVEY.md §3.1): fetch payloads →
   * flatten → upsert cities dim (DO UPDATE) + current_weather fact
@@ -9,8 +11,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * The payload source is pluggable (S1 note in SURVEY.md §2.1): the same
   * pipeline runs from a canned fixture list, a directory of dropped JSON
-  * files, or — on a real deployment — a distributed fetch stage. Nothing
-  * downstream changes because every stage is DataFrame→DataFrame.
+  * files, or a distributed HTTP fetch stage ([[graft.sources.Http]]).
+  * Nothing downstream changes because every stage is DataFrame→DataFrame.
+  *
+  * Storage is pluggable the same way ([[graft.sources.MergeSink]]): the
+  * default is partition-pruned parquet — each run reads and rewrites only
+  * the `p_date` partitions the batch touches, O(touched days) not
+  * O(table) — and a JDBC database or transactional table format slots in
+  * behind the same two merge calls.
   */
 object Ingest {
 
@@ -41,35 +49,27 @@ object Ingest {
   final case class IngestResult(cities: DataFrame, fact: DataFrame,
                                 okCount: Long, badCount: Long)
 
-  /** One batch run: parse → gate → flatten → merge into the stored dim
-    * and fact. `citiesPath`/`factPath` absent (first run) start empty. */
+  /** One batch run against parquet storage: parse → gate → flatten →
+    * incremental merge into the stored dim and fact. Absent paths (first
+    * run) start empty. */
   def run(spark: SparkSession, source: PayloadSource,
-          citiesPath: String, factPath: String): IngestResult = {
+          citiesPath: String, factPath: String): IngestResult =
+    runCurrent(spark, source,
+      Store.ParquetSnapshotSink(citiesPath), Store.ParquetDateSink(factPath))
+
+  /** Storage-agnostic variant: any [[MergeSink]] pair (parquet, JDBC, …). */
+  def runCurrent(spark: SparkSession, source: PayloadSource,
+                 citiesSink: MergeSink, factSink: MergeSink): IngestResult = {
     implicit val s: SparkSession = spark
     val parsed = Flatten.parseCurrent(source.fetch(spark))
     val wide = Flatten.flattenCurrent(parsed).cache()
     val okCount = wide.count()
     val badCount = Flatten.badRecords(parsed).count()
 
-    val newCities = Flatten.citiesDim(wide)
-    val newFacts  = Flatten.currentFact(wide)
-
-    val mergedCities = readOr(spark, citiesPath, newCities) match {
-      case Some(existing) => Store.upsertLastWins(existing, newCities, Seq("city_id"))
-      case None           => newCities
-    }
-    val mergedFact = readOr(spark, factPath, newFacts) match {
-      case Some(existing) => Store.upsertLastWins(existing, newFacts, Seq("city_id", "dt"))
-      case None           => newFacts
-    }
-
-    mergedCities.write.mode("overwrite").parquet(citiesPath)
-    Store.writeFactPartitioned(mergedFact, factPath)
+    citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
+    factSink.mergeLastWins(Flatten.currentFact(wide), Seq("city_id", "dt"))
     wide.unpersist()
-    IngestResult(
-      spark.read.parquet(citiesPath),
-      Store.readFact(spark, factPath),
-      okCount, badCount)
+    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
   }
 
   /** Forecast backfill (the notebook's §3.2 path): 40-entry fan-out per
@@ -78,39 +78,21 @@ object Ingest {
     * cities dim (the forecast payload carries the same city attributes
     * plus population). */
   def runForecast(spark: SparkSession, source: PayloadSource,
-                  citiesPath: String, factPath: String): IngestResult = {
+                  citiesPath: String, factPath: String): IngestResult =
+    runForecastWith(spark, source,
+      Store.ParquetSnapshotSink(citiesPath), Store.ParquetDateSink(factPath))
+
+  def runForecastWith(spark: SparkSession, source: PayloadSource,
+                      citiesSink: MergeSink, factSink: MergeSink): IngestResult = {
     implicit val s: SparkSession = spark
     val parsed = Flatten.parseForecast(source.fetch(spark))
     val wide = Flatten.flattenForecast(parsed).cache()
     val okCount = wide.count()
     val badCount = Flatten.badRecords(parsed).count()
 
-    val newCities = Flatten.citiesDim(wide)
-    val newFacts  = Flatten.forecastFact(wide)
-
-    val mergedCities = readOr(spark, citiesPath, newCities) match {
-      case Some(existing) => Store.upsertLastWins(existing, newCities, Seq("city_id"))
-      case None           => newCities
-    }
-    val mergedFact = readOr(spark, factPath, newFacts) match {
-      case Some(existing) => Store.upsertLastWins(existing, newFacts, Seq("city_id", "dt"))
-      case None           => newFacts
-    }
-    mergedCities.write.mode("overwrite").parquet(citiesPath)
-    Store.writeFactPartitioned(mergedFact, factPath)
+    citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
+    factSink.mergeLastWins(Flatten.forecastFact(wide), Seq("city_id", "dt"))
     wide.unpersist()
-    IngestResult(
-      spark.read.parquet(citiesPath),
-      Store.readFact(spark, factPath),
-      okCount, badCount)
+    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
   }
-
-  private def readOr(spark: SparkSession, path: String,
-                     template: DataFrame): Option[DataFrame] =
-    if (graft.sources.FsUtil.hasData(spark, path)) {
-      val raw = spark.read.parquet(path)
-      val df = if (raw.columns.contains("p_date")) raw.drop("p_date") else raw
-      // align column order to the incoming batch for unionByName safety
-      Some(df.select(template.columns.map(org.apache.spark.sql.functions.col): _*))
-    } else None
 }

@@ -1,9 +1,10 @@
 package graft.weather
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
+import graft.sources.{FsUtil, MergeSink}
 
 /** Table maintenance for plain-parquet storage: the reference's two upsert
   * policies (SURVEY.md §2.1 S4/S5, §2.4 J2/J3) without a transactional
@@ -11,8 +12,12 @@ import graft.operators.Relational
   *
   * Layout decisions (SURVEY.md §4): facts partitioned by `date(dt)` so the
   * dashboard's date-range filters prune partitions; the cities dim is tiny
-  * and unpartitioned (always broadcast in J1). Writes repartition by the
-  * upsert key so each output partition is written by one task.
+  * and unpartitioned (always broadcast in J1).
+  *
+  * Scale posture: every fact merge is INCREMENTAL — the batch's touched
+  * `p_date` set is computed first, only those partitions are read for the
+  * merge, and dynamic partition overwrite rewrites only them. An hourly
+  * upsert run is O(touched days), never O(table).
   */
 object Store {
 
@@ -29,22 +34,114 @@ object Store {
     existing.unionByName(Relational.insertIfAbsent(updates, existing, keys))
 
   /** Write a fact table partitioned by event date with dynamic partition
-    * overwrite: only the partitions present in `df` are replaced, so an
-    * hourly upsert run rewrites one day, not the table — the property that
-    * keeps the merge O(touched partitions) at 100 TB. */
-  def writeFactPartitioned(df: DataFrame, path: String, tsCol: String = "dt"): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    * overwrite: only the partitions present in `df` are replaced, and the
+    * swap happens at job COMMIT (no upfront delete), so reading the same
+    * table the write replaces is safe. The overwrite mode is a per-write
+    * DataFrameWriter option — no session-global conf is touched.
+    *
+    * `distributeBy` spreads each day's rows over extra shuffle keys so a
+    * large day is written by many tasks (AQE coalesces small batches back
+    * to few); default keeps one shuffle partition per day. */
+  def writeFactPartitioned(df: DataFrame, path: String, tsCol: String = "dt",
+                           distributeBy: Seq[Column] = Nil): Unit =
     df.withColumn("p_date", to_date(col(tsCol)))
-      .repartition(col("p_date"))
+      .repartition(col("p_date") +: distributeBy: _*)
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_date")
       .mode("overwrite")
       .parquet(path)
-  }
 
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("p_date")
+
+  /** The distinct event dates an update batch touches — O(days in the
+    * batch), bounded by the ingest cadence (an hourly run touches 1–2
+    * days), never O(data). Bringing this tiny set to the driver is the
+    * same move Delta's `replaceWhere` makes to build its partition
+    * predicate. Null-`tsCol` rows surface as a null entry. */
+  def touchedDates(updates: DataFrame, tsCol: String = "dt"): Seq[java.sql.Date] =
+    updates.select(to_date(col(tsCol)).as("p_date")).distinct()
+      .collect().map(_.getAs[java.sql.Date]("p_date")).toSeq
+
+  /** The stored fact restricted to the given `p_date` partitions — the
+    * `isin` predicate is a static partition filter, so the scan lists and
+    * reads ONLY those partitions' files. */
+  def prunedFact(spark: SparkSession, path: String,
+                 dates: Seq[java.sql.Date]): DataFrame = {
+    val (nulls, real) = dates.partition(_ == null)
+    val realPred = col("p_date").isin(real.map(d => lit(d)): _*)
+    val pred = if (nulls.nonEmpty) realPred || col("p_date").isNull else realPred
+    spark.read.parquet(path).where(pred).drop("p_date")
+  }
+
+  /** Incremental MERGE (DO UPDATE) into a date-partitioned parquet fact:
+    * read ONLY the partitions the batch touches, merge, rewrite only
+    * those. Untouched partitions are neither read nor written — their
+    * files stay byte-identical (asserted in StoreSpec). */
+  def mergeFactLastWins(updates: DataFrame, path: String, keys: Seq[String],
+                        tsCol: String = "dt"): Unit =
+    mergeFact(updates, path, keys, tsCol, lastWins = true)
+
+  /** Incremental MERGE (DO NOTHING) into a date-partitioned parquet fact:
+    * same partition pruning, first-write-wins within the touched days. */
+  def mergeFactIfAbsent(updates: DataFrame, path: String, keys: Seq[String],
+                        tsCol: String = "dt"): Unit =
+    mergeFact(updates, path, keys, tsCol, lastWins = false)
+
+  private def mergeFact(updates: DataFrame, path: String, keys: Seq[String],
+                        tsCol: String, lastWins: Boolean): Unit = {
+    val spark = updates.sparkSession
+    if (!FsUtil.hasData(spark, path)) {
+      writeFactPartitioned(updates, path, tsCol, keys.map(col))
+      return
+    }
+    val dates = touchedDates(updates, tsCol)
+    if (dates.isEmpty) return // empty batch: nothing to merge, nothing to rewrite
+    val existing = prunedFact(spark, path, dates)
+      .select(updates.columns.map(col).toIndexedSeq: _*)
+    val merged =
+      if (lastWins) upsertLastWins(existing, updates, keys)
+      else upsertDoNothing(existing, updates, keys)
+    writeFactPartitioned(merged, path, tsCol, keys.map(col))
+  }
+
+  /** Date-partitioned parquet [[MergeSink]] — the default fact backend.
+    * Merges are partition-pruned and incremental (see mergeFact*). */
+  final case class ParquetDateSink(path: String, tsCol: String = "dt") extends MergeSink {
+    def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
+      mergeFactLastWins(updates, path, keys, tsCol)
+    def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
+      mergeFactIfAbsent(updates, path, keys, tsCol)
+    def read(spark: SparkSession): DataFrame = readFact(spark, path)
+  }
+
+  /** Unpartitioned snapshot [[MergeSink]] for SMALL dimension tables
+    * (cities): full merge + atomic snapshot rewrite, O(dim) per run.
+    *
+    * The merged frame is materialized (localCheckpoint) BEFORE the
+    * overwrite: a static-mode overwrite deletes the target before the
+    * write job scans it, so writing a plan that still reads those files
+    * fails with FILE_NOT_EXIST (or worse, races). Severing the lineage
+    * first makes the read-modify-overwrite safe. */
+  final case class ParquetSnapshotSink(path: String) extends MergeSink {
+    def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
+      write(merge(updates, keys, upsertLastWins))
+    def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
+      write(merge(updates, keys, upsertDoNothing))
+    def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+    private def merge(updates: DataFrame, keys: Seq[String],
+                      policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
+      val spark = updates.sparkSession
+      if (FsUtil.hasData(spark, path)) {
+        val existing = read(spark).select(updates.columns.map(col).toIndexedSeq: _*)
+        policy(existing, updates, keys)
+      } else updates
+    }
+    private def write(merged: DataFrame): Unit =
+      merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+  }
 
   /** Bucketed table write: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on `bucketCol` between co-bucketed

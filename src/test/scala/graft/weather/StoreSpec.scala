@@ -48,6 +48,94 @@ class StoreSpec extends AnyFunSuite {
     assert(f2.select("city_id").as[Long].collect().toSet === Set(1L))
   }
 
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def partFiles(dir: String, day: String): Map[String, (Long, String)] = {
+    val p = java.nio.file.Paths.get(dir, s"p_date=$day")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(p).iterator().asScala
+      .filter(f => f.getFileName.toString.startsWith("part-"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        f.getFileName.toString ->
+          (java.nio.file.Files.getLastModifiedTime(f).toMillis, md5)
+      }.toMap
+  }
+
+  test("incremental merge: untouched partitions stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val initial = Seq(
+      (1L, ts("2025-11-26 04:00:00"), 22.0), (2L, ts("2025-11-26 05:00:00"), 23.0),
+      (1L, ts("2025-11-27 04:00:00"), 24.0)).toDF("city_id", "dt", "temp")
+    Store.mergeFactLastWins(initial, dir, keys)
+    val day1Before = partFiles(dir, "2025-11-26")
+    assert(day1Before.nonEmpty)
+
+    // upsert one day-2 correction + one new day-2 row
+    val batch = Seq(
+      (1L, ts("2025-11-27 04:00:00"), 99.0), (3L, ts("2025-11-27 06:00:00"), 30.0))
+      .toDF("city_id", "dt", "temp")
+    Store.mergeFactLastWins(batch, dir, keys)
+
+    // day-1 partition: same file names, mtimes, and content hashes
+    assert(partFiles(dir, "2025-11-26") === day1Before)
+    // merged table correct: day-1 rows intact, day-2 corrected + appended
+    val back = Store.readFact(spark, dir).orderBy("dt", "city_id")
+      .select("city_id", "temp").as[(Long, Double)].collect().toSeq
+    assert(back === Seq((1L, 22.0), (2L, 23.0), (1L, 99.0), (3L, 30.0)))
+  }
+
+  test("prunedFact reads only the requested partitions' files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val rows = Seq(
+      (1L, ts("2025-11-26 04:00:00"), 22.0), (1L, ts("2025-11-27 04:00:00"), 24.0),
+      (1L, ts("2025-11-28 04:00:00"), 26.0)).toDF("city_id", "dt", "temp")
+    Store.writeFactPartitioned(rows, dir)
+    val scanned = Store.prunedFact(spark, dir, Seq(java.sql.Date.valueOf("2025-11-27")))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p_date=2025-11-27")))
+  }
+
+  test("mergeFactIfAbsent: existing keys keep old values, absent keys append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifabs").toString
+    Store.mergeFactIfAbsent(
+      Seq((1L, ts("2025-11-26 04:00:00"), 22.0)).toDF("city_id", "dt", "temp"), dir, keys)
+    Store.mergeFactIfAbsent(Seq(
+      (1L, ts("2025-11-26 04:00:00"), 99.0), // conflict: must keep 22.0
+      (2L, ts("2025-11-26 04:00:00"), 30.0)).toDF("city_id", "dt", "temp"), dir, keys)
+    val back = Store.readFact(spark, dir).orderBy("city_id")
+      .select("temp").as[Double].collect().toSeq
+    assert(back === Seq(22.0, 30.0))
+  }
+
+  test("ParquetSnapshotSink: keys absent from a batch survive the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val sink = Store.ParquetSnapshotSink(dir)
+    sink.mergeLastWins(Seq((1L, "Hanoi"), (2L, "Hue")).toDF("city_id", "name"), Seq("city_id"))
+    // second batch misses city 1 entirely — the merge must not drop it
+    sink.mergeLastWins(Seq((2L, "Hue2"), (3L, "Danang")).toDF("city_id", "name"), Seq("city_id"))
+    val back = sink.read(spark).orderBy("city_id")
+      .select("city_id", "name").as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "Hanoi"), (2L, "Hue2"), (3L, "Danang")))
+  }
+
+  test("library writes/reads leave session confs untouched (hygiene)") {
+    val overwriteBefore = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
+    Store.writeFactPartitioned(
+      Seq((1L, ts("2025-11-26 04:00:00"), 22.0)).toDF("city_id", "dt", "temp"), dir)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") === overwriteBefore)
+
+    def nanosConf = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    assert(!nanosConf.contains("true"))
+    val ev = graft.sources.Tables.events(spark, graft.SharedSpark.sf0001)
+    assert(ev.count() > 0)
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+    assert(!nanosConf.contains("true"))
+  }
+
   test("partitioned fact write: dynamic overwrite touches only present dates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
     val day1 = Seq((1L, java.sql.Timestamp.valueOf("2025-11-26 04:00:00"), 22.0))
