@@ -103,6 +103,44 @@ object Text {
     f(coalesce(text, lit("")))
   }
 
+  /** Independent reimplementation of the SimHash62 kernel
+    * (graft.plans.HashImpl.simhash62) from its spec — regex tokenization
+    * + per-token FNV-1a/splitmix64 over UTF-8 bytes + bit votes — written
+    * against the published constants, not by calling the kernel. Used as
+    * the q29 self-oracle: the gate asserts bitwise agreement between this
+    * interpreted path and the codegen'd native expression on every
+    * document. */
+  private val simhash62RefFn: String => Long = { s0 =>
+    val tallies = new Array[Int](62)
+    for (tok <- s0.toLowerCase.split("\\s+") if tok.nonEmpty) {
+      var h = 0xcbf29ce484222325L
+      for (b <- tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+        h ^= (b & 0xffL)
+        h *= 0x100000001b3L
+      }
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^= (h >>> 31)
+      var bit = 0
+      while (bit < 62) {
+        if (((h >>> bit) & 1L) == 1L) tallies(bit) += 1 else tallies(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 62) {
+      if (tallies(bit) >= 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  def simhash62Ref(text: Column): Column = {
+    val f = udf(simhash62RefFn)
+    f(coalesce(text, lit("")))
+  }
+
   /** 62-bit SimHash over word tokens, as a pure column expression: per
     * token, each hash bit votes +1/-1; the final bit is the vote sign.
     * Entirely higher-order built-ins (no UDF, no explode, no shuffle) —

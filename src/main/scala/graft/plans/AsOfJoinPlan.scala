@@ -114,8 +114,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Both children must be hash-partitioned on the FULL key list
+    * (`requireAllClusterKeys = true`): plain subset-clustering would let
+    * one side arrive partitioned on fewer keys — individually valid, but
+    * rows of the same key group would then land in different partition
+    * indexes than the other side's and the merge would silently miss
+    * matches. With full-key specs, EnsureRequirements' multi-child
+    * compatibility check also equalizes partition COUNTS (re-shuffling a
+    * side whose existing count differs), which `zipPartitions` needs. A
+    * belt-and-braces runtime check in doExecute turns any future planner
+    * regression into a loud error instead of wrong rows. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
@@ -142,7 +153,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val numRightCols = right.output.size
     val outAttrs = output
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec: children must be co-partitioned, got " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions} partitions " +
+        "(EnsureRequirements should have equalized them)")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyGen = UnsafeProjection.create(rKeyExprs, rOut)
       val lTsGen  = UnsafeProjection.create(Seq(lTsExpr), lOut)

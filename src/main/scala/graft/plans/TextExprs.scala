@@ -80,6 +80,28 @@ object TextImpl {
     if (scores(best) > 0) UTF8String.fromString(profiles(best)._1)
     else UTF8String.fromString("und")
   }
+
+  /** 64-bit rolling-hash fingerprint, semantics identical to the UDF
+    * reference graft.functions.Text.fingerprint: lowercase, trim, collapse
+    * `\s+` runs to one space, then Karp-Rabin base-31 with silent 64-bit
+    * wraparound. The normalization is fused into the hash loop — no
+    * intermediate string is allocated. */
+  def fingerprint64(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase.trim
+    var h = 0L
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (HashImpl.isRegexSpace(c)) pendingSpace = true
+      else {
+        if (pendingSpace) { h = h * 31L + ' '.toLong; pendingSpace = false }
+        h = h * 31L + c.toLong
+      }
+      i += 1
+    }
+    h
+  }
 }
 
 case class TokenStats(child: Expression) extends UnaryExpression {
@@ -130,6 +152,18 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
 }
 
+/** Fingerprint64: the codegen fast path for Text.fingerprint (whose UDF
+  * stays as the independent reference the q31 self-oracle compares
+  * against). */
+case class Fingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.fingerprint64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextImpl.fingerprint64($c)")
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+}
+
 object TextExprs {
   import graft.functions.Text
 
@@ -141,6 +175,8 @@ object TextExprs {
       exprs => StopwordStats(exprs.head, Text.englishStopwords), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
       exprs => LangIdExpr(exprs.head, Text.langProfiles.toSeq), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      exprs => Fingerprint64(exprs.head), "built-in")
   }
 
   def tokenStats(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
@@ -151,5 +187,8 @@ object TextExprs {
   }
   def langId(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("graft_lang_id", c)
+  }
+  def fingerprint(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("graft_fingerprint", c)
   }
 }

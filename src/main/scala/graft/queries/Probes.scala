@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Relational, Similarity, TextDedup}
 import graft.functions.Text
+import graft.plans.HashExprs
 
 /** Operator-inventory probe queries (SURVEY.md §2) over the driver corpus.
   *
@@ -682,12 +683,20 @@ object Probes {
            |FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)
   )
 
-  /** SimHash signatures per document (rows-only: hash family not
-    * reproducible in ANSI SQL). */
+  /** SimHash self-oracle: the hash family isn't expressible in ANSI SQL,
+    * so the probe recomputes every signature through an INDEPENDENT
+    * interpreted reimplementation (Text.simhash62Ref, written from the
+    * published FNV-1a/splitmix64 constants) and emits per-document
+    * bitwise agreement with the codegen'd native expression; the DuckDB
+    * oracle asserts the agreement column is uniformly true. */
   val simhashSig = Probe(
     "q29_simhash",
-    (s, d) => TextDedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
-    None
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (HashExprs.simhash62(s, col("text")) === Text.simhash62Ref(col("text"))).as("ok"))
+        .orderBy("doc_id"),
+    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
   )
 
   /** LSH-bucketed ANN: nearest in-bucket neighbor per vector (the
@@ -705,15 +714,18 @@ object Probes {
     None
   )
 
-  /** Rolling-hash document fingerprints (rows-only: wrapping 64-bit
-    * arithmetic isn't expressible in DuckDB SQL). */
+  /** Fingerprint self-oracle: wrapping 64-bit arithmetic isn't
+    * expressible in DuckDB SQL, so the probe compares the codegen'd
+    * native Fingerprint64 expression against the interpreted UDF
+    * reference per document; the oracle asserts uniform agreement. */
   val fingerprintProbe = Probe(
     "q31_fingerprint",
     (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          (graft.plans.TextExprs.fingerprint(s, col("text")) === Text.fingerprint(col("text"))).as("ok"))
         .orderBy("doc_id"),
-    None
+    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
   )
 
   /** Composite quality score — oracled end-to-end (saturating length,
@@ -742,16 +754,18 @@ object Probes {
             |FROM m ORDER BY doc_id""".stripMargin)
   )
 
-  /** Language-ID heuristic (stopword profiles + CJK detection) — rows-only
-    * probe; golden-value unit tests cover real snippets. */
+  /** Language-ID self-oracle: the native LangIdExpr must agree with the
+    * pure-built-ins HOF formulation (Text.langId — an independent
+    * evaluation path through Catalyst's interpreted HOFs) on every
+    * document; golden-value unit tests cover real snippets. */
   val langIdProbe = Probe(
     "q33_lang_id",
     (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          graft.plans.TextExprs.langId(s, col("text")).as("lang_guess"))
+          (graft.plans.TextExprs.langId(s, col("text")) === Text.langId(col("text"))).as("ok"))
         .orderBy("doc_id"),
-    None
+    Some("SELECT doc_id, lang, true AS ok FROM documents ORDER BY doc_id")
   )
 
   /** ST-surface (batch-equivalent of the streaming tumbling-window agg —
@@ -769,18 +783,27 @@ object Probes {
            |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
   )
 
-  /** HLL sketch surface: approx_count_distinct vs exact (approx values
-    * are engine-specific → rows-only check; the ScalaTest spec bounds the
-    * relative error). */
+  /** HLL sketch surface: exact distinct counts are fully oracled, and the
+    * engine-specific approx values are checked as a BOUNDED-ERROR
+    * invariant (|approx−exact|/exact < 5%, ~3× the HLL standard error of
+    * the default 0.05 rsd) the oracle asserts alongside; the ScalaTest
+    * spec additionally sweeps the bound at several precisions. */
   val approxDistinct = Probe(
     "q35_approx_distinct",
     (s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders")),
-    None
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") < 0.05).as("ok_parts"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double")
+          / col("exact_orders") < 0.05).as("ok_orders")),
+    Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+           |  count(DISTINCT l_orderkey) AS exact_orders,
+           |  true AS ok_parts, true AS ok_orders FROM lineitem""".stripMargin)
   )
 
   /** Multi-row generator (§2.10): document → fixed-size word chunks via

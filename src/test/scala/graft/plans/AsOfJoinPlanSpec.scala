@@ -82,6 +82,40 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-partitioned children with DIFFERENT partition counts join correctly") {
+    // adversarial: both sides already hash-partitioned on the join key but
+    // with unequal counts — the planner must re-equalize (zipPartitions
+    // requires identical counts) and the merge must not drop matches
+    val clicks = Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 10L), (4L, 4L, 10L))
+      .map { case (e, u, t) => (e, u, new java.sql.Timestamp(t * 1000)) }
+      .toDF("event_id", "user_id", "ts")
+      .repartition(7, col("user_id"))
+    val purchases = Seq((1L, 9L, 1.0), (2L, 9L, 2.0), (3L, 9L, 3.0), (4L, 9L, 4.0))
+      .map { case (u, t, v) => (u, new java.sql.Timestamp(t * 1000), v) }
+      .toDF("user_id", "p_ts", "p_value")
+      .repartition(13, col("user_id"))
+    val m = viaNative(clicks, purchases).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(m === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(4.0)))
+  }
+
+  test("a side pre-partitioned on a key SUBSET is re-shuffled, not trusted") {
+    // two join keys; right side arrives clustered on only one of them —
+    // satisfying a subset-clustering distribution but NOT co-partitioned
+    // with a full-key left. requireAllClusterKeys must force a re-shuffle.
+    val left = Seq((1L, "a", 1L, 10L), (2L, "b", 2L, 10L), (3L, "a", 3L, 10L))
+      .map { case (u, g, e, t) => (u, g, e, new java.sql.Timestamp(t * 1000)) }
+      .toDF("user_id", "grp", "event_id", "ts")
+      .repartition(6, col("user_id"), col("grp"))
+    val right = Seq((1L, "a", 9L, 1.0), (2L, "b", 9L, 2.0), (3L, "a", 9L, 3.0))
+      .map { case (u, g, t, v) => (u, g, new java.sql.Timestamp(t * 1000), v) }
+      .toDF("user_id", "grp", "p_ts", "p_value")
+      .repartition(6, col("user_id")) // subset clustering, same count
+    val joined = AsOf.join(left, right, Seq("user_id", "grp"), "ts", "p_ts")
+    val m = joined.collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("p_value"))).toMap
+    assert(m === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0)))
+  }
+
   test("plans through AsOfJoinExec (no window, no nested loop)") {
     val ev = Tables.events(spark, SharedSpark.sf0001)
     val clicks = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")

@@ -51,6 +51,34 @@ class HashExprsSpec extends AnyFunSuite {
     assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
   }
 
+  test("SimHash62 == Text.simhash62Ref bitwise on the corpus (q29 self-oracle)") {
+    val docs = Tables.documents(spark, SharedSpark.sf0001)
+    val cmp = docs.select(
+      HashExprs.simhash62(spark, col("text")).as("fast"),
+      Text.simhash62Ref(col("text")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("Fingerprint64 == Text.fingerprint bitwise on the corpus (q31 self-oracle)") {
+    val docs = Tables.documents(spark, SharedSpark.sf0001)
+    val cmp = docs.select(
+      TextExprs.fingerprint(spark, col("text")).as("fast"),
+      Text.fingerprint(col("text")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+    // the normalization must actually collapse whitespace: these agree
+    val hs = Seq("a  b", "a b", " a b ", "A\tB").toDF("t")
+      .select(TextExprs.fingerprint(spark, $"t")).as[Long].collect()
+    assert(hs.distinct.length === 1)
+  }
+
+  test("LangIdExpr == Text.langId on the corpus (q33 self-oracle)") {
+    val docs = Tables.documents(spark, SharedSpark.sf0001)
+    val cmp = docs.select(
+      TextExprs.langId(spark, col("text")).as("fast"),
+      Text.langId(col("text")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("MinHashSig: k values, identical texts identical, estimates Jaccard") {
     val df = Seq("a b c d e f g h", "a b c d e f g h", "z y x w v u t s").toDF("t")
       .select(HashExprs.minhashSig(spark, HashExprs.shingles(spark, $"t", 3), 48).as("sig"))
