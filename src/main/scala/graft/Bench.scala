@@ -7,13 +7,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute into the `noop` sink — a count() would let Catalyst
   * prune projections and eliminate sorts, timing a cheaper plan than the
-  * one users run. One warmup pass of q01 absorbs JVM/codegen startup so
-  * per-query numbers reflect steady state.
+  * one users run.
+  *
+  * Methodology: one q01 pass absorbs JVM/context startup, then every
+  * query runs `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the
+  * reported number is the per-query MEDIAN — iteration 1 carries codegen
+  * + footer-cache warmup, so medians make round-over-round regressions
+  * visible instead of noise. q40 (IVF ANN) additionally reports its two
+  * phases split: k-means training (flat cost — fit on a bounded sample)
+  * vs search (the part that scales with corpus size).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,24 +35,48 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      try body
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] failed: ${e.getMessage}")
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
 
+    def exec(name: String): Double =
+      time(SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     exec(names.head) // warmup: JVM + codegen + parquet footer cache
-    val results = names.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val samples: Map[String, Seq[Double]] =
+      (1 to iters).flatMap(_ => names.map(n => n -> exec(n)))
+        .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+
+    // q40 phase split: train once per iteration, search against the
+    // pre-trained centroids — median of each phase
+    val q40Train = median((1 to iters).map(_ =>
+      time { graft.queries.Probes.ivfTrainStage(spark, sfDir) }))
+    val cents = graft.queries.Probes.ivfTrainStage(spark, sfDir)
+    val q40Search = median((1 to iters).map(_ =>
+      time(graft.queries.Probes.ivfSearchStage(spark, sfDir, cents)
+        .write.format("noop").mode("overwrite").save())))
+
+    val medians = names.map(n => n -> median(samples(n)))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""queries":$qs,"q40_split":{"train":$q40Train,"search":$q40Search},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

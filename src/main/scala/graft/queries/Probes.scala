@@ -847,23 +847,32 @@ object Probes {
   /** IVF ANN (second index family next to SRP-LSH): k-means cells +
     * multi-cell probing + exact re-rank. Rows-only (k-means assignment is
     * engine-internal); the spec bounds recall against brute force. */
+  /** q40's training stage: fit IVF centroids on a bounded
+    * single-partition sample — k-means aggregation order (and therefore
+    * the centroids and the probe's rows) stays identical at any
+    * parallelism, and training cost stays flat as the corpus grows (the
+    * standard fit-on-a-sample IVF recipe). Exposed separately so the
+    * bench can report train vs search time. */
+  def ivfTrainStage(s: SparkSession, d: String): Array[Double] =
+    Similarity.ivfCentroids(
+      Tables.embeddings(s, d).orderBy("vec_id").limit(512).coalesce(1),
+      nCells = 8, dim = 64)
+
+  /** q40's search stage against pre-trained centroids: cell assignment +
+    * multi-cell probe + in-cell exact re-rank. */
+  def ivfSearchStage(s: SparkSession, d: String, cents: Array[Double]): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
+      .select(col("query_id"), col("vec_id").as("nn_id"),
+        binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val annIvf = Probe(
     "q40_ann_ivf",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      // train on a bounded single-partition sample: k-means aggregation
-      // order — and therefore the centroids and this probe's rows — stay
-      // identical at any parallelism, and training cost stays flat as the
-      // corpus grows (the standard fit-on-a-sample IVF recipe)
-      val cents = Similarity.ivfCentroids(
-        emb.orderBy("vec_id").limit(512).coalesce(1), nCells = 8, dim = 64)
-      Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
-        .select(col("query_id"), col("vec_id").as("nn_id"),
-          binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
-        .orderBy("query_id", "rnk")
-    },
+    (s, d) => ivfSearchStage(s, d, ivfTrainStage(s, d)),
     None
   )
 
