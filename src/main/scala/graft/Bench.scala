@@ -62,13 +62,20 @@ object Bench {
         .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
 
     // q40 phase split: train once per iteration, search against the
-    // pre-trained centroids — median of each phase
+    // pre-trained centroids — median of each phase. A q40 failure must
+    // report -1 like any other query, not abort the whole bench line.
     val q40Train = median((1 to iters).map(_ =>
       time { graft.queries.Probes.ivfTrainStage(spark, sfDir) }))
-    val cents = graft.queries.Probes.ivfTrainStage(spark, sfDir)
-    val q40Search = median((1 to iters).map(_ =>
-      time(graft.queries.Probes.ivfSearchStage(spark, sfDir, cents)
-        .write.format("noop").mode("overwrite").save())))
+    val q40Search =
+      try {
+        val cents = graft.queries.Probes.ivfTrainStage(spark, sfDir)
+        median((1 to iters).map(_ =>
+          time(graft.queries.Probes.ivfSearchStage(spark, sfDir, cents)
+            .write.format("noop").mode("overwrite").save())))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q40 split failed: ${e.getMessage}")
+        -1.0
+      }
 
     val medians = names.map(n => n -> median(samples(n)))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }

@@ -31,7 +31,13 @@ object TextDedup {
     * listing-length comparison and no shuffle is added. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    val files = df.inputFiles
+    // non-file-backed frames (createDataFrame, views over memory) report
+    // zero files — fall back to the RDD partition count for those rather
+    // than repartitioning unconditionally; file-backed scans never pay
+    // the RDD conversion
+    val parts = if (files.nonEmpty) files.length else df.rdd.getNumPartitions
+    if (parts < p) df.repartition(p) else df
   }
 
   /** Exact dedup: keep the lowest-id document per identical text digest.

@@ -691,11 +691,16 @@ object Probes {
     * oracle asserts the agreement column is uniformly true. */
   val simhashSig = Probe(
     "q29_simhash",
-    (s, d) =>
+    (s, d) => {
+      // null text normalizes to "" on BOTH sides — the native expression
+      // null-propagates while the reference coalesces, and a NULL ok
+      // column would spuriously fail the uniformly-true oracle
+      val t = coalesce(col("text"), lit(""))
       Tables.documents(s, d)
         .select(col("doc_id"),
-          (HashExprs.simhash62(s, col("text")) === Text.simhash62Ref(col("text"))).as("ok"))
-        .orderBy("doc_id"),
+          (HashExprs.simhash62(s, t) === Text.simhash62Ref(t)).as("ok"))
+        .orderBy("doc_id")
+    },
     Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
   )
 
@@ -720,11 +725,13 @@ object Probes {
     * reference per document; the oracle asserts uniform agreement. */
   val fingerprintProbe = Probe(
     "q31_fingerprint",
-    (s, d) =>
+    (s, d) => {
+      val t = coalesce(col("text"), lit("")) // null-safe: see q29
       Tables.documents(s, d)
         .select(col("doc_id"),
-          (graft.plans.TextExprs.fingerprint(s, col("text")) === Text.fingerprint(col("text"))).as("ok"))
-        .orderBy("doc_id"),
+          (graft.plans.TextExprs.fingerprint(s, t) === Text.fingerprint(t)).as("ok"))
+        .orderBy("doc_id")
+    },
     Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
   )
 
@@ -760,11 +767,13 @@ object Probes {
     * document; golden-value unit tests cover real snippets. */
   val langIdProbe = Probe(
     "q33_lang_id",
-    (s, d) =>
+    (s, d) => {
+      val t = coalesce(col("text"), lit("")) // null-safe: see q29
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          (graft.plans.TextExprs.langId(s, col("text")) === Text.langId(col("text"))).as("ok"))
-        .orderBy("doc_id"),
+          (graft.plans.TextExprs.langId(s, t) === Text.langId(t)).as("ok"))
+        .orderBy("doc_id")
+    },
     Some("SELECT doc_id, lang, true AS ok FROM documents ORDER BY doc_id")
   )
 
@@ -785,9 +794,12 @@ object Probes {
 
   /** HLL sketch surface: exact distinct counts are fully oracled, and the
     * engine-specific approx values are checked as a BOUNDED-ERROR
-    * invariant (|approx−exact|/exact < 5%, ~3× the HLL standard error of
-    * the default 0.05 rsd) the oracle asserts alongside; the ScalaTest
-    * spec additionally sweeps the bound at several precisions. */
+    * invariant the oracle asserts alongside. approx_count_distinct's
+    * default rsd is 0.05, so the bound is 0.15 ≈ 3σ — tight enough to
+    * catch a broken sketch (orders-of-magnitude drift), loose enough that
+    * a legal 1σ estimate on a fresh corpus can't flap the gate; the
+    * ScalaTest spec additionally sweeps tighter bounds at higher
+    * precisions. */
   val approxDistinct = Probe(
     "q35_approx_distinct",
     (s, d) =>
@@ -798,9 +810,9 @@ object Probes {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .select(col("exact_parts"), col("exact_orders"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double")
-          / col("exact_parts") < 0.05).as("ok_parts"),
+          / col("exact_parts") < 0.15).as("ok_parts"),
         (abs(col("approx_orders") - col("exact_orders")).cast("double")
-          / col("exact_orders") < 0.05).as("ok_orders")),
+          / col("exact_orders") < 0.15).as("ok_orders")),
     Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
            |  count(DISTINCT l_orderkey) AS exact_orders,
            |  true AS ok_parts, true AS ok_orders FROM lineitem""".stripMargin)

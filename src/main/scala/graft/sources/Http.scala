@@ -35,17 +35,21 @@ object Http {
   def fetchOne(url: String, connectTimeoutMs: Int = 5000,
                readTimeoutMs: Int = 10000): Fetched =
     try {
-      val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestProperty("Accept", "application/json")
-      val status = conn.getResponseCode
-      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
-        if (stream == null) ""
-        else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
-        finally stream.close()
-      Fetched(url, status, body, null)
+      new URI(url).toURL.openConnection() match {
+        case conn: HttpURLConnection =>
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(readTimeoutMs)
+          conn.setRequestProperty("Accept", "application/json")
+          val status = conn.getResponseCode
+          val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+          val body =
+            if (stream == null) ""
+            else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+            finally stream.close()
+          Fetched(url, status, body, null)
+        case other => // ftp:, file:, mailto:… — a bad row, never a thrown task
+          Fetched(url, -1, null, s"unsupported scheme: ${other.getClass.getSimpleName}")
+      }
     } catch {
       case e: IOException => Fetched(url, -1, null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       case e: IllegalArgumentException => Fetched(url, -1, null, s"bad url: ${e.getMessage}")

@@ -64,42 +64,52 @@ final case class JdbcMergeSink(
     val deduped = updates.dropDuplicates(keys)
     val stage = s"${table}_stage_${java.util.UUID.randomUUID().toString.take(8)}"
 
-    // 1. parallel bulk load into staging (overwrite creates it)
-    deduped.write.mode("overwrite").options(options).jdbc(url, stage, props)
-
-    // 2. ensure target exists (empty create on first run), then one
-    //    set-based MERGE on the driver connection
+    // 1. ensure target exists BEFORE anything is staged (empty create on
+    //    first run) — a failure here (schema clash, permissions) must not
+    //    leave an orphaned staging copy of the batch behind
     updates.limit(0).write.mode("append").options(options).jdbc(url, table, props)
 
-    val cols = deduped.columns.toSeq
-    val nonKeys = cols.filterNot(keys.contains)
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val setClause = nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-    val insertCols = cols.map(q).mkString(", ")
-    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    val whenMatched =
-      if (updateOnMatch && nonKeys.nonEmpty) s" WHEN MATCHED THEN UPDATE SET $setClause"
-      else ""
-    val mergeSql =
-      s"MERGE INTO $table t USING $stage s ON $on$whenMatched" +
-        s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
-
-    val conn: Connection = DriverManager.getConnection(url, props)
     try {
-      conn.setAutoCommit(false)
+      // 2. parallel bulk load into staging (overwrite creates it)
+      deduped.write.mode("overwrite").options(options).jdbc(url, stage, props)
+
+      val cols = deduped.columns.toSeq
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val setClause = nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val insertCols = cols.map(q).mkString(", ")
+      val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      val whenMatched =
+        if (updateOnMatch && nonKeys.nonEmpty) s" WHEN MATCHED THEN UPDATE SET $setClause"
+        else ""
+      val mergeSql =
+        s"MERGE INTO $table t USING $stage s ON $on$whenMatched" +
+          s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
+
+      val conn: Connection = DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          val st = conn.createStatement()
+          try { st.executeUpdate(mergeSql); conn.commit() }
+          finally st.close()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        }
+      } finally conn.close()
+    } finally dropStage(stage) // scratch must not outlive the batch, even on failure
+  }
+
+  /** Best-effort staging drop on a fresh connection — runs whether the
+    * staging load or the MERGE failed, so a retrying job never
+    * accumulates orphaned copies of past batches. */
+  private def dropStage(stage: String): Unit =
+    try {
+      val conn = DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
-        try { st.executeUpdate(mergeSql); conn.commit() }
+        try st.executeUpdate(s"DROP TABLE $stage")
         finally st.close()
-      } catch {
-        case e: Throwable => conn.rollback(); throw e
-      } finally {
-        // 3. staging is per-batch scratch — always drop it
-        val st = conn.createStatement()
-        try { st.executeUpdate(s"DROP TABLE $stage"); conn.commit() }
-        catch { case _: java.sql.SQLException => () } // already gone / never created
-        finally st.close()
-      }
-    } finally conn.close()
-  }
+      } finally conn.close()
+    } catch { case _: java.sql.SQLException => () } // never created / already gone
 }

@@ -61,7 +61,12 @@ object Ingest {
   def runCurrent(spark: SparkSession, source: PayloadSource,
                  citiesSink: MergeSink, factSink: MergeSink): IngestResult = {
     implicit val s: SparkSession = spark
-    val parsed = Flatten.parseCurrent(source.fetch(spark))
+    // cache the PARSED payloads, not just the flattened rows: the ok and
+    // bad channels both derive from them, and with an HTTP source an
+    // uncached lineage would re-fetch every URL per downstream action —
+    // doubling quota use and making the two counts disagree under flaky
+    // endpoints
+    val parsed = Flatten.parseCurrent(source.fetch(spark)).cache()
     val wide = Flatten.flattenCurrent(parsed).cache()
     val okCount = wide.count()
     val badCount = Flatten.badRecords(parsed).count()
@@ -69,6 +74,7 @@ object Ingest {
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.currentFact(wide), Seq("city_id", "dt"))
     wide.unpersist()
+    parsed.unpersist()
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
   }
 
@@ -85,7 +91,8 @@ object Ingest {
   def runForecastWith(spark: SparkSession, source: PayloadSource,
                       citiesSink: MergeSink, factSink: MergeSink): IngestResult = {
     implicit val s: SparkSession = spark
-    val parsed = Flatten.parseForecast(source.fetch(spark))
+    // cached for the same single-fetch guarantee as runCurrent
+    val parsed = Flatten.parseForecast(source.fetch(spark)).cache()
     val wide = Flatten.flattenForecast(parsed).cache()
     val okCount = wide.count()
     val badCount = Flatten.badRecords(parsed).count()
@@ -93,6 +100,7 @@ object Ingest {
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.forecastFact(wide), Seq("city_id", "dt"))
     wide.unpersist()
+    parsed.unpersist()
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
   }
 }

@@ -93,7 +93,10 @@ object Store {
                         tsCol: String, lastWins: Boolean): Unit = {
     val spark = updates.sparkSession
     if (!FsUtil.hasData(spark, path)) {
-      writeFactPartitioned(updates, path, tsCol, keys.map(col))
+      // first write must still collapse within-batch duplicate keys —
+      // persisting both rows of a duplicated key would double-count
+      // downstream until a later merge arbitrarily dropped one
+      writeFactPartitioned(updates.dropDuplicates(keys), path, tsCol, keys.map(col))
       return
     }
     val dates = touchedDates(updates, tsCol)
@@ -137,7 +140,7 @@ object Store {
       if (FsUtil.hasData(spark, path)) {
         val existing = read(spark).select(updates.columns.map(col).toIndexedSeq: _*)
         policy(existing, updates, keys)
-      } else updates
+      } else updates.dropDuplicates(keys) // first write: collapse batch dups
     }
     private def write(merged: DataFrame): Unit =
       merged.localCheckpoint(true).write.mode("overwrite").parquet(path)

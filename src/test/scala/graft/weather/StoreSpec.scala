@@ -110,6 +110,18 @@ class StoreSpec extends AnyFunSuite {
     assert(back === Seq(22.0, 30.0))
   }
 
+  test("first write into an empty fact collapses within-batch duplicate keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_firstdup").toString
+    Store.mergeFactLastWins(Seq(
+      (1L, ts("2025-11-26 04:00:00"), 22.0),
+      (1L, ts("2025-11-26 04:00:00"), 23.0)).toDF("city_id", "dt", "temp"), dir, keys)
+    assert(Store.readFact(spark, dir).count() === 1)
+    val snap = Store.ParquetSnapshotSink(
+      java.nio.file.Files.createTempDirectory("graft_firstdup2").toString)
+    snap.mergeLastWins(Seq((1L, "A"), (1L, "B")).toDF("city_id", "name"), Seq("city_id"))
+    assert(snap.read(spark).count() === 1)
+  }
+
   test("ParquetSnapshotSink: keys absent from a batch survive the rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     val sink = Store.ParquetSnapshotSink(dir)
