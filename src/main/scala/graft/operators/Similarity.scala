@@ -138,6 +138,53 @@ object Similarity {
     rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding member of the
+    * dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    * embedding-cosine): unordered pairs (id_a < id_b) with exact cosine
+    * ≥ `threshold`. Candidate generation is an SRP-LSH SELF-join: one
+    * side sits in its home bucket, the other probes its home bucket plus
+    * `nProbe−1` single-bit flips, so a pair collides when their sign
+    * signatures differ in at most the probed bits. Exact cosine then
+    * verifies every candidate — output pairs are never false positives,
+    * LSH only bounds recall (tune `bits` down / `nProbe` up to raise it).
+    * Shuffle volume is |corpus|·nProbe rows + in-bucket pairs — never the
+    * all-pairs cross product. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
+                     nProbe: Int = 1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, "nProbe in [1, bits+1]")
+    val spark = corpus.sparkSession
+    val home = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"))
+      .withColumn("__bucket", HashExprs.srpBucket(spark, col("__vec_b"), bits, dim))
+    val aBucket = HashExprs.srpBucket(spark, col("__vec_a"), bits, dim)
+    val probes = array(
+      (Seq(aBucket) ++ (0 until nProbe - 1).map(i => aBucket.bitwiseXOR(lit(1L << i)))): _*)
+    val probing = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a"))
+      .withColumn("__bucket", explode(probes))
+    probing.join(home, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", HashExprs.cosine(spark, col("__vec_a"), col("__vec_b")))
+      .filter(col("sim") >= threshold)
+      // same pair can collide via several probed buckets — dedup LAST, so
+      // the shuffle carries only the pairs that survived the threshold
+      // (a pre-verify dropDuplicates would shuffle every candidate with
+      // both embedding payloads attached; recomputing a duplicate's
+      // cosine in codegen is far cheaper)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Dedup by embedding similarity: drop the HIGHER id of every near-dup
+    * pair — the keep-lowest-id policy the exact and MinHash dedups use.
+    * Anti join against the (distinct) drop set; linear. */
+  def dedupByEmbedding(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
+                       nProbe: Int = 1, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val drop = cosineNearDups(corpus, threshold, bits, dim, nProbe, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,

@@ -888,11 +888,53 @@ object Probes {
     None
   )
 
+  /** Embedding-cosine near-dup, exact baseline on a bounded id range —
+    * the oracle-checkable ground truth for the LSH-bucketed variant
+    * (same bounded-probe pattern as q28 for MinHash). The id bound is
+    * absolute, so the cross join stays ≤300 vectors at any scale
+    * factor. */
+  val cosineNearDupExact = Probe(
+    "q41_cosine_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("__vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vec_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", HashExprs.cosine(s, col("__vec_a"), col("__vec_b")))
+        .filter(col("sim") >= 0.35)
+        .select(col("id_a"), col("id_b"), binRound(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |           FROM embeddings WHERE vec_id < 300),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |        list_dot_product(a.v, b.v) /
+           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           |      FROM c a, c b WHERE a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim
+           |FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  /** Embedding-cosine near-dup via the SRP-LSH self-join — the scale
+    * path (linear shuffle, no all-pairs). Rows-only: bucket recall is
+    * probabilistic by design; the ScalaTest spec asserts the output is a
+    * SUBSET of q41's exact pairs and measures recall on planted
+    * near-duplicates. */
+  val cosineNearDupLsh = Probe(
+    "q42_cosine_neardup_lsh",
+    (s, d) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, d),
+          threshold = 0.35, bits = 4, dim = 64, nProbe = 3)
+        .select(col("id_a"), col("id_b"), binRound(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b"),
+    None
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
-    textChunks, multimodalFeatures, annIvf
+    textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -110,6 +110,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@1 $recall too low")
   }
 
+  test("cosineNearDups: pairs are a subset of the exact pairs, sims genuine") {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Vectors.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = Similarity.cosineNearDups(emb, threshold = 0.35, bits = 4, dim = 64, nProbe = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "LSH near-dup probe found no pairs at all")
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(5)}")
+  }
+
+  test("cosineNearDups recalls planted near-duplicates; dedupByEmbedding drops them") {
+    // plant a near-copy of each of the first 20 vectors: one component
+    // nudged by 5% — cosine vs the original stays > 0.99, far above any
+    // organic pair in this corpus (max ~0.46)
+    val base = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.updated(0, v.head * 1.05f + 0.01f))
+    }
+    val corpus = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(corpus, threshold = 0.95, bits = 6, dim = 64, nProbe = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = pairs.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"planted near-dup recall $recall too low (found ${pairs.size})")
+
+    val kept = Similarity.dedupByEmbedding(corpus, threshold = 0.95, bits = 6, dim = 64, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // keep-lowest-id: originals survive; recalled planted copies are dropped
+    assert(base.map(_._1).toSet.subsetOf(kept))
+    val droppedPlanted = planted.map(_._1).count(!kept.contains(_))
+    assert(droppedPlanted >= (0.8 * planted.length).toInt)
+  }
+
   test("centroids: |labels| x 64 cells, values finite") {
     val c = Similarity.centroids(emb, "label")
     val nLabels = emb.select("label").distinct().count()
