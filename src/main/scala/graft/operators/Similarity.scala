@@ -212,19 +212,4 @@ object Similarity {
       .orderBy(col(groupCol), col("dim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH blocking
-    * + exact verification (the embedding analogue of MinHash near-dup). */
-  def embeddingNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val b = corpus.withColumn("__bucket", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
-    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    l.join(r, "__bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", HashExprs.cosine(spark, col("v_a"), col("v_b")))
-      .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
-      .distinct()
-  }
 }
