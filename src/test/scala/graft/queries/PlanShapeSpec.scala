@@ -55,4 +55,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!planOf("q27_minhash_neardup").contains("Cross"))
     assert(!planOf("q38_interval_join").contains("NestedLoop"))
   }
+
+  test("q42: embedding near-dup self-join is bucket-keyed, never a cross join") {
+    val p = planOf("q42_cosine_neardup_lsh")
+    assert(!p.contains("Cross") && !p.contains("NestedLoop"))
+    assert(p.contains("__bucket")) // candidate generation keyed on the LSH bucket
+  }
+
+  test("incremental merge reads the stored fact with a partition filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_planprune").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-11-26 04:00:00"), 22.0),
+      (1L, java.sql.Timestamp.valueOf("2025-11-27 04:00:00"), 24.0))
+      .toDF("city_id", "dt", "temp")
+    graft.weather.Store.writeFactPartitioned(rows, dir)
+    val p = graft.weather.Store
+      .prunedFact(spark, dir, Seq(java.sql.Date.valueOf("2025-11-27")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("p_date"),
+      s"expected a p_date partition filter in:\n$p")
+  }
 }
