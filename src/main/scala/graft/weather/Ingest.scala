@@ -46,8 +46,23 @@ object Ingest {
     }
   }
 
+  /** `bad` carries the gated-out documents (S3 gate: missing/non-200
+    * `cod`, unparseable payloads) for quarantine — the DataFrame analogue
+    * of the reference's failure log lines (etl.py logging, ST5). */
   final case class IngestResult(cities: DataFrame, fact: DataFrame,
-                                okCount: Long, badCount: Long)
+                                okCount: Long, badCount: Long,
+                                bad: DataFrame)
+
+  /** Persist rejected documents to an append-only quarantine: the raw
+    * payload re-serialized plus an arrival stamp, so a fixed parser or a
+    * recovered endpoint can replay them later. Append-only by design —
+    * each run adds its failures, nothing is rewritten. */
+  def quarantine(bad: DataFrame, path: String): Unit =
+    bad.select(
+        org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("d")).as("payload"),
+        org.apache.spark.sql.functions.current_timestamp().as("rejected_at"))
+      .write.mode("append").parquet(path)
 
   /** One batch run against parquet storage: parse → gate → flatten →
     * incremental merge into the stored dim and fact. Absent paths (first
@@ -73,9 +88,13 @@ object Ingest {
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.currentFact(wide), Seq("city_id", "dt"))
+    // bad records are few by the gate's nature — materialize them before
+    // releasing the cached source so later use (quarantine, inspection)
+    // never re-executes the fetch lineage
+    val bad = Flatten.badRecords(parsed).localCheckpoint(true)
     wide.unpersist()
     parsed.unpersist()
-    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
+    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)
   }
 
   /** Forecast backfill (the notebook's §3.2 path): 40-entry fan-out per
@@ -99,8 +118,9 @@ object Ingest {
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.forecastFact(wide), Seq("city_id", "dt"))
+    val bad = Flatten.badRecords(parsed).localCheckpoint(true) // see runCurrent
     wide.unpersist()
     parsed.unpersist()
-    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount)
+    IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)
   }
 }

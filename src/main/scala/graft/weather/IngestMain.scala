@@ -16,9 +16,10 @@ package graft.weather
   */
 object IngestMain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4,
-      "usage: IngestMain current|forecast <payloadDir> <citiesPath> <factPath>")
-    val Array(mode, payloadDir, citiesPath, factPath) = args
+    require(args.length == 4 || args.length == 5,
+      "usage: IngestMain current|forecast <payloadDir> <citiesPath> <factPath> [rejectsPath]")
+    val mode = args(0); val payloadDir = args(1)
+    val citiesPath = args(2); val factPath = args(3)
     val spark = graft.GraftSession.getOrCreate(s"graft-ingest-$mode")
     val source = Ingest.FileSource(payloadDir)
     val result = mode match {
@@ -26,6 +27,8 @@ object IngestMain {
       case "forecast" => Ingest.runForecast(spark, source, citiesPath, factPath)
       case other      => sys.error(s"unknown mode $other")
     }
+    // optional append-only quarantine of the gated-out documents (ST5)
+    if (args.length == 5 && result.badCount > 0) Ingest.quarantine(result.bad, args(4))
     println(s"[ingest] mode=$mode ok=${result.okCount} bad=${result.badCount} " +
       s"cities=${result.cities.count()} facts=${result.fact.count()}")
     spark.stop()

@@ -55,6 +55,22 @@ class IngestSpec extends AnyFunSuite {
     assert(rowsOf(r3.fact) === before)
   }
 
+  test("bad records land in an append-only quarantine with replayable payloads") {
+    val base = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    val rejects = s"$base/rejects"
+    val bad404 = """{"cod":"404","message":"city not found"}"""
+    val r1 = Ingest.run(spark,
+      Ingest.CannedSource(Seq(payload(1, "Hanoi", 1764129600, 22.0), bad404)),
+      s"$base/cities", s"$base/fact")
+    assert(r1.badCount === 1 && r1.bad.count() === 1)
+    Ingest.quarantine(r1.bad, rejects)
+    Ingest.quarantine(r1.bad, rejects) // second run appends, never rewrites
+    val q = spark.read.parquet(rejects)
+    assert(q.count() === 2)
+    val replayable = q.select("payload").head().getString(0)
+    assert(replayable.contains("404") && replayable.contains("city not found"))
+  }
+
   test("forecast backfill: 40-entry fan-out, upsert refresh on re-pull (§3.2)") {
     val base = java.nio.file.Files.createTempDirectory("graft_fc").toString
     def fcPayload(temp0: Double): String =
