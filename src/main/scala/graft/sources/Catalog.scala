@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (Looker-generated SQL, SURVEY.md §3.3). Custom functions
   * (graft_cosine, graft_simhash62, graft_minhash_sig, graft_shingles,
   * graft_band_hash, graft_srp_bucket, graft_token_stats,
-  * graft_stopword_stats, graft_lang_id) are registered alongside, so SQL
-  * users get the extension operators too.
+  * graft_stopword_stats, graft_lang_id, graft_fingerprint) are registered
+  * alongside, so SQL users get the extension operators too.
   */
 object Catalog {
 

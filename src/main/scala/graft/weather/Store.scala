@@ -146,6 +146,45 @@ object Store {
       merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file maintenance for a date-partitioned table: rewrite ONLY the
+    * partitions holding more than `maxFiles` data files, one output file
+    * per day after compaction. Long-running ingest and append channels
+    * accumulate files; at scale, file count drives scan task count and
+    * NameNode/listing pressure, so periodic compaction is part of the
+    * table's lifecycle. Partitions within budget are untouched (dynamic
+    * overwrite), and the self-read is safe (commit-time swap). */
+  def compactFact(spark: SparkSession, path: String, maxFiles: Int = 8): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val offenders = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+      .filter { dir =>
+        fs.listStatus(dir.getPath).count { f =>
+          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+        } > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix("p_date="))
+    if (offenders.isEmpty) return Nil
+    spark.read.parquet(path)
+      .where(col("p_date").isin(offenders.map(d => lit(java.sql.Date.valueOf(d))): _*))
+      .repartition(col("p_date")) // one task → one file per compacted day
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_date")
+      .mode("overwrite")
+      .parquet(path)
+    offenders
+  }
+
+  /** Compact an unpartitioned append-only channel (e.g. the ingest
+    * quarantine) down to `targetFiles` files. Materializes before the
+    * overwrite (same lineage rule as ParquetSnapshotSink) — intended for
+    * small operational tables, not facts. */
+  def compactSnapshot(spark: SparkSession, path: String, targetFiles: Int = 1): Unit =
+    spark.read.parquet(path).localCheckpoint(true)
+      .coalesce(targetFiles).write.mode("overwrite").parquet(path)
+
   /** Bucketed table write: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on `bucketCol` between co-bucketed
     * tables runs with NO exchange — the classic amortization for fact⋈fact

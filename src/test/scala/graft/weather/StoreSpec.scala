@@ -133,6 +133,49 @@ class StoreSpec extends AnyFunSuite {
     assert(back === Seq((1L, "Hanoi"), (2L, "Hue2"), (3L, "Danang")))
   }
 
+  test("compactFact rewrites only the many-file partitions; data identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // day1: many small files via appends; day2: single clean file
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, ts("2025-11-26 04:00:00"), i.toDouble))
+        .toDF("city_id", "dt", "temp")
+        .withColumn("p_date", to_date($"dt"))
+        .write.partitionBy("p_date").mode("append").parquet(dir)
+    }
+    Seq((1L, ts("2025-11-27 04:00:00"), 50.0)).toDF("city_id", "dt", "temp")
+      .withColumn("p_date", to_date($"dt"))
+      .write.partitionBy("p_date").mode("append").parquet(dir)
+
+    val day2Before = partFiles(dir, "2025-11-27")
+    val before = Store.readFact(spark, dir).orderBy("city_id", "dt")
+      .collect().map(_.toString).toSeq
+    assert(partFiles(dir, "2025-11-26").size === 10)
+
+    val compacted = Store.compactFact(spark, dir, maxFiles = 8)
+    assert(compacted === Seq("2025-11-26"))
+    assert(partFiles(dir, "2025-11-26").size === 1)
+    assert(partFiles(dir, "2025-11-27") === day2Before) // untouched
+    val after = Store.readFact(spark, dir).orderBy("city_id", "dt")
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+
+    // second pass: nothing over budget, nothing rewritten
+    assert(Store.compactFact(spark, dir, maxFiles = 8) === Nil)
+  }
+
+  test("compactSnapshot collapses an append-only channel to one file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compsnap").toString
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"payload$i")).toDF("id", "payload")
+        .write.mode("append").parquet(dir)
+    }
+    Store.compactSnapshot(spark, dir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    assert(files.asScala.count(_.getFileName.toString.startsWith("part-")) === 1)
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
   test("library writes/reads leave session confs untouched (hygiene)") {
     val overwriteBefore = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
