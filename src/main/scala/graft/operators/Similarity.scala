@@ -63,6 +63,22 @@ object Similarity {
     rerank(cb.join(qb, "__bucket"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** Explode a frame to one row per probed bucket: the home SRP bucket
+    * plus its `nProbe−1` single-low-bit flips. The hash is computed ONCE
+    * into a materialized column; the flip array references that
+    * attribute, so probing never re-runs the bits×dim projection per
+    * probe (and the two multi-probe operators share one definition). */
+  private def withProbedBuckets(df: DataFrame, vecCol: String, bits: Int, dim: Int,
+                                nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1, "nProbe in [1, bits+1]")
+    val home = HashExprs.srpBucket(df.sparkSession, col(vecCol), bits, dim)
+    df.withColumn("__home", home)
+      .withColumn("__bucket", explode(array(
+        (Seq(col("__home")) ++
+          (0 until nProbe - 1).map(i => col("__home").bitwiseXOR(lit(1L << i)))): _*)))
+      .drop("__home")
+  }
+
   /** Multi-probe LSH top-k: each query also probes the buckets at Hamming
     * distance 1 (single sign-bit flips) — the standard recall lever that
     * costs probe-factor extra lookups instead of extra index copies.
@@ -72,15 +88,11 @@ object Similarity {
                         nProbe: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         queryIdCol: String = "query_id"): DataFrame = {
-    require(nProbe >= 1 && nProbe <= bits + 1, "nProbe in [1, bits+1]")
     val spark = corpus.sparkSession
     val cb = corpus.withColumn("__bucket", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
-    val qBucket = HashExprs.srpBucket(spark, col("__q_vec"), bits, dim)
-    val probes = array(
-      (Seq(qBucket) ++ (0 until nProbe - 1).map(i => qBucket.bitwiseXOR(lit(1L << i)))): _*)
-    val qb = queries
-      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
-      .withColumn("__bucket", explode(probes))
+    val qb = withProbedBuckets(
+      queries.select(col(queryIdCol), col(vecCol).as("__q_vec")),
+      "__q_vec", bits, dim, nProbe)
     rerank(
       cb.join(qb, "__bucket")
         .dropDuplicates(queryIdCol, idCol), // same candidate via several probes
@@ -143,24 +155,23 @@ object Similarity {
     * embedding-cosine): unordered pairs (id_a < id_b) with exact cosine
     * ≥ `threshold`. Candidate generation is an SRP-LSH SELF-join: one
     * side sits in its home bucket, the other probes its home bucket plus
-    * `nProbe−1` single-bit flips, so a pair collides when their sign
-    * signatures differ in at most the probed bits. Exact cosine then
-    * verifies every candidate — output pairs are never false positives,
-    * LSH only bounds recall (tune `bits` down / `nProbe` up to raise it).
-    * Shuffle volume is |corpus|·nProbe rows + in-bucket pairs — never the
-    * all-pairs cross product. */
+    * `nProbe−1` single-bit flips, so a pair becomes a candidate when the
+    * sign signatures are EQUAL, or differ in exactly one of the probed
+    * low bits (Hamming distance ≤ 1 within bits 0..nProbe−2 — not any
+    * combination of probed bits). Exact cosine then verifies every
+    * candidate — output pairs are never false positives, LSH only bounds
+    * recall (tune `bits` down / `nProbe` up to raise it). Shuffle volume
+    * is |corpus|·nProbe rows + in-bucket pairs — never the all-pairs
+    * cross product. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
                      nProbe: Int = 1, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    require(nProbe >= 1 && nProbe <= bits + 1, "nProbe in [1, bits+1]")
     val spark = corpus.sparkSession
     val home = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"))
       .withColumn("__bucket", HashExprs.srpBucket(spark, col("__vec_b"), bits, dim))
-    val aBucket = HashExprs.srpBucket(spark, col("__vec_a"), bits, dim)
-    val probes = array(
-      (Seq(aBucket) ++ (0 until nProbe - 1).map(i => aBucket.bitwiseXOR(lit(1L << i)))): _*)
-    val probing = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a"))
-      .withColumn("__bucket", explode(probes))
+    val probing = withProbedBuckets(
+      corpus.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a")),
+      "__vec_a", bits, dim, nProbe)
     probing.join(home, "__bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", HashExprs.cosine(spark, col("__vec_a"), col("__vec_b")))

@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Flatten {
 
-  /** Parse raw current-weather JSON strings into typed rows. */
+  /** Parse raw current-weather JSON strings into typed rows. The raw
+    * string rides along as `json`: a document that FAILS to parse has a
+    * null/empty `d`, and the quarantine channel must preserve the
+    * original bytes for replay, not a lossy re-serialization. */
   def parseCurrent(raw: Dataset[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    raw.toDF("json").select(from_json($"json", Schemas.currentWeatherRaw).as("d"))
+    raw.toDF("json").select($"json", from_json($"json", Schemas.currentWeatherRaw).as("d"))
   }
 
   def parseForecast(raw: Dataset[String])(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    raw.toDF("json").select(from_json($"json", Schemas.forecastRaw).as("d"))
+    raw.toDF("json").select($"json", from_json($"json", Schemas.forecastRaw).as("d"))
   }
 
   /** S3 gate: keep only HTTP-200 documents (`etl.py:34-35`). Bad records

@@ -53,16 +53,22 @@ object Ingest {
                                 okCount: Long, badCount: Long,
                                 bad: DataFrame)
 
-  /** Persist rejected documents to an append-only quarantine: the raw
-    * payload re-serialized plus an arrival stamp, so a fixed parser or a
-    * recovered endpoint can replay them later. Append-only by design —
-    * each run adds its failures, nothing is rewritten. */
-  def quarantine(bad: DataFrame, path: String): Unit =
-    bad.select(
-        org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.col("d")).as("payload"),
-        org.apache.spark.sql.functions.current_timestamp().as("rejected_at"))
+  /** Persist rejected documents to an append-only quarantine: the RAW
+    * payload (the original bytes — an unparseable document must be
+    * replayable after the parser is fixed, and re-serializing through the
+    * declared schema would drop undeclared fields) plus an arrival stamp.
+    * Append-only by design — each run adds its failures, nothing is
+    * rewritten. Falls back to re-serializing `d` for frames built without
+    * a raw column (e.g. the streaming file-drop path, where the source
+    * already parsed). */
+  def quarantine(bad: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val payload =
+      if (bad.columns.contains("json")) col("json")
+      else to_json(col("d"))
+    bad.select(payload.as("payload"), current_timestamp().as("rejected_at"))
       .write.mode("append").parquet(path)
+  }
 
   /** One batch run against parquet storage: parse → gate → flatten →
     * incremental merge into the stored dim and fact. Absent paths (first
@@ -84,14 +90,14 @@ object Ingest {
     val parsed = Flatten.parseCurrent(source.fetch(spark)).cache()
     val wide = Flatten.flattenCurrent(parsed).cache()
     val okCount = wide.count()
-    val badCount = Flatten.badRecords(parsed).count()
+    // bad records are few by the gate's nature — materialize them once
+    // (before releasing the cached source) and count the local copy, so
+    // neither the count nor later quarantine re-executes the fetch lineage
+    val bad = Flatten.badRecords(parsed).localCheckpoint(true)
+    val badCount = bad.count()
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.currentFact(wide), Seq("city_id", "dt"))
-    // bad records are few by the gate's nature — materialize them before
-    // releasing the cached source so later use (quarantine, inspection)
-    // never re-executes the fetch lineage
-    val bad = Flatten.badRecords(parsed).localCheckpoint(true)
     wide.unpersist()
     parsed.unpersist()
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)
@@ -114,11 +120,11 @@ object Ingest {
     val parsed = Flatten.parseForecast(source.fetch(spark)).cache()
     val wide = Flatten.flattenForecast(parsed).cache()
     val okCount = wide.count()
-    val badCount = Flatten.badRecords(parsed).count()
+    val bad = Flatten.badRecords(parsed).localCheckpoint(true) // see runCurrent
+    val badCount = bad.count()
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.forecastFact(wide), Seq("city_id", "dt"))
-    val bad = Flatten.badRecords(parsed).localCheckpoint(true) // see runCurrent
     wide.unpersist()
     parsed.unpersist()
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)

@@ -166,8 +166,15 @@ object Store {
       }
       .map(_.getPath.getName.stripPrefix("p_date="))
     if (offenders.isEmpty) return Nil
+    // the null-date partition surfaces as the Hive default sentinel — it
+    // is a legal partition (null-tsCol rows) and must compact too, via an
+    // isNull predicate rather than an unparseable Date literal
+    val (sentinel, realDays) =
+      offenders.partition(_ == "__HIVE_DEFAULT_PARTITION__")
+    val realPred = col("p_date").isin(realDays.map(d => lit(java.sql.Date.valueOf(d))): _*)
+    val pred = if (sentinel.nonEmpty) realPred || col("p_date").isNull else realPred
     spark.read.parquet(path)
-      .where(col("p_date").isin(offenders.map(d => lit(java.sql.Date.valueOf(d))): _*))
+      .where(pred)
       .repartition(col("p_date")) // one task → one file per compacted day
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -180,10 +187,12 @@ object Store {
   /** Compact an unpartitioned append-only channel (e.g. the ingest
     * quarantine) down to `targetFiles` files. Materializes before the
     * overwrite (same lineage rule as ParquetSnapshotSink) — intended for
-    * small operational tables, not facts. */
+    * small operational tables, not facts. A channel that was never
+    * written (no rejects yet) is a no-op, like compactFact. */
   def compactSnapshot(spark: SparkSession, path: String, targetFiles: Int = 1): Unit =
-    spark.read.parquet(path).localCheckpoint(true)
-      .coalesce(targetFiles).write.mode("overwrite").parquet(path)
+    if (FsUtil.hasData(spark, path))
+      spark.read.parquet(path).localCheckpoint(true)
+        .coalesce(targetFiles).write.mode("overwrite").parquet(path)
 
   /** Bucketed table write: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on `bucketCol` between co-bucketed

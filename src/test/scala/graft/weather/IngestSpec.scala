@@ -59,16 +59,18 @@ class IngestSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_quar").toString
     val rejects = s"$base/rejects"
     val bad404 = """{"cod":"404","message":"city not found"}"""
+    val truncated = """{"cod":"5""" // unparseable — raw bytes must survive
     val r1 = Ingest.run(spark,
-      Ingest.CannedSource(Seq(payload(1, "Hanoi", 1764129600, 22.0), bad404)),
+      Ingest.CannedSource(Seq(payload(1, "Hanoi", 1764129600, 22.0), bad404, truncated)),
       s"$base/cities", s"$base/fact")
-    assert(r1.badCount === 1 && r1.bad.count() === 1)
+    assert(r1.badCount === 2 && r1.bad.count() === 2)
     Ingest.quarantine(r1.bad, rejects)
     Ingest.quarantine(r1.bad, rejects) // second run appends, never rewrites
     val q = spark.read.parquet(rejects)
-    assert(q.count() === 2)
-    val replayable = q.select("payload").head().getString(0)
-    assert(replayable.contains("404") && replayable.contains("city not found"))
+    assert(q.count() === 4)
+    val payloads = q.select("payload").collect().map(_.getString(0)).toSet
+    // quarantine holds the ORIGINAL bytes, not a lossy re-serialization
+    assert(payloads === Set(bad404, truncated))
   }
 
   test("forecast backfill: 40-entry fan-out, upsert refresh on re-pull (§3.2)") {
