@@ -83,6 +83,73 @@ object Multimodal {
       }
   }
 
+  /** One sampled video frame: generator output of [[sampleFrames]]. */
+  final case class Frame(
+      asset_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      payload: Array[Byte])
+
+  /** STUB resize kernel — a real implementation decodes the image,
+    * scales, re-encodes. The fake derives a (w·h/64)-byte payload from
+    * the source bytes so it stays content-sensitive and deterministic. */
+  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, w * h / 64)
+    var h0 = contentHash(payload) ^ (w.toLong << 32) ^ h.toLong
+    Array.tabulate[Byte](n) { _ =>
+      h0 = h0 * 6364136223846793005L + 1442695040888963407L
+      (h0 >>> 56).toByte
+    }
+  }
+
+  /** Image resize as a narrow per-row binary transform: payload replaced,
+    * width/height metadata updated IN THE SAME ROW (metadata and bytes
+    * can never drift apart); non-image rows pass through untouched. No
+    * shuffle — this pipelines inside the enclosing stage. */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    implicit val enc = Encoders.product[Asset]
+    assets.mapPartitions { it =>
+      // real impl: val scaler = Codec.open() — once per partition
+      it.map { a =>
+        if (a.media_type == "image")
+          a.copy(payload = resizeStub(a.payload, w, h), width = Some(w), height = Some(h))
+        else a
+      }
+    }
+  }
+
+  /** Video frame sampling — the one-to-many GENERATOR shape for binary
+    * columns: each video row yields one Frame row per `everyMs` of
+    * duration, streamed through an iterator flatMap so a real demuxer
+    * opens once per partition and never materializes all frames at once.
+    * Non-video rows (and videos without a duration) yield nothing.
+    * Frame payloads are STUB-decoded (deterministic, content- and
+    * timestamp-sensitive). */
+  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
+    require(everyMs > 0, "everyMs must be positive")
+    implicit val enc = Encoders.product[Frame]
+    assets.mapPartitions { it =>
+      // real impl: val demuxer = Codec.open() — once per partition
+      it.flatMap { a =>
+        if (a.media_type != "video") Iterator.empty
+        else a.duration_ms match {
+          case Some(dur) if dur > 0 =>
+            val n = (dur / everyMs).toInt + 1 // frame at t=0 always sampled
+            Iterator.range(0, n).map { idx =>
+              val ts = idx * everyMs
+              var h0 = contentHash(a.payload) ^ ts
+              val bytes = Array.tabulate[Byte](32) { _ =>
+                h0 = h0 * 6364136223846793005L + 1442695040888963407L
+                (h0 >>> 56).toByte
+              }
+              Frame(a.asset_id, idx, ts, bytes)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Exact payload dedup on the 64-bit content hash (binary columns never
     * shuffle whole payloads — only the hash + id move). */
   def dedupByContent(features: Dataset[AssetFeatures]): DataFrame =
@@ -98,8 +165,11 @@ object Multimodal {
       val i: Long = i0
       val src: Long = if (dupEvery > 0 && i % dupEvery == 0) 0L else i
       val payload = Array.tabulate[Byte](64)(j => ((src * 131 + j * 7) % 251).toByte)
-      Asset(i, if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video",
-        payload, Some(64), Some(64), None)
+      val mt = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
+      // videos carry a duration so the frame-sampling generator has a
+      // real fan-out to exercise
+      val dur = if (mt == "video") Some(2000L + (i % 4) * 1000L) else None
+      Asset(i, mt, payload, Some(64), Some(64), dur)
     }
   }
 }

@@ -23,6 +23,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1(1).content_hash !== f1(2).content_hash)
   }
 
+  test("resize: images get new payload + consistent metadata, others untouched") {
+    implicit val s = spark
+    val assets = Multimodal.syntheticAssets(spark, 12, dupEvery = 0)
+    val before = assets.collect().map(a => a.asset_id -> a).toMap
+    val resized = Multimodal.resize(assets, 32, 32).collect()
+    assert(resized.length === 12)
+    for (a <- resized) {
+      if (a.media_type == "image") {
+        assert(a.width === Some(32) && a.height === Some(32))
+        assert(!java.util.Arrays.equals(a.payload, before(a.asset_id).payload))
+        assert(a.payload.length === 32 * 32 / 64)
+      } else {
+        assert(java.util.Arrays.equals(a.payload, before(a.asset_id).payload))
+        assert(a.width === before(a.asset_id).width)
+      }
+    }
+    // deterministic: same input → byte-identical output
+    val again = Multimodal.resize(assets, 32, 32).collect()
+      .map(a => a.asset_id -> a.payload).toMap
+    assert(resized.forall(a => java.util.Arrays.equals(a.payload, again(a.asset_id))))
+  }
+
+  test("sampleFrames: one row per interval per video, deterministic, only videos") {
+    implicit val s = spark
+    val assets = Multimodal.syntheticAssets(spark, 12, dupEvery = 0)
+    val videos = assets.collect().filter(_.media_type == "video")
+    val frames = Multimodal.sampleFrames(assets, everyMs = 1000).collect()
+    // every frame belongs to a video; counts follow duration DIV interval + 1
+    val perAsset = frames.groupBy(_.asset_id)
+    assert(perAsset.keySet === videos.map(_.asset_id).toSet)
+    for (v <- videos) {
+      val fs = perAsset(v.asset_id).sortBy(_.frame_idx)
+      assert(fs.length === (v.duration_ms.get / 1000).toInt + 1)
+      assert(fs.map(_.ts_ms).toSeq === fs.indices.map(_ * 1000L))
+      // timestamp-sensitive: consecutive frames differ
+      assert(!java.util.Arrays.equals(fs(0).payload, fs(1).payload))
+    }
+    val again = Multimodal.sampleFrames(assets, everyMs = 1000).collect()
+      .map(f => (f.asset_id, f.frame_idx) -> f.payload).toMap
+    assert(frames.forall(f => java.util.Arrays.equals(f.payload, again((f.asset_id, f.frame_idx)))))
+  }
+
   test("content dedup groups identical payloads") {
     implicit val s = spark
     val assets = Multimodal.syntheticAssets(spark, 30, dupEvery = 10)
