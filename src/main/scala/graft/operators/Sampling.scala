@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-based sampling and splitting — the training-data
+  * pipeline's reproducibility primitives.
+  *
+  * `df.sample()` draws per-partition randomness: results change with
+  * partitioning, retries, and cluster size — unacceptable when a
+  * train/val/test split must be stable across reruns and engines. These
+  * operators derive membership from a HASH OF THE KEY instead:
+  *
+  *  - same key → same bucket, forever, on any cluster layout;
+  *  - narrow (a filter over a codegen'd hash — no shuffle, no state);
+  *  - splits are disjoint and exhaustive by construction;
+  *  - downstream joins stay consistent: every row of an entity lands on
+  *    the same side of the split when keyed by that entity's id (the
+  *    standard guard against train/test leakage).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L // ppm resolution for fractions
+
+  /** Stable bucket in [0, 1000000) for a key. `xxhash64` has no seed
+    * parameter, so the seed participates as a hashed leading column —
+    * different seeds give independent assignments over the same keys. */
+  def hashBucket(key: Column, seed: Long = 42L): Column =
+    pmod(xxhash64(lit(seed), key), lit(Buckets))
+
+  /** Deterministic sample of ~`fraction` of rows, keyed by `key`. */
+  def sampleByKey(df: DataFrame, key: Column, fraction: Double,
+                  seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0, 1]")
+    df.filter(hashBucket(key, seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Split-name column for weighted, disjoint, exhaustive splits — e.g.
+    * `assignSplit(col("doc_id"), Seq(0.8, 0.1, 0.1), Seq("train", "val",
+    * "test"))`. Weights are normalized; boundaries are cumulative ppm
+    * thresholds over the key hash, so every key falls in exactly one
+    * split and the assignment never changes between runs. */
+  def assignSplit(key: Column, weights: Seq[Double], names: Seq[String],
+                  seed: Long = 42L): Column = {
+    require(weights.nonEmpty && weights.length == names.length,
+      "weights and names must align")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(w => (w / total * Buckets).toLong)
+    val b = hashBucket(key, seed)
+    // last split takes everything below Buckets (guards rounding)
+    val first = when(b < cum.head, lit(names.head))
+    names.zip(cum).drop(1).dropRight(1).foldLeft(first) {
+      case (acc, (name, bound)) => acc.when(b < bound, lit(name))
+    }.otherwise(lit(names.last))
+  }
+
+  /** Materialized splits in `names` order. */
+  def splitByKey(df: DataFrame, key: Column, weights: Seq[Double],
+                 names: Seq[String], seed: Long = 42L): Seq[DataFrame] = {
+    val tagged = df.withColumn("__split", assignSplit(key, weights, names, seed))
+    names.map(n => tagged.filter(col("__split") === n).drop("__split"))
+  }
+}

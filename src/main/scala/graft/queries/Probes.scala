@@ -930,11 +930,40 @@ object Probes {
     None
   )
 
+  /** Deterministic hash-split (train/val/test): the exact total is
+    * oracled, and the split quality is checked as invariants — splits
+    * exhaustive (counts sum to total) and each fraction within ±0.1 of
+    * its weight (≥5σ at the corpus sizes; the hash family itself isn't
+    * ANSI-reproducible). Stability across runs/partitionings is
+    * spec-asserted. */
+  val hashSplit = Probe(
+    "q43_hash_split",
+    (s, d) => {
+      val tagged = Tables.documents(s, d).withColumn("split",
+        graft.operators.Sampling.assignSplit(
+          col("doc_id"), Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")))
+      tagged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .select(col("n_total"),
+        (col("n_train") + col("n_val") + col("n_test") === col("n_total")).as("ok_exhaustive"),
+        (abs(col("n_train").cast("double") / col("n_total") - 0.8) < 0.1).as("ok_train"),
+        (abs(col("n_val").cast("double") / col("n_total") - 0.1) < 0.1).as("ok_val"),
+        (abs(col("n_test").cast("double") / col("n_total") - 0.1) < 0.1).as("ok_test"))
+    },
+    Some("""SELECT count(*) AS n_total, true AS ok_exhaustive,
+           |  true AS ok_train, true AS ok_val, true AS ok_test
+           |FROM documents""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
-    textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh
+    textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
+    hashSplit
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

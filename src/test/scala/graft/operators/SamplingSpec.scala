@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.Tables
+
+/** The reproducibility contract of hash-based sampling: stable across
+  * runs AND partitionings, disjoint+exhaustive splits, no train/test
+  * leakage per key, and fractions near their weights. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, SharedSpark.sf0001)
+
+  test("assignSplit: disjoint, exhaustive, stable across partitionings") {
+    def tag(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("split", Sampling.assignSplit(
+        col("doc_id"), Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")))
+      .select("doc_id", "split")
+    val a = tag(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // radically different physical layout → identical assignment
+    val b = tag(docs.repartition(17, col("lang"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.size === docs.count()) // every key assigned exactly once
+    val fracs = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(fracs("train") - 0.8) < 0.1)
+    assert(math.abs(fracs("val") - 0.1) < 0.1)
+    assert(math.abs(fracs("test") - 0.1) < 0.1)
+  }
+
+  test("sampleByKey: stable subset, fraction near target, monotone in fraction") {
+    val s10 = Sampling.sampleByKey(docs, col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.sampleByKey(docs, col("doc_id"), 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.sampleByKey(docs, col("doc_id"), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10 === again)          // deterministic
+    assert(s10.subsetOf(s30))      // nested: raising the fraction only adds
+    val n = docs.count().toDouble
+    assert(math.abs(s10.size / n - 0.1) < 0.08)
+    assert(math.abs(s30.size / n - 0.3) < 0.1)
+  }
+
+  test("different seeds give independent assignments; same seed agrees") {
+    val x = Sampling.sampleByKey(docs, col("doc_id"), 0.5, seed = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val y = Sampling.sampleByKey(docs, col("doc_id"), 0.5, seed = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(x !== y) // independent draws almost surely differ on 500 keys
+    val overlap = x.intersect(y).size.toDouble / math.max(1, x.size)
+    assert(overlap > 0.3 && overlap < 0.7) // ~half, not all or none
+  }
+
+  test("no leakage: duplicated keys land on one side of the split") {
+    // entity-keyed rows: 3 rows per user — every row of a user must get
+    // the user's split, or features leak from train into test
+    val rows = (0L until 300L).flatMap(u => Seq((u, u * 3), (u, u * 3 + 1), (u, u * 3 + 2)))
+      .toDF("user_id", "row_id")
+    val tagged = rows.withColumn("split",
+      Sampling.assignSplit(col("user_id"), Seq(0.9, 0.1), Seq("train", "test")))
+    val splitsPerUser = tagged.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(splitsPerUser === 1L)
+  }
+
+  test("splitByKey materializes the splits in order, conserving rows") {
+    val parts = Sampling.splitByKey(docs, col("doc_id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    assert(parts.length === 3)
+    assert(parts.map(_.count()).sum === docs.count())
+  }
+}
