@@ -64,6 +64,17 @@ object Multimodal {
     h
   }
 
+  /** Deterministic LCG byte stream from a seed — the one fake-codec
+    * generator shared by every stub (decode, resize, frame extraction),
+    * so the PRNG lives in exactly one place. */
+  private def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+    var h = seed
+    Array.tabulate[Byte](n) { _ =>
+      h = h * 6364136223846793005L + 1442695040888963407L
+      (h >>> 56).toByte
+    }
+  }
+
   /** Partition-local feature extraction: iterator-in/iterator-out so a
     * real codec initializes once per partition (the mapInPandas batch
     * shape). The input is repartitioned by asset_id for even work
@@ -93,20 +104,17 @@ object Multimodal {
   /** STUB resize kernel — a real implementation decodes the image,
     * scales, re-encodes. The fake derives a (w·h/64)-byte payload from
     * the source bytes so it stays content-sensitive and deterministic. */
-  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(1, w * h / 64)
-    var h0 = contentHash(payload) ^ (w.toLong << 32) ^ h.toLong
-    Array.tabulate[Byte](n) { _ =>
-      h0 = h0 * 6364136223846793005L + 1442695040888963407L
-      (h0 >>> 56).toByte
-    }
-  }
+  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    lcgBytes(contentHash(payload) ^ (w.toLong << 32) ^ h.toLong,
+      math.max(1, w * h / 64))
 
   /** Image resize as a narrow per-row binary transform: payload replaced,
     * width/height metadata updated IN THE SAME ROW (metadata and bytes
     * can never drift apart); non-image rows pass through untouched. No
     * shuffle — this pipelines inside the enclosing stage. */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize dimensions must be positive and w*h must fit an Int, got ${w}x$h")
     implicit val enc = Encoders.product[Asset]
     assets.mapPartitions { it =>
       // real impl: val scaler = Codec.open() — once per partition
@@ -124,9 +132,17 @@ object Multimodal {
     * opens once per partition and never materializes all frames at once.
     * Non-video rows (and videos without a duration) yield nothing.
     * Frame payloads are STUB-decoded (deterministic, content- and
-    * timestamp-sensitive). */
-  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
+    * timestamp-sensitive).
+    *
+    * `maxFramesPerAsset` bounds the fan-out of one row: corrupt metadata
+    * (a duration in the billions) must not turn a single asset into a
+    * billion-row explosion or an Int overflow — assets at the cap emit
+    * exactly `maxFramesPerAsset` frames (truncation is visible as
+    * frame_idx reaching the cap, not silent emptiness). */
+  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L,
+                   maxFramesPerAsset: Int = 100000): Dataset[Frame] = {
     require(everyMs > 0, "everyMs must be positive")
+    require(maxFramesPerAsset > 0, "maxFramesPerAsset must be positive")
     implicit val enc = Encoders.product[Frame]
     assets.mapPartitions { it =>
       // real impl: val demuxer = Codec.open() — once per partition
@@ -134,15 +150,13 @@ object Multimodal {
         if (a.media_type != "video") Iterator.empty
         else a.duration_ms match {
           case Some(dur) if dur > 0 =>
-            val n = (dur / everyMs).toInt + 1 // frame at t=0 always sampled
+            // Long arithmetic first, THEN clamp: (dur/everyMs).toInt on a
+            // huge duration would wrap negative and silently emit nothing
+            val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
+            val base = contentHash(a.payload) // one payload scan per asset
             Iterator.range(0, n).map { idx =>
               val ts = idx * everyMs
-              var h0 = contentHash(a.payload) ^ ts
-              val bytes = Array.tabulate[Byte](32) { _ =>
-                h0 = h0 * 6364136223846793005L + 1442695040888963407L
-                (h0 >>> 56).toByte
-              }
-              Frame(a.asset_id, idx, ts, bytes)
+              Frame(a.asset_id, idx, ts, lcgBytes(base ^ ts, 32))
             }
           case _ => Iterator.empty
         }

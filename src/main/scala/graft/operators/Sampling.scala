@@ -45,6 +45,8 @@ object Sampling {
     require(weights.nonEmpty && weights.length == names.length,
       "weights and names must align")
     require(weights.forall(_ > 0), "weights must be positive")
+    require(names.distinct.length == names.length,
+      s"split names must be distinct, got $names") // dup names would break disjointness
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).tail.map(w => (w / total * Buckets).toLong)
     val b = hashBucket(key, seed)
@@ -55,10 +57,13 @@ object Sampling {
     }.otherwise(lit(names.last))
   }
 
-  /** Materialized splits in `names` order. */
+  /** Materialized splits in `names` order. The tag column name is
+    * collision-checked so a user column is never silently overwritten. */
   def splitByKey(df: DataFrame, key: Column, weights: Seq[Double],
                  names: Seq[String], seed: Long = 42L): Seq[DataFrame] = {
-    val tagged = df.withColumn("__split", assignSplit(key, weights, names, seed))
-    names.map(n => tagged.filter(col("__split") === n).drop("__split"))
+    val tag = "__graft_split_tag"
+    require(!df.columns.contains(tag), s"input already has a $tag column")
+    val tagged = df.withColumn(tag, assignSplit(key, weights, names, seed))
+    names.map(n => tagged.filter(col(tag) === n).drop(tag))
   }
 }

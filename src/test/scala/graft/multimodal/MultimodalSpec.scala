@@ -65,6 +65,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(f => java.util.Arrays.equals(f.payload, again((f.asset_id, f.frame_idx)))))
   }
 
+  test("sampleFrames clamps corrupt durations instead of overflowing") {
+    implicit val s = spark
+    import spark.implicits._
+    val corrupt = Seq(
+      Multimodal.Asset(1L, "video", Array[Byte](1, 2, 3), None, None,
+        Some(3000000000000L))). // ~95 years of "video": Int-overflow bait
+      toDS()
+    val frames = Multimodal.sampleFrames(corrupt, everyMs = 1000, maxFramesPerAsset = 50)
+      .collect()
+    assert(frames.length === 50) // capped, not zero (wrap) and not 3e9
+    assert(frames.map(_.frame_idx).max === 49)
+    intercept[IllegalArgumentException](Multimodal.resize(corrupt, 0, 5))
+    intercept[IllegalArgumentException](Multimodal.resize(corrupt, 65536, 65536))
+  }
+
   test("content dedup groups identical payloads") {
     implicit val s = spark
     val assets = Multimodal.syntheticAssets(spark, 30, dupEvery = 10)

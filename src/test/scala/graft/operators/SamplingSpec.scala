@@ -69,6 +69,11 @@ class SamplingSpec extends AnyFunSuite {
     assert(splitsPerUser === 1L)
   }
 
+  test("duplicate split names are rejected (they would break disjointness)") {
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(col("doc_id"), Seq(0.5, 0.5), Seq("a", "a")))
+  }
+
   test("splitByKey materializes the splits in order, conserving rows") {
     val parts = Sampling.splitByKey(docs, col("doc_id"),
       Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
