@@ -65,6 +65,18 @@ object Streams {
         sink.mergeLastWins(batch, keys)
       }
 
+  /** Stream-static enrichment: join the live fact stream to a dimension
+    * snapshot (the dashboard's fact⋈cities shape, streaming edition).
+    * Spark re-plans the static side per micro-batch, so a refreshed dim
+    * parquet is picked up without restarting the query; the dim is tiny
+    * (J1), so each micro-batch joins via broadcast — no stream-side
+    * shuffle and no streaming state. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, on: Seq[String],
+                    broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, on, "left_outer")
+  }
+
   /** Tumbling event-time window aggregation over the events stream
     * (SURVEY.md §2.9 extension): count/sum per (window, event_type) with
     * a watermark so state is bounded and late rows beyond the horizon are

@@ -61,6 +61,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally Metrics.detach(spark, listener)
   }
 
+  test("stream-static enrichment joins each micro-batch to the dim snapshot") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_enrich_in").toString
+    val payload =
+      """{"coord":{"lon":105.8,"lat":21.0},"weather":[{"id":802,"main":"Clouds","description":"x","icon":"03d"}],
+        |"main":{"temp":22.0,"feels_like":21.0,"temp_min":22.0,"temp_max":22.0,"pressure":1021,"humidity":37},
+        |"wind":{"speed":4.0,"deg":355},"clouds":{"all":34},"dt":1764129959,
+        |"sys":{"country":"VN","sunrise":1764112440,"sunset":1764152047},
+        |"timezone":25200,"id":1581130,"name":"Hanoi","cod":200}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/a.json"), payload)
+
+    val dim = Seq((1581130L, "Red River Delta"), (99L, "Nowhere"))
+      .toDF("city_id", "region_name")
+    val flat = Streams.currentWeatherStream(spark, inDir)
+      .select("city_id", "dt", "temp")
+    val q = Streams.enrichWithDim(flat, dim, Seq("city_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("region_name") === "Red River Delta")
+  }
+
   test("streaming micro-batches merge into a JDBC sink through the storage seam") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_jdbc_in").toString
     val ckDir = java.nio.file.Files.createTempDirectory("graft_jdbc_ck").toString
