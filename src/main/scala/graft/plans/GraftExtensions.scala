@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_lang_id", "heuristic language id of a text column") {
       e => LangIdExpr(e.head, graft.functions.Text.langProfiles.toSeq)
     }
+    inject("graft_fingerprint", "64-bit rolling-hash fingerprint of normalized text") {
+      e => Fingerprint64(e.head)
+    }
     inject("graft_asof", "as-of join marker: most recent right row at-or-before left ts") {
       e => AsOfMarker(e.head, e(1))
     }

@@ -30,10 +30,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       graft_lang_id(t) AS lg,
           |       graft_minhash_sig(graft_shingles(t, 2), 8) AS sig,
           |       graft_srp_bucket(v, 4, 2, 42) AS bkt,
-          |       graft_token_stats(t).n_words AS nw
+          |       graft_token_stats(t).n_words AS nw,
+          |       graft_fingerprint(t) AS fp
           |FROM ext_t""".stripMargin).collect()
       assert(r.length === 2)
       assert(r.forall(_.getAs[Int]("nw") === 4))
+      assert(r.map(_.getAs[Long]("fp")).distinct.length === 2) // content-sensitive
       val cos = spark.sql(
         """SELECT graft_cosine(a.v, b.v) AS c FROM ext_t a, ext_t b
           |WHERE a.t < b.t""".stripMargin).head().getDouble(0)
