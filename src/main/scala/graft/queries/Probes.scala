@@ -498,11 +498,38 @@ object Probes {
     asOfJoin.oracle
   )
 
+  /** RANGE-frame time window — the frame type q08's ROWS frames don't
+    * cover: 30-day trailing spend per customer measured in DATE distance,
+    * not row count. Rows sharing a date are frame PEERS and aggregate
+    * identically, so the result is deterministic under any within-date
+    * row order (no tiebreak column needed inside the frame). */
+  val rollingTimeWindow = Probe(
+    "q44_rolling_time_window",
+    (s, d) => {
+      val day = datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day).rangeBetween(-29, 0)
+      Tables.orders(s, d)
+        .withColumn("spend_30d", round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double"))
+        .withColumn("n_orders_30d", count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "spend_30d", "n_orders_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS spend_30d,
+           |  count(*) OVER w AS n_orders_30d
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey
+           |             ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+           |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
   val relationalProbes: Seq[Probe] = Seq(
     pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
-    rollup, asOfJoin, intervalJoin, asOfJoinNative
+    rollup, asOfJoin, intervalJoin, asOfJoinNative, rollingTimeWindow
   )
 
   // ---------------------------------------------------------------------
