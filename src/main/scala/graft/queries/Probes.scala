@@ -525,11 +525,92 @@ object Probes {
            |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  /** Pivot (crosstab): status → columns with explicit value list, so the
+    * output schema is static and the agg per cell is the exact-DECIMAL
+    * sum. Compiles to conditional aggregation — which is exactly how the
+    * oracle expresses it. */
+  val pivotStatus = Probe(
+    "q45_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS "F",
+           |  CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS "O",
+           |  CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS "P"
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  /** Unpivot (melt): wide numeric columns → (key, metric, value) long
+    * form — the inverse reshaping, value columns cast to one type as
+    * unpivot requires. */
+  val unpivotPart = Probe(
+    "q46_unpivot",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+           |UNION ALL
+           |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+           |ORDER BY p_partkey, metric""".stripMargin)
+  )
+
+  /** Exact interpolated percentiles (percentile_cont semantics) per
+    * group — the deterministic complement of the q35 sketch surface. */
+  val percentiles = Probe(
+    "q47_percentiles",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          binRound(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          binRound(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          binRound(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           |  floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
+           |  floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000 AS p99
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  )
+
+  /** lag/lead offset windows: per-customer deltas vs the previous order
+    * (gap in days, spend delta) — null on each partition's first row. */
+  val lagLead = Probe(
+    "q48_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lag(col("o_orderdate"), 1).over(w))).cast("long").as("days_since_prev"),
+          round(dec(col("o_totalprice")) - lag(dec(col("o_totalprice")), 1).over(w), 2)
+            .cast("double").as("delta_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  datediff('day', lag(o_orderdate::DATE) OVER w, o_orderdate::DATE) AS days_since_prev,
+           |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) -
+           |       lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS delta_spend
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
   val relationalProbes: Seq[Probe] = Seq(
     pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
-    rollup, asOfJoin, intervalJoin, asOfJoinNative, rollingTimeWindow
+    rollup, asOfJoin, intervalJoin, asOfJoinNative, rollingTimeWindow,
+    pivotStatus, unpivotPart, percentiles, lagLead
   )
 
   // ---------------------------------------------------------------------
