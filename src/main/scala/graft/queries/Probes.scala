@@ -605,12 +605,43 @@ object Probes {
            |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  /** Gap-based sessionization, batch formulation (gaps-and-islands: lag →
+    * new-session flags → running flag sum = session id). This is the SAME
+    * plan SessionizeSpec cross-checks against the streaming
+    * flatMapGroupsWithState operator, so oracling it here transitively
+    * checks the stateful path's session boundaries. Equal-timestamp ties
+    * can't flip session membership (gap 0 < any threshold), so the result
+    * is deterministic; sum_value (float-summation order) stays spec-land. */
+  val sessionsBatch = Probe(
+    "q49_sessions",
+    (s, d) =>
+      graft.streaming.Sessionize.sessionizeBatch(
+          Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+          gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+           |g AS (SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER w IS NULL
+           |             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+           |        THEN 1 ELSE 0 END AS nf
+           |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |s AS (SELECT user_id, ts,
+           |        sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |      FROM g)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |       count(*) AS n_events
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+  )
+
   val relationalProbes: Seq[Probe] = Seq(
     pricingSummary, filterProject, joinDim, antiJoin, semiJoin, distinctDim,
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
     rollup, asOfJoin, intervalJoin, asOfJoinNative, rollingTimeWindow,
-    pivotStatus, unpivotPart, percentiles, lagLead
+    pivotStatus, unpivotPart, percentiles, lagLead, sessionsBatch
   )
 
   // ---------------------------------------------------------------------
