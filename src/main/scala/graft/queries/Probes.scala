@@ -509,10 +509,12 @@ object Probes {
       val day = datediff(to_date(col("o_orderdate")),
         lit(java.sql.Date.valueOf("1970-01-01")))
       val w = Window.partitionBy(col("o_custkey")).orderBy(day).rangeBetween(-29, 0)
+      // both frame columns in ONE select: chained withColumn calls would
+      // plan two Window operators with a redundant re-sort between them
       Tables.orders(s, d)
-        .withColumn("spend_30d", round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double"))
-        .withColumn("n_orders_30d", count(lit(1)).over(w))
-        .select("o_custkey", "o_orderkey", "o_orderdate", "spend_30d", "n_orders_30d")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double").as("spend_30d"),
+          count(lit(1)).over(w).as("n_orders_30d"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
@@ -562,22 +564,30 @@ object Probes {
            |ORDER BY p_partkey, metric""".stripMargin)
   )
 
-  /** Exact interpolated percentiles (percentile_cont semantics) per
-    * group — the deterministic complement of the q35 sketch surface. */
+  /** Exact DISCRETE percentiles per group — the deterministic complement
+    * of the q35 sketch surface. percentile_disc returns an actual data
+    * element (smallest value at-or-above the cumulative fraction), so
+    * both engines emit the SAME stored double and the hash compare is
+    * categorically safe. The interpolated variant (percentile_cont /
+    * quantile_cont) was rejected for the gate: its result is a fresh
+    * arithmetic combination whose operation order differs across
+    * engines — ulp-level drift the floor-rounding rule can't absorb
+    * (verified equal across engines here including integer p·n
+    * positions, where disc conventions could diverge). */
   val percentiles = Probe(
     "q47_percentiles",
     (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          binRound(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          binRound(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          binRound(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99"))
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-           |  floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
-           |  floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000 AS p90,
-           |  floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000 AS p99
+           |  quantile_disc(o_totalprice, 0.5) AS p50,
+           |  quantile_disc(o_totalprice, 0.9) AS p90,
+           |  quantile_disc(o_totalprice, 0.99) AS p99
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 
