@@ -112,6 +112,61 @@ object TextDedup {
       docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
 
+  /** Connected components over a near-dup pair graph — TRANSITIVE dedup:
+    * if A≈B and B≈C, all three are one duplicate cluster even when A and
+    * C never collided directly. Iterative min-label propagation: every
+    * node's component label drops to the smallest label among itself and
+    * its neighbors, repeated to a fixpoint. One equi-join + one partial
+    * aggregate per round, labels localCheckpoint'ed so the plan never
+    * accumulates lineage; rounds needed = component diameter, and
+    * near-dup clusters are short chains in practice (`maxIter` guards the
+    * pathological case — a loud error beats a silent wrong cluster).
+    * Output: (id, component) for every id present in `pairs`, component =
+    * min id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round: materialize once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds the bound")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Transitive dedup keep-list: every document keeps its cluster's
+    * smallest id; docs in no near-dup pair keep themselves. Returns
+    * (idCol, keep_id). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("keep_id"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("keep_id"))
+  }
+
   /** Per-document SimHash signatures — the SimHash62 native expression
     * (graft.plans): tight JVM loop inside codegen, shuffle-free.
     * (Text.simhash64 is the HOF reference implementation; its hash family

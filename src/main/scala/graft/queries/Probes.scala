@@ -1107,12 +1107,55 @@ object Probes {
            |FROM documents""".stripMargin)
   )
 
+  /** Transitive dedup clusters: connected components over the bounded
+    * exact-Jaccard pair graph (q28's ground-truth pairs) — if A≈B and
+    * B≈C, all three share one cluster even though A,C never matched
+    * directly. The iterative min-label propagation is oracled against
+    * DuckDB's recursive-CTE transitive closure. */
+  val dedupClustersProbe = Probe(
+    "q50_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val pairs = TextDedup.jaccardVerify(ids, docs)
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b")
+      TextDedup.connectedComponents(pairs).orderBy("id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+           |edges AS (SELECT id_a AS s, id_b AS t FROM p
+           |          UNION ALL SELECT id_b, id_a FROM p),
+           |reach AS (
+           |  SELECT s AS id, t AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.t FROM reach JOIN edges ON reach.r = edges.s)
+           |SELECT id, least(id, min(r)) AS component
+           |FROM reach GROUP BY id ORDER BY id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
-    hashSplit
+    hashSplit, dedupClustersProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -110,6 +110,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@1 $recall too low")
   }
 
+  test("connectedComponents: transitive chains collapse, clusters stay separate") {
+    // chain 1-2-3-4 (diameter 3, no direct 1-4 edge) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters: keep-list maps every doc to its cluster minimum") {
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val keep = TextDedup.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(keep(4L) === 1L && keep(11L) === 10L)
+    assert(keep(99L) === 99L) // unpaired doc keeps itself
+    // surviving set = distinct keep ids
+    assert(keep.values.toSet === Set(1L, 10L, 99L))
+  }
+
   test("cosineNearDups: pairs are a subset of the exact pairs, sims genuine") {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
