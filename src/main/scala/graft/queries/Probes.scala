@@ -615,6 +615,50 @@ object Probes {
            |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  /** CUBE — all grouping-set combinations (q18's rollup covers only the
+    * hierarchical prefixes); null grouping cells coalesced to a sentinel
+    * exactly as q18 does. */
+  val cubeAgg = Probe(
+    "q51_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumExact(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("revenue"), col("n"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue, count(*) AS n
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY rf, ls""".stripMargin)
+  )
+
+  /** INTERSECT / EXCEPT — the set-op family beyond q10's union: customer
+    * keys in both segments, and keys in the first only, tagged and
+    * unioned into one deterministic result. Spark's intersect/except are
+    * set semantics (dedup), same as the SQL operators. */
+  val setOps = Probe(
+    "q52_set_ops",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val positive = cust.filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"))
+      building.intersect(positive).withColumn("tag", lit("both"))
+        .unionByName(building.except(positive).withColumn("tag", lit("building_only")))
+        .orderBy("tag", "c_custkey")
+    },
+    Some("""WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |p AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+           |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM b INTERSECT SELECT * FROM p)
+           |UNION ALL
+           |SELECT c_custkey, 'building_only' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM p)
+           |ORDER BY tag, c_custkey""".stripMargin)
+  )
+
   /** Gap-based sessionization, batch formulation (gaps-and-islands: lag →
     * new-session flags → running flag sum = session id). This is the SAME
     * plan SessionizeSpec cross-checks against the streaming
@@ -651,7 +695,8 @@ object Probes {
     latestPerKey, windowRunning, topK, unionBranches, timeSeries, minMax,
     upsertLastWins, insertIfAbsent, jsonExtract, datetimeScalars, tzConvert,
     rollup, asOfJoin, intervalJoin, asOfJoinNative, rollingTimeWindow,
-    pivotStatus, unpivotPart, percentiles, lagLead, sessionsBatch
+    pivotStatus, unpivotPart, percentiles, lagLead, sessionsBatch,
+    cubeAgg, setOps
   )
 
   // ---------------------------------------------------------------------
