@@ -131,24 +131,40 @@ object TextDedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+
+    // one round: labels' comp drops to min over itself + neighbors; the
+    // OLD label rides along so convergence is a filter over the already
+    // materialized result, not another join. Each round's checkpoint
+    // truncates lineage; superseded rounds' blocks are reclaimed by the
+    // context cleaner as their references drop, and the label set is
+    // O(|docs in ≥1 pair|) — small next to the corpus — so peak storage
+    // across rounds stays modest.
+    def propagate(cur: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(cur.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("nbr_comp"))
+      cur.select(col("id"), col("comp").as("old"))
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr_comp"), col("old"))).as("comp"),
+          col("old"))
+        .localCheckpoint(true)
+    }
+
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nbr_comp")).as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0L
+      val next = propagate(labels)
+      converged = next.filter(col("comp") =!= col("old")).count() == 0L
+      labels = next.select("id", "comp")
       iter += 1
+    }
+    if (!converged) {
+      // the cap round may have made the LAST correction (eccentricity ==
+      // maxIter): run one confirmation pass before declaring failure, so
+      // a correct result is never discarded by an off-by-one
+      converged = propagate(labels).filter(col("comp") =!= col("old")).count() == 0L
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds the bound")

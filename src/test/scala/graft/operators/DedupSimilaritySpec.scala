@@ -118,6 +118,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: a chain finishing on the last round still succeeds") {
+    // 4-node chain: the last label lands in round 3 exactly at maxIter=3 —
+    // the confirmation pass must accept it, not discard a correct result
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val comp = TextDedup.connectedComponents(chain, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet === Set(1L))
+    // genuinely too-deep graph fails loudly
+    intercept[IllegalArgumentException](
+      TextDedup.connectedComponents(chain, maxIter = 1).collect())
+  }
+
   test("dedupClusters: keep-list maps every doc to its cluster minimum") {
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
