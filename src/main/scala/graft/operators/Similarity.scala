@@ -165,10 +165,17 @@ object Similarity {
     * cross product. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int, dim: Int,
                      nProbe: Int = 1, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBucketSize: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    val home = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"))
+    val home0 = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"))
       .withColumn("__bucket", HashExprs.srpBucket(spark, col("__vec_b"), bits, dim))
+    // skew guard: drop degenerate mega-buckets (e.g. a zero-vector
+    // boilerplate slice) from the home side — the self-join is quadratic
+    // within a bucket, and a single hot key must not own the stage
+    val sane = home0.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("__bucket")
+    val home = home0.join(sane, Seq("__bucket"), "left_semi")
     val probing = withProbedBuckets(
       corpus.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a")),
       "__vec_a", bits, dim, nProbe)

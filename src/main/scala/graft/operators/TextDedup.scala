@@ -74,12 +74,28 @@ object TextDedup {
   }
 
   /** Candidate near-dup pairs from LSH: self-join on (band, band_hash),
-    * deduplicated. Returns (id_a, id_b) with id_a < id_b. */
+    * deduplicated. Returns (id_a, id_b) with id_a < id_b.
+    *
+    * `maxBucketSize` is the SKEW GUARD for degenerate buckets: a corpus
+    * slice of boilerplate (empty strings, templated pages) can land a
+    * million documents in one bucket, turning the self-join quadratic in
+    * that bucket (5·10^11 pairs from one key kills the stage). Buckets
+    * above the cap are dropped from candidate generation — one count
+    * aggregate + a semi-join, linear. Recall within a mega-bucket is
+    * sacrificed deliberately: its members are near-identical boilerplate
+    * that exact dedup (q23's path) already collapses, and any pair also
+    * colliding in a sane bucket still surfaces. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame = {
+                        shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+                        maxBucketSize: Int = 100000): DataFrame = {
     val b = lshBands(docs, idCol, textCol, shingleN, bands, rows)
-    val left  = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val right = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val sane = b.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val bounded = b.join(sane, Seq("band", "band_hash"), "left_semi")
+    val left  = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val right = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     left.join(right, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -110,6 +110,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@1 $recall too low")
   }
 
+  test("mega-bucket skew guard: hot LSH buckets are dropped, sane ones survive") {
+    // 40 identical boilerplate docs (one degenerate bucket in every band)
+    // + one genuine near-dup pair of distinct docs
+    val boiler = (0L until 40L).map(i => (i, "the same boilerplate text repeated here again and again"))
+    val pairDocs = Seq(
+      (100L, "completely original content about rivers and mountains flowing east"),
+      (101L, "completely original content about rivers and mountains flowing west"))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text")
+
+    val capped = TextDedup.minhashCandidates(docs, maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    // the boilerplate bucket (40 > 10) contributes nothing...
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L })
+    // ...but the sane pair still surfaces
+    assert(capped.contains((100L, 101L)))
+    // with the cap off, boilerplate pairs flood in
+    val uncapped = TextDedup.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b) => a < 40L && b < 40L } > 100)
+  }
+
   test("connectedComponents: transitive chains collapse, clusters stay separate") {
     // chain 1-2-3-4 (diameter 3, no direct 1-4 edge) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
