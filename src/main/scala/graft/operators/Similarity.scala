@@ -203,6 +203,50 @@ object Similarity {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED parquet table: each
+    * vector stored under its nearest-centroid cell directory. Search then
+    * reads ONLY the probed cells via static partition pruning — at 100 TB
+    * the scan I/O per query batch is nProbe/nCells of the corpus, decided
+    * by the file listing, not by filtering rows after reading them. The
+    * centroids array is the index metadata; persist it alongside (it is
+    * nCells·dim doubles — trivially small). */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int, dim: Int,
+                    centroids: Array[Double], vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus
+      .withColumn("__cell",
+        element_at(HashExprs.nearestCells(spark, col(vecCol), centroids, nCells, dim, 1), 1))
+      .repartition(col("__cell"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__cell")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** ANN search against a persisted IVF index: compute each query's
+    * probed cells, read only those partitions (the `isin` predicate is a
+    * static partition filter), exact-cosine re-rank inside. The probed
+    * cell set is O(|queries|·nProbe) distinct values — tiny — and is the
+    * same driver-side move the incremental merge makes with touched
+    * dates. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nCells: Int, nProbe: Int, dim: Int,
+                     centroids: Array[Double],
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__cell",
+        explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids, nCells, dim, nProbe)))
+    val probedCells = qb.select("__cell").distinct()
+      .collect().map(_.getAs[Number]("__cell").longValue())
+    val cb = spark.read.parquet(path)
+      .where(col("__cell").isin(probedCells.map(c => lit(c)): _*))
+    rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol, vecCol)
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,

@@ -199,6 +199,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(droppedPlanted >= (0.8 * planted.length).toInt)
   }
 
+  test("persisted IVF index: partition-pruned search equals in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val cents = Similarity.ivfCentroids(
+      emb.orderBy("vec_id").limit(512).coalesce(1), nCells = 8, dim = 64)
+    Similarity.writeIvfIndex(emb, dir, nCells = 8, dim = 64, cents)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.searchIvfIndex(spark, dir, queries,
+      k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
+    val want = Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 3,
+      dim = 64, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(got) === rows(want))
+    // the probed-cell predicate must prune at the SCAN (partition filter),
+    // not as a post-read row filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"expected __cell partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("centroids: |labels| x 64 cells, values finite") {
     val c = Similarity.centroids(emb, "label")
     val nLabels = emb.select("label").distinct().count()
