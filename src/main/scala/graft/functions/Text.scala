@@ -112,7 +112,14 @@ object Text {
     * document. */
   private val simhash62RefFn: String => Long = { s0 =>
     val tallies = new Array[Int](62)
-    for (tok <- s0.toLowerCase.split("\\s+") if tok.nonEmpty) {
+    // lowercase through UTF8String, matching the native kernel's path
+    // exactly: plain String.toLowerCase is locale-sensitive (tr-TR maps
+    // 'I' to dotless 'ı'), which would fail the q29 bitwise self-oracle
+    // on such JVMs while the hash reimplementation below stays fully
+    // independent
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(s0).toLowerCase.toString
+    for (tok <- lowered.split("\\s+") if tok.nonEmpty) {
       var h = 0xcbf29ce484222325L
       for (b <- tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
         h ^= (b & 0xffL)

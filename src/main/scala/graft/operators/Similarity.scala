@@ -168,16 +168,23 @@ object Similarity {
                      vecCol: String = "embedding",
                      maxBucketSize: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
-    val home0 = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"))
-      .withColumn("__bucket", HashExprs.srpBucket(spark, col("__vec_b"), bits, dim))
-    // skew guard: drop degenerate mega-buckets (e.g. a zero-vector
-    // boilerplate slice) from the home side — the self-join is quadratic
-    // within a bucket, and a single hot key must not own the stage
-    val sane = home0.groupBy("__bucket").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize).select("__bucket")
-    val home = home0.join(sane, Seq("__bucket"), "left_semi")
+    // skew guard, applied to BOTH sides by excluding mega-bucket MEMBERS
+    // from the operator entirely: a one-sided drop would still let a
+    // million boilerplate rows probe their neighbor buckets (quadratic on
+    // one key), and an asymmetric drop + the id_a < id_b filter would
+    // lose pairs whose higher id happens to live in the hot bucket.
+    // Excluded members are near-identical boilerplate that exact dedup
+    // collapses; everything in sane buckets keeps symmetric coverage.
+    val withHome = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__home", HashExprs.srpBucket(spark, col(vecCol), bits, dim))
+    val sane = withHome.groupBy("__home").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("__home")
+    val bounded = withHome.join(sane, Seq("__home"), "left_semi")
+    val home = bounded.select(col(idCol).as("id_b"), col(vecCol).as("__vec_b"),
+      col("__home").as("__bucket"))
     val probing = withProbedBuckets(
-      corpus.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a")),
+      bounded.select(col(idCol).as("id_a"), col(vecCol).as("__vec_a")),
       "__vec_a", bits, dim, nProbe)
     probing.join(home, "__bucket")
       .filter(col("id_a") < col("id_b"))
@@ -213,12 +220,15 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int, dim: Int,
                     centroids: Array[Double], vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    // STATIC overwrite, deliberately: an index write is a full REBUILD
+    // under new centroids, so every previous cell directory must go —
+    // dynamic overwrite would leave cells the new build doesn't populate
+    // holding stale vectors that searches would silently return
     corpus
       .withColumn("__cell",
         element_at(HashExprs.nearestCells(spark, col(vecCol), centroids, nCells, dim, 1), 1))
       .repartition(col("__cell"))
       .write
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__cell")
       .mode("overwrite")
       .parquet(path)
@@ -236,15 +246,28 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
-    val qb = queries
+    // evaluate the (tiny, by this API's contract) query side ONCE: the
+    // collect below both derives the partition predicate and feeds the
+    // join, so a nondeterministic queries frame can never probe cells at
+    // join time that the scan was already pruned away from
+    val qRows = queries
       .select(col(queryIdCol), col(vecCol).as("__q_vec"))
       .withColumn("__cell",
         explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids, nCells, dim, nProbe)))
-    val probedCells = qb.select("__cell").distinct()
-      .collect().map(_.getAs[Number]("__cell").longValue())
+      .collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol,
+        queries.schema(queryIdCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__q_vec",
+        queries.schema(vecCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val qb = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val probedCells = qRows.map(_.getAs[Number]("__cell").longValue()).distinct
     val cb = spark.read.parquet(path)
       .where(col("__cell").isin(probedCells.map(c => lit(c)): _*))
-    rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol, vecCol)
+    rerank(cb.join(broadcast(qb), "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
   /** Per-bucket occupancy stats for the LSH index — the operational view

@@ -22,22 +22,18 @@ import graft.plans.HashExprs
   */
 object TextDedup {
 
-  /** Heavy per-row hashing over a small-file scan would otherwise run in
-    * ONE task (a single small parquet file = a single input partition) —
-    * spread it across the cluster first. Decided from the scan's file
-    * listing (`inputFiles` — already computed by the file index), not
-    * `df.rdd`, which would force an RDD conversion during planning. At
-    * 100 TB the file count far exceeds the parallelism, so this is a
-    * listing-length comparison and no shuffle is added. */
+  /** Heavy per-row hashing over a frame with too few partitions (a
+    * single small parquet file, a coalesced cross-join output) would run
+    * in ONE task — spread it across the cluster first. The ACTUAL
+    * partition count (`df.rdd.getNumPartitions`) is the only signal
+    * that's correct for both leaf scans and derived frames: a file-count
+    * heuristic mis-measures joins (they report their leaves' files, so a
+    * well-partitioned 200-partition join over a 1-file scan would get a
+    * pointless full re-shuffle). Cost is one physical planning of the
+    * frame — no job runs — which the avoided misplaced shuffle dwarfs. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val files = df.inputFiles
-    // non-file-backed frames (createDataFrame, views over memory) report
-    // zero files — fall back to the RDD partition count for those rather
-    // than repartitioning unconditionally; file-backed scans never pay
-    // the RDD conversion
-    val parts = if (files.nonEmpty) files.length else df.rdd.getNumPartitions
-    if (parts < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** Exact dedup: keep the lowest-id document per identical text digest.

@@ -83,12 +83,16 @@ object Http {
     def fetch(spark: SparkSession): Dataset[String] = {
       import spark.implicits._
       Http.fetch(spark.createDataset(urls), partitions, delayMs).map { f =>
-        if (f.status == 200 && f.body != null) f.body
+        if (f.status == 200 && f.body != null && f.body.nonEmpty) f.body
         else if (f.body != null && f.body.nonEmpty) f.body // API error JSON: has its own cod
         else {
+          // no usable body. The envelope's cod must NEVER read "200" — a
+          // truncated 200 (empty body) would sail through the status gate
+          // and merge a row of nulls into the fact
+          val cod = if (f.status == 200) "empty_body" else f.status.toString
           val msg = Option(f.error).getOrElse(s"http ${f.status}")
             .replace("\\", "\\\\").replace("\"", "\\\"")
-          s"""{"cod":"${f.status}","message":"$msg"}"""
+          s"""{"cod":"$cod","message":"$msg"}"""
         }
       }
     }

@@ -91,21 +91,30 @@ object Store {
 
   private def mergeFact(updates: DataFrame, path: String, keys: Seq[String],
                         tsCol: String, lastWins: Boolean): Unit = {
+    // the partition key must be PART of the merge key: if a batch could
+    // move a key's tsCol to another date, the old date's partition is
+    // never read and a stale copy of the key would survive — loud
+    // failure here beats silent duplicate keys (use ParquetSnapshotSink
+    // for merge keys that don't pin the date)
+    require(keys.contains(tsCol),
+      s"date-partitioned merge keys $keys must include the partition timestamp '$tsCol'")
     val spark = updates.sparkSession
+    // collapse within-batch duplicate keys up front so EVERY path —
+    // first write, DO UPDATE, DO NOTHING — sees one row per key (the
+    // lastWins window would collapse them anyway; the DO NOTHING
+    // anti-join would append both)
+    val batch = updates.dropDuplicates(keys)
     if (!FsUtil.hasData(spark, path)) {
-      // first write must still collapse within-batch duplicate keys —
-      // persisting both rows of a duplicated key would double-count
-      // downstream until a later merge arbitrarily dropped one
-      writeFactPartitioned(updates.dropDuplicates(keys), path, tsCol, keys.map(col))
+      writeFactPartitioned(batch, path, tsCol, keys.map(col))
       return
     }
-    val dates = touchedDates(updates, tsCol)
+    val dates = touchedDates(batch, tsCol)
     if (dates.isEmpty) return // empty batch: nothing to merge, nothing to rewrite
     val existing = prunedFact(spark, path, dates)
-      .select(updates.columns.map(col).toIndexedSeq: _*)
+      .select(batch.columns.map(col).toIndexedSeq: _*)
     val merged =
-      if (lastWins) upsertLastWins(existing, updates, keys)
-      else upsertDoNothing(existing, updates, keys)
+      if (lastWins) upsertLastWins(existing, batch, keys)
+      else upsertDoNothing(existing, batch, keys)
     writeFactPartitioned(merged, path, tsCol, keys.map(col))
   }
 
@@ -137,10 +146,13 @@ object Store {
     private def merge(updates: DataFrame, keys: Seq[String],
                       policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {
       val spark = updates.sparkSession
+      // every path sees one row per key (the DO NOTHING anti-join would
+      // otherwise append BOTH rows of a within-batch duplicate)
+      val batch = updates.dropDuplicates(keys)
       if (FsUtil.hasData(spark, path)) {
-        val existing = read(spark).select(updates.columns.map(col).toIndexedSeq: _*)
-        policy(existing, updates, keys)
-      } else updates.dropDuplicates(keys) // first write: collapse batch dups
+        val existing = read(spark).select(batch.columns.map(col).toIndexedSeq: _*)
+        policy(existing, batch, keys)
+      } else batch
     }
     private def write(merged: DataFrame): Unit =
       merged.localCheckpoint(true).write.mode("overwrite").parquet(path)

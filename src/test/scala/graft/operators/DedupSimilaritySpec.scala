@@ -218,6 +218,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
       s"expected __cell partition pruning in:\n${plan.take(2000)}")
+
+    // REBUILD replaces the whole index: a tiny corpus populating fewer
+    // cells must leave no stale cell directories from the previous build
+    Similarity.writeIvfIndex(emb.limit(3), dir, nCells = 8, dim = 64, cents)
+    import scala.jdk.CollectionConverters._
+    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith("__cell="))
+    assert(cellDirs <= 3, s"stale cell dirs survived the rebuild: $cellDirs")
   }
 
   test("centroids: |labels| x 64 cells, values finite") {

@@ -46,6 +46,7 @@ class HttpSourceSpec extends AnyFunSuite {
           respond(x, 200, payload(id, s"City$id", 1764129600 + id * 60, 20.0 + id))
         case "/missing" =>
           respond(x, 404, """{"cod":"404","message":"city not found"}""")
+        case "/empty200" => respond(x, 200, "") // truncated-success case
         case _ => respond(x, 500, "boom")
       }
     })
@@ -82,6 +83,15 @@ class HttpSourceSpec extends AnyFunSuite {
     assert(r.cities.count() === 2 && r.fact.count() === 2)
     assert(r.cities.select("city_name").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSet === Set("City1", "City2"))
+  }
+
+  test("a 200 with an empty body lands in the bad channel, never the fact") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_empty200").toString
+    val r = graft.weather.Ingest.run(spark,
+      Http.HttpSource(Seq(s"$base/city/1", s"$base/empty200"), partitions = 1),
+      s"$baseDir/cities", s"$baseDir/fact")
+    assert(r.okCount === 1 && r.badCount === 1)
+    assert(r.fact.count() === 1) // no null-keyed row merged
   }
 
   test("delayMs spaces requests within a partition (ST4 rate limit)") {

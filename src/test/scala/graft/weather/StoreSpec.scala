@@ -110,6 +110,26 @@ class StoreSpec extends AnyFunSuite {
     assert(back === Seq(22.0, 30.0))
   }
 
+  test("DO NOTHING merge into an EXISTING table also collapses batch duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifabs_dup").toString
+    Store.mergeFactIfAbsent(
+      Seq((9L, ts("2025-11-26 04:00:00"), 1.0)).toDF("city_id", "dt", "temp"), dir, keys)
+    // batch duplicates an ABSENT key twice — exactly one row may append
+    Store.mergeFactIfAbsent(Seq(
+      (1L, ts("2025-11-26 04:00:00"), 22.0),
+      (1L, ts("2025-11-26 04:00:00"), 23.0)).toDF("city_id", "dt", "temp"), dir, keys)
+    assert(Store.readFact(spark, dir).filter($"city_id" === 1L).count() === 1)
+  }
+
+  test("date-partitioned merge refuses keys that don't pin the partition date") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badkeys").toString
+    intercept[IllegalArgumentException] {
+      Store.mergeFactLastWins(
+        Seq((1L, ts("2025-11-26 04:00:00"), 22.0)).toDF("city_id", "dt", "temp"),
+        dir, Seq("city_id")) // dt missing from keys → stale-copy hazard
+    }
+  }
+
   test("first write into an empty fact collapses within-batch duplicate keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_firstdup").toString
     Store.mergeFactLastWins(Seq(
