@@ -22,18 +22,19 @@ import graft.plans.HashExprs
   */
 object TextDedup {
 
-  /** Heavy per-row hashing over a frame with too few partitions (a
-    * single small parquet file, a coalesced cross-join output) would run
-    * in ONE task — spread it across the cluster first. The ACTUAL
-    * partition count (`df.rdd.getNumPartitions`) is the only signal
-    * that's correct for both leaf scans and derived frames: a file-count
-    * heuristic mis-measures joins (they report their leaves' files, so a
-    * well-partitioned 200-partition join over a 1-file scan would get a
-    * pointless full re-shuffle). Cost is one physical planning of the
-    * frame — no job runs — which the avoided misplaced shuffle dwarfs. */
+  /** Heavy per-row hashing over a small-file SCAN would otherwise run in
+    * one task (a single small parquet file = one input partition) —
+    * spread it across the cluster first. For LEAF frames the file
+    * listing is the right signal (cheap — the file index already holds
+    * it); this helper is only ever called on scans of the documents
+    * table. Derived frames (joins) must NOT use this: their inputFiles
+    * report leaf files (mis-measuring a well-partitioned join), and
+    * probing their RDD partition count under AQE materializes query
+    * stages during planning. For those, callers repartition explicitly
+    * (see jaccardVerify). */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Exact dedup: keep the lowest-id document per identical text digest.
@@ -105,9 +106,14 @@ object TextDedup {
                     shingleN: Int = 3): DataFrame = {
     val sh = spread(docs).select(col(idCol),
       HashExprs.shingles(docs.sparkSession, col(textCol), shingleN).as("sh"))
-    // pairs often arrive in 1-2 partitions (LSH join / cross join output);
-    // the per-pair set intersection is the expensive part — spread it.
-    spread(pairs)
+    // pairs often arrive in 1-2 partitions (a coalesced LSH join / cross
+    // join output) and the per-pair set intersection is the expensive
+    // part — ALWAYS spread them. Unconditional: measuring a derived
+    // frame's real partition count under AQE would materialize its
+    // stages during planning, and the pair set is post-LSH bounded, so
+    // the round-robin shuffle is linear and modest next to the
+    // verification it parallelizes.
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
