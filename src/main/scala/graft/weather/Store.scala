@@ -41,16 +41,25 @@ object Store {
     *
     * `distributeBy` spreads each day's rows over extra shuffle keys so a
     * large day is written by many tasks (AQE coalesces small batches back
-    * to few); default keeps one shuffle partition per day. */
+    * to few); default keeps one shuffle partition per day. Rows are
+    * SORTED by `distributeBy` within each write task: parquet row-group
+    * min/max statistics then form tight, monotone key ranges, so point
+    * and range lookups on those keys skip row groups at the scan — free
+    * layout optimization paid once at write time with a per-task sort. */
   def writeFactPartitioned(df: DataFrame, path: String, tsCol: String = "dt",
-                           distributeBy: Seq[Column] = Nil): Unit =
-    df.withColumn("p_date", to_date(col(tsCol)))
+                           distributeBy: Seq[Column] = Nil): Unit = {
+    val dated = df.withColumn("p_date", to_date(col(tsCol)))
       .repartition(col("p_date") +: distributeBy: _*)
-      .write
+    val laidOut =
+      if (distributeBy.nonEmpty)
+        dated.sortWithinPartitions(col("p_date") +: distributeBy: _*)
+      else dated
+    laidOut.write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_date")
       .mode("overwrite")
       .parquet(path)
+  }
 
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("p_date")

@@ -196,6 +196,31 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 5)
   }
 
+  test("merged facts are written key-sorted within files (row-group pruning layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    // write through the merge path (which passes keys as distributeBy),
+    // with ids deliberately shuffled in the input
+    val rows = Seq(5L, 1L, 4L, 2L, 3L, 9L, 7L, 6L, 8L, 0L)
+      .map(i => (i, ts("2025-11-26 04:00:00"), i.toDouble))
+      .toDF("city_id", "dt", "temp")
+    Store.mergeFactLastWins(rows, dir, keys)
+    // each data file must be internally sorted by the merge keys
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "p_date=2025-11-26"))
+      .iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .map(_.toString).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("city_id").as[Long].collect().toSeq
+      assert(ids === ids.sorted, s"file $f not key-sorted: $ids")
+    }
+  }
+
   test("library writes/reads leave session confs untouched (hygiene)") {
     val overwriteBefore = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     val dir = java.nio.file.Files.createTempDirectory("graft_conf").toString
