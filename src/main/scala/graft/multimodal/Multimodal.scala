@@ -171,6 +171,35 @@ object Multimodal {
       .groupBy(col("content_hash"))
       .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Load on-disk media files as Asset rows through Spark's built-in
+    * `binaryFile` source — the production ingestion path for multimodal
+    * data: each file becomes one row (path, length, content) read
+    * split-free by executors, so a directory tree of millions of images
+    * fans out across the cluster with no driver involvement. Media type
+    * is inferred from the extension; intrinsic metadata (width,
+    * duration) stays unset until decode fills it. Asset ids are the
+    * path hash — stable across reloads, independent of listing order. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*"): Dataset[Asset] = {
+    implicit val enc = Encoders.product[Asset]
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mediaType = when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg", "m4a"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv", "webm", "mov"), "video")
+      .otherwise("binary")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        mediaType.as("media_type"),
+        col("content").as("payload"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"))
+      .as[Asset]
+  }
+
   /** Deterministic synthetic asset table for tests/bench — payload bytes
     * derived from the id (same content ⇒ same features ⇒ dedup works). */
   def syntheticAssets(spark: SparkSession, n: Int, dupEvery: Int = 10): Dataset[Asset] = {

@@ -65,6 +65,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(f => java.util.Arrays.equals(f.payload, again((f.asset_id, f.frame_idx)))))
   }
 
+  test("fromBinaryFiles loads a directory of media as typed Asset rows") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("photo.JPG", Array[Byte](1, 2, 3, 4))
+    put("clip.mp4", Array[Byte](5, 6))
+    put("notes.bin", Array[Byte](7))
+
+    val assets = Multimodal.fromBinaryFiles(spark, dir.toString).collect()
+    assert(assets.length === 3)
+    val byType = assets.map(a => a.media_type).sorted.toSeq
+    assert(byType === Seq("binary", "image", "video"))
+    assert(assets.map(_.asset_id).distinct.length === 3)
+    val img = assets.find(_.media_type == "image").get
+    assert(img.payload.toSeq === Seq[Byte](1, 2, 3, 4)) // bytes verbatim
+    // ids are stable across reloads
+    val again = Multimodal.fromBinaryFiles(spark, dir.toString).collect()
+    assert(assets.map(_.asset_id).sorted.toSeq === again.map(_.asset_id).sorted.toSeq)
+    // and the loaded assets flow through the feature pipeline unchanged
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinaryFiles(spark, dir.toString)).collect()
+    assert(feats.length === 3 && feats.forall(_.features.length === 16))
+  }
+
   test("sampleFrames clamps corrupt durations instead of overflowing") {
     implicit val s = spark
     import spark.implicits._
