@@ -178,9 +178,11 @@ object Multimodal {
     * fans out across the cluster with no driver involvement. Media type
     * is inferred from the extension; intrinsic metadata (width,
     * duration) stays unset until decode fills it. Asset ids are the
-    * path hash — stable across reloads, independent of listing order. */
+    * path hash — stable across reloads, independent of listing order.
+    * `recursive` (default true) descends non-partition subdirectories —
+    * media trees are rarely flat; pass false to read only `dir` itself. */
   def fromBinaryFiles(spark: SparkSession, dir: String,
-                      glob: String = "*"): Dataset[Asset] = {
+                      glob: String = "*", recursive: Boolean = true): Dataset[Asset] = {
     implicit val enc = Encoders.product[Asset]
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val mediaType = when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "webp"), "image")
@@ -189,6 +191,7 @@ object Multimodal {
       .otherwise("binary")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
       .load(dir)
       .select(
         xxhash64(col("path")).as("asset_id"),

@@ -32,6 +32,25 @@ object Http {
     * response was obtained (connect/read failure, `error` set). */
   final case class Fetched(url: String, status: Int, body: String, error: String)
 
+  /** JSON string-literal escaping for the synthesized error envelope.
+    * Exception messages routinely carry newlines and other control
+    * characters; an envelope that fails `from_json` would lose its
+    * cod/message detail in the quarantine channel, so every char below
+    * 0x20 is escaped (\n, \r, \t named; the rest as \u00XX). */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   def fetchOne(url: String, connectTimeoutMs: Int = 5000,
                readTimeoutMs: Int = 10000): Fetched =
     try {
@@ -90,8 +109,7 @@ object Http {
           // truncated 200 (empty body) would sail through the status gate
           // and merge a row of nulls into the fact
           val cod = if (f.status == 200) "empty_body" else f.status.toString
-          val msg = Option(f.error).getOrElse(s"http ${f.status}")
-            .replace("\\", "\\\\").replace("\"", "\\\"")
+          val msg = jsonEscape(Option(f.error).getOrElse(s"http ${f.status}"))
           s"""{"cod":"$cod","message":"$msg"}"""
         }
       }

@@ -53,6 +53,20 @@ final case class JdbcMergeSink(
     p
   }
 
+  /** Table names in the driver-issued MERGE/DROP must match the objects
+    * Spark's `write.jdbc` created, and Spark interpolates `dbtable` raw
+    * (so unquoted simple names fold per the DB's rules). Quoting a
+    * simple name here would break that match on fold-sensitive dialects
+    * (Derby/Postgres fold unquoted names), so: simple identifier parts
+    * stay raw, anything else (reserved word with symbols, spaces, dots
+    * inside quotes) is quoted with the dialect helper per dot-part —
+    * which also closes the injection surface for config-supplied names. */
+  private def quoteTable(dialect: org.apache.spark.sql.jdbc.JdbcDialect, name: String): String =
+    name.split('.').map { part =>
+      if (part.matches("[A-Za-z_][A-Za-z0-9_]*")) part
+      else dialect.quoteIdentifier(part)
+    }.mkString(".")
+
   private def merge(updates: DataFrame, keys: Seq[String], updateOnMatch: Boolean): Unit = {
     require(keys.nonEmpty, "JdbcMergeSink: merge keys must be non-empty")
     val dialect = JdbcDialects.get(url)
@@ -83,7 +97,7 @@ final case class JdbcMergeSink(
         if (updateOnMatch && nonKeys.nonEmpty) s" WHEN MATCHED THEN UPDATE SET $setClause"
         else ""
       val mergeSql =
-        s"MERGE INTO $table t USING $stage s ON $on$whenMatched" +
+        s"MERGE INTO ${quoteTable(dialect, table)} t USING ${quoteTable(dialect, stage)} s ON $on$whenMatched" +
           s" WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
 
       val conn: Connection = DriverManager.getConnection(url, props)
@@ -108,7 +122,7 @@ final case class JdbcMergeSink(
       val conn = DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $stage")
+        try st.executeUpdate(s"DROP TABLE ${quoteTable(JdbcDialects.get(url), stage)}")
         finally st.close()
       } finally conn.close()
     } catch { case _: java.sql.SQLException => () } // never created / already gone

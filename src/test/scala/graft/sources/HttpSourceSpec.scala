@@ -94,6 +94,21 @@ class HttpSourceSpec extends AnyFunSuite {
     assert(r.fact.count() === 1) // no null-keyed row merged
   }
 
+  test("error envelope stays valid JSON when the failure message has control chars") {
+    val gnarly = "line one\nline two\ttab bell \"quoted\" back\\slash"
+    val escaped = Http.jsonEscape(gnarly)
+    val envelope = s"""{"cod":"-1","message":"$escaped"}"""
+    // the envelope must round-trip through the same parser the status
+    // gate uses — a parse failure here loses cod/message in quarantine
+    import spark.implicits._
+    val parsed = Seq(envelope).toDF("payload")
+      .select(from_json(col("payload"), lit("cod STRING, message STRING")).as("j"))
+      .select("j.cod", "j.message")
+      .collect()(0)
+    assert(parsed.getString(0) === "-1")
+    assert(parsed.getString(1) === gnarly)
+  }
+
   test("delayMs spaces requests within a partition (ST4 rate limit)") {
     import spark.implicits._
     hits.clear()
