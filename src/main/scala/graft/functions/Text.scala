@@ -184,6 +184,31 @@ object Text {
       .otherwise(array())
   }
 
+  /** All word n-grams of a document, duplicates KEPT (contrast
+    * [[shingles]], which dedups) — the unit of the within-document
+    * repetition measure. Documents shorter than n words yield an empty
+    * list. */
+  def ngramList(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition ratio (the Gopher-style repeated-n-gram
+    * quality rule): fraction of the document's word n-grams that are
+    * duplicates of another occurrence, `1 − distinct/total` in [0,1).
+    * 0.0 when the document has no n-grams. Bit-deterministic across
+    * engines: one integer-exact division, no libm. Narrow per-row
+    * transform — pipelines with the scan, no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val g = ngramList(text, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
   /** Word n-gram shingles as a distinct set — the unit of Jaccard
     * similarity and MinHash. Short documents (< n words) fall back to the
     * whole-token set so they still participate. */

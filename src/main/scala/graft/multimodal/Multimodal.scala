@@ -210,7 +210,10 @@ object Multimodal {
     spark.range(n.toLong).map { i0 =>
       val i: Long = i0
       val src: Long = if (dupEvery > 0 && i % dupEvery == 0) 0L else i
-      val payload = Array.tabulate[Byte](64)(j => ((src * 131 + j * 7) % 251).toByte)
+      // LCG stream seeded by src: distinct ids get distinct payloads (a
+      // modular formula here silently collides at its period — src and
+      // src+251 would alias, planting duplicates the tests didn't ask for)
+      val payload = lcgBytes(src * 1000003L + 17L, 64)
       val mt = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
       // videos carry a duration so the frame-sampling generator has a
       // real fan-out to exercise

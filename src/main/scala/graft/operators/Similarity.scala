@@ -102,15 +102,27 @@ object Similarity {
   /** IVF (inverted-file) ANN — the second index family next to SRP-LSH:
     * k-means centroids partition the space into cells; the corpus lives in
     * its nearest cell, queries probe their `nProbe` nearest cells, exact
-    * cosine re-ranks inside. Training cost is one pass over (a sample of)
-    * the corpus; at 100 TB you fit on a sample and broadcast the
-    * centroids — here they ship inside the NearestCells expression.
-    * Returns (model cells reused across calls via `ivfCentroids`). */
+    * cosine re-ranks inside.
+    *
+    * Training is the standard fit-on-a-sample IVF recipe: a BOUNDED
+    * sample (`maxSample` rows) is collected to the driver and clustered
+    * with k-means++-seeded Lloyd's locally. At 100 TB the sample is still
+    * `maxSample` rows — training cost is flat in corpus size — and the
+    * resulting centroids broadcast inside the NearestCells expression.
+    * (A distributed fit would shuffle the whole corpus through an ML
+    * pipeline to compute what a 4096-row sample determines just as well;
+    * per-fit job overhead dominated q40's bench time by ~3×.) Pass a
+    * deterministically-ordered corpus (e.g. sorted by id) for
+    * reproducible centroids. */
   def ivfCentroids(corpus: DataFrame, nCells: Int, dim: Int,
-                   vecCol: String = "embedding", seed: Long = 42L): Array[Double] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+                   vecCol: String = "embedding", seed: Long = 42L,
+                   maxSample: Int = 4096): Array[Double] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
     // degenerate corpora (fewer vectors than cells, or empty) can't train
     // k-means — fall back to a single zero cell: every vector lands in
     // cell 0 and the search degrades to brute force within it. Remaining
@@ -124,13 +136,87 @@ object Similarity {
       }
       out
     }
-    if (train.limit(nCells).count() < nCells) {
-      padded(Array(new Array[Double](dim)))
-    } else {
-      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
-      // KMeans may converge to fewer than k distinct centers
-      padded(model.clusterCenters.map(_.toArray))
+    if (sample.length < nCells) padded(Array(new Array[Double](dim)))
+    else padded(lloyds(sample, nCells, seed))
+  }
+
+  /** Driver-local Lloyd's over the bounded sample: k-means++ seeding,
+    * fixed iteration cap, empty cells re-seeded to the farthest point.
+    * Deterministic given (sample order, seed). */
+  private def lloyds(points: Array[Array[Double]], k: Int, seed: Long,
+                     maxIter: Int = 20): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
     }
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0; var total = 0.0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD2(i)) minD2(i) = d
+        total += minD2(i); i += 1
+      }
+      var pick = rnd.nextDouble() * total
+      var j = 0
+      while (j < n - 1 && pick > minD2(j)) { pick -= minD2(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+    val assign = Array.fill(n)(-1)
+    var iter = 0; var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = d2(points(i), centers(0)); var cc = 1
+        while (cc < k) {
+          val d = d2(points(i), centers(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) == 0) {
+          // re-seed an empty cell to the point farthest from its center
+          var far = 0; var farD = -1.0; var ii = 0
+          while (ii < n) {
+            val d = d2(points(ii), centers(assign(ii)))
+            if (d > farD) { farD = d; far = ii }
+            ii += 1
+          }
+          centers(cc) = points(far).clone()
+          moved = true
+        } else {
+          var j = 0
+          while (j < dim) { sums(cc)(j) /= counts(cc); j += 1 }
+          centers(cc) = sums(cc)
+        }
+        cc += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int, nProbe: Int,

@@ -81,6 +81,35 @@ object TextImpl {
     else UTF8String.fromString("und")
   }
 
+  /** Within-document repetition ratio, semantics identical to the HOF
+    * reference graft.functions.Text.repetitionRatio (which the spec
+    * cross-checks bitwise): 1 − distinct/total over the document's word
+    * n-grams with duplicates kept; 0.0 when the document has fewer than
+    * n words. One pass to tokenize, one windowed pass to hash grams —
+    * no intermediate arrays of grams survive the loop. */
+  def repetitionRatio(text: UTF8String, n: Int): Double = {
+    val toks = new java.util.ArrayList[String]()
+    eachToken(text)(t => { toks.add(t); () })
+    val total = toks.size - (n - 1)
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    var distinct = 0
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    1.0 - distinct.toDouble / total
+  }
+
   /** 64-bit rolling-hash fingerprint, semantics identical to the UDF
     * reference graft.functions.Text.fingerprint: lowercase, trim, collapse
     * `\s+` runs to one space, then Karp-Rabin base-31 with silent 64-bit
@@ -164,6 +193,19 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
 }
 
+/** RepetitionRatio: the codegen fast path for Text.repetitionRatio
+  * (whose HOF formulation stays as the independent reference the spec
+  * compares against — the HOF path is interpreted and re-evaluates its
+  * gram list per reference, ~50× slower at corpus scale). */
+case class RepetitionRatio(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.repetitionRatio(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextImpl.repetitionRatio($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionRatio = copy(child = c)
+}
+
 object TextExprs {
   import graft.functions.Text
 
@@ -171,6 +213,9 @@ object TextExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_token_stats",
       exprs => TokenStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_repetition",
+      exprs => RepetitionRatio(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_stopword_stats",
       exprs => StopwordStats(exprs.head, Text.englishStopwords), "built-in")
     reg.createOrReplaceTempFunction("graft_lang_id",
@@ -190,5 +235,9 @@ object TextExprs {
   }
   def fingerprint(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("graft_fingerprint", c)
+  }
+  def repetitionRatio(spark: org.apache.spark.sql.SparkSession, c: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_repetition", c, org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -28,7 +28,13 @@ object Probes {
   final case class Probe(
       name: String,
       run: (SparkSession, String) => DataFrame,
-      oracle: Option[String]
+      oracle: Option[String],
+      // What Bench times when it differs from the gate query: the five
+      // approximate-operator probes wrap the operator in a self-oracle
+      // audit (bounded exact truth + invariant booleans) for the
+      // correctness gate; benchmarking that harness would hide operator
+      // regressions behind audit cost, so Bench runs the raw operator.
+      benchRun: Option[(SparkSession, String) => DataFrame] = None
   )
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
@@ -830,17 +836,68 @@ object Probes {
            |GROUP BY label, i ORDER BY label, dim""".stripMargin)
   )
 
-  /** MinHash+LSH near-dup pipeline (shingle → signature → band join →
-    * exact Jaccard ≥ 0.5). Not ANSI-SQL-expressible with matching hashes →
-    * rows-only check; correctness covered by q28's exact-Jaccard oracle +
-    * the ScalaTest recall spec. */
+  /** MinHash+LSH near-dup pipeline, self-oracled: the hash family isn't
+    * ANSI-expressible, so the probe runs the FULL pipeline (shingle →
+    * signature → band join → exact-Jaccard verify ≥ 0.5, unbounded ids)
+    * and then checks its defining invariants against an independently
+    * computed exact truth set on a bounded id range — whose size is the
+    * one number DuckDB recomputes from scratch (real cross-engine check):
+    *  - n_true_pairs: |{(a,b): a<b<300, J(a,b) ≥ 0.5}|;
+    *  - ok_verified:  no emitted pair is below the threshold (the verify
+    *    stage can never pass a false positive);
+    *  - ok_subset:    bounded LSH pairs ⊆ the exact truth set;
+    *  - ok_recall:    ≥ 80% of bounded truth pairs found (measured 1.0 at
+    *    sf0.001/0.01/0.1; banding 12×4 misses <4% per pair at J=0.7). */
   val minhashNearDup = Probe(
     "q27_minhash_neardup",
-    (s, d) =>
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lsh = TextDedup.minhashNearDups(docs, threshold = 0.5, bands = 12, rows = 4)
+      val bdocs = docs.filter(col("doc_id") < 300)
+      val ids = bdocs.select(col("doc_id").as("id_a"))
+        .crossJoin(bdocs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val truth = TextDedup.jaccardVerify(ids, bdocs)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val lshB = lsh.filter(col("id_a") < 300 && col("id_b") < 300)
+        .select("id_a", "id_b")
+      val truthAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val hitAgg = truth.join(lshB, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__n_hit"))
+      val violAgg = lshB.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__n_viol"))
+      val verifAgg = lsh.agg(min(col("jaccard")).as("__min_j"))
+      truthAgg.crossJoin(hitAgg).crossJoin(violAgg).crossJoin(verifAgg)
+        .select(
+          col("n_true_pairs"),
+          coalesce(col("__min_j") >= 0.5, lit(true)).as("ok_verified"),
+          (col("__n_viol") === 0).as("ok_subset"),
+          (col("n_true_pairs") === 0 ||
+            col("__n_hit") >= col("n_true_pairs") * 0.8).as("ok_recall"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |SELECT count(*) AS n_true_pairs, true AS ok_verified,
+           |       true AS ok_subset, true AS ok_recall
+           |FROM p WHERE jaccard >= 0.5""".stripMargin),
+    benchRun = Some((s, d) =>
       TextDedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5, bands = 12, rows = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b"),
-    None
+        .orderBy("id_a", "id_b"))
   )
 
   /** Exact n-gram Jaccard near-dup pairs on a bounded id range — the
@@ -895,22 +952,63 @@ object Probes {
           (HashExprs.simhash62(s, t) === Text.simhash62Ref(t)).as("ok"))
         .orderBy("doc_id")
     },
-    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
+    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id"),
+    benchRun = Some((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          HashExprs.simhash62(s, coalesce(col("text"), lit(""))).as("simhash"))
+        .orderBy("doc_id"))
   )
 
-  /** LSH-bucketed ANN: nearest in-bucket neighbor per vector (the
-    * linear-shuffle scale path; brute-force q25 is its exact baseline). */
+  /** LSH-bucketed ANN, self-oracled: the full scale path runs (every
+    * vector queries the bucketed index), then its output is audited
+    * against an in-query exact brute-force top-1 on a bounded query set.
+    * DuckDB recomputes the bounded query count; the booleans assert:
+    *  - ok_never_above_exact: an approximate neighbor's similarity can
+    *    never exceed the true nearest neighbor's (catches any sim-math
+    *    or ranking drift between the two paths);
+    *  - ok_found: ≥95% of bounded queries got an in-bucket neighbor
+    *    (measured ≥0.996 at sf0.001/0.01/0.1);
+    *  - ok_recall1: recall@1 ≥ 1% (measured 0.03–0.07 — 64 buckets over
+    *    a near-uniform synthetic corpus is recall-poor by design; the
+    *    multi-probe and IVF variants are the recall levers). */
   val annLsh = Probe(
     "q30_ann_lsh",
     (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lsh = Similarity
+        .lshTopK(emb, emb.select(col("vec_id").as("query_id"), col("embedding")), k = 1,
+          bits = 6, dim = 64)
+        .select(col("query_id"), col("sim").as("__lsh_sim"))
+      val bq = emb.filter(col("vec_id") < 300)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, bq, k = 1)
+        .select(col("query_id"), col("sim").as("__exact_sim"))
+      exact.join(lsh, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("__lsh_sim")).as("__n_found"),
+          coalesce(sum(when(col("__lsh_sim") > col("__exact_sim") + 1e-9, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_viol"),
+          coalesce(sum(when(col("__lsh_sim") >= col("__exact_sim") - 1e-9, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_hit1"))
+        .select(
+          col("n_queries"),
+          (col("__n_viol") === 0).as("ok_never_above_exact"),
+          (col("__n_found") >= col("n_queries") * 0.95).as("ok_found"),
+          (col("__n_hit1") >= col("n_queries") * 0.01).as("ok_recall1"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_never_above_exact,
+           |       true AS ok_found, true AS ok_recall1
+           |FROM embeddings WHERE vec_id < 300""".stripMargin),
+    benchRun = Some { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity
         .lshTopK(emb, emb.select(col("vec_id").as("query_id"), col("embedding")), k = 1,
           bits = 6, dim = 64)
         .select(col("query_id"), col("vec_id").as("nn_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id")
-    },
-    None
+    }
   )
 
   /** Fingerprint self-oracle: wrapping 64-bit arithmetic isn't
@@ -926,7 +1024,12 @@ object Probes {
           (graft.plans.TextExprs.fingerprint(s, t) === Text.fingerprint(t)).as("ok"))
         .orderBy("doc_id")
     },
-    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id")
+    Some("SELECT doc_id, true AS ok FROM documents ORDER BY doc_id"),
+    benchRun = Some((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.TextExprs.fingerprint(s, coalesce(col("text"), lit(""))).as("fp"))
+        .orderBy("doc_id"))
   )
 
   /** Composite quality score — oracled end-to-end (saturating length,
@@ -968,7 +1071,12 @@ object Probes {
           (graft.plans.TextExprs.langId(s, t) === Text.langId(t)).as("ok"))
         .orderBy("doc_id")
     },
-    Some("SELECT doc_id, lang, true AS ok FROM documents ORDER BY doc_id")
+    Some("SELECT doc_id, lang, true AS ok FROM documents ORDER BY doc_id"),
+    benchRun = Some((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.TextExprs.langId(s, coalesce(col("text"), lit(""))).as("lang_pred"))
+        .orderBy("doc_id"))
   )
 
   /** ST-surface (batch-equivalent of the streaming tumbling-window agg —
@@ -1009,7 +1117,11 @@ object Probes {
           / col("exact_orders") < 0.15).as("ok_orders")),
     Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
            |  count(DISTINCT l_orderkey) AS exact_orders,
-           |  true AS ok_parts, true AS ok_orders FROM lineitem""".stripMargin)
+           |  true AS ok_parts, true AS ok_orders FROM lineitem""".stripMargin),
+    benchRun = Some((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")))
   )
 
   /** Multi-row generator (§2.10): document → fixed-size word chunks via
@@ -1034,20 +1146,51 @@ object Probes {
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
   )
 
-  /** Multimodal plumbing probe: deterministic synthetic binary assets →
-    * partition-local feature extraction (decode stubbed) → content-hash
-    * dedup stats. Rows-only (binary payloads + engine-internal hash). */
+  /** Multimodal plumbing probe, self-oracled: deterministic synthetic
+    * binary assets → partition-local feature extraction (decode stubbed).
+    * The generator's id→metadata mapping (media type cycle, payload
+    * length) is plain arithmetic DuckDB reproduces over `range(1000)` —
+    * a real cross-engine check that the binary column survived the
+    * mapPartitions batch path with its row identity intact — while the
+    * engine-internal values are asserted as invariants:
+    *  - ok_dedup: content hash AND stub feature vector match asset 0's
+    *    exactly when the generator planted a duplicate (every 10th id);
+    *  - ok_features: the stub decoder emitted `dim`=16 floats in [-1,1). */
   val multimodalFeatures = Probe(
     "q37_multimodal",
     (s, d) => {
       implicit val spark = s
       import graft.multimodal.Multimodal
-      val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 1000, dupEvery = 10))
-      feats.toDF()
-        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_hash"))
+      val feats = Multimodal
+        .extractFeatures(Multimodal.syntheticAssets(s, 1000, dupEvery = 10))
+        .toDF()
+      val zero = feats.filter(col("asset_id") === 0)
+        .select(col("content_hash").as("__h0"), col("features").as("__f0"))
+      feats.crossJoin(broadcast(zero))
+        .select(
+          col("asset_id"), col("media_type"), col("n_bytes"),
+          (((col("content_hash") === col("__h0")) === (col("asset_id") % 10 === 0)) &&
+            ((col("features") === col("__f0")) === (col("asset_id") % 10 === 0))).as("ok_dedup"),
+          (size(col("features")) === 16 &&
+            array_min(col("features")) >= -1.0 &&
+            array_max(col("features")) < 1.0).as("ok_features"))
         .orderBy("asset_id")
     },
-    None
+    Some("""SELECT i AS asset_id,
+           |  CASE WHEN i % 3 = 0 THEN 'image'
+           |       WHEN i % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS media_type,
+           |  CAST(64 AS BIGINT) AS n_bytes,
+           |  true AS ok_dedup, true AS ok_features
+           |FROM range(0, 1000) t(i) ORDER BY asset_id""".stripMargin),
+    benchRun = Some { (s, d) =>
+      implicit val spark = s
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(s, 1000, dupEvery = 10))
+        .toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("content_hash"))
+        .orderBy("asset_id")
+    }
   )
 
   /** IVF ANN (second index family next to SRP-LSH): k-means cells +
@@ -1076,10 +1219,51 @@ object Probes {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF ANN, self-oracled: train + search run in full (k=3, 3 of 8
+    * cells probed), then the output is audited against an in-query exact
+    * top-1 and its own top-k contract. DuckDB recomputes the query
+    * count; booleans assert (thresholds hold with wide margin at
+    * sf0.001/0.01/0.1 — measured recall@1 0.62–0.88, found 1.0):
+    *  - ok_never_above_exact: rank-1 IVF sim ≤ true NN sim (+ rounding);
+    *  - ok_found / ok_recall1: ≥95% answered, recall@1 ≥ 40%;
+    *  - ok_topk_shape: per query, ranks are exactly 1..n with n ≤ k. */
   val annIvf = Probe(
     "q40_ann_ivf",
-    (s, d) => ivfSearchStage(s, d, ivfTrainStage(s, d)),
-    None
+    (s, d) => {
+      val out = ivfSearchStage(s, d, ivfTrainStage(s, d))
+      val emb = Tables.embeddings(s, d)
+      val bq = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, bq, k = 1)
+        .select(col("query_id"), col("sim").as("__exact_sim"))
+      val top1 = out.filter(col("rnk") === 1)
+        .select(col("query_id"), col("sim").as("__ivf_sim"))
+      // out.sim is binRound'ed to 4 decimals → compare with 1e-4 slack
+      val audit = exact.join(top1, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("__ivf_sim")).as("__n_found"),
+          coalesce(sum(when(col("__ivf_sim") > col("__exact_sim") + 1e-4, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_viol"),
+          coalesce(sum(when(col("__ivf_sim") >= col("__exact_sim") - 1e-4, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_hit1"))
+      val shape = out.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rnk")).as("__minr"), max(col("rnk")).as("__maxr"))
+        .agg(coalesce(sum(when(
+          col("__n") === col("__maxr") && col("__minr") === 1 && col("__maxr") <= 3, 0L)
+          .otherwise(1L)), lit(0L)).as("__n_bad_shape"))
+      audit.crossJoin(shape)
+        .select(
+          col("n_queries"),
+          (col("__n_viol") === 0).as("ok_never_above_exact"),
+          (col("__n_found") >= col("n_queries") * 0.95).as("ok_found"),
+          (col("__n_hit1") >= col("n_queries") * 0.4).as("ok_recall1"),
+          (col("__n_bad_shape") === 0).as("ok_topk_shape"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_never_above_exact,
+           |       true AS ok_found, true AS ok_recall1, true AS ok_topk_shape
+           |FROM embeddings WHERE vec_id < 50""".stripMargin),
+    benchRun = Some((s, d) => ivfSearchStage(s, d, ivfTrainStage(s, d)))
   )
 
   /** Embedding-cosine near-dup, exact baseline on a bounded id range —
@@ -1110,18 +1294,58 @@ object Probes {
   )
 
   /** Embedding-cosine near-dup via the SRP-LSH self-join — the scale
-    * path (linear shuffle, no all-pairs). Rows-only: bucket recall is
-    * probabilistic by design; the ScalaTest spec asserts the output is a
-    * SUBSET of q41's exact pairs and measures recall on planted
-    * near-duplicates. */
+    * path (linear shuffle, no all-pairs) — self-oracled against the
+    * bounded exact truth (q41's pair set, recomputed in-query AND by
+    * DuckDB as the cross-engine count):
+    *  - ok_verified: every emitted pair really has cosine ≥ 0.35;
+    *  - ok_subset: bounded LSH pairs ⊆ exact pairs (LSH can only lose
+    *    recall, never fabricate a pair);
+    *  - ok_recall: ≥15% of bounded truth found (measured 0.27–0.34 —
+    *    threshold 0.35 sits far below the bucket-collision sweet spot;
+    *    planted near-dups are the recall target, per the ScalaTest
+    *    spec). */
   val cosineNearDupLsh = Probe(
     "q42_cosine_neardup_lsh",
-    (s, d) =>
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lsh = Similarity.cosineNearDups(emb, threshold = 0.35, bits = 4, dim = 64, nProbe = 3)
+      val bemb = emb.filter(col("vec_id") < 300)
+      val truth = bemb.select(col("vec_id").as("id_a"), col("embedding").as("__vec_a"))
+        .crossJoin(bemb.select(col("vec_id").as("id_b"), col("embedding").as("__vec_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("__sim", HashExprs.cosine(s, col("__vec_a"), col("__vec_b")))
+        .filter(col("__sim") >= 0.35)
+        .select("id_a", "id_b")
+      val lshB = lsh.filter(col("id_a") < 300 && col("id_b") < 300)
+        .select("id_a", "id_b")
+      val truthAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val hitAgg = truth.join(lshB, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__n_hit"))
+      val violAgg = lshB.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__n_viol"))
+      val verifAgg = lsh.agg(min(col("sim")).as("__min_sim"))
+      truthAgg.crossJoin(hitAgg).crossJoin(violAgg).crossJoin(verifAgg)
+        .select(
+          col("n_true_pairs"),
+          coalesce(col("__min_sim") >= 0.35, lit(true)).as("ok_verified"),
+          (col("__n_viol") === 0).as("ok_subset"),
+          (col("n_true_pairs") === 0 ||
+            col("__n_hit") >= col("n_true_pairs") * 0.15).as("ok_recall"))
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |           FROM embeddings WHERE vec_id < 300),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |        list_dot_product(a.v, b.v) /
+           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           |      FROM c a, c b WHERE a.vec_id < b.vec_id)
+           |SELECT count(*) AS n_true_pairs, true AS ok_verified,
+           |       true AS ok_subset, true AS ok_recall
+           |FROM p WHERE sim >= 0.35""".stripMargin),
+    benchRun = Some((s, d) =>
       Similarity.cosineNearDups(Tables.embeddings(s, d),
           threshold = 0.35, bits = 4, dim = 64, nProbe = 3)
         .select(col("id_a"), col("id_b"), binRound(col("sim"), 4).as("sim"))
-        .orderBy("id_a", "id_b"),
-    None
+        .orderBy("id_a", "id_b"))
   )
 
   /** Deterministic hash-split (train/val/test): the exact total is
@@ -1195,12 +1419,70 @@ object Probes {
            |FROM reach GROUP BY id ORDER BY id""".stripMargin)
   )
 
+  /** Within-document repetition ratio (Gopher-style repeated-3-gram
+    * quality rule): 1 − distinct/total over the document's word 3-grams.
+    * Integer-exact division — bit-deterministic, fully oracled. */
+  val repetitionProbe = Probe(
+    "q53_repetition",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          // null text → "" → 0.0, matching the oracle's CASE (the native
+          // expression would null-propagate; see q29)
+          graft.plans.TextExprs.repetitionRatio(s, coalesce(col("text"), lit("")), n = 3)
+            .as("rep_ratio"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+           |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |  CASE WHEN len(wl) >= 3 THEN
+           |    list_transform(range(1, len(wl) - 1),
+           |      i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+           |  ELSE CAST([] AS VARCHAR[]) END AS gr
+           |  FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN len(gr) > 0 THEN
+           |    CAST(1 AS DOUBLE) - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr)
+           |  ELSE 0.0 END AS rep_ratio
+           |FROM g ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Corpus TF-IDF top terms per document (linear idf — see
+    * CorpusStats.tfidfTopTerms for why log idf can never gate): the
+    * corpus-level term-salience operator. Bounded to doc_id < 100 so the
+    * result stays a readable sample; tf/df/N are computed over the FULL
+    * corpus on both engines. */
+  val tfidfProbe = Probe(
+    "q54_tfidf_topterms",
+    (s, d) =>
+      graft.operators.CorpusStats.tfidfTopTerms(Tables.documents(s, d), k = 3)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "rnk"),
+    Some("""WITH t AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> len(x) > 0)) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |s AS (SELECT doc_id, term, tf, df,
+           |        CAST(tf * n AS DOUBLE) / df AS score
+           |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+           |r AS (SELECT *, row_number() OVER
+           |        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+           |      FROM s)
+           |SELECT doc_id, term, tf, df, score, rnk
+           |FROM r WHERE rnk <= 3 AND doc_id < 100
+           |ORDER BY doc_id, rnk""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
-    hashSplit, dedupClustersProbe
+    hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

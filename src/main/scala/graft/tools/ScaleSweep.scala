@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Similarity, TextDedup}
+import graft.sources.Tables
+
+/** Dev tool: operator-family scaling sweep. Replicates the sf0.1 corpus
+  * 1x/4x/16x (ids offset per replica; document text salted per replica so
+  * near-dup cluster sizes stay constant instead of multiplying) and times
+  * one representative query per operator family at each level.
+  *
+  * The point is the CURVE, not the absolute numbers: an operator whose
+  * plan is linear shows ~4x time per 4x data (minus fixed job overhead);
+  * anything super-linear is a scale bug. Results feed SCALING.md.
+  *
+  * Usage: runMain graft.tools.ScaleSweep [baseSfDir] [workDir]
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val baseSf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val reps = Seq(1, 4, 16)
+    val spark = graft.GraftSession.getOrCreate("graft-scale-sweep")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val KEY_OFF = 100000000L // beyond any base key
+
+    def prep(rep: Int): String = {
+      val dir = s"$workDir/x$rep"
+      val done = new java.io.File(s"$dir/_DONE")
+      if (!done.exists()) {
+        def rpl(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+          val base = spark.read.parquet(s"$baseSf/$name.parquet")
+          (0 until rep).map(i => shift(base, i)).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        }
+        rpl("lineitem", (df, i) => df
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * KEY_OFF)))
+        rpl("orders", (df, i) => df
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * KEY_OFF))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * KEY_OFF)))
+        rpl("documents", (df, i) => df
+          .withColumn("doc_id", col("doc_id") + lit(i * KEY_OFF))
+          // salt text per replica: near-dup structure repeats per replica
+          // instead of every replica duplicating every other (which would
+          // grow candidate pairs quadratically in rep and measure a
+          // different workload, not the same one scaled)
+          .withColumn("text",
+            when(lit(i) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(s" replica$i")))))
+        rpl("embeddings", (df, i) => df
+          .withColumn("vec_id", col("vec_id") + lit(i * KEY_OFF)))
+        done.createNewFile()
+      }
+      dir
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def timeMed(body: => Unit, iters: Int = 3): Double = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(iters / 2)
+    }
+
+    for (rep <- reps) {
+      val d = prep(rep)
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val o = spark.read.parquet(s"$d/orders.parquet")
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val nLi = li.count(); val nDocs = docs.count(); val nEmb = emb.count()
+
+      val ops: Seq[(String, () => Unit)] = Seq(
+        "agg_groupby" -> (() => noop(
+          li.groupBy("l_returnflag", "l_linestatus")
+            .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+              avg("l_extendedprice").as("p"), count(lit(1)).as("n")))),
+        "join_shuffle" -> (() => noop(
+          o.join(li, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s")))),
+        "window_latest" -> (() => noop(
+          o.withColumn("rn", row_number().over(
+              Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc,
+                col("o_orderkey").desc)))
+            .filter(col("rn") === 1))),
+        "dedup_exact" -> (() => noop(TextDedup.exact(docs))),
+        "dedup_minhash" -> (() => noop(
+          TextDedup.minhashNearDups(docs, threshold = 0.5, bands = 12, rows = 4))),
+        "ann_lsh_300q" -> (() => noop(
+          Similarity.lshTopK(emb,
+            emb.filter(col("vec_id") < 300)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 1, bits = 6, dim = 64))),
+        "tfidf_topterms" -> (() => noop(CorpusStats.tfidfTopTerms(docs, k = 3)))
+      )
+      ops.foreach { case (tag, body) =>
+        body() // warm: codegen + parquet footers out of the measurement
+        val s = timeMed(body())
+        println(f"""SWEEP {"op":"$tag","rep":$rep,"sec":$s%.3f,""" +
+          s""""rows_li":$nLi,"rows_docs":$nDocs,"rows_emb":$nEmb}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -66,4 +66,38 @@ class TextSpec extends AnyFunSuite {
     assert(one("the dog", Text.stopwordRatio($"t")) === 0.5)
     assert(one("", Text.stopwordRatio($"t")) === 0.0)
   }
+
+  test("repetitionRatio: hand-computed duplicate 3-gram fractions") {
+    // "a b c a b c a b" → 3-grams: [a b c, b c a, c a b, a b c, b c a, c a b]
+    // 6 total, 3 distinct → ratio 0.5
+    assert(one("a b c a b c a b", Text.repetitionRatio($"t", 3)) === 0.5)
+    // all distinct grams → 0.0
+    assert(one("a b c d e", Text.repetitionRatio($"t", 3)) === 0.0)
+    // shorter than n words → no grams → 0.0, not null/NaN
+    assert(one("a b", Text.repetitionRatio($"t", 3)) === 0.0)
+    assert(one("", Text.repetitionRatio($"t", 3)) === 0.0)
+    // pure repetition: "x x x x" → grams [x x x, x x x] → 1 - 1/2
+    assert(one("x x x x", Text.repetitionRatio($"t", 3)) === 0.5)
+  }
+
+  test("repetitionRatio: native expression agrees bitwise with the HOF reference") {
+    val texts = Seq(
+      "a b c a b c a b", "x x x x", "a b", "", "one two three four five",
+      "the the the cat cat the the the", "  padded   runs\tand\ttabs  x y z x y z")
+    val df = texts.toDF("t")
+    val rows = df.select(
+      Text.repetitionRatio($"t", 3).as("ref"),
+      graft.plans.TextExprs.repetitionRatio(spark, $"t", 3).as("native")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("ngramList keeps duplicates, shingles dedups") {
+    val g = one("a b c a b c a b", Text.ngramList($"t", 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(g.length === 6)
+    assert(g.count(_ == "a b c") === 2)
+    val s = one("a b c a b c a b", Text.shingles($"t", 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(s.length === 3)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // 3-doc corpus with fully hand-checkable tf/df:
+  //   doc 1: "cat dog cat"   → tf: cat 2, dog 1
+  //   doc 2: "dog bird"      → tf: dog 1, bird 1
+  //   doc 3: "cat"           → tf: cat 1
+  // df: cat 2, dog 2, bird 1;  N = 3
+  private def corpus = Seq(
+    (1L, "cat dog cat"),
+    (2L, "dog bird"),
+    (3L, "cat")
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies and documentFrequencies hand-computed") {
+    val tf = CorpusStats.termFrequencies(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tf === Map(
+      (1L, "cat") -> 2L, (1L, "dog") -> 1L,
+      (2L, "dog") -> 1L, (2L, "bird") -> 1L,
+      (3L, "cat") -> 1L))
+    val df = CorpusStats.documentFrequencies(
+      CorpusStats.termFrequencies(corpus)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("cat" -> 2L, "dog" -> 2L, "bird" -> 1L))
+  }
+
+  test("tfidfTopTerms scores and ranks: score = tf*N/df, ties on term asc") {
+    val out = CorpusStats.tfidfTopTerms(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: cat 2*3/2 = 3.0 beats dog 1*3/2 = 1.5
+    assert(out((1L, 1L)) === ("cat", 2L, 2L, 3.0))
+    assert(out((1L, 2L)) === ("dog", 1L, 2L, 1.5))
+    // doc 2: bird 1*3/1 = 3.0 beats dog 1.5
+    assert(out((2L, 1L)) === ("bird", 1L, 1L, 3.0))
+    assert(out((2L, 2L)) === ("dog", 1L, 2L, 1.5))
+    // doc 3: only cat, so k=2 emits a single row
+    assert(out((3L, 1L)) === ("cat", 1L, 2L, 1.5))
+    assert(!out.contains((3L, 2L)))
+  }
+
+  test("empty and null documents yield no term rows but count toward N") {
+    val withEmpty = corpus.union(Seq((4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val out = CorpusStats.tfidfTopTerms(withEmpty, k = 1)
+    assert(out.filter(col("doc_id") >= 4).count() === 0)
+    // N is now 5: doc 3's cat scores 1*5/2 = 2.5
+    val doc3 = out.filter(col("doc_id") === 3).head()
+    assert(doc3.getDouble(4) === 2.5)
+  }
+
+  test("tie on score breaks by term ascending") {
+    val t = Seq((1L, "zeta alpha")).toDF("doc_id", "text")
+    val rows = CorpusStats.tfidfTopTerms(t, k = 2).orderBy("rnk").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("alpha", "zeta"))
+  }
+}

@@ -11,10 +11,14 @@ import graft.SharedSpark
 class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
 
+  /** Plan of the probe's OPERATOR path: benchRun when defined (the
+    * self-oracled probes wrap the operator in an audit whose bounded
+    * exact-truth pass deliberately cross-joins scalar aggregates — the
+    * shape guard is about the operator users run), else the gate query. */
   def planOf(name: String): String = {
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    Probes.all.find(_.name == name).get
-      .run(spark, SharedSpark.sf0001)
+    val p = Probes.all.find(_.name == name).get
+    p.benchRun.getOrElse(p.run)(spark, SharedSpark.sf0001)
       .queryExecution.executedPlan.toString
   }
 
