@@ -184,6 +184,25 @@ object Text {
       .otherwise(array())
   }
 
+  /** PII scrubbing for training corpora: replace e-mail addresses, long
+    * digit runs (phone/account numbers), and IPv4 literals with typed
+    * placeholder tokens. The patterns stay inside the RE2-compatible
+    * subset (no backrefs or lookaround) so the same regexes run
+    * identically on any engine, and `regexp_replace` is codegen'd — a
+    * narrow per-row transform that pipelines with the scan.
+    *
+    * Order matters and is part of the contract: e-mails first (so their
+    * digits aren't half-eaten by the number rule), then IPs (dotted
+    * quads would otherwise match the digit rule per octet), then digit
+    * runs of `minDigits`+. */
+  def redactPii(text: Column, minDigits: Int = 7): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val ip = regexp_replace(email,
+      lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit("<IP>"))
+    regexp_replace(ip, lit(s"[0-9]{$minDigits,}"), lit("<NUM>"))
+  }
+
   /** All word n-grams of a document, duplicates KEPT (contrast
     * [[shingles]], which dedups) — the unit of the within-document
     * repetition measure. Documents shorter than n words yield an empty

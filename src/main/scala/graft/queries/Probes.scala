@@ -1477,12 +1477,68 @@ object Probes {
            |ORDER BY doc_id, rnk""".stripMargin)
   )
 
+  /** Batch face of the stream-stream interval join (ST-surface): the
+    * SAME `Streams.attributedPurchases` plan runs the gate query on the
+    * batch events table (watermarks apply only on streaming inputs);
+    * StreamsSpec replays the events through a real two-stream join and
+    * asserts stream output == this batch output. */
+  val streamAttribution = Probe(
+    "q55_stream_attribution",
+    (s, d) =>
+      graft.streaming.Streams.attributedPurchases(Tables.events(s, d))
+        .orderBy("click_id", "purchase_id"),
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+           |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           |      FROM ev WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           |             value AS amount
+           |      FROM ev WHERE event_type = 'purchase')
+           |SELECT c.user_id, click_id, purchase_id, amount
+           |FROM c JOIN p ON c.user_id = p.user_id
+           |  AND purchase_ts >= click_ts
+           |  AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+           |ORDER BY click_id, purchase_id""".stripMargin)
+  )
+
+  /** PII redaction probe: every document gets a deterministic synthetic
+    * PII suffix derived from doc_id (e-mail, 7+-digit number, IPv4), so
+    * all three redaction rules fire on every row; both engines build the
+    * identical raw string and apply the identical RE2-safe patterns —
+    * the oracle is a true cross-engine replay of the whole transform. */
+  val redactPiiProbe = Probe(
+    "q56_redact_pii",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.redactPii(concat(
+            coalesce(col("text"), lit("")),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call "),
+            (col("doc_id") * 7919 + 1234567).cast("string"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .as("clean"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+           |  coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com or call '
+           |    || CAST(doc_id * 7919 + 1234567 AS VARCHAR)
+           |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(raw,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+           |FROM t ORDER BY doc_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
-    hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe
+    hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
+    redactPiiProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

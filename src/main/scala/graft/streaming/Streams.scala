@@ -100,4 +100,33 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join (§2.9 extension): attribute each
+    * purchase to every click by the same user within `horizon` BEFORE
+    * it — the canonical two-stream attribution shape. On streaming
+    * inputs both sides carry a watermark and the join condition carries
+    * the time bound, so Spark can size the join state and EVICT rows
+    * older than watermark+horizon — state stays O(events in the horizon
+    * window), not O(stream). On batch inputs the same plan is a plain
+    * interval join (watermarks are a streaming-only notion), which is
+    * exactly the cross-check the spec and oracle use.
+    *
+    * The shuffle keys on user_id on both sides — linear, and AQE handles
+    * a hot user at scale the same way it does any skewed equi-join. */
+  def attributedPurchases(events: DataFrame, horizon: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount")), "purchase_ts")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("amount"))
+  }
 }

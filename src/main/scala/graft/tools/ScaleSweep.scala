@@ -42,15 +42,18 @@ object ScaleSweep {
         rpl("orders", (df, i) => df
           .withColumn("o_orderkey", col("o_orderkey") + lit(i * KEY_OFF))
           .withColumn("o_custkey", col("o_custkey") + lit(i * KEY_OFF)))
-        rpl("documents", (df, i) => df
-          .withColumn("doc_id", col("doc_id") + lit(i * KEY_OFF))
-          // salt text per replica: near-dup structure repeats per replica
-          // instead of every replica duplicating every other (which would
-          // grow candidate pairs quadratically in rep and measure a
-          // different workload, not the same one scaled)
-          .withColumn("text",
-            when(lit(i) === 0, col("text"))
-              .otherwise(concat(col("text"), lit(s" replica$i")))))
+        rpl("documents", (df, i) => {
+          val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * KEY_OFF))
+          // salt EVERY word with the replica id: cross-replica Jaccard
+          // drops to 0 so near-dup structure repeats per replica instead
+          // of every replica near-duplicating every other (a tail-only
+          // salt leaves long docs ~95% similar across replicas — the
+          // true pair set, and therefore the measured work, would grow
+          // quadratically in rep: a workload change, not a scale-up)
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1" + s"r$i"))
+        })
         rpl("embeddings", (df, i) => df
           .withColumn("vec_id", col("vec_id") + lit(i * KEY_OFF)))
         done.createNewFile()

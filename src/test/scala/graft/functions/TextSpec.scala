@@ -80,6 +80,20 @@ class TextSpec extends AnyFunSuite {
     assert(one("x x x x", Text.repetitionRatio($"t", 3)) === 0.5)
   }
 
+  test("redactPii: email, long numbers, IPs replaced; order protects octets") {
+    assert(one("mail a.b+c@test.org now", Text.redactPii($"t"))
+      === "mail <EMAIL> now")
+    assert(one("call 12345678 ok", Text.redactPii($"t")) === "call <NUM> ok")
+    // 6 digits stays (below default minDigits=7)
+    assert(one("pin 123456 ok", Text.redactPii($"t")) === "pin 123456 ok")
+    assert(one("host 192.168.0.1 up", Text.redactPii($"t")) === "host <IP> up")
+    // IP rule must run before the digit rule or octets survive half-eaten
+    assert(one("x 10.0.0.255 y 99999999 z a@b.io", Text.redactPii($"t"))
+      === "x <IP> y <NUM> z <EMAIL>")
+    // email digits are not re-matched by the number rule
+    assert(one("u12345678@ex.com", Text.redactPii($"t")) === "<EMAIL>")
+  }
+
   test("repetitionRatio: native expression agrees bitwise with the HOF reference") {
     val texts = Seq(
       "a b c a b c a b", "x x x x", "a b", "", "one two three four five",

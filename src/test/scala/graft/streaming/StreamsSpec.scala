@@ -39,6 +39,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-stream interval join equals the batch interval join (attribution)") {
+    val batchEvents = Tables.events(spark, SharedSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_in").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = Streams.attributedPurchases(streamed)
+      .writeStream
+      .outputMode("append") // stream-stream inner join emits on match
+      .format("memory")
+      .queryName("attr_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attr_out")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    val want = Streams.attributedPurchases(batchEvents)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("metrics listener records per-batch input rows (ST5)") {
     val batchEvents = Tables.events(spark, SharedSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics_in").toString
