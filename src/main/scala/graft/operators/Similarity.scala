@@ -111,18 +111,23 @@ object Similarity {
     * resulting centroids broadcast inside the NearestCells expression.
     * (A distributed fit would shuffle the whole corpus through an ML
     * pipeline to compute what a 4096-row sample determines just as well;
-    * per-fit job overhead dominated q40's bench time by ~3×.) Pass a
-    * deterministically-ordered corpus (e.g. sorted by id) for
-    * reproducible centroids. */
+    * per-fit job overhead dominated q40's bench time by ~3×.) The
+    * sample is the `maxSample` LOWEST-id rows — an unordered limit
+    * would hand back whichever partitions answer first, so centroids
+    * (and every downstream recall/equality assertion) would drift with
+    * partition layout; orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition top-k, no full sort), so determinism costs one
+    * bounded pass, not a shuffle of the corpus. */
   def ivfCentroids(corpus: DataFrame, nCells: Int, dim: Int,
                    vecCol: String = "embedding", seed: Long = 42L,
-                   maxSample: Int = 4096): Array[Double] = {
+                   maxSample: Int = 4096, idCol: String = "vec_id"): Array[Double] = {
     val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col(idCol))
       .limit(maxSample)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](1).toArray)
     // degenerate corpora (fewer vectors than cells, or empty) can't train
     // k-means — fall back to a single zero cell: every vector lands in
     // cell 0 and the search degrades to brute force within it. Remaining
@@ -195,16 +200,24 @@ object Similarity {
         while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
         i += 1
       }
+      // re-seed empty cells to the farthest points from their current
+      // centers, each empty cell taking a DISTINCT point — re-running
+      // the same argmax per cell would hand every empty cell the same
+      // point and collapse them into duplicate centroids
+      val reseeded = new java.util.HashSet[Integer]()
       var cc = 0
       while (cc < k) {
         if (counts(cc) == 0) {
-          // re-seed an empty cell to the point farthest from its center
-          var far = 0; var farD = -1.0; var ii = 0
+          var far = -1; var farD = -1.0; var ii = 0
           while (ii < n) {
-            val d = d2(points(ii), centers(assign(ii)))
-            if (d > farD) { farD = d; far = ii }
+            if (!reseeded.contains(ii)) {
+              val d = d2(points(ii), centers(assign(ii)))
+              if (d > farD) { farD = d; far = ii }
+            }
             ii += 1
           }
+          if (far < 0) far = 0 // degenerate: fewer points than empty cells
+          reseeded.add(far)
           centers(cc) = points(far).clone()
           moved = true
         } else {

@@ -116,9 +116,17 @@ object TextDedup {
     pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      // two shingle-less docs (empty/whitespace text) have no defined
+      // Jaccard — emit NULL explicitly, never 0/0: IEEE gives NaN and
+      // Spark orders NaN above every threshold, which would silently
+      // call two EMPTY documents near-duplicates (exact dedup owns
+      // those). Oracles mirror this with NULLIF on the denominator.
+      .withColumn("__union_n", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        when(col("__union_n") > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            col("__union_n"))
+          .otherwise(lit(null).cast("double")))
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_fingerprint", "64-bit rolling-hash fingerprint of normalized text") {
       e => Fingerprint64(e.head)
     }
+    inject("graft_repetition", "duplicate word-n-gram fraction of a text column") {
+      e => RepetitionRatio(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
     inject("graft_asof", "as-of join marker: most recent right row at-or-before left ts") {
       e => AsOfMarker(e.head, e(1))
     }

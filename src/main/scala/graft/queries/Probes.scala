@@ -818,7 +818,7 @@ object Probes {
            |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
            |sc AS (SELECT query_id, vec_id,
            |         list_dot_product(cv, qv) /
-           |           (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS sim
+           |           NULLIF(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0) AS sim
            |       FROM c, q WHERE vec_id <> query_id),
            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
            |      FROM sc)
@@ -889,7 +889,7 @@ object Probes {
            |p AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |      NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            |SELECT count(*) AS n_true_pairs, true AS ok_verified,
            |       true AS ok_subset, true AS ok_recall
@@ -928,7 +928,7 @@ object Probes {
            |p AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |      NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            |SELECT id_a, id_b, floor(jaccard * 10000 + 0.5) / 10000 AS jaccard
            |FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin)
@@ -1287,7 +1287,7 @@ object Probes {
            |           FROM embeddings WHERE vec_id < 300),
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |        list_dot_product(a.v, b.v) /
-           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           |          NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
            |      FROM c a, c b WHERE a.vec_id < b.vec_id)
            |SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim
            |FROM p WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)
@@ -1336,7 +1336,7 @@ object Probes {
            |           FROM embeddings WHERE vec_id < 300),
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |        list_dot_product(a.v, b.v) /
-           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           |          NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
            |      FROM c a, c b WHERE a.vec_id < b.vec_id)
            |SELECT count(*) AS n_true_pairs, true AS ok_verified,
            |       true AS ok_subset, true AS ok_recall
@@ -1408,7 +1408,7 @@ object Probes {
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
            |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-           |        len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+           |        NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.3),
            |edges AS (SELECT id_a AS s, id_b AS t FROM p
            |          UNION ALL SELECT id_b, id_a FROM p),
            |reach AS (

@@ -51,18 +51,22 @@ object MeasureRecall {
       s"found=${nFound.toDouble / nQ} recall1=${nHit1.toDouble / nQ}")
 
     // ---- q40: IVF ANN vs bounded exact top-1 ----
-    val cents = graft.queries.Probes.ivfTrainStage(spark, sfDir)
+    // measure EXACTLY what the q40 gate compares: the probe's own search
+    // stage (binRound'ed to 4 decimals) with the probe's 1e-4 tolerance —
+    // an unrounded re-derivation here would report margins the gate
+    // doesn't actually have near ties
     val q50 = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val exactIvf = Similarity.bruteForceTopK(emb, q50, k = 1)
       .select(col("query_id"), col("sim").as("exact_sim")).cache()
-    val ivf1 = Similarity.ivfTopK(emb, q50, k = 3, nCells = 8, nProbe = 3, dim = 64, cents)
-      .filter(col("rank") === 1)
+    val ivf1 = graft.queries.Probes
+      .ivfSearchStage(spark, sfDir, graft.queries.Probes.ivfTrainStage(spark, sfDir))
+      .filter(col("rnk") === 1)
       .select(col("query_id"), col("sim").as("ivf_sim")).cache()
     val nQI = q50.count(); val nFoundI = ivf1.count()
     val joinedI = exactIvf.join(ivf1, Seq("query_id"), "left").cache()
-    val nViolI = joinedI.filter(col("ivf_sim") > col("exact_sim") + 1e-9).count()
-    val nHitI = joinedI.filter(col("ivf_sim") >= col("exact_sim") - 1e-9).count()
+    val nViolI = joinedI.filter(col("ivf_sim") > col("exact_sim") + 1e-4).count()
+    val nHitI = joinedI.filter(col("ivf_sim") >= col("exact_sim") - 1e-4).count()
     println(s"RECALL q40 sf=$sfDir nQ=$nQI nFound=$nFoundI nViol=$nViolI nHit1=$nHitI " +
       s"found=${nFoundI.toDouble / nQI} recall1=${nHitI.toDouble / nQI}")
 
