@@ -1,0 +1,254 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+import scala.util.Try
+
+/** Real, pure-JDK media codecs for the multimodal pipeline.
+  *
+  * The container has no native image/audio libraries, but the JDK itself
+  * ships two: `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP) and
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM). These cover the two most
+  * common training-corpus media types for real; only video decode remains
+  * genuinely stubbed (the JDK has no video demuxer).
+  *
+  * Every function here is partition-local, allocation-bounded, and total:
+  * undecodable or truncated payloads return `None`, never throw — a 100 TB
+  * crawl corpus always contains corrupt files, and one bad payload must
+  * not kill a 4-hour stage (the caller routes `None` to the stub/quarantine
+  * path instead). Decoders are stateless, so one instance serves a whole
+  * `mapPartitions` iterator without per-row init cost.
+  */
+object Codecs {
+
+  // ImageIO pulls in java.awt; without headless mode a worker without a
+  // display server would die in static init of the toolkit.
+  System.setProperty("java.awt.headless", "true")
+  // Disk caching writes ImageIO temp files per decode — pure-memory
+  // streams are both faster and safe on read-only executor sandboxes.
+  ImageIO.setUseCache(false)
+
+  /** Magic-byte media sniffing — extension-independent type detection
+    * (crawled files lie about extensions constantly). Returns
+    * "image" | "audio" | "video" | None for unknown. */
+  def sniffMediaType(payload: Array[Byte]): Option[String] = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.indices.forall(i => at(from + i) == s.charAt(i).toInt)
+    if (at(0) == 0x89 && ascii(1, "PNG")) Some("image")                 // PNG
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("image") // JPEG
+    else if (ascii(0, "GIF8")) Some("image")                            // GIF87a/89a
+    else if (ascii(0, "BM")) Some("image")                              // BMP
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio")        // WAV
+    else if (ascii(0, ".snd")) Some("audio")                            // AU
+    else if (ascii(4, "ftyp")) Some("video")                            // MP4 family
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+      Some("video")                                                     // Matroska/WebM
+    else None
+  }
+
+  // ------------------------------------------------------------------
+  // Images (javax.imageio)
+  // ------------------------------------------------------------------
+
+  /** Decode an image payload. None ⇔ the bytes are not a decodable
+    * image in any registered ImageIO format. */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    Try(Option(ImageIO.read(new ByteArrayInputStream(payload)))).toOption.flatten
+
+  /** Fixed-dim feature vector from a decoded image: a normalized
+    * luminance histogram with `dim` bins (sums to 1 for any non-empty
+    * image). Histogram features are resolution-independent, so the same
+    * image at two sizes lands near the same point — exactly what the
+    * downstream dedup/ANN operators want from a cheap visual signature. */
+  def imageFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    require(dim > 0, "feature dim must be positive")
+    val w = img.getWidth; val h = img.getHeight
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luma in [0, 255]
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(math.min(dim - 1, lum * dim / 256)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { out(i) = if (n == 0) 0f else counts(i).toFloat / n; i += 1 }
+    out
+  }
+
+  /** Real resize: decode, high-quality bilinear scale, re-encode as PNG
+    * (lossless, universally decodable — re-encoding as JPEG would stack
+    * generation loss on every pipeline pass). None ⇔ payload didn't
+    * decode as an image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, "resize dimensions must be positive")
+    decodeImage(payload).flatMap { src =>
+      Try {
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(dst)
+      }.toOption
+    }
+  }
+
+  /** Encode a BufferedImage as PNG bytes (also used by tests to build
+    * real fixtures without any filesystem round-trip). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Audio (javax.sound.sampled — WAV/AIFF/AU PCM)
+  // ------------------------------------------------------------------
+
+  /** Decoded PCM audio: mono-mixed samples normalized to [-1, 1]. */
+  final case class PcmAudio(samples: Array[Float], sampleRate: Float) {
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else (samples.length * 1000.0 / sampleRate).toLong
+  }
+
+  /** Decode a WAV/AIFF/AU payload to normalized mono PCM. None ⇔ not a
+    * decodable PCM audio stream. Frames are mixed down to mono by
+    * channel-averaging; 8/16/24/32-bit signed and 8-bit unsigned PCM
+    * are handled. */
+  def decodePcm(payload: Array[Byte]): Option[PcmAudio] =
+    Try {
+      val in: AudioInputStream =
+        AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val ok = enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if (!ok || in.getFrameLength > Int.MaxValue / 4) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val bytes = in.readAllBytes()
+          // trust the bytes actually read over the declared frame count —
+          // truncated payloads must decode their valid prefix, not throw
+          val frames = (bytes.length / frameSize).toInt
+          val channels = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val big = fmt.isBigEndian
+          val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+          val full = (1L << (fmt.getSampleSizeInBits - 1)).toFloat
+          val out = new Array[Float](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < channels) {
+              val off = f * frameSize + c * bytesPerSample
+              var v = 0L
+              var b = 0
+              while (b < bytesPerSample) {
+                val idx = off + (if (big) b else bytesPerSample - 1 - b)
+                v = (v << 8) | (bytes(idx) & 0xffL)
+                b += 1
+              }
+              // sign-extend / recenter
+              val signed =
+                if (unsigned) v - full.toLong
+                else {
+                  val shift = 64 - fmt.getSampleSizeInBits
+                  (v << shift) >> shift
+                }
+              acc += signed / full
+              c += 1
+            }
+            out(f) = acc / channels
+            f += 1
+          }
+          Some(PcmAudio(out, fmt.getSampleRate))
+        }
+      } finally in.close()
+    }.toOption.flatten
+
+  /** Fixed-dim feature vector from PCM audio: `dim` windows of
+    * short-time RMS energy over the sample stream — the classic cheap
+    * audio envelope, length-independent like the image histogram. */
+  def audioFeatures(pcm: PcmAudio, dim: Int): Array[Float] = {
+    require(dim > 0, "feature dim must be positive")
+    val n = pcm.samples.length
+    val out = new Array[Float](dim)
+    if (n == 0) return out
+    var w = 0
+    while (w < dim) {
+      val from = (w.toLong * n / dim).toInt
+      val until = math.max(from + 1, ((w + 1).toLong * n / dim).toInt)
+      var acc = 0.0
+      var i = from
+      while (i < until && i < n) { acc += pcm.samples(i).toDouble * pcm.samples(i); i += 1 }
+      val cnt = math.max(1, math.min(until, n) - from)
+      out(w) = math.sqrt(acc / cnt).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Deterministic solid-color PNG fixture: a real PNG byte stream
+    * through the real encoder. Solid fill makes every decoded property
+    * (dimensions, single-bin luminance histogram, post-resize pixels)
+    * predictable by plain arithmetic — which is what lets the q57 gate
+    * probe cross-check a REAL codec roundtrip against DuckDB. */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic sine WAV fixture through the real encoder: constant
+    * amplitude ⇒ every short-time RMS window ≈ amp/√2 by arithmetic. */
+  def sineWav(n: Int, rate: Float, amp: Float, freq: Float): Array[Byte] = {
+    val s = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate)).toFloat)
+    encodeWav(s, rate)
+  }
+
+  /** Build a PCM_SIGNED 16-bit mono WAV payload from float samples in
+    * [-1, 1] (test-fixture generator — real corpora arrive as bytes). */
+  def encodeWav(samples: Array[Float], sampleRate: Float): Array[Byte] = {
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1, 2,
+      sampleRate, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-32768, math.min(32767,
+        math.round(samples(i) * 32767.0f))).toShort
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}

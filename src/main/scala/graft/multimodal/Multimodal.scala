@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * pipeline as opaque BinaryType columns with typed metadata; decode /
   * feature-extract runs as partition-local batch transforms.
   *
-  * The Spark-side architecture here is real and tested — schema, typed
-  * Dataset shape, per-partition batching, deterministic partitioning —
-  * while the codec itself is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` produces a deterministic fake feature vector
-  * from the payload bytes. Swapping in a real decoder is a one-function
-  * change; nothing in the distributed plan moves.
+  * The Spark-side architecture — schema, typed Dataset shape,
+  * per-partition batching, deterministic partitioning — is real and
+  * tested, and so are the image and audio codecs: [[decodeAndExtract]]
+  * and [[resize]] run the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP)
+  * and `javax.sound.sampled` (WAV/AIFF/AU) decoders. Only VIDEO decode
+  * is stubbed (the JDK has no video demuxer and this container has no
+  * native codec libraries): `decodeStub` produces a deterministic fake
+  * feature vector from the payload bytes, and undecodable/corrupt
+  * payloads of any type fall back to it rather than failing the stage.
+  * [[extractFeatures]] keeps the pure-stub path for tests that need
+  * bit-deterministic features regardless of payload content.
   *
   * Scala mapPartitions is the JVM analogue of the Python mapInPandas
   * pattern: one iterator per partition, so a real decoder can amortize
@@ -94,6 +99,63 @@ object Multimodal {
       }
   }
 
+  /** [[decodeAndExtract]] row: features plus the intrinsic metadata the
+    * real decode recovered. `decoded=false` marks the stub-fallback path
+    * (undecodable/corrupt payloads, and video — no JDK video codec). */
+  final case class DecodedFeatures(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      content_hash: Long,
+      decoded: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long],
+      features: Array[Float])
+
+  /** REAL decode + feature extraction using the JDK's own codecs
+    * ([[Codecs]]): images (PNG/JPEG/GIF/BMP) decode via `javax.imageio`
+    * into a `dim`-bin luminance histogram and recover width/height;
+    * WAV/AIFF/AU audio decodes via `javax.sound.sampled` into `dim`
+    * short-time-RMS windows and recovers duration. Media type is
+    * re-sniffed from magic bytes (crawled extensions lie); anything that
+    * fails to decode — including all video, which the JDK cannot demux —
+    * falls back to the deterministic stub with `decoded=false`, so one
+    * corrupt payload degrades one row instead of failing the stage.
+    * Same mapPartitions batch shape as [[extractFeatures]]. */
+  def decodeAndExtract(assets: Dataset[Asset], dim: Int = 16)
+                      (implicit spark: SparkSession): Dataset[DecodedFeatures] = {
+    implicit val enc = Encoders.product[DecodedFeatures]
+    assets
+      .repartition(col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val mt = Codecs.sniffMediaType(a.payload).getOrElse(a.media_type)
+          def fallback = DecodedFeatures(
+            a.asset_id, mt, a.payload.length.toLong, contentHash(a.payload),
+            decoded = false, a.width, a.height, a.duration_ms,
+            decodeStub(a.payload, dim))
+          mt match {
+            case "image" =>
+              Codecs.decodeImage(a.payload).map { img =>
+                DecodedFeatures(
+                  a.asset_id, mt, a.payload.length.toLong, contentHash(a.payload),
+                  decoded = true, Some(img.getWidth), Some(img.getHeight),
+                  a.duration_ms, Codecs.imageFeatures(img, dim))
+              }.getOrElse(fallback)
+            case "audio" =>
+              Codecs.decodePcm(a.payload).map { pcm =>
+                DecodedFeatures(
+                  a.asset_id, mt, a.payload.length.toLong, contentHash(a.payload),
+                  decoded = true, a.width, a.height, Some(pcm.durationMs),
+                  Codecs.audioFeatures(pcm, dim))
+              }.getOrElse(fallback)
+            case _ => fallback
+          }
+        }
+      }
+  }
+
   /** One sampled video frame: generator output of [[sampleFrames]]. */
   final case class Frame(
       asset_id: Long,
@@ -111,17 +173,23 @@ object Multimodal {
   /** Image resize as a narrow per-row binary transform: payload replaced,
     * width/height metadata updated IN THE SAME ROW (metadata and bytes
     * can never drift apart); non-image rows pass through untouched. No
-    * shuffle — this pipelines inside the enclosing stage. */
+    * shuffle — this pipelines inside the enclosing stage.
+    *
+    * Payloads that decode as real images go through the REAL scaler
+    * ([[Codecs.resizeImage]]: ImageIO decode → bilinear Graphics2D →
+    * PNG re-encode); undecodable "image" payloads keep the deterministic
+    * stub so corrupt files degrade, not fail. */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
       s"resize dimensions must be positive and w*h must fit an Int, got ${w}x$h")
     implicit val enc = Encoders.product[Asset]
     assets.mapPartitions { it =>
-      // real impl: val scaler = Codec.open() — once per partition
       it.map { a =>
-        if (a.media_type == "image")
-          a.copy(payload = resizeStub(a.payload, w, h), width = Some(w), height = Some(h))
-        else a
+        if (a.media_type == "image") {
+          val bytes = Codecs.resizeImage(a.payload, w, h)
+            .getOrElse(resizeStub(a.payload, w, h))
+          a.copy(payload = bytes, width = Some(w), height = Some(h))
+        } else a
       }
     }
   }

@@ -1532,13 +1532,94 @@ object Probes {
            |FROM t ORDER BY doc_id""".stripMargin)
   )
 
+  /** REAL-codec roundtrip probe: builds genuine PNG and WAV byte streams
+    * on executors (through the JDK's own encoders), pushes them through
+    * the REAL decode path ([[graft.multimodal.Multimodal.decodeAndExtract]]
+    * → `javax.imageio` / `javax.sound.sampled`), and emits only
+    * arithmetic-predictable outputs: decoded dimensions and duration
+    * (exact integers DuckDB recomputes from the asset id) plus invariant
+    * booleans (single-bin luminance histogram for a solid image; every
+    * RMS window ≈ amp/√2 for a constant-amplitude sine). This is the
+    * cross-engine evidence that the multimodal decode is no longer a
+    * stub: a codec regression breaks width/height/duration equality or
+    * flips an ok_* column. */
+  val codecRoundtrip = Probe(
+    "q57_codec_roundtrip",
+    (s, d) => {
+      implicit val spark = s
+      import spark.implicits._
+      import graft.multimodal.{Codecs, Multimodal}
+      val assets = spark.range(200).map { i =>
+        if (i % 2 == 0) {
+          val w = (4 + i % 13).toInt; val h = (3 + (i * 3) % 11).toInt
+          val g = (i * 17 % 256).toInt
+          Multimodal.Asset(i, "image",
+            Codecs.solidPng(w, h, (g << 16) | (g << 8) | g), None, None, None)
+        } else {
+          val n = (800 + (i % 5) * 400).toInt
+          val amp = 0.1f + (i % 4) * 0.2f
+          Multimodal.Asset(i, "audio",
+            Codecs.sineWav(n, 8000f, amp, 1000f), None, None, None)
+        }
+      }
+      val dec = Multimodal.decodeAndExtract(assets, dim = 16).toDF()
+      // expected values recomputed from the id — pure column arithmetic
+      val g = col("asset_id") * 17 % 256
+      val expRms = (lit(0.1) + (col("asset_id") % 4).cast("double") * 0.2) /
+        math.sqrt(2.0)
+      dec.select(
+        col("asset_id"), col("media_type"), col("decoded"),
+        col("width"), col("height"), col("duration_ms"),
+        when(col("media_type") === "image",
+          // solid image: ALL mass lands in luma bin g*16/256 (1-indexed at)
+          element_at(col("features"), (g * 16 / 256).cast("int") + 1) === 1.0f)
+          .otherwise(
+            // constant-amplitude sine: every RMS window within 2% of a/√2
+            array_min(col("features")) >= expRms - lit(0.02) &&
+              array_max(col("features")) <= expRms + lit(0.02))
+          .as("ok_feat"))
+        .orderBy("asset_id")
+    },
+    Some("""SELECT i AS asset_id,
+           |  CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           |  true AS decoded,
+           |  CAST(CASE WHEN i % 2 = 0 THEN 4 + i % 13 END AS INTEGER) AS width,
+           |  CAST(CASE WHEN i % 2 = 0 THEN 3 + (i * 3) % 11 END AS INTEGER) AS height,
+           |  CAST(CASE WHEN i % 2 = 1 THEN (800 + (i % 5) * 400) // 8 END AS BIGINT)
+           |    AS duration_ms,
+           |  true AS ok_feat
+           |FROM range(0, 200) t(i) ORDER BY asset_id""".stripMargin),
+    benchRun = Some { (s, d) =>
+      implicit val spark = s
+      import spark.implicits._
+      import graft.multimodal.{Codecs, Multimodal}
+      val assets = spark.range(200).map { i =>
+        if (i % 2 == 0) {
+          val w = (4 + i % 13).toInt; val h = (3 + (i * 3) % 11).toInt
+          val g = (i * 17 % 256).toInt
+          Multimodal.Asset(i, "image",
+            Codecs.solidPng(w, h, (g << 16) | (g << 8) | g), None, None, None)
+        } else {
+          val n = (800 + (i % 5) * 400).toInt
+          val amp = 0.1f + (i % 4) * 0.2f
+          Multimodal.Asset(i, "audio",
+            Codecs.sineWav(n, 8000f, amp, 1000f), None, None, None)
+        }
+      }
+      Multimodal.decodeAndExtract(assets, dim = 16).toDF()
+        .select(col("asset_id"), col("media_type"), col("decoded"),
+          col("width"), col("height"), col("duration_ms"))
+        .orderBy("asset_id")
+    }
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
-    redactPiiProbe
+    redactPiiProbe, codecRoundtrip
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Real-codec tests: fixtures are genuine PNG and WAV byte streams built
+  * through the same JDK encoders a production corpus would have used, so
+  * decode is exercised against the actual formats, not hand-rolled bytes. */
+class CodecsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] =
+    Codecs.solidPng(w, h, rgb)
+
+  private def sineWav(n: Int, rate: Float, amp: Float, freq: Float): Array[Byte] =
+    Codecs.sineWav(n, rate, amp, freq)
+
+  test("sniffMediaType: magic bytes beat extensions") {
+    assert(Codecs.sniffMediaType(solidPng(2, 2, 0)) === Some("image"))
+    assert(Codecs.sniffMediaType(sineWav(64, 8000f, 0.5f, 440f)) === Some("audio"))
+    assert(Codecs.sniffMediaType(Array[Byte](1, 2, 3)) === None)
+    assert(Codecs.sniffMediaType(Array.emptyByteArray) === None)
+  }
+
+  test("decodeImage + imageFeatures: dimensions and histogram mass") {
+    val png = solidPng(8, 6, 0x00808080) // mid-gray
+    val img = Codecs.decodeImage(png).get
+    assert(img.getWidth === 8 && img.getHeight === 6)
+    val f = Codecs.imageFeatures(img, 16)
+    assert(f.length === 16)
+    // histogram is a probability mass: sums to 1, all of it in the
+    // single bin holding luma 128 → bin 128*16/256 = 8
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+    assert(f(8) === 1.0f)
+    // undecodable bytes → None, never throw
+    assert(Codecs.decodeImage(Array[Byte](1, 2, 3, 4)) === None)
+    assert(Codecs.decodeImage(Array.emptyByteArray) === None)
+  }
+
+  test("resizeImage: real scale, roundtrips through decode") {
+    val png = solidPng(16, 16, 0x00ff0000) // solid red
+    val out = Codecs.resizeImage(png, 4, 4).get
+    val back = Codecs.decodeImage(out).get
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    // solid color survives bilinear scaling exactly
+    assert((back.getRGB(2, 2) & 0xffffff) === 0xff0000)
+    assert(Codecs.resizeImage(Array[Byte](9, 9, 9), 4, 4) === None)
+  }
+
+  test("decodePcm: WAV roundtrip recovers samples, rate, duration") {
+    val rate = 8000f
+    val wav = sineWav(4000, rate, 0.5f, 440f)
+    val pcm = Codecs.decodePcm(wav).get
+    assert(pcm.sampleRate === rate)
+    assert(pcm.samples.length === 4000)
+    assert(pcm.durationMs === 500L)
+    // sine RMS = amp/sqrt(2); int16 quantization keeps it within 1e-3
+    val rms = math.sqrt(pcm.samples.map(s => s.toDouble * s).sum / pcm.samples.length)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-3)
+    assert(Codecs.decodePcm(Array[Byte](0, 1, 2)) === None)
+  }
+
+  test("audioFeatures: RMS envelope tracks a half-silent signal") {
+    val rate = 8000f
+    val loud = Array.tabulate(2000)(i =>
+      (0.8f * math.sin(2 * math.Pi * 440 * i / rate)).toFloat)
+    val pcm = Codecs.decodePcm(Codecs.encodeWav(loud ++ Array.fill(2000)(0.0f), rate)).get
+    val f = Codecs.audioFeatures(pcm, 4)
+    assert(f.length === 4)
+    // first half loud, second half silent
+    assert(f(0) > 0.4f && f(1) > 0.4f)
+    assert(f(2) < 1e-3f && f(3) < 1e-3f)
+  }
+
+  test("decodeAndExtract: real decode on real payloads, stub fallback on junk") {
+    implicit val s = spark
+    import s.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", solidPng(10, 7, 0x00404040), None, None, None),
+      Multimodal.Asset(2L, "audio", sineWav(1600, 8000f, 0.3f, 220f), None, None, None),
+      // labeled image but actually junk → stub fallback
+      Multimodal.Asset(3L, "image", Array[Byte](1, 2, 3, 4, 5), None, None, None),
+      // extension-lied: labeled binary but really a PNG → sniffing fixes it
+      Multimodal.Asset(4L, "binary", solidPng(3, 3, 0x00ffffff), None, None, None)
+    ).toDS()
+    val out = Multimodal.decodeAndExtract(assets, dim = 8).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out(1L).decoded && out(1L).width === Some(10) && out(1L).height === Some(7))
+    assert(math.abs(out(1L).features.sum - 1.0f) < 1e-6)
+    assert(out(2L).decoded && out(2L).duration_ms === Some(200L))
+    assert(!out(3L).decoded && out(3L).features.length === 8)
+    assert(out(4L).decoded && out(4L).media_type === "image" &&
+      out(4L).width === Some(3))
+  }
+
+  test("resize Dataset path: real images really scale; junk keeps stub contract") {
+    implicit val s = spark
+    import s.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", solidPng(12, 12, 0x000000ff), Some(12), Some(12), None),
+      Multimodal.Asset(2L, "image", Array[Byte](7, 7, 7), Some(1), Some(1), None)
+    ).toDS()
+    val out = Multimodal.resize(assets, 5, 5).collect().map(a => a.asset_id -> a).toMap
+    val real = Codecs.decodeImage(out(1L).payload).get
+    assert(real.getWidth === 5 && real.getHeight === 5)
+    assert((real.getRGB(2, 2) & 0xffffff) === 0x0000ff)
+    // junk payload takes the stub path: max(1, 5*5/64) = 1 fake byte
+    assert(out(2L).width === Some(5) && out(2L).payload.length === 1)
+  }
+}
