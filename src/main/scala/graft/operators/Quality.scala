@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (the Deequ pattern, Spark-first):
+  * a suite of constraints compiles into ONE aggregation over the table —
+  * one scan, one partial+final hash aggregate, however many checks ride
+  * on it. At 100 TB the difference between "N constraint jobs" and "one
+  * pass" is the whole game: a 20-check suite costs the same scan as a
+  * single `count(*)`.
+  *
+  * The report materializes as a DataFrame (constraint, target, observed,
+  * threshold, passed) by exploding a literal array of structs over the
+  * single aggregated row — no driver collect, so the report composes
+  * with joins/sinks like any other frame.
+  *
+  * Reference behavior: the weather pipeline's implicit quality contract
+  * (reference `dags/etl.py` status-code gate + NOT NULL/PK DDL in
+  * `sql/create_tables.sql`) generalized to declared, measurable checks.
+  */
+object Quality {
+
+  /** One declarative check. `target` names what's measured (shown in the
+    * report); `metric` is the aggregate observation; `threshold` and
+    * `pass` decide the verdict from the observed value. */
+  sealed trait Constraint {
+    def kind: String
+    def target: String
+    def threshold: Double
+    /** aggregate producing the observed value (one column per check) */
+    private[operators] def observed: Column
+    /** verdict from the observed value */
+    private[operators] def pass(observed: Column): Column
+  }
+
+  /** Fraction of non-null values ≥ minRatio (1.0 = NOT NULL). The ratio
+    * is an IEEE division of two exact counts — deterministic in any
+    * engine. */
+  final case class Complete(col: String, minRatio: Double = 1.0) extends Constraint {
+    val kind = "complete"; val target = col; val threshold = minRatio
+    private[operators] def observed: Column =
+      count(column(col)).cast("double") / count(lit(1))
+    private[operators] def pass(o: Column): Column = o >= threshold
+  }
+
+  /** Distinct count equals row count over the key columns (primary-key
+    * shape). Exact — Spark plans multiple distinct aggregates through one
+    * Expand, still a single scan. */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    val kind = "unique"; val target = cols.mkString(","); val threshold = 1.0
+    private[operators] def observed: Column =
+      countDistinct(struct(cols.map(column): _*)).cast("double") / count(lit(1))
+    private[operators] def pass(o: Column): Column = o >= threshold
+  }
+
+  /** min(col) ≥ lo AND max(col) ≤ hi; observed = fraction of in-range
+    * non-null values (more informative than a bare min/max when it
+    * fails). */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Constraint {
+    val kind = "in_range"; val target = col; val threshold = 1.0
+    private[operators] def observed: Column = {
+      val c = column(col)
+      count(when(c >= lo && c <= hi, 1)).cast("double") / count(c)
+    }
+    private[operators] def pass(o: Column): Column = o >= threshold
+  }
+
+  /** Fraction of non-null values matching an RE2-safe regex ≥ minRatio. */
+  final case class Matches(col: String, regex: String, minRatio: Double = 1.0)
+      extends Constraint {
+    val kind = "matches"; val target = col; val threshold = minRatio
+    private[operators] def observed: Column = {
+      val c = column(col)
+      count(when(c.rlike(regex), 1)).cast("double") / count(c)
+    }
+    private[operators] def pass(o: Column): Column = o >= threshold
+  }
+
+  /** Row count within [lo, hi] (hi = Long.MaxValue for "at least"). */
+  final case class RowCountBetween(lo: Long, hi: Long = Long.MaxValue)
+      extends Constraint {
+    val kind = "row_count"; val target = "*"; val threshold = lo.toDouble
+    private[operators] def observed: Column = count(lit(1)).cast("double")
+    private[operators] def pass(o: Column): Column = o >= lo && o <= hi
+  }
+
+  /** Values drawn from a closed set; observed = fraction of non-null
+    * values in the set. */
+  final case class IsIn(col: String, allowed: Seq[String]) extends Constraint {
+    val kind = "is_in"; val target = col; val threshold = 1.0
+    private[operators] def observed: Column = {
+      val c = column(col)
+      count(when(c.isin(allowed: _*), 1)).cast("double") / count(c)
+    }
+    private[operators] def pass(o: Column): Column = o >= threshold
+  }
+
+  private def column(name: String): Column = col(name)
+
+  /** Evaluate a suite in ONE aggregation pass; returns the report frame
+    * (kind, target, observed, threshold, passed) ordered by (kind,
+    * target) so it gates deterministically. */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    val observedCols = constraints.zipWithIndex.map { case (c, i) =>
+      c.observed.as(s"__o$i")
+    }
+    val agg = df.agg(observedCols.head, observedCols.tail: _*)
+    val rows = constraints.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.kind).as("kind"),
+        lit(c.target).as("target"),
+        col(s"__o$i").cast("double").as("observed"),
+        lit(c.threshold).cast("double").as("threshold"),
+        c.pass(col(s"__o$i")).as("passed"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select("r.kind", "r.target", "r.observed", "r.threshold", "r.passed")
+      .orderBy("kind", "target")
+  }
+
+  /** Referential-integrity check (child.fk ⊆ parent.pk) — the one
+    * constraint that inherently needs a second table, so it's its own
+    * join (broadcast when the parent's keys fit, shuffle-hash otherwise;
+    * only the KEY columns move). Returns a one-row report frame in the
+    * same shape as [[check]]. */
+  def checkReferential(child: DataFrame, childKey: String,
+                       parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
+        "left_anti")
+    val total = child.filter(col(childKey).isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    orphans.agg(count(lit(1)).as("__orphans")).crossJoin(total)
+      .select(
+        lit("ref_integrity").as("kind"),
+        lit(childKey).as("target"),
+        (lit(1.0) - col("__orphans").cast("double") /
+          greatest(col("__n"), lit(1L))).as("observed"),
+        lit(1.0).as("threshold"),
+        (col("__orphans") === 0).as("passed"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension maintenance — the warehouse-standard
+  * "keep every historical version" upsert (Kimball SCD2), the missing
+  * sibling of the engine's last-wins / if-absent merges
+  * (reference `dags/etl.py:66-121` upserts overwrite in place; SCD2 is
+  * what a dimension that must answer as-of questions needs instead).
+  *
+  * Bookkeeping columns: `valid_from` (version start), `valid_to` (version
+  * end, NULL while current), `is_current`. An as-of lookup is then a
+  * plain range predicate (`valid_from <= t AND (valid_to IS NULL OR
+  * valid_to > t)`) — which composes with the engine's interval/as-of
+  * joins.
+  *
+  * Scale posture: [[merge]] is ONE outer join between the CURRENT slice
+  * and the update batch, keyed on the dimension key — history rows never
+  * enter the join (they're unioned back untouched), and each joined row
+  * expands to its 1–2 output versions through a single generator, so no
+  * branch of the plan re-executes the join. Update batches are small in
+  * practice → Catalyst/AQE broadcasts the join; a 100 TB dimension
+  * history costs only its current-slice scan per merge.
+  */
+object Scd2 {
+
+  val ValidFrom = "valid_from"
+  val ValidTo = "valid_to"
+  val IsCurrent = "is_current"
+
+  /** Turn a plain snapshot into an SCD2 dimension: every row becomes the
+    * current version as of `asOf`. */
+  def initialize(snapshot: DataFrame, asOf: Column): DataFrame =
+    snapshot
+      .withColumn(ValidFrom, asOf.cast("timestamp"))
+      .withColumn(ValidTo, lit(null).cast("timestamp"))
+      .withColumn(IsCurrent, lit(true))
+
+  /** Apply an update batch at time `asOf`:
+    *  - key present, any `tracked` attribute changed (null-safe) → the
+    *    current row closes (`valid_to = asOf`) and the update becomes the
+    *    new current version;
+    *  - key present, attributes identical → current row unchanged (no
+    *    spurious versions);
+    *  - key absent from updates → current row unchanged;
+    *  - new key → inserted as current.
+    * History rows pass through untouched.
+    *
+    * `updates` must carry exactly `keys ++ tracked` and at most one row
+    * per key (dedupe upstream with e.g. `Relational.latestPerKey` — this
+    * operator cannot pick a winner for you deterministically). */
+  def merge(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+            tracked: Seq[String], asOf: Column): DataFrame = {
+    require(keys.nonEmpty, "SCD2 merge needs at least one key column")
+    val at = asOf.cast("timestamp")
+    val history = dim.filter(!col(IsCurrent))
+    val current = dim.filter(col(IsCurrent))
+
+    val u = updates.select(
+      keys.map(k => col(k).as(s"__u_$k")) ++
+        tracked.map(t => col(t).as(s"__u_$t")): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    val joined = current.join(u, joinCond, "full_outer")
+
+    val hasOld = keys.map(k => col(k).isNotNull).reduce(_ || _) &&
+      col(IsCurrent).isNotNull
+    val hasNew = keys.map(k => col(s"__u_$k").isNotNull).reduce(_ || _)
+    val changed = tracked.map(t => !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
+
+    val outCols = dim.columns.toSeq // keys ++ tracked ++ bookkeeping, dim order
+    def version(fields: String => Column): Column =
+      struct(outCols.map(c => fields(c).as(c)): _*)
+
+    // the old row, closed if the update changed it
+    val oldVersion = version {
+      case ValidTo   => when(hasNew && changed, at).otherwise(col(ValidTo))
+      case IsCurrent => !(hasNew && changed)
+      case c         => col(c)
+    }
+    // the update as the new current version (new key, or changed attrs)
+    val newVersion = version {
+      case ValidFrom => at
+      case ValidTo   => lit(null).cast("timestamp")
+      case IsCurrent => lit(true)
+      case c         =>
+        if (keys.contains(c) || tracked.contains(c)) col(s"__u_$c")
+        else lit(null) // untracked payload columns start empty on inserts
+    }
+
+    val emitted = joined.select(explode(array(
+      when(hasOld, oldVersion),
+      when(hasNew && (!hasOld || changed), newVersion))).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(outCols.map(c => col(s"__v.$c").as(c)): _*)
+
+    history.unionByName(emitted)
+  }
+
+  /** Point-in-time lookup against an SCD2 dimension: the version of each
+    * key that was in effect at `t` (a plain pushdown-able range filter —
+    * no join, no window). */
+  def asOf(dim: DataFrame, t: Column): DataFrame = {
+    val ts = t.cast("timestamp")
+    dim.filter(col(ValidFrom) <= ts && (col(ValidTo).isNull || col(ValidTo) > ts))
+  }
+}

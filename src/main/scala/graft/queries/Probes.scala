@@ -1613,13 +1613,77 @@ object Probes {
     }
   )
 
+  /** Declarative data-quality suite (Deequ pattern): seven constraints
+    * over lineitem evaluated in ONE aggregation pass + a referential-
+    * integrity join against orders. Every observed value is a ratio of
+    * exact counts (one IEEE division — deterministic cross-engine), so
+    * the full report gates, not just the verdicts. */
+  val qualitySuite = Probe(
+    "q58_quality",
+    (s, d) => {
+      import graft.operators.Quality
+      import graft.operators.Quality._
+      val li = Tables.lineitem(s, d)
+      val report = Quality.check(li, Seq(
+        Complete("l_shipdate"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.1),
+        Matches("l_returnflag", "^[ANR]$"),
+        IsIn("l_linestatus", Seq("O", "F")),
+        RowCountBetween(1L)))
+      report
+        .unionByName(Quality.checkReferential(
+          li, "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .orderBy("kind", "target")
+    },
+    Some("""WITH m AS (SELECT
+           |    CAST(count(l_shipdate) AS DOUBLE) / count(*) AS complete_comment,
+           |    CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+           |          FROM lineitem)) AS DOUBLE) / count(*) AS uniq_pk,
+           |    CAST(count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS DOUBLE)
+           |      / count(l_quantity) AS qty_range,
+           |    CAST(count(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END) AS DOUBLE)
+           |      / count(l_discount) AS disc_range,
+           |    CAST(count(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END)
+           |      AS DOUBLE) / count(l_returnflag) AS flag_match,
+           |    CAST(count(CASE WHEN l_linestatus IN ('O','F') THEN 1 END) AS DOUBLE)
+           |      / count(l_linestatus) AS status_in,
+           |    CAST(count(*) AS DOUBLE) AS n_rows,
+           |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+           |          ON l.l_orderkey = o.o_orderkey
+           |          WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL)
+           |      AS DOUBLE) AS orphans,
+           |    CAST(count(l_orderkey) AS DOUBLE) AS fk_n
+           |  FROM lineitem)
+           |SELECT * FROM (
+           |  SELECT 'complete' AS kind, 'l_shipdate' AS target,
+           |         complete_comment AS observed, 1.0 AS threshold,
+           |         complete_comment >= 1.0 AS passed FROM m
+           |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', uniq_pk, 1.0,
+           |         uniq_pk >= 1.0 FROM m
+           |  UNION ALL SELECT 'in_range', 'l_quantity', qty_range, 1.0,
+           |         qty_range >= 1.0 FROM m
+           |  UNION ALL SELECT 'in_range', 'l_discount', disc_range, 1.0,
+           |         disc_range >= 1.0 FROM m
+           |  UNION ALL SELECT 'matches', 'l_returnflag', flag_match, 1.0,
+           |         flag_match >= 1.0 FROM m
+           |  UNION ALL SELECT 'is_in', 'l_linestatus', status_in, 1.0,
+           |         status_in >= 1.0 FROM m
+           |  UNION ALL SELECT 'row_count', '*', n_rows, 1.0,
+           |         n_rows >= 1.0 FROM m
+           |  UNION ALL SELECT 'ref_integrity', 'l_orderkey',
+           |         1.0 - orphans / greatest(fk_n, 1), 1.0, orphans = 0 FROM m)
+           |ORDER BY kind, target""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
-    redactPiiProbe, codecRoundtrip
+    redactPiiProbe, codecRoundtrip, qualitySuite
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  import Quality._
+
+  private def report(rows: Seq[(String, String, Double, Double, Boolean)]) =
+    rows.map(r => (r._1, r._2) -> r).toMap
+
+  test("single-pass suite: every constraint kind observes and verdicts correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a@x.io"), 10.0, "OK"),
+      (2L, Some("b@y.org"), 20.0, "OK"),
+      (3L, None, 120.0, "BAD"), // null email, out-of-range, bad status
+      (3L, Some("not-an-email"), 30.0, "OK") // dup id, regex miss
+    ).toDF("id", "email", "score", "status")
+
+    val out = Quality.check(df, Seq(
+      Complete("email", minRatio = 0.7),
+      Unique(Seq("id")),
+      InRange("score", 0.0, 100.0),
+      Matches("email", "^[^@]+@[^@]+$", minRatio = 0.5),
+      IsIn("status", Seq("OK")),
+      RowCountBetween(2L, 10L)
+    )).collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+      r.getDouble(3), r.getBoolean(4)))
+
+    val m = report(out.toIndexedSeq)
+    assert(m(("complete", "email"))._3 === 0.75 && m(("complete", "email"))._5)
+    assert(m(("unique", "id"))._3 === 0.75 && !m(("unique", "id"))._5)
+    assert(m(("in_range", "score"))._3 === 0.75 && !m(("in_range", "score"))._5)
+    // 2 of 3 non-null emails match
+    assert(math.abs(m(("matches", "email"))._3 - 2.0 / 3) < 1e-12)
+    assert(m(("matches", "email"))._5)
+    assert(m(("is_in", "status"))._3 === 0.75 && !m(("is_in", "status"))._5)
+    assert(m(("row_count", "*"))._3 === 4.0 && m(("row_count", "*"))._5)
+    // report is sorted by (kind, target)
+    assert(out.map(r => (r._1, r._2)).toSeq === out.map(r => (r._1, r._2)).toSeq.sorted)
+  }
+
+  test("suite compiles to one aggregate over one scan") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Quality.check(df, Seq(
+      Complete("s"), InRange("id", 0, 10), RowCountBetween(1L)
+    )).queryExecution.optimizedPlan
+    // exactly one Aggregate node (no per-constraint jobs), no joins
+    val aggs = plan.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size === 1)
+  }
+
+  test("referential integrity: orphans counted, clean child passes") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 9L).toDF("fk")
+    val bad = Quality.checkReferential(child, "fk", parent, "pk").collect().head
+    assert(bad.getString(0) === "ref_integrity")
+    assert(bad.getDouble(2) === 0.75 && !bad.getBoolean(4))
+
+    val clean = Quality.checkReferential(child.filter($"fk" < 3), "fk", parent, "pk")
+      .collect().head
+    assert(clean.getDouble(2) === 1.0 && clean.getBoolean(4))
+  }
+
+  test("unique over composite keys") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 2), (2, 1), (1, 1)).toDF("a", "b")
+    val r = Quality.check(df, Seq(Unique(Seq("a", "b")))).collect().head
+    assert(r.getDouble(2) === 0.75 && !r.getBoolean(4))
+  }
+}
