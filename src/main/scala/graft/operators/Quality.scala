@@ -40,7 +40,7 @@ object Quality {
   final case class Complete(col: String, minRatio: Double = 1.0) extends Constraint {
     val kind = "complete"; val target = col; val threshold = minRatio
     private[operators] def observed: Column =
-      count(column(col)).cast("double") / count(lit(1))
+      try_divide(count(column(col)).cast("double"), count(lit(1)))
     private[operators] def pass(o: Column): Column = o >= threshold
   }
 
@@ -50,7 +50,8 @@ object Quality {
   final case class Unique(cols: Seq[String]) extends Constraint {
     val kind = "unique"; val target = cols.mkString(","); val threshold = 1.0
     private[operators] def observed: Column =
-      countDistinct(struct(cols.map(column): _*)).cast("double") / count(lit(1))
+      try_divide(countDistinct(struct(cols.map(column): _*)).cast("double"),
+        count(lit(1)))
     private[operators] def pass(o: Column): Column = o >= threshold
   }
 
@@ -61,7 +62,7 @@ object Quality {
     val kind = "in_range"; val target = col; val threshold = 1.0
     private[operators] def observed: Column = {
       val c = column(col)
-      count(when(c >= lo && c <= hi, 1)).cast("double") / count(c)
+      try_divide(count(when(c >= lo && c <= hi, 1)).cast("double"), count(c))
     }
     private[operators] def pass(o: Column): Column = o >= threshold
   }
@@ -72,7 +73,7 @@ object Quality {
     val kind = "matches"; val target = col; val threshold = minRatio
     private[operators] def observed: Column = {
       val c = column(col)
-      count(when(c.rlike(regex), 1)).cast("double") / count(c)
+      try_divide(count(when(c.rlike(regex), 1)).cast("double"), count(c))
     }
     private[operators] def pass(o: Column): Column = o >= threshold
   }
@@ -91,7 +92,7 @@ object Quality {
     val kind = "is_in"; val target = col; val threshold = 1.0
     private[operators] def observed: Column = {
       val c = column(col)
-      count(when(c.isin(allowed: _*), 1)).cast("double") / count(c)
+      try_divide(count(when(c.isin(allowed: _*), 1)).cast("double"), count(c))
     }
     private[operators] def pass(o: Column): Column = o >= threshold
   }
@@ -100,7 +101,14 @@ object Quality {
 
   /** Evaluate a suite in ONE aggregation pass; returns the report frame
     * (kind, target, observed, threshold, passed) ordered by (kind,
-    * target) so it gates deterministically. */
+    * target) so it gates deterministically.
+    *
+    * A fraction constraint whose denominator is 0 (empty table, or a
+    * column with no non-null values) has `observed = NULL` and passes
+    * VACUOUSLY (`passed = true`) — there are no violating values. Gate
+    * emptiness explicitly with [[RowCountBetween]] (and nullness with
+    * [[Complete]], whose denominator is the row count); `passed` is
+    * never NULL, so `filter(!col("passed"))` always sees failures. */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "empty constraint suite")
     val observedCols = constraints.zipWithIndex.map { case (c, i) =>
@@ -113,7 +121,7 @@ object Quality {
         lit(c.target).as("target"),
         col(s"__o$i").cast("double").as("observed"),
         lit(c.threshold).cast("double").as("threshold"),
-        c.pass(col(s"__o$i")).as("passed"))
+        coalesce(c.pass(col(s"__o$i")), lit(true)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("r"))
       .select("r.kind", "r.target", "r.observed", "r.threshold", "r.passed")

@@ -57,16 +57,24 @@ object Scd2 {
     val history = dim.filter(!col(IsCurrent))
     val current = dim.filter(col(IsCurrent))
 
+    // Presence on each side of the full-outer join is decided by literal
+    // marker columns, NOT by key nullability — the join deliberately uses
+    // <=> so all-NULL keys are legal, and such rows must still emit.
     val u = updates.select(
       keys.map(k => col(k).as(s"__u_$k")) ++
-        tracked.map(t => col(t).as(s"__u_$t")): _*)
+        tracked.map(t => col(t).as(s"__u_$t")) :+
+        lit(true).as("__u_present"): _*)
+    val cur = current.withColumn("__c_present", lit(true))
     val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
-    val joined = current.join(u, joinCond, "full_outer")
+    val joined = cur.join(u, joinCond, "full_outer")
 
-    val hasOld = keys.map(k => col(k).isNotNull).reduce(_ || _) &&
-      col(IsCurrent).isNotNull
-    val hasNew = keys.map(k => col(s"__u_$k").isNotNull).reduce(_ || _)
-    val changed = tracked.map(t => !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
+    val hasOld = col("__c_present").isNotNull
+    val hasNew = col("__u_present").isNotNull
+    // no tracked attributes → matched rows are never "changed" (key-only
+    // membership dimension: existing keys keep their version)
+    val changed =
+      if (tracked.isEmpty) lit(false)
+      else tracked.map(t => !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
 
     val outCols = dim.columns.toSeq // keys ++ tracked ++ bookkeeping, dim order
     def version(fields: String => Column): Column =

@@ -1543,26 +1543,35 @@ object Probes {
     * cross-engine evidence that the multimodal decode is no longer a
     * stub: a codec regression breaks width/height/duration equality or
     * flips an ok_* column. */
+  /** The q57 fixture: 100 solid PNGs + 100 constant-amplitude sine WAVs
+    * whose decoded properties are pure arithmetic in the asset id —
+    * shared by the gate run and benchRun so Bench always times exactly
+    * the workload the gate validates. */
+  private def codecAssets(s: SparkSession) = {
+    implicit val spark = s
+    import spark.implicits._
+    import graft.multimodal.{Codecs, Multimodal}
+    spark.range(200).map { i =>
+      if (i % 2 == 0) {
+        val w = (4 + i % 13).toInt; val h = (3 + (i * 3) % 11).toInt
+        val g = (i * 17 % 256).toInt
+        Multimodal.Asset(i, "image",
+          Codecs.solidPng(w, h, (g << 16) | (g << 8) | g), None, None, None)
+      } else {
+        val n = (800 + (i % 5) * 400).toInt
+        val amp = 0.1f + (i % 4) * 0.2f
+        Multimodal.Asset(i, "audio",
+          Codecs.sineWav(n, 8000f, amp, 1000f), None, None, None)
+      }
+    }
+  }
+
   val codecRoundtrip = Probe(
     "q57_codec_roundtrip",
     (s, d) => {
       implicit val spark = s
-      import spark.implicits._
-      import graft.multimodal.{Codecs, Multimodal}
-      val assets = spark.range(200).map { i =>
-        if (i % 2 == 0) {
-          val w = (4 + i % 13).toInt; val h = (3 + (i * 3) % 11).toInt
-          val g = (i * 17 % 256).toInt
-          Multimodal.Asset(i, "image",
-            Codecs.solidPng(w, h, (g << 16) | (g << 8) | g), None, None, None)
-        } else {
-          val n = (800 + (i % 5) * 400).toInt
-          val amp = 0.1f + (i % 4) * 0.2f
-          Multimodal.Asset(i, "audio",
-            Codecs.sineWav(n, 8000f, amp, 1000f), None, None, None)
-        }
-      }
-      val dec = Multimodal.decodeAndExtract(assets, dim = 16).toDF()
+      import graft.multimodal.Multimodal
+      val dec = Multimodal.decodeAndExtract(codecAssets(s), dim = 16).toDF()
       // expected values recomputed from the id — pure column arithmetic
       val g = col("asset_id") * 17 % 256
       val expRms = (lit(0.1) + (col("asset_id") % 4).cast("double") * 0.2) /
@@ -1591,22 +1600,8 @@ object Probes {
            |FROM range(0, 200) t(i) ORDER BY asset_id""".stripMargin),
     benchRun = Some { (s, d) =>
       implicit val spark = s
-      import spark.implicits._
-      import graft.multimodal.{Codecs, Multimodal}
-      val assets = spark.range(200).map { i =>
-        if (i % 2 == 0) {
-          val w = (4 + i % 13).toInt; val h = (3 + (i * 3) % 11).toInt
-          val g = (i * 17 % 256).toInt
-          Multimodal.Asset(i, "image",
-            Codecs.solidPng(w, h, (g << 16) | (g << 8) | g), None, None, None)
-        } else {
-          val n = (800 + (i % 5) * 400).toInt
-          val amp = 0.1f + (i % 4) * 0.2f
-          Multimodal.Asset(i, "audio",
-            Codecs.sineWav(n, 8000f, amp, 1000f), None, None, None)
-        }
-      }
-      Multimodal.decodeAndExtract(assets, dim = 16).toDF()
+      import graft.multimodal.Multimodal
+      Multimodal.decodeAndExtract(codecAssets(s), dim = 16).toDF()
         .select(col("asset_id"), col("media_type"), col("decoded"),
           col("width"), col("height"), col("duration_ms"))
         .orderBy("asset_id")

@@ -58,14 +58,23 @@ final case class JdbcMergeSink(
     * (so unquoted simple names fold per the DB's rules). Quoting a
     * simple name here would break that match on fold-sensitive dialects
     * (Derby/Postgres fold unquoted names), so: simple identifier parts
-    * stay raw, anything else (reserved word with symbols, spaces, dots
-    * inside quotes) is quoted with the dialect helper per dot-part —
-    * which also closes the injection surface for config-supplied names. */
-  private def quoteTable(dialect: org.apache.spark.sql.jdbc.JdbcDialect, name: String): String =
-    name.split('.').map { part =>
+    * stay raw, a part the caller already double-quoted passes through
+    * verbatim (that's also how to use a reserved word like `order`:
+    * pass it pre-quoted, exactly as `write.jdbc` needs it), and any
+    * other part is quoted with the dialect helper — which closes the
+    * injection surface for config-supplied names. Parts split on dots
+    * OUTSIDE quotes, so `sch."my.table"` stays two parts. */
+  private[sources] def quoteTable(dialect: org.apache.spark.sql.jdbc.JdbcDialect, name: String): String = {
+    // a dot is a separator iff followed by an even number of remaining quotes
+    val parts = name.split("\\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
+    require(parts.forall(p => p.count(_ == '"') % 2 == 0),
+      s"unbalanced quotes in table name: $name")
+    parts.map { part =>
       if (part.matches("[A-Za-z_][A-Za-z0-9_]*")) part
+      else if (part.length >= 2 && part.head == '"' && part.last == '"') part
       else dialect.quoteIdentifier(part)
     }.mkString(".")
+  }
 
   private def merge(updates: DataFrame, keys: Seq[String], updateOnMatch: Boolean): Unit = {
     require(keys.nonEmpty, "JdbcMergeSink: merge keys must be non-empty")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 
 import graft.SharedSpark
 
@@ -73,5 +74,35 @@ class QualitySpec extends AnyFunSuite {
     val df = Seq((1, 1), (1, 2), (2, 1), (1, 1)).toDF("a", "b")
     val r = Quality.check(df, Seq(Unique(Seq("a", "b")))).collect().head
     assert(r.getDouble(2) === 0.75 && !r.getBoolean(4))
+  }
+
+  test("zero-denominator constraints: observed NULL, passed vacuously true, never NULL") {
+    import spark.implicits._
+    // all-NULL column (InRange/Matches/IsIn denominators = 0) on a
+    // non-empty table, plus a fully empty table: no ANSI divide-by-zero,
+    // and `passed` is a real boolean everywhere so !passed gates work
+    val allNull = Seq(Option.empty[Double], Option.empty[Double]).toDF("score")
+      .withColumn("tag", lit(null).cast("string"))
+    val rep = Quality.check(allNull, Seq(
+      InRange("score", 0.0, 1.0),
+      Matches("tag", "^x$"),
+      IsIn("tag", Seq("x")),
+      Complete("score"),          // 0/2 = 0.0 — a REAL failure, not vacuous
+      RowCountBetween(1L))).collect()
+    val byKind = rep.map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("in_range", "matches", "is_in")) {
+      assert(byKind(k).isNullAt(2), s"$k observed should be NULL")
+      assert(byKind(k).getBoolean(4), s"$k should pass vacuously")
+    }
+    assert(byKind("complete").getDouble(2) === 0.0 && !byKind("complete").getBoolean(4))
+    assert(byKind("row_count").getBoolean(4))
+
+    val empty = allNull.limit(0)
+    val emptyRep = Quality.check(empty, Seq(
+      Complete("score"), Unique(Seq("score")), InRange("score", 0.0, 1.0),
+      RowCountBetween(1L))).collect()
+    assert(emptyRep.forall(!_.isNullAt(4)), "passed must never be NULL")
+    assert(emptyRep.find(_.getString(0) == "row_count").exists(!_.getBoolean(4)),
+      "RowCountBetween is the explicit emptiness gate")
   }
 }

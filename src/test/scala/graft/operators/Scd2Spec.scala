@@ -85,4 +85,37 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.count() === 4) // both keys versioned
     assert(out.filter(col("is_current")).count() === 2)
   }
+
+  test("all-NULL keys are legal rows, not deletions: they survive merges and match each other") {
+    import spark.implicits._
+    val d0 = Scd2.initialize(
+      Seq((Option(1L), "a"), (Option.empty[Long], "nullkey"))
+        .toDF("id", "name"),
+      lit("2024-01-01 00:00:00"))
+    // batch not touching the null key: that row must pass through untouched
+    val out1 = Scd2.merge(d0,
+      Seq((Option(1L), "a2")).toDF("id", "name"),
+      Seq("id"), Seq("name"), lit("2024-06-01 00:00:00"))
+    assert(out1.filter(col("id").isNull).count() === 1)
+    assert(out1.filter(col("id").isNull && col("is_current")).count() === 1)
+    // batch updating the null key (<=> join): closes + versions it
+    val out2 = Scd2.merge(out1,
+      Seq((Option.empty[Long], "nullkey2")).toDF("id", "name"),
+      Seq("id"), Seq("name"), lit("2024-09-01 00:00:00"))
+    assert(out2.filter(col("id").isNull).count() === 2)
+    assert(out2.filter(col("id").isNull && col("is_current"))
+      .select("name").as[String].collect() === Array("nullkey2"))
+  }
+
+  test("empty tracked: key-only membership dimension — existing keys keep their version") {
+    import spark.implicits._
+    val d0 = Scd2.initialize(Seq(Tuple1(1L), Tuple1(2L)).toDF("id"),
+      lit("2024-01-01 00:00:00"))
+    val out = Scd2.merge(d0, Seq(Tuple1(2L), Tuple1(3L)).toDF("id"),
+      Seq("id"), Seq.empty, lit("2024-06-01 00:00:00"))
+    assert(out.count() === 3) // 1 and 2 unchanged, 3 inserted
+    assert(out.filter(col("is_current")).count() === 3)
+    assert(out.filter(col("id") === 2).select("valid_from").collect().head
+      .getTimestamp(0).toString.startsWith("2024-01-01"))
+  }
 }

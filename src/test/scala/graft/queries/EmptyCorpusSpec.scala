@@ -25,7 +25,12 @@ class EmptyCorpusSpec extends AnyFunSuite {
 
   test("all declared queries run on an empty corpus without throwing") {
     Probes.all.foreach { p =>
-      val n = p.run(spark, emptyDir).count()
+      val n =
+        try p.run(spark, emptyDir).count()
+        catch {
+          case e: Throwable =>
+            fail(s"${p.name} threw on empty corpus: ${e.getMessage}", e)
+        }
       assert(n >= 0, s"${p.name} returned negative count")
     }
   }

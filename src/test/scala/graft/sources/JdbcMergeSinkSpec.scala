@@ -82,4 +82,17 @@ class JdbcMergeSinkSpec extends AnyFunSuite {
       .head().getAs[Double]("temp")
     assert(corrected === 22.5)
   }
+
+  test("quoteTable: simple parts raw, pre-quoted verbatim, symbols quoted, dots-in-quotes kept") {
+    val sink = JdbcMergeSink("jdbc:derby:memory:quoting;create=true", "t")
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:derby:memory:q")
+    def qt(n: String) = sink.quoteTable(dialect, n)
+    assert(qt("weather_fact") === "weather_fact")
+    assert(qt("app.weather_fact") === "app.weather_fact")
+    assert(qt("\"order\"") === "\"order\"")              // reserved word, caller-quoted
+    assert(qt("sch.\"my.table\"") === "sch.\"my.table\"") // dot inside quotes ≠ separator
+    assert(qt("my table") === "\"my table\"")             // symbol part gets quoted
+    assert(qt("a.my-tbl") === "a.\"my-tbl\"")
+    intercept[IllegalArgumentException](qt("bad\"name"))  // unbalanced quote rejected
+  }
 }
