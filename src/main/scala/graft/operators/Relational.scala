@@ -145,4 +145,32 @@ object Relational {
       df.withColumn(c, col("__r").getField(c))
     }.drop("__r")
   }
+
+  /** Rollup / cube by RE-AGGREGATION. Spark's native `rollup()`/`cube()`
+    * put an `Expand` BELOW the aggregate, so every input row is
+    * replicated once per grouping set before the partial agg — 3× the
+    * map-side work for a 2-key rollup, 4× for a 2-key cube, at any
+    * scale. When every aggregate is decomposable (sum/count/min/max —
+    * anything where agg(all) == re-agg(per-group aggs)), the same answer
+    * comes from ONE pass grouped by the full key set (ordinary partial
+    * aggs, no Expand touches raw rows) followed by the native rollup/cube
+    * over the tiny grouped result — the Expand then replicates #groups
+    * rows, not #input rows.
+    *
+    * `baseAggs` aggregate the raw rows (e.g. `sum(dec(x)).as("s")`,
+    * `count(lit(1)).as("n")`); `reAggs` re-combine those per-group
+    * results under the grouping sets (e.g. `sum($"s").as("s")`,
+    * `sum($"n").as("n")`). Exactness is the caller's contract: decimal
+    * sums and counts re-aggregate bit-exactly, IEEE double sums do NOT
+    * (order changes) — use decimal intermediates for gated results. */
+  def rollupReagg(df: DataFrame, keys: Seq[String],
+                  baseAggs: Seq[Column], reAggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+      .rollup(keys.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+
+  /** Cube twin of [[rollupReagg]] — same contract. */
+  def cubeReagg(df: DataFrame, keys: Seq[String],
+                baseAggs: Seq[Column], reAggs: Seq[Column]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+      .cube(keys.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
 }

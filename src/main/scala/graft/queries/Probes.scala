@@ -423,9 +423,15 @@ object Probes {
   val rollup = Probe(
     "q18_rollup",
     (s, d) =>
-      Tables.lineitem(s, d)
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sumExact(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      // re-aggregation form: one Expand-free pass over the raw rows, the
+      // grouping-set Expand touches only the 6 grouped rows (Relational
+      // .rollupReagg scaladoc has the 100 TB arithmetic)
+      Relational.rollupReagg(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"),
+          baseAggs = Seq(sum(dec(col("l_extendedprice"))).as("__rev"),
+            count(lit(1)).as("__n")),
+          reAggs = Seq(round(sum(col("__rev")), 2).cast("double").as("revenue"),
+            sum(col("__n")).as("n")))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -627,9 +633,12 @@ object Probes {
   val cubeAgg = Probe(
     "q51_cube",
     (s, d) =>
-      Tables.lineitem(s, d)
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sumExact(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      Relational.cubeReagg(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"),
+          baseAggs = Seq(sum(dec(col("l_extendedprice"))).as("__rev"),
+            count(lit(1)).as("__n")),
+          reAggs = Seq(round(sum(col("__rev")), 2).cast("double").as("revenue"),
+            sum(col("__n")).as("n")))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),

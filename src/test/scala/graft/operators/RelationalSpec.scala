@@ -77,4 +77,25 @@ class RelationalSpec extends AnyFunSuite {
       .orderBy("k").select("v").as[String].collect().toSeq
     assert(r === Seq("new", "keep"))
   }
+
+  test("rollupReagg / cubeReagg match native rollup/cube exactly, incl null group values") {
+    val df = Seq(
+      ("A", "x", 10L), ("A", "y", 5L), ("B", "x", 7L),
+      ("A", "x", 3L), (null, "y", 2L) // a NULL key value must not merge with the rollup's ALL row
+    ).toDF("g1", "g2", "v")
+    val base = Seq(sum($"v").as("s"), count(lit(1)).as("n"),
+      min($"v").as("mn"), max($"v").as("mx"))
+    val re = Seq(sum($"s").as("s"), sum($"n").as("n"),
+      min($"mn").as("mn"), max($"mx").as("mx"))
+    // multiset equality via a total sort over every column (grouping_id
+    // is not evaluable post-agg, and row identity is what matters here)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val nativeRollup = canon(df.rollup($"g1", $"g2")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx")))
+    assert(canon(Relational.rollupReagg(df, Seq("g1", "g2"), base, re)) === nativeRollup)
+    val nativeCube = canon(df.cube($"g1", $"g2")
+      .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx")))
+    assert(canon(Relational.cubeReagg(df, Seq("g1", "g2"), base, re)) === nativeCube)
+  }
 }
