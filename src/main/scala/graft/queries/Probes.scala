@@ -1681,13 +1681,69 @@ object Probes {
            |ORDER BY kind, target""".stripMargin)
   )
 
+  /** Bloom-filter membership pruning (the explicit runtime-filter
+    * pattern): sketch the urgent orders' keys, prune lineitem at the
+    * scan BEFORE any exchange, then audit the prune against the exact
+    * semi-join in one pass. Gated columns: the exact match count
+    * (DuckDB recomputes it), plus two invariants a bloom filter must
+    * satisfy — zero false negatives (pruned ⊇ semi-join, the
+    * correctness contract) and a false-positive count within 3× the
+    * configured fpp (the efficiency contract; bloom bits are
+    * deterministic, so this is a stable boolean, not a flaky one). */
+  val bloomPrune = Probe(
+    "q59_bloom_prune",
+    (s, d) => {
+      import graft.operators.Bloom
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val sk = Bloom.sketch(urgent, col("o_orderkey"),
+        expectedItems = math.max(1024L, urgent.count()), fpp = 0.01)
+      li.withColumn("__pruned", Bloom.mightContain(sk, col("l_orderkey")))
+        .join(urgent.withColumn("__m", lit(1)),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .agg(
+          count(lit(1)).as("__n_total"),
+          sum(when(col("__m") === 1, 1L).otherwise(0L)).as("__n_exact"),
+          sum(when(col("__pruned") && col("__m") === 1, 1L).otherwise(0L))
+            .as("__n_pruned_match"),
+          sum(when(col("__pruned") && col("__m").isNull, 1L).otherwise(0L))
+            .as("__n_fp"))
+        .select(
+          col("__n_exact").as("n_exact"),
+          (col("__n_pruned_match") === col("__n_exact"))
+            .as("ok_no_false_negatives"),
+          (col("__n_fp").cast("double") <= greatest(lit(50.0),
+            lit(0.03) * (col("__n_total") - col("__n_exact")).cast("double")))
+            .as("ok_fpr"))
+    },
+    Some("""SELECT (SELECT count(*) FROM lineitem l
+           |        WHERE EXISTS (SELECT 1 FROM orders o
+           |                      WHERE o.o_orderkey = l.l_orderkey
+           |                        AND o.o_orderpriority = '1-URGENT')) AS n_exact,
+           |  true AS ok_no_false_negatives,
+           |  true AS ok_fpr""".stripMargin),
+    benchRun = Some { (s, d) =>
+      // raw operator path: sketch build + codegen'd scan-side prune,
+      // no audit join
+      import graft.operators.Bloom
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Bloom.semiPrune(Tables.lineitem(s, d).select(col("l_orderkey")),
+        col("l_orderkey"), urgent, col("o_orderkey"),
+        expectedItems = math.max(1024L, urgent.count()), fpp = 0.01)
+    }
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
-    redactPiiProbe, codecRoundtrip, qualitySuite
+    redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
