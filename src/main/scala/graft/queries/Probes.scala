@@ -1737,13 +1737,49 @@ object Probes {
     }
   )
 
+  /** Benchmark decontamination (8-gram overlap, the GPT-3/Gopher
+    * leakage guard): every 50th document stands in for an eval set;
+    * each corpus doc reports how many distinct 8-word grams it shares
+    * with that set and whether it would be purged. Fully oracled —
+    * DuckDB rebuilds the same lowercase/whitespace grams and the same
+    * broadcast-shaped overlap join relationally. */
+  val decontaminateProbe = Probe(
+    "q60_decontaminate",
+    (s, d) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("text").as("btext"))
+      Decontaminate.flag(docs, col("doc_id"), col("text"),
+          bench, col("btext"), n = 8)
+        .select(col("doc_id"), col("overlap_ngrams"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(wl) - 6),
+           |         i -> array_to_string(wl[i:i+7], ' ')))) AS g
+           |  FROM t WHERE len(wl) >= 8),
+           |b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+           |o AS (SELECT grams.doc_id, count(*) AS overlap
+           |      FROM grams JOIN b USING (g) GROUP BY grams.doc_id)
+           |SELECT t.doc_id AS doc_id, CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap_ngrams,
+           |       coalesce(o.overlap, 0) >= 1 AS contaminated
+           |FROM t LEFT JOIN o ON t.doc_id = o.doc_id
+           |ORDER BY t.doc_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
     fingerprintProbe, qualityScore, langIdProbe, windowedAgg, approxDistinct,
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
-    redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune
+    redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
+    decontaminateProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
