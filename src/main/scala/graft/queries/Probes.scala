@@ -1772,6 +1772,77 @@ object Probes {
            |ORDER BY t.doc_id""".stripMargin)
   )
 
+  /** Incremental dedup: a batch of edited documents (every 20th doc
+    * under id 300, one suffix appended, re-idded +1M) admitted against
+    * the corpus' persisted MinHash band index. Self-oracled like q27:
+    * DuckDB recomputes the bounded exact truth (batch × sub-300 corpus
+    * Jaccard ≥ 0.5) and the probe emits subset/recall/verified
+    * invariants; the absolute id bound keeps the audit cross join
+    * constant-size at any scale factor. */
+  val incrementalDedupProbe = Probe(
+    "q61_incremental_dedup",
+    (s, d) => {
+      import graft.operators.IncrementalDedup
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental batch suffix")).as("text"))
+      val dir = sys.props("java.io.tmpdir") + "/graft_q61_index"
+      IncrementalDedup.writeIndex(docs, dir)
+      val dups = IncrementalDedup.dedupeBatch(batch, docs, dir, threshold = 0.5)
+
+      // bounded exact truth: batch × corpus(id < 300), exact Jaccard
+      val sub = docs.filter(col("doc_id") < 300)
+      val ids = batch.select(col("doc_id").as("id_a"))
+        .crossJoin(sub.select(col("doc_id").as("id_b")))
+      val truth = TextDedup.jaccardVerify(ids,
+          batch.unionByName(sub.select("doc_id", "text")))
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val found = dups.filter(col("corpus_id") < 300)
+        .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+      val truthAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
+      val hitAgg = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__n_hit"))
+      val violAgg = found.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__n_viol"))
+      val verifAgg = dups.agg(min(col("jaccard")).as("__min_j"))
+      truthAgg.crossJoin(hitAgg).crossJoin(violAgg).crossJoin(verifAgg)
+        .select(
+          col("n_true_pairs"),
+          coalesce(col("__min_j") >= 0.5, lit(true)).as("ok_verified"),
+          (col("__n_viol") === 0).as("ok_subset"),
+          (col("n_true_pairs") === 0 ||
+            col("__n_hit") >= col("n_true_pairs") * 0.8).as("ok_recall"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |b AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    list_filter(string_split_regex(lower(text || ' incremental batch suffix'), '\s+'),
+           |                x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id % 20 = 0 AND doc_id < 300),
+           |cs AS (
+           |  SELECT doc_id, CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s FROM c),
+           |bs AS (
+           |  SELECT doc_id, CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s FROM b),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, c2.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.s, c2.s)) AS DOUBLE) /
+           |      NULLIF(len(list_distinct(list_concat(a.s, c2.s))), 0) AS jaccard
+           |  FROM bs a, cs c2)
+           |SELECT count(*) AS n_true_pairs, true AS ok_verified,
+           |       true AS ok_subset, true AS ok_recall
+           |FROM p WHERE jaccard >= 0.5""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -1779,7 +1850,7 @@ object Probes {
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
-    decontaminateProbe
+    decontaminateProbe, incrementalDedupProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
