@@ -1840,7 +1840,19 @@ object Probes {
            |  FROM bs a, cs c2)
            |SELECT count(*) AS n_true_pairs, true AS ok_verified,
            |       true AS ok_subset, true AS ok_recall
-           |FROM p WHERE jaccard >= 0.5""".stripMargin)
+           |FROM p WHERE jaccard >= 0.5""".stripMargin),
+    benchRun = Some { (s, d) =>
+      // raw operator path: index build + batch admission, no bounded-
+      // truth audit (that cross join is gate-only scaffolding)
+      import graft.operators.IncrementalDedup
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 300)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental batch suffix")).as("text"))
+      val dir = sys.props("java.io.tmpdir") + "/graft_q61_index_bench"
+      IncrementalDedup.writeIndex(docs, dir)
+      IncrementalDedup.dedupeBatch(batch, docs, dir, threshold = 0.5)
+    }
   )
 
   val extensionProbes: Seq[Probe] = Seq(
