@@ -75,4 +75,36 @@ object Sampling {
     val tagged = df.withColumn(tag, assignSplit(key, weights, names, seed))
     names.map(n => tagged.filter(col(tag) === n).drop(tag))
   }
+
+  /** EXACT stratified sample: exactly `ceil(fraction · n_g)` rows from
+    * every stratum `g` (so no stratum is ever over- or under-drawn, which
+    * `df.stat.sampleBy`'s per-row Bernoulli draw cannot promise), chosen
+    * by ranking each stratum on a stable key hash — deterministic across
+    * runs, retries, and partitionings, like everything else in this file.
+    *
+    * One shuffle: a single window (partition by strata, order by key
+    * hash) computes both the rank and the stratum size. At 100 TB the
+    * sort is per-stratum, and the selection predicate drops (1-fraction)
+    * of rows immediately after the window — nothing else moves.
+    *
+    * `key` must be row-unique for a total order (ties broken by the key
+    * value itself, so even colliding hashes stay deterministic). */
+  def stratifiedExact(df: DataFrame, strata: Seq[String], key: Column,
+                      fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0, 1]")
+    require(strata.nonEmpty, "need at least one stratum column")
+    val rnCol = "__graft_rn"
+    val nCol = "__graft_n"
+    require(!df.columns.contains(rnCol) && !df.columns.contains(nCol),
+      s"input already has a $rnCol/$nCol column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(hashBucket(key, seed).asc, key.asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+    df.withColumn(rnCol, row_number().over(w))
+      .withColumn(nCol, count(lit(1)).over(wAll))
+      .filter(col(rnCol) <= ceil(col(nCol) * fraction))
+      .drop(rnCol, nCol)
+  }
 }

@@ -1855,6 +1855,64 @@ object Probes {
     }
   )
 
+  /** Exact stratified sampling: 20% per (lang, source) stratum. The
+    * WHICH-rows draw is a seeded hash rank (not SQL-expressible), but
+    * the HOW-MANY contract — exactly ceil(0.2·n) per stratum, no
+    * Bernoulli variance — is the operator's point and is fully oracled;
+    * membership correctness (subset, determinism) lives in SamplingSpec. */
+  val stratifiedSampleProbe = Probe(
+    "q62_stratified_sample",
+    (s, d) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d)
+      val sampled = Sampling.stratifiedExact(docs, Seq("lang", "source"),
+        col("doc_id"), fraction = 0.2)
+      val got = sampled.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("n_total"))
+        .join(got, Seq("lang", "source"), "left_outer")
+        .select(col("lang"), col("source"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang, source, count(*) AS n_total,
+           |  CAST(ceil(0.2 * count(*)) AS BIGINT) AS n_sampled
+           |FROM documents GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin)
+  )
+
+  /** Context-window packing: documents greedily packed into 2000-char
+    * bins per language in doc_id order. Fully oracled — greedy packing
+    * is sequential by construction, so DuckDB replays the identical
+    * recurrence with a recursive CTE stepping one row per group; every
+    * bin assignment and offset must agree exactly. */
+  val packingProbe = Probe(
+    "q63_sequence_packing",
+    (s, d) => {
+      import graft.operators.Packing
+      Packing.packGreedy(Tables.documents(s, d),
+          col("lang"), col("doc_id"), col("n_chars"), budget = 2000L)
+        .orderBy("group", "id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT lang AS grp, doc_id, n_chars AS sz,
+           |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           |  FROM documents),
+           |r AS (
+           |  SELECT grp, doc_id, sz, rn,
+           |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, sz AS used
+           |  FROM t WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.grp, t.doc_id, t.sz, t.rn,
+           |    CASE WHEN r.used + t.sz <= 2000 THEN r.bin ELSE r.bin + 1 END,
+           |    CASE WHEN r.used + t.sz <= 2000 THEN r.used ELSE CAST(0 AS BIGINT) END,
+           |    CASE WHEN r.used + t.sz <= 2000 THEN r.used + t.sz ELSE t.sz END
+           |  FROM r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1)
+           |SELECT grp AS "group", doc_id AS id, sz AS size,
+           |       bin AS bin_seq, off AS bin_offset
+           |FROM r ORDER BY "group", id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -1862,7 +1920,7 @@ object Probes {
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
-    decontaminateProbe, incrementalDedupProbe
+    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

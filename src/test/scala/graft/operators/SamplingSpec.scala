@@ -80,4 +80,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(parts.length === 3)
     assert(parts.map(_.count()).sum === docs.count())
   }
+
+  test("stratifiedExact draws exactly ceil(fraction*n) per stratum") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 70) "big" else if (i < 95) "mid" else "tiny"))
+      .toDF("id", "grp")
+    val out = Sampling.stratifiedExact(df, Seq("grp"), col("id"), 0.2)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts("big") === 14)  // ceil(0.2*70)
+    assert(counts("mid") === 5)   // ceil(0.2*25)
+    assert(counts("tiny") === 1)  // ceil(0.2*5)
+    // sampled rows come from the source (subset)
+    assert(out.join(df, Seq("id", "grp"), "left_anti").count() === 0)
+  }
+
+  test("stratifiedExact is deterministic across partitionings, seed changes the draw") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
+    def ids(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.stratifiedExact(d, Seq("grp"), col("id"), 0.3, seed)
+        .select("id").as[Long].collect().toSet
+    assert(ids(df.repartition(1), 42L) === ids(df.repartition(17, col("id")), 42L))
+    assert(ids(df, 42L) !== ids(df, 43L)) // different seed, different members
+    assert(ids(df, 43L).size === ids(df, 42L).size) // ...but identical counts
+  }
 }
