@@ -1913,6 +1913,31 @@ object Probes {
            |FROM r ORDER BY "group", id""".stripMargin)
   )
 
+  /** Z-order curve values over (l_partkey, l_suppkey) — the arithmetic
+    * the multi-dimensional layout ([[graft.operators.Layout]]) sorts
+    * by. Pure built-in bit ops on both engines, so the full mapping is
+    * oracled exactly; the layout's file-locality benefit is asserted in
+    * LayoutSpec (span comparison vs a linear sort). Bounded to the
+    * first 2000 lineitems: this gates arithmetic, not throughput. */
+  val zorderProbe = Probe(
+    "q64_zorder_value",
+    (s, d) => {
+      import graft.operators.Layout
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Layout.zValue(col("l_partkey"), col("l_suppkey"), 10).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  CAST(list_sum(list_transform(range(10),
+           |    k -> ((((l_partkey % 1024) >> k) & 1) << (2*k)) +
+           |         ((((l_suppkey % 1024) >> k) & 1) << (2*k+1)))) AS BIGINT) AS z
+           |FROM lineitem WHERE l_orderkey < 500
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -1920,7 +1945,7 @@ object Probes {
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
-    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe
+    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
