@@ -65,6 +65,44 @@ object Streams {
         sink.mergeLastWins(batch, keys)
       }
 
+  /** Streaming corpus admission — the training-data ingestion front
+    * door: each micro-batch of documents is near-dup-checked against
+    * the persisted corpus through its MinHash band index
+    * ([[graft.operators.IncrementalDedup]] — O(batch) work, the corpus
+    * never shuffles), the admitted subset appends to the corpus table,
+    * and its bands append to the index so LATER batches see EARLIER
+    * ones without reprocessing anything.
+    *
+    * The admitted frame is localCheckpoint'ed before the two writes:
+    * its plan reads `corpusDir`/`indexDir`, and appending to those
+    * while a second action re-plans the same frame would make the
+    * batch collide with itself. Within-batch duplicates are the
+    * caller's upstream step (`TextDedup` on the small batch) — this
+    * sink owns batch-vs-corpus admission.
+    *
+    * Replay semantics: a replayed micro-batch re-checks against an
+    * index that now contains its own docs, so every doc is flagged as
+    * its own duplicate and the batch admits nothing — append-only
+    * storage plus content-level dedup gives idempotence without a
+    * transaction log. */
+  def corpusAdmissionSink(docs: DataFrame, corpusDir: String, indexDir: String,
+                          threshold: Double = 0.5,
+                          p: graft.operators.IncrementalDedup.Params =
+                            graft.operators.IncrementalDedup.Params())
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.IncrementalDedup
+        val spark = batch.sparkSession
+        val corpus = spark.read.parquet(corpusDir)
+        val dups = IncrementalDedup.dedupeBatch(batch, corpus, indexDir, threshold, p)
+        val admitted = IncrementalDedup.admit(batch, dups).localCheckpoint(true)
+        admitted.write.mode("append").parquet(corpusDir)
+        IncrementalDedup.appendToIndex(admitted, indexDir, p)
+      }
+
   /** Stream-static enrichment: join the live fact stream to a dimension
     * snapshot (the dashboard's fact⋈cities shape, streaming edition).
     * Spark re-plans the static side per micro-batch, so a refreshed dim

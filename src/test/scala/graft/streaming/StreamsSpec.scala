@@ -168,4 +168,62 @@ class StreamsSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(Store.readFact(spark, outDir).count() === 1) // idempotent
   }
+
+  test("streaming corpus admission: batches dedup against the growing corpus, replay admits nothing") {
+    import graft.operators.IncrementalDedup
+    def txt(tag: String, i: Long) =
+      s"$tag $i " + (0 until 12).map(k => s"${tag}${i}_$k").mkString(" ")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_corpus_adm").toString
+    val corpusDir = s"$base/corpus"; val indexDir = s"$base/index"
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+
+    // seed corpus + index
+    val seed = (0L until 20L).map(i => (i, txt("c", i))).toDF("doc_id", "text")
+    seed.write.parquet(corpusDir)
+    IncrementalDedup.writeIndex(seed, indexDir)
+
+    def runAvailable(ck: String): Unit = {
+      val docs = spark.readStream.schema(seed.schema).parquet(inDir)
+      val q = Streams.corpusAdmissionSink(docs, corpusDir, indexDir)
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+
+    // the file-drop source wants FILES in inDir, not parquet directories
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_adm_drop").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(inDir, name))
+    }
+
+    // batch 1: one near-dup of the seed corpus + two fresh docs
+    drop(Seq((100L, txt("c", 3L) + " EDITED"), (101L, txt("n", 1L)), (102L, txt("n", 2L)))
+      .toDF("doc_id", "text"), "b1.parquet")
+    val ck = java.nio.file.Files.createTempDirectory("graft_adm_ck").toString
+    runAvailable(ck)
+    val afterB1 = spark.read.parquet(corpusDir)
+    assert(afterB1.count() === 22) // 20 seed + 2 fresh; the edit was rejected
+    assert(afterB1.filter($"doc_id" === 100L).count() === 0)
+
+    // batch 2: a near-dup of a doc admitted in batch 1 — caught via the
+    // appended index, plus one fresh doc
+    drop(Seq((200L, txt("n", 1L) + " AGAIN"), (201L, txt("f", 9L)))
+      .toDF("doc_id", "text"), "b2.parquet")
+    runAvailable(ck)
+    val afterB2 = spark.read.parquet(corpusDir)
+    assert(afterB2.count() === 23)
+    assert(afterB2.filter($"doc_id" === 200L).count() === 0)
+    assert(afterB2.filter($"doc_id" === 201L).count() === 1)
+
+    // replay batch 2 with a fresh checkpoint: its docs are in the index
+    // now, so every one is its own duplicate — nothing re-admits
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_adm_ck2").toString
+    runAvailable(ck2)
+    assert(spark.read.parquet(corpusDir).count() === 23) // idempotent
+  }
 }
