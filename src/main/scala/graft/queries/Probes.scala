@@ -1938,6 +1938,84 @@ object Probes {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 
+  /** The corpus RELEASE pipeline end-to-end — the composition a real
+    * training-data build runs: language gate → quality gate → exact
+    * dedup → benchmark decontamination → context-window packing. Every
+    * stage is one of this engine's operators, and every stage boundary
+    * count plus the final bin count is recomputed relationally by
+    * DuckDB (the quality threshold applies to the binary-rounded score
+    * on both engines, so the gate can't flap on a last-ulp difference). */
+  val corpusReleaseProbe = Probe(
+    "q65_corpus_release",
+    (s, d) => {
+      import graft.operators.{Decontaminate, Packing}
+      val docs = Tables.documents(s, d)
+      val en = docs.filter(col("lang") === "en")
+      val quality = en.filter(
+        binRound(Text.qualityScore(col("text")), 4) >= 0.5)
+      val unique = TextDedup.exact(quality)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("text").as("btext"))
+      val clean = Decontaminate.purge(unique, col("doc_id"), col("text"),
+        bench, col("btext"), n = 8)
+      val packed = Packing.packGreedy(clean, col("lang"), col("doc_id"),
+        col("n_chars"), budget = 2000L)
+      docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(en.agg(count(lit(1)).as("n_en")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(packed.agg(
+          countDistinct(col("group"), col("bin_seq")).as("n_bins"),
+          count(lit(1)).as("n_packed")))
+    },
+    Some(s"""WITH RECURSIVE en AS (SELECT doc_id, text, n_chars, lang FROM documents WHERE lang = 'en'),
+            |qm AS (SELECT doc_id, text, n_chars, lang,
+            |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+            |  FROM en),
+            |qs AS (SELECT doc_id, text, n_chars, lang,
+            |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+            |    least(CASE WHEN len(ws) > 0 THEN
+            |      CAST(len(list_filter(ws, x -> x IN (${Text.englishStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(ws)
+            |      ELSE 0.0 END * 5.0, 1.0) * 0.3 +
+            |    (1.0 - least(CASE WHEN length(text) > 0 THEN
+            |      CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}]')) AS DOUBLE) / length(text)
+            |      ELSE 0.0 END * 10.0, 1.0)) * 0.3) * 10000 + 0.5) / 10000 AS q
+            |  FROM qm),
+            |qual AS (SELECT doc_id, text, n_chars, lang FROM qs WHERE q >= 0.5),
+            |uniq AS (SELECT doc_id, text, n_chars, lang FROM qual
+            |  WHERE doc_id IN (SELECT min(doc_id) FROM qual GROUP BY md5(text))),
+            |allw AS (SELECT doc_id,
+            |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS wl
+            |  FROM documents),
+            |bgrams AS (SELECT DISTINCT unnest(list_transform(range(1, len(wl) - 6),
+            |    i -> array_to_string(wl[i:i+7], ' '))) AS g
+            |  FROM allw WHERE doc_id % 50 = 0 AND len(wl) >= 8),
+            |ugrams AS (SELECT u.doc_id, unnest(list_distinct(list_transform(range(1, len(w.wl) - 6),
+            |    i -> array_to_string(w.wl[i:i+7], ' ')))) AS g
+            |  FROM uniq u JOIN allw w ON u.doc_id = w.doc_id WHERE len(w.wl) >= 8),
+            |contam AS (SELECT DISTINCT ugrams.doc_id FROM ugrams JOIN bgrams USING (g)),
+            |clean AS (SELECT doc_id, n_chars, lang FROM uniq
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+            |seq AS (SELECT lang AS grp, doc_id, n_chars AS sz,
+            |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM clean),
+            |r AS (
+            |  SELECT grp, doc_id, sz, rn, CAST(0 AS BIGINT) AS bin, sz AS used
+            |  FROM seq WHERE rn = 1
+            |  UNION ALL
+            |  SELECT seq.grp, seq.doc_id, seq.sz, seq.rn,
+            |    CASE WHEN r.used + seq.sz <= 2000 THEN r.bin ELSE r.bin + 1 END,
+            |    CASE WHEN r.used + seq.sz <= 2000 THEN r.used + seq.sz ELSE seq.sz END
+            |  FROM r JOIN seq ON seq.grp = r.grp AND seq.rn = r.rn + 1)
+            |SELECT (SELECT count(*) FROM documents) AS n_total,
+            |  (SELECT count(*) FROM en) AS n_en,
+            |  (SELECT count(*) FROM qual) AS n_quality,
+            |  (SELECT count(*) FROM uniq) AS n_unique,
+            |  (SELECT count(*) FROM clean) AS n_clean,
+            |  (SELECT count(DISTINCT (grp, bin)) FROM r) AS n_bins,
+            |  (SELECT count(*) FROM r) AS n_packed""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -1945,7 +2023,7 @@ object Probes {
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
-    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe
+    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
