@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Similarity, TextDedup}
+import graft.operators.{CorpusStats, Decontaminate, IncrementalDedup, Packing, Sampling, Similarity, TextDedup}
 import graft.sources.Tables
 
 /** Dev tool: operator-family scaling sweep. Replicates the sf0.1 corpus
@@ -101,7 +101,29 @@ object ScaleSweep {
             emb.filter(col("vec_id") < 300)
               .select(col("vec_id").as("query_id"), col("embedding")),
             k = 1, bits = 6, dim = 64))),
-        "tfidf_topterms" -> (() => noop(CorpusStats.tfidfTopTerms(docs, k = 3)))
+        "tfidf_topterms" -> (() => noop(CorpusStats.tfidfTopTerms(docs, k = 3))),
+        "decontaminate" -> (() => noop(
+          Decontaminate.flag(docs, col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 50 === 0).select(col("text").as("btext")),
+            col("btext"), n = 8))),
+        // the incremental-dedup headline: a FIXED 15-doc batch admitted
+        // against the (1x/4x/16x) indexed corpus — the curve should be
+        // FLAT because only band collisions touch the corpus
+        "incr_dedup_batch" -> { () =>
+          val idxDir = s"$d/minhash_index"
+          if (!new java.io.File(idxDir).exists())
+            IncrementalDedup.writeIndex(docs, idxDir)
+          val batch = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 300)
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              concat(col("text"), lit(" sweep batch suffix")).as("text"))
+          noop(IncrementalDedup.dedupeBatch(batch, docs, idxDir, threshold = 0.5))
+        },
+        "seq_packing" -> (() => noop(
+          Packing.packGreedy(docs, col("lang"), col("doc_id"),
+            col("n_chars"), budget = 2000L))),
+        "stratified_sample" -> (() => noop(
+          Sampling.stratifiedExact(docs, Seq("lang", "source"),
+            col("doc_id"), fraction = 0.2)))
       )
       ops.foreach { case (tag, body) =>
         body() // warm: codegen + parquet footers out of the measurement
