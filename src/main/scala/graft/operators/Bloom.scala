@@ -66,6 +66,20 @@ object Bloom {
              fpp: Double = 0.01): Array[Byte] = {
     ensureRegistered(df.sparkSession)
     val bits = optimalNumBits(expectedItems, fpp)
+    // BloomFilterAggregate silently CLAMPS numItems/numBits to the
+    // runtime-filter conf maxima (4M items / 64M bits by default) —
+    // above that the requested fpp would quietly explode. Refuse loudly
+    // instead; the caller raises the confs for genuinely bigger sides.
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && bits <= maxBits,
+      s"sketch needs $expectedItems items / $bits bits but the engine caps at " +
+        s"$maxItems / $maxBits — raise spark.sql.optimizer.runtime.bloomFilter." +
+        s"maxNumItems/maxNumBits (cost: numBits/8 bytes per plan) or accept a " +
+        s"higher fpp")
     df.filter(key.isNotNull)
       .select(call_function("graft_bloom_agg", xxhash64(key),
         lit(expectedItems), lit(bits)).as("bf"))

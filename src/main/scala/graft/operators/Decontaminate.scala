@@ -52,6 +52,9 @@ object Decontaminate {
            n: Int = 8, minOverlap: Int = 1): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    for (c <- Seq("__g", "__did", "__overlap", "overlap_ngrams", "contaminated"))
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (it would collide with flag()'s output)")
     val bg = bench
       .select(explode(grams(bench, benchText, n)).as("__g"))
       .distinct()

@@ -78,15 +78,21 @@ object IncrementalDedup {
   def dedupeBatch(batch: DataFrame, corpus: DataFrame, indexDir: String,
                   threshold: Double, p: Params = Params(),
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cand = candidates(batch, indexDir, p, idCol, textCol)
+    // cand is consumed twice (corpus prune + verify input) and is tiny
+    // post-collision — materialize it so the batch hashing and the index
+    // scan run ONCE, not once per consumer
+    val cand = candidates(batch, indexDir, p, idCol, textCol).localCheckpoint(true)
     val touched = corpus.join(
       broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
       Seq(idCol), "left_semi")
-    val docsAll = touched.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    TextDedup.jaccardVerify(
+    // two-sided verify: id_a is ALWAYS the batch's text, id_b ALWAYS the
+    // corpus' — a batch doc re-submitting an existing corpus doc_id must
+    // compare batch-vs-corpus text, never fan out across both
+    TextDedup.jaccardVerifyTwoSided(
         cand.select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
-        docsAll, idCol, textCol, p.shingleN)
+        batch.select(col(idCol), col(textCol)),
+        touched.select(col(idCol), col(textCol)),
+        idCol, textCol, p.shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
         col("jaccard"))

@@ -103,9 +103,21 @@ object TextDedup {
     * candidate generation. `docs` must carry (idCol, textCol). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    shingleN: Int = 3): DataFrame = {
-    val sh = spread(docs).select(col(idCol),
+                    shingleN: Int = 3): DataFrame =
+    jaccardVerifyTwoSided(pairs, docs, docs, idCol, textCol, shingleN)
+
+  /** Two-frame variant: `id_a` resolves against `leftDocs`, `id_b`
+    * against `rightDocs` — REQUIRED when the two sides are different
+    * populations that may reuse ids (a batch re-submitting a corpus
+    * doc_id must verify batch-text-vs-corpus-text, not fan out across
+    * every text sharing the id). */
+  def jaccardVerifyTwoSided(pairs: DataFrame,
+                            leftDocs: DataFrame, rightDocs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            shingleN: Int = 3): DataFrame = {
+    def sh(docs: DataFrame) = spread(docs).select(col(idCol),
       HashExprs.shingles(docs.sparkSession, col(textCol), shingleN).as("sh"))
+    val shA = sh(leftDocs); val shB = sh(rightDocs)
     // pairs often arrive in 1-2 partitions (a coalesced LSH join / cross
     // join output) and the per-pair set intersection is the expensive
     // part — ALWAYS spread them. Unconditional: measuring a derived
@@ -114,8 +126,8 @@ object TextDedup {
     // the round-robin shuffle is linear and modest next to the
     // verification it parallelizes.
     pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       // two shingle-less docs (empty/whitespace text) have no defined
       // Jaccard — emit NULL explicitly, never 0/0: IEEE gives NaN and
       // Spark orders NaN above every threshold, which would silently

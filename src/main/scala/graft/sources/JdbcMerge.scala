@@ -70,8 +70,12 @@ final case class JdbcMergeSink(
     require(parts.forall(p => p.count(_ == '"') % 2 == 0),
       s"unbalanced quotes in table name: $name")
     parts.map { part =>
+      // verbatim pass-through ONLY for a well-formed delimited identifier:
+      // quote, body with interior quotes exclusively as doubled pairs,
+      // quote. Anything looser (e.g. `"a" b "c"`) would flow raw into the
+      // driver-issued MERGE — an injection, not a name.
       if (part.matches("[A-Za-z_][A-Za-z0-9_]*")) part
-      else if (part.length >= 2 && part.head == '"' && part.last == '"') part
+      else if (part.matches("\"([^\"]|\"\")*\"")) part
       else dialect.quoteIdentifier(part)
     }.mkString(".")
   }

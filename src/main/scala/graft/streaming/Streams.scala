@@ -81,10 +81,23 @@ object Streams {
     * sink owns batch-vs-corpus admission.
     *
     * Replay semantics: a replayed micro-batch re-checks against an
-    * index that now contains its own docs, so every doc is flagged as
-    * its own duplicate and the batch admits nothing — append-only
-    * storage plus content-level dedup gives idempotence without a
-    * transaction log. */
+    * index that now contains its own docs, so every doc whose TEXT is
+    * in the corpus is flagged as its own duplicate and the batch admits
+    * nothing — append-only storage plus content-level dedup gives
+    * idempotence without a transaction log.
+    *
+    * Crash safety hinges on WRITE ORDER: the index appends BEFORE the
+    * corpus. A crash between the two leaves bands indexed for absent
+    * docs — harmless, because verification requires the corpus text, so
+    * the replayed batch re-admits those docs and the corpus still ends
+    * with exactly one copy (the index just holds a duplicate band row,
+    * which candidate distinct() absorbs). The opposite order would
+    * leave admitted docs invisible to the index and a replay would
+    * append them twice.
+    *
+    * First deployment bootstraps itself: missing corpus/index paths
+    * mean "empty corpus" — the whole first batch admits and creates
+    * both. */
   def corpusAdmissionSink(docs: DataFrame, corpusDir: String, indexDir: String,
                           threshold: Double = 0.5,
                           p: graft.operators.IncrementalDedup.Params =
@@ -96,11 +109,18 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.operators.IncrementalDedup
         val spark = batch.sparkSession
-        val corpus = spark.read.parquet(corpusDir)
-        val dups = IncrementalDedup.dedupeBatch(batch, corpus, indexDir, threshold, p)
-        val admitted = IncrementalDedup.admit(batch, dups).localCheckpoint(true)
-        admitted.write.mode("append").parquet(corpusDir)
+        def exists(dir: String): Boolean = {
+          val path = new org.apache.hadoop.fs.Path(dir)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+        }
+        val admitted =
+          (if (exists(corpusDir) && exists(indexDir)) {
+            val corpus = spark.read.parquet(corpusDir)
+            val dups = IncrementalDedup.dedupeBatch(batch, corpus, indexDir, threshold, p)
+            IncrementalDedup.admit(batch, dups)
+          } else batch).localCheckpoint(true)
         IncrementalDedup.appendToIndex(admitted, indexDir, p)
+        admitted.write.mode("append").parquet(corpusDir)
       }
 
   /** Stream-static enrichment: join the live fact stream to a dimension

@@ -42,6 +42,16 @@ class BloomSpec extends AnyFunSuite {
     assert(ra === rb)
   }
 
+  test("sketch refuses sizes the engine would silently clamp") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    // 30M items at 1% needs ~287M bits, over the 64M-bit default cap —
+    // BloomFilterAggregate would clamp and blow the fpp silently
+    val e = intercept[IllegalArgumentException](
+      Bloom.sketch(df, $"k", expectedItems = 30000000L, fpp = 0.01))
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("NULL keys: never inserted, never match — mirrors SQL join semantics") {
     import spark.implicits._
     val build = Seq(Option(1L), Option(2L), None).toDF("k")

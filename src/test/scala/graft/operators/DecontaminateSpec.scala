@@ -65,7 +65,7 @@ class DecontaminateSpec extends AnyFunSuite {
     val (docs, bench) = frames
     val plan = Decontaminate.flag(docs, col("doc_id"), col("text"),
       bench, col("btext"), n = 8).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") === false)
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast gram join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"gram join degenerated:\n$plan")
   }
 }

@@ -77,6 +77,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dups.collect().exists(r => r.getLong(0) === 7L && r.getLong(1) === 7L))
   }
 
+  test("batch reusing a corpus doc_id with DIFFERENT text verifies batch-vs-corpus, no fanout") {
+    import spark.implicits._
+    val (corpus, _) = corpusAndBatch
+    val dir = tmpDir()
+    IncrementalDedup.writeIndex(corpus, dir)
+    // id 7 re-submitted with UNRELATED text: bands may or may not
+    // collide, but verification must compare the batch text against the
+    // corpus text — never corpus-vs-itself (spurious jaccard 1.0)
+    val resub = Seq((7L, "totally unrelated resubmission " +
+      (0 until 12).map(k => s"z7_$k").mkString(" "))).toDF("doc_id", "text")
+    val dups = IncrementalDedup.dedupeBatch(resub, corpus, dir, threshold = 0.5)
+      .collect()
+    assert(dups.isEmpty,
+      s"unrelated text must not be flagged (got ${dups.mkString(",")})")
+    // and a LIGHT edit under the same id IS flagged, with one row only
+    val edited = Seq((7L, corpus.filter(col("doc_id") === 7L)
+      .select("text").as[String].head() + " EDITED")).toDF("doc_id", "text")
+    val dups2 = IncrementalDedup.dedupeBatch(edited, corpus, dir, threshold = 0.5)
+      .collect()
+    assert(dups2.length === 1 && dups2.head.getLong(0) === 7L &&
+      dups2.head.getLong(1) === 7L)
+    assert(dups2.head.getDouble(2) < 1.0, "edited text must not score 1.0")
+  }
+
   test("plan shape: the index side joins against a broadcast of the batch bands") {
     val (corpus, batch) = corpusAndBatch
     val dir = tmpDir()

@@ -94,5 +94,12 @@ class JdbcMergeSinkSpec extends AnyFunSuite {
     assert(qt("my table") === "\"my table\"")             // symbol part gets quoted
     assert(qt("a.my-tbl") === "a.\"my-tbl\"")
     intercept[IllegalArgumentException](qt("bad\"name"))  // unbalanced quote rejected
+    // a part that merely starts/ends with quotes but is NOT a well-formed
+    // delimited identifier must NOT pass through verbatim (injection)
+    val evil = "\"t\" t2 USING \"t\" s2 ON 1=1 WHEN MATCHED THEN DELETE --\"\""
+    assert(qt(evil) !== evil, "malicious name must not be emitted raw")
+    assert(qt(evil).startsWith("\"") && qt(evil).count(_ == '"') > evil.count(_ == '"'),
+      "interior quotes must be escaped by the dialect helper")
+    assert(qt("\"with\"\"doubled\"") === "\"with\"\"doubled\"") // doubled quotes are legit
   }
 }

@@ -226,4 +226,28 @@ class StreamsSpec extends AnyFunSuite {
     runAvailable(ck2)
     assert(spark.read.parquet(corpusDir).count() === 23) // idempotent
   }
+
+  test("corpus admission bootstraps from nothing: first batch creates corpus and index") {
+    def txt(i: Long) = s"boot $i " + (0 until 12).map(k => s"b${i}_$k").mkString(" ")
+    val base = java.nio.file.Files.createTempDirectory("graft_adm_boot").toString
+    val corpusDir = s"$base/corpus"; val indexDir = s"$base/index"
+    val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boot_drop").toString
+    (0L until 5L).map(i => (i, txt(i))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(inDir, "b0.parquet"))
+
+    val ck = java.nio.file.Files.createTempDirectory("graft_boot_ck").toString
+    val q = Streams.corpusAdmissionSink(
+      spark.readStream.schema(schema).parquet(inDir), corpusDir, indexDir)
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(corpusDir).count() === 5)
+    assert(spark.read.parquet(indexDir).count() > 0)
+  }
 }
