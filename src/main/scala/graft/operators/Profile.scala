@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Single-pass column profiling — the discovery step that precedes a
+  * [[Quality]] constraint suite: before you can declare "l_quantity in
+  * [1, 50]" you have to LEARN the ranges, null rates, and cardinalities,
+  * and at 100 TB you want all of that from ONE scan, not one job per
+  * column.
+  *
+  * [[profile]] compiles every requested column's statistics into a
+  * single aggregation (Catalyst plans the multiple exact
+  * `countDistinct`s through one Expand; still one scan, one
+  * partial+final aggregate) and explodes the result into a tidy
+  * (column, stat) report frame — same materialization pattern as
+  * `Quality.check`, so it composes with sinks and joins.
+  *
+  * [[histogram]] is the numeric follow-up: exact equi-width bucket
+  * counts (floor arithmetic, no sampling), one groupBy over codegen'd
+  * arithmetic — deterministic in any engine, unlike approximate
+  * `percentile_approx`-style summaries.
+  */
+object Profile {
+
+  /** One report row per column: n_rows, n_nulls, n_distinct (exact),
+    * numeric min/max (NULL for non-numeric columns), and avg string
+    * length (NULL for non-strings). Exact by construction — counts and
+    * extrema only, no doubles summed across rows except avg_len whose
+    * numerator is an exact integer sum. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
+
+    val aggs = cols.flatMap { c =>
+      val f = schema(c)
+      val base = Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"))
+      val numeric = f.dataType match {
+        case _: NumericType => Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"__min_$c"),
+          lit(null).cast("double").as(s"__max_$c"))
+      }
+      val strLen = f.dataType match {
+        case StringType => Seq(
+          try_divide(sum(length(col(c))).cast("double"), count(col(c)))
+            .as(s"__len_$c"))
+        case _ => Seq(lit(null).cast("double").as(s"__len_$c"))
+      }
+      base ++ numeric ++ strLen
+    }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__ndv_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"),
+        col(s"__max_$c").as("max_num"),
+        col(s"__len_$c").as("avg_len"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select("r.column", "r.n_rows", "r.n_nulls", "r.n_distinct",
+        "r.min_num", "r.max_num", "r.avg_len")
+      .orderBy("column")
+  }
+
+  /** Exact equi-width histogram of a numeric column over [lo, hi):
+    * (bucket, lo_edge, hi_edge, n). Values outside the range clamp into
+    * the end buckets (so the counts always sum to the non-null row
+    * count); bucket = floor((x-lo)/(hi-lo)·nb) clamped to [0, nb). All
+    * integer/floor arithmetic — bit-deterministic cross-engine. */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"need at least one bucket, got $nBuckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(nBuckets))
+    val bucket = greatest(lit(0L), least(lit(nBuckets - 1L), raw.cast("long")))
+    df.filter(c.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * width).as("hi_edge"),
+        col("n"))
+      .orderBy("bucket")
+  }
+}

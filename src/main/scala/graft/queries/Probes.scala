@@ -2016,6 +2016,58 @@ object Probes {
             |  (SELECT count(*) FROM r) AS n_packed""".stripMargin)
   )
 
+  /** Column profiling: one scan, every column's exact stats (the
+    * discovery pass that precedes a Quality constraint suite). All
+    * counts/extrema plus one IEEE division for avg string length —
+    * fully oracled per column. */
+  val profileProbe = Probe(
+    "q66_profile",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "n_chars", "lang", "text"))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+           |    count(*) - count(doc_id) AS n_nulls,
+           |    count(DISTINCT doc_id) AS n_distinct,
+           |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+           |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+           |    CAST(NULL AS DOUBLE) AS avg_len FROM documents
+           |  UNION ALL
+           |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           |    count(DISTINCT n_chars),
+           |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+           |    CAST(NULL AS DOUBLE) FROM documents
+           |  UNION ALL
+           |  SELECT 'lang', count(*), count(*) - count(lang),
+           |    count(DISTINCT lang), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |    CAST(sum(length(lang)) AS DOUBLE) / count(lang) FROM documents
+           |  UNION ALL
+           |  SELECT 'text', count(*), count(*) - count(text),
+           |    count(DISTINCT text), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |    CAST(sum(length(text)) AS DOUBLE) / count(text) FROM documents)
+           |ORDER BY "column"""".stripMargin)
+  )
+
+  /** Exact equi-width histogram over l_extendedprice: floor-arithmetic
+    * bucketing with end-bucket clamping — deterministic counts and
+    * edges, fully oracled. */
+  val histogramProbe = Probe(
+    "q67_histogram",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.histogram(Tables.lineitem(s, d), col("l_extendedprice"),
+        lo = 0.0, hi = 80000.0, nBuckets = 16)
+    },
+    Some("""SELECT bucket, 0.0 + bucket * 5000.0 AS lo_edge,
+           |  0.0 + (bucket + 1) * 5000.0 AS hi_edge, count(*) AS n
+           |FROM (SELECT greatest(0, least(15,
+           |    CAST(floor((l_extendedprice - 0.0) / 80000.0 * 16) AS BIGINT))) AS bucket
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2023,7 +2075,8 @@ object Probes {
     textChunks, multimodalFeatures, annIvf, cosineNearDupExact, cosineNearDupLsh,
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
-    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe
+    decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
+    histogramProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
