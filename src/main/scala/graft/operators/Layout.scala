@@ -38,6 +38,24 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton interleave: dimension j of `cols` occupies
+    * result bits j, j+d, j+2d, … (d = cols.size). `zValue(x, y, b)` ==
+    * `zValueN(Seq(x, y), b)`. The product cols.size·bits must fit a
+    * long's positive range. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 2, s"need at least 2 dimensions, got $d")
+    require(bits >= 1 && d * bits <= 63,
+      s"$d dims x $bits bits = ${d * bits} result bits (max 63)")
+    val mask = (1L << bits) - 1
+    val terms = for {
+      k <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.bitwiseAND(lit(mask)), k).bitwiseAND(lit(1L)), k * d + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Min-max scale a column to [0, 2^bits) as a long. `lo`/`hi` come
     * from one stats pass (or known domain bounds). Degenerate hi == lo
     * maps everything to 0. */

@@ -173,4 +173,38 @@ object Relational {
                 baseAggs: Seq[Column], reAggs: Seq[Column]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
       .cube(keys.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+
+  /** Snapshot diff (CDC between two table versions): one row per key
+    * that changed between `before` and `after`, tagged `inserted` /
+    * `deleted` / `updated`, carrying the after-image for inserts and
+    * updates and the before-image for deletes. The workhorse for
+    * change-data publishing and incremental downstream refresh:
+    * ONE full-outer shuffle join on the key, change detection via
+    * null-safe comparison over `tracked` (so NULL↔value transitions
+    * count), unchanged rows never leave the join. Keys must be unique
+    * per snapshot (it's a keyed table diff, not a multiset diff). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   tracked: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val b = before.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"__b_$c")) :+
+        lit(true).as("__b_present"): _*)
+    val a = after.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"__a_$c")) :+
+        lit(true).as("__a_present"): _*)
+    val hasB = col("__b_present").isNotNull
+    val hasA = col("__a_present").isNotNull
+    val changed =
+      if (tracked.isEmpty) lit(false)
+      else tracked.map(c => !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
+    val image = tracked.map(c =>
+      when(hasA, col(s"__a_$c")).otherwise(col(s"__b_$c")).as(c))
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(hasB && !hasA, lit("deleted"))
+          .when(!hasB && hasA, lit("inserted"))
+          .when(changed, lit("updated")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ image :+ col("change_type"): _*)
+  }
 }

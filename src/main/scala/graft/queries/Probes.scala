@@ -2068,6 +2068,50 @@ object Probes {
            |GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  /** Snapshot diff / CDC: a synthetic "next day" of orders (every 97th
+    * key deleted, every 13th re-prioritized, every 101st re-inserted
+    * under a shifted key) diffed against the original — fully oracled
+    * via a DuckDB full-outer reconstruction of the same change set. */
+  val snapshotDiffProbe = Probe(
+    "q68_snapshot_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val after = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 13 === 0, lit("CHANGED"))
+            .otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")))
+      Relational.snapshotDiff(o, after, Seq("o_orderkey"),
+          Seq("o_orderpriority", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH b AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+           |a AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 13 = 0 THEN 'CHANGED'
+           |         ELSE o_orderpriority END AS o_orderpriority,
+           |    o_totalprice
+           |  FROM orders WHERE o_orderkey % 97 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+           |  FROM orders WHERE o_orderkey % 101 = 0),
+           |d AS (
+           |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           |    coalesce(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+           |    coalesce(a.o_totalprice, b.o_totalprice) AS o_totalprice,
+           |    CASE WHEN a.o_orderkey IS NULL THEN 'deleted'
+           |         WHEN b.o_orderkey IS NULL THEN 'inserted'
+           |         WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+           |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+           |           THEN 'updated' END AS change_type
+           |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+           |SELECT o_orderkey, o_orderpriority, o_totalprice, change_type
+           |FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2076,7 +2120,7 @@ object Probes {
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
-    histogramProbe
+    histogramProbe, snapshotDiffProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

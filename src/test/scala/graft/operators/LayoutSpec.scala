@@ -23,6 +23,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(z(5) === 65535L)      // full 8-bit interleave
   }
 
+  test("zValueN: 2-D agrees with zValue; 3-D interleaves by stride") {
+    import spark.implicits._
+    val df = Seq((5L, 3L, 1L), (7L, 7L, 7L), (0L, 0L, 4L)).toDF("x", "y", "w")
+    val both = df.select(
+      Layout.zValue($"x", $"y", 8).as("z2"),
+      Layout.zValueN(Seq($"x", $"y"), 8).as("z2n"),
+      Layout.zValueN(Seq($"x", $"y", $"w"), 4).as("z3")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 3-D: x bits at 0,3,6,9; y at 1,4,7,10; w at 2,5,8,11
+    // (7,7,7) -> bits 0..8 all set = 511
+    assert(both(1).getLong(2) === 511L)
+    // (0,0,4): w bit 2 -> result bit 2*3+2 = 8 -> 256
+    assert(both(2).getLong(2) === 256L)
+  }
+
   test("z-order gives bounded per-file spans on BOTH dims; linear sort leaves dim2 unpruned") {
     import spark.implicits._
     // a 256x256 grid, both dims uniform

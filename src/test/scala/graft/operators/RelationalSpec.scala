@@ -98,4 +98,24 @@ class RelationalSpec extends AnyFunSuite {
       .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx")))
     assert(canon(Relational.cubeReagg(df, Seq("g1", "g2"), base, re)) === nativeCube)
   }
+
+  test("snapshotDiff tags inserts/deletes/updates, null-safe, drops unchanged") {
+    val before = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Option.empty[String], 30),
+      (4L, Some("gone"), 40)
+    ).toDF("id", "tag", "v")
+    val after = Seq(
+      (1L, Some("a"), 10),                 // unchanged -> absent
+      (2L, Some("b2"), 20),                // updated (value change)
+      (3L, Some("now"), 30),               // updated (NULL -> value)
+      (5L, Some("new"), 50)                // inserted
+    ).toDF("id", "tag", "v")
+    val d = Relational.snapshotDiff(before, after, Seq("id"), Seq("tag", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getString(1))).toMap
+    assert(d.keySet === Set(2L, 3L, 4L, 5L))
+    assert(d(2L) === ("updated", "b2"))   // after-image
+    assert(d(3L) === ("updated", "now"))  // NULL -> value counts as change
+    assert(d(4L) === ("deleted", "gone")) // before-image for deletes
+    assert(d(5L) === ("inserted", "new"))
+  }
 }
