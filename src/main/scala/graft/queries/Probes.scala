@@ -2112,6 +2112,47 @@ object Probes {
            |FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** SCD2 dimension maintenance through the gate: initialize a type-2
+    * dimension from orders at t0, merge a deterministic update batch
+    * (every 13th key re-prioritized, every 101st inserted under a
+    * shifted key) at t1, emit the full versioned dimension. DuckDB
+    * reconstructs the exact version set relationally — closed rows,
+    * new currents, untouched passthroughs, bookkeeping timestamps. */
+  val scd2Probe = Probe(
+    "q69_scd2_merge",
+    (s, d) => {
+      import graft.operators.Scd2
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("price"))
+      val dim0 = Scd2.initialize(base, lit("2024-01-01 00:00:00"))
+      val updates = base.filter(col("id") % 13 === 0)
+        .withColumn("prio", lit("CHANGED"))
+        .unionByName(base.filter(col("id") % 101 === 0)
+          .select((col("id") + 10000000L).as("id"), col("prio"), col("price")))
+      Scd2.merge(dim0, updates, Seq("id"), Seq("prio", "price"),
+          lit("2024-06-01 00:00:00"))
+        .orderBy("id", "valid_from")
+    },
+    Some("""WITH b AS (SELECT o_orderkey AS id, o_orderpriority AS prio,
+           |                  o_totalprice AS price FROM orders)
+           |SELECT id, prio, price,
+           |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           |  CASE WHEN id % 13 = 0 THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+           |  (id % 13 <> 0) AS is_current
+           |FROM b
+           |UNION ALL
+           |SELECT id, 'CHANGED', price, TIMESTAMP '2024-06-01 00:00:00',
+           |  CAST(NULL AS TIMESTAMP), true
+           |FROM b WHERE id % 13 = 0
+           |UNION ALL
+           |SELECT id + 10000000, prio, price, TIMESTAMP '2024-06-01 00:00:00',
+           |  CAST(NULL AS TIMESTAMP), true
+           |FROM b WHERE id % 101 = 0
+           |ORDER BY id, valid_from""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2120,7 +2161,7 @@ object Probes {
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
-    histogramProbe, snapshotDiffProbe
+    histogramProbe, snapshotDiffProbe, scd2Probe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
