@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset mixture weighting — materialize a training mix where each
+  * stratum (source/domain) is seen `weight` epochs: weight 2.5 means
+  * every row appears in 2 full epochs plus a 50% partial epoch. This is
+  * how LLM corpora up-/down-sample domains (wiki at 3 epochs, common
+  * crawl at 0.5, …) — and at 100 TB the partial epoch must be an EXACT,
+  * reproducible subset, not a Bernoulli draw whose size wobbles and
+  * whose membership changes with the cluster layout.
+  *
+  *  - full epochs: a generator (`explode(sequence(...))`) — narrow, no
+  *    shuffle, output volume = Σ n_s·floor(w_s) by construction;
+  *  - the partial epoch: exactly `ceil(frac_s · n_s)` rows per stratum,
+  *    chosen by the same stable key-hash rank as
+  *    [[Sampling.stratifiedExact]] (one window pass over only the
+  *    strata with a fractional part);
+  *  - rows with NULL or non-positive weight drop out (weight 0 = not in
+  *    the mix).
+  *
+  * Output = input columns + `epoch` (0-based). Downstream packing/
+  * shuffling treats (key, epoch) as the replica identity.
+  *
+  * `weight` must be constant within each stratum (it's read per-row;
+  * mixed weights inside one stratum make the partial-epoch count
+  * ill-defined — caller contract, as with every weights table). */
+object Mixture {
+
+  def materialize(df: DataFrame, strata: Seq[String], key: Column,
+                  weight: Column, seed: Long = 42L): DataFrame = {
+    require(strata.nonEmpty, "need at least one stratum column")
+    for (c <- Seq("__w", "__frac", "__rn", "__n", "epoch"))
+      require(!df.columns.contains(c), s"input already has a $c column")
+    val outCols = df.columns.toSeq
+
+    val w = df.withColumn("__w", weight.cast("double"))
+    val full = w.filter(col("__w") >= 1.0)
+      .select(outCols.map(col) :+
+        explode(sequence(lit(0L), floor(col("__w")).cast("long") - 1))
+          .as("epoch"): _*)
+
+    val frac = w.withColumn("__frac", col("__w") - floor(col("__w")))
+      .filter(col("__frac") > 0)
+    val rankW = Window.partitionBy(strata.map(col): _*)
+      .orderBy(Sampling.hashBucket(key, seed).asc, key.asc)
+    val nW = Window.partitionBy(strata.map(col): _*)
+    val partial = frac
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(nW))
+      .filter(col("__rn") <= ceil(col("__n") * col("__frac")))
+      .select(outCols.map(col) :+
+        floor(col("__w")).cast("long").as("epoch"): _*)
+
+    full.unionByName(partial)
+  }
+}

@@ -2153,6 +2153,42 @@ object Probes {
            |ORDER BY id, valid_from""".stripMargin)
   )
 
+  /** Dataset mixture weighting: sources up-/down-sampled by epoch
+    * weight (2.5 / 1.0 / 0.4 / dropped, by source index mod 4). The
+    * WHICH-rows of the partial epoch is hash-rank drawn (not SQL-
+    * expressible) but the mix's shape — every (source, epoch) cell
+    * count — is exact arithmetic and fully oracled: floor(w) full
+    * epochs of n rows plus ceil(frac·n) in the last. */
+  val mixtureProbe = Probe(
+    "q70_data_mixture",
+    (s, d) => {
+      import graft.operators.Mixture
+      val w = {
+        val idx = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+        when(idx % 4 === 0, 2.5).when(idx % 4 === 1, 1.0)
+          .when(idx % 4 === 2, 0.4).otherwise(0.0)
+      }
+      Mixture.materialize(Tables.documents(s, d), Seq("source"),
+          col("doc_id"), w)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("source", "epoch")
+    },
+    Some("""WITH s AS (SELECT source, count(*) AS n,
+           |  CASE CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4
+           |    WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.4
+           |    ELSE 0.0 END AS w
+           |  FROM documents GROUP BY source),
+           |e AS (SELECT source, n, w,
+           |  unnest(range(CAST(floor(w) AS BIGINT) +
+           |    CASE WHEN w - floor(w) > 0 THEN 1 ELSE 0 END)) AS epoch
+           |  FROM s WHERE w > 0)
+           |SELECT source, epoch,
+           |  CASE WHEN epoch < floor(w) THEN n
+           |       ELSE CAST(ceil(n * (w - floor(w))) AS BIGINT) END AS n_rows
+           |FROM e ORDER BY source, epoch""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2161,7 +2197,7 @@ object Probes {
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
-    histogramProbe, snapshotDiffProbe, scd2Probe
+    histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

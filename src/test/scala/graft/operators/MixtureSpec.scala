@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def mix = {
+    import spark.implicits._
+    // 3 sources x 10 docs; weights: a=2.5, b=0.4, c=0 (dropped)
+    (0L until 30L).map { i =>
+      val src = Seq("a", "b", "c")((i % 3).toInt)
+      (i, src)
+    }.toDF("id", "src")
+  }
+
+  private val w = when(col("src") === "a", 2.5)
+    .when(col("src") === "b", 0.4)
+    .otherwise(0.0)
+
+  test("epoch counts: floor(w) full epochs of n rows + exact ceil(frac*n) partial") {
+    import spark.implicits._
+    val out = Mixture.materialize(mix, Seq("src"), col("id"), w)
+    val counts = out.groupBy("src", "epoch").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (s, e, n) => (s, e) -> n }.toMap
+    assert(counts(("a", 0L)) === 10L)
+    assert(counts(("a", 1L)) === 10L)
+    assert(counts(("a", 2L)) === 5L)  // ceil(0.5 * 10)
+    assert(counts(("b", 0L)) === math.ceil(0.4 * 10).toLong) // frac-only source
+    assert(!counts.keySet.exists(_._1 == "c")) // weight 0 -> out of the mix
+    assert(counts.size === 4)
+  }
+
+  test("partial-epoch membership is key-stable across partitionings and nested in higher fractions") {
+    import spark.implicits._
+    val df = mix
+    def partialIds(d: org.apache.spark.sql.DataFrame, weight: org.apache.spark.sql.Column) =
+      Mixture.materialize(d, Seq("src"), col("id"), weight)
+        .filter(col("src") === "a" && col("epoch") === 2L)
+        .select("id").as[Long].collect().toSet
+    val p1 = partialIds(df.repartition(1), w)
+    val p2 = partialIds(df.repartition(7, col("id")), w)
+    assert(p1 === p2)
+    // the 0.5-fraction subset nests inside the 0.8-fraction subset
+    val w8 = when(col("src") === "a", 2.8).otherwise(0.0)
+    assert(p1.subsetOf(partialIds(df, w8)))
+  }
+}
