@@ -42,8 +42,11 @@ object Mixture {
         explode(sequence(lit(0L), floor(col("__w")).cast("long") - 1))
           .as("epoch"): _*)
 
+    // __w > 0 guard: a NEGATIVE non-integer weight still has a positive
+    // fractional part (floor rounds down), and must drop out, not emit
+    // epoch -1 rows
     val frac = w.withColumn("__frac", col("__w") - floor(col("__w")))
-      .filter(col("__frac") > 0)
+      .filter(col("__w") > 0 && col("__frac") > 0)
     val rankW = Window.partitionBy(strata.map(col): _*)
       .orderBy(Sampling.hashBucket(key, seed).asc, key.asc)
     val nW = Window.partitionBy(strata.map(col): _*)

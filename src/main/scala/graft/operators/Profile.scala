@@ -34,38 +34,41 @@ object Profile {
     val schema = df.schema
     cols.foreach(c => require(schema.fieldNames.contains(c), s"no such column: $c"))
 
-    val aggs = cols.flatMap { c =>
+    // index-based internal aliases (the Quality.check pattern): raw
+    // column names inside alias strings break on dotted names when
+    // re-resolved, and duplicate requested columns would alias-collide
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val f = schema(c)
       val base = Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"))
+        count(lit(1)).as(s"__n$i"),
+        count(col(c)).as(s"__nn$i"),
+        countDistinct(col(c)).as(s"__ndv$i"))
       val numeric = f.dataType match {
         case _: NumericType => Seq(
-          min(col(c)).cast("double").as(s"__min_$c"),
-          max(col(c)).cast("double").as(s"__max_$c"))
+          min(col(c)).cast("double").as(s"__min$i"),
+          max(col(c)).cast("double").as(s"__max$i"))
         case _ => Seq(
-          lit(null).cast("double").as(s"__min_$c"),
-          lit(null).cast("double").as(s"__max_$c"))
+          lit(null).cast("double").as(s"__min$i"),
+          lit(null).cast("double").as(s"__max$i"))
       }
       val strLen = f.dataType match {
         case StringType => Seq(
           try_divide(sum(length(col(c))).cast("double"), count(col(c)))
-            .as(s"__len_$c"))
-        case _ => Seq(lit(null).cast("double").as(s"__len_$c"))
+            .as(s"__len$i"))
+        case _ => Seq(lit(null).cast("double").as(s"__len$i"))
       }
       base ++ numeric ++ strLen
     }
     val agg = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
+    val rows = cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"),
-        (col(s"__n_$c") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__ndv_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_num"),
-        col(s"__max_$c").as("max_num"),
-        col(s"__len_$c").as("avg_len"))
+        col(s"__n$i").as("n_rows"),
+        (col(s"__n$i") - col(s"__nn$i")).as("n_nulls"),
+        col(s"__ndv$i").as("n_distinct"),
+        col(s"__min$i").as("min_num"),
+        col(s"__max$i").as("max_num"),
+        col(s"__len$i").as("avg_len"))
     }
     agg.select(explode(array(rows: _*)).as("r"))
       .select("r.column", "r.n_rows", "r.n_nulls", "r.n_distinct",

@@ -186,25 +186,40 @@ object Relational {
   def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
                    tracked: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(keys.intersect(tracked).isEmpty,
+      s"keys and tracked must be disjoint: ${keys.intersect(tracked)}")
+    val reserved = (keys ++ tracked).flatMap(c => Seq(s"__b_$c", s"__a_$c")) ++
+      Seq("__b_present", "__a_present", "change_type")
+    for (df <- Seq(before, after); c <- reserved)
+      require(!df.columns.contains(c),
+        s"input already has a $c column (reserved by snapshotDiff)")
     val b = before.select(
       keys.map(col) ++ tracked.map(c => col(c).as(s"__b_$c")) :+
         lit(true).as("__b_present"): _*)
     val a = after.select(
-      keys.map(col) ++ tracked.map(c => col(c).as(s"__a_$c")) :+
+      keys.map(c => col(c).as(s"__a_$c")) ++
+        tracked.map(c => col(c).as(s"__a_$c")) :+
         lit(true).as("__a_present"): _*)
     val hasB = col("__b_present").isNotNull
     val hasA = col("__a_present").isNotNull
+    // null-safe key join (like Scd2.merge): NULL-keyed rows are legal
+    // and must pair across snapshots, not explode into delete+insert
+    val joinCond = keys.map(k => col(k) <=> col(s"__a_$k")).reduce(_ && _)
     val changed =
       if (tracked.isEmpty) lit(false)
       else tracked.map(c => !(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
+    // image: after-side for inserts/updates (INCLUDING value→NULL
+    // transitions — presence decides, never coalesce), before for deletes
+    val keyOut = keys.map(k =>
+      when(hasB, col(k)).otherwise(col(s"__a_$k")).as(k))
     val image = tracked.map(c =>
       when(hasA, col(s"__a_$c")).otherwise(col(s"__b_$c")).as(c))
-    b.join(a, keys, "full_outer")
+    b.join(a, joinCond, "full_outer")
       .withColumn("change_type",
         when(hasB && !hasA, lit("deleted"))
           .when(!hasB && hasA, lit("inserted"))
           .when(changed, lit("updated")))
       .filter(col("change_type").isNotNull)
-      .select(keys.map(col) ++ image :+ col("change_type"): _*)
+      .select(keyOut ++ image :+ col("change_type"): _*)
   }
 }

@@ -2099,9 +2099,13 @@ object Probes {
            |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
            |  FROM orders WHERE o_orderkey % 101 = 0),
            |d AS (
+           |  -- presence-based images (NOT per-column coalesce): an update
+           |  -- that sets a tracked column to NULL must surface the NULL
            |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-           |    coalesce(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
-           |    coalesce(a.o_totalprice, b.o_totalprice) AS o_totalprice,
+           |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderpriority
+           |         ELSE b.o_orderpriority END AS o_orderpriority,
+           |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_totalprice
+           |         ELSE b.o_totalprice END AS o_totalprice,
            |    CASE WHEN a.o_orderkey IS NULL THEN 'deleted'
            |         WHEN b.o_orderkey IS NULL THEN 'inserted'
            |         WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority

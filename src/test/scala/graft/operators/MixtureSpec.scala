@@ -49,4 +49,16 @@ class MixtureSpec extends AnyFunSuite {
     val w8 = when(col("src") === "a", 2.8).otherwise(0.0)
     assert(p1.subsetOf(partialIds(df, w8)))
   }
+
+  test("negative and NULL weights drop out entirely (no epoch -1 rows)") {
+    import spark.implicits._
+    val wBad = when(col("src") === "a", -0.5)
+      .when(col("src") === "b", lit(null).cast("double"))
+      .otherwise(1.0)
+    val out = Mixture.materialize(mix, Seq("src"), col("id"), wBad)
+    assert(out.filter(col("src") === "a").count() === 0, "negative weight must drop")
+    assert(out.filter(col("src") === "b").count() === 0, "NULL weight must drop")
+    assert(out.filter(col("epoch") < 0).count() === 0)
+    assert(out.filter(col("src") === "c").count() === 10)
+  }
 }

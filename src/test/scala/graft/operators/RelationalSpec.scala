@@ -118,4 +118,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(d(4L) === ("deleted", "gone")) // before-image for deletes
     assert(d(5L) === ("inserted", "new"))
   }
+
+  test("snapshotDiff: value->NULL updates surface NULL; NULL keys pair null-safely") {
+    val before = Seq((Option(1L), Option("x")), (Option.empty[Long], Option("nk")))
+      .toDF("id", "tag")
+    // id=1's tag goes NULL (a real update whose after-image IS NULL);
+    // the NULL-keyed row is unchanged and must NOT appear in the diff
+    val after = Seq((Option(1L), Option.empty[String]),
+      (Option.empty[Long], Option("nk"))).toDF("id", "tag")
+    val d = Relational.snapshotDiff(before, after, Seq("id"), Seq("tag")).collect()
+    assert(d.length === 1)
+    assert(d.head.getLong(0) === 1L && d.head.getString(2) === "updated")
+    assert(d.head.isNullAt(1), "after-image must be NULL, not the before value")
+    // and a CHANGED null-keyed row is one update, not delete+insert
+    val after2 = Seq((Option(1L), Option("x")), (Option.empty[Long], Option("nk2")))
+      .toDF("id", "tag")
+    val d2 = Relational.snapshotDiff(before, after2, Seq("id"), Seq("tag")).collect()
+    assert(d2.length === 1 && d2.head.getString(2) === "updated")
+    assert(d2.head.isNullAt(0) && d2.head.getString(1) === "nk2")
+  }
 }
