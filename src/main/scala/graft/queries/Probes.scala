@@ -2193,6 +2193,29 @@ object Probes {
            |FROM e ORDER BY source, epoch""".stripMargin)
   )
 
+  /** Exact heavy hitters over the token stream: every word with
+    * frequency > n/100, found via the bounded Misra-Gries sketch + an
+    * exact verification pass (the result is exact counts, so the whole
+    * output is oracled — DuckDB recomputes the same set from a full
+    * group-by, which is the luxury the sketch exists to avoid at
+    * scale). */
+  val heavyHittersProbe = Probe(
+    "q71_heavy_hitters",
+    (s, d) => {
+      import graft.operators.HeavyHitters
+      val words = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("w"))
+      HeavyHitters.exactHeavyHitters(words, col("w"), k = 100)
+    },
+    Some("""WITH w AS (SELECT unnest(list_filter(
+           |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+           |  FROM documents),
+           |t AS (SELECT count(*) AS n FROM w)
+           |SELECT word AS item, count(*) AS n_item
+           |FROM w, t GROUP BY word, t.n HAVING count(*) * 100 > t.n
+           |ORDER BY n_item DESC, item""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2201,7 +2224,7 @@ object Probes {
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
-    histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe
+    histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
