@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** BM25 text retrieval — score every document containing at least one
+  * query term (Robertson/Okapi BM25 with the Lucene +1 idf so scores
+  * stay positive):
+  *
+  *   idf(t)    = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   score_t   = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score(d)  = Σ_{t ∈ q ∩ d} score_t
+  *
+  * This is the retrieval primitive a training-data pipeline uses for
+  * targeted corpus search (mining domain documents, sourcing eval
+  * neighbors) without an external search engine.
+  *
+  * Scale posture: the token explode filters to QUERY TERMS before
+  * anything shuffles — per-doc work is a codegen'd token scan, and the
+  * only wide ops are a (doc, term)-keyed count over the filtered (tiny)
+  * slice and a doc-keyed join back to per-doc lengths. Document
+  * frequencies and corpus stats are a handful of rows, broadcast. No
+  * inverted index is materialized; at 100 TB the same plan streams the
+  * corpus once. For repeated query workloads, persist the exploded
+  * (term, doc, tf) frame bucketed by term and this becomes an inverted
+  * index lookup — same expressions, one extra write.
+  *
+  * Determinism contract (the cross-engine oracle rides on it): per-term
+  * scores are computed in ONE fixed IEEE op order, floor-rounded to
+  * 1e-6 as integer micro-units, and summed EXACTLY as longs — no
+  * float-summation-order dependence anywhere. The only cross-engine
+  * risk left is the last ulp of ln(), below the rounding grain.
+  *
+  * Output: `doc_id`, `n_terms` (distinct query terms present), `score`
+  * (micro-unit-exact DOUBLE), one row per matching document.
+  */
+object Bm25 {
+
+  def score(docs: DataFrame, docId: Column, text: Column, terms: Seq[String],
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(docId.as("doc_id"), Text.words(text).as("__toks"))
+    val dl = base.select(col("doc_id"), size(col("__toks")).as("__dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+
+    val tf = base
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+
+    // one fixed op order, mirrored textually by the oracle SQL:
+    //   idf   = ln(1 + (n - df + 0.5) / (df + 0.5))
+    //   denom = tf + k1 * (1 - b + b * dl / avgdl)
+    //   s     = idf * (tf * (k1 + 1)) / denom
+    val scored = tf
+      .join(broadcast(dfreq), "__t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__denom",
+        col("__tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl").cast("double") / col("__avgdl")))
+      .withColumn("__micro",
+        floor(col("__idf") * (col("__tf") * lit(k1 + 1)) / col("__denom")
+          * 1000000.0 + 0.5).cast("long"))
+
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("__micro")).cast("double") / 1000000.0).as("score"))
+  }
+}

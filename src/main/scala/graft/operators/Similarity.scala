@@ -249,6 +249,96 @@ object Similarity {
     rerank(cb.join(qb, "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** Product-quantization codebooks — the third index family next to
+    * SRP-LSH and IVF, and the one that changes the MEMORY story: each
+    * corpus vector compresses to `m` small codes (m=8, k=16 → 8 ints
+    * standing in for 64 floats), so a 100 TB embedding column's search
+    * index fits in cluster RAM and candidate scoring never touches the
+    * raw vectors.
+    *
+    * Training follows the same fit-on-a-bounded-sample recipe as
+    * [[ivfCentroids]] (deterministic lowest-id sample, driver-local
+    * Lloyd's per SUBSPACE with per-subspace seeds) — flat cost in corpus
+    * size. Vectors are L2-normalized before chunking so the ADC score
+    * approximates COSINE directly. Returns flat [m][k][dim/m].
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int,
+                  vecCol: String = "embedding", seed: Long = 42L,
+                  maxSample: Int = 4096, idCol: String = "vec_id"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col(idCol))
+      .limit(maxSample)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var n2 = 0.0; var i = 0
+        while (i < dim) { n2 += v(i) * v(i); i += 1 }
+        val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+        i = 0
+        while (i < dim) { v(i) *= inv; i += 1 }
+        v
+      }
+    val out = new Array[Double](m * k * dsub)
+    // degenerate corpus: zero codebooks → every code 0, ADC score 0 —
+    // search degrades to id-ordered candidates, still well-defined
+    if (sample.length >= k) {
+      var j = 0
+      while (j < m) {
+        val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+        val centers = lloyds(sub, k, seed + j)
+        var c = 0
+        while (c < k) {
+          System.arraycopy(centers(c), 0, out, (j * k + c) * dsub, dsub)
+          c += 1
+        }
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** PQ ANN top-k with exact re-rank: encode the corpus to codes (narrow
+    * map, no shuffle), broadcast the queries with their per-query ADC
+    * lookup tables, walk the table for an O(m) approximate score per
+    * candidate, keep the top-`shortlist` per query, then exact-cosine
+    * re-rank only the shortlist. Emitted `sim` values are TRUE cosines
+    * (the PQ approximation only chooses the shortlist — same contract as
+    * every other ANN tier here: approximation bounds recall, never
+    * fabricates similarity). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int, kCodes: Int,
+             dim: Int, codebooks: Array[Double], shortlist: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id"): DataFrame = {
+    require(codebooks.length == m * kCodes * (dim / m),
+      s"codebook length ${codebooks.length} != m*k*dsub ${m * kCodes * (dim / m)}")
+    val spark = corpus.sparkSession
+    // codes only — the ADC scan and its per-query top-shortlist window
+    // shuffle (id, query_id, score) rows, never the raw vectors
+    val enc = corpus.select(col(idCol),
+      HashExprs.pqEncode(spark, col(vecCol), codebooks, m, kCodes, dim).as("__codes"))
+    val qt = queries
+      .select(col(queryIdCol),
+        HashExprs.pqTable(spark, col(vecCol), codebooks, m, kCodes, dim).as("__table"))
+    val wAdc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val short = enc.crossJoin(broadcast(qt))
+      .withColumn("__adc", HashExprs.adcScore(spark, col("__codes"), col("__table"), kCodes))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(idCol), col(queryIdCol), col("__adc"))
+      .withColumn("__arnk", row_number().over(wAdc)) // plans as WindowGroupLimit
+      .filter(col("__arnk") <= shortlist)
+      .select(col(idCol), col(queryIdCol))
+    // raw vectors rejoin only for the |queries|·shortlist survivors
+    val withVecs = short
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__q_vec"))), queryIdCol)
+    rerank(withVecs, k, idCol, queryIdCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding member of the
     * dedup family (exact / MinHash / SimHash / n-gram Jaccard /
     * embedding-cosine): unordered pairs (id_a < id_b) with exact cosine

@@ -213,6 +213,82 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encode: L2-normalize the vector, then per
+    * subspace j ∈ [0,m) pick the nearest (L2) of the k codebook entries.
+    * Codebooks are flat [m][k][dim/m]. Returns the m codes. With m=8,
+    * k=16 a 64-dim float vector (256 B) compresses to 8 small ints —
+    * the memory ratio that lets a 100 TB embedding corpus's index fit
+    * in cluster RAM. */
+  def pqEncode(v: ArrayData, codebooks: Array[Double], m: Int, k: Int, dim: Int): ArrayData = {
+    val dsub = dim / m
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getFloat(i).toDouble; na += x * x; i += 1 }
+    val inv = if (na > 0) 1.0 / math.sqrt(na) else 0.0
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v.getFloat(j * dsub + t).toDouble * inv - codebooks(off + t)
+          s += diff * diff
+          t += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup table for one query: L2-normalize q, then
+    * table[j*k + c] = dot(q_subspace_j, codebook[j][c]). Computed ONCE
+    * per query row; every corpus pair after that is an O(m) table walk
+    * ([[adcScore]]), not an O(dim) vector scan. */
+  def pqTable(q: ArrayData, codebooks: Array[Double], m: Int, k: Int, dim: Int): ArrayData = {
+    val dsub = dim / m
+    var nq = 0.0
+    var i = 0
+    while (i < dim) { val x = q.getFloat(i).toDouble; nq += x * x; i += 1 }
+    val inv = if (nq > 0) 1.0 / math.sqrt(nq) else 0.0
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          s += q.getFloat(j * dsub + t).toDouble * inv * codebooks(off + t)
+          t += 1
+        }
+        out(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score: Σ_j table[j*k + codes[j]] ≈ cosine of
+    * (query, corpus vector) since both sides were normalized. */
+  def adcScore(codes: ArrayData, table: ArrayData, k: Int): Double = {
+    var s = 0.0
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) { s += table.getDouble(j * k + codes.getInt(j)); j += 1 }
+    s
+  }
+
   /** MinHash signature: k min-hashes over the (already distinct) shingle
     * array. Empty input → Long.MaxValue sentinel per position. */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
@@ -333,6 +409,42 @@ case class NearestCells(child: Expression, centroids: Array[Double],
   override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
 }
 
+/** PQ encode / ADC expressions: codebooks ship via addReferenceObj (like
+  * [[NearestCells]] — they come from a fitted model, not a seed). */
+case class PqEncode(child: Expression, codebooks: Array[Double],
+                    m: Int, k: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.pqEncode(v.asInstanceOf[ArrayData], codebooks, m, k, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.pqEncode($c, $ref, $m, $k, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+case class PqTable(child: Expression, codebooks: Array[Double],
+                   m: Int, k: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.pqTable(v.asInstanceOf[ArrayData], codebooks, m, k, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.pqTable($c, $ref, $m, $k, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqTable = copy(child = c)
+}
+
+case class AdcScore(left: Expression, right: Expression, k: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, table: Any): Any =
+    HashImpl.adcScore(codes.asInstanceOf[ArrayData], table.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.plans.HashImpl.adcScore($c, $t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+}
+
 /** Column-facing constructors. Spark 4 removed the public
   * `new Column(expr)` constructor, so expressions are registered in the
   * session FunctionRegistry once and invoked via call_function. */
@@ -390,6 +502,33 @@ object HashExprs {
                 bits: Int, dim: Int, seed: Long = 42L): Column = {
     ensureRegistered(spark)
     call_function("graft_srp_bucket", c, lit(bits), lit(dim), lit(seed))
+  }
+
+  /** PQ columns: model-derived registration names, same scheme as
+    * [[nearestCells]]. */
+  def pqEncode(spark: org.apache.spark.sql.SparkSession, c: Column,
+               codebooks: Array[Double], m: Int, k: Int, dim: Int): Column = {
+    val name = "graft_pq_encode_" +
+      (java.util.Arrays.hashCode(codebooks) & 0xffffffffL).toHexString + s"_${m}_${k}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PqEncode(exprs.head, codebooks, m, k, dim), "built-in")
+    call_function(name, c)
+  }
+
+  def pqTable(spark: org.apache.spark.sql.SparkSession, c: Column,
+              codebooks: Array[Double], m: Int, k: Int, dim: Int): Column = {
+    val name = "graft_pq_table_" +
+      (java.util.Arrays.hashCode(codebooks) & 0xffffffffL).toHexString + s"_${m}_${k}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PqTable(exprs.head, codebooks, m, k, dim), "built-in")
+    call_function(name, c)
+  }
+
+  def adcScore(spark: org.apache.spark.sql.SparkSession, codes: Column, table: Column,
+               k: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      s"graft_adc_score_$k", exprs => AdcScore(exprs(0), exprs(1), k), "built-in")
+    call_function(s"graft_adc_score_$k", codes, table)
   }
 
   /** IVF cell assignment column. The centroid array comes from a fitted

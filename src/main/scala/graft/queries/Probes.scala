@@ -2336,6 +2336,104 @@ object Probes {
            |ORDER BY block, name_a, name_b""".stripMargin)
   )
 
+  /** BM25 retrieval for a fixed 3-term query (fully oracled): per-term
+    * scores in one pinned IEEE op order, floor-rounded to integer
+    * micro-units, summed exactly — see [[graft.operators.Bm25]] for the
+    * determinism contract. */
+  val bm25Probe = Probe(
+    "q76_bm25",
+    (s, d) => {
+      import graft.operators.Bm25
+      Bm25.score(Tables.documents(s, d), col("doc_id"), col("text"),
+          terms = Seq("spark", "join", "stream"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(
+           |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+           |  FROM documents),
+           |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           |          FROM dl),
+           |w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM w
+           |       WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+           |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(floor(
+           |           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           |           * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+           |           / (tf.tf + CAST(1.2 AS DOUBLE) *
+           |              (1 - CAST(0.75 AS DOUBLE) +
+           |               CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+           |           * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+           |SELECT doc_id, count(*) AS n_terms,
+           |       CAST(sum(micro) AS DOUBLE) / 1000000.0 AS score
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  def pqTrainStage(s: SparkSession, d: String): Array[Double] =
+    Similarity.pqCodebooks(
+      Tables.embeddings(s, d).orderBy("vec_id").limit(512).coalesce(1),
+      m = 8, k = 16, dim = 64)
+
+  /** q77's search stage against pre-trained codebooks: encode + ADC
+    * table-walk shortlist + exact re-rank of survivors. */
+  def pqSearchStage(s: SparkSession, d: String, books: Array[Double]): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.pqTopK(emb, queries, k = 3, m = 8, kCodes = 16, dim = 64, books,
+        shortlist = 32)
+      .select(col("query_id"), col("vec_id").as("nn_id"),
+        binRound(col("sim"), 4).as("sim"), col("rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Product-quantization ANN (third index family: memory-compressed
+    * codes + ADC shortlist + exact re-rank), self-oracled with the same
+    * audit as q40: emitted sims are TRUE cosines of re-ranked
+    * candidates, so rank-1 can never beat the exact NN; recall@1 is
+    * measured against the in-query brute-force truth. */
+  val annPq = Probe(
+    "q77_ann_pq",
+    (s, d) => {
+      val out = pqSearchStage(s, d, pqTrainStage(s, d))
+      val emb = Tables.embeddings(s, d)
+      val bq = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, bq, k = 1)
+        .select(col("query_id"), col("sim").as("__exact_sim"))
+      val top1 = out.filter(col("rnk") === 1)
+        .select(col("query_id"), col("sim").as("__pq_sim"))
+      val audit = exact.join(top1, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("__pq_sim")).as("__n_found"),
+          coalesce(sum(when(col("__pq_sim") > col("__exact_sim") + 1e-4, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_viol"),
+          coalesce(sum(when(col("__pq_sim") >= col("__exact_sim") - 1e-4, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_hit1"))
+      val shape = out.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rnk")).as("__minr"), max(col("rnk")).as("__maxr"))
+        .agg(coalesce(sum(when(
+          col("__n") === col("__maxr") && col("__minr") === 1 && col("__maxr") <= 3, 0L)
+          .otherwise(1L)), lit(0L)).as("__n_bad_shape"))
+      audit.crossJoin(shape)
+        .select(
+          col("n_queries"),
+          (col("__n_viol") === 0).as("ok_never_above_exact"),
+          (col("__n_found") >= col("n_queries") * 0.95).as("ok_found"),
+          (col("__n_hit1") >= col("n_queries") * 0.4).as("ok_recall1"),
+          (col("__n_bad_shape") === 0).as("ok_topk_shape"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_never_above_exact,
+           |       true AS ok_found, true AS ok_recall1, true AS ok_topk_shape
+           |FROM embeddings WHERE vec_id < 50""".stripMargin),
+    benchRun = Some((s, d) => pqSearchStage(s, d, pqTrainStage(s, d)))
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2345,7 +2443,8 @@ object Probes {
     redactPiiProbe, codecRoundtrip, qualitySuite, bloomPrune,
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
-    approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe
+    approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
+    bm25Probe, annPq
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
