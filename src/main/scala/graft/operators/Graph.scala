@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking on DataFrames — PageRank with EXACT integer
+  * arithmetic.
+  *
+  * Floating-point PageRank is nondeterministic across engines and even
+  * across partition layouts (per-vertex contribution sums are
+  * order-dependent). This implementation keeps ranks in integer
+  * "micro-units" and replaces every float op with integer ops:
+  *
+  *   contrib(u→v) = rank(u) DIV outdeg(u)
+  *   rank'(v)     = base + (dampNum · Σ contrib) DIV dampDen
+  *   base         = init · (dampDen − dampNum) DIV dampDen
+  *
+  * Integer sums are exact and order-free, so the result is bit-identical
+  * on any cluster layout and reproducible by any engine that has 64-bit
+  * integer division (the q78 oracle replays it in DuckDB as an unrolled
+  * CTE chain). The DIV truncation loses < 1 micro-unit of mass per edge
+  * per iteration — a deliberately deterministic leak, far below ranking
+  * granularity with init = 1e6.
+  *
+  * Scale posture: each iteration is one join of the static
+  * (src, dst, outdeg) edge frame with the current rank frame on `src`
+  * (both hash-partition on the same key — co-partitioned at scale if
+  * edges are bucketed by src) followed by one aggregation shuffle on
+  * `dst`. Iterations are a fixed small count, so the total is
+  * 2·iters bounded shuffles of (id, long) rows — vectors of state never
+  * exceed one long per vertex. i64 headroom: a hub's in-mass times
+  * dampNum must fit 2^63 — with init 1e6 and damp 85/100 that allows
+  * ~10^11 total graph mass, far beyond any real corpus graph's hub.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list (`src`, `dst` — pass both
+    * directions for an undirected graph). Duplicate edges are collapsed.
+    * Vertices = nodes with at least one outgoing edge (for undirected
+    * input, that's every connected node). Returns (`node` LONG,
+    * `rank` LONG micro-units). */
+  def pagerankMicro(edges: DataFrame, iters: Int,
+                    dampNum: Long = 85L, dampDen: Long = 100L,
+                    init: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping in (0,1)")
+    val base = init * (dampDen - dampNum) / dampDen
+
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    // the edge frame is static across iterations but appears in every
+    // iteration's lineage — without persistence the composed plan
+    // re-scans and re-shuffles it per iteration (measured: 44 file
+    // scans / 0 reused exchanges for 5 iterations on this corpus).
+    // Persisting is the standard iterative-graph trade (GraphX does the
+    // same): the cache holds (src, dst, outdeg) longs only. It stays
+    // cached for the session; callers running many graphs can
+    // `spark.catalog.clearCache()` between them.
+    val eDeg = e.join(deg, "src").persist()
+
+    var ranks = deg.select(col("src").as("node"), lit(init).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
+      ranks = contribs.groupBy(col("node"))
+        .agg((lit(base) + expr(s"($dampNum * sum(__c)) DIV $dampDen")).as("rank"))
+      i += 1
+    }
+    ranks
+  }
+}

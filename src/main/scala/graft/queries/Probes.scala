@@ -2434,6 +2434,53 @@ object Probes {
     benchRun = Some((s, d) => pqSearchStage(s, d, pqTrainStage(s, d)))
   )
 
+  /** Integer-arithmetic PageRank over the bipartite customer↔part
+    * co-purchase graph, 5 iterations, FULLY oracled — DuckDB replays
+    * the identical integer recurrence as an unrolled CTE chain (exact
+    * 64-bit ops, so cross-engine equality is bit-level, something float
+    * PageRank can never give). Node ids are namespaced 2·cust / 2·part+1. */
+  val pagerankProbe = Probe(
+    "q78_pagerank",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cp.unionByName(cp.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pagerankMicro(edges, iters = 5)
+        .select(
+          when(col("node") % 2 === 0, "cust").otherwise("part").as("node_type"),
+          expr("node DIV 2").as("node_key"),
+          col("rank").as("rank_micro"))
+        .orderBy(desc("rank_micro"), col("node_type"), col("node_key"))
+    },
+    Some("""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+           |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |i1 AS (SELECT e.dst AS node, CAST(sum(r0.rank // deg.d) AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+           |r1 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i1),
+           |i2 AS (SELECT e.dst AS node, CAST(sum(r1.rank // deg.d) AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+           |r2 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i2),
+           |i3 AS (SELECT e.dst AS node, CAST(sum(r2.rank // deg.d) AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+           |r3 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i3),
+           |i4 AS (SELECT e.dst AS node, CAST(sum(r3.rank // deg.d) AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r3 ON r3.node = e.src GROUP BY e.dst),
+           |r4 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i4),
+           |i5 AS (SELECT e.dst AS node, CAST(sum(r4.rank // deg.d) AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r4 ON r4.node = e.src GROUP BY e.dst),
+           |r5 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i5)
+           |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS node_type,
+           |       node // 2 AS node_key, rank AS rank_micro
+           |FROM r5 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2444,7 +2491,7 @@ object Probes {
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
-    bm25Probe, annPq
+    bm25Probe, annPq, pagerankProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
