@@ -2481,6 +2481,52 @@ object Probes {
            |FROM r5 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
   )
 
+  /** BPE tokenizer: merge table trained on the bounded lowest-id sample
+    * (flat cost in corpus size), corpus tokenized by the native
+    * expression. Self-oracled q29/q31-style: DuckDB recomputes the
+    * SQL-expressible measures (word/char counts) exactly, and the
+    * booleans assert (a) the native encoder agrees bitwise with the
+    * independent HOF reference applied as a UDF, (b) token counts sit in
+    * the provable [n_words, n_chars] envelope. */
+  val bpeProbe = Probe(
+    "q79_bpe_tokens",
+    (s, d) => {
+      import graft.operators.Bpe
+      import graft.plans.TextExprs
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, col("text"), col("doc_id"), nMerges = 200,
+        maxSample = 512)
+      val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val refUdf = udf((t: String) => Bpe.countTokensRef(t, ranks))
+      docs.select(
+          col("doc_id"),
+          size(Text.words(col("text"))).as("n_words"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_chars"),
+          TextExprs.bpeCount(s, col("text"), merges).as("__bpe"),
+          refUdf(col("text")).as("__bpe_ref"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          (col("__bpe") === col("__bpe_ref")).as("ok_agree"),
+          (col("__bpe") >= col("n_words") && col("__bpe") <= col("n_chars"))
+            .as("ok_bounds"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  len(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS n_words,
+           |  length(regexp_replace(text, '\s', '', 'g')) AS n_chars,
+           |  true AS ok_agree, true AS ok_bounds
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    benchRun = Some((s, d) => {
+      import graft.operators.Bpe
+      import graft.plans.TextExprs
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, col("text"), col("doc_id"), nMerges = 200,
+        maxSample = 512)
+      docs.select(col("doc_id"),
+        TextExprs.bpeCount(s, col("text"), merges).as("n_bpe"))
+    })
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2491,7 +2537,7 @@ object Probes {
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
-    bm25Probe, annPq, pagerankProbe
+    bm25Probe, annPq, pagerankProbe, bpeProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
