@@ -2527,6 +2527,43 @@ object Probes {
     })
   )
 
+  /** Substring-level duplicate-passage statistics (fully oracled):
+    * 8-word windows shared across ≥2 documents, reported as per-doc
+    * duplicated-window counts and ratios — the corpus-internal
+    * counterpart of q60's corpus-vs-eval decontamination. */
+  val dupPassagesProbe = Probe(
+    "q80_dup_passages",
+    (s, d) => {
+      val out = TextDedup.duplicatePassageStats(Tables.documents(s, d), k = 8)
+      out.select(col("doc_id"), col("n_grams"), col("n_dup"),
+          binRound(col("dup_ratio"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(
+           |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+           |  FROM documents),
+           |occ AS (SELECT doc_id, w,
+           |          unnest(generate_series(0, len(w) - 8)) AS i
+           |        FROM toks),
+           |g AS (SELECT doc_id,
+           |        list_aggregate(w[i+1:i+8], 'string_agg', ' ') AS gram
+           |      FROM occ),
+           |shared AS (SELECT gram, 1 AS dup FROM g
+           |           GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |per AS (SELECT g.doc_id, count(*) AS n_grams,
+           |          CAST(coalesce(sum(shared.dup), 0) AS BIGINT) AS n_dup
+           |        FROM g LEFT JOIN shared ON g.gram = shared.gram
+           |        GROUP BY g.doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(per.n_grams, 0) AS n_grams,
+           |  coalesce(per.n_dup, 0) AS n_dup,
+           |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN CAST(0 AS DOUBLE)
+           |       ELSE floor(CAST(per.n_dup AS DOUBLE) / per.n_grams * 10000 + 0.5) / 10000
+           |  END AS dup_ratio
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2537,7 +2574,7 @@ object Probes {
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
-    bm25Probe, annPq, pagerankProbe, bpeProbe
+    bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
