@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators: exponential smoothing and calendar gap
+  * filling. Together with the rolling RANGE window (q44), as-of joins
+  * (q19/q39), sessionization (q49), and cohort/funnel analytics
+  * (q73/q74) these complete the engine's temporal tier.
+  *
+  * EWMA is a sequential recurrence — the one shape a window function
+  * cannot express — so [[ewmaInt]] runs it as typed group iteration
+  * (`flatMapGroups`): ONE hash shuffle on the series key, then an
+  * in-memory pass per group. Per-group state is CALENDAR-BOUNDED (one
+  * row per day), the same argument that bounds q73's per-user state —
+  * a 100-year daily series is 36,525 rows, trivially in-memory, while
+  * the number of series scales out across executors.
+  *
+  * Like [[Graph.pagerankMicro]], the recurrence uses integer
+  * micro-units with floor division so the trajectory is bit-identical
+  * on any layout and exactly replayable by the DuckDB oracle's
+  * recursive CTE — float EWMA would drift per engine:
+  *
+  *   s_0 = x_0;  s_t = (alphaNum·x_t + (alphaDen−alphaNum)·s_{t−1}) floordiv alphaDen
+  */
+object TimeSeries {
+
+  /** Integer EWMA per group over a daily series. Input columns: `group`
+    * (cast to string — the series key), `day` (DATE), `valueInt`
+    * (LONG — pre-scale floats to cents/micros upstream). Output:
+    * (`g`, `day`, `v`, `ewma`), one row per input row. Duplicate
+    * (group, day) rows are a caller-contract violation (the recurrence
+    * would depend on their order); `dedupDays` guards it. */
+  def ewmaInt(df: DataFrame, group: Column, day: Column, valueInt: Column,
+              alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "alpha in (0,1]")
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val inEnc: Encoder[(String, java.sql.Date, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.DATE, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(String, java.sql.Date, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.DATE, Encoders.scalaLong, Encoders.scalaLong)
+    df.select(group.cast("string").as("g"), day.as("day"), valueInt.cast("long").as("v"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var s = 0L
+        var first = true
+        rows.iterator.map { case (_, d, v) =>
+          s = if (first) { first = false; v }
+          else Math.floorDiv(alphaNum * v + (alphaDen - alphaNum) * s, alphaDen)
+          (g, d, v, s)
+        }
+      }
+      .toDF("g", "day", "v", "ewma")
+  }
+
+  /** One row per (group, day), summing duplicates — the normalization
+    * step in front of [[ewmaInt]]. */
+  def dedupDays(df: DataFrame, group: Column, day: Column, valueInt: Column): DataFrame =
+    df.select(group.cast("string").as("g"), day.as("day"), valueInt.cast("long").as("v"))
+      .groupBy(col("g"), col("day")).agg(sum(col("v")).as("v"))
+
+  /** Calendar gap filling with last-observation-carried-forward: build
+    * each group's full daily spine (min..max day — no fabrication
+    * outside the series' observed life), left-join the observations,
+    * carry the last non-null value forward. Output: (`g`, `day`, `v`
+    * nullable original, `v_filled`, `filled` flag).
+    *
+    * The spine is a generator (`explode(sequence(...))`) — no shuffle
+    * beyond the per-group min/max aggregate and the join back, both
+    * keyed on the series key. LOCF itself is one window pass. */
+  def gapFillLocf(df: DataFrame, group: Column, day: Column, valueInt: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("g"), day.as("day"),
+      valueInt.cast("long").as("v"))
+    val spine = base.groupBy(col("g"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col("g"),
+        explode(expr("sequence(__d0, __d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("g", "day"), "left")
+      .select(col("g"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v").isNull.as("filled"))
+  }
+}

@@ -2564,6 +2564,71 @@ object Probes {
            |ORDER BY d.doc_id""".stripMargin)
   )
 
+  /** Integer EWMA over each priority's daily revenue (fully oracled):
+    * the sequential recurrence runs as typed group iteration with
+    * calendar-bounded state, in exact integer cents — DuckDB replays
+    * the identical recurrence with a recursive CTE. */
+  val ewmaProbe = Probe(
+    "q81_ewma",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val daily = TimeSeries.dedupDays(Tables.orders(s, d),
+        col("o_orderpriority"), to_date(col("o_orderdate")),
+        (dec(col("o_totalprice")) * 100).cast("long"))
+      TimeSeries.ewmaInt(daily, col("g"), col("day"), col("v"),
+          alphaNum = 20, alphaDen = 100)
+        .select(col("g").as("o_orderpriority"), col("day"),
+          col("v").as("cents"), col("ewma"))
+        .orderBy("o_orderpriority", "day")
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT o_orderpriority AS g, o_orderdate::DATE AS day,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |i AS (SELECT g, day, cents,
+           |        row_number() OVER (PARTITION BY g ORDER BY day) AS rn FROM d),
+           |rec AS (
+           |  SELECT g, day, rn, cents, cents AS ewma FROM i WHERE rn = 1
+           |  UNION ALL
+           |  SELECT i.g, i.day, i.rn, i.cents, (20 * i.cents + 80 * rec.ewma) // 100
+           |  FROM i JOIN rec ON i.g = rec.g AND i.rn = rec.rn + 1)
+           |SELECT g AS o_orderpriority, day, cents, ewma
+           |FROM rec ORDER BY o_orderpriority, day""".stripMargin)
+  )
+
+  /** Calendar gap filling with LOCF over the same daily series (fully
+    * oracled): per-group date spine from a generator, one left join,
+    * one window pass carrying the last observation forward. */
+  val gapFillProbe = Probe(
+    "q82_gap_fill",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val daily = TimeSeries.dedupDays(Tables.orders(s, d),
+        col("o_orderpriority"), to_date(col("o_orderdate")),
+        (dec(col("o_totalprice")) * 100).cast("long"))
+      TimeSeries.gapFillLocf(daily, col("g"), col("day"), col("v"))
+        .select(col("g").as("o_orderpriority"), col("day"),
+          col("v").as("cents"), col("v_filled").as("cents_filled"), col("filled"))
+        .orderBy("o_orderpriority", "day")
+    },
+    Some("""WITH d AS (
+           |  SELECT o_orderpriority AS g, o_orderdate::DATE AS day,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |span AS (SELECT g, min(day) AS d0, max(day) AS d1 FROM d GROUP BY g),
+           |spine AS (SELECT g,
+           |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           |          FROM span),
+           |j AS (SELECT spine.g, spine.day, d.cents
+           |      FROM spine LEFT JOIN d ON spine.g = d.g AND spine.day = d.day)
+           |SELECT g AS o_orderpriority, day, cents,
+           |  last_value(cents IGNORE NULLS) OVER (
+           |    PARTITION BY g ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+           |  cents IS NULL AS filled
+           |FROM j ORDER BY o_orderpriority, day""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2574,7 +2639,8 @@ object Probes {
     decontaminateProbe, incrementalDedupProbe, stratifiedSampleProbe, packingProbe, zorderProbe, corpusReleaseProbe, profileProbe,
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
-    bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe
+    bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
+    ewmaProbe, gapFillProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Decontaminate, IncrementalDedup, Packing, Sampling, Similarity, TextDedup}
+import graft.operators.{Analytics, Bm25, Bpe, CorpusStats, Decontaminate, Graph, IncrementalDedup, Packing, Sampling, Similarity, TextDedup}
+import graft.plans.TextExprs
 import graft.sources.Tables
 
 /** Dev tool: operator-family scaling sweep. Replicates the sf0.1 corpus
@@ -31,12 +32,23 @@ object ScaleSweep {
     def prep(rep: Int): String = {
       val dir = s"$workDir/x$rep"
       val done = new java.io.File(s"$dir/_DONE")
+      def rpl(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+        val base =
+          if (name == "events") Tables.events(spark, baseSf) // nanos-safe read
+          else spark.read.parquet(s"$baseSf/$name.parquet")
+        (0 until rep).map(i => shift(base, i)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      // events joined the sweep after the first _DONE dirs were built —
+      // backfill it into already-prepared dirs
+      if (done.exists() && !new java.io.File(s"$dir/events.parquet").exists())
+        rpl("events", (df, i) => df
+          .withColumn("event_id", col("event_id") + lit(i * KEY_OFF))
+          .withColumn("user_id", col("user_id") + lit(i * KEY_OFF)))
       if (!done.exists()) {
-        def rpl(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
-          val base = spark.read.parquet(s"$baseSf/$name.parquet")
-          (0 until rep).map(i => shift(base, i)).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
-        }
+        rpl("events", (df, i) => df
+          .withColumn("event_id", col("event_id") + lit(i * KEY_OFF))
+          .withColumn("user_id", col("user_id") + lit(i * KEY_OFF)))
         rpl("lineitem", (df, i) => df
           .withColumn("l_orderkey", col("l_orderkey") + lit(i * KEY_OFF)))
         rpl("orders", (df, i) => df
@@ -77,6 +89,7 @@ object ScaleSweep {
       val o = spark.read.parquet(s"$d/orders.parquet")
       val docs = spark.read.parquet(s"$d/documents.parquet")
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val ev = spark.read.parquet(s"$d/events.parquet") // µs ts (rewritten)
       val nLi = li.count(); val nDocs = docs.count(); val nEmb = emb.count()
 
       val ops: Seq[(String, () => Unit)] = Seq(
@@ -123,7 +136,38 @@ object ScaleSweep {
             col("n_chars"), budget = 2000L))),
         "stratified_sample" -> (() => noop(
           Sampling.stratifiedExact(docs, Seq("lang", "source"),
-            col("doc_id"), fraction = 0.2)))
+            col("doc_id"), fraction = 0.2))),
+        "retention" -> (() => noop(
+          Analytics.retention(ev, col("user_id"), col("ts")))),
+        "funnel" -> (() => noop(
+          Analytics.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+            Seq("view", "click", "purchase")))),
+        // term set matches replica 0 only (word salting) — the curve
+        // measures the scan+explode+filter path, which is the claim:
+        // cost tracks corpus size, not an inverted index build
+        "bm25" -> (() => noop(
+          Bm25.score(docs, col("doc_id"), col("text"),
+            Seq("spark", "join", "stream")))),
+        "dup_passages" -> (() => noop(
+          TextDedup.duplicatePassageStats(docs, k = 8))),
+        // distinct (cust,part) edges grow ~linearly in rep (customers
+        // replicate, parts are shared, so the graph densifies — the
+        // realistic direction); 5 integer iterations
+        "pagerank_5it" -> { () =>
+          val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst")).distinct()
+          val edges = cp.unionByName(
+            cp.select(col("dst").as("src"), col("src").as("dst")))
+          noop(Graph.pagerankMicro(edges, iters = 5))
+        },
+        // train is bounded-sample (flat); encode is the linear term
+        "bpe_count" -> { () =>
+          val merges = Bpe.train(docs, col("text"), col("doc_id"),
+            nMerges = 200, maxSample = 512)
+          noop(docs.select(col("doc_id"),
+            TextExprs.bpeCount(spark, col("text"), merges).as("n")))
+        }
       )
       ops.foreach { case (tag, body) =>
         body() // warm: codegen + parquet footers out of the measurement

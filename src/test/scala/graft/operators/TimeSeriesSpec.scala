@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+import graft.SharedSpark
+
+/** EWMA recurrence and LOCF gap filling on hand-built series. */
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("ewmaInt follows s_t = (a·x + (1−a)·s) floordiv den") {
+    val df = Seq(
+      ("a", d("2024-01-01"), 100L),
+      ("a", d("2024-01-02"), 200L),
+      ("a", d("2024-01-03"), 200L),
+      ("b", d("2024-01-01"), 50L)
+    ).toDF("g", "day", "v")
+    val out = TimeSeries.ewmaInt(df, col("g"), col("day"), col("v"), 20, 100)
+      .orderBy("g", "day")
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    // a: s1=100; s2=(20·200+80·100)/100=120; s3=(20·200+80·120)/100=136
+    assert(out.toSeq === Seq(("a", 100L), ("a", 120L), ("a", 136L), ("b", 50L)))
+  }
+
+  test("ewmaInt is layout-independent and order-insensitive on input") {
+    val rows = Seq(
+      ("a", d("2024-01-03"), 200L), // shuffled input order
+      ("a", d("2024-01-01"), 100L),
+      ("a", d("2024-01-02"), 200L))
+    val a = TimeSeries.ewmaInt(rows.toDF("g", "day", "v"),
+      col("g"), col("day"), col("v"), 20, 100)
+      .orderBy("day").collect().map(_.getLong(3)).toSeq
+    val b = TimeSeries.ewmaInt(rows.toDF("g", "day", "v").repartition(5),
+      col("g"), col("day"), col("v"), 20, 100)
+      .orderBy("day").collect().map(_.getLong(3)).toSeq
+    assert(a === Seq(100L, 120L, 136L) && b === a)
+  }
+
+  test("ewmaInt floor division matches DuckDB semantics for negative values") {
+    val df = Seq(("a", d("2024-01-01"), -100L), ("a", d("2024-01-02"), -105L))
+      .toDF("g", "day", "v")
+    val out = TimeSeries.ewmaInt(df, col("g"), col("day"), col("v"), 20, 100)
+      .orderBy("day").collect().map(_.getLong(3))
+    // s2 = floor((20·(-105) + 80·(-100))/100) = floor(-101.0) = -101
+    assert(out.toSeq === Seq(-100L, -101L))
+  }
+
+  test("gapFillLocf fills only interior gaps, per group, with the prior value") {
+    val df = Seq(
+      ("a", d("2024-01-01"), 10L),
+      ("a", d("2024-01-04"), 40L), // gap: Jan 2, Jan 3
+      ("b", d("2024-01-02"), 7L)   // single day — no spine growth
+    ).toDF("g", "day", "v")
+    val out = TimeSeries.gapFillLocf(df, col("g"), col("day"), col("v"))
+      .orderBy("g", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("a", "2024-01-01", 10L, 10L, false),
+      ("a", "2024-01-02", -1L, 10L, true),
+      ("a", "2024-01-03", -1L, 10L, true),
+      ("a", "2024-01-04", 40L, 40L, false),
+      ("b", "2024-01-02", 7L, 7L, false)))
+  }
+
+  test("dedupDays sums duplicate (group, day) rows exactly") {
+    val df = Seq(("a", d("2024-01-01"), 1L), ("a", d("2024-01-01"), 2L))
+      .toDF("g", "day", "v")
+    val out = TimeSeries.dedupDays(df, col("g"), col("day"), col("v")).collect()
+    assert(out.length === 1 && out(0).getLong(2) === 3L)
+  }
+}
