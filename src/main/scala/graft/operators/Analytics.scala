@@ -72,7 +72,6 @@ object Analytics {
   def funnel(events: DataFrame, user: Column, ts: Column, eventType: Column,
              stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
     val ev = events.select(user.as("__u"), ts.as("__ts"), eventType.as("__et"))
 
     // cascade of first-qualifying-timestamp frames, all keyed on __u

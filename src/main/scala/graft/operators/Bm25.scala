@@ -18,14 +18,16 @@ import graft.functions.Text
   * neighbors) without an external search engine.
   *
   * Scale posture: the token explode filters to QUERY TERMS before
-  * anything shuffles — per-doc work is a codegen'd token scan, and the
-  * only wide ops are a (doc, term)-keyed count over the filtered (tiny)
-  * slice and a doc-keyed join back to per-doc lengths. Document
-  * frequencies and corpus stats are a handful of rows, broadcast. No
-  * inverted index is materialized; at 100 TB the same plan streams the
-  * corpus once. For repeated query workloads, persist the exploded
-  * (term, doc, tf) frame bucketed by term and this becomes an inverted
-  * index lookup — same expressions, one extra write.
+  * anything shuffles — per-doc work is a codegen'd token scan, the
+  * document length rides along with the exploded rows (no join back),
+  * and the only wide op on real data is the (doc, term)-keyed count
+  * over the filtered (tiny) slice. Document frequencies and corpus
+  * stats are a handful of rows, broadcast. No inverted index is
+  * materialized; the corpus streams twice — once for the corpus-wide
+  * length stats (N, avgdl), once for the term match. Repeated-query
+  * workloads precompute both: persist the (term, doc, tf, dl) frame
+  * bucketed by term and the one-row stats table, and each query
+  * becomes an index lookup.
   *
   * Determinism contract (the cross-engine oracle rides on it): per-term
   * scores are computed in ONE fixed IEEE op order, floor-rounded to
@@ -41,17 +43,23 @@ object Bm25 {
   def score(docs: DataFrame, docId: Column, text: Column, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // tokens are lowercased (Text.words), so terms must be too — fold
+    // here rather than trap a caller passing "Spark" into zero matches
+    val qTerms = terms.map(_.toLowerCase)
     val base = docs.select(docId.as("doc_id"), Text.words(text).as("__toks"))
-    val dl = base.select(col("doc_id"), size(col("__toks")).as("__dl"))
-    val stats = dl.agg(
+    val stats = base.select(size(col("__toks")).as("__dl")).agg(
       count(lit(1)).cast("double").as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
 
+    // dl rides along with the exploded rows: first(__dl) after the
+    // (doc, term) count is exact (it's constant per doc) and saves the
+    // per-doc-length join — and with it a third corpus scan
     val tf = base
-      .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+      .select(col("doc_id"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(qTerms: _*))
       .groupBy(col("doc_id"), col("__t"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
     val dfreq = tf.groupBy(col("__t"))
       .agg(count(lit(1)).cast("double").as("__df"))
 
@@ -61,7 +69,6 @@ object Bm25 {
     //   s     = idf * (tf * (k1 + 1)) / denom
     val scored = tf
       .join(broadcast(dfreq), "__t")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))

@@ -36,9 +36,11 @@ object Graph {
 
   /** PageRank over a directed edge list (`src`, `dst` — pass both
     * directions for an undirected graph). Duplicate edges are collapsed.
-    * Vertices = nodes with at least one outgoing edge (for undirected
-    * input, that's every connected node). Returns (`node` LONG,
-    * `rank` LONG micro-units). */
+    * Vertices = every node appearing as src OR dst; nodes with no
+    * in-links settle at `base` (they receive nothing but never vanish),
+    * and mass flowing into dangling nodes (no out-links) is absorbed —
+    * the standard simplification, deterministic here like everything
+    * else. Returns (`node` LONG, `rank` LONG micro-units). */
   def pagerankMicro(edges: DataFrame, iters: Int,
                     dampNum: Long = 85L, dampDen: Long = 100L,
                     init: Long = 1000000L): DataFrame = {
@@ -58,15 +60,23 @@ object Graph {
     // cached for the session; callers running many graphs can
     // `spark.catalog.clearCache()` between them.
     val eDeg = e.join(deg, "src").persist()
+    // the full vertex set: a node with out-edges only (pure source)
+    // receives nothing but must survive every iteration at `base`; an
+    // inner-join-only recurrence would drop it (and, transitively, its
+    // contributions) — on a directed chain the frame would empty out
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
 
-    var ranks = deg.select(col("src").as("node"), lit(init).as("rank"))
+    var ranks = vertices.withColumn("rank", lit(init))
     var i = 0
     while (i < iters) {
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
-      ranks = contribs.groupBy(col("node"))
-        .agg((lit(base) + expr(s"($dampNum * sum(__c)) DIV $dampDen")).as("rank"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
+      ranks = vertices.join(sums, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
       i += 1
     }
     ranks

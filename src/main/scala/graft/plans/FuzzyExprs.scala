@@ -19,12 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object FuzzyImpl {
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
+    // UTF-8 BYTE semantics, not UTF-16 code units: DuckDB's kernel walks
+    // bytes, so a multi-byte character is several match positions there —
+    // verified bit-exact on accented/CJK pairs as well as 8k random
+    // ASCII pairs. Byte-walking also skips the String materialization.
+    val s = a.getBytes
+    val t = b.getBytes
     val n = s.length
     val m = t.length
-    // either side empty → 0.0, INCLUDING both-empty (DuckDB's convention,
-    // empirically verified on 8k random pairs; classic strcmp95 would say 1)
+    // either side empty → 0.0, INCLUDING both-empty (DuckDB's convention;
+    // classic strcmp95 would say 1)
     if (n == 0 || m == 0) return 0.0
     val window = math.max(0, math.max(n, m) / 2 - 1)
 
@@ -38,7 +42,7 @@ object FuzzyImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tMatched(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatched(j) && s(i) == t(j)) {
           sMatched(i) = true
           tMatched(j) = true
           matches += 1
@@ -50,14 +54,14 @@ object FuzzyImpl {
     }
     if (matches == 0) return 0.0
 
-    // transpositions: matched chars of s vs matched chars of t, in order
+    // transpositions: matched bytes of s vs matched bytes of t, in order
     var transpositions = 0
     var k = 0
     i = 0
     while (i < n) {
       if (sMatched(i)) {
         while (!tMatched(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) transpositions += 1
+        if (s(i) != t(k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -68,7 +72,7 @@ object FuzzyImpl {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(n, m))
-    while (prefix < maxPrefix && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && s(prefix) == t(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

@@ -2460,22 +2460,28 @@ object Probes {
            |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
            |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp),
            |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
-           |i1 AS (SELECT e.dst AS node, CAST(sum(r0.rank // deg.d) AS BIGINT) AS s
+           |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM v),
+           |i1 AS (SELECT e.dst AS node, CAST((85 * sum(r0.rank // deg.d)) // 100 AS BIGINT) AS s
            |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
-           |r1 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i1),
-           |i2 AS (SELECT e.dst AS node, CAST(sum(r1.rank // deg.d) AS BIGINT) AS s
+           |r1 AS (SELECT v.node, CAST(150000 + coalesce(i1.s, 0) AS BIGINT) AS rank
+           |       FROM v LEFT JOIN i1 ON v.node = i1.node),
+           |i2 AS (SELECT e.dst AS node, CAST((85 * sum(r1.rank // deg.d)) // 100 AS BIGINT) AS s
            |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
-           |r2 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i2),
-           |i3 AS (SELECT e.dst AS node, CAST(sum(r2.rank // deg.d) AS BIGINT) AS s
+           |r2 AS (SELECT v.node, CAST(150000 + coalesce(i2.s, 0) AS BIGINT) AS rank
+           |       FROM v LEFT JOIN i2 ON v.node = i2.node),
+           |i3 AS (SELECT e.dst AS node, CAST((85 * sum(r2.rank // deg.d)) // 100 AS BIGINT) AS s
            |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
-           |r3 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i3),
-           |i4 AS (SELECT e.dst AS node, CAST(sum(r3.rank // deg.d) AS BIGINT) AS s
+           |r3 AS (SELECT v.node, CAST(150000 + coalesce(i3.s, 0) AS BIGINT) AS rank
+           |       FROM v LEFT JOIN i3 ON v.node = i3.node),
+           |i4 AS (SELECT e.dst AS node, CAST((85 * sum(r3.rank // deg.d)) // 100 AS BIGINT) AS s
            |       FROM e JOIN deg USING (src) JOIN r3 ON r3.node = e.src GROUP BY e.dst),
-           |r4 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i4),
-           |i5 AS (SELECT e.dst AS node, CAST(sum(r4.rank // deg.d) AS BIGINT) AS s
+           |r4 AS (SELECT v.node, CAST(150000 + coalesce(i4.s, 0) AS BIGINT) AS rank
+           |       FROM v LEFT JOIN i4 ON v.node = i4.node),
+           |i5 AS (SELECT e.dst AS node, CAST((85 * sum(r4.rank // deg.d)) // 100 AS BIGINT) AS s
            |       FROM e JOIN deg USING (src) JOIN r4 ON r4.node = e.src GROUP BY e.dst),
-           |r5 AS (SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank FROM i5)
+           |r5 AS (SELECT v.node, CAST(150000 + coalesce(i5.s, 0) AS BIGINT) AS rank
+           |       FROM v LEFT JOIN i5 ON v.node = i5.node)
            |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS node_type,
            |       node // 2 AS node_key, rank AS rank_micro
            |FROM r5 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)

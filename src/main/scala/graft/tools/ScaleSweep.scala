@@ -39,16 +39,15 @@ object ScaleSweep {
         (0 until rep).map(i => shift(base, i)).reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$dir/$name.parquet")
       }
+      val eventsShift: (DataFrame, Int) => DataFrame = (df, i) => df
+        .withColumn("event_id", col("event_id") + lit(i * KEY_OFF))
+        .withColumn("user_id", col("user_id") + lit(i * KEY_OFF))
       // events joined the sweep after the first _DONE dirs were built —
       // backfill it into already-prepared dirs
       if (done.exists() && !new java.io.File(s"$dir/events.parquet").exists())
-        rpl("events", (df, i) => df
-          .withColumn("event_id", col("event_id") + lit(i * KEY_OFF))
-          .withColumn("user_id", col("user_id") + lit(i * KEY_OFF)))
+        rpl("events", eventsShift)
       if (!done.exists()) {
-        rpl("events", (df, i) => df
-          .withColumn("event_id", col("event_id") + lit(i * KEY_OFF))
-          .withColumn("user_id", col("user_id") + lit(i * KEY_OFF)))
+        rpl("events", eventsShift)
         rpl("lineitem", (df, i) => df
           .withColumn("l_orderkey", col("l_orderkey") + lit(i * KEY_OFF)))
         rpl("orders", (df, i) => df
@@ -175,6 +174,10 @@ object ScaleSweep {
         println(f"""SWEEP {"op":"$tag","rep":$rep,"sec":$s%.3f,""" +
           s""""rows_li":$nLi,"rows_docs":$nDocs,"rows_emb":$nEmb}""")
       }
+      // drop this rep's persisted frames (pagerank edges etc.) so the
+      // next, larger rep isn't measured under the previous rep's cache
+      // pressure
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -49,10 +49,13 @@ class Bm25Spec extends AnyFunSuite {
     assert(rare > out(1L))
   }
 
-  test("case-insensitive tokenization; empty term intersection yields no rows") {
+  test("case-insensitive tokenization AND query terms; no-match terms yield no rows") {
     val caps = Seq((1L, "A b A")).toDF("doc_id", "text")
     val out = Bm25.score(caps, col("doc_id"), col("text"), Seq("a")).collect()
     assert(out.length === 1 && out(0).getLong(1) === 1L)
+    // an uppercase QUERY term must fold too, not silently match nothing
+    val upper = Bm25.score(caps, col("doc_id"), col("text"), Seq("A")).collect()
+    assert(upper.length === 1 && upper(0).getLong(1) === 1L)
     assert(Bm25.score(docs, col("doc_id"), col("text"), Seq("zz")).collect().isEmpty)
   }
 }

@@ -43,6 +43,16 @@ class GraphSpec extends AnyFunSuite {
     assert(a === dedup)
   }
 
+  test("directed chain keeps source-only and sink-only vertices alive") {
+    // 1→2→3: node 1 has no in-links (settles at base), node 3 no out-links
+    val out = ranksOf(Seq((1L, 2L), (2L, 3L)), 3)
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // r1: 1→150000, 2→1000000, 3→1000000
+    // r2: 2→150000+85%·150000=277500, 3→150000+85%·1000000=1000000
+    // r3: 2→277500, 3→150000+(85·277500)//100=385875
+    assert(out === Map(1L -> 150000L, 2L -> 277500L, 3L -> 385875L))
+  }
+
   test("truncating division only ever loses mass (total ≤ ideal)") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L), (2L, 1L))
     val total = ranksOf(e, 4).values.sum

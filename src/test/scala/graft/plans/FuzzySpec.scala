@@ -26,6 +26,14 @@ class FuzzySpec extends AnyFunSuite {
     assert(plain <= 0.7 || plain > 0.7) // value exists; exactness checked by oracle
   }
 
+  test("UTF-8 BYTE semantics — multi-byte chars count as multiple positions (DuckDB parity)") {
+    // reference values read straight from DuckDB 1.0 jaro_winkler_similarity
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    assert(math.abs(jw("müller", "muller") - 0.8642857142857143) < 1e-12)
+    assert(math.abs(jw("日本語", "日本誤") - 0.9555555555555556) < 1e-12)
+    assert(jw("résumé", "resume") === 0.75)
+  }
+
   test("empty-string convention matches DuckDB: any empty side → 0.0") {
     assert(jw("", "") === 0.0)
     assert(jw("", "a") === 0.0)
