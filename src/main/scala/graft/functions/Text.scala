@@ -203,6 +203,30 @@ object Text {
     regexp_replace(ip, lit(s"[0-9]{$minDigits,}"), lit("<NUM>"))
   }
 
+  /** HTML → text extraction (the CommonCrawl-pipeline boilerplate step,
+    * trafilatura's core loop reduced to its deterministic skeleton).
+    * Rule order is part of the contract:
+    *  1. `<script>`/`<style>` BLOCKS go first, content and all — a bare
+    *     tag-strip would keep `if (x<y) {}` as page text (and the `<y`
+    *     would eat into the markup);
+    *  2. remaining tags → space (space, not empty: `</p><p>` must not
+    *     glue two words together);
+    *  3. entity decode for the common set, `&amp;` LAST so a literal
+    *     `&amp;lt;` correctly yields the text `&lt;`, not `<`;
+    *  4. whitespace collapse + trim.
+    * Patterns are RE2-safe (no backrefs/lookarounds) so engines that
+    * compile regex to RE2 (DuckDB's oracle side) agree byte-for-byte.
+    * Narrow per-row transform — pipelines with the scan. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** All word n-grams of a document, duplicates KEPT (contrast
     * [[shingles]], which dedups) — the unit of the within-document
     * repetition measure. Documents shorter than n words yield an empty

@@ -98,4 +98,83 @@ object Analytics {
           .as("pct_of_prev"))
       .orderBy("stage_idx")
   }
+
+  /** Peak concurrency by sweep line: how many intervals [start, end)
+    * overlap at once, per group — max concurrent sessions/streams/users,
+    * the capacity-planning number a BI tier reads off the event stream.
+    *
+    * Each interval contributes a +1 delta at `start` and a −1 at `end`;
+    * the running sum of deltas ordered by (time, delta) — ends sort
+    * before starts at the same instant, giving half-open [start, end)
+    * semantics — is the concurrency curve, and its max the peak.
+    * Permuting equal (time, delta) rows permutes equal addends, so every
+    * tie order yields the same partial-sum multiset: the result is
+    * deterministic without a total tie-break.
+    *
+    * Output: one row per group — `peak` LONG, `peak_at` TIMESTAMP (the
+    * earliest instant the peak is reached).
+    *
+    * Scale posture: the delta stream is 2 rows per interval, shuffled
+    * once on the group key; the window pass is one in-partition sort.
+    * Groups are the parallelism unit — a single giant group serializes
+    * its sort, in which case pre-bucket by calendar day and take the
+    * max of per-day peaks seeded with the day-boundary concurrency
+    * (the standard segmented-sweep refinement). */
+  def peakConcurrency(df: DataFrame, group: Column, start: Column,
+                      end: Column): DataFrame = {
+    val deltas = df.select(group.as("__g"), start.as("__t"), lit(1L).as("__d"))
+      .unionByName(df.select(group.as("__g"), end.as("__t"), lit(-1L).as("__d")))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("__run", sum(col("__d")).over(w))
+      .withColumn("__peak", max(col("__run")).over(Window.partitionBy(col("__g"))))
+      .filter(col("__run") === col("__peak"))
+      .groupBy(col("__g"))
+      .agg(max(col("__run")).as("peak"), min(col("__t")).as("peak_at"))
+      .select(col("__g").as("group"), col("peak"), col("peak_at"))
+  }
+
+  /** Per-group linear trend by the OLS normal equations, EXACT: with
+    * x centered on the group's min (small magnitudes) and y in caller-
+    * chosen integer fixed-point units,
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * both numerator and denominator are exact integers (DECIMAL(38,0)
+    * internally) — no float summation order anywhere, so the trend
+    * DIRECTION and the exact rational slope are bit-deterministic on
+    * any engine/layout. The exact integers are emitted as DOUBLE (one
+    * correctly-rounded conversion, identical in any engine) so the
+    * result schema round-trips parquet/BI tiers without decimal-
+    * precision bikeshedding; `trend` carries the sign exactly.
+    *
+    * Input columns: `x` integral (e.g. epoch seconds), `yFix` integral
+    * fixed-point. Output per group: `n`, `sum_x` (Σ centered x),
+    * `sum_y`, `slope_num`, `slope_den` (DOUBLE), `trend` INT (sign of
+    * the slope; 0 when the denominator is 0 — fewer than 2 distinct x). */
+  def trend(df: DataFrame, group: Column, x: Column, yFix: Column): DataFrame = {
+    val base = df.select(group.as("__g"), x.cast("long").as("__x"),
+      yFix.cast("long").as("__y"))
+    val w = Window.partitionBy(col("__g"))
+    val d19 = "decimal(19,0)"
+    base
+      .withColumn("__xc", col("__x") - min(col("__x")).over(w))
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).cast(d19).as("__n"),
+        sum(col("__xc").cast(d19)).cast(d19).as("__sx"),
+        sum(col("__y").cast(d19)).cast(d19).as("__sy"),
+        sum(col("__xc").cast(d19) * col("__y").cast(d19)).cast("decimal(38,0)").as("__sxy"),
+        sum(col("__xc").cast(d19) * col("__xc").cast(d19)).cast("decimal(38,0)").as("__sxx"))
+      .select(
+        col("__g").as("group"),
+        col("__n").cast("long").as("n"),
+        col("__sx").cast("long").as("sum_x"),
+        col("__sy").cast("long").as("sum_y"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double").as("slope_num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double").as("slope_den"))
+      .withColumn("trend",
+        when(col("slope_den") === 0, lit(0)).otherwise(signum(col("slope_num")).cast("int")))
+  }
 }

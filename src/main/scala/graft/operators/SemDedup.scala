@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup shape: cluster the embedding space,
+  * then drop near-duplicates WITHIN each cluster) — the third embedding
+  * dedup family next to exact-cosine (q41) and SRP-LSH (q42). Clustering
+  * bounds the candidate set by cluster size instead of hash-bucket
+  * collisions: pair work is O(Σ|cluster|²), never O(n²), and each
+  * cluster's pair generation is an equi-join on the cluster id.
+  *
+  * Everything is exact integer arithmetic so the whole pipeline —
+  * including the k-means iterations — is bit-reproducible on any engine
+  * and any partitioning (same discipline as `Graph.pagerankMicro`):
+  *  - vectors quantized to micro-units: q_i = floor(x_i · 1e6) (longs);
+  *  - distance = Σ (q_i − c_i)² (exact long — |q| ≤ ~1e6·dim);
+  *  - assignment = argmin distance, ties to the LOWEST centroid id;
+  *  - centroid update = floor(Σ q_i / count) per component;
+  *  - init = the k lowest-id vectors (deterministic, no RNG);
+  *  - near-dup gate = cos²(a,b) ≥ thr² via dot² ≥ thr²·|a|²·|b|² with
+  *    dot > 0 — one fixed-shape IEEE comparison, no sqrt.
+  *
+  * Scale posture (100 TB): k centroids live on the driver (k·dim longs —
+  * same bounded-collect contract as IVF training in
+  * `operators.Similarity`); each Lloyd's iteration is one narrow
+  * assignment pass plus one (cluster, pos)-keyed aggregation with
+  * map-side combine. The within-cluster pair join is the SemDeDup
+  * trade: pick k so clusters fit pairwise work (k ~ n/1000); skewed
+  * mega-clusters show up in `clusterSizes` and call for a larger k or a
+  * recursive split, exactly like `Fuzzy.blockStats`.
+  */
+object SemDedup {
+
+  /** floor(x·1e6) micro-unit quantization, float → long, elementwise. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  private def sqDist(qv: Column, centroid: Seq[Long]): Column =
+    aggregate(
+      zip_with(qv, typedLit(centroid), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cluster id (argmin of exact squared distance, ties → lowest id)
+    * for each row's quantized vector against the given centroids. */
+  private def assignCol(qv: Column, centroids: Seq[(Int, Seq[Long])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      // aliases inside struct() are dropped when the child is a lambda
+      // aggregate, so name the fields via a positional cast instead
+      struct(sqDist(qv, c), lit(cid)).cast("struct<dist:bigint,cid:int>")
+    }: _*)).getField("cid")
+
+  /** Deterministic integer Lloyd's: k lowest-id seeds, `iters` rounds of
+    * assign + floor-mean update. Returns (cid, centroid) pairs; clusters
+    * that go empty drop out (their cid vanishes — both engines agree).
+    * Each round collects k·dim longs to the driver — bounded by k, not
+    * by data. */
+  def fit(emb: DataFrame, vec: Column, id: Column, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val q = emb.select(id.as("vec_id"), quantize(vec).as("qv"))
+    var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+    for (_ <- 0 until iters) {
+      centroids = q
+        .select(assignCol(col("qv"), centroids).as("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", floor(col("sx").cast("double") / col("n")).cast("long"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("cx")))).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq)
+        .toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** (vec_id, cluster, qv) for every row under the fitted centroids. */
+  def assign(emb: DataFrame, vec: Column, id: Column,
+             centroids: Seq[(Int, Seq[Long])]): DataFrame =
+    emb.select(id.as("vec_id"), quantize(vec).as("qv"))
+      .withColumn("cluster", assignCol(col("qv"), centroids))
+
+  /** Full SemDeDup: fit, assign, then flag each vector `kept = false`
+    * iff some LOWER-id vector in the same cluster has cosine ≥ `thr`
+    * with it. Output: (vec_id, cluster, kept), one row per input. */
+  def semDedup(emb: DataFrame, vec: Column, id: Column,
+               k: Int = 8, iters: Int = 2, thr: Double = 0.35): DataFrame = {
+    val assigned = assign(emb, vec, id, fit(emb, vec, id, k, iters))
+      .withColumn("n2", dotCol(col("qv"), col("qv")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("n2").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("n2").as("nb"))
+    val thr2 = thr * thr
+    // cos ≥ thr  ⇔  dot > 0 ∧ dot² ≥ thr²·|a|²·|b|² — fixed parenthesization,
+    // mirrored verbatim in the oracle SQL so the IEEE rounding agrees
+    val dupIds = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("double") * col("dot").cast("double") >=
+          lit(thr2) * (col("na").cast("double") * col("nb").cast("double")))
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
+  /** Cluster-size report — the skew guard (cf. `Fuzzy.blockStats`). */
+  def clusterSizes(emb: DataFrame, vec: Column, id: Column,
+                   centroids: Seq[(Int, Seq[Long])]): DataFrame =
+    assign(emb, vec, id, centroids).groupBy("cluster")
+      .agg(count(lit(1)).as("n")).orderBy("cluster")
+}

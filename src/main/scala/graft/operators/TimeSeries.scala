@@ -85,4 +85,27 @@ object TimeSeries {
         last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
         col("v").isNull.as("filled"))
   }
+
+  /** Exact rolling median of an INTEGER fixed-point series over the
+    * trailing `window` rows — the robust smoother (outlier-immune where
+    * EWMA is not). Quantizing first is what keeps the result engine-
+    * portable: an exact median over integers is either an integer or a
+    * midpoint x.5, both exactly representable, so linear interpolation
+    * (Spark `percentile`) and (a+b)/2 (DuckDB `median`) produce the SAME
+    * double — no such guarantee exists over raw float inputs.
+    *
+    * One shuffle on the series key; each group's frame is a bounded
+    * in-partition sliding sort. `order` must be a total order within
+    * the group (pass a unique tiebreaker) or frame contents — and thus
+    * the median — depend on layout. */
+  def rollingMedianInt(df: DataFrame, group: Column, order: Seq[Column],
+                       valueInt: Column, window: Int = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(col("__g")).orderBy(order: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn("__g", group)
+      .withColumn("__v", valueInt.cast("long"))
+      .withColumn("med", expr("percentile(__v, 0.5D)").over(w))
+      .drop("__g", "__v")
+  }
 }

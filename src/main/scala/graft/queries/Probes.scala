@@ -2635,6 +2635,234 @@ object Probes {
            |FROM j ORDER BY o_orderpriority, day""".stripMargin)
   )
 
+  /** Bigram-LM fluency scoring (fully oracled): the n-gram-LM quality
+    * filter of corpus pipelines, scored in exact integer ppm so DuckDB
+    * reproduces every document's score bit-for-bit (the log-space
+    * variant is float; SURVEY.md §2.11 excludes libm from the gate).
+    * One shuffle to count bigrams, one to aggregate per-doc scores; the
+    * pair→model join is AQE broadcast at this scale. */
+  val lmFluencyProbe = Probe(
+    "q83_lm_fluency",
+    (s, d) => {
+      import graft.operators.LangModel
+      LangModel.fluency(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |                x -> len(x) > 0) AS ws
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id,
+           |    unnest(ws[1:len(ws)-1]) AS w1,
+           |    unnest(ws[2:len(ws)])   AS w2
+           |  FROM w WHERE len(ws) >= 2),
+           |m AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2),
+           |h AS (SELECT w1, sum(cnt) AS head_cnt FROM m GROUP BY w1),
+           |sc AS (
+           |  SELECT p.doc_id, (1000000 * m.cnt) // h.head_cnt AS p_ppm
+           |  FROM p JOIN m USING (w1, w2) JOIN h USING (w1))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  sum(p_ppm) // count(*) AS fluency_ppm
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** SemDeDup — cluster-then-dedup-within-cluster (fully oracled,
+    * k-means INCLUDED): the integer-arithmetic Lloyd's iterations are
+    * bit-reproducible, so DuckDB replays both rounds as unrolled CTEs
+    * and every vector's (cluster, kept) decision is hash-compared.
+    * Pair work is bounded by cluster size — the candidate-generation
+    * contract that survives 100 TB. */
+  val semDedupProbe = Probe(
+    "q84_semdedup",
+    (s, d) => {
+      import graft.operators.SemDedup
+      SemDedup.semDedup(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+          k = 8, iters = 2, thr = 0.35)
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |                   x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |comp AS (SELECT vec_id, unnest(qv) AS x,
+           |                unnest(range(1, len(qv) + 1)) AS pos FROM q),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv
+           |       FROM q ORDER BY vec_id LIMIT 8),
+           |c0c AS (SELECT cid, unnest(qv) AS cx,
+           |               unnest(range(1, len(qv) + 1)) AS pos FROM c0),
+           |d1 AS (SELECT comp.vec_id, c0c.cid,
+           |         sum((comp.x - c0c.cx) * (comp.x - c0c.cx)) AS dist
+           |       FROM comp JOIN c0c USING (pos) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |         FROM d1) WHERE rn = 1),
+           |c1c AS (SELECT a1.cid, comp.pos,
+           |          CAST(floor(CAST(sum(comp.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+           |        FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+           |d2 AS (SELECT comp.vec_id, c1c.cid,
+           |         sum((comp.x - c1c.cx) * (comp.x - c1c.cx)) AS dist
+           |       FROM comp JOIN c1c USING (pos) GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |         FROM d2) WHERE rn = 1),
+           |c2c AS (SELECT a2.cid, comp.pos,
+           |          CAST(floor(CAST(sum(comp.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+           |        FROM comp JOIN a2 USING (vec_id) GROUP BY 1, 2),
+           |d3 AS (SELECT comp.vec_id, c2c.cid,
+           |         sum((comp.x - c2c.cx) * (comp.x - c2c.cx)) AS dist
+           |       FROM comp JOIN c2c USING (pos) GROUP BY 1, 2),
+           |a3 AS (SELECT vec_id, cid FROM (
+           |         SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |         FROM d3) WHERE rn = 1),
+           |norm AS (SELECT vec_id, sum(x * x) AS n2 FROM comp GROUP BY 1),
+           |dots AS (SELECT pa.vec_id AS ia, pb.vec_id AS ib,
+           |           sum(ca.x * cb.x) AS dot
+           |         FROM a3 pa JOIN a3 pb
+           |           ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+           |         JOIN comp ca ON ca.vec_id = pa.vec_id
+           |         JOIN comp cb ON cb.vec_id = pb.vec_id AND cb.pos = ca.pos
+           |         GROUP BY 1, 2),
+           |dup AS (SELECT DISTINCT d.ib FROM dots d
+           |        JOIN norm na ON na.vec_id = d.ia
+           |        JOIN norm nb ON nb.vec_id = d.ib
+           |        WHERE d.dot > 0
+           |          AND CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE) >=
+           |              (CAST(0.35 AS DOUBLE) * CAST(0.35 AS DOUBLE)) *
+           |              (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+           |SELECT a3.vec_id, a3.cid AS cluster, dup.ib IS NULL AS kept
+           |FROM a3 LEFT JOIN dup ON a3.vec_id = dup.ib
+           |ORDER BY a3.vec_id""".stripMargin)
+  )
+
+  /** HTML → text extraction (fully oracled): markup is planted around
+    * every document on BOTH engines — script/style blocks with raw `<`
+    * in code, attributes, entities, an `&amp;`-escaped entity — then
+    * stripped by the same rule chain. Narrow per-row transform. */
+  val stripHtmlProbe = Probe(
+    "q85_strip_html",
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style></head><body class=\"main\"><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><script>if (x<y && y>0) { f(); }</script></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.stripHtml(html).as("clean"))
+        .withColumn("n_clean", length(col("clean")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+           |    '<html><head><style>p { color: red }</style></head><body class="main"><h1>Doc '
+           |    || doc_id || '</h1><p>' || text ||
+           |    ' &amp; more &lt;tags&gt;</p><script>if (x<y && y>0) { f(); }</script></body></html>'
+           |    AS html FROM documents),
+           |s1 AS (SELECT doc_id,
+           |         regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           |       FROM h),
+           |s2 AS (SELECT doc_id,
+           |         regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t
+           |       FROM s1),
+           |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+           |s4 AS (SELECT doc_id,
+           |         replace(replace(replace(replace(replace(replace(t,
+           |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           |           '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+           |s5 AS (SELECT doc_id,
+           |         trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS clean
+           |       FROM s4)
+           |SELECT doc_id, clean, len(clean) AS n_clean
+           |FROM s5 ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Sweep-line peak concurrency (fully oracled): max overlapping
+    * 30-minute sessions per event type — interval endpoints become ±1
+    * deltas, one group-keyed shuffle, one window pass. */
+  val peakConcurrencyProbe = Probe(
+    "q86_peak_concurrency",
+    (s, d) => {
+      import graft.operators.Analytics
+      val ev = Tables.events(s, d)
+      Analytics.peakConcurrency(ev, col("event_type"),
+          col("ts"), col("ts") + expr("INTERVAL 30 MINUTES"))
+        .withColumnRenamed("group", "event_type")
+        .orderBy("event_type")
+    },
+    Some("""WITH iv AS (SELECT event_type, ts::TIMESTAMP AS st,
+           |              ts::TIMESTAMP + INTERVAL 30 MINUTE AS en FROM events),
+           |dl AS (SELECT event_type, st AS t, CAST(1 AS BIGINT) AS dlt FROM iv
+           |       UNION ALL
+           |       SELECT event_type, en, CAST(-1 AS BIGINT) FROM iv),
+           |r AS (SELECT event_type, t,
+           |        sum(dlt) OVER (PARTITION BY event_type ORDER BY t, dlt
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |      FROM dl),
+           |p AS (SELECT event_type, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY 1)
+           |SELECT r.event_type, p.peak, min(r.t) AS peak_at
+           |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
+           |GROUP BY r.event_type, p.peak ORDER BY r.event_type""".stripMargin)
+  )
+
+  /** Exact per-group OLS trend (fully oracled): normal-equation sums in
+    * exact integer arithmetic — slope numerator/denominator and the
+    * trend sign are bit-deterministic; no float summation anywhere. */
+  val trendProbe = Probe(
+    "q87_trend",
+    (s, d) => {
+      import graft.operators.Analytics
+      val ev = Tables.events(s, d)
+      Analytics.trend(ev, col("event_type"),
+          col("ts").cast("long"),
+          floor(col("value") * 1000000 + 0.5).cast("long"))
+        .withColumnRenamed("group", "event_type")
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |    epoch_us(ts::TIMESTAMP) // 1000000 AS x,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+           |  FROM events),
+           |c AS (SELECT event_type, x - min(x) OVER (PARTITION BY event_type) AS xc, y
+           |      FROM e),
+           |a AS (SELECT event_type, count(*) AS n, sum(xc) AS sx, sum(y) AS sy,
+           |        sum(xc * y) AS sxy, sum(xc * xc) AS sxx
+           |      FROM c GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+           |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
+           |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+           |            ELSE sign(n * sxy - sx * sy) END AS INT) AS trend
+           |FROM a ORDER BY event_type""".stripMargin)
+  )
+
+  /** Exact rolling median over the trailing 5 events per user (fully
+    * oracled): integer fixed-point values make Spark's interpolating
+    * `percentile` and DuckDB's `median` agree bit-for-bit. */
+  val rollingMedianProbe = Probe(
+    "q88_rolling_median",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .withColumn("v", floor(col("value") * 1000000 + 0.5).cast("long"))
+      TimeSeries.rollingMedianInt(ev, col("user_id"),
+          Seq(col("ts"), col("event_id")), col("v"), window = 5)
+        .select(col("user_id"), col("event_id"), col("v"), col("med"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE user_id < 30)
+           |SELECT user_id, event_id, v,
+           |  median(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+           |FROM e ORDER BY user_id, event_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2646,7 +2874,8 @@ object Probes {
     histogramProbe, snapshotDiffProbe, scd2Probe, mixtureProbe, heavyHittersProbe,
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
     bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
-    ewmaProbe, gapFillProbe
+    ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
+    peakConcurrencyProbe, trendProbe, rollingMedianProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

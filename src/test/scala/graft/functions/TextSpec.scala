@@ -94,6 +94,23 @@ class TextSpec extends AnyFunSuite {
     assert(one("u12345678@ex.com", Text.redactPii($"t")) === "<EMAIL>")
   }
 
+  test("stripHtml: blocks, tags, entities, whitespace — in that order") {
+    // script/style content (with raw < in code) is removed entirely
+    assert(one("<p>hi</p><script>if (x<y) { f(); }</script><b>there</b>",
+      Text.stripHtml($"t")) === "hi there")
+    assert(one("a<style>p { color: red }</style>b", Text.stripHtml($"t")) === "a b")
+    // tags become spaces so words don't glue across elements
+    assert(one("<p>one</p><p>two</p>", Text.stripHtml($"t")) === "one two")
+    // entity decode, &amp; last: literal &amp;lt; means the TEXT "&lt;"
+    assert(one("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y &amp;lt;",
+      Text.stripHtml($"t")) === "x <tag> \"q\" 's' & y &lt;")
+    // attributes with > inside quotes are not supported (documented
+    // regex skeleton); plain attributes strip fine
+    assert(one("<a href=\"u\" class='c'>link</a>", Text.stripHtml($"t")) === "link")
+    // whitespace collapse + trim
+    assert(one("  <p>\n\ta   b\r\n</p>  ", Text.stripHtml($"t")) === "a b")
+  }
+
   test("repetitionRatio: native expression agrees bitwise with the HOF reference") {
     val texts = Seq(
       "a b c a b c a b", "x x x x", "a b", "", "one two three four five",

@@ -81,4 +81,63 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === Seq((1L, 1.0), (0L, 0.0), (0L, 0.0)))
   }
+
+  test("peakConcurrency: hand-built overlaps, half-open [start, end)") {
+    // group a: [0,10), [5,15), [9,12) → peak 3 at t=9; back-to-back
+    // [20,30), [30,40) never overlap (end is exclusive).
+    val iv = Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10")),
+      ("a", ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:15")),
+      ("a", ts("2024-01-01 00:00:09"), ts("2024-01-01 00:00:12")),
+      ("a", ts("2024-01-01 00:00:20"), ts("2024-01-01 00:00:30")),
+      ("a", ts("2024-01-01 00:00:30"), ts("2024-01-01 00:00:40")),
+      ("b", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00"))
+    ).toDF("g", "s", "e")
+    val out = Analytics.peakConcurrency(iv, col("g"), col("s"), col("e"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    assert(out === Seq(
+      ("a", 3L, ts("2024-01-01 00:00:09")),
+      ("b", 1L, ts("2024-01-01 00:00:00"))))
+  }
+
+  test("peakConcurrency is layout-independent") {
+    val iv = (0L until 200L).map { i =>
+      (s"g${i % 3}", ts(f"2024-01-01 0${i % 10}:${i % 60}%02d:00"),
+        ts(f"2024-01-01 0${i % 10}:${(i % 60)}%02d:30"))
+    }.toDF("g", "s", "e")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.peakConcurrency(d, col("g"), col("s"), col("e"))
+        .orderBy("group").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(iv) === run(iv.repartition(13)))
+  }
+
+  test("trend: exact normal-equation slope on a hand line") {
+    // y = 2x + 1 exactly (fix units): slope_num/slope_den = 2
+    val pts = Seq(("a", 100L, 201L), ("a", 101L, 203L), ("a", 102L, 205L),
+      ("b", 10L, 7L), ("b", 20L, 7L), // flat
+      ("c", 5L, 9L) // single point → den 0
+    ).toDF("g", "x", "y")
+    val out = Analytics.trend(pts, col("g"), col("x"), col("y"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+      .toSeq
+    // a: xc = 0,1,2; n=3 sxy=(0·201+1·203+2·205)=613; sx=3 sy=609
+    //    num = 3·613 − 3·609 = 12; den = 3·(0+1+4) − 9 = 6 → slope 2 ✓
+    assert(out === Seq(
+      ("a", 3L, 12.0, 6.0, 1),
+      ("b", 2L, 0.0, 100.0, 0),
+      ("c", 1L, 0.0, 0.0, 0)))
+  }
+
+  test("trend sums are layout-independent (exact, no float order)") {
+    val pts = (0L until 5000L).map(i => (s"g${i % 4}", i, i * 3 - 1000))
+      .toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.trend(d, col("g"), col("x"), col("y"))
+        .orderBy("group").collect()
+        .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(run(pts) === run(pts.repartition(17)))
+  }
 }

@@ -13,6 +13,32 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private def d(s: String) = Date.valueOf(s)
 
+  test("rollingMedianInt: odd/even frame medians are exact") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 90L), ("a", 4L, 40L),
+      ("b", 1L, 5L)
+    ).toDF("g", "seq", "v")
+    val out = TimeSeries.rollingMedianInt(df, col("g"), Seq(col("seq")),
+        col("v"), window = 3)
+      .orderBy("g", "seq").collect()
+      .map(r => (r.getString(0), r.getDouble(r.fieldIndex("med")))).toSeq
+    // a: [10]→10; [10,20]→15; [10,20,90]→20; [20,90,40]→40; b: [5]→5
+    assert(out === Seq(("a", 10.0), ("a", 15.0), ("a", 20.0), ("a", 40.0),
+      ("b", 5.0)))
+  }
+
+  test("rollingMedianInt is outlier-robust where the mean is not") {
+    val df = (1L to 20L).map(i => ("a", i, if (i == 10) 1000000L else 100L))
+      .toDF("g", "seq", "v")
+    val out = TimeSeries.rollingMedianInt(df, col("g"), Seq(col("seq")),
+        col("v"), window = 5)
+      .orderBy("seq").collect()
+    val meds = out.map(r => r.getDouble(r.fieldIndex("med"))).toSeq
+    // a single spike never becomes the median of any 5-row frame
+    assert(!meds.contains(1000000.0))
+    assert(meds.count(_ == 100.0) >= 18)
+  }
+
   test("ewmaInt follows s_t = (a·x + (1−a)·s) floordiv den") {
     val df = Seq(
       ("a", d("2024-01-01"), 100L),
