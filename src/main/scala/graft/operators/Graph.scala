@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph ranking on DataFrames — PageRank with EXACT integer
@@ -80,5 +81,46 @@ object Graph {
       i += 1
     }
     ranks
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its in-neighbors, ties to the SMALLEST label,
+    * nodes with no in-edges keep their current label. Deterministic by
+    * construction — synchronous updates + total tie-break — so any
+    * engine replays it exactly (float-free, like [[pagerankMicro]]).
+    * Classic LPA caveat: synchronous updates can oscillate on bipartite
+    * structure; that too is deterministic and both engines agree. Pass
+    * both edge directions for the undirected variant.
+    *
+    * Scale posture: per round, one join of the persisted edge frame
+    * with the (node, label) frame on `src` — both keyed by node id —
+    * one (dst, label)-keyed count with map-side combine, and one
+    * argmax window bounded by each node's distinct neighbor-label
+    * count. State is one long per node. Returns (`node`, `label`). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    var labels = vertices.withColumn("label", col("node"))
+    var i = 0
+    while (i < iters) {
+      val counts = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("node2"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("node2"))
+        .orderBy(col("__c").desc, col("label").asc)
+      val winners = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node2").as("node"), col("label").as("__new"))
+      labels = labels.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+      i += 1
+    }
+    labels
   }
 }

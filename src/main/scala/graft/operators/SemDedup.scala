@@ -36,22 +36,39 @@ object SemDedup {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  private def sqDist(qv: Column, centroid: Seq[Long]): Column =
+  /** HOF reference formulations (interpreted lambda path). The hot paths
+    * use the native codegen expressions ([[graft.plans.LongDot]] /
+    * [[graft.plans.ClusterAssign]]); these stay as the independent
+    * implementations the spec cross-checks bitwise — integer arithmetic,
+    * so "bitwise" means literal equality. */
+  private[operators] def sqDistHof(qv: Column, centroid: Seq[Long]): Column =
     aggregate(
       zip_with(qv, typedLit(centroid), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
-  private def dotCol(a: Column, b: Column): Column =
+  private[operators] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Cluster id (argmin of exact squared distance, ties → lowest id)
-    * for each row's quantized vector against the given centroids. */
-  private def assignCol(qv: Column, centroids: Seq[(Int, Seq[Long])]): Column =
+  private[operators] def assignColHof(qv: Column, centroids: Seq[(Int, Seq[Long])]): Column =
     array_min(array(centroids.map { case (cid, c) =>
       // aliases inside struct() are dropped when the child is a lambda
       // aggregate, so name the fields via a positional cast instead
-      struct(sqDist(qv, c), lit(cid)).cast("struct<dist:bigint,cid:int>")
+      struct(sqDistHof(qv, c), lit(cid)).cast("struct<dist:bigint,cid:int>")
     }: _*)).getField("cid")
+
+  private def dotCol(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    graft.plans.HashExprs.longDot(spark, a, b)
+
+  /** Cluster id (argmin of exact squared distance, ties → lowest id)
+    * for each row's quantized vector against the given centroids —
+    * native codegen expression, centroids shipped once per plan. */
+  private def assignCol(spark: org.apache.spark.sql.SparkSession, qv: Column,
+                        centroids: Seq[(Int, Seq[Long])]): Column = {
+    val sorted = centroids.sortBy(_._1) // strict-< argmin ⇒ lowest cid on ties
+    graft.plans.HashExprs.clusterAssign(spark, qv,
+      sorted.flatMap(_._2).toArray, sorted.map(_._1).toArray,
+      sorted.head._2.length)
+  }
 
   /** Deterministic integer Lloyd's: k lowest-id seeds, `iters` rounds of
     * assign + floor-mean update. Returns (cid, centroid) pairs; clusters
@@ -66,7 +83,8 @@ object SemDedup {
       .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
     for (_ <- 0 until iters) {
       centroids = q
-        .select(assignCol(col("qv"), centroids).as("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .select(assignCol(emb.sparkSession, col("qv"), centroids).as("cid"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .withColumn("cx", floor(col("sx").cast("double") / col("n")).cast("long"))
@@ -82,7 +100,7 @@ object SemDedup {
   def assign(emb: DataFrame, vec: Column, id: Column,
              centroids: Seq[(Int, Seq[Long])]): DataFrame =
     emb.select(id.as("vec_id"), quantize(vec).as("qv"))
-      .withColumn("cluster", assignCol(col("qv"), centroids))
+      .withColumn("cluster", assignCol(emb.sparkSession, col("qv"), centroids))
 
   /** Full SemDeDup: fit, assign, then flag each vector `kept = false`
     * iff some LOWER-id vector in the same cluster has cosine ≥ `thr`
@@ -90,7 +108,7 @@ object SemDedup {
   def semDedup(emb: DataFrame, vec: Column, id: Column,
                k: Int = 8, iters: Int = 2, thr: Double = 0.35): DataFrame = {
     val assigned = assign(emb, vec, id, fit(emb, vec, id, k, iters))
-      .withColumn("n2", dotCol(col("qv"), col("qv")))
+      .withColumn("n2", dotCol(emb.sparkSession, col("qv"), col("qv")))
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("n2").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -99,7 +117,7 @@ object SemDedup {
     // cos ≥ thr  ⇔  dot > 0 ∧ dot² ≥ thr²·|a|²·|b|² — fixed parenthesization,
     // mirrored verbatim in the oracle SQL so the IEEE rounding agrees
     val dupIds = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .withColumn("dot", dotCol(emb.sparkSession, col("qa"), col("qb")))
       .filter(col("dot") > 0 &&
         col("dot").cast("double") * col("dot").cast("double") >=
           lit(thr2) * (col("na").cast("double") * col("nb").cast("double")))

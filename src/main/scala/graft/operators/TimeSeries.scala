@@ -108,4 +108,38 @@ object TimeSeries {
       .withColumn("med", expr("percentile(__v, 0.5D)").over(w))
       .drop("__g", "__v")
   }
+
+  /** Hampel anomaly filter, exact: flag points deviating from the
+    * CENTERED rolling median by more than `k`× the rolling median
+    * absolute deviation (MAD) — the robust outlier detector (a z-score
+    * breaks down because outliers inflate the mean AND the stddev; the
+    * median/MAD pair is immune up to 50% contamination).
+    *
+    * All quantities stay exact: the input is integer fixed-point, so
+    * every median is an integer or exact midpoint; deviations are
+    * DOUBLED into `dev2` (longs — absorbing the .5 without floats), and
+    * `mad2` is a median of longs again. The flag compares
+    * `dev2 > k·mad2` — one exact IEEE multiply — so anomaly decisions
+    * are bit-deterministic on any engine/layout. Note the classic
+    * Hampel caveat: a constant window has MAD 0, so ANY deviation in it
+    * flags; pre-dedup constant runs if that is unwanted. (The 1.4826
+    * Gaussian consistency constant is folded into the caller's `k` —
+    * keeping it out of the operator keeps the arithmetic integer.)
+    *
+    * Appends `med`, `dev2`, `mad2`, `anomaly`. One shuffle on the
+    * series key; two window passes sharing one in-partition sort.
+    * `order` must totally order each group. */
+  def hampel(df: DataFrame, group: Column, order: Seq[Column],
+             valueInt: Column, half: Int = 3, k: Int = 3): DataFrame = {
+    require(half >= 1 && k >= 1, s"need half >= 1, k >= 1; got half=$half k=$k")
+    val w = Window.partitionBy(col("__g")).orderBy(order: _*)
+      .rowsBetween(-half, half)
+    df.withColumn("__g", group)
+      .withColumn("__v", valueInt.cast("long"))
+      .withColumn("med", expr("percentile(__v, 0.5D)").over(w))
+      .withColumn("dev2", abs(col("__v") * 2 - (col("med") * 2).cast("long")))
+      .withColumn("mad2", expr("percentile(dev2, 0.5D)").over(w))
+      .withColumn("anomaly", col("dev2").cast("double") > lit(k.toDouble) * col("mad2"))
+      .drop("__g", "__v")
+  }
 }

@@ -289,6 +289,39 @@ object HashImpl {
     s
   }
 
+  /** Exact integer dot product of two long arrays — the SemDeDup pair
+    * gate's hot path (O(|cluster|²) invocations). Null on length
+    * mismatch. Exact for |Σ aᵢbᵢ| < 2⁶³ (micro-unit vectors: ~6.4e13
+    * at dim 64 — five orders of headroom). */
+  def longDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Argmin-squared-distance cluster assignment over a flat [k·dim]
+    * centroid matrix; strict `<` keeps the EARLIEST index on ties, and
+    * the caller passes centroids sorted by cid, so ties resolve to the
+    * lowest cid — identical to the HOF struct-array_min reference. */
+  def argMinCluster(v: ArrayData, cents: Array[Long], cids: Array[Int], dim: Int): Int = {
+    val k = cids.length
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var dd = 0L
+      var j = 0
+      val off = c * dim
+      while (j < dim) { val t = v.getLong(j) - cents(off + j); dd += t * t; j += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    cids(best)
+  }
+
   /** MinHash signature: k min-hashes over the (already distinct) shingle
     * array. Empty input → Long.MaxValue sentinel per position. */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
@@ -373,6 +406,42 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** Exact integer dot product over two ARRAY<BIGINT> columns (SemDeDup
+  * pair gate) — codegen'd static call, stays in WholeStageCodegen. */
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashImpl.longDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "graft.plans.HashImpl.longDot"
+    nullSafeCodeGen(ctx, ev, (l, r) => s"""
+      java.lang.Long __ld = $f($l, $r);
+      if (__ld == null) { ${ev.isNull} = true; } else { ${ev.value} = __ld.longValue(); }
+    """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(left = l, right = r)
+}
+
+/** Integer k-means cluster assignment: centroids ship via
+  * addReferenceObj (they come from a fit, not a seed — cf.
+  * [[NearestCells]]). One tight loop replaces k HOF zip_with/aggregate
+  * distance columns. */
+case class ClusterAssign(child: Expression, cents: Array[Long], cids: Array[Int],
+                         dim: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.argMinCluster(v.asInstanceOf[ArrayData], cents, cids, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmCents", cents, "long[]")
+    val iRef = ctx.addReferenceObj("kmCids", cids, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashImpl.argMinCluster($c, $cRef, $iRef, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): ClusterAssign = copy(child = c)
 }
 
 /** Sign-random-projection LSH bucket expression: planes derived
@@ -529,6 +598,24 @@ object HashExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       s"graft_adc_score_$k", exprs => AdcScore(exprs(0), exprs(1), k), "built-in")
     call_function(s"graft_adc_score_$k", codes, table)
+  }
+
+  /** Exact integer dot product column over two ARRAY<BIGINT>. */
+  def longDot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_long_dot", exprs => LongDot(exprs(0), exprs(1)), "built-in")
+    call_function("graft_long_dot", a, b)
+  }
+
+  /** Integer k-means assignment column — model-derived registration name,
+    * same scheme as [[nearestCells]]. */
+  def clusterAssign(spark: org.apache.spark.sql.SparkSession, c: Column,
+                    cents: Array[Long], cids: Array[Int], dim: Int): Column = {
+    val name = "graft_km_assign_" +
+      (java.util.Arrays.hashCode(cents) & 0xffffffffL).toHexString + s"_${cids.length}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => ClusterAssign(exprs.head, cents, cids, dim), "built-in")
+    call_function(name, c)
   }
 
   /** IVF cell assignment column. The centroid array comes from a fitted

@@ -2863,6 +2863,93 @@ object Probes {
            |FROM e ORDER BY user_id, event_id""".stripMargin)
   )
 
+  /** Hampel anomaly filter (fully oracled): centered rolling median +
+    * rolling MAD in exact integer fixed-point — every median lands on
+    * an integer or exact midpoint, deviations are doubled into longs,
+    * and the k·MAD gate is one exact IEEE multiply, so the anomaly
+    * decisions are bit-identical across engines. */
+  val hampelProbe = Probe(
+    "q89_hampel",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .withColumn("v", floor(col("value") * 1000000 + 0.5).cast("long"))
+      TimeSeries.hampel(ev, col("user_id"),
+          Seq(col("ts"), col("event_id")), col("v"), half = 3, k = 3)
+        .select(col("user_id"), col("event_id"), col("v"), col("med"),
+          col("dev2"), col("mad2"), col("anomaly"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE user_id < 30),
+           |m AS (SELECT user_id, event_id, ts, v,
+           |        median(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+           |      FROM e),
+           |dd AS (SELECT *, abs(2 * v - CAST(2 * med AS BIGINT)) AS dev2 FROM m),
+           |f AS (SELECT *, median(dev2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mad2 FROM dd)
+           |SELECT user_id, event_id, v, med, dev2, mad2,
+           |  CAST(dev2 AS DOUBLE) > CAST(3 AS DOUBLE) * mad2 AS anomaly
+           |FROM f ORDER BY user_id, event_id""".stripMargin)
+  )
+
+  /** Synchronous label propagation over the cust–part bipartite graph
+    * (fully oracled): integer labels, majority vote with smallest-label
+    * ties — 3 rounds replayed exactly by DuckDB as unrolled CTEs, like
+    * q78's PageRank. */
+  val labelPropProbe = Probe(
+    "q90_label_propagation",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cp.unionByName(cp.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, iters = 3)
+        .select(
+          when(col("node") % 2 === 0, "cust").otherwise("part").as("node_type"),
+          expr("node DIV 2").as("node_key"),
+          col("label"))
+        .orderBy("node_type", "node_key")
+    },
+    Some("""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+           |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+           |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |l0 AS (SELECT node, node AS label FROM v),
+           |c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |       FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+           |w1 AS (SELECT node, label FROM (
+           |         SELECT node, label,
+           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |         FROM c1) WHERE rn = 1),
+           |l1 AS (SELECT l0.node, coalesce(w1.label, l0.label) AS label
+           |       FROM l0 LEFT JOIN w1 USING (node)),
+           |c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+           |w2 AS (SELECT node, label FROM (
+           |         SELECT node, label,
+           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |         FROM c2) WHERE rn = 1),
+           |l2 AS (SELECT l1.node, coalesce(w2.label, l1.label) AS label
+           |       FROM l1 LEFT JOIN w2 USING (node)),
+           |c3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |       FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+           |w3 AS (SELECT node, label FROM (
+           |         SELECT node, label,
+           |           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |         FROM c3) WHERE rn = 1),
+           |l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label
+           |       FROM l2 LEFT JOIN w3 USING (node))
+           |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS node_type,
+           |  node // 2 AS node_key, label
+           |FROM l3 ORDER BY node_type, node_key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2875,7 +2962,8 @@ object Probes {
     approxQuantiles, retentionProbe, funnelProbe, fuzzyMatchProbe,
     bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
-    peakConcurrencyProbe, trendProbe, rollingMedianProbe
+    peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
+    labelPropProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

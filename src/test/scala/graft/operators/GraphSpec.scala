@@ -59,4 +59,44 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= 3L * 1000000L)
     assert(total > 3L * 900000L) // leak is tiny, not structural
   }
+
+  private def labelsOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val und = edges ++ edges.map(e => (e._2, e._1)) // undirected
+    Graph.labelPropagation(und.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two disjoint triangles collapse to their min ids") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val out = labelsOf(tri, 4)
+    // each triangle's min label wins its component (votes are 1-1 each
+    // round; smallest-label tie-break drives monotone convergence)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: majority beats the smaller label; no-in-edge nodes keep theirs") {
+    import spark.implicits._
+    // DIRECTED: 1→2, 1→3, then 2→9, 3→9, 8→9.
+    // r1: 2←{1}→1; 3←{1}→1; 9←{2,3,8} all tie → 2; 1,8 keep (no in-edges).
+    // r2: 9←labels{1,1,8} → majority 1 (beats the tie rule). Stable by r3.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 9L), (3L, 9L), (8L, 9L))
+    val out = Graph.labelPropagation(e.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) === 1L)
+    assert(out(2L) === 1L && out(3L) === 1L)
+    assert(out(1L) === 1L && out(8L) === 8L) // no in-edges → labels never change
+  }
+
+  test("labelPropagation is layout-independent") {
+    import spark.implicits._
+    val e = (0L until 300L).map(i => (i, (i * 7 + 3) % 300))
+    val und = e ++ e.map(x => (x._2, x._1))
+    val a = Graph.labelPropagation(und.toDF("src", "dst"), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.labelPropagation(und.toDF("src", "dst").repartition(11), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+  }
 }

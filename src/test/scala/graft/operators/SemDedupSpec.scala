@@ -52,6 +52,26 @@ class SemDedupSpec extends AnyFunSuite {
     assert(run(big) === run(big.repartition(7)))
   }
 
+  test("native ClusterAssign/LongDot agree exactly with the HOF references") {
+    val big = (0L until 80L).map { i =>
+      (i, Array((math.cos(i * 0.37)).toFloat, (math.sin(i * 0.37)).toFloat,
+        (i % 7).toFloat / 7f, (i % 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val cents = SemDedup.fit(big, col("embedding"), col("vec_id"), k = 5, iters = 2)
+    val q = big.select(col("vec_id"), SemDedup.quantize(col("embedding")).as("qv"))
+    val rows = q.select(
+      graft.plans.HashExprs.clusterAssign(spark, col("qv"),
+        cents.sortBy(_._1).flatMap(_._2).toArray,
+        cents.sortBy(_._1).map(_._1).toArray, 4).as("native_cid"),
+      SemDedup.assignColHof(col("qv"), cents).as("hof_cid"),
+      graft.plans.HashExprs.longDot(spark, col("qv"), col("qv")).as("native_dot"),
+      SemDedup.dotHof(col("qv"), col("qv")).as("hof_dot")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("thr = 1.0 keeps everything except exact-direction duplicates") {
     val out = SemDedup.semDedup(df, col("embedding"), col("vec_id"),
         k = 1, iters = 1, thr = 0.99999)

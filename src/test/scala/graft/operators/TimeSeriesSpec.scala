@@ -39,6 +39,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(meds.count(_ == 100.0) >= 18)
   }
 
+  test("hampel flags the spike, not the level shift neighbors") {
+    // constant 100s with one spike at seq 5
+    val df = (1L to 11L).map(i => ("a", i, if (i == 5) 900L else 100L))
+      .toDF("g", "seq", "v")
+    val out = TimeSeries.hampel(df, col("g"), Seq(col("seq")), col("v"),
+        half = 2, k = 3)
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(r.fieldIndex("seq")),
+        r.getBoolean(r.fieldIndex("anomaly")))).toSeq
+    // windows containing the spike have med 100 and mad 0 → dev 800 > 0
+    // flags ONLY the spike row (its neighbors deviate 0 from their median)
+    assert(out.filter(_._2).map(_._1) === Seq(5L))
+  }
+
+  test("hampel: med/dev2/mad2 exact on a hand series") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 31L))
+      .toDF("g", "seq", "v")
+    val r = TimeSeries.hampel(df, col("g"), Seq(col("seq")), col("v"),
+        half = 1, k = 1)
+      .orderBy("seq").collect()
+      .map(x => (x.getDouble(x.fieldIndex("med")), x.getLong(x.fieldIndex("dev2")),
+        x.getDouble(x.fieldIndex("mad2")))).toSeq
+    // row1 frame [10,20]: med 15, dev2 |20-30|=10; row2 frame [10,20,31]:
+    // med 20, dev2 0; row3 frame [20,31]: med 25.5, dev2 |62-51|=11
+    assert(r(0) === ((15.0, 10L, r(0)._3)))
+    assert(r(1) === ((20.0, 0L, r(1)._3)))
+    assert(r(2) === ((25.5, 11L, r(2)._3)))
+    // mad2 of row2: frame devs [10,0,11] → median 10
+    assert(r(1)._3 === 10.0)
+  }
+
   test("ewmaInt follows s_t = (a·x + (1−a)·s) floordiv den") {
     val df = Seq(
       ("a", d("2024-01-01"), 100L),

@@ -66,6 +66,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__bucket")) // candidate generation keyed on the LSH bucket
   }
 
+  test("q84: SemDeDup pair generation is cluster-keyed with native kernels, never a cross join") {
+    val p = planOf("q84_semdedup")
+    assert(!p.contains("Cross") && !p.contains("NestedLoop"))
+    // candidate join keyed on the cluster id; gate + assignment run the
+    // codegen'd kernels, not interpreted HOF lambdas
+    assert(p.contains("clusterassign("))
+    assert(p.contains("longdot("))
+  }
+
+  test("q86/q89: window passes share one group-keyed exchange") {
+    // running-sum + peak (q86) and median + MAD (q89) each plan TWO
+    // Window nodes over ONE hashpartitioning exchange — the second
+    // window must not re-shuffle
+    for (q <- Seq("q86_peak_concurrency", "q89_hampel")) {
+      val p = planOf(q)
+      assert("Window \\[".r.findAllIn(p).size === 2, q)
+      assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2, q) // group hash + final sort
+    }
+  }
+
+  test("q83: the bigram model joins broadcast at dictionary scale") {
+    val p = planOf("q83_lm_fluency")
+    assert(!p.contains("Cross") && !p.contains("NestedLoop"))
+    assert(p.contains("BroadcastHashJoin")) // pair-stream ⋈ model
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
