@@ -240,21 +240,26 @@ object TextDedup {
     * Scale posture: one explode to (doc, window) rows, one gram-keyed
     * aggregation to find shared windows (map-side partial combine takes
     * the per-partition duplicate mass out first), one join back and a
-    * doc-keyed count. Never all-pairs. The shuffle key here is the gram
-    * STRING (k·word bytes) because the oracle compares against DuckDB
-    * grouping the same strings; a production run at 100 TB would key on
-    * xxhash64(gram) instead — 8-byte keys, same plan shape, collision
-    * odds ~2⁻⁶⁴ per pair. */
+    * doc-keyed count. Never all-pairs. The default shuffle key is the
+    * gram STRING (k·word bytes) because the oracle compares against
+    * DuckDB grouping the same strings; `hashGrams = true` keys on
+    * xxhash64(gram) instead — 8-byte shuffle keys, same plan shape,
+    * collision odds ~2⁻⁶⁴ per pair — the 100 TB variant (the spec
+    * asserts both paths produce identical stats on real text). */
   def duplicatePassageStats(docs: DataFrame, k: Int,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text",
+                            hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, "window size k must be ≥ 2")
     val base = spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.Text.words(col(textCol)).as("__w"))
-    val occ = base.select(col("doc_id"), explode(expr(
+    val grams = base.select(col("doc_id"), explode(expr(
       s"CASE WHEN size(__w) >= $k THEN transform(sequence(0, size(__w) - $k), " +
         s"i -> concat_ws(' ', slice(__w, i + 1, $k))) " +
         "ELSE array() END")).as("__gram"))
+    val occ =
+      if (hashGrams) grams.select(col("doc_id"), xxhash64(col("__gram")).as("__gram"))
+      else grams
     val shared = occ.groupBy(col("__gram"))
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2)

@@ -166,6 +166,36 @@ object ScaleSweep {
             nMerges = 200, maxSample = 512)
           noop(docs.select(col("doc_id"),
             TextExprs.bpeCount(spark, col("text"), merges).as("n")))
+        },
+        // k scales with the corpus (the documented k ~ n/const usage) so
+        // cluster sizes — and per-cluster pair work — stay constant;
+        // the curve should be ~linear, not quadratic
+        "semdedup" -> (() => noop(
+          graft.operators.SemDedup.semDedup(emb, col("embedding"), col("vec_id"),
+            k = 8 * rep, iters = 2, thr = 0.35))),
+        // replica-salted words multiply the vocabulary linearly — the
+        // model (observed bigrams) and the pair stream both scale
+        // linearly; the model join flips broadcast→shuffle on its own
+        "lm_fluency" -> (() => noop(
+          graft.operators.LangModel.fluency(docs, col("text"), col("doc_id")))),
+        // per-user sweep: group COUNT grows with rep (user ids are
+        // replica-shifted), per-group size stays constant — the
+        // parallelism-friendly shape; event_type grouping at 16x would
+        // serialize 5 giant sorts (the documented segmented-sweep case)
+        "peak_concurrency" -> (() => noop(
+          Analytics.peakConcurrency(ev, col("user_id"), col("ts"),
+            col("ts") + expr("INTERVAL 30 MINUTES")))),
+        "hampel" -> (() => noop(
+          graft.operators.TimeSeries.hampel(
+            ev.withColumn("v", floor(col("value") * 1000000 + 0.5).cast("long")),
+            col("user_id"), Seq(col("ts"), col("event_id")), col("v")))),
+        "label_prop_3it" -> { () =>
+          val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst")).distinct()
+          val edges = cp.unionByName(
+            cp.select(col("dst").as("src"), col("src").as("dst")))
+          noop(Graph.labelPropagation(edges, iters = 3))
         }
       )
       ops.foreach { case (tag, body) =>

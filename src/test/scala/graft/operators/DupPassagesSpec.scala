@@ -47,4 +47,13 @@ class DupPassagesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 3L, 2L), (2L, 2L, 1L)))
   }
+
+  test("hashGrams (the 8-byte 100 TB shuffle key) produces identical stats") {
+    val docs = graft.sources.Tables.documents(spark, graft.SharedSpark.sf0001)
+    def run(h: Boolean) =
+      TextDedup.duplicatePassageStats(docs, k = 8, hashGrams = h)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(true) === run(false))
+  }
 }
