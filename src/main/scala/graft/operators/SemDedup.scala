@@ -81,7 +81,7 @@ object SemDedup {
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
-    for (_ <- 0 until iters) {
+    for (_ <- 0 until iters if centroids.nonEmpty) {
       centroids = q
         .select(assignCol(emb.sparkSession, col("qv"), centroids).as("cid"),
           posexplode(col("qv")).as(Seq("pos", "x")))
@@ -96,11 +96,18 @@ object SemDedup {
     centroids
   }
 
-  /** (vec_id, cluster, qv) for every row under the fitted centroids. */
+  /** (vec_id, cluster, qv) for every row under the fitted centroids.
+    * An empty centroid set (only possible from an empty fit input)
+    * degrades to a null cluster instead of failing to build the
+    * assignment expression — EmptyCorpusSpec's contract. */
   def assign(emb: DataFrame, vec: Column, id: Column,
-             centroids: Seq[(Int, Seq[Long])]): DataFrame =
+             centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val cl =
+      if (centroids.isEmpty) lit(null).cast("int")
+      else assignCol(emb.sparkSession, col("qv"), centroids)
     emb.select(id.as("vec_id"), quantize(vec).as("qv"))
-      .withColumn("cluster", assignCol(emb.sparkSession, col("qv"), centroids))
+      .withColumn("cluster", cl)
+  }
 
   /** Full SemDeDup: fit, assign, then flag each vector `kept = false`
     * iff some LOWER-id vector in the same cluster has cosine ≥ `thr`
