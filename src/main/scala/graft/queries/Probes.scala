@@ -2950,6 +2950,41 @@ object Probes {
            |FROM l3 ORDER BY node_type, node_key""".stripMargin)
   )
 
+  /** Domain-level curation (fully oracled): deterministic URLs planted
+    * per document on both engines, host extracted by the same RE2-safe
+    * regex, then the RefinedWeb-style rollup — per-domain doc counts,
+    * exact char volume, and how many docs survive a cap of 5 per
+    * domain (lowest doc_id first). The cap path sorts ONLY over-cap
+    * hosts (pruned window). */
+  val domainCapProbe = Probe(
+    "q91_domain_cap",
+    (s, d) => {
+      import graft.operators.Domains
+      val withUrl = Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://site"), col("doc_id") % 37,
+          lit(".example/p/"), col("doc_id")))
+        .withColumn("host", Domains.host(col("url")))
+      val capped = Domains.capPerDomain(withUrl, col("host"), col("doc_id"), cap = 5)
+      capped.groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("host")
+    },
+    Some("""WITH u AS (SELECT doc_id, n_chars,
+           |    'https://site' || (doc_id % 37) || '.example/p/' || doc_id AS url
+           |  FROM documents),
+           |h AS (SELECT doc_id, n_chars,
+           |        regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM u),
+           |r AS (SELECT doc_id, n_chars, host,
+           |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+           |      FROM h)
+           |SELECT host, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM r GROUP BY host ORDER BY host""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2963,7 +2998,7 @@ object Probes {
     bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
-    labelPropProbe
+    labelPropProbe, domainCapProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
