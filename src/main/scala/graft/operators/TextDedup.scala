@@ -150,6 +150,75 @@ object TextDedup {
       docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * SSJoin/PPJoin family: Chaudhuri–Ganti–Kaushik ICDE'06, Xiao et al.
+    * WWW'08) — every pair with shingle-Jaccard ≥ `threshold`, with NO
+    * approximation and NO all-pairs scan. This is the exact counterpart
+    * of [[minhashNearDups]]: MinHash+LSH trades recall for speed, this
+    * trades nothing and still avoids the quadratic join.
+    *
+    * How: order each document's shingle set by GLOBAL document frequency
+    * ascending (ties by token — one total order on both sides). A pair
+    * with J ≥ t must share ≥ ⌈t·|X|⌉ tokens with each member X, so it
+    * must collide inside each side's first |X| − ⌈t·|X|⌉ + 1 tokens —
+    * the prefix. Candidates = equi-join on prefix tokens only; because
+    * prefixes hold each document's RAREST tokens, fan-out per join key
+    * is naturally tiny (that is the whole trick). A length filter
+    * (|A| ≥ t·|B|, the J ≥ t size bound) prunes before verification,
+    * and exact Jaccard on the survivors gives the final answer.
+    *
+    * Scale posture: one df aggregate (map-side combined), one token-keyed
+    * join to attach df, one id-keyed window to slice prefixes, one
+    * prefix-token equi-join, then [[jaccardVerify]] bounded by candidate
+    * count. All shuffles are linear in tokens; the quadratic step never
+    * materializes because high-df (hot) tokens are pushed out of every
+    * prefix by the ascending-df order. Float guard: ⌈t·s⌉ is computed
+    * with a 1e-9 downward nudge, so IEEE rounding can only LENGTHEN a
+    * prefix (more candidates, never a lost pair).
+    *
+    * Output: (id_a < id_b, jaccard) — exactly the pairs an all-pairs
+    * scan would return (the q92 oracle IS that all-pairs scan). */
+  def prefixFilterJoin(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = spread(docs)
+      .select(col(idCol).as("__id"),
+        HashExprs.shingles(spark, col(textCol), shingleN).as("__sh"))
+      .withColumn("__sz", size(col("__sh")))
+      .filter(col("__sz") > 0) // shingle-less docs have no defined Jaccard
+      .select(col("__id"), col("__sz"), explode(col("__sh")).as("__tok"))
+
+    // global document frequency per token (shingles are distinct per doc,
+    // so count(*) == document frequency)
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
+    val prefixes = toks.join(dfreq, "__tok")
+      .withColumn("__rn", row_number().over(w))
+      // prefix length |X| − ⌈t·|X|⌉ + 1, nudged so rounding never shortens
+      .filter(col("__rn") <=
+        col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + 1)
+      .select(col("__tok"), col("__id"), col("__sz"))
+
+    val a = prefixes.select(col("__tok"), col("__id").as("id_a"), col("__sz").as("__sza"))
+    val b = prefixes.select(col("__tok"), col("__id").as("id_b"), col("__sz").as("__szb"))
+    val candidates = a.join(b, "__tok")
+      .filter(col("id_a") < col("id_b"))
+      // J ≥ t ⟹ min size ≥ t · max size (nudged in the safe direction)
+      .filter(least(col("__sza"), col("__szb")).cast("double") >=
+        greatest(col("__sza"), col("__szb")) * threshold - lit(1e-9))
+      .select("id_a", "id_b")
+      .distinct()
+
+    jaccardVerify(candidates, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph — TRANSITIVE dedup:
     * if A≈B and B≈C, all three are one duplicate cluster even when A and
     * C never collided directly. Iterative min-label propagation: every

@@ -2985,6 +2985,37 @@ object Probes {
            |FROM r GROUP BY host ORDER BY host""".stripMargin)
   )
 
+  /** EXACT set-similarity join via prefix filtering — the oracle is the
+    * literal all-pairs Jaccard scan over the same bounded subset, so a
+    * hash match PROVES the prefix filter loses no pair (exactness, not
+    * recall). Same shingle semantics as q28/q50. */
+  val prefixJoinProbe = Probe(
+    "q92_prefix_filter_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      TextDedup.prefixFilterJoin(docs, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |      NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -2998,7 +3029,7 @@ object Probes {
     bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
-    labelPropProbe, domainCapProbe
+    labelPropProbe, domainCapProbe, prefixJoinProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

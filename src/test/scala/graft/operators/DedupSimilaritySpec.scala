@@ -42,6 +42,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sim.intersect(exactPairs).nonEmpty)
   }
 
+  test("prefix-filter join returns EXACTLY the all-pairs Jaccard result") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val brute = TextDedup.jaccardVerify(ids, docs)
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pf = TextDedup.prefixFilterJoin(docs, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pf === brute, s"threshold $t")
+      assert(pf.nonEmpty, s"threshold $t found nothing — test corpus too clean")
+    }
+  }
+
+  test("prefix-filter join: edge thresholds and degenerate docs") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),      // identical → J = 1.0
+      (3L, "alpha beta gamma epsilon"),
+      (4L, ""),                            // shingle-less: never paired
+      (5L, "  ")
+    ).toDF("doc_id", "text")
+    val at1 = TextDedup.prefixFilterJoin(d, 1.0, shingleN = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at1 === Set((1L, 2L)))
+    val at05 = TextDedup.prefixFilterJoin(d, 0.5, shingleN = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at05.contains((1L, 2L)) && !at05.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d2 = docs.unionByName(docs) // duplicate everything
     val r = TextDedup.exact(d2)
