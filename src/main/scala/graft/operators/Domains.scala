@@ -25,6 +25,51 @@ object Domains {
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/]+)", 1)
 
+  /** Canonical URL — the web-corpus dedup pre-pass (URL-level dedup
+    * runs before any content hashing because it needs no document
+    * bytes at all): lowercase scheme+host, strip the fragment, drop
+    * default ports (:80 http / :443 https), remove tracking params
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`) and clean up the
+    * separators they leave behind, empty path → `/`. Paths and
+    * non-tracking params keep their case (they are case-sensitive on
+    * real servers). Returns NULL when the URL has no parsable
+    * `scheme://host` — callers decide policy for those.
+    *
+    * Everything is built-in `regexp_*`/`concat` (whole-stage codegen,
+    * no UDF), and every pattern is RE2-safe (no lookaround) so the
+    * DuckDB oracle replays the identical steps. */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    // drop tracking params but KEEP the captured separator, then
+    // normalize the debris: && runs, ?& starts, trailing separators
+    val q1 = regexp_replace(rest,
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*", "$1")
+    val q2 = regexp_replace(q1, "&&+", "&")
+    val q3 = regexp_replace(q2, "\\?&", "?")
+    val q4 = regexp_replace(q3, "[?&]+$", "")
+    val path = when(q4 === "", lit("/")).otherwise(q4)
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path))
+  }
+
+  /** URL-level dedup keep-flag: `kept` = this row has the smallest `id`
+    * for its canonical URL (deterministic winner). Rows whose canonical
+    * URL is NULL (unparsable) are ALL kept — a missing URL is not
+    * evidence of duplication; content-level dedup owns those. One hash
+    * shuffle keyed by the canonical URL. Appends `curl` and `kept`. */
+  def dedupByUrl(docs: DataFrame, url: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(col("curl"))
+    docs.withColumn("curl", canonicalUrl(url))
+      .withColumn("kept",
+        col("curl").isNull || id === min(id).over(w))
+  }
+
   /** Per-host rollup: (`host`, `n_docs`, `sum_chars`) — count and
     * exact integer volume per domain, one map-side-combining shuffle. */
   def domainStats(docs: DataFrame, hostCol: Column, nChars: Column): DataFrame =

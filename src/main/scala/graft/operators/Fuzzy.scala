@@ -38,6 +38,36 @@ object Fuzzy {
       .withColumn("jw", FuzzyExprs.jaroWinkler(spark, col("name_a"), col("name_b")))
   }
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): the OTHER classic
+    * ER candidate generator. Where [[nearNames]] pairs everything inside
+    * an equality block (and misses pairs whose block key itself is
+    * corrupted), sorted-neighborhood ranks all distinct values in ONE
+    * global lexicographic order and pairs each value with its next
+    * `window − 1` neighbors — candidates per value are CONSTANT (window
+    * size), independent of corpus size and immune to mega-blocks.
+    *
+    * Scale shape: the global order comes from
+    * [[Relational.globalRank]] (range exchange + offset cumsum — never a
+    * single-partition window), neighbor pairing is an equi-join on rank
+    * (each value explodes to `window − 1` rank keys), and the edit
+    * distance runs only on those O(n·window) pairs. Output:
+    * (`name_a` < `name_b` in sort order, `dist`, `jw`), filtered to
+    * `dist <= maxEdits`. */
+  def sortedNeighborhood(df: DataFrame, name: Column, window: Int,
+                         maxEdits: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = df.sparkSession
+    val ranked = Relational.globalRank(
+      df.select(name.as("__n")).distinct(), Seq(col("__n")))
+    val probes = ranked.select(col("__n").as("name_a"),
+        explode(sequence(col("rank") + 1, col("rank") + (window - 1))).as("rank"))
+    probes.join(ranked.select(col("__n").as("name_b"), col("rank")), "rank")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxEdits)
+      .withColumn("jw", FuzzyExprs.jaroWinkler(spark, col("name_a"), col("name_b")))
+      .select("name_a", "name_b", "dist", "jw")
+  }
+
   /** Block-size profile: rows per block and the implied pair count —
     * run this before [[nearNames]] at scale to catch a mega-block (the
     * same guard pattern as the LSH mega-bucket check). */

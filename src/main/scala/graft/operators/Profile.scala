@@ -97,4 +97,43 @@ object Profile {
         col("n"))
       .orderBy("bucket")
   }
+
+  /** Per-group winsorization at EXACT order statistics — the robust
+    * feature-cleaning step (clip outliers to the p-lo/p-hi quantiles)
+    * with discrete quantiles, not interpolated ones: the bound is the
+    * value at sorted position ⌈p·n⌉ (1-based, ties broken by `tie` for
+    * a deterministic sort — the VALUE at the position is tie-invariant).
+    * Interpolated quantiles (`percentile`/`quantile_cont`) average two
+    * neighbors in engine-specific IEEE op order; position arithmetic is
+    * bit-deterministic in any engine and keeps DECIMAL columns DECIMAL.
+    *
+    * One window pass per group (single hash shuffle + in-group sort —
+    * order statistics need the sort; the group, not the table, bounds
+    * it): rank, group size, and both positional bounds come from the
+    * same partitioning, then one projection clips. Appends `clipped`.
+    * NULL values rank nowhere and stay NULL (clip applies to non-null
+    * rows only). */
+  def winsorize(df: DataFrame, group: Column, value: Column, tie: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(group)
+    val ord = part.orderBy(value.asc_nulls_last, tie)
+    val whole = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = df
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(value).over(whole)) // non-null count
+    val loPos = greatest(ceil(lit(pLo) * col("__n")), lit(1L))
+    val hiPos = greatest(ceil(lit(pHi) * col("__n")), lit(1L))
+    base
+      .withColumn("__lo", max(when(col("__rn") === loPos, value)).over(whole))
+      .withColumn("__hi", max(when(col("__rn") === hiPos, value)).over(whole))
+      .withColumn("clipped",
+        when(value.isNull, value)
+          .when(value < col("__lo"), col("__lo"))
+          .when(value > col("__hi"), col("__hi"))
+          .otherwise(value))
+      .drop("__rn", "__n", "__lo", "__hi")
+  }
 }

@@ -222,4 +222,42 @@ object Relational {
       .filter(col("change_type").isNotNull)
       .select(keyOut ++ image :+ col("change_type"): _*)
   }
+
+  /** DISTRIBUTED global rank: appends `rank` (1-based, dense over rows)
+    * in the total order given by `keys` — the scalable replacement for
+    * `row_number() OVER (ORDER BY …)`, which plans to a SINGLE-partition
+    * window (the classic driver-sized bottleneck; Spark even warns).
+    *
+    * Shape: one range exchange (`repartitionByRange`, so partition i
+    * holds keys strictly below partition i+1), a per-partition count
+    * aggregate — O(#partitions) rows — turned into exclusive-prefix
+    * offsets by a window over THAT tiny frame (single partition is fine
+    * at that size), broadcast-joined back, plus a per-partition
+    * row_number. No step touches more than one partition's rows at
+    * once.
+    *
+    * The range-partitioned frame is localCheckpoint'ed (eager): range
+    * bounds come from sampling, so the counts pass and the rank pass
+    * MUST see the same physical partitioning — recomputation could
+    * legally re-sample different bounds and mis-offset every rank.
+    *
+    * `keys` must be a TOTAL order (include a tiebreaker); ties would
+    * make ranks nondeterministic across runs. */
+  def globalRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "globalRank needs at least one ordering column")
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__offset") + row_number().over(w))
+      .drop("__pid", "__offset")
+  }
 }

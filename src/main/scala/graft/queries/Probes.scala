@@ -3016,6 +3016,141 @@ object Probes {
            |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  /** URL canonicalization + URL-level dedup (fully oracled): four messy
+    * variants planted per doc pair — uppercase+tracking, default port,
+    * fragment, tracking-only query — every canonicalization step is
+    * RE2-safe regex replayed verbatim by DuckDB ('g' flag: DuckDB
+    * replaces first-only by default, Spark replaces all). Docs collapse
+    * in pairs (2k, 2k+1) → kept = even ids. */
+  val urlDedupProbe = Probe(
+    "q93_url_dedup",
+    (s, d) => {
+      import graft.operators.Domains
+      val url = {
+        val pbase = col("doc_id") - col("doc_id") % 2
+        val h = pbase % 37
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://Site"), h, lit(".Example/p/"), pbase,
+            lit("?utm_source=feed")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://site"), h, lit(".example:443/p/"), pbase))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://site"), h, lit(".example/p/"), pbase,
+              lit("#section")))
+          .otherwise(
+            concat(lit("https://site"), h, lit(".example/p/"), pbase,
+              lit("?utm_medium=email&utm_term=z")))
+      }
+      Domains.dedupByUrl(
+        Tables.documents(s, d).withColumn("url", url),
+        col("url"), col("doc_id"))
+        .select(col("doc_id"), col("curl"), col("kept").cast("int").as("kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN 'HTTPS://Site' || ((doc_id - doc_id % 2) % 37) || '.Example/p/' || (doc_id - doc_id % 2) || '?utm_source=feed'
+           |      WHEN 1 THEN 'https://site' || ((doc_id - doc_id % 2) % 37) || '.example:443/p/' || (doc_id - doc_id % 2)
+           |      WHEN 2 THEN 'https://site' || ((doc_id - doc_id % 2) % 37) || '.example/p/' || (doc_id - doc_id % 2) || '#section'
+           |      ELSE 'https://site' || ((doc_id - doc_id % 2) % 37) || '.example/p/' || (doc_id - doc_id % 2) || '?utm_medium=email&utm_term=z'
+           |    END AS url
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS u FROM raw),
+           |s2 AS (SELECT doc_id, u,
+           |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+           |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+           |  FROM s1),
+           |s3 AS (SELECT doc_id, scheme,
+           |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           |         ELSE hostport END AS host,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(rest,
+           |            '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*', '\1', 'g'),
+           |          '&&+', '&', 'g'),
+           |        '\?&', '?', 'g'),
+           |      '[?&]+$', '', 'g') AS q
+           |  FROM s2),
+           |c AS (SELECT doc_id,
+           |    CASE WHEN scheme = '' OR host = '' THEN NULL
+           |         ELSE scheme || '://' || host ||
+           |              CASE WHEN q = '' THEN '/' ELSE q END END AS curl
+           |  FROM s3)
+           |SELECT doc_id, curl,
+           |  CAST(curl IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY curl) AS INT) AS kept
+           |FROM c ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Sorted-neighborhood ER blocking (fully oracled): one GLOBAL
+    * lexicographic rank (distributed — Relational.globalRank, never a
+    * single-partition window) pairs each distinct name with its next 7
+    * neighbors; Levenshtein ≤ 8 keeps the candidates. The oracle's
+    * row_number() reproduces the same rank because the order is total
+    * (names are distinct). jw is bin-rounded like q75. */
+  val sortedNeighborhoodProbe = Probe(
+    "q94_sorted_neighborhood",
+    (s, d) => {
+      import graft.operators.Fuzzy
+      val out = Fuzzy.sortedNeighborhood(Tables.part(s, d), col("p_name"),
+        window = 8, maxEdits = 8)
+      out.select(col("name_a"), col("name_b"),
+          col("dist").cast("long").as("dist"), binRound(col("jw"), 6).as("jw"))
+        .orderBy("name_a", "name_b")
+    },
+    Some("""WITH v AS (SELECT DISTINCT p_name AS n FROM part),
+           |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rnk FROM v)
+           |SELECT a.n AS name_a, b.n AS name_b,
+           |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist,
+           |  floor(jaro_winkler_similarity(a.n, b.n) * 1000000 + 0.5) / 1000000 AS jw
+           |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 7
+           |WHERE levenshtein(a.n, b.n) <= 8
+           |ORDER BY name_a, name_b""".stripMargin)
+  )
+
+  /** Winsorization at exact per-group order statistics (fully oracled):
+    * bounds are the values at positions ⌈p·n⌉ — pure position
+    * arithmetic both engines replay, no interpolated quantiles. The
+    * clipped column is aggregated with the DECIMAL exact-sum pattern. */
+  val winsorizeProbe = Probe(
+    "q95_winsorize",
+    (s, d) => {
+      import graft.operators.Profile
+      val clipped = Profile.winsorize(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_extendedprice"),
+        struct(col("l_orderkey"), col("l_linenumber")),
+        pLo = 0.05, pHi = 0.95)
+      clipped.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("clipped")).as("sum_clipped"),
+          min(col("clipped")).as("min_clipped"),
+          max(col("clipped")).as("max_clipped"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag AS g, l_extendedprice AS v,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |                       ORDER BY l_extendedprice) AS rn,
+           |    count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM lineitem),
+           |b AS (SELECT g,
+           |    max(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1)
+           |             THEN v END) AS lo,
+           |    max(CASE WHEN rn = GREATEST(CAST(ceil(0.95 * n) AS BIGINT), 1)
+           |             THEN v END) AS hi
+           |  FROM r GROUP BY g),
+           |c AS (SELECT r.g,
+           |    CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END AS cv
+           |  FROM r JOIN b ON r.g = b.g)
+           |SELECT g AS l_returnflag, count(*) AS n,
+           |  CAST(round(sum(CAST(cv AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_clipped,
+           |  min(cv) AS min_clipped, max(cv) AS max_clipped
+           |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3029,7 +3164,8 @@ object Probes {
     bm25Probe, annPq, pagerankProbe, bpeProbe, dupPassagesProbe,
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
-    labelPropProbe, domainCapProbe, prefixJoinProbe
+    labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
+    sortedNeighborhoodProbe, winsorizeProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

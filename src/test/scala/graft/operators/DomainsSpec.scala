@@ -40,6 +40,44 @@ class DomainsSpec extends AnyFunSuite {
     assert(run(true) === run(false))
   }
 
+  test("canonicalUrl normalizes case, ports, tracking params, fragments") {
+    val cases = Seq(
+      "HTTPS://Example.COM/Path?A=1"      -> "https://example.com/Path?A=1",
+      "http://a.example:80/x"             -> "http://a.example/x",
+      "https://a.example:443/x"           -> "https://a.example/x",
+      "https://a.example:8443/x"          -> "https://a.example:8443/x",
+      "http://a.example:443/x"            -> "http://a.example:443/x",
+      "https://a.example/x#frag"          -> "https://a.example/x",
+      "https://a.example"                 -> "https://a.example/",
+      "https://a.example/p?utm_source=f"  -> "https://a.example/p",
+      "https://a.example/p?a=1&utm_x=2&b=3" -> "https://a.example/p?a=1&b=3",
+      "https://a.example/p?utm_a=1&b=2&utm_c=3" -> "https://a.example/p?b=2",
+      "https://a.example/p?fbclid=zzz&gclid=q"  -> "https://a.example/p",
+      "https://a.example/p?a=xutm_b=1"    -> "https://a.example/p?a=xutm_b=1",
+      "  https://a.example/x  "           -> "https://a.example/x",
+      "not a url"                         -> null,
+      "/relative/only"                    -> null
+    )
+    val out = cases.map(_._1).toDF("u")
+      .select(Domains.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got === want, s"input: $in")
+    }
+  }
+
+  test("dedupByUrl keeps the lowest id per canonical URL, all nulls kept") {
+    val rows = Seq(
+      (1L, "https://A.example/p?utm_source=x"),
+      (2L, "https://a.example/p"),
+      (3L, "https://a.example/p#frag"),
+      (4L, "nonsense"),
+      (5L, "also nonsense")
+    ).toDF("doc_id", "url")
+    val kept = Domains.dedupByUrl(rows, col("url"), col("doc_id"))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("domainStats: exact counts and volumes") {
     val docs = Seq(("a", 10L), ("a", 5L), ("b", 7L)).toDF("host", "n_chars")
     val out = Domains.domainStats(docs, col("host"), col("n_chars"))

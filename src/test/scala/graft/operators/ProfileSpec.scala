@@ -52,4 +52,35 @@ class ProfileSpec extends AnyFunSuite {
     assert(h2.find(_.getLong(0) === 0L).get.getLong(3) === 50) // 0..49
     assert(h2.find(_.getLong(0) === 1L).get.getLong(3) === 50) // 50..99
   }
+
+  test("winsorize clips to exact order statistics per group") {
+    import spark.implicits._
+    // group a: 1..20 → p10 bound = value at ceil(0.1*20)=2, p90 at 18
+    val df = ((1 to 20).map(v => ("a", v, v)) ++ Seq(("b", 100, 21)))
+      .toDF("g", "v", "id")
+    val out = Profile.winsorize(df, $"g", $"v", $"id", 0.1, 0.9)
+      .select("g", "v", "clipped")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val a = out.filter(_._1 == "a").map(x => x._2 -> x._3).toMap
+    assert(a(1) === 2)   // below lo → clipped up
+    assert(a(2) === 2); assert(a(10) === 10); assert(a(18) === 18)
+    assert(a(19) === 18); assert(a(20) === 18) // above hi → clipped down
+    // singleton group: lo = hi = the value itself
+    assert(out.find(_._1 == "b").get._3 === 100)
+  }
+
+  test("winsorize: nulls stay null and don't shift positions") {
+    import spark.implicits._
+    val df = (Seq(Some(1), Some(2), Some(3), Some(4), Some(5),
+      Some(6), Some(7), Some(8), Some(9), Some(10), None, None)
+      .zipWithIndex.map { case (v, i) => ("g", v, i) }).toDF("g", "v", "id")
+    val out = Profile.winsorize(df, $"g", $"v", $"id", 0.2, 0.8)
+      .select("v", "clipped")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(out.filter(_._1.isEmpty).forall(_._2.isEmpty))
+    // bounds from the 10 non-null values: lo = ceil(.2*10)=2, hi = 8
+    val m = out.collect { case (Some(v), Some(c)) => v -> c }.toMap
+    assert(m(1) === 2 && m(2) === 2 && m(8) === 8 && m(9) === 8 && m(10) === 8)
+  }
 }

@@ -137,4 +137,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(d2.length === 1 && d2.head.getString(2) === "updated")
     assert(d2.head.isNullAt(0) && d2.head.getString(1) === "nk2")
   }
+
+  test("globalRank matches a driver-side sort across many partitions") {
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 100003, i.toLong))
+    val df = vals.toDF("k", "tie").repartition(17)
+    val got = Relational.globalRank(df, Seq(col("k"), col("tie")))
+      .select("k", "tie", "rank")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = vals.sorted.zipWithIndex.map { case (kv, i) => kv -> (i + 1L) }.toMap
+    assert(got === want)
+  }
+
+  test("globalRank spans partitions (no single-partition collapse)") {
+    val df = (0 until 2000).map(_.toLong).toDF("k").repartition(16)
+    val ranked = Relational.globalRank(df, Seq(col("k")))
+    // the rank pass must never plan a SinglePartition exchange (that is
+    // exactly the bottleneck globalRank exists to avoid) — AQE may still
+    // coalesce TINY data to one partition at runtime, which is fine
+    ranked.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — keep
+    // only the final plan section
+    val plan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the DATA path must be hash-distributed by __pid; the ONE allowed
+    // SinglePartition exchange is the offsets cumsum, which runs over
+    // the O(#partitions)-row counts frame, and must feed the broadcast
+    // side only (i.e. sit directly on the tiny count aggregate)
+    assert(plan.contains("hashpartitioning(__pid"), plan)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, plan)
+    if (single == 1)
+      assert("""Exchange SinglePartition[\s\S]{0,500}HashAggregate\(keys=\[__pid""".r
+        .findFirstIn(plan).isDefined, plan)
+    assert(ranked.agg(min("rank"), max("rank")).as[(Long, Long)].head() === ((1L, 2000L)))
+  }
 }

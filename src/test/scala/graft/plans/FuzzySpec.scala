@@ -84,6 +84,42 @@ class FuzzySpec extends AnyFunSuite {
     assert(out.groupBy(identity).forall(_._2.length == 1))
   }
 
+  test("sortedNeighborhood pairs each value with its next window-1 neighbors") {
+    val df = Seq("apple", "apply", "appla", "banana", "bananb", "cherry",
+      "apple" /* dup row → one entity */).toDF("name")
+    val out = Fuzzy.sortedNeighborhood(df, col("name"), window = 2, maxEdits = 2)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    // sorted: appla apple apply banana bananb cherry — adjacent pairs only
+    assert(out === Set(("appla", "apple"), ("apple", "apply"),
+      ("banana", "bananb")))
+    // widening the window reaches appla→apply (rank distance 2)
+    val w3 = Fuzzy.sortedNeighborhood(df, col("name"), window = 3, maxEdits = 2)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(w3 === out + (("appla", "apply")))
+  }
+
+  test("sortedNeighborhood equals the brute-force rank-window definition") {
+    val names = (0 until 300).map(i => f"name${(i * 7919) % 500}%03d")
+    val df = names.toDF("name").repartition(13)
+    val got = Fuzzy.sortedNeighborhood(df, col("name"), window = 5, maxEdits = 3)
+      .select("name_a", "name_b", "dist")
+      .as[(String, String, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i max j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = names.distinct.sorted
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 5, sorted.length)
+      d = lev(sorted(i), sorted(j)) if d <= 3
+    } yield (sorted(i), sorted(j), d)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("blockStats reports entity counts and implied pair volume") {
     val df = Seq("a x", "b x", "c x", "a y").toDF("name")
     val out = Fuzzy.blockStats(df, col("name"),
