@@ -101,39 +101,44 @@ object Profile {
   /** Per-group winsorization at EXACT order statistics — the robust
     * feature-cleaning step (clip outliers to the p-lo/p-hi quantiles)
     * with discrete quantiles, not interpolated ones: the bound is the
-    * value at sorted position ⌈p·n⌉ (1-based, ties broken by `tie` for
-    * a deterministic sort — the VALUE at the position is tie-invariant).
+    * value at sorted position ⌈p·n⌉ (1-based) — equivalently the
+    * SMALLEST value whose cumulative count reaches the position.
     * Interpolated quantiles (`percentile`/`quantile_cont`) average two
     * neighbors in engine-specific IEEE op order; position arithmetic is
     * bit-deterministic in any engine and keeps DECIMAL columns DECIMAL.
     *
-    * One window pass per group (single hash shuffle + in-group sort —
-    * order statistics need the sort; the group, not the table, bounds
-    * it): rank, group size, and both positional bounds come from the
-    * same partitioning, then one projection clips. Appends `clipped`.
-    * NULL values rank nowhere and stay NULL (clip applies to non-null
-    * rows only). */
-  def winsorize(df: DataFrame, group: Column, value: Column, tie: Column,
+    * Scale shape — never sorts the rows: a low-cardinality group column
+    * would force the whole table through #groups sort partitions if
+    * this used a rank window (the classic skew trap). Instead the
+    * bounds come from per-(group, value) COUNTS: one map-side-combined
+    * aggregate (shuffle volume = distinct pairs, not rows), a
+    * cumulative-count window over DISTINCT VALUES only, a #groups-row
+    * bounds frame joined back (broadcast at any sane group count), and
+    * one clip projection. NULL values don't rank and stay NULL. */
+  def winsorize(df: DataFrame, group: Column, value: Column,
                 pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     import org.apache.spark.sql.expressions.Window
-    val part = Window.partitionBy(group)
-    val ord = part.orderBy(value.asc_nulls_last, tie)
-    val whole = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val base = df
-      .withColumn("__rn", row_number().over(ord))
-      .withColumn("__n", count(value).over(whole)) // non-null count
+    val counts = df.filter(value.isNotNull)
+      .groupBy(group.as("__g"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(part.orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(
+        part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val loPos = greatest(ceil(lit(pLo) * col("__n")), lit(1L))
     val hiPos = greatest(ceil(lit(pHi) * col("__n")), lit(1L))
-    base
-      .withColumn("__lo", max(when(col("__rn") === loPos, value)).over(whole))
-      .withColumn("__hi", max(when(col("__rn") === hiPos, value)).over(whole))
+    val bounds = cum.groupBy(col("__g"))
+      .agg(min(when(col("__cum") >= loPos, col("__v"))).as("__lo"),
+        min(when(col("__cum") >= hiPos, col("__v"))).as("__hi"))
+    df.join(bounds, group <=> col("__g"), "left_outer")
       .withColumn("clipped",
         when(value.isNull, value)
           .when(value < col("__lo"), col("__lo"))
           .when(value > col("__hi"), col("__hi"))
           .otherwise(value))
-      .drop("__rn", "__n", "__lo", "__hi")
+      .drop("__g", "__lo", "__hi")
   }
 }

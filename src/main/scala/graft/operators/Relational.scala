@@ -98,7 +98,13 @@ object Relational {
     * Equal timestamps are inclusive (right row at ts == leftTs matches).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String,
+               direction: String = "backward",
+               tolerance: Option[Column] = None,
+               keepMatchedTs: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val carryCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
     val leftOnly  = left.columns.filterNot(on.contains).toSeq
     // loud failure beats silently overwriting a left column with the
@@ -108,11 +114,20 @@ object Relational {
       s"asOfJoin: rename right columns colliding with left: ${collisions.mkString(", ")}")
     require(!left.columns.contains("__r"), "asOfJoin: left must not contain __r")
 
+    // the matched right TS rides along inside the struct so a tolerance
+    // can be applied AFTER the nearest match is found (pandas merge_asof
+    // semantics: out-of-tolerance → null match, never "next best")
+    val structCols = carryCols :+ rightTs
+    // at equal ts the right row must fall INSIDE the frame: before the
+    // left row for backward (preceding..current), after it for forward
+    // (current..following)
+    val (leftSide, rightSide) = if (backward) (1, 0) else (0, 1)
+
     val lTagged = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__r", lit(null).cast(
-        org.apache.spark.sql.types.StructType(carryCols.map(c => right.schema(c)))))
+        org.apache.spark.sql.types.StructType(structCols.map(c => right.schema(c)))))
 
     // carry the whole right row as ONE struct: last(ignoreNulls) then
     // skips only "no right row", never a right row whose carried VALUE
@@ -121,8 +136,8 @@ object Relational {
     val rAligned0 = right
       .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
-      .withColumn("__r", struct(carryCols.map(col): _*))
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__r", struct(structCols.map(col): _*))
       .drop(carryCols :+ rightTs: _*)
     val rAligned = leftOnly.foldLeft(rAligned0) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -131,17 +146,36 @@ object Relational {
     val unionCols = (on ++ leftOnly ++ Seq("__ts", "__side", "__r")).map(col)
     val unioned = lTagged.select(unionCols: _*).unionByName(rAligned.select(unionCols: _*))
 
-    // __side orders right rows before left at equal ts → inclusive <= match.
-    val w = Window
+    // ONE shuffle on the key either way; the frame direction encodes the
+    // match direction (inclusive in both, per the side ordering above)
+    val base = Window
       .partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned
-      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__ts", "__side")
+    val matched =
+      if (backward)
+        last(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val withMatch = unioned
+      .withColumn("__r", matched)
+      .filter(col("__side") === lit(leftSide))
+    // tolerance gate AFTER matching: the nearest match either qualifies
+    // or the row gets NO match — never a farther fallback
+    val gated = tolerance match {
+      case None => withMatch
+      case Some(tol) =>
+        val mts = col("__r").getField(rightTs)
+        val dist = if (backward) col("__ts") - mts else mts - col("__ts")
+        withMatch.withColumn("__r", when(dist <= tol, col("__r")))
+    }
+    val filled = gated.drop("__ts", "__side")
 
-    carryCols.foldLeft(filled) { (df, c) =>
+    // keepMatchedTs additionally surfaces the MATCHED right timestamp
+    // (null when no/out-of-tolerance match) under the right's ts name
+    val outCols = if (keepMatchedTs) carryCols :+ rightTs else carryCols
+    outCols.foldLeft(filled) { (df, c) =>
       df.withColumn(c, col("__r").getField(c))
     }.drop("__r")
   }

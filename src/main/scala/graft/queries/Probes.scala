@@ -3121,7 +3121,6 @@ object Probes {
       import graft.operators.Profile
       val clipped = Profile.winsorize(Tables.lineitem(s, d),
         col("l_returnflag"), col("l_extendedprice"),
-        struct(col("l_orderkey"), col("l_linenumber")),
         pLo = 0.05, pHi = 0.95)
       clipped.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -3151,6 +3150,37 @@ object Probes {
            |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin)
   )
 
+  /** Forward as-of join with a tolerance window (pandas merge_asof
+    * parity, fully oracled): each click matches its NEAREST purchase
+    * at-or-after, and an out-of-tolerance nearest match nulls out —
+    * never falls back to a farther one. DuckDB replays it natively
+    * (ASOF with >= plus a CASE gate). */
+  val asOfForwardProbe = Probe(
+    "q96_asof_forward_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          direction = "forward", tolerance = Some(expr("INTERVAL 2 DAYS")),
+          keepMatchedTs = true)
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("p_value"), col("p_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM ev WHERE event_type = 'purchase')
+           |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           |  CASE WHEN p.p_ts - c.ts <= INTERVAL 2 DAY THEN p.p_value END AS p_value,
+           |  CASE WHEN p.p_ts - c.ts <= INTERVAL 2 DAY THEN p.p_ts END AS p_ts
+           |FROM clicks c ASOF LEFT JOIN p
+           |  ON c.user_id = p.user_id AND p.p_ts >= c.ts
+           |ORDER BY c.event_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3165,7 +3195,7 @@ object Probes {
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
     labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
-    sortedNeighborhoodProbe, winsorizeProbe
+    sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -58,7 +58,7 @@ class ProfileSpec extends AnyFunSuite {
     // group a: 1..20 → p10 bound = value at ceil(0.1*20)=2, p90 at 18
     val df = ((1 to 20).map(v => ("a", v, v)) ++ Seq(("b", 100, 21)))
       .toDF("g", "v", "id")
-    val out = Profile.winsorize(df, $"g", $"v", $"id", 0.1, 0.9)
+    val out = Profile.winsorize(df, $"g", $"v", 0.1, 0.9)
       .select("g", "v", "clipped")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     val a = out.filter(_._1 == "a").map(x => x._2 -> x._3).toMap
@@ -74,7 +74,7 @@ class ProfileSpec extends AnyFunSuite {
     val df = (Seq(Some(1), Some(2), Some(3), Some(4), Some(5),
       Some(6), Some(7), Some(8), Some(9), Some(10), None, None)
       .zipWithIndex.map { case (v, i) => ("g", v, i) }).toDF("g", "v", "id")
-    val out = Profile.winsorize(df, $"g", $"v", $"id", 0.2, 0.8)
+    val out = Profile.winsorize(df, $"g", $"v", 0.2, 0.8)
       .select("v", "clipped")
       .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
         if (r.isNullAt(1)) None else Some(r.getInt(1))))

@@ -38,6 +38,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(r(3).isNullAt(1))                // user with no purchases → null
   }
 
+  test("asOfJoin forward: nearest right row at-or-after, inclusive ties") {
+    val clicks = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 1L, 6L), (103L, 2L, 7L))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 5L, 50.0), (1L, 8L, 80.0))
+      .toDF("user_id", "p_ts", "p_value")
+    val r = Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        direction = "forward")
+      .orderBy("event_id")
+      .select("event_id", "p_value").collect()
+    assert(r(0).isNullAt(1))                // click@10 has nothing at-or-after
+    assert(r(1).getDouble(1) === 50.0)      // click@5 → purchase@5 (inclusive)
+    assert(r(2).getDouble(1) === 80.0)      // click@6 → purchase@8 (nearest after)
+    assert(r(3).isNullAt(1))                // user 2: no purchases
+  }
+
+  test("asOfJoin tolerance: out-of-window nearest match nulls out, no fallback") {
+    val clicks = Seq((1L, 1L, 100L), (2L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val purchases = Seq((1L, 8L, 80.0), (1L, 95L, 95.0)).toDF("user_id", "p_ts", "p_value")
+    val r = Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        tolerance = Some(lit(5L)))
+      .orderBy("event_id").select("event_id", "p_value").collect()
+    assert(r(0).getDouble(1) === 95.0)      // ts 100, nearest 95, dist 5 ≤ 5
+    // ts 10: nearest prior is 8 (dist 2 ≤ 5) → matches; NOT the case where
+    // nearest is out of window and an older one sneaks in:
+    assert(r(1).getDouble(1) === 80.0)
+    val tight = Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        tolerance = Some(lit(1L)))
+      .orderBy("event_id").select("event_id", "p_value").collect()
+    assert(tight(0).isNullAt(1) && tight(1).isNullAt(1))
+  }
+
   test("intervalJoin: half-open bounds, bucket-boundary straddle, no dupes") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val pts = Seq(
