@@ -98,6 +98,55 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Per-partition MERGEABLE statistics — incremental profiling, the
+    * aggregate-maintenance pattern: at 100 TB you profile each arriving
+    * partition once, store the tiny partial rows, and answer any
+    * whole-table (or any-subset) question by RE-AGGREGATING partials —
+    * never rescanning history. Every statistic here is algebraic
+    * (count/sum/min/max: agg(all) == re-agg(per-part aggs), exactly —
+    * pass a DECIMAL-cast value for exact sums; IEEE double sums
+    * re-aggregate approximately). One map-side-combined shuffle keyed
+    * by the partition column; output is O(#partitions). */
+  def statsByPartition(df: DataFrame, part: Column, value: Column): DataFrame =
+    df.groupBy(part.as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(value).as("n_nonnull"),
+        sum(value).as("sum_v"),
+        min(value).as("min_v"),
+        max(value).as("max_v"))
+
+  /** Collapse [[statsByPartition]] partials (any subset, any union of
+    * old + newly arrived) into one global row — bit-identical to a
+    * direct scan for the algebraic stats above. */
+  def mergeStats(partials: DataFrame): DataFrame =
+    partials.agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("n_nonnull")).as("n_nonnull"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+
+  /** Equi-DEPTH binning (quantile bucketing): assigns each row a bin in
+    * [0, nb) such that bin populations differ by at most one — the
+    * feature-engineering counterpart of [[histogram]]'s equi-width
+    * buckets. bin = (rank−1)·nb DIV n over the GLOBAL order given by
+    * `keys` (a total order — include a tiebreaker): pure integer
+    * arithmetic, so any engine that can rank reproduces it exactly
+    * (unlike `ntile`, whose remainder convention is engine-defined).
+    *
+    * The rank comes from [[Relational.globalRank]] — range exchange +
+    * offset cumsum, never a single-partition `ORDER BY` window — so
+    * the binning survives any table size. Appends `rank` and `bin`. */
+  def equiDepthBins(df: DataFrame, keys: Seq[Column], nb: Int): DataFrame = {
+    require(nb >= 1, s"need at least one bin, got $nb")
+    val ranked = Relational.globalRank(df, keys)
+    // n arrives as a 1-row broadcast cross join — cheaper and clearer
+    // than a whole-frame window
+    ranked.join(broadcast(df.groupBy().agg(count(lit(1)).as("__n"))))
+      .withColumn("bin", expr(s"((rank - 1) * $nb) DIV __n").cast("int"))
+      .drop("__n")
+  }
+
   /** Per-group winsorization at EXACT order statistics — the robust
     * feature-cleaning step (clip outliers to the p-lo/p-hi quantiles)
     * with discrete quantiles, not interpolated ones: the bound is the

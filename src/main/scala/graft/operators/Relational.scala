@@ -59,6 +59,21 @@ object Relational {
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Top-k rows PER KEY (the k>1 generalization of [[latestPerKey]]).
+    * `order` must totally order within a key (include a tiebreaker) for
+    * a deterministic result. Plans to Spark's WindowGroupLimit: the
+    * rank-≤-k predicate is pushed below the exchange, so each map task
+    * ships at most k rows per key instead of the whole group — the
+    * difference between "shuffle k·#keys rows" and "shuffle the table"
+    * at scale. Appends `pos` (1-based rank within the key). */
+  def topKPerKey(df: DataFrame, keys: Seq[String], k: Int,
+                 order: Seq[Column]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+  }
+
   /** Interval (range) join: points matched to intervals with
     * `start <= ts < end` (half-open). A naive theta join plans as a
     * BroadcastNestedLoopJoin — quadratic and broadcast-bound; this

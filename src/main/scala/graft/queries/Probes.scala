@@ -3181,6 +3181,77 @@ object Probes {
            |ORDER BY c.event_id""".stripMargin)
   )
 
+  /** Equi-depth binning over the distributed global rank (fully
+    * oracled): bin = (rank−1)·nb DIV n — integer arithmetic both
+    * engines replay; populations differ by ≤ 1 by construction. */
+  val equiDepthProbe = Probe(
+    "q97_equidepth_bins",
+    (s, d) => {
+      import graft.operators.Profile
+      val binned = Profile.equiDepthBins(Tables.lineitem(s, d),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        nb = 16)
+      binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bin")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_extendedprice AS v,
+           |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+           |                       l_linenumber) AS rnk,
+           |    count(*) OVER () AS n
+           |  FROM lineitem)
+           |SELECT CAST(((rnk - 1) * 16) // n AS INT) AS bin,
+           |  count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+           |FROM r GROUP BY bin ORDER BY bin""".stripMargin)
+  )
+
+  /** Top-k per key (fully oracled): WindowGroupLimit pushes rank ≤ k
+    * below the exchange — k·#keys rows shuffle, not the table. */
+  val topKPerKeyProbe = Probe(
+    "q98_topk_per_key",
+    (s, d) => {
+      Relational.topKPerKey(Tables.lineitem(s, d), Seq("l_returnflag"), 3,
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"),
+          col("pos").cast("long").as("pos"))
+        .orderBy("l_returnflag", "pos")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS pos
+           |  FROM lineitem)
+           |SELECT l_returnflag, l_orderkey, l_extendedprice,
+           |  CAST(pos AS BIGINT) AS pos
+           |FROM r WHERE pos <= 3 ORDER BY l_returnflag, pos""".stripMargin)
+  )
+
+  /** Incremental profile maintenance (fully oracled): per-day partial
+    * stats re-aggregated to globals — the oracle computes the same
+    * globals DIRECTLY, so a hash match proves merge(partials) ==
+    * scan(table) with zero history rescan. Sums ride DECIMAL. */
+  val incrementalStatsProbe = Probe(
+    "q99_incremental_stats",
+    (s, d) => {
+      import graft.operators.Profile
+      val partials = Profile.statsByPartition(Tables.events(s, d),
+        to_date(col("ts")), col("value").cast("decimal(18,2)"))
+      Profile.mergeStats(partials)
+        .select(col("n_rows"), col("n_nonnull"),
+          round(col("sum_v"), 2).cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))
+    },
+    Some("""SELECT count(*) AS n_rows, count(value) AS n_nonnull,
+           |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_v,
+           |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+           |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+           |FROM events""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3195,7 +3266,8 @@ object Probes {
     ewmaProbe, gapFillProbe, lmFluencyProbe, semDedupProbe, stripHtmlProbe,
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
     labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
-    sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe
+    sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe,
+    equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

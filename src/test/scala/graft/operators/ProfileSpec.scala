@@ -53,6 +53,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(h2.find(_.getLong(0) === 1L).get.getLong(3) === 50) // 50..99
   }
 
+  test("equiDepthBins: populations differ by at most one, order-aligned") {
+    import spark.implicits._
+    val df = (0 until 103).map(i => ((i * 31) % 103, i)).toDF("v", "id")
+      .repartition(7)
+    val binned = Profile.equiDepthBins(df, Seq($"v", $"id"), 10)
+      .select("v", "bin").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val sizes = binned.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0 until 10).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // bins are monotone in value: every bin-b value <= every bin-(b+1) value
+    val byBin = binned.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for (b <- 0 until 9) assert(byBin(b).max <= byBin(b + 1).min)
+  }
+
+  test("statsByPartition + mergeStats == direct scan, and merges incrementally") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"p${i % 5}", if (i % 10 == 0) None else Some(i.toLong)))
+      .toDF("p", "v")
+    val partials = Profile.statsByPartition(df, $"p", $"v")
+    assert(partials.count() === 5)
+    val merged = Profile.mergeStats(partials).collect().head
+    val direct = df.agg(count(lit(1)), count($"v"), sum($"v"), min($"v"), max($"v"))
+      .collect().head
+    assert(merged.toSeq === direct.toSeq)
+    // incremental: partials(old) ∪ partials(new day) merges to the full answer
+    val old = df.filter($"p" =!= "p0"); val fresh = df.filter($"p" === "p0")
+    val viaUnion = Profile.mergeStats(
+      Profile.statsByPartition(old, $"p", $"v")
+        .unionByName(Profile.statsByPartition(fresh, $"p", $"v"))).collect().head
+    assert(viaUnion.toSeq === direct.toSeq)
+  }
+
   test("winsorize clips to exact order statistics per group") {
     import spark.implicits._
     // group a: 1..20 → p10 bound = value at ceil(0.1*20)=2, p90 at 18

@@ -38,6 +38,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(r(3).isNullAt(1))                // user with no purchases → null
   }
 
+  test("topKPerKey: k rows per key, deterministic order, WindowGroupLimit plan") {
+    val df = (1 to 40).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "v")
+    val top = Relational.topKPerKey(df, Seq("k"), 3, Seq(col("v").desc))
+    val got = top.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.length === 12)
+    assert(got.filter(_._1 == "k0").sortBy(_._3).map(_._2).toSeq === Seq(40L, 36L, 32L))
+    // the rank<=k predicate must push below the exchange (map-side prune)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("asOfJoin forward: nearest right row at-or-after, inclusive ties") {
     val clicks = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 1L, 6L), (103L, 2L, 7L))
       .toDF("event_id", "user_id", "ts")
