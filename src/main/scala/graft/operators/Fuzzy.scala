@@ -57,8 +57,12 @@ object Fuzzy {
                          maxEdits: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val spark = df.sparkSession
+    // both the probe side and the join side read the ranked frame —
+    // materialize it once (eager, one (name, rank) row per entity) or
+    // the rank pass (exchange + per-partition sort) runs twice
     val ranked = Relational.globalRank(
       df.select(name.as("__n")).distinct(), Seq(col("__n")))
+      .localCheckpoint(true)
     val probes = ranked.select(col("__n").as("name_a"),
         explode(sequence(col("rank") + 1, col("rank") + (window - 1))).as("rank"))
     probes.join(ranked.select(col("__n").as("name_b"), col("rank")), "rank")
