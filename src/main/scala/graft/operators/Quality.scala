@@ -150,4 +150,32 @@ object Quality {
         lit(1.0).as("threshold"),
         (col("__orphans") === 0).as("passed"))
   }
+
+  /** k-anonymity audit — the privacy gate a corpus RELEASE runs before
+    * publishing rows containing quasi-identifiers (the Sweeney model:
+    * a row is safe only if at least k rows share its full
+    * quasi-identifier combination; smaller equivalence classes
+    * re-identify people by joining public records). Appends
+    * `class_size` and `suppress` (true when class_size < k — the
+    * standard remedy is suppressing or generalizing those rows).
+    *
+    * One map-side-combined aggregate keyed by the quasi-identifier
+    * tuple (output O(#classes)) joined back to the rows — broadcast at
+    * sane class counts, shuffle-hash otherwise; never a window over
+    * row-sized partitions. NULL quasi-values form their own class
+    * (null-safe grouping), matching GROUP BY semantics in any engine. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
+    val sizes = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .select(quasi.map(c => col(c).as(s"__q_$c")) :+ col("class_size"): _*)
+    // null-safe join back: GROUP BY put null quasi-values in one class,
+    // so the join must pair them too (plain equality would strand them
+    // with class_size NULL)
+    val cond = quasi.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(sizes, cond, "left")
+      .drop(quasi.map(c => s"__q_$c"): _*)
+      .withColumn("suppress", col("class_size") < k)
+  }
 }

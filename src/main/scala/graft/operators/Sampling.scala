@@ -107,4 +107,47 @@ object Sampling {
       .filter(col(rnCol) <= ceil(col(nCol) * fraction))
       .drop(rnCol, nCol)
   }
+
+  /** Deterministic NEGATIVE sampling — the contrastive/recommender
+    * training staple: for every user in `positives`, emit up to `k`
+    * items the user did NOT interact with. Candidates come from a
+    * Lehmer-style LCG over (user, j) — pure 64-bit-safe integer
+    * arithmetic (operands stay < 2^45, so engines that ERROR on BIGINT
+    * overflow replay it too, unlike a native xxhash):
+    *
+    *   cand(user, j) = ((user % P) · 48271 + j · 16807) % P % nItems + 1
+    *
+    * with P = 2147483647 (the classic MINSTD modulus) and items assumed
+    * dense in [1, nItems] (the usual contiguous item index; map ids
+    * first otherwise). Per user, `m` candidates are drawn, first-seen
+    * duplicates collapse (min j wins), true positives drop via an
+    * anti-join on (user, item), and the k lowest-j survivors win —
+    * every step deterministic, so the sample is REPRODUCIBLE across
+    * engines, reruns, and cluster layouts, and auditable row by row.
+    *
+    * Scale shape: a narrow m-way generator (no shuffle), one
+    * (user, item) aggregate, one anti-join against the positive set
+    * (both hash-keyed), one per-user top-k window (WindowGroupLimit —
+    * bounded by m candidates per user). Pick m a few× k so rejection
+    * (collisions + accidental positives) rarely starves a user; heavy
+    * users with > m−k positives among candidates get fewer than k
+    * negatives (visible, not silently padded). Output: (user, item,
+    * draw) where draw is the 1-based rank among the user's negatives. */
+  def negativeSample(positives: DataFrame, user: Column, item: Column,
+                     nItems: Long, k: Int, m: Int): DataFrame = {
+    require(nItems >= 1, s"nItems must be >= 1, got $nItems")
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got k=$k m=$m")
+    val P = 2147483647L
+    val pos = positives.select(user.cast("long").as("user"),
+      item.cast("long").as("item")).distinct()
+    val cands = pos.select(col("user")).distinct()
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("item",
+        (((col("user") % P) * 48271L + col("j") * 16807L) % P) % nItems + 1L)
+    val firstSeen = cands.groupBy(col("user"), col("item"))
+      .agg(min(col("j")).as("j"))
+    val negatives = firstSeen.join(pos, Seq("user", "item"), "left_anti")
+    Relational.topKPerKey(negatives, Seq("user"), k, Seq(col("j").asc))
+      .select(col("user"), col("item"), col("pos").as("draw"))
+  }
 }

@@ -3252,6 +3252,72 @@ object Probes {
            |FROM events""".stripMargin)
   )
 
+  /** k-anonymity audit (fully oracled): per-row equivalence-class size
+    * over (nation, segment) quasi-identifiers + the suppress verdict —
+    * one aggregate + join-back on both engines. */
+  val kAnonymityProbe = Probe(
+    "q100_k_anonymity",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.kAnonymity(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), k = 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("suppress").cast("int").as("suppress"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH sz AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, sz.class_size,
+           |  CAST(sz.class_size < 3 AS INT) AS suppress
+           |FROM customer c
+           |JOIN sz ON c.c_nationkey = sz.c_nationkey
+           |       AND c.c_mktsegment = sz.c_mktsegment
+           |ORDER BY c.c_custkey""".stripMargin)
+  )
+
+  /** Deterministic negative sampling (fully oracled): the MINSTD-style
+    * candidate formula is replayed verbatim by DuckDB (operands < 2^45 —
+    * no BIGINT overflow), so both engines derive the IDENTICAL negative
+    * set: first-seen dedup, anti-join on true positives, k lowest draws
+    * per user. */
+  val negativeSampleProbe = Probe(
+    "q101_negative_sample",
+    (s, d) => {
+      import graft.operators.Sampling
+      val nItems = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0)
+      val positives = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Sampling.negativeSample(positives,
+          col("o_custkey"), col("l_partkey"), nItems, k = 3, m = 12)
+        .select(col("user").as("usr"), col("item"),
+          col("draw").cast("long").as("draw"))
+        .orderBy("usr", "draw")
+    },
+    Some("""WITH pos AS (
+           |  SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |ni AS (SELECT max(p_partkey) AS n FROM part),
+           |u AS (SELECT DISTINCT usr FROM pos),
+           |c AS (
+           |  SELECT usr, r.range AS j,
+           |    (((usr % 2147483647) * 48271 + r.range * 16807) % 2147483647)
+           |      % (SELECT n FROM ni) + 1 AS item
+           |  FROM u, range(0, 12) r),
+           |f AS (SELECT usr, item, min(j) AS j FROM c GROUP BY 1, 2),
+           |neg AS (
+           |  SELECT f.usr, f.item, f.j FROM f
+           |  WHERE NOT EXISTS (SELECT 1 FROM pos
+           |                    WHERE pos.usr = f.usr AND pos.item = f.item)),
+           |r AS (SELECT usr, item, j,
+           |        row_number() OVER (PARTITION BY usr ORDER BY j) AS draw
+           |      FROM neg)
+           |SELECT usr, item, CAST(draw AS BIGINT) AS draw
+           |FROM r WHERE draw <= 3 ORDER BY usr, draw""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3267,7 +3333,8 @@ object Probes {
     peakConcurrencyProbe, trendProbe, rollingMedianProbe, hampelProbe,
     labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
     sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe,
-    equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe
+    equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe,
+    kAnonymityProbe, negativeSampleProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -105,4 +105,20 @@ class QualitySpec extends AnyFunSuite {
     assert(emptyRep.find(_.getString(0) == "row_count").exists(!_.getBoolean(4)),
       "RowCountBetween is the explicit emptiness gate")
   }
+
+  test("kAnonymity: class sizes, suppression threshold, null classes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("US"), "a"), (2L, Some("US"), "a"), (3L, Some("US"), "a"),
+      (4L, Some("DE"), "b"),
+      (5L, Option.empty[String], "c"), (6L, Option.empty[String], "c")
+    ).toDF("id", "country", "seg")
+    val out = Quality.kAnonymity(df, Seq("country", "seg"), k = 3)
+      .select("id", "class_size", "suppress")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((3L, false)) && out(3L) === ((3L, false)))
+    assert(out(4L) === ((1L, true)))
+    // the two null-country rows form ONE class of 2 (not stranded NULLs)
+    assert(out(5L) === ((2L, true)) && out(6L) === ((2L, true)))
+  }
 }

@@ -104,4 +104,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids(df, 42L) !== ids(df, 43L)) // different seed, different members
     assert(ids(df, 43L).size === ids(df, 42L).size) // ...but identical counts
   }
+
+  test("negativeSample: never a positive, ≤k per user, layout-stable") {
+    val pos = (for (u <- 1L to 30L; i <- 1L to 5L) yield (u, (u + i * 7) % 50 + 1))
+      .toDF("user", "item")
+    def run(p: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSample(p, col("user"), col("item"), nItems = 50, k = 3, m = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val out = run(pos)
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (u, i, _) => !posSet.contains((u, i)) })
+    assert(out.forall { case (_, i, _) => i >= 1 && i <= 50 })
+    val perUser = out.groupBy(_._1).view.mapValues(_.map(_._3).toSeq.sorted).toMap
+    assert(perUser.keySet === (1L to 30L).toSet)
+    assert(perUser.values.forall(d => d == (1 to d.length).toSeq && d.length <= 3))
+    // deterministic across physical layouts
+    assert(run(pos.repartition(13)) === out)
+  }
 }
