@@ -126,6 +126,26 @@ object Profile {
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"))
 
+  /** The NON-algebraic companion to [[statsByPartition]]: exact distinct
+    * counts cannot be maintained incrementally (distinct(a ∪ b) ≠
+    * f(distinct(a), distinct(b))), so incremental profiling carries a
+    * mergeable DataSketches HLL sketch per partition instead.
+    * Sketch union is EXACT with respect to sketching — merging per-
+    * partition sketches yields bit-identically the sketch (and thus the
+    * estimate) a direct whole-table pass would build — so the stored
+    * partials answer any-subset distinct questions forever with one
+    * O(#partitions) re-union, error bounded by lgK (~1.6% at lgK=12). */
+  def distinctSketchByPartition(df: DataFrame, part: Column, value: Column,
+                                lgK: Int = 12): DataFrame =
+    df.groupBy(part.as("part"))
+      .agg(hll_sketch_agg(value, lit(lgK)).as("distinct_sketch"))
+
+  /** Union [[distinctSketchByPartition]] partials (any subset) into one
+    * estimated distinct count. */
+  def mergeDistinctEstimate(partials: DataFrame): DataFrame =
+    partials.agg(hll_sketch_estimate(
+      hll_union_agg(col("distinct_sketch"), lit(false))).as("n_distinct_est"))
+
   /** Equi-DEPTH binning (quantile bucketing): assigns each row a bin in
     * [0, nb) such that bin populations differ by at most one — the
     * feature-engineering counterpart of [[histogram]]'s equi-width

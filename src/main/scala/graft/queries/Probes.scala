@@ -3318,6 +3318,33 @@ object Probes {
            |FROM r WHERE draw <= 3 ORDER BY usr, draw""".stripMargin)
   )
 
+  /** Incremental DISTINCT maintenance via mergeable HLL sketches: the
+    * oracle checks the exact distinct count plus two engine-verified
+    * invariants — merge(per-day sketches) equals the direct whole-table
+    * sketch estimate EXACTLY (sketch-union exactness), and the estimate
+    * lands within the lgK error bound of the true count. */
+  val incrementalDistinctProbe = Probe(
+    "q102_incremental_distinct",
+    (s, d) => {
+      import graft.operators.Profile
+      val ev = Tables.events(s, d)
+      val partials = Profile.distinctSketchByPartition(ev,
+        to_date(col("ts")), col("user_id"))
+      val merged = Profile.mergeDistinctEstimate(partials)
+      val direct = ev.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("direct_est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.crossJoin(merged).crossJoin(direct)
+        .select(col("n_exact"),
+          (col("n_distinct_est") === col("direct_est")).cast("int")
+            .as("merge_consistent"),
+          (abs(col("n_distinct_est") - col("n_exact")).cast("double") /
+            col("n_exact") < 0.05).cast("int").as("err_ok"))
+    },
+    Some("""SELECT count(DISTINCT user_id) AS n_exact,
+           |  1 AS merge_consistent, 1 AS err_ok FROM events""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3334,7 +3361,7 @@ object Probes {
     labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
     sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe,
     equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe,
-    kAnonymityProbe, negativeSampleProbe
+    kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Bm25, Bpe, CorpusStats, Decontaminate, Graph, IncrementalDedup, Packing, Sampling, Similarity, TextDedup}
+import graft.operators.{Analytics, Bm25, Bpe, CorpusStats, Decontaminate, Domains, Fuzzy, Graph, IncrementalDedup, Packing, Profile, Relational, Sampling, Similarity, TextDedup}
 import graft.plans.TextExprs
 import graft.sources.Tables
 
@@ -17,12 +17,15 @@ import graft.sources.Tables
   * plan is linear shows ~4x time per 4x data (minus fixed job overhead);
   * anything super-linear is a scale bug. Results feed SCALING.md.
   *
-  * Usage: runMain graft.tools.ScaleSweep [baseSfDir] [workDir]
+  * Usage: runMain graft.tools.ScaleSweep [baseSfDir] [workDir] [opSubstr...]
+  * (trailing args filter ops by substring — re-measure a family without
+  * paying for the whole sweep)
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val baseSf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val opFilter = args.drop(2).toSeq
     val reps = Seq(1, 4, 16)
     val spark = graft.GraftSession.getOrCreate("graft-scale-sweep")
     spark.sparkContext.setLogLevel("WARN")
@@ -196,9 +199,50 @@ object ScaleSweep {
           val edges = cp.unionByName(
             cp.select(col("dst").as("src"), col("src").as("dst")))
           noop(Graph.labelPropagation(edges, iters = 3))
+        },
+        // round-4 third wave — the new operator families
+        "prefix_filter_join" -> (() => noop(
+          TextDedup.prefixFilterJoin(docs, threshold = 0.3))),
+        "url_dedup" -> (() => noop {
+          val url = concat(lit("https://site"), col("doc_id") % 997,
+            lit(".example/p/"), col("doc_id") - col("doc_id") % 2,
+            lit("?utm_source=x"))
+          Domains.dedupByUrl(docs.withColumn("url", url), col("url"), col("doc_id"))
+        }),
+        "domain_cap" -> (() => noop(
+          Domains.capPerDomain(
+            docs.withColumn("host", concat(lit("h"), col("doc_id") % 997)),
+            col("host"), col("doc_id"), cap = 5))),
+        "sorted_neighborhood" -> (() => noop(
+          Fuzzy.sortedNeighborhood(docs, substring(col("text"), 1, 40),
+            window = 8, maxEdits = 8))),
+        "winsorize" -> (() => noop(
+          Profile.winsorize(li, col("l_returnflag"), col("l_extendedprice"),
+            0.05, 0.95))),
+        "equidepth_globalrank" -> (() => noop(
+          Profile.equiDepthBins(li,
+            Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+            nb = 16))),
+        "asof_fwd_tolerance" -> (() => noop {
+          val clicks = ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+          Relational.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+            direction = "forward", tolerance = Some(expr("INTERVAL 2 DAYS")))
+        }),
+        "negative_sample" -> { () =>
+          val pos = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_partkey"))
+          val nItems = 200000L // item space fixed across reps (parts not replicated)
+          noop(Sampling.negativeSample(pos, col("o_custkey"), col("l_partkey"),
+            nItems, k = 3, m = 12))
         }
       )
-      ops.foreach { case (tag, body) =>
+      val selected =
+        if (opFilter.isEmpty) ops
+        else ops.filter { case (tag, _) => opFilter.exists(tag.contains) }
+      selected.foreach { case (tag, body) =>
         body() // warm: codegen + parquet footers out of the measurement
         val s = timeMed(body())
         println(f"""SWEEP {"op":"$tag","rep":$rep,"sec":$s%.3f,""" +

@@ -85,6 +85,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(viaUnion.toSeq === direct.toSeq)
   }
 
+  test("distinct sketches: merge == direct, bounded error, incremental union") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (s"d${i % 10}", (i * 7919L) % 3001)).toDF("d", "u")
+    def est(p: org.apache.spark.sql.DataFrame) =
+      Profile.mergeDistinctEstimate(p).head.getLong(0)
+    val partials = Profile.distinctSketchByPartition(df, $"d", $"u")
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg($"u", lit(12))))
+      .head.getLong(0)
+    assert(est(partials) === direct) // sketch-union exactness
+    assert(math.abs(est(partials) - 3001.0) / 3001.0 < 0.05)
+    // layout independence + incremental union of old and new partials
+    val p2 = Profile.distinctSketchByPartition(df.repartition(17), $"d", $"u")
+    assert(est(p2) === direct)
+    val old = Profile.distinctSketchByPartition(df.filter($"d" =!= "d0"), $"d", $"u")
+    val fresh = Profile.distinctSketchByPartition(df.filter($"d" === "d0"), $"d", $"u")
+    assert(est(old.unionByName(fresh)) === direct)
+  }
+
   test("winsorize clips to exact order statistics per group") {
     import spark.implicits._
     // group a: 1..20 → p10 bound = value at ceil(0.1*20)=2, p90 at 18
