@@ -117,7 +117,19 @@ object TextDedup {
                             shingleN: Int = 3): DataFrame = {
     def sh(docs: DataFrame) = spread(docs).select(col(idCol),
       HashExprs.shingles(docs.sparkSession, col(textCol), shingleN).as("sh"))
-    val shA = sh(leftDocs); val shB = sh(rightDocs)
+    jaccardVerifyOnShingles(pairs, sh(leftDocs), sh(rightDocs), idCol)
+  }
+
+  /** Verification core over PRE-SHINGLED frames (`idCol`, `sh`) — for
+    * callers that already hold the shingle sets (e.g.
+    * [[prefixFilterJoin]], which materializes them once for the prefix
+    * pass); recomputing the shingle expression is the dominant CPU in
+    * a verify-heavy pipeline. */
+  def jaccardVerifyOnShingles(pairs: DataFrame,
+                              shLeft: DataFrame, shRight: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
+    val shA = shLeft.select(col(idCol), col("sh"))
+    val shB = shRight.select(col(idCol), col("sh"))
     // pairs often arrive in 1-2 partitions (a coalesced LSH join / cross
     // join output) and the per-pair set intersection is the expensive
     // part — ALWAYS spread them. Unconditional: measuring a derived
@@ -186,12 +198,19 @@ object TextDedup {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    val toks = spread(docs)
+    // shingle ONCE, materialize (eager local checkpoint): the sets feed
+    // the prefix pass AND both verification sides, so without this the
+    // shingle expression runs three times per doc (measured: ~30% wall
+    // saved at 1×/4× sweep scale; neutral at 16× where the candidate
+    // join dominates). Storage is one (id, shingle-set) row per doc —
+    // the same linear class as the token shuffle below.
+    val shf = spread(docs)
       .select(col(idCol).as("__id"),
-        HashExprs.shingles(spark, col(textCol), shingleN).as("__sh"))
-      .withColumn("__sz", size(col("__sh")))
+        HashExprs.shingles(spark, col(textCol), shingleN).as("sh"))
+      .withColumn("__sz", size(col("sh")))
       .filter(col("__sz") > 0) // shingle-less docs have no defined Jaccard
-      .select(col("__id"), col("__sz"), explode(col("__sh")).as("__tok"))
+      .localCheckpoint(true)
+    val toks = shf.select(col("__id"), col("__sz"), explode(col("sh")).as("__tok"))
 
     // global document frequency per token (shingles are distinct per doc,
     // so count(*) == document frequency)
@@ -215,7 +234,8 @@ object TextDedup {
       .select("id_a", "id_b")
       .distinct()
 
-    jaccardVerify(candidates, docs, idCol, textCol, shingleN)
+    val shNamed = shf.select(col("__id").as(idCol), col("sh"))
+    jaccardVerifyOnShingles(candidates, shNamed, shNamed, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
