@@ -66,4 +66,65 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  /** Collocation mining: adjacent word pairs ranked by LIFT — the
+    * log-free core of PMI (`PMI = log2(lift)`), kept as a raw ratio so
+    * the score is engine-exact:
+    *
+    *   lift(w1,w2) = (c12 / M) / ((c1/N)·(c2/N)) = c12·N² / (M·c1·c2)
+    *
+    * where c12 counts the bigram, c1/c2 the unigrams, N total tokens, M
+    * total bigrams. All five operands are exact integers, so the score
+    * is ONE IEEE division — bit-identical in any engine — and the
+    * ranking is the same as PMI's (log is monotone). High-lift pairs
+    * are the corpus' multi-word expressions ("hong kong"); a
+    * training-data pipeline uses them for tokenizer vocab candidates
+    * and boilerplate discovery.
+    *
+    * Scale shape: bigram extraction is a narrow zip of the token array
+    * with its own tail (no self-join, no posexplode matching — the
+    * classic adjacent-pair join is replaced by an in-row `zip_with`);
+    * then two hash aggregations (bigram counts, unigram counts) with
+    * map-side combine, carrying one row per DISTINCT n-gram, and a
+    * vocabulary-sized broadcast join to attach c1/c2. `minCount` prunes
+    * the hapax tail before the join — at web scale that is the
+    * difference between a vocabulary-sized frame and a corpus-sized
+    * one.
+    *
+    * Output: (w1, w2, c12, c1, c2, lift), lift rounded via the caller's
+    * contract (raw double here — callers round for display). */
+  def collocations(docs: DataFrame, minCount: Long,
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(Text.words(col(textCol)).as("ws"))
+    // in-row adjacent pairs: zip ws[0..n-2] with ws[1..n-1]
+    val tail1 = greatest(size(col("ws")) - 1, lit(0))
+    val pairs = toks.select(explode(zip_with(
+      slice(col("ws"), lit(1), tail1),
+      slice(col("ws"), lit(2), tail1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val mTotal = pairs.agg(count(lit(1)).as("m_bigrams"))
+
+    // lift in DOUBLE: the integer product c12·N² overflows i64 once the
+    // corpus passes ~10⁹ tokens. The expression tree is fixed
+    // left-to-right, so any IEEE-754 engine reproduces the exact bits —
+    // the oracle writes the same parenthesization.
+    big
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(mTotal))
+      .withColumn("lift",
+        col("c12").cast("double") * col("n_tokens") * col("n_tokens") /
+          (col("m_bigrams").cast("double") * col("c1") * col("c2")))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("lift"))
+  }
 }

@@ -142,4 +142,78 @@ object Graph {
     e.unpersist(); vertices.unpersist()
     out
   }
+
+  /** Exact triangle count + local clustering coefficient per node, by
+    * degree-ordered edge orientation (the compact-forward / Cohen
+    * MapReduce algorithm).
+    *
+    * Each undirected edge is oriented from its lower endpoint to its
+    * higher endpoint under the total order (degree, id). Every triangle
+    * then has exactly one apex with out-edges to the other two vertices,
+    * so joining the oriented edge list with itself on the apex
+    * enumerates each triangle once — and the self-join fanout is
+    * bounded by the max ORIENTED out-degree, which is O(√m) for any
+    * graph (a node of degree d only keeps out-edges to nodes of degree
+    * ≥ d, and there can be at most 2m/d of those). That bound is what
+    * makes this survive power-law graphs at 100 TB: the hub with 10⁸
+    * neighbors contributes no wedges at all (every edge points INTO
+    * it), while the naive wedge join would explode on it quadratically.
+    *
+    * Shape: two hash aggregations (canonical edges, degrees), one
+    * broadcast-or-shuffle join to attach degrees, the wedge self-join
+    * (equi-join on apex), and one equi-join of wedges against the
+    * canonical edge set to close each wedge. All integers — the count
+    * is exact and engine-independent; `lcc = 2·T / (d·(d−1))` is a
+    * single IEEE division of integers, deterministic bit-for-bit.
+    *
+    * Input (`src`, `dst`) in any mix of directions/duplicates;
+    * self-loops dropped. Returns (`node`, `degree`, `triangles`, `lcc`)
+    * for every node of the graph, lcc 0.0 for degree < 2. */
+  def triangles(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set, keyed (a < b)
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      // the canonical set feeds the degree agg, BOTH sides of the
+      // orientation join, and the wedge-closing join — five scans of
+      // the same aggregation without this
+      .localCheckpoint(true)
+
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+    // orient by (degree, id): out-edge u→v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+
+    // wedges at each apex u: unordered pairs {v, w}, enumerated once by
+    // id order; closing edge looked up in the canonical (a < b) set
+    val o2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = oriented.join(o2, "u").filter(col("v") < col("w"))
+    val tris = wedges
+      .join(und, wedges("v") === und("a") && wedges("w") === und("b"))
+      .select(col("u"), col("v"), col("w"))
+
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((col("triangles") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L))))
+  }
 }

@@ -210,4 +210,25 @@ object Profile {
           .otherwise(value))
       .drop("__g", "__lo", "__hi")
   }
+
+  /** Quantile (rank) normalization — the score-calibration step a
+    * mixing pipeline runs before comparing quality scores from
+    * different scorers/sources: map each row's score to its empirical
+    * quantile `q = (rank−1)/(n−1)` in [0, 1] (n = 1 maps to 0.0). Two
+    * calibrated columns are then directly comparable ("keep the top
+    * 30% of each source") no matter how skewed either raw score is.
+    *
+    * Deterministic: `keys` must totally order rows (append the id as a
+    * tiebreaker), rank is an exact integer from
+    * [[Relational.globalRank]] — range exchange + offset cumsum, never
+    * a single-partition ORDER BY window — and the quantile is one IEEE
+    * division of integers. Appends `rank` and `quantile`. */
+  def quantileNormalize(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val ranked = Relational.globalRank(df, keys)
+    ranked.join(broadcast(df.groupBy().agg(count(lit(1)).as("__n"))))
+      .withColumn("quantile",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("rank") - 1L).cast("double") / (col("__n") - 1L)))
+      .drop("__n")
+  }
 }

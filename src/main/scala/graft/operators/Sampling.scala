@@ -150,4 +150,33 @@ object Sampling {
     Relational.topKPerKey(negatives, Seq("user"), k, Seq(col("j").asc))
       .select(col("user"), col("item"), col("pos").as("draw"))
   }
+
+  /** Deterministic bottom-k sample per stratum — the streaming-friendly
+    * twin of a per-stratum reservoir: keep the k rows whose
+    * `md5(seed || '|' || key)` digest sorts lowest. A uniform hash makes
+    * the selection a uniform k-sample, and because membership is a pure
+    * function of the key, the sample is REPRODUCIBLE across engines
+    * (md5 is standardized — the DuckDB oracle replays it exactly),
+    * stable under re-partitioning, and MONOTONE under corpus growth:
+    * adding documents can only displace the highest digests, never
+    * reshuffle survivors arbitrarily — so diffing two releases' samples
+    * shows real churn, not sampler noise.
+    *
+    * Scale shape: one window per stratum ordered by digest, planned as
+    * WindowGroupLimit — the rank-≤-k cut is applied BELOW the exchange,
+    * so each map task ships at most k rows per stratum; the shuffle
+    * carries k·#strata rows, never the corpus. Appends `pos` (1-based
+    * digest rank within the stratum).
+    *
+    * `key` must be row-unique (the id column); digest ties are broken
+    * by the key itself so even a collision stays deterministic. */
+  def bottomKPerStratum(df: DataFrame, strata: Seq[String], key: Column,
+                        k: Int, seed: String = "42"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(strata.nonEmpty, "need at least one stratum column")
+    val digest = md5(concat(lit(seed), lit("|"), key.cast("string")))
+    Relational.topKPerKey(df.withColumn("__digest", digest), strata, k,
+      Seq(col("__digest").asc, key.asc))
+      .drop("__digest")
+  }
 }

@@ -3345,6 +3345,115 @@ object Probes {
            |  1 AS merge_consistent, 1 AS err_ok FROM events""".stripMargin)
   )
 
+  /** Exact triangle counting (fully oracled): degree-ordered edge
+    * orientation over the part co-purchase projection — each triangle
+    * enumerated once at its unique apex, self-join fanout bounded by
+    * the O(√m) max oriented out-degree (hubs emit no wedges). The
+    * oracle replays the identical orientation + wedge-closing algebra
+    * in SQL; counts are exact integers, lcc is one IEEE division. */
+  val trianglesProbe = Probe(
+    "q103_triangles",
+    (s, d) => {
+      import graft.operators.Graph
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val o2 = op.select(col("o"), col("p").as("p2"))
+      val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      Graph.triangles(edges)
+        .select(col("node"), col("degree"), col("triangles"),
+          binRound(col("lcc"), 6).as("lcc"))
+        .orderBy("node")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+           |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+           |deg AS (SELECT node, count(*) AS degree
+           |        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+           |o AS (SELECT CASE WHEN (da.degree, e0.a) < (db.degree, e0.b) THEN e0.a ELSE e0.b END AS u,
+           |             CASE WHEN (da.degree, e0.a) < (db.degree, e0.b) THEN e0.b ELSE e0.a END AS v
+           |      FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+           |wg AS (SELECT o1.u AS u, o1.v AS v, o2.v AS w FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+           |t AS (SELECT wg.u, wg.v, wg.w FROM wg JOIN e0 ON wg.v = e0.a AND wg.w = e0.b),
+           |pn AS (SELECT node, count(*) AS triangles
+           |       FROM (SELECT u AS node FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t) GROUP BY node)
+           |SELECT deg.node AS node, deg.degree AS degree, coalesce(pn.triangles, 0) AS triangles,
+           |  CASE WHEN deg.degree < 2 THEN 0.0
+           |       ELSE floor(CAST(coalesce(pn.triangles, 0) * 2 AS DOUBLE) / (deg.degree * (deg.degree - 1)) * 1000000 + 0.5) / 1000000 END AS lcc
+           |FROM deg LEFT JOIN pn ON deg.node = pn.node
+           |ORDER BY node""".stripMargin)
+  )
+
+  /** Deterministic bottom-k sample per source (fully oracled): md5
+    * digest order makes the per-stratum sample uniform, reproducible
+    * across engines, and monotone under corpus growth; WindowGroupLimit
+    * ships at most k rows per stratum through the exchange. */
+  val bottomKSampleProbe = Probe(
+    "q104_bottomk_sample",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.bottomKPerStratum(Tables.documents(s, d), Seq("source"),
+          col("doc_id"), k = 20)
+        .select(col("source"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy("source", "pos")
+    },
+    Some("""SELECT source, doc_id, pos FROM (
+           |  SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+           |  FROM documents) WHERE pos <= 20 ORDER BY source, pos""".stripMargin)
+  )
+
+  /** Collocation mining by lift (fully oracled): adjacent-pair counts
+    * via an in-row zip (no self-join), two map-side-combined n-gram
+    * aggregates, vocabulary-sized broadcast joins; lift = c12·N² /
+    * (M·c1·c2) in fixed-order double arithmetic so both engines emit
+    * identical bits. Top 40 multi-word expressions of the corpus. */
+  val collocationsProbe = Probe(
+    "q105_collocations",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.collocations(Tables.documents(s, d), minCount = 5L)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          binRound(col("lift"), 4).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(40)
+    },
+    Some("""WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+           |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+           |bg AS (SELECT w1, w2 FROM (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM t)),
+           |m AS (SELECT count(*) AS m_bigrams FROM bg),
+           |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 5)
+           |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           |  floor(CAST(c12 AS DOUBLE) * n_tokens * n_tokens / (CAST(m_bigrams AS DOUBLE) * u1.c * u2.c) * 10000 + 0.5) / 10000 AS lift
+           |FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2, tot, m
+           |ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin)
+  )
+
+  /** Quantile normalization (fully oracled): empirical-quantile score
+    * calibration via globalRank (range exchange + offset cumsum — no
+    * single-partition sort); q = (rank−1)/(n−1), one IEEE division. */
+  val quantileNormalizeProbe = Probe(
+    "q106_quantile_normalize",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.quantileNormalize(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars"), col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("rank"),
+          binRound(col("quantile"), 6).as("quantile"))
+        .orderBy("rank")
+    },
+    Some("""WITH r AS (SELECT doc_id, n_chars,
+           |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+           |    count(*) OVER () AS n FROM documents)
+           |SELECT doc_id, n_chars, rank,
+           |  CASE WHEN n = 1 THEN 0.0
+           |       ELSE floor(CAST(rank - 1 AS DOUBLE) / (n - 1) * 1000000 + 0.5) / 1000000 END AS quantile
+           |FROM r ORDER BY rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3361,7 +3470,9 @@ object Probes {
     labelPropProbe, domainCapProbe, prefixJoinProbe, urlDedupProbe,
     sortedNeighborhoodProbe, winsorizeProbe, asOfForwardProbe,
     equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe,
-    kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe
+    kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe,
+    trianglesProbe, bottomKSampleProbe, collocationsProbe,
+    quantileNormalizeProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -63,4 +63,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     val rows = CorpusStats.tfidfTopTerms(t, k = 2).orderBy("rnk").collect()
     assert(rows.map(_.getString(1)).toSeq === Seq("alpha", "zeta"))
   }
+
+  test("collocations: hand-checked lift on a tiny corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = CorpusStats.collocations(docs, minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N = 6 tokens, M = 4 bigrams; c(a)=3, c(b)=3
+    // (a,b): c12=2 → 2·36/(4·9) = 2.0 ; (b,a): c12=2 → 2.0
+    assert(out(("a", "b")) === ((2L, 3L, 3L, 2.0)))
+    assert(out(("b", "a")) === ((2L, 3L, 3L, 2.0)))
+    assert(out.size === 2)
+  }
+
+  test("collocations: single-token, empty, and null docs yield no pairs; minCount prunes") {
+    val docs = Seq((1L, "x y x y"), (2L, "solo"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val all = CorpusStats.collocations(docs, minCount = 1L).collect()
+    assert(all.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x", "y"), ("y", "x")))
+    val pruned = CorpusStats.collocations(docs, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned === Set(("x", "y"))) // (y,x) occurs once
+  }
 }

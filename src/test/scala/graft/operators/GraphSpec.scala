@@ -99,4 +99,47 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a === b)
   }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] = {
+    import spark.implicits._
+    Graph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("triangles: K4 — every node in 3 triangles, lcc 1.0") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val out = triOf(k4)
+    assert(out.keySet === (1L to 4L).toSet)
+    assert(out.values.forall(_ == ((3L, 3L, 1.0))))
+  }
+
+  test("triangles: triangle + pendant, exact counts and lcc") {
+    // 1-2-3 triangle, 4 hangs off 1
+    val out = triOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+    assert(out(1L) === ((3L, 1L, 2.0 / 6.0)))
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((2L, 1L, 1.0)))
+    assert(out(4L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: bipartite graph has none; self-loops and dup/reversed edges ignored") {
+    // K2,3 plus noise: self-loop, duplicates, both directions
+    val k23 = for (a <- Seq(1L, 2L); b <- Seq(10L, 11L, 12L)) yield (a, b)
+    val noisy = k23 ++ k23.map(e => (e._2, e._1)) ++ Seq((1L, 1L), (1L, 10L))
+    val out = triOf(noisy)
+    assert(out.values.forall(_._2 == 0L))
+    assert(out(1L)._1 === 3L) // degree unaffected by the noise
+  }
+
+  test("triangles: layout-independent") {
+    import spark.implicits._
+    val e = (for (a <- 1L to 9L; b <- 1L to 9L if a < b && (a + b) % 3 != 0)
+      yield (a, b)).toSeq
+    val a1 = triOf(e)
+    val a2 = Graph.triangles(e.toDF("src", "dst").repartition(13)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(a1 === a2)
+  }
 }

@@ -133,4 +133,30 @@ class ProfileSpec extends AnyFunSuite {
     val m = out.collect { case (Some(v), Some(c)) => v -> c }.toMap
     assert(m(1) === 2 && m(2) === 2 && m(8) === 8 && m(9) === 8 && m(10) === 8)
   }
+
+  test("quantileNormalize: endpoints 0 and 1, equal steps, layout-stable") {
+    import spark.implicits._
+    val df = Seq((10L, 5.0), (20L, 1.0), (30L, 3.0), (40L, 2.0), (50L, 4.0))
+      .toDF("id", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.quantileNormalize(d, Seq(col("score"), col("id")))
+        .select("id", "rank", "quantile")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = run(df)
+    assert(out === Set((20L, 1L, 0.0), (40L, 2L, 0.25), (30L, 3L, 0.5),
+      (50L, 4L, 0.75), (10L, 5L, 1.0)))
+    assert(run(df.repartition(7)) === out)
+  }
+
+  test("quantileNormalize: single row maps to 0.0, ties broken by the tiebreaker") {
+    import spark.implicits._
+    val one = Profile.quantileNormalize(Seq((1L, 9.9)).toDF("id", "score"),
+      Seq(col("score"), col("id"))).select("quantile").as[Double].collect()
+    assert(one.toSeq === Seq(0.0))
+    val tied = Profile.quantileNormalize(
+      Seq((2L, 1.0), (1L, 1.0), (3L, 1.0)).toDF("id", "score"),
+      Seq(col("score"), col("id")))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tied === Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }

@@ -121,4 +121,33 @@ class SamplingSpec extends AnyFunSuite {
     // deterministic across physical layouts
     assert(run(pos.repartition(13)) === out)
   }
+
+  test("bottomKPerStratum: k per stratum, digest-ordered, layout-stable") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, (i % 3).toString)).toDF("id", "grp")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKPerStratum(d, Seq("grp"), col("id"), k = 10)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    val out = sample(df)
+    assert(out.groupBy(_._1).forall(_._2.size == 10))
+    assert(out.groupBy(_._1).values.forall(_.map(_._3).toSeq.sorted == (1 to 10)))
+    assert(sample(df.repartition(17, col("id"))) === out)
+    // seed changes membership
+    val other = Sampling.bottomKPerStratum(df, Seq("grp"), col("id"), 10, seed = "7")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(other !== out)
+  }
+
+  test("bottomKPerStratum is monotone under corpus growth") {
+    import spark.implicits._
+    val small = (0L until 100L).map(i => (i, "g")).toDF("id", "grp")
+    val grown = (0L until 200L).map(i => (i, "g")).toDF("id", "grp")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKPerStratum(d, Seq("grp"), col("id"), k = 15)
+        .select("id").as[Long].collect().toSet
+    val a = ids(small); val b = ids(grown)
+    // growth only displaces survivors: every pre-growth id still sampled
+    // was already in the pre-growth sample (no arbitrary reshuffle)
+    assert((b & (0L until 100L).toSet).subsetOf(a))
+  }
 }
