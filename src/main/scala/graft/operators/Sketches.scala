@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values, "bottom-k") sketches — the mergeable distinct
+  * sketch that, unlike HLL (q35/q102), also supports SET-OPERATION
+  * estimates: because every sketch is the k smallest hashes of its set,
+  * the union of two sketches is computable from the sketches alone
+  * (merge, keep k smallest), and intersection follows by counting
+  * shared survivors. A training-data pipeline uses this to estimate
+  * corpus overlap — "how much of source A's user/url/doc-id space is
+  * already in source B" — from kilobyte summaries instead of a
+  * corpus × corpus join.
+  *
+  * Determinism: xxhash64 is a fixed function, the bottom-k of a set of
+  * hashes is layout-independent, and the estimators below are a fixed
+  * tree of IEEE ops over those hashes — same corpus, same bits, on any
+  * partitioning (the correctness gate exploits exactly that).
+  *
+  * Scale shape: signature building is a distinct aggregate on
+  * (key, hash) — 16-byte shuffle rows with map-side combine — followed
+  * by a per-key bottom-k window that plans to WindowGroupLimit (each
+  * map task ships ≤ k hashes per key, never the set). Pairwise
+  * estimation then touches #keys² × k longs of SKETCH data only —
+  * independent of corpus size, the entire point.
+  */
+object Sketches {
+
+  /** Signed long whose order equals the UNSIGNED order of the hash —
+    * flip the sign bit. Sketch arrays store flipped values sorted
+    * ascending, i.e. unsigned-ascending original hashes. */
+  private def flip(h: Column): Column =
+    h.bitwiseXOR(lit(Long.MinValue))
+
+  private val TwoTo63 = 9.223372036854776e18 // 2^63 as double
+  private val TwoTo64 = 1.8446744073709552e19 // 2^64 as double
+
+  /** Bottom-k hash signature of `value`'s distinct set per `key`.
+    * Output: (`key`, `sig` ARRAY<LONG> — flipped hashes, unsigned-
+    * ascending, length min(k, |set|), and `n_sig` = that length; a
+    * signature shorter than k IS the whole set, so its estimate is
+    * exact). Null values hash like any single value (one element). */
+  def kmvSignatures(df: DataFrame, key: Column, value: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.select(key.as("__k"),
+        flip(xxhash64(value)).as("__h")).distinct()
+    Relational.topKPerKey(hashed, Seq("__k"), k, Seq(col("__h").asc))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__h"))).as("sig"))
+      .select(col("__k").as("key"), col("sig"), size(col("sig")).as("n_sig"))
+  }
+
+  /** Distinct-cardinality estimate from a signature column: exact
+    * |set| when the sketch holds the whole set (n < k), else the
+    * classic KMV estimator (k−1)/frac(kth smallest hash), with frac
+    * mapping the unsigned hash to (0, 1]. */
+  def kmvDistinctEst(sig: Column, k: Int): Column = {
+    val kth = element_at(sig, k) // flipped; null if size < k
+    val frac = (kth.cast("double") + TwoTo63) / TwoTo64
+    when(size(sig) < k, size(sig).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / frac)
+  }
+
+  /** Pairwise set-operation estimates between every pair of keys in a
+    * signature frame (as produced by [[kmvSignatures]] with the same
+    * k). For each unordered pair (a < b): distinct estimates of both
+    * sides, of the union, of the intersection, and the Jaccard
+    * estimate. Union sketch = k smallest of the merged signatures
+    * (slice of the sorted distinct merge — pure array ops, no
+    * re-hashing); intersection = (shared survivors in the union
+    * sketch)/k' × |A∪B|est, the standard ratio estimator.
+    *
+    * Sketch-only: the join is #keys × #keys over k-long arrays. */
+  def kmvPairwise(sigs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val a = sigs.select(col("key").as("key_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("key").as("key_b"), col("sig").as("sig_b"))
+    val merged = array_sort(array_union(col("sig_a"), col("sig_b")))
+    val kk = least(size(merged), lit(k)) // union sketch size k'
+    val unionSig = slice(merged, lit(1), kk)
+    val interN = size(array_intersect(
+      array_intersect(col("unionSig"), col("sig_a")), col("sig_b")))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("unionSig", unionSig)
+      .withColumn("est_a", kmvDistinctEst(col("sig_a"), k))
+      .withColumn("est_b", kmvDistinctEst(col("sig_b"), k))
+      .withColumn("est_union", kmvDistinctEst(col("unionSig"), k))
+      .withColumn("jaccard_est", interN.cast("double") / size(col("unionSig")))
+      .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
+      .select(col("key_a"), col("key_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"), col("jaccard_est"))
+  }
+}

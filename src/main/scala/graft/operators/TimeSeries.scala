@@ -142,4 +142,55 @@ object TimeSeries {
       .withColumn("anomaly", col("dev2").cast("double") > lit(k.toDouble) * col("mad2"))
       .drop("__g", "__v")
   }
+
+  /** EXACT trailing-window distinct count per time bucket ("distinct
+    * users in the last 24 h, for every hour") — without the quadratic
+    * expansion the naive formulation pays. A range join of every bucket
+    * against its W-bucket history replicates each event W times
+    * (100 TB · W shuffle volume), and windowed `count(DISTINCT)` isn't
+    * supported at all; sliding HLL union is approximate. This is exact
+    * and LINEAR, by the classic gap-delta decomposition:
+    *
+    * an entity counts toward bucket t iff it appeared in (t−W, t]. Per
+    * entity, its appearance buckets b₁<b₂<… cover the t-intervals
+    * [bᵢ, min(bᵢ+W, bᵢ₊₁)−1] — disjoint by construction, union exactly
+    * the coverage set. Each interval becomes two delta rows (+1 at its
+    * start, −1 past its end); summing deltas per bucket and prefix-
+    * summing over the bucket spine yields the distinct count at every
+    * bucket.
+    *
+    * Shape: one (entity, bucket) distinct aggregate (map-side
+    * combined), one per-entity lead window (hash by entity — scales
+    * out), one per-bucket delta aggregate, then a prefix sum over the
+    * SPINE ONLY — #buckets rows (a decade of hours is 87,600 rows), a
+    * single tiny sorted partition, never row-scaled. Output: one row
+    * per bucket in [min, max] — empty buckets report the count carried
+    * by their trailing window, not a gap.
+    *
+    * `bucket` must be an integral bucket index (e.g.
+    * `unix_micros(ts) DIV 3600000000` for hours). Returns (`bucket`,
+    * `n_active`). */
+  def slidingDistinct(df: DataFrame, entity: Column, bucket: Column,
+                      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1 bucket, got $window")
+    val ub = df.select(entity.as("__e"), bucket.cast("long").as("__b")).distinct()
+    val nxt = lead(col("__b"), 1).over(
+      Window.partitionBy(col("__e")).orderBy(col("__b")))
+    val iv = ub.select(col("__b").as("__start"),
+      (least(col("__b") + window, coalesce(nxt, lit(Long.MaxValue))) - 1L)
+        .as("__end"))
+    val deltas = iv.select(explode(array(
+        struct(col("__start").as("b"), lit(1L).as("d")),
+        struct((col("__end") + 1L).as("b"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.b").as("__b"), col("x.d").as("__d"))
+      .groupBy(col("__b")).agg(sum(col("__d")).as("__delta"))
+    val bounds = ub.agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    spine.join(deltas, Seq("__b"), "left")
+      .withColumn("n_active",
+        sum(coalesce(col("__delta"), lit(0L)))
+          .over(Window.orderBy(col("__b"))))
+      .select(col("__b").as("bucket"), col("n_active"))
+  }
 }

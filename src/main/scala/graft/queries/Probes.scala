@@ -3454,6 +3454,81 @@ object Probes {
            |FROM r ORDER BY rank""".stripMargin)
   )
 
+  /** EXACT trailing-24h distinct users per hour (fully oracled): the
+    * gap-delta decomposition — (entity, bucket) distinct, per-entity
+    * lead, ±1 deltas, prefix sum over the bucket spine — linear shuffle
+    * volume where the naive range join replicates every event W times.
+    * The oracle IS that naive range join (affordable at oracle scale),
+    * so the hash match proves the decomposition exact. */
+  val slidingDistinctProbe = Probe(
+    "q107_sliding_distinct",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.slidingDistinct(Tables.events(s, d), col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000"), window = 24)
+        .select(col("bucket"),
+          timestamp_micros(col("bucket") * 3600000000L).as("bucket_ts"),
+          col("n_active"))
+        .orderBy("bucket")
+    },
+    Some("""WITH ev AS (SELECT DISTINCT user_id,
+           |    epoch_us(ts::TIMESTAMP) // 3600000000 AS b FROM events),
+           |spine AS (SELECT unnest(generate_series((SELECT min(b) FROM ev),
+           |    (SELECT max(b) FROM ev))) AS b)
+           |SELECT s.b AS bucket, make_timestamp(s.b * 3600000000) AS bucket_ts,
+           |  count(DISTINCT e.user_id) AS n_active
+           |FROM spine s LEFT JOIN ev e ON e.b BETWEEN s.b - 23 AND s.b
+           |GROUP BY s.b ORDER BY bucket""".stripMargin)
+  )
+
+  /** KMV bottom-k sketches with SET-OPERATION estimates (corpus-overlap
+    * audit): daily-active keys per event type, k=512 signatures,
+    * pairwise union/intersection/Jaccard estimates from sketches alone.
+    * Exact pair cardinalities are fully oracled; the sketch estimates —
+    * deterministic but not ANSI-expressible (xxhash64) — gate as
+    * bounded-error invariant booleans (distinct within 20%, intersection
+    * within 45%; measured maxima at this k are 10%/28%, so the bound
+    * catches a broken sketch without flapping on legal variance). */
+  val kmvOverlapProbe = Probe(
+    "q108_kmv_overlap",
+    (s, d) => {
+      import graft.operators.Sketches
+      val k = 512
+      val elems = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") * 100 + dayofmonth(col("ts"))).as("elem"))
+      val est = Sketches.kmvPairwise(
+        Sketches.kmvSignatures(elems, col("event_type"), col("elem"), k), k)
+      val de = elems.distinct()
+      val ex1 = de.groupBy(col("event_type")).agg(countDistinct(col("elem")).as("n"))
+      val exi = de.select(col("event_type").as("key_a"), col("elem"))
+        .join(de.select(col("event_type").as("key_b"), col("elem")), "elem")
+        .filter(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b").agg(countDistinct("elem").as("n_inter"))
+      est.join(exi, Seq("key_a", "key_b"))
+        .join(ex1.select(col("event_type").as("key_a"), col("n").as("n_a")), "key_a")
+        .join(ex1.select(col("event_type").as("key_b"), col("n").as("n_b")), "key_b")
+        .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"), col("n_inter"),
+          (abs(col("est_a") - col("n_a")) / col("n_a") < 0.2 &&
+            abs(col("est_b") - col("n_b")) / col("n_b") < 0.2)
+            .cast("int").as("distinct_ok"),
+          (abs(col("est_intersect") - col("n_inter")) / col("n_inter") < 0.45)
+            .cast("int").as("intersect_ok"))
+        .orderBy("key_a", "key_b")
+    },
+    Some("""WITH de AS (SELECT DISTINCT event_type,
+           |    user_id * 100 + date_part('day', ts::TIMESTAMP) AS elem FROM events),
+           |ex1 AS (SELECT event_type, count(*) AS n FROM de GROUP BY event_type),
+           |exi AS (SELECT a.event_type AS key_a, b.event_type AS key_b,
+           |          count(*) AS n_inter
+           |        FROM de a JOIN de b ON a.elem = b.elem AND a.event_type < b.event_type
+           |        GROUP BY 1, 2)
+           |SELECT key_a, key_b, ea.n AS n_a, eb.n AS n_b, n_inter,
+           |  1 AS distinct_ok, 1 AS intersect_ok
+           |FROM exi JOIN ex1 ea ON ea.event_type = key_a
+           |         JOIN ex1 eb ON eb.event_type = key_b
+           |ORDER BY key_a, key_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3472,7 +3547,7 @@ object Probes {
     equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe,
     kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe,
     trianglesProbe, bottomKSampleProbe, collocationsProbe,
-    quantileNormalizeProbe
+    quantileNormalizeProbe, slidingDistinctProbe, kmvOverlapProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+/** KMV sketches: exactness below k, bounded error above, layout
+  * independence (the property the correctness gate relies on). */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def pairwise(rows: Seq[(String, Long)], k: Int) =
+    Sketches.kmvPairwise(
+      Sketches.kmvSignatures(rows.toDF("key", "v"), col("key"), col("v"), k), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+
+  test("sets smaller than k: every estimate is exact") {
+    val rows = (1L to 10L).map(("a", _)) ++ (6L to 15L).map(("b", _))
+    val out = pairwise(rows, k = 64)
+    val (ea, eb, eu, ei, j) = out(("a", "b"))
+    assert(ea === 10.0 && eb === 10.0 && eu === 15.0 && ei === 5.0)
+    assert(j === 5.0 / 15.0)
+  }
+
+  test("estimator path: 5k-element sets, k=256 → bounded error") {
+    val a = (0L until 5000L).map(("a", _))
+    val b = (2500L until 7500L).map(("b", _)) // |∩| = 2500, |∪| = 7500
+    val out = pairwise(a ++ b, k = 256)
+    val (ea, eb, eu, ei, _) = out(("a", "b"))
+    assert(math.abs(ea - 5000) / 5000.0 < 0.2, s"est_a $ea")
+    assert(math.abs(eb - 5000) / 5000.0 < 0.2, s"est_b $eb")
+    assert(math.abs(eu - 7500) / 7500.0 < 0.2, s"est_union $eu")
+    assert(math.abs(ei - 2500) / 2500.0 < 0.45, s"est_intersect $ei")
+  }
+
+  test("signatures are layout-independent and duplicate-insensitive") {
+    val rows = (0L until 3000L).map(i => ("s", i % 997L)) // heavy dups
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSignatures(df, col("key"), col("v"), 128)
+        .select("sig").as[Seq[Long]].head()
+    val base = sig(rows.toDF("key", "v"))
+    assert(base.length === 128)
+    assert(base === base.sorted)
+    assert(sig(rows.toDF("key", "v").repartition(17)) === base)
+    assert(sig(rows.distinct.toDF("key", "v")) === base)
+  }
+
+  test("kmvDistinctEst error stays bounded across set sizes") {
+    val k = 256
+    for (n <- Seq(300L, 1000L, 10000L)) {
+      val est = Sketches.kmvSignatures(
+          (0L until n).map(i => ("x", i * 2654435761L)).toDF("key", "v"),
+          col("key"), col("v"), k)
+        .select(Sketches.kmvDistinctEst(col("sig"), k)).as[Double].head()
+      val bound = if (n <= k) 0.0 else 0.25
+      assert(math.abs(est - n) / n.toDouble <= bound, s"n=$n est=$est")
+    }
+  }
+}

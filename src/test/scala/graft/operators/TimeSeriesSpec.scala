@@ -131,4 +131,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.dedupDays(df, col("g"), col("day"), col("v")).collect()
     assert(out.length === 1 && out(0).getLong(2) === 3L)
   }
+
+  private def sliding(rows: Seq[(String, Long)], w: Int): Map[Long, Long] =
+    TimeSeries.slidingDistinct(rows.toDF("u", "b"), col("u"), col("b"), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("slidingDistinct: hand-checked coverage, duplicates collapse") {
+    // A in {1,4}, B in {2}; W=2 → A covers [1,2]∪[4,5], B covers [2,3]
+    val out = sliding(Seq(("A", 1L), ("A", 4L), ("A", 4L), ("B", 2L)), 2)
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("slidingDistinct: W=1 is per-bucket distinct; empty interior buckets report 0") {
+    val out = sliding(Seq(("A", 1L), ("B", 1L), ("A", 5L)), 1)
+    assert(out === Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("slidingDistinct matches the naive range join on a dense corpus") {
+    val rows = for (u <- 0L until 40L; b <- 0L until 30L
+                    if (u * 31 + b * 17) % 7 < 2) yield (s"u$u", b)
+    val w = 5
+    val naive = (rows.map(_._2).min to rows.map(_._2).max).map { t =>
+      t -> rows.filter(r => r._2 > t - w && r._2 <= t).map(_._1).distinct.size.toLong
+    }.toMap
+    assert(sliding(rows, w) === naive)
+    // and layout-independent
+    val re = TimeSeries.slidingDistinct(rows.toDF("u", "b").repartition(13),
+      col("u"), col("b"), w).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === naive)
+  }
 }
