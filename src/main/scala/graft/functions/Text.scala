@@ -262,4 +262,18 @@ object Text {
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))
     array_distinct(when(size(ws) >= n, grams).otherwise(ws))
   }
+
+  /** Reference implementation for the native char-entropy kernel
+    * (graft.plans.TextImpl.charEntropy) — same fixed ascending-char
+    * summation order, so the spec can assert BITWISE equality of the
+    * doubles. Returns (n_chars, distinct_chars, entropy_bits). */
+  def charEntropyRef(s: String): (Int, Int, Double) = {
+    if (s.isEmpty) return (0, 0, 0.0)
+    val freq = scala.collection.mutable.Map.empty[Char, Int]
+    s.foreach(c => freq(c) = freq.getOrElse(c, 0) + 1)
+    val sum = freq.keys.toArray.sorted
+      .map(c => { val n = freq(c).toDouble; n * Math.log(n) }).sum
+    val h = (Math.log(s.length.toDouble) - sum / s.length) / Math.log(2.0)
+    (s.length, freq.size, h)
+  }
 }

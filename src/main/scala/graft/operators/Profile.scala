@@ -231,4 +231,48 @@ object Profile {
           .otherwise((col("rank") - 1L).cast("double") / (col("__n") - 1L)))
       .drop("__n")
   }
+
+  /** Exact Pearson correlation matrix over 2-decimal-quantized numeric
+    * columns, in ONE scan — and deterministic to the bit across
+    * engines, which the built-in `corr` (float accumulation in
+    * partition order) can never be. Trick: every moment is an exact
+    * integer — values scale to cents (LONG), and Σx, Σx², Σxy
+    * accumulate as DECIMAL(38,0) (order-free integer sums); then
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * runs as a fixed tree of IEEE doubles whose inputs are identical
+    * integers — and IEEE-754 sqrt/div/mul are CORRECTLY-ROUNDED
+    * operations (unlike ln/exp/pow), so any compliant engine emits the
+    * same bits. Headroom: cents² sums fit DECIMAL(38) up to ~10¹⁸ rows
+    * for values ≤ 10⁶ in magnitude.
+    *
+    * One aggregate (map-side partial) computes all k + k(k+1)/2
+    * moments; the pair explosion after it touches a 1-row frame.
+    * Output: (col_x, col_y, n, r) for each pair x < y; r is NULL for a
+    * zero-variance side (correlation undefined). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "need at least two columns")
+    require(cols.distinct.length == cols.length, "duplicate column")
+    def cents(c: String): Column =
+      (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val d380 = "decimal(38,0)"
+    val aggs =
+      cols.map(c => sum(cents(c).cast(d380)).as(s"s_$c")) ++
+      cols.map(c => sum((cents(c) * cents(c)).cast(d380)).as(s"ss_$c")) ++
+      (for (i <- cols.indices; j <- cols.indices if i < j)
+        yield sum((cents(cols(i)) * cents(cols(j))).cast(d380))
+          .as(s"sp_${cols(i)}__${cols(j)}"))
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (x, y) = (cols(i), cols(j))
+      val varX = (col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")).cast("double")
+      val varY = (col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")).cast("double")
+      val cov = (col("n") * col(s"sp_${x}__${y}") - col(s"s_$x") * col(s"s_$y")).cast("double")
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), col("n").as("n"),
+        when(varX > 0 && varY > 0, cov / (sqrt(varX) * sqrt(varY)))
+          .as("r"))
+    }
+    m.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
 }

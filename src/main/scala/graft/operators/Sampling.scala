@@ -179,4 +179,29 @@ object Sampling {
       Seq(col("__digest").asc, key.asc))
       .drop("__digest")
   }
+
+  /** Deterministic global shuffle + round-robin sharding — the step
+    * before a training run: a reproducible random permutation of the
+    * corpus (seeded, engine-independent: md5 order, like
+    * [[bottomKPerStratum]]) with balanced shard assignment
+    * (|shard sizes| differ by at most 1, by construction of
+    * `(pos−1) mod nShards`). Re-running with the same seed on any
+    * cluster layout gives byte-identical shard manifests — what makes
+    * a data order reproducible across training restarts.
+    *
+    * The permutation rank comes from [[Relational.globalRank]] (range
+    * exchange + offset cumsum — no single-partition sort), and because
+    * the sort key is a uniform digest, the range partitions are
+    * balanced no matter how skewed the input layout was. Appends `pos`
+    * (1-based permutation position) and `shard`. */
+  def shuffleShard(df: DataFrame, key: Column, nShards: Int,
+                   seed: String = "42"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val digest = md5(concat(lit(seed), lit("|"), key.cast("string")))
+    Relational.globalRank(df.withColumn("__digest", digest),
+        Seq(col("__digest"), key))
+      .withColumnRenamed("rank", "pos")
+      .withColumn("shard", ((col("pos") - 1L) % nShards).cast("int"))
+      .drop("__digest")
+  }
 }

@@ -3529,6 +3529,116 @@ object Probes {
            |ORDER BY key_a, key_b""".stripMargin)
   )
 
+  /** Char-entropy quality signal: native codegen'd kernel (fixed
+    * ascending-char summation → layout-independent doubles). n_chars
+    * and distinct_chars are fully oracled (DuckDB recounts them from
+    * the string); the entropy value itself uses libm log (never gate on
+    * libm bits cross-engine — SURVEY.md §2.11) so it gates as oracle-
+    * verified invariants: 0 ≤ H ≤ log2(distinct), H = 0 iff one
+    * distinct char. The spec cross-checks the kernel bitwise against
+    * the Scala reference. */
+  val charEntropyProbe = Probe(
+    "q109_char_entropy",
+    (s, d) => {
+      import graft.plans.TextExprs
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextExprs.charEntropy(s, col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.n_chars").as("n_chars"),
+          col("ce.distinct_chars").as("distinct_chars"),
+          (col("ce.entropy") >= 0.0 &&
+            col("ce.entropy") <= log2(col("ce.distinct_chars")) + 1e-9)
+            .cast("int").as("bounds_ok"),
+          ((col("ce.entropy") === 0.0) === (col("ce.distinct_chars") <= 1))
+            .cast("int").as("zero_iff_uniform"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, length(text) AS n_chars,
+           |  length(list_distinct(string_split(text, ''))) AS distinct_chars,
+           |  1 AS bounds_ok, 1 AS zero_iff_uniform
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Deterministic global shuffle + sharding (fully oracled): md5-
+    * seeded permutation via globalRank (range exchange on a uniform
+    * digest — balanced partitions by construction, no single-partition
+    * sort) and round-robin shard assignment balanced to ±1. The oracle
+    * replays the exact permutation. */
+  val shuffleShardProbe = Probe(
+    "q110_global_shuffle",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.shuffleShard(Tables.documents(s, d), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))
+        .orderBy("pos")
+    },
+    Some("""SELECT doc_id,
+           |  row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+           |  CAST((row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS INT) AS shard
+           |FROM documents ORDER BY pos""".stripMargin)
+  )
+
+  /** Exact correlation matrix (fully oracled): all moments as integer
+    * cent sums in ONE aggregate; r from a fixed tree of correctly-
+    * rounded IEEE ops (sqrt/div/mul — never libm transcendentals), so
+    * Spark and DuckDB agree to the bit before rounding. */
+  val correlationProbe = Probe(
+    "q111_correlation",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.correlationMatrix(Tables.lineitem(s, d),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .select(col("col_x"), col("col_y"), col("n"),
+          binRound(col("r"), 6).as("r"))
+        .orderBy("col_x", "col_y")
+    },
+    Some("""WITH c AS (SELECT
+           |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS e,
+           |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS di,
+           |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+           |  FROM lineitem),
+           |m AS (SELECT count(*) AS n,
+           |    sum(CAST(q AS HUGEINT)) AS s_q, sum(CAST(e AS HUGEINT)) AS s_e,
+           |    sum(CAST(di AS HUGEINT)) AS s_di, sum(CAST(t AS HUGEINT)) AS s_t,
+           |    sum(CAST(q AS HUGEINT) * q) AS ss_q, sum(CAST(e AS HUGEINT) * e) AS ss_e,
+           |    sum(CAST(di AS HUGEINT) * di) AS ss_di, sum(CAST(t AS HUGEINT) * t) AS ss_t,
+           |    sum(CAST(q AS HUGEINT) * e) AS sp_q_e, sum(CAST(q AS HUGEINT) * di) AS sp_q_di,
+           |    sum(CAST(q AS HUGEINT) * t) AS sp_q_t, sum(CAST(e AS HUGEINT) * di) AS sp_e_di,
+           |    sum(CAST(e AS HUGEINT) * t) AS sp_e_t, sum(CAST(di AS HUGEINT) * t) AS sp_di_t
+           |  FROM c),
+           |p AS (
+           |  SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y, n,
+           |    CAST(n * sp_e_di - s_e * s_di AS DOUBLE) AS cov,
+           |    CAST(n * ss_di - s_di * s_di AS DOUBLE) AS vx,
+           |    CAST(n * ss_e - s_e * s_e AS DOUBLE) AS vy FROM m
+           |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+           |    CAST(n * sp_di_t - s_di * s_t AS DOUBLE),
+           |    CAST(n * ss_di - s_di * s_di AS DOUBLE),
+           |    CAST(n * ss_t - s_t * s_t AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+           |    CAST(n * sp_e_t - s_e * s_t AS DOUBLE),
+           |    CAST(n * ss_e - s_e * s_e AS DOUBLE),
+           |    CAST(n * ss_t - s_t * s_t AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'l_discount', 'l_quantity', n,
+           |    CAST(n * sp_q_di - s_q * s_di AS DOUBLE),
+           |    CAST(n * ss_di - s_di * s_di AS DOUBLE),
+           |    CAST(n * ss_q - s_q * s_q AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'l_extendedprice', 'l_quantity', n,
+           |    CAST(n * sp_q_e - s_q * s_e AS DOUBLE),
+           |    CAST(n * ss_e - s_e * s_e AS DOUBLE),
+           |    CAST(n * ss_q - s_q * s_q AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+           |    CAST(n * sp_q_t - s_q * s_t AS DOUBLE),
+           |    CAST(n * ss_q - s_q * s_q AS DOUBLE),
+           |    CAST(n * ss_t - s_t * s_t AS DOUBLE) FROM m)
+           |SELECT col_x, col_y, n,
+           |  CASE WHEN vx > 0 AND vy > 0
+           |       THEN floor(cov / (sqrt(vx) * sqrt(vy)) * 1000000 + 0.5) / 1000000
+           |       END AS r
+           |FROM p ORDER BY col_x, col_y""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3547,7 +3657,8 @@ object Probes {
     equiDepthProbe, topKPerKeyProbe, incrementalStatsProbe,
     kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe,
     trianglesProbe, bottomKSampleProbe, collocationsProbe,
-    quantileNormalizeProbe, slidingDistinctProbe, kmvOverlapProbe
+    quantileNormalizeProbe, slidingDistinctProbe, kmvOverlapProbe,
+    charEntropyProbe, shuffleShardProbe, correlationProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

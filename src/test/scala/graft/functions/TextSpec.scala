@@ -122,6 +122,37 @@ class TextSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("charEntropy: native kernel agrees bitwise with the Scala reference") {
+    val texts = Seq(
+      "", "a", "aaaa", "ab", "abab", "hello world", "the quick brown fox",
+      "zzzzzzzzzzzzzzzzzzzy", "0123456789 9876543210  mixed\tws\nlines")
+    val rows = texts.toDF("t").select(
+      graft.plans.TextExprs.charEntropy(spark, $"t").as("ce"), $"t").collect()
+    rows.foreach { r =>
+      val s = r.getString(1)
+      val (n, d, h) = Text.charEntropyRef(s)
+      val ce = r.getStruct(0)
+      assert(ce.getInt(0) === n, s"n_chars for '$s'")
+      assert(ce.getInt(1) === d, s"distinct for '$s'")
+      assert(java.lang.Double.doubleToLongBits(ce.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(h), s"entropy bits for '$s'")
+    }
+  }
+
+  test("charEntropy: hand-checked values and bounds") {
+    def h(s: String): Double = Text.charEntropyRef(s)._3
+    assert(h("") === 0.0)
+    assert(h("aaaa") === 0.0)
+    assert(math.abs(h("ab") - 1.0) < 1e-12)          // two equiprobable chars
+    assert(math.abs(h("aabb") - 1.0) < 1e-12)
+    assert(math.abs(h("abcd") - 2.0) < 1e-12)        // four equiprobable
+    val natural = h("the quick brown fox jumps over the lazy dog")
+    assert(natural > 3.0 && natural < 5.0)
+    // upper bound: log2(distinct)
+    val (_, d, e) = Text.charEntropyRef("abcabcabd")
+    assert(e <= math.log(d.toDouble) / math.log(2.0) + 1e-12)
+  }
+
   test("ngramList keeps duplicates, shingles dedups") {
     val g = one("a b c a b c a b", Text.ngramList($"t", 3))
       .asInstanceOf[scala.collection.Seq[String]]

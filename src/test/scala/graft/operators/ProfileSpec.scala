@@ -148,6 +148,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(df.repartition(7)) === out)
   }
 
+  test("correlationMatrix: exact r for hand-checked series") {
+    import spark.implicits._
+    // y = 2x (r = 1), z = -x (r = -1), w constant (r undefined → null)
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "w")
+    val out = Profile.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "y")) === Some(1.0))
+    assert(out(("x", "z")) === Some(-1.0))
+    assert(out(("y", "z")) === Some(-1.0))
+    assert(out(("x", "w")) === None)
+    assert(out.size === 6)
+  }
+
+  test("correlationMatrix matches built-in corr to float tolerance, layout-stable") {
+    import spark.implicits._
+    // keep every value 2-decimal-quantized — the operator's contract
+    // (x·0.5 stays on the cent grid because x sits on the half grid)
+    val rows = (0 until 500).map { i =>
+      val x = (i % 97).toDouble + 0.5
+      val y = ((i * 31) % 89).toDouble - x * 0.5
+      (x, y)
+    }
+    val df = rows.toDF("x", "y")
+    def r(d: org.apache.spark.sql.DataFrame): Double =
+      Profile.correlationMatrix(d, Seq("x", "y")).head().getDouble(3)
+    val mine = r(df)
+    val ref = df.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(mine - ref) < 1e-9)
+    // exact determinism (bit-level) across layouts — the whole point
+    assert(java.lang.Double.doubleToLongBits(r(df.repartition(17))) ===
+      java.lang.Double.doubleToLongBits(mine))
+  }
+
   test("quantileNormalize: single row maps to 0.0, ties broken by the tiebreaker") {
     import spark.implicits._
     val one = Profile.quantileNormalize(Seq((1L, 9.9)).toDF("id", "score"),

@@ -138,6 +138,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(other !== out)
   }
 
+  test("shuffleShard: permutation, balance, reproducibility") {
+    import spark.implicits._
+    val df = (0L until 101L).map(i => (i, s"d$i")).toDF("id", "payload")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShard(d, col("id"), nShards = 8)
+        .select("id", "pos", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val out = run(df)
+    // pos is a permutation of 1..n
+    assert(out.map(_._2).sorted.toSeq === (1L to 101L).toSeq)
+    // shards balanced to ±1: 5 shards of 13, 3 of 12
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values.toSeq.sorted
+    assert(sizes === Seq(12, 12, 12, 13, 13, 13, 13, 13))
+    // reproducible across layouts; different seed → different permutation
+    assert(run(df.repartition(7)).toSet === out.toSet)
+    val other = Sampling.shuffleShard(df, col("id"), 8, seed = "7")
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other !== out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("bottomKPerStratum is monotone under corpus growth") {
     import spark.implicits._
     val small = (0L until 100L).map(i => (i, "g")).toDF("id", "grp")
