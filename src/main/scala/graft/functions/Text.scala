@@ -267,6 +267,31 @@ object Text {
     * (graft.plans.TextImpl.charEntropy) — same fixed ascending-char
     * summation order, so the spec can assert BITWISE equality of the
     * doubles. Returns (n_chars, distinct_chars, entropy_bits). */
+  /** Reference implementation for the native CDC chunker
+    * (graft.plans.TextImpl.cdcChunks) — independently re-derives the
+    * splitmix64 gear table and the gear recurrence so the spec can
+    * assert exact chunk equality. */
+  def cdcChunksRef(s: String, minLen: Int, mask: Long, maxLen: Int): Seq[String] = {
+    val gear = (0 until 256).map { i =>
+      var z = (i + 1).toLong * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0; var h = 0L; var i = 0
+    while (i < s.length) {
+      h = (h << 1) + gear(s.charAt(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+        out += s.substring(start, i + 1); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < s.length) out += s.substring(start)
+    out.toSeq
+  }
+
   def charEntropyRef(s: String): (Int, Int, Double) = {
     if (s.isEmpty) return (0, 0, 0.0)
     val freq = scala.collection.mutable.Map.empty[Char, Int]

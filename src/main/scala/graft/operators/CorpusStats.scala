@@ -127,4 +127,29 @@ object CorpusStats {
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         col("lift"))
   }
+
+  /** Order-independent content checksum per group — the release-manifest
+    * integrity line: a corpus fingerprint any engine can recompute and
+    * diff without moving the data. Each row contributes the first 60
+    * bits of `md5(value)` (md5 is standardized, so DuckDB/Trino/pandas
+    * all reproduce it); the group digest is both the SUM (as
+    * DECIMAL(38,0) — overflow-free to 10¹⁹ rows) and the XOR of those
+    * contributions. Sum and xor are commutative and associative, so the
+    * checksum is independent of row order, partitioning, and engine —
+    * and INCREMENTALLY MAINTAINABLE: append-only deltas just add/xor
+    * in; two releases differ iff their digests differ (up to 2⁻⁶⁰
+    * collisions per pair).
+    *
+    * One map-side-combined aggregate; shuffle = #groups rows. Output:
+    * (`grp`, `n_rows`, `n_hashed` — null values hash nothing,
+    * `sum60` DECIMAL(38,0), `xor60` LONG). */
+  def contentChecksum(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(group.as("grp"), h.as("__h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), count(col("__h")).as("n_hashed"),
+        sum(col("__h").cast("decimal(38,0)")).as("sum60"),
+        bit_xor(col("__h")).as("xor60"))
+  }
 }

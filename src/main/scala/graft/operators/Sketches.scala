@@ -92,4 +92,42 @@ object Sketches {
       .select(col("key_a"), col("key_b"), col("est_a"), col("est_b"),
         col("est_union"), col("est_intersect"), col("jaccard_est"))
   }
+
+  /** Count-Min sketch: `depth × width` counters summarizing a frequency
+    * distribution, with the one-sided guarantee est ≥ true for every
+    * key (each of the key's `depth` counters holds its full count plus
+    * whatever collided in) and est ≤ true + εN in expectation per row
+    * (ε = e/width). Mergeable by cell-wise ADDITION — the property that
+    * makes it the streaming/partitioned counterpart of exact heavy
+    * hitters (q71): per-shard sketches sum into the corpus sketch with
+    * zero re-reads.
+    *
+    * Scale shape: the depth-way explode is a narrow generator; the
+    * aggregate is map-side combined, so the shuffle carries at most
+    * depth·width rows per task — the SKETCH size, not the corpus. */
+  def countMin(df: DataFrame, value: Column, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got ($depth, $width)")
+    df.select(value.as("__v"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("d"), pmod(xxhash64(col("d"), col("__v")), lit(width)).as("bucket"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `keys` (one row per distinct key)
+    * against a [[countMin]] sketch with the same depth/width: the min
+    * of the key's `depth` counters. The sketch side is depth·width
+    * rows — broadcast at any sane size. Missing cells count 0 (the key
+    * never occurred). Output: (`key`, `est`). */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+                 depth: Int, width: Int): DataFrame = {
+    val probes = keys.select(key.as("key")).distinct()
+      .select(col("key"), explode(array((0 until depth).map(lit): _*)).as("d"))
+      .select(col("key"), col("d"),
+        pmod(xxhash64(col("d"), col("key")), lit(width)).as("bucket"))
+    probes.join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

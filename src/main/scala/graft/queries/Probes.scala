@@ -3639,6 +3639,85 @@ object Probes {
            |FROM p ORDER BY col_x, col_y""".stripMargin)
   )
 
+  /** Content-defined chunking: gear rolling-hash boundaries (native
+    * codegen kernel) — the edit-resilient chunker a cross-snapshot
+    * passage dedup needs (fixed-stride chunks lose alignment forever on
+    * a one-char insert; CDC re-syncs within a window). total_len is
+    * fully oracled; lossless reconstruction and the min/max bounds gate
+    * as oracle-verified invariants; the spec proves boundary re-sync
+    * and bitwise agreement with an independent reference. */
+  val cdcChunksProbe = Probe(
+    "q112_cdc_chunks",
+    (s, d) => {
+      import graft.plans.TextExprs
+      val chunks = TextExprs.cdcChunks(s, col("text"), minLen = 32,
+        avgLen = 64, maxLen = 256)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), chunks.as("ch"))
+        .select(col("doc_id"),
+          aggregate(col("ch"), lit(0L), (acc, c) => acc + length(c)).as("total_len"),
+          (concat_ws("", col("ch")) === col("text")).cast("int").as("recon_ok"),
+          (forall(col("ch"), c => length(c) <= 256) &&
+            forall(slice(col("ch"), lit(1), greatest(size(col("ch")) - 1, lit(0))),
+              c => length(c) >= 32)).cast("int").as("bounds_ok"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS total_len,
+           |  1 AS recon_ok, 1 AS bounds_ok
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Count-Min sketch point queries over the word stream: exact counts
+    * for the 30 heaviest words are fully oracled; the sketch estimates
+    * gate on the one-sided CM guarantee (est ≥ exact, ALWAYS) plus a
+    * collision-slack bound est ≤ exact + 8·N/width (expectation is
+    * ~N/width per depth row; 8× the mean over a 4-deep min is far
+    * outside legal variance only for a broken sketch). */
+  val countMinProbe = Probe(
+    "q113_countmin",
+    (s, d) => {
+      import graft.operators.Sketches
+      val (depth, width) = (4, 1024)
+      val words = Tables.documents(s, d)
+        .select(explode(Text.words(col("text"))).as("word"))
+      val exact = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(30)
+      val n = words.agg(count(lit(1)).as("__n"))
+      val est = Sketches.cmEstimate(
+        Sketches.countMin(words, col("word"), depth, width),
+        exact, col("word"), depth, width)
+      exact.join(est, exact("word") === est("key"))
+        .crossJoin(broadcast(n))
+        .select(exact("word"), col("n_exact"),
+          (col("est") >= col("n_exact")).cast("int").as("ge_ok"),
+          (col("est") <= col("n_exact") + lit(8) * col("__n") / lit(width))
+            .cast("int").as("slack_ok"))
+        .orderBy(col("n_exact").desc, col("word"))
+    },
+    Some("""WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |                    x -> len(x) > 0)) AS word FROM documents)
+           |SELECT word, count(*) AS n_exact, 1 AS ge_ok, 1 AS slack_ok
+           |FROM w GROUP BY word ORDER BY n_exact DESC, word LIMIT 30""".stripMargin)
+  )
+
+  /** Order-independent corpus checksum (fully oracled): 60-bit md5
+    * contributions summed (DECIMAL(38,0)) and xor'ed per source —
+    * layout-, order- and engine-independent release-manifest digests,
+    * incrementally maintainable under appends. */
+  val contentChecksumProbe = Probe(
+    "q114_content_checksum",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.contentChecksum(Tables.documents(s, d),
+          col("source"), col("text"))
+        .orderBy("grp")
+    },
+    Some("""SELECT source AS grp, count(*) AS n_rows, count(text) AS n_hashed,
+           |  sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT)) AS sum60,
+           |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor60
+           |FROM documents GROUP BY source ORDER BY grp""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3658,7 +3737,8 @@ object Probes {
     kAnonymityProbe, negativeSampleProbe, incrementalDistinctProbe,
     trianglesProbe, bottomKSampleProbe, collocationsProbe,
     quantileNormalizeProbe, slidingDistinctProbe, kmvOverlapProbe,
-    charEntropyProbe, shuffleShardProbe, correlationProbe
+    charEntropyProbe, shuffleShardProbe, correlationProbe,
+    cdcChunksProbe, countMinProbe, contentChecksumProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -153,6 +153,38 @@ class TextSpec extends AnyFunSuite {
     assert(e <= math.log(d.toDouble) / math.log(2.0) + 1e-12)
   }
 
+  test("cdcChunks: native agrees with reference; lossless; bounds hold") {
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "short", "x" * 300,
+      (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+      (1 to 2000).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val rows = texts.toDF("t").select(
+      graft.plans.TextExprs.cdcChunks(spark, $"t", 32, 64, 256).as("ch"), $"t")
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(1)
+      val native = r.getSeq[String](0)
+      val mask = java.lang.Long.highestOneBit(32L) - 1L // avg-min = 32
+      assert(native === Text.cdcChunksRef(s, 32, mask, 256), s"len ${s.length}")
+      assert(native.mkString("") === s)
+      assert(native.forall(_.length <= 256))
+      assert(native.dropRight(1).forall(_.length >= 32))
+    }
+  }
+
+  test("cdcChunks: boundaries re-synchronize after a prefix edit") {
+    val rnd = new scala.util.Random(11)
+    val s = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val mask = 31L
+    val base = Text.cdcChunksRef(s, 32, mask, 256)
+    val edited = Text.cdcChunksRef("INSERTED-PREFIX " + s, 32, mask, 256)
+    // all chunks after re-sync are byte-identical — the content-defined
+    // property fixed-stride chunking lacks
+    val shared = base.reverse.zip(edited.reverse).takeWhile { case (a, b) => a == b }
+    assert(shared.length >= base.length - 3,
+      s"only ${shared.length} of ${base.length} chunks survived the edit")
+  }
+
   test("ngramList keeps duplicates, shingles dedups") {
     val g = one("a b c a b c a b", Text.ngramList($"t", 3))
       .asInstanceOf[scala.collection.Seq[String]]

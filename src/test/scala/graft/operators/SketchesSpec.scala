@@ -49,6 +49,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(sig(rows.distinct.toDF("key", "v")) === base)
   }
 
+  test("countMin: est >= exact always; exact when no collisions possible") {
+    val rows = (0 until 2000).map(i => s"w${i % 50}").toDF("w") // 50 keys × 40
+    val sketch = Sketches.countMin(rows, col("w"), depth = 4, width = 512)
+    val keys = (0 until 50).map(i => s"w$i").toDF("w")
+    val est = Sketches.cmEstimate(sketch, keys, col("w"), 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 50 distinct keys into 512 buckets: collisions possible but est >= 40
+    assert(est.size === 50)
+    assert(est.values.forall(_ >= 40L))
+    // total inflation across all keys bounded by total mass
+    assert(est.values.sum <= 2000L * 4)
+    // absent key estimates 0 unless it collides; never negative
+    val ghost = Sketches.cmEstimate(sketch, Seq("nope").toDF("w"), col("w"), 4, 512)
+      .head().getLong(1)
+    assert(ghost >= 0L)
+  }
+
+  test("countMin sketches merge by cell-wise addition") {
+    val a = (0 until 500).map(i => s"k${i % 7}").toDF("w")
+    val b = (0 until 300).map(i => s"k${i % 5}").toDF("w")
+    val merged = Sketches.countMin(a, col("w"), 3, 64)
+      .unionByName(Sketches.countMin(b, col("w"), 3, 64))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMin(a.unionByName(b), col("w"), 3, 64)
+    val m = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === w)
+  }
+
   test("kmvDistinctEst error stays bounded across set sizes") {
     val k = 256
     for (n <- Seq(300L, 1000L, 10000L)) {
