@@ -3285,7 +3285,11 @@ object Probes {
     "q101_negative_sample",
     (s, d) => {
       import graft.operators.Sampling
-      val nItems = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0)
+      // coalesce for the zero-row corpus: max over nothing is NULL, and
+      // negativeSample requires nItems >= 1 (an empty item space still
+      // yields an empty, not a thrown, sample)
+      val nItems = Tables.part(s, d)
+        .agg(coalesce(max(col("p_partkey")), lit(1L))).head.getLong(0)
       val positives = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))

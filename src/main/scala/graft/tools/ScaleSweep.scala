@@ -237,7 +237,55 @@ object ScaleSweep {
           val nItems = 200000L // item space fixed across reps (parts not replicated)
           noop(Sampling.negativeSample(pos, col("o_custkey"), col("l_partkey"),
             nItems, k = 3, m = 12))
-        }
+        },
+        // round-4 fourth wave — graph/sketch/shuffle/chunking families
+        // co-purchase projection DENSIFIES with rep (customers replicate,
+        // parts shared): edges ~linear, wedge work bounded by the √m
+        // oriented out-degree — the curve tests that bound, not linearity
+        "triangles" -> { () =>
+          val op2 = li.select(col("l_orderkey").as("oo"), col("l_partkey").as("p"))
+            .distinct()
+          val edges = op2.join(op2.withColumnRenamed("p", "p2"), "oo")
+            .filter(col("p") < col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          noop(Graph.triangles(edges))
+        },
+        // users replicate → spine constant, (user, bucket) rows linear
+        "sliding_distinct" -> (() => noop(
+          graft.operators.TimeSeries.slidingDistinct(ev, col("user_id"),
+            expr("unix_micros(ts) DIV 3600000000"), window = 24))),
+        // sketch build linear in distinct elements; pairwise part is
+        // sketch-sized (5×5 keys) — flat by construction
+        "kmv_overlap" -> { () =>
+          val elems = ev.select(col("event_type"),
+            (col("user_id") * 100 + dayofmonth(col("ts"))).as("elem"))
+          val sigs = graft.operators.Sketches.kmvSignatures(
+            elems, col("event_type"), col("elem"), 512)
+          noop(graft.operators.Sketches.kmvPairwise(sigs, 512))
+        },
+        // bigram stream linear; aggregates carry distinct n-grams (the
+        // replica salt multiplies vocabulary — worst case for this op)
+        "collocations" -> (() => noop(
+          CorpusStats.collocations(docs, minCount = 5))),
+        "shuffle_shard" -> (() => noop(
+          Sampling.shuffleShard(docs, col("doc_id"), nShards = 64))),
+        // ONE aggregate however many moment columns; curve = scan cost
+        "corr_matrix" -> (() => noop(
+          Profile.correlationMatrix(li,
+            Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")))),
+        // narrow codegen kernels — scan-linear by construction
+        "cdc_entropy" -> (() => noop(
+          docs.select(col("doc_id"),
+            size(TextExprs.cdcChunks(spark, col("text"), 32, 64, 256)).as("nc"),
+            TextExprs.charEntropy(spark, col("text")).as("ce")))),
+        // shuffle bounded by depth×width cells per task, never the corpus
+        "countmin" -> { () =>
+          val words = docs.select(
+            explode(graft.functions.Text.words(col("text"))).as("w"))
+          noop(graft.operators.Sketches.countMin(words, col("w"), 4, 1024))
+        },
+        "content_checksum" -> (() => noop(
+          CorpusStats.contentChecksum(docs, col("source"), col("text"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

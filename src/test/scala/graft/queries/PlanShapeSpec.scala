@@ -92,6 +92,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin")) // pair-stream ⋈ model
   }
 
+  test("q103: triangle wedge enumeration is equi-joined, never a cross join") {
+    val p = planOf("q103_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q104/q110: digest-ordered sampling and sharding avoid data-path single partitions") {
+    // bottom-k: the rank-≤-k cut must push below the exchange
+    assert(planOf("q104_bottomk_sample").contains("WindowGroupLimit"))
+    // global shuffle: rank comes from globalRank — a range exchange on
+    // the digest, plus a window over the O(#partitions) offsets frame
+    // only. The probe's own total ORDER BY (display) may single-sort the
+    // RESULT; the guard is on the operator path.
+    // (the range exchange itself is inside globalRank's eager
+    // checkpoint, so the visible plan starts after it)
+    import org.apache.spark.sql.functions._
+    val op = graft.operators.Sampling.shuffleShard(
+      graft.sources.Tables.documents(spark, graft.SharedSpark.sf0001),
+      col("doc_id"), nShards = 8)
+    // a SinglePartition exchange DOES appear — on the O(#partitions)
+    // offsets cumsum frame, which is the documented tiny-frame window;
+    // the guard is that the row-scaled rank window is keyed by __pid
+    // (a naive global row_number would put the whole table through one
+    // unkeyed window instead)
+    val p = op.queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"expected the per-partition rank window keyed by __pid in:\n$p")
+  }
+
+  test("q113: Count-Min build aggregates with a map-side partial") {
+    val p = planOf("q113_countmin")
+    // partial_count before the exchange — the sketch-sized-shuffle claim
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"expected partial aggregation in:\n$p")
+  }
+
+  test("q111: the correlation matrix is ONE aggregate over the scan") {
+    val p = planOf("q111_correlation")
+    // exactly one pair of HashAggregates (partial+final) on the moment
+    // pass — no per-pair scans
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
