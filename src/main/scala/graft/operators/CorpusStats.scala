@@ -128,6 +128,40 @@ object CorpusStats {
         col("lift"))
   }
 
+  /** Inverted index (posting lists) — the retrieval-side artifact a
+    * corpus pipeline ships next to BM25 (q76): per term, document
+    * frequency, collection frequency, and the ordered (doc, position)
+    * posting list. Postings are CAPPED at `maxPostings` occurrences
+    * (by (doc, position) order, `truncated` flagged): stopword terms
+    * at web scale have corpus-sized posting lists, and the cap turns
+    * the worst key from O(corpus) into O(cap) — the WindowGroupLimit
+    * rank-≤-k cut applies BELOW the exchange, so map tasks never ship
+    * a stopword's full stream to one reducer. Shard a full production
+    * index by term range; the stats pass here is already the shape
+    * that sharding partitions on.
+    *
+    * Postings serialize as "doc:pos,doc:pos,…" — engine-neutral (the
+    * oracle reproduces the string exactly), and numerically ordered
+    * before formatting so lexicographic accidents can't reorder them. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    maxPostings: Int = 64): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val tok = docs.select(col(idCol).as("d"),
+        posexplode(Text.words(col(textCol))).as(Seq("tpos", "term")))
+    val stats = tok.groupBy(col("term"))
+      .agg(countDistinct(col("d")).as("df"), count(lit(1)).as("cf"))
+    val capped = Relational.topKPerKey(tok, Seq("term"), maxPostings,
+      Seq(col("d"), col("tpos")))
+    val posts = capped.groupBy(col("term"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("d"), col("tpos")))),
+        s => concat(s.getField("d").cast("string"), lit(":"),
+          s.getField("tpos").cast("string"))), ",").as("postings"))
+    stats.join(posts, "term")
+      .withColumn("truncated", (col("cf") > maxPostings).cast("int"))
+  }
+
   /** Order-independent content checksum per group — the release-manifest
     * integrity line: a corpus fingerprint any engine can recompute and
     * diff without moving the data. Each row contributes the first 60

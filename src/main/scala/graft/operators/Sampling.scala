@@ -204,4 +204,16 @@ object Sampling {
       .withColumn("shard", ((col("pos") - 1L) % nShards).cast("int"))
       .drop("__digest")
   }
+
+  /** Release-shard manifest: [[shuffleShard]] composed with
+    * [[CorpusStats.contentChecksum]] — one row per shard with row count
+    * and order-independent content digests. This is the artifact a
+    * training run verifies before reading a shard and the diff unit
+    * between two releases (same shard, same digests ⇒ byte-identical
+    * content, no data read). Output: (`grp` = shard, `n_rows`,
+    * `n_hashed`, `sum60`, `xor60`). */
+  def shardManifest(df: DataFrame, key: Column, nShards: Int,
+                    value: Column, seed: String = "42"): DataFrame =
+    CorpusStats.contentChecksum(
+      shuffleShard(df, key, nShards, seed), col("shard"), value)
 }

@@ -30,4 +30,32 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Skew DIAGNOSIS — the measurement that decides between AQE,
+    * [[saltedJoin]], and a schema fix: per hot key its row count and
+    * integer-ppm share of the table, alongside the global
+    * (rows, distinct keys) context on every row. share_ppm is exact
+    * integer arithmetic (count·10⁶ DIV total) so the report is
+    * engine-reproducible; `suggested_salt` is the bucket count that
+    * would level the key to the mean task size (⌈share·K⌉ capped), a
+    * starting point, not an oracle.
+    *
+    * Shape: one map-side-combined count aggregate (shuffle = distinct
+    * keys), a TakeOrderedAndProject top-k (never a global sort), and
+    * two one-row broadcasts. NULL keys report as a key — they are the
+    * most common hot key in real tables. */
+  def diagnose(df: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__n"),
+      count(lit(1)).as("__k"))
+    counts.orderBy(col("cnt").desc, col("key").asc_nulls_last)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000L DIV __n").as("share_ppm"),
+        col("__n").as("n_rows"), col("__k").as("n_keys"),
+        least(ceil(col("cnt") * col("__k") / col("__n")), lit(1024L))
+          .cast("long").as("suggested_salt"))
+  }
 }

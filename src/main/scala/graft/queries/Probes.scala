@@ -3722,6 +3722,90 @@ object Probes {
            |FROM documents GROUP BY source ORDER BY grp""".stripMargin)
   )
 
+  /** Inverted index with capped posting lists (fully oracled,
+    * serialization included): per term df/cf and the first 32
+    * (doc, position) postings — the cap is what makes a stopword's
+    * posting list O(cap) instead of O(corpus), applied BELOW the
+    * exchange via WindowGroupLimit. */
+  val invertedIndexProbe = Probe(
+    "q115_inverted_index",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.invertedIndex(Tables.documents(s, d), maxPostings = 32)
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (SELECT d, unnest(ws) AS term, unnest(range(0, len(ws))) AS p
+           |  FROM (SELECT doc_id AS d,
+           |          list_filter(string_split_regex(lower(text), '\s+'),
+           |                      x -> len(x) > 0) AS ws FROM documents)),
+           |stats AS (SELECT term, count(DISTINCT d) AS df, count(*) AS cf
+           |          FROM tok GROUP BY term),
+           |rk AS (SELECT term, d, p,
+           |         row_number() OVER (PARTITION BY term ORDER BY d, p) AS rn
+           |       FROM tok),
+           |posts AS (SELECT term, string_agg(d || ':' || p, ',' ORDER BY d, p) AS postings
+           |          FROM rk WHERE rn <= 32 GROUP BY term)
+           |SELECT stats.term AS term, df, cf, postings,
+           |  CAST(cf > 32 AS INT) AS truncated
+           |FROM stats JOIN posts USING (term) ORDER BY term""".stripMargin)
+  )
+
+  /** Release-shard manifest (fully oracled): deterministic shuffle →
+    * round-robin shards → per-shard order-independent digests. Two
+    * releases diff by comparing 8 manifest rows, not the data. */
+  val shardManifestProbe = Probe(
+    "q116_shard_manifest",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.shardManifest(Tables.documents(s, d), col("doc_id"),
+          nShards = 8, col("text"))
+        .orderBy("grp")
+    },
+    Some("""WITH sh AS (SELECT text,
+           |    CAST((row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS INT) AS grp
+           |  FROM documents)
+           |SELECT grp, count(*) AS n_rows, count(text) AS n_hashed,
+           |  sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT)) AS sum60,
+           |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor60
+           |FROM sh GROUP BY grp ORDER BY grp""".stripMargin)
+  )
+
+  /** Per-source dedup-rate report (fully oracled): the curation
+    * dashboard line — docs, unique texts, duplicate ppm in exact
+    * integer arithmetic; one digest-keyed aggregate. */
+  val dedupReportProbe = Probe(
+    "q117_dedup_report",
+    (s, d) =>
+      TextDedup.exactStats(Tables.documents(s, d), "source")
+        .withColumn("dup_ppm",
+          expr("(n_docs - n_unique) * 1000000L DIV n_docs"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+           |  count(DISTINCT md5(text)) AS n_unique,
+           |  (count(*) - count(DISTINCT md5(text))) * 1000000 // count(*) AS dup_ppm
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  )
+
+  /** Skew diagnosis (fully oracled): hot-key report with integer-ppm
+    * shares and a salt suggestion — the measurement that picks between
+    * AQE, saltedJoin, and a schema fix; TakeOrderedAndProject top-k,
+    * never a global sort. */
+  val skewReportProbe = Probe(
+    "q118_skew_report",
+    (s, d) => {
+      import graft.operators.Skew
+      Skew.diagnose(Tables.lineitem(s, d), col("l_suppkey"), topK = 20)
+        .orderBy(col("cnt").desc, col("key"))
+    },
+    Some("""WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+           |           FROM lineitem GROUP BY l_suppkey),
+           |t AS (SELECT sum(cnt) AS n, count(*) AS k FROM c)
+           |SELECT key, cnt, cnt * 1000000 // n AS share_ppm,
+           |  n AS n_rows, k AS n_keys,
+           |  least(CAST(ceil(cnt * k / n) AS BIGINT), 1024) AS suggested_salt
+           |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3742,7 +3826,9 @@ object Probes {
     trianglesProbe, bottomKSampleProbe, collocationsProbe,
     quantileNormalizeProbe, slidingDistinctProbe, kmvOverlapProbe,
     charEntropyProbe, shuffleShardProbe, correlationProbe,
-    cdcChunksProbe, countMinProbe, contentChecksumProbe
+    cdcChunksProbe, countMinProbe, contentChecksumProbe,
+    invertedIndexProbe, shardManifestProbe, dedupReportProbe,
+    skewReportProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

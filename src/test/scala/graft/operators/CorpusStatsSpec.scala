@@ -77,6 +77,26 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.size === 2)
   }
 
+  test("invertedIndex: hand-checked postings, cap + truncation flag") {
+    val docs = Seq((1L, "b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = CorpusStats.invertedIndex(docs, maxPostings = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))).toMap
+    // a: doc1 pos1, doc2 pos0 ; b: doc1 pos0+2 ; c: doc2 pos1
+    assert(out("a") === ((2L, 2L, "1:1,2:0", 0)))
+    assert(out("b") === ((1L, 2L, "1:0,1:2", 0)))
+    assert(out("c") === ((1L, 1L, "2:1", 0)))
+    // cap: stopword-sized term truncates but stats stay exact
+    val big = (0L until 50L).map(i => (i, "the the the")).toDF("doc_id", "text")
+    val the = CorpusStats.invertedIndex(big, maxPostings = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))).toMap
+    assert(the("the")._1 === 50L && the("the")._2 === 150L)
+    assert(the("the")._3.split(",").length === 10)
+    assert(the("the")._3 === "0:0,0:1,0:2,1:0,1:1,1:2,2:0,2:1,2:2,3:0")
+    assert(the("the")._4 === 1)
+  }
+
   test("contentChecksum: order/layout-independent, append-incremental, null-aware") {
     val docs = Seq(("a", "one"), ("a", "two"), ("a", null.asInstanceOf[String]),
       ("b", "three")).toDF("src", "text")
