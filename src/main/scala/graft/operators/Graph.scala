@@ -197,11 +197,22 @@ object Graph {
       .localCheckpoint(true)
 
     // wedges at each apex u: unordered pairs {v, w}, enumerated once by
-    // id order; closing edge looked up in the canonical (a < b) set
+    // id order; closing edge looked up in the canonical (a < b) set.
+    // Both joins are EXPLICITLY repartitioned on their keys: edge rows
+    // are tiny (two longs) but the wedge join's output and per-row CPU
+    // are large, and byte-targeted AQE coalescing (e.g. a 64 MB
+    // advisory) would fold these shuffles into one or two partitions —
+    // serializing exactly the work that needs the cluster (measured 4×
+    // on the bench session). A user-specified repartition pins the
+    // partition count; AQE does not re-coalesce it.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
     val o2 = oriented.select(col("u"), col("v").as("w"))
-    val wedges = oriented.join(o2, "u").filter(col("v") < col("w"))
-    val tris = wedges
-      .join(und, wedges("v") === und("a") && wedges("w") === und("b"))
+    val wedges = oriented.repartition(p, col("u"))
+      .join(o2.repartition(p, col("u")), "u")
+      .filter(col("v") < col("w"))
+    val tris = wedges.repartition(p, col("v"), col("w"))
+      .join(und.repartition(p, col("a"), col("b")),
+        wedges("v") === und("a") && wedges("w") === und("b"))
       .select(col("u"), col("v"), col("w"))
 
     val perNode = tris

@@ -285,7 +285,13 @@ object ScaleSweep {
           noop(graft.operators.Sketches.countMin(words, col("w"), 4, 1024))
         },
         "content_checksum" -> (() => noop(
-          CorpusStats.contentChecksum(docs, col("source"), col("text"))))
+          CorpusStats.contentChecksum(docs, col("source"), col("text")))),
+        // posting lists capped at 32 — replica-salted vocab grows terms
+        // ×rep while each term's shipped postings stay O(cap)
+        "inverted_index" -> (() => noop(
+          CorpusStats.invertedIndex(docs, maxPostings = 32))),
+        "skew_diagnose" -> (() => noop(
+          graft.operators.Skew.diagnose(li, col("l_suppkey"), topK = 20)))
       )
       val selected =
         if (opFilter.isEmpty) ops
