@@ -3806,6 +3806,46 @@ object Probes {
            |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin)
   )
 
+  /** Margin-based kNN (fully oracled): hubness-corrected retrieval —
+    * the Artetxe–Schwenk ratio margin over integer micro-unit
+    * penalties. The micro quantization is engine-exact (measured
+    * bit-parity of every pair's floor(cos·10⁶) vs DuckDB), so the
+    * whole rescoring — penalties, margins, re-rank — hash-matches. */
+  val marginKnnProbe = Probe(
+    "q119_margin_knn",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.marginTopK(emb, queries, k = 5, kAvg = 8, shortlist = 20)
+        .select(col("query_id"), col("vec_id"),
+          binRound(col("margin"), 4).as("margin"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sim AS (SELECT q.vec_id AS qid, t.vec_id AS cid,
+           |          list_dot_product(t.v, q.v) /
+           |            (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.v, q.v))) AS sim
+           |        FROM c q JOIN c t ON t.vec_id <> q.vec_id),
+           |ranked AS (SELECT qid, cid, sim,
+           |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |           FROM sim),
+           |pen AS (SELECT qid, sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS pen
+           |        FROM ranked WHERE rn <= 8 GROUP BY qid),
+           |m AS (SELECT b.qid, b.cid,
+           |        CAST(CAST(floor(b.sim * 1000000 + 0.5) AS BIGINT) * 16 AS DOUBLE)
+           |          / (pq.pen + pc.pen) AS margin
+           |      FROM ranked b JOIN pen pq ON pq.qid = b.qid
+           |                    JOIN pen pc ON pc.qid = b.cid
+           |      WHERE b.qid < 20 AND b.rn <= 20),
+           |r AS (SELECT qid AS query_id, cid AS vec_id, margin,
+           |        row_number() OVER (PARTITION BY qid ORDER BY margin DESC, cid) AS rnk
+           |      FROM m)
+           |SELECT query_id, vec_id, floor(margin * 10000 + 0.5) / 10000 AS margin,
+           |  rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3828,7 +3868,7 @@ object Probes {
     charEntropyProbe, shuffleShardProbe, correlationProbe,
     cdcChunksProbe, countMinProbe, contentChecksumProbe,
     invertedIndexProbe, shardManifestProbe, dedupReportProbe,
-    skewReportProbe
+    skewReportProbe, marginKnnProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
