@@ -59,4 +59,38 @@ object Mixture {
 
     full.unionByName(partial)
   }
+
+  /** Deterministic weighted INTERLEAVING — the data ORDER for a mixed
+    * training run: given integer rates per source, emit a single
+    * global sequence where any prefix contains each source in
+    * proportion to its weight (weighted fair queuing / smooth weighted
+    * round-robin). Each source's i-th row gets virtual time
+    * `(2i−1)·(L/w)` (L = lcm of weights — odd multiples center the
+    * samples, the classic WFQ finish-time trick), and the global
+    * position is the rank of (vtime, source, key) — all exact
+    * integers, so the schedule is reproducible on any engine/layout.
+    *
+    * Shape: one per-source rank window (hash by source — per-source
+    * sorts scale out), then [[Relational.globalRank]] (range exchange,
+    * no single-partition sort). Rows whose source has no weight drop
+    * out. Appends `vtime` and `pos`. */
+  def interleave(df: DataFrame, sourceCol: Column, key: Column,
+                 weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 1),
+      "weights must be positive integers")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val strides = weights.map { case (s, w) => s -> (lcm / w) }
+    val strideCol = element_at(
+      typedLit(strides), sourceCol.cast("string"))
+    val rw = Window.partitionBy(sourceCol).orderBy(key.asc)
+    val timed = df
+      .withColumn("__stride", strideCol)
+      .filter(col("__stride").isNotNull)
+      .withColumn("vtime",
+        (row_number().over(rw).cast("long") * 2L - 1L) * col("__stride"))
+      .drop("__stride")
+    Relational.globalRank(timed, Seq(col("vtime"), sourceCol, key))
+      .withColumnRenamed("rank", "pos")
+  }
 }

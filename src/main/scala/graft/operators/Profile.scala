@@ -211,6 +211,53 @@ object Profile {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Positional median per group over DISTINCT-VALUE COUNTS — the
+    * value at 1-based sorted position ⌈n/2⌉ (same discrete-quantile
+    * convention as [[winsorize]]): no interpolation, engine-exact,
+    * and the rows themselves never sort — only distinct values do. */
+  private def positionalMedian(df: DataFrame, group: Column,
+                               value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(value.isNotNull)
+      .groupBy(group.as("__g"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val part = Window.partitionBy(col("__g"))
+    counts
+      .withColumn("__cum", sum(col("__c")).over(part.orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(
+        part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("__g"))
+      // cum ≥ ⌈n/2⌉ ⇔ 2·cum ≥ n (both parities: 2·cum is even, so for
+      // odd n the inequality self-tightens to n+1)
+      .agg(min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as("__med"))
+  }
+
+  /** Robust per-group z-score: distance from the positional median in
+    * units of the MAD (median absolute deviation) — the outlier score
+    * that one wild value cannot drag the way mean/stddev z-scores can
+    * (Hampel q89 is the ROLLING variant; this is the global one a
+    * corpus-stats audit wants). Both medians are discrete order
+    * statistics over (group, value) COUNTS — exact, no interpolation,
+    * no row sorts — and `z = dev/mad` is one IEEE division, NULL when
+    * the MAD is 0 (≥ half the group at the median — deviation has no
+    * robust unit) or the value is NULL. Appends `med`, `dev`, `mad`,
+    * `z`. Two count-aggregate passes + two broadcast-sized joins. */
+  def madZscore(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val med = positionalMedian(df, group, value)
+      .select(col("__g").as("__mg"), col("__med"))
+    val withMed = df.join(med, group <=> col("__mg"), "left_outer")
+      .withColumn("med", col("__med"))
+      .withColumn("dev", abs(value - col("med")))
+      .drop("__mg", "__med")
+    val mad = positionalMedian(withMed, group, col("dev"))
+      .select(col("__g").as("__mg"), col("__med").as("mad"))
+    withMed.join(mad, group <=> col("__mg"), "left_outer")
+      .withColumn("z",
+        when(value.isNotNull && col("mad") > 0,
+          col("dev").cast("double") / col("mad")))
+      .drop("__mg")
+  }
+
   /** Quantile (rank) normalization — the score-calibration step a
     * mixing pipeline runs before comparing quality scores from
     * different scorers/sources: map each row's score to its empirical

@@ -154,6 +154,39 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Pair OVERLAP report — Jaccard plus both CONTAINMENTS
+    * (|A∩B|/|A| and |A∩B|/|B|): the asymmetric measure Jaccard-only
+    * dedup misses. A short document quoted inside a long one has tiny
+    * Jaccard (the union is article-sized) but containment ≈ 1 on the
+    * short side — the quote-inclusion / boilerplate-envelope case a
+    * curation pipeline must catch. Same frame contract as
+    * [[jaccardVerifyOnShingles]] (pre-shingled sides, post-candidate
+    * pairs); ratios are single IEEE divisions of exact set sizes, so
+    * they gate engine-exactly. Shingle-less sides yield NULL ratios. */
+  def overlapStats(pairs: DataFrame, shLeft: DataFrame, shRight: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val shA = shLeft.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = shRight.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("__union_n", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("__union_n") > 0,
+          col("n_inter").cast("double") / col("__union_n"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("cont_a",
+        when(col("n_a") > 0, col("n_inter").cast("double") / col("n_a"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("cont_b",
+        when(col("n_b") > 0, col("n_inter").cast("double") / col("n_b"))
+          .otherwise(lit(null).cast("double")))
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard",
+        "cont_a", "cont_b")
+  }
+
   /** MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text",

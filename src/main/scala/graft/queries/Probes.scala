@@ -3846,6 +3846,127 @@ object Probes {
            |  rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
   )
 
+  /** Containment similarity (fully oracled): Jaccard + BOTH
+    * containments over the bounded ground-truth pair set — the
+    * asymmetric measure that catches quote-inclusion/partial dups
+    * Jaccard-only dedup misses. Ratios are single IEEE divisions of
+    * exact set sizes. */
+  val containmentProbe = Probe(
+    "q120_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val sh = docs.select(col("doc_id"),
+        HashExprs.shingles(s, col("text"), 3).as("sh"))
+      TextDedup.overlapStats(ids, sh, sh)
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.3)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          col("n_inter"), binRound(col("jaccard"), 4).as("jaccard"),
+          binRound(col("cont_a"), 4).as("cont_a"),
+          binRound(col("cont_b"), 4).as("cont_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(a.s) AS n_a, len(b.s) AS n_b,
+           |    len(list_intersect(a.s, b.s)) AS n_inter,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |      NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) AS jaccard,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / NULLIF(len(a.s), 0) AS cont_a,
+           |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / NULLIF(len(b.s), 0) AS cont_b
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, n_a, n_b, n_inter,
+           |  floor(jaccard * 10000 + 0.5) / 10000 AS jaccard,
+           |  floor(cont_a * 10000 + 0.5) / 10000 AS cont_a,
+           |  floor(cont_b * 10000 + 0.5) / 10000 AS cont_b
+           |FROM p WHERE greatest(cont_a, cont_b) >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  /** Weighted interleaving (fully oracled): the WFQ data-order
+    * generator for mixed training — any prefix holds each source in
+    * proportion to its integer rate; virtual times and the global rank
+    * are exact integers (globalRank: no single-partition sort). */
+  val interleaveProbe = Probe(
+    "q121_interleave",
+    (s, d) => {
+      import graft.operators.Mixture
+      val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1)).toMap
+      Mixture.interleave(Tables.documents(s, d), col("source"),
+          col("doc_id"), weights)
+        .select(col("pos"), col("doc_id"), col("source"), col("vtime"))
+        .orderBy("pos")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+           |    12 // ((CAST(substr(source, 4, 10) AS INT) % 4) + 1) AS stride
+           |  FROM documents),
+           |v AS (SELECT doc_id, source,
+           |    (2 * row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           |      * stride AS vtime
+           |  FROM t)
+           |SELECT row_number() OVER (ORDER BY vtime, source, doc_id) AS pos,
+           |  doc_id, source, vtime
+           |FROM v ORDER BY pos""".stripMargin)
+  )
+
+  /** Global robust z-score (fully oracled): positional median + MAD
+    * over (group, value) counts — no interpolation, no row sorts; the
+    * outlier score a single wild value cannot drag. */
+  val madZscoreProbe = Probe(
+    "q122_mad_zscore",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.madZscore(Tables.events(s, d), col("event_type"),
+          col("value").cast("decimal(18,2)"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med").cast("double").as("med"),
+          col("dev").cast("double").as("dev"),
+          col("mad").cast("double").as("mad"),
+          binRound(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH x AS (SELECT event_id, event_type, value,
+           |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           |cm AS (SELECT event_type, v, count(*) AS c FROM x
+           |       WHERE v IS NOT NULL GROUP BY 1, 2),
+           |cc AS (SELECT event_type, v,
+           |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+           |         sum(c) OVER (PARTITION BY event_type) AS n FROM cm),
+           |med AS (SELECT event_type, min(v) FILTER (WHERE cum * 2 >= n) AS med
+           |        FROM cc GROUP BY event_type),
+           |dv AS (SELECT x.event_id, x.event_type, x.value, x.v, med.med,
+           |         abs(x.v - med.med) AS dev
+           |       FROM x LEFT JOIN med USING (event_type)),
+           |dm AS (SELECT event_type, dev AS dv2, count(*) AS c FROM dv
+           |       WHERE dev IS NOT NULL GROUP BY 1, 2),
+           |dc AS (SELECT event_type, dv2,
+           |         sum(c) OVER (PARTITION BY event_type ORDER BY dv2) AS cum,
+           |         sum(c) OVER (PARTITION BY event_type) AS n FROM dm),
+           |mad AS (SELECT event_type, min(dv2) FILTER (WHERE cum * 2 >= n) AS mad
+           |        FROM dc GROUP BY event_type)
+           |SELECT dv.event_id, dv.event_type, dv.value,
+           |  CAST(dv.med AS DOUBLE) AS med, CAST(dv.dev AS DOUBLE) AS dev,
+           |  CAST(mad.mad AS DOUBLE) AS mad,
+           |  CASE WHEN dv.v IS NOT NULL AND mad.mad > 0
+           |       THEN floor(CAST(dv.dev AS DOUBLE) / CAST(mad.mad AS DOUBLE) * 1000000 + 0.5) / 1000000
+           |       END AS z
+           |FROM dv LEFT JOIN mad USING (event_type)
+           |ORDER BY event_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3868,7 +3989,8 @@ object Probes {
     charEntropyProbe, shuffleShardProbe, correlationProbe,
     cdcChunksProbe, countMinProbe, contentChecksumProbe,
     invertedIndexProbe, shardManifestProbe, dedupReportProbe,
-    skewReportProbe, marginKnnProbe
+    skewReportProbe, marginKnnProbe, containmentProbe, interleaveProbe,
+    madZscoreProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

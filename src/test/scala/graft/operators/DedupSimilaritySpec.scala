@@ -74,6 +74,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(at05.contains((1L, 2L)) && !at05.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("overlapStats: containment catches quote-inclusion Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 2 is a verbatim quote inside doc 1's much longer text
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val long = s"paragraph one filler words here and there $quote closing remarks follow at the end of this article"
+    val docs = Seq((1L, long), (2L, quote), (3L, "totally different content entirely")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.plans.HashExprs.shingles(spark, col("text"), 3).as("sh"))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = TextDedup.overlapStats(pairs, sh, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7)))).toMap
+    val (na, nb, ni, j, ca, cb) = out((1L, 2L))
+    // every one of the quote's 7 shingles appears in the article
+    assert(nb === 7 && ni === 7 && cb === 1.0)
+    assert(j < 0.5, s"jaccard $j should be diluted by the article length")
+    assert(ca === ni.toDouble / na)
+    // unrelated pair: zero overlap everywhere
+    val (_, _, ni3, j3, ca3, cb3) = out((1L, 3L))
+    assert(ni3 === 0 && j3 === 0.0 && ca3 === 0.0 && cb3 === 0.0)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val d2 = docs.unionByName(docs) // duplicate everything
     val r = TextDedup.exact(d2)

@@ -61,4 +61,32 @@ class MixtureSpec extends AnyFunSuite {
     assert(out.filter(col("epoch") < 0).count() === 0)
     assert(out.filter(col("src") === "c").count() === 10)
   }
+
+  test("interleave: prefix proportionality, WFQ pattern, unknown sources drop") {
+    import spark.implicits._
+    // a:3, b:1 → every 4-slot cycle holds 3 a's and 1 b
+    val df = ((0L until 30L).map(i => ("a", i)) ++
+      (100L until 110L).map(i => ("b", i)) ++
+      Seq(("ghost", 999L))).toDF("src", "id")
+    val out = Mixture.interleave(df, col("src"), col("id"),
+        Map("a" -> 3, "b" -> 1))
+      .orderBy("pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 40) // ghost dropped
+    // every prefix of length 4k holds exactly 3k a's and k b's
+    for (k <- 1 to 10) {
+      val prefix = out.take(4 * k)
+      assert(prefix.count(_._1 == "a") === 3 * k, s"prefix ${4 * k}")
+      assert(prefix.count(_._1 == "b") === k)
+    }
+    // per-source order follows the key order
+    val aIds = out.filter(_._1 == "a").map(_._2)
+    assert(aIds.toSeq === aIds.sorted.toSeq)
+    // deterministic across layouts
+    val re = Mixture.interleave(df.repartition(7), col("src"), col("id"),
+        Map("a" -> 3, "b" -> 1))
+      .orderBy("pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(re.toSeq === out.toSeq)
+  }
 }

@@ -195,4 +195,34 @@ class ProfileSpec extends AnyFunSuite {
       .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tied === Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("madZscore: hand series — outlier scored, median robust to it") {
+    import spark.implicits._
+    // g: 1..9 plus outlier 1000 → med = position ⌈10/2⌉ = 5th value = 5
+    // devs: 4,3,2,1,0,1,2,3,4,995 → mad = 5th sorted dev = 2
+    val df = ((1 to 9).map(v => ("g", v)) :+ (("g", 1000))).toDF("grp", "v")
+    val out = Profile.madZscore(df, col("grp"), col("v"))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(5) === ((5, 0, 2, Some(0.0))))
+    assert(out(1) === ((5, 4, 2, Some(2.0))))
+    assert(out(1000) === ((5, 995, 2, Some(497.5))))
+  }
+
+  test("madZscore: zero MAD and null values yield null z") {
+    import spark.implicits._
+    val df = Seq(("a", Some(3)), ("a", Some(3)), ("a", Some(3)), ("a", Some(9)),
+      ("b", None: Option[Int]), ("b", Some(1)), ("b", Some(2)), ("b", Some(5)))
+      .toDF("grp", "v")
+    val rows = Profile.madZscore(df, col("grp"), col("v")).collect()
+    // group a: med 3, devs {0,0,0,6} → mad 0 → all z null
+    rows.filter(_.getString(0) == "a").foreach(r => assert(r.isNullAt(5)))
+    // group b: null value row has null z; med over non-nulls = 2
+    val bNull = rows.find(r => r.getString(0) == "b" && r.isNullAt(1)).get
+    assert(bNull.isNullAt(5))
+    val b5 = rows.find(r => r.getString(0) == "b" && !r.isNullAt(1) &&
+      r.getInt(1) == 5).get
+    assert(b5.getInt(2) === 2) // med
+  }
 }
