@@ -31,27 +31,37 @@ object HeavyHitters {
     * minimum count from every counter (dropping the zeros). Merging
     * sums counters then re-caps the same way — summaries stay ≤ k and
     * the undercount bound n/(k+1) survives merging. */
+  /** The MG cap: at most k counters; overflow subtracts the
+    * (size−k)-th smallest count from every counter, dropping zeros.
+    * Shared by the batch Aggregator and the streaming per-shard state
+    * ([[graft.streaming.StreamHitters]]) so both carry the identical
+    * undercount bound. */
+  private[graft] def capCounters(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val cut = m.values.toArray.sorted.apply(m.size - k - 1)
+      m.flatMap { case (key, c) =>
+        if (c - cut > 0) Some(key -> (c - cut)) else None
+      }
+    }
+
+  /** Counter-map merge + re-cap — summaries stay ≤ k and the n/(k+1)
+    * undercount bound survives (merge of MG summaries is MG). */
+  private[graft] def mergeCounters(a: Map[String, Long], b: Map[String, Long],
+                                   k: Int): Map[String, Long] =
+    capCounters(b.foldLeft(a) { case (m, (key, c)) =>
+      m.updated(key, m.getOrElse(key, 0L) + c)
+    }, k)
+
   class MisraGriesAgg(k: Int)
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(k >= 1, s"k must be >= 1, got $k")
 
-    private def cap(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= k) m
-      else {
-        // subtract the (size-k)-th smallest count so at most k survive
-        val cut = m.values.toArray.sorted.apply(m.size - k - 1)
-        m.flatMap { case (key, c) =>
-          if (c - cut > 0) Some(key -> (c - cut)) else None
-        }
-      }
-
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-      if (v == null) b else cap(b.updated(v, b.getOrElse(v, 0L) + 1L))
+      if (v == null) b else capCounters(b.updated(v, b.getOrElse(v, 0L) + 1L), k)
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      cap(b.foldLeft(a) { case (m, (key, c)) =>
-        m.updated(key, m.getOrElse(key, 0L) + c)
-      })
+      mergeCounters(a, b, k)
     override def finish(b: Map[String, Long]): Map[String, Long] = b
     override def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
