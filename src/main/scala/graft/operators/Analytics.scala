@@ -177,4 +177,32 @@ object Analytics {
       .withColumn("trend",
         when(col("slope_den") === 0, lit(0)).otherwise(signum(col("slope_num")).cast("int")))
   }
+
+  /** TRENDING detection: each (key, day)'s count against the key's own
+    * STRICTLY-PRIOR trailing-`window`-day baseline — the corpus-
+    * monitoring view ("which terms/types/domains spiked today") that a
+    * same-day baseline would dilute. lift_ppm is exact integer
+    * arithmetic (today·window·10⁶ DIV baseline — >10⁶ means above
+    * trailing average), NULL for a key's first `window` days (no
+    * baseline — explicitly not "infinitely trending").
+    *
+    * One (key, day) count aggregate with map-side combine, then one
+    * RANGE window per key over its DAY ROWS (≤ one row per active day
+    * — the window walks counts, never events). */
+  def trending(df: DataFrame, key: Column, day: Column,
+               window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1 day, got $window")
+    val dayIdx = datediff(day, lit(java.sql.Date.valueOf("1970-01-01")))
+    val counts = df.groupBy(key.as("key"), dayIdx.as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day_idx"))
+      .rangeBetween(-window, -1)
+    counts
+      .withColumn("base_n", sum(col("n")).over(w))
+      .withColumn("lift_ppm",
+        when(col("base_n") > 0,
+          expr(s"n * $window * 1000000L DIV base_n")))
+      .select(col("key"), col("day_idx"), col("n"), col("base_n"),
+        col("lift_ppm"))
+  }
 }

@@ -211,6 +211,58 @@ object Profile {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Distribution DRIFT between two corpus slices (release n vs n−1,
+    * source A vs B): chi-squared statistic over shared equi-width bins
+    * — the monitoring gate that catches "this release's length/score
+    * distribution shifted" before training does. Laplace-smoothed
+    * (+1 per bin on the reference side, so an empty reference bin is a
+    * large finite signal, never a division blow-up) and computed in
+    * DETERMINISTIC integer ppm: with o/r the bin counts and N/R the
+    * (smoothed) totals, each bin contributes
+    *
+    *   term_ppm = ⌊(o·R − r'·N)² · 10⁶ / (r'·R·N)⌋,   r' = r + 1
+    *
+    * a fixed tree of exact-integer-seeded IEEE ops floored per bin and
+    * then SUMMED AS INTEGERS — order-free, engine-exact (cross-
+    * multiplied form of (o−e)²/e with e = r'·N/R, scaled by N).
+    * chi2_ppm/10⁶ ≈ the classic χ² against expected-under-reference.
+    *
+    * Shape: one histogram aggregate per side (map-side combined, ≤ nb
+    * rows out), a broadcast-sized bin join, integer arithmetic. Output:
+    * one row per bin (bin, n_cur, n_ref, term_ppm) with the total
+    * `chi2_ppm` repeated on each row (bins are few by contract). */
+  def driftChi2(cur: DataFrame, ref: DataFrame, value: Column,
+                lo: Double, hi: Double, nb: Int): DataFrame = {
+    require(nb >= 1, s"need at least one bin, got $nb")
+    val bins = cur.sparkSession.range(0, nb).select(col("id").as("bin"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      histogram(df, value, lo, hi, nb)
+        .select(col("bucket").as("bin"), col("n").as(out))
+    val joined = bins
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val totals = joined.agg(sum(col("n_cur")).as("__n"),
+      (sum(col("n_ref")) + nb).as("__r")) // smoothed reference total
+    val o = col("n_cur"); val r1 = col("n_ref") + 1L
+    val num = (o * col("__r") - r1 * col("__n")).cast("double")
+    val den = (r1 * col("__r") * col("__n")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .withColumn("term_ppm",
+        when(col("__n") > 0, floor(num * num / den * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("chi2_ppm", {
+        import org.apache.spark.sql.expressions.Window
+        // nb-row frame by contract — the unkeyed window is bin-sized
+        sum(col("term_ppm")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+      })
+      .select(col("bin"), col("n_cur"), col("n_ref"), col("term_ppm"),
+        col("chi2_ppm"))
+  }
+
   /** Positional median per group over DISTINCT-VALUE COUNTS — the
     * value at 1-based sorted position ⌈n/2⌉ (same discrete-quantile
     * convention as [[winsorize]]): no interpolation, engine-exact,

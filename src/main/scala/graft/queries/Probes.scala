@@ -3967,6 +3967,71 @@ object Probes {
            |ORDER BY event_id""".stripMargin)
   )
 
+  /** Trending detection (fully oracled): per-day counts vs the key's
+    * strictly-prior trailing-7-day baseline; integer-ppm lift, NULL
+    * until a baseline exists. The window walks day rows, not events. */
+  val trendingProbe = Probe(
+    "q123_trending",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.trending(Tables.events(s, d), col("event_type"),
+          to_date(col("ts")), window = 7)
+        .orderBy("key", "day_idx")
+    },
+    Some("""WITH c AS (SELECT event_type AS key,
+           |    (CAST(ts::TIMESTAMP AS DATE) - DATE '1970-01-01') AS day_idx,
+           |    count(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT key, day_idx, n,
+           |  sum(n) OVER (PARTITION BY key ORDER BY day_idx
+           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_n,
+           |  CASE WHEN sum(n) OVER (PARTITION BY key ORDER BY day_idx
+           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0
+           |       THEN n * 7 * 1000000 // sum(n) OVER (PARTITION BY key ORDER BY day_idx
+           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           |       END AS lift_ppm
+           |FROM c ORDER BY key, day_idx""".stripMargin)
+  )
+
+  /** Distribution drift (fully oracled): Laplace-smoothed chi-squared
+    * between two source slices' length distributions over shared
+    * equi-width bins — per-bin terms floored to integer ppm and summed
+    * as integers, so the statistic is engine-exact. */
+  val driftProbe = Probe(
+    "q124_drift_chi2",
+    (s, d) => {
+      import graft.operators.Profile
+      val docs = Tables.documents(s, d)
+      val curS = docs.filter(expr("CAST(substr(source, 4, 10) AS INT) < 10"))
+      val refS = docs.filter(expr("CAST(substr(source, 4, 10) AS INT) >= 10"))
+      Profile.driftChi2(curS, refS, col("n_chars"), 0.0, 600.0, nb = 12)
+        .orderBy("bin")
+    },
+    Some("""WITH cur AS (SELECT n_chars FROM documents
+           |             WHERE CAST(substr(source, 4, 10) AS INT) < 10),
+           |ref AS (SELECT n_chars FROM documents
+           |        WHERE CAST(substr(source, 4, 10) AS INT) >= 10),
+           |bins AS (SELECT unnest(range(0, 12)) AS bin),
+           |bc AS (SELECT greatest(0, least(11, CAST(floor((n_chars - 0.0) / 600.0 * 12) AS BIGINT))) AS bin,
+           |         count(*) AS n FROM cur GROUP BY 1),
+           |br AS (SELECT greatest(0, least(11, CAST(floor((n_chars - 0.0) / 600.0 * 12) AS BIGINT))) AS bin,
+           |         count(*) AS n FROM ref GROUP BY 1),
+           |j AS (SELECT bins.bin AS bin, coalesce(bc.n, 0) AS n_cur, coalesce(br.n, 0) AS n_ref
+           |      FROM bins LEFT JOIN bc ON bins.bin = bc.bin
+           |                LEFT JOIN br ON bins.bin = br.bin),
+           |t AS (SELECT CAST(sum(n_cur) AS BIGINT) AS n, CAST(sum(n_ref) + 12 AS BIGINT) AS r FROM j),
+           |terms AS (SELECT bin, n_cur, n_ref,
+           |    CASE WHEN t.n > 0 THEN CAST(floor(
+           |      CAST(n_cur * t.r - (n_ref + 1) * t.n AS DOUBLE)
+           |        * CAST(n_cur * t.r - (n_ref + 1) * t.n AS DOUBLE)
+           |        / CAST((n_ref + 1) * t.r * t.n AS DOUBLE) * 1e6) AS BIGINT)
+           |      ELSE 0 END AS term_ppm
+           |  FROM j, t)
+           |SELECT bin, n_cur, n_ref, term_ppm,
+           |  sum(term_ppm) OVER () AS chi2_ppm
+           |FROM terms ORDER BY bin""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -3990,7 +4055,7 @@ object Probes {
     cdcChunksProbe, countMinProbe, contentChecksumProbe,
     invertedIndexProbe, shardManifestProbe, dedupReportProbe,
     skewReportProbe, marginKnnProbe, containmentProbe, interleaveProbe,
-    madZscoreProbe
+    madZscoreProbe, trendingProbe, driftProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -291,7 +291,19 @@ object ScaleSweep {
         "inverted_index" -> (() => noop(
           CorpusStats.invertedIndex(docs, maxPostings = 32))),
         "skew_diagnose" -> (() => noop(
-          graft.operators.Skew.diagnose(li, col("l_suppkey"), topK = 20)))
+          graft.operators.Skew.diagnose(li, col("l_suppkey"), topK = 20))),
+        // (margin_knn is NOT swept: its exact penalty pass is the
+        // documented quadratic baseline — the scale path composes the
+        // already-swept LSH/IVF searchers for penalties)
+        // WFQ interleave: per-source rank window + globalRank
+        "interleave" -> { () =>
+          val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1)).toMap
+          noop(graft.operators.Mixture.interleave(docs, col("source"),
+            col("doc_id"), weights))
+        },
+        "mad_zscore" -> (() => noop(
+          Profile.madZscore(ev, col("event_type"),
+            col("value").cast("decimal(18,2)"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

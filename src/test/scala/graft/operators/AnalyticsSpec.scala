@@ -140,4 +140,22 @@ class AnalyticsSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getDouble(4), r.getDouble(5))).toSeq
     assert(run(pts) === run(pts.repartition(17)))
   }
+
+  test("trending: strictly-prior baseline, calendar-gap aware, NULL before history") {
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    // "a": 2/day on days 1-3, spike of 8 on day 4; "b": days 1 and 12
+    // (gap > window → day-12 baseline must be NULL, not day-1's count)
+    val rows = (for (d <- 1 to 3; _ <- 1 to 2) yield ("a", day(d))) ++
+      (1 to 8).map(_ => ("a", day(4))) ++ Seq(("b", day(1)), ("b", day(12)))
+    val df = rows.toDF("k", "dt")
+    val out = Analytics.trending(df, col("k"), col("dt"), window = 7)
+      .collect().map(r => (r.getString(0), r.getInt(1) - 19723) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // 2024-01-01 = day 19723 since epoch
+    assert(out(("a", 0)) === ((2L, None, None))) // first day: no baseline
+    assert(out(("a", 1)) === ((2L, Some(2L), Some(7000000L)))) // 2·7e6/2
+    assert(out(("a", 3)) === ((8L, Some(6L), Some(9333333L)))) // 8·7e6 DIV 6
+    assert(out(("b", 11)) === ((1L, None, None))) // baseline window passed
+  }
 }

@@ -196,6 +196,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(tied === Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("driftChi2: identical slices score low, shifted slices high, empty ref bin finite") {
+    import spark.implicits._
+    val base = (0 until 200).map(i => (i % 100).toDouble).toDF("v")
+    val shifted = (0 until 200).map(i => (i % 100).toDouble + 50.0).toDF("v")
+    def chi2(cur: org.apache.spark.sql.DataFrame,
+             ref: org.apache.spark.sql.DataFrame): Long =
+      Profile.driftChi2(cur, ref, col("v"), 0.0, 200.0, nb = 8)
+        .head().getLong(4)
+    val same = chi2(base, base)
+    val moved = chi2(shifted, base)
+    assert(moved > same * 10, s"shift must dominate: same=$same moved=$moved")
+    // cur mass in bins the reference never saw → finite large terms
+    val rows = Profile.driftChi2(shifted, base, col("v"), 0.0, 200.0, nb = 8)
+      .orderBy("bin").collect()
+    assert(rows.forall(r => r.getLong(3) >= 0L))
+    val emptyRefOccupied = rows.filter(r => r.getLong(2) == 0L && r.getLong(1) > 0L)
+    assert(emptyRefOccupied.nonEmpty)
+    assert(emptyRefOccupied.forall(_.getLong(3) > 0L))
+    // layout independence (integer ppm everywhere)
+    assert(chi2(shifted.repartition(13), base.repartition(7)) === moved)
+  }
+
   test("madZscore: hand series — outlier scored, median robust to it") {
     import spark.implicits._
     // g: 1..9 plus outlier 1000 → med = position ⌈10/2⌉ = 5th value = 5
