@@ -3285,11 +3285,14 @@ object Probes {
     "q101_negative_sample",
     (s, d) => {
       import graft.operators.Sampling
-      // coalesce for the zero-row corpus: max over nothing is NULL, and
-      // negativeSample requires nItems >= 1 (an empty item space still
-      // yields an empty, not a thrown, sample)
+      // greatest/coalesce for degenerate corpora: max over nothing is NULL
+      // (zero-row) and the one-row slice's only p_partkey is 0 — either
+      // way negativeSample requires nItems >= 1 (a degenerate item space
+      // still yields a sample, not a throw). sf >= 0.001 has max >= 1, so
+      // the oracle's plain max(p_partkey) agrees wherever the gate runs.
       val nItems = Tables.part(s, d)
-        .agg(coalesce(max(col("p_partkey")), lit(1L))).head.getLong(0)
+        .agg(greatest(coalesce(max(col("p_partkey")), lit(1L)), lit(1L)))
+        .head.getLong(0)
       val positives = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
