@@ -76,6 +76,52 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Candidate-key discovery / uniqueness audit: for each requested
+    * column combination, exact row count, distinct-combination count,
+    * incomplete-row count (any null member), and the key verdict —
+    * `is_key` iff every row is complete and no combination repeats
+    * (the PK test you run before declaring a merge key or a dedup
+    * identity). `uniq_ppm` = n_distinct·10⁶ DIV n_rows gives the
+    * near-key score for profiling.
+    *
+    * Distinctness counts combinations as STRUCT values, so a null
+    * member is a value (two (NULL, 1) rows are duplicates of each
+    * other) — matching SQL row-value semantics (`count(DISTINCT
+    * ROW(a,b))`), not single-column `count(DISTINCT a)` null-skipping.
+    * `is_key` additionally requires zero incomplete rows, per SQL PK
+    * semantics.
+    *
+    * Scale posture: ONE Aggregate over ONE scan — each combo adds a
+    * distinct-aggregate branch to the Expand (map-side dedup per
+    * branch), so the cost is #combos partial dedups in a single pass,
+    * never #combos scans. Audit a handful of candidate combos at a
+    * time, not the power set. */
+  def uniqueness(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty, "need at least one column combination")
+    combos.foreach(c => require(c.nonEmpty, "empty column combination"))
+    val aggs = combos.zipWithIndex.flatMap { case (cs, i) =>
+      val s = struct(cs.map(col): _*)
+      Seq(
+        countDistinct(s).as(s"__ndv$i"),
+        count(when(cs.map(col(_).isNull).reduce(_ || _), 1)).as(s"__inc$i"))
+    }
+    val agg = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = combos.zipWithIndex.map { case (cs, i) =>
+      struct(
+        lit(cs.mkString(",")).as("combo"),
+        col("__n").as("n_rows"),
+        col(s"__ndv$i").as("n_distinct"),
+        col(s"__inc$i").as("n_incomplete"),
+        (col(s"__inc$i") === 0L && col(s"__ndv$i") === col("__n")).as("is_key"),
+        when(col("__n") > 0L,
+          expr(s"(__ndv$i * 1000000L) DIV __n")).as("uniq_ppm"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select("r.combo", "r.n_rows", "r.n_distinct", "r.n_incomplete",
+        "r.is_key", "r.uniq_ppm")
+      .orderBy("combo")
+  }
+
   /** Exact equi-width histogram of a numeric column over [lo, hi):
     * (bucket, lo_edge, hi_edge, n). Values outside the range clamp into
     * the end buckets (so the counts always sum to the non-null row

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, key-based sampling and splitting — the training-data
@@ -202,6 +203,39 @@ object Sampling {
         Seq(col("__digest"), key))
       .withColumnRenamed("rank", "pos")
       .withColumn("shard", ((col("pos") - 1L) % nShards).cast("int"))
+      .drop("__digest")
+  }
+
+  /** Token-budget corpus selection: admit the PREFIX of a reproducible
+    * shuffled order within each stratum until the stratum's token
+    * budget is reached — "give me ~2B tokens per source, the same 2B
+    * on every rerun". The order is the seeded md5 digest of the key
+    * (uniform and engine-replayable, like [[bottomKPerStratum]]), the
+    * running total is a rows-frame prefix sum, and the cut is strict
+    * PREFIX semantics: the first document that would overflow the
+    * budget stops admission for its stratum — later smaller documents
+    * do NOT back-fill (that would make membership depend on the whole
+    * tail; bin-packing admission is [[Packing.packGreedy]]'s job).
+    * Consequently admitted tokens are ≤ `budget` and membership of any
+    * document depends only on the documents ordered before it — stable
+    * under corpus APPENDS that sort later, stable across layouts.
+    *
+    * Scale posture: one stratum-keyed window sort (in-partition sort
+    * after one exchange — same shape as [[bottomKPerStratum]]); no
+    * driver state. Output: input columns + `cum_tokens` (running total
+    * INCLUDING the row) + `kept`.
+    */
+  def budgetCap(df: DataFrame, strata: Seq[String], key: Column,
+                tokens: Column, budget: Long, seed: String = "42"): DataFrame = {
+    require(strata.nonEmpty, "need at least one stratum column")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val digest = md5(concat(lit(seed), lit("|"), key.cast("string")))
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__digest").asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__digest", digest)
+      .withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
       .drop("__digest")
   }
 

@@ -518,6 +518,108 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("margin"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    * greedily pick `k` results that balance query relevance against
+    * redundancy with what's already picked —
+    * `score(c) = λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` —
+    * the diversification pass between retrieval and a context window
+    * (near-identical passages waste the budget).
+    *
+    * Engine-exact contract: similarities quantize to integer micro
+    * units (`floor(sim·10⁶ + 0.5)`, the [[marginTopK]] convention,
+    * measured bit-parity vs DuckDB), λ is ppm, so every greedy score
+    * is the integer `λ_ppm·simq_µ − (10⁶−λ_ppm)·maxSel_µ` — no float
+    * drift can flip a pick. First pick (empty selected set) scores
+    * `λ_ppm·simq_µ`; ties break to the lowest id. Any engine replays
+    * the selection exactly.
+    *
+    * Scale posture: MMR is inherently SEQUENTIAL per query, so the
+    * greedy runs inside `cogroup` with per-group state O(S²) for a
+    * shortlist of S — bounded and small (S defaults to 4k); the corpus
+    * never enters the loop. Candidate generation is [[bruteForceTopK]]
+    * here (exact baseline); swap [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] in
+    * front at 100 TB. Pairwise shortlist sims are one query-keyed
+    * self-join through the codegen'd cosine — O(queries·S²) rows, all
+    * distributed, no driver state.
+    *
+    * Output: (queryIdCol, idCol, mmr_rank, mmr_score_upm) where
+    * `mmr_score_upm` is in micro·ppm units (divide by 10¹² for the
+    * float score). Requires LONG ids on both sides.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                shortlist: Int = 0, lambdaPpm: Long = 700000L,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1000000], got $lambdaPpm")
+    val sl = if (shortlist > 0) shortlist else k * 4
+    require(sl >= k, s"shortlist ($sl) must be >= k ($k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val micro = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
+
+    val base = bruteForceTopK(corpus, queries, sl, idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol), micro(col("sim")).as("__simq"))
+
+    // shortlist members' vectors, then all ordered pairs per query
+    val vecs = base.select(col(queryIdCol), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+    val pa = vecs.select(col(queryIdCol), col(idCol).as("__a"), col(vecCol).as("__va"))
+    val pb = vecs.select(col(queryIdCol), col(idCol).as("__b"), col(vecCol).as("__vb"))
+    val pairs = pa.join(pb, Seq(queryIdCol))
+      .filter(col("__a") < col("__b"))
+      .select(col(queryIdCol), col("__a"), col("__b"),
+        micro(HashExprs.cosine(spark, col("__va"), col("__vb"))).as("__m"))
+
+    val candsDs = base.select(col(queryIdCol).cast("long"), col(idCol).cast("long"),
+      col("__simq")).as[(Long, Long, Long)]
+    val pairsDs = pairs.select(col(queryIdCol).cast("long"), col("__a"),
+      col("__b"), col("__m")).as[(Long, Long, Long, Long)]
+
+    val lam = lambdaPpm
+    val kk = k
+    candsDs.groupByKey(_._1).cogroup(pairsDs.groupByKey(_._1)) { (q, cs, ps) =>
+      // ascending-id candidate order + strict > keeps ties on lowest id
+      val cand = cs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val sim = new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+      def put(a: Long, b: Long, m: Long): Unit = {
+        var row = sim.get(a)
+        if (row == null) { row = new java.util.HashMap[Long, Long](); sim.put(a, row) }
+        row.put(b, m)
+      }
+      ps.foreach { case (_, a, b, m) => put(a, b, m); put(b, a, m) }
+      val selected = new scala.collection.mutable.ArrayBuffer[Long](kk)
+      val taken = new java.util.HashSet[Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](kk)
+      var r = 1
+      while (r <= kk && selected.length < cand.length) {
+        var bestId = -1L
+        var bestScore = Long.MinValue
+        cand.foreach { case (id, simq) =>
+          if (!taken.contains(id)) {
+            var maxSel = Long.MinValue
+            val row = sim.get(id)
+            selected.foreach { s =>
+              val m = if (row != null && row.containsKey(s)) row.get(s) else 0L
+              if (m > maxSel) maxSel = m
+            }
+            if (selected.isEmpty) maxSel = 0L
+            val score = lam * simq - (1000000L - lam) * maxSel
+            if (score > bestScore) { bestScore = score; bestId = id }
+          }
+        }
+        if (bestId >= 0) {
+          selected += bestId
+          taken.add(bestId)
+          out += ((q, bestId, r.toLong, bestScore))
+        }
+        r += 1
+      }
+      out.iterator
+    }.toDF(queryIdCol, idCol, "mmr_rank", "mmr_score_upm")
+  }
+
   /** Element-wise centroid of embeddings per group: posexplode to
     * (group, dim, value), average per cell. One shuffle keyed by
     * (group, dim) — scales with |groups| · dim, independent of corpus

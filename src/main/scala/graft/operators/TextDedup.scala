@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -341,6 +342,46 @@ object TextDedup {
     docs.select(col(idCol))
       .join(comp, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("keep_id"), col(idCol)).as("keep_id"))
+  }
+
+  /** Quality-aware dedup keep-list: like [[dedupClusters]] but each
+    * cluster keeps its BEST document instead of its smallest id —
+    * `keep_id` = the cluster member maximizing `quality` (ties: lowest
+    * id). Dropping near-dups is only half the curation decision; WHICH
+    * copy survives decides what the model trains on, and min-id is an
+    * arbitrary proxy (often the earliest crawl — frequently the worst
+    * extraction). Pass any score: [[graft.functions.Text.qualityScore]],
+    * a fluency ppm, n_chars.
+    *
+    * Output: (idCol, component, keep_id, is_rep). Singletons (docs in no
+    * pair) form their own component and keep themselves.
+    *
+    * Scale posture: [[connectedComponents]] over the pair set (O(pairs)
+    * per round, bounded rounds), then ONE component-keyed window whose
+    * partitions are cluster-sized — the argmax never sees the corpus,
+    * only clustered docs; singleton docs bypass the window entirely
+    * via the left join. */
+  def dedupRepresentatives(docs: DataFrame, pairs: DataFrame,
+                           quality: Column,
+                           idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val withComp = docs
+      .select(col(idCol), quality.as("__q"))
+      .join(comp, Seq(idCol), "left_outer")
+    // split BEFORE the window: only genuinely clustered docs pay the sort
+    val clustered = withComp.filter(col("component").isNotNull)
+    val singleton = withComp.filter(col("component").isNull)
+      .select(col(idCol), col(idCol).as("component"),
+        col(idCol).as("keep_id"), lit(true).as("is_rep"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__q").desc_nulls_last, col(idCol).asc)
+    val reps = clustered
+      .withColumn("keep_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("component"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("is_rep"))
+    reps.unionByName(singleton)
   }
 
   /** Per-document SimHash signatures — the SimHash62 native expression

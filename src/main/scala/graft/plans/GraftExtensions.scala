@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_repetition", "duplicate word-n-gram fraction of a text column") {
       e => RepetitionRatio(e.head, e(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("graft_nfc", "Unicode NFC canonical composition of a text column") {
+      e => NfcNormalize(e.head)
+    }
+    inject("graft_strip_accents", "accent folding: NFD + drop combining marks") {
+      e => StripAccents(e.head)
+    }
     inject("graft_asof", "as-of join marker: most recent right row at-or-before left ts") {
       e => AsOfMarker(e.head, e(1))
     }

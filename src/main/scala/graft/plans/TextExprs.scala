@@ -217,6 +217,46 @@ object TextImpl {
     if (start < n) out.add(UTF8String.fromString(s.substring(start, n)))
     new GenericArrayData(out.toArray)
   }
+
+  /** Unicode NFC normalization (canonical composition): é as e+◌́
+    * composes to the single codepoint — the canonicalization that makes
+    * hash-based dedup see byte-different, render-identical text as
+    * equal. Returns the input object unchanged (no copy) when already
+    * in NFC — the common case for western corpora, and Normalizer
+    * detects it in one scan. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent folding: NFD decomposition, then drop combining marks
+    * (Unicode category Mn) — é→e, ü→u, ñ→n. Precomposed letters that
+    * are NOT letter+mark decompositions (ø, ß, đ) pass through, the
+    * same contract as utf8proc-based engines (DuckDB `strip_accents`),
+    * which makes the kernel cross-engine oracle-able. */
+  def stripAccents(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < d.length && !hasMark) {
+      if (Character.getType(d.charAt(i)) == Character.NON_SPACING_MARK) hasMark = true
+      i += 1
+    }
+    if (!hasMark) { if (d == s) text else UTF8String.fromString(d) }
+    else {
+      val sb = new java.lang.StringBuilder(d.length)
+      var j = 0
+      while (j < d.length) {
+        val c = d.charAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
 }
 
 object BpeImpl {
@@ -282,6 +322,24 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     defineCodeGen(ctx, ev, c => s"graft.plans.BpeImpl.countTokens($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextImpl.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}
+
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.stripAccents(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextImpl.stripAccents($c)")
+  override protected def withNewChildInternal(c: Expression): StripAccents = copy(c)
 }
 
 case class TokenStats(child: Expression) extends UnaryExpression {
@@ -400,6 +458,10 @@ object TextExprs {
       exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       exprs => CharEntropy(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_strip_accents",
+      exprs => StripAccents(exprs.head), "built-in")
   }
 
   def tokenStats(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
@@ -416,6 +478,12 @@ object TextExprs {
   }
   def charEntropy(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("graft_char_entropy", c)
+  }
+  def nfc(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("graft_nfc", c)
+  }
+  def stripAccents(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("graft_strip_accents", c)
   }
 
   /** CDC chunker (parameter-derived registration name, same scheme as

@@ -4035,6 +4035,272 @@ object Probes {
            |FROM terms ORDER BY bin""".stripMargin)
   )
 
+  /** Reciprocal Rank Fusion (fully oracled): fuse two per-source ranked
+    * lists — by document length and by a seeded digest (a stand-in
+    * second retriever) — into one list per source. Contributions are
+    * exact integral nano-units `1e9 DIV (k + rank)`, so the fusion is
+    * engine-exact; both input rankings are themselves deterministic
+    * (score desc, id asc). */
+  val rrfProbe = Probe(
+    "q125_rrf_fusion",
+    (s, d) => {
+      import graft.operators.Fusion
+      val docs = Tables.documents(s, d)
+      val byLen = docs.select(col("source"), col("doc_id"),
+        col("n_chars").as("score"))
+      val byDigest = docs.select(col("source"), col("doc_id"),
+        md5(concat(lit("7"), lit("|"), col("doc_id").cast("string"))).as("score"))
+      Fusion.rrf(Seq(byLen, byDigest), Seq("source"), "doc_id", "score",
+          kConst = 60, topK = 10)
+        .orderBy("source", "fused_rank")
+    },
+    Some("""WITH l0 AS (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r
+           |  FROM documents),
+           |l1 AS (SELECT source, doc_id,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)) DESC, doc_id) AS r
+           |  FROM documents),
+           |u AS (SELECT source, doc_id, 1000000000 // (r + 60) AS c FROM l0
+           |      UNION ALL
+           |      SELECT source, doc_id, 1000000000 // (r + 60) FROM l1),
+           |f AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           |        CAST(sum(c) AS BIGINT) AS rrf_nano
+           |      FROM u GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |        ORDER BY rrf_nano DESC, doc_id) AS fused_rank FROM f)
+           |SELECT source, doc_id, n_lists, rrf_nano,
+           |  CAST(fused_rank AS BIGINT) AS fused_rank
+           |FROM r WHERE fused_rank <= 10 ORDER BY source, fused_rank""".stripMargin)
+  )
+
+  /** Token-budget corpus selection (fully oracled): strict-prefix
+    * admission in seeded-digest order until each source's running
+    * token total exceeds the budget. */
+  val budgetCapProbe = Probe(
+    "q126_budget_cap",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.budgetCap(Tables.documents(s, d), Seq("source"),
+          col("doc_id"), col("n_chars"), budget = 2000L)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("cum_tokens"), col("kept"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH b AS (SELECT source, doc_id, n_chars,
+           |    sum(n_chars) OVER (PARTITION BY source
+           |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM documents)
+           |SELECT source, doc_id, n_chars, CAST(cum AS BIGINT) AS cum_tokens,
+           |  cum <= 2000 AS kept
+           |FROM b ORDER BY source, doc_id""".stripMargin)
+  )
+
+  /** Unicode normalization (fully oracled): decomposed accent sequences
+    * planted around every document on BOTH engines; NFC composes them,
+    * accent folding strips them — `graft.plans.TextImpl.nfc` /
+    * `stripAccents` vs DuckDB `nfc_normalize` / `strip_accents`
+    * (utf8proc) agree on letter+mark decompositions, the contract both
+    * kernels document. */
+  val unicodeProbe = Probe(
+    "q127_unicode_normalize",
+    (s, d) => {
+      import graft.plans.TextExprs
+      // DECOMPOSED sequences (e+U+0301, i+U+0308) — NFC composes them
+      val planted = concat(lit("Cafe\u0301 nai\u0308ve \u2014 "),
+        coalesce(col("text"), lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(planted).as("n_raw"),
+          TextExprs.nfc(s, planted).as("norm"))
+        .withColumn("n_nfc", length(col("norm")))
+        .withColumn("folded", TextExprs.stripAccents(s, col("norm")))
+        .select("doc_id", "n_raw", "n_nfc", "norm", "folded")
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |    'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || chr(8212)
+           |      || ' ' || coalesce(text, '') AS s
+           |  FROM documents)
+           |SELECT doc_id, length(s) AS n_raw,
+           |  length(nfc_normalize(s)) AS n_nfc,
+           |  nfc_normalize(s) AS norm,
+           |  strip_accents(nfc_normalize(s)) AS folded
+           |FROM p ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Candidate-key discovery (fully oracled): exact distinct-combination
+    * counts as SQL row values (null members are values), incomplete-row
+    * counts, and the PK verdict — one Aggregate, one scan. */
+  val uniquenessProbe = Probe(
+    "q128_uniqueness",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.uniqueness(Tables.orders(s, d),
+        Seq(Seq("o_orderkey"), Seq("o_custkey"),
+          Seq("o_custkey", "o_orderdate"), Seq("o_orderstatus")))
+    },
+    Some("""WITH u AS (
+           |  SELECT 'o_orderkey' AS combo, count(*) AS n,
+           |    count(DISTINCT ROW(o_orderkey)) AS ndv,
+           |    count(*) FILTER (WHERE o_orderkey IS NULL) AS inc
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'o_custkey', count(*),
+           |    count(DISTINCT ROW(o_custkey)),
+           |    count(*) FILTER (WHERE o_custkey IS NULL)
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'o_custkey,o_orderdate', count(*),
+           |    count(DISTINCT ROW(o_custkey, o_orderdate)),
+           |    count(*) FILTER (WHERE o_custkey IS NULL OR o_orderdate IS NULL)
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderstatus', count(*),
+           |    count(DISTINCT ROW(o_orderstatus)),
+           |    count(*) FILTER (WHERE o_orderstatus IS NULL)
+           |  FROM orders)
+           |SELECT combo, CAST(n AS BIGINT) AS n_rows,
+           |  CAST(ndv AS BIGINT) AS n_distinct,
+           |  CAST(inc AS BIGINT) AS n_incomplete,
+           |  (inc = 0 AND ndv = n) AS is_key,
+           |  CASE WHEN n > 0 THEN ndv * 1000000 // n END AS uniq_ppm
+           |FROM u ORDER BY combo""".stripMargin)
+  )
+
+  /** Quality-aware dedup representatives (fully oracled): the q50
+    * transitive clusters, but each cluster keeps its LONGEST member
+    * (ties: lowest id) instead of its smallest id — DuckDB replays the
+    * closure recursively and the argmax as a window. */
+  val dedupRepsProbe = Probe(
+    "q129_dedup_representatives",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val pairs = TextDedup.jaccardVerify(ids, docs)
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b")
+      TextDedup.dedupRepresentatives(docs, pairs, col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |        NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.3),
+           |edges AS (SELECT id_a AS s, id_b AS t FROM p
+           |          UNION ALL SELECT id_b, id_a FROM p),
+           |reach AS (
+           |  SELECT s AS id, t AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.t FROM reach JOIN edges ON reach.r = edges.s),
+           |comp AS (SELECT id, least(id, min(r)) AS component
+           |         FROM reach GROUP BY id),
+           |allc AS (SELECT d.doc_id,
+           |           coalesce(c.component, d.doc_id) AS component, d.n_chars
+           |         FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300) d
+           |         LEFT JOIN comp c ON d.doc_id = c.id),
+           |r AS (SELECT doc_id, component,
+           |        first_value(doc_id) OVER (PARTITION BY component
+           |          ORDER BY n_chars DESC, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id
+           |      FROM allc)
+           |SELECT doc_id, component, keep_id, doc_id = keep_id AS is_rep
+           |FROM r ORDER BY doc_id""".stripMargin)
+  )
+
+  /** MMR diversified re-ranking (fully oracled): 4 greedy rounds over a
+    * 10-deep exact shortlist, λ = 0.7 — every pick replayed by DuckDB
+    * as unrolled argmax CTEs over the identical integer micro-unit
+    * scores (`700000·simq_µ − 300000·maxSel_µ`). */
+  val mmrProbe = Probe(
+    "q130_mmr_rerank",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.mmrRerank(emb, queries, k = 4, shortlist = 10,
+          lambdaPpm = 700000L)
+        .orderBy("query_id", "mmr_rank")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sim AS (SELECT q.vec_id AS qid, t.vec_id AS cid,
+           |          list_dot_product(t.v, q.v) /
+           |            (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.v, q.v))) AS s
+           |        FROM c q JOIN c t ON t.vec_id <> q.vec_id
+           |        WHERE q.vec_id < 3),
+           |base AS (SELECT qid, cid, CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS simq,
+           |           row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+           |         FROM sim),
+           |sl AS (SELECT qid, cid, simq FROM base WHERE rn <= 10),
+           |pv AS (SELECT sl.qid, sl.cid, c.v FROM sl JOIN c ON sl.cid = c.vec_id),
+           |ps AS (SELECT a.qid, a.cid AS ai, b.cid AS bi,
+           |         CAST(floor(list_dot_product(a.v, b.v) /
+           |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           |           * 1000000 + 0.5) AS BIGINT) AS m
+           |       FROM pv a JOIN pv b ON a.qid = b.qid AND a.cid <> b.cid),
+           |s1 AS (SELECT qid, cid, simq, 700000 * simq AS score FROM sl),
+           |p1 AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |         ORDER BY score DESC, cid) AS rn FROM s1),
+           |w1 AS (SELECT qid, cid, score FROM p1 WHERE rn = 1),
+           |r2 AS (SELECT sl.* FROM sl LEFT JOIN w1
+           |         ON sl.qid = w1.qid AND sl.cid = w1.cid
+           |       WHERE w1.cid IS NULL),
+           |m2 AS (SELECT r2.qid, r2.cid, r2.simq, max(ps.m) AS ms
+           |       FROM r2 JOIN ps ON ps.qid = r2.qid AND ps.ai = r2.cid
+           |               JOIN w1 s ON s.qid = ps.qid AND s.cid = ps.bi
+           |       GROUP BY 1, 2, 3),
+           |s2 AS (SELECT qid, cid, simq, 700000 * simq - 300000 * ms AS score FROM m2),
+           |p2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |         ORDER BY score DESC, cid) AS rn FROM s2),
+           |w2 AS (SELECT qid, cid, score FROM p2 WHERE rn = 1),
+           |u2 AS (SELECT qid, cid FROM w1 UNION ALL SELECT qid, cid FROM w2),
+           |r3 AS (SELECT sl.* FROM sl LEFT JOIN u2
+           |         ON sl.qid = u2.qid AND sl.cid = u2.cid
+           |       WHERE u2.cid IS NULL),
+           |m3 AS (SELECT r3.qid, r3.cid, r3.simq, max(ps.m) AS ms
+           |       FROM r3 JOIN ps ON ps.qid = r3.qid AND ps.ai = r3.cid
+           |               JOIN u2 s ON s.qid = ps.qid AND s.cid = ps.bi
+           |       GROUP BY 1, 2, 3),
+           |s3 AS (SELECT qid, cid, simq, 700000 * simq - 300000 * ms AS score FROM m3),
+           |p3 AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |         ORDER BY score DESC, cid) AS rn FROM s3),
+           |w3 AS (SELECT qid, cid, score FROM p3 WHERE rn = 1),
+           |u3 AS (SELECT qid, cid FROM u2 UNION ALL SELECT qid, cid FROM w3),
+           |r4 AS (SELECT sl.* FROM sl LEFT JOIN u3
+           |         ON sl.qid = u3.qid AND sl.cid = u3.cid
+           |       WHERE u3.cid IS NULL),
+           |m4 AS (SELECT r4.qid, r4.cid, r4.simq, max(ps.m) AS ms
+           |       FROM r4 JOIN ps ON ps.qid = r4.qid AND ps.ai = r4.cid
+           |               JOIN u3 s ON s.qid = ps.qid AND s.cid = ps.bi
+           |       GROUP BY 1, 2, 3),
+           |s4 AS (SELECT qid, cid, simq, 700000 * simq - 300000 * ms AS score FROM m4),
+           |p4 AS (SELECT *, row_number() OVER (PARTITION BY qid
+           |         ORDER BY score DESC, cid) AS rn FROM s4),
+           |w4 AS (SELECT qid, cid, score FROM p4 WHERE rn = 1),
+           |outp AS (
+           |  SELECT qid, cid, 1 AS rnk, score FROM w1
+           |  UNION ALL SELECT qid, cid, 2, score FROM w2
+           |  UNION ALL SELECT qid, cid, 3, score FROM w3
+           |  UNION ALL SELECT qid, cid, 4, score FROM w4)
+           |SELECT qid AS query_id, cid AS vec_id,
+           |  CAST(rnk AS BIGINT) AS mmr_rank, CAST(score AS BIGINT) AS mmr_score_upm
+           |FROM outp ORDER BY query_id, mmr_rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4058,7 +4324,9 @@ object Probes {
     cdcChunksProbe, countMinProbe, contentChecksumProbe,
     invertedIndexProbe, shardManifestProbe, dedupReportProbe,
     skewReportProbe, marginKnnProbe, containmentProbe, interleaveProbe,
-    madZscoreProbe, trendingProbe, driftProbe
+    madZscoreProbe, trendingProbe, driftProbe,
+    rrfProbe, budgetCapProbe, unicodeProbe, uniquenessProbe,
+    dedupRepsProbe, mmrProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -303,7 +303,33 @@ object ScaleSweep {
         },
         "mad_zscore" -> (() => noop(
           Profile.madZscore(ev, col("event_type"),
-            col("value").cast("decimal(18,2)"))))
+            col("value").cast("decimal(18,2)")))),
+        "rrf_fusion" -> (() => {
+          val byLen = docs.select(col("source"), col("doc_id"),
+            col("n_chars").as("score"))
+          val byDig = docs.select(col("source"), col("doc_id"),
+            md5(concat(lit("7|"), col("doc_id").cast("string"))).as("score"))
+          noop(graft.operators.Fusion.rrf(Seq(byLen, byDig), Seq("source"),
+            "doc_id", "score", topK = 10))
+        }),
+        "budget_cap" -> (() => noop(
+          Sampling.budgetCap(docs, Seq("source"), col("doc_id"),
+            col("n_chars"), budget = 100000L))),
+        "uniqueness_audit" -> (() => noop(
+          Profile.uniqueness(li, Seq(Seq("l_orderkey", "l_linenumber"),
+            Seq("l_partkey"), Seq("l_suppkey", "l_partkey"))))),
+        "nfc_fold" -> (() => noop(
+          docs.select(col("doc_id"), length(TextExprs.stripAccents(spark,
+            TextExprs.nfc(spark, col("text")))).as("n")))),
+        "dedup_representatives" -> (() => {
+          // candidate pairs from the cheap exact path (digest equality)
+          // so the sweep times components+argmax, not pair generation
+          val pairs = docs.alias("a").join(docs.alias("b"),
+              md5(col("a.text")) === md5(col("b.text")) &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          noop(TextDedup.dedupRepresentatives(docs, pairs, col("n_chars")))
+        })
       )
       val selected =
         if (opFilter.isEmpty) ops
