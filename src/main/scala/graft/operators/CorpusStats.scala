@@ -177,6 +177,91 @@ object CorpusStats {
     * One map-side-combined aggregate; shuffle = #groups rows. Output:
     * (`grp`, `n_rows`, `n_hashed` — null values hash nothing,
     * `sum60` DECIMAL(38,0), `xor60` LONG). */
+  /** EXACT all-pairs sparse cosine similarity join over TF-IDF-weighted
+    * token vectors (APSS, the Bayardo et al. '07 problem) — the
+    * token-space member of the similarity-join family (set-Jaccard has
+    * [[graft.operators.TextDedup.prefixFilterJoin]], dense embeddings
+    * have `Similarity.cosineNearDups`): weighting by rarity makes two
+    * documents similar because they share CONTENT words, where plain
+    * Jaccard lets boilerplate stopwords dominate.
+    *
+    * Engine-exact arithmetic: weights are integer
+    * `tf · (10⁶·N DIV df)` (linear idf — same ranking as log idf, no
+    * libm; the [[tfidfTopTerms]] rationale), dots and squared norms are
+    * EXACT integer sums in DECIMAL(38,0) (the `correlationMatrix`
+    * pattern — DuckDB mirrors in HUGEINT), and the cosine is
+    * `dot / (sqrt(na)·sqrt(nb))` — three correctly-rounded IEEE ops on
+    * exact integers, so the score and the threshold verdict are
+    * bit-identical on any engine and any layout.
+    *
+    * Scale posture: candidates come from the term-keyed self-join —
+    * fan-out Σ_t df(t)², dominated by the df tail. `maxDf` excludes
+    * terms with df > maxDf from CANDIDATE GENERATION (the standard
+    * high-frequency cut); the dot products of surviving pairs are then
+    * recomputed over the FULL weight vectors (scan pruned to candidate
+    * ids), so reported scores stay exact — what the cut can lose is
+    * only pairs sharing NOTHING but ultra-common terms, whose tf-idf
+    * cosine is far below any dedup threshold by construction.
+    * `maxDf = 0` disables the cut (fully exact, quadratic in df).
+    *
+    * Output: (id_a, id_b, n_shared, cos_sim) for pairs with
+    * cos_sim ≥ threshold, id_a < id_b. */
+  def sparseCosineJoin(docs: DataFrame, threshold: Double,
+                       maxDf: Long = 0L,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = documentFrequencies(tf)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val weights = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        (col("tf") * expr("(1000000L * __n) DIV df")).as("w"),
+        col("df"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val norms = weights.groupBy(col(idCol))
+      .agg(sum(dec(col("w")) * dec(col("w"))).as("n2"))
+
+    val wa = weights.select(col(idCol).as("id_a"), col("term"),
+      col("w").as("__wa"), col("df"))
+    val wb = weights.select(col(idCol).as("id_b"), col("term"),
+      col("w").as("__wb"), col("df").as("__dfb"))
+    val joined =
+      if (maxDf > 0L)
+        wa.filter(col("df") <= maxDf)
+          .join(wb.filter(col("__dfb") <= maxDf), "term")
+      else wa.join(wb, "term")
+    val cand = joined
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum(dec(col("__wa")) * dec(col("__wb"))).as("dot"))
+
+    // with the df cut on, candidate dots miss the cut terms — recompute
+    // over the full vectors, scan pruned to candidate ids
+    val exact =
+      if (maxDf > 0L) {
+        val pairIds = cand.select("id_a", "id_b")
+        pairIds
+          .join(weights.select(col(idCol).as("id_a"), col("term"),
+            col("w").as("__wa")), "id_a")
+          .join(weights.select(col(idCol).as("id_b"), col("term"),
+            col("w").as("__wb")), Seq("id_b", "term"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).cast("long").as("n_shared"),
+            sum(dec(col("__wa")) * dec(col("__wb"))).as("dot"))
+      } else cand
+
+    exact
+      .join(norms.select(col(idCol).as("id_a"), col("n2").as("__na")), "id_a")
+      .join(norms.select(col(idCol).as("id_b"), col("n2").as("__nb")), "id_b")
+      .withColumn("cos_sim", col("dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("cos_sim"))
+  }
+
   def contentChecksum(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")

@@ -227,4 +227,91 @@ object Graph {
           .otherwise((col("triangles") * 2L).cast("double") /
             (col("degree") * (col("degree") - 1L))))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the LOG-ROUND alternative to min-label
+    * propagation ([[graft.operators.TextDedup.connectedComponents]]),
+    * whose round count is the component DIAMETER: a 100 TB web-graph
+    * path component can have diameter in the thousands, while
+    * large-star/small-star contracts any topology in O(log n) rounds.
+    * Both produce the identical labeling (min id per component), so
+    * they cross-check each other.
+    *
+    * One round = two neighborhood contractions, each a (node-keyed
+    * min-aggregate + join-back) — no driver state, edge set shrinks
+    * toward the star fixpoint. Convergence = edge multiset unchanged
+    * (order-free count + xor/sum-of-hash checksum over the
+    * materialized round — no extra pass, same trick as the corpus
+    * content checksum).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every
+    * endpoint, component = min id reachable. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val init = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: symmetrize; per node u with neighborhood G(u),
+    // m = min(G(u) ∪ {u}); emit (v, m) for v ∈ G(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient every edge high→low; per node u,
+    // m = min(G(u)); emit (v, m) for v ∈ G(u) ∪ {u}, v ≠ m
+    def smallStar(e: DataFrame): DataFrame = {
+      val hi = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mn = hi.groupBy("u").agg(min(col("v")).as("m"))
+      hi.join(mn, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mn.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-free edge-multiset fingerprint over the materialized round
+    // (bit_xor, not sum: an ANSI-mode long sum of hashes can overflow)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = init
+    var sig = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+
+    // fixpoint edges are (node → component-min) stars; roots appear
+    // only on the right — union them back as self-labeled
+    val nodes = init.select(col("u").as("id"))
+      .unionByName(init.select(col("v").as("id"))).distinct()
+    // a star fixpoint has one out-edge per non-root; the min-aggregate
+    // is a no-op there and keeps the join duplication-safe regardless
+    val roots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    nodes.join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+  }
 }

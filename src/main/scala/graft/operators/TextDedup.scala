@@ -47,6 +47,39 @@ object TextDedup {
       Seq(col(idCol).asc)
     ).drop("__digest")
 
+  /** Canonical text for normalization-robust exact dedup: Unicode NFC →
+    * accent fold → lowercase → non-alphanumerics to spaces → whitespace
+    * collapse → trim. Byte-different, render-equivalent copies ("Naïve
+    * Bayes!", "naive   bayes") collapse to one key; all stages are
+    * either the native codegen Unicode kernels (graft.plans) or RE2-safe
+    * builtin regexes an oracle engine replays verbatim. Narrow per-row —
+    * pipelined with the scan, nothing shuffles. */
+  def canonicalText(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    import graft.plans.TextExprs
+    trim(regexp_replace(
+      regexp_replace(
+        lower(TextExprs.stripAccents(spark, TextExprs.nfc(spark, c))),
+        "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+  }
+
+  /** Normalization-robust exact dedup: [[exact]] keyed on the md5 of
+    * [[canonicalText]] instead of the raw bytes — the first dedup stage
+    * real pipelines run (RefinedWeb/CCNet normalize before hashing,
+    * because crawls re-serve the same page with case/punctuation/accent
+    * jitter). Keeps the smallest id per canonical key; same 16-byte
+    * digest shuffle as [[exact]]. */
+  def normalizedExact(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    Relational.latestPerKey(
+      docs.withColumn("__digest",
+        md5(canonicalText(spark, coalesce(col(textCol), lit(""))))),
+      Seq("__digest"),
+      Seq(col(idCol).asc)
+    ).drop("__digest")
+  }
+
   /** Per-group duplicate stats: (group, n_docs, n_unique_texts). */
   def exactStats(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame =
     docs.groupBy(col(groupCol))

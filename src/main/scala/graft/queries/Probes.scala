@@ -4301,6 +4301,125 @@ object Probes {
            |FROM outp ORDER BY query_id, mmr_rank""".stripMargin)
   )
 
+  /** EXACT sparse TF-IDF cosine similarity join (fully oracled): every
+    * pair with weighted cosine ≥ 0.25 over the bounded corpus — integer
+    * linear-idf weights, DECIMAL(38,0)/HUGEINT exact dots and norms,
+    * cosine from three correctly-rounded IEEE ops, so the raw double
+    * hash-matches cross-engine. */
+  val sparseCosineProbe = Probe(
+    "q131_sparse_cosine",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.sparseCosineJoin(
+          Tables.documents(s, d).filter(col("doc_id") < 300),
+          threshold = 0.25)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+           |tok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM d),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM d),
+           |w AS (SELECT tf.doc_id, tf.term,
+           |        tf.tf * ((1000000 * nn.n) // dfq.df) AS w
+           |      FROM tf JOIN dfq USING (term), nn),
+           |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+           |        FROM w GROUP BY 1),
+           |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           CAST(count(*) AS BIGINT) AS n_shared,
+           |           sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+           |         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |c AS (SELECT id_a, id_b, n_shared,
+           |        CAST(dot AS DOUBLE) /
+           |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+           |      FROM cand JOIN nrm na ON na.doc_id = id_a
+           |                JOIN nrm nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, n_shared, cos_sim FROM c
+           |WHERE cos_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  /** Connected components via alternating large-star/small-star — the
+    * O(log n)-round contraction (q50 is the diameter-bounded min-label
+    * face of the same problem; SAME oracle, so the two implementations
+    * cross-check through DuckDB's recursive closure). */
+  val ccStarProbe = Probe(
+    "q132_cc_star",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val pairs = TextDedup.jaccardVerify(ids, docs)
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b")
+      graft.operators.Graph.connectedComponentsStar(pairs).orderBy("id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           |        NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0) >= 0.3),
+           |edges AS (SELECT id_a AS s, id_b AS t FROM p
+           |          UNION ALL SELECT id_b, id_a FROM p),
+           |reach AS (
+           |  SELECT s AS id, t AS r FROM edges
+           |  UNION
+           |  SELECT reach.id, edges.t FROM reach JOIN edges ON reach.r = edges.s)
+           |SELECT id, least(id, min(r)) AS component
+           |FROM reach GROUP BY id ORDER BY id""".stripMargin)
+  )
+
+  /** Normalization-robust exact dedup (fully oracled): three
+    * byte-different renderings of every document planted on BOTH
+    * engines — accented-uppercase-punctuated, whitespace-jittered —
+    * collapse to the original id through the NFC → fold → lower →
+    * strip-punct → collapse canonical key. */
+  val normalizedDedupProbe = Probe(
+    "q133_normalized_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val v2 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(expr("replace(text, 'a', 'á')")), lit("!!")).as("text"))
+      val v3 = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("  "), col("text"), lit(" .,; ")).as("text"))
+      TextDedup.normalizedExact(base.unionByName(v2).unionByName(v3))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, coalesce(text, '') AS text
+           |              FROM documents WHERE doc_id < 400),
+           |v AS (SELECT doc_id, text FROM base
+           |      UNION ALL
+           |      SELECT doc_id + 1000000, upper(replace(text, 'a', 'á')) || '!!'
+           |      FROM base
+           |      UNION ALL
+           |      SELECT doc_id + 2000000, '  ' || text || ' .,; ' FROM base),
+           |c AS (SELECT doc_id,
+           |        trim(regexp_replace(regexp_replace(
+           |          lower(strip_accents(nfc_normalize(text))),
+           |          '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k
+           |      FROM v),
+           |m AS (SELECT doc_id,
+           |        min(doc_id) OVER (PARTITION BY md5(k)) AS keep FROM c)
+           |SELECT doc_id FROM m WHERE doc_id = keep ORDER BY doc_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4326,7 +4445,8 @@ object Probes {
     skewReportProbe, marginKnnProbe, containmentProbe, interleaveProbe,
     madZscoreProbe, trendingProbe, driftProbe,
     rrfProbe, budgetCapProbe, unicodeProbe, uniquenessProbe,
-    dedupRepsProbe, mmrProbe
+    dedupRepsProbe, mmrProbe, sparseCosineProbe, ccStarProbe,
+    normalizedDedupProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
