@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Model-based document filtering — the fastText/CCNet-style quality or
+  * domain classifier of pre-training pipelines (label a seed set, train a
+  * linear text model, score the whole corpus, gate on the score), built
+  * on the engine's log-free integer discipline so train and inference are
+  * bit-deterministic on any engine and any partitioning.
+  *
+  * Arithmetic contract: multinomial Naive Bayes scores in Σ log p, and
+  * `log` is libm-dependent (not bit-portable across engines), so the
+  * model here is the exact integer analogue of the NB evidence — the
+  * per-term LIKELIHOOD RATIO with add-one smoothing, in parts-per-million
+  * and truncated:
+  *
+  *   w_ppm(t) = (1e6 · (c⁺(t)+1) · (T⁻+V)) DIV ((T⁺+V) · (c⁻(t)+1))
+  *
+  * (c± = term-occurrence counts in the positive/negative class, T± =
+  * class token totals, V = vocabulary size — the add-one denominators).
+  * A term seen only in the positive class gets w ≫ 1e6, only in the
+  * negative class w ≪ 1e6, balanced terms ≈ 1e6. Inference aggregates
+  * the ratios LINEARLY (the `LangModel.fluency` discipline — same
+  * ranking spirit as the log-sum, none of its float non-determinism):
+  *
+  *   score_ppm(doc) = (Σ_t tf(t) · w_ppm(t)) DIV n_tokens
+  *
+  * i.e. the average per-token ratio; `score_ppm ≥ 1e6` predicts
+  * positive. All quantities are nonnegative integers (DECIMAL(38,0)
+  * intermediates), so truncating DIV matches DuckDB's flooring `//`.
+  *
+  * Scale posture (100 TB): training is two vocabulary-keyed aggregates
+  * (map-side combined token counts per (term, class) — the shuffle is
+  * one row per distinct (term, class), not one per token) and the model
+  * is O(vocabulary), bounded by Zipf, not corpus size. Inference
+  * re-streams the corpus' (doc, term) tf frame and joins the model on
+  * `term` — AQE broadcasts the model when it fits. Unseen terms back
+  * off to the zero-count ratio w₀ through the left join, so scoring a
+  * corpus disjoint from the training set stays well-defined.
+  */
+object Classify {
+
+  /** Train integer likelihood-ratio weights from labeled documents.
+    * `label` must be a boolean column (null labels are dropped).
+    *
+    * Output: one row per term — (`term`, `c_pos`, `c_neg`, `w_ppm`) —
+    * plus the class totals (`t_pos`, `t_neg`, `v`) carried as constant
+    * columns so inference can derive the unseen-term ratio without a
+    * second pass over the training corpus. `minCount` prunes the Zipf
+    * tail (terms with c_pos + c_neg < minCount). */
+  def ratioModel(docs: DataFrame, label: Column, textCol: Column,
+                 minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .filter(label.isNotNull)
+      .select(label.as("__pos"), explode(Text.words(textCol)).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(
+      sum(col("c_pos")).as("t_pos"),
+      sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
+    counts
+      .filter(col("c_pos") + col("c_neg") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("w_ppm",
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * (c_pos + 1) * (t_neg + v))
+                DIV (CAST(t_pos + v AS DECIMAL(38,0)) * (c_neg + 1))"""))
+      .select(col("term"), col("c_pos"), col("c_neg"), col("w_ppm"),
+        col("t_pos"), col("t_neg"), col("v"))
+  }
+
+  /** Score documents under a [[ratioModel]]: average per-token
+    * likelihood ratio in ppm, positive when ≥ 1e6. Every input document
+    * appears in the output; a document with no tokens scores NULL (no
+    * evidence either way — gating it is the caller's policy).
+    *
+    * Output: (`id`, `n_tokens`, `score_ppm`, `pred`). */
+  def ratioScore(docs: DataFrame, model: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    // unseen-term ratio: the model formula at c_pos = c_neg = 0
+    val w0 = broadcast(model
+      .agg(max(col("t_pos")).as("t_pos"), max(col("t_neg")).as("t_neg"),
+        max(col("v")).as("v"))
+      .select(expr("""(CAST(1000000 AS DECIMAL(38,0)) * (t_neg + v))
+                      DIV CAST(t_pos + v AS DECIMAL(38,0))""").as("__w0")))
+    val tf = docs
+      .select(col(idCol), explode(Text.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(model.select(col("term"), col("w_ppm")), Seq("term"), "left_outer")
+      .crossJoin(w0)
+      .groupBy(col(idCol))
+      .agg(
+        sum(expr("CAST(tf AS DECIMAL(38,0)) * coalesce(w_ppm, __w0)"))
+          .as("__num"),
+        sum(col("tf")).as("n_tokens"))
+      .withColumn("score_ppm",
+        expr("CAST(__num DIV n_tokens AS BIGINT)"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("score_ppm"),
+        when(col("score_ppm").isNotNull, col("score_ppm") >= lit(1000000L))
+          .as("pred"))
+  }
+}

@@ -262,6 +262,86 @@ object CorpusStats {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("cos_sim"))
   }
 
+  /** Domain-level boilerplate line mining — the trafilatura/CCNet-style
+    * template stripper for crawled corpora: a line (nav bar, cookie
+    * banner, copyright footer) that appears in a large FRACTION of a
+    * domain's documents is template, not content, and pre-training
+    * pipelines drop it before any quality scoring or dedup (otherwise
+    * the template dominates n-gram stats and near-dup similarity).
+    *
+    * A line counts once per document that CONTAINS it (presence, not
+    * occurrences), and is boilerplate within its domain when
+    * `doc_freq ≥ minDocs` and `doc_freq/n_docs ≥ minFracPpm` — the
+    * fraction gate compared in exact integers
+    * (`1e6·doc_freq ≥ minFracPpm·n_docs`), never floats.
+    *
+    * Scale posture: the line stream is a narrow per-row generator; the
+    * presence counts aggregate on (domain, line) with map-side combine —
+    * the shuffle carries one row per distinct (domain, line), and the
+    * surviving boilerplate set is tiny (lines frequent within a domain),
+    * so the strip-side join broadcasts under AQE.
+    *
+    * Output: (`domain`, `line`, `doc_freq`, `n_docs`, `frac_ppm`). */
+  def boilerplateLines(docs: DataFrame, domainCol: String,
+                       textCol: String = "text",
+                       minDocs: Long = 3L,
+                       minFracPpm: Long = 500000L): DataFrame = {
+    val lines = docs
+      .select(col(domainCol).as("domain"),
+        explode(array_distinct(split(coalesce(col(textCol), lit("")), "\n")))
+          .as("line"))
+    val perDomain = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    lines
+      .groupBy(col("domain"), col("line"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .join(perDomain, "domain")
+      .filter(col("doc_freq") >= minDocs &&
+        col("doc_freq") * lit(1000000L) >= lit(minFracPpm) * col("n_docs"))
+      .select(col("domain"), col("line"), col("doc_freq"), col("n_docs"),
+        (col("doc_freq") * lit(1000000L) / col("n_docs")).cast("long")
+          .as("frac_ppm"))
+  }
+
+  /** Strip the [[boilerplateLines]] of each document's domain, keeping
+    * surviving lines in their original order. Every input row survives
+    * (a fully-boilerplate document becomes the empty string — dropping
+    * is the CALLER's policy, e.g. gate on `n_kept`).
+    *
+    * The line explode carries (id, pos, line); the anti-join against the
+    * mined set is an equi-join on (domain, line) — boilerplate-set-sized
+    * build side, broadcast under AQE; reassembly is one id-keyed
+    * aggregate whose order comes from sorting the (pos, line) structs
+    * INSIDE the row (`array_sort` of the collected structs — no
+    * order-dependent aggregation, so any partitioning gives the same
+    * string).
+    *
+    * Output: (`id`, `domain`, `text_clean`, `n_kept`, `n_dropped`). */
+  def stripBoilerplate(docs: DataFrame, domainCol: String,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       minDocs: Long = 3L,
+                       minFracPpm: Long = 500000L): DataFrame = {
+    val bp = boilerplateLines(docs, domainCol, textCol, minDocs, minFracPpm)
+      .select(col("domain"), col("line"), lit(true).as("__bp"))
+    val exploded = docs
+      .select(col(idCol), col(domainCol).as("domain"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+    exploded
+      .join(bp, Seq("domain", "line"), "left_outer")
+      .groupBy(col(idCol), col("domain"))
+      .agg(
+        array_sort(collect_list(when(col("__bp").isNull,
+          struct(col("pos"), col("line"))))).as("__kept"),
+        count(col("__bp")).as("n_dropped"))
+      .select(col(idCol), col("domain"),
+        array_join(transform(col("__kept"), _.getField("line")), "\n")
+          .as("text_clean"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("n_dropped"))
+  }
+
   def contentChecksum(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")

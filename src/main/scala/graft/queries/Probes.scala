@@ -4420,6 +4420,134 @@ object Probes {
            |SELECT doc_id FROM m WHERE doc_id = keep ORDER BY doc_id""".stripMargin)
   )
 
+  /** Domain boilerplate stripping (fully oracled): nav/footer lines
+    * planted on BOTH engines across every document of a source are mined
+    * as template (≥3 docs and ≥50 % of the domain, compared in exact
+    * integers) and stripped; body lines survive in original order. */
+  val boilerplateProbe = Probe(
+    "q134_boilerplate",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      val base = Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select(col("doc_id"), col("source"),
+          concat(lit("NAV "), col("source"), lit("\n"),
+            coalesce(col("text"), lit("")),
+            lit("\n(c) "), col("source"), lit(" all rights reserved"))
+            .as("text"))
+      CorpusStats.stripBoilerplate(base, "source")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+           |    'NAV ' || source || chr(10) || coalesce(text, '') || chr(10) ||
+           |    '(c) ' || source || ' all rights reserved' AS t
+           |  FROM documents WHERE doc_id < 600),
+           |nd AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+           |pres AS (SELECT doc_id, source,
+           |    unnest(list_distinct(string_split(t, chr(10)))) AS line FROM d),
+           |bp AS (SELECT source, line FROM
+           |    (SELECT source, line, count(*) AS doc_freq FROM pres GROUP BY 1, 2)
+           |    JOIN nd USING (source)
+           |  WHERE doc_freq >= 3 AND doc_freq * 1000000 >= 500000 * n_docs),
+           |ex AS (SELECT doc_id, source,
+           |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+           |    unnest(string_split(t, chr(10))) AS line FROM d),
+           |j AS (SELECT ex.doc_id, ex.source, ex.pos, ex.line,
+           |    (bp.line IS NOT NULL) AS is_bp
+           |  FROM ex LEFT JOIN bp ON ex.source = bp.source AND ex.line = bp.line)
+           |SELECT doc_id, source AS domain,
+           |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+           |    chr(10) ORDER BY pos), '') AS text_clean,
+           |  count(CASE WHEN NOT is_bp THEN 1 END) AS n_kept,
+           |  count(CASE WHEN is_bp THEN 1 END) AS n_dropped
+           |FROM j GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Integer likelihood-ratio text classifier (fully oracled): train on
+    * even doc_ids (label: lang = 'en'), score odd doc_ids — add-one
+    * smoothed per-term ratios in ppm, DECIMAL/HUGEINT exact inference
+    * sums, truncating DIV on both engines. */
+  val ratioClassifierProbe = Probe(
+    "q135_ratio_classifier",
+    (s, d) => {
+      import graft.operators.Classify
+      val docs = Tables.documents(s, d)
+      val model = Classify.ratioModel(
+        docs.filter(col("doc_id") % 2 === 0),
+        col("lang") === "en", col("text"))
+      Classify.ratioScore(docs.filter(col("doc_id") % 2 === 1), model)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, (lang = 'en') AS pos,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+           |cnt AS (SELECT term,
+           |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+           |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+           |  FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+           |    CAST(sum(c_neg) AS BIGINT) AS t_neg,
+           |    count(*) AS v FROM cnt),
+           |mdl AS (SELECT term,
+           |    (CAST(1000000 AS HUGEINT) * (c_pos + 1) * (t_neg + v)) //
+           |      (CAST(t_pos + v AS HUGEINT) * (c_neg + 1)) AS w_ppm
+           |  FROM cnt, tot),
+           |w0 AS (SELECT (CAST(1000000 AS HUGEINT) * (t_neg + v)) //
+           |    CAST(t_pos + v AS HUGEINT) AS w0 FROM tot),
+           |ttok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |    sum(CAST(tf AS HUGEINT) * coalesce(w_ppm, w0)) AS num
+           |  FROM tf LEFT JOIN mdl USING (term), w0 GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(sc.n_tokens, 0) AS n_tokens,
+           |  CAST(sc.num // sc.n_tokens AS BIGINT) AS score_ppm,
+           |  CASE WHEN sc.num IS NOT NULL
+           |    THEN (sc.num // sc.n_tokens) >= 1000000 END AS pred
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Symmetric int8 scalar quantization (fully oracled): per-vector
+    * scale, exact integer code summaries (positional checksum, sums,
+    * L1, L2²) and the raw double worst-case reconstruction error —
+    * every step a correctly-rounded IEEE op, hash-matched cross-engine. */
+  val int8QuantizeProbe = Probe(
+    "q136_int8_quantize",
+    (s, d) => {
+      import graft.operators.Quantize
+      Quantize.int8Audit(Tables.embeddings(s, d)).orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |s AS (SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           |      AS scale
+           |  FROM e),
+           |c AS (SELECT vec_id, v, scale,
+           |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+           |      ELSE list_transform(v, x ->
+           |        CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+           |    END AS codes
+           |  FROM s),
+           |x AS (SELECT vec_id, scale,
+           |    generate_subscripts(codes, 1) AS i,
+           |    unnest(codes) AS code,
+           |    unnest(v) AS xv
+           |  FROM c)
+           |SELECT vec_id,
+           |  count(*) AS n_dims,
+           |  scale,
+           |  CAST(sum(CAST(i AS BIGINT) * code) AS BIGINT) AS code_checksum,
+           |  CAST(sum(code) AS BIGINT) AS code_sum,
+           |  CAST(sum(abs(code)) AS BIGINT) AS code_l1,
+           |  CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS code_l2sq,
+           |  max(abs(CAST(xv AS DOUBLE) - code * scale)) AS max_err
+           |FROM x GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4446,7 +4574,8 @@ object Probes {
     madZscoreProbe, trendingProbe, driftProbe,
     rrfProbe, budgetCapProbe, unicodeProbe, uniquenessProbe,
     dedupRepsProbe, mmrProbe, sparseCosineProbe, ccStarProbe,
-    normalizedDedupProbe
+    normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
+    int8QuantizeProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
