@@ -178,4 +178,34 @@ object Quality {
       .drop(quasi.map(c => s"__q_$c"): _*)
       .withColumn("suppress", col("class_size") < k)
   }
+
+  /** l-diversity audit — k-anonymity's companion gate (Machanavajjhala
+    * et al.): a quasi-identifier class can be large (k-safe) yet leak the
+    * SENSITIVE attribute outright when every row in it shares one value
+    * (the homogeneity attack — "all 50 patients in this class have
+    * cancer"). A class is l-diverse when its rows carry at least `l`
+    * DISTINCT sensitive values; rows in smaller-diversity classes get
+    * `suppress = true`. NULL sensitive values do not count toward
+    * diversity (SQL distinct-aggregate semantics on both engines); NULL
+    * quasi-values form their own class exactly as in [[kAnonymity]].
+    *
+    * Same shape and scale posture as [[kAnonymity]]: one map-side-
+    * combined aggregate keyed by the quasi tuple (the distinct count
+    * expands to (class, sensitive) partials first — still O(#classes ·
+    * #values) intermediate, never row-sized), null-safe broadcast-able
+    * join back. Appends `class_size`, `l_distinct`, `suppress`. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l-diversity below 2 is vacuous, got $l")
+    val sizes = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_distinct"))
+      .select(quasi.map(c => col(c).as(s"__q_$c")) :+
+        col("class_size") :+ col("l_distinct"): _*)
+    val cond = quasi.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(sizes, cond, "left")
+      .drop(quasi.map(c => s"__q_$c"): _*)
+      .withColumn("suppress", col("l_distinct") < l)
+  }
 }

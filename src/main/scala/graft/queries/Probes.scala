@@ -4548,6 +4548,33 @@ object Probes {
            |FROM x GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin)
   )
 
+  /** l-diversity audit (fully oracled): quasi-classes whose rows carry
+    * fewer than l distinct sensitive values are flagged — the
+    * homogeneity-attack gate k-anonymity (q100) misses. */
+  val lDiversityProbe = Probe(
+    "q137_l_diversity",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.lDiversity(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 5)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("l_distinct"),
+          col("suppress").cast("int").as("suppress"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH sz AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+           |    count(DISTINCT c_acctbal) AS l_distinct
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+           |  sz.class_size, sz.l_distinct,
+           |  CAST(sz.l_distinct < 5 AS INT) AS suppress
+           |FROM customer c
+           |JOIN sz ON c.c_nationkey = sz.c_nationkey
+           |       AND c.c_mktsegment = sz.c_mktsegment
+           |ORDER BY c.c_custkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4575,7 +4602,7 @@ object Probes {
     rrfProbe, budgetCapProbe, unicodeProbe, uniquenessProbe,
     dedupRepsProbe, mmrProbe, sparseCosineProbe, ccStarProbe,
     normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
-    int8QuantizeProbe
+    int8QuantizeProbe, lDiversityProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

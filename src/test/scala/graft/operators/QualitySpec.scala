@@ -121,4 +121,24 @@ class QualitySpec extends AnyFunSuite {
     // the two null-country rows form ONE class of 2 (not stranded NULLs)
     assert(out(5L) === ((2L, true)) && out(6L) === ((2L, true)))
   }
+
+  test("lDiversity: homogeneous classes flagged even when k-safe") {
+    import spark.implicits._
+    val df = Seq(
+      // class US: 3 rows (k-safe) but ONE sensitive value → homogeneous
+      (1L, "US", "cancer"), (2L, "US", "cancer"), (3L, "US", "cancer"),
+      // class DE: 3 rows, 2 distinct sensitive values → l=2 diverse
+      (4L, "DE", "flu"), (5L, "DE", "flu"), (6L, "DE", "cold"),
+      // class FR: nulls don't count toward diversity
+      (7L, "FR", "flu"), (8L, "FR", null)
+    ).toDF("id", "country", "diagnosis")
+    val out = Quality.lDiversity(df, Seq("country"), "diagnosis", l = 2)
+      .select("id", "class_size", "l_distinct", "suppress")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) === ((3L, 1L, true)), "k-safe but homogeneous → suppress")
+    assert(out(4L) === ((3L, 2L, false)))
+    assert(out(7L) === ((2L, 1L, true)), "null sensitive value adds no diversity")
+  }
 }
