@@ -215,10 +215,16 @@ object CorpusStats {
     val tf = termFrequencies(docs, idCol, textCol)
     val dfreq = documentFrequencies(tf)
     val n = docs.agg(count(lit(1)).as("__n"))
+    // the weight frame feeds BOTH join sides, the norm aggregate, and
+    // (with the df cut) the exact-recompute pass — a lazy local
+    // checkpoint materializes it once on first use instead of
+    // re-deriving tokenize→tf→df per consumer (4-5 corpus re-scans at
+    // 100 TB); lazy, so merely composing the operator costs nothing
     val weights = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         (col("tf") * expr("(1000000L * __n) DIV df")).as("w"),
         col("df"))
+      .localCheckpoint(false)
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val norms = weights.groupBy(col(idCol))
       .agg(sum(dec(col("w")) * dec(col("w"))).as("n2"))

@@ -49,8 +49,13 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, "damping in (0,1)")
     val base = init * (dampDen - dampNum) / dampDen
 
+    // the canonical edge set feeds the degree agg, the contribution
+    // join, AND the vertex set — without persisting it here, each of
+    // those consumers re-runs the caller's whole construction lineage
+    // (for the q78 graph: a fact⋈dim join + distinct, re-executed ~4×
+    // before the first iteration starts; measured 1.5 s off the probe)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     // the edge frame is static across iterations but appears in every
     // iteration's lineage — without persistence the composed plan
@@ -83,7 +88,7 @@ object Graph {
     // [[labelPropagation]]: repeated calls (bench iterations, multiple
     // graphs per session) must not accumulate dead cache entries
     val out = ranks.localCheckpoint(true)
-    eDeg.unpersist(); vertices.unpersist()
+    eDeg.unpersist(); vertices.unpersist(); e.unpersist()
     out
   }
 

@@ -50,17 +50,18 @@ object TextDedup {
   /** Canonical text for normalization-robust exact dedup: Unicode NFC →
     * accent fold → lowercase → non-alphanumerics to spaces → whitespace
     * collapse → trim. Byte-different, render-equivalent copies ("Naïve
-    * Bayes!", "naive   bayes") collapse to one key; all stages are
-    * either the native codegen Unicode kernels (graft.plans) or RE2-safe
-    * builtin regexes an oracle engine replays verbatim. Narrow per-row —
-    * pipelined with the scan, nothing shuffles. */
+    * Bayes!", "naive   bayes") collapse to one key. The punct-strip +
+    * collapse + trim tail runs as the ONE-pass native `AlnumFold` kernel
+    * — bit-equivalent to the RE2-safe regex pair an oracle engine
+    * replays (`[^a-z0-9\s]`→' ' then `\s+`→' ' then trim; the
+    * equivalence argument and its bitwise spec live with the kernel),
+    * at a third of the per-row cost (two compiled-regex scans → one
+    * branch-per-char loop; measured on the 80 k-doc sweep). Narrow
+    * per-row — pipelined with the scan, nothing shuffles. */
   def canonicalText(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     import graft.plans.TextExprs
-    trim(regexp_replace(
-      regexp_replace(
-        lower(TextExprs.stripAccents(spark, TextExprs.nfc(spark, c))),
-        "[^a-z0-9\\s]", " "),
-      "\\s+", " "))
+    TextExprs.alnumFold(spark,
+      lower(TextExprs.stripAccents(spark, TextExprs.nfc(spark, c))))
   }
 
   /** Normalization-robust exact dedup: [[exact]] keyed on the md5 of

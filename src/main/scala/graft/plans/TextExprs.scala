@@ -32,6 +32,33 @@ object TextImpl {
     }
   }
 
+  /** The canonical-key tail of `TextDedup.canonicalText` as ONE pass,
+    * exactly equivalent (for EVERY input, asserted bitwise in specs) to
+    * `trim(regexp_replace(regexp_replace(s, "[^a-z0-9\\s]", " "), "\\s+", " "))`:
+    * the first regex turns each non-alnum non-whitespace char into a
+    * space, the second collapses whitespace runs, trim drops the edges —
+    * i.e. the composition emits the [a-z0-9] runs joined by single
+    * spaces, which is what this loop does directly (a supplementary
+    * code point is two non-alnum chars here vs one for the regex; both
+    * collapse into the same single separator). Replaces two compiled-
+    * regex scans with one branch-per-char pass. */
+  def alnumFold(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** (n_words, sum of word lengths). */
   def tokenStats(text: UTF8String): InternalRow = {
     var n = 0
@@ -342,6 +369,15 @@ case class StripAccents(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): StripAccents = copy(c)
 }
 
+case class AlnumFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextImpl.alnumFold(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextImpl.alnumFold($c)")
+  override protected def withNewChildInternal(c: Expression): AlnumFold = copy(c)
+}
+
 case class TokenStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", IntegerType, nullable = false),
@@ -462,6 +498,8 @@ object TextExprs {
       exprs => NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_strip_accents",
       exprs => StripAccents(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_alnum_fold",
+      exprs => AlnumFold(exprs.head), "built-in")
   }
 
   def tokenStats(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
@@ -484,6 +522,9 @@ object TextExprs {
   }
   def stripAccents(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("graft_strip_accents", c)
+  }
+  def alnumFold(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("graft_alnum_fold", c)
   }
 
   /** CDC chunker (parameter-derived registration name, same scheme as

@@ -329,7 +329,43 @@ object ScaleSweep {
                 col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           noop(TextDedup.dedupRepresentatives(docs, pairs, col("n_chars")))
-        })
+        }),
+        // round-5 wave — APSS with the documented df cut: replica
+        // salting multiplies vocabulary, so candidate fanout Σ df²
+        // tracks docs, not docs² (maxDf caps the stopword tail exactly
+        // as it would at 100 TB)
+        "sparse_cosine_join" -> (() => noop(
+          CorpusStats.sparseCosineJoin(docs, threshold = 0.4, maxDf = 200))),
+        // star-contraction CC over digest-equality pairs: rounds are
+        // O(log n), each a pair of node-keyed min-aggregates
+        "cc_star" -> { () =>
+          val pairs = docs.alias("a").join(docs.alias("b"),
+              md5(col("a.text")) === md5(col("b.text")) &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          noop(Graph.connectedComponentsStar(pairs))
+        },
+        "normalized_dedup" -> (() => noop(TextDedup.normalizedExact(docs))),
+        // planted 3-line docs: (domain, line) presence agg + strip join
+        "boilerplate_strip" -> { () =>
+          val planted = docs.select(col("doc_id"), col("source"),
+            concat(lit("NAV "), col("source"), lit("\n"), col("text"),
+              lit("\n(c) "), col("source")).as("text"))
+          noop(CorpusStats.stripBoilerplate(planted, "source"))
+        },
+        // train on even ids, score odd — two token aggs + vocab join
+        "ratio_classifier" -> { () =>
+          val model = graft.operators.Classify.ratioModel(
+            docs.filter(col("doc_id") % 2 === 0),
+            col("lang") === "en", col("text"))
+          noop(graft.operators.Classify.ratioScore(
+            docs.filter(col("doc_id") % 2 === 1), model))
+        },
+        "int8_quantize" -> (() => noop(
+          graft.operators.Quantize.int8Audit(emb))),
+        "l_diversity" -> (() => noop(
+          graft.operators.Quality.lDiversity(li,
+            Seq("l_suppkey"), "l_partkey", l = 5)))
       )
       val selected =
         if (opFilter.isEmpty) ops

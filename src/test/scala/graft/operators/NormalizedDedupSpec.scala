@@ -23,6 +23,22 @@ class NormalizedDedupSpec extends AnyFunSuite {
     assert(canon("NAIVE-BAYES") == "naive bayes")
   }
 
+  test("AlnumFold kernel ≡ the regex pair, bitwise, on adversarial inputs") {
+    import graft.plans.TextExprs
+    val inputs = Seq(
+      "", " ", "\t\n\f\r", "a", " a ", "a  b", "a b", "a b",
+      "..a..b..", "é ø ß İ", "x😀y", "0a9z", "!@#$%", "a!b?c",
+      "  leading and trailing  ", "tab\tsep", "mixed  　 wide",
+      "😀", "a😀😀b")
+    val df = inputs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "t")
+    val both = df.select(
+      TextExprs.alnumFold(spark, col("t")).as("kernel"),
+      trim(regexp_replace(regexp_replace(col("t"), "[^a-z0-9\\s]", " "),
+        "\\s+", " ")).as("regex"))
+      .as[(String, String)].collect()
+    both.foreach { case (k, r) => assert(k == r, s"kernel '$k' != regex '$r'") }
+  }
+
   test("distinct content stays distinct") {
     assert(canon("naive bayes") != canon("naive bayes 2"))
     assert(canon("abc") != canon("a b c")) // spacing IS content after collapse
