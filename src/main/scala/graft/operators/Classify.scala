@@ -111,4 +111,39 @@ object Classify {
         when(col("score_ppm").isNotNull, col("score_ppm") >= lit(1000000L))
           .as("pred"))
   }
+
+  /** Binary-classifier evaluation in one pass: confusion counts and the
+    * ppm metrics every model-based filter is tuned on. Rows where either
+    * side is NULL (unscorable docs, unlabeled rows) are counted in
+    * `n_null` and excluded from the confusion cells. Metrics are exact
+    * integer ppm with truncating DIV — NULL (not a crash, not a fake 0)
+    * when undefined: precision with no positive predictions, recall
+    * with no positive truth, f1 when either is NULL or both are 0.
+    *
+    * One aggregate over the scored frame — metrics derive from the
+    * 5 counts on a single row; nothing else shuffles. Output:
+    * (`tp`, `fp`, `tn`, `fn`, `n_null`, `accuracy_ppm`,
+    * `precision_ppm`, `recall_ppm`, `f1_ppm`). */
+  def evalBinary(scored: DataFrame, pred: Column, truth: Column): DataFrame =
+    scored
+      .agg(
+        coalesce(sum(when(pred && truth, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(pred && !truth, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!pred && !truth, 1L).otherwise(0L)), lit(0L)).as("tn"),
+        coalesce(sum(when(!pred && truth, 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(pred.isNull || truth.isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null"))
+      .withColumn("accuracy_ppm",
+        when(col("tp") + col("tn") + col("fp") + col("fn") > 0L,
+          expr("(1000000L * (tp + tn)) DIV (tp + tn + fp + fn)")))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000L * tp) DIV (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("(1000000L * tp) DIV (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0L,
+          expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
 }

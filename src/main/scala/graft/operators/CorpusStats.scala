@@ -348,6 +348,38 @@ object CorpusStats {
         col("n_dropped"))
   }
 
+  /** Exact phrase search over the corpus: documents containing the words
+    * of `phrase` CONSECUTIVELY (tokenization = `Text.words`, the engine's
+    * standard lowercase/whitespace rule). Matches are found by joining
+    * each phrase word's positional postings shifted into the head word's
+    * frame — the classic positional-intersection of an IR engine, here
+    * directly over the token stream.
+    *
+    * Scale posture: each branch filters `term = wᵢ` BEFORE its shuffle,
+    * so the k−1 (id, pos)-keyed equi-joins carry only the phrase words'
+    * postings (Zipf-bounded, tiny vs the corpus), and the token generate
+    * is narrow and pipelined with the scan. For a repeated-query
+    * workload, build [[invertedIndex]] once and intersect its postings
+    * instead of re-streaming the corpus per phrase.
+    *
+    * Output: (`id`, `n_matches`, `first_pos` — 0-based head-word
+    * position of the earliest match), one row per matching document. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val tok = docs.select(col(idCol),
+      posexplode(Text.words(col(textCol))).as(Seq("pos", "term")))
+    def postings(w: String, shift: Int): DataFrame =
+      tok.filter(col("term") === w)
+        .select(col(idCol), (col("pos") - shift).as("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(postings(phrase.head, 0)) {
+      case (acc, (w, i)) => acc.join(postings(w, i), Seq(idCol, "pos"))
+    }
+    matches.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   def contentChecksum(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")

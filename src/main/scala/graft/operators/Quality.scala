@@ -208,4 +208,61 @@ object Quality {
       .drop(quasi.map(c => s"__q_$c"): _*)
       .withColumn("suppress", col("l_distinct") < l)
   }
+
+  /** Per-row curation gate report — the "why was this document dropped"
+    * ledger of a filtering pipeline (Dolma/FineWeb publish exactly this
+    * per-filter attribution). Each gate is (name, pass-predicate); a
+    * NULL predicate FAILS its gate (strict: an unevaluable quality
+    * signal is not a pass). Appends `fail_mask` (bit i set = gate i
+    * failed — the full diagnosis, not just the first hit), `first_fail`
+    * (name of the lowest-index failed gate — the funnel attribution the
+    * ordered pipeline would report), and `kept`.
+    *
+    * Strictly narrow: every gate is a codegen'd boolean over the row;
+    * no shuffle, no state. At most 63 gates (long bitmask). */
+  def gateReport(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty && gates.size <= 63, "1..63 gates")
+    val failed = gates.map { case (_, p) => !coalesce(p, lit(false)) }
+    val mask = failed.zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+    val firstFail = coalesce(
+      (gates.zip(failed).map { case ((n, _), f) =>
+        when(f, lit(n))
+      } :+ lit(null).cast("string")): _*)
+    df.withColumn("fail_mask", mask)
+      .withColumn("first_fail", firstFail)
+      .withColumn("kept", col("fail_mask") === 0L)
+  }
+
+  /** Funnel summary over a [[gateReport]]: per gate, how many rows fail
+    * it at all (`n_failed` — independent diagnosis) and for how many it
+    * is the FIRST failure (`n_first_fail` — the marginal count an
+    * ordered pipeline attributes to this gate; per-gate marginals sum to
+    * the total dropped). A trailing `_total_` row carries the dropped
+    * total in both columns ("fails the any-gate gate" ≡ "has a first
+    * failure"). ONE aggregate row computes every count from the mask
+    * column — no per-gate passes — then unpivots via an in-row explode.
+    * Output: (`gate`, `gate_idx`, `n_failed`, `n_first_fail`). */
+  def gateSummary(report: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    // coalesce: an EMPTY report (sum → NULL) must summarize as zeros
+    val aggs =
+      coalesce(sum(when(!col("kept"), 1L).otherwise(0L)), lit(0L))
+        .as("__dropped") +:
+        gates.zipWithIndex.flatMap { case ((n, _), i) => Seq(
+          coalesce(sum(when(expr(s"(fail_mask DIV ${1L << i}) % 2") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as(s"__f_$i"),
+          coalesce(sum(when(col("first_fail") === n, 1L).otherwise(0L)),
+            lit(0L)).as(s"__ff_$i"))
+        }
+    val one = report.agg(aggs.head, aggs.tail: _*)
+    val rows = gates.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("gate"), lit(i).as("gate_idx"),
+        col(s"__f_$i").as("n_failed"), col(s"__ff_$i").as("n_first_fail"))
+    } :+ struct(lit("_total_").as("gate"), lit(gates.size).as("gate_idx"),
+      col("__dropped").as("n_failed"), col("__dropped").as("n_first_fail"))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.gate"), col("r.gate_idx"),
+        col("r.n_failed"), col("r.n_first_fail"))
+  }
 }

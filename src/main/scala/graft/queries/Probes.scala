@@ -4575,6 +4575,162 @@ object Probes {
            |ORDER BY c.c_custkey""".stripMargin)
   )
 
+  /** Classifier evaluation (fully oracled): confusion counts + exact
+    * integer ppm accuracy/precision/recall/F1 of the q135 model against
+    * ground truth on the held-out half — the tuning loop of every
+    * model-based corpus filter, replayed end-to-end by DuckDB. */
+  val classifierEvalProbe = Probe(
+    "q138_classifier_eval",
+    (s, d) => {
+      import graft.operators.Classify
+      val docs = Tables.documents(s, d)
+      val model = Classify.ratioModel(
+        docs.filter(col("doc_id") % 2 === 0),
+        col("lang") === "en", col("text"))
+      val scored = Classify.ratioScore(docs.filter(col("doc_id") % 2 === 1), model)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("truth")),
+          "doc_id")
+      Classify.evalBinary(scored, col("pred"), col("truth"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, (lang = 'en') AS pos,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+           |cnt AS (SELECT term,
+           |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+           |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+           |  FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+           |    CAST(sum(c_neg) AS BIGINT) AS t_neg, count(*) AS v FROM cnt),
+           |mdl AS (SELECT term,
+           |    (CAST(1000000 AS HUGEINT) * (c_pos + 1) * (t_neg + v)) //
+           |      (CAST(t_pos + v AS HUGEINT) * (c_neg + 1)) AS w_ppm
+           |  FROM cnt, tot),
+           |w0 AS (SELECT (CAST(1000000 AS HUGEINT) * (t_neg + v)) //
+           |    CAST(t_pos + v AS HUGEINT) AS w0 FROM tot),
+           |ttok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2),
+           |sc AS (SELECT doc_id,
+           |    sum(CAST(tf AS HUGEINT) * coalesce(w_ppm, w0)) AS num,
+           |    CAST(sum(tf) AS BIGINT) AS n_tokens
+           |  FROM tf LEFT JOIN mdl USING (term), w0 GROUP BY 1),
+           |p AS (SELECT d.doc_id,
+           |    CASE WHEN sc.num IS NOT NULL
+           |      THEN (sc.num // sc.n_tokens) >= 1000000 END AS pred,
+           |    (d.lang = 'en') AS truth
+           |  FROM documents d LEFT JOIN sc USING (doc_id)
+           |  WHERE d.doc_id % 2 = 1),
+           |c AS (SELECT
+           |    CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |    CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(sum(CASE WHEN pred IS NULL OR truth IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+           |  FROM p),
+           |m AS (SELECT tp, fp, tn, fn, n_null,
+           |    (1000000 * (tp + tn)) // nullif(tp + tn + fp + fn, 0) AS accuracy_ppm,
+           |    (1000000 * tp) // nullif(tp + fp, 0) AS precision_ppm,
+           |    (1000000 * tp) // nullif(tp + fn, 0) AS recall_ppm
+           |  FROM c)
+           |SELECT tp, fp, tn, fn, n_null, accuracy_ppm, precision_ppm, recall_ppm,
+           |  (2 * precision_ppm * recall_ppm) //
+           |    nullif(precision_ppm + recall_ppm, 0) AS f1_ppm
+           |FROM m""".stripMargin)
+  )
+
+  /** Positional phrase search (fully oracled): documents containing
+    * "hash join" as consecutive tokens — per-word postings filtered
+    * BEFORE the (id, pos)-keyed intersection joins. */
+  val phraseSearchProbe = Probe(
+    "q139_phrase_search",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.phraseSearch(Tables.documents(s, d), Seq("hash", "join"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    generate_subscripts(list_filter(string_split_regex(lower(text),
+           |      '\s+'), x -> len(x) > 0), 1) - 1 AS pos,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents),
+           |m AS (SELECT a.doc_id, a.pos
+           |  FROM (SELECT doc_id, pos FROM tok WHERE term = 'hash') a
+           |  JOIN (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'join') b
+           |    ON a.doc_id = b.doc_id AND a.pos = b.pos)
+           |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+           |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Curation gate report (fully oracled): per-document failure bitmask,
+    * first-failing gate, and kept flag for a 3-gate pipeline — NULL
+    * predicates fail strictly on both engines. */
+  val gateReportProbe = Probe(
+    "q140_gate_report",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.gateReport(Tables.documents(s, d), Seq(
+          "len_ok" -> col("n_chars").between(50L, 5000L),
+          "lang_ok" -> col("lang").isin("en", "de", "fr"),
+          "text_ok" -> (col("text").isNotNull && length(col("text")) > 0)))
+        .select(col("doc_id"), col("fail_mask"), col("first_fail"),
+          col("kept").cast("int").as("kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+           |    NOT coalesce(n_chars BETWEEN 50 AND 5000, FALSE) AS f0,
+           |    NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS f1,
+           |    NOT coalesce(text IS NOT NULL AND len(text) > 0, FALSE) AS f2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN f0 THEN 1 ELSE 0 END
+           |     + CASE WHEN f1 THEN 2 ELSE 0 END
+           |     + CASE WHEN f2 THEN 4 ELSE 0 END AS BIGINT) AS fail_mask,
+           |  CASE WHEN f0 THEN 'len_ok' WHEN f1 THEN 'lang_ok'
+           |       WHEN f2 THEN 'text_ok' END AS first_fail,
+           |  CAST(NOT (f0 OR f1 OR f2) AS INT) AS kept
+           |FROM g ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Gate funnel summary (fully oracled): per-gate independent failure
+    * counts + first-failure marginals (which sum to the dropped total)
+    * from ONE aggregate over the report. */
+  val gateSummaryProbe = Probe(
+    "q141_gate_funnel",
+    (s, d) => {
+      import graft.operators.Quality
+      val gates = Seq(
+        "len_ok" -> col("n_chars").between(50L, 5000L),
+        "lang_ok" -> col("lang").isin("en", "de", "fr"),
+        "text_ok" -> (col("text").isNotNull && length(col("text")) > 0))
+      Quality.gateSummary(
+          Quality.gateReport(Tables.documents(s, d), gates), gates)
+        .orderBy("gate_idx")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+           |    NOT coalesce(n_chars BETWEEN 50 AND 5000, FALSE) AS f0,
+           |    NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS f1,
+           |    NOT coalesce(text IS NOT NULL AND len(text) > 0, FALSE) AS f2
+           |  FROM documents),
+           |a AS (SELECT
+           |    CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS nf0,
+           |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+           |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+           |    CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS ff0,
+           |    CAST(sum(CASE WHEN NOT f0 AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS ff1,
+           |    CAST(sum(CASE WHEN NOT f0 AND NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS ff2,
+           |    CAST(sum(CASE WHEN f0 OR f1 OR f2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+           |  FROM g)
+           |SELECT 'len_ok' AS gate, 0 AS gate_idx, nf0 AS n_failed, ff0 AS n_first_fail FROM a
+           |UNION ALL SELECT 'lang_ok', 1, nf1, ff1 FROM a
+           |UNION ALL SELECT 'text_ok', 2, nf2, ff2 FROM a
+           |UNION ALL SELECT '_total_', 3, dropped, dropped FROM a
+           |ORDER BY gate_idx""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4602,7 +4758,8 @@ object Probes {
     rrfProbe, budgetCapProbe, unicodeProbe, uniquenessProbe,
     dedupRepsProbe, mmrProbe, sparseCosineProbe, ccStarProbe,
     normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
-    int8QuantizeProbe, lDiversityProbe
+    int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
+    phraseSearchProbe, gateReportProbe, gateSummaryProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -76,6 +76,46 @@ class ClassifySpec extends AnyFunSuite {
     assert(m.filter(col("term") === "poison").count() == 0)
   }
 
+  test("evalBinary: hand-computed confusion and ppm metrics") {
+    val scored = Seq(
+      (Some(true), Some(true)),   // tp
+      (Some(true), Some(true)),   // tp
+      (Some(true), Some(false)),  // fp
+      (Some(false), Some(true)),  // fn
+      (Some(false), Some(false)), // tn
+      (None, Some(true)),         // null pred
+      (Some(true), None)          // null truth
+    ).toDF("pred", "truth")
+    val r = Classify.evalBinary(scored, col("pred"), col("truth"))
+      .select("tp", "fp", "tn", "fn", "n_null", "accuracy_ppm",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])].head()
+    assert(r._1 == 2L && r._2 == 1L && r._3 == 1L && r._4 == 1L && r._5 == 2L)
+    assert(r._6 == Some(600000L))  // 3/5
+    assert(r._7 == Some(666666L))  // 2/3 truncated
+    assert(r._8 == Some(666666L))  // 2/3
+    // f1 = 2·p·r/(p+r) on the ppm values = 666666
+    assert(r._9 == Some(666666L))
+  }
+
+  test("evalBinary: undefined metrics are NULL, not fake zeros") {
+    // no positive predictions → precision NULL; no positive truth →
+    // recall NULL; both → f1 NULL
+    val allNeg = Seq((Some(false), Some(false)), (Some(false), Some(false)))
+      .toDF("pred", "truth")
+    val r = Classify.evalBinary(allNeg, col("pred"), col("truth"))
+      .select("accuracy_ppm", "precision_ppm", "recall_ppm", "f1_ppm")
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long])].head()
+    assert(r._1 == Some(1000000L) && r._2.isEmpty && r._3.isEmpty &&
+      r._4.isEmpty)
+    // empty frame: every cell 0, every metric NULL
+    val e = Classify.evalBinary(allNeg.limit(0), col("pred"), col("truth"))
+      .select("tp", "accuracy_ppm")
+      .as[(Long, Option[Long])].head()
+    assert(e._1 == 0L && e._2.isEmpty)
+  }
+
   test("layout independence: same scores on any partitioning") {
     val train = (0 until 40).map(i =>
       (i % 3 == 0, s"w${i % 7} w${i % 5} w${i % 11}")).toDF("label", "text")
