@@ -72,4 +72,73 @@ object Fusion {
       .withColumn("fused_rank", row_number().over(fusedW).cast("long"))
     if (topK > 0) fused.filter(col("fused_rank") <= topK) else fused
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two ranked lists
+    * per query — the ranking-similarity metric that pairs with [[rrf]]
+    * (how much do two retrievers agree?) and with release-to-release
+    * regression checks (did the new index change results?). Top-weighted
+    * by persistence p: RBO@k = (1−p) Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d|/d.
+    *
+    * Exact integer evaluation with rational p = pNum/pDen: the depth
+    * weight w_d = ⌊10⁹ · pNum^(d−1) · (pDen−pNum) / pDen^d⌋ is computed
+    * ONCE, exactly, in BigInt at plan time and enters the plan as a
+    * k-element array literal (no engine float `power` anywhere; an
+    * oracle interpolates the same integers), each per-depth term is
+    * (w_d · overlap_d) DIV d, and the score is their exact long sum —
+    * the standard deterministic-truncation discipline (bias < k
+    * nano-units per depth, far below any comparison threshold).
+    *
+    * Shape: ranks are one bounded window per list; the overlap join is
+    * (query, id)-keyed on the ≤k prefixes; each agreeing item expands to
+    * its ≤k surviving depths (bounded fan-out k); one (query, d) count
+    * + one query-keyed sum. Queries with NO agreement in the prefixes
+    * still report (rbo_nano = 0) via the left join on the query spine.
+    *
+    * @return one row per query: `queryCols ++ (n_agree, rbo_nano)` —
+    *         n_agree = items shared by the two k-prefixes. */
+  /** The exact nano-unit RBO depth weights — public so an oracle (or a
+    * caller re-normalizing truncated mass) can interpolate the identical
+    * integers: w_d = ⌊10⁹ · pNum^(d−1) · (pDen−pNum) / pDen^d⌋. */
+  def depthWeights(k: Int, pNum: Int, pDen: Int): Seq[Long] =
+    (1 to k).map { d =>
+      (BigInt(1000000000) * BigInt(pNum).pow(d - 1) * (pDen - pNum) /
+        BigInt(pDen).pow(d)).toLong
+    }
+
+  def rboNano(a: DataFrame, b: DataFrame, queryCols: Seq[String],
+              idCol: String, scoreCol: String, k: Int,
+              pNum: Int = 9, pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"depth k in 1..100, got $k")
+    require(pNum >= 1 && pNum < pDen, "persistence p = pNum/pDen in (0,1)")
+    val q = queryCols.map(col)
+    def prefix(df: DataFrame, rankName: String): DataFrame = {
+      val w = Window.partitionBy(q: _*)
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(q :+ col(idCol) :+ col(scoreCol): _*)
+        .withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= k)
+        .select(q :+ col(idCol) :+ col(rankName): _*)
+    }
+    val joined = prefix(a, "__ra")
+      .join(prefix(b, "__rb"), queryCols :+ idCol)
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+    // every agreeing item contributes to depths d = max(ra, rb) .. k
+    val byDepth = joined
+      .select((q :+ explode(sequence(col("__m"), lit(k))).as("__d")): _*)
+      .groupBy(q :+ col("__d"): _*)
+      .agg(count(lit(1)).as("__overlap"))
+      .withColumn("__w",
+        element_at(array(depthWeights(k, pNum, pDen).map(lit): _*),
+          col("__d")))
+      .withColumn("__term", expr("(__w * __overlap) DIV __d"))
+    val spine = a.select(q: _*).distinct()
+      .unionByName(b.select(q: _*).distinct()).distinct()
+    val perQuery = joined.groupBy(q: _*)
+      .agg(count(lit(1)).cast("long").as("n_agree"))
+      .join(byDepth.groupBy(q: _*).agg(sum(col("__term")).as("rbo_nano")),
+        queryCols)
+    spine.join(perQuery, queryCols, "left_outer")
+      .select((q :+ coalesce(col("n_agree"), lit(0L)).as("n_agree") :+
+        coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano")): _*)
+  }
 }

@@ -93,4 +93,34 @@ object Mixture {
     Relational.globalRank(timed, Seq(col("vtime"), sourceCol, key))
       .withColumnRenamed("rank", "pos")
   }
+
+  /** Square-root temperature sampling shares (τ = 1/2) — the standard
+    * multilingual/multi-source rebalancing (mC4, XLM-R shape): sampling
+    * a source ∝ √(its size) upweights the tail without letting the head
+    * dominate. τ = 1/2 is the one temperature with an ENGINE-EXACT
+    * evaluation: s_i = ⌊√(n_i · 10⁶)⌋ is the floor of one
+    * correctly-rounded IEEE sqrt (bit-identical on any engine — the
+    * cast and the sqrt round identically everywhere; within 1 ulp of
+    * the true integer sqrt, same everywhere), and the shares are
+    * integer ratios of those: share_ppm_i = (10⁶·s_i) DIV Σ s_j.
+    * `raw_share_ppm` (∝ n_i) rides along so the flattening is visible;
+    * feed the shares to [[interleave]] / `Sampling.budgetCap` to
+    * realize the mixture.
+    *
+    * One map-side-combined count per source + a one-row broadcast
+    * total — O(#sources) everything. Output: (`source`, `n_rows`,
+    * `sqrt_milli`, `raw_share_ppm`, `share_ppm`). */
+  def sqrtTemperatureShares(df: DataFrame, sourceCol: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("sqrt_milli",
+        floor(sqrt((col("n_rows") * lit(1000000L)).cast("double")))
+          .cast("long"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_rows")).as("__tn"), sum(col("sqrt_milli")).as("__ts")))
+    counts.crossJoin(totals)
+      .select(col("source"), col("n_rows"), col("sqrt_milli"),
+        expr("(1000000L * n_rows) DIV __tn").as("raw_share_ppm"),
+        expr("(1000000L * sqrt_milli) DIV __ts").as("share_ppm"))
+  }
 }

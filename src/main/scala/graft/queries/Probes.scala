@@ -4731,6 +4731,81 @@ object Probes {
            |ORDER BY gate_idx""".stripMargin)
   )
 
+  /** Rank-biased overlap between two retrievers (fully oracled): exact
+    * nano-unit RBO@10 at p = 0.9 per query — BigInt depth-weight
+    * literals interpolated IDENTICALLY into both engines, bounded
+    * prefix join + depth expansion. */
+  val rboProbe = Probe(
+    "q142_rbo",
+    (s, d) => {
+      import graft.operators.Fusion
+      val docs = Tables.documents(s, d)
+      val byLen = docs.select(col("source"), col("doc_id"),
+        col("n_chars").cast("double").as("score"))
+      val byDig = docs.select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(lit("r|"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("double").as("score"))
+      Fusion.rboNano(byLen, byDig, Seq("source"), "doc_id", "score", k = 10)
+        .orderBy("source")
+    },
+    Some {
+      val w = graft.operators.Fusion.depthWeights(10, 9, 10)
+        .zipWithIndex.map { case (v, i) => s"(${i + 1}, ${v})" }
+        .mkString(", ")
+      s"""WITH a AS (SELECT source, doc_id,
+         |    CAST(n_chars AS DOUBLE) AS score FROM documents),
+         |b AS (SELECT source, doc_id,
+         |    CAST(CAST('0x' || substring(md5('r|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS score
+         |  FROM documents),
+         |ra AS (SELECT source, doc_id, row_number() OVER
+         |    (PARTITION BY source ORDER BY score DESC, doc_id) AS r FROM a),
+         |rb AS (SELECT source, doc_id, row_number() OVER
+         |    (PARTITION BY source ORDER BY score DESC, doc_id) AS r FROM b),
+         |j AS (SELECT ra.source, ra.doc_id,
+         |    greatest(ra.r, rb.r) AS m
+         |  FROM ra JOIN rb USING (source, doc_id)
+         |  WHERE ra.r <= 10 AND rb.r <= 10),
+         |wt(d, w) AS (VALUES $w),
+         |dep AS (SELECT source, unnest(generate_series(m, 10)) AS d FROM j),
+         |ov AS (SELECT source, d, count(*) AS overlap FROM dep GROUP BY 1, 2),
+         |terms AS (SELECT source, (wt.w * ov.overlap) // ov.d AS term
+         |  FROM ov JOIN wt ON ov.d = wt.d),
+         |agg AS (SELECT j.source, CAST(count(*) AS BIGINT) AS n_agree
+         |  FROM j GROUP BY 1),
+         |rbo AS (SELECT source, CAST(sum(term) AS BIGINT) AS rbo_nano
+         |  FROM terms GROUP BY 1)
+         |SELECT s.source, coalesce(a2.n_agree, 0) AS n_agree,
+         |  coalesce(r2.rbo_nano, 0) AS rbo_nano
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN agg a2 USING (source) LEFT JOIN rbo r2 USING (source)
+         |ORDER BY source""".stripMargin
+    }
+  )
+
+  /** √-temperature mixture shares (fully oracled): per-source sampling
+    * shares ∝ √size in exact integers off one correctly-rounded IEEE
+    * sqrt — the multilingual rebalancing curve, flattening visible
+    * against the raw shares. */
+  val sqrtTemperatureProbe = Probe(
+    "q143_sqrt_temperature",
+    (s, d) => {
+      import graft.operators.Mixture
+      Mixture.sqrtTemperatureShares(Tables.documents(s, d), col("source"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_rows
+           |  FROM documents GROUP BY 1),
+           |s AS (SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+           |    CAST(floor(sqrt(CAST(n_rows * 1000000 AS DOUBLE))) AS BIGINT)
+           |      AS sqrt_milli
+           |  FROM c),
+           |t AS (SELECT sum(n_rows) AS tn, sum(sqrt_milli) AS ts FROM s)
+           |SELECT source, n_rows, sqrt_milli,
+           |  CAST((1000000 * n_rows) // tn AS BIGINT) AS raw_share_ppm,
+           |  CAST((1000000 * sqrt_milli) // ts AS BIGINT) AS share_ppm
+           |FROM s, t ORDER BY source""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4759,7 +4834,8 @@ object Probes {
     dedupRepsProbe, mmrProbe, sparseCosineProbe, ccStarProbe,
     normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
     int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
-    phraseSearchProbe, gateReportProbe, gateSummaryProbe
+    phraseSearchProbe, gateReportProbe, gateSummaryProbe,
+    rboProbe, sqrtTemperatureProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
