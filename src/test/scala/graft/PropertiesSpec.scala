@@ -80,6 +80,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("AlnumFold kernel ≡ regex pair over random unicode strings") {
+    import graft.plans.TextExprs
+    // chars chosen to stress every branch: alnum, ASCII ws, unicode ws,
+    // punctuation, accents, CJK, surrogate pairs, control chars
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf(' ', '\t', '\n', '\f', '\r', '\u000b'),
+      Gen.oneOf('\u00a0', '\u2028', '!', '.', ';', '\u00e9', '\u00df',
+        '\u6f22', '\u0001'),
+      Gen.const('\ud83d'), Gen.const('\ude00')) // lone + paired surrogates
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    forAllSampled(Gen.listOfN(40, strGen), n = 8) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "t")
+      val bad = df.select(
+          TextExprs.alnumFold(spark, col("t")).as("k"),
+          trim(regexp_replace(regexp_replace(col("t"), "[^a-z0-9\\s]", " "),
+            "\\s+", " ")).as("r"))
+        .filter(col("k") =!= col("r"))
+        .count()
+      assert(bad == 0L)
+    }
+  }
+
+  test("evalBinary cells partition the frame (counts conserve rows)") {
+    import graft.operators.Classify
+    val pairGen: Gen[List[(Option[Boolean], Option[Boolean])]] =
+      Gen.listOf(Gen.zip(Gen.option(Gen.oneOf(true, false)),
+        Gen.option(Gen.oneOf(true, false))))
+    forAllSampled(pairGen, n = 8) { rows =>
+      val df = rows.toDF("pred", "truth")
+      val r = Classify.evalBinary(df, col("pred"), col("truth"))
+        .select("tp", "fp", "tn", "fn", "n_null")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(r._1 + r._2 + r._3 + r._4 + r._5 == rows.size.toLong)
+    }
+  }
+
   test("latestPerKey: one row per key, row ∈ input, max order value (A7)") {
     forAllSampled(rowsGen) { rows =>
       if (rows.nonEmpty) {
