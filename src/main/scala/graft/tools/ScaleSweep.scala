@@ -365,7 +365,33 @@ object ScaleSweep {
           graft.operators.Quantize.int8Audit(emb))),
         "l_diversity" -> (() => noop(
           graft.operators.Quality.lDiversity(li,
-            Seq("l_suppkey"), "l_partkey", l = 5)))
+            Seq("l_suppkey"), "l_partkey", l = 5))),
+        // phrase postings filter to 2 terms BEFORE the (id, pos) join
+        "phrase_search" -> (() => noop(
+          CorpusStats.phraseSearch(docs, Seq("hash", "join")))),
+        // 3 narrow gates + one-aggregate funnel
+        "gate_funnel" -> { () =>
+          val gates = Seq(
+            "len_ok" -> col("n_chars").between(50L, 5000L),
+            "lang_ok" -> col("lang").isin("en", "de", "fr"),
+            "text_ok" -> (col("text").isNotNull && length(col("text")) > 0))
+          noop(graft.operators.Quality.gateSummary(
+            graft.operators.Quality.gateReport(docs, gates), gates))
+        },
+        // bounded prefixes per query (source) — corpus size only enters
+        // through the rank windows
+        "rbo" -> { () =>
+          val byLen = docs.select(col("source"), col("doc_id"),
+            col("n_chars").cast("double").as("score"))
+          val byDig = docs.select(col("source"), col("doc_id"),
+            conv(substring(md5(concat(lit("r|"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("double").as("score"))
+          noop(graft.operators.Fusion.rboNano(byLen, byDig, Seq("source"),
+            "doc_id", "score", k = 10))
+        },
+        "sqrt_temperature" -> (() => noop(
+          graft.operators.Mixture.sqrtTemperatureShares(docs, col("source"))))
       )
       val selected =
         if (opFilter.isEmpty) ops
