@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over embedding vectors with EXACT integer
+  * arithmetic — the clustering tier of an embedding corpus (SemDeDup
+  * groups, IVF coarse quantizers, mixture-by-topic all start from "run
+  * k-means over the vectors").
+  *
+  * Float k-means is nondeterministic across engines AND layouts (every
+  * centroid mean is an order-dependent float sum), so this
+  * implementation works in integer micro-units end-to-end, the
+  * `pagerankMicro` discipline applied to geometry:
+  *
+  *   x_micro      = ⌊x·10⁶ + 0.5⌋                 (one rounding, at ingest)
+  *   dist²(x, c)  = Σ_d (x_d − c_d)²               (exact integer sum)
+  *   centroid'_d  = (Σ_assigned x_d) DIV n          (truncating integer mean)
+  *
+  * Assignment argmin breaks ties toward the LOWEST cluster id; seeds are
+  * the k vectors with the lowest (md5(id), id) — deterministic on any
+  * layout, the engine's standard digest-order trick (`bottomKPerStratum`,
+  * `shuffleShard`). Every step is replayable by any engine with 64-bit
+  * integers + 128-bit sums (the oracle unrolls the iterations as CTE
+  * chains, like q78's PageRank).
+  *
+  * Scale posture (100 TB of vectors): per iteration, ONE broadcast of
+  * the k×dims centroid table into a narrow distance projection (the k
+  * candidate distances fold inside the row — no k-fanout join rows
+  * materialize), one (cluster, dim)-keyed partial→final aggregate for
+  * the update (shuffle = k·dims rows, not vectors), and an O(k·dims)
+  * driver-side centroid table — the same bounded-driver-state contract
+  * as IVF's sampled training. The micro-unit vector frame persists
+  * across iterations (released before returning); assignment output is
+  * one (id, cluster, dist) row per vector.
+  *
+  * i64 headroom: |x| ≤ ~9·10³ keeps Σ_d (Δ_micro)² under 2⁶³ at 4096
+  * dims; unit-norm-ish embeddings are orders of magnitude below that.
+  */
+object Clustering {
+
+  /** Run `iters` Lloyd iterations; returns assignments
+    * (`id`, `cluster` 0-based, `dist2` — exact Σ(Δ_micro)²) under the
+    * FINAL centroids. Empty clusters keep their previous centroid. */
+  def kmeansMicro(embs: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(iters >= 1, "iters >= 1")
+    val micro = embs.select(
+      col(idCol),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+        .as("vm"))
+      .persist()
+
+    // deterministic seeds: k lowest (digest, id) — layout-independent
+    val seeds = micro
+      .withColumn("__dig", md5(col(idCol).cast("string")))
+      .orderBy(col("__dig"), col(idCol))
+      .limit(k)
+      .select(col("vm"))
+    var centroids = seeds.collect().zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Long](0))
+    }.toSeq
+
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+      // fold the k distances inside the row: array of (dist2, cluster)
+      // structs → array_min picks (min dist, lowest cluster). No k-way
+      // row fanout ever materializes.
+      val candidates = array(cents.map { case (cid, c) =>
+        struct(
+          aggregate(
+            zip_with(col("vm"), typedLit(c), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, d) => acc + d).as("dist2"),
+          lit(cid).as("cluster"))
+      }: _*)
+      micro.select(col(idCol), col("vm"),
+        array_min(candidates).as("__best"))
+        .select(col(idCol), col("vm"),
+          col("__best.cluster").as("cluster"),
+          col("__best.dist2").as("dist2"))
+    }
+
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(centroids)
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("vm")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          expr("CAST(s DIV n AS BIGINT)").as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        updated.get(cid) match {
+          case Some(rows) =>
+            val byDim = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+            (cid, old.indices.map(d => byDim(d)))
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+      i += 1
+    }
+    val out = assign(centroids).drop("vm").localCheckpoint(true)
+    micro.unpersist()
+    out
+  }
+
+  /** The final centroid table of [[kmeansMicro]] reconstructed from an
+    * assignment frame + the micro vectors — (`cluster`, `dim`,
+    * `c_micro`, `n`): the audit view an oracle recomputes. */
+  def centroidTable(embs: DataFrame, assignments: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val micro = embs.select(
+      col(idCol),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+        .as("vm"))
+    micro.join(assignments.select(col(idCol), col("cluster")), idCol)
+      .select(col("cluster"), posexplode(col("vm")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(38,0)")).as("s"))
+      .select(col("cluster"), col("dim"), expr("CAST(s DIV n AS BIGINT)").as("c_micro"),
+        col("n"))
+  }
+}

@@ -4806,6 +4806,62 @@ object Probes {
            |FROM s, t ORDER BY source""".stripMargin)
   )
 
+  /** Micro-unit k-means (fully oracled): k=4, two Lloyd iterations over
+    * the embeddings — digest-order seeds, exact integer distances and
+    * truncating integer centroid means, every iteration unrolled in the
+    * oracle as CTE chains (the q78 PageRank pattern applied to
+    * geometry). */
+  val kmeansProbe = Probe(
+    "q144_kmeans",
+    (s, d) => {
+      import graft.operators.Clustering
+      Clustering.kmeansMicro(Tables.embeddings(s, d), k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH m AS (SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS vm
+           |  FROM embeddings),
+           |seeds AS (SELECT vm, row_number() OVER
+           |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+           |  FROM m QUALIFY cluster < 4),
+           |x AS (SELECT vec_id, generate_subscripts(vm, 1) AS dim,
+           |    unnest(vm) AS x FROM m),
+           |c0 AS (SELECT cluster, generate_subscripts(vm, 1) AS dim,
+           |    unnest(vm) AS c FROM seeds),
+           |d1 AS (SELECT x.vec_id, c0.cluster,
+           |    sum((x.x - c0.c) * (x.x - c0.c)) AS dist2
+           |  FROM x JOIN c0 USING (dim) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cluster FROM d1
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist2, cluster) = 1),
+           |u1 AS (SELECT a1.cluster, x.dim,
+           |    CAST(CAST(sum(x.x) AS HUGEINT) // count(*) AS BIGINT) AS c
+           |  FROM x JOIN a1 USING (vec_id) GROUP BY 1, 2),
+           |c1 AS (SELECT c0.cluster, c0.dim, coalesce(u1.c, c0.c) AS c
+           |  FROM c0 LEFT JOIN u1 ON c0.cluster = u1.cluster AND c0.dim = u1.dim),
+           |d2 AS (SELECT x.vec_id, c1.cluster,
+           |    sum((x.x - c1.c) * (x.x - c1.c)) AS dist2
+           |  FROM x JOIN c1 USING (dim) GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, cluster FROM d2
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist2, cluster) = 1),
+           |u2 AS (SELECT a2.cluster, x.dim,
+           |    CAST(CAST(sum(x.x) AS HUGEINT) // count(*) AS BIGINT) AS c
+           |  FROM x JOIN a2 USING (vec_id) GROUP BY 1, 2),
+           |c2 AS (SELECT c1.cluster, c1.dim, coalesce(u2.c, c1.c) AS c
+           |  FROM c1 LEFT JOIN u2 ON c1.cluster = u2.cluster AND c1.dim = u2.dim),
+           |d3 AS (SELECT x.vec_id, c2.cluster,
+           |    CAST(sum((x.x - c2.c) * (x.x - c2.c)) AS BIGINT) AS dist2
+           |  FROM x JOIN c2 USING (dim) GROUP BY 1, 2)
+           |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM d3
+           |QUALIFY row_number() OVER (PARTITION BY vec_id
+           |  ORDER BY dist2, cluster) = 1
+           |ORDER BY vec_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4835,7 +4891,7 @@ object Probes {
     normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
     int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
     phraseSearchProbe, gateReportProbe, gateSummaryProbe,
-    rboProbe, sqrtTemperatureProbe
+    rboProbe, sqrtTemperatureProbe, kmeansProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+/** Micro-unit k-means: separation of obvious clusters, determinism under
+  * layout, Lloyd descent, empty-cluster survival, centroid audit. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Two tight blobs far apart + ids interleaved so seed order mixes. */
+  private def blobs(n: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(3)
+    (0 until n).map { i =>
+      val center = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Array.fill(8)(center + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("separates two far blobs: assignments constant within a blob") {
+    val out = Clustering.kmeansMicro(blobs(60), k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val evenClusters = out.filter(_._1 % 2 == 0).values.toSet
+    val oddClusters = out.filter(_._1 % 2 == 1).values.toSet
+    assert(evenClusters.size == 1 && oddClusters.size == 1)
+    assert(evenClusters != oddClusters)
+  }
+
+  test("deterministic under partitioning") {
+    val d = blobs(40)
+    val a = Clustering.kmeansMicro(d, k = 3, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val b = Clustering.kmeansMicro(d.repartition(7), k = 3, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("more iterations never increase total within-cluster distance") {
+    val d = blobs(50)
+    def cost(iters: Int): BigInt =
+      Clustering.kmeansMicro(d, k = 2, iters = iters)
+        .agg(sum(col("dist2"))).as[Long].head()
+    // Lloyd descent holds for the exact arithmetic too (truncating
+    // means can in principle bounce ±1 micro — far below blob scale)
+    assert(cost(3) <= cost(1))
+  }
+
+  test("k larger than distinct points: empty clusters keep seeds, run completes") {
+    val d = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)),
+      (3L, Array(-1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansMicro(d, k = 3, iters = 2)
+      .select("vec_id", "cluster", "dist2")
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 3)
+    // identical points land in the same cluster with dist 0
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == byId(2L)._2)
+  }
+
+  test("centroidTable recomputes the assignment means exactly") {
+    val d = blobs(30)
+    val a = Clustering.kmeansMicro(d, k = 2, iters = 2)
+    val cents = Clustering.centroidTable(d, a)
+      .select("cluster", "dim", "c_micro", "n")
+      .as[(Int, Int, Long, Long)].collect()
+    // blob means sit at ±(10.0 + ~0.05) → micro magnitudes near 10e6
+    // (+0.05 for the +10 blob, −... the negative blob mean is −9.95)
+    assert(cents.forall { case (_, _, c, n) =>
+      n > 0 && math.abs(c) > 9900000L && math.abs(c) < 10100000L })
+  }
+}
