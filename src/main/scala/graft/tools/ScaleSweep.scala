@@ -391,7 +391,12 @@ object ScaleSweep {
             "doc_id", "score", k = 10))
         },
         "sqrt_temperature" -> (() => noop(
-          graft.operators.Mixture.sqrtTemperatureShares(docs, col("source"))))
+          graft.operators.Mixture.sqrtTemperatureShares(docs, col("source"))),
+        ),
+        // per iteration: broadcast centroid fold (narrow) + (cluster,
+        // dim)-keyed update agg — vectors replicate with rep, k fixed
+        "kmeans_k8_2it" -> (() => noop(
+          graft.operators.Clustering.kmeansMicro(emb, k = 8, iters = 2)))
       )
       val selected =
         if (opFilter.isEmpty) ops
