@@ -193,4 +193,82 @@ object TimeSeries {
           .over(Window.orderBy(col("__b"))))
       .select(col("__b").as("bucket"), col("n_active"))
   }
+
+  /** Seasonal (hour-of-week) profile + residuals — the deseasonalizer in
+    * front of anomaly detection: a metric that spikes every Monday 09:00
+    * is CYCLE, not anomaly, and feeding raw values to Hampel/MAD/CUSUM
+    * alarms on the weekly rhythm. The cycle index is computed from epoch
+    * MICROseconds alone — `how = (epoch_µs DIV 3.6e9) % 168` (a 168-hour
+    * cycle anchored at the epoch, a Thursday 00:00 UTC) — pure integer
+    * arithmetic that every engine evaluates identically, where calendar
+    * `dayofweek()` differs across engines in origin and numbering.
+    *
+    * Profile mean is the truncating integer mean of cent values per
+    * (key, how) — 168·|keys| rows, map-side combined; residual = value −
+    * profile via the join back (AQE broadcasts the profile when it
+    * fits). Output: input keys + (`how`, `value_cents`, `profile_cents`,
+    * `n_obs`, `residual_cents`). */
+  def seasonalResiduals(df: DataFrame, key: Column, ts: Column,
+                        valueCents: Column): DataFrame = {
+    val based = df
+      .withColumn("__k", key)
+      .withColumn("__ts", ts)
+      .withColumn("value_cents", valueCents.cast("long"))
+      .withColumn("how", expr("(unix_micros(__ts) DIV 3600000000) % 168"))
+    val profile = based.groupBy(col("__k"), col("how"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value_cents").cast("decimal(38,0)")).as("__s"))
+      .select(col("__k"), col("how"), col("n_obs"),
+        expr("CAST(__s DIV n_obs AS BIGINT)").as("profile_cents"))
+    based.join(profile, Seq("__k", "how"))
+      .withColumn("residual_cents", col("value_cents") - col("profile_cents"))
+      .drop("__k", "__ts")
+  }
+
+  /** CUSUM changepoint scores per key — the sequential drift detector
+    * (Page 1954) in closed form: the textbook recurrences
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))
+    *   S⁻_t = max(0, S⁻_{t−1} − (x_t − μ + slack))
+    *
+    * look iterative, but each equals a PREFIX SUM minus its RUNNING
+    * extremum: with P_t = Σ_{j≤t}(x_j − μ − slack),
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) — so the whole trajectory is
+    * two stacked windows (cumsum, running min/max) over one key-hash
+    * exchange, never a sequential group iteration. All arithmetic in
+    * exact integer cents; μ is the key's own exact truncating mean
+    * (two-pass: one aggregate + join back). `alarm` = either side
+    * exceeding `threshold`.
+    *
+    * `order` must totally order each group (ties would make the cumsum
+    * layout-dependent). Appends `value_cents`, `mu_cents`, `s_pos`,
+    * `s_neg`, `alarm`; one key-hash exchange, windows share its sort. */
+  def cusum(df: DataFrame, key: Column, order: Seq[Column],
+            valueCents: Column,
+            slackCents: Long, thresholdCents: Long): DataFrame = {
+    require(slackCents >= 0 && thresholdCents > 0,
+      "slack >= 0, threshold > 0")
+    val based = df
+      .withColumn("__k", key)
+      .withColumn("value_cents", valueCents.cast("long"))
+    val mu = based.groupBy(col("__k"))
+      .agg(expr("CAST(sum(CAST(value_cents AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+        .as("mu_cents"))
+    val cum = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    based.join(mu, "__k")
+      .withColumn("__dp",
+        col("value_cents") - col("mu_cents") - lit(slackCents))
+      .withColumn("__dn",
+        col("value_cents") - col("mu_cents") + lit(slackCents))
+      .withColumn("__pp", sum(col("__dp")).over(cum))
+      .withColumn("__pn", sum(col("__dn")).over(cum))
+      .withColumn("s_pos",
+        col("__pp") - least(lit(0L), min(col("__pp")).over(cum)))
+      .withColumn("s_neg",
+        greatest(lit(0L), max(col("__pn")).over(cum)) - col("__pn"))
+      .withColumn("alarm",
+        col("s_pos") > thresholdCents || col("s_neg") > thresholdCents)
+      .drop("__k", "__dp", "__dn", "__pp", "__pn")
+  }
 }

@@ -4862,6 +4862,83 @@ object Probes {
            |ORDER BY vec_id""".stripMargin)
   )
 
+  /** Seasonal hour-of-week profile + residuals (fully oracled): the
+    * deseasonalizer — epoch-anchored 168-hour cycle index in pure
+    * integer µs arithmetic, truncating integer profile means, exact
+    * cent residuals. */
+  val seasonalProbe = Probe(
+    "q145_seasonal",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.seasonalResiduals(
+          Tables.events(s, d), col("event_type"), col("ts"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .select(col("event_id"), col("event_type"), col("how"),
+          col("value_cents"), col("profile_cents"), col("n_obs"),
+          col("residual_cents"))
+        .orderBy("event_id")
+    },
+    Some("""WITH b AS (SELECT event_id, event_type,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+           |    (epoch_us(ts::TIMESTAMP) // 3600000000) % 168 AS how
+           |  FROM events),
+           |p AS (SELECT event_type, how, count(*) AS n_obs,
+           |    CAST(sum(CAST(value_cents AS HUGEINT)) // count(*) AS BIGINT)
+           |      AS profile_cents
+           |  FROM b GROUP BY 1, 2)
+           |SELECT b.event_id, b.event_type, b.how, b.value_cents,
+           |  p.profile_cents, CAST(p.n_obs AS BIGINT) AS n_obs,
+           |  b.value_cents - p.profile_cents AS residual_cents
+           |FROM b JOIN p USING (event_type, how)
+           |ORDER BY event_id""".stripMargin)
+  )
+
+  /** CUSUM changepoint scores (fully oracled): Page's recurrences in
+    * closed form — prefix sum minus running extremum, two stacked
+    * windows over one exchange, exact integer cents throughout. */
+  val cusumProbe = Probe(
+    "q146_cusum",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.cusum(
+          Tables.events(s, d), col("event_type"),
+          Seq(col("ts"), col("event_id")),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+          slackCents = 500L, thresholdCents = 50000L)
+        .select(col("event_id"), col("event_type"), col("value_cents"),
+          col("mu_cents"), col("s_pos"), col("s_neg"),
+          col("alarm").cast("int").as("alarm"))
+        .orderBy("event_id")
+    },
+    Some("""WITH b AS (SELECT event_id, event_type, ts,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+           |  FROM events),
+           |m AS (SELECT event_type,
+           |    CAST(sum(CAST(value_cents AS HUGEINT)) // count(*) AS BIGINT)
+           |      AS mu_cents
+           |  FROM b GROUP BY 1),
+           |w1 AS (SELECT b.event_id, b.event_type, b.ts, b.value_cents,
+           |    m.mu_cents,
+           |    sum(b.value_cents - m.mu_cents - 500) OVER
+           |      (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           |       ROWS UNBOUNDED PRECEDING) AS pp,
+           |    sum(b.value_cents - m.mu_cents + 500) OVER
+           |      (PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           |       ROWS UNBOUNDED PRECEDING) AS pn
+           |  FROM b JOIN m USING (event_type)),
+           |w2 AS (SELECT *,
+           |    least(0, min(pp) OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS minpp,
+           |    greatest(0, max(pn) OVER (PARTITION BY event_type
+           |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS maxpn
+           |  FROM w1)
+           |SELECT event_id, event_type, value_cents, mu_cents,
+           |  CAST(pp - minpp AS BIGINT) AS s_pos,
+           |  CAST(maxpn - pn AS BIGINT) AS s_neg,
+           |  CAST((pp - minpp > 50000) OR (maxpn - pn > 50000) AS INT) AS alarm
+           |FROM w2 ORDER BY event_id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4891,7 +4968,8 @@ object Probes {
     normalizedDedupProbe, boilerplateProbe, ratioClassifierProbe,
     int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
     phraseSearchProbe, gateReportProbe, gateSummaryProbe,
-    rboProbe, sqrtTemperatureProbe, kmeansProbe
+    rboProbe, sqrtTemperatureProbe, kmeansProbe, seasonalProbe,
+    cusumProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
