@@ -396,7 +396,16 @@ object ScaleSweep {
         // per iteration: broadcast centroid fold (narrow) + (cluster,
         // dim)-keyed update agg — vectors replicate with rep, k fixed
         "kmeans_k8_2it" -> (() => noop(
-          graft.operators.Clustering.kmeansMicro(emb, k = 8, iters = 2)))
+          graft.operators.Clustering.kmeansMicro(emb, k = 8, iters = 2))),
+        // (key, how) profile agg + join-back — events replicate with rep
+        "seasonal_residuals" -> (() => noop(
+          graft.operators.TimeSeries.seasonalResiduals(ev, col("event_type"),
+            col("ts"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")))),
+        // two stacked windows over one event_type exchange
+        "cusum" -> (() => noop(
+          graft.operators.TimeSeries.cusum(ev, col("event_type"),
+            Seq(col("ts"), col("event_id")),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), 500L, 50000L)))
       )
       val selected =
         if (opFilter.isEmpty) ops
