@@ -55,6 +55,32 @@ object Text {
     floor(raw * 10000.0 + 0.5) / 10000.0
   }
 
+  /** Flesch reading-ease in exact integer micro-units — the classic
+    * surface readability gate (news ≈ 60e6, academic ≈ 20e6, legal < 0),
+    * with the standard cheap proxies: sentences = runs of [.!?] (min 1),
+    * syllables = vowel-letter groups [aeiouy]+ of the lowered text (the
+    * usual ±15 % heuristic — the POINT is a monotone, deterministic
+    * signal, not linguistics):
+    *
+    *   fk_micro = 206 835 000 − (1 015 000·W) DIV S − (84 600 000·Y) DIV W
+    *
+    * Truncating integer divisions only, so the score is bit-identical on
+    * any engine (`regexp_count` here ≡ `len(regexp_extract_all(...))`
+    * there); NULL for word-less documents. Narrow — two regex counts and
+    * a token count, pipelined with the scan. */
+  def readabilityMicro(text: Column): Column = {
+    // exact truncating division for NONNEGATIVE longs below 2^53: the
+    // remainder-subtracted numerator divides exactly, so the double
+    // division is exact and the cast loses nothing
+    def divL(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = tokenCountWs(text).cast("long")
+    val s = greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+    val y = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    when(w > 0L,
+      lit(206835000L) - divL(lit(1015000L) * w, s) - divL(lit(84600000L) * y, w))
+  }
+
   /** Language-ID via stopword-profile scoring + CJK codepoint detection —
     * the classic n-gram-profile heuristic reduced to its word-level form.
     * Pure built-ins: per-language occurrence counts, argmax via array_max

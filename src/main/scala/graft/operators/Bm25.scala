@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -82,5 +83,65 @@ object Bm25 {
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         (sum(col("__micro")).cast("double") / 1000000.0).as("score"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 move, with the
+    * engine's integer discipline): take the top `kDocs` documents for
+    * the query, mine the terms that make the feedback set distinctive,
+    * return the top `mTerms` as expansion candidates — feed
+    * `terms ++ expansion` back into [[score]] for the expanded run.
+    *
+    * Deterministic simplification, documented: feedback docs are
+    * selected by EXACT query-term occurrence count (ties → lowest
+    * doc_id), not by the float BM25 score — selection, weights, and
+    * ranking are then all exact integers, engine-replayable to the
+    * last bit. Expansion weight is feedback mass × linear idf (the
+    * `tfidfTopTerms`/q131 rationale — same ranking as log idf, no
+    * libm):
+    *
+    *   w_ppm(t) = Σ_{d ∈ F} tf(t, d) · ((10⁶·N) DIV df(t))
+    *
+    * Scale posture: the occurrence filter prunes to query-term postings
+    * BEFORE any shuffle; the feedback set is kDocs rows (a driver-free
+    * top-k via orderBy+limit → TakeOrderedAndProject); candidate mining
+    * touches only the feedback docs' tokens (semi-join pruned scan);
+    * corpus df attaches via the vocabulary-sized aggregate. Original
+    * query terms are excluded from the expansion.
+    *
+    * Output: (`term`, `fb_tf`, `df`, `w_ppm`, `rank`), rank 1..mTerms
+    * by (w_ppm desc, term asc). */
+  def prfExpansion(docs: DataFrame, docId: Column, text: Column,
+                   terms: Seq[String], kDocs: Int = 10,
+                   mTerms: Int = 10): DataFrame = {
+    require(terms.nonEmpty && kDocs >= 1 && mTerms >= 1,
+      "need query terms, kDocs >= 1, mTerms >= 1")
+    val qTerms = terms.map(_.toLowerCase)
+    val base = docs.select(docId.as("doc_id"), Text.words(text).as("__toks"))
+
+    val feedback = base
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(qTerms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__hits"))
+      .orderBy(col("__hits").desc, col("doc_id").asc)
+      .limit(kDocs)
+      .select(col("doc_id"))
+
+    val fbTf = base.join(feedback, "doc_id")
+      .select(explode(col("__toks")).as("term"))
+      .filter(!col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("fb_tf"))
+
+    val corpusTf = base
+      .select(col("doc_id"), explode(array_distinct(col("__toks"))).as("term"))
+    val dfreq = corpusTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("__n"))
+
+    val w = Window.orderBy(col("w_ppm").desc, col("term").asc)
+    fbTf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("w_ppm", expr("fb_tf * ((1000000L * __n) DIV df)"))
+      .orderBy(col("w_ppm").desc, col("term").asc)
+      .limit(mTerms)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("term"), col("fb_tf"), col("df"), col("w_ppm"), col("rank"))
   }
 }

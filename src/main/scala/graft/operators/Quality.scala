@@ -265,4 +265,32 @@ object Quality {
       .select(col("r.gate"), col("r.gate_idx"),
         col("r.n_failed"), col("r.n_first_fail"))
   }
+
+  /** Gate co-failure matrix over a [[gateReport]] — which filters are
+    * redundant (fire together) and which carry independent signal: the
+    * analysis behind pruning an expensive gate whose kills are already
+    * covered by a cheap one. ONE aggregate computes every pairwise
+    * count from the mask column (k(k+1)/2 sums — diagonal = the gate's
+    * own failure count), then unpivots in-row.
+    * Output: (`gate_a`, `gate_b`, `idx_a`, `idx_b`, `n_both`), a ≤ b. */
+  def gateCofailure(report: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    def bit(i: Int): Column =
+      expr(s"(fail_mask DIV ${1L << i}) % 2") === 1L
+    val pairs = for {
+      i <- gates.indices; j <- gates.indices if i <= j
+    } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      coalesce(sum(when(bit(i) && bit(j), 1L).otherwise(0L)), lit(0L))
+        .as(s"__c_${i}_$j")
+    }
+    val one = report.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(gates(i)._1).as("gate_a"), lit(gates(j)._1).as("gate_b"),
+        lit(i).as("idx_a"), lit(j).as("idx_b"),
+        col(s"__c_${i}_$j").as("n_both"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.gate_a"), col("r.gate_b"), col("r.idx_a"),
+        col("r.idx_b"), col("r.n_both"))
+  }
 }

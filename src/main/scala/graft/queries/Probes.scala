@@ -4939,6 +4939,107 @@ object Probes {
            |FROM w2 ORDER BY event_id""".stripMargin)
   )
 
+  /** PRF query expansion (fully oracled): top-10 feedback docs by exact
+    * query-term occurrences, expansion terms ranked by feedback mass ×
+    * linear idf — all integers, both engines replay selection, weights,
+    * and ranking bit-for-bit. */
+  val prfExpansionProbe = Probe(
+    "q147_prf_expansion",
+    (s, d) => {
+      import graft.operators.Bm25
+      Bm25.prfExpansion(Tables.documents(s, d), col("doc_id"), col("text"),
+          Seq("hash", "join"), kDocs = 10, mTerms = 15)
+        .orderBy("rank")
+    },
+    Some("""WITH base AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS toks
+           |  FROM documents),
+           |fb AS (SELECT doc_id FROM (
+           |    SELECT doc_id, count(*) AS hits
+           |    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+           |    WHERE t IN ('hash', 'join') GROUP BY doc_id)
+           |  ORDER BY hits DESC, doc_id LIMIT 10),
+           |fbtf AS (SELECT t AS term, count(*) AS fb_tf
+           |  FROM (SELECT b.doc_id, unnest(b.toks) AS t
+           |        FROM base b JOIN fb USING (doc_id))
+           |  WHERE t NOT IN ('hash', 'join') GROUP BY 1),
+           |dfq AS (SELECT t AS term, count(*) AS df
+           |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM base)
+           |  GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM base)
+           |SELECT term, fb_tf, df,
+           |  fb_tf * ((1000000 * nn.n) // df) AS w_ppm,
+           |  CAST(row_number() OVER (ORDER BY fb_tf * ((1000000 * nn.n) // df) DESC, term)
+           |    AS BIGINT) AS rank
+           |FROM fbtf JOIN dfq USING (term), nn
+           |ORDER BY rank LIMIT 15""".stripMargin)
+  )
+
+  /** Readability (fully oracled): Flesch reading-ease in exact integer
+    * micro-units — truncating divisions only, regexp counts replayed
+    * via regexp_extract_all. */
+  val readabilityProbe = Probe(
+    "q148_readability",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.tokenCountWs(col("text")).cast("long").as("n_words"),
+          Text.readabilityMicro(col("text")).as("fk_micro"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+           |  CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) > 0 THEN
+           |    206835000
+           |    - (1015000 * len(list_filter(string_split_regex(lower(text), '\s+'),
+           |        x -> len(x) > 0)))
+           |      // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+           |    - (84600000 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+           |      // len(list_filter(string_split_regex(lower(text), '\s+'),
+           |        x -> len(x) > 0))
+           |  END AS fk_micro
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Gate co-failure matrix (fully oracled): pairwise joint-failure
+    * counts from ONE aggregate over the report's mask column. */
+  val gateCofailureProbe = Probe(
+    "q149_gate_cofailure",
+    (s, d) => {
+      import graft.operators.Quality
+      val gates = Seq(
+        "len_ok" -> col("n_chars").between(50L, 5000L),
+        "lang_ok" -> col("lang").isin("en", "de", "fr"),
+        "text_ok" -> (col("text").isNotNull && length(col("text")) > 0))
+      Quality.gateCofailure(
+          Quality.gateReport(Tables.documents(s, d), gates), gates)
+        .orderBy("idx_a", "idx_b")
+    },
+    Some("""WITH g AS (SELECT doc_id,
+           |    NOT coalesce(n_chars BETWEEN 50 AND 5000, FALSE) AS f0,
+           |    NOT coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS f1,
+           |    NOT coalesce(text IS NOT NULL AND len(text) > 0, FALSE) AS f2
+           |  FROM documents),
+           |a AS (SELECT
+           |    CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS c00,
+           |    CAST(sum(CASE WHEN f0 AND f1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+           |    CAST(sum(CASE WHEN f0 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c02,
+           |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+           |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c12,
+           |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c22
+           |  FROM g)
+           |SELECT 'len_ok' AS gate_a, 'len_ok' AS gate_b, 0 AS idx_a, 0 AS idx_b, c00 AS n_both FROM a
+           |UNION ALL SELECT 'len_ok', 'lang_ok', 0, 1, c01 FROM a
+           |UNION ALL SELECT 'len_ok', 'text_ok', 0, 2, c02 FROM a
+           |UNION ALL SELECT 'lang_ok', 'lang_ok', 1, 1, c11 FROM a
+           |UNION ALL SELECT 'lang_ok', 'text_ok', 1, 2, c12 FROM a
+           |UNION ALL SELECT 'text_ok', 'text_ok', 2, 2, c22 FROM a
+           |ORDER BY idx_a, idx_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -4969,7 +5070,7 @@ object Probes {
     int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
     phraseSearchProbe, gateReportProbe, gateSummaryProbe,
     rboProbe, sqrtTemperatureProbe, kmeansProbe, seasonalProbe,
-    cusumProbe
+    cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
