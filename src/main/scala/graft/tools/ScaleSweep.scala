@@ -405,7 +405,15 @@ object ScaleSweep {
         "cusum" -> (() => noop(
           graft.operators.TimeSeries.cusum(ev, col("event_type"),
             Seq(col("ts"), col("event_id")),
-            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), 500L, 50000L)))
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), 500L, 50000L))),
+        // postings-pruned feedback top-k + vocab-sized df attach
+        "prf_expansion" -> (() => noop(
+          Bm25.prfExpansion(docs, col("doc_id"), col("text"),
+            Seq("hash", "join"), kDocs = 10, mTerms = 15))),
+        // two regex counts + token count, narrow
+        "readability" -> (() => noop(
+          docs.select(col("doc_id"),
+            graft.functions.Text.readabilityMicro(col("text")).as("fk"))))
       )
       val selected =
         if (opFilter.isEmpty) ops
