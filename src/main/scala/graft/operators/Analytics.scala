@@ -205,4 +205,42 @@ object Analytics {
       .select(col("key"), col("day_idx"), col("n"), col("base_n"),
         col("lift_ppm"))
   }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: for each (from_state, to_state) pair, how many adjacent
+    * transitions occurred and the row-conditional probability
+    * P(to | from) in integer ppm. The behavioral-model primitive behind
+    * next-event prediction, anomaly scoring on event flows, and journey
+    * dashboards.
+    *
+    * `order` must totally order each entity's events (ties would make
+    * adjacency layout-dependent — pass (ts, event_id)).
+    *
+    * Scale posture: ONE entity-keyed exchange carries the lag window
+    * (each entity's sequence sorts in-partition), then the pair
+    * aggregate shuffles only (from, to) partials — cardinality
+    * states², not events; the marginal totals come from a window over
+    * the states²-sized aggregate, not a second pass over events.
+    * Integer ppm via DIV — engine-exact, layout-independent.
+    *
+    * Output: `from_state`, `to_state`, `n` LONG, `n_from` LONG (all
+    * transitions leaving from_state), `p_ppm` LONG. Total order
+    * (from_state, to_state).
+    */
+  def transitionMatrix(events: DataFrame, entity: Column, order: Seq[Column],
+                       state: Column): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(order: _*)
+    val pairs = events
+      .withColumn("__e", entity)
+      .withColumn("__s", state.cast("string"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(rowTotal))
+      .withColumn("p_ppm", expr("n * 1000000L DIV n_from"))
+      .orderBy("from_state", "to_state")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: which items appear together in
+  * the same basket, with support counts and lift. The classic
+  * association-rule primitive (Agrawal et al., SIGMOD'93 shape) reduced
+  * to its distributed core: presence-distinct → basket-keyed self-join →
+  * pair aggregation.
+  *
+  * Analytics use: "parts bought together" over orders (the reference's
+  * dashboard tier asks exactly this class of question of Postgres);
+  * pipeline use: tag/source co-occurrence over documents.
+  *
+  * Scale posture (100 TB of baskets):
+  *  - the self-join is keyed on the BASKET id, so candidate fan-out is
+  *    Σ b² over per-basket item counts b — bounded by basket size (TPC-H
+  *    orders: ≤7 lines), never corpus²; a mega-basket guard belongs in
+  *    front if baskets are unbounded (same pattern as
+  *    [[TextDedup]]'s LSH mega-bucket guard);
+  *  - presence-dedup happens BEFORE the join (one (basket, item)
+  *    distinct with map-side combine), so multiplicity inside a basket
+  *    neither inflates counts nor the join;
+  *  - item marginals are a vocabulary-sized frame; AQE broadcasts them
+  *    onto the pair aggregate;
+  *  - `lift` is emitted as ONE IEEE division of two exactly-representable
+  *    integer products (plus both raw integers), so results are
+  *    bit-identical on any engine/layout. Counts are kept in LONG —
+  *    exact up to 2^63 pairs; the doubles stay exact while the products
+  *    are < 2^53, and the integer columns are the audit surface beyond.
+  */
+object Assoc {
+
+  /** Pairwise item co-occurrence across baskets.
+    *
+    * Output: `item_a` < `item_b` (each pair once), `n_both` LONG (baskets
+    * containing both), `n_a`/`n_b` LONG (per-item basket counts),
+    * `n_baskets` LONG, `lift` DOUBLE = n_both·N / (n_a·n_b) — >1 means
+    * the items co-occur more than independence predicts. Pairs with
+    * `n_both < minPairCount` are pruned (Zipf tail; prune AFTER
+    * aggregation so counts stay exact). Total order (item_a, item_b).
+    */
+  def pairCounts(df: DataFrame, basket: Column, item: Column,
+                 minPairCount: Long = 2L): DataFrame = {
+    // presence, not multiplicity: one row per (basket, item)
+    val present = df.select(basket.as("__b"), item.cast("string").as("__i"))
+      .filter(col("__i").isNotNull)
+      .distinct()
+
+    val nBaskets = present.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marginals = present.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+
+    val a = present.select(col("__b"), col("__i").as("item_a"))
+    val b = present.select(col("__b"), col("__i").as("item_b"))
+    val pairs = a.join(b, "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairCount)
+
+    pairs
+      .join(marginals.select(col("__i").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(marginals.select(col("__i").as("item_b"), col("__n").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        (col("n_both").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+}

@@ -64,6 +64,17 @@ object Clustering {
       (i, r.getSeq[Long](0))
     }.toSeq
 
+    // empty corpus → no seeds → the candidate array below would be a
+    // zero-length VOID array and the struct extraction fails analysis;
+    // return the (id, cluster, dist2) schema with zero rows instead
+    if (centroids.isEmpty) {
+      val empty = micro
+        .select(col(idCol), lit(0).as("cluster"), lit(0L).as("dist2"))
+        .where(lit(false))
+      micro.unpersist()
+      return empty
+    }
+
     def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
       // fold the k distances inside the row: array of (dist2, cluster)
       // structs → array_min picks (min dist, lowest cluster). No k-way

@@ -271,4 +271,57 @@ object TimeSeries {
         col("s_pos") > thresholdCents || col("s_neg") > thresholdCents)
       .drop("__k", "__dp", "__dn", "__pp", "__pn")
   }
+
+  /** Exact lag-k autocorrelation per series — the seasonality/memory
+    * diagnostic that decides window sizes for the deseasonalizer and
+    * CUSUM upstream: acf(k) = Σ(xₜ−µ)(xₜ₊ₖ−µ) / Σ(xₜ−µ)² over each
+    * key's (order)-sorted sequence.
+    *
+    * Exactness: µ is the truncating integer mean (DECIMAL DIV count —
+    * engine-replayable), both moment sums accumulate integer products
+    * in DECIMAL(38,0) (order-free — no float summation), and `acf` is
+    * ONE IEEE division of the two exact integers (integer→double
+    * conversion is correctly rounded and unique, so bits match on any
+    * engine at any magnitude).
+    *
+    * Scale posture: one key exchange; ALL lags share the single
+    * in-partition sort (one window spec, k lead() exprs); the moment
+    * aggregate ships one partial row per (key, lag). Driver holds
+    * nothing.
+    *
+    * Output: `key`, `lag` INT, `n_pairs` LONG, `mu_cents` LONG,
+    * `num` / `den` exact integer moments (BIGINT — the audit surface),
+    * `acf` DOUBLE. Total order (key, lag).
+    */
+  def autocorr(df: DataFrame, key: Column, order: Seq[Column],
+               valueCents: Column, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val based = df
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__v", valueCents.cast("long"))
+    val mu = based.groupBy(col("__k"))
+      .agg(expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+        .as("mu_cents"))
+    val w = Window.partitionBy(col("__k")).orderBy(order: _*)
+    val withLeads = lags.foldLeft(based.join(mu, "__k")
+        .withColumn("__dx", col("__v") - col("mu_cents"))) {
+      (acc, k) => acc.withColumn(s"__lead_$k", lead(col("__dx"), k).over(w))
+    }
+    val perLag = lags.map { k =>
+      withLeads
+        .groupBy(col("__k"), col("mu_cents"))
+        .agg(
+          count(col(s"__lead_$k")).as("n_pairs"),
+          expr(s"CAST(sum(CASE WHEN __lead_$k IS NOT NULL THEN CAST(__dx AS DECIMAL(38,0)) * __lead_$k END) AS BIGINT)")
+            .as("num"),
+          expr("CAST(sum(CAST(__dx AS DECIMAL(38,0)) * __dx) AS BIGINT)").as("den"))
+        .select(col("__k").as("key"), lit(k).as("lag"), col("n_pairs"),
+          col("mu_cents"), coalesce(col("num"), lit(0L)).as("num"), col("den"))
+    }
+    perLag.reduce(_ unionByName _)
+      .withColumn("acf",
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")))
+      .orderBy("key", "lag")
+  }
 }

@@ -5040,6 +5040,109 @@ object Probes {
            |ORDER BY idx_a, idx_b""".stripMargin)
   )
 
+  /** Markov transition matrix (fully oracled): per-user event-type
+    * adjacency counts with row-conditional ppm probabilities — one
+    * entity-keyed exchange carries the lag window, the pair aggregate
+    * shuffles states²-sized partials, and the marginals come from a
+    * window over that aggregate (never a second events pass). */
+  val transitionProbe = Probe(
+    "q150_transition_matrix",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.transitionMatrix(Tables.events(s, d), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS s,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |p AS (SELECT prev AS from_state, s AS to_state, count(*) AS n
+           |  FROM seq WHERE prev IS NOT NULL AND s IS NOT NULL
+           |  GROUP BY 1, 2)
+           |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           |  CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from,
+           |  CAST((n * 1000000) // (sum(n) OVER (PARTITION BY from_state))
+           |    AS BIGINT) AS p_ppm
+           |FROM p ORDER BY from_state, to_state""".stripMargin)
+  )
+
+  /** Lag-k autocorrelation (fully oracled): exact integer moment sums in
+    * DECIMAL(38,0)/HUGEINT, truncating integer mean, acf as ONE IEEE
+    * division of two exact integers — bit-identical on both engines. */
+  val autocorrProbe = Probe(
+    "q151_autocorr",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.autocorr(Tables.events(s, d), col("event_type"),
+        Seq(col("ts"), col("event_id")),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), Seq(1, 2, 3))
+    },
+    Some("""WITH b AS (SELECT event_id, event_type, ts,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE event_type IS NOT NULL),
+           |m AS (SELECT event_type,
+           |    CAST(sum(CAST(v AS HUGEINT)) // count(1) AS BIGINT)
+           |      AS mu_cents
+           |  FROM b GROUP BY 1),
+           |l AS (SELECT b.event_type, b.v - m.mu_cents AS dx, m.mu_cents,
+           |    lead(b.v - m.mu_cents, 1) OVER w AS l1,
+           |    lead(b.v - m.mu_cents, 2) OVER w AS l2,
+           |    lead(b.v - m.mu_cents, 3) OVER w AS l3
+           |  FROM b JOIN m USING (event_type)
+           |  WINDOW w AS (PARTITION BY b.event_type
+           |    ORDER BY b.ts, b.event_id)),
+           |per AS (
+           |  SELECT event_type AS key, 1 AS lag,
+           |    CAST(count(l1) AS BIGINT) AS n_pairs, mu_cents,
+           |    CAST(coalesce(sum(CASE WHEN l1 IS NOT NULL
+           |      THEN CAST(dx AS HUGEINT) * l1 END), 0) AS BIGINT) AS num,
+           |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS den
+           |  FROM l GROUP BY event_type, mu_cents
+           |  UNION ALL
+           |  SELECT event_type, 2, CAST(count(l2) AS BIGINT), mu_cents,
+           |    CAST(coalesce(sum(CASE WHEN l2 IS NOT NULL
+           |      THEN CAST(dx AS HUGEINT) * l2 END), 0) AS BIGINT),
+           |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT)
+           |  FROM l GROUP BY event_type, mu_cents
+           |  UNION ALL
+           |  SELECT event_type, 3, CAST(count(l3) AS BIGINT), mu_cents,
+           |    CAST(coalesce(sum(CASE WHEN l3 IS NOT NULL
+           |      THEN CAST(dx AS HUGEINT) * l3 END), 0) AS BIGINT),
+           |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT)
+           |  FROM l GROUP BY event_type, mu_cents)
+           |SELECT key, lag, n_pairs, mu_cents, num, den,
+           |  CASE WHEN den > 0
+           |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf
+           |FROM per ORDER BY key, lag""".stripMargin)
+  )
+
+  /** Market-basket co-occurrence with lift (fully oracled): presence
+    * distinct → basket-keyed self-join (fan-out bounded by basket size,
+    * never corpus²) → pair aggregate; lift from four exactly-
+    * representable integers in the identical IEEE op order. */
+  val assocProbe = Probe(
+    "q152_assoc_lift",
+    (s, d) => {
+      import graft.operators.Assoc
+      Assoc.pairCounts(Tables.events(s, d), col("user_id"),
+        col("event_type"), minPairCount = 2L)
+    },
+    Some("""WITH present AS (SELECT DISTINCT user_id AS b, event_type AS i
+           |  FROM events WHERE event_type IS NOT NULL),
+           |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM present),
+           |m AS (SELECT i, count(*) AS n FROM present GROUP BY 1),
+           |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_both
+           |  FROM present x JOIN present y ON x.b = y.b AND x.i < y.i
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+           |  CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+           |  CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           |  (CAST(n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)) /
+           |    (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+           |FROM p JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b, nb
+           |ORDER BY item_a, item_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5070,7 +5173,8 @@ object Probes {
     int8QuantizeProbe, lDiversityProbe, classifierEvalProbe,
     phraseSearchProbe, gateReportProbe, gateSummaryProbe,
     rboProbe, sqrtTemperatureProbe, kmeansProbe, seasonalProbe,
-    cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe
+    cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe,
+    transitionProbe, autocorrProbe, assocProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -44,6 +44,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // a µs-encoded table written WITHOUT isAdjustedToUTC infers as
+      // TIMESTAMP_NTZ; normalize to the session (UTC-pinned) instant
+      // type so downstream unix_micros()/casts see one timestamp kind
+      // regardless of which writer produced the file
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

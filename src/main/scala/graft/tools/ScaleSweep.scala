@@ -413,7 +413,20 @@ object ScaleSweep {
         // two regex counts + token count, narrow
         "readability" -> (() => noop(
           docs.select(col("doc_id"),
-            graft.functions.Text.readabilityMicro(col("text")).as("fk"))))
+            graft.functions.Text.readabilityMicro(col("text")).as("fk")))),
+        // one user-keyed exchange for the lag, states²-sized pair agg
+        "transition_matrix" -> (() => noop(
+          Analytics.transitionMatrix(ev, col("user_id"),
+            Seq(col("ts"), col("event_id")), col("event_type")))),
+        // all lags share one key exchange + sort; per-lag partial aggs
+        "autocorr_l123" -> (() => noop(
+          graft.operators.TimeSeries.autocorr(ev, col("event_type"),
+            Seq(col("ts"), col("event_id")),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), Seq(1, 2, 3)))),
+        // presence distinct → basket-keyed self-join (fanout Σ b²)
+        "assoc_lift" -> (() => noop(
+          graft.operators.Assoc.pairCounts(ev, col("user_id"),
+            col("event_type"), minPairCount = 2L)))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -158,4 +158,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("a", 3)) === ((8L, Some(6L), Some(9333333L)))) // 8·7e6 DIV 6
     assert(out(("b", 11)) === ((1L, None, None))) // baseline window passed
   }
+
+  test("transitionMatrix: adjacency counts, marginals, ppm rows") {
+    // u1: A B A C → A→B, B→A, A→C; u2: A B → A→B
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "C"),
+      (2L, 1L, "A"), (2L, 2L, "B")).toDF("u", "seq", "s")
+    val out = Analytics.transitionMatrix(ev, col("u"), Seq(col("seq")),
+        col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 3L, 666666L)),
+      ("A", "C") -> ((1L, 3L, 333333L)),
+      ("B", "A") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("transitionMatrix: entities never bleed into each other") {
+    // u1 ends on X, u2 starts on Y — no X→Y transition may appear
+    val ev = Seq((1L, 1L, "W"), (1L, 2L, "X"), (2L, 1L, "Y"), (2L, 2L, "Z"))
+      .toDF("u", "seq", "s")
+    val out = Analytics.transitionMatrix(ev, col("u"), Seq(col("seq")),
+        col("s")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("W", "X"), ("Y", "Z")))
+  }
+
+  test("transitionMatrix: null states drop the transition, not the row pair around it") {
+    // A null B: A→null and null→B are both dropped (no fabricated A→B —
+    // the gap is real; adjacency is over the raw sequence)
+    val ev = Seq((1L, 1L, Some("A")), (1L, 2L, None), (1L, 3L, Some("B")),
+      (1L, 4L, Some("C"))).toDF("u", "seq", "s")
+    val out = Analytics.transitionMatrix(ev, col("u"), Seq(col("seq")),
+        col("s")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("B", "C")))
+  }
+
+  test("transitionMatrix is layout-independent") {
+    val ev = (0L until 4000L)
+      .map(i => (i % 37, i / 37, s"s${(i * 7919) % 5}"))
+      .toDF("u", "seq", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.transitionMatrix(d, col("u"), Seq(col("seq")), col("s"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(run(ev) === run(ev.repartition(13)))
+  }
 }

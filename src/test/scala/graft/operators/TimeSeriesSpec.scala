@@ -160,4 +160,48 @@ class TimeSeriesSpec extends AnyFunSuite {
       col("u"), col("b"), w).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(re === naive)
   }
+
+  test("autocorr: hand-computed moments at lags 1..3") {
+    // a: cents [10,20,30,40] → mu=25, dx=[-15,-5,5,15], den=500
+    //    lag1 num = 75-25+75 = 125 → acf .25
+    //    lag2 num = -75-75 = -150 → acf -.3
+    //    lag3 num = -225 → acf -.45
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L)).toDF("k", "seq", "cents")
+    val out = TimeSeries.autocorr(df, col("k"), Seq(col("seq")),
+        col("cents"), Seq(1, 2, 3))
+      .collect().map(r => r.getInt(r.fieldIndex("lag")) ->
+        ((r.getLong(r.fieldIndex("n_pairs")), r.getLong(r.fieldIndex("num")),
+          r.getLong(r.fieldIndex("den")), r.getDouble(r.fieldIndex("acf")))))
+      .toMap
+    assert(out(1) === ((3L, 125L, 500L, 0.25)))
+    assert(out(2) === ((2L, -150L, 500L, -0.3)))
+    assert(out(3) === ((1L, -225L, 500L, -0.45)))
+  }
+
+  test("autocorr: constant series → den 0, acf NULL; short series → num 0") {
+    val df = (Seq.tabulate(4)(i => ("const", i.toLong, 70L)) ++
+      Seq(("short", 1L, 10L), ("short", 2L, 30L))).toDF("k", "seq", "cents")
+    val rows = TimeSeries.autocorr(df, col("k"), Seq(col("seq")),
+        col("cents"), Seq(1, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(r.fieldIndex("n_pairs")), r.getLong(r.fieldIndex("num")),
+          Option(r.get(r.fieldIndex("acf")))))).toMap
+    // constant: every dx = 0 → den 0 → acf NULL, never 0/0 = NaN
+    assert(rows(("const", 1)) === ((3L, 0L, None)))
+    // short@lag3: no pairs exist → n_pairs 0, num coalesced to 0, acf 0.0
+    assert(rows(("short", 3)) === ((0L, 0L, Some(0.0))))
+    assert(rows(("short", 1)) === ((1L, -100L, Some(-0.5))))
+  }
+
+  test("autocorr sums are layout-independent (exact integer moments)") {
+    val df = (0L until 3000L).map(i => (s"k${i % 3}", i, (i * 37) % 1000))
+      .toDF("k", "seq", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.autocorr(d, col("k"), Seq(col("seq")), col("cents"),
+          Seq(1, 2)).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toSeq
+    assert(run(df) === run(df.repartition(17)))
+  }
 }
