@@ -243,4 +243,55 @@ object Analytics {
       .withColumn("p_ppm", expr("n * 1000000L DIV n_from"))
       .orderBy("from_state", "to_state")
   }
+
+  /** 2-D Pareto frontier (maximize both axes): the points no other
+    * point weakly dominates with at least one strict improvement —
+    * cost/quality trade-off curves, model leaderboards, supplier
+    * price/volume skylines (Börzsönyi et al., ICDE'01 semantics).
+    *
+    * A point survives iff (a) its y strictly exceeds every y at
+    * strictly larger x, and (b) its y is the maximum at its own x.
+    * Exact duplicates of a frontier point all survive (nothing
+    * dominates them strictly).
+    *
+    * Scale posture: rows collapse to an x-keyed (x, max y) aggregate
+    * first; the strictly-larger-x running max then follows the
+    * [[Relational.globalRank]] discipline — range exchange on x DESC,
+    * per-partition running max, O(#partitions) offset maxima — never a
+    * single-partition window over data. Survivors join back against
+    * the full point set by (x, y) equality; the surviving-x side is
+    * frontier-sized (AQE broadcasts it at sane frontier sizes).
+    *
+    * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
+    */
+  def paretoFrontier2D(df: DataFrame, id: Column, x: Column,
+                       y: Column): DataFrame = {
+    val pts = df.select(id.as("pid"), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val perX = pts.groupBy(col("__x")).agg(max(col("__y")).as("__ymax"))
+    val parted = perX.repartitionByRange(col("__x").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(max(col("__ymax")).as("__pm"))
+      .withColumn("__prev_best",
+        max(col("__pm")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__prev_best"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = parted.join(broadcast(offsets), "__pid")
+      .withColumn("__above",
+        greatest(
+          coalesce(max(col("__ymax")).over(wp), lit(Long.MinValue)),
+          coalesce(col("__prev_best"), lit(Long.MinValue))))
+      .filter(col("__ymax") > col("__above"))
+      .select(col("__x").as("__fx"), col("__ymax").as("__fy"))
+    pts.join(frontier,
+        col("__x") === col("__fx") && col("__y") === col("__fy"))
+      .select(col("pid"), col("__x").as("x"), col("__y").as("y"))
+      .orderBy("x", "pid")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -146,4 +147,103 @@ object Classify {
         when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
           col("precision_ppm") + col("recall_ppm") > 0L,
           expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
+
+  /** Exact ROC-AUC over an integer score — the threshold-free companion
+    * to [[evalBinary]]'s fixed-threshold cells. Computed as the
+    * Mann-Whitney rank statistic with the standard tie treatment
+    * (each tied pos/neg pair contributes ½), kept in integers by
+    * accumulating DOUBLED pair credit:
+    *
+    *   u2 = Σ_s [ 2·nPos(s)·nNeg(<s) + nPos(s)·nNeg(s) ]
+    *   auc = u2 / (2·nPos·nNeg)   — ONE IEEE division of exact integers
+    *
+    * Scale posture: rows collapse to a score-keyed aggregate first
+    * (map-side combined — the frame shrinks to |distinct scores| ≤
+    * |score space|, ppm scores bound it at 1e6+1); the cumulative
+    * negatives-below then come from the [[Relational.globalRank]]
+    * discipline — range exchange on score, per-partition prefix sums,
+    * and an O(#partitions) offsets cumsum — never a single-partition
+    * window over data. Null score/truth rows are quarantined in
+    * `n_null`, never silently scored.
+    *
+    * Output (one row): `n_pos`, `n_neg`, `n_null` LONG, `u2` LONG (the
+    * exact doubled rank mass — the audit surface), `auc` DOUBLE (NULL
+    * when either class is empty — never 0/0).
+    */
+  def aucExact(scored: DataFrame, score: Column, truth: Column): DataFrame = {
+    val base = scored.select(score.cast("long").as("__s"),
+      truth.cast("boolean").as("__t"))
+    val nNull = base
+      .agg(coalesce(sum(when(col("__s").isNull || col("__t").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_null"))
+    val perScore = base
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__s"))
+      .agg(
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L)).as("__np"),
+        coalesce(sum(when(!col("__t"), 1L).otherwise(0L)), lit(0L)).as("__nn"))
+    // cumulative negatives strictly below each score: range exchange +
+    // per-partition prefix + broadcast partition offsets (globalRank's
+    // shape — the only global window is over #partitions rows)
+    val parted = perScore.repartitionByRange(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__nn")), lit(0L)).as("__pn"))
+      .withColumn("__off",
+        coalesce(sum(col("__pn")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = parted.join(broadcast(offsets), "__pid")
+      .withColumn("__below", col("__off") + coalesce(sum(col("__nn")).over(wp), lit(0L)))
+      .agg(
+        coalesce(sum(col("__np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__nn")), lit(0L)).as("n_neg"),
+        coalesce(sum(lit(2L) * col("__np") * col("__below") +
+          col("__np") * col("__nn")), lit(0L)).as("u2"))
+    credited.crossJoin(broadcast(nNull))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+      .select(col("n_pos"), col("n_neg"), col("n_null"), col("u2"),
+        col("auc"))
+  }
+
+  /** Reliability-diagram bins over a ppm score in [0, 1e6] — the
+    * calibration companion to [[aucExact]] (AUC says the ranking is
+    * right; calibration says the probabilities mean what they claim).
+    * Equal-width bins: bin = min(nBins−1, score·nBins DIV 1e6+1 scale) —
+    * all integer, engine-exact; per bin the truncating mean predicted
+    * ppm and the empirical positive rate in ppm.
+    *
+    * One score-row pass into an nBins-sized aggregate (map-side
+    * combined); nothing else shuffles. Rows with null score/truth are
+    * dropped (quarantine belongs to [[aucExact]]'s n_null or an
+    * upstream gate). Output: `bin` INT, `n` LONG, `mean_pred_ppm`
+    * LONG (truncating), `pos_rate_ppm` LONG (truncating), total order
+    * by bin.
+    */
+  def calibrationBins(scored: DataFrame, scorePpm: Column, truth: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    scored
+      .select(scorePpm.cast("long").as("__cal_s"),
+        truth.cast("boolean").as("__cal_t"))
+      .filter(col("__cal_s").isNotNull && col("__cal_t").isNotNull)
+      .withColumn("bin",
+        least(lit(nBins - 1),
+          expr(s"(__cal_s * ${nBins}L) DIV 1000000L")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(__cal_s AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_pred_ppm"),
+        expr("(1000000L * sum(CASE WHEN __cal_t THEN 1L ELSE 0L END)) DIV count(1)")
+          .as("pos_rate_ppm"))
+      .orderBy("bin")
+  }
 }

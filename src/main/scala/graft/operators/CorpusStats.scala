@@ -389,4 +389,39 @@ object CorpusStats {
         sum(col("__h").cast("decimal(38,0)")).as("sum60"),
         bit_xor(col("__h")).as("xor60"))
   }
+
+  /** Good–Turing frequency-of-frequencies: N_r = how many distinct
+    * terms occur exactly r times, with the Turing smoothed count
+    * r* = (r+1)·N_{r+1}/N_r in ppm — the unseen-mass diagnostic behind
+    * vocabulary-growth estimates (N_1/T is the Good–Turing probability
+    * that the NEXT token is a new type) and LM smoothing tables.
+    *
+    * Scale posture: the token stream collapses to term counts (a
+    * vocabulary-sized, map-side-combined aggregate), term counts
+    * collapse to (r, N_r) — and since Σ r·N_r = T, the number of
+    * distinct r values is ≤ √(2T): the final ordered window (for the
+    * N_{r+1} lead) runs over a PROVABLY sub-√ frame, not data.
+    * r*_ppm uses truncating integer DIV — engine-exact.
+    *
+    * Output: `r` LONG, `n_terms` LONG, `r_star_ppm` LONG (NULL when
+    * N_{r+1} = 0 — the estimate is undefined there, never faked as 0),
+    * total order by r.
+    */
+  def freqOfFreqs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(Text.words(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__r"))
+      .groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_terms"))
+    val w = Window.orderBy(col("r")) // ≤ √(2T) rows by construction
+    counts
+      .withColumn("__next",
+        when(lead(col("r"), 1).over(w) === col("r") + 1L,
+          lead(col("n_terms"), 1).over(w)))
+      .withColumn("r_star_ppm",
+        when(col("__next").isNotNull,
+          expr("((r + 1L) * 1000000L * __next) DIV n_terms")))
+      .drop("__next")
+      .orderBy("r")
+  }
 }

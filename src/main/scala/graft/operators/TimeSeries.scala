@@ -324,4 +324,49 @@ object TimeSeries {
           col("num").cast("double") / col("den").cast("double")))
       .orderBy("key", "lag")
   }
+
+  /** Gaps-and-islands interval coalescing per key: intervals that
+    * overlap or touch (gap ≤ `tolUs`) merge into islands — uptime/
+    * downtime stitching, session unification across devices, coverage
+    * audits ("how much of the day is instrumented"). The dual of
+    * [[graft.streaming.Sessionize]]: same semantics, batch closed form.
+    *
+    * Closed form (no sequential group iteration): an interval starts a
+    * new island iff its start exceeds the running max end of all
+    * earlier intervals (ordered by (start, end)) plus tolerance; the
+    * island id is the running count of such starts. Two stacked windows
+    * over ONE key exchange — the CUSUM discipline.
+    *
+    * Determinism: flags depend on the running-max prefix, which is
+    * identical under any permutation of tied (start, end) rows, so the
+    * output is layout-independent. Null-bounded or end < start
+    * intervals are dropped (malformed — never silently clamped).
+    *
+    * Output: `key`, `island` LONG (1-based, in time order), `start_us`,
+    * `end_us`, `n_intervals` LONG, `covered_us` LONG. Total order
+    * (key, island).
+    */
+  def mergeIntervals(df: DataFrame, key: Column, startUs: Column,
+                     endUs: Column, tolUs: Long = 0L): DataFrame = {
+    require(tolUs >= 0L, "tolUs must be >= 0")
+    val base = df.select(key.cast("string").as("__k"),
+        startUs.cast("long").as("__s"), endUs.cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") >= col("__s"))
+    val prior = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col("__k")).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("__pmax", max(col("__e")).over(prior))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax") + tolUs, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__new")).over(upTo))
+      .groupBy(col("__k").as("key"), col("island"))
+      .agg(min(col("__s")).as("start_us"), max(col("__e")).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered_us", col("end_us") - col("start_us"))
+      .orderBy("key", "island")
+  }
 }

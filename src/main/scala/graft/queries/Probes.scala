@@ -5143,6 +5143,127 @@ object Probes {
            |ORDER BY item_a, item_b""".stripMargin)
   )
 
+  /** Exact ROC-AUC (fully oracled): doubled Mann-Whitney rank mass from
+    * a score-keyed aggregate + the globalRank-style cumulative, auc as
+    * ONE IEEE division of exact integers. */
+  val aucProbe = Probe(
+    "q153_auc",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.aucExact(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en")
+    },
+    Some("""WITH s AS (SELECT n_chars AS sc, (lang = 'en') AS t
+           |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           |g AS (SELECT sc, sum(CASE WHEN t THEN 1 ELSE 0 END) AS np,
+           |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nn
+           |  FROM s GROUP BY 1),
+           |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |  FROM g),
+           |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           |    CAST(sum(nn) AS BIGINT) AS n_neg,
+           |    CAST(sum(2 * np * below + np * nn) AS BIGINT) AS u2
+           |  FROM c),
+           |z AS (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL
+           |    OR lang IS NULL) AS BIGINT) AS n_null FROM documents)
+           |SELECT n_pos, n_neg, n_null, u2,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |    CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+           |  END AS auc
+           |FROM a, z""".stripMargin)
+  )
+
+  /** Calibration bins (fully oracled): equal-width ppm bins, truncating
+    * integer means and positive rates. */
+  val calibrationProbe = Probe(
+    "q154_calibration",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.calibrationBins(Tables.documents(s, d),
+        least(lit(1000000L), col("n_chars") * 1800L), col("lang") === "en",
+        nBins = 10)
+    },
+    Some("""WITH b AS (SELECT least(1000000, n_chars * 1800) AS p,
+           |    (lang = 'en') AS y
+           |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+           |SELECT CAST(least(9, (p * 10) // 1000000) AS INT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(p AS HUGEINT)) // count(1) AS BIGINT)
+           |    AS mean_pred_ppm,
+           |  CAST((1000000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(1)
+           |    AS BIGINT) AS pos_rate_ppm
+           |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)
+  )
+
+  /** Interval coalescing (fully oracled): gaps-and-islands closed form —
+    * running-max + cumulative-flag windows replayed identically. */
+  val intervalMergeProbe = Probe(
+    "q155_interval_merge",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val ev = Tables.events(s, d)
+      TimeSeries.mergeIntervals(ev, col("user_id"),
+        unix_micros(col("ts")), unix_micros(col("ts")) + 300000000L)
+    },
+    Some("""WITH b AS (SELECT CAST(user_id AS VARCHAR) AS k,
+           |    epoch_us(ts::TIMESTAMP) AS s,
+           |    epoch_us(ts::TIMESTAMP) + 300000000 AS e FROM events),
+           |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM b),
+           |f AS (SELECT k, s, e,
+           |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+           |  FROM w),
+           |i AS (SELECT k, s, e, sum(nw) OVER (PARTITION BY k ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM f)
+           |SELECT k AS key, CAST(island AS BIGINT) AS island,
+           |  min(s) AS start_us, max(e) AS end_us,
+           |  CAST(count(*) AS BIGINT) AS n_intervals,
+           |  max(e) - min(s) AS covered_us
+           |FROM i GROUP BY k, island ORDER BY key, island""".stripMargin)
+  )
+
+  /** 2-D Pareto frontier (fully oracled): range-exchange skyline vs the
+    * NOT-EXISTS domination definition. */
+  val paretoProbe = Probe(
+    "q156_pareto",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.paretoFrontier2D(Tables.part(s, d), col("p_partkey"),
+        col("p_size"), expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH pts AS (SELECT p_partkey AS pid, CAST(p_size AS BIGINT) AS x,
+           |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+           |  FROM part)
+           |SELECT pid, x, y FROM pts p
+           |WHERE NOT EXISTS (SELECT 1 FROM pts q
+           |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+           |ORDER BY x, pid""".stripMargin)
+  )
+
+  /** Good-Turing frequency-of-frequencies (fully oracled): N_r table +
+    * truncating integer Turing estimates, adjacency-checked lead. */
+  val freqOfFreqsProbe = Probe(
+    "q157_freq_of_freqs",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.freqOfFreqs(Tables.documents(s, d))
+    },
+    Some("""WITH tc AS (SELECT t, count(*) AS r FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text),
+           |      '\s+'), x -> len(x) > 0)) AS t FROM documents) GROUP BY 1),
+           |nr AS (SELECT r, count(*) AS n_terms FROM tc GROUP BY 1),
+           |l AS (SELECT r, n_terms, lead(r) OVER (ORDER BY r) AS r2,
+           |    lead(n_terms) OVER (ORDER BY r) AS nt2 FROM nr)
+           |SELECT CAST(r AS BIGINT) AS r, CAST(n_terms AS BIGINT) AS n_terms,
+           |  CASE WHEN r2 = r + 1 THEN
+           |    CAST(((r + 1) * 1000000 * nt2) // n_terms AS BIGINT)
+           |  END AS r_star_ppm
+           |FROM l ORDER BY r""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5174,7 +5295,9 @@ object Probes {
     phraseSearchProbe, gateReportProbe, gateSummaryProbe,
     rboProbe, sqrtTemperatureProbe, kmeansProbe, seasonalProbe,
     cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe,
-    transitionProbe, autocorrProbe, assocProbe
+    transitionProbe, autocorrProbe, assocProbe,
+    aucProbe, calibrationProbe, intervalMergeProbe, paretoProbe,
+    freqOfFreqsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -426,7 +426,25 @@ object ScaleSweep {
         // presence distinct → basket-keyed self-join (fanout Σ b²)
         "assoc_lift" -> (() => noop(
           graft.operators.Assoc.pairCounts(ev, col("user_id"),
-            col("event_type"), minPairCount = 2L)))
+            col("event_type"), minPairCount = 2L))),
+        // score-keyed agg + range-exchange cumulative (globalRank shape)
+        "auc_exact" -> (() => noop(
+          graft.operators.Classify.aucExact(docs, col("n_chars"),
+            col("lang") === lit("en")))),
+        // two stacked windows over one key exchange + island agg
+        "interval_merge" -> (() => noop(
+          graft.operators.TimeSeries.mergeIntervals(ev, col("user_id"),
+            unix_micros(col("ts")), unix_micros(col("ts")) + 300000000L))),
+        // x-keyed max agg + range-exchange running max + frontier join
+        "pareto_frontier" -> (() => noop(
+          graft.operators.Analytics.paretoFrontier2D(
+            li.groupBy(col("l_suppkey"))
+              .agg(sum(col("l_quantity").cast("long")).as("q"),
+                count(lit(1)).as("n")),
+            col("l_suppkey"), col("q"), col("n")))),
+        // token-count agg → count-of-counts agg → sub-√-sized window
+        "freq_of_freqs" -> (() => noop(
+          graft.operators.CorpusStats.freqOfFreqs(docs)))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -192,6 +192,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("paretoFrontier2D: dominated points drop, duplicates of frontier points survive") {
+    // frontier: (5,1), (3,4), (1,6). (3,3) dominated by (3,4);
+    // (2,4) dominated by (3,4); (5,1) duplicated → both survive
+    val pts = Seq((1L, 5L, 1L), (2L, 3L, 4L), (3L, 1L, 6L), (4L, 3L, 3L),
+      (5L, 2L, 4L), (6L, 5L, 1L)).toDF("id", "x", "y")
+    val out = Analytics.paretoFrontier2D(pts, col("id"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((3L, 1L, 6L), (2L, 3L, 4L), (1L, 5L, 1L),
+      (6L, 5L, 1L)))
+  }
+
+  test("paretoFrontier2D matches the naive NOT-EXISTS definition on random points") {
+    val pts = (0L until 500L).map(i =>
+      (i, (i * 7919) % 97, (i * 104729) % 89))
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val naive = pts.filterNot(dominated).map(p => (p._1, p._2, p._3))
+      .sortBy(p => (p._2, p._1))
+    val df = pts.toDF("id", "x", "y")
+    Seq(1, 13).foreach { parts =>
+      val out = Analytics.paretoFrontier2D(df.repartition(parts), col("id"),
+          col("x"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out === naive)
+    }
+  }
+
   test("transitionMatrix is layout-independent") {
     val ev = (0L until 4000L)
       .map(i => (i % 37, i / 37, s"s${(i * 7919) % 5}"))

@@ -129,4 +129,74 @@ class ClassifySpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  private def aucRow(rows: Seq[(Long, Boolean)]) = {
+    import spark.implicits._
+    val r = Classify.aucExact(rows.toDF("s", "t"), col("s"), col("t"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      Option(r.get(4)).map(_.asInstanceOf[Double]))
+  }
+
+  test("aucExact: perfect, inverted, random-tie, and textbook-tie cases") {
+    // perfect separation: every pos above every neg → auc 1
+    assert(aucRow(Seq((10L, true), (9L, true), (1L, false), (2L, false))) ===
+      ((2L, 2L, 0L, 8L, Some(1.0))))
+    // fully inverted → 0
+    assert(aucRow(Seq((1L, true), (10L, false))) ===
+      ((1L, 1L, 0L, 0L, Some(0.0))))
+    // all scores equal: every pair is a tie → 1/2
+    assert(aucRow(Seq((5L, true), (5L, true), (5L, false))) ===
+      ((2L, 1L, 0L, 2L, Some(0.5))))
+    // hand case: pos {3,1}, neg {2,1}. pairs: (3,2)win (3,1)win
+    // (1,2)loss (1,1)tie → u2 = 2·2 + 1 = 5 of 8 → 0.625
+    assert(aucRow(Seq((3L, true), (1L, true), (2L, false), (1L, false))) ===
+      ((2L, 2L, 0L, 5L, Some(0.625))))
+  }
+
+  test("aucExact: one-class input → NULL auc; nulls quarantined not scored") {
+    assert(aucRow(Seq((3L, true), (1L, true))) === ((2L, 0L, 0L, 0L, None)))
+    val withNulls = Seq((Some(3L), Some(true)), (None, Some(false)),
+      (Some(2L), None), (Some(1L), Some(false))).toDF("s", "t")
+    val r = Classify.aucExact(withNulls, col("s"), col("t")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 2L)))
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("aucExact is layout-independent and matches a naive pair count") {
+    val rows = (0 until 2000).map { i =>
+      val s = ((i * 7919) % 101).toLong
+      (s, (i * 13) % 3 == 0 || s > 60)
+    }
+    val naive = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u2 = pos.map(p => neg.map(n =>
+        if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+      (pos.size.toLong, neg.size.toLong, u2,
+        u2.toDouble / (2.0 * pos.size * neg.size))
+    }
+    Seq(1, 7).foreach { parts =>
+      val r = Classify.aucExact(rows.toDF("s", "t").repartition(parts),
+        col("s"), col("t")).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)) ===
+        ((naive._1, naive._2, naive._3, naive._4)))
+    }
+  }
+
+  test("calibrationBins: bin edges, truncating means, clamp at top bin") {
+    val rows = Seq((50000L, false), (99999L, false), (150000L, true),
+      (950000L, true), (1000000L, true))
+    val out = Classify.calibrationBins(rows.toDF("p", "y"), col("p"),
+        col("y"), nBins = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bin 0: scores 50000, 99999 → mean (149999 DIV 2), rate 0
+    assert(out(0) === ((2L, 74999L, 0L)))
+    // 150000 lands in bin 1 (closed lower edge)
+    assert(out(1) === ((1L, 150000L, 1000000L)))
+    // 1000000 · 10 DIV 1e6 = 10 → clamped into bin 9 with 950000
+    assert(out(9) === ((2L, 975000L, 1000000L)))
+    assert(out.keySet === Set(0, 1, 9))
+  }
 }

@@ -132,4 +132,38 @@ class CorpusStatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pruned === Set(("x", "y"))) // (y,x) occurs once
   }
+
+  test("freqOfFreqs: hand N_r table and Turing estimates") {
+    // counts: a×3, b×1, c×1, d×2 → N_1=2, N_2=1, N_3=1
+    val docs = Seq((1L, "a b a c"), (2L, "a d d")).toDF("doc_id", "text")
+    val out = CorpusStats.freqOfFreqs(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // r*=1: (1+1)·1e6·N_2 DIV N_1 = 2e6·1 DIV 2 = 1e6
+    assert(out(1L) === ((2L, Some(1000000L))))
+    // r*=2: 3e6·N_3 DIV N_2 = 3e6
+    assert(out(2L) === ((1L, Some(3000000L))))
+    // no N_4 → undefined, NULL not 0
+    assert(out(3L) === ((1L, None)))
+  }
+
+  test("freqOfFreqs: a gap in r leaves the estimate NULL (lead must check adjacency)") {
+    // counts: e×1, f×5 → N_1=1, N_5=1; N_2 absent so r*=1 is undefined
+    val docs = Seq((1L, "e f f f f f")).toDF("doc_id", "text")
+    val out = CorpusStats.freqOfFreqs(docs)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(1L -> None, 5L -> None))
+  }
+
+  test("freqOfFreqs is layout-independent") {
+    val docs = (0L until 300L)
+      .map(i => (i, (0 to (i % 11).toInt).map(j => s"w${(i * 31 + j) % 40}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.freqOfFreqs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(docs) === run(docs.repartition(17)))
+  }
 }

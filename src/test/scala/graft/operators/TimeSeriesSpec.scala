@@ -194,6 +194,50 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows(("short", 1)) === ((1L, -100L, Some(-0.5))))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, islands indexed in time order") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap → island 1
+      ("a", 20L, 25L),                  // touches (start == running end)
+      ("a", 30L, 40L),                  // gap of 5 → island 2
+      ("b", 100L, 200L)
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.mergeIntervals(iv, col("k"), col("s"), col("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("a", 1L, 0L, 25L, 3L, 25L),
+      ("a", 2L, 30L, 40L, 1L, 10L),
+      ("b", 1L, 100L, 200L, 1L, 100L)))
+  }
+
+  test("mergeIntervals: tolerance bridges small gaps; contained intervals never split an island") {
+    val iv = Seq(("a", 0L, 10L), ("a", 13L, 20L), // gap 3 ≤ tol 3 → merge
+      ("a", 2L, 4L),                              // fully contained
+      ("a", 30L, 31L)                             // gap 10 → new island
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.mergeIntervals(iv, col("k"), col("s"), col("e"),
+        tolUs = 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq((1L, 0L, 20L, 3L), (2L, 30L, 31L, 1L)))
+  }
+
+  test("mergeIntervals: malformed rows drop; layout-independent islands") {
+    val good = (0L until 3000L).map { i =>
+      val s = (i * 613) % 10000
+      (s"k${i % 5}", s, s + 1 + (i % 7))
+    }
+    val df = (good ++ Seq(("k0", 50L, 40L))).toDF("k", "s", "e") // end<start
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.mergeIntervals(d, col("k"), col("s"), col("e"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    // the malformed interval contributed to no island
+    assert(a.map(_._5).sum === 3000L)
+  }
+
   test("autocorr sums are layout-independent (exact integer moments)") {
     val df = (0L until 3000L).map(i => (s"k${i % 3}", i, (i * 37) % 1000))
       .toDF("k", "seq", "cents")
