@@ -264,6 +264,36 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Per-key Gini impurity of a categorical distribution, in exact ppm:
+    * gini = 1 − Σ pᵢ² — the log-free concentration/predictability score
+    * (0 = all mass on one category, →1 = uniform over many). Companion
+    * to [[transitionMatrix]] (how predictable is each entity's next
+    * event) and to source-mix audits (how concentrated is a shard's
+    * domain mix) — same role as entropy, but entropy needs libm `log`
+    * (not bit-portable); Σ pᵢ² is pure integer arithmetic:
+    *
+    *   gini_ppm = 1e6 − (1e6 · Σ nᵢ²) DIV n²    (DECIMAL(38,0) products)
+    *
+    * Scale posture: one (key, category) aggregate with map-side combine
+    * (vocabulary-bounded per key), then a key-sized aggregate; nothing
+    * else shuffles. Null categories are dropped (a null is absence, not
+    * a category). Output: `key`, `n` LONG, `n_cats` LONG, `gini_ppm`
+    * LONG, total order by key.
+    */
+  def categoricalGini(df: DataFrame, key: Column,
+                      category: Column): DataFrame =
+    df.select(key.cast("string").as("key"),
+        category.cast("string").as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col("key"), col("__c")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__ss"))
+      .withColumn("gini_ppm",
+        expr("CAST(1000000L - (1000000L * __ss) DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .drop("__ss")
+      .orderBy("key")
+
   def paretoFrontier2D(df: DataFrame, id: Column, x: Column,
                        y: Column): DataFrame = {
     val pts = df.select(id.as("pid"), x.cast("long").as("__x"),

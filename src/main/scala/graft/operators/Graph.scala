@@ -319,4 +319,54 @@ object Graph {
     nodes.join(roots, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
+
+  /** k-core peeling (bounded rounds): repeatedly delete nodes of degree
+    * < k; the survivors of the fixpoint form the k-core — the dense
+    * backbone used to split hub structure from tendrils in co-occurrence
+    * graphs (Seidman '83 semantics). `rounds` caps the iterations the
+    * same way [[pagerankMicro]]'s `iters` does: each extra round only
+    * ever removes more nodes, and once a round removes nothing the
+    * remaining rounds are no-ops — so the early-stop below never changes
+    * the result, it only skips dead work.
+    *
+    * Scale posture: per round, one degree aggregate (node-keyed,
+    * map-side combined) and two semi-joins of the edge list against the
+    * surviving-node set — all equi-joins on node ids; lineage is cut
+    * per round (localCheckpoint) so plans stay flat; driver state is
+    * one Boolean (did the round shrink the edge count).
+    *
+    * Input edges are canonicalized (undirected, self-loops dropped,
+    * duplicates collapsed). Output: surviving `node`, `deg` LONG (degree
+    * within the core), total order by node.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1, "rounds >= 1")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var i = 0
+    var done = nEdges == 0L
+    while (i < rounds && !done) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n = e.count()
+      done = n == nEdges
+      nEdges = n
+      i += 1
+    }
+    degrees(e).orderBy("node")
+  }
 }

@@ -637,4 +637,33 @@ object Similarity {
       .orderBy(col(groupCol), col("dim"))
   }
 
+  /** Mutual nearest neighbors from ANY (query_id, vec_id, rank) kNN
+    * frame: the pairs where each side ranks the other within its top
+    * `kMutual` — the margin/bitext-mining reciprocity filter (Artetxe &
+    * Schwenk's mutual-NN criterion) that kills hub vectors a one-sided
+    * top-k would pair with everything. Composes with every searcher in
+    * this file: brute force for exact audits, [[lshTopK]]/[[ivfTopK]] as
+    * the 100 TB candidate stage (the filter only ever REMOVES pairs, so
+    * approximate inputs stay approximate — no false mutuality appears).
+    *
+    * One self-equi-join on the (query, neighbor) pair key — linear in
+    * k·|queries|, never corpus². Output: `id_a` < `id_b` (each mutual
+    * pair once), `rank_ab` (b's rank in a's list), `rank_ba`, total
+    * order (id_a, id_b).
+    */
+  def mutualPairs(knn: DataFrame, kMutual: Int = 1,
+                  idCol: String = "vec_id",
+                  queryIdCol: String = "query_id"): DataFrame = {
+    require(kMutual >= 1, "kMutual >= 1")
+    val e = knn.filter(col("rank") <= kMutual)
+      .select(col(queryIdCol).as("__qa"), col(idCol).as("__va"),
+        col("rank").as("rank_ab"))
+    val rev = e.select(col("__va").as("__qa"), col("__qa").as("__va"),
+      col("rank_ab").as("rank_ba"))
+    e.join(rev, Seq("__qa", "__va"))
+      .filter(col("__qa") < col("__va"))
+      .select(col("__qa").as("id_a"), col("__va").as("id_b"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -5264,6 +5264,98 @@ object Probes {
            |FROM l ORDER BY r""".stripMargin)
   )
 
+  /** Per-key categorical Gini impurity (fully oracled): log-free
+    * predictability/concentration score in exact ppm. */
+  val giniProbe = Probe(
+    "q158_categorical_gini",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.categoricalGini(Tables.events(s, d), col("user_id"),
+        col("event_type"))
+    },
+    Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+           |    event_type AS cat, count(*) AS n
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT key, CAST(sum(n) AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_cats,
+           |  CAST(1000000 - (1000000 * sum(CAST(n AS HUGEINT) * n))
+           |    // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS gini_ppm
+           |FROM c GROUP BY key ORDER BY key""".stripMargin)
+  )
+
+  /** Bounded-round k-core peel (fully oracled): the oracle unrolls the
+    * three peel rounds as a CTE chain (the kmeans/pagerank pattern) over
+    * the repeat-co-purchase graph (pairs bought together ≥ 2 times — the
+    * Zipf-tail cut keeps the graph sparse at any SF). */
+  val kcoreProbe = Probe(
+    "q159_kcore",
+    (s, d) => {
+      import graft.operators.Graph
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val o2 = op.select(col("o"), col("p").as("p2"))
+      val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+        .select(col("src"), col("dst"))
+      Graph.kCorePeel(edges, k = 3, rounds = 3)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+           |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |d0 AS (SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+           |  GROUP BY 1),
+           |k0 AS (SELECT node FROM d0 WHERE deg >= 3),
+           |e1 AS (SELECT e.a, e.b FROM e0 e JOIN k0 x ON e.a = x.node
+           |  JOIN k0 y ON e.b = y.node),
+           |d1 AS (SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+           |  GROUP BY 1),
+           |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+           |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k1 x ON e.a = x.node
+           |  JOIN k1 y ON e.b = y.node),
+           |d2 AS (SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+           |  GROUP BY 1),
+           |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+           |e3 AS (SELECT e.a, e.b FROM e2 e JOIN k2 x ON e.a = x.node
+           |  JOIN k2 y ON e.b = y.node)
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+           |GROUP BY 1 ORDER BY node""".stripMargin)
+  )
+
+  /** Mutual nearest neighbors (fully oracled): exact kNN@3 over a
+    * bounded id range, reciprocity join replayed in SQL — the
+    * bitext-mining filter over any searcher's kNN frame. */
+  val mutualNnProbe = Probe(
+    "q160_mutual_nn",
+    (s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 400)
+      val queries = sub.select(col("vec_id").as("query_id"),
+        col("embedding"))
+      Similarity.mutualPairs(Similarity.bruteForceTopK(sub, queries, 3),
+        kMutual = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+           |  FROM embeddings WHERE vec_id < 400),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    list_dot_product(c.ev, q.ev) /
+           |      NULLIF(sqrt(list_dot_product(c.ev, c.ev)) *
+           |        sqrt(list_dot_product(q.ev, q.ev)), 0) AS sim
+           |  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, cid) AS rnk FROM sc),
+           |t AS (SELECT qid, cid, rnk FROM r WHERE rnk <= 3)
+           |SELECT x.qid AS id_a, x.cid AS id_b,
+           |  CAST(x.rnk AS INT) AS rank_ab, CAST(y.rnk AS INT) AS rank_ba
+           |FROM t x JOIN t y ON x.qid = y.cid AND x.cid = y.qid
+           |WHERE x.qid < x.cid ORDER BY id_a, id_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5297,7 +5389,7 @@ object Probes {
     cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe,
     transitionProbe, autocorrProbe, assocProbe,
     aucProbe, calibrationProbe, intervalMergeProbe, paretoProbe,
-    freqOfFreqsProbe
+    freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

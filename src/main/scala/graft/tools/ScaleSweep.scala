@@ -444,7 +444,28 @@ object ScaleSweep {
             col("l_suppkey"), col("q"), col("n")))),
         // token-count agg → count-of-counts agg → sub-√-sized window
         "freq_of_freqs" -> (() => noop(
-          graft.operators.CorpusStats.freqOfFreqs(docs)))
+          graft.operators.CorpusStats.freqOfFreqs(docs))),
+        // (key, category) agg with map-side combine, then key-sized agg
+        "categorical_gini" -> (() => noop(
+          Analytics.categoricalGini(ev, col("user_id"), col("event_type")))),
+        // per round: node-keyed degree agg + two semi-joins
+        "kcore_k3_r3" -> { () =>
+          val op = li.select(col("l_orderkey").as("o"),
+            col("l_partkey").as("p")).distinct()
+          val o2 = op.select(col("o"), col("p").as("p2"))
+          val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+            .groupBy(col("p").as("src"), col("p2").as("dst"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+            .select(col("src"), col("dst"))
+          noop(Graph.kCorePeel(edges, k = 3, rounds = 3))
+        },
+        // pair-keyed self-equi-join over the k·|queries| kNN frame
+        "mutual_nn" -> { () =>
+          val sub = emb.filter(col("vec_id") < 2000)
+          val qs = sub.select(col("vec_id").as("query_id"), col("embedding"))
+          noop(Similarity.mutualPairs(
+            Similarity.bruteForceTopK(sub, qs, 3), kMutual = 3))
+        }
       )
       val selected =
         if (opFilter.isEmpty) ops

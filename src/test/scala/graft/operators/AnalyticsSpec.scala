@@ -192,6 +192,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("categoricalGini: hand impurities, null categories dropped") {
+    val df = Seq(("pure", "a"), ("pure", "a"), ("pure", "a"),
+      ("even", "a"), ("even", "b"),
+      ("skew", "a"), ("skew", "a"), ("skew", "a"), ("skew", "b"),
+      ("nully", "a"), ("nully", null)).toDF("k", "c")
+    val out = Analytics.categoricalGini(df, col("k"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("pure") === ((3L, 1L, 0L)))          // 1 − 9/9
+    assert(out("even") === ((2L, 2L, 500000L)))     // 1 − 2/4
+    // 1 − (9+1)/16 = 6/16 = .375
+    assert(out("skew") === ((4L, 2L, 375000L)))
+    assert(out("nully") === ((1L, 1L, 0L)))         // null is absence
+  }
+
+  test("categoricalGini is layout-independent (exact integer sums)") {
+    val df = (0L until 5000L).map(i => (s"k${i % 7}", s"c${(i * 31) % 23}"))
+      .toDF("k", "c")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.categoricalGini(d, col("k"), col("c")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   test("paretoFrontier2D: dominated points drop, duplicates of frontier points survive") {
     // frontier: (5,1), (3,4), (1,6). (3,3) dominated by (3,4);
     // (2,4) dominated by (3,4); (5,1) duplicated → both survive

@@ -123,6 +123,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("mutualPairs: reciprocity filter on a hand kNN frame") {
+    // 1→2, 2→1 (mutual@1); 3→1 but 1↛3 (one-sided);
+    // 4's best is 5 at rank 2, 5's best is 4 at rank 1 → mutual@2 only
+    val knn = Seq(
+      (1L, 2L, 1), (1L, 5L, 2),
+      (2L, 1L, 1), (2L, 3L, 2),
+      (3L, 1L, 1), (3L, 2L, 2),
+      (4L, 5L, 2), (4L, 3L, 1),
+      (5L, 4L, 1), (5L, 1L, 2)
+    ).toDF("query_id", "vec_id", "rank")
+    val at1 = Similarity.mutualPairs(knn, kMutual = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at1 === Seq((1L, 2L)))
+    val at2 = Similarity.mutualPairs(knn, kMutual = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSeq
+    // (1,2) both rank 1; (1,5) and (2,3) both rank 2 each way;
+    // (4,5): 5 is 4's rank-2, 4 is 5's rank-1
+    assert(at2 === Seq((1L, 2L, 1, 1), (1L, 5L, 2, 2), (2L, 3L, 2, 2),
+      (4L, 5L, 2, 1)))
+  }
+
+  test("mutualPairs over bruteForceTopK matches a driver-side reciprocity check") {
+    val queries = emb.limit(60).select(col("vec_id").as("query_id"),
+      col("embedding"))
+    val knn = Similarity.bruteForceTopK(
+      emb.join(queries.select(col("query_id").as("vec_id")), "vec_id"),
+      queries, 3)
+    val lists = knn.select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v => v._2 -> v._3).toMap).toMap
+    val expected = (for {
+      (q, nbrs) <- lists.toSeq; (v, rab) <- nbrs.toSeq
+      if q < v; rba <- lists.getOrElse(v, Map.empty).get(q)
+    } yield (q, v, rab, rba)).sortBy(p => (p._1, p._2))
+    val got = Similarity.mutualPairs(knn, kMutual = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty) // 60 vectors, k=3 — reciprocity must occur
+  }
+
   test("lshTopK sims are genuine cosines and bounded by the brute-force best") {
     val queries = emb.limit(50).select(col("vec_id").as("query_id"), col("embedding"))
     val brute = Similarity.bruteForceTopK(emb, queries, 1)

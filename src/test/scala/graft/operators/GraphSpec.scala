@@ -142,4 +142,39 @@ class GraphSpec extends AnyFunSuite {
       .toMap
     assert(a1 === a2)
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Graph.kCorePeel(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCorePeel: triangle + tail — the tail peels off, the triangle is the 2-core") {
+    // triangle 1-2-3 with a pendant path 3-4-5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(kcore(e, k = 2, rounds = 4) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle is only a 2-core — everything peels
+    assert(kcore(e, k = 3, rounds = 4) === Map.empty)
+  }
+
+  test("kCorePeel: cascade needs multiple rounds; a bounded run reports the intermediate state") {
+    // path 1-2-3-4-5: peeling endpoints cascades inward one round at a time
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // one round removes only nodes 1 and 5
+    assert(kcore(path, k = 2, rounds = 1) === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // enough rounds → empty (a path has no 2-core)
+    assert(kcore(path, k = 2, rounds = 4) === Map.empty)
+  }
+
+  test("kCorePeel: canonicalization (dups, direction, self-loops) and layout independence") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), // dups + loop
+      (2L, 3L), (1L, 3L))
+    assert(kcore(noisy, k = 2, rounds = 3) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val big = (0L until 2000L).flatMap(i =>
+      Seq((i % 97, (i * 31) % 97), ((i * 7) % 89 + 100, (i * 13) % 89 + 100)))
+    val a = kcore(big, k = 4, rounds = 3)
+    val b = Graph.kCorePeel(big.toDF("src", "dst").repartition(17), 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }
