@@ -264,6 +264,46 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Top journey paths: the most common prefix-of-length-`pathLen`
+    * event sequences across entities — the "what do users actually do
+    * first" dashboard behind onboarding and funnel design, and the
+    * n-gram generalization of [[transitionMatrix]] (whole prefixes, not
+    * adjacent pairs).
+    *
+    * Null states are dropped BEFORE ranking (the path is over observed
+    * states; a null is a gap, not a step). Path assembly is
+    * deterministic on any layout: the per-entity window assigns
+    * row_number under the caller's total order, and `array_sort` over
+    * (rn, state) structs rebuilds the sequence in-row regardless of
+    * collect_list's arrival order (the [[graft.operators.CorpusStats]]
+    * boilerplate-reassembly discipline).
+    *
+    * Scale posture: one entity-keyed exchange (window + path agg share
+    * it), then a path-keyed count with map-side combine; the final
+    * top-N is a TakeOrderedAndProject, never a global sort of all
+    * paths. Output: `path` STRING (states joined with ">"),
+    * `n_entities` LONG — ordered (n_entities DESC, path), limit topN.
+    */
+  def journeyPaths(events: DataFrame, entity: Column, order: Seq[Column],
+                   state: Column, pathLen: Int, topN: Int): DataFrame = {
+    require(pathLen >= 1, "pathLen >= 1")
+    require(topN >= 1, "topN >= 1")
+    val w = Window.partitionBy(col("__e")).orderBy(order: _*)
+    events
+      .withColumn("__e", entity)
+      .withColumn("__s", state.cast("string"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col("__e"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("__rn"), col("__s")))),
+          s => s.getField("__s"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Per-key Gini impurity of a categorical distribution, in exact ppm:
     * gini = 1 − Σ pᵢ² — the log-free concentration/predictability score
     * (0 = all mass on one category, →1 = uniform over many). Companion

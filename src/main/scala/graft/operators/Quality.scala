@@ -293,4 +293,88 @@ object Quality {
       .select(col("r.gate_a"), col("r.gate_b"), col("r.idx_a"),
         col("r.idx_b"), col("r.n_both"))
   }
+
+  /** Benford first-digit audit over a positive integer measure — the
+    * forensic/data-quality screen for fabricated or truncated numeric
+    * columns (real multi-decade measurements follow log10(1+1/d);
+    * uniform or hand-entered data does not).
+    *
+    * Exactness: the leading digit comes from the BIGINT's decimal
+    * string length (`x DIV 10^(len−1)` — integer-string rendering is
+    * engine-stable, no float log); 10^(len−1) ≤ 10¹⁸ is exactly
+    * representable so the double `power` is safe; observed shares are
+    * truncating ppm; the Benford expectations are rounded-literal ppm
+    * CONSTANTS (they sum to exactly 1e6), not engine log10 calls.
+    *
+    * Scale posture: one narrow digit projection into a 9-row aggregate
+    * (map-side combined), joined onto the broadcast 9-row expectation
+    * spine — digits with zero support still appear. Non-positive and
+    * null values are excluded (Benford is defined on positive
+    * magnitudes).
+    *
+    * Output: `digit` INT, `n` LONG, `obs_ppm` LONG (0 when no
+    * support), `benford_ppm` LONG, `dev_ppm` LONG = |obs − benford|,
+    * total order by digit.
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val benfordPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val spine = benfordPpm.toDF("digit", "benford_ppm")
+    val digits = df
+      .select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0L)
+      .withColumn("digit",
+        expr("CAST(__v DIV CAST(power(10, length(CAST(__v AS STRING)) - 1) AS BIGINT) AS INT)"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(coalesce(sum(col("n")), lit(0L)).as("__t"))
+    broadcast(spine)
+      .join(digits, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("__t") > 0L, expr("(1000000L * coalesce(n, 0L)) DIV __t"))
+          .otherwise(lit(0L)).as("obs_ppm"),
+        col("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  /** Functional-dependency audit: does lhs → rhs hold, and how badly is
+    * it violated — the schema-inference/constraint-mining primitive
+    * (candidate-key discovery's sibling: [[Profile.uniqueness]] asks
+    * "is lhs a key", this asks "does lhs determine THIS column").
+    *
+    * Null semantics match uniqueness: a null is a VALUE on both sides
+    * (two nulls agree), so lhs groups with null members still audit.
+    *
+    * Scale posture: one (lhs, rhs) aggregate with map-side combine,
+    * one lhs-sized aggregate on top, one final row — nothing else
+    * shuffles. `repair_rows` is the minimum number of rows whose rhs
+    * must change to make the FD hold (Σ group_n − max_count — the
+    * standard g₃ error measure, Kivinen & Mannila '95).
+    *
+    * Output (one row): `n_rows`, `n_groups`, `n_violating_groups`,
+    * `violating_rows`, `repair_rows` — all LONG and exact.
+    */
+  def functionalDependency(df: DataFrame, lhs: Seq[Column],
+                           rhs: Column): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    val keyed = df.select(
+      struct(lhs: _*).as("__l"), rhs.as("__r"))
+    val pairCounts = keyed.groupBy(col("__l"), col("__r"))
+      .agg(count(lit(1)).as("__n"))
+    val perGroup = pairCounts.groupBy(col("__l"))
+      .agg(sum(col("__n")).as("__gn"), count(lit(1)).as("__nrhs"),
+        max(col("__n")).as("__maxc"))
+    perGroup.agg(
+      coalesce(sum(col("__gn")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("__nrhs") > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_violating_groups"),
+      coalesce(sum(when(col("__nrhs") > 1L, col("__gn")).otherwise(0L)),
+        lit(0L)).as("violating_rows"),
+      coalesce(sum(col("__gn") - col("__maxc")), lit(0L)).as("repair_rows"))
+  }
 }

@@ -651,6 +651,51 @@ object Similarity {
     * pair once), `rank_ab` (b's rank in a's list), `rank_ba`, total
     * order (id_a, id_b).
     */
+  /** Embedding-distribution drift between two snapshots: per group, the
+    * exact squared L2 distance between the snapshots' integer-micro
+    * centroids — the embedding-space analogue of
+    * [[graft.operators.Profile.driftChi2]] (categorical drift). A
+    * retrained encoder, a crawler mix shift, or an ingestion bug moves
+    * a group's centroid; dist2 = 0 means bit-identical means.
+    *
+    * Exactness: vectors quantize once (⌊x·10⁶+0.5⌋, the
+    * [[graft.operators.Clustering]] discipline), per-(group, dim) means
+    * are truncating DECIMAL DIV, and dist2 accumulates (Δ)² in
+    * DECIMAL(38,0) — engine- and layout-exact end to end.
+    *
+    * Scale posture: each side is one (group, dim)-keyed aggregate
+    * (shuffle = groups·dims partial rows, not vectors), joined on
+    * (group, dim) and re-aggregated to groups — nothing row-scaled
+    * past the first aggregate. Groups present on only one side carry
+    * NULL dist2 (no fake zero) with their one-sided counts.
+    *
+    * Output: `group`, `n_a`, `n_b` LONG, `dims` LONG (dims compared),
+    * `dist2_micro2` LONG (Σ Δ², micro² units; NULL if one-sided),
+    * total order by group.
+    */
+  def centroidShiftMicro(a: DataFrame, b: DataFrame, groupCol: String,
+                         vecCol: String = "embedding"): DataFrame = {
+    def moments(df: DataFrame, cn: String, nn: String): DataFrame = df
+      .select(col(groupCol).cast("string").as("group"),
+        posexplode(transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(1000000.0d) + lit(0.5d))
+            .cast("long"))).as(Seq("dim", "__x")))
+      .groupBy(col("group"), col("dim"))
+      .agg(expr("CAST(sum(CAST(__x AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+        .as(cn), count(lit(1)).as(nn))
+    val ma = moments(a, "__ca", "__na")
+    val mb = moments(b, "__cb", "__nb")
+    ma.join(mb, Seq("group", "dim"), "full_outer")
+      .groupBy(col("group"))
+      .agg(
+        coalesce(max(col("__na")), lit(0L)).as("n_a"),
+        coalesce(max(col("__nb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("dims"),
+        sum((col("__ca") - col("__cb")).cast("decimal(38,0)") *
+          (col("__ca") - col("__cb"))).cast("long").as("dist2_micro2"))
+      .orderBy("group")
+  }
+
   def mutualPairs(knn: DataFrame, kMutual: Int = 1,
                   idCol: String = "vec_id",
                   queryIdCol: String = "query_id"): DataFrame = {

@@ -5356,6 +5356,119 @@ object Probes {
            |WHERE x.qid < x.cid ORDER BY id_a, id_b""".stripMargin)
   )
 
+  /** Benford first-digit audit (fully oracled): string-length leading
+    * digit, literal ppm expectations, truncating observed shares. */
+  val benfordProbe = Probe(
+    "q161_benford",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.benford(Tables.lineitem(s, d),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+           |      AS BIGINT) AS x
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL
+           |    AND floor(l_extendedprice * 100 + 0.5) > 0),
+           |dg AS (SELECT CAST(x // CAST(power(10,
+           |      len(CAST(x AS VARCHAR)) - 1) AS BIGINT) AS INT) AS digit,
+           |    count(*) AS n
+           |  FROM v GROUP BY 1),
+           |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM dg),
+           |spine(digit, bppm) AS (VALUES (1, 301030), (2, 176091),
+           |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+           |  (8, 51153), (9, 45757)),
+           |o AS (SELECT s.digit, CAST(coalesce(dg.n, 0) AS BIGINT) AS n,
+           |    CAST(CASE WHEN t.tt > 0 THEN
+           |      (1000000 * CAST(coalesce(dg.n, 0) AS BIGINT)) // t.tt
+           |      ELSE 0 END AS BIGINT) AS obs_ppm,
+           |    CAST(s.bppm AS BIGINT) AS benford_ppm
+           |  FROM spine s LEFT JOIN dg ON dg.digit = s.digit, t)
+           |SELECT digit, n, obs_ppm, benford_ppm,
+           |  abs(obs_ppm - benford_ppm) AS dev_ppm
+           |FROM o ORDER BY digit""".stripMargin)
+  )
+
+  /** Top journey paths (fully oracled): per-entity ordered prefix
+    * assembly replayed via string_agg(… ORDER BY rn). */
+  val journeyProbe = Probe(
+    "q162_journey_paths",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.journeyPaths(Tables.events(s, d), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        pathLen = 3, topN = 20)
+    },
+    Some("""WITH r AS (SELECT user_id, event_type, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events WHERE event_type IS NOT NULL),
+           |p AS (SELECT user_id,
+           |    string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM r WHERE rn <= 3 GROUP BY user_id)
+           |SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+           |FROM p GROUP BY 1
+           |ORDER BY n_entities DESC, path LIMIT 20""".stripMargin)
+  )
+
+  /** Functional-dependency audit (fully oracled): g3 repair measure over
+    * (l_orderkey → l_shipdate). */
+  val fdProbe = Probe(
+    "q163_fd_audit",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.functionalDependency(Tables.lineitem(s, d),
+        Seq(col("l_orderkey")), col("l_shipdate"))
+    },
+    Some("""WITH pc AS (SELECT l_orderkey AS l, l_shipdate AS r,
+           |    count(*) AS n
+           |  FROM lineitem GROUP BY 1, 2),
+           |g AS (SELECT l, sum(n) AS gn, count(*) AS nrhs, max(n) AS maxc
+           |  FROM pc GROUP BY 1)
+           |SELECT CAST(coalesce(sum(gn), 0) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_violating_groups,
+           |  CAST(coalesce(sum(CASE WHEN nrhs > 1 THEN gn ELSE 0 END), 0)
+           |    AS BIGINT) AS violating_rows,
+           |  CAST(coalesce(sum(gn - maxc), 0) AS BIGINT) AS repair_rows
+           |FROM g""".stripMargin)
+  )
+
+  /** Embedding centroid drift (fully oracled): even/odd snapshot split,
+    * truncating micro means, exact Σ Δ² replayed in HUGEINT. */
+  val centroidShiftProbe = Probe(
+    "q164_centroid_shift",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.centroidShiftMicro(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "label")
+    },
+    Some("""WITH am AS (SELECT label, i AS dim,
+           |    CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+           |      AS HUGEINT)) // count(*) AS BIGINT) AS ca,
+           |    count(*) AS na
+           |  FROM embeddings, range(1, 65) t(i)
+           |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+           |bm AS (SELECT label, i AS dim,
+           |    CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5)
+           |      AS HUGEINT)) // count(*) AS BIGINT) AS cb,
+           |    count(*) AS nb
+           |  FROM embeddings, range(1, 65) t(i)
+           |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+           |j AS (SELECT coalesce(am.label, bm.label) AS grp,
+           |    am.ca, bm.cb, am.na, bm.nb
+           |  FROM am FULL OUTER JOIN bm
+           |    ON am.label = bm.label AND am.dim = bm.dim)
+           |SELECT grp AS "group",
+           |  CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+           |  CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+           |  CAST(count(*) AS BIGINT) AS dims,
+           |  CAST(sum(CAST(ca - cb AS HUGEINT) * (ca - cb)) AS BIGINT)
+           |    AS dist2_micro2
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5389,7 +5502,8 @@ object Probes {
     cusumProbe, prfExpansionProbe, readabilityProbe, gateCofailureProbe,
     transitionProbe, autocorrProbe, assocProbe,
     aucProbe, calibrationProbe, intervalMergeProbe, paretoProbe,
-    freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe
+    freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe,
+    benfordProbe, journeyProbe, fdProbe, centroidShiftProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

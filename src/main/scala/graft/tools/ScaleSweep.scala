@@ -465,7 +465,25 @@ object ScaleSweep {
           val qs = sub.select(col("vec_id").as("query_id"), col("embedding"))
           noop(Similarity.mutualPairs(
             Similarity.bruteForceTopK(sub, qs, 3), kMutual = 3))
-        }
+        },
+        // narrow digit projection into a 9-row aggregate
+        "benford" -> (() => noop(
+          graft.operators.Quality.benford(li,
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))),
+        // entity-keyed window + path agg share one exchange; then a
+        // path-keyed count and TakeOrdered
+        "journey_paths" -> (() => noop(
+          Analytics.journeyPaths(ev, col("user_id"),
+            Seq(col("ts"), col("event_id")), col("event_type"), 3, 20))),
+        // (lhs, rhs) agg → lhs-sized agg → one row
+        "fd_audit" -> (() => noop(
+          graft.operators.Quality.functionalDependency(li,
+            Seq(col("l_orderkey")), col("l_shipdate")))),
+        // two (group, dim)-keyed aggs + a groups·dims join
+        "centroid_shift" -> (() => noop(
+          Similarity.centroidShiftMicro(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1), "label")))
       )
       val selected =
         if (opFilter.isEmpty) ops

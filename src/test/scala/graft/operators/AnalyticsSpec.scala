@@ -192,6 +192,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("journeyPaths: prefix paths, null steps skipped, top-N tie order") {
+    val ev = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, Some("B")), (1L, 3L, Some("C")),
+      (1L, 4L, Some("D")),                     // beyond pathLen 3
+      (2L, 1L, Some("A")), (2L, 2L, None), (2L, 3L, Some("B")),
+      (2L, 4L, Some("C")),                     // null is a gap, not a step
+      (3L, 1L, Some("A")), (3L, 2L, Some("B")), // short journey
+      (4L, 1L, Some("X"))
+    ).toDF("u", "seq", "s")
+    val out = Analytics.journeyPaths(ev, col("u"), Seq(col("seq")),
+        col("s"), pathLen = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("A>B>C", 2L), ("A>B", 1L), ("X", 1L)))
+  }
+
+  test("journeyPaths: topN truncates after the (count, path) total order; layout-independent") {
+    val ev = (0L until 3000L).map { i =>
+      val u = i % 300
+      (u, i / 300, s"s${(u * 7 + i / 300) % 4}")
+    }.toDF("u", "seq", "s")
+    def run(d: org.apache.spark.sql.DataFrame, n: Int) =
+      Analytics.journeyPaths(d, col("u"), Seq(col("seq")), col("s"),
+        pathLen = 4, topN = n).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val all = run(ev, 1000)
+    assert(run(ev, 3) === all.take(3))
+    assert(run(ev.repartition(17), 1000) === all)
+  }
+
   test("categoricalGini: hand impurities, null categories dropped") {
     val df = Seq(("pure", "a"), ("pure", "a"), ("pure", "a"),
       ("even", "a"), ("even", "b"),

@@ -123,6 +123,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("centroidShiftMicro: hand shift, identical snapshots at zero, one-sided groups NULL") {
+    val a = Seq(("g1", Array(1.0f, 0.0f)), ("g1", Array(0.0f, 1.0f)),
+      ("g2", Array(0.5f, 0.5f)), ("only_a", Array(1.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val b = Seq(("g1", Array(1.0f, 1.0f)),   // centroid (1e6, 1e6)
+      ("g2", Array(0.5f, 0.5f)))             // unchanged
+      .toDF("label", "embedding")
+    val out = Similarity.centroidShiftMicro(a, b, "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // g1 A-centroid = (500000, 500000), B = (1e6, 1e6): 2·500000²
+    assert(out("g1") === ((2L, 1L, 2L, Some(500000000000L))))
+    assert(out("g2") === ((1L, 1L, 2L, Some(0L))))
+    assert(out("only_a") === ((1L, 0L, 2L, None)))
+  }
+
+  test("centroidShiftMicro is layout-independent (truncating means, exact sums)") {
+    val mk = (seed: Long) => (0L until 600L).map { i =>
+      (s"g${i % 3}", Array.tabulate(8)(d =>
+        (((i * 31 + d * 7 + seed) % 997).toFloat / 997f)))
+    }.toDF("label", "embedding")
+    val a = mk(0); val b = mk(13)
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidShiftMicro(x, y, "label").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSeq
+    assert(run(a, b) === run(a.repartition(17), b.repartition(5)))
+  }
+
   test("mutualPairs: reciprocity filter on a hand kNN frame") {
     // 1→2, 2→1 (mutual@1); 3→1 but 1↛3 (one-sided);
     // 4's best is 5 at rank 2, 5's best is 4 at rank 1 → mutual@2 only

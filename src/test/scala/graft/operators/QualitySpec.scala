@@ -141,4 +141,74 @@ class QualitySpec extends AnyFunSuite {
     assert(out(4L) === ((3L, 2L, false)))
     assert(out(7L) === ((2L, 1L, true)), "null sensitive value adds no diversity")
   }
+
+  test("benford: leading digits, zero-support spine rows, exclusions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values: 1, 19, 123, 2000, 95 → digits 1,1,1,2,9; 0/null/negative excluded
+    val df = Seq(Some(1L), Some(19L), Some(123L), Some(2000L), Some(95L),
+      Some(0L), Some(-7L), None).toDF("v")
+    val out = Quality.benford(df, col("v"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === (1 to 9).toSet) // all digits present
+    assert(out(1) === ((3L, 600000L, 301030L, 298970L)))
+    assert(out(2) === ((1L, 200000L, 176091L, 23909L)))
+    assert(out(9) === ((1L, 200000L, 45757L, 154243L)))
+    assert(out(5)._1 === 0L) // no support → n 0, obs 0
+    assert(out(5)._2 === 0L)
+    // Benford constants partition one million exactly
+    assert(out.values.map(_._3).sum === 1000000L)
+  }
+
+  test("benford: a geometric (multi-decade) series hugs the law; empty input yields the spine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1.5^i spans decades — first-digit shares approach log10(1+1/d)
+    val geo = (0 until 400).map(i => math.pow(1.5, i % 57).toLong)
+      .filter(_ > 0).toDF("v")
+    val out = Quality.benford(geo, col("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(out(1) < 120000L, s"digit-1 deviation ${out(1)} too large")
+    val empty = Quality.benford(Seq.empty[Long].toDF("v"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(empty.length === 9 && empty.forall(t => t._2 == 0L && t._3 == 0L))
+  }
+
+  test("functionalDependency: held FD, violated FD, null-as-value, g3 repair count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),       // group (1,a): rhs {x} — holds
+      (2L, "b", "x"), (2L, "b", "y"), (2L, "b", "y"), // violated: repair 1
+      (3L, null, "z"), (3L, null, "z")      // null lhs is a value — holds
+    ).toDF("k1", "k2", "r")
+    val held = Quality.functionalDependency(df.filter(col("k1") =!= 2L),
+      Seq(col("k1"), col("k2")), col("r")).collect().head
+    assert((held.getLong(0), held.getLong(1), held.getLong(2),
+      held.getLong(3), held.getLong(4)) === ((4L, 2L, 0L, 0L, 0L)))
+    val all = Quality.functionalDependency(df, Seq(col("k1"), col("k2")),
+      col("r")).collect().head
+    assert((all.getLong(0), all.getLong(1), all.getLong(2), all.getLong(3),
+      all.getLong(4)) === ((7L, 3L, 1L, 3L, 1L)))
+  }
+
+  test("functionalDependency: null rhs values agree with each other; layout independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, null), (1L, null), (2L, null), (2L, "v"))
+      .toDF("k", "r")
+    val out = Quality.functionalDependency(df, Seq(col("k")), col("r"))
+      .collect().head
+    // group 1: {null,null} holds; group 2: {null,v} violated, repair 1
+    assert((out.getLong(1), out.getLong(2), out.getLong(4)) ===
+      ((2L, 1L, 1L)))
+    val big = (0L until 4000L)
+      .map(i => (i % 37, s"r${(i * 7) % (if (i % 37 < 20) 1 else 3)}"))
+      .toDF("k", "r")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.functionalDependency(d, Seq(col("k")), col("r"))
+        .collect().head.toSeq
+    assert(run(big) === run(big.repartition(17)))
+  }
 }
