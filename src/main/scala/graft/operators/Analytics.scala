@@ -264,6 +264,67 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Two-arm A/B comparison in exact integer units: per-arm conversion
+    * counts and ppm rates, the absolute lift, and the squared
+    * two-proportion z statistic in micro-units — the experiment
+    * readout, kept log/sqrt-free so any engine replays it bit-for-bit
+    * (compare z2 against 3.8415 ≈ χ²₁(0.95) as the caller's last,
+    * local step; z² = z-test squared, identical decision).
+    *
+    *   z² = (p₁−p₂)² / (p̂(1−p̂)(1/n₁+1/n₂))      with p̂ the pooled rate
+    *      = Δppm² · n₁ · n₂ · N  DIV  (n₁+n₂)² ·… — all integer via ppm
+    *
+    * Implementation keeps every intermediate in DECIMAL(38,0):
+    *   z2_micro = (Δppm² · n₁ · n₂) DIV ((n₁+n₂) · pool_ppm ·
+    *              (1e6 − pool_ppm) DIV 1e6 … ) — see code; one
+    * truncating DIV at the end, NULL when either arm is empty or the
+    * pooled rate is degenerate (0 or 1 — no variance, z undefined).
+    *
+    * One arm-keyed aggregate (two rows), then a two-row pivot — nothing
+    * else shuffles. Output (one row): `n_a`, `conv_a`, `rate_a_ppm`,
+    * `n_b`, `conv_b`, `rate_b_ppm`, `lift_ppm` (rate_b − rate_a),
+    * `pool_ppm`, `z2_micro`.
+    */
+  def abTest(df: DataFrame, arm: Column, success: Column,
+             armA: String, armB: String): DataFrame = {
+    val agg = df
+      .select(arm.cast("string").as("__arm"),
+        success.cast("boolean").as("__s"))
+      .filter(col("__arm").isin(armA, armB) && col("__s").isNotNull)
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__s"), 1L).otherwise(0L)), lit(0L))
+          .as("__c"))
+    val row = agg.agg(
+      coalesce(sum(when(col("__arm") === armA, col("__n"))), lit(0L))
+        .as("n_a"),
+      coalesce(sum(when(col("__arm") === armA, col("__c"))), lit(0L))
+        .as("conv_a"),
+      coalesce(sum(when(col("__arm") === armB, col("__n"))), lit(0L))
+        .as("n_b"),
+      coalesce(sum(when(col("__arm") === armB, col("__c"))), lit(0L))
+        .as("conv_b"))
+    row
+      .withColumn("rate_a_ppm",
+        when(col("n_a") > 0L, expr("(1000000L * conv_a) DIV n_a")))
+      .withColumn("rate_b_ppm",
+        when(col("n_b") > 0L, expr("(1000000L * conv_b) DIV n_b")))
+      .withColumn("lift_ppm", col("rate_b_ppm") - col("rate_a_ppm"))
+      .withColumn("pool_ppm",
+        when(col("n_a") + col("n_b") > 0L,
+          expr("(1000000L * (conv_a + conv_b)) DIV (n_a + n_b)")))
+      .withColumn("z2_micro",
+        when(col("n_a") > 0L && col("n_b") > 0L &&
+          col("pool_ppm") > 0L && col("pool_ppm") < 1000000L,
+          expr("""CAST((1000000L * CAST(rate_b_ppm - rate_a_ppm AS DECIMAL(38,0)) *
+                 (rate_b_ppm - rate_a_ppm) * n_a * n_b) DIV
+                 (CAST(pool_ppm AS DECIMAL(38,0)) *
+                  (1000000L - pool_ppm) * (n_a + n_b)) AS BIGINT)""")))
+      .select(col("n_a"), col("conv_a"), col("rate_a_ppm"),
+        col("n_b"), col("conv_b"), col("rate_b_ppm"), col("lift_ppm"),
+        col("pool_ppm"), col("z2_micro"))
+  }
+
   /** Top journey paths: the most common prefix-of-length-`pathLen`
     * event sequences across entities — the "what do users actually do
     * first" dashboard behind onboarding and funnel design, and the

@@ -148,6 +148,56 @@ object Classify {
           col("precision_ppm") + col("recall_ppm") > 0L,
           expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
 
+  /** Multiclass evaluation: per-class one-vs-rest cells and exact ppm
+    * precision/recall/F1 — [[evalBinary]] generalized past two labels
+    * (quality tiers, language ID, topic routing all grade multiclass).
+    *
+    * One (truth, pred) confusion aggregate (classes²-sized, map-side
+    * combined); per-class marginals come from windows over that frame,
+    * never a second data pass. NULL (not fake 0) where a metric is
+    * undefined; rows with a null on either side are excluded from the
+    * confusion mass (quarantine upstream — [[evalBinary]]'s n_null
+    * pattern — if you need the count).
+    *
+    * Output: one row per class observed in truth or pred — `class`,
+    * `tp`, `fp`, `fn`, `support` LONG, `precision_ppm`, `recall_ppm`,
+    * `f1_ppm` LONG-or-NULL, total order by class.
+    */
+  def evalMulticlass(scored: DataFrame, pred: Column,
+                     truth: Column): DataFrame = {
+    val cells = scored
+      .select(pred.cast("string").as("__p"), truth.cast("string").as("__t"))
+      .filter(col("__p").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__n"))
+    val predTotals = cells.groupBy(col("__p").as("class"))
+      .agg(sum(col("__n")).as("__np"))
+    val truthTotals = cells.groupBy(col("__t").as("class"))
+      .agg(sum(col("__n")).as("__nt"))
+    val diag = cells.filter(col("__p") === col("__t"))
+      .select(col("__p").as("class"), col("__n").as("tp"))
+    predTotals
+      .join(truthTotals, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left_outer")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__np"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"),
+        coalesce(col("__nt"), lit(0L)).as("support"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000L * tp) DIV (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("(1000000L * tp) DIV (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0L,
+          expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
+      .orderBy("class")
+  }
+
   /** Exact ROC-AUC over an integer score — the threshold-free companion
     * to [[evalBinary]]'s fixed-threshold cells. Computed as the
     * Mann-Whitney rank statistic with the standard tie treatment

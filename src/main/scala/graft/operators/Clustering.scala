@@ -120,6 +120,50 @@ object Clustering {
     out
   }
 
+  /** Top terms per cluster — c-TF-IDF topic labeling (the BERTopic
+    * readout): after [[kmeansMicro]] (or any clustering) assigns docs
+    * to clusters, rank each cluster's terms by occurrence mass ×
+    * linear inverse CLUSTER frequency, all integer:
+    *
+    *   w_ppm(c, t) = tf(c, t) · ((1e6 · nClusters) DIV cdf(t))
+    *
+    * (cdf = #clusters containing t — terms shared by every cluster get
+    * the floor weight, cluster-distinctive terms the ceiling; linear
+    * idf keeps it log-free, the [[graft.operators.Bm25]] PRF
+    * discipline). Ties break (w DESC, term) — total order.
+    *
+    * Scale posture: one token-stream aggregate to (cluster, term) tf
+    * (map-side combined), a vocabulary-sized cdf aggregate joined back,
+    * and a per-cluster rank window that plans to WindowGroupLimit under
+    * the rank ≤ m filter. The doc corpus is scanned once.
+    *
+    * Output: `cluster`, `term`, `tf` LONG, `cdf` LONG, `w_ppm` LONG,
+    * `rank` LONG, total order (cluster, rank).
+    */
+  def clusterTerms(docs: DataFrame, clusterCol: Column, textCol: Column,
+                   topM: Int): DataFrame = {
+    require(topM >= 1, "topM >= 1")
+    import graft.functions.Text
+    val tf = docs
+      .select(clusterCol.cast("string").as("cluster"),
+        explode(Text.words(textCol)).as("term"))
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+    val nClusters = tf.select(col("cluster")).distinct()
+      .agg(count(lit(1)).as("__nc"))
+    val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("w_ppm").desc, col("term"))
+    tf.join(cdf, "term")
+      .crossJoin(broadcast(nClusters))
+      .withColumn("w_ppm", expr("tf * ((1000000L * __nc) DIV cdf)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topM)
+      .select(col("cluster"), col("term"), col("tf"), col("cdf"),
+        col("w_ppm"), col("rank"))
+      .orderBy("cluster", "rank")
+  }
+
   /** The final centroid table of [[kmeansMicro]] reconstructed from an
     * assignment frame + the micro vectors — (`cluster`, `dim`,
     * `c_micro`, `n`): the audit view an oracle recomputes. */

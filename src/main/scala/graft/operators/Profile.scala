@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -340,6 +341,52 @@ object Profile {
     * the MAD is 0 (≥ half the group at the median — deviation has no
     * robust unit) or the value is NULL. Appends `med`, `dev`, `mad`,
     * `z`. Two count-aggregate passes + two broadcast-sized joins. */
+  /** Exact contingency table with chi-squared cell contributions — the
+    * categorical-association audit (is event mix independent of user
+    * segment; is language independent of source). For each (row, col)
+    * cell: observed count, the expected count under independence in
+    * truncating milli-units (row_total·col_total·1000 DIV grand), and
+    * the cell's chi² contribution in micro-units computed from those
+    * integers:
+    *
+    *   chi2_micro = (1000 · (1000·obs − exp_milli)²) DIV exp_milli
+    *
+    * — every step integer, so cells are engine- and layout-exact
+    * (chi-squared against thresholds is the caller's last, local step;
+    * [[driftChi2]] is the two-snapshot sibling over one dimension).
+    *
+    * Scale posture: ONE (row, col) aggregate with map-side combine;
+    * marginals come from windows over that cells-sized frame — the
+    * events table is never re-scanned. Null categories on either axis
+    * are dropped. Output: `row_val`, `col_val`, `n` LONG, `exp_milli`
+    * LONG, `chi2_micro` LONG, total order (row_val, col_val).
+    */
+  def contingency(df: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = df
+      .select(rowC.cast("string").as("row_val"),
+        colC.cast("string").as("col_val"))
+      .filter(col("row_val").isNotNull && col("col_val").isNotNull)
+      .groupBy(col("row_val"), col("col_val"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("row_val"))
+    val wc = Window.partitionBy(col("col_val"))
+    val wg = Window.partitionBy()
+    cells
+      .withColumn("__rt", sum(col("n")).over(wr))
+      .withColumn("__ct", sum(col("n")).over(wc))
+      .withColumn("__g", sum(col("n")).over(wg))
+      .withColumn("exp_milli",
+        expr("(CAST(__rt AS DECIMAL(38,0)) * __ct * 1000L) DIV __g")
+          .cast("long"))
+      .withColumn("chi2_micro",
+        when(col("exp_milli") > 0L,
+          expr("""CAST((1000L * CAST(1000L * n - exp_milli AS DECIMAL(38,0)) *
+                 (1000L * n - exp_milli)) DIV exp_milli AS BIGINT)"""))
+          .otherwise(lit(0L)))
+      .drop("__rt", "__ct", "__g")
+      .orderBy("row_val", "col_val")
+  }
+
   def madZscore(df: DataFrame, group: Column, value: Column): DataFrame = {
     val med = positionalMedian(df, group, value)
       .select(col("__g").as("__mg"), col("__med"))

@@ -5469,6 +5469,154 @@ object Probes {
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
+  /** Contingency + chi² cells (fully oracled): event mix × hour-of-day
+    * (pure integer µs hour — engine-neutral), HUGEINT replay. */
+  val contingencyProbe = Probe(
+    "q165_contingency",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.contingency(Tables.events(s, d), col("event_type"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24"))
+    },
+    Some("""WITH b AS (SELECT event_type AS row_val,
+           |    CAST((epoch_us(ts::TIMESTAMP) // 3600000000) % 24 AS VARCHAR)
+           |      AS col_val
+           |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+           |cells AS (SELECT row_val, col_val, count(*) AS n
+           |  FROM b GROUP BY 1, 2),
+           |m AS (SELECT *, sum(n) OVER (PARTITION BY row_val) AS rt,
+           |    sum(n) OVER (PARTITION BY col_val) AS ct,
+           |    sum(n) OVER () AS g
+           |  FROM cells),
+           |e AS (SELECT row_val, col_val, CAST(n AS BIGINT) AS n,
+           |    CAST((CAST(rt AS HUGEINT) * ct * 1000) // g AS BIGINT)
+           |      AS exp_milli
+           |  FROM m)
+           |SELECT row_val, col_val, n, exp_milli,
+           |  CASE WHEN exp_milli > 0 THEN
+           |    CAST((1000 * CAST(1000 * n - exp_milli AS HUGEINT) *
+           |      (1000 * n - exp_milli)) // exp_milli AS BIGINT)
+           |  ELSE 0 END AS chi2_micro
+           |FROM e ORDER BY row_val, col_val""".stripMargin)
+  )
+
+  /** Multiclass evaluation (fully oracled): one-vs-rest cells + ppm
+    * metrics from one confusion aggregate; the pred is a deterministic
+    * rule both engines replay. */
+  val multiclassProbe = Probe(
+    "q166_multiclass_eval",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.evalMulticlass(Tables.documents(s, d),
+        expr("CASE WHEN n_chars % 3 = 0 THEN 'en' WHEN n_chars % 3 = 1 THEN 'de' ELSE 'fr' END"),
+        col("lang"))
+    },
+    Some("""WITH s AS (SELECT CASE WHEN n_chars % 3 = 0 THEN 'en'
+           |    WHEN n_chars % 3 = 1 THEN 'de' ELSE 'fr' END AS p,
+           |    lang AS t
+           |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+           |cells AS (SELECT p, t, count(*) AS n FROM s GROUP BY 1, 2),
+           |np AS (SELECT p AS class, sum(n) AS np FROM cells GROUP BY 1),
+           |nt AS (SELECT t AS class, sum(n) AS nt FROM cells GROUP BY 1),
+           |dg AS (SELECT p AS class, n AS tp FROM cells WHERE p = t),
+           |j AS (SELECT coalesce(np.class, nt.class) AS class,
+           |    CAST(coalesce(dg.tp, 0) AS BIGINT) AS tp,
+           |    CAST(coalesce(np.np, 0) - coalesce(dg.tp, 0) AS BIGINT) AS fp,
+           |    CAST(coalesce(nt.nt, 0) - coalesce(dg.tp, 0) AS BIGINT) AS fn,
+           |    CAST(coalesce(nt.nt, 0) AS BIGINT) AS support
+           |  FROM np FULL OUTER JOIN nt ON np.class = nt.class
+           |  LEFT JOIN dg ON dg.class = coalesce(np.class, nt.class)),
+           |w AS (SELECT *,
+           |    CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+           |      AS precision_ppm,
+           |    CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END
+           |      AS recall_ppm
+           |  FROM j)
+           |SELECT class, tp, fp, fn, support,
+           |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           |  CAST(CASE WHEN precision_ppm IS NOT NULL
+           |      AND recall_ppm IS NOT NULL
+           |      AND precision_ppm + recall_ppm > 0 THEN
+           |    (2 * precision_ppm * recall_ppm) //
+           |      (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+           |FROM w ORDER BY class""".stripMargin)
+  )
+
+  /** A/B two-proportion readout (fully oracled): integer rates, lift,
+    * pooled z² in micro — one truncating DIV at the end. */
+  val abTestProbe = Probe(
+    "q167_ab_test",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.abTest(Tables.events(s, d),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        col("value") >= 50.0, "A", "B")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B'
+           |      END AS arm, (value >= 50.0) AS ok
+           |  FROM events WHERE value IS NOT NULL),
+           |a AS (SELECT
+           |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN arm = 'A' AND ok THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(sum(CASE WHEN arm = 'B' AND ok THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS conv_b
+           |  FROM b),
+           |r AS (SELECT *,
+           |    CASE WHEN n_a > 0 THEN (1000000 * conv_a) // n_a END
+           |      AS rate_a_ppm,
+           |    CASE WHEN n_b > 0 THEN (1000000 * conv_b) // n_b END
+           |      AS rate_b_ppm,
+           |    CASE WHEN n_a + n_b > 0 THEN
+           |      (1000000 * (conv_a + conv_b)) // (n_a + n_b) END
+           |      AS pool_ppm
+           |  FROM a)
+           |SELECT n_a, conv_a, CAST(rate_a_ppm AS BIGINT) AS rate_a_ppm,
+           |  n_b, conv_b, CAST(rate_b_ppm AS BIGINT) AS rate_b_ppm,
+           |  CAST(rate_b_ppm - rate_a_ppm AS BIGINT) AS lift_ppm,
+           |  CAST(pool_ppm AS BIGINT) AS pool_ppm,
+           |  CAST(CASE WHEN n_a > 0 AND n_b > 0 AND pool_ppm > 0
+           |      AND pool_ppm < 1000000 THEN
+           |    (1000000 * CAST(rate_b_ppm - rate_a_ppm AS HUGEINT) *
+           |     (rate_b_ppm - rate_a_ppm) * n_a * n_b) //
+           |    (CAST(pool_ppm AS HUGEINT) * (1000000 - pool_ppm) *
+           |     (n_a + n_b)) END AS BIGINT) AS z2_micro
+           |FROM r""".stripMargin)
+  )
+
+  /** c-TF-IDF cluster terms (fully oracled): source as the cluster
+    * axis; linear inverse-cluster-frequency weights, rank windows
+    * replayed with identical tie order. */
+  val clusterTermsProbe = Probe(
+    "q168_cluster_terms",
+    (s, d) => {
+      import graft.operators.Clustering
+      Clustering.clusterTerms(Tables.documents(s, d), col("source"),
+        col("text"), topM = 10)
+    },
+    Some("""WITH tf AS (SELECT source AS cluster, t AS term,
+           |    count(*) AS tf
+           |  FROM (SELECT source, unnest(list_filter(
+           |      string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS t FROM documents)
+           |  GROUP BY 1, 2),
+           |nc AS (SELECT count(DISTINCT cluster) AS nc FROM tf),
+           |cdf AS (SELECT term, count(*) AS cdf FROM tf GROUP BY 1),
+           |w AS (SELECT tf.cluster, tf.term, tf.tf, cdf.cdf,
+           |    tf.tf * ((1000000 * nc.nc) // cdf.cdf) AS w_ppm
+           |  FROM tf JOIN cdf USING (term), nc),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+           |    ORDER BY w_ppm DESC, term) AS rank FROM w)
+           |SELECT cluster, term, CAST(tf AS BIGINT) AS tf,
+           |  CAST(cdf AS BIGINT) AS cdf, CAST(w_ppm AS BIGINT) AS w_ppm,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 10 ORDER BY cluster, rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5503,7 +5651,8 @@ object Probes {
     transitionProbe, autocorrProbe, assocProbe,
     aucProbe, calibrationProbe, intervalMergeProbe, paretoProbe,
     freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe,
-    benfordProbe, journeyProbe, fdProbe, centroidShiftProbe
+    benfordProbe, journeyProbe, fdProbe, centroidShiftProbe,
+    contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

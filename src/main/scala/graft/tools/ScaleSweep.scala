@@ -483,7 +483,25 @@ object ScaleSweep {
         "centroid_shift" -> (() => noop(
           Similarity.centroidShiftMicro(
             emb.filter(col("vec_id") % 2 === 0),
-            emb.filter(col("vec_id") % 2 === 1), "label")))
+            emb.filter(col("vec_id") % 2 === 1), "label"))),
+        // one (row, col) agg; marginals are windows over the cells frame
+        "contingency" -> (() => noop(
+          graft.operators.Profile.contingency(ev, col("event_type"),
+            expr("(unix_micros(ts) DIV 3600000000) % 24")))),
+        // classes²-sized confusion agg + marginal joins
+        "multiclass_eval" -> (() => noop(
+          graft.operators.Classify.evalMulticlass(docs,
+            expr("CASE WHEN n_chars % 3 = 0 THEN 'en' WHEN n_chars % 3 = 1 THEN 'de' ELSE 'fr' END"),
+            col("lang")))),
+        // one arm-keyed agg → one row
+        "ab_test" -> (() => noop(
+          Analytics.abTest(ev,
+            when(col("user_id") % 2 === 0, "A").otherwise("B"),
+            col("value") >= 50.0, "A", "B"))),
+        // token agg → vocab cdf join → WindowGroupLimit rank
+        "cluster_terms" -> (() => noop(
+          graft.operators.Clustering.clusterTerms(docs, col("source"),
+            col("text"), topM = 10)))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -192,6 +192,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("abTest: hand rates, lift, pooled z2 in micro; degenerate arms NULL") {
+    // arm A: 100 users, 10 convert; arm B: 100 users, 20 convert
+    val rows = (0 until 100).map(i => ("A", i < 10)) ++
+      (0 until 100).map(i => ("B", i < 20)) ++
+      Seq(("C", true)) // foreign arm ignored
+    val r = Analytics.abTest(rows.toDF("arm", "ok"), col("arm"), col("ok"),
+      "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((100L, 10L, 100000L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((100L, 20L, 200000L)))
+    assert(r.getLong(6) === 100000L)  // +10pp lift
+    assert(r.getLong(7) === 150000L)  // pooled 30/200
+    // z² = Δ²·n_a·n_b / (p(1−p)·N) = .01·1e4 / (.1275·200) = 3.92156…
+    // micro with truncating integer ops: 1e6·1e10·1e4 DIV (15e4·85e4·200)
+    val z2 = r.getLong(8)
+    assert(z2 === (BigInt(1000000L) * BigInt(100000L) * 100000L * 100 * 100 /
+      (BigInt(150000L) * 850000L * 200L)).toLong)
+    assert(math.abs(z2 - 3921568L) < 2L)
+    // all-convert pool → no variance → NULL z2
+    val degen = Analytics.abTest(
+      Seq(("A", true), ("B", true)).toDF("arm", "ok"),
+      col("arm"), col("ok"), "A", "B").collect().head
+    assert(degen.isNullAt(8))
+  }
+
+  test("abTest: empty arm yields NULL rate and z2; layout independence") {
+    val one = Analytics.abTest(Seq(("A", true), ("A", false))
+        .toDF("arm", "ok"), col("arm"), col("ok"), "A", "B")
+      .collect().head
+    assert(one.getLong(0) === 2L && one.getLong(3) === 0L)
+    assert(one.isNullAt(5) && one.isNullAt(8))
+    val big = (0L until 8000L)
+      .map(i => (if (i % 2 == 0) "A" else "B", (i * 7919) % 11 < 3))
+      .toDF("arm", "ok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.abTest(d, col("arm"), col("ok"), "A", "B")
+        .collect().head.toSeq
+    assert(run(big) === run(big.repartition(17)))
+  }
+
   test("journeyPaths: prefix paths, null steps skipped, top-N tie order") {
     val ev = Seq(
       (1L, 1L, Some("A")), (1L, 2L, Some("B")), (1L, 3L, Some("C")),

@@ -130,6 +130,44 @@ class ClassifySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("evalMulticlass: hand confusion, one-vs-rest cells, NULL metrics") {
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),  // truth a: 2 right, 1 → b
+      ("b", "b"),                           // truth b: 1 right
+      ("c", "a"),                           // truth c: predicted a
+      ("d", null)                           // null pred → excluded
+    ).map { case (t, p) => (p, t) }.toDF("p", "t")
+    val out = Classify.evalMulticlass(rows, col("p"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    // class a: tp 2, fp 1 (the c→a miss), fn 1 (a→b), support 3
+    assert(out("a") === ((2L, 1L, 1L, 3L, Some(666666L), Some(666666L))))
+    // class b: tp 1, fp 1, fn 0, support 1 → precision .5, recall 1
+    assert(out("b") === ((1L, 1L, 0L, 1L, Some(500000L), Some(1000000L))))
+    // class c: never predicted → precision NULL, recall 0
+    assert(out("c") === ((0L, 0L, 1L, 1L, None, Some(0L))))
+    assert(!out.contains("d")) // its only row was null-pred
+  }
+
+  test("evalMulticlass: binary case agrees with evalBinary; layout independence") {
+    val rows = (0 until 1000).map { i =>
+      (if ((i * 7) % 3 == 0) "pos" else "neg",
+       if ((i * 13) % 4 == 0) "pos" else "neg")
+    }.toDF("p", "t")
+    val mc = Classify.evalMulticlass(rows, col("p"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val bin = Classify.evalBinary(rows, col("p") === "pos", col("t") === "pos")
+      .collect().head
+    assert(mc("pos") === ((bin.getLong(0), bin.getLong(1), bin.getLong(3))))
+    val b = Classify.evalMulticlass(rows.repartition(13), col("p"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(b === mc.map { case (k, v) => k -> ((v._1, v._2, v._3)) })
+  }
+
   private def aucRow(rows: Seq[(Long, Boolean)]) = {
     import spark.implicits._
     val r = Classify.aucExact(rows.toDF("s", "t"), col("s"), col("t"))

@@ -72,4 +72,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cents.forall { case (_, _, c, n) =>
       n > 0 && math.abs(c) > 9900000L && math.abs(c) < 10100000L })
   }
+
+  test("clusterTerms: distinctive terms outrank shared ones; exact weights") {
+    import spark.implicits._
+    val docs = Seq(
+      (0, "spark spark shuffle the"), (0, "spark codegen the"),
+      (1, "tokens tokens dedup the"), (1, "dedup the")
+    ).toDF("cl", "text")
+    val out = Clustering.clusterTerms(docs, col("cl"), col("text"), topM = 2)
+      .collect().map(r => (r.getString(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // nClusters 2. "the" appears in both clusters (cdf 2, idf 1e6);
+    // cluster-only terms cdf 1 → idf 2e6. cluster 0: spark tf 3 → w 6e6.
+    assert(out(("0", 1L)) === (("spark", 3L, 1L, 6000000L)))
+    assert(out(("0", 2L)) === (("codegen", 1L, 1L, 2000000L)))
+    assert(out(("1", 1L)) === (("dedup", 2L, 1L, 4000000L)))
+    assert(out(("1", 2L)) === (("tokens", 2L, 1L, 4000000L)))
+  }
+
+  test("clusterTerms: ties break (w DESC, term); layout-independent") {
+    import spark.implicits._
+    val docs = (0L until 2000L)
+      .map(i => (i % 4, s"w${(i * 31) % 50} w${(i * 17) % 50} shared"))
+      .toDF("cl", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Clustering.clusterTerms(d, col("cl"), col("text"), topM = 5)
+        .collect().map(r => (r.getString(0), r.getLong(5), r.getString(1),
+          r.getLong(4))).toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(17)))
+    // ranks are 1..5 per cluster
+    assert(a.groupBy(_._1).forall(_._2.map(_._2).sorted == (1L to 5L)))
+  }
 }

@@ -247,4 +247,45 @@ class ProfileSpec extends AnyFunSuite {
       r.getInt(1) == 5).get
     assert(b5.getInt(2) === 2) // med
   }
+
+  test("contingency: hand expectations and chi2 cells; independence gives chi2 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfectly independent 2x2: rows {r1:40, r2:40}, cols {c1:40, c2:40}
+    val indep = (Seq.fill(20)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(20)(("r2", "c2")))
+      .toDF("r", "c")
+    val iOut = Profile.contingency(indep, col("r"), col("c")).collect()
+    assert(iOut.length === 4)
+    assert(iOut.forall(r => r.getLong(2) === 20L &&
+      r.getLong(3) === 20000L && r.getLong(4) === 0L))
+    // skewed cell: obs 30 vs exp 20 in one cell of an 80-row table
+    val skew = (Seq.fill(30)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(10)(("r2", "c1")) ++ Seq.fill(30)(("r2", "c2")))
+      .toDF("r", "c")
+    val sOut = Profile.contingency(skew, col("r"), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // every marginal is 40, grand 80 → exp = 20 (milli 20000) everywhere;
+    // chi2 cell = (30−20)²/20 = 5 → micro 5_000_000
+    assert(sOut(("r1", "c1")) === ((20000L, 5000000L)))
+    assert(sOut(("r1", "c2")) === ((20000L, 5000000L)))
+  }
+
+  test("contingency: nulls on either axis drop; layout independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some("x")), ("a", None), (null, Some("x")),
+      ("b", Some("y"))).toDF("r", "c")
+    val out = Profile.contingency(df, col("r"), col("c")).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "x"), ("b", "y")))
+    val big = (0L until 6000L)
+      .map(i => (s"r${i % 5}", s"c${(i * 31) % 7}")).toDF("r", "c")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.contingency(d, col("r"), col("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(run(big) === run(big.repartition(17)))
+  }
 }
