@@ -387,6 +387,64 @@ object Profile {
       .orderBy("row_val", "col_val")
   }
 
+  /** Mass-concentration (Lorenz) deciles over a keyed distribution:
+    * "the top 10% of domains hold X% of the corpus" — the curation
+    * readout behind [[graft.operators.Domains]]-style caps and crawl
+    * rebalancing, exact and engine-portable (no float CDF).
+    *
+    * Keys are ranked by descending mass (ties by key); for each decile
+    * d, the row reports the top ⌊d·K/10⌋ keys' cumulative mass and its
+    * ppm share of the total. Both the rank and the running mass follow
+    * the [[Relational.globalRank]] discipline — range exchange,
+    * per-partition prefix sums, O(#partitions) broadcast offsets —
+    * never a single-partition window over the key frame.
+    *
+    * Output: `decile` INT (1..10), `top_keys` LONG (⌊d·K/10⌋), `mass`
+    * LONG (cumulative), `share_ppm` LONG (truncating); deciles whose
+    * boundary is 0 keys (K < 10) are omitted. Total order by decile.
+    */
+  def concentrationCurve(df: DataFrame, key: Column,
+                         weight: Column): DataFrame = {
+    val counts = df
+      .select(key.cast("string").as("__k"), weight.cast("long").as("__w"))
+      .filter(col("__k").isNotNull && col("__w").isNotNull)
+      .groupBy(col("__k")).agg(sum(col("__w")).as("__m"))
+    val parted = counts.repartitionByRange(col("__m").desc, col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), coalesce(sum(col("__m")), lit(0L)).as("__pm"))
+      .withColumn("__rank_off",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__mass_off",
+        coalesce(sum(col("__pm")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__rank_off"), col("__mass_off"))
+    val wp = Window.partitionBy(col("__pid"))
+      .orderBy(col("__m").desc, col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = parted.join(broadcast(offsets), "__pid")
+      .withColumn("__rank", col("__rank_off") +
+        row_number().over(Window.partitionBy(col("__pid"))
+          .orderBy(col("__m").desc, col("__k"))))
+      .withColumn("__cum", col("__mass_off") + sum(col("__m")).over(wp))
+    val totals = counts.agg(count(lit(1)).as("__kk"),
+      coalesce(sum(col("__m")), lit(0L)).as("__tt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val deciles = (1 to 10).toDF("decile")
+    broadcast(deciles).crossJoin(broadcast(totals))
+      .withColumn("top_keys", expr("(decile * __kk) DIV 10"))
+      .filter(col("top_keys") >= 1L)
+      .join(ranked.select(col("__rank"), col("__cum")),
+        col("top_keys") === col("__rank"))
+      .select(col("decile"), col("top_keys"), col("__cum").as("mass"),
+        when(col("__tt") > 0L, expr("(1000000L * __cum) DIV __tt"))
+          .otherwise(lit(0L)).as("share_ppm"))
+      .orderBy("decile")
+  }
+
   def madZscore(df: DataFrame, group: Column, value: Column): DataFrame = {
     val med = positionalMedian(df, group, value)
       .select(col("__g").as("__mg"), col("__med"))

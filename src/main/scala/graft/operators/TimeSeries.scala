@@ -325,6 +325,40 @@ object TimeSeries {
       .orderBy("key", "lag")
   }
 
+  /** Inter-event cadence per key: gap statistics between consecutive
+    * events — the SLA/heartbeat audit ("is this feed still hourly",
+    * "which sensor went quiet") and the input sizing for
+    * [[mergeIntervals]]' tolerance and [[seasonalResiduals]]' window.
+    *
+    * All integer µs: gaps from one lag() over the key exchange, min/max
+    * exact, mean as truncating DIV — bit-identical on any engine or
+    * layout. Keys with one event report zero gaps and NULL stats (no
+    * fake zeros).
+    *
+    * Output: `key`, `n_events` LONG, `n_gaps` LONG, `span_us` LONG
+    * (last − first), `min_gap_us`/`max_gap_us`/`mean_gap_us`
+    * LONG-or-NULL, total order by key.
+    */
+  def interEventGaps(df: DataFrame, key: Column, tsUs: Column,
+                     tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tb"))
+    df.select(key.cast("string").as("__k"), tsUs.cast("long").as("__t"),
+        tieBreak.as("__tb"))
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        (max(col("__t")) - min(col("__t"))).as("span_us"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        expr("CAST(CASE WHEN count(__gap) > 0 THEN " +
+          "sum(CAST(__gap AS DECIMAL(38,0))) DIV count(__gap) END AS BIGINT)")
+          .as("mean_gap_us"))
+      .orderBy("key")
+  }
+
   /** Gaps-and-islands interval coalescing per key: intervals that
     * overlap or touch (gap ≤ `tolUs`) merge into islands — uptime/
     * downtime stitching, session unification across devices, coverage

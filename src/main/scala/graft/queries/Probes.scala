@@ -5617,6 +5617,62 @@ object Probes {
            |FROM r WHERE rank <= 10 ORDER BY cluster, rank""".stripMargin)
   )
 
+  /** Concentration (Lorenz) deciles (fully oracled): char mass by
+    * source, rank + running mass replayed via windows. */
+  val concentrationProbe = Probe(
+    "q169_concentration",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.concentrationCurve(Tables.documents(s, d), col("source"),
+        col("n_chars"))
+    },
+    Some("""WITH counts AS (SELECT source AS k, sum(n_chars) AS m
+           |  FROM documents
+           |  WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+           |r AS (SELECT k, m, row_number() OVER (ORDER BY m DESC, k) AS rnk,
+           |    sum(m) OVER (ORDER BY m DESC, k ROWS UNBOUNDED PRECEDING)
+           |      AS cum
+           |  FROM counts),
+           |t AS (SELECT count(*) AS kk, sum(m) AS tt FROM counts)
+           |SELECT d.decile,
+           |  CAST((d.decile * t.kk) // 10 AS BIGINT) AS top_keys,
+           |  CAST(r.cum AS BIGINT) AS mass,
+           |  CAST(CASE WHEN t.tt > 0 THEN (1000000 * r.cum) // t.tt
+           |    ELSE 0 END AS BIGINT) AS share_ppm
+           |FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10))
+           |  d(decile)
+           |CROSS JOIN t
+           |JOIN r ON r.rnk = (d.decile * t.kk) // 10
+           |WHERE (d.decile * t.kk) // 10 >= 1
+           |ORDER BY decile""".stripMargin)
+  )
+
+  /** Inter-event cadence (fully oracled): per-user gap stats, all
+    * integer µs, truncating mean. */
+  val interEventProbe = Probe(
+    "q170_inter_event_gaps",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.interEventGaps(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")), col("event_id"))
+    },
+    Some("""WITH b AS (SELECT CAST(user_id AS VARCHAR) AS k,
+           |    epoch_us(ts::TIMESTAMP) AS t, event_id AS id
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |g AS (SELECT k, t,
+           |    t - lag(t) OVER (PARTITION BY k ORDER BY t, id) AS gap
+           |  FROM b)
+           |SELECT k AS key, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(gap) AS BIGINT) AS n_gaps,
+           |  CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+           |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+           |  CAST(CASE WHEN count(gap) > 0 THEN
+           |    sum(CAST(gap AS HUGEINT)) // count(gap) END AS BIGINT)
+           |    AS mean_gap_us
+           |FROM g GROUP BY k ORDER BY key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5652,7 +5708,8 @@ object Probes {
     aucProbe, calibrationProbe, intervalMergeProbe, paretoProbe,
     freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe,
     benfordProbe, journeyProbe, fdProbe, centroidShiftProbe,
-    contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe
+    contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe,
+    concentrationProbe, interEventProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

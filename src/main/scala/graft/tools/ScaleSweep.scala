@@ -501,7 +501,15 @@ object ScaleSweep {
         // token agg → vocab cdf join → WindowGroupLimit rank
         "cluster_terms" -> (() => noop(
           graft.operators.Clustering.clusterTerms(docs, col("source"),
-            col("text"), topM = 10)))
+            col("text"), topM = 10))),
+        // key-mass agg → range-exchange rank+cumsum → 10-row join
+        "concentration" -> (() => noop(
+          graft.operators.Profile.concentrationCurve(docs, col("source"),
+            col("n_chars")))),
+        // one lag window + key agg over one exchange
+        "inter_event_gaps" -> (() => noop(
+          graft.operators.TimeSeries.interEventGaps(ev, col("user_id"),
+            unix_micros(col("ts")), col("event_id"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -248,6 +248,44 @@ class ProfileSpec extends AnyFunSuite {
     assert(b5.getInt(2) === 2) // med
   }
 
+  test("concentrationCurve: hand deciles on a skewed distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 keys, masses 100, 50, 10×8 → total 230
+    val rows = Seq(("k0", 100L), ("k1", 50L)) ++
+      (2 to 9).map(i => (s"k$i", 10L))
+    val out = Profile.concentrationCurve(
+        rows.toDF("k", "w"), col("k"), col("w"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // decile 1 = top 1 key: 100/230 = 434782 ppm
+    assert(out(1) === ((1L, 100L, 434782L)))
+    assert(out(2) === ((2L, 150L, 652173L)))
+    assert(out(3) === ((3L, 160L, 695652L)))
+    assert(out(10) === ((10L, 230L, 1000000L)))
+  }
+
+  test("concentrationCurve: K < 10 omits empty deciles; uniform mass is linear; layout-proof") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tiny = Profile.concentrationCurve(
+      Seq(("a", 5L), ("b", 5L)).toDF("k", "w"),
+      org.apache.spark.sql.functions.col("k"),
+      org.apache.spark.sql.functions.col("w")).collect()
+    // boundaries: floor(d·2/10) ≥ 1 only from decile 5 up
+    assert(tiny.map(_.getInt(0)).toSeq === (5 to 10).toSeq)
+    val uniform = (0 until 100).map(i => (s"k$i", 7L)).toDF("k", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.concentrationCurve(d, col("k"), col("w")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val u = run(uniform)
+    // top d·10 of 100 uniform keys hold exactly d·10% of mass
+    assert(u.map(t => (t._1, t._4)) ===
+      (1 to 10).map(d => (d, d * 100000L)))
+    assert(u === run(uniform.repartition(17)))
+  }
+
   test("contingency: hand expectations and chi2 cells; independence gives chi2 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -194,6 +194,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows(("short", 1)) === ((1L, -100L, Some(-0.5))))
   }
 
+  test("interEventGaps: hand gaps, single-event key NULL stats, truncating mean") {
+    val ev = Seq(("a", 0L, 1L), ("a", 10L, 2L), ("a", 25L, 3L),
+      ("a", 26L, 4L), ("lone", 100L, 5L)).toDF("k", "t", "id")
+    val out = TimeSeries.interEventGaps(ev, col("k"), col("t"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    // gaps: 10, 15, 1 → min 1, max 15, mean 26 DIV 3 = 8
+    assert(out("a") === ((4L, 3L, 26L, Some(1L), Some(15L), Some(8L))))
+    assert(out("lone") === ((1L, 0L, 0L, None, None, None)))
+  }
+
+  test("interEventGaps is layout-independent") {
+    val ev = (0L until 5000L).map(i =>
+      (s"k${i % 7}", (i * 617) % 100000, i)).toDF("k", "t", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.interEventGaps(d, col("k"), col("t"), col("id"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(ev) === run(ev.repartition(17)))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, islands indexed in time order") {
     val iv = Seq(
       ("a", 0L, 10L), ("a", 5L, 20L),   // overlap → island 1
