@@ -71,4 +71,29 @@ object Assoc {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
       .orderBy("item_a", "item_b")
   }
+
+  /** Per-item top-k partners by lift from a [[pairCounts]] frame — the
+    * "customers also bought" readout. Expands each unordered pair into
+    * both directions, then a per-item rank window that plans to
+    * WindowGroupLimit under the rank ≤ k filter (pairs frame is
+    * vocabulary²-bounded, so this never touches basket data).
+    *
+    * Lift ties break on partner name — and since lift is derived from
+    * exactly-representable integers (see [[pairCounts]]), the ordering
+    * is engine-exact. Output: `item`, `partner`, `n_both` LONG, `lift`
+    * DOUBLE, `rank` LONG, total order (item, rank).
+    */
+  def topPartners(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("partner"),
+        col("n_both"), col("lift"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("partner"), col("n_both"), col("lift")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("lift").desc, col("partner"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("item", "rank")
+  }
 }

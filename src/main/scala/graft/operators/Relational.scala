@@ -195,6 +195,85 @@ object Relational {
     }.drop("__r")
   }
 
+  /** Nearest-event join: for each left row, the right row with the
+    * smallest |Δt| within `tolUs`, looking BOTH ways — sensor/reading
+    * alignment where the closest observation wins regardless of side
+    * (pandas merge_asof direction='nearest'). Ties (equal distance both
+    * ways) prefer the earlier (backward) match, matching the inclusive
+    * backward frame.
+    *
+    * Same engineering as [[asOfJoin]], one step further: ONE shuffle on
+    * the keys, and BOTH the last-preceding and first-following right
+    * structs come from two frames over the SAME window exchange — the
+    * bidirectional lookup costs the same one sort as the one-way join.
+    *
+    * `leftTs`/`rightTs` must be integer µs columns (numeric — subtract
+    * directly; convert timestamps with unix_micros first). Output: all
+    * left columns plus the winner's carried right columns (null when
+    * neither side qualifies), `matched_ts` LONG, `gap_us` LONG (≥ 0),
+    * `side` STRING ('backward'/'forward'/null).
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTs: String, rightTs: String,
+                  tolUs: Column): DataFrame = {
+    val carryCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
+    val leftOnly = left.columns.filterNot(on.contains).toSeq
+    val collisions = (carryCols.toSet ++ Set("matched_ts", "gap_us", "side"))
+      .intersect(leftOnly.toSet)
+    require(collisions.isEmpty,
+      s"asOfNearest: rename left columns colliding with output: ${collisions.mkString(", ")}")
+    val structCols = carryCols :+ rightTs
+    val rStructType = org.apache.spark.sql.types.StructType(
+      structCols.map(c => right.schema(c)))
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val rAligned0 = right
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__ts", col(rightTs).cast("long"))
+      .withColumn("__side", lit(0))
+      .withColumn("__r", struct(structCols.map(col): _*))
+      .drop(structCols: _*)
+    val rAligned = leftOnly.foldLeft(rAligned0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unionCols = (on ++ leftOnly ++ Seq("__ts", "__side", "__r")).map(col)
+    val unioned = lTagged.select(unionCols: _*)
+      .unionByName(rAligned.select(unionCols: _*))
+
+    val base = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+    val picked = unioned
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rf", first(col("__r"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") === 1)
+      .withColumn("__db", col("__ts") - col("__rb").getField(rightTs).cast("long"))
+      .withColumn("__df", col("__rf").getField(rightTs).cast("long") - col("__ts"))
+      .withColumn("__bok", col("__rb").isNotNull && col("__db") <= tolUs)
+      .withColumn("__fok", col("__rf").isNotNull && col("__df") <= tolUs)
+      .withColumn("side",
+        when(col("__bok") && (!col("__fok") || col("__db") <= col("__df")),
+          lit("backward"))
+          .when(col("__fok"), lit("forward")))
+      .withColumn("__w",
+        when(col("side") === "backward", col("__rb"))
+          .when(col("side") === "forward", col("__rf")))
+      .withColumn("matched_ts",
+        col("__w").getField(rightTs).cast("long"))
+      .withColumn("gap_us",
+        when(col("side") === "backward", col("__db"))
+          .when(col("side") === "forward", col("__df")))
+    val withCarry = carryCols.foldLeft(picked) { (df, c) =>
+      df.withColumn(c, col("__w").getField(c))
+    }
+    withCarry.drop("__ts", "__side", "__r", "__rb", "__rf", "__db", "__df",
+      "__bok", "__fok", "__w")
+  }
+
   /** Rollup / cube by RE-AGGREGATION. Spark's native `rollup()`/`cube()`
     * put an `Expand` BELOW the aggregate, so every input row is
     * replicated once per grouping set before the partial agg — 3× the

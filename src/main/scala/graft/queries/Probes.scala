@@ -5673,6 +5673,111 @@ object Probes {
            |FROM g GROUP BY k ORDER BY key""".stripMargin)
   )
 
+  /** Nearest-event join (fully oracled): bidirectional µs distance,
+    * tie → backward, tolerance-gated; replayed via a windowed pick over
+    * the per-user candidate join. */
+  val asOfNearestProbe = Probe(
+    "q171_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"))
+      val r = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), unix_micros(col("ts")).as("rt_us"),
+          col("event_id").as("r_event_id"), col("value").as("r_value"))
+      Relational.asOfNearest(l, r, Seq("user_id"), "t_us", "rt_us",
+          lit(3600000000L))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t_us,
+           |    event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS rt_us,
+           |    event_id AS r_event_id, value AS r_value
+           |  FROM events WHERE event_id % 2 = 1),
+           |cand AS (SELECT l.event_id, r.rt_us, r.r_event_id, r.r_value,
+           |    abs(r.rt_us - l.t_us) AS gap,
+           |    CASE WHEN r.rt_us <= l.t_us THEN 'backward' ELSE 'forward'
+           |      END AS side
+           |  FROM l JOIN r USING (user_id)
+           |  WHERE abs(r.rt_us - l.t_us) <= 3600000000),
+           |best AS (SELECT * FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY event_id
+           |    ORDER BY gap, CASE side WHEN 'backward' THEN 0 ELSE 1 END)
+           |    = 1)
+           |SELECT l.user_id, l.t_us, l.event_id,
+           |  b.r_event_id, b.r_value,
+           |  CAST(b.rt_us AS BIGINT) AS matched_ts,
+           |  CAST(b.gap AS BIGINT) AS gap_us, b.side
+           |FROM l LEFT JOIN best b USING (event_id)
+           |ORDER BY event_id""".stripMargin)
+  )
+
+  /** Golden-record survivorship (fully oracled): per-field
+    * (present, quality, id) argmax replayed with ranking windows;
+    * nulls planted deterministically so fieldwise beats row-wise. */
+  val goldenProbe = Probe(
+    "q172_golden_record",
+    (s, d) => {
+      import graft.operators.Golden
+      Golden.goldenRecords(Tables.events(s, d), col("user_id"),
+        col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+        Seq(
+          "type" -> expr("CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END"),
+          "props" -> expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END")))
+    },
+    Some("""WITH b AS (SELECT user_id AS cluster, event_id AS id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q,
+           |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END
+           |      AS f1,
+           |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS f2
+           |  FROM events),
+           |r1 AS (SELECT cluster, f1 FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY cluster
+           |    ORDER BY (f1 IS NOT NULL) DESC, q DESC, id DESC) = 1),
+           |r2 AS (SELECT cluster, f2 FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY cluster
+           |    ORDER BY (f2 IS NOT NULL) DESC, q DESC, id DESC) = 1),
+           |n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM b GROUP BY 1)
+           |SELECT n.cluster, n.n_members, r1.f1 AS golden_type,
+           |  r2.f2 AS golden_props
+           |FROM n JOIN r1 USING (cluster) JOIN r2 USING (cluster)
+           |ORDER BY cluster""".stripMargin)
+  )
+
+  /** Per-item top partners by lift (fully oracled): symmetric expansion
+    * of the q152 pair frame + rank windows with identical tie order. */
+  val topPartnersProbe = Probe(
+    "q173_top_partners",
+    (s, d) => {
+      import graft.operators.Assoc
+      Assoc.topPartners(
+        Assoc.pairCounts(Tables.events(s, d), col("user_id"),
+          col("event_type"), minPairCount = 1L), k = 2)
+    },
+    Some("""WITH present AS (SELECT DISTINCT user_id AS b, event_type AS i
+           |  FROM events WHERE event_type IS NOT NULL),
+           |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM present),
+           |m AS (SELECT i, count(*) AS n FROM present GROUP BY 1),
+           |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_both
+           |  FROM present x JOIN present y ON x.b = y.b AND x.i < y.i
+           |  GROUP BY 1, 2 HAVING count(*) >= 1),
+           |pairs AS (SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+           |    (CAST(n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)) /
+           |      (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+           |  FROM p JOIN m ma ON ma.i = item_a JOIN m mb ON mb.i = item_b,
+           |    nb),
+           |sym AS (SELECT item_a AS item, item_b AS partner, n_both, lift
+           |    FROM pairs
+           |  UNION ALL
+           |  SELECT item_b, item_a, n_both, lift FROM pairs),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY item
+           |    ORDER BY lift DESC, partner) AS rank FROM sym)
+           |SELECT item, partner, n_both, lift, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 2 ORDER BY item, rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5709,7 +5814,8 @@ object Probes {
     freqOfFreqsProbe, giniProbe, kcoreProbe, mutualNnProbe,
     benfordProbe, journeyProbe, fdProbe, centroidShiftProbe,
     contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe,
-    concentrationProbe, interEventProbe
+    concentrationProbe, interEventProbe,
+    asOfNearestProbe, goldenProbe, topPartnersProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -509,7 +509,29 @@ object ScaleSweep {
         // one lag window + key agg over one exchange
         "inter_event_gaps" -> (() => noop(
           graft.operators.TimeSeries.interEventGaps(ev, col("user_id"),
-            unix_micros(col("ts")), col("event_id"))))
+            unix_micros(col("ts")), col("event_id")))),
+        // both directions from two frames over ONE key exchange
+        "asof_nearest" -> { () =>
+          val l = ev.filter(col("event_id") % 2 === 0)
+            .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+              col("event_id"))
+          val r = ev.filter(col("event_id") % 2 === 1)
+            .select(col("user_id"), unix_micros(col("ts")).as("rt_us"),
+              col("event_id").as("r_event_id"), col("value").as("r_value"))
+          noop(Relational.asOfNearest(l, r, Seq("user_id"), "t_us", "rt_us",
+            lit(3600000000L)))
+        },
+        // one cluster-keyed agg with per-field struct maxes
+        "golden_record" -> (() => noop(
+          graft.operators.Golden.goldenRecords(ev, col("user_id"),
+            col("event_id"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+            Seq("type" -> expr("CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END"),
+              "props" -> expr("CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END"))))),
+        // vocabulary²-bounded symmetric expansion + WindowGroupLimit
+        "top_partners" -> (() => noop(
+          graft.operators.Assoc.topPartners(
+            graft.operators.Assoc.pairCounts(ev, col("user_id"),
+              col("event_type"), minPairCount = 1L), k = 2)))
       )
       val selected =
         if (opFilter.isEmpty) ops

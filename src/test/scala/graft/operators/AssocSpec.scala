@@ -56,6 +56,28 @@ class AssocSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == null || p._2 == null))
   }
 
+  test("topPartners: symmetric expansion, lift-desc rank, k truncation") {
+    val pairs = Assoc.pairCounts(baskets, col("b"), col("i"),
+      minPairCount = 1L)
+    val out = Assoc.topPartners(pairs, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(r.fieldIndex("rank")))).toSeq
+    // lifts: (x,y) 4/3, (x,z) 2/3, (y,z) 2/3 — top partner of each:
+    assert(out === Seq(("x", "y", 1L), ("y", "x", 1L), ("z", "x", 1L)))
+    val all = Assoc.topPartners(pairs, k = 5).collect()
+    assert(all.length === 6) // every pair appears in both directions
+  }
+
+  test("topPartners: z's tie between x and y breaks on partner name") {
+    val pairs = Assoc.pairCounts(baskets, col("b"), col("i"),
+      minPairCount = 1L)
+    val z = Assoc.topPartners(pairs, k = 2)
+      .filter(col("item") === "z").collect()
+      .map(r => (r.getString(1), r.getLong(r.fieldIndex("rank")))).toSeq
+    // (x,z) and (y,z) have identical lift 2/3 → partner order x < y
+    assert(z === Seq(("x", 1L), ("y", 2L)))
+  }
+
   test("pairCounts is layout-independent") {
     val df = (0L until 5000L).map(i => (i % 400, s"i${(i * 31) % 12}"))
       .toDF("b", "i")

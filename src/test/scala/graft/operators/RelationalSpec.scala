@@ -214,4 +214,62 @@ class RelationalSpec extends AnyFunSuite {
         .findFirstIn(plan).isDefined, plan)
     assert(ranked.agg(min("rank"), max("rank")).as[(Long, Long)].head() === ((1L, 2000L)))
   }
+
+  test("asOfNearest: nearer side wins, tie prefers backward, tolerance gates") {
+    val left = Seq(("k", 100L, "l1"), ("k", 205L, "l2"), ("k", 900L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("k", 90L, "r90"), ("k", 210L, "r210"),
+      ("k", 200L, "r200"), ("k", 110L, "r110")).toDF("k", "rt", "v")
+    val out = Relational.asOfNearest(left, right, Seq("k"), "t", "rt",
+        lit(50L))
+      .collect().map(r => r.getString(2) ->
+        ((Option(r.getAs[String]("v")), Option(r.get(r.fieldIndex("matched_ts")))
+          .map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("gap_us"))).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("side"))))).toMap
+    // l1@100: backward r90 (gap 10) beats forward r110 (gap 10)? tie → backward
+    assert(out("l1") === ((Some("r90"), Some(90L), Some(10L), Some("backward"))))
+    // l2@205: backward r200 gap 5 beats forward r210 gap 5 → tie backward
+    assert(out("l2") === ((Some("r200"), Some(200L), Some(5L), Some("backward"))))
+    // l3@900: nearest is r210 at gap 690 — beyond tol 50 → no match
+    assert(out("l3") === ((None, None, None, None)))
+  }
+
+  test("asOfNearest: forward wins when strictly nearer; equal ts matches at gap 0") {
+    val left = Seq(("k", 100L, "a"), ("k", 300L, "b")).toDF("k", "t", "tag")
+    val right = Seq(("k", 20L, "far_b"), ("k", 103L, "near_f"),
+      ("k", 300L, "exact")).toDF("k", "rt", "v")
+    val out = Relational.asOfNearest(left, right, Seq("k"), "t", "rt",
+        lit(1000L))
+      .collect().map(r => r.getString(2) ->
+        ((r.getAs[String]("v"), r.getAs[Long]("gap_us"),
+          r.getAs[String]("side")))).toMap
+    assert(out("a") === (("near_f", 3L, "forward")))
+    assert(out("b") === (("exact", 0L, "backward")))
+  }
+
+  test("asOfNearest matches a driver-side nearest computation on random data; layout-proof") {
+    val left = (0L until 500L).map(i => (s"k${i % 5}", (i * 97) % 10000, i))
+    val right = (0L until 400L).map(i => (s"k${i % 5}", (i * 61) % 10000, i * 10))
+    val tol = 150L
+    val expect = left.map { case (k, t, id) =>
+      val cands = right.filter(_._1 == k).map { case (_, rt, v) =>
+        (math.abs(rt - t), if (rt <= t) 0 else 1, rt, v)
+      }.filter(_._1 <= tol)
+      val best = if (cands.isEmpty) None
+        else Some(cands.minBy(c => (c._1, c._2, -c._3))) // tie → backward;
+      // among equal-distance same-side (impossible: distinct rt per side tie)
+      id -> best.map(c => (c._4, c._1))
+    }.toMap
+    val ldf = left.toDF("k", "t", "lid")
+    val rdf = right.toDF("k", "rt", "v")
+    Seq(1, 13).foreach { parts =>
+      val got = Relational.asOfNearest(ldf.repartition(parts), rdf,
+          Seq("k"), "t", "rt", lit(tol))
+        .collect().map(r => r.getAs[Long]("lid") ->
+          (if (r.isNullAt(r.fieldIndex("side"))) None
+           else Some((r.getAs[Long]("v"), r.getAs[Long]("gap_us"))))).toMap
+      assert(got === expect)
+    }
+  }
 }
