@@ -264,6 +264,40 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Conversion-lag histogram: how long after the FIRST `fromState`
+    * event does each entity reach its first SUBSEQUENT `toState` event —
+    * the funnel-latency readout behind "signup → first purchase in N
+    * hours" dashboards and SLA alerts. Lags bucket by `bucketUs`
+    * (truncating integer DIV); entities that saw `fromState` but never
+    * converted land in bucket −1 (visible, not dropped — the funnel's
+    * denominator matters).
+    *
+    * Scale posture: two entity-keyed min-aggregates (map-side combined)
+    * and one entity equi-join — no windows over the event stream, no
+    * per-entity sequence state. Output: `bucket` LONG (−1 = never),
+    * `n_entities` LONG, total order by bucket.
+    */
+  def conversionLag(events: DataFrame, entity: Column, tsUs: Column,
+                    state: Column, fromState: String, toState: String,
+                    bucketUs: Long): DataFrame = {
+    require(bucketUs > 0L, "bucketUs must be > 0")
+    val base = events.select(entity.as("__e"), tsUs.cast("long").as("__t"),
+        state.cast("string").as("__s"))
+      .filter(col("__t").isNotNull)
+    val firstFrom = base.filter(col("__s") === fromState)
+      .groupBy(col("__e")).agg(min(col("__t")).as("__ta"))
+    val firstToAfter = base.filter(col("__s") === toState)
+      .join(firstFrom, "__e")
+      .filter(col("__t") >= col("__ta"))
+      .groupBy(col("__e")).agg(min(col("__t")).as("__tb"))
+    firstFrom.join(firstToAfter, Seq("__e"), "left_outer")
+      .withColumn("bucket",
+        when(col("__tb").isNull, lit(-1L))
+          .otherwise(expr(s"(__tb - __ta) DIV ${bucketUs}L")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_entities"))
+      .orderBy("bucket")
+  }
+
   /** Two-arm A/B comparison in exact integer units: per-arm conversion
     * counts and ppm rates, the absolute lift, and the squared
     * two-proportion z statistic in micro-units — the experiment

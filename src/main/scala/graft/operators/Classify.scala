@@ -148,6 +148,38 @@ object Classify {
           col("precision_ppm") + col("recall_ppm") > 0L,
           expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
 
+  /** Leave-one-out target encoding: replace a categorical feature with
+    * the mean target of the OTHER rows in its category — the standard
+    * high-cardinality encoder, leave-one-out so a row never leaks its
+    * own label into its feature (the train-time variant; at inference
+    * the plain category mean applies).
+    *
+    * Exact integers: loo = (Σ_cat − own) DIV (n_cat − 1), truncating —
+    * engine- and layout-exact; singleton categories yield NULL (no
+    * other rows — the caller decides the fallback, usually the global
+    * mean; never a fake 0).
+    *
+    * One category-keyed aggregate + an equi-join back (AQE broadcasts
+    * category tables of sane size) — no windows. Output: all input
+    * columns projected via `id`, plus `n_cat` LONG and `loo_cents`
+    * LONG-or-NULL, total order by id.
+    */
+  def targetEncodeLoo(df: DataFrame, id: Column, category: Column,
+                      targetCents: Column): DataFrame = {
+    val base = df.select(id.as("id"), category.cast("string").as("category"),
+        targetCents.cast("long").as("__y"))
+      .filter(col("__y").isNotNull && col("category").isNotNull)
+    val stats = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_cat"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sum"))
+    base.join(stats, "category")
+      .withColumn("loo_cents",
+        when(col("n_cat") > 1L,
+          expr("CAST((__sum - __y) DIV (n_cat - 1L) AS BIGINT)")))
+      .select(col("id"), col("category"), col("n_cat"), col("loo_cents"))
+      .orderBy("id")
+  }
+
   /** Multiclass evaluation: per-class one-vs-rest cells and exact ppm
     * precision/recall/F1 — [[evalBinary]] generalized past two labels
     * (quality tiers, language ID, topic routing all grade multiclass).

@@ -325,6 +325,40 @@ object TimeSeries {
       .orderBy("key", "lag")
   }
 
+  /** Time-in-state: total and mean dwell time attributed to each state —
+    * each event holds its state until the entity's NEXT event; the
+    * entity's last event is open-ended and reported separately (never
+    * silently attributed). The ops-dashboard "where does the journey
+    * spend its time" readout, and [[graft.operators.Analytics
+    * .transitionMatrix]]'s duration-weighted sibling.
+    *
+    * One lead() window over the entity exchange, then a state-keyed
+    * aggregate (map-side combined) — all integer µs, truncating mean.
+    * Output: `state`, `n_intervals` LONG, `total_us` LONG, `mean_us`
+    * LONG (NULL when no closed intervals), `n_open` LONG (last-event
+    * occurrences of this state), total order by state.
+    */
+  def timeInState(events: DataFrame, entity: Column, tsUs: Column,
+                  tieBreak: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(col("__t"), col("__tb"))
+    events
+      .select(entity.as("__e"), tsUs.cast("long").as("__t"),
+        tieBreak.as("__tb"), state.cast("string").as("state"))
+      .filter(col("__t").isNotNull && col("state").isNotNull)
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .withColumn("__dur", col("__next") - col("__t"))
+      .groupBy(col("state"))
+      .agg(
+        count(col("__dur")).as("n_intervals"),
+        coalesce(sum(col("__dur")), lit(0L)).as("total_us"),
+        expr("CAST(CASE WHEN count(__dur) > 0 THEN " +
+          "sum(CAST(__dur AS DECIMAL(38,0))) DIV count(__dur) END AS BIGINT)")
+          .as("mean_us"),
+        coalesce(sum(when(col("__next").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_open"))
+      .orderBy("state")
+  }
+
   /** Inter-event cadence per key: gap statistics between consecutive
     * events — the SLA/heartbeat audit ("is this feed still hourly",
     * "which sensor went quiet") and the input sizing for

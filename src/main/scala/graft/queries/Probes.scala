@@ -5778,6 +5778,78 @@ object Probes {
            |FROM r WHERE rank <= 2 ORDER BY item, rank""".stripMargin)
   )
 
+  /** Conversion-lag histogram (fully oracled): first signup → first
+    * subsequent purchase, hourly buckets, never-converted at −1. */
+  val conversionLagProbe = Probe(
+    "q174_conversion_lag",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.conversionLag(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")), col("event_type"), "signup", "purchase",
+        bucketUs = 3600000000L)
+    },
+    Some("""WITH fa AS (SELECT user_id,
+           |    min(epoch_us(ts::TIMESTAMP)) AS ta
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |fb AS (SELECT e.user_id,
+           |    min(epoch_us(e.ts::TIMESTAMP)) AS tb
+           |  FROM events e JOIN fa USING (user_id)
+           |  WHERE e.event_type = 'purchase'
+           |    AND epoch_us(e.ts::TIMESTAMP) >= fa.ta
+           |  GROUP BY 1)
+           |SELECT CAST(CASE WHEN tb IS NULL THEN -1
+           |    ELSE (tb - ta) // 3600000000 END AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_entities
+           |FROM fa LEFT JOIN fb USING (user_id)
+           |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  )
+
+  /** Time-in-state (fully oracled): dwell attribution via one lead
+    * window, open last events reported separately. */
+  val timeInStateProbe = Probe(
+    "q175_time_in_state",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      TimeSeries.timeInState(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")), col("event_id"), col("event_type"))
+    },
+    Some("""WITH b AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_id AS id, event_type AS s
+           |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+           |l AS (SELECT s,
+           |    lead(t) OVER (PARTITION BY u ORDER BY t, id) - t AS dur
+           |  FROM b)
+           |SELECT s AS state, CAST(count(dur) AS BIGINT) AS n_intervals,
+           |  CAST(coalesce(sum(dur), 0) AS BIGINT) AS total_us,
+           |  CAST(CASE WHEN count(dur) > 0 THEN
+           |    sum(CAST(dur AS HUGEINT)) // count(dur) END AS BIGINT)
+           |    AS mean_us,
+           |  CAST(sum(CASE WHEN dur IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_open
+           |FROM l GROUP BY 1 ORDER BY state""".stripMargin)
+  )
+
+  /** Leave-one-out target encoding (fully oracled): category mean of
+    * the OTHER rows, truncating DIV, singletons NULL. */
+  val targetEncodeProbe = Probe(
+    "q176_target_encode",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.targetEncodeLoo(Tables.documents(s, d), col("doc_id"),
+        col("lang"), col("n_chars"))
+    },
+    Some("""WITH b AS (SELECT doc_id AS id, lang AS category,
+           |    n_chars AS y
+           |  FROM documents
+           |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+           |st AS (SELECT category, count(*) AS n_cat, sum(y) AS su
+           |  FROM b GROUP BY 1)
+           |SELECT id, category, CAST(n_cat AS BIGINT) AS n_cat,
+           |  CAST(CASE WHEN n_cat > 1 THEN (su - y) // (n_cat - 1) END
+           |    AS BIGINT) AS loo_cents
+           |FROM b JOIN st USING (category) ORDER BY id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5815,7 +5887,8 @@ object Probes {
     benfordProbe, journeyProbe, fdProbe, centroidShiftProbe,
     contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe,
     concentrationProbe, interEventProbe,
-    asOfNearestProbe, goldenProbe, topPartnersProbe
+    asOfNearestProbe, goldenProbe, topPartnersProbe,
+    conversionLagProbe, timeInStateProbe, targetEncodeProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

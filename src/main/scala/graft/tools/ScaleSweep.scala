@@ -531,7 +531,20 @@ object ScaleSweep {
         "top_partners" -> (() => noop(
           graft.operators.Assoc.topPartners(
             graft.operators.Assoc.pairCounts(ev, col("user_id"),
-              col("event_type"), minPairCount = 1L), k = 2)))
+              col("event_type"), minPairCount = 1L), k = 2))),
+        // two entity-keyed min-aggs + one equi-join; no event windows
+        "conversion_lag" -> (() => noop(
+          Analytics.conversionLag(ev, col("user_id"),
+            unix_micros(col("ts")), col("event_type"), "signup",
+            "purchase", bucketUs = 3600000000L))),
+        // one lead window + state-keyed agg
+        "time_in_state" -> (() => noop(
+          graft.operators.TimeSeries.timeInState(ev, col("user_id"),
+            unix_micros(col("ts")), col("event_id"), col("event_type")))),
+        // category agg + join-back
+        "target_encode" -> (() => noop(
+          graft.operators.Classify.targetEncodeLoo(docs, col("doc_id"),
+            col("lang"), col("n_chars"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -192,6 +192,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("conversionLag: buckets from first-from to first-subsequent-to; never-converted visible") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 50L, "purchase"), (1L, 70L, "purchase"),
+      (2L, 100L, "signup"), (2L, 100L, "purchase"),   // same-ts converts (lag 0)
+      (3L, 10L, "purchase"), (3L, 20L, "signup"),     // purchase BEFORE signup → not after
+      (4L, 0L, "signup"),                             // never converts
+      (5L, 0L, "view")                                // never signed up → absent
+    ).toDF("u", "t", "s")
+    val out = Analytics.conversionLag(ev, col("u"), col("t"), col("s"),
+        "signup", "purchase", bucketUs = 25L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // u1 lag 50 → bucket 2; u2 lag 0 → bucket 0; u3, u4 → -1
+    assert(out === Map(-1L -> 2L, 0L -> 1L, 2L -> 1L))
+  }
+
+  test("conversionLag is layout-independent") {
+    val ev = (0L until 4000L).map { i =>
+      val s = (i % 3) match { case 0 => "A"; case 1 => "B"; case _ => "C" }
+      (i % 97, (i * 613) % 100000, s)
+    }.toDF("u", "t", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.conversionLag(d, col("u"), col("t"), col("s"), "A", "B",
+        bucketUs = 1000L).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    assert(run(ev) === run(ev.repartition(17)))
+  }
+
   test("abTest: hand rates, lift, pooled z2 in micro; degenerate arms NULL") {
     // arm A: 100 users, 10 convert; arm B: 100 users, 20 convert
     val rows = (0 until 100).map(i => ("A", i < 10)) ++

@@ -130,6 +130,32 @@ class ClassifySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("targetEncodeLoo: own label excluded, singleton NULL, truncating mean") {
+    val df = Seq(
+      (1L, "c1", 100L), (2L, "c1", 200L), (3L, "c1", 301L),
+      (4L, "solo", 999L)
+    ).toDF("id", "cat", "y")
+    val out = Classify.targetEncodeLoo(df, col("id"), col("cat"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // row 1: (200+301) DIV 2 = 250; row 2: (100+301) DIV 2 = 200 (trunc)
+    assert(out(1L) === ((3L, Some(250L))))
+    assert(out(2L) === ((3L, Some(200L))))
+    assert(out(3L) === ((3L, Some(150L))))
+    assert(out(4L) === ((1L, None)))
+  }
+
+  test("targetEncodeLoo never leaks its own row: constant-except-one category") {
+    // category of 50 rows: 49 zeros and one 1000 — the 1000-row's LOO
+    // must be 0 (pure others), every zero-row's LOO is 1000/49 = 20
+    val df = ((0L until 49L).map(i => (i, "c", 0L)) :+ (99L, "c", 1000L))
+      .toDF("id", "cat", "y")
+    val out = Classify.targetEncodeLoo(df, col("id"), col("cat"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(99L) === 0L)
+    assert((0L until 49L).forall(i => out(i) === 20L))
+  }
+
   test("evalMulticlass: hand confusion, one-vs-rest cells, NULL metrics") {
     val rows = Seq(
       ("a", "a"), ("a", "a"), ("a", "b"),  // truth a: 2 right, 1 → b

@@ -194,6 +194,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows(("short", 1)) === ((1L, -100L, Some(-0.5))))
   }
 
+  test("timeInState: dwell attribution, open last events, truncating mean") {
+    // u1: A@0 → B@10 → A@25 → (open): A holds 10, B holds 15, A open
+    // u2: B@0 → (open)
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 25L, 3L, "A"),
+      (2L, 0L, 4L, "B")).toDF("u", "t", "id", "s")
+    val out = TimeSeries.timeInState(ev, col("u"), col("t"), col("id"),
+        col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))).toMap
+    assert(out("A") === ((1L, 10L, Some(10L), 1L)))
+    assert(out("B") === ((1L, 15L, Some(15L), 1L)))
+  }
+
+  test("timeInState: totals partition the observed span; layout independence") {
+    val ev = (0L until 3000L).map(i =>
+      (i % 11, (i * 601) % 100000, i, s"s${(i * 7) % 4}")).toDF("u", "t", "id", "s")
+    val out = TimeSeries.timeInState(ev, col("u"), col("t"), col("id"),
+      col("s")).collect()
+    // Σ state totals = Σ per-entity spans (every closed interval counted once)
+    val spans = ev.groupBy("u")
+      .agg(org.apache.spark.sql.functions.max("t").minus(
+        org.apache.spark.sql.functions.min("t")).as("span"))
+      .collect().map(_.getLong(1)).sum
+    assert(out.map(_.getLong(2)).sum === spans)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.timeInState(d, col("u"), col("t"), col("id"), col("s"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(ev) === run(ev.repartition(17)))
+  }
+
   test("interEventGaps: hand gaps, single-event key NULL stats, truncating mean") {
     val ev = Seq(("a", 0L, 1L), ("a", 10L, 2L), ("a", 25L, 3L),
       ("a", 26L, 4L), ("lone", 100L, 5L)).toDF("k", "t", "id")
