@@ -264,6 +264,40 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Period-over-period comparison: per (key, period) totals with the
+    * ADJACENT previous period's total, the delta, and the relative
+    * change in ppm — the "vs last week" BI staple. A gap in periods
+    * yields NULL prev (comparing against a non-adjacent period would
+    * silently lie — the [[graft.operators.CorpusStats.freqOfFreqs]]
+    * adjacency discipline); pct change is NULL when prev is missing or
+    * zero (no fake infinities).
+    *
+    * One (key, period) aggregate with map-side combine, then a lag
+    * window over that periods-per-key-sized frame — rows are touched
+    * once. Output: `key`, `period` LONG, `total_cents` LONG,
+    * `prev_cents`, `delta_cents`, `pct_change_ppm` LONG-or-NULL, total
+    * order (key, period).
+    */
+  def periodOverPeriod(df: DataFrame, key: Column, period: Column,
+                       valueCents: Column): DataFrame = {
+    val agg = df
+      .select(key.cast("string").as("key"), period.cast("long").as("period"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("period").isNotNull)
+      .groupBy(col("key"), col("period"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("total_cents"))
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+    agg
+      .withColumn("prev_cents",
+        when(lag(col("period"), 1).over(w) === col("period") - 1L,
+          lag(col("total_cents"), 1).over(w)))
+      .withColumn("delta_cents", col("total_cents") - col("prev_cents"))
+      .withColumn("pct_change_ppm",
+        when(col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
+          expr("(1000000L * (total_cents - prev_cents)) DIV abs(prev_cents)")))
+      .orderBy("key", "period")
+  }
+
   /** Conversion-lag histogram: how long after the FIRST `fromState`
     * event does each entity reach its first SUBSEQUENT `toState` event —
     * the funnel-latency readout behind "signup → first purchase in N

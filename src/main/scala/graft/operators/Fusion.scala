@@ -141,4 +141,69 @@ object Fusion {
       .select((q :+ coalesce(col("n_agree"), lit(0L)).as("n_agree") :+
         coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano")): _*)
   }
+
+  /** 1e6/log2(r+1) rounded to ppm for ranks 1..10 — the NDCG discount
+    * table as LITERALS (an engine `log` call would not be bit-portable;
+    * a constant table is). */
+  val ndcgDiscountPpm: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Retrieval/recommendation evaluation per query: MRR, hit@k, and
+    * binary-relevance NDCG@k from a ranked list + a relevant-pairs
+    * truth table — the searcher scorecard that grades [[graft.operators
+    * .Similarity]]'s ANN variants (and any ranker) against labels.
+    *
+    * Everything integer: rr_ppm = 1e6 DIV first_relevant_rank
+    * (truncating); DCG/IDCG are sums of the LITERAL ppm discount table
+    * (no engine log); ndcg_ppm = (1e6·dcg) DIV idcg. Output covers
+    * exactly the queries that HAVE truth rows (metrics are undefined
+    * without relevance labels); a labeled query with no retrieved hit
+    * scores rr NULL / hit 0 / ndcg 0.
+    *
+    * One (query, item) equi-join of the rank-bounded list against the
+    * truth pairs, then a query-keyed aggregate; the ideal DCG comes
+    * from the truth-side per-query count — no window touches the
+    * ranked list. `k` ≤ 10 (the discount table's reach).
+    *
+    * Output: `query_id`, `n_rel` LONG (truth size), `first_rank`
+    * LONG-or-NULL (within k), `rr_ppm`, `hit_at_k` INT, `dcg_ppm`,
+    * `idcg_ppm`, `ndcg_ppm` — total order by query_id.
+    */
+  def rankEval(ranked: DataFrame, truth: DataFrame, k: Int,
+               queryCol: String = "query_id",
+               itemCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountPpm.size,
+      s"k must be in [1, ${ndcgDiscountPpm.size}]")
+    val discount = ndcgDiscountPpm.take(k)
+    val discExpr = element_at(
+      typedLit(discount), col("rank").cast("int"))
+    val topk = ranked.filter(col("rank") <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"), col("rank"))
+    val rels = truth.select(col(queryCol).as("__q"), col(itemCol).as("__i"))
+      .distinct()
+    val perQueryTruth = rels.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val hits = topk.join(rels, Seq("__q", "__i"))
+      .withColumn("__disc", discExpr)
+      .groupBy(col("__q"))
+      .agg(min(col("rank")).cast("long").as("first_rank"),
+        coalesce(sum(col("__disc")), lit(0L)).as("dcg_ppm"))
+    val idealPrefix = discount.scanLeft(0L)(_ + _) // idcg for n_rel=i
+    perQueryTruth
+      .join(hits, Seq("__q"), "left_outer")
+      .withColumn("rr_ppm",
+        when(col("first_rank").isNotNull, expr("1000000L DIV first_rank")))
+      .withColumn("hit_at_k",
+        when(col("first_rank").isNotNull, 1).otherwise(0))
+      .withColumn("dcg_ppm", coalesce(col("dcg_ppm"), lit(0L)))
+      .withColumn("idcg_ppm",
+        element_at(typedLit(idealPrefix),
+          (least(col("n_rel"), lit(k.toLong)) + 1L).cast("int")))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_ppm") > 0L,
+          expr("(1000000L * dcg_ppm) DIV idcg_ppm")))
+      .select(col("__q").as(queryCol), col("n_rel"), col("first_rank"),
+        col("rr_ppm"), col("hit_at_k"), col("dcg_ppm"), col("idcg_ppm"),
+        col("ndcg_ppm"))
+      .orderBy(queryCol)
+  }
 }

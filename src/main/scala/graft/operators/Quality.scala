@@ -341,6 +341,32 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Freshness audit: per key, how far its newest event lags the
+    * corpus' newest event — the "which feed went quiet" monitor. The
+    * reference point is the OBSERVED global max (never wall-clock —
+    * wall-clock in a distributed audit is nondeterministic and
+    * untestable; lag-behind-the-freshest-peer is the replayable
+    * formulation).
+    *
+    * One key-keyed max aggregate + a broadcast one-row global max — no
+    * windows, no second scan (the global max re-aggregates the key
+    * maxes). Output: `key`, `last_ts_us` LONG, `lag_us` LONG (≥ 0),
+    * `stale` INT (lag > threshold), total order by key.
+    */
+  def freshness(df: DataFrame, key: Column, tsUs: Column,
+                staleAfterUs: Long): DataFrame = {
+    val perKey = df
+      .select(key.cast("string").as("key"), tsUs.cast("long").as("__t"))
+      .filter(col("key").isNotNull && col("__t").isNotNull)
+      .groupBy(col("key")).agg(max(col("__t")).as("last_ts_us"))
+    val global = perKey.agg(max(col("last_ts_us")).as("__gmax"))
+    perKey.crossJoin(broadcast(global))
+      .withColumn("lag_us", col("__gmax") - col("last_ts_us"))
+      .withColumn("stale", (col("lag_us") > staleAfterUs).cast("int"))
+      .select(col("key"), col("last_ts_us"), col("lag_us"), col("stale"))
+      .orderBy("key")
+  }
+
   /** Functional-dependency audit: does lhs → rhs hold, and how badly is
     * it violated — the schema-inference/constraint-mining primitive
     * (candidate-key discovery's sibling: [[Profile.uniqueness]] asks

@@ -5850,6 +5850,117 @@ object Probes {
            |FROM b JOIN st USING (category) ORDER BY id""".stripMargin)
   )
 
+  /** Retrieval evaluation (fully oracled): MRR / hit@k / NDCG@10 with
+    * the literal discount table, graded against same-label truth over a
+    * bounded id range. */
+  val rankEvalProbe = Probe(
+    "q177_rank_eval",
+    (s, d) => {
+      import graft.operators.Fusion
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val queries = sub.select(col("vec_id").as("query_id"),
+        col("embedding"))
+      val ranked = Similarity.bruteForceTopK(sub, queries, 10)
+      val a = sub.select(col("vec_id").as("query_id"), col("label"))
+      val b = sub.select(col("vec_id"), col("label"))
+      val truth = a.join(b, "label")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      Fusion.rankEval(ranked, truth, k = 10)
+    },
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev
+           |  FROM embeddings WHERE vec_id < 200),
+           |sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    list_dot_product(c.ev, q.ev) /
+           |      NULLIF(sqrt(list_dot_product(c.ev, c.ev)) *
+           |        sqrt(list_dot_product(q.ev, q.ev)), 0) AS sim
+           |  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, cid) AS rnk FROM sc),
+           |topk AS (SELECT qid, cid, rnk FROM r WHERE rnk <= 10),
+           |rels AS (SELECT a.vec_id AS qid, b.vec_id AS cid
+           |  FROM v a JOIN v b ON a.label = b.label
+           |    AND a.vec_id <> b.vec_id),
+           |nr AS (SELECT qid, count(*) AS n_rel FROM rels GROUP BY 1),
+           |h AS (SELECT t.qid, min(t.rnk) AS first_rank,
+           |    sum(CASE t.rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+           |      WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+           |      WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+           |      WHEN 9 THEN 301030 WHEN 10 THEN 289065 END) AS dcg
+           |  FROM topk t JOIN rels USING (qid, cid) GROUP BY 1),
+           |j AS (SELECT nr.qid, nr.n_rel, h.first_rank,
+           |    coalesce(h.dcg, 0) AS dcg_ppm,
+           |    CASE least(nr.n_rel, 10) WHEN 1 THEN 1000000
+           |      WHEN 2 THEN 1630930 WHEN 3 THEN 2130930
+           |      WHEN 4 THEN 2561607 WHEN 5 THEN 2948460
+           |      WHEN 6 THEN 3304667 WHEN 7 THEN 3638000
+           |      WHEN 8 THEN 3953465 WHEN 9 THEN 4254495
+           |      WHEN 10 THEN 4543560 END AS idcg_ppm
+           |  FROM nr LEFT JOIN h ON h.qid = nr.qid)
+           |SELECT qid AS query_id, CAST(n_rel AS BIGINT) AS n_rel,
+           |  CAST(first_rank AS BIGINT) AS first_rank,
+           |  CAST(CASE WHEN first_rank IS NOT NULL
+           |    THEN 1000000 // first_rank END AS BIGINT) AS rr_ppm,
+           |  CAST(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END
+           |    AS INT) AS hit_at_k,
+           |  CAST(dcg_ppm AS BIGINT) AS dcg_ppm,
+           |  CAST(idcg_ppm AS BIGINT) AS idcg_ppm,
+           |  CAST(CASE WHEN idcg_ppm > 0 THEN (1000000 * dcg_ppm) // idcg_ppm
+           |    END AS BIGINT) AS ndcg_ppm
+           |FROM j ORDER BY query_id""".stripMargin)
+  )
+
+  /** Period-over-period (fully oracled): 30-day buckets of price mass
+    * per returnflag, adjacency-checked prev, ppm change. */
+  val popProbe = Probe(
+    "q178_period_over_period",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.periodOverPeriod(Tables.lineitem(s, d), col("l_returnflag"),
+        // l_shipdate may arrive TIMESTAMP_NTZ (µs parquet without the
+        // UTC flag); the session is UTC-pinned so the cast is lossless
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 2592000000000"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH a AS (SELECT l_returnflag AS key,
+           |    epoch_us(l_shipdate::TIMESTAMP) // 2592000000000 AS period,
+           |    CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS total_cents
+           |  FROM lineitem GROUP BY 1, 2),
+           |w AS (SELECT *,
+           |    CASE WHEN lag(period) OVER (PARTITION BY key ORDER BY period)
+           |      = period - 1 THEN lag(total_cents) OVER (PARTITION BY key
+           |      ORDER BY period) END AS prev_cents
+           |  FROM a)
+           |SELECT key, CAST(period AS BIGINT) AS period, total_cents,
+           |  CAST(prev_cents AS BIGINT) AS prev_cents,
+           |  CAST(total_cents - prev_cents AS BIGINT) AS delta_cents,
+           |  CAST(CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0 THEN
+           |    (1000000 * (total_cents - prev_cents)) // abs(prev_cents)
+           |    END AS BIGINT) AS pct_change_ppm
+           |FROM w ORDER BY key, period""".stripMargin)
+  )
+
+  /** Freshness audit (fully oracled): per-user lag behind the freshest
+    * user, 7-day staleness gate. */
+  val freshnessProbe = Probe(
+    "q179_freshness",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.freshness(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")), staleAfterUs = 604800000000L)
+    },
+    Some("""WITH pk AS (SELECT CAST(user_id AS VARCHAR) AS key,
+           |    max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           |  GROUP BY 1),
+           |g AS (SELECT max(last_ts_us) AS gmax FROM pk)
+           |SELECT key, CAST(last_ts_us AS BIGINT) AS last_ts_us,
+           |  CAST(g.gmax - last_ts_us AS BIGINT) AS lag_us,
+           |  CAST(g.gmax - last_ts_us > 604800000000 AS INT) AS stale
+           |FROM pk, g ORDER BY key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -5888,7 +5999,8 @@ object Probes {
     contingencyProbe, multiclassProbe, abTestProbe, clusterTermsProbe,
     concentrationProbe, interEventProbe,
     asOfNearestProbe, goldenProbe, topPartnersProbe,
-    conversionLagProbe, timeInStateProbe, targetEncodeProbe
+    conversionLagProbe, timeInStateProbe, targetEncodeProbe,
+    rankEvalProbe, popProbe, freshnessProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -544,7 +544,29 @@ object ScaleSweep {
         // category agg + join-back
         "target_encode" -> (() => noop(
           graft.operators.Classify.targetEncodeLoo(docs, col("doc_id"),
-            col("lang"), col("n_chars"))))
+            col("lang"), col("n_chars")))),
+        // rank-bounded list ⋈ truth pairs + query agg; exact-kNN stage
+        // is the bounded baseline (ANN searchers swap in at scale)
+        "rank_eval" -> { () =>
+          val sub = emb.filter(col("vec_id") < 2000)
+          val qs = sub.select(col("vec_id").as("query_id"), col("embedding"))
+          val ranked = Similarity.bruteForceTopK(sub, qs, 10)
+          val a = sub.select(col("vec_id").as("query_id"), col("label"))
+          val b = sub.select(col("vec_id"), col("label"))
+          val truth = a.join(b, "label")
+            .filter(col("query_id") =!= col("vec_id"))
+            .select(col("query_id"), col("vec_id"))
+          noop(graft.operators.Fusion.rankEval(ranked, truth, k = 10))
+        },
+        // (key, period) agg + lag over the periods-sized frame
+        "period_over_period" -> (() => noop(
+          Analytics.periodOverPeriod(li, col("l_returnflag"),
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 2592000000000"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))),
+        // key max agg + one-row broadcast global
+        "freshness" -> (() => noop(
+          graft.operators.Quality.freshness(ev, col("user_id"),
+            unix_micros(col("ts")), staleAfterUs = 604800000000L)))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -192,6 +192,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("periodOverPeriod: adjacent deltas, gap yields NULL prev, zero prev yields NULL pct") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 4L, 300L), // gap at 3
+      ("b", 1L, 0L), ("b", 2L, 50L)                       // prev 0
+    ).toDF("k", "p", "v")
+    val out = Analytics.periodOverPeriod(df, col("k"), col("p"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(("a", 1L)) === ((100L, None, None)))
+    assert(out(("a", 2L)) === ((150L, Some(100L), Some(500000L)))) // +50%
+    assert(out(("a", 4L)) === ((300L, None, None)))                // gap
+    assert(out(("b", 2L)) === ((50L, Some(0L), None)))             // 0 prev
+  }
+
+  test("periodOverPeriod: negative prev uses abs denominator; layout independence") {
+    val df = Seq(("k", 1L, -200L), ("k", 2L, -100L)).toDF("k", "p", "v")
+    val r = Analytics.periodOverPeriod(df, col("k"), col("p"), col("v"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // (−100 − −200)·1e6 DIV 200 = +500000 — improvement reads positive
+    assert(r(2L).getLong(5) === 500000L)
+    val big = (0L until 6000L).map(i => (s"k${i % 9}", i % 30, (i * 37) % 500))
+      .toDF("k", "p", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.periodOverPeriod(d, col("k"), col("p"), col("v"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(17)))
+  }
+
   test("conversionLag: buckets from first-from to first-subsequent-to; never-converted visible") {
     val ev = Seq(
       (1L, 0L, "signup"), (1L, 50L, "purchase"), (1L, 70L, "purchase"),

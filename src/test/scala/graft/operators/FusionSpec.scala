@@ -65,4 +65,46 @@ class FusionSpec extends AnyFunSuite {
       .orderBy("grp", "fused_rank").collect()
     assert(r1.toSeq == r2.toSeq)
   }
+
+  test("rankEval: hand MRR, hit@k, NDCG with literal discounts") {
+    // q1: relevant {a, b}; retrieved a@1, x@2, b@3 → dcg = 1e6 + 5e5
+    // q2: relevant {z}; retrieved y@1, z@2 → rr 5e5
+    // q3: relevant {m}; never retrieved → hit 0, ndcg 0
+    val ranked = Seq((1L, "a", 1), (1L, "x", 2), (1L, "b", 3),
+      (2L, "y", 1), (2L, "z", 2), (3L, "p", 1)).toDF("query_id", "vec_id", "rank")
+    val truth = Seq((1L, "a"), (1L, "b"), (2L, "z"), (3L, "m"))
+      .toDF("query_id", "vec_id")
+    val out = Fusion.rankEval(ranked, truth, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // q1: idcg(2 rel, k 3) = 1e6 + 630930; dcg = 1e6 + 500000 (b at 3)
+    //     ndcg = 1.5e6·1e6 DIV 1630930 = 919720
+    assert(out(1L) === ((2L, Some(1L), Some(1000000L), 1, 1500000L,
+      1630930L, 919720L)))
+    assert(out(2L) === ((1L, Some(2L), Some(500000L), 1, 630930L,
+      1000000L, 630930L)))
+    assert(out(3L) === ((1L, None, None, 0, 0L, 1000000L, 0L)))
+  }
+
+  test("rankEval: perfect ranking scores ndcg 1e6; truth beyond k caps idcg") {
+    val ranked = (1 to 3).map(r => (1L, s"i$r", r)).toDF("query_id", "vec_id", "rank")
+    // 5 relevant items but k=3: idcg uses only the first 3 discounts
+    val truth = (1 to 5).map(i => (1L, s"i$i")).toDF("query_id", "vec_id")
+    val r = Fusion.rankEval(ranked, truth, k = 3).collect().head
+    assert(r.getLong(6) === 2130930L) // 1e6+630930+5e5
+    assert(r.getLong(7) === 1000000L)
+  }
+
+  test("rankEval is layout-independent") {
+    val ranked = (0L until 500L).map(i =>
+      (i / 10, s"i${(i * 13) % 40}", (i % 10 + 1).toInt))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = (0L until 300L).map(i => (i % 50, s"i${(i * 7) % 40}"))
+      .toDF("query_id", "vec_id")
+    def run(a: org.apache.spark.sql.DataFrame) =
+      Fusion.rankEval(a, truth, k = 10).collect().map(_.toSeq).toSeq
+    assert(run(ranked) === run(ranked.repartition(17)))
+  }
 }

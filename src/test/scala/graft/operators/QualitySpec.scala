@@ -142,6 +142,23 @@ class QualitySpec extends AnyFunSuite {
     assert(out(7L) === ((2L, 1L, true)), "null sensitive value adds no diversity")
   }
 
+  test("freshness: lag vs freshest key, threshold gates, null keys dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("live"), 1000L), (Some("live"), 900L),
+      (Some("lagging"), 400L), (Some("dead"), 10L),
+      (Option.empty[String], 99999L) // null key must not set the global max
+    ).toDF("k", "t")
+    val out = Quality.freshness(df, col("k"), col("t"), staleAfterUs = 500L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("live") === ((1000L, 0L, 0)))
+    assert(out("lagging") === ((400L, 600L, 1)))
+    assert(out("dead") === ((10L, 990L, 1)))
+    assert(out.size === 3)
+  }
+
   test("benford: leading digits, zero-support spine rows, exclusions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
