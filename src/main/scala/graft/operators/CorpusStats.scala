@@ -407,6 +407,41 @@ object CorpusStats {
     * N_{r+1} = 0 — the estimate is undefined there, never faked as 0),
     * total order by r.
     */
+  /** Vocabulary growth curve: per period, how many NEW distinct terms
+    * first appear, plus the cumulative vocabulary — the Heaps-law
+    * diagnostic behind "is the crawl still finding new language"
+    * and tokenizer-vocab sizing (compose with [[freqOfFreqs]]: N₁/T
+    * says how much is STILL unseen).
+    *
+    * Scale posture: the token stream collapses to (term → first
+    * period) via ONE min-aggregate (map-side combined, vocabulary-
+    * sized), then a periods-sized count + running sum (the window runs
+    * over |periods| rows — bounded by the time axis, not data).
+    *
+    * Output: `period` LONG, `new_terms` LONG, `vocab` LONG
+    * (cumulative), total order by period. Periods with no new terms
+    * but with tokens still appear (new_terms 0) — absence of novelty
+    * is the signal.
+    */
+  def vocabGrowth(docs: DataFrame, period: Column,
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(period.cast("long").as("__p"),
+        explode(Text.words(col(textCol))).as("__t"))
+      .filter(col("__p").isNotNull)
+    val firstSeen = toks.groupBy(col("__t"))
+      .agg(min(col("__p")).as("period"))
+    val newPerPeriod = firstSeen.groupBy(col("period"))
+      .agg(count(lit(1)).as("new_terms"))
+    val periods = toks.select(col("__p").as("period")).distinct()
+    val w = Window.orderBy(col("period")) // |periods| rows — bounded axis
+    periods.join(newPerPeriod, Seq("period"), "left_outer")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("vocab", sum(col("new_terms")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("period")
+  }
+
   def freqOfFreqs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val counts = docs

@@ -387,6 +387,50 @@ object Profile {
       .orderBy("row_val", "col_val")
   }
 
+  /** Join-cardinality forecast: the EXACT output size |A ⋈ B| on a key,
+    * decomposed by contribution — Σ_k cA(k)·cB(k) — plus the top
+    * explosive keys. The shuffle-planning audit you run BEFORE a
+    * 100 TB join: a handful of hot keys carrying billions of output
+    * rows is a salting decision, and this surfaces them for the cost
+    * of two key-count aggregates (never the join itself).
+    *
+    * Output row 1 (`key` NULL): totals — `n_keys_both` LONG,
+    * `est_rows` LONG (exact Σ products, DECIMAL-safe). Rows 2..k+1:
+    * the top `topK` keys by contribution (`key`, `n_a`, `n_b`,
+    * `est_rows`), selected under the total order (est_rows DESC, key).
+    * Output total order: key ASC NULLS FIRST (the summary row leads).
+    */
+  def joinCardinality(a: DataFrame, aKey: Column, b: DataFrame,
+                      bKey: Column, topK: Int = 10): DataFrame = {
+    val ca = a.select(aKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_a"))
+    val cb = b.select(bKey.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_b"))
+    val both = ca.join(cb, "key")
+      .withColumn("est_rows",
+        (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("long"))
+    val summary = both.agg(
+      lit(null).cast("string").as("key"),
+      lit(null).cast("long").as("n_a"),
+      lit(null).cast("long").as("n_b"),
+      coalesce(count(lit(1)), lit(0L)).as("n_keys_both"),
+      coalesce(sum(col("est_rows")), lit(0L)).as("est_total"))
+    val top = both
+      .orderBy(col("est_rows").desc, col("key")).limit(topK)
+      .withColumn("n_keys_both", lit(null).cast("long"))
+      .withColumn("est_total", lit(null).cast("long"))
+      .select(col("key"), col("n_a"), col("n_b"), col("n_keys_both"),
+        col("est_total"), col("est_rows"))
+    summary
+      .withColumn("est_rows", lit(null).cast("long"))
+      .select(col("key"), col("n_a"), col("n_b"), col("n_keys_both"),
+        col("est_total"), col("est_rows"))
+      .unionByName(top)
+      .orderBy(col("key").asc_nulls_first)
+  }
+
   /** Mass-concentration (Lorenz) deciles over a keyed distribution:
     * "the top 10% of domains hold X% of the corpus" — the curation
     * readout behind [[graft.operators.Domains]]-style caps and crawl

@@ -5961,6 +5961,61 @@ object Probes {
            |FROM pk, g ORDER BY key""".stripMargin)
   )
 
+  /** Vocabulary growth (fully oracled): first-appearance periods,
+    * cumulative vocab, zero-novelty periods visible. */
+  val vocabGrowthProbe = Probe(
+    "q180_vocab_growth",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.vocabGrowth(Tables.documents(s, d), expr("doc_id DIV 50"))
+    },
+    Some("""WITH toks AS (SELECT doc_id // 50 AS p,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS t
+           |  FROM documents),
+           |fs AS (SELECT t, min(p) AS period FROM toks GROUP BY 1),
+           |np AS (SELECT period, count(*) AS new_terms FROM fs GROUP BY 1),
+           |ps AS (SELECT DISTINCT p AS period FROM toks)
+           |SELECT CAST(ps.period AS BIGINT) AS period,
+           |  CAST(coalesce(np.new_terms, 0) AS BIGINT) AS new_terms,
+           |  CAST(sum(coalesce(np.new_terms, 0)) OVER (ORDER BY ps.period
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+           |FROM ps LEFT JOIN np USING (period)
+           |ORDER BY period""".stripMargin)
+  )
+
+  /** Join-cardinality forecast (fully oracled): exact self-join size on
+    * l_partkey plus the top contributing keys. */
+  val joinCardProbe = Probe(
+    "q181_join_cardinality",
+    (s, d) => {
+      import graft.operators.Profile
+      val li = Tables.lineitem(s, d)
+      Profile.joinCardinality(li, col("l_partkey"), li, col("l_partkey"),
+        topK = 10)
+    },
+    Some("""WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+           |    count(*) AS n FROM lineitem
+           |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+           |bth AS (SELECT a.key, a.n AS n_a, b.n AS n_b,
+           |    a.n * b.n AS est
+           |  FROM ca a JOIN ca b USING (key)),
+           |top AS (SELECT key, CAST(n_a AS BIGINT) AS n_a,
+           |    CAST(n_b AS BIGINT) AS n_b,
+           |    CAST(NULL AS BIGINT) AS n_keys_both,
+           |    CAST(NULL AS BIGINT) AS est_total,
+           |    CAST(est AS BIGINT) AS est_rows
+           |  FROM bth ORDER BY est DESC, key LIMIT 10),
+           |summ AS (SELECT CAST(NULL AS VARCHAR) AS key,
+           |    CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+           |    CAST(count(*) AS BIGINT) AS n_keys_both,
+           |    CAST(coalesce(sum(est), 0) AS BIGINT) AS est_total,
+           |    CAST(NULL AS BIGINT) AS est_rows
+           |  FROM bth)
+           |SELECT * FROM summ UNION ALL SELECT * FROM top
+           |ORDER BY key ASC NULLS FIRST""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6000,7 +6055,8 @@ object Probes {
     concentrationProbe, interEventProbe,
     asOfNearestProbe, goldenProbe, topPartnersProbe,
     conversionLagProbe, timeInStateProbe, targetEncodeProbe,
-    rankEvalProbe, popProbe, freshnessProbe
+    rankEvalProbe, popProbe, freshnessProbe,
+    vocabGrowthProbe, joinCardProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -566,7 +566,15 @@ object ScaleSweep {
         // key max agg + one-row broadcast global
         "freshness" -> (() => noop(
           graft.operators.Quality.freshness(ev, col("user_id"),
-            unix_micros(col("ts")), staleAfterUs = 604800000000L)))
+            unix_micros(col("ts")), staleAfterUs = 604800000000L))),
+        // vocab-sized min-agg; cumulative window over |periods| rows
+        "vocab_growth" -> (() => noop(
+          graft.operators.CorpusStats.vocabGrowth(docs,
+            expr("doc_id DIV 50")))),
+        // two key-count aggs + a keys-sized join; never the join itself
+        "join_cardinality" -> (() => noop(
+          graft.operators.Profile.joinCardinality(li, col("l_partkey"),
+            li, col("l_partkey"), topK = 10)))
       )
       val selected =
         if (opFilter.isEmpty) ops

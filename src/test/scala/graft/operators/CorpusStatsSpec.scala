@@ -133,6 +133,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(pruned === Set(("x", "y"))) // (y,x) occurs once
   }
 
+  test("vocabGrowth: first-appearance attribution, cumulative vocab, zero-novelty periods visible") {
+    val docs = Seq(
+      (1L, "alpha beta"),        // period 1: 2 new
+      (2L, "beta gamma alpha"),  // period 2: 1 new (gamma)
+      (3L, "beta beta alpha")    // period 3: 0 new, still a row
+    ).toDF("p", "text")
+    val out = CorpusStats.vocabGrowth(docs, col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L)))
+  }
+
+  test("vocabGrowth is layout-independent and monotone") {
+    val docs = (0L until 2000L)
+      .map(i => (i % 20, s"w${(i * 31) % 300} w${(i * 7) % 150}"))
+      .toDF("p", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.vocabGrowth(d, col("p")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(17)))
+    assert(a.map(_._3) === a.map(_._3).sorted) // cumulative never drops
+    assert(a.map(_._2).sum === a.last._3)
+  }
+
   test("freqOfFreqs: hand N_r table and Turing estimates") {
     // counts: a×3, b×1, c×1, d×2 → N_1=2, N_2=1, N_3=1
     val docs = Seq((1L, "a b a c"), (2L, "a d d")).toDF("doc_id", "text")

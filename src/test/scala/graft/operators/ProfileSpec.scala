@@ -248,6 +248,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(b5.getInt(2) === 2) // med
   }
 
+  test("joinCardinality: exact product sum equals the real join size; hot keys surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (Seq.fill(100)("hot") ++ Seq("w", "w", "x", "onlyA")).toDF("k")
+    val b = (Seq.fill(50)("hot") ++ Seq("w", "x", "onlyB")).toDF("k")
+    val out = Profile.joinCardinality(a, col("k"), b, col("k"), topK = 2)
+      .collect()
+    val summary = out.head
+    assert(summary.isNullAt(0))
+    assert(summary.getLong(3) === 3L)         // hot, w, x
+    assert(summary.getLong(4) === 5003L)      // 5000 + 2 + 1
+    // the true join size is exactly the forecast
+    assert(a.join(b, "k").count() === 5003L)
+    val tops = out.tail.map(r => (r.getString(0), r.getLong(5))).toSeq
+    assert(tops.toSet === Set(("hot", 5000L), ("w", 2L)))
+  }
+
+  test("joinCardinality: disjoint inputs report an explicit zero; layout-proof") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val z = Profile.joinCardinality(Seq("a").toDF("k"), col("k"),
+      Seq("b").toDF("k"), col("k")).collect()
+    assert(z.length === 1 && z.head.getLong(3) === 0L &&
+      z.head.getLong(4) === 0L)
+    val a = (0L until 4000L).map(i => s"k${(i * 7) % 50}").toDF("k")
+    val b = (0L until 3000L).map(i => s"k${(i * 11) % 70}").toDF("k")
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Profile.joinCardinality(x, col("k"), y, col("k")).collect()
+        .map(_.toSeq).toSeq
+    assert(run(a, b) === run(a.repartition(17), b.repartition(5)))
+  }
+
   test("concentrationCurve: hand deciles on a skewed distribution") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
