@@ -72,6 +72,33 @@ object Assoc {
       .orderBy("item_a", "item_b")
   }
 
+  /** Three-way co-occurrence: baskets containing all of {a, b, c} — the
+    * next rung of the Agrawal itemset ladder after [[pairCounts]].
+    * Candidate fan-out is Σ C(b,3) over basket sizes (bounded by basket
+    * width, never corpus³); presence-dedup happens before any join, and
+    * the two basket-keyed self-joins keep the enumeration ordered
+    * (a < b < c — each triple once).
+    *
+    * Output: `item_a` < `item_b` < `item_c`, `n_all` LONG (baskets with
+    * all three), pruned below `minCount` AFTER aggregation; total order
+    * (item_a, item_b, item_c).
+    */
+  def tripleCounts(df: DataFrame, basket: Column, item: Column,
+                   minCount: Long = 2L): DataFrame = {
+    val present = df.select(basket.as("__b"), item.cast("string").as("__i"))
+      .filter(col("__i").isNotNull)
+      .distinct()
+    val a = present.select(col("__b"), col("__i").as("item_a"))
+    val b = present.select(col("__b"), col("__i").as("item_b"))
+    val c = present.select(col("__b"), col("__i").as("item_c"))
+    a.join(b, "__b").filter(col("item_a") < col("item_b"))
+      .join(c, "__b").filter(col("item_b") < col("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= minCount)
+      .orderBy("item_a", "item_b", "item_c")
+  }
+
   /** Per-item top-k partners by lift from a [[pairCounts]] frame — the
     * "customers also bought" readout. Expands each unordered pair into
     * both directions, then a per-item rank window that plans to

@@ -320,6 +320,42 @@ object Graph {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Two-hop reach: for each node, how many distinct nodes sit within
+    * distance ≤ 2 — the neighborhood-size signal behind
+    * friends-of-friends recommendations and influence/coverage
+    * estimates (a node with modest degree but huge 2-hop reach borders
+    * a hub). Exact, via one wedge join: candidate volume is Σ deg²
+    * (the [[triangles]] budget — inherent to exact 2-hop; sketch with
+    * KMV per node if the graph's Σ deg² is prohibitive).
+    *
+    * Input edges are canonicalized (undirected, self-loops dropped,
+    * dups collapsed). Output: `node`, `deg` LONG (direct neighbors),
+    * `reach2` LONG (distinct nodes at distance ≤ 2, excluding self),
+    * total order by node.
+    */
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val oneHop = adj
+    val twoHop = adj.select(col("u"), col("v").as("__mid"))
+      .join(adj.select(col("u").as("__mid"), col("v")), "__mid")
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+    val reach = oneHop.unionAll(twoHop).distinct()
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("reach2"))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    deg.join(reach, "node")
+      .select(col("node"), col("deg"), col("reach2"))
+      .orderBy("node")
+  }
+
   /** k-core peeling (bounded rounds): repeatedly delete nodes of degree
     * < k; the survivors of the fixpoint form the k-core — the dense
     * backbone used to split hub structure from tendrils in co-occurrence

@@ -493,4 +493,47 @@ object TextDedup {
       .select("id_a", "id_b", "hamming")
       .distinct()
   }
+
+  /** Cross-source duplication matrix: for every source pair, how much
+    * of each side's DISTINCT content also appears in the other — the
+    * "is source B just a re-crawl of source A" curation readout that
+    * decides which feeds are worth ingesting at all. Presence is by
+    * exact content digest (compose with [[canonicalText]] upstream for
+    * normalization-robust overlap).
+    *
+    * Scale posture: (source, md5) presence distinct first (16-byte
+    * digests shuffle, never documents), then a digest-keyed self-join
+    * whose fan-out is Σ (#sources sharing a digest)² — bounded by the
+    * source count per digest, never corpus²; marginals broadcast onto
+    * the sources²-bounded pair aggregate.
+    *
+    * Output: `source_a` < `source_b`, `n_a`/`n_b` LONG (distinct docs
+    * per source), `n_common` LONG, `cont_a_ppm` (share of a's content
+    * inside b, truncating) and `cont_b_ppm`; total order
+    * (source_a, source_b). Pairs with no overlap are omitted.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val present = docs
+      .select(col(sourceCol).cast("string").as("__s"),
+        md5(col(textCol)).as("__h"))
+      .filter(col("__s").isNotNull && col("__h").isNotNull)
+      .distinct()
+    val marginals = present.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val x = present.select(col("__h"), col("__s").as("source_a"))
+    val y = present.select(col("__h"), col("__s").as("source_b"))
+    x.join(y, "__h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(marginals.select(col("__s").as("source_a"),
+        col("__n").as("n_a"))), "source_a")
+      .join(broadcast(marginals.select(col("__s").as("source_b"),
+        col("__n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(1000000L * n_common) DIV n_a").as("cont_a_ppm"),
+        expr("(1000000L * n_common) DIV n_b").as("cont_b_ppm"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -6016,6 +6016,99 @@ object Probes {
            |ORDER BY key ASC NULLS FIRST""".stripMargin)
   )
 
+  /** Frequent triples (fully oracled): ordered 3-itemset counts over
+    * user event-type baskets. */
+  val triplesProbe = Probe(
+    "q182_triples",
+    (s, d) => {
+      import graft.operators.Assoc
+      Assoc.tripleCounts(Tables.events(s, d), col("user_id"),
+        col("event_type"), minCount = 2L)
+    },
+    Some("""WITH present AS (SELECT DISTINCT user_id AS b, event_type AS i
+           |  FROM events WHERE event_type IS NOT NULL)
+           |SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+           |  CAST(count(*) AS BIGINT) AS n_all
+           |FROM present x
+           |JOIN present y ON x.b = y.b AND x.i < y.i
+           |JOIN present z ON y.b = z.b AND y.i < z.i
+           |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+           |ORDER BY item_a, item_b, item_c""".stripMargin)
+  )
+
+  /** Two-hop reach (fully oracled): exact distance ≤ 2 neighborhood
+    * sizes over the repeat-co-purchase graph. */
+  val twoHopProbe = Probe(
+    "q183_two_hop",
+    (s, d) => {
+      import graft.operators.Graph
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val o2 = op.select(col("o"), col("p").as("p2"))
+      val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+        .select(col("src"), col("dst"))
+      Graph.twoHopReach(edges)
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS (SELECT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+           |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |adj AS (SELECT a AS u, b AS v FROM e0
+           |  UNION ALL SELECT b, a FROM e0),
+           |two AS (SELECT x.u, y.v FROM adj x JOIN adj y ON x.v = y.u
+           |  WHERE x.u <> y.v),
+           |reach AS (SELECT u, count(*) AS reach2 FROM (
+           |    SELECT DISTINCT u, v FROM (
+           |      SELECT u, v FROM adj UNION ALL SELECT u, v FROM two))
+           |  GROUP BY 1),
+           |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1)
+           |SELECT deg.u AS node, CAST(deg.deg AS BIGINT) AS deg,
+           |  CAST(reach.reach2 AS BIGINT) AS reach2
+           |FROM deg JOIN reach USING (u) ORDER BY node""".stripMargin)
+  )
+
+  /** Cross-source overlap matrix (fully oracled): SHINGLE-level
+    * containment (the corpus has no exact doc dups — phrase-level
+    * sharing is the real cross-source signal); digest-keyed,
+    * truncating ppm both ways. */
+  val sourceOverlapProbe = Probe(
+    "q184_source_overlap",
+    (s, d) => {
+      import graft.operators.TextDedup
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          explode(Text.shingles(col("text"), 3)).as("text"))
+      TextDedup.sourceOverlap(sh)
+    },
+    Some("""WITH t AS (SELECT source,
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS wl
+           |  FROM documents WHERE source IS NOT NULL),
+           |sh0 AS (SELECT source,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS s
+           |  FROM t),
+           |present AS (SELECT DISTINCT source AS s, md5(g) AS h
+           |  FROM (SELECT source, unnest(s) AS g FROM sh0)),
+           |m AS (SELECT s, count(*) AS n FROM present GROUP BY 1),
+           |p AS (SELECT x.s AS source_a, y.s AS source_b,
+           |    count(*) AS n_common
+           |  FROM present x JOIN present y ON x.h = y.h AND x.s < y.s
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b, CAST(ma.n AS BIGINT) AS n_a,
+           |  CAST(mb.n AS BIGINT) AS n_b,
+           |  CAST(n_common AS BIGINT) AS n_common,
+           |  CAST((1000000 * n_common) // ma.n AS BIGINT) AS cont_a_ppm,
+           |  CAST((1000000 * n_common) // mb.n AS BIGINT) AS cont_b_ppm
+           |FROM p JOIN m ma ON ma.s = source_a JOIN m mb ON mb.s = source_b
+           |ORDER BY source_a, source_b""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6056,7 +6149,8 @@ object Probes {
     asOfNearestProbe, goldenProbe, topPartnersProbe,
     conversionLagProbe, timeInStateProbe, targetEncodeProbe,
     rankEvalProbe, popProbe, freshnessProbe,
-    vocabGrowthProbe, joinCardProbe
+    vocabGrowthProbe, joinCardProbe,
+    triplesProbe, twoHopProbe, sourceOverlapProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

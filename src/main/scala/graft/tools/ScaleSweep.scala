@@ -574,7 +574,28 @@ object ScaleSweep {
         // two key-count aggs + a keys-sized join; never the join itself
         "join_cardinality" -> (() => noop(
           graft.operators.Profile.joinCardinality(li, col("l_partkey"),
-            li, col("l_partkey"), topK = 10)))
+            li, col("l_partkey"), topK = 10))),
+        // presence distinct → two basket-keyed self-joins (Σ C(b,3))
+        "triples" -> (() => noop(
+          graft.operators.Assoc.tripleCounts(ev, col("user_id"),
+            col("event_type"), minCount = 2L))),
+        // wedge join (Σ deg²) + distinct + node agg
+        "two_hop_reach" -> { () =>
+          val op = li.select(col("l_orderkey").as("o"),
+            col("l_partkey").as("p")).distinct()
+          val o2 = op.select(col("o"), col("p").as("p2"))
+          val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+            .groupBy(col("p").as("src"), col("p2").as("dst"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+            .select(col("src"), col("dst"))
+          noop(Graph.twoHopReach(edges))
+        },
+        // (source, shingle-digest) distinct → digest-keyed self-join
+        "source_overlap" -> (() => noop(
+          graft.operators.TextDedup.sourceOverlap(
+            docs.select(col("source"),
+              explode(graft.functions.Text.shingles(col("text"), 3))
+                .as("text")))))
       )
       val selected =
         if (opFilter.isEmpty) ops

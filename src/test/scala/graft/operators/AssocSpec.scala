@@ -56,6 +56,23 @@ class AssocSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == null || p._2 == null))
   }
 
+  test("tripleCounts: ordered enumeration, presence semantics, pruning") {
+    // b1 {x,y,z}, b2 {x,y,z} (y twice), b3 {x,y}
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y")).toDF("b", "i")
+    val out = Assoc.tripleCounts(df, col("b"), col("i"), minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(("x", "y", "z", 2L)))
+    // minCount 3 prunes it
+    assert(Assoc.tripleCounts(df, col("b"), col("i"), 3L).count() === 0L)
+    // ordering: each triple appears exactly once, sorted members
+    val all = Assoc.tripleCounts(df, col("b"), col("i"), 1L).collect()
+    assert(all.forall(r => r.getString(0) < r.getString(1) &&
+      r.getString(1) < r.getString(2)))
+  }
+
   test("topPartners: symmetric expansion, lift-desc rank, k truncation") {
     val pairs = Assoc.pairCounts(baskets, col("b"), col("i"),
       minPairCount = 1L)

@@ -123,6 +123,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sourceOverlap: containment both ways, within-source dups collapse, disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "shared1"), ("A", "shared2"), ("A", "a_only"), ("A", "a_only"),
+      ("B", "shared1"), ("B", "shared2"),
+      ("C", "c_only")
+    ).toDF("source", "text")
+    val out = TextDedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // A has 3 distinct docs (dup collapsed), B has 2, common 2:
+    // 2/3 of A is in B; all of B is in A
+    assert(out(("A", "B")) === ((3L, 2L, 2L, 666666L, 1000000L)))
+    assert(out.keySet === Set(("A", "B"))) // C overlaps nothing
+  }
+
+  test("sourceOverlap is layout-independent") {
+    val docs = (0L until 3000L)
+      .map(i => (s"s${i % 6}", s"doc${(i * 13) % 400}")).toDF("source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextDedup.sourceOverlap(d).collect().map(_.toSeq).toSeq
+    assert(run(docs) === run(docs.repartition(17)))
+  }
+
   test("centroidShiftMicro: hand shift, identical snapshots at zero, one-sided groups NULL") {
     val a = Seq(("g1", Array(1.0f, 0.0f)), ("g1", Array(0.0f, 1.0f)),
       ("g2", Array(0.5f, 0.5f)), ("only_a", Array(1.0f, 1.0f)))

@@ -143,6 +143,38 @@ class GraphSpec extends AnyFunSuite {
     assert(a1 === a2)
   }
 
+  test("twoHopReach: hand path and star; hub neighbors see the whole star") {
+    // path 1-2-3-4-5: reach2(1) = {2,3}; reach2(3) = {1,2,4,5}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val p = Graph.twoHopReach(path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p(1L) === ((1L, 2L)))
+    assert(p(3L) === ((2L, 4L)))
+    // star: center 0 with leaves 1..5 — every leaf reaches all 5 others
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val s = Graph.twoHopReach(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(0L) === 5L)
+    assert((1L to 5L).forall(i => s(i) === 5L)) // center + 4 siblings
+  }
+
+  test("twoHopReach matches a driver-side BFS-2 on a random graph; layout-proof") {
+    val edges = (0L until 1500L)
+      .map(i => ((i * 7) % 60, (i * 13 + 1) % 60)).filter(p => p._1 != p._2)
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.map { case (n, nbrs) =>
+      n -> (nbrs ++ nbrs.flatMap(adj.getOrElse(_, Set.empty)) - n).size.toLong
+    }
+    val df = edges.toDF("src", "dst")
+    Seq(1, 13).foreach { parts =>
+      val got = Graph.twoHopReach(df.repartition(parts)).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect)
+    }
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
     Graph.kCorePeel(edges.toDF("src", "dst"), k, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
