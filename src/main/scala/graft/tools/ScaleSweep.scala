@@ -579,17 +579,11 @@ object ScaleSweep {
         "triples" -> (() => noop(
           graft.operators.Assoc.tripleCounts(ev, col("user_id"),
             col("event_type"), minCount = 2L))),
-        // wedge join (Σ deg²) + distinct + node agg
-        "two_hop_reach" -> { () =>
-          val op = li.select(col("l_orderkey").as("o"),
-            col("l_partkey").as("p")).distinct()
-          val o2 = op.select(col("o"), col("p").as("p2"))
-          val edges = op.join(o2, "o").filter(col("p") < col("p2"))
-            .groupBy(col("p").as("src"), col("p2").as("dst"))
-            .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
-            .select(col("src"), col("dst"))
-          noop(Graph.twoHopReach(edges))
-        },
+        // two_hop_reach is NOT swept: replication densifies the
+        // co-purchase graph, so Σ deg² (the inherent exact-2-hop
+        // budget) grows quadratically with the replica count — the
+        // sweep would time the graph's density, not the plan; see
+        // SCALING.md's margin-kNN note for the same treatment.
         // (source, shingle-digest) distinct → digest-keyed self-join
         "source_overlap" -> (() => noop(
           graft.operators.TextDedup.sourceOverlap(
