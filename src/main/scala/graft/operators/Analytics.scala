@@ -264,6 +264,41 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Rare-transition anomaly scan: score every observed adjacent
+    * transition by its model probability from [[transitionMatrix]] and
+    * surface the ones below `maxPpm` — the "this user's journey took a
+    * path the population almost never takes" detector (fraud flows,
+    * broken funnels, bot loops). Closing the model→score loop keeps
+    * both halves in one shuffle discipline: the matrix is states²-sized
+    * and BROADCAST onto the event-pair stream; unseen transitions
+    * (absent from the matrix) score p_ppm 0 — the rarest kind.
+    *
+    * Output: `entity`, `from_state`, `to_state`, `n_pair` LONG (how
+    * often THIS entity took it), `p_ppm` LONG (population probability,
+    * 0 when unseen), total order (entity, from_state, to_state).
+    */
+  def rareTransitions(events: DataFrame, entity: Column,
+                      order: Seq[Column], state: Column,
+                      maxPpm: Long): DataFrame = {
+    val model = transitionMatrix(events, entity, order, state)
+      .select(col("from_state"), col("to_state"), col("p_ppm"))
+    val w = Window.partitionBy(col("__e")).orderBy(order: _*)
+    val pairs = events
+      .withColumn("__e", entity)
+      .withColumn("__s", state.cast("string"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__e").as("entity"), col("__prev").as("from_state"),
+        col("__s").as("to_state"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs.join(broadcast(model), Seq("from_state", "to_state"), "left_outer")
+      .withColumn("p_ppm", coalesce(col("p_ppm"), lit(0L)))
+      .filter(col("p_ppm") <= maxPpm)
+      .select(col("entity"), col("from_state"), col("to_state"),
+        col("n_pair"), col("p_ppm"))
+      .orderBy("entity", "from_state", "to_state")
+  }
+
   /** Period-over-period comparison: per (key, period) totals with the
     * ADJACENT previous period's total, the delta, and the relative
     * change in ppm — the "vs last week" BI staple. A gap in periods

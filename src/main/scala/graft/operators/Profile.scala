@@ -145,6 +145,82 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** 1-D Earth Mover's Distance between two snapshots of an integer
+    * measure, over equal-width integer bins — the drift metric that
+    * SEES ORDER ([[driftChi2]] scores "these bins differ"; EMD scores
+    * "the mass moved three bins to the right", which is what a price
+    * or latency shift actually does). For unit-width bins,
+    * EMD = Σ_k |cumA(k) − cumB(k)| — exact in integer ppm shares.
+    *
+    * Both sides bin with clamp((v − lo)·bins DIV (hi − lo)) — all
+    * integer; shares are truncating ppm; the cumulative runs over the
+    * BINS-sized frame. Output (one row): `n_a`, `n_b` LONG,
+    * `emd_ppm` LONG (Σ |cumΔ| in ppm·bin units — divide by bins
+    * locally for a [0, 1e6] normalization).
+    */
+  def histogramEmd(a: DataFrame, b: DataFrame, value: Column,
+                   lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "need bins >= 1 and hi > lo")
+    def binned(df: DataFrame, n: String): DataFrame = df
+      .select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("bin",
+        greatest(lit(0L), least(lit(bins - 1L),
+          expr(s"((__v - ${lo}L) * ${bins}L) DIV ${hi - lo}L"))))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val ja = binned(a, "__na")
+    val jb = binned(b, "__nb")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val spine = (0L until bins.toLong).toDF("bin")
+    val joined = broadcast(spine)
+      .join(ja, Seq("bin"), "left_outer")
+      .join(jb, Seq("bin"), "left_outer")
+      .withColumn("__na", coalesce(col("__na"), lit(0L)))
+      .withColumn("__nb", coalesce(col("__nb"), lit(0L)))
+    val totals = joined.agg(
+      coalesce(sum(col("__na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__nb")), lit(0L)).as("n_b"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0) // bins-sized frame
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__sa",
+        when(col("n_a") > 0L, expr("(1000000L * __na) DIV n_a"))
+          .otherwise(lit(0L)))
+      .withColumn("__sb",
+        when(col("n_b") > 0L, expr("(1000000L * __nb) DIV n_b"))
+          .otherwise(lit(0L)))
+      .withColumn("__ca", sum(col("__sa")).over(w))
+      .withColumn("__cb", sum(col("__sb")).over(w))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(coalesce(sum(abs(col("__ca") - col("__cb"))), lit(0L))
+        .as("emd_ppm"))
+      .select(col("n_a"), col("n_b"), col("emd_ppm"))
+  }
+
+  /** Per-group min-max scaling to ppm — the feature-normalization
+    * staple ([[quantileNormalize]]'s rank-free sibling): scaled =
+    * 1e6·(x − min) DIV (max − min), exact integers; degenerate groups
+    * (max = min) scale to NULL, never a fake 0 or ÷0. One group
+    * min/max aggregate + an equi-join back (AQE broadcasts sane group
+    * tables). Output: `id`, `group`, `value` LONG, `scaled_ppm`
+    * LONG-or-NULL, total order by id.
+    */
+  def minMaxScale(df: DataFrame, id: Column, group: Column,
+                  value: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.cast("string").as("group"),
+        value.cast("long").as("value"))
+      .filter(col("value").isNotNull)
+    val stats = base.groupBy(col("group"))
+      .agg(min(col("value")).as("__lo"), max(col("value")).as("__hi"))
+    base.join(stats, "group")
+      .withColumn("scaled_ppm",
+        when(col("__hi") > col("__lo"),
+          expr("(1000000L * (value - __lo)) DIV (__hi - __lo)")))
+      .select(col("id"), col("group"), col("value"), col("scaled_ppm"))
+      .orderBy("id")
+  }
+
   /** Per-partition MERGEABLE statistics — incremental profiling, the
     * aggregate-maintenance pattern: at 100 TB you profile each arriving
     * partition once, store the tiny partial rows, and answer any

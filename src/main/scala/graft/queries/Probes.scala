@@ -6109,6 +6109,98 @@ object Probes {
            |ORDER BY source_a, source_b""".stripMargin)
   )
 
+  /** Rare-transition scan (fully oracled): entity pairs whose model
+    * probability sits in the population's rare tail. */
+  val rareTransitionsProbe = Probe(
+    "q185_rare_transitions",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.rareTransitions(Tables.events(s, d), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        maxPpm = 195000L)
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS st,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |pairs AS (SELECT user_id AS entity, prev AS from_state,
+           |    st AS to_state, count(*) AS n_pair
+           |  FROM seq WHERE prev IS NOT NULL AND st IS NOT NULL
+           |  GROUP BY 1, 2, 3),
+           |model AS (SELECT from_state, to_state,
+           |    (sum(n_pair) * 1000000) //
+           |      (sum(sum(n_pair)) OVER (PARTITION BY from_state)) AS p_ppm
+           |  FROM pairs GROUP BY 1, 2)
+           |SELECT p.entity, p.from_state AS from_state,
+           |  p.to_state AS to_state,
+           |  CAST(p.n_pair AS BIGINT) AS n_pair,
+           |  CAST(coalesce(m.p_ppm, 0) AS BIGINT) AS p_ppm
+           |FROM pairs p LEFT JOIN model m
+           |  ON m.from_state = p.from_state AND m.to_state = p.to_state
+           |WHERE coalesce(m.p_ppm, 0) <= 195000
+           |ORDER BY entity, from_state, to_state""".stripMargin)
+  )
+
+  /** Histogram EMD (fully oracled): order-aware drift between the R
+    * and A return-flag quantity distributions. */
+  val emdProbe = Probe(
+    "q186_histogram_emd",
+    (s, d) => {
+      import graft.operators.Profile
+      val li = Tables.lineitem(s, d)
+      Profile.histogramEmd(li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") === "A"), col("l_quantity"),
+        0L, 51L, 17)
+    },
+    Some("""WITH ba AS (SELECT greatest(0, least(16,
+           |      (CAST(l_quantity AS BIGINT) * 17) // 51)) AS bin,
+           |    count(*) AS na
+           |  FROM lineitem WHERE l_returnflag = 'R'
+           |    AND l_quantity IS NOT NULL GROUP BY 1),
+           |bb AS (SELECT greatest(0, least(16,
+           |      (CAST(l_quantity AS BIGINT) * 17) // 51)) AS bin,
+           |    count(*) AS nb
+           |  FROM lineitem WHERE l_returnflag = 'A'
+           |    AND l_quantity IS NOT NULL GROUP BY 1),
+           |spine AS (SELECT unnest(range(0, 17)) AS bin),
+           |j AS (SELECT spine.bin, coalesce(ba.na, 0) AS na,
+           |    coalesce(bb.nb, 0) AS nb
+           |  FROM spine LEFT JOIN ba USING (bin) LEFT JOIN bb USING (bin)),
+           |t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM j),
+           |c AS (SELECT j.bin,
+           |    sum(CASE WHEN t.n_a > 0 THEN (1000000 * j.na) // t.n_a
+           |      ELSE 0 END) OVER (ORDER BY j.bin ROWS UNBOUNDED PRECEDING)
+           |      AS ca,
+           |    sum(CASE WHEN t.n_b > 0 THEN (1000000 * j.nb) // t.n_b
+           |      ELSE 0 END) OVER (ORDER BY j.bin ROWS UNBOUNDED PRECEDING)
+           |      AS cb
+           |  FROM j, t)
+           |SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           |  CAST(coalesce(sum(abs(c.ca - c.cb)), 0) AS BIGINT) AS emd_ppm
+           |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin)
+  )
+
+  /** Per-group min-max scaling (fully oracled): exact ppm positions,
+    * degenerate groups NULL. */
+  val minMaxScaleProbe = Probe(
+    "q187_minmax_scale",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.minMaxScale(Tables.documents(s, d), col("doc_id"),
+        col("lang"), col("n_chars"))
+    },
+    Some("""WITH b AS (SELECT doc_id AS id, lang AS grp,
+           |    n_chars AS value FROM documents
+           |  WHERE n_chars IS NOT NULL),
+           |st AS (SELECT grp, min(value) AS lo, max(value) AS hi
+           |  FROM b GROUP BY 1)
+           |SELECT id, b.grp AS "group", CAST(value AS BIGINT) AS value,
+           |  CAST(CASE WHEN hi > lo THEN
+           |    (1000000 * (value - lo)) // (hi - lo) END AS BIGINT)
+           |    AS scaled_ppm
+           |FROM b JOIN st USING (grp) ORDER BY id""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6150,7 +6242,8 @@ object Probes {
     conversionLagProbe, timeInStateProbe, targetEncodeProbe,
     rankEvalProbe, popProbe, freshnessProbe,
     vocabGrowthProbe, joinCardProbe,
-    triplesProbe, twoHopProbe, sourceOverlapProbe
+    triplesProbe, twoHopProbe, sourceOverlapProbe,
+    rareTransitionsProbe, emdProbe, minMaxScaleProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -589,7 +589,22 @@ object ScaleSweep {
           graft.operators.TextDedup.sourceOverlap(
             docs.select(col("source"),
               explode(graft.functions.Text.shingles(col("text"), 3))
-                .as("text")))))
+                .as("text"))))),
+        // model broadcast onto the pair stream; one lag exchange each
+        "rare_transitions" -> (() => noop(
+          Analytics.rareTransitions(ev, col("user_id"),
+            Seq(col("ts"), col("event_id")), col("event_type"),
+            maxPpm = 195000L))),
+        // two bins-sized aggs + bins-sized cumulative
+        "histogram_emd" -> (() => noop(
+          graft.operators.Profile.histogramEmd(
+            li.filter(col("l_returnflag") === "R"),
+            li.filter(col("l_returnflag") === "A"), col("l_quantity"),
+            0L, 51L, 17))),
+        // group min/max agg + broadcast join-back
+        "minmax_scale" -> (() => noop(
+          graft.operators.Profile.minMaxScale(docs, col("doc_id"),
+            col("lang"), col("n_chars"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

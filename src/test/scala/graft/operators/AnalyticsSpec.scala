@@ -192,6 +192,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("rareTransitions: population-rare paths surface with the taker's count") {
+    // population: A→B dominates (9 users); one user takes A→C twice
+    val ev = (1L to 9L).flatMap(u => Seq((u, 1L, "A"), (u, 2L, "B"))) ++
+      Seq((10L, 1L, "A"), (10L, 2L, "C"), (10L, 3L, "A"), (10L, 4L, "C"))
+    val out = Analytics.rareTransitions(ev.toDF("u", "seq", "s"), col("u"),
+        Seq(col("seq")), col("s"), maxPpm = 200000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // A→C: 2 of 11 A-departures → 181818 ppm ≤ 200000; C→A is 1/1 → 1e6 (kept out)
+    assert(out === Seq((10L, "A", "C", 2L, 181818L)))
+  }
+
+  test("rareTransitions: threshold 1e6 returns every pair with model probabilities") {
+    val ev = Seq((1L, 1L, "X"), (1L, 2L, "Y"), (2L, 1L, "X"), (2L, 2L, "Z"))
+      .toDF("u", "seq", "s")
+    val out = Analytics.rareTransitions(ev, col("u"), Seq(col("seq")),
+        col("s"), maxPpm = 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        r.getLong(4))).toMap
+    assert(out === Map((1L, "X", "Y") -> 500000L, (2L, "X", "Z") -> 500000L))
+  }
+
   test("periodOverPeriod: adjacent deltas, gap yields NULL prev, zero prev yields NULL pct") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 150L), ("a", 4L, 300L), // gap at 3

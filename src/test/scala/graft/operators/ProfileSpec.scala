@@ -248,6 +248,57 @@ class ProfileSpec extends AnyFunSuite {
     assert(b5.getInt(2) === 2) // med
   }
 
+  test("histogramEmd: identical→0, one-bin shift→1e6, order sensitivity beats chi2 blindness") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (0 until 100).map(_ % 10).map(_.toLong).toDF("v") // uniform 0..9
+    val same = Profile.histogramEmd(a, a, col("v"), 0L, 10L, 10).collect().head
+    assert((same.getLong(0), same.getLong(1), same.getLong(2)) ===
+      ((100L, 100L, 0L)))
+    // b = a shifted right by one bin: each of 10 boundaries off by 1e5
+    val b = (0 until 100).map(i => (i % 10 + 1).toLong).toDF("v")
+    val shift = Profile.histogramEmd(a, b, col("v"), 0L, 11L, 11)
+      .collect().head
+    // unit shift of the whole mass = 1 bin of work: Σ|cumΔ| ≈ 1e6·(1 bin)
+    assert(shift.getLong(2) >= 900000L && shift.getLong(2) <= 1000010L)
+    // far shift moves more earth than near shift (the metric chi2 lacks)
+    val far = (0 until 100).map(i => (i % 10 + 5).toLong).toDF("v")
+    val emdFar = Profile.histogramEmd(a, far, col("v"), 0L, 15L, 15)
+      .collect().head.getLong(2)
+    val emdNear = Profile.histogramEmd(a, b, col("v"), 0L, 15L, 15)
+      .collect().head.getLong(2)
+    assert(emdFar > emdNear * 3)
+  }
+
+  test("histogramEmd clamps outliers; empty side gives full mass distance; layout-proof") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(-100L, 5L, 900L).toDF("v") // clamp to bins 0 and last
+    val r = Profile.histogramEmd(a, a, col("v"), 0L, 10L, 10).collect().head
+    assert(r.getLong(2) === 0L)
+    val big1 = (0L until 5000L).map(i => (i * 7) % 100).toDF("v")
+    val big2 = (0L until 4000L).map(i => (i * 13) % 90 + 5).toDF("v")
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Profile.histogramEmd(x, y, col("v"), 0L, 100L, 20).collect()
+        .head.toSeq
+    assert(run(big1, big2) ===
+      run(big1.repartition(17), big2.repartition(5)))
+  }
+
+  test("minMaxScale: exact ppm positions, degenerate group NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "g", 10L), (2L, "g", 55L), (3L, "g", 100L),
+      (4L, "flat", 7L), (5L, "flat", 7L)).toDF("id", "grp", "v")
+    val out = Profile.minMaxScale(df, col("id"), col("grp"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L) === Some(0L))
+    assert(out(2L) === Some(500000L))
+    assert(out(3L) === Some(1000000L))
+    assert(out(4L) === None && out(5L) === None)
+  }
+
   test("joinCardinality: exact product sum equals the real join size; hot keys surface") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
