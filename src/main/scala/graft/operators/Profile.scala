@@ -198,6 +198,63 @@ object Profile {
       .select(col("n_a"), col("n_b"), col("emd_ppm"))
   }
 
+  /** Exact mode per group: the most frequent value, ties to the
+    * LOWEST value (deterministic on any engine/layout) — the
+    * categorical imputation default and the "dominant variant" readout.
+    * One (group, value) aggregate with map-side combine, then a rank
+    * window over the distinct-pairs-sized frame (WindowGroupLimit
+    * under rank = 1).
+    *
+    * Output: `group`, `mode_value`, `n_mode` LONG, `n_distinct` LONG,
+    * `n_total` LONG, `mode_share_ppm` LONG (truncating), total order
+    * by group. Null values are absence, not a candidate mode.
+    */
+  def modeByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val counts = df
+      .select(group.cast("string").as("group"),
+        value.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("group"), col("__v")).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("__n").desc, col("__v"))
+    counts
+      .withColumn("__r", row_number().over(w))
+      .withColumn("n_distinct",
+        count(lit(1)).over(Window.partitionBy(col("group"))))
+      .withColumn("n_total",
+        sum(col("__n")).over(Window.partitionBy(col("group"))))
+      .filter(col("__r") === 1)
+      .select(col("group"), col("__v").as("mode_value"),
+        col("__n").as("n_mode"), col("n_distinct"), col("n_total"),
+        expr("(1000000L * __n) DIV n_total").as("mode_share_ppm"))
+      .orderBy("group")
+  }
+
+  /** Value-pattern profile: collapse each string to its character-class
+    * signature (uppercase runs → A, lowercase → a, digits → 9, all
+    * else verbatim) and count signatures — the schema-inference mask
+    * analysis that spots "this id column has three formats" before a
+    * parser does. One narrow codegen'd projection into a
+    * signatures-sized aggregate; the example value is the MINIMUM
+    * (deterministic, never "whichever row we saw first").
+    *
+    * Output: top `topK` signatures by (n DESC, signature): `signature`,
+    * `n` LONG, `example` STRING, total order (n DESC, signature).
+    */
+  def patternProfile(df: DataFrame, column: Column,
+                     topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    df.select(column.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("signature",
+        regexp_replace(regexp_replace(regexp_replace(
+          col("__v"), "[A-Z]+", "A"), "[a-z]+", "a"), "[0-9]+", "9"))
+      .groupBy(col("signature"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("example"))
+      .orderBy(col("n").desc, col("signature"))
+      .limit(topK)
+  }
+
   /** Per-group min-max scaling to ppm — the feature-normalization
     * staple ([[quantileNormalize]]'s rank-free sibling): scaled =
     * 1e6·(x − min) DIV (max − min), exact integers; degenerate groups

@@ -6201,6 +6201,52 @@ object Probes {
            |FROM b JOIN st USING (grp) ORDER BY id""".stripMargin)
   )
 
+  /** Mode per group (fully oracled): most frequent event type per user,
+    * ties to the lowest value. */
+  val modeProbe = Probe(
+    "q188_mode_by_group",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.modeByGroup(Tables.events(s, d), col("user_id"),
+        col("event_type"))
+    },
+    Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS g,
+           |    event_type AS v, count(*) AS n
+           |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY g
+           |    ORDER BY n DESC, v) AS rn,
+           |    count(*) OVER (PARTITION BY g) AS nd,
+           |    sum(n) OVER (PARTITION BY g) AS nt
+           |  FROM c)
+           |SELECT g AS "group", v AS mode_value,
+           |  CAST(n AS BIGINT) AS n_mode, CAST(nd AS BIGINT) AS n_distinct,
+           |  CAST(nt AS BIGINT) AS n_total,
+           |  CAST((1000000 * n) // nt AS BIGINT) AS mode_share_ppm
+           |FROM r WHERE rn = 1 ORDER BY "group" """.stripMargin)
+  )
+
+  /** Value-pattern profile (fully oracled): character-class signatures
+    * of the props column, deterministic min example. */
+  val patternProbe = Probe(
+    "q189_pattern_profile",
+    (s, d) => {
+      import graft.operators.Profile
+      // doc-text prefixes: the one corpus column with signature variety
+      Profile.patternProfile(Tables.documents(s, d),
+        substring(col("text"), 1, 24), topK = 20)
+    },
+    Some("""WITH b AS (SELECT substr(text, 1, 24) AS v FROM documents
+           |  WHERE text IS NOT NULL),
+           |sg AS (SELECT regexp_replace(regexp_replace(regexp_replace(v,
+           |    '[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g'), '[0-9]+', '9',
+           |    'g') AS signature, v
+           |  FROM b)
+           |SELECT signature, CAST(count(*) AS BIGINT) AS n,
+           |  min(v) AS example
+           |FROM sg GROUP BY 1 ORDER BY n DESC, signature
+           |LIMIT 20""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6243,7 +6289,8 @@ object Probes {
     rankEvalProbe, popProbe, freshnessProbe,
     vocabGrowthProbe, joinCardProbe,
     triplesProbe, twoHopProbe, sourceOverlapProbe,
-    rareTransitionsProbe, emdProbe, minMaxScaleProbe
+    rareTransitionsProbe, emdProbe, minMaxScaleProbe,
+    modeProbe, patternProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -604,7 +604,15 @@ object ScaleSweep {
         // group min/max agg + broadcast join-back
         "minmax_scale" -> (() => noop(
           graft.operators.Profile.minMaxScale(docs, col("doc_id"),
-            col("lang"), col("n_chars"))))
+            col("lang"), col("n_chars")))),
+        // (group, value) agg + WindowGroupLimit rank
+        "mode_by_group" -> (() => noop(
+          graft.operators.Profile.modeByGroup(ev, col("user_id"),
+            col("event_type")))),
+        // narrow triple-regex projection into a signatures-sized agg
+        "pattern_profile" -> (() => noop(
+          graft.operators.Profile.patternProfile(docs,
+            substring(col("text"), 1, 24), topK = 20)))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -248,6 +248,47 @@ class ProfileSpec extends AnyFunSuite {
     assert(b5.getInt(2) === 2) // med
   }
 
+  test("modeByGroup: most frequent wins, ties to lowest value, shares truncate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "y"), ("g2", "x"),           // tie → x
+      ("g3", null), ("g3", "only")).toDF("g", "v")
+    val out = Profile.modeByGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("g1") === (("b", 2L, 2L, 3L, 666666L)))
+    assert(out("g2") === (("x", 1L, 2L, 2L, 500000L)))
+    assert(out("g3") === (("only", 1L, 1L, 1L, 1000000L))) // null ignored
+  }
+
+  test("modeByGroup is layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 5000L).map(i => (s"g${i % 13}", s"v${(i * 31) % 17}"))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.modeByGroup(d, col("g"), col("v")).collect()
+        .map(_.toSeq).toSeq
+    assert(run(df) === run(df.repartition(17)))
+  }
+
+  test("patternProfile: run-collapsed signatures, deterministic example, top-k order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("AB-12", "XY-99", "Q-7", "abc", "zz", "a1b2", "AB-12")
+      .toDF("v")
+    val out = Profile.patternProfile(df, col("v"), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    // 'A-9' covers AB-12, XY-99, Q-7 (runs collapse); example = min
+    assert(out.head === (("A-9", 4L, "AB-12")))
+    assert(out.map(_._1).toSet === Set("A-9", "a", "a9a9"))
+    // top-k order is (n DESC, signature)
+    assert(out === out.sortBy(t => (-t._2, t._1)))
+  }
+
   test("histogramEmd: identical→0, one-bin shift→1e6, order sensitivity beats chi2 blindness") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
