@@ -264,6 +264,58 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Growth accounting: per period, decompose the active-entity count
+    * into NEW (first period ever), RETAINED (also active the previous
+    * period), and RESURRECTED (active before, but not the previous
+    * period), plus CHURNED (active the previous period, absent now) —
+    * the standard DAU/MAU ledger where
+    * active(p) = new + retained + resurrected and
+    * active(p) − active(p−1) = new + resurrected − churned.
+    *
+    * Scale posture: presence collapses to distinct (entity, period)
+    * first; ONE entity-keyed lag/lead window classifies every presence
+    * row AND emits its churn contribution (at period next-after-gap),
+    * then a periods-sized aggregate — the entity stream is exchanged
+    * once. Entities churning after the last observed period are
+    * right-censored (no churn row is invented beyond the data).
+    *
+    * Output: `period` LONG, `n_active`, `n_new`, `n_retained`,
+    * `n_resurrected`, `n_churned` LONG, total order by period.
+    */
+  def growthAccounting(events: DataFrame, entity: Column,
+                       period: Column): DataFrame = {
+    val presence = events
+      .select(entity.as("__e"), period.cast("long").as("__p"))
+      .filter(col("__p").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("__e")).orderBy(col("__p"))
+    val classed = presence
+      .withColumn("__prev", lag(col("__p"), 1).over(w))
+      .withColumn("__next", lead(col("__p"), 1).over(w))
+      .withColumn("__class",
+        when(col("__prev").isNull, "new")
+          .when(col("__prev") === col("__p") - 1L, "retained")
+          .otherwise("resurrected"))
+    val perPeriod = classed.groupBy(col("__p").as("period"))
+      .agg(count(lit(1)).as("n_active"),
+        coalesce(sum(when(col("__class") === "new", 1L).otherwise(0L)),
+          lit(0L)).as("n_new"),
+        coalesce(sum(when(col("__class") === "retained", 1L).otherwise(0L)),
+          lit(0L)).as("n_retained"),
+        coalesce(sum(when(col("__class") === "resurrected", 1L)
+          .otherwise(0L)), lit(0L)).as("n_resurrected"))
+    // churn lands at p+1 for every presence row whose successor is not
+    // the adjacent period (or is absent) — right-censoring handled by
+    // the inner join onto observed periods
+    val churn = classed
+      .filter(col("__next").isNull || col("__next") =!= col("__p") + 1L)
+      .groupBy((col("__p") + 1L).as("period"))
+      .agg(count(lit(1)).as("n_churned"))
+    perPeriod.join(churn, Seq("period"), "left_outer")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .orderBy("period")
+  }
+
   /** Rare-transition anomaly scan: score every observed adjacent
     * transition by its model probability from [[transitionMatrix]] and
     * surface the ones below `maxPpm` — the "this user's journey took a

@@ -180,6 +180,46 @@ object Classify {
       .orderBy("id")
   }
 
+  /** Per-subgroup binary evaluation — [[evalBinary]] sliced by a
+    * protected or operational attribute (language, source, region):
+    * the fairness/regression audit that catches "the classifier is
+    * fine on average and terrible on Swahili". Same exact ppm metric
+    * discipline, same NULL-when-undefined contract, ONE aggregate
+    * grouped by the slice; rows with a null slice value form their own
+    * "(null)" group (they're exactly the rows a fairness audit must
+    * not drop silently).
+    *
+    * Output: one row per group — `group`, `tp`, `fp`, `tn`, `fn`,
+    * `n_null` LONG, `accuracy_ppm`/`precision_ppm`/`recall_ppm`/
+    * `f1_ppm` LONG-or-NULL, total order by group.
+    */
+  def evalBinaryBy(scored: DataFrame, by: Column, pred: Column,
+                   truth: Column): DataFrame =
+    scored
+      .withColumn("__grp", coalesce(by.cast("string"), lit("(null)")))
+      .groupBy(col("__grp").as("group"))
+      .agg(
+        coalesce(sum(when(pred && truth, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(pred && !truth, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!pred && !truth, 1L).otherwise(0L)), lit(0L)).as("tn"),
+        coalesce(sum(when(!pred && truth, 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(pred.isNull || truth.isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null"))
+      .withColumn("accuracy_ppm",
+        when(col("tp") + col("tn") + col("fp") + col("fn") > 0L,
+          expr("(1000000L * (tp + tn)) DIV (tp + tn + fp + fn)")))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000L * tp) DIV (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("(1000000L * tp) DIV (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          col("precision_ppm") + col("recall_ppm") > 0L,
+          expr("(2L * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)")))
+      .orderBy("group")
+
   /** Multiclass evaluation: per-class one-vs-rest cells and exact ppm
     * precision/recall/F1 — [[evalBinary]] generalized past two labels
     * (quality tiers, language ID, topic routing all grade multiclass).

@@ -6247,6 +6247,82 @@ object Probes {
            |LIMIT 20""".stripMargin)
   )
 
+  /** Growth accounting (fully oracled): weekly periods of the events
+    * stream decomposed into new/retained/resurrected/churned. */
+  val growthProbe = Probe(
+    "q190_growth_accounting",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.growthAccounting(Tables.events(s, d), col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000"))
+    },
+    Some("""WITH pres AS (SELECT DISTINCT user_id AS e,
+           |    epoch_us(ts::TIMESTAMP) // 604800000000 AS p
+           |  FROM events WHERE ts IS NOT NULL),
+           |cl AS (SELECT e, p,
+           |    lag(p) OVER (PARTITION BY e ORDER BY p) AS prev,
+           |    lead(p) OVER (PARTITION BY e ORDER BY p) AS nxt
+           |  FROM pres),
+           |per AS (SELECT p AS period, count(*) AS n_active,
+           |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+           |    sum(CASE WHEN prev = p - 1 THEN 1 ELSE 0 END) AS n_retained,
+           |    sum(CASE WHEN prev IS NOT NULL AND prev < p - 1 THEN 1
+           |      ELSE 0 END) AS n_resurrected
+           |  FROM cl GROUP BY 1),
+           |ch AS (SELECT p + 1 AS period, count(*) AS n_churned
+           |  FROM cl WHERE nxt IS NULL OR nxt <> p + 1 GROUP BY 1)
+           |SELECT CAST(per.period AS BIGINT) AS period,
+           |  CAST(n_active AS BIGINT) AS n_active,
+           |  CAST(n_new AS BIGINT) AS n_new,
+           |  CAST(n_retained AS BIGINT) AS n_retained,
+           |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+           |FROM per LEFT JOIN ch USING (period)
+           |ORDER BY period""".stripMargin)
+  )
+
+  /** Per-slice binary eval (fully oracled): the q166 rule classifier
+    * audited per source — the fairness-slice readout. */
+  val evalBySliceProbe = Probe(
+    "q191_eval_by_slice",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.evalBinaryBy(Tables.documents(s, d), col("source"),
+        col("n_chars") % 3 === 0, col("lang") === "en")
+    },
+    Some("""WITH b AS (SELECT coalesce(source, '(null)') AS grp,
+           |    (n_chars % 3 = 0) AS p, (lang = 'en') AS t
+           |  FROM documents),
+           |a AS (SELECT grp,
+           |    CAST(sum(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS tp,
+           |    CAST(sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fp,
+           |    CAST(sum(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tn,
+           |    CAST(sum(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS fn,
+           |    CAST(sum(CASE WHEN p IS NULL OR t IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_null
+           |  FROM b GROUP BY 1),
+           |m AS (SELECT *,
+           |    CASE WHEN tp + tn + fp + fn > 0 THEN
+           |      (1000000 * (tp + tn)) // (tp + tn + fp + fn) END AS acc,
+           |    CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+           |      AS prec,
+           |    CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END
+           |      AS rec
+           |  FROM a)
+           |SELECT grp AS "group", tp, fp, tn, fn, n_null,
+           |  CAST(acc AS BIGINT) AS accuracy_ppm,
+           |  CAST(prec AS BIGINT) AS precision_ppm,
+           |  CAST(rec AS BIGINT) AS recall_ppm,
+           |  CAST(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+           |    AND prec + rec > 0 THEN (2 * prec * rec) // (prec + rec)
+           |    END AS BIGINT) AS f1_ppm
+           |FROM m ORDER BY "group" """.stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6290,7 +6366,7 @@ object Probes {
     vocabGrowthProbe, joinCardProbe,
     triplesProbe, twoHopProbe, sourceOverlapProbe,
     rareTransitionsProbe, emdProbe, minMaxScaleProbe,
-    modeProbe, patternProbe
+    modeProbe, patternProbe, growthProbe, evalBySliceProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -612,7 +612,15 @@ object ScaleSweep {
         // narrow triple-regex projection into a signatures-sized agg
         "pattern_profile" -> (() => noop(
           graft.operators.Profile.patternProfile(docs,
-            substring(col("text"), 1, 24), topK = 20)))
+            substring(col("text"), 1, 24), topK = 20))),
+        // presence distinct → ONE entity window → periods-sized aggs
+        "growth_accounting" -> (() => noop(
+          Analytics.growthAccounting(ev, col("user_id"),
+            expr("unix_micros(ts) DIV 604800000000")))),
+        // one sliced confusion aggregate
+        "eval_by_slice" -> (() => noop(
+          graft.operators.Classify.evalBinaryBy(docs, col("source"),
+            col("n_chars") % 3 === 0, col("lang") === lit("en"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

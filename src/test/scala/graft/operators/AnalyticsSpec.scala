@@ -192,6 +192,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned ledger balances") {
+    // u1: p1, p2, p4 (churns at 3, resurrects at 4, churns after 4 — censored? no: churn at 5 not observed... p5 absent → censored unless 5 observed)
+    // u2: p1 only (churns at 2); u3: p2, p3
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 1L), (3L, 2L), (3L, 3L))
+      .toDF("u", "p")
+    val out = Analytics.growthAccounting(ev, col("u"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) === ((2L, 2L, 0L, 0L, 0L)))
+    // p2: active {u1, u3}; u1 retained, u3 new; u2 churned (active p1 only)
+    assert(out(2L) === ((2L, 1L, 1L, 0L, 1L)))
+    // p3: active {u3} retained; u1 churned (no p3 after p2)
+    assert(out(3L) === ((1L, 0L, 1L, 0L, 1L)))
+    // p4: u1 resurrected; u3 churned
+    assert(out(4L) === ((1L, 0L, 0L, 1L, 1L)))
+    // u1's churn after p4 is right-censored: no period 5 row exists
+    assert(!out.contains(5L))
+    // ledger identity: active = new + retained + resurrected
+    out.values.foreach { case (a, n, r, z, _) => assert(a === n + r + z) }
+  }
+
+  test("growthAccounting is layout-independent; multiple events per period collapse") {
+    val ev = (0L until 6000L).map(i => (i % 150, (i * 13) % 12))
+      .toDF("u", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.growthAccounting(d, col("u"), col("p"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(ev) === run(ev.repartition(17)))
+  }
+
   test("rareTransitions: population-rare paths surface with the taker's count") {
     // population: A→B dominates (9 users); one user takes A→C twice
     val ev = (1L to 9L).flatMap(u => Seq((u, 1L, "A"), (u, 2L, "B"))) ++

@@ -130,6 +130,35 @@ class ClassifySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("evalBinaryBy: per-slice metrics expose a subgroup gap the average hides") {
+    // slice "en": perfect; slice "sw": all wrong; average accuracy 50%
+    val rows = Seq(
+      ("en", true, true), ("en", false, false),
+      ("sw", true, false), ("sw", false, true)
+    ).toDF("lang", "p", "t")
+    val out = Classify.evalBinaryBy(rows, col("lang"), col("p"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("en")._3 === Some(1000000L))
+    assert(out("sw")._3 === Some(0L))
+    // slice-blind evalBinary would have reported 500000
+    val avg = Classify.evalBinary(rows, col("p"), col("t")).collect().head
+    assert(avg.getLong(5) === 500000L)
+  }
+
+  test("evalBinaryBy: null slice forms its own visible group; agrees with per-slice evalBinary") {
+    val rows = Seq((Some("a"), true, true), (None, true, false),
+      (None, false, false)).toDF("s", "p", "t")
+    val out = Classify.evalBinaryBy(rows, col("s"), col("p"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap // fp
+    assert(out.keySet === Set("a", "(null)"))
+    assert(out("(null)") === 1L)
+    val direct = Classify.evalBinary(rows.filter(col("s").isNull),
+      col("p"), col("t")).collect().head
+    assert(direct.getLong(1) === 1L)
+  }
+
   test("targetEncodeLoo: own label excluded, singleton NULL, truncating mean") {
     val df = Seq(
       (1L, "c1", 100L), (2L, "c1", 200L), (3L, "c1", 301L),
