@@ -264,6 +264,44 @@ object Analytics {
     *
     * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
     */
+  /** Share-of-parent decomposition: per (parent, child) the value
+    * total, its ppm share WITHIN the parent, and the parent's ppm
+    * share of the grand total — the two-level drill-down every BI
+    * hierarchy renders (region→country, source→domain). Truncating
+    * integer shares; one (parent, child) aggregate with map-side
+    * combine, marginals from windows over that groups-sized frame
+    * (rows are touched once).
+    *
+    * Output: `parent`, `child`, `total_cents` LONG,
+    * `share_of_parent_ppm` LONG, `parent_total_cents` LONG,
+    * `parent_share_ppm` LONG, total order (parent, child).
+    */
+  def shareOfParent(df: DataFrame, parent: Column, child: Column,
+                    valueCents: Column): DataFrame = {
+    val agg = df
+      .select(parent.cast("string").as("parent"),
+        child.cast("string").as("child"),
+        valueCents.cast("long").as("__v"))
+      .filter(col("parent").isNotNull && col("child").isNotNull)
+      .groupBy(col("parent"), col("child"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("total_cents"))
+    val wp = Window.partitionBy(col("parent"))
+    val wg = Window.partitionBy()
+    agg
+      .withColumn("parent_total_cents", sum(col("total_cents")).over(wp))
+      .withColumn("__grand", sum(col("total_cents")).over(wg))
+      .withColumn("share_of_parent_ppm",
+        when(col("parent_total_cents") =!= 0L,
+          expr("(1000000L * total_cents) DIV parent_total_cents")))
+      .withColumn("parent_share_ppm",
+        when(col("__grand") =!= 0L,
+          expr("(1000000L * parent_total_cents) DIV __grand")))
+      .select(col("parent"), col("child"), col("total_cents"),
+        col("share_of_parent_ppm"), col("parent_total_cents"),
+        col("parent_share_ppm"))
+      .orderBy("parent", "child")
+  }
+
   /** Growth accounting: per period, decompose the active-entity count
     * into NEW (first period ever), RETAINED (also active the previous
     * period), and RESURRECTED (active before, but not the previous

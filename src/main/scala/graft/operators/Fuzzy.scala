@@ -80,4 +80,49 @@ object Fuzzy {
       .groupBy(col("block")).agg(count(lit(1)).as("n_values"))
       .withColumn("n_pairs", col("n_values") * (col("n_values") - 1) / 2)
       .orderBy(col("n_values").desc, col("block"))
+
+  /** Spelling-variant pairs at edit distance EXACTLY 1, found with the
+    * SymSpell deletion-neighborhood trick: two terms are candidates iff
+    * they share a key in {term} ∪ {term minus one char} — substitution
+    * pairs share the deletion at the differing position,
+    * insertion/deletion pairs share the shorter term itself. Candidate
+    * keys are vocab·(len+1), so the join is LINEAR in vocabulary
+    * (never vocab² — the all-pairs levenshtein this replaces), and the
+    * one exact levenshtein runs only on candidates (the shared-deletion
+    * test admits a few ed-2 pairs like "abc"/"bca"; the verify kills
+    * them — LSH-then-verify, the [[graft.operators.TextDedup]] shape
+    * in edit-distance space).
+    *
+    * The typo-mining readout pairs a frequent "correct" form with rare
+    * variants; `minCount` prunes the vocabulary tail BEFORE key
+    * generation when the long tail is noise.
+    *
+    * Output: `term_a` < `term_b` (each pair once), `n_a`/`n_b` LONG
+    * (corpus occurrence counts), total order (term_a, term_b).
+    */
+  def spellingVariants(docs: DataFrame, textCol: String = "text",
+                       minCount: Long = 1L): DataFrame = {
+    import graft.functions.Text
+    val vocab = docs
+      .select(explode(Text.words(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .localCheckpoint(true)
+    val keys = vocab.select(col("t"),
+        explode(array_union(
+          expr("transform(sequence(1, length(t)), i -> " +
+            "concat(substr(t, 1, i - 1), substr(t, i + 1, 1000000)))"),
+          array(col("t")))).as("k"))
+    val cands = keys.select(col("k"), col("t").as("term_a"))
+      .join(keys.select(col("k"), col("t").as("term_b")), "k")
+      .filter(col("term_a") < col("term_b"))
+      .select(col("term_a"), col("term_b"))
+      .distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) === 1)
+    cands
+      .join(vocab.select(col("t").as("term_a"), col("n").as("n_a")), "term_a")
+      .join(vocab.select(col("t").as("term_b"), col("n").as("n_b")), "term_b")
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"))
+      .orderBy("term_a", "term_b")
+  }
 }

@@ -6323,6 +6323,71 @@ object Probes {
            |FROM m ORDER BY "group" """.stripMargin)
   )
 
+  /** SymSpell spelling variants (fully oracled): deletion-neighborhood
+    * candidates + exact levenshtein verify, replayed in SQL. */
+  val spellingProbe = Probe(
+    "q192_spelling_variants",
+    (s, d) => {
+      import graft.operators.Fuzzy
+      // the synthetic vocabulary has no natural typos — plant an
+      // a-dropped variant stream (deterministic in both engines): one-a
+      // words yield ed-1 pairs, multi-a words yield ed-2 candidates the
+      // verify must kill
+      val docs = Tables.documents(s, d)
+      val withTypos = docs.select(col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select(regexp_replace(col("text"), "a", "").as("text")))
+      Fuzzy.spellingVariants(withTypos)
+    },
+    Some("""WITH corpus AS (SELECT text FROM documents
+           |  UNION ALL SELECT regexp_replace(text, 'a', '', 'g')
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |tc AS (SELECT t, count(*) AS n FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(text),
+           |      '\s+'), x -> len(x) > 0)) AS t FROM corpus)
+           |  GROUP BY 1),
+           |ks AS (SELECT t, unnest(list_append(
+           |    list_transform(range(1, len(t) + 1),
+           |      i -> substr(t, 1, i - 1) || substr(t, i + 1)), t)) AS k
+           |  FROM tc),
+           |cand AS (SELECT DISTINCT a.t AS term_a, b.t AS term_b
+           |  FROM ks a JOIN ks b ON a.k = b.k AND a.t < b.t),
+           |p AS (SELECT term_a, term_b FROM cand
+           |  WHERE levenshtein(term_a, term_b) = 1)
+           |SELECT term_a, term_b, CAST(na.n AS BIGINT) AS n_a,
+           |  CAST(nb.n AS BIGINT) AS n_b
+           |FROM p JOIN tc na ON na.t = term_a JOIN tc nb ON nb.t = term_b
+           |ORDER BY term_a, term_b""".stripMargin)
+  )
+
+  /** Share-of-parent decomposition (fully oracled): returnflag →
+    * linestatus revenue drill-down in truncating ppm. */
+  val shareOfParentProbe = Probe(
+    "q193_share_of_parent",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.shareOfParent(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_linestatus"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH a AS (SELECT l_returnflag AS parent,
+           |    l_linestatus AS child,
+           |    CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS total_cents
+           |  FROM lineitem
+           |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           |  GROUP BY 1, 2),
+           |w AS (SELECT *, sum(total_cents) OVER (PARTITION BY parent)
+           |    AS pt, sum(total_cents) OVER () AS g FROM a)
+           |SELECT parent, child, total_cents,
+           |  CAST(CASE WHEN pt <> 0 THEN (1000000 * total_cents) // pt END
+           |    AS BIGINT) AS share_of_parent_ppm,
+           |  CAST(pt AS BIGINT) AS parent_total_cents,
+           |  CAST(CASE WHEN g <> 0 THEN (1000000 * pt) // g END AS BIGINT)
+           |    AS parent_share_ppm
+           |FROM w ORDER BY parent, child""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6366,7 +6431,8 @@ object Probes {
     vocabGrowthProbe, joinCardProbe,
     triplesProbe, twoHopProbe, sourceOverlapProbe,
     rareTransitionsProbe, emdProbe, minMaxScaleProbe,
-    modeProbe, patternProbe, growthProbe, evalBySliceProbe
+    modeProbe, patternProbe, growthProbe, evalBySliceProbe,
+    spellingProbe, shareOfParentProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

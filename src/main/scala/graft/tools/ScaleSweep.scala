@@ -620,7 +620,19 @@ object ScaleSweep {
         // one sliced confusion aggregate
         "eval_by_slice" -> (() => noop(
           graft.operators.Classify.evalBinaryBy(docs, col("source"),
-            col("n_chars") % 3 === 0, col("lang") === lit("en"))))
+            col("n_chars") % 3 === 0, col("lang") === lit("en")))),
+        // vocab·(len+1) deletion keys → linear join → bounded verify
+        "spelling_variants" -> (() => noop(
+          Fuzzy.spellingVariants(
+            docs.select(col("text")).unionByName(
+              docs.filter(col("doc_id") % 7 === 0)
+                .select(regexp_replace(col("text"), "a", "")
+                  .as("text")))))),
+        // (parent, child) agg + windows over the groups frame
+        "share_of_parent" -> (() => noop(
+          Analytics.shareOfParent(li, col("l_returnflag"),
+            col("l_linestatus"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

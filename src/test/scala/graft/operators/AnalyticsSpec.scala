@@ -192,6 +192,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("B", "C")))
   }
 
+  test("shareOfParent: two-level shares truncate; zero parents NULL") {
+    val df = Seq(("r1", "c1", 300L), ("r1", "c2", 100L),
+      ("r2", "c3", 600L), ("z", "c4", 0L)).toDF("p", "c", "v")
+    val out = Analytics.shareOfParent(df, col("p"), col("c"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(("r1", "c1")) === ((300L, Some(750000L), 400L, Some(400000L))))
+    assert(out(("r1", "c2")) === ((100L, Some(250000L), 400L, Some(400000L))))
+    assert(out(("r2", "c3")) === ((600L, Some(1000000L), 600L, Some(600000L))))
+    assert(out(("z", "c4")) === ((0L, None, 0L, Some(0L))))
+  }
+
   test("growthAccounting: new/retained/resurrected/churned ledger balances") {
     // u1: p1, p2, p4 (churns at 3, resurrects at 4, churns after 4 — censored? no: churn at 5 not observed... p5 absent → censored unless 5 observed)
     // u2: p1 only (churns at 2); u3: p2, p3

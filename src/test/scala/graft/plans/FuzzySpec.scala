@@ -127,4 +127,45 @@ class FuzzySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq === Seq(("x", 3L), ("y", 1L)))
   }
+
+  test("spellingVariants: substitution/insertion/deletion pairs found; ed-2 shared-deletion killed") {
+    import graft.operators.{Fuzzy => FzOps}
+    val docs = Seq(
+      "spark spark spark spark",   // deletion variant (sparc? no: spark/sparc sub)
+      "sparc shuffle shufle",      // substitution + deletion variants
+      "abc bca zebra"              // abc/bca share deletion "bc" but ed=2
+    ).toDF("text")
+    val out = FzOps.spellingVariants(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("sparc", "spark")))   // substitution
+    assert(out.contains(("shuffle", "shufle"))) // one-char deletion
+    assert(!out.contains(("abc", "bca")), "ed-2 false candidate must be verified away")
+  }
+
+  test("spellingVariants matches an all-pairs levenshtein scan; minCount prunes the tail") {
+    import graft.operators.{Fuzzy => FzOps}
+    val words = Seq("cat", "bat", "cart", "dog", "dig", "doge", "xyz")
+    val docs = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i + 1)(w) } // counts 1..7
+      .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = FzOps.spellingVariants(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      a <- words; b <- words if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got === expect)
+    // "cat" occurs once — minCount 2 removes its pairs
+    val pruned = FzOps.spellingVariants(docs, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pruned.exists(p => p._1 == "cat" || p._2 == "cat"))
+    assert(pruned.contains(("dig", "dog")))
+  }
 }
