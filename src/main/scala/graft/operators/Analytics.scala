@@ -292,10 +292,10 @@ object Analytics {
       .withColumn("__grand", sum(col("total_cents")).over(wg))
       .withColumn("share_of_parent_ppm",
         when(col("parent_total_cents") =!= 0L,
-          expr("(1000000L * total_cents) DIV parent_total_cents")))
+          expr("CAST((1000000L * CAST(total_cents AS DECIMAL(38,0))) DIV parent_total_cents AS BIGINT)")))
       .withColumn("parent_share_ppm",
         when(col("__grand") =!= 0L,
-          expr("(1000000L * parent_total_cents) DIV __grand")))
+          expr("CAST((1000000L * CAST(parent_total_cents AS DECIMAL(38,0))) DIV __grand AS BIGINT)")))
       .select(col("parent"), col("child"), col("total_cents"),
         col("share_of_parent_ppm"), col("parent_total_cents"),
         col("parent_share_ppm"))
@@ -419,7 +419,7 @@ object Analytics {
       .withColumn("delta_cents", col("total_cents") - col("prev_cents"))
       .withColumn("pct_change_ppm",
         when(col("prev_cents").isNotNull && col("prev_cents") =!= 0L,
-          expr("(1000000L * (total_cents - prev_cents)) DIV abs(prev_cents)")))
+          expr("CAST((1000000L * CAST(total_cents - prev_cents AS DECIMAL(38,0))) DIV abs(prev_cents) AS BIGINT)")))
       .orderBy("key", "period")
   }
 

@@ -273,7 +273,7 @@ object Profile {
     base.join(stats, "group")
       .withColumn("scaled_ppm",
         when(col("__hi") > col("__lo"),
-          expr("(1000000L * (value - __lo)) DIV (__hi - __lo)")))
+          expr("CAST((1000000L * CAST(value - __lo AS DECIMAL(38,0))) DIV (__hi - __lo) AS BIGINT)")))
       .select(col("id"), col("group"), col("value"), col("scaled_ppm"))
       .orderBy("id")
   }
@@ -617,7 +617,8 @@ object Profile {
       .join(ranked.select(col("__rank"), col("__cum")),
         col("top_keys") === col("__rank"))
       .select(col("decile"), col("top_keys"), col("__cum").as("mass"),
-        when(col("__tt") > 0L, expr("(1000000L * __cum) DIV __tt"))
+        when(col("__tt") > 0L,
+          expr("CAST((1000000L * CAST(__cum AS DECIMAL(38,0))) DIV __tt AS BIGINT)"))
           .otherwise(lit(0L)).as("share_ppm"))
       .orderBy("decile")
   }
