@@ -383,10 +383,15 @@ object CorpusStats {
   def contentChecksum(df: DataFrame, group: Column, value: Column): DataFrame = {
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")
+    // sum60 is carried exactly in DECIMAL(38,0) and published mod 2^63 so
+    // the digest column is BIGINT on every engine (DuckDB would otherwise
+    // widen sum(BIGINT) to int128 and serialize a different type).
+    val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
     df.select(group.as("grp"), h.as("__h"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"), count(col("__h")).as("n_hashed"),
-        sum(col("__h").cast("decimal(38,0)")).as("sum60"),
+        (sum(col("__h").cast("decimal(38,0)")) % two63).cast("long")
+          .as("sum60"),
         bit_xor(col("__h")).as("xor60"))
   }
 

@@ -49,13 +49,18 @@ object Skew {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("__n"),
       count(lit(1)).as("__k"))
+    // Products are widened to DECIMAL(38,0) before the integral divide
+    // (cnt·10⁶ and cnt·k overflow LONG once the table passes ~10¹² rows);
+    // DIV lands back in LONG. suggested_salt is an exact integer ceil-div
+    // ⌈cnt·k/n⌉ = (cnt·k + n − 1) DIV n, not a float ceil — a half-ulp in
+    // the double quotient must never flip the reported salt.
     counts.orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(topK)
       .crossJoin(broadcast(totals))
       .select(col("key"), col("cnt"),
-        expr("cnt * 1000000L DIV __n").as("share_ppm"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV __n").as("share_ppm"),
         col("__n").as("n_rows"), col("__k").as("n_keys"),
-        least(ceil(col("cnt") * col("__k") / col("__n")), lit(1024L))
-          .cast("long").as("suggested_salt"))
+        least(expr("(CAST(cnt AS DECIMAL(38,0)) * __k + __n - 1) DIV __n"),
+          lit(1024L)).as("suggested_salt"))
   }
 }

@@ -1662,7 +1662,7 @@ object Probes {
            |  FROM lineitem)
            |SELECT * FROM (
            |  SELECT 'complete' AS kind, 'l_shipdate' AS target,
-           |         complete_comment AS observed, 1.0 AS threshold,
+           |         complete_comment AS observed, CAST(1.0 AS DOUBLE) AS threshold,
            |         complete_comment >= 1.0 AS passed FROM m
            |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', uniq_pk, 1.0,
            |         uniq_pk >= 1.0 FROM m
@@ -2060,8 +2060,8 @@ object Probes {
       Profile.histogram(Tables.lineitem(s, d), col("l_extendedprice"),
         lo = 0.0, hi = 80000.0, nBuckets = 16)
     },
-    Some("""SELECT bucket, 0.0 + bucket * 5000.0 AS lo_edge,
-           |  0.0 + (bucket + 1) * 5000.0 AS hi_edge, count(*) AS n
+    Some("""SELECT bucket, CAST(bucket * 5000.0 AS DOUBLE) AS lo_edge,
+           |  CAST((bucket + 1) * 5000.0 AS DOUBLE) AS hi_edge, count(*) AS n
            |FROM (SELECT greatest(0, least(15,
            |    CAST(floor((l_extendedprice - 0.0) / 80000.0 * 16) AS BIGINT))) AS bucket
            |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
@@ -2517,9 +2517,9 @@ object Probes {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-           |  len(list_filter(string_split_regex(lower(text), '\s+'),
-           |      x -> len(x) > 0)) AS n_words,
-           |  length(regexp_replace(text, '\s', '', 'g')) AS n_chars,
+           |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS INT) AS n_words,
+           |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_chars,
            |  true AS ok_agree, true AS ok_bounds
            |FROM documents ORDER BY doc_id""".stripMargin),
     benchRun = Some((s, d) => {
@@ -2659,12 +2659,12 @@ object Probes {
            |    unnest(ws[2:len(ws)])   AS w2
            |  FROM w WHERE len(ws) >= 2),
            |m AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY w1, w2),
-           |h AS (SELECT w1, sum(cnt) AS head_cnt FROM m GROUP BY w1),
+           |h AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS head_cnt FROM m GROUP BY w1),
            |sc AS (
            |  SELECT p.doc_id, (1000000 * m.cnt) // h.head_cnt AS p_ppm
            |  FROM p JOIN m USING (w1, w2) JOIN h USING (w1))
            |SELECT doc_id, count(*) AS n_bigrams,
-           |  sum(p_ppm) // count(*) AS fluency_ppm
+           |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS fluency_ppm
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
@@ -3560,8 +3560,9 @@ object Probes {
             .cast("int").as("zero_iff_uniform"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id, length(text) AS n_chars,
-           |  length(list_distinct(string_split(text, ''))) AS distinct_chars,
+    Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           |  CAST(length(list_distinct(string_split(text, ''))) AS INT)
+           |    AS distinct_chars,
            |  1 AS bounds_ok, 1 AS zero_iff_uniform
            |FROM documents ORDER BY doc_id""".stripMargin)
   )
@@ -3720,7 +3721,8 @@ object Probes {
         .orderBy("grp")
     },
     Some("""SELECT source AS grp, count(*) AS n_rows, count(text) AS n_hashed,
-           |  sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT)) AS sum60,
+           |  CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT))
+           |       % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS sum60,
            |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor60
            |FROM documents GROUP BY source ORDER BY grp""".stripMargin)
   )
@@ -3768,7 +3770,8 @@ object Probes {
            |    CAST((row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS INT) AS grp
            |  FROM documents)
            |SELECT grp, count(*) AS n_rows, count(text) AS n_hashed,
-           |  sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT)) AS sum60,
+           |  CAST(sum(CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT))
+           |       % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS sum60,
            |  bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS xor60
            |FROM sh GROUP BY grp ORDER BY grp""".stripMargin)
   )
@@ -3802,10 +3805,12 @@ object Probes {
     },
     Some("""WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
            |           FROM lineitem GROUP BY l_suppkey),
-           |t AS (SELECT sum(cnt) AS n, count(*) AS k FROM c)
-           |SELECT key, cnt, cnt * 1000000 // n AS share_ppm,
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS k FROM c)
+           |SELECT key, cnt,
+           |  CAST(CAST(cnt AS HUGEINT) * 1000000 // n AS BIGINT) AS share_ppm,
            |  n AS n_rows, k AS n_keys,
-           |  least(CAST(ceil(cnt * k / n) AS BIGINT), 1024) AS suggested_salt
+           |  CAST(least((CAST(cnt AS HUGEINT) * k + n - 1) // n, 1024) AS BIGINT)
+           |    AS suggested_salt
            |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin)
   )
 
@@ -3891,7 +3896,8 @@ object Probes {
            |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / NULLIF(len(a.s), 0) AS cont_a,
            |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / NULLIF(len(b.s), 0) AS cont_b
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, n_a, n_b, n_inter,
+           |SELECT id_a, id_b, CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+           |  CAST(n_inter AS INT) AS n_inter,
            |  floor(jaccard * 10000 + 0.5) / 10000 AS jaccard,
            |  floor(cont_a * 10000 + 0.5) / 10000 AS cont_a,
            |  floor(cont_b * 10000 + 0.5) / 10000 AS cont_b
@@ -3982,18 +3988,20 @@ object Probes {
         .orderBy("key", "day_idx")
     },
     Some("""WITH c AS (SELECT event_type AS key,
-           |    (CAST(ts::TIMESTAMP AS DATE) - DATE '1970-01-01') AS day_idx,
+           |    CAST(CAST(ts::TIMESTAMP AS DATE) - DATE '1970-01-01' AS INT)
+           |      AS day_idx,
            |    count(*) AS n
-           |  FROM events GROUP BY 1, 2)
-           |SELECT key, day_idx, n,
-           |  sum(n) OVER (PARTITION BY key ORDER BY day_idx
-           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_n,
-           |  CASE WHEN sum(n) OVER (PARTITION BY key ORDER BY day_idx
-           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0
-           |       THEN n * 7 * 1000000 // sum(n) OVER (PARTITION BY key ORDER BY day_idx
-           |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           |  FROM events GROUP BY 1, 2),
+           |w AS (SELECT key, day_idx, n,
+           |  CAST(sum(n) OVER (PARTITION BY key ORDER BY day_idx
+           |         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+           |    AS base_n
+           |  FROM c)
+           |SELECT key, day_idx, n, base_n,
+           |  CASE WHEN base_n > 0
+           |       THEN CAST(CAST(n AS HUGEINT) * 7 * 1000000 // base_n AS BIGINT)
            |       END AS lift_ppm
-           |FROM c ORDER BY key, day_idx""".stripMargin)
+           |FROM w ORDER BY key, day_idx""".stripMargin)
   )
 
   /** Distribution drift (fully oracled): Laplace-smoothed chi-squared
@@ -4031,7 +4039,7 @@ object Probes {
            |      ELSE 0 END AS term_ppm
            |  FROM j, t)
            |SELECT bin, n_cur, n_ref, term_ppm,
-           |  sum(term_ppm) OVER () AS chi2_ppm
+           |  CAST(sum(term_ppm) OVER () AS BIGINT) AS chi2_ppm
            |FROM terms ORDER BY bin""".stripMargin)
   )
 
@@ -4122,8 +4130,8 @@ object Probes {
            |    'Cafe' || chr(769) || ' nai' || chr(776) || 've ' || chr(8212)
            |      || ' ' || coalesce(text, '') AS s
            |  FROM documents)
-           |SELECT doc_id, length(s) AS n_raw,
-           |  length(nfc_normalize(s)) AS n_nfc,
+           |SELECT doc_id, CAST(length(s) AS INT) AS n_raw,
+           |  CAST(length(nfc_normalize(s)) AS INT) AS n_nfc,
            |  nfc_normalize(s) AS norm,
            |  strip_accents(nfc_normalize(s)) AS folded
            |FROM p ORDER BY doc_id""".stripMargin)
@@ -4661,7 +4669,8 @@ object Probes {
            |  FROM (SELECT doc_id, pos FROM tok WHERE term = 'hash') a
            |  JOIN (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'join') b
            |    ON a.doc_id = b.doc_id AND a.pos = b.pos)
-           |SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+           |SELECT doc_id, count(*) AS n_matches,
+           |  CAST(min(pos) AS INT) AS first_pos
            |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 
@@ -5460,7 +5469,7 @@ object Probes {
            |    am.ca, bm.cb, am.na, bm.nb
            |  FROM am FULL OUTER JOIN bm
            |    ON am.label = bm.label AND am.dim = bm.dim)
-           |SELECT grp AS "group",
+           |SELECT CAST(grp AS VARCHAR) AS "group",
            |  CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
            |  CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
            |  CAST(count(*) AS BIGINT) AS dims,
