@@ -244,26 +244,6 @@ object Analytics {
       .orderBy("from_state", "to_state")
   }
 
-  /** 2-D Pareto frontier (maximize both axes): the points no other
-    * point weakly dominates with at least one strict improvement —
-    * cost/quality trade-off curves, model leaderboards, supplier
-    * price/volume skylines (Börzsönyi et al., ICDE'01 semantics).
-    *
-    * A point survives iff (a) its y strictly exceeds every y at
-    * strictly larger x, and (b) its y is the maximum at its own x.
-    * Exact duplicates of a frontier point all survive (nothing
-    * dominates them strictly).
-    *
-    * Scale posture: rows collapse to an x-keyed (x, max y) aggregate
-    * first; the strictly-larger-x running max then follows the
-    * [[Relational.globalRank]] discipline — range exchange on x DESC,
-    * per-partition running max, O(#partitions) offset maxima — never a
-    * single-partition window over data. Survivors join back against
-    * the full point set by (x, y) equality; the surviving-x side is
-    * frontier-sized (AQE broadcasts it at sane frontier sizes).
-    *
-    * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
-    */
   /** Share-of-parent decomposition: per (parent, child) the value
     * total, its ppm share WITHIN the parent, and the parent's ppm
     * share of the grand total — the two-level drill-down every BI
@@ -588,6 +568,26 @@ object Analytics {
       .drop("__ss")
       .orderBy("key")
 
+  /** 2-D Pareto frontier (maximize both axes): the points no other
+    * point weakly dominates with at least one strict improvement —
+    * cost/quality trade-off curves, model leaderboards, supplier
+    * price/volume skylines (Börzsönyi et al., ICDE'01 semantics).
+    *
+    * A point survives iff (a) its y strictly exceeds every y at
+    * strictly larger x, and (b) its y is the maximum at its own x.
+    * Exact duplicates of a frontier point all survive (nothing
+    * dominates them strictly).
+    *
+    * Scale posture: rows collapse to an x-keyed (x, max y) aggregate
+    * first; the strictly-larger-x running max then follows the
+    * [[Relational.globalRank]] discipline — range exchange on x DESC,
+    * per-partition running max, O(#partitions) offset maxima — never a
+    * single-partition window over data. Survivors join back against
+    * the full point set by (x, y) equality; the surviving-x side is
+    * frontier-sized (AQE broadcasts it at sane frontier sizes).
+    *
+    * Output: `pid`, `x` LONG, `y` LONG — total order (x, pid).
+    */
   def paretoFrontier2D(df: DataFrame, id: Column, x: Column,
                        y: Column): DataFrame = {
     val pts = df.select(id.as("pid"), x.cast("long").as("__x"),

@@ -324,13 +324,21 @@ object Classify {
       .agg(
         coalesce(sum(col("__np")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__nn")), lit(0L)).as("n_neg"),
-        coalesce(sum(lit(2L) * col("__np") * col("__below") +
-          col("__np") * col("__nn")), lit(0L)).as("u2"))
+        // u2 accumulates in DECIMAL(38,0): the per-score terms are
+        // np·below products that pass 2^63 once n_pos·n_neg exceeds
+        // ~2e9 rows per class — LONG would overflow exactly at the
+        // corpus scale this operator documents. Exact integer audit
+        // surface, just carried wide.
+        coalesce(sum(lit(2L).cast("decimal(38,0)") * col("__np") *
+            col("__below") +
+          col("__np").cast("decimal(38,0)") * col("__nn")),
+          lit(0L).cast("decimal(38,0)")).as("u2"))
     credited.crossJoin(broadcast(nNull))
       .withColumn("auc",
         when(col("n_pos") > 0L && col("n_neg") > 0L,
           col("u2").cast("double") /
-            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+            (lit(2L).cast("decimal(38,0)") * col("n_pos") *
+              col("n_neg")).cast("double")))
       .select(col("n_pos"), col("n_neg"), col("n_null"), col("u2"),
         col("auc"))
   }

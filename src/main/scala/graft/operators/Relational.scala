@@ -212,6 +212,14 @@ object Relational {
     * left columns plus the winner's carried right columns (null when
     * neither side qualifies), `matched_ts` LONG, `gap_us` LONG (≥ 0),
     * `side` STRING ('backward'/'forward'/null).
+    *
+    * Determinism under tied right timestamps: when several right rows
+    * share one (key, ts), the window order carries the right struct as
+    * a final tiebreak, so backward picks the MAX carried struct among
+    * the tied rows and forward picks the MIN — a documented total
+    * order, never partition-layout luck. This requires the carried
+    * right columns to be of orderable types (no maps); with unique
+    * right timestamps per key the tiebreak never engages.
     */
   def asOfNearest(left: DataFrame, right: DataFrame, on: Seq[String],
                   leftTs: String, rightTs: String,
@@ -243,8 +251,14 @@ object Relational {
     val unioned = lTagged.select(unionCols: _*)
       .unionByName(rAligned.select(unionCols: _*))
 
+    // __r as final sort key: right rows tied on (__ts, __side=0) get a
+    // total struct order, so last()/first() below are deterministic —
+    // left rows (__side=1) all carry a null __r, which sorts as one
+    // equivalence class and never reorders among themselves (any left
+    // row at a given (key, ts) sees the same picked right struct).
     val base = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc,
+        col("__r").asc_nulls_first)
     val picked = unioned
       .withColumn("__rb", last(col("__r"), ignoreNulls = true)
         .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -5172,7 +5172,8 @@ object Probes {
            |  FROM g),
            |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
            |    CAST(sum(nn) AS BIGINT) AS n_neg,
-           |    CAST(sum(2 * np * below + np * nn) AS BIGINT) AS u2
+           |    CAST(sum(CAST(2 * np * below + np * nn AS HUGEINT))
+           |      AS DECIMAL(38,0)) AS u2
            |  FROM c),
            |z AS (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL
            |    OR lang IS NULL) AS BIGINT) AS n_null FROM documents)

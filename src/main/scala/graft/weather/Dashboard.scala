@@ -53,4 +53,34 @@ object Dashboard {
 
   def temperatureScale(fact: DataFrame): DataFrame =
     fact.agg(min(col("temp")).as("temp_min"), max(col("temp")).as("temp_max"))
+
+  /** X6 compact scorecard display — the "1.0K"/"2.3M" number format the
+    * reference dashboard renders on its record-count tiles
+    * (README.md:109-111; Looker Studio's default compact numerals).
+    * Pure Catalyst projection (conditional + format_number — codegen,
+    * no UDF), presentation-only by SURVEY §2.11 convention: display
+    * strings are locale-shaped, so they stay out of the DuckDB gate.
+    *
+    * One decimal place below 10 of a unit, none at/above (Looker's
+    * shape: 1.0K, 9.9K, 10K, 456K, 1.2M); plain integers below 1000;
+    * sign carried through.
+    */
+  def compactNumber(n: Column): Column = {
+    val abs0 = abs(n.cast("double"))
+    // Tier thresholds sit at the ROUNDING boundary (999.5·unit), not the
+    // unit itself, so 999,999 renders "1.0M" — never the "1,000K" a
+    // naive >=1e6 split would emit after format_number rounds up. Same
+    // boundary logic picks the decimal count: one decimal only while the
+    // 1-dp rounding stays below 10.0 (< 9.95 of a unit).
+    def scaled(div: Double, suffix: String): Column =
+      concat(
+        when(abs0 / div < 9.95, format_number(n.cast("double") / div, 1))
+          .otherwise(format_number(n.cast("double") / div, 0)),
+        lit(suffix))
+    when(n.isNull, lit(null).cast("string"))
+      .when(abs0 >= 999.5e6, scaled(1e9, "B"))
+      .when(abs0 >= 999.5e3, scaled(1e6, "M"))
+      .when(abs0 >= 999.5, scaled(1e3, "K"))
+      .otherwise(format_number(n.cast("double"), 0))
+  }
 }

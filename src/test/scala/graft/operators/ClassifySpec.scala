@@ -227,7 +227,8 @@ class ClassifySpec extends AnyFunSuite {
     import spark.implicits._
     val r = Classify.aucExact(rows.toDF("s", "t"), col("s"), col("t"))
       .collect().head
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDecimal(3).longValueExact(),
       Option(r.get(4)).map(_.asInstanceOf[Double]))
   }
 
@@ -272,8 +273,8 @@ class ClassifySpec extends AnyFunSuite {
     Seq(1, 7).foreach { parts =>
       val r = Classify.aucExact(rows.toDF("s", "t").repartition(parts),
         col("s"), col("t")).collect().head
-      assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)) ===
-        ((naive._1, naive._2, naive._3, naive._4)))
+      assert((r.getLong(0), r.getLong(1), r.getDecimal(3).longValueExact(),
+        r.getDouble(4)) === ((naive._1, naive._2, naive._3, naive._4)))
     }
   }
 

@@ -272,4 +272,20 @@ class RelationalSpec extends AnyFunSuite {
       assert(got === expect)
     }
   }
+
+  test("asOfNearest: tied right timestamps pick a deterministic struct, layout-proof") {
+    // three right rows share (k, rt=100): backward must pick the MAX
+    // carried struct, forward the MIN — the same one on every layout
+    val left = Seq(("k", 100L, "at"), ("k", 90L, "fwd")).toDF("k", "t", "tag")
+    val right = Seq(("k", 100L, "m"), ("k", 100L, "z"), ("k", 100L, "a"))
+      .toDF("k", "rt", "v")
+    Seq(1, 3, 7).foreach { parts =>
+      val out = Relational.asOfNearest(left, right.repartition(parts),
+          Seq("k"), "t", "rt", lit(1000L))
+        .collect().map(r => r.getString(2) ->
+          ((r.getAs[String]("v"), r.getAs[String]("side")))).toMap
+      assert(out("at") === (("z", "backward"))) // max struct among ties
+      assert(out("fwd") === (("a", "forward"))) // min struct among ties
+    }
+  }
 }

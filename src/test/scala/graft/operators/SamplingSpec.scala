@@ -170,4 +170,27 @@ class SamplingSpec extends AnyFunSuite {
     // was already in the pre-growth sample (no arbitrary reshuffle)
     assert((b & (0L until 100L).toSet).subsetOf(a))
   }
+
+  test("hashBucket: null keys share one deliberate sentinel bucket, not hash-of-nothing") {
+    val df = (Seq.fill(4)(None: Option[Long]) ++ Seq(Some(1L), Some(2L)))
+      .toDF("k")
+    val buckets = df.select(Sampling.hashBucket(col("k")).as("b"))
+      .collect().map(_.getLong(0))
+    // all null keys co-locate (null is one key)...
+    assert(buckets.take(4).distinct.length === 1)
+    // ...but NOT in the bucket xxhash64(seed) alone would give — the raw
+    // hash skips null inputs, so without the sentinel a null key would
+    // collide with the hash-of-nothing value
+    val hashOfNothing = df.limit(1)
+      .select(pmod(xxhash64(lit(42L)), lit(1000000L)).as("b"))
+      .head().getLong(0)
+    assert(buckets.head !== hashOfNothing)
+    // non-null keys are unaffected by the sentinel branch: same value as
+    // the raw xxhash64 chain
+    val raw = df.filter(col("k").isNotNull)
+      .select(col("k"), pmod(xxhash64(lit(42L), col("k")), lit(1000000L)).as("raw"),
+        Sampling.hashBucket(col("k")).as("b"))
+      .collect()
+    raw.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
 }

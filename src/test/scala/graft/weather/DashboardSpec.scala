@@ -58,4 +58,21 @@ class DashboardSpec extends AnyFunSuite {
     assert(Dashboard.withFilters(withName, city = Some("Hue"),
       to = Some("2025-11-26 04:30:00")).count() === 1)
   }
+
+  test("X6 compactNumber: Looker-style 1.0K/2.3M tiles, boundary-safe, signed, null-safe") {
+    val cases = Seq(
+      0L -> "0", 999L -> "999", 1000L -> "1.0K", 1049L -> "1.0K",
+      1500L -> "1.5K", 9949L -> "9.9K", 9950L -> "10K", 456000L -> "456K",
+      999499L -> "999K", 999500L -> "1.0M", // rounding boundary, NOT "1,000K"
+      1200000L -> "1.2M", 2000000000L -> "2.0B", -1500L -> "-1.5K",
+      -42L -> "-42")
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), Dashboard.compactNumber(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (n, want) => assert(got(n) === want, s"n=$n") }
+    val nulls = Seq(Some(1L), None).toDF("n")
+      .select(Dashboard.compactNumber(col("n")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(nulls.toSet === Set("1", null))
+  }
 }
