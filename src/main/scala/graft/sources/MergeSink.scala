@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Pipeline code (Ingest, Streams) writes through this trait, not a
   * concrete store, so backends are drop-ins:
   *  - [[graft.weather.Store.ParquetDateSink]] — date-partitioned parquet,
-  *    partition-pruned incremental merge (the plain-parquet default);
+  *    partition-pruned incremental merge (the plain-parquet default;
+  *    single-writer, not crash-atomic — see its scaladoc);
+  *  - [[TxnParquet.TxnParquetSink]] — the same incremental merge behind
+  *    a manifest + atomic-rename commit protocol: crash-atomic (pre- or
+  *    post-state, never partial), the plain-parquet parity for the
+  *    reference's one-transaction-per-run Postgres load;
   *  - [[graft.weather.Store.ParquetSnapshotSink]] — unpartitioned snapshot
   *    for small dimension tables;
   *  - [[JdbcMergeSink]] — staging table + driver-issued MERGE against a

@@ -1,0 +1,226 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.weather.Store
+
+/** Transactional plain-parquet [[MergeSink]]: a Delta-style miniature
+  * commit protocol over immutable chunk directories, so a crashed merge
+  * can never leave a torn table — readers see the pre-merge state or the
+  * post-merge state, NOTHING in between. This is the plain-parquet
+  * answer to the reference's one-transaction-per-run Postgres load
+  * (dags/etl.py:138 `conn.commit()`; notebook c24 try/commit/rollback):
+  * there, atomicity comes from the database; here, from a single atomic
+  * manifest rename.
+  *
+  * Layout:
+  * {{{
+  *   root/_graft/manifest-<v>.txt     # the ONLY mutable truth (append-new)
+  *   root/data/chunk-<uuid>/p_dir=<date>/part-*.parquet   # immutable
+  * }}}
+  *
+  * A manifest maps each date to the one chunk subdirectory holding that
+  * date's current rows (`p_date` is ALSO a regular column in the files,
+  * so any set of chunk dirs reads back in one `spark.read.parquet`).
+  * The live table state is the HIGHEST-numbered manifest.
+  *
+  * Commit = write data to a fresh chunk dir (invisible: no manifest
+  * references it), write `manifest-<v+1>` under a temp name, then ONE
+  * atomic rename to its final name. Rename-to-fresh-name is atomic on
+  * POSIX and HDFS, and FAILS if the destination exists — which makes the
+  * version number an optimistic-concurrency token: two racing writers
+  * cannot both commit v+1, the loser throws instead of corrupting
+  * (single-writer is still the supported contract; the rename check is
+  * the belt to that suspender). A crash anywhere before the rename
+  * leaves the previous manifest live and only an orphaned chunk on disk,
+  * swept by the next successful commit's GC.
+  *
+  * Merges stay INCREMENTAL exactly like [[Store.mergeFactLastWins]]:
+  * only the batch's touched dates are read (driver-side manifest lookup,
+  * no listing), merged, and written; untouched dates keep pointing at
+  * their existing chunks byte-identically.
+  *
+  * GC: at each successful commit the writer keeps the last
+  * `keepManifests` manifests (a grace window for readers pinned to a
+  * recent version) and deletes chunk dirs referenced by none of them —
+  * including the orphans of crashed attempts.
+  */
+object TxnParquet {
+
+  private val ManifestRe = "manifest-(\\d+)\\.txt".r
+  private val NullKey = "null"
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val root = new Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** (version, dateKey → chunk-relative dir) of the live manifest. */
+  private[sources] def currentManifest(
+      spark: SparkSession, path: String): Option[(Long, Map[String, String])] = {
+    val (f, root) = fs(spark, path)
+    val dir = new Path(root, "_graft")
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _ => None
+    })
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = f.open(new Path(dir, s"manifest-$v.txt"))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val dates = text.linesIterator.filter(_.nonEmpty).drop(1).map { line =>
+      val Array(k, d) = line.split("\t", 2)
+      k -> d
+    }.toMap
+    Some((v, dates))
+  }
+
+  private def readManifestAt(f: FileSystem, dir: Path, v: Long): Map[String, String] = {
+    val in = f.open(new Path(dir, s"manifest-$v.txt"))
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).drop(1).map { line =>
+      val Array(k, d) = line.split("\t", 2)
+      k -> d
+    }.toMap
+  }
+
+  private def dateKey(d: java.sql.Date): String =
+    if (d == null) NullKey else d.toString
+
+  /** Transactional date-partitioned parquet sink. `crashBeforeCommit` is
+    * a test seam invoked after ALL data is staged but before the atomic
+    * manifest rename — a throw there models a writer dying mid-merge. */
+  final case class TxnParquetSink(path: String, tsCol: String = "dt",
+                                  keepManifests: Int = 4,
+                                  crashBeforeCommit: () => Unit = () => ())
+      extends MergeSink {
+    require(keepManifests >= 1, "must keep at least the live manifest")
+
+    def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
+      merge(updates, keys, Store.upsertLastWins)
+    def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
+      merge(updates, keys, Store.upsertDoNothing)
+
+    def read(spark: SparkSession): DataFrame = {
+      val m = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(s"TxnParquetSink: no committed table at $path"))
+      readDirs(spark, m._2.values.toSeq)
+    }
+
+    /** The table restricted to `dates` — pure driver-side manifest
+      * lookup, reads only those dates' chunk dirs (no listing, no
+      * partition discovery). */
+    def prunedRead(spark: SparkSession, dates: Seq[java.sql.Date]): DataFrame = {
+      val m = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(s"TxnParquetSink: no committed table at $path"))
+      readDirs(spark, dates.map(dateKey).distinct.flatMap(m._2.get))
+    }
+
+    /** Live manifest version, None before the first commit. */
+    def version(spark: SparkSession): Option[Long] =
+      currentManifest(spark, path).map(_._1)
+
+    private def readDirs(spark: SparkSession, rel: Seq[String]): DataFrame = {
+      require(rel.nonEmpty,
+        "TxnParquetSink: committed table has no data for the requested dates")
+      spark.read.parquet(rel.map(r => s"$path/$r"): _*).drop("p_date")
+    }
+
+    private def merge(updates: DataFrame, keys: Seq[String],
+                      policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
+      require(keys.contains(tsCol),
+        s"date-partitioned merge keys $keys must include the partition timestamp '$tsCol'")
+      require(!updates.columns.contains("p_date") && !updates.columns.contains("p_dir"),
+        "TxnParquetSink: 'p_date'/'p_dir' are reserved layout columns")
+      val spark = updates.sparkSession
+      val batch = updates.dropDuplicates(keys)
+        .withColumn("p_date", to_date(col(tsCol)))
+      val current = currentManifest(spark, path)
+      val touched = Store.touchedDates(batch, tsCol).map(dateKey)
+      if (touched.isEmpty) return // empty batch: nothing to merge or commit
+      val cols = batch.columns.map(col).toIndexedSeq
+      val merged = current match {
+        case Some((_, dates)) =>
+          val dirs = touched.flatMap(dates.get)
+          if (dirs.isEmpty) batch
+          else {
+            val existing = spark.read.parquet(dirs.map(r => s"$path/$r"): _*)
+              .select(cols: _*)
+            policy(existing, batch, keys)
+          }
+        case None => batch
+      }
+
+      // 1. stage: all data lands in a fresh, unreferenced chunk dir
+      val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
+      val orderCols: IndexedSeq[Column] = col("p_date") +: keys.map(col).toIndexedSeq
+      merged
+        .repartition(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .withColumn("p_dir", coalesce(col("p_date").cast("string"), lit(NullKey)))
+        .write.partitionBy("p_dir").mode("errorifexists").parquet(s"$path/$chunkRel")
+
+      // 2. manifest v+1 = old mapping with touched dates repointed
+      val (f, root) = fs(spark, path)
+      val gdir = new Path(root, "_graft")
+      f.mkdirs(gdir)
+      val nextV = current.map(_._1 + 1).getOrElse(1L)
+      val nextDates = current.map(_._2).getOrElse(Map.empty) ++
+        touched.map(k => k -> s"$chunkRel/p_dir=$k")
+      val body = (s"v $nextV" +:
+        nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
+        .mkString("", "\n", "\n")
+      val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+
+      crashBeforeCommit() // test seam: die with everything staged, nothing live
+
+      // 3. THE commit: one atomic rename-to-fresh-name. Fails (loudly)
+      //    if another writer already committed this version.
+      val dst = new Path(gdir, s"manifest-$nextV.txt")
+      if (f.exists(dst) || !f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"TxnParquetSink: version $nextV already committed by another writer " +
+            s"($path is single-writer; coordinate or retry)")
+      }
+
+      gc(f, root, gdir, nextV)
+    }
+
+    /** Post-commit sweep: drop manifests older than the kept window and
+      * any chunk dir none of the kept manifests references (orphans of
+      * crashed attempts included). Runs only in the committing writer —
+      * under the single-writer contract nothing else is mid-write. */
+    private def gc(f: FileSystem, root: Path, gdir: Path, liveV: Long): Unit = {
+      val keepFrom = liveV - keepManifests + 1
+      f.listStatus(gdir).foreach(s => s.getPath.getName match {
+        case ManifestRe(v) if v.toLong < keepFrom => f.delete(s.getPath, false)
+        case n if n.startsWith(".manifest-") => f.delete(s.getPath, false)
+        case _ => ()
+      })
+      val referenced = (keepFrom to liveV)
+        .filter(v => f.exists(new Path(gdir, s"manifest-$v.txt")))
+        .flatMap(v => readManifestAt(f, gdir, v).values)
+        .map(_.split("/p_dir=", 2)(0)).toSet
+      val dataDir = new Path(root, "data")
+      if (f.exists(dataDir))
+        f.listStatus(dataDir).foreach { s =>
+          if (s.isDirectory && !referenced.contains(s"data/${s.getPath.getName}"))
+            f.delete(s.getPath, true)
+        }
+    }
+  }
+}

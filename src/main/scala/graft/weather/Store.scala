@@ -128,7 +128,17 @@ object Store {
   }
 
   /** Date-partitioned parquet [[MergeSink]] — the default fact backend.
-    * Merges are partition-pruned and incremental (see mergeFact*). */
+    * Merges are partition-pruned and incremental (see mergeFact*).
+    *
+    * Durability contract: SINGLE WRITER, and not crash-atomic — dynamic
+    * partition overwrite commits per partition, so a writer killed
+    * mid-merge across several touched dates can leave some dates
+    * rewritten and others not (each individual date stays consistent).
+    * Replaying the batch repairs the table (merges are idempotent), so
+    * this sink suits schedulers that re-run failed jobs. When torn
+    * multi-date states are unacceptable mid-crash, use
+    * [[graft.sources.TxnParquet.TxnParquetSink]] — same incremental
+    * merge behind an atomic manifest swap. */
   final case class ParquetDateSink(path: String, tsCol: String = "dt") extends MergeSink {
     def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
       mergeFactLastWins(updates, path, keys, tsCol)

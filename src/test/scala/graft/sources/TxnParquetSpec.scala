@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.sources.TxnParquet.TxnParquetSink
+
+/** The commit-protocol contract: a merge is ATOMIC — a writer killed at
+  * any point before the manifest rename leaves the previous state live
+  * and byte-identical; replaying the batch lands the post-state. Parity
+  * with the reference's one-transaction-per-run Postgres load
+  * (dags/etl.py:138). */
+class TxnParquetSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("txnparquet").toString
+
+  private val keys = Seq("city_id", "dt")
+
+  private def df(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("city_id", "dt", "temp")
+      .withColumn("dt", col("dt").cast("timestamp"))
+
+  private def snapshot(sink: TxnParquetSink): Set[(Long, String, Double)] =
+    sink.read(spark).collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).toString, r.getDouble(2))).toSet
+
+  test("merge + read round-trips, incremental across dates, versions advance") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0),
+      (2L, "2025-11-27 05:00:00", 25.0)), keys)
+    assert(sink.version(spark) === Some(1L))
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 99.0),
+      (3L, "2025-11-26 06:00:00", 30.0)), keys)
+    assert(sink.version(spark) === Some(2L))
+    assert(snapshot(sink) === Set(
+      (1L, "2025-11-26 04:00:00.0", 99.0),
+      (2L, "2025-11-27 05:00:00.0", 25.0),
+      (3L, "2025-11-26 06:00:00.0", 30.0)))
+    // DO NOTHING: existing key keeps its value, absent key appends
+    sink.mergeIfAbsent(df((3L, "2025-11-26 06:00:00", -1.0),
+      (4L, "2025-11-28 07:00:00", 40.0)), keys)
+    assert(snapshot(sink).contains((3L, "2025-11-26 06:00:00.0", 30.0)))
+    assert(snapshot(sink).contains((4L, "2025-11-28 07:00:00.0", 40.0)))
+    // pruned read touches only the asked dates
+    val pruned = sink.prunedRead(spark,
+        Seq(java.sql.Date.valueOf("2025-11-26"))).collect()
+    assert(pruned.map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("kill-mid-merge: pre-state or post-state, never partial") {
+    val path = tmp()
+    TxnParquetSink(path).mergeLastWins(
+      df((1L, "2025-11-26 04:00:00", 22.0), (2L, "2025-11-27 05:00:00", 25.0)),
+      keys)
+    val pre = snapshot(TxnParquetSink(path))
+    val preVersion = TxnParquetSink(path).version(spark)
+
+    // writer dies AFTER staging all data and the tmp manifest, BEFORE the
+    // atomic rename — the worst possible moment
+    val dying = TxnParquetSink(path,
+      crashBeforeCommit = () => throw new RuntimeException("kill -9"))
+    val batch = df((1L, "2025-11-26 04:00:00", 99.0),
+      (5L, "2025-11-27 09:00:00", 55.0))
+    intercept[RuntimeException](dying.mergeLastWins(batch, keys))
+
+    // pre-state is live and byte-identical: same version, same rows
+    val after = TxnParquetSink(path)
+    assert(after.version(spark) === preVersion)
+    assert(snapshot(after) === pre)
+
+    // replaying the batch on a healthy writer lands exactly the post-state
+    after.mergeLastWins(batch, keys)
+    assert(snapshot(after) === Set(
+      (1L, "2025-11-26 04:00:00.0", 99.0),
+      (2L, "2025-11-27 05:00:00.0", 25.0),
+      (5L, "2025-11-27 09:00:00.0", 55.0)))
+    // the crashed attempt's orphan chunk was swept by the commit's GC:
+    // every surviving chunk dir is referenced by a kept manifest
+    val dataDir = new java.io.File(path, "data")
+    val chunks = dataDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val referenced = (1L to 2L).flatMap { v =>
+      val m = new java.io.File(path, s"_graft/manifest-$v.txt")
+      if (m.exists())
+        scala.io.Source.fromFile(m).getLines().drop(1)
+          .map(_.split("\t")(1).split("/p_dir=")(0).stripPrefix("data/")).toSeq
+      else Seq.empty
+    }.toSet
+    assert(chunks === referenced)
+  }
+
+  test("optimistic concurrency: a second commit of the same version throws, table intact") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0)), keys)
+    // simulate a racing writer that committed v2 while we were staging:
+    // plant manifest-2 before our commit's rename fires
+    val racing = TxnParquetSink(path, crashBeforeCommit = () => {
+      val src = new java.io.File(path, "_graft/manifest-1.txt")
+      val dst = new java.io.File(path, "_graft/manifest-2.txt")
+      Files.copy(src.toPath, dst.toPath)
+      ()
+    })
+    intercept[java.util.ConcurrentModificationException](
+      racing.mergeLastWins(df((9L, "2025-11-26 08:00:00", 9.0)), keys))
+    // the loser did not corrupt anything: v2 (the planted one) is live
+    // and carries v1's content
+    assert(snapshot(TxnParquetSink(path)) ===
+      Set((1L, "2025-11-26 04:00:00.0", 22.0)))
+  }
+
+  test("manifest window GC keeps the last K versions and their chunks readable") {
+    val path = tmp()
+    val sink = TxnParquetSink(path, keepManifests = 2)
+    (1 to 5).foreach(i =>
+      sink.mergeLastWins(df((i.toLong, "2025-11-26 04:00:00", i.toDouble)), keys))
+    assert(sink.version(spark) === Some(5L))
+    val gdir = new java.io.File(path, "_graft")
+    val manifests = gdir.listFiles().map(_.getName).filter(_.startsWith("manifest-")).toSet
+    assert(manifests === Set("manifest-4.txt", "manifest-5.txt"))
+    // all five keys still present (same date chunk rewritten each merge)
+    assert(snapshot(sink).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("null event dates ride the merge like any other partition") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    val withNull = Seq((1L, Some("2025-11-26 04:00:00"), 22.0),
+      (2L, None, 25.0)).toDF("city_id", "dt", "temp")
+      .withColumn("dt", col("dt").cast("timestamp"))
+    sink.mergeLastWins(withNull, keys)
+    val rows = sink.read(spark).collect()
+    assert(rows.length === 2)
+    assert(rows.count(_.isNullAt(1)) === 1)
+  }
+}
