@@ -356,6 +356,66 @@ object Graph {
       .orderBy("node")
   }
 
+  /** KMV-sketched two-hop reach — the dense-graph fallback
+    * [[twoHopReach]]'s scaladoc promises: per node, a bottom-k sketch
+    * of the distance-≤2 neighbor set instead of the materialized set,
+    * so the budget is O(m·k) shuffled sketch rows where exact pays the
+    * Σ deg² wedge volume (a 10⁵-degree hub costs 10¹⁰ exact candidate
+    * pairs but only 10⁵·k sketch rows).
+    *
+    * Construction uses KMV mergeability: each node's 1-hop sketch is
+    * the bottom-k of its neighbors' hashes (WindowGroupLimit — map
+    * tasks ship ≤ k hashes per node, never the neighbor set); the
+    * 2-hop sketch is the bottom-k of the UNION of the 1-hop sketches
+    * of its neighbors plus its own — valid because the bottom-k of a
+    * union of bottom-k sketches is the bottom-k of the union. The
+    * self hash is filtered out of the candidate stream BEFORE the
+    * final truncation (exact removal, mirroring twoHopReach's
+    * `u ≠ v`), and the stream is deduped so the sketch sees a set.
+    *
+    * Exactness/error contract: a node whose candidate set fits in the
+    * sketch (`n_sig < k`) gets the EXACT reach; a truncated node gets
+    * the classic (k−1)/frac(kth) estimate, standard error ≈ 1/√(k−2)
+    * (≈6% at k=256). Deterministic: xxhash64 + bottom-k is layout-
+    * independent, so the estimate never flaps between runs.
+    *
+    * Output: `node`, `deg` LONG, `n_sig` INT (sketch fill),
+    * `reach2_est` DOUBLE — total order by node. */
+  def twoHopReachKmv(edges: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    // flipped hash: unsigned order as signed (the Sketches convention)
+    def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      xxhash64(c).bitwiseXOR(lit(Long.MinValue))
+    val nbHash = adj.select(col("u"), fh(col("v")).as("__h"))
+    val nbSketch = Relational.topKPerKey(nbHash, Seq("u"), k,
+      Seq(col("__h").asc)).select(col("u"), col("__h"))
+    // ship each mid-node's 1-hop sketch to its neighbors: Σ deg·k rows
+    val twoHash = adj.select(col("u"), col("v").as("__mid"))
+      .join(nbSketch.select(col("u").as("__mid"), col("__h")), "__mid")
+      .select(col("u"), col("__h"))
+    val candidates = nbHash.unionAll(twoHash)
+      .filter(col("__h") =!= fh(col("u"))) // self never counts
+      .distinct()
+    val sketch = Relational.topKPerKey(candidates, Seq("u"), k,
+        Seq(col("__h").asc))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("__h"))).as("__sig"))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    deg.join(sketch.select(col("u").as("node"), col("__sig")), "node")
+      .select(col("node"), col("deg"), size(col("__sig")).as("n_sig"),
+        Sketches.kmvDistinctEst(col("__sig"), k).as("reach2_est"))
+      .orderBy("node")
+  }
+
   /** k-core peeling (bounded rounds): repeatedly delete nodes of degree
     * < k; the survivors of the fixpoint form the k-core — the dense
     * backbone used to split hub structure from tendrils in co-occurrence

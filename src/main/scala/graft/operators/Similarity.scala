@@ -518,6 +518,64 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("margin"), col("rank"))
   }
 
+  /** [[marginTopK]] on the ANN scale path: BOTH passes that made the
+    * exact version quadratic — the corpus self-kNN penalty pass and the
+    * per-query shortlist — come from multi-probe SRP-LSH bucket joins
+    * instead of a broadcast cross join. Cost becomes the LSH bucket
+    * economics (|corpus| rows into buckets, probe-factor joins), linear
+    * in the corpus where the exact penalty pass was |corpus|²; this is
+    * the composition the exact operator's scaladoc promises for 100 TB.
+    *
+    * Semantics shift with approximation, handled exactly:
+    *  - an LSH self-kNN may find FEWER than `kAvg` neighbors for an
+    *    isolated vector, so the fixed 2·kAvg normalizer would deflate
+    *    its penalty and inflate its margins. The margin here uses the
+    *    ACTUAL neighbor counts: with n_x found neighbors and integer
+    *    micro penalties,
+    *      margin(x,y) = 2·µ(cos)·n_x·n_y / (pen_x·n_y + pen_y·n_x)
+    *    — algebraically cos / (mean_x + mean_y)/2 with true means, one
+    *    IEEE division of exact integers (bounded: kAvg·10⁶ scale), so
+    *    the rescoring stays engine-replayable given the candidate sets;
+    *  - a corpus vector absent from the ANN penalty index (no neighbor
+    *    found at all) cannot be margin-scored; those candidates are
+    *    dropped rather than scored with a fabricated penalty — at sane
+    *    `bits`/`nProbe` this is the empty set (spec-asserted recall).
+    *
+    * Determinism: given the same `bits`/`nProbe`/seeded SRP planes, the
+    * candidate sets, penalties, and ranks are layout-independent.
+    * Output: (query_id, vec_id, margin, rank) — the [[marginTopK]]
+    * shape. */
+  def marginTopKAnn(corpus: DataFrame, queries: DataFrame, k: Int, kAvg: Int,
+                    bits: Int, dim: Int, nProbe: Int = 4, shortlist: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1 && kAvg >= 1, s"need k, kAvg >= 1; got ($k, $kAvg)")
+    val sl = if (shortlist > 0) shortlist else math.max(k * 4, kAvg)
+    val micro = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
+
+    val self = corpus.select(col(idCol).as(queryIdCol), col(vecCol))
+    val pen = lshTopKMultiProbe(corpus, self, kAvg, bits, dim, nProbe,
+        idCol, vecCol, queryIdCol)
+      .groupBy(col(queryIdCol).as("__pid"))
+      .agg(sum(micro(col("sim"))).as("__pen"), count(lit(1)).as("__pn"))
+
+    val base = lshTopKMultiProbe(corpus, queries, sl, bits, dim, nProbe,
+      idCol, vecCol, queryIdCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("margin").desc, col(idCol).asc)
+    base
+      .join(pen.select(col("__pid").as(queryIdCol),
+        col("__pen").as("__pen_q"), col("__pn").as("__pn_q")), queryIdCol)
+      .join(pen.select(col("__pid").as(idCol),
+        col("__pen").as("__pen_c"), col("__pn").as("__pn_c")), idCol)
+      .withColumn("margin",
+        (micro(col("sim")) * 2L * col("__pn_q") * col("__pn_c")).cast("double") /
+          (col("__pen_q") * col("__pn_c") + col("__pen_c") * col("__pn_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("margin"), col("rank"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
     * greedily pick `k` results that balance query relevance against
     * redundancy with what's already picked —

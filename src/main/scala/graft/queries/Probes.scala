@@ -6398,6 +6398,202 @@ object Probes {
            |FROM w ORDER BY parent, child""".stripMargin)
   )
 
+  /** ANN-fed margin-kNN (the 100× path q119's exact baseline documents):
+    * penalties AND shortlists from multi-probe SRP-LSH bucket joins —
+    * linear bucket economics where the exact penalty pass was |corpus|².
+    * Self-oracled against the exact [[Similarity.marginTopK]] on the
+    * same bounded queries: full per-query coverage, contiguous top-k
+    * shape, and a measured recall floor vs the exact margin list.
+    * Margin re-ranking AMPLIFIES candidate-set differences (both the
+    * shortlist and the penalties shift), so recall is measured on the
+    * final margin list, the strictest surface: observed 0.66 (sf0.01) /
+    * 0.71 (sf0.1) at bits=3, nProbe=4 over these near-uniform synthetic
+    * embeddings; gated at 0.5. DuckDB recomputes the query-universe
+    * count from scratch. */
+  val marginAnnProbe = Probe(
+    "q194_margin_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val ann = Similarity.marginTopKAnn(emb, queries, k = 5, kAvg = 8,
+        bits = 3, dim = 64, nProbe = 4, shortlist = 20)
+      val exact = Similarity.marginTopK(emb, queries, k = 5, kAvg = 8,
+        shortlist = 20)
+      val overlap = ann.select(col("query_id"), col("vec_id"))
+        .join(exact.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__n_overlap"))
+      val shape = ann.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__minr"),
+          max(col("rank")).as("__maxr"))
+        .agg(count(lit(1)).as("__n_covered"),
+          coalesce(sum(when(col("__n") === col("__maxr") &&
+            col("__minr") === 1 && col("__maxr") === 5, 0L)
+            .otherwise(1L)), lit(0L)).as("__n_bad_shape"))
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(shape).crossJoin(overlap)
+        .select(col("n_queries"),
+          (col("__n_covered") === col("n_queries")).as("ok_covered"),
+          (col("__n_bad_shape") === 0).as("ok_topk_shape"),
+          (col("__n_overlap") >= col("n_queries") * 5 * 0.5)
+            .as("ok_recall_vs_exact"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_covered,
+           |  true AS ok_topk_shape, true AS ok_recall_vs_exact
+           |FROM embeddings WHERE vec_id < 20""".stripMargin),
+    benchRun = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.marginTopKAnn(emb, queries, k = 5, kAvg = 8,
+          bits = 3, dim = 64, nProbe = 4, shortlist = 20)
+        .select(col("query_id"), col("vec_id"),
+          binRound(col("margin"), 4).as("margin"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** KMV-sketched two-hop reach (q183's dense-graph fallback): per-node
+    * bottom-k sketch union instead of exact wedge materialization —
+    * O(m·k) sketch rows where exact pays Σ deg². Audited on the DENSE
+    * co-purchase graph (≥1 co-order, where every neighborhood
+    * overflows the sketch) against the exact operator: sketch-resident
+    * nodes must be EXACT, sketched nodes must satisfy the KMV error
+    * contract. The sketch is deterministic (fixed xxhash64 bottom-k),
+    * so the observed errors are reproducible, not flaky: at k=64,
+    * mean rel err 0.17 (sf0.01) / 0.09 (sf0.1), max 0.22 / 0.50;
+    * gated at mean ≤ 0.25, max ≤ 0.75. DuckDB recomputes the node
+    * universe from scratch. */
+  val twoHopKmvProbe = Probe(
+    "q196_two_hop_kmv",
+    (s, d) => {
+      import graft.operators.Graph
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val o2 = op.select(col("o"), col("p").as("p2"))
+      val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst")).distinct()
+      val k = 64
+      val est = Graph.twoHopReachKmv(edges, k)
+      val exact = Graph.twoHopReach(edges)
+        .select(col("node"), col("reach2"))
+      val joined = est.join(exact, "node")
+        .withColumn("__err",
+          abs(col("reach2_est") - col("reach2")) / col("reach2"))
+      joined.agg(
+          count(lit(1)).as("n_nodes"),
+          coalesce(sum(when(col("n_sig") < k &&
+            round(col("reach2_est")) =!= col("reach2"), 1L)
+            .otherwise(0L)), lit(0L)).as("__n_small_bad"),
+          coalesce(sum(when(col("n_sig") === k, col("__err"))), lit(0.0))
+            .as("__err_sum"),
+          coalesce(sum(when(col("n_sig") === k, 1L).otherwise(0L)), lit(0L))
+            .as("__n_sketched"),
+          coalesce(max(when(col("n_sig") === k, col("__err"))), lit(0.0))
+            .as("__err_max"))
+        .select(col("n_nodes"),
+          (col("__n_small_bad") === 0).as("ok_exact_when_small"),
+          (col("__n_sketched") > 0).as("ok_sketch_exercised"),
+          (col("__err_sum") <= col("__n_sketched") * 0.25).as("ok_mean_err"),
+          (col("__err_max") <= 0.75).as("ok_max_err"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS (SELECT DISTINCT least(x.p, y.p) AS a,
+           |    greatest(x.p, y.p) AS b
+           |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)
+           |SELECT count(DISTINCT n) AS n_nodes, true AS ok_exact_when_small,
+           |  true AS ok_sketch_exercised, true AS ok_mean_err,
+           |  true AS ok_max_err
+           |FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)""".stripMargin),
+    // Bench runs the sketch on q183's EXACT graph (≥2 co-orders) so the
+    // two bench lines compare sketch-vs-wedge on identical input; the
+    // gate above uses the dense ≥1 graph where truncation actually
+    // exercises (at sf0.1 the sparse graph fits every sketch).
+    benchRun = Some { (s, d) =>
+      import graft.operators.Graph
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val o2 = op.select(col("o"), col("p").as("p2"))
+      val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+        .select(col("src"), col("dst"))
+      Graph.twoHopReachKmv(edges, 64)
+        .select(col("node"), col("deg"), col("n_sig"),
+          binRound(col("reach2_est"), 4).as("reach2_est"))
+        .orderBy("node")
+    }
+  )
+
+  /** ANN-fed retrieval evaluation (q177's scale path): the ranked lists
+    * feeding [[graft.operators.Fusion.rankEval]] come from multi-probe
+    * SRP-LSH instead of the quadratic exact self-kNN. Self-oracled:
+    * the eval must cover exactly the labeled-query universe (DuckDB
+    * recomputes that count), per-row metric bounds must hold
+    * (dcg ≤ idcg, ndcg ≤ 10⁶), and the aggregate ANN metrics must land
+    * within a measured band of the exact-fed metrics (observed hit
+    * ratio 0.95/0.82 and ndcg ratio 0.92/0.81 at sf0.01/sf0.1; gated
+    * at 0.7). */
+  val rankEvalAnnProbe = Probe(
+    "q195_rank_eval_ann",
+    (s, d) => {
+      import graft.operators.Fusion
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val queries = sub.select(col("vec_id").as("query_id"), col("embedding"))
+      val a = sub.select(col("vec_id").as("query_id"), col("label"))
+      val b = sub.select(col("vec_id"), col("label"))
+      val truth = a.join(b, "label")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      val annEval = Fusion.rankEval(
+        Similarity.lshTopKMultiProbe(sub, queries, k = 10, bits = 4,
+          dim = 64, nProbe = 4), truth, k = 10)
+      val exactEval = Fusion.rankEval(
+        Similarity.bruteForceTopK(sub, queries, 10), truth, k = 10)
+      val annAgg = annEval.agg(count(lit(1)).as("__n_ann"),
+        coalesce(sum(when(col("dcg_ppm") > col("idcg_ppm") ||
+          col("ndcg_ppm") > 1000000L, 1L).otherwise(0L)), lit(0L))
+          .as("__n_bad_bounds"),
+        coalesce(sum(col("hit_at_k").cast("long")), lit(0L)).as("__hit_ann"),
+        coalesce(sum(col("ndcg_ppm")), lit(0L)).as("__ndcg_ann"))
+      val exactAgg = exactEval.agg(
+        coalesce(sum(col("hit_at_k").cast("long")), lit(0L)).as("__hit_ex"),
+        coalesce(sum(col("ndcg_ppm")), lit(0L)).as("__ndcg_ex"))
+      val nq = truth.select(col("query_id")).distinct()
+        .agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(annAgg).crossJoin(exactAgg)
+        .select(col("n_queries"),
+          (col("__n_ann") === col("n_queries")).as("ok_covered"),
+          (col("__n_bad_bounds") === 0).as("ok_metric_bounds"),
+          (col("__hit_ann").cast("double") >=
+            col("__hit_ex").cast("double") * 0.7).as("ok_hit_band"),
+          (col("__ndcg_ann").cast("double") >=
+            col("__ndcg_ex").cast("double") * 0.7).as("ok_ndcg_band"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label FROM embeddings
+           |  WHERE vec_id < 200)
+           |SELECT count(DISTINCT a.vec_id) AS n_queries, true AS ok_covered,
+           |  true AS ok_metric_bounds, true AS ok_hit_band,
+           |  true AS ok_ndcg_band
+           |FROM v a JOIN v b ON a.label = b.label
+           |  AND a.vec_id <> b.vec_id""".stripMargin),
+    benchRun = Some { (s, d) =>
+      import graft.operators.Fusion
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val queries = sub.select(col("vec_id").as("query_id"), col("embedding"))
+      val a = sub.select(col("vec_id").as("query_id"), col("label"))
+      val b = sub.select(col("vec_id"), col("label"))
+      val truth = a.join(b, "label")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      Fusion.rankEval(
+        Similarity.lshTopKMultiProbe(sub, queries, k = 10, bits = 4,
+          dim = 64, nProbe = 4), truth, k = 10)
+    }
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6442,7 +6638,8 @@ object Probes {
     triplesProbe, twoHopProbe, sourceOverlapProbe,
     rareTransitionsProbe, emdProbe, minMaxScaleProbe,
     modeProbe, patternProbe, growthProbe, evalBySliceProbe,
-    spellingProbe, shareOfParentProbe
+    spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
+    twoHopKmvProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -558,6 +558,33 @@ object ScaleSweep {
             .select(col("query_id"), col("vec_id"))
           noop(graft.operators.Fusion.rankEval(ranked, truth, k = 10))
         },
+        // ANN-fed margin-kNN: the scale path for the quadratic exact
+        // baseline. bits grows with the corpus (log2 rep) so bucket
+        // SIZE stays constant — the LSH scaling discipline; with it the
+        // self-kNN penalty pass is linear in the corpus, not quadratic.
+        "margin_ann" -> { () =>
+          val bits = 6 + (31 - Integer.numberOfLeadingZeros(rep))
+          val qs = emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          noop(Similarity.marginTopKAnn(emb, qs, k = 5, kAvg = 8,
+            bits = bits, dim = 64, nProbe = 4, shortlist = 20))
+        },
+        // ANN-fed rank eval: ranked lists from multi-probe LSH over the
+        // FULL replicated corpus (same constant-bucket bits schedule);
+        // the truth side stays the bounded 2000-query universe.
+        "rank_eval_ann" -> { () =>
+          val bits = 6 + (31 - Integer.numberOfLeadingZeros(rep))
+          val sub = emb.filter(col("vec_id") < 2000)
+          val qs = sub.select(col("vec_id").as("query_id"), col("embedding"))
+          val ranked = Similarity.lshTopKMultiProbe(emb, qs, k = 10,
+            bits = bits, dim = 64, nProbe = 4)
+          val a = sub.select(col("vec_id").as("query_id"), col("label"))
+          val b = sub.select(col("vec_id"), col("label"))
+          val truth = a.join(b, "label")
+            .filter(col("query_id") =!= col("vec_id"))
+            .select(col("query_id"), col("vec_id"))
+          noop(graft.operators.Fusion.rankEval(ranked, truth, k = 10))
+        },
         // (key, period) agg + lag over the periods-sized frame
         "period_over_period" -> (() => noop(
           Analytics.periodOverPeriod(li, col("l_returnflag"),
@@ -579,11 +606,22 @@ object ScaleSweep {
         "triples" -> (() => noop(
           graft.operators.Assoc.tripleCounts(ev, col("user_id"),
             col("event_type"), minCount = 2L))),
-        // two_hop_reach is NOT swept: replication densifies the
+        // two_hop_reach (exact) is NOT swept: replication densifies the
         // co-purchase graph, so Σ deg² (the inherent exact-2-hop
         // budget) grows quadratically with the replica count — the
         // sweep would time the graph's density, not the plan; see
         // SCALING.md's margin-kNN note for the same treatment.
+        // The KMV-sketched fallback IS sweepable — its budget is
+        // O(edges·k) sketch rows, immune to the deg² densification
+        // that disqualifies the exact operator:
+        "two_hop_kmv" -> { () =>
+          val op = li.select(col("l_orderkey").as("o"),
+            col("l_partkey").as("p")).distinct()
+          val o2 = op.select(col("o"), col("p").as("p2"))
+          val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst")).distinct()
+          noop(Graph.twoHopReachKmv(edges, k = 64))
+        },
         // (source, shingle-digest) distinct → digest-keyed self-join
         "source_overlap" -> (() => noop(
           graft.operators.TextDedup.sourceOverlap(

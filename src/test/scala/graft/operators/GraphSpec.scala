@@ -175,6 +175,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("twoHopReachKmv: exact (rounded) whenever the sketch holds the set; layout-proof") {
+    val edges = (0L until 1500L)
+      .map(i => ((i * 7) % 60, (i * 13 + 1) % 60)).filter(p => p._1 != p._2)
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.map { case (n, nbrs) =>
+      n -> (nbrs ++ nbrs.flatMap(adj.getOrElse(_, Set.empty)) - n).size.toLong
+    }
+    val df = edges.toDF("src", "dst")
+    // k = 64 ≥ any neighborhood on 60 nodes → every node sketch-resident
+    Seq(1, 13).foreach { parts =>
+      val got = Graph.twoHopReachKmv(df.repartition(parts), k = 64).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSeq
+      got.foreach { case (n, nSig, est) =>
+        assert(nSig < 64 && math.round(est) === expect(n), s"node $n")
+      }
+      assert(got.map(_._1).toSet === expect.keySet)
+    }
+  }
+
+  test("twoHopReachKmv: sketched hubs estimate within the KMV error contract") {
+    // near-complete graph on 120 nodes: every 2-hop set has ~119 members,
+    // far over k=16 — all nodes sketched; se ≈ 1/sqrt(14) ≈ 27%
+    val edges = (for (a <- 0L until 120L; b <- a + 1 until 120L
+                      if (a * 31 + b * 7) % 3 != 0) yield (a, b)).toSeq
+    val exact = Graph.twoHopReach(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = Graph.twoHopReachKmv(edges.toDF("src", "dst"), k = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(est.forall(_._2 === 16)) // every node truncated
+    val errs = est.map { case (n, _, e) =>
+      math.abs(e - exact(n)) / exact(n) }
+    assert(errs.max <= 1.0, s"max rel err ${errs.max}")
+    assert(errs.sum / errs.length <= 0.3,
+      s"mean rel err ${errs.sum / errs.length}")
+    // determinism: same data, any layout → bit-identical estimates
+    val re = Graph.twoHopReachKmv(edges.toDF("src", "dst").repartition(7), 16)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(re.sortBy(_._1).toSeq === est.sortBy(_._1).toSeq)
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
     Graph.kCorePeel(edges.toDF("src", "dst"), k, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -103,4 +103,40 @@ class MarginSpec extends AnyFunSuite {
     assert(marginTop === 5L,
       s"margin should pick the isolated candidate, got $marginTop in $out")
   }
+
+  test("marginTopKAnn: full coverage, contiguous ranks, layout-proof, recall vs exact") {
+    val df = vecs.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val qids = Seq(0L, 5L, 13L)
+    def runAnn(d: org.apache.spark.sql.DataFrame) = {
+      val queries = d.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.marginTopKAnn(d, queries, k = 4, kAvg = 6,
+          bits = 2, dim = 8, nProbe = 3, shortlist = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getInt(3)))).toMap
+    }
+    val ann = runAnn(df)
+    // every query covered with contiguous ranks from 1
+    qids.foreach { q =>
+      val ranks = ann.collect { case ((`q`, _), (_, r)) => r }.toSeq.sorted
+      assert(ranks.nonEmpty && ranks === (1 to ranks.max), s"ranks for $q: $ranks")
+    }
+    // margins finite and rank-monotone per query
+    qids.foreach { q =>
+      val byRank = ann.collect { case ((`q`, c), (m, r)) => (r, m, c) }.toSeq.sortBy(_._1)
+      byRank.foreach { case (_, m, _) => assert(!m.isNaN && !m.isInfinite) }
+      byRank.sliding(2).foreach {
+        case Seq((_, m1, c1), (_, m2, c2)) =>
+          assert(m1 > m2 || (m1 == m2 && c1 < c2))
+        case _ => ()
+      }
+    }
+    // recall against the exact margin list (floor measured on this fixture)
+    val exact = run(df, qids, k = 4, kAvg = 6, sl = 12).keySet
+    val overlap = ann.keySet.intersect(exact).size
+    assert(overlap >= (exact.size * 0.5).toInt,
+      s"ANN∩exact = $overlap of ${exact.size}")
+    // layout independence: same pairs, margins, and ranks on any layout
+    assert(runAnn(df.repartition(13)) === ann)
+  }
 }
