@@ -64,7 +64,21 @@ object Graph {
     // Persisting is the standard iterative-graph trade (GraphX does the
     // same): the cache holds (src, dst, outdeg) longs only, and is
     // released before returning (the result is checkpointed eagerly).
-    val eDeg = e.join(deg, "src").persist()
+    //
+    // CLUSTER BY src before persisting: the cached relation then
+    // GUARANTEES hashpartitioning(src), so at the scale where the rank
+    // frame outgrows broadcast, every iteration's contributions join
+    // reads the cache exchange-free and only the rank side (which
+    // changes per round) shuffles — bucketed edge storage in DataFrame
+    // form, paid once at persist time. Honest measurement notes
+    // (PLANS.md §graph-tier): at local SFs the rank side BROADCASTS
+    // (vertex frames are KBs–MBs), so no per-iteration edge exchange
+    // existed to remove — shuffle volume and wall time are unchanged
+    // within noise. The explicit REPARTITION_BY_COL still matters at
+    // scale: it is exempt from AQE coalescing, so the cached layout is
+    // deterministic rather than an artifact of whatever join shape
+    // built the cache.
+    val eDeg = e.join(deg, "src").repartition(col("src")).persist()
     // the full vertex set: a node with out-edges only (pure source)
     // receives nothing but must survive every iteration at `base`; an
     // inner-join-only recurrence would drop it (and, transitively, its
@@ -109,8 +123,14 @@ object Graph {
     * count. State is one long per node. Returns (`node`, `label`). */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // CLUSTER BY src before persisting — same bucketed-edge discipline
+    // (and same honest caveats) as [[pagerankMicro]]: at scale the
+    // per-round votes join reads the cached edges exchange-free and
+    // only the (node, label) frame shuffles; at local SFs the label
+    // frame broadcasts and the clustering is layout insurance.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("src")).persist()
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
