@@ -93,10 +93,12 @@ object Similarity {
     val qb = withProbedBuckets(
       queries.select(col(queryIdCol), col(vecCol).as("__q_vec")),
       "__q_vec", bits, dim, nProbe)
-    rerank(
-      cb.join(qb, "__bucket")
-        .dropDuplicates(queryIdCol, idCol), // same candidate via several probes
-      k, idCol, queryIdCol, vecCol)
+    // No dedup needed: a corpus vector lives in exactly ONE bucket and a
+    // query's probed buckets (home + distinct single-bit flips) are all
+    // DISTINCT, so each (query, candidate) pair joins at most once — a
+    // dropDuplicates here would re-exchange the full candidate stream
+    // for nothing (measured ~2× on the q194 penalty pass).
+    rerank(cb.join(qb, "__bucket"), k, idCol, queryIdCol, vecCol)
   }
 
   /** IVF (inverted-file) ANN — the second index family next to SRP-LSH:

@@ -6410,6 +6410,15 @@ object Probes {
     * 0.71 (sf0.1) at bits=3, nProbe=4 over these near-uniform synthetic
     * embeddings; gated at 0.5. DuckDB recomputes the query-universe
     * count from scratch. */
+  /** The LSH scaling discipline applied to a probe that runs at several
+    * SFs: size `bits` so BUCKETS stay ~250 vectors regardless of corpus
+    * size (floor 3 = the sf0.01 gate's measured-recall configuration).
+    * One count job — cheap next to the search it sizes. */
+  private def annBits(emb: DataFrame): Int = {
+    val n = math.max(1L, emb.count())
+    math.max(3, math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt)
+  }
+
   val marginAnnProbe = Probe(
     "q194_margin_ann",
     (s, d) => {
@@ -6417,7 +6426,7 @@ object Probes {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val ann = Similarity.marginTopKAnn(emb, queries, k = 5, kAvg = 8,
-        bits = 3, dim = 64, nProbe = 4, shortlist = 20)
+        bits = annBits(emb), dim = 64, nProbe = 4, shortlist = 20)
       val exact = Similarity.marginTopK(emb, queries, k = 5, kAvg = 8,
         shortlist = 20)
       val overlap = ann.select(col("query_id"), col("vec_id"))
@@ -6447,7 +6456,7 @@ object Probes {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.marginTopKAnn(emb, queries, k = 5, kAvg = 8,
-          bits = 3, dim = 64, nProbe = 4, shortlist = 20)
+          bits = annBits(emb), dim = 64, nProbe = 4, shortlist = 20)
         .select(col("query_id"), col("vec_id"),
           binRound(col("margin"), 4).as("margin"), col("rank"))
         .orderBy("query_id", "rank")
