@@ -136,6 +136,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
   }
 
+  test("q194: ANN margin-kNN plans bucket-keyed — no cross join, no dedup re-exchange") {
+    val p = planOf("q194_margin_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"ANN margin path must never cross-join:\n$p")
+    assert(p.contains("__bucket"), "candidate generation keyed on the LSH bucket")
+    // the removed dropDuplicates would reappear as a
+    // (query, candidate)-keyed HashAggregate before the rank window
+    assert(!"keys=\\[query_id#\\d+L?, vec_id#".r.findFirstIn(p).isDefined,
+      s"unexpected candidate-stream dedup aggregate:\n$p")
+  }
+
+  test("q196: KMV two-hop plans sketch-sized — WindowGroupLimit, no wedge cross join") {
+    val p = planOf("q196_two_hop_kmv")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k sketches must plan as WindowGroupLimit (map-side k-cap):\n$p")
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
