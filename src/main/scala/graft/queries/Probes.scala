@@ -6536,6 +6536,37 @@ object Probes {
     }
   )
 
+  /** Deterministic weighted sampling (fully oracled): Duffield–Lund–
+    * Thorup priority sampling per source with weight = n_chars — the
+    * seeded md5 uniform, the ONE-IEEE-division priority, the per-
+    * stratum top-k, the (k+1)-th threshold τ, and the unbiased
+    * `w_est = max(w, τ)` estimator are ALL replayed bit-exactly in
+    * DuckDB (same digest, same correctly-rounded quotient). */
+  val prioritySampleProbe = Probe(
+    "q197_priority_sample",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.prioritySample(Tables.documents(s, d), Seq("source"),
+          col("doc_id"), col("n_chars"), k = 5)
+        .orderBy("source", "rank")
+    },
+    Some("""WITH b AS (SELECT source, doc_id,
+           |    CAST(n_chars AS BIGINT) AS w,
+           |    CAST(n_chars AS DOUBLE) /
+           |      (CAST(CAST('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15)
+           |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976) AS priority
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+           |    ORDER BY priority DESC, doc_id) AS INT) AS rank FROM b),
+           |t AS (SELECT source, max(priority) AS tau FROM r
+           |      WHERE rank = 6 GROUP BY 1)
+           |SELECT r.source, doc_id AS key, w, priority, rank,
+           |  coalesce(t.tau, 0.0) AS tau,
+           |  greatest(CAST(w AS DOUBLE), coalesce(t.tau, 0.0)) AS w_est
+           |FROM r LEFT JOIN t ON r.source = t.source
+           |WHERE rank <= 5 ORDER BY r.source, rank""".stripMargin)
+  )
+
   /** ANN-fed retrieval evaluation (q177's scale path): the ranked lists
     * feeding [[graft.operators.Fusion.rankEval]] come from multi-probe
     * SRP-LSH instead of the quadratic exact self-kNN. Self-oracled:
@@ -6648,7 +6679,7 @@ object Probes {
     rareTransitionsProbe, emdProbe, minMaxScaleProbe,
     modeProbe, patternProbe, growthProbe, evalBySliceProbe,
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
-    twoHopKmvProbe
+    twoHopKmvProbe, prioritySampleProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

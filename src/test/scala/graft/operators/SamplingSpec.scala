@@ -171,6 +171,49 @@ class SamplingSpec extends AnyFunSuite {
     assert((b & (0L until 100L).toSet).subsetOf(a))
   }
 
+  test("prioritySample: k per stratum, small strata exact, estimator and determinism") {
+    val rows = (0L until 100L).map(i => ("big", i, (i % 10) * 100L + 100L)) ++
+      (100L until 103L).map(i => ("small", i, 500L))
+    val df = rows.toDF("src", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame, seed: String = "42") =
+      Sampling.prioritySample(d, Seq("src"), col("id"), col("w"), k = 20,
+          seed = seed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+    val out = run(df)
+    // big stratum: exactly k picks, contiguous ranks, τ > 0, w_est = max(w, τ)
+    val big = out.filter(_._1 == "big")
+    assert(big.length === 20)
+    assert(big.map(_._5).sorted.toSeq === (1 to 20))
+    assert(big.forall(_._6 > 0.0))
+    big.foreach { case (_, _, w, _, _, tau, wEst) =>
+      assert(wEst === math.max(w.toDouble, tau))
+    }
+    // small stratum (≤ k rows): the whole stratum, τ = 0, w_est exact
+    val small = out.filter(_._1 == "small")
+    assert(small.length === 3)
+    assert(small.forall(r => r._6 === 0.0 && r._7 === r._3.toDouble))
+    // priorities strictly ordered within the rank order
+    big.sortBy(_._5).map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+    // layout independence: bit-identical output on any partitioning
+    assert(run(df.repartition(13)).sortBy(r => (r._1, r._5)).toSeq ===
+      out.sortBy(r => (r._1, r._5)).toSeq)
+    // zero/null weights never sampled
+    val withBad = df.unionByName(Seq(("big", 900L, 0L)).toDF("src", "id", "w"))
+    assert(!run(withBad).exists(_._2 == 900L))
+    // DLT unbiasedness sanity: Σ w_est over the sample estimates Σ w;
+    // averaged over seeds the estimate must converge on the truth
+    val trueSum = rows.filter(_._1 == "big").map(_._3).sum.toDouble
+    val ests = (0 until 30).map { s =>
+      run(df, seed = s"seed$s").filter(_._1 == "big").map(_._7).sum
+    }
+    val mean = ests.sum / ests.length
+    assert(math.abs(mean - trueSum) / trueSum < 0.15,
+      s"mean estimate $mean vs true $trueSum")
+  }
+
   test("hashBucket: null keys share one deliberate sentinel bucket, not hash-of-nothing") {
     val df = (Seq.fill(4)(None: Option[Long]) ++ Seq(Some(1L), Some(2L)))
       .toDF("k")

@@ -133,6 +133,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(back.agg(max("temp")).head().getDouble(0) === 23.0)
   }
 
+  test("streaming micro-batches merge into the TRANSACTIONAL parquet sink; versions advance per batch") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_txn_in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_txn_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_txn_out").toString
+    def payload(dt: Long, temp: Double) =
+      s"""{"coord":{"lon":105.8,"lat":21.0},"weather":[{"id":802,"main":"Clouds","description":"x","icon":"03d"}],
+         |"main":{"temp":$temp,"feels_like":21.0,"temp_min":$temp,"temp_max":$temp,"pressure":1021,"humidity":37},
+         |"wind":{"speed":4.0,"deg":355},"clouds":{"all":34},"dt":$dt,
+         |"sys":{"country":"VN","sunrise":1764112440,"sunset":1764152047},
+         |"timezone":25200,"id":1581130,"name":"Hanoi","cod":200}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/a.json"), payload(1764129959, 22.0))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/b.json"), payload(1764133559, 23.0))
+
+    val sink = graft.sources.TxnParquet.TxnParquetSink(outDir)
+    val q = Streams.upsertSinkTo(
+        Streams.dedupedStream(Streams.currentWeatherStream(spark, inDir)),
+        sink, Seq("city_id", "dt"))
+      .option("checkpointLocation", ckDir)
+      .start()
+    q.awaitTermination()
+    val back = sink.read(spark)
+    assert(back.count() === 2)
+    assert(back.agg(max("temp")).head().getDouble(0) === 23.0)
+    assert(sink.version(spark).exists(_ >= 1L))
+    // replay the SAME files through a fresh checkpoint: the last-wins
+    // merge is idempotent, so the committed table is unchanged
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_txn_ck2").toString
+    val q2 = Streams.upsertSinkTo(
+        Streams.dedupedStream(Streams.currentWeatherStream(spark, inDir)),
+        sink, Seq("city_id", "dt"))
+      .option("checkpointLocation", ck2)
+      .start()
+    q2.awaitTermination()
+    assert(sink.read(spark).count() === 2)
+    assert(sink.read(spark).agg(max("temp")).head().getDouble(0) === 23.0)
+  }
+
   test("streaming ingest end-to-end: json drop → flatten → dedup → upsert sink, idempotent") {
     val inDir  = java.nio.file.Files.createTempDirectory("graft_json_in").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_fact_out").toString
