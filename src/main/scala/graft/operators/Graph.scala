@@ -106,6 +106,141 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank: [[pagerankMicro]]'s teleport redirected to a
+    * seed set — random walks restart at the seeds instead of uniformly,
+    * so mass concentrates in the seeds' neighborhood and the ranking
+    * reads "how related is this node to the seeds". The seed-expansion
+    * primitive behind related-document discovery, topic-conditioned
+    * crawl prioritization, and growing a labeled set from a few known
+    * positives.
+    *
+    * Same exact integer recurrence as [[pagerankMicro]] with one change:
+    * the additive base term lands ONLY on seed nodes —
+    *
+    *   rank'(v) = [v ∈ S]·base + (dampNum · Σ contrib) DIV dampDen
+    *
+    * so non-seed ranks decay to pure received mass and unreachable
+    * nodes settle at exactly 0 (visible, never dropped). All ops are
+    * integer sums and truncating DIVs — bit-identical on any engine and
+    * any layout, replayable in SQL as an unrolled CTE chain.
+    *
+    * Scale posture: identical to [[pagerankMicro]] (2 bounded shuffles
+    * per iteration over the clustered static edge cache) plus one
+    * broadcast-sized seed join per iteration (seeds are a left-semi
+    * membership flag on the vertex frame, computed once, not per
+    * round). Seeds not present in the graph are ignored (they have no
+    * edges to walk). Returns (`node` LONG, `rank` LONG micro-units). */
+  def personalizedPagerankMicro(edges: DataFrame, seeds: DataFrame,
+                                iters: Int,
+                                dampNum: Long = 85L, dampDen: Long = 100L,
+                                init: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping in (0,1)")
+    val base = init * (dampDen - dampNum) / dampDen
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val eDeg = e.join(deg, "src").persist()
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+    // membership flag computed ONCE on the vertex frame — each round's
+    // rebuild then reuses the flagged frame with no further seed join
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(false)).as("__seed"))
+      .persist()
+
+    var ranks = vertices.select(col("node"),
+      when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
+      ranks = vertices.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L))
+            + coalesce(col("__in"), lit(0L))).as("rank"))
+      i += 1
+    }
+    val out = ranks.localCheckpoint(true)
+    eDeg.unpersist(); vertices.unpersist(); e.unpersist()
+    out
+  }
+
+  /** HITS (Kleinberg's hubs & authorities) over a directed edge list,
+    * with EXACT integer arithmetic — the same cross-engine determinism
+    * discipline as [[pagerankMicro]]. Scores live in micro-units; each
+    * half-round rescales by that round's maximum, so the leader pins at
+    * exactly 1e6 and every other node carries a truncated ppm of it:
+    *
+    *   a_raw(v) = Σ_{u→v} h(u)                       (exact integer sum)
+    *   a(v)     = (a_raw(v) · 1e6) DIV max(a_raw)    (DECIMAL(38,0) product)
+    *   h_raw(u) = Σ_{u→v} a(v)
+    *   h(u)     = (h_raw(u) · 1e6) DIV max(h_raw)
+    *
+    * Max-normalization replaces the textbook L2 norm deliberately: a
+    * square root is not exactly replayable across engines, while max and
+    * integer DIV are — and a monotone rescale preserves the ranking,
+    * which is what HITS is for. It also caps state: scores ≤ 1e6, raw
+    * sums ≤ 1e6·maxdeg, and the rescale product is widened to
+    * DECIMAL(38,0) (int128 territory), so no real graph's hub can
+    * overflow it. The division is safe by construction: after every
+    * rescale the leader holds exactly 1e6, so the next half-round's max
+    * is ≥ 1e6 on any non-empty edge set.
+    *
+    * Every vertex keeps both scores — pure sources settle at authority
+    * 0 and pure sinks at hub 0 via the left joins from the full vertex
+    * frame (an inner-join recurrence would silently drop them, and
+    * transitively their contributions).
+    *
+    * Scale posture: per iteration, two equi-joins of the clustered
+    * static edge cache against the one-long-per-node score frame and two
+    * map-side-combined aggregations — the same 2-shuffles-per-round
+    * budget as PageRank — plus two ONE-ROW max aggregates broadcast back
+    * (the bounded-broadcast exception, as in Quality.freshness). Returns
+    * (`node` LONG, `hub` LONG, `auth` LONG) micro-units. */
+  def hitsMicro(edges: DataFrame, iters: Int, init: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    // one rescaled half-round: raw sums → ppm-of-max, absentees → 0
+    def rescale(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      val scaled = raw.crossJoin(broadcast(mx))
+        .select(col("node2").as("node"),
+          expr("(CAST(__raw AS DECIMAL(38,0)) * 1000000) div __mx").as("__new"))
+      vertices.join(scaled, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), lit(0L)).as("score"))
+    }
+
+    var hubs = vertices.withColumn("score", lit(init))
+    var auths: DataFrame = hubs
+    var i = 0
+    while (i < iters) {
+      auths = rescale(
+        e.join(hubs, e("src") === hubs("node"))
+          .groupBy(e("dst").as("node2")).agg(sum(col("score")).as("__raw")))
+      hubs = rescale(
+        e.join(auths, e("dst") === auths("node"))
+          .groupBy(e("src").as("node2")).agg(sum(col("score")).as("__raw")))
+      i += 1
+    }
+    val out = hubs.withColumnRenamed("score", "hub")
+      .join(auths.withColumnRenamed("score", "auth"), Seq("node"))
+      .localCheckpoint(true)
+    e.unpersist(); vertices.unpersist()
+    out
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the most
     * frequent label among its in-neighbors, ties to the SMALLEST label,

@@ -437,4 +437,78 @@ object TimeSeries {
       .withColumn("covered_us", col("end_us") - col("start_us"))
       .orderBy("key", "island")
   }
+
+  /** Exact single-changepoint scan per series (the first step of binary
+    * segmentation / offline CUSUM's structural sibling): over each key's
+    * (order)-sorted integer sequence, find the split s that minimizes
+    * the two-segment squared-error cost
+    *
+    *   cost(s) = SSE(x₁..xₛ) + SSE(xₛ₊₁..xₙ),  SSE = Σx² − (Σx)²/n
+    *
+    * and report it against the no-split cost (the gain is the variance
+    * explained by the best level shift — the telemetry "did this series
+    * change regime, and where" readout that pairs with [[cusum]]'s
+    * online alarms).
+    *
+    * Exactness: all moments are integer prefix sums (DECIMAL(38,0) for
+    * the squares — order-free, no float summation); the /n terms become
+    * truncating integer DIV, so every engine replays the identical cost
+    * and picks the identical argmin (ties → smallest index). Costs are
+    * in cents² units; each DIV truncation only SHRINKS the subtracted
+    * term (never understates a cost) and is off by < 1 unit against
+    * values of order n·x² — deterministically, on both engines.
+    * i64 headroom: (Σx)² DIV n ≤ n·x̄² must fit 2⁶³ — with cent values
+    * ≤ 10⁶ that allows ~10⁶ points per series, and larger series should
+    * pre-aggregate to coarser buckets first (the right move for a
+    * changepoint scan anyway).
+    *
+    * Scale posture: ONE key exchange; the row_number and both prefix
+    * sums share its sort; totals come from a key aggregate joined back
+    * (broadcast-sized: one row per key); the argmin is a single
+    * min(struct) hash aggregate — no per-split re-scan, no driver
+    * state. Candidate splits honor `minSeg` on both sides; series
+    * shorter than 2·minSeg yield no row (no split exists — never a
+    * fabricated zero).
+    *
+    * Output: `key`, `n_points` LONG, `cp_index` LONG (1-based: the
+    * LAST index of the left segment), `cost_null_sq`, `cost_split_sq`,
+    * `gain_sq` LONG (cents²), `mean_before_cents`, `mean_after_cents`
+    * LONG (truncating). Total order by key. */
+  def changepoint(df: DataFrame, key: Column, order: Seq[Column],
+                  valueCents: Column, minSeg: Int = 1): DataFrame = {
+    require(minSeg >= 1, "minSeg must be >= 1")
+    val w = Window.partitionBy(col("__k")).orderBy(order: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = df
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__v", valueCents.cast("long"))
+      .filter(col("__k").isNotNull && col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__sp", sum(expr("CAST(__v AS DECIMAL(38,0))")).over(cum))
+      .withColumn("__qp", sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).over(cum))
+    val totalsExact = based.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(expr("CAST(__v AS DECIMAL(38,0))")).as("__s"),
+      sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__q"))
+    val cand = based.join(totalsExact, "__k")
+      .filter(col("__rn") >= minSeg && col("__rn") <= col("__n") - minSeg)
+      .withColumn("__cost", expr(
+        """CAST((__qp - (__sp * __sp) div __rn)
+          |  + ((__q - __qp)
+          |     - ((__s - __sp) * (__s - __sp)) div (__n - __rn))
+          |  AS BIGINT)""".stripMargin))
+    cand.groupBy(col("__k"), col("__n"), col("__s"), col("__q"))
+      .agg(min(struct(col("__cost"), col("__rn"), col("__sp"))).as("__b"))
+      .select(
+        col("__k").as("key"),
+        col("__n").as("n_points"),
+        col("__b.__rn").as("cp_index"),
+        expr("CAST(__q - (__s * __s) div __n AS BIGINT)").as("cost_null_sq"),
+        col("__b.__cost").as("cost_split_sq"),
+        expr("CAST(__b.__sp DIV __b.__rn AS BIGINT)").as("mean_before_cents"),
+        expr("CAST((__s - __b.__sp) DIV (__n - __b.__rn) AS BIGINT)")
+          .as("mean_after_cents"))
+      .withColumn("gain_sq", col("cost_null_sq") - col("cost_split_sq"))
+      .orderBy("key")
+  }
 }

@@ -6634,6 +6634,198 @@ object Probes {
     }
   )
 
+  /** Integer-arithmetic HITS over the three-layer supply graph
+    * (customer → part → supplier), 3 iterations, FULLY oracled — DuckDB
+    * replays the identical max-normalized integer recurrence as an
+    * unrolled CTE chain (every op is an exact int sum, int max, or
+    * truncating DIV, so cross-engine equality is bit-level — the same
+    * discipline as q78). Customers are pure hubs, suppliers pure
+    * authorities, and parts carry BOTH scores (they broker demand into
+    * supply) — the layer structure makes the two scores genuinely
+    * different rankings. Node ids are namespaced 3·cust / 3·part+1 /
+    * 3·supp+2. */
+  val hitsProbe = Probe(
+    "q198_hits",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 3).as("src"),
+          (col("l_partkey") * 3 + 1).as("dst"))
+        .distinct()
+      val ps = li.select((col("l_partkey") * 3 + 1).as("src"),
+        (col("l_suppkey") * 3 + 2).as("dst")).distinct()
+      Graph.hitsMicro(cp.unionByName(ps), iters = 3)
+        .select(
+          when(col("node") % 3 === 0, "cust")
+            .when(col("node") % 3 === 1, "part").otherwise("supp")
+            .as("node_type"),
+          expr("node DIV 3").as("node_key"),
+          col("hub").as("hub_micro"), col("auth").as("auth_micro"))
+        .orderBy(desc("auth_micro"), desc("hub_micro"), col("node_type"),
+          col("node_key"))
+    },
+    Some("""WITH cp AS (SELECT DISTINCT o.o_custkey * 3 AS src, l.l_partkey * 3 + 1 AS dst
+           |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |ps AS (SELECT DISTINCT l_partkey * 3 + 1 AS src, l_suppkey * 3 + 2 AS dst
+           |       FROM lineitem),
+           |e AS (SELECT src, dst FROM cp UNION SELECT src, dst FROM ps),
+           |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM v),
+           |a1r AS (SELECT e.dst AS node, sum(h0.s) AS raw FROM e
+           |        JOIN h0 ON h0.node = e.src GROUP BY 1),
+           |a1 AS (SELECT v.node, CAST(coalesce((CAST(a1r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM a1r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN a1r ON v.node = a1r.node),
+           |h1r AS (SELECT e.src AS node, sum(a1.s) AS raw FROM e
+           |        JOIN a1 ON a1.node = e.dst GROUP BY 1),
+           |h1 AS (SELECT v.node, CAST(coalesce((CAST(h1r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM h1r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN h1r ON v.node = h1r.node),
+           |a2r AS (SELECT e.dst AS node, sum(h1.s) AS raw FROM e
+           |        JOIN h1 ON h1.node = e.src GROUP BY 1),
+           |a2 AS (SELECT v.node, CAST(coalesce((CAST(a2r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM a2r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN a2r ON v.node = a2r.node),
+           |h2r AS (SELECT e.src AS node, sum(a2.s) AS raw FROM e
+           |        JOIN a2 ON a2.node = e.dst GROUP BY 1),
+           |h2 AS (SELECT v.node, CAST(coalesce((CAST(h2r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM h2r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN h2r ON v.node = h2r.node),
+           |a3r AS (SELECT e.dst AS node, sum(h2.s) AS raw FROM e
+           |        JOIN h2 ON h2.node = e.src GROUP BY 1),
+           |a3 AS (SELECT v.node, CAST(coalesce((CAST(a3r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM a3r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN a3r ON v.node = a3r.node),
+           |h3r AS (SELECT e.src AS node, sum(a3.s) AS raw FROM e
+           |        JOIN a3 ON a3.node = e.dst GROUP BY 1),
+           |h3 AS (SELECT v.node, CAST(coalesce((CAST(h3r.raw AS HUGEINT) * 1000000)
+           |         // (SELECT max(raw) FROM h3r), 0) AS BIGINT) AS s
+           |       FROM v LEFT JOIN h3r ON v.node = h3r.node)
+           |SELECT CASE WHEN v.node % 3 = 0 THEN 'cust'
+           |            WHEN v.node % 3 = 1 THEN 'part' ELSE 'supp' END AS node_type,
+           |       v.node // 3 AS node_key, h3.s AS hub_micro, a3.s AS auth_micro
+           |FROM v JOIN h3 ON h3.node = v.node JOIN a3 ON a3.node = v.node
+           |ORDER BY auth_micro DESC, hub_micro DESC, node_type, node_key""".stripMargin)
+  )
+
+  /** Exact single-changepoint scan per user value series, FULLY
+    * oracled — DuckDB replays the identical prefix-sum cost table
+    * (HUGEINT moments, truncating //) and picks the identical argmin
+    * via the same (cost, index) tiebreak. The offline "where did this
+    * series change regime" readout pairing q152's online CUSUM. */
+  val changepointProbe = Probe(
+    "q199_changepoint",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      TimeSeries.changepoint(ev, col("user_id"),
+        Seq(expr("unix_micros(ts)"), col("event_id")),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        minSeg = 3)
+    },
+    Some("""WITH b AS (SELECT CAST(user_id AS VARCHAR) AS k,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           |    epoch_us(ts::TIMESTAMP) AS t, event_id
+           |  FROM events
+           |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+           |    AND user_id IS NOT NULL AND value IS NOT NULL),
+           |p AS (SELECT k, v,
+           |    CAST(row_number() OVER (PARTITION BY k ORDER BY t, event_id)
+           |      AS BIGINT) AS rn,
+           |    sum(CAST(v AS HUGEINT)) OVER (PARTITION BY k
+           |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sp,
+           |    sum(CAST(v AS HUGEINT) * v) OVER (PARTITION BY k
+           |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS qp
+           |  FROM b),
+           |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(v AS HUGEINT)) AS s,
+           |    sum(CAST(v AS HUGEINT) * v) AS q FROM b GROUP BY 1),
+           |cand AS (SELECT p.k, p.rn, p.sp, t.n, t.s, t.q,
+           |    CAST((p.qp - (p.sp * p.sp) // p.rn)
+           |       + ((t.q - p.qp)
+           |          - ((t.s - p.sp) * (t.s - p.sp)) // (t.n - p.rn))
+           |      AS BIGINT) AS cost
+           |  FROM p JOIN tot t ON p.k = t.k
+           |  WHERE p.rn >= 3 AND p.rn <= t.n - 3),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY k
+           |    ORDER BY cost, rn) AS pick FROM cand)
+           |SELECT k AS key, n AS n_points, rn AS cp_index,
+           |  CAST(q - (s * s) // n AS BIGINT) AS cost_null_sq,
+           |  cost AS cost_split_sq,
+           |  CAST(q - (s * s) // n AS BIGINT) - cost AS gain_sq,
+           |  CAST(sp // rn AS BIGINT) AS mean_before_cents,
+           |  CAST((s - sp) // (n - rn) AS BIGINT) AS mean_after_cents
+           |FROM best WHERE pick = 1 ORDER BY key""".stripMargin)
+  )
+
+  /** Personalized PageRank seeded at one nation's customers over the
+    * co-purchase graph, 4 iterations, FULLY oracled — DuckDB replays the
+    * seed-conditioned integer recurrence as an unrolled CTE chain (q78's
+    * discipline; the only delta is the CASE-gated base term). Ranks read
+    * "how related to nation-1 demand": parts those customers buy rank
+    * first, then customers with overlapping baskets — while q78's global
+    * ranking is purely degree-shaped. */
+  val pprProbe = Probe(
+    "q200_ppr",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cp.unionByName(
+        cp.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.personalizedPagerankMicro(edges, seeds, iters = 4)
+        .select(
+          when(col("node") % 2 === 0, "cust").otherwise("part").as("node_type"),
+          expr("node DIV 2").as("node_key"),
+          col("rank").as("rank_micro"))
+        .orderBy(desc("rank_micro"), col("node_type"), col("node_key"))
+    },
+    Some("""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+           |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+           |       WHERE c_nationkey = 1),
+           |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |vs AS (SELECT v.node, (sd.node IS NOT NULL) AS seed
+           |       FROM v LEFT JOIN sd ON v.node = sd.node),
+           |r0 AS (SELECT node, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END
+           |         AS BIGINT) AS rank FROM vs),
+           |i1 AS (SELECT e.dst AS node, CAST((85 * sum(r0.rank // deg.d)) // 100 AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+           |r1 AS (SELECT vs.node, CAST(CASE WHEN vs.seed THEN 150000 ELSE 0 END
+           |         + coalesce(i1.s, 0) AS BIGINT) AS rank
+           |       FROM vs LEFT JOIN i1 ON vs.node = i1.node),
+           |i2 AS (SELECT e.dst AS node, CAST((85 * sum(r1.rank // deg.d)) // 100 AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+           |r2 AS (SELECT vs.node, CAST(CASE WHEN vs.seed THEN 150000 ELSE 0 END
+           |         + coalesce(i2.s, 0) AS BIGINT) AS rank
+           |       FROM vs LEFT JOIN i2 ON vs.node = i2.node),
+           |i3 AS (SELECT e.dst AS node, CAST((85 * sum(r2.rank // deg.d)) // 100 AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+           |r3 AS (SELECT vs.node, CAST(CASE WHEN vs.seed THEN 150000 ELSE 0 END
+           |         + coalesce(i3.s, 0) AS BIGINT) AS rank
+           |       FROM vs LEFT JOIN i3 ON vs.node = i3.node),
+           |i4 AS (SELECT e.dst AS node, CAST((85 * sum(r3.rank // deg.d)) // 100 AS BIGINT) AS s
+           |       FROM e JOIN deg USING (src) JOIN r3 ON r3.node = e.src GROUP BY e.dst),
+           |r4 AS (SELECT vs.node, CAST(CASE WHEN vs.seed THEN 150000 ELSE 0 END
+           |         + coalesce(i4.s, 0) AS BIGINT) AS rank
+           |       FROM vs LEFT JOIN i4 ON vs.node = i4.node)
+           |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS node_type,
+           |       node // 2 AS node_key, rank AS rank_micro
+           |FROM r4 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6679,7 +6871,8 @@ object Probes {
     rareTransitionsProbe, emdProbe, minMaxScaleProbe,
     modeProbe, patternProbe, growthProbe, evalBySliceProbe,
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
-    twoHopKmvProbe, prioritySampleProbe
+    twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
+    pprProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

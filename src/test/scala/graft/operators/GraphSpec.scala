@@ -250,4 +250,80 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  // --- personalized PageRank (seed-conditioned teleport) ---
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  iters: Int): Map[Long, Long] =
+    Graph.personalizedPagerankMicro(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalizedPagerankMicro: hand-computed chain, mass flows out of the seed") {
+    // 1→2→3, seed {1}:
+    //   r0 = (1e6, 0, 0)
+    //   r1 = (150000, 850000, 0)
+    //   r2 = (150000, 85%·150000 = 127500, 85%·850000 = 722500)
+    val out = ppr(Seq((1L, 2L), (2L, 3L)), Seq(1L), 2)
+    assert(out === Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
+  test("personalizedPagerankMicro: unreachable nodes settle at exactly 0, stay visible") {
+    val out = ppr(Seq((1L, 2L), (3L, 4L)), Seq(1L), 3)
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(3L) === 0L && out(4L) === 0L)
+    assert(out(2L) > 0L)
+  }
+
+  test("personalizedPagerankMicro: seeds outside the graph are ignored; layout-proof") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L))
+    assert(ppr(e, Seq(1L), 3) === ppr(e, Seq(1L, 99L), 3))
+    val b = Graph.personalizedPagerankMicro(
+        e.toDF("src", "dst").repartition(7), Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(e, Seq(1L), 3) === b)
+  }
+
+  // --- HITS (integer max-normalized hubs & authorities) ---
+
+  private def hits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.hitsMicro(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hitsMicro: one iteration matches the hand-computed rescaled recurrence") {
+    // 1→3, 1→4, 2→4:
+    //   a_raw(3)=1e6, a_raw(4)=2e6; max=2e6 → a(3)=500000, a(4)=1000000
+    //   h_raw(1)=a3+a4=1500000, h_raw(2)=1000000; max=1.5e6
+    //   → h(1)=1000000, h(2)=(1e6·1e6) DIV 1.5e6 = 666666
+    val out = hits(Seq((1L, 3L), (1L, 4L), (2L, 4L)), 1)
+    assert(out === Map(
+      1L -> (1000000L, 0L), 2L -> (666666L, 0L),
+      3L -> (0L, 500000L), 4L -> (0L, 1000000L)))
+  }
+
+  test("hitsMicro: leader pins at exactly 1e6 each round; sources/sinks stay visible") {
+    val out = hits(Seq((1L, 2L), (2L, 3L)), 3)
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.map(_._1).max === 1000000L)
+    assert(out.values.map(_._2).max === 1000000L)
+    assert(out(3L)._1 === 0L) // pure sink: hub 0
+    assert(out(1L)._2 === 0L) // pure source: authority 0
+  }
+
+  test("hitsMicro: symmetric hubs tie; the better-connected hub wins") {
+    // 1 and 2 both point at 3; 1 also points at 4 (which 5 endorses too)
+    val out = hits(Seq((1L, 3L), (2L, 3L), (1L, 4L), (5L, 4L)), 3)
+    assert(out(1L)._1 > out(2L)._1) // 1 covers both authorities
+    val sym = hits(Seq((1L, 3L), (2L, 3L)), 3)
+    assert(sym(1L)._1 === sym(2L)._1)
+  }
+
+  test("hitsMicro: duplicate edges collapse; results are layout-independent") {
+    val e = Seq((1L, 3L), (1L, 3L), (1L, 4L), (2L, 4L), (4L, 1L))
+    val a = hits(e, 2)
+    val b = Graph.hitsMicro(e.toDF("src", "dst").repartition(7), 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b)
+    assert(a === hits(Seq((1L, 3L), (1L, 4L), (2L, 4L), (4L, 1L)), 2))
+  }
 }

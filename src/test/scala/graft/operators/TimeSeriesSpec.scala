@@ -302,4 +302,64 @@ class TimeSeriesSpec extends AnyFunSuite {
           r.getDouble(6))).toSeq
     assert(run(df) === run(df.repartition(17)))
   }
+
+  // --- changepoint (exact single-split scan) ---
+
+  private def cp(vs: Seq[Long], minSeg: Int = 1) =
+    TimeSeries.changepoint(
+      vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "seq", "cents"),
+      col("k"), Seq(col("seq")), col("cents"), minSeg)
+      .collect().map(r => (r.getLong(r.fieldIndex("cp_index")),
+        r.getLong(r.fieldIndex("cost_null_sq")),
+        r.getLong(r.fieldIndex("cost_split_sq")),
+        r.getLong(r.fieldIndex("gain_sq")),
+        r.getLong(r.fieldIndex("mean_before_cents")),
+        r.getLong(r.fieldIndex("mean_after_cents")))).toSeq
+
+  test("changepoint: clean level shift found exactly, with zero split cost") {
+    // [10,10,10,50,50]: S=130, Q=5300, null = 5300 − 130²//5 = 1920
+    // split at 3: both segments constant → cost 0, gain 1920
+    assert(cp(Seq(10L, 10L, 10L, 50L, 50L)) ===
+      Seq((3L, 1920L, 0L, 1920L, 10L, 50L)))
+  }
+
+  test("changepoint: constant series ties every split → smallest index; gain 0") {
+    assert(cp(Seq(7L, 7L, 7L, 7L)) === Seq((1L, 0L, 0L, 0L, 7L, 7L)))
+  }
+
+  test("changepoint: minSeg gates candidates; short series yield no row") {
+    // length 5, minSeg 3 → no s with 3 ≤ s ≤ 2: empty result
+    assert(cp(Seq(1L, 2L, 3L, 4L, 5L), minSeg = 3).isEmpty)
+    // length 6, minSeg 3 → exactly one candidate s=3
+    val only = cp(Seq(1L, 1L, 1L, 9L, 9L, 9L), minSeg = 3)
+    assert(only.map(_._1) === Seq(3L))
+    assert(only.head._3 === 0L)
+  }
+
+  test("changepoint matches a driver-side brute force (truncating DIVs)") {
+    val vs = (0 until 200).map(i =>
+      (if (i < 83) 100L else 340L) + (i * 37 % 23) - 11L)
+    def sse(xs: Seq[Long]): BigInt = {
+      val s = BigInt(xs.sum); val q = xs.map(x => BigInt(x) * x).sum
+      q - (s * s) / xs.length
+    }
+    val costs = (1 until vs.length).map(s =>
+      (sse(vs.take(s)) + sse(vs.drop(s)), s))
+    val (bestCost, bestS) = costs.min
+    val got = cp(vs.map(identity))
+    assert(got.map(_._1) === Seq(bestS.toLong))
+    assert(got.head._3 === bestCost.toLong)
+    assert(got.head._2 === sse(vs).toLong)
+  }
+
+  test("changepoint is layout-independent") {
+    val df = (0L until 2000L).map(i =>
+        (s"k${i % 5}", i, (i * 37) % 1000 + (if (i > 1200) 5000L else 0L)))
+      .toDF("k", "seq", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.changepoint(d, col("k"), Seq(col("seq")), col("cents"), 2)
+        .collect().map(r => r.toSeq).toSeq
+    assert(run(df) === run(df.repartition(17)))
+  }
 }
