@@ -376,4 +376,65 @@ object Classify {
           .as("pos_rate_ppm"))
       .orderBy("bin")
   }
+
+  /** Decile lift / cumulative-gains table — the campaign-targeting and
+    * threshold-picking readout AUC can't give: rank the population by
+    * score, cut it into `bins` equal-count tiles, and report how many
+    * positives each cumulative prefix captures vs. random targeting.
+    *
+    * Ranking uses [[graft.operators.Relational.globalRank]] (range
+    * exchange + per-partition offsets) — NEVER `row_number() OVER
+    * (ORDER BY …)`'s single-partition sort. `tieBreak` must complete a
+    * total order with the score (equal scores would otherwise make the
+    * tile boundary layout-dependent). Tiles come from
+    * `((rank−1)·bins) DIV n` — the first (n mod bins) tiles carry one
+    * extra row, deterministically on every engine.
+    *
+    * All metrics are truncating integer ppm over DECIMAL(38,0)-widened
+    * products — exact, order-free, engine-replayable:
+    * `cum_lift_ppm = (cum_pos·n·10⁶) DIV (cum_n·total_pos)` (1 000 000
+    * = random, bins·10⁶ = best possible for the first tile),
+    * `capture_ppm = cum_pos·10⁶ DIV total_pos` (the gains curve),
+    * `pos_rate_ppm` per tile.
+    *
+    * Shape: one range exchange for the rank, one (tile)-keyed aggregate
+    * with map-side combine, then windows over the BINS-sized frame (the
+    * bounded exception) + a one-row totals broadcast. Output: `decile`
+    * 1..bins, `n_rows`, `n_pos`, `cum_n`, `cum_pos`, `pos_rate_ppm`,
+    * `capture_ppm`, `cum_lift_ppm` LONG; total order by decile. NULL
+    * scores/labels are excluded (scored population only); degenerate
+    * total_pos = 0 yields NULL capture/lift, never a fake zero. */
+  def decileLift(scored: DataFrame, score: Column, tieBreak: Column,
+                 truth: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val base = scored
+      .select(score.cast("long").as("__s"), tieBreak.as("__tb"),
+        truth.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val ranked = Relational.globalRank(base,
+      Seq(col("__s").desc, col("__tb").asc))
+    val totals = ranked.agg(count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val tiles = ranked.crossJoin(broadcast(totals))
+      .withColumn("decile",
+        (expr(s"((rank - 1) * ${bins}L) DIV __n") + 1L))
+      .groupBy(col("decile"), col("__n"), col("__pos"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiles
+      .withColumn("cum_n", sum(col("n_rows")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .select(col("decile"), col("n_rows"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("(1000000L * n_pos) DIV n_rows").as("pos_rate_ppm"),
+        expr("CASE WHEN __pos > 0 THEN (1000000L * cum_pos) DIV __pos END")
+          .as("capture_ppm"),
+        expr("""CASE WHEN __pos > 0
+               | THEN (CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000)
+               |      div (CAST(cum_n AS DECIMAL(38,0)) * __pos) END"""
+          .stripMargin).as("cum_lift_ppm"))
+      .orderBy("decile")
+  }
 }

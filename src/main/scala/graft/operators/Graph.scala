@@ -106,6 +106,60 @@ object Graph {
     out
   }
 
+  /** Degree assortativity: the Pearson correlation between the
+    * endpoint degrees of every edge — positive means hubs link to hubs
+    * (social-network shape), negative means hubs link to leaves
+    * (hub-and-spoke / web shape). THE one-number summary that predicts
+    * whether the wedge-shaped operators (two-hop, triangles) will meet
+    * dense cores, and whether degree-based partitioning will skew.
+    *
+    * Pass both directions for an undirected graph (each endpoint's
+    * out-degree then equals its total degree, and every undirected edge
+    * contributes its (dx,dy) pair twice — the standard symmetrized
+    * moment set, which makes Σx = Σy by construction).
+    *
+    * Determinism discipline: the five moments are exact integer sums
+    * accumulated in DECIMAL(38,0) (order-free), emitted as the BIGINT
+    * audit surface; `r` is then a fixed sequence of correctly-rounded
+    * IEEE ops — two int→double conversions, two sqrt, one multiply, one
+    * divide — so any engine reproduces it bit-for-bit from the same
+    * integers (the [[graft.operators.TimeSeries.autocorr]] contract).
+    * sqrt(denx)·sqrt(deny) deliberately replaces sqrt(denx·deny): the
+    * product of the two variance terms can overflow DECIMAL(38,0) on
+    * large graphs while each factor alone cannot. i64 headroom for the
+    * audit columns: m·dmax² must fit 2⁶³.
+    *
+    * Shape: one distinct + one degree aggregate, two degree-attach
+    * joins (broadcast-or-shuffle on node id), ONE moment aggregate →
+    * a single row. No window, no sort. Output: `n_edges`, `sum_x`,
+    * `sum_y`, `sum_xy`, `sum_x2`, `sum_y2` LONG, `r` DOUBLE (NULL on
+    * degenerate zero-variance graphs). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("src"), col("d").as("__dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("__dy")), "dst")
+    val out = withDeg.agg(
+        count(lit(1)).as("n_edges"),
+        expr("CAST(sum(CAST(__dx AS DECIMAL(38,0))) AS BIGINT)").as("sum_x"),
+        expr("CAST(sum(CAST(__dy AS DECIMAL(38,0))) AS BIGINT)").as("sum_y"),
+        expr("CAST(sum(CAST(__dx AS DECIMAL(38,0)) * __dy) AS BIGINT)").as("sum_xy"),
+        expr("CAST(sum(CAST(__dx AS DECIMAL(38,0)) * __dx) AS BIGINT)").as("sum_x2"),
+        expr("CAST(sum(CAST(__dy AS DECIMAL(38,0)) * __dy) AS BIGINT)").as("sum_y2"))
+      .withColumn("r", expr(
+        """CASE WHEN n_edges * CAST(sum_x2 AS DECIMAL(38,0)) - CAST(sum_x AS DECIMAL(38,0)) * sum_x > 0
+          |      AND n_edges * CAST(sum_y2 AS DECIMAL(38,0)) - CAST(sum_y AS DECIMAL(38,0)) * sum_y > 0
+          | THEN CAST(n_edges * CAST(sum_xy AS DECIMAL(38,0)) - CAST(sum_x AS DECIMAL(38,0)) * sum_y AS DOUBLE)
+          |      / (sqrt(CAST(n_edges * CAST(sum_x2 AS DECIMAL(38,0)) - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS DOUBLE))
+          |         * sqrt(CAST(n_edges * CAST(sum_y2 AS DECIMAL(38,0)) - CAST(sum_y AS DECIMAL(38,0)) * sum_y AS DOUBLE)))
+          | END""".stripMargin))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Personalized PageRank: [[pagerankMicro]]'s teleport redirected to a
     * seed set — random walks restart at the seeds instead of uniformly,
     * so mass concentrates in the seeds' neighborhood and the ranking
@@ -212,8 +266,16 @@ object Graph {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
-    // one rescaled half-round: raw sums → ppm-of-max, absentees → 0
-    def rescale(raw: DataFrame): DataFrame = {
+    // one rescaled half-round: raw sums → ppm-of-max, absentees → 0.
+    // The raw frame feeds BOTH the max aggregate and the scale join —
+    // without an eager materialization here, the recurrence would sit
+    // in the plan TWICE per half-round and re-execution would grow
+    // 2^(2·iters) (measured: 108 s for 3 iterations on the sf0.1 layer
+    // graph vs ~5 s checkpointed — the labelPropagation lesson, doubled
+    // by the max consumer). The checkpointed frame is one long per
+    // scored node, so the barrier costs O(V), not plan depth.
+    def rescale(rawLazy: DataFrame): DataFrame = {
+      val raw = rawLazy.localCheckpoint(true)
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       val scaled = raw.crossJoin(broadcast(mx))
         .select(col("node2").as("node"),

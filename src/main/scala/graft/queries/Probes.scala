@@ -6826,6 +6826,131 @@ object Probes {
            |FROM r4 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
   )
 
+  /** Degree assortativity of the co-purchase graph, FULLY oracled —
+    * the five integer moments are exact (HUGEINT/DECIMAL(38,0) sums →
+    * BIGINT audit columns) and `r` is the same fixed sequence of
+    * correctly-rounded IEEE ops on both engines (two casts, two sqrt,
+    * one multiply, one divide — bit-equal, the autocorr contract). */
+  val assortativityProbe = Probe(
+    "q201_assortativity",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.assortativity(cp.unionByName(
+        cp.select(col("dst").as("src"), col("src").as("dst"))))
+    },
+    Some("""WITH cp AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+           |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS (SELECT src, dst FROM cp UNION ALL SELECT dst AS src, src AS dst FROM cp),
+           |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+           |m AS (SELECT dx.d AS dx, dy.d AS dy
+           |      FROM e JOIN deg dx ON dx.node = e.src
+           |             JOIN deg dy ON dy.node = e.dst),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |        CAST(sum(CAST(dx AS HUGEINT)) AS BIGINT) AS sum_x,
+           |        CAST(sum(CAST(dy AS HUGEINT)) AS BIGINT) AS sum_y,
+           |        CAST(sum(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sum_xy,
+           |        CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sum_x2,
+           |        CAST(sum(CAST(dy AS HUGEINT) * dy) AS BIGINT) AS sum_y2
+           |      FROM m)
+           |SELECT n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           |  CASE WHEN n_edges * CAST(sum_x2 AS HUGEINT) - CAST(sum_x AS HUGEINT) * sum_x > 0
+           |        AND n_edges * CAST(sum_y2 AS HUGEINT) - CAST(sum_y AS HUGEINT) * sum_y > 0
+           |   THEN CAST(n_edges * CAST(sum_xy AS HUGEINT) - CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE)
+           |        / (sqrt(CAST(n_edges * CAST(sum_x2 AS HUGEINT) - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE))
+           |           * sqrt(CAST(n_edges * CAST(sum_y2 AS HUGEINT) - CAST(sum_y AS HUGEINT) * sum_y AS DOUBLE)))
+           |   END AS r
+           |FROM a""".stripMargin)
+  )
+
+  /** Decile lift / cumulative gains over the documents population
+    * (score = n_chars, positives = English docs), FULLY oracled — the
+    * distributed globalRank tiling, tile aggregates, and truncating ppm
+    * lift/capture all replay exactly in DuckDB (its global ORDER BY
+    * row_number is the single-node equivalent of the range-exchange
+    * rank). */
+  val decileLiftProbe = Probe(
+    "q202_decile_lift",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.decileLift(Tables.documents(s, d), col("n_chars"),
+        col("doc_id"), col("lang") === "en", bins = 10)
+    },
+    Some("""WITH b AS (SELECT CAST(n_chars AS BIGINT) AS sc, doc_id,
+           |    (lang = 'en') AS y
+           |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           |r AS (SELECT sc, y, CAST(row_number() OVER (ORDER BY sc DESC, doc_id)
+           |    AS BIGINT) AS rank FROM b),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM r),
+           |tiles AS (SELECT ((rank - 1) * 10) // t.n + 1 AS decile, t.n, t.pos,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           |  FROM r, t GROUP BY 1, 2, 3),
+           |c AS (SELECT *,
+           |    sum(n_rows) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+           |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos
+           |  FROM tiles)
+           |SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+           |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+           |  (1000000 * n_pos) // n_rows AS pos_rate_ppm,
+           |  CASE WHEN pos > 0 THEN CAST((1000000 * cum_pos) // pos AS BIGINT) END
+           |    AS capture_ppm,
+           |  CASE WHEN pos > 0 THEN CAST((CAST(cum_pos AS HUGEINT) * n * 1000000)
+           |    // (CAST(cum_n AS HUGEINT) * pos) AS BIGINT) END AS cum_lift_ppm
+           |FROM c ORDER BY decile""".stripMargin)
+  )
+
+  /** Leakage-free group-aware splitting over exact-content clusters
+    * (md5 digest groups — the DuckDB-replayable stand-in for minhash
+    * components). Self-oracled q43-style: DuckDB recomputes the doc,
+    * group, and multi-member-group counts exactly; the booleans assert
+    * the operator's contract — exhaustive assignment, ZERO groups
+    * straddling splits (the leakage invariant), and the train fraction
+    * within tolerance. */
+  val groupSplitProbe = Probe(
+    "q203_group_split",
+    (s, d) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d).withColumn("grp", md5(col("text")))
+      val tagged = Sampling.groupAwareSplit(docs, col("grp"), col("doc_id"),
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      val leak = tagged.filter(col("grp").isNotNull)
+        .groupBy(col("grp"))
+        .agg(countDistinct(col("split")).as("__k"), count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__k") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("__n_leaky"),
+          coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_multi_groups"))
+      val frac = tagged.agg(count(lit(1)).as("n_total"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("__tr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("__va"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("__te"))
+      frac.crossJoin(leak).select(
+        col("n_total"), col("n_groups"), col("n_multi_groups"),
+        (col("__tr") + col("__va") + col("__te") === col("n_total"))
+          .as("ok_exhaustive"),
+        (col("__n_leaky") === 0).as("ok_no_leakage"),
+        (abs(col("__tr").cast("double") / col("n_total") - 0.8) < 0.1)
+          .as("ok_train_frac"))
+    },
+    Some("""WITH g AS (SELECT md5(text) AS grp, count(*) AS n
+           |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+           |SELECT (SELECT count(*) FROM documents) AS n_total,
+           |  count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_multi_groups,
+           |  true AS ok_exhaustive, true AS ok_no_leakage,
+           |  true AS ok_train_frac
+           |FROM g""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6872,7 +6997,7 @@ object Probes {
     modeProbe, patternProbe, growthProbe, evalBySliceProbe,
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
-    pprProbe
+    pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -670,7 +670,55 @@ object ScaleSweep {
         "share_of_parent" -> (() => noop(
           Analytics.shareOfParent(li, col("l_returnflag"),
             col("l_linestatus"),
-            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))))
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))),
+        // same 2-shuffles-per-round budget as pagerank, plus two
+        // one-row max broadcasts; layer graph densifies like q78's
+        "hits_3it" -> { () =>
+          val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 3).as("src"),
+              (col("l_partkey") * 3 + 1).as("dst")).distinct()
+          val ps = li.select((col("l_partkey") * 3 + 1).as("src"),
+            (col("l_suppkey") * 3 + 2).as("dst")).distinct()
+          noop(Graph.hitsMicro(cp.unionByName(ps), iters = 3))
+        },
+        // ONE user-keyed exchange (rn + both prefix sums share its
+        // sort) + a key agg and a min(struct) argmin — users replicate
+        // with rep, per-series length constant: the linear shape
+        "changepoint" -> (() => noop(
+          graft.operators.TimeSeries.changepoint(ev, col("user_id"),
+            Seq(col("ts"), col("event_id")),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), minSeg = 3))),
+        // pagerank's budget + a broadcast-sized seed flag computed once;
+        // seed COUNT grows with rep (customers replicate) while the
+        // per-iteration plan is unchanged
+        "ppr_4it" -> { () =>
+          val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst")).distinct()
+          val edges = cp.unionByName(
+            cp.select(col("dst").as("src"), col("src").as("dst")))
+          val seeds = o.filter(col("o_custkey") % 97 === 0)
+            .select((col("o_custkey") * 2).as("node")).distinct()
+          noop(Graph.personalizedPagerankMicro(edges, seeds, iters = 4))
+        },
+        // one degree agg + two attach joins + ONE moment aggregate
+        "assortativity" -> { () =>
+          val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst")).distinct()
+          noop(Graph.assortativity(cp.unionByName(
+            cp.select(col("dst").as("src"), col("src").as("dst")))))
+        },
+        // globalRank range exchange + tile agg + bins-sized windows
+        "decile_lift" -> (() => noop(
+          graft.operators.Classify.decileLift(docs, col("n_chars"),
+            col("doc_id"), col("lang") === lit("en")))),
+        // group min-agg + join-back + pure-projection hash
+        "group_split" -> (() => noop(
+          Sampling.groupAwareSplit(
+            docs.withColumn("grp", md5(col("text"))), col("grp"),
+            col("doc_id"), Seq(0.8, 0.1, 0.1),
+            Seq("train", "val", "test"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -293,4 +293,40 @@ class ClassifySpec extends AnyFunSuite {
     assert(out(9) === ((2L, 975000L, 1000000L)))
     assert(out.keySet === Set(0, 1, 9))
   }
+
+  test("decileLift: hand gains table — perfect top-tile targeting") {
+    // 20 rows, scores 20..1, positives = the top-5 scores
+    val rows = (1 to 20).map(i => (i.toLong, i.toLong, i > 15))
+    val out = Classify.decileLift(rows.toDF("s", "id", "y"), col("s"),
+        col("id"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // tile 1: 2 rows, both positive; lift = (2·20·1e6) DIV (2·5) = 4e6
+    assert(out(1L) === ((2L, 2L, 2L, 2L, 1000000L, 400000L, 4000000L)))
+    // tile 3: cum 6 rows / 5 pos → capture 1e6, lift 1e8 DIV 30
+    assert(out(3L) === ((2L, 1L, 6L, 5L, 500000L, 1000000L, 3333333L)))
+    // tile 10: lift settles at exactly random = 1e6
+    assert(out(10L) === ((2L, 0L, 20L, 5L, 0L, 1000000L, 1000000L)))
+    assert(out.keySet === (1L to 10L).toSet)
+  }
+
+  test("decileLift: remainder rows land in the first (n mod bins) tiles, deterministically") {
+    val rows = (1 to 12).map(i => (100L - i, i.toLong, i % 2 == 0))
+    val out = Classify.decileLift(rows.toDF("s", "id", "y"), col("s"),
+        col("id"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ((rank−1)·10) DIV 12 puts 2 rows in tiles 1 and 6, 1 elsewhere
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 2L, 7L -> 1L, 8L -> 1L, 9L -> 1L, 10L -> 1L))
+  }
+
+  test("decileLift: score ties broken by tieBreak — layout-independent") {
+    val rows = (0 until 500).map(i => ((i % 7).toLong, i.toLong, i % 3 == 0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Classify.decileLift(df, col("s"), col("id"), col("y"), bins = 10)
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("s", "id", "y")
+    assert(run(df) === run(df.repartition(17)))
+  }
 }

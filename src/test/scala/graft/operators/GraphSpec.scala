@@ -251,6 +251,40 @@ class GraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // --- degree assortativity ---
+
+  private def assort(edges: Seq[(Long, Long)]) = {
+    val r = Graph.assortativity(edges.toDF("src", "dst")).collect().head
+    (r.getLong(0), r.getLong(3),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+  }
+
+  test("assortativity: star is exactly -1 (hub links only to leaves)") {
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+    val (m, sxy, r) = assort(star)
+    assert(m === 6L)
+    assert(sxy === 18L) // 6 edges, each (3,1) or (1,3)
+    assert(r === Some(-1.0)) // exact: all terms are perfect squares
+  }
+
+  test("assortativity: regular graph has zero degree variance → NULL r") {
+    // 4-cycle: every degree 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assert(assort(cyc)._3 === None)
+  }
+
+  test("assortativity: moments and r are layout-independent; dups collapse") {
+    val e = (0L until 400L).flatMap { i =>
+      val a = i % 23; val b = (i * 7) % 19 + 23
+      Seq((a, b), (b, a), (a, b)) // dup included
+    }
+    val x = Graph.assortativity(e.toDF("src", "dst")).collect().head.toSeq
+    val y = Graph.assortativity(e.toDF("src", "dst").repartition(13))
+      .collect().head.toSeq
+    assert(x === y)
+  }
+
   // --- personalized PageRank (seed-conditioned teleport) ---
 
   private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],

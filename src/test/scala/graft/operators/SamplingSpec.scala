@@ -236,4 +236,52 @@ class SamplingSpec extends AnyFunSuite {
       .collect()
     raw.foreach(r => assert(r.getLong(1) === r.getLong(2)))
   }
+
+  test("groupAwareSplit: a group never straddles splits; split = the rep's per-key split") {
+    val rows = Seq(
+      ("A", 10L), ("A", 11L), ("A", 12L),
+      ("B", 3L), ("B", 4L),
+      ("C", 7L))
+    val tagged = Sampling.groupAwareSplit(rows.toDF("g", "id"),
+      col("g"), col("id"), Seq(0.5, 0.5), Seq("x", "y"))
+    val byGroup = tagged.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).distinct.toSeq }
+    assert(byGroup.values.forall(_.length === 1)) // no leakage
+    // the group's split is exactly assignSplit(min-id-as-string)
+    val expect = Seq("A" -> "10", "B" -> "3", "C" -> "7").toDF("g", "rep")
+      .select(col("g"), Sampling.assignSplit(col("rep"), Seq(0.5, 0.5),
+        Seq("x", "y")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    byGroup.foreach { case (g, ss) => assert(ss.head === expect(g)) }
+  }
+
+  test("groupAwareSplit: null groups are singletons keyed by their own id, and spread") {
+    val rows = (0L until 200L).map(i => (null: String, i))
+    val tagged = Sampling.groupAwareSplit(rows.toDF("g", "id"),
+      col("g"), col("id"), Seq(0.5, 0.5), Seq("x", "y"))
+    val splits = tagged.collect().map(_.getString(2)).distinct.sorted
+    assert(splits === Array("x", "y")) // NOT one mega-group
+    // and each row matches its own-id assignment
+    val own = rows.toDF("g", "id")
+      .select(col("id"), Sampling.assignSplit(col("id").cast("string"),
+        Seq(0.5, 0.5), Seq("x", "y")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    tagged.collect().foreach(r => assert(r.getString(2) === own(r.getLong(1))))
+  }
+
+  test("groupAwareSplit: layout-independent; collision-checked tag") {
+    val rows = (0L until 1000L).map(i => (s"g${i % 37}", i))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupAwareSplit(df, col("g"), col("id"),
+          Seq(0.8, 0.2), Seq("train", "test"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+    val df = rows.toDF("g", "id")
+    assert(run(df) === run(df.repartition(17)))
+    intercept[IllegalArgumentException] {
+      Sampling.groupAwareSplit(df.withColumn("split", lit("boom")),
+        col("g"), col("id"), Seq(1.0), Seq("all"))
+    }
+  }
 }
