@@ -123,4 +123,58 @@ object Mixture {
         expr("(1000000L * n_rows) DIV __tn").as("raw_share_ppm"),
         expr("(1000000L * sqrt_milli) DIV __ts").as("share_ppm"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: turn mixture weights
+    * into EXACT integer document budgets that sum to precisely
+    * `budget` — the missing last step between a share table
+    * ([[sqrtTemperatureShares]], a hand-tuned mixture) and the samplers
+    * that realize it (`Sampling.budgetCap`, `bottomKPerStratum` take
+    * integer quotas). Naive per-stratum rounding drifts by up to
+    * #strata rows; Hamilton is the canonical fix and is fully
+    * integer-deterministic:
+    *
+    *   quota_g  = budget · w_g / Σw      (exactly, as a rational)
+    *   base_g   = (budget · w_g) DIV Σw  (truncated)
+    *   leftover = budget − Σ base_g      (< #strata, ≥ 0)
+    *   +1 to the `leftover` strata with the largest remainders
+    *     rem_g = (budget · w_g) mod Σw, ties → stratum name ASC
+    *
+    * Every step is integer arithmetic over DECIMAL(38,0)-widened
+    * products plus one ranking window over the STRATA-sized frame (the
+    * bounded exception — shares live there too). Zero/negative weights
+    * allocate 0 (never filtered from the output — the caller sees every
+    * stratum). Output: `stratum`, `weight` LONG, `base` LONG,
+    * `remainder` LONG (the mod — audit surface), `extra` 0/1,
+    * `alloc` LONG with Σ alloc = budget whenever Σw > 0 (an all-zero
+    * weight table allocates nothing — there is no sane way to split a
+    * budget over zero total weight); total order by stratum. */
+  def apportion(weights: DataFrame, stratum: Column, weight: Column,
+                budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val base = weights
+      .select(stratum.cast("string").as("stratum"),
+        weight.cast("long").as("weight"))
+      .groupBy(col("stratum"))
+      .agg(sum(greatest(col("weight"), lit(0L))).as("weight"))
+    val tot = broadcast(base.agg(
+      sum(col("weight")).as("__tw"),
+      count(lit(1)).as("__ns")))
+    val quotas = base.crossJoin(tot)
+      .select(col("stratum"), col("weight"),
+        expr(s"CASE WHEN __tw > 0 THEN (CAST(weight AS DECIMAL(38,0)) * ${budget}L) div __tw ELSE 0 END")
+          .as("base"),
+        expr(s"CASE WHEN __tw > 0 THEN CAST(pmod(CAST(weight AS DECIMAL(38,0)) * ${budget}L, __tw) AS BIGINT) ELSE 0 END")
+          .as("remainder"))
+    val leftovers = broadcast(quotas.agg(
+      (lit(budget) - coalesce(sum(col("base")), lit(0L))).as("__left")))
+    // remainder ranking over the strata-sized frame; ties broken by name
+    val w = Window.orderBy(col("remainder").desc, col("stratum").asc)
+    quotas.crossJoin(leftovers)
+      .withColumn("extra",
+        when(row_number().over(w) <= col("__left") && col("remainder") > 0, 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("weight"), col("base"), col("remainder"),
+        col("extra"), (col("base") + col("extra")).as("alloc"))
+      .orderBy("stratum")
+  }
 }

@@ -756,6 +756,57 @@ object Similarity {
       .orderBy("group")
   }
 
+  /** Exact covariance moment table of an embedding column — the
+    * anisotropy/whitening audit ("is the space collapsing onto a few
+    * directions?") and the input a PCA/whitening step consumes.
+    * Vectors are micro-quantized (q = ⌊x·10⁶ + 0.5⌋) so every moment is
+    * an exact integer, order-free and engine-replayable — float
+    * covariance would flap on summation order at exactly the scale
+    * where this matters.
+    *
+    * Shape: ONE pass with [[graft.functions.Aggregators
+    * .outerProduct]]'s dim²-long mergeable buffer (map-side partials;
+    * the shuffle carries one 32 KB buffer per partition — never the
+    * n·dim² exploded product stream the SQL replay materializes), plus
+    * a dim-sized per-dimension sum aggregate broadcast back onto the
+    * exploded dim² moment rows. `cov_q2 = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) DIV n` in
+    * DECIMAL(38,0)-widened arithmetic (truncating toward zero on both
+    * engines) — n× the covariance, kept integer-exact.
+    *
+    * Null / wrong-length vectors are excluded (make the filter explicit
+    * upstream if partial vectors are data bugs). Output: `i`, `j` LONG
+    * (0-based dims), `n_vecs`, `sum_i`, `sum_j`, `sum_prod`, `cov_q2`
+    * LONG; total order (i, j). */
+  def covarianceMoments(df: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val clean = df.select(vec.as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+    val outer = clean.agg(
+      graft.functions.Aggregators.outerProduct(dim)(col("__v")).as("__o"))
+    val prods = outer
+      .select(col("__o.n").as("n_vecs"),
+        posexplode(col("__o.prods")).as(Seq("idx", "sum_prod")))
+      .select(col("n_vecs"), expr(s"idx DIV $dim").as("i"),
+        expr(s"CAST(idx % $dim AS BIGINT)").as("j"), col("sum_prod"))
+    val sums = clean
+      .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+      .withColumn("__q",
+        expr("CAST(floor(CAST(__x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+      .groupBy(col("__i").cast("long").as("__i"))
+      .agg(sum(col("__q")).as("__s"))
+    prods
+      .join(broadcast(sums.select(col("__i").as("i"), col("__s").as("sum_i"))),
+        "i")
+      .join(broadcast(sums.select(col("__i").as("j"), col("__s").as("sum_j"))),
+        "j")
+      .select(col("i"), col("j"), col("n_vecs"), col("sum_i"), col("sum_j"),
+        col("sum_prod"),
+        expr("""CAST((CAST(n_vecs AS DECIMAL(38,0)) * sum_prod
+               |      - CAST(sum_i AS DECIMAL(38,0)) * sum_j)
+               |     div n_vecs AS BIGINT)""".stripMargin).as("cov_q2"))
+      .orderBy("i", "j")
+  }
+
   def mutualPairs(knn: DataFrame, kMutual: Int = 1,
                   idCol: String = "vec_id",
                   queryIdCol: String = "query_id"): DataFrame = {

@@ -6951,6 +6951,73 @@ object Probes {
            |FROM g""".stripMargin)
   )
 
+  /** Hamilton (largest-remainder) apportionment of a 100k-doc budget
+    * over per-source n_chars mass, FULLY oracled — base quotas,
+    * remainders, the remainder-ranked +1 extras, and Σ alloc = budget
+    * all replay bit-exact in DuckDB (HUGEINT products, same
+    * (remainder DESC, stratum) tiebreak). */
+  val apportionProbe = Probe(
+    "q204_apportion",
+    (s, d) => {
+      import graft.operators.Mixture
+      Mixture.apportion(
+        Tables.documents(s, d)
+          .filter(col("source").isNotNull && col("n_chars").isNotNull),
+        col("source"), col("n_chars"), budget = 100000L)
+    },
+    Some("""WITH b AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS wt
+           |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+           |w AS (SELECT stratum, CAST(sum(greatest(wt, 0)) AS BIGINT) AS weight
+           |  FROM b GROUP BY 1),
+           |t AS (SELECT CAST(sum(weight) AS HUGEINT) AS tw FROM w),
+           |q AS (SELECT stratum, weight,
+           |    CAST(CASE WHEN t.tw > 0
+           |      THEN (CAST(weight AS HUGEINT) * 100000) // t.tw
+           |      ELSE 0 END AS BIGINT) AS base,
+           |    CAST(CASE WHEN t.tw > 0
+           |      THEN (CAST(weight AS HUGEINT) * 100000) % t.tw
+           |      ELSE 0 END AS BIGINT) AS remainder
+           |  FROM w, t),
+           |l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM q),
+           |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, stratum)
+           |    AS rk FROM q)
+           |SELECT stratum, weight, base, remainder,
+           |  CAST(CASE WHEN rk <= l.leftover AND remainder > 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           |  base + CAST(CASE WHEN rk <= l.leftover AND remainder > 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           |FROM r, l ORDER BY stratum""".stripMargin)
+  )
+
+  /** Exact embedding covariance moment table (64×64), FULLY oracled —
+    * the one-pass dim²-buffer Aggregator must equal DuckDB's exploded
+    * n·dim² pair-join formulation bit-for-bit: same micro-quantization
+    * (one IEEE multiply + floor), same integer moments, same truncating
+    * cov_q2. The §2.10 custom-Aggregator surface doing real work. */
+  val covMomentsProbe = Probe(
+    "q205_cov_moments",
+    (s, d) => Similarity.covarianceMoments(
+      Tables.embeddings(s, d), col("embedding"), dim = 64),
+    Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           |q AS (SELECT vec_id, g.i - 1 AS i,
+           |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+           |      AS BIGINT) AS qv
+           |  FROM v, generate_series(1, 64) g(i)),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v),
+           |s AS (SELECT i, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY 1),
+           |p AS (SELECT a.i AS i, b.i AS j,
+           |    CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS sum_prod
+           |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+           |SELECT p.i, p.j, n.n_vecs, si.sv AS sum_i, sj.sv AS sum_j,
+           |  p.sum_prod,
+           |  CAST((CAST(n.n_vecs AS HUGEINT) * p.sum_prod
+           |        - CAST(si.sv AS HUGEINT) * sj.sv) // n.n_vecs AS BIGINT)
+           |    AS cov_q2
+           |FROM p, n JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+           |ORDER BY p.i, p.j""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -6997,7 +7064,8 @@ object Probes {
     modeProbe, patternProbe, growthProbe, evalBySliceProbe,
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
-    pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe
+    pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
+    apportionProbe, covMomentsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

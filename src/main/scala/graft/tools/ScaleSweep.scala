@@ -718,7 +718,11 @@ object ScaleSweep {
           Sampling.groupAwareSplit(
             docs.withColumn("grp", md5(col("text"))), col("grp"),
             col("doc_id"), Seq(0.8, 0.1, 0.1),
-            Seq("train", "val", "test"))))
+            Seq("train", "val", "test")))),
+        // one pass of the dim²-long mergeable buffer; shuffle ships one
+        // 32 KB buffer per partition regardless of corpus size
+        "cov_moments" -> (() => noop(
+          Similarity.covarianceMoments(emb, col("embedding"), dim = 64)))
       )
       val selected =
         if (opFilter.isEmpty) ops

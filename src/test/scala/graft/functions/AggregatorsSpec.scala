@@ -25,6 +25,56 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("outerProduct moments == driver-side exact outer-product sum; layout-proof") {
+    implicit val s = spark
+    import s.implicits._
+    val vecs = (0 until 37).map { r =>
+      (r.toLong, Array.tabulate(4)(i => ((r * 7 + i * 3) % 11 - 5) / 10.0f))
+    }
+    def quant(x: Float): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val expect = Array.ofDim[Long](16)
+    vecs.foreach { case (_, v) =>
+      val q = v.map(quant)
+      for (i <- 0 until 4; j <- 0 until 4) expect(i * 4 + j) += q(i) * q(j)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(Aggregators.outerProduct(4)(col("v")).as("o"))
+        .select(col("o.prods"), col("o.n")).head()
+      (r.getSeq[Long](0).toArray.toSeq, r.getLong(1))
+    }
+    val df = vecs.toDF("id", "v")
+    assert(run(df) === ((expect.toSeq, 37L)))
+    assert(run(df.repartition(7)) === ((expect.toSeq, 37L)))
+  }
+
+  test("outerProduct skips null and wrong-length vectors") {
+    implicit val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -0.5f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val r = df.agg(Aggregators.outerProduct(2)(col("v")).as("o"))
+      .select(col("o.prods"), col("o.n")).head()
+    val p = 500000L * 500000L
+    assert(r.getSeq[Long](0).toSeq === Seq(p, -p, -p, p))
+    assert(r.getLong(1) === 1L)
+  }
+
+  test("covarianceMoments: constant dimension has zero covariance; identity case") {
+    implicit val s = spark
+    import s.implicits._
+    // dim 0 constant 0.5; dim 1 alternating ±0.5 (mean 0 over 4 rows)
+    val vecs = (0 until 4).map(r =>
+      (r.toLong, Array(0.5f, if (r % 2 == 0) 0.5f else -0.5f)))
+    val out = Similarity.covarianceMoments(vecs.toDF("id", "v"), col("v"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(out((0L, 0L)) === 0L) // constant dim: n·Σq² − (Σq)² = 0
+    assert(out((0L, 1L)) === 0L) // constant × zero-mean: independent
+    // var of ±5e5 over 4 rows: (4·4·(5e5)² − 0) DIV 4 = 1e12
+    assert(out((1L, 1L)) === 1000000000000L)
+  }
+
   test("typed Dataset view + chunker generator") {
     implicit val s = spark
     import s.implicits._

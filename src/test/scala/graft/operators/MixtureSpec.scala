@@ -89,4 +89,55 @@ class MixtureSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(re.toSeq === out.toSeq)
   }
+
+  // --- Hamilton apportionment ---
+
+  private def apportion(ws: Seq[(String, Long)], budget: Long) = {
+    import spark.implicits._
+    Mixture.apportion(ws.toDF("s", "w"), col("s"), col("w"), budget)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("apportion: hand case — bases truncate, largest remainders get the extras") {
+    // weights 5/3/2 over budget 7: quotas 3.5/2.1/1.4 → bases 3/2/1,
+    // leftover 1 goes to the largest remainder (a: rem 5, b: rem 1, c: rem 4)
+    val out = apportion(Seq(("a", 5L), ("b", 3L), ("c", 2L)), 7L)
+    assert(out === Map("a" -> ((3L, 1L, 4L)), "b" -> ((2L, 0L, 2L)),
+      "c" -> ((1L, 0L, 1L))))
+    assert(out.values.map(_._3).sum === 7L)
+  }
+
+  test("apportion: remainder ties break by stratum name; sums always hit the budget") {
+    // equal weights, budget not divisible: 3 strata × w=1, budget 4 →
+    // bases 1, leftover 1 → stratum 'a' (name ASC) gets it
+    val out = apportion(Seq(("c", 1L), ("a", 1L), ("b", 1L)), 4L)
+    assert(out("a")._3 === 2L && out("b")._3 === 1L && out("c")._3 === 1L)
+    // fuzz: random weights, several budgets — Σalloc == budget, every time
+    val ws = (0 until 57).map(i => (f"s$i%02d", (i * 37 % 23 + 1).toLong))
+    Seq(1L, 10L, 999L, 100000L).foreach { b =>
+      val o = apportion(ws, b)
+      assert(o.values.map(_._3).sum === b)
+      assert(o.values.forall(v => v._2 == 0L || v._2 == 1L))
+    }
+  }
+
+  test("apportion: zero/negative weights allocate 0; all-zero table allocates nothing") {
+    val out = apportion(Seq(("a", 10L), ("z", 0L), ("n", -5L)), 9L)
+    assert(out("z")._3 === 0L && out("n")._3 === 0L)
+    assert(out("a")._3 === 9L)
+    val zeros = apportion(Seq(("a", 0L), ("b", 0L)), 5L)
+    assert(zeros.values.map(_._3).sum === 0L)
+  }
+
+  test("apportion is layout-independent") {
+    import spark.implicits._
+    val ws = (0 until 200).map(i => (s"s${i % 41}", (i % 7).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixture.apportion(df, col("s"), col("w"), 12345L)
+        .collect().map(_.toSeq).toSeq
+    val df = ws.toDF("s", "w")
+    assert(run(df) === run(df.repartition(13)))
+  }
 }
