@@ -618,4 +618,60 @@ object Analytics {
       .select(col("pid"), col("__x").as("x"), col("__y").as("y"))
       .orderBy("x", "pid")
   }
+
+  /** RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary, each quintile-scored 1..5, best = 5) that
+    * retention and growth-accounting dashboards drill into.
+    *
+    * Recency is measured against the OBSERVED max activity date (the
+    * freshness-audit convention — wall-clock now() is nondeterministic
+    * and untestable). Quintiles use the [[Relational.globalRank]]
+    * range-exchange tiling (`((rank−1)·5) DIV n`, remainder tiles
+    * first — the decileLift discipline, never an ntile() over a
+    * single-partition global sort), one rank per dimension, entity id
+    * as the universal tiebreak. Ranking orders put the BEST value in
+    * tile 1 (most recent / most frequent / highest spend), so
+    * score = 6 − tile.
+    *
+    * All integer: days via datediff, cents via exact DECIMAL(18,2)
+    * sums, codes as r·100 + f·10 + m. Shape: one entity aggregate +
+    * three range exchanges over the entity-count-sized frame + narrow
+    * projections. Output: `entity`, `recency_days`, `frequency`,
+    * `monetary_cents`, `r_score`, `f_score`, `m_score`, `rfm_code`
+    * LONG; total order by entity. */
+  def rfm(df: DataFrame, entity: Column, activityDate: Column,
+          amountCents: Column): DataFrame = {
+    val base = df
+      .select(entity.cast("long").as("entity"),
+        activityDate.cast("date").as("__d"),
+        amountCents.cast("long").as("__a"))
+      .filter(col("entity").isNotNull && col("__d").isNotNull)
+    val perEntity = base.groupBy(col("entity"))
+      .agg(max(col("__d")).as("__last"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(col("__a")), lit(0L)).as("monetary_cents"))
+    val ref = broadcast(perEntity.agg(max(col("__last")).as("__ref")))
+    val scored = perEntity.crossJoin(ref)
+      .withColumn("recency_days",
+        datediff(col("__ref"), col("__last")).cast("long"))
+      .drop("__last", "__ref")
+    // one range-exchange rank per dimension, tile 1 = best; the entity
+    // count arrives as a one-row broadcast (never a window-over-all)
+    val n = broadcast(scored.agg(count(lit(1)).as("__n_all")))
+    def tiled(in: DataFrame, order: Seq[Column], out: String): DataFrame =
+      Relational.globalRank(in.crossJoin(n), order)
+        .withColumn(out,
+          lit(6L) - (expr("((rank - 1) * 5L) DIV __n_all") + 1L))
+        .drop("rank", "__n_all")
+    val r = tiled(scored, Seq(col("recency_days").asc, col("entity").asc),
+      "r_score")
+    val f = tiled(r, Seq(col("frequency").desc, col("entity").asc), "f_score")
+    val m = tiled(f, Seq(col("monetary_cents").desc, col("entity").asc),
+      "m_score")
+    m.select(col("entity"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .as("rfm_code"))
+      .orderBy("entity")
+  }
 }

@@ -7018,6 +7018,48 @@ object Probes {
            |ORDER BY p.i, p.j""".stripMargin)
   )
 
+  /** RFM customer segmentation over orders, FULLY oracled — per-entity
+    * aggregate, observed-max recency reference, three globalRank
+    * quintile tilings (remainder-tiles-first), and the r·100+f·10+m
+    * code all replayed exactly in DuckDB (its global row_number is the
+    * single-node equivalent of the range-exchange rank). */
+  val rfmProbe = Probe(
+    "q206_rfm",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.rfm(Tables.orders(s, d), col("o_custkey"),
+        col("o_orderdate"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH b AS (SELECT o_custkey AS entity,
+           |    CAST(o_orderdate AS DATE) AS d,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS a
+           |  FROM orders WHERE o_custkey IS NOT NULL
+           |    AND o_orderdate IS NOT NULL),
+           |pe AS (SELECT entity, max(d) AS last_d,
+           |    CAST(count(*) AS BIGINT) AS frequency,
+           |    CAST(coalesce(sum(a), 0) AS BIGINT) AS monetary_cents
+           |  FROM b GROUP BY 1),
+           |ref AS (SELECT max(last_d) AS refd FROM pe),
+           |s AS (SELECT entity,
+           |    CAST(date_diff('day', last_d, ref.refd) AS BIGINT)
+           |      AS recency_days,
+           |    frequency, monetary_cents FROM pe, ref),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS na FROM s),
+           |r AS (SELECT s.*, 6 - (((row_number() OVER (ORDER BY recency_days,
+           |    entity) - 1) * 5) // n.na + 1) AS r_score FROM s, n),
+           |f AS (SELECT r.*, 6 - (((row_number() OVER (ORDER BY frequency DESC,
+           |    entity) - 1) * 5) // n.na + 1) AS f_score FROM r, n),
+           |m AS (SELECT f.*, 6 - (((row_number() OVER (ORDER BY monetary_cents
+           |    DESC, entity) - 1) * 5) // n.na + 1) AS m_score FROM f, n)
+           |SELECT entity, recency_days, frequency, monetary_cents,
+           |  CAST(r_score AS BIGINT) AS r_score,
+           |  CAST(f_score AS BIGINT) AS f_score,
+           |  CAST(m_score AS BIGINT) AS m_score,
+           |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+           |FROM m ORDER BY entity""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7065,7 +7107,7 @@ object Probes {
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
-    apportionProbe, covMomentsProbe
+    apportionProbe, covMomentsProbe, rfmProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

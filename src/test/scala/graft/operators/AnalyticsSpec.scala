@@ -444,4 +444,46 @@ class AnalyticsSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSeq
     assert(run(ev) === run(ev.repartition(13)))
   }
+
+  // --- RFM segmentation ---
+
+  test("rfm: hand case — aggregates, observed-max recency, quintile scores") {
+    // 5 customers, one order each except c1 (two orders)
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-10"), 100L), // c1: freq 2, last 01-10
+      (1L, Date.valueOf("2024-01-01"), 100L),
+      (2L, Date.valueOf("2024-01-09"), 500L),
+      (3L, Date.valueOf("2024-01-08"), 400L),
+      (4L, Date.valueOf("2024-01-07"), 300L),
+      (5L, Date.valueOf("2024-01-06"), 200L))
+    val out = Analytics.rfm(rows.toDF("c", "d", "a"), col("c"), col("d"),
+        col("a"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // c1: recency 0 (observed max = 01-10), freq 2, monetary 200
+    assert(out(1L)._1 === 0L && out(1L)._2 === 2L && out(1L)._3 === 200L)
+    // 5 entities → each quintile holds exactly one; recency asc: c1..c5
+    assert(out(1L)._4 === 5L && out(5L)._4 === 1L) // r_score best..worst
+    assert(out(1L)._5 === 5L) // only multi-order customer: top frequency
+    // monetary desc: 500,400,300 then the 200-tie (c1 before c5 by id)
+    assert(out(2L)._6 === 5L && out(1L)._6 === 2L && out(5L)._6 === 1L)
+    // rfm_code arithmetic
+    out.values.foreach(v => assert(v._7 === v._4 * 100 + v._5 * 10 + v._6))
+  }
+
+  test("rfm: ties break by entity id; layout-independent") {
+    val rows = (1L to 100L).map(c =>
+      (c, Date.valueOf("2024-02-01"), 1000L)) // all identical
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.rfm(d, col("c"), col("d"), col("a"))
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("c", "d", "a")
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    // identical customers: scores follow pure entity order, 20 per tile
+    val scores = a.map(r => (r(0).asInstanceOf[Long], r(4).asInstanceOf[Long]))
+    assert(scores.filter(_._2 == 5L).map(_._1) === (1L to 20L))
+    assert(scores.filter(_._2 == 1L).map(_._1) === (81L to 100L))
+  }
 }
