@@ -619,6 +619,83 @@ object Analytics {
       .orderBy("x", "pid")
   }
 
+  /** Positional (U/W-shaped) multi-touch attribution: for every
+    * conversion, split the credit over the entity's touches in the
+    * preceding `windowUs` — 40% first touch, 40% last, 20% spread over
+    * the middles — the marketing-analytics counterpart of the
+    * streaming last-touch attributor (`streaming.Streams
+    * .attributedPurchases`), answering "which first impressions START
+    * journeys" where last-touch only sees closers.
+    *
+    * Credits are integer ppm and sum to EXACTLY 10⁶ per converted
+    * conversion, deterministically: 1 touch → 10⁶; 2 → 500 000 each;
+    * n ≥ 3 → last = 400 000, middles = 200 000 DIV (n−2) each, and the
+    * FIRST touch takes 400 000 plus the middle-division dust
+    * (200 000 − m·(n−2)) — truncation never leaks credit. Touches tie
+    * on timestamp → ordered by touch id (total order). Conversions with
+    * NO touch in window are emitted with a NULL touch and credit 0 —
+    * the unattributable volume stays visible.
+    *
+    * Shape: one entity-keyed equi-join (conversions ⋈ touches) with
+    * the window predicate as a post-join filter — fanout per
+    * conversion is its in-window touch count, bounded by the window,
+    * never the table — then ONE per-conversion window (rank + count
+    * share its sort). Output: `entity`, `conversion_id`, `touch_id`
+    * (NULL = unattributed), `touch_rank`, `n_touches`, `credit_ppm`;
+    * total order (entity, conversion_id, touch_rank). */
+  def attributionPositional(events: DataFrame, entity: Column,
+                            eventId: Column, tsUs: Column,
+                            eventType: Column, touchType: String,
+                            conversionType: String,
+                            windowUs: Long): DataFrame = {
+    require(windowUs > 0, "windowUs must be > 0")
+    val base = events.select(entity.as("__e"), eventId.as("__id"),
+        tsUs.cast("long").as("__t"), eventType.cast("string").as("__ty"))
+      .filter(col("__e").isNotNull && col("__t").isNotNull)
+    // distinct column names on the two sides — both frames descend from
+    // `base`, so shared names would carry IDENTICAL attribute ids and
+    // the join condition / drop would misresolve (the classic
+    // self-join trap: drop(touch("__e")) removed conv's copy and
+    // unmatched conversions surfaced with a NULL entity)
+    val conv = base.filter(col("__ty") === conversionType)
+      .select(col("__e"), col("__id").as("conversion_id"),
+        col("__t").as("__ct"))
+    val touch = base.filter(col("__ty") === touchType)
+      .select(col("__e").as("__te"), col("__id").as("touch_id"),
+        col("__t").as("__tt"))
+    // the window predicate lives IN the join condition: a post-join
+    // filter would silently drop conversions whose touches all fall
+    // outside the window instead of emitting them unattributed
+    val joined = conv.join(touch,
+        col("__e") === col("__te") &&
+          col("__tt") <= col("__ct") &&
+          col("__tt") > col("__ct") - windowUs,
+        "left")
+      .drop("__te")
+    val w = Window.partitionBy(col("__e"), col("conversion_id"))
+      .orderBy(col("__tt").asc, col("touch_id").asc)
+    joined
+      .withColumn("touch_rank",
+        when(col("touch_id").isNull, lit(0L))
+          .otherwise(row_number().over(w).cast("long")))
+      .withColumn("n_touches",
+        count(col("touch_id")).over(
+          Window.partitionBy(col("__e"), col("conversion_id"))))
+      .withColumn("credit_ppm",
+        when(col("touch_id").isNull, lit(0L))
+          .when(col("n_touches") === 1, lit(1000000L))
+          .when(col("n_touches") === 2,
+            lit(500000L))
+          .when(col("touch_rank") === col("n_touches"), lit(400000L))
+          .when(col("touch_rank") === 1,
+            lit(400000L) + lit(200000L)
+              - expr("200000L DIV (n_touches - 2)") * (col("n_touches") - 2))
+          .otherwise(expr("200000L DIV (n_touches - 2)")))
+      .select(col("__e").as("entity"), col("conversion_id"), col("touch_id"),
+        col("touch_rank"), col("n_touches"), col("credit_ppm"))
+      .orderBy("entity", "conversion_id", "touch_rank")
+  }
+
   /** RFM segmentation — the classic customer-value grid (recency /
     * frequency / monetary, each quintile-scored 1..5, best = 5) that
     * retention and growth-accounting dashboards drill into.

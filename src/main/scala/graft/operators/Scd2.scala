@@ -112,4 +112,40 @@ object Scd2 {
     val ts = t.cast("timestamp")
     dim.filter(col(ValidFrom) <= ts && (col(ValidTo).isNull || col(ValidTo) > ts))
   }
+
+  /** Temporal lookup JOIN: attach to every fact row the dim version
+    * that was in effect at the fact's own event time — the query every
+    * SCD2 dimension exists to answer ("what was this customer's segment
+    * WHEN the order happened", not "what is it now"). [[asOf]] answers
+    * it for one global timestamp; this answers it per row.
+    *
+    * Shape: ONE key equi-join (broadcast when the dim is small, hash
+    * otherwise) followed by a narrow interval filter
+    * `valid_from <= ts < valid_to` — fanout per fact is that key's
+    * VERSION count (bounded by update cadence, never row count), so no
+    * range-join explosion and no window. Versions are half-open and
+    * non-overlapping by [[merge]]'s construction, so at most one
+    * version survives per fact; facts older than their key's first
+    * version (or with no dim key at all) keep NULL dim columns when
+    * `keepUnmatched` — the honest answer, never the current version.
+    *
+    * `factTs` must be a timestamp-compatible column on `facts`; dim
+    * columns arrive under their own names (collision-checked). */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                   factTs: Column, keepUnmatched: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    val dup = dim.columns.toSet
+      .intersect(facts.columns.toSet).diff(keys.toSet)
+    require(dup.isEmpty, s"dim/fact column collision: $dup")
+    val ts = factTs.cast("timestamp")
+    val matched = facts.withColumn("__fact_ts", ts)
+      .join(dim,
+        keys.map(k => facts(k) === dim(k))
+          .reduce(_ && _) &&
+          dim(ValidFrom) <= col("__fact_ts") &&
+          (dim(ValidTo).isNull || dim(ValidTo) > col("__fact_ts")),
+        if (keepUnmatched) "left" else "inner")
+    // drop the dim's copy of the key columns (values equal by the join)
+    keys.foldLeft(matched)((df, k) => df.drop(dim(k))).drop("__fact_ts")
+  }
 }

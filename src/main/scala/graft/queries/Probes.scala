@@ -7060,6 +7060,93 @@ object Probes {
            |FROM m ORDER BY entity""".stripMargin)
   )
 
+  /** Temporal (SCD2) lookup join: every order picks the customer-dim
+    * VERSION in effect at its own order date — a deterministic
+    * two-version dim (key-dependent boundary year) makes the interval
+    * semantics fully oracle-replayable. One key equi-join + narrow
+    * interval filter; at most one version survives per fact. */
+  val temporalJoinProbe = Probe(
+    "q207_temporal_join",
+    (s, d) => {
+      import graft.operators.Scd2
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      val boundary =
+        expr("CAST(concat(CAST(1993 + custkey % 5 AS INT), '-01-01') AS TIMESTAMP)")
+      val dim = cust.select(col("custkey"), lit("bronze").as("segment"),
+          lit("1992-01-01").cast("timestamp").as("valid_from"),
+          boundary.as("valid_to"))
+        .unionByName(cust.select(col("custkey"), lit("silver").as("segment"),
+          boundary.as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to")))
+      val facts = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_orderdate"))
+      Scd2.temporalJoin(facts, dim, Seq("custkey"), col("o_orderdate"))
+        .select(col("o_orderkey"), col("custkey"), col("segment"),
+          col("valid_from"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH cust AS (SELECT c_custkey AS custkey FROM customer),
+           |dim AS (
+           |  SELECT custkey, 'bronze' AS segment,
+           |    TIMESTAMP '1992-01-01' AS valid_from,
+           |    CAST((1993 + custkey % 5) || '-01-01' AS TIMESTAMP) AS valid_to
+           |  FROM cust
+           |  UNION ALL
+           |  SELECT custkey, 'silver',
+           |    CAST((1993 + custkey % 5) || '-01-01' AS TIMESTAMP),
+           |    NULL FROM cust),
+           |f AS (SELECT o_orderkey, o_custkey AS custkey,
+           |    o_orderdate::TIMESTAMP AS ts FROM orders)
+           |SELECT f.o_orderkey, f.custkey, d.segment, d.valid_from
+           |FROM f LEFT JOIN dim d ON d.custkey = f.custkey
+           |  AND d.valid_from <= f.ts
+           |  AND (d.valid_to IS NULL OR d.valid_to > f.ts)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Positional (U-shaped) multi-touch attribution over the events
+    * stream (clicks → purchases, 7-day window), FULLY oracled — join
+    * window, rank/count, and the exact integer credit split (incl. the
+    * truncation dust on the first touch) replayed in DuckDB. Credits
+    * sum to exactly 10⁶ per attributed conversion on both engines. */
+  val attributionProbe = Probe(
+    "q208_attribution",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.attributionPositional(Tables.events(s, d), col("user_id"),
+        col("event_id"), expr("unix_micros(ts)"), col("event_type"),
+        touchType = "click", conversionType = "purchase",
+        windowUs = 604800000000L)
+    },
+    Some("""WITH ev AS (SELECT user_id AS e, event_id AS id,
+           |    epoch_us(ts::TIMESTAMP) AS t, event_type AS ty
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |c AS (SELECT e, id AS conversion_id, t AS ct FROM ev
+           |  WHERE ty = 'purchase'),
+           |tch AS (SELECT e, id AS touch_id, t AS tt FROM ev
+           |  WHERE ty = 'click'),
+           |j AS (SELECT c.e, c.conversion_id, tch.touch_id, tch.tt
+           |  FROM c LEFT JOIN tch ON tch.e = c.e AND tch.tt <= c.ct
+           |    AND tch.tt > c.ct - 604800000000),
+           |r AS (SELECT *, CASE WHEN touch_id IS NULL THEN 0 ELSE
+           |      row_number() OVER (PARTITION BY e, conversion_id
+           |        ORDER BY tt, touch_id) END AS touch_rank,
+           |    count(touch_id) OVER (PARTITION BY e, conversion_id)
+           |      AS n_touches
+           |  FROM j)
+           |SELECT e AS entity, conversion_id, touch_id,
+           |  CAST(touch_rank AS BIGINT) AS touch_rank,
+           |  CAST(n_touches AS BIGINT) AS n_touches,
+           |  CAST(CASE WHEN touch_id IS NULL THEN 0
+           |    WHEN n_touches = 1 THEN 1000000
+           |    WHEN n_touches = 2 THEN 500000
+           |    WHEN touch_rank = n_touches THEN 400000
+           |    WHEN touch_rank = 1
+           |      THEN 600000 - (200000 // (n_touches - 2)) * (n_touches - 2)
+           |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_ppm
+           |FROM r ORDER BY entity, conversion_id, touch_rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7107,7 +7194,8 @@ object Probes {
     spellingProbe, shareOfParentProbe, marginAnnProbe, rankEvalAnnProbe,
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
-    apportionProbe, covMomentsProbe, rfmProbe
+    apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
+    attributionProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -445,6 +445,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(ev) === run(ev.repartition(13)))
   }
 
+  // --- positional multi-touch attribution ---
+
+  private def attrib(rows: Seq[(Long, Long, Long, String)], winUs: Long) =
+    Analytics.attributionPositional(rows.toDF("u", "id", "t", "ty"),
+        col("u"), col("id"), col("t"), col("ty"), "click", "purchase", winUs)
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("attributionPositional: U-shape credits, exact 1e6 total, dust to first touch") {
+    // 5 clicks then a purchase: first 400002, middles 3×66666, last 400000
+    val rows = (1L to 5L).map(i => (1L, i, i * 10L, "click")) :+
+      ((1L, 99L, 60L, "purchase"))
+    val out = attrib(rows, 1000L)
+    assert(out.map(_._5).sum === 1000000L)
+    assert(out === Seq(
+      (99L, Some(1L), 1L, 5L, 400002L),
+      (99L, Some(2L), 2L, 5L, 66666L),
+      (99L, Some(3L), 3L, 5L, 66666L),
+      (99L, Some(4L), 4L, 5L, 66666L),
+      (99L, Some(5L), 5L, 5L, 400000L)))
+  }
+
+  test("attributionPositional: 1-touch, 2-touch, and no-touch conversions") {
+    val rows = Seq(
+      (1L, 1L, 10L, "click"), (1L, 90L, 20L, "purchase"), // 1 touch
+      (2L, 2L, 10L, "click"), (2L, 3L, 15L, "click"),
+      (2L, 91L, 20L, "purchase"), // 2 touches
+      (3L, 92L, 20L, "purchase")) // no touch at all
+    val out = attrib(rows, 1000L).groupBy(_._1)
+    assert(out(90L) === Seq((90L, Some(1L), 1L, 1L, 1000000L)))
+    assert(out(91L).map(_._5) === Seq(500000L, 500000L))
+    assert(out(92L) === Seq((92L, None, 0L, 0L, 0L))) // visible, credit 0
+    // the unattributed row must keep the CONVERSION's entity (the
+    // self-join-ambiguity regression surfaced a NULL here)
+    val ent = Analytics.attributionPositional(rows.toDF("u", "id", "t", "ty"),
+        col("u"), col("id"), col("t"), col("ty"), "click", "purchase", 1000L)
+      .filter(col("conversion_id") === 92L)
+      .collect().map(r => Option(r.get(0)))
+    assert(ent.toSeq === Seq(Some(3L)))
+  }
+
+  test("attributionPositional: window gates touches; out-of-window-only → unattributed") {
+    val rows = Seq(
+      (1L, 1L, 10L, "click"),      // 90 µs before purchase: outside win=50
+      (1L, 2L, 80L, "click"),      // inside
+      (1L, 90L, 100L, "purchase"),
+      (2L, 3L, 10L, "click"),      // only touch, outside window
+      (2L, 91L, 100L, "purchase"))
+    val out = attrib(rows, 50L).groupBy(_._1)
+    assert(out(90L) === Seq((90L, Some(2L), 1L, 1L, 1000000L)))
+    assert(out(91L) === Seq((91L, None, 0L, 0L, 0L)))
+  }
+
+  test("attributionPositional is layout-independent") {
+    val rows = (0L until 3000L).map { i =>
+      val ty = if (i % 11 == 0) "purchase" else if (i % 3 == 0) "click" else "view"
+      (i % 17, i, i * 7L, ty)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.attributionPositional(d, col("u"), col("id"), col("t"),
+          col("ty"), "click", "purchase", 500L)
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("u", "id", "t", "ty")
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   // --- RFM segmentation ---
 
   test("rfm: hand case — aggregates, observed-max recency, quintile scores") {

@@ -118,4 +118,41 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.filter(col("id") === 2).select("valid_from").collect().head
       .getTimestamp(0).toString.startsWith("2024-01-01"))
   }
+
+  test("temporalJoin: each fact picks the version in effect at ITS time") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")),
+      (1L, "v2", ts("2024-01-10 00:00:00"), null.asInstanceOf[Timestamp]))
+      .toDF("id", "seg", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-05 00:00:00")), // inside v1
+      (101L, 1L, ts("2024-01-10 00:00:00")), // boundary: half-open → v2
+      (102L, 1L, ts("2024-02-01 00:00:00")), // open-ended v2
+      (103L, 1L, ts("2023-12-01 00:00:00")), // before first version → NULL
+      (104L, 9L, ts("2024-01-05 00:00:00"))) // unknown key → NULL
+      .toDF("fid", "id", "ts")
+    val out = Scd2.temporalJoin(facts, dim, Seq("id"), col("ts"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("seg"))).map(_.toString)).toMap
+    assert(out === Map(100L -> Some("v1"), 101L -> Some("v2"),
+      102L -> Some("v2"), 103L -> None, 104L -> None))
+    // inner variant drops the unmatched facts
+    assert(Scd2.temporalJoin(facts, dim, Seq("id"), col("ts"),
+      keepUnmatched = false).count() === 3)
+  }
+
+  test("temporalJoin: column collisions are rejected loudly") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq((1L, "x", ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[Timestamp]))
+      .toDF("id", "ts", "valid_from", "valid_to") // 'ts' collides
+    val facts = Seq((100L, 1L, ts("2024-01-05 00:00:00")))
+      .toDF("fid", "id", "ts")
+    intercept[IllegalArgumentException] {
+      Scd2.temporalJoin(facts, dim, Seq("id"), col("ts"))
+    }
+  }
 }
