@@ -464,4 +464,60 @@ object CorpusStats {
       .drop("__next")
       .orderBy("r")
   }
+
+  /** Corpus diversity report: the distribution of pairwise shingle
+    * Jaccard over a document SAMPLE — the mode-collapse alarm for
+    * synthetic/augmented corpora (a generator looping on itself drives
+    * mean pairwise similarity up long before exact dedup fires; Zhu's
+    * self-BLEU serves the same role, built here from the engine's
+    * existing shingle machinery so it replays exactly).
+    *
+    * Pass a BOUNDED sample (the caller picks it — deterministic id
+    * range or [[graft.operators.Sampling]]): all C(n,2) pairs are the
+    * denominator, so the metric is only as meaningful as the sample is
+    * representative, and the shingle-digest equi-join's cost tracks
+    * shared shingles, never the corpus.
+    *
+    * Exact integer: per-doc DISTINCT shingle sets ([[graft.functions
+    * .Text.shingles]], md5 digests shuffle — 16 bytes, never text);
+    * sharing pairs get `jacc_ppm = 10⁶·c DIV (|a|+|b|−c)`; non-sharing
+    * pairs contribute 0 to the mean without being enumerated. Docs with
+    * zero shingles (empty text) are outside the universe — visible in
+    * `n_docs` only through their absence, never fake-zero pairs.
+    *
+    * Output (ONE row): `n_docs`, `n_pairs_total` = C(n,2),
+    * `n_pairs_sharing`, `mean_jaccard_ppm` (over ALL pairs, truncating;
+    * NULL when < 2 docs), `max_jaccard_ppm` (0 when no pair shares),
+    * `n_pairs_half` (jaccard > 50%, the near-dup-pressure count). */
+  def diversityReport(docs: DataFrame, id: Column, text: Column,
+                      n: Int = 3): DataFrame = {
+    val sets = docs
+      .select(id.cast("long").as("__id"),
+        explode(array_distinct(Text.shingles(text, n))).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__h"))
+    val sizes = sets.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val uni = broadcast(sizes.agg(count(lit(1)).as("n_docs")))
+    val a = sets.select(col("__id").as("__ia"), col("__h"))
+    val b = sets.select(col("__id").as("__ib"), col("__h"))
+    val common = a.join(b, "__h").filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("__c"))
+    val jacc = common
+      .join(sizes.select(col("__id").as("__ia"), col("__sz").as("__sa")), "__ia")
+      .join(sizes.select(col("__id").as("__ib"), col("__sz").as("__sb")), "__ib")
+      .select(expr("(1000000L * __c) DIV (__sa + __sb - __c)").as("__j"))
+    jacc.agg(
+        count(lit(1)).as("n_pairs_sharing"),
+        coalesce(sum(col("__j")), lit(0L)).as("__jsum"),
+        coalesce(max(col("__j")), lit(0L)).as("max_jaccard_ppm"),
+        coalesce(sum(when(col("__j") > 500000L, 1L).otherwise(0L)), lit(0L))
+          .as("n_pairs_half"))
+      .crossJoin(uni)
+      .select(col("n_docs"),
+        expr("(n_docs * (n_docs - 1)) DIV 2").as("n_pairs_total"),
+        col("n_pairs_sharing"),
+        expr("""CASE WHEN n_docs >= 2
+               | THEN __jsum DIV ((n_docs * (n_docs - 1)) DIV 2) END"""
+          .stripMargin).as("mean_jaccard_ppm"),
+        col("max_jaccard_ppm"), col("n_pairs_half"))
+  }
 }

@@ -703,4 +703,54 @@ object Profile {
     }
     m.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Exact trimmed mean per group — the robust location estimate
+    * between the mean (outlier-hostage) and the median (throws away
+    * 98% of the data): drop the `trimPpm` fraction off EACH end by
+    * rank and average what's left, all in integers.
+    *
+    * Rank-based, not value-based: `t = (n · trimPpm) DIV 10⁶` rows are
+    * cut from each side under the total order (value, tiebreak) — so
+    * ties at the cut line resolve deterministically and the result is
+    * layout-independent on any engine. The kept-range mean is an exact
+    * DECIMAL(38,0) sum with truncating DIV. Groups where trimming
+    * would eat everything (n ≤ 2t) report NULL, never a fabricated
+    * number; `mean_cents` (untrimmed) rides along as the contrast.
+    *
+    * Shape: ONE group exchange — the rank window and the conditional
+    * aggregate share its sort. Output: `group`, `n`, `n_trim_side`,
+    * `n_kept`, `mean_cents`, `trimmed_mean_cents`; total order by
+    * group. */
+  def trimmedMean(df: DataFrame, group: Column, valueCents: Column,
+                  tieBreak: Column, trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      "trimPpm in [0, 500000) — trimming half off each side keeps nothing")
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__v").asc, col("__tb").asc)
+    val whole = Window.partitionBy(col("__g"))
+    df.select(group.cast("string").as("__g"),
+        valueCents.cast("long").as("__v"), tieBreak.as("__tb"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // group size as a whole-partition window — shares the one exchange
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__t", expr(s"(__n * ${trimPpm}L) DIV 1000000L"))
+      .withColumn("__keep",
+        col("__rn") > col("__t") && col("__rn") <= col("__n") - col("__t"))
+      .groupBy(col("__g"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__t")).as("n_trim_side"),
+        expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_cents"),
+        sum(when(col("__keep"), expr("CAST(__v AS DECIMAL(38,0))")))
+          .as("__ksum"),
+        coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L))
+          .as("n_kept"))
+      .select(col("__g").as("group"), col("n"), col("n_trim_side"),
+        col("n_kept"), col("mean_cents"),
+        expr("CASE WHEN n_kept > 0 THEN CAST(__ksum DIV n_kept AS BIGINT) END")
+          .as("trimmed_mean_cents"))
+      .orderBy("group")
+  }
 }

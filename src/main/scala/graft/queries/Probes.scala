@@ -7147,6 +7147,87 @@ object Probes {
            |FROM r ORDER BY entity, conversion_id, touch_rank""".stripMargin)
   )
 
+  /** Corpus diversity / self-similarity over a bounded 300-doc sample,
+    * FULLY oracled — the shingle sets, sharing-pair Jaccards, and the
+    * all-pairs truncating mean replay exactly in DuckDB (the q184
+    * shingle SQL at doc granularity). The mode-collapse alarm for
+    * synthetic corpora. */
+  val diversityProbe = Probe(
+    "q209_diversity",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.diversityReport(
+        Tables.documents(s, d).filter(col("doc_id") < 300),
+        col("doc_id"), col("text"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS wl
+           |  FROM documents WHERE doc_id < 300),
+           |sh0 AS (SELECT doc_id,
+           |    CASE WHEN len(wl) >= 3 THEN
+           |      list_distinct(list_transform(range(1, len(wl) - 1),
+           |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]))
+           |    ELSE list_distinct(wl) END AS sl
+           |  FROM t),
+           |sets AS (SELECT doc_id, unnest(sl) AS g FROM sh0),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           |  FROM sets GROUP BY 1),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
+           |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM sets a JOIN sets b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |j AS (SELECT (1000000 * p.c) // (sa.sz + sb.sz - p.c) AS jp
+           |  FROM p JOIN sizes sa ON sa.doc_id = p.ia
+           |         JOIN sizes sb ON sb.doc_id = p.ib)
+           |SELECT nd.n_docs,
+           |  (nd.n_docs * (nd.n_docs - 1)) // 2 AS n_pairs_total,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM j) AS n_pairs_sharing,
+           |  CASE WHEN nd.n_docs >= 2 THEN
+           |    CAST((SELECT coalesce(sum(jp), 0) FROM j)
+           |      // ((nd.n_docs * (nd.n_docs - 1)) // 2) AS BIGINT) END
+           |    AS mean_jaccard_ppm,
+           |  (SELECT CAST(coalesce(max(jp), 0) AS BIGINT) FROM j)
+           |    AS max_jaccard_ppm,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN jp > 500000 THEN 1 ELSE 0
+           |    END), 0) AS BIGINT) FROM j) AS n_pairs_half
+           |FROM nd""".stripMargin)
+  )
+
+  /** Exact 10%-trimmed mean per event type, FULLY oracled — rank-based
+    * trim under the (value, event_id) total order, truncating integer
+    * means, replayed in DuckDB with the same window + conditional
+    * aggregate. */
+  val trimmedMeanProbe = Probe(
+    "q210_trimmed_mean",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.trimmedMean(Tables.events(s, d), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), col("event_id"))
+    },
+    Some("""WITH b AS (SELECT event_type AS g,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+           |  FROM events WHERE event_type IS NOT NULL
+           |    AND value IS NOT NULL),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY g
+           |      ORDER BY v, event_id) AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM b),
+           |k AS (SELECT g, n, (n * 100000) // 1000000 AS t, rn, v FROM r)
+           |SELECT g AS "group", max(n) AS n,
+           |  CAST(max(t) AS BIGINT) AS n_trim_side,
+           |  CAST(sum(CASE WHEN rn > t AND rn <= n - t THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(sum(CAST(v AS HUGEINT)) // count(*) AS BIGINT) AS mean_cents,
+           |  CASE WHEN sum(CASE WHEN rn > t AND rn <= n - t THEN 1 ELSE 0
+           |      END) > 0 THEN
+           |    CAST(sum(CASE WHEN rn > t AND rn <= n - t
+           |        THEN CAST(v AS HUGEINT) END)
+           |      // sum(CASE WHEN rn > t AND rn <= n - t THEN 1 ELSE 0 END)
+           |      AS BIGINT) END AS trimmed_mean_cents
+           |FROM k GROUP BY g ORDER BY g""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7195,7 +7276,7 @@ object Probes {
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
-    attributionProbe
+    attributionProbe, diversityProbe, trimmedMeanProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -722,7 +722,42 @@ object ScaleSweep {
         // one pass of the dim²-long mergeable buffer; shuffle ships one
         // 32 KB buffer per partition regardless of corpus size
         "cov_moments" -> (() => noop(
-          Similarity.covarianceMoments(emb, col("embedding"), dim = 64)))
+          Similarity.covarianceMoments(emb, col("embedding"), dim = 64))),
+        // entity agg + 3 range exchanges over the entity-sized frame
+        "rfm" -> (() => noop(
+          Analytics.rfm(o, col("o_custkey"), col("o_orderdate"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")))),
+        // entity-keyed join, fanout = in-window touches per conversion
+        "attribution" -> (() => noop(
+          Analytics.attributionPositional(ev, col("user_id"),
+            col("event_id"), expr("unix_micros(ts)"), col("event_type"),
+            "click", "purchase", 604800000000L))),
+        // key equi-join + interval filter; dim = 2 versions per custkey
+        "temporal_join" -> { () =>
+          val cust = o.select(col("o_custkey").as("custkey")).distinct()
+          val boundary = expr(
+            "CAST(concat(CAST(1993 + custkey % 5 AS INT), '-01-01') AS TIMESTAMP)")
+          val dim = cust.select(col("custkey"), lit("bronze").as("segment"),
+              lit("1992-01-01").cast("timestamp").as("valid_from"),
+              boundary.as("valid_to"))
+            .unionByName(cust.select(col("custkey"),
+              lit("silver").as("segment"), boundary.as("valid_from"),
+              lit(null).cast("timestamp").as("valid_to")))
+          noop(graft.operators.Scd2.temporalJoin(
+            o.select(col("o_orderkey"), col("o_custkey").as("custkey"),
+              col("o_orderdate")),
+            dim, Seq("custkey"), col("o_orderdate")))
+        },
+        // bounded 300-doc sample (base-replica ids): the scan grows with
+        // the corpus, the pair stage is flat BY CONTRACT
+        "diversity_300" -> (() => noop(
+          CorpusStats.diversityReport(docs.filter(col("doc_id") < 300),
+            col("doc_id"), col("text")))),
+        // one group exchange, rank + whole-partition count share its sort
+        "trimmed_mean" -> (() => noop(
+          Profile.trimmedMean(ev, col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+            col("event_id"))))
       )
       val selected =
         if (opFilter.isEmpty) ops

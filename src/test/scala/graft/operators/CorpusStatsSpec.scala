@@ -191,4 +191,43 @@ class CorpusStatsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(docs) === run(docs.repartition(17)))
   }
+
+  // --- diversity report ---
+
+  private def diversity(rows: Seq[(Long, String)]) = {
+    val r = CorpusStats.diversityReport(rows.toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("diversityReport: hand Jaccards, all-pairs mean, empty docs excluded") {
+    // doc1/doc2 share shingle "a b c" (1 of 3 distinct) → 333333 ppm;
+    // doc3 shares nothing; the empty doc is outside the universe
+    val out = diversity(Seq((1L, "a b c d"), (2L, "a b c x"),
+      (3L, "z z"), (4L, "")))
+    assert(out === ((3L, 3L, 1L, 333333L / 3, 333333L, 0L)))
+  }
+
+  test("diversityReport: exact duplicates push max to 1e6 and count as near-dup pressure") {
+    val out = diversity(Seq((1L, "w x y z"), (2L, "w x y z"),
+      (3L, "completely different words here")))
+    assert(out._5 === 1000000L)
+    assert(out._6 === 1L)
+  }
+
+  test("diversityReport: single-doc sample → NULL mean, zero pairs") {
+    val out = diversity(Seq((1L, "only one document")))
+    assert(out === ((1L, 0L, 0L, -1L, 0L, 0L)))
+  }
+
+  test("diversityReport is layout-independent") {
+    val rows = (0L until 400L).map(i =>
+      (i, s"tok${i % 13} tok${(i * 7) % 13} tok${(i * 11) % 13} tail$i"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.diversityReport(d, col("doc_id"), col("text"))
+        .collect().head.toSeq
+    val df = rows.toDF("doc_id", "text")
+    assert(run(df) === run(df.repartition(17)))
+  }
 }

@@ -450,4 +450,39 @@ class ProfileSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSeq
     assert(run(big) === run(big.repartition(17)))
   }
+
+  // --- trimmed mean ---
+
+  test("trimmedMean: outliers trimmed by rank, exact truncating means") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L), ("g", 1000L, 5L))
+    val out = Profile.trimmedMean(rows.toDF("g", "v", "id"), col("g"),
+        col("v"), col("id"), trimPpm = 200000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    // n=5, t=1 → kept ranks 2..4 = {2,3,4}: trimmed mean 3; raw 1010/5=202
+    assert(out === ((5L, 1L, 3L, 202L, 3L)))
+  }
+
+  test("trimmedMean: 10% of a small group truncates to zero trim (mean unchanged)") {
+    import spark.implicits._
+    val rows = (1L to 5L).map(v => ("g", v, v))
+    val out = Profile.trimmedMean(rows.toDF("g", "v", "id"), col("g"),
+        col("v"), col("id"))
+      .collect().head
+    assert(out.getLong(2) === 0L) // (5·1e5) DIV 1e6 = 0
+    assert(out.getLong(4) === out.getLong(5)) // nothing trimmed
+  }
+
+  test("trimmedMean: ties at the cut resolve by tiebreak, layout-independent") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i =>
+      (s"g${i % 5}", (i * 37) % 100, i))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.trimmedMean(d, col("g"), col("v"), col("id"))
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("g", "v", "id")
+    assert(run(df) === run(df.repartition(13)))
+  }
 }
