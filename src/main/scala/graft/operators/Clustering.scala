@@ -39,12 +39,32 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Run `iters` Lloyd iterations; returns assignments
-    * (`id`, `cluster` 0-based, `dist2` — exact Σ(Δ_micro)²) under the
-    * FINAL centroids. Empty clusters keep their previous centroid. */
-  def kmeansMicro(embs: DataFrame, k: Int, iters: Int,
-                  idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+  /** The k-candidate distance array: struct(dist2, cluster) per
+    * centroid, folded IN the row — array_min then picks
+    * (min dist, lowest cluster) with no k-way row fanout. */
+  private def candidateArray(cents: Seq[(Int, Seq[Long])]): Column =
+    array(cents.map { case (cid, c) =>
+      struct(
+        aggregate(
+          zip_with(col("vm"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("dist2"),
+        lit(cid).as("cluster"))
+    }: _*)
+
+  private def assignFrom(micro: DataFrame, cents: Seq[(Int, Seq[Long])],
+                         idCol: String): DataFrame =
+    micro.select(col(idCol), col("vm"),
+        array_min(candidateArray(cents)).as("__best"))
+      .select(col(idCol), col("vm"),
+        col("__best.cluster").as("cluster"),
+        col("__best.dist2").as("dist2"))
+
+  /** Shared Lloyd preamble + loop: micro-quantize (PERSISTED — caller
+    * unpersists), deterministic digest-order seeds, `iters` update
+    * rounds. Returns (micro, final centroids); centroids empty iff the
+    * corpus is. */
+  private def lloydFit(embs: DataFrame, k: Int, iters: Int, idCol: String,
+                       vecCol: String): (DataFrame, Seq[(Int, Seq[Long])]) = {
     require(k >= 1, "k >= 1")
     require(iters >= 1, "iters >= 1")
     val micro = embs.select(
@@ -63,39 +83,11 @@ object Clustering {
     var centroids = seeds.collect().zipWithIndex.map { case (r, i) =>
       (i, r.getSeq[Long](0))
     }.toSeq
-
-    // empty corpus → no seeds → the candidate array below would be a
-    // zero-length VOID array and the struct extraction fails analysis;
-    // return the (id, cluster, dist2) schema with zero rows instead
-    if (centroids.isEmpty) {
-      val empty = micro
-        .select(col(idCol), lit(0).as("cluster"), lit(0L).as("dist2"))
-        .where(lit(false))
-      micro.unpersist()
-      return empty
-    }
-
-    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
-      // fold the k distances inside the row: array of (dist2, cluster)
-      // structs → array_min picks (min dist, lowest cluster). No k-way
-      // row fanout ever materializes.
-      val candidates = array(cents.map { case (cid, c) =>
-        struct(
-          aggregate(
-            zip_with(col("vm"), typedLit(c), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, d) => acc + d).as("dist2"),
-          lit(cid).as("cluster"))
-      }: _*)
-      micro.select(col(idCol), col("vm"),
-        array_min(candidates).as("__best"))
-        .select(col(idCol), col("vm"),
-          col("__best.cluster").as("cluster"),
-          col("__best.dist2").as("dist2"))
-    }
+    if (centroids.isEmpty) return (micro, Nil)
 
     var i = 0
     while (i < iters) {
-      val assigned = assign(centroids)
+      val assigned = assignFrom(micro, centroids, idCol)
       val updated = assigned
         .select(col("cluster"), posexplode(col("vm")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
@@ -115,7 +107,86 @@ object Clustering {
       }
       i += 1
     }
-    val out = assign(centroids).drop("vm").localCheckpoint(true)
+    (micro, centroids)
+  }
+
+  /** Run `iters` Lloyd iterations; returns assignments
+    * (`id`, `cluster` 0-based, `dist2` — exact Σ(Δ_micro)²) under the
+    * FINAL centroids. Empty clusters keep their previous centroid. */
+  def kmeansMicro(embs: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val (micro, centroids) = lloydFit(embs, k, iters, idCol, vecCol)
+    // empty corpus → no seeds → the candidate array would be a
+    // zero-length VOID array and the struct extraction fails analysis;
+    // return the (id, cluster, dist2) schema with zero rows instead
+    if (centroids.isEmpty) {
+      val empty = micro
+        .select(col(idCol), lit(0).as("cluster"), lit(0L).as("dist2"))
+        .where(lit(false))
+      micro.unpersist()
+      return empty
+    }
+    val out = assignFrom(micro, centroids, idCol).drop("vm")
+      .localCheckpoint(true)
+    micro.unpersist()
+    out
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the cluster-
+    * quality readout that says whether k was sane without the O(n²)
+    * full silhouette: per vector, a² = dist2 to the OWN (nearest)
+    * centroid, b² = dist2 to the nearest OTHER centroid, and
+    *
+    *   s_ppm = 10⁶ · (b² − a²) DIV max(a², b²)   ∈ [0, 10⁶]
+    *
+    * (squared-distance variant — monotone in the textbook simplified
+    * silhouette and integer-exact; b² ≥ a² by construction of the
+    * assignment, so the score is never negative). High mean → tight,
+    * well-separated cluster; near 0 → the cluster boundary runs through
+    * the data and k is wrong. Degenerate a² = b² = 0 scores 0.
+    *
+    * One extra narrow pass over the persisted micro frame with the same
+    * in-row k-candidate fold (no row fanout), then a k-sized aggregate.
+    * Requires k ≥ 2 (no "other" centroid otherwise). Output: `cluster`
+    * LONG, `n_vecs`, `mean_s_ppm`, `min_s_ppm`, `max_s_ppm` LONG;
+    * total order by cluster. */
+  def silhouetteSimplified(embs: DataFrame, k: Int, iters: Int,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2")
+    val (micro, centroids) = lloydFit(embs, k, iters, idCol, vecCol)
+    if (centroids.isEmpty) {
+      val empty = micro.select(lit(0L).as("cluster"), lit(0L).as("n_vecs"),
+          lit(0L).as("mean_s_ppm"), lit(0L).as("min_s_ppm"),
+          lit(0L).as("max_s_ppm"))
+        .where(lit(false))
+      micro.unpersist()
+      return empty
+    }
+    val scored = micro
+      .select(col(idCol), candidateArray(centroids).as("__all"))
+      .select(col(idCol), array_min(col("__all")).as("__best"),
+        col("__all"))
+      .select(
+        col("__best.cluster").cast("long").as("cluster"),
+        col("__best.dist2").as("__a2"),
+        array_min(filter(col("__all"),
+          s => s.getField("cluster") =!= col("__best.cluster")))
+          .getField("dist2").as("__b2"))
+      .withColumn("__s",
+        when(greatest(col("__a2"), col("__b2")) > 0,
+          expr("""CAST((CAST(__b2 AS DECIMAL(38,0)) - __a2) * 1000000
+                 |  div greatest(__a2, __b2) AS BIGINT)""".stripMargin))
+          .otherwise(lit(0L)))
+    val out = scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(CAST(__s AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("mean_s_ppm"),
+        min(col("__s")).as("min_s_ppm"),
+        max(col("__s")).as("max_s_ppm"))
+      .orderBy("cluster")
+      .localCheckpoint(true)
     micro.unpersist()
     out
   }

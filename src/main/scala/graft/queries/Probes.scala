@@ -7228,6 +7228,74 @@ object Probes {
            |FROM k GROUP BY g ORDER BY g""".stripMargin)
   )
 
+  /** Simplified silhouette per cluster (k=4, 2 Lloyd iterations — the
+    * q144 fit), FULLY oracled — DuckDB replays the identical integer
+    * k-means (q144's unrolled CTE chain) and then the a²/b²/score table
+    * from the full per-(vec, cluster) distance frame. The "was k sane"
+    * readout on top of the deterministic clustering. */
+  val silhouetteProbe = Probe(
+    "q211_silhouette",
+    (s, d) => {
+      import graft.operators.Clustering
+      Clustering.silhouetteSimplified(Tables.embeddings(s, d), k = 4,
+        iters = 2)
+    },
+    Some("""WITH m AS (SELECT vec_id,
+           |    list_transform(embedding, x ->
+           |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS vm
+           |  FROM embeddings),
+           |seeds AS (SELECT vm, row_number() OVER
+           |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+           |  FROM m QUALIFY cluster < 4),
+           |x AS (SELECT vec_id, generate_subscripts(vm, 1) AS dim,
+           |    unnest(vm) AS x FROM m),
+           |c0 AS (SELECT cluster, generate_subscripts(vm, 1) AS dim,
+           |    unnest(vm) AS c FROM seeds),
+           |d1 AS (SELECT x.vec_id, c0.cluster,
+           |    sum((x.x - c0.c) * (x.x - c0.c)) AS dist2
+           |  FROM x JOIN c0 USING (dim) GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cluster FROM d1
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist2, cluster) = 1),
+           |u1 AS (SELECT a1.cluster, x.dim,
+           |    CAST(CAST(sum(x.x) AS HUGEINT) // count(*) AS BIGINT) AS c
+           |  FROM x JOIN a1 USING (vec_id) GROUP BY 1, 2),
+           |c1 AS (SELECT c0.cluster, c0.dim, coalesce(u1.c, c0.c) AS c
+           |  FROM c0 LEFT JOIN u1 ON c0.cluster = u1.cluster AND c0.dim = u1.dim),
+           |d2 AS (SELECT x.vec_id, c1.cluster,
+           |    sum((x.x - c1.c) * (x.x - c1.c)) AS dist2
+           |  FROM x JOIN c1 USING (dim) GROUP BY 1, 2),
+           |a2x AS (SELECT vec_id, cluster FROM d2
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist2, cluster) = 1),
+           |u2 AS (SELECT a2x.cluster, x.dim,
+           |    CAST(CAST(sum(x.x) AS HUGEINT) // count(*) AS BIGINT) AS c
+           |  FROM x JOIN a2x USING (vec_id) GROUP BY 1, 2),
+           |c2 AS (SELECT c1.cluster, c1.dim, coalesce(u2.c, c1.c) AS c
+           |  FROM c1 LEFT JOIN u2 ON c1.cluster = u2.cluster AND c1.dim = u2.dim),
+           |d3 AS (SELECT x.vec_id, c2.cluster,
+           |    CAST(sum((x.x - c2.c) * (x.x - c2.c)) AS BIGINT) AS dist2
+           |  FROM x JOIN c2 USING (dim) GROUP BY 1, 2),
+           |own AS (SELECT vec_id, cluster, dist2 AS a2 FROM d3
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist2, cluster) = 1),
+           |oth AS (SELECT d3.vec_id, min(d3.dist2) AS b2
+           |  FROM d3 JOIN own ON own.vec_id = d3.vec_id
+           |    AND d3.cluster <> own.cluster GROUP BY 1),
+           |sc AS (SELECT own.cluster,
+           |    CASE WHEN greatest(own.a2, oth.b2) > 0 THEN
+           |      CAST(((CAST(oth.b2 AS HUGEINT) - own.a2) * 1000000)
+           |        // greatest(own.a2, oth.b2) AS BIGINT)
+           |    ELSE 0 END AS sp
+           |  FROM own JOIN oth ON own.vec_id = oth.vec_id)
+           |SELECT CAST(cluster AS BIGINT) AS cluster,
+           |  CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(CAST(sum(sp) AS HUGEINT) // count(*) AS BIGINT) AS mean_s_ppm,
+           |  CAST(min(sp) AS BIGINT) AS min_s_ppm,
+           |  CAST(max(sp) AS BIGINT) AS max_s_ppm
+           |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7276,7 +7344,7 @@ object Probes {
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
-    attributionProbe, diversityProbe, trimmedMeanProbe
+    attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -104,4 +104,55 @@ class ClusteringSpec extends AnyFunSuite {
     // ranks are 1..5 per cluster
     assert(a.groupBy(_._1).forall(_._2.map(_._2).sorted == (1L to 5L)))
   }
+
+  // --- simplified silhouette ---
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("silhouetteSimplified: two point-blobs score exactly 1e6") {
+    // place one blob ON each digest-order seed so Lloyd can't collapse
+    val ids = (1L to 8L)
+    val ordered = ids.sortBy(i => (md5hex(i.toString), i))
+    val blobA = Set(ordered(0)) ++
+      ids.filterNot(Set(ordered(0), ordered(1))).take(3)
+    val rows = ids.map(i =>
+      (i, if (blobA(i)) Array(1.0f, 1.0f) else Array(-1.0f, -1.0f)))
+    val out = Clustering.silhouetteSimplified(rows.toDF("vec_id", "embedding"),
+        k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every point sits exactly on its centroid: a² = 0, s = 1e6
+    assert(out.map(_._2).sum === 8L)
+    assert(out.forall(_._3 === 1000000L))
+  }
+
+  test("silhouetteSimplified: k < 2 rejected; layout-independent") {
+    val rows = (0L until 300L).map(i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d) % 13) / 13.0f))))
+    intercept[IllegalArgumentException] {
+      Clustering.silhouetteSimplified(rows.toDF("vec_id", "embedding"), 1, 1)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Clustering.silhouetteSimplified(d, k = 3, iters = 2)
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    assert(run(df) === run(df.repartition(13)))
+  }
+
+  test("kmeansMicro unchanged by the lloydFit refactor (hand case)") {
+    // 4 identical + 4 identical points, k=2: assignments must be the two
+    // blobs with dist2 0 after one update round
+    val ids = (1L to 8L)
+    val ordered = ids.sortBy(i => (md5hex(i.toString), i))
+    val blobA = Set(ordered(0)) ++
+      ids.filterNot(Set(ordered(0), ordered(1))).take(3)
+    val rows = ids.map(i =>
+      (i, if (blobA(i)) Array(2.0f, 0.0f) else Array(0.0f, 2.0f)))
+    val out = Clustering.kmeansMicro(rows.toDF("vec_id", "embedding"), 2, 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.values.forall(_._2 === 0L))
+    assert(out.filter(kv => blobA(kv._1)).values.map(_._1).toSet.size === 1)
+    assert(out.filterNot(kv => blobA(kv._1)).values.map(_._1).toSet.size === 1)
+  }
 }
