@@ -154,6 +154,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bottom-k sketches must plan as WindowGroupLimit (map-side k-cap):\n$p")
   }
 
+  test("q199: changepoint — the window and the totals agg share ONE key exchange each way") {
+    val p = planOf("q199_changepoint")
+    // one exchange for the per-key window+candidates, one for the key
+    // totals agg, plus the final presentation sort — nothing per-split
+    val ex = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(ex <= 3, s"changepoint must not add per-split exchanges ($ex):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q202: decile lift ranks via globalRank's checkpoint barrier, no row-scaled global window") {
+    val p = planOf("q202_decile_lift")
+    // globalRank materializes the range-partitioned frame via
+    // localCheckpoint (its offsets pass and rank pass MUST share one
+    // physical layout), so the downstream plan reads the barrier —
+    // the range exchange itself lives behind it
+    assert(p.contains("ExistingRDD"),
+      s"globalRank's checkpoint barrier missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q207: temporal join is a plain (broadcast or hash) equi-join — no range explosion") {
+    val p = planOf("q207_temporal_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"interval filter must ride the key equi-join:\n$p")
+  }
+
+  test("q208: attribution joins on the entity key, never a time-range cross join") {
+    val p = planOf("q208_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"window predicate must ride the entity equi-join:\n$p")
+  }
+
+  test("q205: covariance moments — ONE scan feeds the Aggregator (per-dim sums excepted)") {
+    val p = planOf("q205_cov_moments")
+    assert(p.contains("graft.functions.Aggregators"),
+      s"the one-pass Aggregator must be in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
