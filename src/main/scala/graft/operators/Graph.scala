@@ -160,6 +160,60 @@ object Graph {
     out
   }
 
+  /** Weighted PageRank: [[pagerankMicro]] with per-edge weights — mass
+    * leaves a node proportionally to edge weight instead of uniformly,
+    * which is what real interaction graphs need (a customer who bought
+    * a part 40 times endorses it more than a one-off; a domain linking
+    * a URL on every page more than a footnote). Exact integer:
+    *
+    *   contrib(u→v) = (rank(u) · w(u→v)) DIV W(u),  W(u) = Σ out-weights
+    *
+    * with the product widened to DECIMAL(38,0) (rank·w can pass 2⁶³ on
+    * hot hubs), everything else identical to the unweighted recurrence
+    * — truncating DIVs, CASE-free integer sums, bit-replayable in SQL.
+    * Parallel edges SUM their weights (the natural multigraph
+    * semantics); edges with weight ≤ 0 or NULL are dropped loudly by
+    * filter, never silently treated as 1.
+    *
+    * Scale posture: identical to [[pagerankMicro]] — the weight rides
+    * the static clustered edge cache as one extra long per edge.
+    * Input (`src`, `dst`, `weight`); returns (`node`, `rank`). */
+  def weightedPagerankMicro(edges: DataFrame, iters: Int,
+                            dampNum: Long = 85L, dampDen: Long = 100L,
+                            init: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping in (0,1)")
+    val base = init * (dampDen - dampNum) / dampDen
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("weight").cast("long").as("__w"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      .repartition(col("src")).persist()
+    val wTot = e.groupBy(col("src")).agg(sum(col("__w")).as("__wt"))
+    val eW = e.join(wTot, "src").persist()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+
+    var ranks = vertices.withColumn("rank", lit(init))
+    var i = 0
+    while (i < iters) {
+      val contribs = eW
+        .join(ranks, eW("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(CAST(rank AS DECIMAL(38,0)) * __w) div __wt").as("__c"))
+      val sums = contribs.groupBy(col("node"))
+        .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
+      ranks = vertices.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+      i += 1
+    }
+    val out = ranks.localCheckpoint(true)
+    eW.unpersist(); vertices.unpersist(); e.unpersist()
+    out
+  }
+
   /** Personalized PageRank: [[pagerankMicro]]'s teleport redirected to a
     * seed set — random walks restart at the seeds instead of uniformly,
     * so mass concentrates in the seeds' neighborhood and the ranking

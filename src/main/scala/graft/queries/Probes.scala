@@ -7296,6 +7296,64 @@ object Probes {
            |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin)
   )
 
+  /** Weighted PageRank over the co-purchase graph with purchase-line
+    * counts as edge weights, 4 iterations, FULLY oracled — the weighted
+    * integer recurrence (rank·w DIV W, HUGEINT-widened) unrolls in
+    * DuckDB exactly like q78. Repeat purchases now carry rank mass —
+    * the ranking differs from q78's purely structural one. */
+  val wPagerankProbe = Probe(
+    "q212_weighted_pagerank",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cpw = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      val edges = cpw.unionByName(cpw.select(col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      Graph.weightedPagerankMicro(edges, iters = 4)
+        .select(
+          when(col("node") % 2 === 0, "cust").otherwise("part").as("node_type"),
+          expr("node DIV 2").as("node_key"),
+          col("rank").as("rank_micro"))
+        .orderBy(desc("rank_micro"), col("node_type"), col("node_key"))
+    },
+    Some("""WITH cpw AS (SELECT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT src, dst, w FROM cpw
+           |      UNION ALL SELECT dst AS src, src AS dst, w FROM cpw),
+           |wt AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
+           |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM v),
+           |i1 AS (SELECT e.dst AS node, CAST((85 * sum((CAST(r0.rank AS HUGEINT)
+           |      * e.w) // wt.wtot)) // 100 AS BIGINT) AS s
+           |  FROM e JOIN wt USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+           |r1 AS (SELECT v.node, CAST(150000 + coalesce(i1.s, 0) AS BIGINT) AS rank
+           |  FROM v LEFT JOIN i1 ON v.node = i1.node),
+           |i2 AS (SELECT e.dst AS node, CAST((85 * sum((CAST(r1.rank AS HUGEINT)
+           |      * e.w) // wt.wtot)) // 100 AS BIGINT) AS s
+           |  FROM e JOIN wt USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+           |r2 AS (SELECT v.node, CAST(150000 + coalesce(i2.s, 0) AS BIGINT) AS rank
+           |  FROM v LEFT JOIN i2 ON v.node = i2.node),
+           |i3 AS (SELECT e.dst AS node, CAST((85 * sum((CAST(r2.rank AS HUGEINT)
+           |      * e.w) // wt.wtot)) // 100 AS BIGINT) AS s
+           |  FROM e JOIN wt USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+           |r3 AS (SELECT v.node, CAST(150000 + coalesce(i3.s, 0) AS BIGINT) AS rank
+           |  FROM v LEFT JOIN i3 ON v.node = i3.node),
+           |i4 AS (SELECT e.dst AS node, CAST((85 * sum((CAST(r3.rank AS HUGEINT)
+           |      * e.w) // wt.wtot)) // 100 AS BIGINT) AS s
+           |  FROM e JOIN wt USING (src) JOIN r3 ON r3.node = e.src GROUP BY e.dst),
+           |r4 AS (SELECT v.node, CAST(150000 + coalesce(i4.s, 0) AS BIGINT) AS rank
+           |  FROM v LEFT JOIN i4 ON v.node = i4.node)
+           |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'part' END AS node_type,
+           |       node // 2 AS node_key, rank AS rank_micro
+           |FROM r4 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7344,7 +7402,8 @@ object Probes {
     twoHopKmvProbe, prioritySampleProbe, hitsProbe, changepointProbe,
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
-    attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe
+    attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
+    wPagerankProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

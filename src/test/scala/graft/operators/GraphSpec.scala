@@ -251,6 +251,38 @@ class GraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // --- weighted PageRank ---
+
+  private def wranks(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.weightedPagerankMicro(edges.toDF("src", "dst", "weight"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weightedPagerankMicro: uniform weights reproduce the unweighted recurrence") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (2L, 3L))
+    val un = Graph.pagerankMicro(e.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wranks(e.map { case (s, d) => (s, d, 7L) }, 3) === un)
+  }
+
+  test("weightedPagerankMicro: mass follows the heavy edge; hand-computed split") {
+    // 1 → 2 (w 3), 1 → 3 (w 1): contribs 750000 and 250000
+    val out = wranks(Seq((1L, 2L, 3L), (1L, 3L, 1L)), 1)
+    assert(out(2L) === 150000L + 85L * 750000L / 100L)
+    assert(out(3L) === 150000L + 85L * 250000L / 100L)
+  }
+
+  test("weightedPagerankMicro: parallel edges sum weights; non-positive dropped; layout-proof") {
+    val dup = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 5L))
+    val merged = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 5L))
+    assert(wranks(dup, 2) === wranks(merged, 2))
+    val noisy = dup ++ Seq((1L, 3L, 0L), (1L, 3L, -4L))
+    assert(wranks(noisy, 2) === wranks(merged, 2))
+    val b = Graph.weightedPagerankMicro(
+        dup.toDF("src", "dst", "weight").repartition(7), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wranks(dup, 2) === b)
+  }
+
   // --- degree assortativity ---
 
   private def assort(edges: Seq[(Long, Long)]) = {
