@@ -110,6 +110,61 @@ object HashImpl {
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
   }
 
+  /** Distinct n-gram shingle HASHES in one pass — the allocation-free
+    * sibling of [[shingles]] for consumers that only need shingle
+    * IDENTITY (overlap counts, dedup joins): each window folds its
+    * words' UTF-8 bytes plus single-space separators through fnv1a64 —
+    * byte-for-byte the string [[shingles]] would have built — then
+    * [[mix]]es. No per-window string/UTF8String materializes (per-word
+    * byte arrays are computed once); short texts (< n words) hash each
+    * word alone, mirroring [[shingles]]'s fallback. First-seen order,
+    * distinct. */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val words = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || isRegexSpace(s.charAt(i))) {
+        if (i > start) words +=
+          s.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        start = i + 1
+      }
+      i += 1
+    }
+    @inline def foldBytes(h0: Long, b: Array[Byte]): Long = {
+      var h = h0
+      var k = 0
+      while (k < b.length) { h ^= b(k) & 0xffL; h *= 0x100000001b3L; k += 1 }
+      h
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (words.length >= n) {
+      var j = 0
+      while (j + n <= words.length) {
+        var h = 0xcbf29ce484222325L
+        var t = 0
+        while (t < n) {
+          if (t > 0) { h ^= ' ' & 0xffL; h *= 0x100000001b3L }
+          h = foldBytes(h, words(j + t))
+          t += 1
+        }
+        out.add(mix(h))
+        j += 1
+      }
+    } else {
+      words.foreach { w =>
+        out.add(mix(foldBytes(0xcbf29ce484222325L, w)))
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** LSH band hashes: hash of each `rows`-wide slice of the signature. */
   def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     val out = new Array[Long](bands)
@@ -378,6 +433,18 @@ case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShinglesN = copy(c)
 }
 
+/** Hashed-shingle expression (text → array<long> of distinct shingle
+  * hashes — [[graft.plans.HashImpl.hashedShingles]]). */
+case class HashedShinglesN(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.hashedShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): HashedShinglesN =
+    copy(c)
+}
+
 /** LSH band-hash expression (signature array<long> → array<long> of band
   * hashes). */
 case class BandHash(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
@@ -529,6 +596,9 @@ object HashExprs {
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShinglesN(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_hashed_shingles",
+      exprs => HashedShinglesN(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_band_hash",
       exprs => BandHash(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -555,6 +625,12 @@ object HashExprs {
   def shingles(spark: org.apache.spark.sql.SparkSession, c: Column, n: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_shingles", c, lit(n))
+  }
+
+  def hashedShingles(spark: org.apache.spark.sql.SparkSession, c: Column,
+                     n: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_hashed_shingles", c, lit(n))
   }
 
   def bandHash(spark: org.apache.spark.sql.SparkSession, c: Column, bands: Int, rows: Int): Column = {

@@ -6088,9 +6088,14 @@ object Probes {
     "q184_source_overlap",
     (s, d) => {
       import graft.operators.TextDedup
+      // shingle IDENTITY is all overlap counting needs — the codegen
+      // hashed-shingle expression never materializes the 3-gram strings
+      // (bitwise hash64-of-ShinglesN, HashExprsSpec), and the oracle
+      // compares COUNTS, which any injective-in-practice key preserves
       val sh = Tables.documents(s, d)
         .select(col("source"),
-          explode(Text.shingles(col("text"), 3)).as("text"))
+          explode(graft.plans.HashExprs.hashedShingles(s, col("text"), 3))
+            .as("text"))
       TextDedup.sourceOverlap(sh)
     },
     Some("""WITH t AS (SELECT source,

@@ -622,12 +622,13 @@ object ScaleSweep {
             .select(col("p").as("src"), col("p2").as("dst")).distinct()
           noop(Graph.twoHopReachKmv(edges, k = 64))
         },
-        // (source, shingle-digest) distinct → digest-keyed self-join
+        // (source, shingle-hash) distinct → hash-keyed self-join; the
+        // codegen hashed-shingle stream never builds 3-gram strings
         "source_overlap" -> (() => noop(
           graft.operators.TextDedup.sourceOverlap(
             docs.select(col("source"),
-              explode(graft.functions.Text.shingles(col("text"), 3))
-                .as("text"))))),
+              explode(graft.plans.HashExprs.hashedShingles(spark,
+                col("text"), 3)).as("text"))))),
         // model broadcast onto the pair stream; one lag exchange each
         "rare_transitions" -> (() => noop(
           Analytics.rareTransitions(ev, col("user_id"),

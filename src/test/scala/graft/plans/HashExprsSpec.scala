@@ -89,4 +89,20 @@ class HashExprsSpec extends AnyFunSuite {
     val agree = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }
     assert(agree <= 2)
   }
+
+  test("HashedShinglesN == hash64(ShinglesN) bitwise — no string path divergence") {
+    val docs = Tables.documents(spark, SharedSpark.sf0001).limit(200)
+      .unionByName(Seq(
+        (900001L, "a b"),           // < n words: per-word fallback
+        (900002L, ""),              // empty → empty array
+        (900003L, "  x \t y\n z ")) // regex-space runs
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val hashRef = udf((ss: Seq[String]) => ss.map(s =>
+      HashImpl.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 0L)))
+    val cmp = docs.select(
+      array_sort(HashExprs.hashedShingles(spark, col("text"), 3)).as("fast"),
+      array_sort(hashRef(HashExprs.shingles(spark, col("text"), 3))).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
 }
