@@ -478,8 +478,9 @@ object CorpusStats {
     * representative, and the shingle-digest equi-join's cost tracks
     * shared shingles, never the corpus.
     *
-    * Exact integer: per-doc DISTINCT shingle sets ([[graft.functions
-    * .Text.shingles]], md5 digests shuffle — 16 bytes, never text);
+    * Exact integer: per-doc DISTINCT shingle sets (the codegen
+    * [[graft.plans.HashImpl.hashedShingles]] — 8-byte hashes shuffle,
+    * never text, and no n-gram string ever materializes);
     * sharing pairs get `jacc_ppm = 10⁶·c DIV (|a|+|b|−c)`; non-sharing
     * pairs contribute 0 to the mean without being enumerated. Docs with
     * zero shingles (empty text) are outside the universe — visible in
@@ -491,10 +492,13 @@ object CorpusStats {
     * `n_pairs_half` (jaccard > 50%, the near-dup-pressure count). */
   def diversityReport(docs: DataFrame, id: Column, text: Column,
                       n: Int = 3): DataFrame = {
+    // codegen hashed shingles: identity is all Jaccard needs, and the
+    // expression never materializes the n-gram strings (already
+    // distinct per doc — no array_distinct pass)
     val sets = docs
       .select(id.cast("long").as("__id"),
-        explode(array_distinct(Text.shingles(text, n))).as("__g"))
-      .select(col("__id"), md5(col("__g")).as("__h"))
+        explode(graft.plans.HashExprs.hashedShingles(docs.sparkSession,
+          text, n)).as("__h"))
     val sizes = sets.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val uni = broadcast(sizes.agg(count(lit(1)).as("n_docs")))
     val a = sets.select(col("__id").as("__ia"), col("__h"))
