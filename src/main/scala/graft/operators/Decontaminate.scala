@@ -41,8 +41,13 @@ object Decontaminate {
     * right for minhash, wrong here, so it's masked off). */
   private def grams(df: DataFrame, text: Column, n: Int): Column = {
     val spark = df.sparkSession
-    when(size(Text.words(text)) >= n, HashExprs.shingles(spark, text, n))
-      .otherwise(array().cast("array<string>"))
+    // hashed grams: the overlap JOIN and per-doc counts only need gram
+    // identity, and the hashed expression skips the n-gram string
+    // allocation entirely (n=8 grams are the longest strings the engine
+    // used to build)
+    when(size(Text.words(text)) >= n,
+        HashExprs.hashedShingles(spark, text, n))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** `docs` plus `overlap_ngrams` (distinct shared grams) and

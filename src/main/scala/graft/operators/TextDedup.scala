@@ -98,8 +98,15 @@ object TextDedup {
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleN: Int, bands: Int, rows: Int): DataFrame = {
     val spark = docs.sparkSession
-    val sh  = HashExprs.shingles(spark, col(textCol), shingleN)
-    val sig = HashExprs.minhashSig(spark, sh, bands * rows)
+    // hashed shingles end-to-end: no n-gram string ever materializes in
+    // the signature pipeline (the q184 lesson — its 50M-shingle explode
+    // ran 7× faster hashed; HERE the docs-frame is small enough that
+    // local wall time is unchanged, the win is allocation/shuffle bytes
+    // at corpus scale). The family change is gate-safe because every
+    // minhash consumer gates on Jaccard/recall invariants, not
+    // signature values — re-gated q27/q28/q60/q61/q92/q120 bit-exact.
+    val sh  = HashExprs.hashedShingles(spark, col(textCol), shingleN)
+    val sig = HashExprs.minhashSigHashed(spark, sh, bands * rows)
     spread(docs)
       .select(col(idCol), HashExprs.bandHash(spark, sig, bands, rows).as("__bands"))
       .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "band_hash")))
@@ -150,8 +157,12 @@ object TextDedup {
                             leftDocs: DataFrame, rightDocs: DataFrame,
                             idCol: String = "doc_id", textCol: String = "text",
                             shingleN: Int = 3): DataFrame = {
+    // hashed shingle sets: array_intersect/union cardinalities — and so
+    // every Jaccard value and threshold — are identical under an
+    // injective-in-practice hash, and the per-pair set ops run on longs
     def sh(docs: DataFrame) = spread(docs).select(col(idCol),
-      HashExprs.shingles(docs.sparkSession, col(textCol), shingleN).as("sh"))
+      HashExprs.hashedShingles(docs.sparkSession, col(textCol), shingleN)
+        .as("sh"))
     jaccardVerifyOnShingles(pairs, sh(leftDocs), sh(rightDocs), idCol)
   }
 
@@ -272,9 +283,13 @@ object TextDedup {
     // saved at 1×/4× sweep scale; neutral at 16× where the candidate
     // join dominates). Storage is one (id, shingle-set) row per doc —
     // the same linear class as the token shuffle below.
+    // hashed shingle tokens: PPJoin's prefix filter is EXACT under any
+    // consistent global token order (the df-ascending order just makes
+    // prefixes rare-token-first), so hashed longs change neither the
+    // pair set nor any Jaccard — only the allocation profile
     val shf = spread(docs)
       .select(col(idCol).as("__id"),
-        HashExprs.shingles(spark, col(textCol), shingleN).as("sh"))
+        HashExprs.hashedShingles(spark, col(textCol), shingleN).as("sh"))
       .withColumn("__sz", size(col("sh")))
       .filter(col("__sz") > 0) // shingle-less docs have no defined Jaccard
       .localCheckpoint(true)

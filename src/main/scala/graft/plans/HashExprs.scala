@@ -399,6 +399,31 @@ object HashImpl {
     }
     new GenericArrayData(sig)
   }
+
+  /** [[minhashSig]] over PRE-HASHED shingles ([[hashedShingles]]'s
+    * output): the same one-base-hash-re-mixed-per-index family, with the
+    * already-mixed 64-bit shingle hash as the base — so the signature
+    * pipeline never touches shingle STRINGS at all. (A different — but
+    * statistically equivalent — family than the string path's; minhash
+    * consumers gate on Jaccard recall invariants, not signature
+    * values.) */
+  def minhashSigFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = mix(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
 }
 
 /** SimHash62 as a native Catalyst expression: null-intolerant unary, long
@@ -431,6 +456,19 @@ case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.shingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShinglesN = copy(c)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long> →
+  * array<long> of k signature slots). */
+case class MinHashSigHashed(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.minhashSigFromHashes(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashImpl.minhashSigFromHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigHashed =
+    copy(c)
 }
 
 /** Hashed-shingle expression (text → array<long> of distinct shingle
@@ -596,6 +634,9 @@ object HashExprs {
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShinglesN(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig_hashed",
+      exprs => MinHashSigHashed(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_hashed_shingles",
       exprs => HashedShinglesN(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
@@ -631,6 +672,12 @@ object HashExprs {
                      n: Int): Column = {
     ensureRegistered(spark)
     call_function("graft_hashed_shingles", c, lit(n))
+  }
+
+  def minhashSigHashed(spark: org.apache.spark.sql.SparkSession, c: Column,
+                       k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("graft_minhash_sig_hashed", c, lit(k))
   }
 
   def bandHash(spark: org.apache.spark.sql.SparkSession, c: Column, bands: Int, rows: Int): Column = {

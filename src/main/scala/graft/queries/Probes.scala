@@ -3867,7 +3867,7 @@ object Probes {
         .crossJoin(docs.select(col("doc_id").as("id_b")))
         .filter(col("id_a") < col("id_b"))
       val sh = docs.select(col("doc_id"),
-        HashExprs.shingles(s, col("text"), 3).as("sh"))
+        HashExprs.hashedShingles(s, col("text"), 3).as("sh"))
       TextDedup.overlapStats(ids, sh, sh)
         .filter(greatest(col("cont_a"), col("cont_b")) >= 0.3)
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
