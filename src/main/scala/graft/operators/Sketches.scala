@@ -93,6 +93,39 @@ object Sketches {
         col("est_union"), col("est_intersect"), col("jaccard_est"))
   }
 
+  /** Roll fine-grained KMV sketches up to a coarser key WITHOUT
+    * touching the raw data — the mergeability that makes sketch TABLES
+    * the production pattern for distinct rollups: build per-(dim, day)
+    * sketches once at ingest, then answer per-dim (or any coarser)
+    * distinct questions forever after from kilobytes of sketch instead
+    * of a corpus rescan.
+    *
+    * Merge validity: if a hash is among the union's k smallest, then
+    * fewer than k hashes in the WHOLE union are below it, so it is in
+    * the bottom-k of whichever input set contains it — the union's
+    * true bottom-k always survives in the concatenated sketches (the
+    * [[graft.operators.Graph.twoHopReachKmv]] argument). The rolled-up
+    * sketch is therefore IDENTICAL to one built directly from the raw
+    * union — array-equal, not just statistically equivalent — which is
+    * the invariant the gate asserts.
+    *
+    * Shape: explode (≤ k rows per input key) → distinct → per-target
+    * bottom-k (WindowGroupLimit) → collect; everything sketch-sized.
+    * Input (`key`, `sig`) as from [[kmvSignatures]] with the SAME k;
+    * `toKey` maps the fine key to the coarse one. Output: (`key`,
+    * `sig`, `n_sig`, `distinct_est`). */
+  def kmvRollup(sigs: DataFrame, toKey: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val exploded = sigs
+      .select(toKey.as("__k"), explode(col("sig")).as("__h")).distinct()
+    Relational.topKPerKey(exploded, Seq("__k"), k, Seq(col("__h").asc))
+      .groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__h"))).as("sig"))
+      .select(col("__k").as("key"), col("sig"),
+        size(col("sig")).as("n_sig"),
+        kmvDistinctEst(col("sig"), k).as("distinct_est"))
+  }
+
   /** Count-Min sketch: `depth × width` counters summarizing a frequency
     * distribution, with the one-sided guarantee est ≥ true for every
     * key (each of the key's `depth` counters holds its full count plus

@@ -7359,6 +7359,46 @@ object Probes {
            |FROM r4 ORDER BY rank_micro DESC, node_type, node_key""".stripMargin)
   )
 
+  /** KMV sketch-table rollup: per-(event_type, day) user sketches merge
+    * to per-type sketches WITHOUT rescanning events. Gated on the exact
+    * mergeability invariant — the rolled-up sketch must be ARRAY-EQUAL
+    * to one built directly from the raw stream — plus the estimator's
+    * error contract vs the exact distinct count, which DuckDB recomputes
+    * from scratch per type (the real cross-engine check). */
+  val kmvRollupProbe = Probe(
+    "q213_kmv_rollup",
+    (s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val daily = Sketches.kmvSignatures(ev,
+        concat_ws("|", col("event_type"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")),
+        col("user_id"), k = 64)
+      val rolled = Sketches.kmvRollup(daily,
+        substring_index(col("key"), "|", 1), k = 64)
+      val direct = Sketches.kmvSignatures(ev, col("event_type"),
+          col("user_id"), k = 64)
+        .select(col("key"), col("sig").as("__direct_sig"))
+      val exact = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(direct, "key").join(exact, "key")
+        .select(col("key").as("event_type"), col("n_exact"),
+          (col("sig") === col("__direct_sig")).as("ok_merge_exact"),
+          (col("n_sig") < 64 && col("distinct_est") === col("n_exact")
+            .cast("double") || col("n_sig") === 64).as("ok_small_exact"),
+          (abs(col("distinct_est") - col("n_exact")) <=
+            col("n_exact") * 0.4).as("ok_error_bound"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+           |    AS n_exact,
+           |  true AS ok_merge_exact, true AS ok_small_exact,
+           |  true AS ok_error_bound
+           |FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7408,7 +7448,7 @@ object Probes {
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
-    wPagerankProbe
+    wPagerankProbe, kmvRollupProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

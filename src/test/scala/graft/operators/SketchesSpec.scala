@@ -89,4 +89,42 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(est - n) / n.toDouble <= bound, s"n=$n est=$est")
     }
   }
+
+  test("kmvRollup: merged sketches are ARRAY-EQUAL to directly-built ones") {
+    val k = 32
+    // 3 types × 10 days, overlapping user sets across days within a type
+    val rows = (0L until 6000L).map { i =>
+      val t = s"t${i % 3}"
+      val day = (i / 600L) % 10L
+      (s"$t|$day", t, (i * 37L) % 500L + (i % 3) * 1000L)
+    }
+    val fine = Sketches.kmvSignatures(rows.toDF("fine", "t", "u"),
+      col("fine"), col("u"), k)
+    val rolled = Sketches.kmvRollup(fine,
+      org.apache.spark.sql.functions.substring_index(col("key"), "|", 1), k)
+    val direct = Sketches.kmvSignatures(rows.toDF("fine", "t", "u"),
+      col("t"), col("u"), k)
+    val cmp = rolled.select(col("key"), col("sig").as("a"))
+      .join(direct.select(col("key"), col("sig").as("b")), "key")
+    assert(cmp.count() === 3)
+    assert(cmp.filter(col("a") =!= col("b")).count() === 0)
+  }
+
+  test("kmvRollup: small merged sets stay exact; estimator bound on large ones") {
+    val k = 64
+    val rows = (0L until 4000L).map(i =>
+      (s"g${i % 4}|${i % 5}", s"g${i % 4}",
+        (i / 4) % (if (i % 4 == 0) 40L else 900L)))
+    val fine = Sketches.kmvSignatures(rows.toDF("fine", "g", "u"),
+      col("fine"), col("u"), k)
+    val rolled = Sketches.kmvRollup(fine,
+        org.apache.spark.sql.functions.substring_index(col("key"), "|", 1), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    // g0's union is 40 distinct users → sketch holds the set → exact
+    assert(rolled("g0")._1 < k && rolled("g0")._2 === 40.0)
+    // the big groups estimate within the KMV bound
+    val exact = rows.filter(_._2 == "g1").map(_._3).distinct.size.toDouble
+    assert(math.abs(rolled("g1")._2 - exact) / exact <= 0.3)
+  }
 }
