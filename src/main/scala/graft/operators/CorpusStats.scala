@@ -465,6 +465,63 @@ object CorpusStats {
       .orderBy("r")
   }
 
+  /** OOV-rate audit for a top-V vocabulary: per document, the share of
+    * token OCCURRENCES that a V-entry frequency-ranked vocabulary would
+    * miss — the tokenizer-sizing diagnostic ("how much of the corpus
+    * does a 32k vocab actually cover, and which docs are full of
+    * holes"). Vocabulary = top V terms by corpus frequency, ties broken
+    * by term ASC (deterministic); per-doc `oov_ppm` is a truncating
+    * integer ratio.
+    *
+    * Shape: one (doc, term) tf aggregate (map-side combined), a
+    * vocabulary rank via [[graft.operators.Relational.globalRank]]
+    * (range exchange — never a single-partition ORDER BY window), the
+    * V-bounded vocab broadcast back onto the tf frame, and a doc
+    * aggregate. Docs with zero tokens are excluded (no defined rate).
+    * Output: `doc_id`, `n_tokens`, `n_oov`, `oov_ppm` LONG; total
+    * order by doc id. */
+  def oovRate(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("__cf"))
+    val vocab = Relational.globalRank(freq,
+        Seq(col("__cf").desc, col("term").asc))
+      .filter(col("rank") <= vocabSize)
+      .select(col("term"))
+    tf.join(broadcast(vocab.withColumn("__in", lit(true))), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        coalesce(sum(when(col("__in").isNull, col("tf"))), lit(0L))
+          .as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000L * n_oov) DIV n_tokens"))
+      .orderBy(idCol)
+  }
+
+  /** Term burstiness: collection frequency over document frequency —
+    * `burst_ppm = cf·10⁶ DIV df` — the "when it appears, does it
+    * SWARM" signal that separates topical/boilerplate terms (high
+    * burst: appearing docs are saturated) from evenly-sprinkled
+    * function words. The cheap screen feeding boilerplate discovery
+    * and tokenizer vocab curation. `minDf` prunes the hapax tail
+    * before ranking; top `k` by (burst DESC, term) — total order.
+    *
+    * Shape: the (doc, term) tf aggregate re-aggregated on term alone
+    * (vocabulary-sized), then TakeOrdered on the k rows. Output:
+    * `term`, `cf`, `df`, `burst_ppm` LONG. */
+  def burstiness(docs: DataFrame, k: Int, minDf: Long = 2L,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minDf >= 1, "k, minDf must be >= 1")
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burst_ppm", expr("(1000000L * cf) DIV df"))
+      .orderBy(col("burst_ppm").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Corpus diversity report: the distribution of pairwise shingle
     * Jaccard over a document SAMPLE — the mode-collapse alarm for
     * synthetic/augmented corpora (a generator looping on itself drives

@@ -7399,6 +7399,57 @@ object Probes {
            |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
+  /** OOV-rate audit against a top-500 frequency vocabulary, FULLY
+    * oracled — the vocabulary rank (ties by term), the left-join
+    * coverage split, and the truncating per-doc ppm all replay in
+    * DuckDB. */
+  val oovRateProbe = Probe(
+    "q214_oov_rate",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.oovRate(Tables.documents(s, d), vocabSize = 500)
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY 1, 2),
+           |freq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+           |vocab AS (SELECT term FROM freq
+           |  QUALIFY row_number() OVER (ORDER BY cf DESC, term) <= 500),
+           |j AS (SELECT tf.doc_id, tf.tf, (v.term IS NOT NULL) AS inv
+           |  FROM tf LEFT JOIN vocab v ON v.term = tf.term)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(sum(CASE WHEN NOT inv THEN tf END), 0) AS BIGINT)
+           |    AS n_oov,
+           |  (1000000 * CAST(coalesce(sum(CASE WHEN NOT inv THEN tf END), 0)
+           |    AS BIGINT)) // CAST(sum(tf) AS BIGINT) AS oov_ppm
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Term burstiness (cf/df) top-100, FULLY oracled — the
+    * boilerplate/topicality screen; integer ppm, (burst DESC, term)
+    * total order, hapax tail pruned at df ≥ 2. */
+  val burstinessProbe = Probe(
+    "q215_burstiness",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.burstiness(Tables.documents(s, d), k = 100)
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0)) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY 1, 2),
+           |t AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+           |    CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+           |SELECT term, cf, df, (1000000 * cf) // df AS burst_ppm
+           |FROM t WHERE df >= 2
+           |ORDER BY burst_ppm DESC, term LIMIT 100""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7448,7 +7499,7 @@ object Probes {
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
-    wPagerankProbe, kmvRollupProbe
+    wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -192,6 +192,49 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(run(docs) === run(docs.repartition(17)))
   }
 
+  // --- OOV rate + burstiness ---
+
+  test("oovRate: hand coverage — vocab ties break by term; occurrences, not types") {
+    val rows = Seq(
+      (1L, "a a a b b c"),   // freqs: a 3, b 2, c 1
+      (2L, "a b c c"),       // c total 3, b total 3, a total 4
+      (3L, "z z z z"))       // z 4
+    // corpus cf: a 4, z 4, b 3, c 3 → top-2 vocab {a, z} (cf tie a<z by term? no: both 4 — order (cf desc, term asc) → a then z)
+    val out = CorpusStats.oovRate(rows.toDF("doc_id", "text"), vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out === Seq(
+      (1L, 6L, 3L, 500000L),  // b b c OOV of 6
+      (2L, 4L, 3L, 750000L),  // b c c OOV of 4
+      (3L, 4L, 0L, 0L)))
+  }
+
+  test("burstiness: bursty term outranks the sprinkled one; hapax pruned") {
+    val rows = Seq(
+      (1L, "spam spam spam spam"), // cf 4, df 1 → pruned at minDf=2? df=1
+      (2L, "spam spam spam"),      // now spam df 2, cf 7 → burst 3.5e6
+      (3L, "the x"), (4L, "the y"), (5L, "the z"), // the: cf 3 df 3 → 1e6
+      (6L, "once"))                // hapax → pruned
+    val out = CorpusStats.burstiness(rows.toDF("doc_id", "text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(out.head === (("spam", 3500000L)))
+    assert(out.contains(("the", 1000000L)))
+    assert(!out.map(_._1).contains("once"))
+    assert(!out.map(_._1).contains("x")) // df 1
+  }
+
+  test("oovRate and burstiness are layout-independent") {
+    val rows = (0L until 500L).map(i =>
+      (i, s"tok${i % 29} tok${(i * 7) % 29} filler$i tok${(i * 11) % 29}"))
+    val df = rows.toDF("doc_id", "text")
+    def runO(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.oovRate(d, 20).collect().map(_.toSeq).toSeq
+    def runB(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.burstiness(d, 15).collect().map(_.toSeq).toSeq
+    assert(runO(df) === runO(df.repartition(17)))
+    assert(runB(df) === runB(df.repartition(17)))
+  }
+
   // --- diversity report ---
 
   private def diversity(rows: Seq[(Long, String)]) = {
