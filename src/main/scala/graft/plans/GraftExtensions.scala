@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_shingles", "distinct word n-gram shingles") {
       e => ShinglesN(e.head, e(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("graft_hashed_shingles",
+      "distinct word n-gram shingle hashes (no string materialization)") {
+      e => HashedShinglesN(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("graft_minhash_sig_hashed",
+      "MinHash signature over pre-hashed shingles") {
+      e => MinHashSigHashed(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
     inject("graft_band_hash", "LSH band hashes of a MinHash signature") {
       e => BandHash(e.head,
         e(1).eval().asInstanceOf[Number].intValue(),

@@ -29,12 +29,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT graft_simhash62(t) AS sh,
           |       graft_lang_id(t) AS lg,
           |       graft_minhash_sig(graft_shingles(t, 2), 8) AS sig,
+          |       graft_minhash_sig_hashed(graft_hashed_shingles(t, 2), 8) AS sigh,
           |       graft_srp_bucket(v, 4, 2, 42) AS bkt,
           |       graft_token_stats(t).n_words AS nw,
           |       graft_fingerprint(t) AS fp
           |FROM ext_t""".stripMargin).collect()
       assert(r.length === 2)
       assert(r.forall(_.getAs[Int]("nw") === 4))
+      assert(r.forall(_.getAs[Seq[Long]]("sigh").length === 8))
       assert(r.map(_.getAs[Long]("fp")).distinct.length === 2) // content-sensitive
       val cos = spark.sql(
         """SELECT graft_cosine(a.v, b.v) AS c FROM ext_t a, ext_t b
