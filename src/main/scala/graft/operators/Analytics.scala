@@ -99,6 +99,65 @@ object Analytics {
       .orderBy("stage_idx")
   }
 
+  /** Time-constrained funnel: [[funnel]] with a MAX GAP between
+    * consecutive steps — "signup → activate within 1 h → purchase
+    * within 1 h", the form every product-analytics question actually
+    * takes (an unconstrained funnel calls a year-later purchase a
+    * conversion). Greedy first-occurrence semantics, stated precisely:
+    * t₁ = the entity's FIRST stage-1 event; tₖ = the first stage-k
+    * event with tₖ₋₁ < tₖ ≤ tₖ₋₁ + maxGap. Greedy is the product
+    * convention (first touch starts the clock) and is deterministic —
+    * a backtracking "any qualifying chain" search is a different,
+    * costlier query, and the greedy count is its lower bound.
+    *
+    * Integer discipline: timestamps in µs, conversion ratios as
+    * truncating ppm (`vs_first_ppm`, `vs_prev_ppm`) — engine-exact,
+    * unlike the rounded-double pct the unconstrained funnel reports.
+    *
+    * Shape: one entity-keyed min-aggregate per stage, cascaded — the
+    * |stages| bounded join chain, each over one-row-per-entity frames;
+    * the final counts are |stages| rows. Output: `stage_idx`, `stage`,
+    * `n_users` LONG, `vs_first_ppm`, `vs_prev_ppm` LONG; total order by
+    * stage_idx. */
+  def funnelWindowed(events: DataFrame, user: Column, tsUs: Column,
+                     eventType: Column, stages: Seq[String],
+                     maxGapUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapUs > 0, "maxGapUs must be > 0")
+    val ev = events.select(user.as("__u"), tsUs.cast("long").as("__ts"),
+        eventType.as("__et"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull)
+
+    val firstStage = ev.filter(col("__et") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    val reached: Seq[DataFrame] = stages.tail.scanLeft(firstStage) { (prev, st) =>
+      prev.join(ev.filter(col("__et") === st), Seq("__u"))
+        .filter(col("__ts") > col("__t") &&
+          col("__ts") <= col("__t") + maxGapUs)
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+    }
+
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+
+    val w = Window.orderBy(col("stage_idx")) // |stages|-sized frame
+    counts
+      .withColumn("__first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        expr("""CASE WHEN __first > 0
+               | THEN (1000000L * n_users) DIV __first END""".stripMargin)
+          .as("vs_first_ppm"),
+        expr("""CASE WHEN __prev IS NULL THEN 1000000L
+               | WHEN __prev > 0 THEN (1000000L * n_users) DIV __prev
+               | END""".stripMargin).as("vs_prev_ppm"))
+      .orderBy("stage_idx")
+  }
+
   /** Peak concurrency by sweep line: how many intervals [start, end)
     * overlap at once, per group — max concurrent sessions/streams/users,
     * the capacity-planning number a BI tier reads off the event stream.

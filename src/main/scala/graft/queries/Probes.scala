@@ -7450,6 +7450,45 @@ object Probes {
            |ORDER BY burst_ppm DESC, term LIMIT 100""".stripMargin)
   )
 
+  /** Time-constrained funnel (view → click → purchase, 1-day max gap
+    * per step), FULLY oracled — the greedy first-occurrence cascade and
+    * the truncating ppm conversions replay in DuckDB as the same chain
+    * of conditional min-aggregates. */
+  val funnelWindowedProbe = Probe(
+    "q216_funnel_windowed",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.funnelWindowed(Tables.events(s, d), col("user_id"),
+        expr("unix_micros(ts)"), col("event_type"),
+        Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+    },
+    Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type AS et
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |s1 AS (SELECT u, min(t) AS t FROM ev WHERE et = 'view' GROUP BY 1),
+           |s2 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN s1 ON ev.u = s1.u
+           |  WHERE ev.et = 'click' AND ev.t > s1.t
+           |    AND ev.t <= s1.t + 86400000000 GROUP BY 1),
+           |s3 AS (SELECT ev.u, min(ev.t) AS t FROM ev JOIN s2 ON ev.u = s2.u
+           |  WHERE ev.et = 'purchase' AND ev.t > s2.t
+           |    AND ev.t <= s2.t + 86400000000 GROUP BY 1),
+           |c AS (SELECT 1 AS stage_idx, 'view' AS stage,
+           |    (SELECT count(*) FROM s1) AS n_users
+           |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)),
+           |r AS (SELECT *, first_value(n_users) OVER (ORDER BY stage_idx
+           |    ROWS UNBOUNDED PRECEDING) AS f,
+           |  lag(n_users) OVER (ORDER BY stage_idx) AS p FROM c)
+           |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  CASE WHEN f > 0 THEN CAST((1000000 * n_users) // f AS BIGINT) END
+           |    AS vs_first_ppm,
+           |  CASE WHEN p IS NULL THEN CAST(1000000 AS BIGINT)
+           |    WHEN p > 0 THEN CAST((1000000 * n_users) // p AS BIGINT) END
+           |    AS vs_prev_ppm
+           |FROM r ORDER BY stage_idx""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7499,7 +7538,8 @@ object Probes {
     pprProbe, assortativityProbe, decileLiftProbe, groupSplitProbe,
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
-    wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe
+    wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
+    funnelWindowedProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -445,6 +445,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(ev) === run(ev.repartition(13)))
   }
 
+  // --- time-constrained funnel ---
+
+  private def wfunnel(rows: Seq[(Long, Long, String)], gapUs: Long) =
+    Analytics.funnelWindowed(rows.toDF("u", "t", "ty"), col("u"), col("t"),
+        col("ty"), Seq("view", "click", "purchase"), gapUs)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+  test("funnelWindowed: the gap constraint breaks chains the plain funnel passes") {
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 50L, "click"), (1L, 200L, "purchase"),
+      (2L, 0L, "view"), (2L, 60L, "click"), (2L, 140L, "purchase"))
+    // gap 100: u1's purchase is 150 after its click → only u2 completes
+    assert(wfunnel(rows, 100L) === Seq(
+      ("view", 2L, 1000000L, 1000000L),
+      ("click", 2L, 1000000L, 1000000L),
+      ("purchase", 1L, 500000L, 500000L)))
+    // unconstrained (huge gap): both complete
+    assert(wfunnel(rows, 1000000L).map(_._2) === Seq(2L, 2L, 2L))
+  }
+
+  test("funnelWindowed: greedy first-occurrence semantics, stated and enforced") {
+    // view@0, click@10, click@40, purchase@80, gap 45: the greedy clock
+    // starts at click@10 (purchase misses 55); a backtracking search
+    // would pass via click@40 — the operator deliberately does not
+    val rows = Seq((1L, 0L, "view"), (1L, 10L, "click"),
+      (1L, 40L, "click"), (1L, 80L, "purchase"))
+    assert(wfunnel(rows, 45L).map(_._2) === Seq(1L, 1L, 0L))
+    // boundary: a step exactly AT the gap limit counts (≤), same ts not (>)
+    val edge = Seq((1L, 0L, "view"), (1L, 45L, "click"), (1L, 45L, "purchase"))
+    assert(wfunnel(edge, 45L).map(_._2) === Seq(1L, 1L, 0L))
+  }
+
+  test("funnelWindowed is layout-independent") {
+    val rows = (0L until 4000L).map { i =>
+      val ty = Seq("view", "click", "purchase", "other")((i % 4).toInt)
+      (i % 31, i * 13L, ty)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.funnelWindowed(d, col("u"), col("t"), col("ty"),
+          Seq("view", "click", "purchase"), 500L)
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("u", "t", "ty")
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   // --- positional multi-touch attribution ---
 
   private def attrib(rows: Seq[(Long, Long, Long, String)], winUs: Long) =
