@@ -758,7 +758,37 @@ object ScaleSweep {
         "trimmed_mean" -> (() => noop(
           Profile.trimmedMean(ev, col("event_type"),
             expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
-            col("event_id"))))
+            col("event_id")))),
+        // q78's budget + one long per cached edge
+        "wpagerank_4it" -> { () =>
+          val cpw = li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy((col("o_custkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+            .agg(count(lit(1)).as("weight"))
+          noop(Graph.weightedPagerankMicro(cpw.unionByName(
+            cpw.select(col("dst").as("src"), col("src").as("dst"),
+              col("weight"))), iters = 4))
+        },
+        // sketch-sized end to end: fine sketches ≤ k rows per key
+        "kmv_rollup" -> { () =>
+          val daily = graft.operators.Sketches.kmvSignatures(ev,
+            concat_ws("|", col("event_type"),
+              expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")),
+            col("user_id"), 64)
+          noop(graft.operators.Sketches.kmvRollup(daily,
+            substring_index(col("key"), "|", 1), 64))
+        },
+        // tf agg + globalRank vocab + V-bounded broadcast
+        "oov_rate" -> (() => noop(
+          CorpusStats.oovRate(docs, vocabSize = 500))),
+        // vocabulary-sized re-aggregate + TakeOrdered
+        "burstiness" -> (() => noop(
+          CorpusStats.burstiness(docs, k = 100))),
+        // |stages| cascaded entity-keyed min-aggregates
+        "funnel_windowed" -> (() => noop(
+          Analytics.funnelWindowed(ev, col("user_id"),
+            expr("unix_micros(ts)"), col("event_type"),
+            Seq("view", "click", "purchase"), 86400000000L)))
       )
       val selected =
         if (opFilter.isEmpty) ops
