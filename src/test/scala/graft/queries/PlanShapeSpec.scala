@@ -193,6 +193,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q213: KMV rollup plans sketch-sized — bottom-k via WindowGroupLimit") {
+    val p = planOf("q213_kmv_rollup")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-key bottom-k must cap below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q216: windowed funnel is a cascade of key joins — no time-range cross join") {
+    val p = planOf("q216_funnel_windowed")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"gap predicate must ride the entity equi-join:\n$p")
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
