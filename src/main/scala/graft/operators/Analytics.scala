@@ -99,6 +99,47 @@ object Analytics {
       .orderBy("stage_idx")
   }
 
+  /** Longest consecutive-day activity streak per entity — the
+    * engagement metric retention curves can't see (a user active 30
+    * scattered days differs from one active 30 days STRAIGHT). The
+    * gaps-and-islands trick, exactly: distinct active days per entity,
+    * `day − row_number()` constant within a consecutive run, island
+    * sizes aggregated.
+    *
+    * All integer (epoch days), deterministic on any engine/layout.
+    * Shape: one (entity, day) distinct aggregate (map-side combined),
+    * one entity-keyed window (the rank), one (entity, island)
+    * aggregate, one entity aggregate — a single entity exchange reused
+    * by the window and both aggregates. Output: `entity`,
+    * `n_active_days`, `n_streaks`, `longest_streak`,
+    * `latest_streak` LONG (the streak ending on the entity's LAST
+    * active day — "current" relative to the data's edge, the freshness
+    * convention); total order by entity. */
+  def longestStreak(events: DataFrame, entity: Column,
+                    day: Column): DataFrame = {
+    val base = events
+      .select(entity.cast("long").as("entity"),
+        day.cast("date").as("__d"))
+      .filter(col("entity").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .withColumn("__ep", datediff(col("__d"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("__ep"))
+    val islands = base
+      .withColumn("__isl", col("__ep") - row_number().over(w))
+      .groupBy(col("entity"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), max(col("__ep")).as("__last"))
+    islands.groupBy(col("entity"))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        // the island containing the entity's max day = latest streak
+        max(struct(col("__last"), col("__len"))).as("__m"))
+      .select(col("entity"), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"), col("__m.__len").as("latest_streak"))
+      .orderBy("entity")
+  }
+
   /** Time-constrained funnel: [[funnel]] with a MAX GAP between
     * consecutive steps — "signup → activate within 1 h → purchase
     * within 1 h", the form every product-analytics question actually

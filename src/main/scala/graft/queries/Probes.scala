@@ -7489,6 +7489,38 @@ object Probes {
            |FROM r ORDER BY stage_idx""".stripMargin)
   )
 
+  /** Longest/latest consecutive-day activity streaks per user, FULLY
+    * oracled — the gaps-and-islands rank trick replayed in DuckDB with
+    * the identical island key and tie-free aggregates. */
+  val streakProbe = Probe(
+    "q217_streaks",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.longestStreak(Tables.events(s, d), col("user_id"),
+        col("ts"))
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id AS entity,
+           |    CAST(date_diff('day', DATE '1970-01-01',
+           |      CAST(ts AS DATE)) AS BIGINT) AS ep
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |r AS (SELECT entity, ep,
+           |    ep - row_number() OVER (PARTITION BY entity ORDER BY ep)
+           |      AS isl
+           |  FROM b),
+           |i AS (SELECT entity, isl, CAST(count(*) AS BIGINT) AS len,
+           |    max(ep) AS last_ep
+           |  FROM r GROUP BY 1, 2),
+           |m AS (SELECT entity,
+           |    CAST(sum(len) AS BIGINT) AS n_active_days,
+           |    CAST(count(*) AS BIGINT) AS n_streaks,
+           |    CAST(max(len) AS BIGINT) AS longest_streak,
+           |    CAST(max_by(len, last_ep) AS BIGINT) AS latest_streak
+           |  FROM i GROUP BY 1)
+           |SELECT entity, n_active_days, n_streaks, longest_streak,
+           |  latest_streak
+           |FROM m ORDER BY entity""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -7539,7 +7571,7 @@ object Probes {
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
     wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
-    funnelWindowedProbe
+    funnelWindowedProbe, streakProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

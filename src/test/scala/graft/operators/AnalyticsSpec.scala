@@ -445,6 +445,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(ev) === run(ev.repartition(13)))
   }
 
+  // --- activity streaks ---
+
+  test("longestStreak: hand islands — longest vs latest; same-day dups collapse") {
+    def d(s: String) = Date.valueOf(s)
+    val rows = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-02")), (1L, d("2024-01-03")),
+      (1L, d("2024-01-07")), (1L, d("2024-01-08")),
+      (1L, d("2024-01-20")), (1L, d("2024-01-20")), // dup day
+      (2L, d("2024-03-05")))
+    val out = Analytics.longestStreak(rows.toDF("u", "day"), col("u"),
+        col("day"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((6L, 3L, 3L, 1L))) // 3+2+1 days; latest streak is the lone Jan 20
+    assert(out(2L) === ((1L, 1L, 1L, 1L)))
+  }
+
+  test("longestStreak is layout-independent") {
+    val rows = (0L until 3000L).map(i =>
+      (i % 23, Date.valueOf(java.time.LocalDate.ofEpochDay((i * 7) % 400))))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.longestStreak(d, col("u"), col("day"))
+        .collect().map(_.toSeq).toSeq
+    val df = rows.toDF("u", "day")
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   // --- time-constrained funnel ---
 
   private def wfunnel(rows: Seq[(Long, Long, String)], gapUs: Long) =
