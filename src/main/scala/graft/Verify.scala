@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Provenance stamp for a verify dump: git SHA + query list, so a gate
+  * run can never silently compare against a stale dump from an older
+  * working tree (the /tmp/verify_* accumulation hazard). */
+object VerifyMeta {
+  def write(outDir: String, names: Seq[String]): Unit = {
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val qs = names.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"git_sha": "$sha", "queries": $qs}""")
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -43,6 +62,7 @@ object Verify {
       .filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    VerifyMeta.write(outDir, SparkEntry.queries.keys.filter(selected).toSeq)
     spark.stop()
   }
 }

@@ -291,6 +291,14 @@ object Classify {
     * Output (one row): `n_pos`, `n_neg`, `n_null` LONG, `u2` LONG (the
     * exact doubled rank mass — the audit surface), `auc` DOUBLE (NULL
     * when either class is empty — never 0/0).
+    *
+    * `u2` ACCUMULATES in DECIMAL(38,0) — the per-score np·below products
+    * pass 2^63 once each class exceeds ~2e9 rows — but is PUBLISHED as
+    * BIGINT: a cross-engine DECIMAL output column is hash-unsafe in the
+    * correctness gate (engines serialize numerically-equal decimals
+    * differently), and 2·nPos·nNeg < 2^63 holds for every gated scale.
+    * If the >2^63 regime is ever needed, report u2 as a (hi, lo) LONG
+    * pair instead of re-widening the published column.
     */
   def aucExact(scored: DataFrame, score: Column, truth: Column): DataFrame = {
     val base = scored.select(score.cast("long").as("__s"),
@@ -339,8 +347,8 @@ object Classify {
           col("u2").cast("double") /
             (lit(2L).cast("decimal(38,0)") * col("n_pos") *
               col("n_neg")).cast("double")))
-      .select(col("n_pos"), col("n_neg"), col("n_null"), col("u2"),
-        col("auc"))
+      .select(col("n_pos"), col("n_neg"), col("n_null"),
+        col("u2").cast("long").as("u2"), col("auc"))
   }
 
   /** Reliability-diagram bins over a ppm score in [0, 1e6] — the
@@ -382,6 +390,12 @@ object Classify {
     * score, cut it into `bins` equal-count tiles, and report how many
     * positives each cumulative prefix captures vs. random targeting.
     *
+    * `scorePpm` is an INTEGER score (ppm-scaled like
+    * [[calibrationBins]]'s, or any integer ranking key): it is cast to
+    * LONG, so a raw double model score in [0,1] would TRUNCATE to 0 and
+    * the ranking would silently degenerate to the tieBreak order —
+    * pre-scale doubles with `(score * 1e6).cast("long")` first.
+    *
     * Ranking uses [[graft.operators.Relational.globalRank]] (range
     * exchange + per-partition offsets) — NEVER `row_number() OVER
     * (ORDER BY …)`'s single-partition sort. `tieBreak` must complete a
@@ -404,11 +418,11 @@ object Classify {
     * `capture_ppm`, `cum_lift_ppm` LONG; total order by decile. NULL
     * scores/labels are excluded (scored population only); degenerate
     * total_pos = 0 yields NULL capture/lift, never a fake zero. */
-  def decileLift(scored: DataFrame, score: Column, tieBreak: Column,
+  def decileLift(scored: DataFrame, scorePpm: Column, tieBreak: Column,
                  truth: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
     val base = scored
-      .select(score.cast("long").as("__s"), tieBreak.as("__tb"),
+      .select(scorePpm.cast("long").as("__s"), tieBreak.as("__tb"),
         truth.cast("boolean").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
     val ranked = Relational.globalRank(base,

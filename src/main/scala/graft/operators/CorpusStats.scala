@@ -548,7 +548,7 @@ object CorpusStats {
     * NULL when < 2 docs), `max_jaccard_ppm` (0 when no pair shares),
     * `n_pairs_half` (jaccard > 50%, the near-dup-pressure count). */
   def diversityReport(docs: DataFrame, id: Column, text: Column,
-                      n: Int = 3): DataFrame = {
+                      n: Int = 3, maxDocs: Long = 10000L): DataFrame = {
     // codegen hashed shingles: identity is all Jaccard needs, and the
     // expression never materializes the n-gram strings (already
     // distinct per doc — no array_distinct pass)
@@ -556,6 +556,19 @@ object CorpusStats {
       .select(id.cast("long").as("__id"),
         explode(graft.plans.HashExprs.hashedShingles(docs.sparkSession,
           text, n)).as("__h"))
+    // bounded-sample contract made LOUD: the shingle equi-join below is
+    // quadratic in per-shingle doc co-occurrence, so calling this on a
+    // full corpus would quietly plan a pair explosion. The guard is an
+    // EAGER bounded probe — limit(maxDocs+1) short-circuits the scan at
+    // maxDocs+1 id-only rows whatever the corpus size — so misuse fails
+    // here, BEFORE the join is ever planned into a job. Raise maxDocs
+    // deliberately if a larger sample is intended.
+    val probed = docs.select(id)
+      .limit(math.min(maxDocs + 1L, Int.MaxValue.toLong).toInt).count()
+    require(probed <= maxDocs,
+      s"diversityReport: input has > $maxDocs docs (maxDocs=$maxDocs) — " +
+        "the all-pairs shingle join is quadratic; pass a bounded sample " +
+        "or raise maxDocs explicitly")
     val sizes = sets.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val uni = broadcast(sizes.agg(count(lit(1)).as("n_docs")))
     val a = sets.select(col("__id").as("__ia"), col("__h"))

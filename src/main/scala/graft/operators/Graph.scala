@@ -138,9 +138,18 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().persist()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // dst-side degree attaches with a LEFT join + coalesce(0): on the
+    // documented symmetrized input every dst also appears as a src so
+    // this is bit-identical to an inner join, but on a directed edge
+    // list an inner join would SILENTLY DROP every edge whose dst is a
+    // pure sink (no out-edges) from n_edges and all five moments.
+    // Directed callers wanting the in-degree convention should
+    // symmetrize or pre-attach their own degree columns.
     val withDeg = e
       .join(deg.select(col("node").as("src"), col("d").as("__dx")), "src")
-      .join(deg.select(col("node").as("dst"), col("d").as("__dy")), "dst")
+      .join(deg.select(col("node").as("dst"), col("d").as("__dy0")),
+        Seq("dst"), "left_outer")
+      .withColumn("__dy", coalesce(col("__dy0"), lit(0L)))
     val out = withDeg.agg(
         count(lit(1)).as("n_edges"),
         expr("CAST(sum(CAST(__dx AS DECIMAL(38,0))) AS BIGINT)").as("sum_x"),

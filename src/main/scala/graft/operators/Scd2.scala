@@ -138,14 +138,29 @@ object Scd2 {
       .intersect(facts.columns.toSet).diff(keys.toSet)
     require(dup.isEmpty, s"dim/fact column collision: $dup")
     val ts = factTs.cast("timestamp")
+    // Rename dim's key + interval columns to internal aliases BEFORE the
+    // join: a `facts(k) === dim(k)` condition misresolves when dim shares
+    // lineage with facts (both frames carry the same attribute ids — the
+    // self-join trap attributionPositional documents), whereas after the
+    // rename each side of the condition has exactly one resolvable name.
+    val dimA = dim.columns.foldLeft(dim) { (df, c) =>
+      if (keys.contains(c) || c == ValidFrom || c == ValidTo)
+        df.withColumnRenamed(c, s"__dim_$c")
+      else df
+    }
     val matched = facts.withColumn("__fact_ts", ts)
-      .join(dim,
-        keys.map(k => facts(k) === dim(k))
+      .join(dimA,
+        keys.map(k => col(k) === col(s"__dim_$k"))
           .reduce(_ && _) &&
-          dim(ValidFrom) <= col("__fact_ts") &&
-          (dim(ValidTo).isNull || dim(ValidTo) > col("__fact_ts")),
+          col(s"__dim_$ValidFrom") <= col("__fact_ts") &&
+          (col(s"__dim_$ValidTo").isNull ||
+            col(s"__dim_$ValidTo") > col("__fact_ts")),
         if (keepUnmatched) "left" else "inner")
-    // drop the dim's copy of the key columns (values equal by the join)
-    keys.foldLeft(matched)((df, k) => df.drop(dim(k))).drop("__fact_ts")
+    // drop the dim's copy of the key columns (values equal by the join);
+    // interval columns surface back under their own names
+    keys.foldLeft(matched)((df, k) => df.drop(s"__dim_$k"))
+      .drop("__fact_ts")
+      .withColumnRenamed(s"__dim_$ValidFrom", ValidFrom)
+      .withColumnRenamed(s"__dim_$ValidTo", ValidTo)
   }
 }

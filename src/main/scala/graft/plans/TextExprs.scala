@@ -292,7 +292,7 @@ object BpeImpl {
     * occurrences, left-to-right) until none is in the table. Imperative
     * mirror of the HOF reference graft.operators.Bpe (which the spec and
     * the q79 agreement audit cross-check bitwise). Ranks are keyed
-    * "a b" — NUL can't appear inside a symbol built from non-NUL
+    * "a\u0000b" — NUL can't appear inside a symbol built from non-NUL
     * text. */
   def countTokens(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
     var total = 0
@@ -309,7 +309,7 @@ object BpeImpl {
           var bestB: String = null
           var j = 0
           while (j < syms.size - 1) {
-            val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+            val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
             if (r != null && r < bestRank) {
               bestRank = r; bestA = syms.get(j); bestB = syms.get(j + 1)
             }
@@ -338,7 +338,7 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "\u0000" + b, i) }
     m
   }
   override def dataType: DataType = IntegerType

@@ -5173,7 +5173,7 @@ object Probes {
            |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
            |    CAST(sum(nn) AS BIGINT) AS n_neg,
            |    CAST(sum(CAST(2 * np * below + np * nn AS HUGEINT))
-           |      AS DECIMAL(38,0)) AS u2
+           |      AS BIGINT) AS u2
            |  FROM c),
            |z AS (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL
            |    OR lang IS NULL) AS BIGINT) AS n_null FROM documents)

@@ -30,6 +30,7 @@ object VerifySome {
     val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.VerifyMeta.write(outDir, names)
     spark.stop()
   }
 }

@@ -227,8 +227,7 @@ class ClassifySpec extends AnyFunSuite {
     import spark.implicits._
     val r = Classify.aucExact(rows.toDF("s", "t"), col("s"), col("t"))
       .collect().head
-    (r.getLong(0), r.getLong(1), r.getLong(2),
-      r.getDecimal(3).longValueExact(),
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       Option(r.get(4)).map(_.asInstanceOf[Double]))
   }
 
@@ -246,6 +245,18 @@ class ClassifySpec extends AnyFunSuite {
     // (1,2)loss (1,1)tie → u2 = 2·2 + 1 = 5 of 8 → 0.625
     assert(aucRow(Seq((3L, true), (1L, true), (2L, false), (1L, false))) ===
       ((2L, 2L, 0L, 5L, Some(0.625))))
+  }
+
+  test("aucExact publishes u2 as LONG — no DECIMAL on the output surface") {
+    // DECIMAL output columns are driver-hash-unsafe (engines serialize
+    // numerically-equal decimals differently); accumulation stays
+    // DECIMAL(38,0) internally but the published column must be LONG.
+    import spark.implicits._
+    val schema = Classify.aucExact(Seq((1L, true)).toDF("s", "t"),
+      col("s"), col("t")).schema
+    assert(schema("u2").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(!schema.exists(_.dataType.typeName.startsWith("decimal")))
   }
 
   test("aucExact: one-class input → NULL auc; nulls quarantined not scored") {
@@ -273,7 +284,7 @@ class ClassifySpec extends AnyFunSuite {
     Seq(1, 7).foreach { parts =>
       val r = Classify.aucExact(rows.toDF("s", "t").repartition(parts),
         col("s"), col("t")).collect().head
-      assert((r.getLong(0), r.getLong(1), r.getDecimal(3).longValueExact(),
+      assert((r.getLong(0), r.getLong(1), r.getLong(3),
         r.getDouble(4)) === ((naive._1, naive._2, naive._3, naive._4)))
     }
   }

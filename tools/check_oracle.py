@@ -90,6 +90,19 @@ def main(sf_dir, out_dir, only=()):
             print(f"FAIL {name}: columns {s_cols} != {o_cols}")
             n_fail += 1
             continue
+        # Any DECIMAL-typed OUTPUT column is driver-hash-unsafe: the
+        # driver hashes serialized values, and Spark DecimalType vs
+        # DuckDB DECIMAL(38,0) serialize differently even when
+        # bit-identical numerically (the q153 r5 lesson). Accumulate in
+        # decimal if you must, but publish BIGINT/DOUBLE.
+        dec = [f"{c}: spark={st} oracle={ot}"
+               for c, st, ot in zip(s_cols, s_types, o_types)
+               if "DECIMAL" in st or "DECIMAL" in ot]
+        if dec:
+            print(f"FAIL {name}: DECIMAL output column (driver-hash-"
+                  f"unsafe) — {'; '.join(dec)}")
+            n_fail += 1
+            continue
         if s_types != o_types:
             diffs = [f"{c}: spark={st} oracle={ot}"
                      for c, st, ot in zip(s_cols, s_types, o_types)
