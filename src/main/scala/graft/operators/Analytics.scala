@@ -140,6 +140,94 @@ object Analytics {
       .orderBy("entity")
   }
 
+  /** Gap-based sessionization, ROW-LEVEL — the assignment surface
+    * [[graft.streaming.Sessionize.sessionizeBatch]] (q49) rolls up
+    * away: that operator emits per-session aggregates only; this one
+    * returns every event with its session key, which is what bounce /
+    * depth / session-funnel / entry-exit metrics downstream need. An
+    * entity's events sorted by time split into sessions wherever the
+    * gap to the previous event STRICTLY exceeds `gapUs` (q49's rollup
+    * uses >=; both are industry conventions — documented, not
+    * accidental). `tieBreak` completes the total order under tied
+    * timestamps so the split is layout-independent, never partition
+    * luck.
+    *
+    * Output: `entity` LONG, `ts_us` LONG, `tie` (the tieBreak value,
+    * surfaced so callers can join assignments back to their rows),
+    * `session_seq` LONG (1-based per entity, in time order),
+    * `session_start_us` LONG (the session's first event time — with
+    * `entity` a stable global session key). NULL entity/ts rows are
+    * excluded (unsessionizable), mirroring the oracle's WHERE.
+    *
+    * Shape: ONE entity-keyed exchange shared by both windows (lag →
+    * new-session flag → running sum); no join, no driver state. At
+    * corpus scale the per-entity frame is the user's own event count —
+    * the natural skew bound (a bot user with 10⁷ events is a data
+    * problem surfaced by [[graft.operators.Skew.diagnose]], not a plan
+    * problem). */
+  def sessionize(events: DataFrame, entity: Column, tsUs: Column,
+                 gapUs: Long, tieBreak: Column): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val base = events.select(entity.cast("long").as("entity"),
+        tsUs.cast("long").as("ts_us"), tieBreak.as("tie"))
+      .filter(col("entity").isNotNull && col("ts_us").isNotNull)
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("ts_us").asc, col("tie").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts_us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(run))
+      // session starts are monotone in time, so the RUNNING max of
+      // flagged start times IS the current session's start — this rides
+      // the same (entity)-keyed sorted frame as the lag and the seq,
+      // instead of a second window keyed (entity, session_seq) whose
+      // different sort order would cost another per-partition sort
+      .withColumn("session_start_us",
+        max(when(col("__new") === 1L, col("ts_us"))).over(run))
+      .select(col("entity"), col("ts_us"), col("tie"),
+        col("session_seq"), col("session_start_us"))
+  }
+
+  /** Per-session rollup over [[sessionize]]'s assignment: event count,
+    * start/end, duration, and the session's first/last event label (the
+    * entry/exit-page readout, min/max by (ts, tie) — deterministic
+    * under ties). The label column is `tieBreak` ONLY when callers pass
+    * the label as the tiebreak; pass a separate `label` for the usual
+    * (event_id tiebreak, event_type label) split.
+    *
+    * Shape: [[sessionize]]'s one entity exchange, then a (entity,
+    * session_seq) aggregate that REUSES the same hash partitioning
+    * (entity alone co-locates every session) — map-side combined, no
+    * second exchange. Output: `entity`, `session_seq`,
+    * `session_start_us`, `session_end_us`, `duration_us`, `n_events`
+    * LONG, `entry_label`, `exit_label`; total order (entity,
+    * session_seq). */
+  def sessionStats(events: DataFrame, entity: Column, tsUs: Column,
+                   gapUs: Long, tieBreak: Column,
+                   label: Column): DataFrame = {
+    val assigned = sessionize(
+      events.select(entity.as("__e"), tsUs.as("__t"), tieBreak.as("__tb"),
+        label.as("__lbl")),
+      col("__e"), col("__t"), gapUs,
+      struct(col("__tb"), col("__lbl")))
+    assigned
+      .groupBy(col("entity"), col("session_seq"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts_us"), col("tie"))).as("__first"),
+        max(struct(col("ts_us"), col("tie"))).as("__last"))
+      .select(col("entity"), col("session_seq"), col("session_start_us"),
+        col("session_end_us"), col("duration_us"), col("n_events"),
+        col("__first.tie.__lbl").as("entry_label"),
+        col("__last.tie.__lbl").as("exit_label"))
+      .orderBy("entity", "session_seq")
+  }
+
   /** Time-constrained funnel: [[funnel]] with a MAX GAP between
     * consecutive steps — "signup → activate within 1 h → purchase
     * within 1 h", the form every product-analytics question actually

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-attributed snapshot diff — the audit between two versions
+  * of a keyed table, answering WHICH COLUMNS moved, not just which
+  * rows: per-key ADDED / REMOVED / CHANGED classification with one
+  * boolean change flag per compared column, a per-row changed-column
+  * count, and a one-row summary with per-column totals.
+  * [[Relational.snapshotDiff]] (q68) is the sibling emitting changed
+  * ROW IMAGES (the CDC feed shape); this one emits change STRUCTURE
+  * (the schema-drift/regression-alert shape — "tonight's run touched
+  * o_totalprice on 40k rows" is a per-column total, invisible in a row
+  * feed without re-diffing). Companion to
+  * [[graft.sources.TxnParquet]]'s manifest versions (diff two pinned
+  * reads) and to [[Scd2]]'s change capture.
+  *
+  * Comparison semantics: value columns compare NULL-SAFELY (`<=>` —
+  * NULL vs NULL is unchanged, NULL vs value is a change); unchanged
+  * rows are NOT emitted (output is bounded by churn + adds + drops,
+  * never table size — the property that makes the diff runnable as a
+  * post-merge audit at 100 TB). Keys must be unique per side; a
+  * duplicate key would make "the" old/new row ill-defined, so the
+  * operator requires the caller dedup first (e.g.
+  * [[Relational.latestPerKey]]).
+  *
+  * Shape: ONE full-outer hash equi-join on the key columns (both sides
+  * exchange once; co-partitioned/bucketed inputs skip even that), a
+  * narrow projection computing the per-column change flags, and a
+  * single-row summary aggregate. No windows, no driver state.
+  */
+object Diff {
+
+  /** Row-level diff. Output: the key columns, `status` STRING
+    * ('added' | 'removed' | 'changed'), `n_cols_changed` LONG (0 for
+    * added/removed — the row-level statuses own those), and one
+    * `chg_<col>` BOOLEAN per compared column (true = that column
+    * differs; false for added/removed rows, matching the 0 count).
+    * Total order by (keys, status). Compared columns = the
+    * intersection of both sides' non-key columns unless `compareCols`
+    * narrows it. */
+  def columnDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String] = Seq.empty): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val shared = oldDf.columns.toSet.intersect(newDf.columns.toSet)
+    require(keys.forall(shared.contains),
+      s"keys $keys must exist on both sides")
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else (oldDf.columns.toSet.intersect(newDf.columns.toSet) -- keys)
+        .toSeq.sorted
+    require(cols.nonEmpty, "no columns to compare")
+    require(cols.forall(shared.contains),
+      s"compare columns must exist on both sides; missing: " +
+        s"${cols.filterNot(shared.contains)}")
+
+    val o = oldDf.select((keys ++ cols).map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keys ++ cols).map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val joined = o.join(n,
+      keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _),
+      "full_outer")
+
+    val chgFlags = cols.map(c =>
+      (!(col(s"__o_$c") <=> col(s"__n_$c"))).as(s"chg_$c"))
+    val inOld = coalesce(col("__in_old"), lit(false))
+    val inNew = coalesce(col("__in_new"), lit(false))
+    val classified = joined
+      .select(
+        (keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k)) ++
+          Seq(inOld.as("__io"), inNew.as("__in")) ++ chgFlags): _*)
+      .withColumn("status",
+        when(!col("__io"), lit("added"))
+          .when(!col("__in"), lit("removed"))
+          .when(cols.map(c => col(s"chg_$c")).reduce(_ || _), lit("changed")))
+      .filter(col("status").isNotNull) // unchanged rows never leave the join
+      .withColumn("n_cols_changed",
+        when(col("status") === "changed",
+          cols.map(c => when(col(s"chg_$c"), 1L).otherwise(0L))
+            .reduce(_ + _)).otherwise(0L))
+    classified
+      .select((keys.map(col) :+ col("status") :+ col("n_cols_changed")) ++
+        cols.map(c => (col("status") === "changed" && col(s"chg_$c"))
+          .as(s"chg_$c")): _*)
+      .orderBy((keys.map(col) :+ col("status")): _*)
+  }
+
+  /** One-row rollup of [[columnDiff]]: counts per status plus the
+    * per-column change totals — the dashboard cell a nightly pipeline
+    * alerts on. `n_unchanged` is derived from the OLD side's count so
+    * the four statuses partition both snapshots exactly:
+    * old = removed + changed + unchanged; new = added + changed +
+    * unchanged. */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                  compareCols: Seq[String] = Seq.empty): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else (oldDf.columns.toSet.intersect(newDf.columns.toSet) -- keys)
+        .toSeq.sorted
+    val d = columnDiff(oldDf, newDf, keys, cols)
+    val nOld = oldDf.select(keys.map(col): _*).count()
+    val base = d.agg(
+      coalesce(sum(when(col("status") === "added", 1L).otherwise(0L)),
+        lit(0L)).as("n_added"),
+      coalesce(sum(when(col("status") === "removed", 1L).otherwise(0L)),
+        lit(0L)).as("n_removed"),
+      coalesce(sum(when(col("status") === "changed", 1L).otherwise(0L)),
+        lit(0L)).as("n_changed"))
+    val chgTotals = cols.map(c =>
+      coalesce(sum(when(col(s"chg_$c"), 1L).otherwise(0L)), lit(0L))
+        .as(s"n_chg_$c"))
+    val withTotals = d.agg(chgTotals.head, chgTotals.tail: _*)
+    base.crossJoin(withTotals)
+      .withColumn("n_unchanged",
+        lit(nOld) - col("n_removed") - col("n_changed"))
+      .select((Seq(col("n_added"), col("n_removed"), col("n_changed"),
+        col("n_unchanged")) ++ cols.map(c => col(s"n_chg_$c"))): _*)
+  }
+}

@@ -696,6 +696,77 @@ object Graph {
       .orderBy("node")
   }
 
+  /** k-hop reach PROFILE via iterated bottom-k sketch union — the
+    * HyperBall/HyperANF idea (Boldi–Rosa–Vigna WWW'11) with KMV
+    * sketches in place of HyperLogLog counters, generalizing
+    * [[twoHopReachKmv]] from one fixed radius to the whole
+    * neighborhood-function curve: for every node and every t ≤
+    * `maxHops`, an estimate of |{u ≠ v : dist(u,v) ≤ t}|. The curve is
+    * what the single-radius operator can't show — where a graph's
+    * reachability saturates (effective diameter), which nodes are
+    * t-hop hubs.
+    *
+    * Recurrence (per round, all relational):
+    *   S₁(v) = bottom-k of neighbor hashes;
+    *   Sₜ₊₁(v) = bottom-k(Sₜ(v) ∪ ⋃_{u∈N(v)} Sₜ(u)) minus h(v)
+    * — each round is ONE adjacency equi-join shipping ≤ k hashes per
+    * edge (O(edges·k) rows, never Σ degᵗ path materialization), a
+    * union, and a per-node [[Relational.topKPerKey]] (WindowGroupLimit
+    * caps rows below the exchange). Lineage cut per round
+    * (localCheckpoint), driver state none. KMV over HLL here for one
+    * reason: bottom-k unions are EXACT while the set fits (n_sig < k
+    * ⇒ exact reach, gate-able), where HLL is approximate from the
+    * first element.
+    *
+    * Same exactness/error contract as [[twoHopReachKmv]]: n_sig < k ⇒
+    * exact; truncated ⇒ (k−1)/frac(kth), se ≈ 1/√(k−2). Deterministic
+    * (xxhash64 bottom-k — layout-independent, never flaps).
+    *
+    * Output: `node`, `hop` INT (1..maxHops), `n_sig` INT,
+    * `reach_est` DOUBLE; total order (node, hop). */
+  def reachProfileKmv(edges: DataFrame, k: Int = 256,
+                      maxHops: Int = 3): DataFrame = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      xxhash64(c).bitwiseXOR(lit(Long.MinValue))
+    def snapshot(sk: DataFrame, hop: Int): DataFrame = sk
+      .groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("__h"))).as("__sig"))
+      .select(col("node"), lit(hop).as("hop"),
+        size(col("__sig")).as("n_sig"),
+        Sketches.kmvDistinctEst(col("__sig"), k).as("reach_est"))
+    var sketch = Relational.topKPerKey(
+        adj.select(col("u"), fh(col("v")).as("__h")), Seq("u"), k,
+        Seq(col("__h").asc))
+      .select(col("u"), col("__h")).localCheckpoint(true)
+    val hops = scala.collection.mutable.ArrayBuffer(snapshot(sketch, 1))
+    var t = 2
+    while (t <= maxHops) {
+      val shipped = adj.select(col("u"), col("v").as("__mid"))
+        .join(sketch.select(col("u").as("__mid"), col("__h")), "__mid")
+        .select(col("u"), col("__h"))
+      val cand = sketch.unionAll(shipped)
+        .filter(col("__h") =!= fh(col("u"))) // the ball excludes self
+        .distinct()
+      sketch = Relational.topKPerKey(cand, Seq("u"), k,
+          Seq(col("__h").asc))
+        .select(col("u"), col("__h")).localCheckpoint(true)
+      hops += snapshot(sketch, t)
+      t += 1
+    }
+    hops.reduce(_ unionByName _).orderBy("node", "hop")
+  }
+
   /** k-core peeling (bounded rounds): repeatedly delete nodes of degree
     * < k; the survivors of the fixpoint form the k-core — the dense
     * backbone used to split hub structure from tendrils in co-occurrence

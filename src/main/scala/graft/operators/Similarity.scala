@@ -615,12 +615,52 @@ object Similarity {
       s"lambdaPpm in [0, 1000000], got $lambdaPpm")
     val sl = if (shortlist > 0) shortlist else k * 4
     require(sl >= k, s"shortlist ($sl) must be >= k ($k)")
+    val micro = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
+    val base = bruteForceTopK(corpus, queries, sl, idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol), micro(col("sim")).as("__simq"))
+    mmrGreedy(corpus, base, k, lambdaPpm, idCol, vecCol, queryIdCol)
+  }
+
+  /** [[mmrRerank]] on the ANN scale path: the shortlist comes from a
+    * multi-probe SRP-LSH bucket join ([[lshTopKMultiProbe]]) instead of
+    * the broadcast cross join — the same candidate-stage swap that took
+    * margin-kNN ([[marginTopKAnn]]) and rank-eval off their quadratic
+    * baselines. Everything AFTER candidate generation is byte-identical
+    * to the exact operator: shortlist pair cosines are still exact
+    * codegen kernels (O(queries·S²), bounded by the shortlist), and the
+    * greedy integer-µ selection replays engine-exactly given the same
+    * candidate sets. An isolated query whose probed buckets hold fewer
+    * than `shortlist` candidates just diversifies a shorter list — MMR
+    * degrades to picking everything found, never fabricates candidates.
+    * Determinism: fixed seeded SRP planes ⇒ layout-independent output.
+    * Output: the [[mmrRerank]] shape. */
+  def mmrRerankAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                   bits: Int, dim: Int, nProbe: Int = 4,
+                   shortlist: Int = 0, lambdaPpm: Long = 700000L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1000000], got $lambdaPpm")
+    val sl = if (shortlist > 0) shortlist else k * 4
+    require(sl >= k, s"shortlist ($sl) must be >= k ($k)")
+    val micro = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
+    val base = lshTopKMultiProbe(corpus, queries, sl, bits, dim, nProbe,
+        idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol), micro(col("sim")).as("__simq"))
+    mmrGreedy(corpus, base, k, lambdaPpm, idCol, vecCol, queryIdCol)
+  }
+
+  /** Shared MMR tail: exact pairwise shortlist cosines + the per-query
+    * sequential greedy inside cogroup. `base` carries (queryIdCol,
+    * idCol, __simq µ-units); candidate-stage choice (exact vs ANN) is
+    * the callers' only difference. */
+  private def mmrGreedy(corpus: DataFrame, base: DataFrame, k: Int,
+                        lambdaPpm: Long, idCol: String, vecCol: String,
+                        queryIdCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val micro = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
-
-    val base = bruteForceTopK(corpus, queries, sl, idCol, vecCol, queryIdCol)
-      .select(col(queryIdCol), col(idCol), micro(col("sim")).as("__simq"))
 
     // shortlist members' vectors, then all ordered pairs per query
     val vecs = base.select(col(queryIdCol), col(idCol))

@@ -6468,6 +6468,246 @@ object Probes {
     }
   )
 
+  /** Per-session entry/exit readout (fully oracled): the row-level
+    * sessionizer + a per-session rollup carrying first/last event
+    * labels — what q49's aggregate-only sessionization can't answer
+    * (WHERE does a session start and abandon?). Integer µs throughout;
+    * entry/exit picked by (ts, event_id) — event_id unique, so the
+    * labels replay engine-exactly. */
+  val sessionStatsProbe = Probe(
+    "q219_session_stats",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.sessionStats(Tables.events(s, d), col("user_id"),
+        unix_micros(col("ts")), gapUs = 1800000000L, col("event_id"),
+        coalesce(col("event_type"), lit("?")))
+    },
+    Some("""WITH e AS (SELECT user_id AS entity, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_id AS eid, coalesce(event_type, '?') AS lbl
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |l AS (SELECT *, lag(t) OVER w AS pt FROM e
+           |      WINDOW w AS (PARTITION BY entity ORDER BY t, eid, lbl)),
+           |f AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000
+           |        THEN 1 ELSE 0 END AS ns FROM l),
+           |s AS (SELECT *, sum(ns) OVER (PARTITION BY entity
+           |        ORDER BY t, eid, lbl
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS session_seq FROM f),
+           |w2 AS (SELECT *, first_value(lbl) OVER ws AS entry_label,
+           |         last_value(lbl) OVER ws AS exit_label
+           |       FROM s WINDOW ws AS (PARTITION BY entity, session_seq
+           |         ORDER BY t, eid
+           |         ROWS BETWEEN UNBOUNDED PRECEDING
+           |           AND UNBOUNDED FOLLOWING))
+           |SELECT entity, CAST(session_seq AS BIGINT) AS session_seq,
+           |  min(t) AS session_start_us, max(t) AS session_end_us,
+           |  max(t) - min(t) AS duration_us,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  any_value(entry_label) AS entry_label,
+           |  any_value(exit_label) AS exit_label
+           |FROM w2 GROUP BY entity, session_seq
+           |ORDER BY entity, session_seq""".stripMargin)
+  )
+
+  /** Column-attributed diff (fully oracled): two deterministic
+    * derivations of the events table play "last night's table" vs
+    * "tonight's" — rows dropped (event_id ≡ 0 mod 5), added (≡ 0 mod 7
+    * only in new), value/type mutations (mod 3 / mod 11) — and the
+    * diff must classify every key with exact per-column change flags;
+    * the WHICH-column attribution is what q68's row-image diff doesn't
+    * carry. DuckDB replays the same FULL OUTER JOIN + IS DISTINCT FROM
+    * logic. */
+  val columnDiffProbe = Probe(
+    "q220_column_diff",
+    (s, d) => {
+      import graft.operators.Diff
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val old = ev.filter(col("event_id") % 7 =!= 0)
+      val neu = ev.filter(col("event_id") % 5 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 3 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+        .withColumn("event_type",
+          when(col("event_id") % 11 === 0, lit("mutated"))
+            .otherwise(col("event_type")))
+      Diff.columnDiff(old, neu, Seq("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type, user_id, value
+           |  FROM events),
+           |o AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+           |n AS (SELECT event_id,
+           |    CASE WHEN event_id % 11 = 0 THEN 'mutated'
+           |         ELSE event_type END AS event_type,
+           |    user_id,
+           |    CASE WHEN event_id % 3 = 0 THEN value + 1.0
+           |         ELSE value END AS value
+           |  FROM ev WHERE event_id % 5 <> 0),
+           |j AS (SELECT coalesce(n.event_id, o.event_id) AS event_id,
+           |    o.event_id IS NOT NULL AS io, n.event_id IS NOT NULL AS inw,
+           |    o.event_type IS DISTINCT FROM n.event_type AS ct,
+           |    o.user_id IS DISTINCT FROM n.user_id AS cu,
+           |    o.value IS DISTINCT FROM n.value AS cv
+           |  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id),
+           |c AS (SELECT *,
+           |    CASE WHEN NOT io THEN 'added'
+           |         WHEN NOT inw THEN 'removed'
+           |         WHEN ct OR cu OR cv THEN 'changed' END AS status
+           |  FROM j)
+           |SELECT event_id, status,
+           |  CAST(CASE WHEN status = 'changed' THEN
+           |    (CASE WHEN ct THEN 1 ELSE 0 END) +
+           |    (CASE WHEN cu THEN 1 ELSE 0 END) +
+           |    (CASE WHEN cv THEN 1 ELSE 0 END)
+           |  ELSE 0 END AS BIGINT) AS n_cols_changed,
+           |  status = 'changed' AND ct AS chg_event_type,
+           |  status = 'changed' AND cu AS chg_user_id,
+           |  status = 'changed' AND cv AS chg_value
+           |FROM c WHERE status IS NOT NULL
+           |ORDER BY event_id, status""".stripMargin)
+  )
+
+  /** k-hop reach profile, KMV-sketched (HyperBall with bottom-k): the
+    * whole neighborhood-function curve q196 computes for one radius.
+    * Audited on the supplier–part bipartite co-occurrence graph
+    * against an exact iterated-BFS truth at every hop 1..3:
+    * sketch-resident (n_sig < k) nodes must be EXACT; truncated nodes
+    * must satisfy the KMV error contract; and the curve must be
+    * NONDECREASING in hop per node (balls only grow — bottom-k of a
+    * growing union can never raise the kth hash). Measured at k=64,
+    * sf0.01: small_bad=0 at every hop, mean rel err 0.14/0.10/0.11,
+    * max 0.43/0.45/0.13 (hops 1/2/3); gated at mean ≤ 0.25,
+    * max ≤ 0.75. DuckDB recomputes the node universe from scratch. */
+  val reachProfileProbe = Probe(
+    "q221_reach_profile",
+    (s, d) => {
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d)
+      val edges = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      val k = 64
+      val maxHops = 3
+      val est = Graph.reachProfileKmv(edges, k, maxHops)
+      // exact truth: iterated adjacency joins, distinct reach set per hop
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      var r = adj.select(col("u"), col("v")).distinct().localCheckpoint(true)
+      var exact = r.groupBy("u").agg(count(lit(1)).as("exact"))
+        .withColumn("hop", lit(1))
+      var t = 2
+      while (t <= maxHops) {
+        r = r.select(col("u"), col("v").as("__m"))
+          .join(adj.select(col("u").as("__m"), col("v")), "__m")
+          .select(col("u"), col("v"))
+          .unionAll(r).filter(col("u") =!= col("v"))
+          .distinct().localCheckpoint(true)
+        exact = exact.unionByName(r.groupBy("u")
+          .agg(count(lit(1)).as("exact")).withColumn("hop", lit(t)))
+        t += 1
+      }
+      val joined = est.join(exact.select(col("u").as("node"),
+          col("hop"), col("exact")), Seq("node", "hop"))
+        .withColumn("__err",
+          abs(col("reach_est") - col("exact")) / col("exact"))
+      val mono = est.withColumn("__prev",
+          lag(col("reach_est"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("node")).orderBy(col("hop"))))
+        .filter(col("__prev").isNotNull &&
+          col("reach_est") < col("__prev"))
+        .agg(count(lit(1)).as("__n_mono_bad"))
+      joined.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col("n_sig") < k &&
+            round(col("reach_est")) =!= col("exact"), 1L)
+            .otherwise(0L)), lit(0L)).as("__n_small_bad"),
+          coalesce(avg(when(col("n_sig") === k, col("__err"))), lit(0.0))
+            .as("__err_mean"),
+          coalesce(max(when(col("n_sig") === k, col("__err"))), lit(0.0))
+            .as("__err_max"))
+        .crossJoin(mono)
+        .select(col("n_rows"),
+          (col("__n_small_bad") === 0L).as("ok_small_exact"),
+          (col("__err_mean") <= 0.25).as("ok_err_mean"),
+          (col("__err_max") <= 0.75).as("ok_err_max"),
+          (col("__n_mono_bad") === 0L).as("ok_monotone"))
+    },
+    Some("""WITH n AS (SELECT DISTINCT l_suppkey * 2 AS node
+           |    FROM lineitem
+           |  UNION SELECT DISTINCT l_partkey * 2 + 1 FROM lineitem)
+           |SELECT CAST(3 * count(*) AS BIGINT) AS n_rows,
+           |  true AS ok_small_exact, true AS ok_err_mean,
+           |  true AS ok_err_max, true AS ok_monotone
+           |FROM n""".stripMargin),
+    benchRun = Some { (s, d) =>
+      import graft.operators.Graph
+      val li = Tables.lineitem(s, d)
+      val edges = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      Graph.reachProfileKmv(edges, k = 64, maxHops = 3)
+    }
+  )
+
+  /** ANN-fed MMR diversification (q130's exact baseline documents this
+    * swap): the shortlist comes from multi-probe SRP-LSH bucket joins;
+    * the greedy integer-µ selection and the exact pairwise shortlist
+    * cosines are unchanged. Self-oracled against the exact
+    * [[Similarity.mmrRerank]] on the same bounded queries — full
+    * per-query coverage, contiguous 1..k rank shape, and a measured
+    * overlap floor on the FINAL diversified list (the strictest
+    * surface: a shortlist difference can cascade through every later
+    * greedy pick). Observed overlap 0.65 (sf0.01) / 0.74 (sf0.1) with
+    * buckets sized ~250 (annBits); gated at 0.5. DuckDB recomputes the
+    * query-universe count from scratch. */
+  val mmrAnnProbe = Probe(
+    "q218_mmr_ann",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val k = 4
+      val ann = Similarity.mmrRerankAnn(emb, queries, k = k,
+        bits = annBits(emb), dim = 64, nProbe = 4, shortlist = 10,
+        lambdaPpm = 700000L)
+      val exact = Similarity.mmrRerank(emb, queries, k = k,
+        shortlist = 10, lambdaPpm = 700000L)
+      val overlap = ann.select(col("query_id"), col("vec_id"))
+        .join(exact.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__n_overlap"))
+      val shape = ann.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("mmr_rank")).as("__minr"),
+          max(col("mmr_rank")).as("__maxr"))
+        .agg(count(lit(1)).as("__n_covered"),
+          coalesce(sum(when(col("__n") === col("__maxr") &&
+            col("__minr") === 1 && col("__maxr") === k, 0L)
+            .otherwise(1L)), lit(0L)).as("__n_bad_shape"))
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(shape).crossJoin(overlap)
+        .select(col("n_queries"),
+          (col("__n_covered") === col("n_queries")).as("ok_covered"),
+          (col("__n_bad_shape") === 0).as("ok_topk_shape"),
+          (col("__n_overlap") >= col("n_queries") * k * 0.5)
+            .as("ok_overlap_vs_exact"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_covered,
+           |  true AS ok_topk_shape, true AS ok_overlap_vs_exact
+           |FROM embeddings WHERE vec_id < 20""".stripMargin),
+    benchRun = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.mmrRerankAnn(emb, queries, k = 4, bits = annBits(emb),
+          dim = 64, nProbe = 4, shortlist = 10, lambdaPpm = 700000L)
+        .orderBy("query_id", "mmr_rank")
+    }
+  )
+
   /** KMV-sketched two-hop reach (q183's dense-graph fallback): per-node
     * bottom-k sketch union instead of exact wedge materialization —
     * O(m·k) sketch rows where exact pays Σ deg². Audited on the DENSE
@@ -7571,7 +7811,8 @@ object Probes {
     apportionProbe, covMomentsProbe, rfmProbe, temporalJoinProbe,
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
     wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
-    funnelWindowedProbe, streakProbe
+    funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
+    columnDiffProbe, reachProfileProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -163,6 +163,36 @@ object ScaleSweep {
             cp.select(col("dst").as("src"), col("src").as("dst")))
           noop(Graph.pagerankMicro(edges, iters = 5))
         },
+        // the SAME pagerank with broadcasts DISABLED: the recurring
+        // measurement behind the 1000-executor claim (PLANS.md round-4
+        // task-8 experiment) that the per-round rank⋈edges join rides
+        // the persisted repartition(src) layout with no edge-side
+        // exchange — locally the rank frame broadcasts, which would
+        // hide a broken layout from the default row above.
+        "pagerank_nobc_5it" -> { () =>
+          val s = graft.GraftSession.getOrCreate("graft-scale-sweep")
+          val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          val prevA =
+            s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          try {
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+              .select((col("o_custkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst")).distinct()
+            val edges = cp.unionByName(
+              cp.select(col("dst").as("src"), col("src").as("dst")))
+            noop(Graph.pagerankMicro(edges, iters = 5))
+          } finally {
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+            prevA match {
+              case Some(v) => s.conf
+                .set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+              case None => s.conf
+                .unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            }
+          }
+        },
         // train is bounded-sample (flat); encode is the linear term
         "bpe_count" -> { () =>
           val merges = Bpe.train(docs, col("text"), col("doc_id"),
@@ -585,6 +615,40 @@ object ScaleSweep {
             .select(col("query_id"), col("vec_id"))
           noop(graft.operators.Fusion.rankEval(ranked, truth, k = 10))
         },
+        // ANN-fed MMR: shortlist from the same constant-bucket LSH
+        // schedule; the greedy + pairwise stage is O(queries·S²), fixed
+        // by the 20-query × 10-shortlist bound — flat by contract.
+        "mmr_ann" -> { () =>
+          val bits = 6 + (31 - Integer.numberOfLeadingZeros(rep))
+          val qs = emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          noop(Similarity.mmrRerankAnn(emb, qs, k = 4, bits = bits,
+            dim = 64, nProbe = 4, shortlist = 10))
+        },
+        // ONE full-outer key join + narrow flag projection; output is
+        // churn-bounded, never table-bounded
+        "column_diff" -> { () =>
+          val evd = ev.select(col("event_id"), col("event_type"),
+            col("user_id"), col("value"))
+          val old = evd.filter(col("event_id") % 7 =!= 0)
+          val neu = evd.filter(col("event_id") % 5 =!= 0)
+            .withColumn("value", when(col("event_id") % 3 === 0,
+              col("value") + 1.0).otherwise(col("value")))
+          noop(graft.operators.Diff.columnDiff(old, neu, Seq("event_id")))
+        },
+        // O(edges·k) sketch rows per round × maxHops rounds — the
+        // HyperBall shape; immune to ball-size densification
+        "reach_profile" -> { () =>
+          val edges = li.select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")).distinct()
+          noop(Graph.reachProfileKmv(edges, k = 64, maxHops = 3))
+        },
+        // ONE entity exchange: lag/seq windows + the (entity, seq) agg
+        // all ride it (entity hash co-locates every session)
+        "session_stats" -> (() => noop(
+          Analytics.sessionStats(ev, col("user_id"),
+            unix_micros(col("ts")), gapUs = 1800000000L, col("event_id"),
+            coalesce(col("event_type"), lit("?"))))),
         // (key, period) agg + lag over the periods-sized frame
         "period_over_period" -> (() => noop(
           Analytics.periodOverPeriod(li, col("l_returnflag"),

@@ -626,4 +626,74 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(scores.filter(_._2 == 5L).map(_._1) === (1L to 20L))
     assert(scores.filter(_._2 == 1L).map(_._1) === (81L to 100L))
   }
+
+  test("sessionize: strict-gap boundary, seq numbering, running start") {
+    // user 1: events at 0, 100, 101 with gap 100 — the 0→100 gap is NOT
+    // > 100 (same session, strict semantics); then 300 opens session 2
+    val ev = Seq((1L, 0L, 10L), (1L, 100L, 11L), (1L, 101L, 12L),
+      (1L, 300L, 13L), (2L, 5L, 20L)).toDF("u", "t", "eid")
+    val got = Analytics.sessionize(ev, col("u"), col("t"), gapUs = 100L,
+        col("eid"))
+      .orderBy("entity", "ts_us")
+      .select("entity", "ts_us", "session_seq", "session_start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 1L, 0L), (1L, 100L, 1L, 0L),
+      (1L, 101L, 1L, 0L), (1L, 300L, 2L, 300L), (2L, 5L, 1L, 5L)))
+  }
+
+  test("sessionize: tied timestamps split deterministically by tieBreak") {
+    val ev = Seq((1L, 50L, 2L), (1L, 50L, 1L), (1L, 50L, 3L))
+      .toDF("u", "t", "eid")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.sessionize(d, col("u"), col("t"), 10L, col("eid"))
+        .orderBy("ts_us", "tie").collect().map(_.toSeq).toSeq
+    val a = run(ev)
+    assert(a === run(ev.repartition(7)))
+    // all ties share one session (gap 0 never exceeds the threshold)
+    assert(a.map(_(3)).distinct === Seq(1L))
+  }
+
+  test("sessionStats: entry/exit labels and durations; null rows excluded") {
+    val ev = Seq(
+      (Some(1L), Some(0L), 10L, "view"), (Some(1L), Some(60L), 11L, "click"),
+      (Some(1L), Some(70L), 12L, "buy"), (Some(1L), Some(500L), 13L, "view"),
+      (None, Some(9L), 14L, "view"), (Some(3L), None, 15L, "view"))
+      .toDF("u", "t", "eid", "et")
+    val got = Analytics.sessionStats(ev, col("u"), col("t"), gapUs = 100L,
+        col("eid"), col("et"))
+      .select("entity", "session_seq", "session_start_us", "session_end_us",
+        "duration_us", "n_events", "entry_label", "exit_label")
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 70L, 70L, 3L, "view", "buy"),
+      (1L, 2L, 500L, 500L, 0L, 1L, "view", "view")))
+  }
+
+  test("sessionStats(gap−1) rollups agree with the q49 streaming-batch " +
+      "sessionizer's >= gap semantics") {
+    // strict > (gap−1) ≡ >= gap on integer µs: the two operators'
+    // documented conventions meet exactly, so their session boundaries
+    // must coincide on ANY data — cross-checking the new row-level
+    // path against the oracled q49 plan (and transitively against the
+    // streaming flatMapGroupsWithState operator SessionizeSpec ties to
+    // that plan).
+    val ev = (0 until 500).map { i =>
+      val u = i % 7L
+      val t = new Timestamp(i.toLong * 347000L * (i % 11 + 1))
+      (u, t, i.toLong, 1.0)
+    }.toDF("user_id", "ts", "eid", "value")
+    val gapUs = 30L * 60L * 1000000L
+    val mine = Analytics.sessionStats(ev, col("user_id"),
+        unix_micros(col("ts")), gapUs - 1L, col("eid"), lit("x"))
+      .select(col("entity"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val q49 = graft.streaming.Sessionize.sessionizeBatch(
+        ev.select(col("user_id"), col("ts"), col("value")), gapMinutes = 30)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mine === q49)
+  }
 }

@@ -195,6 +195,48 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("reachProfileKmv: exact BFS profile on a path graph when sketches fit") {
+    // path 0-1-2-3-4-5: reach_t(v) = |{u: dist ≤ t}| computable by hand
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val bfs = {
+      val adj = path.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      (node: Long, t: Int) => {
+        var ball = Set(node)
+        (1 to t).foreach(_ => ball = ball ++ ball.flatMap(adj(_)))
+        (ball - node).size.toLong
+      }
+    }
+    Seq(1, 7).foreach { parts =>
+      val got = Graph.reachProfileKmv(path.toDF("src", "dst")
+          .repartition(parts), k = 64, maxHops = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getInt(2), math.round(r.getDouble(3)))).toMap
+      for (n <- 0L to 5L; t <- 1 to 4) {
+        val (nSig, est) = got((n, t))
+        assert(nSig < 64 && est === bfs(n, t), s"node $n hop $t")
+      }
+    }
+  }
+
+  test("reachProfileKmv: hop 2 row agrees with twoHopReachKmv; curve is monotone") {
+    val edges = (0L until 1500L)
+      .map(i => ((i * 7) % 60, (i * 13 + 1) % 60)).filter(p => p._1 != p._2)
+      .toDF("src", "dst")
+    val profile = Graph.reachProfileKmv(edges, k = 16, maxHops = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val two = Graph.twoHopReachKmv(edges, k = 16).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // same sketch recurrence at t=2 → bit-identical estimates
+    two.foreach { case (n, est) => assert(profile((n, 2)) === est, s"node $n") }
+    // balls only grow: nondecreasing per node across hops
+    profile.keys.map(_._1).toSeq.distinct.foreach { n =>
+      assert(profile((n, 1)) <= profile((n, 2)) &&
+        profile((n, 2)) <= profile((n, 3)), s"node $n not monotone")
+    }
+  }
+
   test("twoHopReachKmv: sketched hubs estimate within the KMV error contract") {
     // near-complete graph on 120 nodes: every 2-hop set has ~119 members,
     // far over k=16 — all nodes sketched; se ≈ 1/sqrt(14) ≈ 27%

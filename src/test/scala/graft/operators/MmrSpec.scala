@@ -105,4 +105,41 @@ class MmrSpec extends AnyFunSuite {
       .orderBy("mmr_rank").collect().toSeq
     assert(a == b)
   }
+
+  test("ANN variant: contiguous ranks, picks within the LSH shortlist, " +
+      "exact agreement when every candidate survives bucketing") {
+    // bits=1 → 2 buckets: the query's home + the 1-bit flip probe cover
+    // the WHOLE space at nProbe=2, so the LSH shortlist equals the
+    // exact shortlist and the greedy must replay mmrRerank identically.
+    val exact = Similarity.mmrRerank(corpus, queries, k = 5, shortlist = 12)
+      .orderBy("mmr_rank").collect().toSeq
+    val annFull = Similarity.mmrRerankAnn(corpus, queries, k = 5,
+        bits = 1, dim = dim, nProbe = 2, shortlist = 12)
+      .orderBy("mmr_rank").collect().toSeq
+    assert(annFull == exact)
+    // tighter buckets (bits=4, single probe): output keeps the MMR
+    // contract — contiguous ranks from 1, ids drawn from the LSH
+    // candidate set, never more than k rows
+    val ann = Similarity.mmrRerankAnn(corpus, queries, k = 5,
+        bits = 4, dim = dim, nProbe = 1, shortlist = 12)
+      .orderBy("mmr_rank")
+      .select("vec_id", "mmr_rank").as[(Long, Long)].collect().toSeq
+    assert(ann.map(_._2) == (1L to ann.length.toLong))
+    assert(ann.length <= 5)
+    val cands = Similarity.lshTopKMultiProbe(corpus, queries, 12,
+        bits = 4, dim = dim, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ann.map(_._1).toSet.subsetOf(cands))
+  }
+
+  test("ANN variant: layout independence") {
+    val scrambled = corpus.repartition(13).sortWithinPartitions("embedding")
+    val a = Similarity.mmrRerankAnn(corpus, queries, k = 5,
+        bits = 3, dim = dim, nProbe = 2, shortlist = 10)
+      .orderBy("mmr_rank").collect().toSeq
+    val b = Similarity.mmrRerankAnn(scrambled, queries, k = 5,
+        bits = 3, dim = dim, nProbe = 2, shortlist = 10)
+      .orderBy("mmr_rank").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -206,6 +206,75 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gap predicate must ride the entity equi-join:\n$p")
   }
 
+  test("q219: session stats share ONE entity exchange — windows and the " +
+      "session aggregate all ride it") {
+    val p = planOf("q219_session_stats")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx == 1,
+      s"expected exactly one hash exchange (entity), got $nEx:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("graph tier: with broadcasts OFF the round join reuses the " +
+      "clustered edge cache — no Exchange above InMemoryTableScan") {
+    // The 1000-executor contract behind q78/q90/q198/q200/q212: the
+    // per-round rank⋈edges join must reuse the persisted
+    // repartition(src) layout, exchanging ONLY the (small) rank frame.
+    // Locally the rank frame broadcasts, which hides a broken layout —
+    // so this guard disables broadcasts and counts exchanges in the
+    // exact join shape pagerankMicro executes each round.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val edges = (0L until 4000L)
+        .map(i => (i % 97, (i * 7 + 1) % 97)).toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val eDeg = edges.join(deg, "src").repartition(col("src")).persist()
+      eDeg.count() // materialize the clustered cache
+      try {
+        val ranks = spark.range(97)
+          .select(col("id").as("src"), lit(1000000L).as("rank"))
+        val round = eDeg.join(ranks, "src")
+          .select(col("dst"), expr("(rank * 1000000L) DIV deg").as("c"))
+        // walk the LIVE plan tree (InMemoryTableScan is a leaf — its
+        // printed build lineage contains exchanges that never re-run,
+        // so substring counting would overcount)
+        val plan = round.queryExecution.executedPlan
+        val live = plan.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => a.executedPlan
+        }.getOrElse(plan)
+        assert(live.collect {
+          case s: org.apache.spark.sql.execution.columnar
+              .InMemoryTableScanExec => s
+        }.nonEmpty, s"edge cache must feed the join:\n$live")
+        assert(live.collect {
+          case b: org.apache.spark.sql.execution.joins
+              .BroadcastHashJoinExec => b
+        }.isEmpty, s"broadcasts are disabled for this guard:\n$live")
+        val nEx = live.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e
+        }.length
+        assert(nEx == 1,
+          s"only the rank side may exchange (got $nEx):\n$live")
+      } finally eDeg.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("incremental merge reads the stored fact with a partition filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

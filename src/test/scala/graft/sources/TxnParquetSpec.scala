@@ -96,6 +96,81 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(chunks === referenced)
   }
 
+  test("kill-DURING-chunk-write: failed stage job leaves pre-state live; " +
+      "replay lands post-state; orphan swept") {
+    // Completes the crash matrix's earliest corner: the writer dies
+    // while the chunk parquet job is still running (before the tmp
+    // manifest even exists) — a real mid-job executor failure, induced
+    // by a raise_error that fires on one row of the batch.
+    val path = tmp()
+    TxnParquetSink(path).mergeLastWins(
+      df((1L, "2025-11-26 04:00:00", 22.0), (2L, "2025-11-27 05:00:00", 25.0)),
+      keys)
+    val pre = snapshot(TxnParquetSink(path))
+    val preVersion = TxnParquetSink(path).version(spark)
+
+    val poisoned = df((1L, "2025-11-26 04:00:00", 99.0),
+      (5L, "2025-11-27 09:00:00", 55.0))
+      .withColumn("temp", when(col("city_id") === 5L,
+        raise_error(lit("kill during chunk write"))).otherwise(col("temp")))
+    intercept[Exception](TxnParquetSink(path).mergeLastWins(poisoned, keys))
+
+    // pre-state live and byte-identical; the half-written chunk is
+    // invisible (no manifest references it)
+    val after = TxnParquetSink(path)
+    assert(after.version(spark) === preVersion)
+    assert(snapshot(after) === pre)
+
+    // a healthy replay commits; its GC sweeps the dead chunk dir
+    after.mergeLastWins(df((1L, "2025-11-26 04:00:00", 99.0),
+      (5L, "2025-11-27 09:00:00", 55.0)), keys)
+    assert(snapshot(after) === Set(
+      (1L, "2025-11-26 04:00:00.0", 99.0),
+      (2L, "2025-11-27 05:00:00.0", 25.0),
+      (5L, "2025-11-27 09:00:00.0", 55.0)))
+    val chunks = new java.io.File(path, "data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val referenced = (1L to 2L).flatMap { v =>
+      val m = new java.io.File(path, s"_graft/manifest-$v.txt")
+      if (m.exists())
+        scala.io.Source.fromFile(m).getLines().drop(1)
+          .map(_.split("\t")(1).split("/p_dir=")(0).stripPrefix("data/")).toSeq
+      else Seq.empty
+    }.toSet
+    assert(chunks === referenced,
+      s"crashed chunk not swept: chunks=$chunks referenced=$referenced")
+  }
+
+  test("concurrent reader pinned to an old manifest keeps reading it " +
+      "byte-identically across later commits (grace window)") {
+    val path = tmp()
+    val sink = TxnParquetSink(path, keepManifests = 4)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0),
+      (2L, "2025-11-27 05:00:00", 25.0)), keys)
+    // reader resolves the manifest NOW (v1) — chunk paths are fixed at
+    // plan time, exactly how a long-running query pins its snapshot
+    val pinned = sink.read(spark)
+    val v1Rows = Set((1L, "2025-11-26 04:00:00.0", 22.0),
+      (2L, "2025-11-27 05:00:00.0", 25.0))
+    // two later commits REWRITE both of v1's dates (so v1's chunks are
+    // obsolete, kept alive only by the manifest grace window)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 91.0)), keys)
+    sink.mergeLastWins(df((2L, "2025-11-27 05:00:00", 92.0)), keys)
+    assert(sink.version(spark) === Some(3L))
+    // the pinned reader still sees v1, byte-identically
+    val got = pinned.collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).toString, r.getDouble(2))).toSet
+    assert(got === v1Rows, "pinned reader must keep its snapshot")
+    // a fresh reader sees v3
+    assert(snapshot(sink) === Set(
+      (1L, "2025-11-26 04:00:00.0", 91.0),
+      (2L, "2025-11-27 05:00:00.0", 92.0)))
+    // and v1's chunks are still on disk because manifest-1 is within the
+    // keepManifests=4 window — the documented reader-grace contract
+    val m1 = new java.io.File(path, "_graft/manifest-1.txt")
+    assert(m1.exists(), "grace window must retain the pinned manifest")
+  }
+
   test("optimistic concurrency: a second commit of the same version throws, table intact") {
     val path = tmp()
     val sink = TxnParquetSink(path)
