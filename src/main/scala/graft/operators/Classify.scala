@@ -451,4 +451,66 @@ object Classify {
           .stripMargin).as("cum_lift_ppm"))
       .orderBy("decile")
   }
+
+  /** Weight-of-evidence / information-value table over a CATEGORICAL
+    * feature — the credit-scoring-lineage readout of how much a single
+    * feature separates a binary label, and the standard pre-model
+    * feature screen (IV < 0.02 useless, > 0.5 suspicious):
+    *
+    *   woe(bin)  = ln( (pos_bin·NEG) / (neg_bin·POS) )
+    *   iv        = Σ_bins (pos_bin/POS − neg_bin/NEG) · woe(bin)
+    *
+    * Determinism: counts are exact longs; each double op is a fixed
+    * sequence (two long→double products, one division, one ln, …) so
+    * any IEEE engine replays bit-for-bit — the [[aucExact]] discipline
+    * applied to a log scale. One-sided bins (pos or neg = 0) have
+    * UNDEFINED woe: they surface with NULL `woe`/`iv_contrib` and are
+    * EXCLUDED from `iv` (never smoothed silently — smoothing is a
+    * caller-visible modeling choice, not a default; the NULL rows are
+    * the loud signal). NULL labels are excluded; NULL bins form their
+    * own bin (missingness is often the most predictive bin — hiding it
+    * would understate IV).
+    *
+    * Shape: one (bin)-keyed count aggregate (map-side combined), a
+    * one-row totals broadcast, windows only over the bins-sized frame.
+    * Output: `bin` STRING (NULL for the missing bin), `n`, `n_pos`,
+    * `n_neg` LONG, `woe` DOUBLE, `iv_contrib` DOUBLE, `iv_upm` LONG
+    * (the feature total in micro units: Σ floor(contrib·10⁶ + 0.5),
+    * repeated per row — the screen reads one number; quantized-then-
+    * summed LONGS because a float Σ over bins is summation-order-
+    * dependent and engines order window frames differently, while each
+    * per-row double IS a fixed IEEE sequence); total order by bin
+    * (nulls first). */
+  def woeIv(df: DataFrame, bin: Column, truth: Column): DataFrame = {
+    val base = df.select(bin.cast("string").as("bin"),
+        truth.cast("boolean").as("__t"))
+      .filter(col("__t").isNotNull)
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"),
+        coalesce(sum(when(!col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_neg"))
+    val totals = bins.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).as("__POS"),
+      coalesce(sum(col("n_neg")), lit(0L)).as("__NEG"))
+    val scored = bins.crossJoin(broadcast(totals))
+      .withColumn("woe",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          log((col("n_pos").cast("double") * col("__NEG")) /
+            (col("n_neg").cast("double") * col("__POS")))))
+      .withColumn("iv_contrib",
+        when(col("woe").isNotNull,
+          (col("n_pos").cast("double") / col("__POS") -
+            col("n_neg").cast("double") / col("__NEG")) * col("woe")))
+    scored
+      .withColumn("iv_upm",
+        coalesce(sum(floor(col("iv_contrib") * 1000000L + 0.5)
+          .cast("long")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), lit(0L)))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_contrib"), col("iv_upm"))
+      .orderBy(col("bin").asc_nulls_first)
+  }
 }

@@ -594,4 +594,49 @@ object CorpusStats {
           .stripMargin).as("mean_jaccard_ppm"),
         col("max_jaccard_ppm"), col("n_pairs_half"))
   }
+
+  /** Zipf tail index of the term-frequency distribution — the Hill
+    * maximum-likelihood estimator of the power-law exponent over the
+    * frequency tail (Hill '75; Clauset–Shalizi–Newman '09 survey):
+    *
+    *   α = 1 + m / Σ_{c ≥ xMin} ln(c / xMin)
+    *
+    * A natural-text corpus sits near α ≈ 2 (Zipf); templated/synthetic
+    * corpora drift — a one-number drift alarm on the whole vocabulary
+    * shape, complementing [[freqOfFreqs]] (the raw histogram this
+    * summarizes) and [[burstiness]] (per-term concentration).
+    *
+    * Determinism: counts are exact longs; each ln is one pinned IEEE
+    * sequence, quantized floor-micro and summed as LONGS (order-free —
+    * a float Σ over the vocabulary would flap with aggregation order),
+    * then α = 1 + m·10⁶ / Σ_upm, one IEEE division of exact integers.
+    *
+    * Shape: tokenization pipelined with the scan, one term-keyed count
+    * aggregate (map-side combined, shuffle carries |vocab| rows), ONE
+    * one-row aggregate over the tail. Output (one row): `n_terms`
+    * (vocabulary size), `x_min` LONG (the threshold used), `m_tail`
+    * LONG (terms with count ≥ xMin), `sum_ln_upm` LONG (the audit
+    * surface), `alpha` DOUBLE (NULL when the tail is empty or has zero
+    * log-mass — degenerate fit, never 0/0). */
+  def zipfTailIndex(docs: DataFrame, textCol: String = "text",
+                    xMin: Long = 5L): DataFrame = {
+    require(xMin >= 1L, s"xMin must be >= 1, got $xMin")
+    val counts = docs
+      .select(explode(Text.words(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    counts.agg(
+        count(lit(1)).as("n_terms"),
+        lit(xMin).as("x_min"),
+        coalesce(sum(when(col("__c") >= xMin, 1L).otherwise(0L)), lit(0L))
+          .as("m_tail"),
+        coalesce(sum(when(col("__c") >= xMin,
+          floor(log(col("__c").cast("double") / xMin) * 1000000L + 0.5)
+            .cast("long"))), lit(0L)).as("sum_ln_upm"))
+      .withColumn("alpha",
+        when(col("sum_ln_upm") > 0L,
+          lit(1.0) + (col("m_tail") * 1000000L).cast("double") /
+            col("sum_ln_upm")))
+      .select(col("n_terms"), col("x_min"), col("m_tail"),
+        col("sum_ln_upm"), col("alpha"))
+  }
 }

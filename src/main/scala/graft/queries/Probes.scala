@@ -6568,6 +6568,79 @@ object Probes {
            |ORDER BY event_id, status""".stripMargin)
   )
 
+  /** WOE / information value over (source → is-English) (fully
+    * oracled): exact long counts, each woe one pinned IEEE sequence
+    * (two long→double products, one division, one ln — the q76 BM25
+    * precedent for cross-engine ln), published floor-micro-quantized
+    * so the gate is integer-exact; iv is the order-free SUM of
+    * quantized longs. One-sided bins surface as NULL woe, excluded
+    * from iv. */
+  val woeIvProbe = Probe(
+    "q222_woe_iv",
+    (s, d) => {
+      import graft.operators.Classify
+      val upm = (c: Column) => floor(c * 1000000L + 0.5).cast("long")
+      Classify.woeIv(Tables.documents(s, d)
+          .filter(col("lang").isNotNull), col("source"),
+          col("lang") === "en")
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          upm(col("woe")).as("woe_upm"),
+          upm(col("iv_contrib")).as("iv_contrib_upm"), col("iv_upm"))
+    },
+    Some("""WITH b AS (SELECT source AS bin, (lang = 'en') AS t
+           |  FROM documents WHERE lang IS NOT NULL),
+           |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_neg
+           |  FROM b GROUP BY bin),
+           |tt AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM g),
+           |sc AS (SELECT g.*,
+           |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |      ln((CAST(n_pos AS DOUBLE) * tn) /
+           |         (CAST(n_neg AS DOUBLE) * tp)) END AS woe,
+           |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |      (CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn) *
+           |      ln((CAST(n_pos AS DOUBLE) * tn) /
+           |         (CAST(n_neg AS DOUBLE) * tp)) END AS ivc
+           |  FROM g, tt)
+           |SELECT bin, n, n_pos, n_neg,
+           |  CAST(floor(woe * 1000000 + 0.5) AS BIGINT) AS woe_upm,
+           |  CAST(floor(ivc * 1000000 + 0.5) AS BIGINT) AS iv_contrib_upm,
+           |  CAST(coalesce(sum(CAST(floor(ivc * 1000000 + 0.5) AS BIGINT))
+           |    OVER (), 0) AS BIGINT) AS iv_upm
+           |FROM sc ORDER BY bin NULLS FIRST""".stripMargin)
+  )
+
+  /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
+    * tail — exact long counts, per-term ln floor-micro-quantized and
+    * summed as longs (order-free), α one IEEE division of exact
+    * integers. The vocabulary-shape drift alarm. */
+  val zipfProbe = Probe(
+    "q223_zipf_tail",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.zipfTailIndex(Tables.documents(s, d), xMin = 5L)
+    },
+    Some("""WITH w AS (SELECT unnest(list_filter(
+           |    string_split_regex(lower(text), '\s+'),
+           |    x -> len(x) > 0)) AS t FROM documents),
+           |c AS (SELECT t, count(*) AS c FROM w GROUP BY t),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(5 AS BIGINT) AS x_min,
+           |    CAST(coalesce(sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS m_tail,
+           |    CAST(coalesce(sum(CASE WHEN c >= 5 THEN
+           |      CAST(floor(ln(CAST(c AS DOUBLE) / 5) * 1000000 + 0.5)
+           |        AS BIGINT) END), 0) AS BIGINT) AS sum_ln_upm
+           |  FROM c)
+           |SELECT n_terms, x_min, m_tail, sum_ln_upm,
+           |  CASE WHEN sum_ln_upm > 0 THEN
+           |    1 + CAST(m_tail * 1000000 AS DOUBLE) / sum_ln_upm
+           |  END AS alpha
+           |FROM a""".stripMargin)
+  )
+
   /** k-hop reach profile, KMV-sketched (HyperBall with bottom-k): the
     * whole neighborhood-function curve q196 computes for one radius.
     * Audited on the supplier–part bipartite co-occurrence graph
@@ -7812,7 +7885,7 @@ object Probes {
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
     wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
-    columnDiffProbe, reachProfileProbe
+    columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

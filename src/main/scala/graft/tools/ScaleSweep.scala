@@ -625,6 +625,13 @@ object ScaleSweep {
           noop(Similarity.mmrRerankAnn(emb, qs, k = 4, bits = bits,
             dim = 64, nProbe = 4, shortlist = 10))
         },
+        // bins-sized: one bin-keyed count agg + one-row totals broadcast
+        "woe_iv" -> (() => noop(
+          graft.operators.Classify.woeIv(docs, col("source"),
+            col("lang") === "en"))),
+        // |vocab| shuffle rows (map-side combined) + ONE one-row tail agg
+        "zipf_tail" -> (() => noop(
+          CorpusStats.zipfTailIndex(docs, xMin = 5L))),
         // ONE full-outer key join + narrow flag projection; output is
         // churn-bounded, never table-bounded
         "column_diff" -> { () =>

@@ -289,6 +289,49 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("woeIv: hand-computed symmetric table; iv from quantized longs") {
+    import spark.implicits._
+    val rows = Seq.fill(4)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(4)(("B", false))
+    val out = Classify.woeIv(rows.toDF("f", "y"), col("f"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(6))).toSeq
+    // woe(A) = ln((4·5)/(1·5)) = ln 4; B symmetric; each contrib
+    // 0.6·ln4 ≈ 0.8317766 → 831777 µ; iv = 1663554 µ
+    assert(out.map(t => (t._1, t._2, t._3, t._4)) ===
+      Seq(("A", 5L, 4L, 1L), ("B", 5L, 1L, 4L)))
+    assert(math.abs(out.head._5 - math.log(4.0)) < 1e-12)
+    assert(out.forall(_._6 === 1663554L))
+  }
+
+  test("woeIv: one-sided bins NULL and excluded from iv; NULL bin is a bin") {
+    import spark.implicits._
+    val rows = Seq((Some("A"), true), (Some("A"), false),
+      (Some("P"), true), (Some("P"), true), // pure-positive: undefined woe
+      (None: Option[String], false), (None, true))
+    val out = Classify.woeIv(rows.toDF("f", "y"), col("f"), col("y"))
+      .collect()
+    // nulls-first order: NULL bin, then A, then P
+    assert(out.map(r => Option(r.getString(0))) ===
+      Array(None, Some("A"), Some("P")))
+    val p = out.find(r => r.getString(0) == "P").get
+    assert(p.isNullAt(4) && p.isNullAt(5)) // woe, iv_contrib NULL
+    // iv sums only the defined bins — and every row carries the same iv
+    assert(out.map(_.getLong(6)).distinct.length === 1)
+    val defined = out.filter(!_.isNullAt(5))
+      .map(r => math.floor(r.getDouble(5) * 1e6 + 0.5).toLong).sum
+    assert(out.head.getLong(6) === defined)
+  }
+
+  test("woeIv: layout independence") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => (s"b${i % 7}", i % 3 == 0))
+    val df = rows.toDF("f", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.woeIv(d, col("f"), col("y")).collect().map(_.toSeq).toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   test("calibrationBins: bin edges, truncating means, clamp at top bin") {
     val rows = Seq((50000L, false), (99999L, false), (150000L, true),
       (950000L, true), (1000000L, true))

@@ -273,4 +273,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     val df = rows.toDF("doc_id", "text")
     assert(run(df) === run(df.repartition(17)))
   }
+
+  test("zipfTailIndex: hand-computed tail; sub-threshold terms excluded") {
+    // counts: a×8 b×4 c×2 d×1; xMin=2 → tail {8,4,2}, m=3,
+    // Σ = ⌊ln4·10⁶⌉ + ⌊ln2·10⁶⌉ + ⌊ln1·10⁶⌉ = 1386294 + 693147 + 0
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val r = CorpusStats.zipfTailIndex(Seq((1L, text)).toDF("doc_id", "text"),
+      xMin = 2L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 3L, 2079441L)))
+    assert(r.getDouble(4) === 1.0 + 3000000.0 / 2079441L)
+  }
+
+  test("zipfTailIndex: planted power law recovers its exponent; " +
+      "degenerate tail → NULL alpha; layout-proof") {
+    // plant counts c_r ~ r^(-1) over ranks (Zipf pmf exponent ~2 →
+    // frequency-tail Hill alpha near 2): term r appears ⌈400/r⌉ times
+    val words = (1 to 120).flatMap(r => Seq.fill(400 / r + 1)(s"w$r"))
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val a = CorpusStats.zipfTailIndex(df, xMin = 4L).collect().head
+    assert(a.getDouble(4) > 1.6 && a.getDouble(4) < 2.4,
+      s"alpha ${a.getDouble(4)} off the planted exponent")
+    val b = CorpusStats.zipfTailIndex(df.repartition(7), xMin = 4L)
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+    // every surviving count equal to xMin → zero log mass → NULL
+    val flat = Seq((1L, "x x y y z z")).toDF("doc_id", "text")
+    val f = CorpusStats.zipfTailIndex(flat, xMin = 2L).collect().head
+    assert(f.getLong(3) === 0L && f.isNullAt(4))
+  }
 }
