@@ -452,6 +452,80 @@ object Classify {
       .orderBy("decile")
   }
 
+  /** Off-policy evaluation of a target policy on LOGGED bandit
+    * feedback — inverse propensity scoring (Horvitz–Thompson '52;
+    * Li et al. WSDM'11 for the bandit form) plus the self-normalized
+    * variant (SNIPS, Swaminathan–Joachims NeurIPS'15): given logs of
+    * (context, logged action, reward, logging propensity) and a
+    * deterministic target policy's action per context,
+    *
+    *   IPS   = (1/n) Σ  r·1[π(x)=a] / p(a|x)
+    *   SNIPS = Σ w·r / Σ w,   w = 1[π(x)=a] / p(a|x)
+    *
+    * — the estimator that answers "how would the NEW ranking/filter
+    * policy have scored on last month's traffic" without deploying it.
+    *
+    * Integer discipline: propensities arrive in ppm, rewards in
+    * integer micro-units; each weight is the exact integer
+    * `10¹² DIV p_ppm` (so w ≈ 10⁶/p as micro-units), each term the
+    * exact long product `w·r_µ` accumulated in DECIMAL(38,0)
+    * (order-free), and the published estimates are single IEEE
+    * divisions of exact integers. Matches with p_ppm ≤ 0 or NULL are
+    * COUNTED (`n_bad_propensity`) and excluded — a zero logged
+    * propensity means the logger could never take that action, and
+    * dividing by it would be infinite weight, not data.
+    *
+    * Shape: one equi-join on the context key (policy side is usually
+    * derived from the same frame — pre-aliased internally against the
+    * self-join trap), one single-row aggregate. Output (one row): `n`
+    * (scored logs), `n_matched`, `n_bad_propensity` LONG,
+    * `sum_w_upm`, `sum_wr` LONG (audit surface: Σw in µ-units,
+    * Σ w·r_µ DIV 10⁶), `ips_value_micro`, `snips_value_micro` DOUBLE
+    * (NULL when degenerate: no rows / no matched weight). */
+  def ipsEval(logs: DataFrame, contextKey: Column, loggedAction: Column,
+              rewardMicro: Column, propensityPpm: Column,
+              policy: DataFrame, policyKey: Column,
+              policyAction: Column): DataFrame = {
+    val l = logs.select(contextKey.as("__k"), loggedAction.as("__a"),
+      rewardMicro.cast("long").as("__r"),
+      propensityPpm.cast("long").as("__p"))
+    val pol = policy.select(policyKey.as("__pk"),
+      policyAction.as("__pa"))
+    val joined = l.join(pol, col("__k") === col("__pk"), "inner")
+      .withColumn("__match", col("__a") <=> col("__pa"))
+      .withColumn("__bad",
+        col("__match") && (col("__p").isNull || col("__p") <= 0L))
+      // exact integer weight in µ-units: 10¹² DIV p_ppm ≈ 10⁶/p
+      .withColumn("__w",
+        when(col("__match") && !col("__bad"),
+          expr("1000000000000L DIV __p")).otherwise(lit(0L)))
+    joined.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__match"), 1L).otherwise(0L)), lit(0L))
+          .as("n_matched"),
+        coalesce(sum(when(col("__bad"), 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_propensity"),
+        coalesce(sum(col("__w")), lit(0L)).as("sum_w_upm"),
+        // Σ w·r_µ: the product can pass 2⁶³ (w up to 10¹²) — accumulate
+        // wide, publish DIV 10⁶ (back to µ·µ/10⁶ = µ scale), < 2⁶³ for
+        // any gated volume
+        expr("""CAST(coalesce(sum(CAST(__w AS DECIMAL(38,0)) * __r), 0)
+               | DIV 1000000 AS BIGINT)""".stripMargin).as("sum_wr"))
+      .withColumn("ips_value_micro",
+        when(col("n") > 0L,
+          col("sum_wr").cast("double") / col("n")))
+      // sum_wr·10⁶ would overflow LONG; sum_wr is < 2⁵³ at any gated
+      // volume, so cast-then-multiply is the SAME correctly-rounded
+      // double as the exact wide product cast once (oracle-aligned)
+      .withColumn("snips_value_micro",
+        when(col("sum_w_upm") > 0L,
+          col("sum_wr").cast("double") * 1000000.0 /
+            col("sum_w_upm")))
+      .select(col("n"), col("n_matched"), col("n_bad_propensity"),
+        col("sum_w_upm"), col("sum_wr"), col("ips_value_micro"),
+        col("snips_value_micro"))
+  }
+
   /** Weight-of-evidence / information-value table over a CATEGORICAL
     * feature — the credit-scoring-lineage readout of how much a single
     * feature separates a binary label, and the standard pre-model

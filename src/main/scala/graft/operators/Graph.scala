@@ -682,6 +682,13 @@ object Graph {
     val twoHash = adj.select(col("u"), col("v").as("__mid"))
       .join(nbSketch.select(col("u").as("__mid"), col("__h")), "__mid")
       .select(col("u"), col("__h"))
+    // distinct FIRST, then the rank window — measured as the right
+    // order for this dup-heavy stream: a dense_rank bottom-k-distinct
+    // ([[Relational.bottomKDistinctPerKey]]) was tried in round 6 and
+    // ran ~9× SLOWER at sf0.1, because in a dense graph the same small
+    // hashes recur hundreds of times per node, so the WindowGroupLimit
+    // partial keeps ALL their copies (pruning ~nothing) while adding a
+    // per-map sort the hash-based distinct never pays
     val candidates = nbHash.unionAll(twoHash)
       .filter(col("__h") =!= fh(col("u"))) // self never counts
       .distinct()
@@ -745,20 +752,33 @@ object Graph {
       .select(col("node"), lit(hop).as("hop"),
         size(col("__sig")).as("n_sig"),
         Sketches.kmvDistinctEst(col("__sig"), k).as("reach_est"))
+    // EXPLICIT repartitions pin the partition count through the
+    // CPU-heavy union→distinct→rank cascade: the rows are tiny (two
+    // longs), so a byte-targeted AQE advisory folds these shuffles onto
+    // a couple of cores — the triangles lesson; measured on the bench
+    // session's 64 MB advisory at sf0.1: 85.6 s median before the
+    // guard, 21.3 s cold / 10.5 s warm after. A user-specified
+    // repartition is never re-coalesced.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     var sketch = Relational.topKPerKey(
-        adj.select(col("u"), fh(col("v")).as("__h")), Seq("u"), k,
+        adj.select(col("u"), fh(col("v")).as("__h"))
+          .repartition(par, col("u")), Seq("u"), k,
         Seq(col("__h").asc))
       .select(col("u"), col("__h")).localCheckpoint(true)
     val hops = scala.collection.mutable.ArrayBuffer(snapshot(sketch, 1))
     var t = 2
     while (t <= maxHops) {
       val shipped = adj.select(col("u"), col("v").as("__mid"))
-        .join(sketch.select(col("u").as("__mid"), col("__h")), "__mid")
+        .repartition(par, col("__mid"))
+        .join(sketch.select(col("u").as("__mid"), col("__h"))
+          .repartition(par, col("__mid")), "__mid")
         .select(col("u"), col("__h"))
       val cand = sketch.unionAll(shipped)
         .filter(col("__h") =!= fh(col("u"))) // the ball excludes self
-        .distinct()
-      sketch = Relational.topKPerKey(cand, Seq("u"), k,
+        .repartition(par, col("u"), col("__h"))
+        .distinct() // dedup FIRST — see twoHopReachKmv's measured note
+      sketch = Relational.topKPerKey(
+          cand.repartition(par, col("u")), Seq("u"), k,
           Seq(col("__h").asc))
         .select(col("u"), col("__h")).localCheckpoint(true)
       hops += snapshot(sketch, t)

@@ -74,6 +74,33 @@ object Relational {
       .filter(col("pos") <= k)
   }
 
+  /** Bottom-k DISTINCT values per key WITHOUT a pre-distinct:
+    * dense_rank keeps every copy of the k smallest DISTINCT values
+    * (rank/row_number would miscount through duplicates), the ≤ k
+    * predicate plans to WindowGroupLimit (partial map-side pruning),
+    * and only the survivors pay the dedup exchange.
+    *
+    * WHEN TO USE — measured, not theoretical (PLANS.md round-6
+    * negative): this wins only when duplicates are RARE. On a
+    * dup-heavy stream (the KMV sketch unions of
+    * [[graft.operators.Graph.twoHopReachKmv]], where the same small
+    * hashes recur hundreds of times per node) the partial limit keeps
+    * ALL their copies — pruning ~nothing — while adding a per-map sort
+    * the hash-based `distinct()` never pays: q221 measured ~9× SLOWER
+    * through this path. Those operators dedup FIRST by design; reach
+    * for this only when each (key, value) appears O(1) times.
+    * Output: (keys, `value`) distinct rows, exactly the k smallest
+    * distinct values per key. */
+  def bottomKDistinctPerKey(df: DataFrame, keys: Seq[String], k: Int,
+                            value: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value).asc)
+    df.withColumn("__dr", dense_rank().over(w))
+      .filter(col("__dr") <= k)
+      .select((keys :+ value).map(col): _*)
+      .distinct()
+  }
+
   /** Interval (range) join: points matched to intervals with
     * `start <= ts < end` (half-open). A naive theta join plans as a
     * BroadcastNestedLoopJoin — quadratic and broadcast-bound; this

@@ -461,6 +461,82 @@ object Similarity {
     rerank(cb.join(broadcast(qb), "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** Persist an SRP-LSH index as a BUCKET-PARTITIONED parquet table —
+    * [[writeIvfIndex]]'s sibling for the hyperplane family: each vector
+    * stored under its sign-pattern bucket directory, so a search batch
+    * reads ONLY its probed buckets via static partition pruning
+    * (nProbe·|queries| distinct directories out of 2^bits — at 100 TB
+    * the scan I/O is decided by the file listing, never by filtering
+    * rows after reading them). No trained metadata to persist: the SRP
+    * planes are seeded, so any session reconstructs the identical
+    * bucketing from (bits, dim) alone — that determinism is also what
+    * makes [[searchLshIndex]] bit-identical to the in-memory
+    * [[lshTopKMultiProbe]] on the same corpus. Same static-overwrite
+    * posture as IVF: an index write is a full rebuild. */
+  def writeLshIndex(corpus: DataFrame, path: String, bits: Int, dim: Int,
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus
+      .withColumn("__bucket",
+        HashExprs.srpBucket(spark, col(vecCol), bits, dim))
+      .repartition(col("__bucket"))
+      .write
+      .partitionBy("__bucket")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Multi-probe ANN search against a persisted SRP-LSH index: each
+    * query's home bucket + its nProbe−1 single-bit flips become a
+    * static partition filter on the index scan; exact-cosine re-rank
+    * inside, exactly [[lshTopKMultiProbe]]'s semantics — the gate
+    * asserts result EQUALITY with the in-memory path (same seeded
+    * planes ⇒ same buckets ⇒ same candidates ⇒ same ranks). The query
+    * side is collected ONCE (tiny by contract) so the partition
+    * predicate and the join see the same probed set — the
+    * [[searchIvfIndex]] discipline. */
+  def searchLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, bits: Int, dim: Int,
+                     nProbe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val qRows = withProbedBuckets(
+      queries.select(col(queryIdCol), col(vecCol).as("__q_vec")),
+      "__q_vec", bits, dim, nProbe).collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol,
+        queries.schema(queryIdCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__q_vec",
+        queries.schema(vecCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__bucket",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val qb = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val probed = qRows.map(_.getAs[Number]("__bucket").longValue()).distinct
+    // an EMPTY corpus writes a partitioned dir with no part files, which
+    // parquet cannot infer a schema from — the honest result there is an
+    // empty top-k frame (LONG ids, the library-wide vector-id contract),
+    // not a schema-inference crash
+    val cb =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(queryIdCol,
+                queries.schema(queryIdCol).dataType),
+              org.apache.spark.sql.types.StructField(idCol,
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sim",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.IntegerType))))
+      }
+    rerank(cb.where(col("__bucket").isin(probed.map(b => lit(b)): _*))
+      .join(broadcast(qb), "__bucket"), k, idCol, queryIdCol, vecCol)
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,

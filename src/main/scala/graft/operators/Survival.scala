@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis with right-censoring — the readout retention curves
+  * fake by ignoring censoring: of the users who COULD have churned by
+  * day t, what share survived? A user last seen near the data's edge
+  * hasn't churned, they're CENSORED — counting them as survivors
+  * overstates retention, as deaths understates it; Kaplan–Meier is the
+  * standard estimator that does neither (Kaplan & Meier '58).
+  */
+object Survival {
+
+  /** Kaplan–Meier product-limit estimator. Input: one row per subject
+    * with `duration` (time-to-event-or-censoring, any integer unit —
+    * BUCKET CONTINUOUS DURATIONS FIRST, e.g. to days: the step frame is
+    * sized by |distinct durations| and a µs-grained duration would make
+    * every subject its own step) and `observed` (true = the event
+    * happened at `duration`; false = censored then).
+    *
+    *   S(t) = Π_{tᵢ ≤ t, events} (1 − dᵢ/nᵢ)
+    *
+    * with nᵢ = subjects still at risk entering tᵢ and dᵢ = events at tᵢ.
+    *
+    * Determinism: the product is carried as the cumulative SUM of
+    * per-step floor-micro-quantized ln(1 − d/n) terms — integer `log_s_upm`
+    * is the exact audit surface (order-free per step, cumulated in time
+    * order), and `surv_ppm` is ONE pinned IEEE exp of that integer. A
+    * step that kills everyone (d = n) has ln 0 = −∞: its `ln_q_upm` is
+    * NULL and survival snaps to exactly 0 from that step on (never a
+    * fake large-negative float).
+    *
+    * Scale posture: one (duration)-keyed aggregate (map-side combined),
+    * then the at-risk suffix counts AND both cumulative sums ride ONE
+    * range exchange on the step frame — per-partition prefix sums plus
+    * an O(#partitions) broadcast offsets cumsum, the
+    * [[Relational.globalRank]] discipline; no row-scaled global window
+    * anywhere. Output (event steps only, censoring-only times fold into
+    * the next step's risk decrement): `t` LONG, `n_risk`, `n_events`,
+    * `n_censored` LONG (censored AT t), `log_s_upm` LONG (NULL once
+    * survival is exactly 0), `surv_ppm` LONG; total order by t. */
+  def kaplanMeier(df: DataFrame, duration: Column,
+                  observed: Column): DataFrame = {
+    val base = df.select(duration.cast("long").as("__d"),
+        observed.cast("boolean").as("__o"))
+      .filter(col("__d").isNotNull && col("__o").isNotNull)
+    val totals = base.agg(count(lit(1)).as("__N"))
+    val perT = base.groupBy(col("__d"))
+      .agg(coalesce(sum(when(col("__o"), 1L).otherwise(0L)), lit(0L))
+          .as("n_events"),
+        coalesce(sum(when(!col("__o"), 1L).otherwise(0L)), lit(0L))
+          .as("n_censored"))
+    // ONE range exchange carries every cumulative this estimator needs
+    val parted = perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wRun = Window.partitionBy(col("__pid")).orderBy(col("__d"))
+    val wBefore = wRun.rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = wRun.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // at-risk entering t: N − (events + censored strictly before t)
+    val staged = parted.crossJoin(broadcast(totals))
+      .withColumn("__gone_in",
+        coalesce(sum(col("n_events") + col("n_censored")).over(wBefore),
+          lit(0L)))
+    val goneOffsets = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("n_events") + col("n_censored")), lit(0L))
+        .as("__pg"))
+      .withColumn("__goff",
+        coalesce(sum(col("__pg")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__goff"))
+    val withRisk = staged.join(broadcast(goneOffsets), "__pid")
+      .withColumn("n_risk", col("__N") - col("__goff") - col("__gone_in"))
+      // per-step quantized ln(1 − d/n); 0 on non-event rows so the
+      // cumulative can ride the SAME partitioning; NULL marks d = n
+      .withColumn("__lnq",
+        when(col("n_events") === 0L, lit(0L))
+          .when(col("n_events") < col("n_risk"),
+            floor(log((col("n_risk") - col("n_events")).cast("double") /
+              col("n_risk")) * 1000000L + 0.5).cast("long")))
+      .withColumn("__zero",
+        when(col("n_events") > 0L && col("n_events") === col("n_risk"),
+          1L).otherwise(0L))
+    val lnOffsets = withRisk.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__lnq")), lit(0L)).as("__pl"),
+        coalesce(sum(col("__zero")), lit(0L)).as("__pz"))
+      .withColumn("__loff",
+        coalesce(sum(col("__pl")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__zoff",
+        coalesce(sum(col("__pz")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__loff"), col("__zoff"))
+    withRisk.join(broadcast(lnOffsets), "__pid")
+      .withColumn("__zeroSeen",
+        col("__zoff") + coalesce(sum(col("__zero")).over(wIncl), lit(0L)))
+      .withColumn("__logS",
+        col("__loff") + coalesce(sum(col("__lnq")).over(wIncl), lit(0L)))
+      .filter(col("n_events") > 0L)
+      .withColumn("log_s_upm",
+        when(col("__zeroSeen") === 0L, col("__logS")))
+      .withColumn("surv_ppm",
+        when(col("__zeroSeen") > 0L, lit(0L))
+          .otherwise(floor(
+            exp(col("__logS").cast("double") / 1000000.0) * 1000000L
+              + 0.5).cast("long")))
+      .select(col("__d").as("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("log_s_upm"), col("surv_ppm"))
+      .orderBy("t")
+  }
+}

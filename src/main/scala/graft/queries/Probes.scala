@@ -6612,6 +6612,203 @@ object Probes {
            |FROM sc ORDER BY bin NULLS FIRST""".stripMargin)
   )
 
+  /** Off-policy IPS/SNIPS evaluation (fully oracled): logged feedback
+    * from events (reward = value in µ-units, propensity = empirical
+    * type frequency in ppm), target policy a deterministic per-user
+    * rule — every weight and term an exact integer, estimates single
+    * IEEE divisions. "How would the new policy have scored on logged
+    * traffic" without deploying it. */
+  val ipsProbe = Probe(
+    "q226_ips_eval",
+    (s, d) => {
+      import graft.operators.Classify
+      val e = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("event_type").isNotNull
+          && col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1000000L + 0.5).cast("long").as("__r"))
+      val n = e.agg(count(lit(1)).as("__n"))
+      val freq = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"),
+          expr("(1000000L * __c) DIV __n").as("__p"))
+      val logs = e.join(freq, "event_type")
+      val policy = e.select(col("event_id").as("pol_id"),
+        when(col("user_id") % 3 === 0, lit("click")).otherwise(lit("view"))
+          .as("pol_action"))
+      Classify.ipsEval(logs, col("event_id"), col("event_type"),
+        col("__r"), col("__p"), policy, col("pol_id"), col("pol_action"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS r
+           |  FROM events WHERE event_id IS NOT NULL
+           |    AND event_type IS NOT NULL AND value IS NOT NULL
+           |    AND user_id IS NOT NULL),
+           |tot AS (SELECT count(*) AS n FROM e),
+           |freq AS (SELECT event_type,
+           |    CAST((1000000 * count(*)) // (SELECT n FROM tot) AS BIGINT)
+           |      AS p
+           |  FROM e GROUP BY 1),
+           |l AS (SELECT e.event_id AS k, e.user_id, e.event_type AS a,
+           |    e.r, f.p FROM e JOIN freq f USING (event_type)),
+           |j AS (SELECT l.*,
+           |    a = (CASE WHEN user_id % 3 = 0 THEN 'click'
+           |              ELSE 'view' END) AS m FROM l),
+           |w AS (SELECT *,
+           |    CASE WHEN m AND p > 0 THEN 1000000000000 // p
+           |         ELSE 0 END AS w,
+           |    m AND (p IS NULL OR p <= 0) AS bad FROM j)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_matched,
+           |  CAST(coalesce(sum(CASE WHEN bad THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_bad_propensity,
+           |  CAST(coalesce(sum(w), 0) AS BIGINT) AS sum_w_upm,
+           |  CAST(coalesce(sum(CAST(w AS HUGEINT) * r), 0) // 1000000
+           |    AS BIGINT) AS sum_wr,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(coalesce(sum(CAST(w AS HUGEINT) * r), 0) // 1000000
+           |      AS DOUBLE) / count(*) END AS ips_value_micro,
+           |  CASE WHEN coalesce(sum(w), 0) > 0 THEN
+           |    CAST((coalesce(sum(CAST(w AS HUGEINT) * r), 0) // 1000000)
+           |      * 1000000 AS DOUBLE) / coalesce(sum(w), 0)
+           |  END AS snips_value_micro
+           |FROM w""".stripMargin)
+  )
+
+  /** Persisted SRP-LSH index (fourth index surface: bucket-partitioned
+    * parquet + static partition pruning, the hyperplane sibling of the
+    * IVF cell index). Gate = STRICT EQUALITY with the in-memory
+    * multi-probe search on the same corpus — seeded planes make the
+    * bucketing deterministic, so (query, id, rank, sim) must match
+    * bit-for-bit in BOTH directions; DuckDB recomputes the query
+    * universe. */
+  val lshIndexProbe = Probe(
+    "q225_lsh_index",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bits = annBits(emb)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q225_lsh_index"
+      Similarity.writeLshIndex(emb, dir, bits, dim = 64)
+      val persisted = Similarity.searchLshIndex(s, dir, queries, k = 5,
+        bits = bits, dim = 64, nProbe = 4)
+      val mem = Similarity.lshTopKMultiProbe(emb, queries, k = 5,
+        bits = bits, dim = 64, nProbe = 4)
+      val p = persisted.select(col("query_id"), col("vec_id"),
+        col("rank"), col("sim"))
+      val m = mem.select(col("query_id"), col("vec_id"),
+        col("rank").as("rank_m"), col("sim").as("sim_m"))
+      val both = p.join(m, Seq("query_id", "vec_id"), "full_outer")
+      val audit = both.agg(
+        count(lit(1)).as("__n_union"),
+        coalesce(sum(when(col("rank").isNotNull && col("rank_m").isNotNull
+          && col("rank") === col("rank_m") && col("sim") === col("sim_m"),
+          1L).otherwise(0L)), lit(0L)).as("__n_match"))
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(audit)
+        .select(col("n_queries"),
+          (col("__n_match") === col("__n_union")).as("ok_identical"),
+          (col("__n_union") > 0L).as("ok_nonempty"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_identical,
+           |  true AS ok_nonempty
+           |FROM embeddings WHERE vec_id < 20""".stripMargin),
+    benchRun = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bits = annBits(emb)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q225_lsh_index_b"
+      Similarity.writeLshIndex(emb, dir, bits, dim = 64)
+      Similarity.searchLshIndex(s, dir, queries, k = 5, bits = bits,
+          dim = 64, nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          binRound(col("sim"), 4).as("sim"), col("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Kaplan–Meier time-to-first-error curve (fully oracled): per user,
+    * hours from their first event to their first 'error', right-
+    * censored at a 24 h observation window — the censoring-aware
+    * readout naive conversion rates fake (a user observed only 3 h
+    * hasn't "survived 24 h error-free", they're censored at 3... here
+    * the window is within the corpus span so censoring = no error
+    * within 24 h, at sf0.01 a 74/76 split over 21 steps). Integer
+    * audit surface (cumulated quantized ln terms), one pinned IEEE exp
+    * per step. */
+  val kaplanMeierProbe = Probe(
+    "q224_kaplan_meier",
+    (s, d) => {
+      import graft.operators.Survival
+      val windowH = 24L
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+          col("event_type"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("__t")).as("__f"))
+      val firstErr = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+      val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+        .select(
+          when(col("__te").isNotNull &&
+              expr("(__te - __f) DIV 3600000000") < windowH,
+            expr("(__te - __f) DIV 3600000000")).otherwise(lit(windowH))
+            .as("dur_h"),
+          (col("__te").isNotNull &&
+            expr("(__te - __f) DIV 3600000000") < windowH).as("observed"))
+      Survival.kaplanMeier(subjects, col("dur_h"), col("observed"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |u AS (SELECT user_id, min(t) AS f FROM e GROUP BY 1),
+           |err AS (SELECT user_id, min(t) AS te FROM e
+           |  WHERE event_type = 'error' GROUP BY 1),
+           |subj AS (SELECT
+           |    CASE WHEN te IS NOT NULL AND (te - f) // 3600000000 < 24
+           |      THEN (te - f) // 3600000000 ELSE 24 END AS d,
+           |    te IS NOT NULL AND (te - f) // 3600000000 < 24 AS o
+           |  FROM u LEFT JOIN err USING (user_id)),
+           |tot AS (SELECT count(*) AS n FROM subj),
+           |perT AS (SELECT d,
+           |    CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_events,
+           |    CAST(sum(CASE WHEN NOT o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_censored
+           |  FROM subj GROUP BY d),
+           |r AS (SELECT *,
+           |    (SELECT n FROM tot) - coalesce(sum(n_events + n_censored)
+           |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |        1 PRECEDING), 0) AS n_risk
+           |  FROM perT),
+           |q AS (SELECT *,
+           |    CASE WHEN n_events = 0 THEN 0
+           |         WHEN n_events < n_risk THEN
+           |           CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+           |             n_risk) * 1000000 + 0.5) AS BIGINT) END AS lnq,
+           |    CASE WHEN n_events > 0 AND n_events = n_risk
+           |         THEN 1 ELSE 0 END AS z
+           |  FROM r),
+           |c AS (SELECT *,
+           |    coalesce(sum(lnq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS logS,
+           |    coalesce(sum(z) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS zs
+           |  FROM q)
+           |SELECT d AS t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           |  n_censored,
+           |  CASE WHEN zs = 0 THEN CAST(logS AS BIGINT) END AS log_s_upm,
+           |  CAST(CASE WHEN zs > 0 THEN 0 ELSE
+           |    floor(exp(CAST(logS AS DOUBLE) / 1000000.0) * 1000000
+           |      + 0.5) END AS BIGINT) AS surv_ppm
+           |FROM c WHERE n_events > 0 ORDER BY t""".stripMargin)
+  )
+
   /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
     * tail — exact long counts, per-term ln floor-micro-quantized and
     * summed as longs (order-free), α one IEEE division of exact
@@ -7885,7 +8082,8 @@ object Probes {
     attributionProbe, diversityProbe, trimmedMeanProbe, silhouetteProbe,
     wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
-    columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe
+    columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe,
+    kaplanMeierProbe, lshIndexProbe, ipsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

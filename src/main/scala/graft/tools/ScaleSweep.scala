@@ -625,6 +625,61 @@ object ScaleSweep {
           noop(Similarity.mmrRerankAnn(emb, qs, k = 4, bits = bits,
             dim = 64, nProbe = 4, shortlist = 10))
         },
+        // persisted-LSH SEARCH against a pre-built bucket-partitioned
+        // index (built once per rep dir, outside the timing — the
+        // incremental-dedup convention): scan I/O is the probed-bucket
+        // listing, so search should stay flat as the corpus grows
+        "lsh_index_search" -> { () =>
+          val bits = 6 + (31 - Integer.numberOfLeadingZeros(rep))
+          val idxDir = s"$d/lsh_index_b$bits"
+          if (!new java.io.File(idxDir).exists())
+            Similarity.writeLshIndex(emb, idxDir, bits, dim = 64)
+          val qs = emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          noop(Similarity.searchLshIndex(spark, idxDir, qs, k = 5,
+            bits = bits, dim = 64, nProbe = 4))
+        },
+        // subject agg + ONE range exchange carrying risk counts and
+        // both cumulative sums (globalRank offsets discipline)
+        "kaplan_meier" -> { () =>
+          val evt = ev.select(col("user_id"),
+            unix_micros(col("ts")).as("__t"), col("event_type"))
+            .filter(col("user_id").isNotNull && col("__t").isNotNull)
+          val firsts = evt.groupBy(col("user_id"))
+            .agg(min(col("__t")).as("__f"))
+          val firstErr = evt.filter(col("event_type") === "error")
+            .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+          val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+            .select(
+              when(col("__te").isNotNull &&
+                  expr("(__te - __f) DIV 3600000000") < 24L,
+                expr("(__te - __f) DIV 3600000000")).otherwise(lit(24L))
+                .as("dur_h"),
+              (col("__te").isNotNull &&
+                expr("(__te - __f) DIV 3600000000") < 24L).as("observed"))
+          noop(graft.operators.Survival.kaplanMeier(subjects,
+            col("dur_h"), col("observed")))
+        },
+        // one context-key equi-join + ONE single-row aggregate
+        "ips_eval" -> { () =>
+          val e = ev.filter(col("event_id").isNotNull &&
+              col("event_type").isNotNull && col("value").isNotNull &&
+              col("user_id").isNotNull)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              floor(col("value") * 1000000L + 0.5).cast("long").as("__r"))
+          val n = e.agg(count(lit(1)).as("__n"))
+          val freq = e.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("__c")).crossJoin(broadcast(n))
+            .select(col("event_type"),
+              expr("(1000000L * __c) DIV __n").as("__p"))
+          val logs = e.join(freq, "event_type")
+          val policy = e.select(col("event_id").as("pol_id"),
+            when(col("user_id") % 3 === 0, lit("click"))
+              .otherwise(lit("view")).as("pol_action"))
+          noop(graft.operators.Classify.ipsEval(logs, col("event_id"),
+            col("event_type"), col("__r"), col("__p"), policy,
+            col("pol_id"), col("pol_action")))
+        },
         // bins-sized: one bin-keyed count agg + one-row totals broadcast
         "woe_iv" -> (() => noop(
           graft.operators.Classify.woeIv(docs, col("source"),

@@ -332,6 +332,38 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("ipsEval: hand-computed weights, mismatch zero, bad propensity counted") {
+    import spark.implicits._
+    val logs = Seq((1L, "x", 1000000L, 500000L),
+      (2L, "y", 2000000L, 250000L), (3L, "x", 500000L, 0L))
+      .toDF("k", "a", "r", "p")
+    val policy = Seq((1L, "x"), (2L, "n"), (3L, "x")).toDF("pk", "pa")
+    val r = Classify.ipsEval(logs, col("k"), col("a"), col("r"), col("p"),
+      policy, col("pk"), col("pa")).collect().head
+    // row1: match, w = 1e12 DIV 5e5 = 2e6 µ, term 2e6·1e6 → sum_wr 2e6
+    // row2: policy mismatch → weight 0; row3: match but p=0 → bad
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 2L, 1L, 2000000L, 2000000L)))
+    assert(r.getDouble(5) === 2000000.0 / 3)
+    assert(r.getDouble(6) === 1000000.0)
+  }
+
+  test("ipsEval: uniform logging + always-match policy recovers the mean; " +
+      "layout-proof") {
+    import spark.implicits._
+    // p = 1 (1e6 ppm) and π ≡ logged ⇒ IPS = SNIPS = mean reward
+    val logs = (1L to 200L).map(i => (i, "a", i * 1000L, 1000000L))
+      .toDF("k", "a", "r", "p")
+    val policy = (1L to 200L).map(i => (i, "a")).toDF("pk", "pa")
+    def run(l: org.apache.spark.sql.DataFrame) =
+      Classify.ipsEval(l, col("k"), col("a"), col("r"), col("p"),
+        policy, col("pk"), col("pa")).collect().head
+    val r = run(logs)
+    val mean = (1L to 200L).map(_ * 1000L).sum.toDouble / 200
+    assert(r.getDouble(5) === mean && r.getDouble(6) === mean)
+    assert(run(logs.repartition(13)).toSeq === r.toSeq)
+  }
+
   test("calibrationBins: bin edges, truncating means, clamp at top bin") {
     val rows = Seq((50000L, false), (99999L, false), (150000L, true),
       (950000L, true), (1000000L, true))

@@ -381,6 +381,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cellDirs <= 3, s"stale cell dirs survived the rebuild: $cellDirs")
   }
 
+  test("persisted SRP-LSH index: bucket-pruned search equals in-memory " +
+      "multi-probe bit-for-bit; rebuild leaves no stale buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    Similarity.writeLshIndex(emb, dir, bits = 5, dim = 64)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.searchLshIndex(spark, dir, queries,
+      k = 3, bits = 5, dim = 64, nProbe = 3)
+    val want = Similarity.lshTopKMultiProbe(emb, queries, k = 3,
+      bits = 5, dim = 64, nProbe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(got) === rows(want))
+    // probed buckets must prune at the SCAN (partition filter)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"expected __bucket partition pruning in:\n${plan.take(2000)}")
+    // static-overwrite rebuild: a 3-vector corpus must not leave stale
+    // bucket directories from the full build
+    Similarity.writeLshIndex(emb.limit(3), dir, bits = 5, dim = 64)
+    import scala.jdk.CollectionConverters._
+    val bucketDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith("__bucket="))
+    assert(bucketDirs <= 3, s"stale bucket dirs survived: $bucketDirs")
+  }
+
   test("centroids: |labels| x 64 cells, values finite") {
     val c = Similarity.centroids(emb, "label")
     val nLabels = emb.select("label").distinct().count()

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+/** Kaplan–Meier: textbook table, censoring semantics, exact-zero snap,
+  * distributed-cumsum layout independence. */
+class SurvivalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def lnq(n: Long, d: Long): Long =
+    math.floor(math.log((n - d).toDouble / n) * 1e6 + 0.5).toLong
+  private def surv(logS: Long): Long =
+    math.floor(math.exp(logS / 1e6) * 1e6 + 0.5).toLong
+
+  test("textbook KM table: risk sets, steps at event times only, exact zero") {
+    val subjects = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("d", "o")
+    val got = Survival.kaplanMeier(subjects, col("d"), col("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSeq
+    val s1 = lnq(6, 1)               // t=1: 6 at risk, 1 event
+    val s3 = s1 + lnq(4, 2)          // t=3: 4 at risk, 2 events
+    assert(got === Seq(
+      (1L, 6L, 1L, 0L, Some(s1), surv(s1)),
+      (3L, 4L, 2L, 0L, Some(s3), surv(s3)),
+      // t=5: last subject dies — survival snaps to EXACTLY 0, log NULL
+      (5L, 1L, 1L, 0L, None, 0L)))
+    // sanity on the actual curve values
+    assert(got(0)._6 === 833333L && got(1)._6 === 416667L)
+  }
+
+  test("censoring matters: censored subjects shrink risk sets without steps") {
+    // all-observed vs half-censored at the same durations must differ
+    val obs = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+    val cen = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+    val a = Survival.kaplanMeier(obs.toDF("d", "o"), col("d"), col("o"))
+      .select("t", "surv_ppm").as[(Long, Long)].collect().toMap
+    val b = Survival.kaplanMeier(cen.toDF("d", "o"), col("d"), col("o"))
+      .select("t", "surv_ppm").as[(Long, Long)].collect().toMap
+    assert(a.keySet === Set(1L, 2L, 3L, 4L))
+    assert(b.keySet === Set(1L, 3L)) // censored times produce no step
+    // at t=3: all-observed S = 1/4; censored S = 3/4 · 1/2 = 3/8
+    assert(a(3L) === surv(lnq(4, 1) + lnq(3, 1) + lnq(2, 1)))
+    assert(b(3L) === surv(lnq(4, 1) + lnq(2, 1)))
+  }
+
+  test("layout independence: many partitions, many steps") {
+    val rows = (0 until 2000).map { i =>
+      ((i * 7919 % 50).toLong, i % 3 != 0)
+    }
+    val df = rows.toDF("d", "o")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Survival.kaplanMeier(d, col("d"), col("o"))
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    // cross-check one middle step against a driver-side reference
+    val byT = rows.groupBy(_._1)
+    val times = byT.keys.toSeq.sorted
+    var n = rows.size.toLong
+    var logS = 0L
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    times.foreach { t =>
+      val d = byT(t).count(_._2).toLong
+      val c = byT(t).count(!_._2).toLong
+      if (d > 0 && d < n) { logS += lnq(n, d); ref(t) = surv(logS) }
+      n -= d + c
+    }
+    val got = a.map(r => r.head.asInstanceOf[Long] ->
+      r.last.asInstanceOf[Long]).toMap
+    ref.foreach { case (t, s) => assert(got(t) === s, s"t=$t") }
+  }
+}
