@@ -452,6 +452,58 @@ object Classify {
       .orderBy("decile")
   }
 
+  /** Split-conformal prediction thresholds PER GROUP (Vovk et al.;
+    * Angelopoulos–Bates '21 tutorial form): given each group's
+    * calibration nonconformity scores, the threshold is the
+    * ⌈(n+1)(1−α)⌉-th smallest score — predictions whose score is ≤ the
+    * threshold then carry a distribution-free ≥ 1−α coverage
+    * guarantee. The per-slice form (per language / per source) is the
+    * one production filters need: a single global threshold
+    * under-covers the hard slices.
+    *
+    * Integer discipline: scores are integer (ppm-scaled like the rest
+    * of the eval tier), α arrives in ppm, and the needed rank is the
+    * exact ceil-division `((n+1)·(10⁶−α_ppm) + 10⁶ − 1) DIV 10⁶` — no
+    * float ever decides a rank. When the rank exceeds n (too few
+    * calibration points for the asked coverage), `threshold` is NULL —
+    * the honest "cannot guarantee", never the max score. Tied scores
+    * are safe: the k-th smallest VALUE is order-independent even when
+    * row identity under ties is not.
+    *
+    * Shape: the winsorize/equidepth order-statistic discipline — ROWS
+    * never sort: one (group, value) count aggregate (map-side
+    * combined; the frame is bounded by |distinct scores| per group,
+    * ppm scores cap it at 10⁶+1), a cumulative over that counts frame,
+    * and the threshold is the smallest value whose cumulative count
+    * reaches the needed rank. Output: `group`, `n` LONG, `rank_needed`
+    * LONG, `threshold` LONG (NULL when unattainable); total order by
+    * group. */
+  def conformalThreshold(df: DataFrame, group: Column, score: Column,
+                         alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L,
+      s"alphaPpm in (0, 1e6), got $alphaPpm")
+    val base = df.select(group.cast("string").as("group"),
+        score.cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+    val counts = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
+      .withColumn("rank_needed",
+        expr(s"((n + 1L) * ${1000000L - alphaPpm} + 999999L) DIV 1000000L"))
+    val perVal = base.groupBy(col("group"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("group")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perVal.withColumn("__cum", sum(col("__c")).over(wv))
+    counts.join(cum, Seq("group"), "left_outer")
+      .groupBy(col("group"), col("n"), col("rank_needed"))
+      // smallest value whose cumulative count reaches the rank = the
+      // k-th smallest score; no value reaches an unattainable rank
+      // (rank_needed > n) so min() is NULL there by construction
+      .agg(min(when(col("__cum") >= col("rank_needed"), col("__s")))
+        .as("threshold"))
+      .select(col("group"), col("n"), col("rank_needed"), col("threshold"))
+      .orderBy("group")
+  }
+
   /** Off-policy evaluation of a target policy on LOGGED bandit
     * feedback — inverse propensity scoring (Horvitz–Thompson '52;
     * Li et al. WSDM'11 for the bandit form) plus the self-normalized

@@ -206,4 +206,106 @@ object Fusion {
         col("ndcg_ppm"))
       .orderBy(queryCol)
   }
+
+  /** Team-draft interleaving (Radlinski–Kurup–Joachims CIKM'08): merge
+    * two rankers' lists per query into ONE list users actually see,
+    * tagging every position with the team that drafted it — the online
+    * ranker-comparison design whose click credit is unbiased where
+    * per-arm A/B splits aren't. Draft rounds: the team with fewer
+    * picks drafts its best not-yet-picked doc; when tied, a
+    * DETERMINISTIC coin (seeded xxhash64 of (query, round)) decides —
+    * reproducible experiments, no RNG state.
+    *
+    * Defining invariants (spec/gate surface — team-draft is CHARACTERIZED
+    * by these): positions are 1..m with distinct docs; team pick counts
+    * never differ by more than 1; each team's picks preserve its source
+    * list's relative order; every pick comes from list A ∪ B.
+    *
+    * Scale posture: the greedy is inherently sequential PER QUERY, so
+    * it runs inside cogroup with O(k) state — both lists arrive
+    * rank-bounded by their producers (pass top-k lists, not corpora);
+    * the corpus never enters the loop. LONG query/doc ids (the library
+    * vector-id contract). Input frames carry (queryCol, idCol, rankCol).
+    * Output: (queryCol, `pos`, idCol, `team` 'A'|'B'); total order
+    * (query, pos). */
+  def interleaveTeamDraft(listA: DataFrame, listB: DataFrame,
+                          queryCol: String, idCol: String, rankCol: String,
+                          k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = listA.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame) = df
+      .select(col(queryCol).cast("long"), col(idCol).cast("long"),
+        col(rankCol).cast("long"))
+      .as[(Long, Long, Long)]
+    val kk = k
+    val sd = seed
+    prep(listA).groupByKey(_._1).cogroup(prep(listB).groupByKey(_._1)) {
+      (q, as, bs) =>
+        val a = as.map(t => (t._3, t._2)).toArray.sorted.map(_._2)
+        val b = bs.map(t => (t._3, t._2)).toArray.sorted.map(_._2)
+        val taken = new java.util.HashSet[Long]()
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+        var ia = 0; var ib = 0; var nA = 0; var nB = 0; var round = 0
+        def nextFrom(list: Array[Long], i0: Int): Int = {
+          var i = i0
+          while (i < list.length && taken.contains(list(i))) i += 1
+          i
+        }
+        while (out.length < kk && {
+          ia = nextFrom(a, ia); ib = nextFrom(b, ib)
+          ia < a.length || ib < b.length
+        }) {
+          // deterministic coin on ties: avalanche the (seed, q, round)
+          // triple through the splitmix64 finalizer
+          val coinA = {
+            var h = sd ^ (q * 0x9E3779B97F4A7C15L) ^ round.toLong
+            h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+            h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+            ((h ^ (h >>> 31)) & 1L) == 0L
+          }
+          val pickA =
+            if (ia >= a.length) false
+            else if (ib >= b.length) true
+            else if (nA < nB) true
+            else if (nB < nA) false
+            else coinA
+          if (pickA) {
+            taken.add(a(ia)); nA += 1
+            out += ((q, out.length + 1L, a(ia), "A"))
+          } else {
+            taken.add(b(ib)); nB += 1
+            out += ((q, out.length + 1L, b(ib), "B"))
+          }
+          round += 1
+        }
+        out.iterator
+    }.toDF(queryCol, "pos", idCol, "team")
+      .orderBy(queryCol, "pos")
+  }
+
+  /** Click credit for an interleaved experiment: joins click events to
+    * [[interleaveTeamDraft]] assignments and scores each query — the
+    * team with MORE clicked picks wins it. Output (one row): `n_queries`
+    * (with ≥1 click), `wins_a`, `wins_b`, `ties` LONG. One equi-join on
+    * (query, doc) + a query-keyed aggregate + a one-row rollup. */
+  def interleavedWins(assignments: DataFrame, clicks: DataFrame,
+                      queryCol: String, idCol: String): DataFrame = {
+    val clicked = assignments.join(
+      clicks.select(col(queryCol), col(idCol)).distinct(),
+      Seq(queryCol, idCol), "left_semi")
+    clicked.groupBy(col(queryCol))
+      .agg(
+        coalesce(sum(when(col("team") === "A", 1L).otherwise(0L)), lit(0L))
+          .as("__ca"),
+        coalesce(sum(when(col("team") === "B", 1L).otherwise(0L)), lit(0L))
+          .as("__cb"))
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(when(col("__ca") > col("__cb"), 1L).otherwise(0L)),
+          lit(0L)).as("wins_a"),
+        coalesce(sum(when(col("__cb") > col("__ca"), 1L).otherwise(0L)),
+          lit(0L)).as("wins_b"),
+        coalesce(sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L)),
+          lit(0L)).as("ties"))
+  }
 }

@@ -6612,6 +6612,104 @@ object Probes {
            |FROM sc ORDER BY bin NULLS FIRST""".stripMargin)
   )
 
+  /** Team-draft interleaving of two live rankers (exact vs LSH top-10)
+    * with a deterministic click model, self-oracled on team-draft's
+    * DEFINING invariants: contiguous 1..m positions of distinct docs,
+    * within-team source order preserved, every pick from A ∪ B, and
+    * the wins readout partitioning the clicked queries exactly. (The
+    * ≤1 pick-balance invariant holds only while BOTH lists have
+    * unpicked docs — with overlapping rankers one side can exhaust
+    * early — so the spec proves it on disjoint lists instead of
+    * gating it here.) DuckDB recomputes the query universe. */
+  val teamDraftProbe = Probe(
+    "q228_team_draft",
+    (s, d) => {
+      import graft.operators.Fusion
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val a = Similarity.bruteForceTopK(emb, queries, 10)
+      val b = Similarity.lshTopKMultiProbe(emb, queries, 10,
+        bits = annBits(emb), dim = 64, nProbe = 4)
+      val asg = Fusion.interleaveTeamDraft(a, b, "query_id", "vec_id",
+        "rank", k = 10)
+      // invariant audit
+      val shape = asg.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__m"), min(col("pos")).as("__minp"),
+          max(col("pos")).as("__maxp"),
+          countDistinct(col("vec_id")).as("__nd"))
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(when(col("__minp") === 1 &&
+            col("__maxp") === col("__m") && col("__nd") === col("__m"),
+            0L).otherwise(1L)), lit(0L)).as("__bad_shape"))
+      val union = a.select(col("query_id"), col("vec_id"))
+        .unionByName(b.select(col("query_id"), col("vec_id"))).distinct()
+      val outside = asg.join(union, Seq("query_id", "vec_id"),
+        "left_anti").agg(count(lit(1)).as("__n_outside"))
+      // within-team order: each team's source ranks increase with pos
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("team")).orderBy(col("pos"))
+      val ranksA = a.select(col("query_id"), col("vec_id"),
+        col("rank").as("__src_rank"), lit("A").as("team"))
+      val ranksB = b.select(col("query_id"), col("vec_id"),
+        col("rank").as("__src_rank"), lit("B").as("team"))
+      val ordViol = asg
+        .join(ranksA.unionByName(ranksB), Seq("query_id", "vec_id", "team"))
+        .withColumn("__prev", lag(col("__src_rank"), 1).over(wOrd))
+        .filter(col("__prev").isNotNull && col("__src_rank") <= col("__prev"))
+        .agg(count(lit(1)).as("__n_ord_viol"))
+      // deterministic click model: every third doc id "clicks"; the
+      // wins readout must PARTITION the clicked queries exactly
+      val clickEvents = asg.select(col("query_id"), col("vec_id"))
+        .filter(col("vec_id") % 3 === 0)
+      val wins = Fusion.interleavedWins(asg, clickEvents, "query_id",
+          "vec_id")
+        .select((col("wins_a") + col("wins_b") + col("ties") ===
+          col("n_queries")).as("ok_wins_partition"))
+      shape.crossJoin(outside).crossJoin(ordViol).crossJoin(wins)
+        .select(col("n_queries"),
+          (col("__bad_shape") === 0L).as("ok_shape"),
+          (col("__n_outside") === 0L).as("ok_from_union"),
+          (col("__n_ord_viol") === 0L).as("ok_team_order"),
+          col("ok_wins_partition"))
+    },
+    Some("""SELECT count(*) AS n_queries, true AS ok_shape,
+           |  true AS ok_from_union, true AS ok_team_order,
+           |  true AS ok_wins_partition
+           |FROM embeddings WHERE vec_id < 20""".stripMargin)
+  )
+
+  /** Per-group split-conformal thresholds (fully oracled): the
+    * ⌈(n+1)(1−α)⌉-th smallest score per language at α = 10% — exact
+    * integer rank arithmetic over the (group, value) counts frame,
+    * never a row sort. The distribution-free coverage guarantee every
+    * per-slice quality filter should be quoting. */
+  val conformalProbe = Probe(
+    "q227_conformal",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.conformalThreshold(
+        Tables.documents(s, d).filter(col("lang").isNotNull),
+        col("lang"), col("n_chars"), alphaPpm = 100000L)
+    },
+    Some("""WITH b AS (SELECT lang AS grp, n_chars AS s FROM documents
+           |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+           |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(((count(*) + 1) * 900000 + 999999) // 1000000
+           |      AS BIGINT) AS rank_needed
+           |  FROM b GROUP BY grp),
+           |pv AS (SELECT grp, s, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |cm AS (SELECT grp, s, sum(cnt) OVER (PARTITION BY grp
+           |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |    ROW) AS cum FROM pv)
+           |SELECT c.grp AS "group", c.n, c.rank_needed,
+           |  CAST(min(CASE WHEN cm.cum >= c.rank_needed THEN cm.s END)
+           |    AS BIGINT) AS threshold
+           |FROM c JOIN cm ON c.grp = cm.grp
+           |GROUP BY c.grp, c.n, c.rank_needed
+           |ORDER BY c.grp""".stripMargin)
+  )
+
   /** Off-policy IPS/SNIPS evaluation (fully oracled): logged feedback
     * from events (reward = value in µ-units, propensity = empirical
     * type frequency in ppm), target policy a deterministic per-user
@@ -8083,7 +8181,8 @@ object Probes {
     wPagerankProbe, kmvRollupProbe, oovRateProbe, burstinessProbe,
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
     columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe,
-    kaplanMeierProbe, lshIndexProbe, ipsProbe
+    kaplanMeierProbe, lshIndexProbe, ipsProbe, conformalProbe,
+    teamDraftProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

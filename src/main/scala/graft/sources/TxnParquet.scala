@@ -131,6 +131,25 @@ object TxnParquet {
     def version(spark: SparkSession): Option[Long] =
       currentManifest(spark, path).map(_._1)
 
+    /** TIME-TRAVEL read: the table exactly as manifest `v` committed it
+      * — the audit/debug read "what did the merge job see last night",
+      * and the explicit API form of the pinned-reader grace contract
+      * (a reader holding version v keeps its snapshot while v stays
+      * within the `keepManifests` window; this asks for it by number).
+      * Fails LOUDLY when v has been GC'd past the window — never
+      * silently serves a different version. */
+    def readVersion(spark: SparkSession, v: Long): DataFrame = {
+      val (f, root) = fs(spark, path)
+      val gdir = new Path(root, "_graft")
+      require(f.exists(new Path(gdir, s"manifest-$v.txt")), {
+        val live = currentManifest(spark, path).map(_._1)
+        s"TxnParquetSink: version $v is not available at $path " +
+          s"(live=${live.getOrElse("none")}, keepManifests=$keepManifests" +
+          s" — older versions are GC'd past the grace window)"
+      })
+      readDirs(spark, readManifestAt(f, gdir, v).values.toSeq)
+    }
+
     private def readDirs(spark: SparkSession, rel: Seq[String]): DataFrame = {
       require(rel.nonEmpty,
         "TxnParquetSink: committed table has no data for the requested dates")

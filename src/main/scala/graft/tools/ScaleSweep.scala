@@ -660,6 +660,23 @@ object ScaleSweep {
           noop(graft.operators.Survival.kaplanMeier(subjects,
             col("dur_h"), col("observed")))
         },
+        // (group, value) counts + cumulative over the counts frame —
+        // rows never sort (the winsorize discipline)
+        "conformal" -> (() => noop(
+          graft.operators.Classify.conformalThreshold(
+            docs.filter(col("lang").isNotNull), col("lang"),
+            col("n_chars"), alphaPpm = 100000L))),
+        // two rank-bounded lists cogrouped per query; greedy state O(k)
+        "team_draft" -> { () =>
+          val bits = 6 + (31 - Integer.numberOfLeadingZeros(rep))
+          val qs = emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val a = Similarity.bruteForceTopK(emb, qs, 10)
+          val b = Similarity.lshTopKMultiProbe(emb, qs, 10, bits = bits,
+            dim = 64, nProbe = 4)
+          noop(graft.operators.Fusion.interleaveTeamDraft(a, b,
+            "query_id", "vec_id", "rank", k = 10))
+        },
         // one context-key equi-join + ONE single-row aggregate
         "ips_eval" -> { () =>
           val e = ev.filter(col("event_id").isNotNull &&

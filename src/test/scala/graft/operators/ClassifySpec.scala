@@ -364,6 +364,37 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(logs.repartition(13)).toSeq === r.toSeq)
   }
 
+  test("conformalThreshold: textbook ranks, tie safety, unattainable → NULL") {
+    import spark.implicits._
+    // group a: scores 1..9, α=10% → rank = ⌈10·0.9⌉ = 9 → threshold 9
+    // group b: 4 points all tied at 7 → rank = ⌈5·0.9⌉ = 5 > 4 → NULL
+    // group c: 19 points 1..19 → rank = ⌈20·0.9⌉ = 18 → threshold 18
+    val rows = (1L to 9L).map(("a", _)) ++ Seq.fill(4)(("b", 7L)) ++
+      (1L to 19L).map(("c", _))
+    val got = Classify.conformalThreshold(rows.toDF("g", "s"), col("g"),
+        col("s"), alphaPpm = 100000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got === Seq(("a", 9L, 9L, Some(9L)), ("b", 4L, 5L, None),
+      ("c", 19L, 18L, Some(18L))))
+    // coverage property on c: ≥ 90% of calibration scores ≤ threshold
+    assert((1L to 19L).count(_ <= 18L) >= math.ceil(19 * 0.9))
+  }
+
+  test("conformalThreshold: duplicates count individually; layout-proof") {
+    import spark.implicits._
+    // 10 copies of 5 then 1..8: n=18, rank=⌈19·0.9⌉=18 → the 18th
+    // smallest of (1,2,3,4,5×11,6,7,8) = 8
+    val rows = Seq.fill(10)(("g", 5L)) ++ (1L to 8L).map(("g", _))
+    val df = rows.toDF("g", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.conformalThreshold(d, col("g"), col("s"), 100000L)
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a.head === Seq("g", 18L, 18L, 8L))
+    assert(a === run(df.repartition(7)))
+  }
+
   test("calibrationBins: bin edges, truncating means, clamp at top bin") {
     val rows = Seq((50000L, false), (99999L, false), (150000L, true),
       (950000L, true), (1000000L, true))

@@ -107,4 +107,78 @@ class FusionSpec extends AnyFunSuite {
       Fusion.rankEval(a, truth, k = 10).collect().map(_.toSeq).toSeq
     assert(run(ranked) === run(ranked.repartition(17)))
   }
+
+  private def tdList(q: Long, ids: Seq[Long]) =
+    ids.zipWithIndex.map { case (id, i) => (q, id, (i + 1).toLong) }
+      .toDF("query_id", "vec_id", "rank")
+
+  test("team draft: disjoint lists stay balanced and preserve team order") {
+    val a = tdList(1L, Seq(10L, 11L, 12L, 13L))
+    val b = tdList(1L, Seq(20L, 21L, 22L, 23L))
+    val out = Fusion.interleaveTeamDraft(a, b, "query_id", "vec_id",
+        "rank", k = 8)
+      .orderBy("pos")
+      .select("pos", "vec_id", "team")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) === (1L to 8L))
+    assert(out.map(_._2).distinct.length === 8)
+    // balance: after every even prefix, counts equal; never off by > 1
+    (1 to 8).foreach { p =>
+      val (na, nb) = (out.take(p).count(_._3 == "A"),
+        out.take(p).count(_._3 == "B"))
+      assert(math.abs(na - nb) <= 1, s"prefix $p unbalanced")
+    }
+    // each team's picks follow its own list order
+    assert(out.filter(_._3 == "A").map(_._2) ===
+      Seq(10L, 11L, 12L, 13L))
+    assert(out.filter(_._3 == "B").map(_._2) ===
+      Seq(20L, 21L, 22L, 23L))
+  }
+
+  test("team draft: identical lists dedup; exhausted side cedes the rest") {
+    val a = tdList(1L, Seq(10L, 11L, 12L))
+    val b = tdList(1L, Seq(10L, 11L, 12L))
+    val same = Fusion.interleaveTeamDraft(a, b, "query_id", "vec_id",
+        "rank", k = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(same.sorted === Seq(10L, 11L, 12L)) // each doc at most once
+    // B only shares A's first doc: once 10 is gone B is exhausted and A
+    // drafts the remainder alone
+    val b2 = tdList(1L, Seq(10L))
+    val out = Fusion.interleaveTeamDraft(a, b2, "query_id", "vec_id",
+        "rank", k = 6)
+      .orderBy("pos").select("vec_id", "team")
+      .as[(Long, String)].collect().toSeq
+    assert(out.map(_._1).sorted === Seq(10L, 11L, 12L))
+    assert(out.count(_._2 == "B") <= 1)
+  }
+
+  test("team draft: deterministic across layouts and reruns; seed changes coins") {
+    val a = (1L to 5L).flatMap(q => tdList(q, Seq(1L, 2L, 3L, 4L))
+      .as[(Long, Long, Long)].collect()).toDF("query_id", "vec_id", "rank")
+    val b = (1L to 5L).flatMap(q => tdList(q, Seq(9L, 8L, 7L, 6L))
+      .as[(Long, Long, Long)].collect()).toDF("query_id", "vec_id", "rank")
+    def run(x: org.apache.spark.sql.DataFrame,
+            y: org.apache.spark.sql.DataFrame, seed: Long) =
+      Fusion.interleaveTeamDraft(x, y, "query_id", "vec_id", "rank",
+          k = 8, seed = seed)
+        .collect().map(_.toSeq).toSeq
+    val r = run(a, b, 42L)
+    assert(r === run(a.repartition(7), b.repartition(3), 42L))
+    // different seed flips at least one tie coin across 5 queries
+    assert(r !== run(a, b, 43L))
+  }
+
+  test("interleavedWins: per-query click credit partitions queries") {
+    val a = tdList(1L, Seq(10L, 11L)).unionByName(tdList(2L, Seq(30L, 31L)))
+    val b = tdList(1L, Seq(20L, 21L)).unionByName(tdList(2L, Seq(40L, 41L)))
+    val asg = Fusion.interleaveTeamDraft(a, b, "query_id", "vec_id",
+      "rank", k = 4)
+    // click everything → per-query counts tie (balanced draft)
+    val allClicks = asg.select(col("query_id"), col("vec_id"))
+    val r = Fusion.interleavedWins(asg, allClicks, "query_id", "vec_id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 0L, 0L, 2L)))
+  }
 }

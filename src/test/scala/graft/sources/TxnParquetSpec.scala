@@ -171,6 +171,23 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(m1.exists(), "grace window must retain the pinned manifest")
   }
 
+  test("time travel: readVersion serves each kept version exactly; " +
+      "GC'd versions fail loudly") {
+    val path = tmp()
+    val sink = TxnParquetSink(path, keepManifests = 2)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 10.0)), keys)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 20.0)), keys)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 30.0)), keys)
+    def tempAt(v: Long): Double = sink.readVersion(spark, v)
+      .collect().head.getDouble(2)
+    assert(tempAt(3L) === 30.0)
+    assert(tempAt(2L) === 20.0) // within the keep-2 window
+    // v1 is past the window: loud failure, never a silently wrong read
+    val e = intercept[IllegalArgumentException](sink.readVersion(spark, 1L))
+    assert(e.getMessage.contains("version 1 is not available"))
+    assert(e.getMessage.contains("live=3"))
+  }
+
   test("optimistic concurrency: a second commit of the same version throws, table intact") {
     val path = tmp()
     val sink = TxnParquetSink(path)
