@@ -452,6 +452,152 @@ object Classify {
       .orderBy("decile")
   }
 
+  /** Brier score with the Murphy (1973) decomposition over the
+    * [[calibrationBins]] reliability diagram — the one-row answer to
+    * "is the probability BAD or just UNSHARP": Brier ≈ REL − RES + UNC
+    * where reliability charges miscalibrated bins, resolution credits
+    * bins that separate the classes, and uncertainty is the
+    * irreducible ȳ(1−ȳ).
+    *
+    * Integer contract: scores are ppm, labels 0/10⁶, every published
+    * number a truncated integer MEAN in micro² units (Σ DIV n) from
+    * order-free long/DECIMAL(38,0) sums — hash-proof on any engine.
+    * The decomposition is computed over the ppm-TRUNCATED bin means
+    * (exactly the q154 diagram a dashboard plots). Murphy's identity
+    * Brier = REL − RES + UNC is EXACT only when forecasts are constant
+    * within each bin; over binned forecasts the residual equals the
+    * within-bin variance minus twice the within-bin forecast–outcome
+    * covariance (plus ppm quantization). `decomp_gap_micro2` PUBLISHES
+    * that residual instead of hiding it — a large gap means the bins
+    * are too coarse for this score distribution, itself a diagnostic
+    * (Stephenson et al. '08 call these the within-bin terms).
+    *
+    * Shape: one bins-keyed aggregate (map-side combined) + windows
+    * over the bins-sized frame; NULL score/label rows are excluded.
+    * Output (one row): `n` LONG, `brier_micro2`, `rel_micro2`,
+    * `res_micro2`, `unc_micro2`, `decomp_gap_micro2` LONG (all
+    * truncated means in µ²; NULL-free — degenerate n = 0 yields no
+    * row upstream of the caller's guard). */
+  def brierDecomposition(scored: DataFrame, scorePpm: Column,
+                         truth: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = scored.select(scorePpm.cast("long").as("__s"),
+        truth.cast("boolean").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .withColumn("__y", when(col("__t"), 1000000L).otherwise(0L))
+      .withColumn("__bin",
+        least(lit(nBins - 1), expr(s"(__s * ${nBins}L) DIV 1000000L")))
+    val bins = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nb"),
+        // Σ(p−y)²: each term ≤ 10¹² — accumulate wide, stay exact
+        expr("""CAST(sum(CAST(__s - __y AS DECIMAL(38,0)) * (__s - __y))
+               | AS DECIMAL(38,0))""".stripMargin).as("__sq"),
+        expr("sum(__s) DIV count(1)").as("__mp"), // mean pred ppm (trunc)
+        expr("sum(__y) DIV count(1)").as("__pr")) // pos rate ppm (trunc)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    bins
+      .withColumn("__n", sum(col("__nb")).over(wAll))
+      .withColumn("__ybar",
+        expr("""CAST(sum(CAST(__pr AS DECIMAL(38,0)) * __nb) OVER
+               | (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+               |  FOLLOWING) AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("__ybar_ppm", expr("CAST(__ybar DIV __n AS BIGINT)"))
+      .groupBy(col("__n"), col("__ybar_ppm"))
+      .agg(
+        expr("CAST(sum(__sq) DIV first(__n) AS BIGINT)")
+          .as("brier_micro2"),
+        expr("""CAST(sum(CAST(__mp - __pr AS DECIMAL(38,0)) *
+               | (__mp - __pr) * __nb) DIV first(__n) AS BIGINT)"""
+          .stripMargin).as("rel_micro2"),
+        expr("""CAST(sum(CAST(__pr - __ybar_ppm AS DECIMAL(38,0)) *
+               | (__pr - __ybar_ppm) * __nb) DIV first(__n) AS BIGINT)"""
+          .stripMargin).as("res_micro2"))
+      .withColumn("unc_micro2",
+        expr("__ybar_ppm * (1000000L - __ybar_ppm)"))
+      .withColumn("decomp_gap_micro2",
+        col("brier_micro2") -
+          (col("rel_micro2") - col("res_micro2") + col("unc_micro2")))
+      .select(col("__n").as("n"), col("brier_micro2"), col("rel_micro2"),
+        col("res_micro2"), col("unc_micro2"), col("decomp_gap_micro2"))
+  }
+
+  /** Doubly-robust off-policy estimate (Dudík–Langford–Li ICML'11) —
+    * [[ipsEval]]'s variance-reduced sibling: a reward MODEL (the
+    * "direct method") predicts the target action's value everywhere,
+    * and the IPS term only corrects the model's residual on matched
+    * logs:
+    *
+    *   DR = (1/n) Σ [ q̂(x, π(x)) + w·(r − q̂(x, a)) ],
+    *   w  = 1[π(x)=a] / p(a|x)
+    *
+    * Unbiased if EITHER the model or the propensities are right —
+    * hence doubly robust; when the model is decent the correction
+    * terms are small and the estimator's variance collapses vs plain
+    * IPS. The model here is the caller-supplied per-action value table
+    * `qhat` (action → value_micro) — the empirical per-action mean is
+    * the standard non-parametric choice and keeps everything exactly
+    * replayable (no fitted floats).
+    *
+    * Integer discipline: identical to [[ipsEval]] — exact long
+    * weights, DECIMAL(38,0)-accumulated correction terms (residuals
+    * can be negative: the wide sum is signed), model terms summed as
+    * longs, DR one IEEE division. `n_bad_propensity` counts matched
+    * zero/NULL-propensity rows; their CORRECTION is dropped (the model
+    * term still contributes — the DR-specific graceful degradation,
+    * vs IPS which loses the row entirely).
+    *
+    * Output (one row): `n`, `n_matched`, `n_bad_propensity` LONG,
+    * `sum_model` LONG (Σ q̂(x, π(x)) µ), `sum_corr` LONG
+    * (Σ w·(r − q̂) DIV 10⁶, signed), `dm_value_micro`,
+    * `dr_value_micro` DOUBLE (the direct-method and DR estimates;
+    * NULL when n = 0). */
+  def drEval(logs: DataFrame, contextKey: Column, loggedAction: Column,
+             rewardMicro: Column, propensityPpm: Column,
+             policy: DataFrame, policyKey: Column, policyAction: Column,
+             qhat: DataFrame, qhatAction: Column,
+             qhatValueMicro: Column): DataFrame = {
+    val l = logs.select(contextKey.as("__k"), loggedAction.as("__a"),
+      rewardMicro.cast("long").as("__r"),
+      propensityPpm.cast("long").as("__p"))
+    val pol = policy.select(policyKey.as("__pk"), policyAction.as("__pa"))
+    val q = qhat.select(qhatAction.as("__qa"),
+      qhatValueMicro.cast("long").as("__qv"))
+    val joined = l.join(pol, col("__k") === col("__pk"), "inner")
+      // model value of the TARGET action (every row)
+      .join(broadcast(q.select(col("__qa").as("__pa"),
+        col("__qv").as("__q_pi"))), Seq("__pa"), "left_outer")
+      // model value of the LOGGED action (for the residual)
+      .join(broadcast(q.select(col("__qa").as("__a"),
+        col("__qv").as("__q_a"))), Seq("__a"), "left_outer")
+      .withColumn("__q_pi0", coalesce(col("__q_pi"), lit(0L)))
+      .withColumn("__q_a0", coalesce(col("__q_a"), lit(0L)))
+      .withColumn("__match", col("__a") <=> col("__pa"))
+      .withColumn("__bad",
+        col("__match") && (col("__p").isNull || col("__p") <= 0L))
+      .withColumn("__w",
+        when(col("__match") && !col("__bad"),
+          expr("1000000000000L DIV __p")).otherwise(lit(0L)))
+    joined.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__match"), 1L).otherwise(0L)), lit(0L))
+          .as("n_matched"),
+        coalesce(sum(when(col("__bad"), 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_propensity"),
+        coalesce(sum(col("__q_pi0")), lit(0L)).as("sum_model"),
+        expr("""CAST(coalesce(sum(CAST(__w AS DECIMAL(38,0)) *
+               | (__r - __q_a0)), 0) DIV 1000000 AS BIGINT)"""
+          .stripMargin).as("sum_corr"))
+      .withColumn("dm_value_micro",
+        when(col("n") > 0L, col("sum_model").cast("double") / col("n")))
+      .withColumn("dr_value_micro",
+        when(col("n") > 0L,
+          (col("sum_model") + col("sum_corr")).cast("double") / col("n")))
+      .select(col("n"), col("n_matched"), col("n_bad_propensity"),
+        col("sum_model"), col("sum_corr"), col("dm_value_micro"),
+        col("dr_value_micro"))
+  }
+
   /** Split-conformal prediction thresholds PER GROUP (Vovk et al.;
     * Angelopoulos–Bates '21 tutorial form): given each group's
     * calibration nonconformity scores, the threshold is the

@@ -6679,6 +6679,121 @@ object Probes {
            |FROM embeddings WHERE vec_id < 20""".stripMargin)
   )
 
+  /** Brier + Murphy decomposition (fully oracled): q154's reliability
+    * diagram collapsed to the one-row REL−RES+UNC readout with the
+    * within-bin residual PUBLISHED (`decomp_gap_micro2`) — every
+    * number a truncated integer mean in µ² from order-free wide sums. */
+  val brierProbe = Probe(
+    "q230_brier",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.brierDecomposition(Tables.documents(s, d),
+        least(lit(1000000L), col("n_chars") * 1800L),
+        col("lang") === "en", nBins = 10)
+    },
+    Some("""WITH b AS (SELECT least(1000000, n_chars * 1800) AS s,
+           |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+           |  FROM documents
+           |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           |bins AS (SELECT least(9, (s * 10) // 1000000) AS bin,
+           |    count(*) AS nb,
+           |    sum(CAST(s - y AS HUGEINT) * (s - y)) AS sq,
+           |    sum(s) // count(*) AS mp,
+           |    sum(y) // count(*) AS pr
+           |  FROM b GROUP BY 1),
+           |g AS (SELECT sum(nb) AS n,
+           |    sum(CAST(pr AS HUGEINT) * nb) // sum(nb) AS ybar
+           |  FROM bins),
+           |f AS (SELECT CAST(g.n AS BIGINT) AS n,
+           |    CAST(sum(sq) // g.n AS BIGINT) AS brier_micro2,
+           |    CAST(sum(CAST(mp - pr AS HUGEINT) * (mp - pr) * nb) // g.n
+           |      AS BIGINT) AS rel_micro2,
+           |    CAST(sum(CAST(pr - g.ybar AS HUGEINT) * (pr - g.ybar) * nb)
+           |      // g.n AS BIGINT) AS res_micro2,
+           |    CAST(g.ybar * (1000000 - g.ybar) AS BIGINT) AS unc_micro2
+           |  FROM bins, g GROUP BY g.n, g.ybar)
+           |SELECT n, brier_micro2, rel_micro2, res_micro2, unc_micro2,
+           |  brier_micro2 - (rel_micro2 - res_micro2 + unc_micro2)
+           |    AS decomp_gap_micro2
+           |FROM f""".stripMargin)
+  )
+
+  /** Doubly-robust off-policy estimate (fully oracled): q226's logs
+    * and policy with a per-action empirical-mean reward model — the
+    * direct-method term everywhere, IPS correcting only the matched
+    * residuals. Exact integer weights/terms; both estimates single
+    * IEEE divisions. */
+  val drProbe = Probe(
+    "q229_dr_eval",
+    (s, d) => {
+      import graft.operators.Classify
+      val e = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("event_type").isNotNull
+          && col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1000000L + 0.5).cast("long").as("__r"))
+      val n = e.agg(count(lit(1)).as("__n"))
+      val freq = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("__c"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"),
+          expr("(1000000L * __c) DIV __n").as("__p"))
+      val logs = e.join(freq, "event_type")
+      val policy = e.select(col("event_id").as("pol_id"),
+        when(col("user_id") % 3 === 0, lit("click")).otherwise(lit("view"))
+          .as("pol_action"))
+      val qhat = e.groupBy(col("event_type").as("qa"))
+        .agg(expr("sum(__r) DIV count(1)").as("qv"))
+      Classify.drEval(logs, col("event_id"), col("event_type"),
+        col("__r"), col("__p"), policy, col("pol_id"), col("pol_action"),
+        qhat, col("qa"), col("qv"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS r
+           |  FROM events WHERE event_id IS NOT NULL
+           |    AND event_type IS NOT NULL AND value IS NOT NULL
+           |    AND user_id IS NOT NULL),
+           |tot AS (SELECT count(*) AS n FROM e),
+           |freq AS (SELECT event_type,
+           |    CAST((1000000 * count(*)) // (SELECT n FROM tot) AS BIGINT)
+           |      AS p
+           |  FROM e GROUP BY 1),
+           |qh AS (SELECT event_type AS qa,
+           |    CAST(sum(r) // count(*) AS BIGINT) AS qv
+           |  FROM e GROUP BY 1),
+           |l AS (SELECT e.event_id AS k, e.user_id, e.event_type AS a,
+           |    e.r, f.p,
+           |    (CASE WHEN e.user_id % 3 = 0 THEN 'click'
+           |          ELSE 'view' END) AS pa
+           |  FROM e JOIN freq f USING (event_type)),
+           |j AS (SELECT l.*, qpi.qv AS q_pi, qa2.qv AS q_a,
+           |    a = pa AS m
+           |  FROM l LEFT JOIN qh qpi ON qpi.qa = l.pa
+           |         LEFT JOIN qh qa2 ON qa2.qa = l.a),
+           |w AS (SELECT *,
+           |    coalesce(q_pi, 0) AS qpi0, coalesce(q_a, 0) AS qa0,
+           |    CASE WHEN m AND p > 0 THEN 1000000000000 // p
+           |         ELSE 0 END AS w,
+           |    m AND (p IS NULL OR p <= 0) AS bad FROM j)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_matched,
+           |  CAST(coalesce(sum(CASE WHEN bad THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_bad_propensity,
+           |  CAST(coalesce(sum(qpi0), 0) AS BIGINT) AS sum_model,
+           |  CAST(coalesce(sum(CAST(w AS HUGEINT) * (r - qa0)), 0)
+           |    // 1000000 AS BIGINT) AS sum_corr,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(coalesce(sum(qpi0), 0) AS DOUBLE) / count(*)
+           |  END AS dm_value_micro,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(coalesce(sum(qpi0), 0) +
+           |      (coalesce(sum(CAST(w AS HUGEINT) * (r - qa0)), 0)
+           |        // 1000000) AS DOUBLE) / count(*)
+           |  END AS dr_value_micro
+           |FROM w""".stripMargin)
+  )
+
   /** Per-group split-conformal thresholds (fully oracled): the
     * ⌈(n+1)(1−α)⌉-th smallest score per language at α = 10% — exact
     * integer rank arithmetic over the (group, value) counts frame,
@@ -8182,7 +8297,7 @@ object Probes {
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
     columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe,
     kaplanMeierProbe, lshIndexProbe, ipsProbe, conformalProbe,
-    teamDraftProbe
+    teamDraftProbe, drProbe, brierProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -660,6 +660,11 @@ object ScaleSweep {
           noop(graft.operators.Survival.kaplanMeier(subjects,
             col("dur_h"), col("observed")))
         },
+        // bins-keyed agg + windows over the bins frame
+        "brier" -> (() => noop(
+          graft.operators.Classify.brierDecomposition(docs,
+            least(lit(1000000L), col("n_chars") * 1800L),
+            col("lang") === "en", nBins = 10))),
         // (group, value) counts + cumulative over the counts frame —
         // rows never sort (the winsorize discipline)
         "conformal" -> (() => noop(

@@ -364,6 +364,88 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(logs.repartition(13)).toSeq === r.toSeq)
   }
 
+  test("brierDecomposition: hand-computed two-bin table") {
+    import spark.implicits._
+    // (p ppm, y): bin0 = {.2/0, .2/0, .4/1}, bin1 = {.8/1, .6/0}
+    val rows = Seq((200000L, false), (200000L, false), (400000L, true),
+      (800000L, true), (600000L, false))
+    val r = Classify.brierDecomposition(rows.toDF("p", "y"), col("p"),
+      col("y"), nBins = 2).collect().head
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 168000000000L) // 0.168 in µ²
+    assert(r.getLong(2) === 18666693333L)  // REL ≈ 0.018667
+    assert(r.getLong(3) === 6666693334L)   // RES ≈ 0.006667
+    assert(r.getLong(4) === 239999799999L) // ȳ=399999ppm → UNC ≈ 0.24
+    // the published gap = within-bin var − 2·within-bin cov ≈ −0.084
+    assert(r.getLong(5) ===
+      r.getLong(1) - (r.getLong(2) - r.getLong(3) + r.getLong(4)))
+  }
+
+  test("brierDecomposition: constant-per-bin forecasts close the gap " +
+      "to quantization only; layout-proof") {
+    import spark.implicits._
+    // forecasts constant within each bin and equal to that bin's exact
+    // positive rate → REL = 0, gap = 0 (no quantization loss either:
+    // rates are exact ppm)
+    val rows = Seq.fill(3)((250000L, true)) ++ Seq.fill(9)((250000L, false)) ++
+      Seq.fill(3)((750000L, true)) ++ Seq((750000L, false))
+    val df = rows.toDF("p", "y")
+    val r = Classify.brierDecomposition(df, col("p"), col("y"), 2)
+      .collect().head
+    assert(r.getLong(2) === 0L, "calibrated constant bins ⇒ REL 0")
+    assert(r.getLong(5) === 0L, "constant forecasts ⇒ zero gap")
+    assert(Classify.brierDecomposition(df.repartition(7), col("p"),
+      col("y"), 2).collect().head.toSeq === r.toSeq)
+  }
+
+  test("drEval: zero model reduces to IPS; perfect model kills corrections") {
+    import spark.implicits._
+    val logs = Seq((1L, "x", 1000000L, 500000L),
+      (2L, "y", 2000000L, 250000L), (3L, "x", 600000L, 500000L))
+      .toDF("k", "a", "r", "p")
+    val policy = Seq((1L, "x"), (2L, "n"), (3L, "x")).toDF("pk", "pa")
+    val zeroQ = Seq(("x", 0L), ("y", 0L), ("n", 0L)).toDF("qa", "qv")
+    val dZero = Classify.drEval(logs, col("k"), col("a"), col("r"),
+      col("p"), policy, col("pk"), col("pa"), zeroQ, col("qa"),
+      col("qv")).collect().head
+    val ips = Classify.ipsEval(logs, col("k"), col("a"), col("r"),
+      col("p"), policy, col("pk"), col("pa")).collect().head
+    assert(dZero.getDouble(6) === ips.getDouble(5)) // DR == IPS
+    assert(dZero.getLong(3) === 0L)                 // no model mass
+    // perfect model: q̂ equals every reward of its action exactly →
+    // corrections vanish, DR == DM == mean model value of π(x)
+    val logs2 = Seq((1L, "x", 500000L, 500000L),
+      (2L, "y", 900000L, 250000L), (3L, "x", 500000L, 500000L))
+      .toDF("k", "a", "r", "p")
+    val perfectQ = Seq(("x", 500000L), ("y", 900000L), ("n", 300000L))
+      .toDF("qa", "qv")
+    val d = Classify.drEval(logs2, col("k"), col("a"), col("r"),
+      col("p"), policy, col("pk"), col("pa"), perfectQ, col("qa"),
+      col("qv")).collect().head
+    assert(d.getLong(4) === 0L) // sum_corr == 0
+    // model term: π gives x,n,x → 500000 + 300000 + 500000 over 3
+    assert(d.getLong(3) === 1300000L)
+    assert(d.getDouble(5) === d.getDouble(6))
+  }
+
+  test("drEval: bad propensity keeps the model term, drops only the correction; layout-proof") {
+    import spark.implicits._
+    val logs = Seq((1L, "x", 1000000L, 0L), (2L, "x", 1000000L, 500000L))
+      .toDF("k", "a", "r", "p")
+    val policy = Seq((1L, "x"), (2L, "x")).toDF("pk", "pa")
+    val q = Seq(("x", 400000L)).toDF("qa", "qv")
+    def run(l: org.apache.spark.sql.DataFrame) =
+      Classify.drEval(l, col("k"), col("a"), col("r"), col("p"),
+        policy, col("pk"), col("pa"), q, col("qa"), col("qv"))
+        .collect().head
+    val r = run(logs)
+    assert(r.getLong(2) === 1L)       // one bad propensity
+    assert(r.getLong(3) === 800000L)  // BOTH rows keep the model term
+    // correction only from row 2: w = 2e6 µ, residual 6e5 → 1.2e6
+    assert(r.getLong(4) === 1200000L)
+    assert(run(logs.repartition(7)).toSeq === r.toSeq)
+  }
+
   test("conformalThreshold: textbook ranks, tie safety, unattainable → NULL") {
     import spark.implicits._
     // group a: scores 1..9, α=10% → rank = ⌈10·0.9⌉ = 9 → threshold 9
