@@ -595,6 +595,45 @@ object CorpusStats {
         col("max_jaccard_ppm"), col("n_pairs_half"))
   }
 
+  /** Vocabulary richness report — Chao1 (Chao '84) with Good–Turing
+    * unseen mass: ONE row answering "how much vocabulary haven't we
+    * crawled yet", the coverage question [[vocabGrowth]] plots over
+    * time and [[freqOfFreqs]] histograms without summarizing:
+    *
+    *   chao1 = V + f₁²/(2f₂)      (f₂ > 0)
+    *         = V + f₁(f₁−1)/2    (the bias-corrected f₂ = 0 form)
+    *   P₀    = f₁/N              (Good–Turing unseen probability mass)
+    *
+    * with V = observed vocabulary, f₁/f₂ = singleton/doubleton counts,
+    * N = token occurrences. All published numbers are exact truncating
+    * integer arithmetic — no float enters.
+    *
+    * Shape: tokenization pipelined with the scan, one term-keyed count
+    * (map-side combined, |vocab| shuffle rows), one tiny
+    * freq-of-freq-style aggregate → ONE row. Output: `n_tokens`,
+    * `vocab`, `f1`, `f2`, `chao1_est`, `unseen_mass_ppm` LONG. */
+  def richness(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(Text.words(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    counts.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("__c") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("__c") === 2L, 1L).otherwise(0L)), lit(0L))
+          .as("f2"))
+      .withColumn("chao1_est",
+        when(col("f2") > 0L,
+          col("vocab") + expr("(f1 * f1) DIV (2L * f2)"))
+          .otherwise(col("vocab") + expr("(f1 * (f1 - 1L)) DIV 2L")))
+      .withColumn("unseen_mass_ppm",
+        when(col("n_tokens") > 0L, expr("(1000000L * f1) DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        col("chao1_est"), col("unseen_mass_ppm"))
+  }
+
   /** Zipf tail index of the term-frequency distribution — the Hill
     * maximum-likelihood estimator of the power-law exponent over the
     * frequency tail (Hill '75; Clauset–Shalizi–Newman '09 survey):

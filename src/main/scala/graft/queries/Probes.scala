@@ -7022,6 +7022,35 @@ object Probes {
            |FROM c WHERE n_events > 0 ORDER BY t""".stripMargin)
   )
 
+  /** Chao1 vocabulary richness + Good–Turing unseen mass (fully
+    * oracled): the one-row "how much vocabulary is still uncrawled"
+    * readout — exact truncating integer arithmetic end to end. */
+  val richnessProbe = Probe(
+    "q231_richness",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.richness(Tables.documents(s, d))
+    },
+    Some("""WITH w AS (SELECT unnest(list_filter(
+           |    string_split_regex(lower(text), '\s+'),
+           |    x -> len(x) > 0)) AS t FROM documents),
+           |c AS (SELECT t, count(*) AS c FROM w GROUP BY t),
+           |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+           |    CAST(count(*) AS BIGINT) AS vocab,
+           |    CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS f1,
+           |    CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS f2
+           |  FROM c)
+           |SELECT n_tokens, vocab, f1, f2,
+           |  CAST(CASE WHEN f2 > 0 THEN vocab + (f1 * f1) // (2 * f2)
+           |       ELSE vocab + (f1 * (f1 - 1)) // 2 END AS BIGINT)
+           |    AS chao1_est,
+           |  CAST(CASE WHEN n_tokens > 0 THEN (1000000 * f1) // n_tokens
+           |       ELSE 0 END AS BIGINT) AS unseen_mass_ppm
+           |FROM a""".stripMargin)
+  )
+
   /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
     * tail — exact long counts, per-term ln floor-micro-quantized and
     * summed as longs (order-free), α one IEEE division of exact
@@ -8297,7 +8326,7 @@ object Probes {
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
     columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe,
     kaplanMeierProbe, lshIndexProbe, ipsProbe, conformalProbe,
-    teamDraftProbe, drProbe, brierProbe
+    teamDraftProbe, drProbe, brierProbe, richnessProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

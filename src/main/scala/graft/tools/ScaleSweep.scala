@@ -660,6 +660,9 @@ object ScaleSweep {
           noop(graft.operators.Survival.kaplanMeier(subjects,
             col("dur_h"), col("observed")))
         },
+        // |vocab| shuffle + ONE one-row f1/f2 aggregate
+        "richness" -> (() => noop(
+          CorpusStats.richness(docs))),
         // bins-keyed agg + windows over the bins frame
         "brier" -> (() => noop(
           graft.operators.Classify.brierDecomposition(docs,

@@ -274,6 +274,32 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(run(df) === run(df.repartition(17)))
   }
 
+  test("richness: hand-computed Chao1 and unseen mass; f2=0 fallback") {
+    // counts: a×3 b×2 c×2 d×1 e×1 f×1 → N=10 V=6 f1=3 f2=2
+    // chao1 = 6 + 9 DIV 4 = 8; P0 = 3e6 DIV 10 = 300000
+    val t1 = "a a a b b c c d e f"
+    val r1 = CorpusStats.richness(Seq((1L, t1)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r1.toSeq === Seq(10L, 6L, 3L, 2L, 8L, 300000L))
+    // no doubletons: a×3 d×1 e×1 → V=3, chao1 = 3 + (2·1) DIV 2 = 4
+    val r2 = CorpusStats.richness(Seq((1L, "a a a d e")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r2.toSeq === Seq(5L, 3L, 2L, 0L, 4L, 400000L))
+  }
+
+  test("richness: complete-coverage corpus estimates itself; layout-proof") {
+    // every term ≥ 3 occurrences: f1 = f2 = 0 → chao1 == vocab,
+    // unseen mass 0 — a fully-sampled vocabulary estimates no remainder
+    val words = (1 to 40).flatMap(i => Seq.fill(3 + i % 4)(s"w$i"))
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = CorpusStats.richness(df).collect().head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+    assert(r.getLong(4) === r.getLong(1))
+    assert(r.getLong(5) === 0L)
+    assert(CorpusStats.richness(df.repartition(7)).collect().head.toSeq
+      === r.toSeq)
+  }
+
   test("zipfTailIndex: hand-computed tail; sub-threshold terms excluded") {
     // counts: a×8 b×4 c×2 d×1; xMin=2 → tail {8,4,2}, m=3,
     // Σ = ⌊ln4·10⁶⌉ + ⌊ln2·10⁶⌉ + ⌊ln1·10⁶⌉ = 1386294 + 693147 + 0
