@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
+  * SPARK_GRAFT_SF_DIR, writes the complete per-query map to
+  * BENCH_FULL.json, and prints one COMPACT JSON line (total + slowest
+  * 35 queries) sized to fit a 2000-char log tail.
   *
   * Queries execute into the `noop` sink — a count() would let Catalyst
   * prune projections and eliminate sorts, timing a cheaper plan than the
@@ -85,12 +87,39 @@ object Bench {
       }
 
     val medians = names.map(n => n -> median(samples(n)))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""queries":$qs,"q40_split":{"train":$q40Train,"search":$q40Search},""" +
-      s""""sf":"$sfDir"}""")
+    def sec(v: Double): String = f"$v%.3f"
+
+    // Full per-query line → file. The driver's log capture keeps only
+    // the LAST ~2000 chars of output, and a 200+-query map overflows
+    // it — so stdout gets a COMPACT line (headline total + the slowest
+    // queries) sized to survive the tail window, and the complete map
+    // lands in BENCH_FULL.json next to the repo's round artifacts.
+    val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+        s""""iters":$iters,"n_queries":${medians.size},"queries":$qsFull,""" +
+        s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
+        s""""sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+
+    val failed = medians.filter(_._2 < 0).map(_._1)
+    val slowest = medians.filter(_._2 >= 0).sortBy(-_._2).take(35)
+    val qsCompact = (slowest ++ failed.map(_ -> -1.0)).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+        s""""iters":$iters,"n_queries":${medians.size},""" +
+        s""""n_failed":${failed.size},"queries":$qsCompact,""" +
+        s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
+        s""""note":"queries = slowest 35 of ${medians.size}; full map in BENCH_FULL.json",""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -474,6 +474,12 @@ object Classify {
     *
     * Shape: one bins-keyed aggregate (map-side combined) + windows
     * over the bins-sized frame; NULL score/label rows are excluded.
+    * Binning clamps to [0, nBins−1] at BOTH ends (the ppm contract:
+    * scores outside [0, 10⁶] land in the edge bins rather than
+    * minting negative bin ids whose integer division diverges
+    * cross-engine); their (p−y)² terms still enter the Brier sum
+    * un-clamped, so a caller feeding out-of-contract scores sees it
+    * in a large `decomp_gap_micro2`, not silence.
     * Output (one row): `n` LONG, `brier_micro2`, `rel_micro2`,
     * `res_micro2`, `unc_micro2`, `decomp_gap_micro2` LONG (all
     * truncated means in µ²; NULL-free — degenerate n = 0 yields no
@@ -485,8 +491,14 @@ object Classify {
         truth.cast("boolean").as("__t"))
       .filter(col("__s").isNotNull && col("__t").isNotNull)
       .withColumn("__y", when(col("__t"), 1000000L).otherwise(0L))
+      // clamp BOTH ends: ppm scores outside [0, 1e6] land in the edge
+      // bins instead of minting negative bins — and the clamp is what
+      // keeps out-of-range inputs engine-agnostic (Spark DIV truncates
+      // toward zero, DuckDB // floors; they disagree only below zero,
+      // where both now collapse to bin 0)
       .withColumn("__bin",
-        least(lit(nBins - 1), expr(s"(__s * ${nBins}L) DIV 1000000L")))
+        greatest(lit(0L),
+          least(lit(nBins - 1L), expr(s"(__s * ${nBins}L) DIV 1000000L"))))
     val bins = base.groupBy(col("__bin"))
       .agg(count(lit(1)).as("__nb"),
         // Σ(p−y)²: each term ≤ 10¹² — accumulate wide, stay exact
@@ -621,9 +633,13 @@ object Classify {
     * combined; the frame is bounded by |distinct scores| per group,
     * ppm scores cap it at 10⁶+1), a cumulative over that counts frame,
     * and the threshold is the smallest value whose cumulative count
-    * reaches the needed rank. Output: `group`, `n` LONG, `rank_needed`
-    * LONG, `threshold` LONG (NULL when unattainable); total order by
-    * group. */
+    * reaches the needed rank. The NULL group is a REAL slice (the
+    * [[woeIv]] convention): rows with a NULL group key calibrate their
+    * own threshold — the counts⋈cum join is null-safe (`<=>`), so the
+    * NULL slice gets a real threshold whenever its rank is attainable
+    * instead of a spurious "cannot guarantee". Output: `group`, `n`
+    * LONG, `rank_needed` LONG, `threshold` LONG (NULL when
+    * unattainable); total order by group NULLS FIRST. */
   def conformalThreshold(df: DataFrame, group: Column, score: Column,
                          alphaPpm: Long): DataFrame = {
     require(alphaPpm > 0L && alphaPpm < 1000000L,
@@ -639,7 +655,10 @@ object Classify {
     val wv = Window.partitionBy(col("group")).orderBy(col("__s").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perVal.withColumn("__cum", sum(col("__c")).over(wv))
-    counts.join(cum, Seq("group"), "left_outer")
+      .withColumnRenamed("group", "__g")
+    // null-safe join: the NULL group is a real calibration slice and
+    // must meet its own cumulative counts, not fall out of the join
+    counts.join(cum, col("group") <=> col("__g"), "left_outer")
       .groupBy(col("group"), col("n"), col("rank_needed"))
       // smallest value whose cumulative count reaches the rank = the
       // k-th smallest score; no value reaches an unattainable rank
@@ -784,5 +803,61 @@ object Classify {
       .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
         col("woe"), col("iv_contrib"), col("iv_upm"))
       .orderBy(col("bin").asc_nulls_first)
+  }
+
+  /** Mutual information between two categorical columns — the
+    * model-free "how much does knowing X tell you about Y" feature
+    * screen, in nats:
+    *
+    *   MI = Σ_{x,y} (n_xy/N) · ln(N·n_xy / (n_x·n_y))
+    *
+    * [[woeIv]] is the binary-target member of this family and
+    * [[graft.operators.Profile.contingency]] the significance-test
+    * member; MI adds the multi-class-both-sides measure (source vs
+    * language, event type vs segment) plus the per-cell contributions
+    * that say WHICH pairings carry the association. Negative
+    * contributions are real (cells rarer than independence predicts);
+    * the total is ≥ 0 up to quantization.
+    *
+    * Determinism (the woeIv/BM25 ln precedent): every cell is one
+    * pinned IEEE sequence — p = n_xy/N (one division), the ln argument
+    * as (N·n_xy)/(n_x·n_y) with DOUBLE products on both engines (exact
+    * long seeds; products first so no intermediate overflows a long),
+    * one ln, one multiply — then floor-quantized to NANO-nats (MI of
+    * near-independent pairs lives at the 4th decimal; micro would
+    * alias it to 0) and the total is the order-free SUM OF QUANTIZED
+    * LONGS over the cells frame. NULL on either axis drops the row
+    * (the caller maps NULL to a sentinel category if it matters).
+    *
+    * Shape: the contingency discipline — ONE (x, y) aggregate with
+    * map-side combine; marginals and the total from windows over that
+    * cells-sized frame (bounded by |X|·|Y| observed combos, the
+    * documented bounded-frame exception); the input is never
+    * re-scanned. Output: `x_val`, `y_val` STRING, `n` LONG, `n_x`,
+    * `n_y` LONG, `mi_contrib_nano` LONG, `mi_nano` LONG (total,
+    * repeated per cell); total order (x_val, y_val). */
+  def mutualInfo(df: DataFrame, xc: Column, yc: Column): DataFrame = {
+    val cells = df
+      .select(xc.cast("string").as("x_val"), yc.cast("string").as("y_val"))
+      .filter(col("x_val").isNotNull && col("y_val").isNotNull)
+      .groupBy(col("x_val"), col("y_val"))
+      .agg(count(lit(1)).as("n"))
+    val wx = Window.partitionBy(col("x_val"))
+    val wy = Window.partitionBy(col("y_val"))
+    val wg = Window.partitionBy()
+    cells
+      .withColumn("n_x", sum(col("n")).over(wx))
+      .withColumn("n_y", sum(col("n")).over(wy))
+      .withColumn("__N", sum(col("n")).over(wg))
+      .withColumn("mi_contrib_nano",
+        floor((col("n").cast("double") / col("__N")) *
+          log((col("__N").cast("double") * col("n")) /
+            (col("n_x").cast("double") * col("n_y"))) * 1000000000L
+          + 0.5).cast("long"))
+      .withColumn("mi_nano",
+        coalesce(sum(col("mi_contrib_nano")).over(wg), lit(0L)))
+      .select(col("x_val"), col("y_val"), col("n"), col("n_x"),
+        col("n_y"), col("mi_contrib_nano"), col("mi_nano"))
+      .orderBy("x_val", "y_val")
   }
 }

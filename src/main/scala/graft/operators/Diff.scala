@@ -42,7 +42,7 @@ object Diff {
     * narrows it. */
   def columnDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String] = Seq.empty): DataFrame = {
-    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(keys.nonEmpty, "columnDiff needs at least one key column")
     val shared = oldDf.columns.toSet.intersect(newDf.columns.toSet)
     require(keys.forall(shared.contains),
       s"keys $keys must exist on both sides")
@@ -92,7 +92,16 @@ object Diff {
     * alerts on. `n_unchanged` is derived from the OLD side's count so
     * the four statuses partition both snapshots exactly:
     * old = removed + changed + unchanged; new = added + changed +
-    * unchanged. */
+    * unchanged.
+    *
+    * Shape: the status counts and every per-column change total share
+    * ONE aggregate over the diff (the full-outer join executes once —
+    * they see the same row set, so splitting them would recompute the
+    * dominant join), and the old-side key count is a separate
+    * key-pruned count aggregate folded in lazily via a 1×1 crossJoin.
+    * Total: one full-outer join + one rollup + one column-pruned scan,
+    * all in a single action — the post-merge-audit posture the class
+    * doc claims. */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                   compareCols: Seq[String] = Seq.empty): DataFrame = {
     val cols =
@@ -100,8 +109,7 @@ object Diff {
       else (oldDf.columns.toSet.intersect(newDf.columns.toSet) -- keys)
         .toSeq.sorted
     val d = columnDiff(oldDf, newDf, keys, cols)
-    val nOld = oldDf.select(keys.map(col): _*).count()
-    val base = d.agg(
+    val statusAggs = Seq(
       coalesce(sum(when(col("status") === "added", 1L).otherwise(0L)),
         lit(0L)).as("n_added"),
       coalesce(sum(when(col("status") === "removed", 1L).otherwise(0L)),
@@ -111,10 +119,13 @@ object Diff {
     val chgTotals = cols.map(c =>
       coalesce(sum(when(col(s"chg_$c"), 1L).otherwise(0L)), lit(0L))
         .as(s"n_chg_$c"))
-    val withTotals = d.agg(chgTotals.head, chgTotals.tail: _*)
-    base.crossJoin(withTotals)
+    val aggs = statusAggs ++ chgTotals
+    val rollup = d.agg(aggs.head, aggs.tail: _*)
+    val oldCount = oldDf.select(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n_old"))
+    rollup.crossJoin(oldCount)
       .withColumn("n_unchanged",
-        lit(nOld) - col("n_removed") - col("n_changed"))
+        col("__n_old") - col("n_removed") - col("n_changed"))
       .select((Seq(col("n_added"), col("n_removed"), col("n_changed"),
         col("n_unchanged")) ++ cols.map(c => col(s"n_chg_$c"))): _*)
   }

@@ -217,9 +217,12 @@ object Fusion {
     * reproducible experiments, no RNG state.
     *
     * Defining invariants (spec/gate surface — team-draft is CHARACTERIZED
-    * by these): positions are 1..m with distinct docs; team pick counts
-    * never differ by more than 1; each team's picks preserve its source
-    * list's relative order; every pick comes from list A ∪ B.
+    * by these): positions are 1..m with distinct docs; WHILE BOTH lists
+    * still have unpicked docs, team pick counts never differ by more
+    * than 1 (once one list exhausts, the other drafts alone and counts
+    * diverge — with overlapping rankers that happens before rank k);
+    * each team's picks preserve its source list's relative order; every
+    * pick comes from list A ∪ B.
     *
     * Scale posture: the greedy is inherently sequential PER QUERY, so
     * it runs inside cogroup with O(k) state — both lists arrive

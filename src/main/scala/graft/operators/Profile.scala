@@ -753,4 +753,123 @@ object Profile {
           .as("trimmed_mean_cents"))
       .orderBy("group")
   }
+
+  /** Weighted per-group quantiles — order statistics where each row
+    * carries a LONG weight (tokens, bytes, revenue): "the doc length
+    * below which half the CORPUS TOKENS sit" is a weighted median, and
+    * the unweighted one misestimates it badly when long docs dominate
+    * mass. Definition (lower weighted quantile): the smallest value v
+    * whose cumulative weight reaches ⌈q·W⌉, W = total weight — exact
+    * ceil-division integer ranks, no float ever decides one, and tied
+    * values are safe because the k-th smallest VALUE by weight is
+    * order-independent.
+    *
+    * The NULL group is a real slice (the [[graft.operators.Classify]]
+    * conformal/woeIv convention): NULL-keyed rows get their own
+    * quantiles via a null-safe totals⋈cum join. Rows with NULL value
+    * or NULL/non-positive weight are excluded (a zero weight cannot
+    * move a rank; negative weight is a contract violation surfaced by
+    * exclusion, not corruption).
+    *
+    * Shape: the winsorize/equidepth discipline — ROWS never sort. One
+    * (group, value) weight-sum aggregate (map-side combined; the frame
+    * is bounded by |distinct values| per group, which saturates as rows
+    * replicate), a per-group cumulative over that counts frame, an
+    * explode of the requested q's against the group totals (|groups|·|qs|
+    * rows), and one null-safe join + min-when per rank. Output: `group`
+    * STRING, `q_ppm` LONG, `n` LONG (rows), `w_total` LONG,
+    * `rank_needed` LONG (the weight rank), `quantile` LONG; total order
+    * (group NULLS FIRST, q_ppm). */
+  def weightedQuantile(df: DataFrame, group: Column, value: Column,
+                       weight: Column, qPpms: Seq[Long]): DataFrame = {
+    require(qPpms.nonEmpty, "need at least one quantile")
+    require(qPpms.forall(q => q > 0L && q <= 1000000L),
+      s"q_ppm in (0, 1e6], got $qPpms")
+    require(qPpms.distinct.size == qPpms.size, s"duplicate q_ppm in $qPpms")
+    val base = df.select(group.cast("string").as("group"),
+        value.cast("long").as("__v"), weight.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0L)
+    val counts = base.groupBy(col("group"), col("__v"))
+      .agg(sum(col("__w")).as("__c"), count(lit(1)).as("__nr"))
+    val wv = Window.partitionBy(col("group")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cumw", sum(col("__c")).over(wv))
+      .withColumnRenamed("group", "__g2")
+    val ranks = counts.groupBy(col("group"))
+      .agg(sum(col("__c")).as("w_total"), sum(col("__nr")).as("n"))
+      .withColumn("q_ppm", explode(typedLit(qPpms.sorted)))
+      // ⌈q·W⌉ exactly: the q·W product can pass 2^63 at corpus scale,
+      // so it rides DECIMAL(38,0); the rank itself is ≤ W, a LONG
+      .withColumn("rank_needed",
+        expr("""CAST((CAST(q_ppm AS DECIMAL(38,0)) * w_total + 999999)
+               | DIV 1000000 AS BIGINT)""".stripMargin))
+    ranks.join(cum, col("group") <=> col("__g2"), "left_outer")
+      .groupBy(col("group"), col("q_ppm"), col("n"), col("w_total"),
+        col("rank_needed"))
+      .agg(min(when(col("__cumw") >= col("rank_needed"), col("__v")))
+        .as("quantile"))
+      .select(col("group"), col("q_ppm"), col("n"), col("w_total"),
+        col("rank_needed"), col("quantile"))
+      .orderBy(col("group").asc, col("q_ppm").asc)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group — the
+    * distribution-drift readout in the SAME units for every metric:
+    * D = sup_v |F_cur(v) − F_ref(v)|, the worst CDF gap. Where
+    * [[driftChi2]] needs bin edges chosen up front and [[histogramEmd]]
+    * weighs how FAR mass moved, KS is binning-free and answers "at
+    * which value do the two samples disagree most" — the classic
+    * pre-training drift gate between yesterday's and today's corpus
+    * slice.
+    *
+    * Exact integer core: with cumulative counts cA, cB and sizes
+    * nA, nB, the gap at v is |cA·nB − cB·nA| / (nA·nB); the numerator
+    * rides DECIMAL(38,0) (cum·n passes 2^63 at corpus scale), the
+    * supremum is an integer max, and only the published `d_ppm` does
+    * ONE exact integer scale-and-divide. `ks_at` is the smallest value
+    * attaining the supremum (deterministic under ties). Groups missing
+    * a side publish NULL d_ppm — a one-sided KS is undefined, not 1.
+    *
+    * Shape: one (group, value) aggregate counting both sides at once
+    * (map-side combined; frame bounded by |distinct values| per group —
+    * the winsorize discipline), per-group cumulative + max windows over
+    * that counts frame, one group-keyed rollup. NULL group is a real
+    * slice. Output: `group`, `n_a`, `n_b` LONG, `d_ppm` LONG (NULL if
+    * a side is empty), `ks_at` LONG (value attaining D; NULL with
+    * d_ppm); total order by group NULLS FIRST. */
+  def ksDistance(df: DataFrame, group: Column, sideA: Column,
+                 value: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        sideA.cast("boolean").as("__sa"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__sa").isNotNull)
+    val counts = base.groupBy(col("group"), col("__v"))
+      .agg(coalesce(sum(when(col("__sa"), 1L).otherwise(0L)), lit(0L))
+          .as("__ca"),
+        coalesce(sum(when(!col("__sa"), 1L).otherwise(0L)), lit(0L))
+          .as("__cb"))
+    val wv = Window.partitionBy(col("group")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("group"))
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(wv))
+      .withColumn("__cumb", sum(col("__cb")).over(wv))
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+      .withColumn("__gap",
+        expr("""abs(CAST(__cuma AS DECIMAL(38,0)) * __nb -
+               | CAST(__cumb AS DECIMAL(38,0)) * __na)""".stripMargin))
+      .withColumn("__gmax", max(col("__gap")).over(whole))
+      .groupBy(col("group"), col("__na"), col("__nb"), col("__gmax"))
+      .agg(min(when(col("__gap") === col("__gmax"), col("__v")))
+        .as("__at"))
+      .select(col("group"), col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0L && col("__nb") > 0L,
+          expr("""CAST((1000000 * __gmax) DIV
+                 | (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"""
+            .stripMargin)).as("d_ppm"),
+        when(col("__na") > 0L && col("__nb") > 0L, col("__at"))
+          .as("ks_at"))
+      .orderBy(col("group").asc)
+  }
 }

@@ -111,4 +111,86 @@ object Survival {
         col("n_censored"), col("log_s_upm"), col("surv_ppm"))
       .orderBy("t")
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson '72, Aalen '78)
+    * — [[kaplanMeier]]'s additive sibling: instead of multiplying
+    * survival fractions it SUMS hazard increments,
+    *
+    *   H(t) = Σ_{tᵢ ≤ t, events} dᵢ/nᵢ
+    *
+    * which is the estimator of choice when hazards are the object
+    * (comparing failure INTENSITY between cohorts, feeding a Cox
+    * baseline) and is numerically tamer: a step that kills everyone
+    * adds a finite dᵢ/nᵢ = 1 instead of KM's ln 0. The Breslow
+    * survival S(t) = exp(−H(t)) is published alongside — it never
+    * snaps to exact 0, consistent with the estimator.
+    *
+    * Determinism beats KM's: each increment is the EXACT integer
+    * truncation (10⁶·d) DIV n — no float anywhere in the hazard path;
+    * the cumulative is a sum of longs in time order, and only
+    * `surv_ppm` ends with ONE pinned IEEE exp of that integer (the KM
+    * exp precedent).
+    *
+    * Scale posture: identical to KM — one (duration)-keyed map-side-
+    * combined aggregate, then at-risk suffix counts and the hazard
+    * cumulative ride ONE range exchange on the step frame
+    * (per-partition prefix sums + an O(#partitions) broadcast offsets
+    * cumsum, the [[Relational.globalRank]] discipline). Output (event
+    * steps only): `t` LONG, `n_risk`, `n_events`, `n_censored` LONG,
+    * `haz_inc_upm` LONG (this step's (10⁶·d) DIV n), `cum_haz_upm`
+    * LONG, `surv_ppm` LONG (Breslow); total order by t. */
+  def nelsonAalen(df: DataFrame, duration: Column,
+                  observed: Column): DataFrame = {
+    val base = df.select(duration.cast("long").as("__d"),
+        observed.cast("boolean").as("__o"))
+      .filter(col("__d").isNotNull && col("__o").isNotNull)
+    val totals = base.agg(count(lit(1)).as("__N"))
+    val perT = base.groupBy(col("__d"))
+      .agg(coalesce(sum(when(col("__o"), 1L).otherwise(0L)), lit(0L))
+          .as("n_events"),
+        coalesce(sum(when(!col("__o"), 1L).otherwise(0L)), lit(0L))
+          .as("n_censored"))
+    val parted = perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wRun = Window.partitionBy(col("__pid")).orderBy(col("__d"))
+    val wBefore = wRun.rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = wRun.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val staged = parted.crossJoin(broadcast(totals))
+      .withColumn("__gone_in",
+        coalesce(sum(col("n_events") + col("n_censored")).over(wBefore),
+          lit(0L)))
+    val goneOffsets = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("n_events") + col("n_censored")), lit(0L))
+        .as("__pg"))
+      .withColumn("__goff",
+        coalesce(sum(col("__pg")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__goff"))
+    val withRisk = staged.join(broadcast(goneOffsets), "__pid")
+      .withColumn("n_risk", col("__N") - col("__goff") - col("__gone_in"))
+      // exact integer hazard increment; 0 on censor-only rows so the
+      // cumulative rides the SAME partitioning
+      .withColumn("__h",
+        when(col("n_events") === 0L, lit(0L))
+          .otherwise(expr("(1000000L * n_events) DIV n_risk")))
+    val hazOffsets = withRisk.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__h")), lit(0L)).as("__ph"))
+      .withColumn("__hoff",
+        coalesce(sum(col("__ph")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__hoff"))
+    withRisk.join(broadcast(hazOffsets), "__pid")
+      .withColumn("cum_haz_upm",
+        col("__hoff") + coalesce(sum(col("__h")).over(wIncl), lit(0L)))
+      .filter(col("n_events") > 0L)
+      .withColumn("surv_ppm",
+        floor(exp(col("cum_haz_upm").cast("double") / -1000000.0) *
+          1000000L + 0.5).cast("long"))
+      .select(col("__d").as("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("__h").as("haz_inc_upm"),
+        col("cum_haz_upm"), col("surv_ppm"))
+      .orderBy("t")
+  }
 }

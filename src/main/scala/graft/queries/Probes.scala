@@ -6616,8 +6616,11 @@ object Probes {
     * with a deterministic click model, self-oracled on team-draft's
     * DEFINING invariants: contiguous 1..m positions of distinct docs,
     * within-team source order preserved, every pick from A ∪ B, and
-    * the wins readout partitioning the clicked queries exactly. (The
-    * ≤1 pick-balance invariant holds only while BOTH lists have
+    * the wins readout matching an INDEPENDENT per-query recompute of
+    * the click credit (the click rule applied directly to the
+    * assignments — and the events fed to interleavedWins are
+    * deliberately duplicated, so its distinct() is load-bearing).
+    * (The ≤1 pick-balance invariant holds only while BOTH lists have
     * unpicked docs — with overlapping rankers one side can exhaust
     * early — so the spec proves it on disjoint lists instead of
     * gating it here.) DuckDB recomputes the query universe. */
@@ -6658,24 +6661,48 @@ object Probes {
         .withColumn("__prev", lag(col("__src_rank"), 1).over(wOrd))
         .filter(col("__prev").isNotNull && col("__src_rank") <= col("__prev"))
         .agg(count(lit(1)).as("__n_ord_viol"))
-      // deterministic click model: every third doc id "clicks"; the
-      // wins readout must PARTITION the clicked queries exactly
+      // deterministic click model: every third doc id "clicks"; gate
+      // the wins readout against an INDEPENDENT recompute (the click
+      // rule applied directly to the assignments, no join) — a
+      // double-counting or join bug in interleavedWins would diverge
+      // here, unlike the by-construction partition identity
       val clickEvents = asg.select(col("query_id"), col("vec_id"))
         .filter(col("vec_id") % 3 === 0)
+        // duplicate every click: interleavedWins must dedup, the
+        // independent recompute is per-pick by construction
+        .unionAll(asg.select(col("query_id"), col("vec_id"))
+          .filter(col("vec_id") % 3 === 0))
       val wins = Fusion.interleavedWins(asg, clickEvents, "query_id",
-          "vec_id")
-        .select((col("wins_a") + col("wins_b") + col("ties") ===
-          col("n_queries")).as("ok_wins_partition"))
-      shape.crossJoin(outside).crossJoin(ordViol).crossJoin(wins)
+        "vec_id")
+      val indep = asg.filter(col("vec_id") % 3 === 0)
+        .groupBy(col("query_id"))
+        .agg(
+          coalesce(sum(when(col("team") === "A", 1L).otherwise(0L)),
+            lit(0L)).as("__ia"),
+          coalesce(sum(when(col("team") === "B", 1L).otherwise(0L)),
+            lit(0L)).as("__ib"))
+        .agg(count(lit(1)).as("__inq"),
+          coalesce(sum(when(col("__ia") > col("__ib"), 1L)
+            .otherwise(0L)), lit(0L)).as("__iwa"),
+          coalesce(sum(when(col("__ib") > col("__ia"), 1L)
+            .otherwise(0L)), lit(0L)).as("__iwb"),
+          coalesce(sum(when(col("__ia") === col("__ib"), 1L)
+            .otherwise(0L)), lit(0L)).as("__itie"))
+      val winsOk = wins.crossJoin(indep)
+        .select((col("n_queries") === col("__inq") &&
+          col("wins_a") === col("__iwa") &&
+          col("wins_b") === col("__iwb") &&
+          col("ties") === col("__itie")).as("ok_wins_independent"))
+      shape.crossJoin(outside).crossJoin(ordViol).crossJoin(winsOk)
         .select(col("n_queries"),
           (col("__bad_shape") === 0L).as("ok_shape"),
           (col("__n_outside") === 0L).as("ok_from_union"),
           (col("__n_ord_viol") === 0L).as("ok_team_order"),
-          col("ok_wins_partition"))
+          col("ok_wins_independent"))
     },
     Some("""SELECT count(*) AS n_queries, true AS ok_shape,
            |  true AS ok_from_union, true AS ok_team_order,
-           |  true AS ok_wins_partition
+           |  true AS ok_wins_independent
            |FROM embeddings WHERE vec_id < 20""".stripMargin)
   )
 
@@ -6695,7 +6722,7 @@ object Probes {
            |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
            |  FROM documents
            |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
-           |bins AS (SELECT least(9, (s * 10) // 1000000) AS bin,
+           |bins AS (SELECT greatest(0, least(9, (s * 10) // 1000000)) AS bin,
            |    count(*) AS nb,
            |    sum(CAST(s - y AS HUGEINT) * (s - y)) AS sq,
            |    sum(s) // count(*) AS mp,
@@ -6798,17 +6825,21 @@ object Probes {
     * ⌈(n+1)(1−α)⌉-th smallest score per language at α = 10% — exact
     * integer rank arithmetic over the (group, value) counts frame,
     * never a row sort. The distribution-free coverage guarantee every
-    * per-slice quality filter should be quoting. */
+    * per-slice quality filter should be quoting. The 'de' slice is
+    * remapped to NULL so the gate exercises the NULL-group path: the
+    * null-safe counts⋈cum join must give the unlabeled slice its own
+    * real threshold (the woeIv convention), not a spurious NULL. */
   val conformalProbe = Probe(
     "q227_conformal",
     (s, d) => {
       import graft.operators.Classify
       Classify.conformalThreshold(
-        Tables.documents(s, d).filter(col("lang").isNotNull),
-        col("lang"), col("n_chars"), alphaPpm = 100000L)
+        Tables.documents(s, d),
+        nullif(col("lang"), lit("de")), col("n_chars"),
+        alphaPpm = 100000L)
     },
-    Some("""WITH b AS (SELECT lang AS grp, n_chars AS s FROM documents
-           |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+    Some("""WITH b AS (SELECT nullif(lang, 'de') AS grp, n_chars AS s
+           |  FROM documents WHERE n_chars IS NOT NULL),
            |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
            |    CAST(((count(*) + 1) * 900000 + 999999) // 1000000
            |      AS BIGINT) AS rank_needed
@@ -6820,9 +6851,9 @@ object Probes {
            |SELECT c.grp AS "group", c.n, c.rank_needed,
            |  CAST(min(CASE WHEN cm.cum >= c.rank_needed THEN cm.s END)
            |    AS BIGINT) AS threshold
-           |FROM c JOIN cm ON c.grp = cm.grp
+           |FROM c JOIN cm ON c.grp IS NOT DISTINCT FROM cm.grp
            |GROUP BY c.grp, c.n, c.rank_needed
-           |ORDER BY c.grp""".stripMargin)
+           |ORDER BY c.grp NULLS FIRST""".stripMargin)
   )
 
   /** Off-policy IPS/SNIPS evaluation (fully oracled): logged feedback
@@ -7049,6 +7080,191 @@ object Probes {
            |  CAST(CASE WHEN n_tokens > 0 THEN (1000000 * f1) // n_tokens
            |       ELSE 0 END AS BIGINT) AS unseen_mass_ppm
            |FROM a""".stripMargin)
+  )
+
+  /** Weighted quantiles (fully oracled): the quantity below which 25 /
+    * 50 / 75 / 99% of lineitem REVENUE sits, per return flag — exact
+    * ceil-division weight ranks over the (group, value) weight-sum
+    * frame, never a row sort; the q·W product rides DECIMAL/HUGEINT. */
+  val weightedQuantileProbe = Probe(
+    "q232_weighted_quantile",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.weightedQuantile(
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull),
+        col("l_returnflag"), col("l_quantity"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        Seq(250000L, 500000L, 750000L, 990000L))
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS grp,
+           |    CAST(trunc(l_quantity) AS BIGINT) AS v,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+           |  FROM lineitem WHERE l_quantity IS NOT NULL
+           |    AND l_extendedprice IS NOT NULL),
+           |f AS (SELECT * FROM b WHERE w > 0),
+           |c AS (SELECT grp, v, sum(w) AS cw, count(*) AS nr
+           |  FROM f GROUP BY 1, 2),
+           |t AS (SELECT grp, CAST(sum(cw) AS BIGINT) AS w_total,
+           |    CAST(sum(nr) AS BIGINT) AS n FROM c GROUP BY grp),
+           |qq AS (SELECT unnest([250000, 500000, 750000, 990000])
+           |    AS q_ppm),
+           |r AS (SELECT t.grp, qq.q_ppm, t.n, t.w_total,
+           |    CAST((CAST(qq.q_ppm AS HUGEINT) * t.w_total + 999999)
+           |      // 1000000 AS BIGINT) AS rank_needed
+           |  FROM t, qq),
+           |cm AS (SELECT grp, v, sum(cw) OVER (PARTITION BY grp
+           |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |    ROW) AS cum FROM c)
+           |SELECT r.grp AS "group", CAST(r.q_ppm AS BIGINT) AS q_ppm,
+           |  r.n, r.w_total, r.rank_needed,
+           |  CAST(min(CASE WHEN cm.cum >= r.rank_needed THEN cm.v END)
+           |    AS BIGINT) AS quantile
+           |FROM r JOIN cm ON r.grp IS NOT DISTINCT FROM cm.grp
+           |GROUP BY 1, 2, 3, 4, 5
+           |ORDER BY "group" NULLS FIRST, q_ppm""".stripMargin)
+  )
+
+  /** Mutual information source × language (fully oracled): per-cell
+    * contributions in nano-nats — each cell one pinned IEEE sequence
+    * (two double products, two divisions, one ln, one multiply; the
+    * woeIv/BM25 ln precedent), total the order-free sum of quantized
+    * longs over the cells frame. */
+  val mutualInfoProbe = Probe(
+    "q233_mutual_info",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.mutualInfo(Tables.documents(s, d), col("source"),
+        col("lang"))
+    },
+    Some("""WITH c AS (SELECT source AS x_val, lang AS y_val,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+           |  GROUP BY 1, 2),
+           |m AS (SELECT *,
+           |    CAST(sum(n) OVER (PARTITION BY x_val) AS BIGINT) AS n_x,
+           |    CAST(sum(n) OVER (PARTITION BY y_val) AS BIGINT) AS n_y,
+           |    CAST(sum(n) OVER () AS BIGINT) AS nn FROM c),
+           |s AS (SELECT x_val, y_val, n, n_x, n_y,
+           |    CAST(floor((CAST(n AS DOUBLE) / nn) *
+           |      ln((CAST(nn AS DOUBLE) * n) /
+           |         (CAST(n_x AS DOUBLE) * n_y)) * 1000000000 + 0.5)
+           |      AS BIGINT) AS mi_contrib_nano
+           |  FROM m)
+           |SELECT x_val, y_val, n, n_x, n_y, mi_contrib_nano,
+           |  CAST(coalesce(sum(mi_contrib_nano) OVER (), 0) AS BIGINT)
+           |    AS mi_nano
+           |FROM s ORDER BY x_val, y_val""".stripMargin)
+  )
+
+  /** Nelson–Aalen cumulative hazard (fully oracled): q224's
+    * time-to-first-error subjects under the additive estimator — every
+    * hazard increment the EXACT integer (10⁶·d) DIV n, the cumulative a
+    * sum of longs, Breslow survival one pinned IEEE exp. */
+  val nelsonAalenProbe = Probe(
+    "q234_nelson_aalen",
+    (s, d) => {
+      import graft.operators.Survival
+      val windowH = 24L
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+          col("event_type"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("__t")).as("__f"))
+      val firstErr = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+      val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+        .select(
+          when(col("__te").isNotNull &&
+              expr("(__te - __f) DIV 3600000000") < windowH,
+            expr("(__te - __f) DIV 3600000000")).otherwise(lit(windowH))
+            .as("dur_h"),
+          (col("__te").isNotNull &&
+            expr("(__te - __f) DIV 3600000000") < windowH).as("observed"))
+      Survival.nelsonAalen(subjects, col("dur_h"), col("observed"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |u AS (SELECT user_id, min(t) AS f FROM e GROUP BY 1),
+           |err AS (SELECT user_id, min(t) AS te FROM e
+           |  WHERE event_type = 'error' GROUP BY 1),
+           |subj AS (SELECT
+           |    CASE WHEN te IS NOT NULL AND (te - f) // 3600000000 < 24
+           |      THEN (te - f) // 3600000000 ELSE 24 END AS d,
+           |    te IS NOT NULL AND (te - f) // 3600000000 < 24 AS o
+           |  FROM u LEFT JOIN err USING (user_id)),
+           |tot AS (SELECT count(*) AS n FROM subj),
+           |perT AS (SELECT d,
+           |    CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_events,
+           |    CAST(sum(CASE WHEN NOT o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_censored
+           |  FROM subj GROUP BY d),
+           |r AS (SELECT *,
+           |    (SELECT n FROM tot) - coalesce(sum(n_events + n_censored)
+           |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |        1 PRECEDING), 0) AS n_risk
+           |  FROM perT),
+           |q AS (SELECT *, CASE WHEN n_events = 0 THEN 0
+           |    ELSE (1000000 * n_events) // n_risk END AS h FROM r),
+           |c AS (SELECT *, coalesce(sum(h) OVER (ORDER BY d ROWS
+           |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS ch
+           |  FROM q)
+           |SELECT d AS t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           |  n_censored, CAST(h AS BIGINT) AS haz_inc_upm,
+           |  CAST(ch AS BIGINT) AS cum_haz_upm,
+           |  CAST(floor(exp(CAST(ch AS DOUBLE) / -1000000.0) * 1000000
+           |    + 0.5) AS BIGINT) AS surv_ppm
+           |FROM c WHERE n_events > 0 ORDER BY t""".stripMargin)
+  )
+
+  /** Two-sample KS distance (fully oracled): per-language n_chars
+    * distribution, even vs odd doc ids — the binning-free CDF-gap
+    * drift gate; the supremum an integer max over DECIMAL cross
+    * products, d_ppm one exact integer scale-and-divide. */
+  val ksDistanceProbe = Probe(
+    "q235_ks_distance",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.ksDistance(
+        Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull),
+        col("lang"), col("doc_id") % 2 === 0, col("n_chars"))
+    },
+    Some("""WITH b AS (SELECT lang AS grp, doc_id % 2 = 0 AS sa,
+           |    n_chars AS v
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL),
+           |c AS (SELECT grp, v,
+           |    CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |    CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS cb
+           |  FROM b GROUP BY 1, 2),
+           |m AS (SELECT *,
+           |    sum(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+           |    sum(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+           |    sum(ca) OVER (PARTITION BY grp) AS na,
+           |    sum(cb) OVER (PARTITION BY grp) AS nb FROM c),
+           |g AS (SELECT *,
+           |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT)
+           |      * na) AS gap FROM m),
+           |x AS (SELECT *, max(gap) OVER (PARTITION BY grp) AS gmax
+           |  FROM g)
+           |SELECT grp AS "group", CAST(na AS BIGINT) AS n_a,
+           |  CAST(nb AS BIGINT) AS n_b,
+           |  CASE WHEN na > 0 AND nb > 0 THEN
+           |    CAST((1000000 * gmax) // (CAST(na AS HUGEINT) * nb)
+           |      AS BIGINT) END AS d_ppm,
+           |  CASE WHEN na > 0 AND nb > 0 THEN
+           |    CAST(min(CASE WHEN gap = gmax THEN v END) AS BIGINT)
+           |  END AS ks_at
+           |FROM x GROUP BY grp, na, nb, gmax
+           |ORDER BY "group" NULLS FIRST""".stripMargin)
   )
 
   /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
@@ -8326,7 +8542,9 @@ object Probes {
     funnelWindowedProbe, streakProbe, mmrAnnProbe, sessionStatsProbe,
     columnDiffProbe, reachProfileProbe, woeIvProbe, zipfProbe,
     kaplanMeierProbe, lshIndexProbe, ipsProbe, conformalProbe,
-    teamDraftProbe, drProbe, brierProbe, richnessProbe
+    teamDraftProbe, drProbe, brierProbe, richnessProbe,
+    weightedQuantileProbe, mutualInfoProbe, nelsonAalenProbe,
+    ksDistanceProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

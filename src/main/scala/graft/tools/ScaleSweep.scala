@@ -709,6 +709,45 @@ object ScaleSweep {
         "woe_iv" -> (() => noop(
           graft.operators.Classify.woeIv(docs, col("source"),
             col("lang") === "en"))),
+        // (group, value) weight-sum frame + cumulative + |groups|·|qs|
+        // explode — rows never sort (winsorize discipline)
+        "weighted_quantile" -> (() => noop(
+          Profile.weightedQuantile(
+            li.filter(col("l_quantity").isNotNull &&
+              col("l_extendedprice").isNotNull),
+            col("l_returnflag"), col("l_quantity"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+            Seq(250000L, 500000L, 750000L, 990000L)))),
+        // ONE (x, y) cells agg; marginals/total from windows over the
+        // cells frame (saturates as rows replicate)
+        "mutual_info" -> (() => noop(
+          graft.operators.Classify.mutualInfo(docs, col("source"),
+            col("lang")))),
+        // subject agg + ONE range exchange carrying risk + hazard
+        // cumulative (globalRank offsets discipline; KM sibling)
+        "nelson_aalen" -> { () =>
+          val evt = ev.select(col("user_id"),
+            unix_micros(col("ts")).as("__t"), col("event_type"))
+            .filter(col("user_id").isNotNull && col("__t").isNotNull)
+          val firsts = evt.groupBy(col("user_id"))
+            .agg(min(col("__t")).as("__f"))
+          val firstErr = evt.filter(col("event_type") === "error")
+            .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+          val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+            .select(
+              when(col("__te").isNotNull &&
+                  expr("(__te - __f) DIV 3600000000") < 24L,
+                expr("(__te - __f) DIV 3600000000")).otherwise(lit(24L))
+                .as("dur_h"),
+              (col("__te").isNotNull &&
+                expr("(__te - __f) DIV 3600000000") < 24L).as("observed"))
+          noop(graft.operators.Survival.nelsonAalen(subjects,
+            col("dur_h"), col("observed")))
+        },
+        // (group, value) counts frame + cumulative/max windows over it
+        "ks_distance" -> (() => noop(
+          Profile.ksDistance(docs.filter(col("doc_id").isNotNull),
+            col("lang"), col("doc_id") % 2 === 0, col("n_chars")))),
         // |vocab| shuffle rows (map-side combined) + ONE one-row tail agg
         "zipf_tail" -> (() => noop(
           CorpusStats.zipfTailIndex(docs, xMin = 5L))),

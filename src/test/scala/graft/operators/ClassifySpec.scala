@@ -477,6 +477,81 @@ class ClassifySpec extends AnyFunSuite {
     assert(a === run(df.repartition(7)))
   }
 
+  test("conformalThreshold: NULL group is a real slice with its own threshold") {
+    import spark.implicits._
+    // NULL slice: scores 1..9 at α=10% → rank 9 → threshold 9, exactly
+    // like a named group — the counts⋈cum join must be null-safe
+    val rows: Seq[(Option[String], Long)] =
+      (1L to 9L).map(s => (None: Option[String], s)) ++
+        (1L to 9L).map(s => (Some("a"), s))
+    val got = Classify.conformalThreshold(rows.toDF("g", "s"), col("g"),
+        col("s"), alphaPpm = 100000L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq
+    // Spark asc = NULLS FIRST: the NULL slice sorts ahead of "a"
+    assert(got === Seq((None, 9L, 9L, Some(9L)),
+      (Some("a"), 9L, 9L, Some(9L))))
+  }
+
+  test("brierDecomposition: out-of-contract scores clamp into edge bins") {
+    import spark.implicits._
+    // scores -2e5 and 12e5 are outside [0, 1e6]: they must land in
+    // bins 0 and 9 (never a negative bin), and their un-clamped
+    // (p−y)² terms still charge the Brier sum
+    val rows = Seq((-200000L, false), (1200000L, true),
+      (500000L, false), (500000L, true))
+    val r = Classify.brierDecomposition(rows.toDF("p", "y"), col("p"),
+      col("y"), nBins = 10).collect().head
+    assert(r.getLong(0) === 4L)
+    // Σ(p−y)² = (−2e5)² + (2e5)² + (5e5)² + (−5e5)² = 5.8e11 over 4
+    assert(r.getLong(1) === 580000000000L / 4L)
+    // identical result under any layout (bin ids clamp identically)
+    val r2 = Classify.brierDecomposition(
+      rows.toDF("p", "y").repartition(5), col("p"), col("y"), 10)
+      .collect().head
+    assert(r2.toSeq === r.toSeq)
+  }
+
+  test("mutualInfo: independence → 0; perfect dependence → ln 2; nulls drop") {
+    import spark.implicits._
+    // independent 2×2: all four cells equal → every contribution 0
+    val indep = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val ri = Classify.mutualInfo(indep, col("x"), col("y")).collect()
+    assert(ri.forall(_.getLong(5) === 0L))
+    assert(ri.head.getLong(6) === 0L)
+    // perfectly dependent: MI = ln 2 ≈ 0.693147180 (nano-quantized)
+    val dep: Seq[(Option[String], Option[String])] =
+      Seq(Some("a") -> Some("a"), Some("a") -> Some("a"),
+        Some("b") -> Some("b"), Some("b") -> Some("b"),
+        None -> Some("a"), Some("a") -> None) // null rows must drop
+        .map { case (a, b) => (a, b) }
+    val rd = Classify.mutualInfo(dep.toDF("x", "y"), col("x"), col("y"))
+      .collect()
+    assert(rd.length === 2)
+    assert(rd.head.getLong(5) === 346573590L) // 0.5·ln2 in nano-nats
+    assert(rd.head.getLong(6) === 693147180L)
+  }
+
+  test("mutualInfo: marginals from the cells frame; layout-independent") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i =>
+      (s"x${i % 7}", s"y${(i * i) % 5}"))
+    val df = rows.toDF("x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.mutualInfo(d, col("x"), col("y"))
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(11)))
+    // marginals must tie out to direct recounts
+    val nx = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    a.foreach(r => assert(r(3) === nx(r.head.asInstanceOf[String])))
+    // MI total ≥ 0 up to per-cell quantization slack
+    val total = a.head(6).asInstanceOf[Long]
+    assert(total >= -a.length)
+  }
+
   test("calibrationBins: bin edges, truncating means, clamp at top bin") {
     val rows = Seq((50000L, false), (99999L, false), (150000L, true),
       (950000L, true), (1000000L, true))

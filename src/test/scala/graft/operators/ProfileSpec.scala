@@ -485,4 +485,73 @@ class ProfileSpec extends AnyFunSuite {
     val df = rows.toDF("g", "v", "id")
     assert(run(df) === run(df.repartition(13)))
   }
+
+  test("weightedQuantile: hand table — weight mass, not row count, decides") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 → W=10; q50 rank=5 → value 4
+    // (unweighted median would be 2); q10 rank=1 → value 1
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("g", 4L, 7L)).toDF("grp", "v", "w")
+    val got = Profile.weightedQuantile(df, col("grp"), col("v"), col("w"),
+        Seq(100000L, 500000L, 1000000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (100000L, 4L, 10L, 1L, 1L),    // ⌈0.1·10⌉=1 → v=1
+      (500000L, 4L, 10L, 5L, 4L),    // ⌈0.5·10⌉=5 → v=4
+      (1000000L, 4L, 10L, 10L, 4L))) // full mass → max value
+  }
+
+  test("weightedQuantile: NULL group is a real slice; zero/NULL weights drop; layout-proof") {
+    import spark.implicits._
+    val rows: Seq[(Option[String], Long, Long)] =
+      (1L to 9L).map(v => (None: Option[String], v, 1L)) ++
+        (1L to 9L).map(v => (Some("a"), v, v)) :+
+        ((Some("a"), 100L, 0L))       // zero weight: must not shift ranks
+    val df = rows.toDF("grp", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.weightedQuantile(d, col("grp"), col("v"), col("w"),
+        Seq(500000L)).collect().map(r => (Option(r.getString(0)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = run(df)
+    // NULL slice: W=9, rank 5 → v=5; "a": W=45, rank 23 → 1+..+6=21<23≤28 → v=7
+    assert(got === Seq((None, 9L, 9L, 5L, 5L),
+      (Some("a"), 9L, 45L, 23L, 7L)))
+    assert(got === run(df.repartition(7)))
+  }
+
+  test("ksDistance: hand CDF gap; identical samples → 0; one-sided → NULL") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 (cumA=2, cumB=0)
+    // → |2·4 − 0·4| / 16 = 0.5
+    val df = (Seq(1L, 2L, 3L, 4L).map(("g", true, _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("g", false, _)) ++
+      Seq(1L, 2L).map(("same", true, _)) ++
+      Seq(1L, 2L).map(("same", false, _)) ++
+      Seq(1L, 2L).map(("lone", true, _))).toDF("grp", "sa", "v")
+    val got = Profile.ksDistance(df, col("grp"), col("sa"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got === Seq(
+      ("g", 4L, 4L, Some(500000L), Some(2L)),
+      ("lone", 2L, 0L, None, None),
+      ("same", 2L, 2L, Some(0L), Some(1L))))
+  }
+
+  test("ksDistance: layout-independent and symmetric in D") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i =>
+      ("g", i % 2 == 0, ((i * 37) % 97 + (if (i % 2 == 0) 0 else 9)).toLong))
+    val df = rows.toDF("grp", "sa", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.ksDistance(d, col("grp"), col("sa"), col("v"))
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(13)))
+    // flipping sides preserves D (|F1−F2| is symmetric)
+    val flipped = Profile.ksDistance(df, col("grp"), !col("sa"), col("v"))
+      .collect().head
+    assert(flipped.getLong(3) === a.head(3))
+  }
 }

@@ -75,4 +75,47 @@ class SurvivalSpec extends AnyFunSuite {
       r.last.asInstanceOf[Long]).toMap
     ref.foreach { case (t, s) => assert(got(t) === s, s"t=$t") }
   }
+
+  test("nelsonAalen: textbook hazard table, finite at total-death step") {
+    // t=1: 6 at risk, 1 event → h = 166666; t=2: censor only (no row)
+    // t=3: 4 at risk, 2 events → h = 500000; t=5: 1 at risk, 1 event
+    // (everyone left dies) → h = 1000000, FINITE — the NA advantage
+    val subjects = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("d", "o")
+    val got = Survival.nelsonAalen(subjects, col("d"), col("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def sv(h: Long) = math.floor(math.exp(-h / 1e6) * 1e6 + 0.5).toLong
+    assert(got === Seq(
+      (1L, 6L, 1L, 0L, 166666L, 166666L, sv(166666L)),
+      (3L, 4L, 2L, 0L, 500000L, 666666L, sv(666666L)),
+      (5L, 1L, 1L, 0L, 1000000L, 1666666L, sv(1666666L))))
+    // Breslow survival never snaps to exact zero
+    assert(got.forall(_._7 > 0L))
+  }
+
+  test("nelsonAalen: layout-independent; cumulative matches driver replay") {
+    val rows = (0 until 3000).map { i =>
+      ((i * 7919 % 50).toLong, i % 3 != 0)
+    }
+    val df = rows.toDF("d", "o")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Survival.nelsonAalen(d, col("d"), col("o"))
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    val byT = rows.groupBy(_._1)
+    var n = rows.size.toLong
+    var h = 0L
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    byT.keys.toSeq.sorted.foreach { t =>
+      val d = byT(t).count(_._2).toLong
+      val c = byT(t).count(!_._2).toLong
+      if (d > 0) { h += 1000000L * d / n; ref(t) = h }
+      n -= d + c
+    }
+    val got = a.map(r => r.head.asInstanceOf[Long] ->
+      r(5).asInstanceOf[Long]).toMap
+    ref.foreach { case (t, s) => assert(got(t) === s, s"t=$t") }
+  }
 }
