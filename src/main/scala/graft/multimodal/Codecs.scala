@@ -233,14 +233,21 @@ object Codecs {
 
   /** Build a PCM_SIGNED 16-bit mono WAV payload from float samples in
     * [-1, 1] (test-fixture generator — real corpora arrive as bytes). */
-  def encodeWav(samples: Array[Float], sampleRate: Float): Array[Byte] = {
+  def encodeWav(samples: Array[Float], sampleRate: Float): Array[Byte] =
+    encodeWav16(samples.map(s => math.max(-32768,
+      math.min(32767, math.round(s * 32767.0f))).toShort), sampleRate)
+
+  /** Build a PCM_SIGNED 16-bit mono WAV payload DIRECTLY from 16-bit
+    * samples — the bit-exact fixture path: what goes in is exactly what
+    * [[decodePcm]] recovers (÷2¹⁵ on decode is lossless for shorts), so
+    * integer-level audio gates can replay the generative formula. */
+  def encodeWav16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1, 2,
       sampleRate, false)
     val bytes = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
-      val v = math.max(-32768, math.min(32767,
-        math.round(samples(i) * 32767.0f))).toShort
+      val v = samples(i)
       bytes(2 * i) = (v & 0xff).toByte
       bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1

@@ -232,6 +232,75 @@ object Multimodal {
     }
   }
 
+  final case class AudioLevels(
+      asset_id: Long,
+      decoded: Boolean,
+      n_samples: Long,
+      peak_q15: Long,
+      sum_sq: Long,
+      rms_q15: Long,
+      duration_ms: Option[Long])
+
+  /** Floor square root with boundary correction — exact for m < 2⁵²
+    * and written so an oracle engine computing
+    * floor(sqrt(CAST(m AS DOUBLE))) + the SAME two-branch correction
+    * lands on identical values (raw double sqrt can round across a
+    * perfect-square boundary; the correction undoes exactly that). */
+  private[multimodal] def isqrt(m: Long): Long = {
+    val r = math.floor(math.sqrt(m.toDouble)).toLong
+    if ((r + 1) * (r + 1) <= m) r + 1
+    else if (r * r > m) r - 1
+    else r
+  }
+
+  /** REAL audio level metering through the JDK codec ([[Codecs
+    * .decodePcm]]): per-asset peak and RMS on the 16-bit (q15) integer
+    * scale — the loudness/clipping screen an audio-corpus intake runs
+    * (silent files, clipped takes, dead channels) before any model
+    * sees a sample. Exact integer surface: samples reconstruct to
+    * their q15 values losslessly (decode divides by 2¹⁵; round(s·2¹⁵)
+    * inverts it), `sum_sq` is the exact Σv², and `rms_q15` is the
+    * corrected integer sqrt of the truncated mean square — every
+    * output replayable from a generative sample formula without
+    * touching WAV bytes, which is what makes this a true end-to-end
+    * codec gate.
+    *
+    * Scale posture: one `asset_id` repartition, then a per-row decode
+    * + O(samples) loop inside mapPartitions — embarrassingly parallel,
+    * payloads never shuffle twice, no driver state. Undecodable
+    * payloads report decoded=false with zeroed levels (the quarantine
+    * row, not an exception). */
+  def audioLevels(assets: Dataset[Asset])
+                 (implicit spark: SparkSession): Dataset[AudioLevels] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AudioLevels] =
+      Encoders.product[AudioLevels]
+    assets
+      .repartition(col("asset_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          Codecs.decodePcm(a.payload) match {
+            case Some(p) if p.samples.nonEmpty =>
+              var i = 0
+              var peak = 0L
+              var ss = 0L
+              while (i < p.samples.length) {
+                val v = math.round(p.samples(i) * 32768.0f).toLong
+                val av = math.abs(v)
+                if (av > peak) peak = av
+                ss += v * v
+                i += 1
+              }
+              val n = p.samples.length.toLong
+              AudioLevels(a.asset_id, decoded = true, n, peak, ss,
+                isqrt(ss / n), Some(p.durationMs))
+            case _ =>
+              AudioLevels(a.asset_id, decoded = false, 0L, 0L, 0L, 0L,
+                None)
+          }
+        }
+      }
+  }
+
   /** Exact payload dedup on the 64-bit content hash (binary columns never
     * shuffle whole payloads — only the hash + id move). */
   def dedupByContent(features: Dataset[AssetFeatures]): DataFrame =

@@ -805,6 +805,78 @@ object Classify {
       .orderBy(col("bin").asc_nulls_first)
   }
 
+  /** Isotonic (PAV) probability calibration over the binned
+    * reliability diagram — the classic Zadrozny–Elkan '02 move:
+    * [[calibrationBins]] DIAGNOSES miscalibration, this one FIXES it,
+    * producing the monotone score→probability map a downstream filter
+    * applies. Pool-adjacent-violators is computed in its closed
+    * minimax form (Robertson–Wright–Dykstra '88, Thm 1.4.4):
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+    *
+    * over the weighted bin frame, which is embarrassingly parallel —
+    * no sequential stack, no driver loop — and O(B³) pairs on a frame
+    * of B ≤ 100 bins: trivially bounded work, however many rows fed
+    * the bins.
+    *
+    * Determinism: interval means are exact TRUNCATING integer ppm —
+    * (10⁶·Σ n_pos) DIV Σ n over exact long prefix sums; max-of-min
+    * over a fixed integer table is engine- and layout-exact, and the
+    * monotonicity proof (fit_{i+1} ≥ fit_i: the feasible j-set grows,
+    * the k-set shrinks) holds for ANY fixed interval table, truncation
+    * included. Mean preservation holds up to ppm truncation per pooled
+    * block (the spec pins exact equality on integral-mean tables).
+    *
+    * Shape: one bins-keyed aggregate over the rows (map-side
+    * combined), then everything else — prefix sums, the B² interval
+    * frame, the B³ minimax join — lives on the bins-sized frame (the
+    * documented bounded exception). Output: `bin` INT, `n`, `n_pos`
+    * LONG, `rate_ppm` LONG (raw binned rate), `fit_ppm` LONG (the
+    * isotonic fit; always nondecreasing in bin); total order by bin. */
+  def isotonicCalibrate(scored: DataFrame, scorePpm: Column,
+                        truth: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100,
+      s"nBins in [2, 100] (the B^3 frame is the bound), got $nBins")
+    val base = scored.select(scorePpm.cast("long").as("__s"),
+        truth.cast("boolean").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .withColumn("__bin",
+        greatest(lit(0L),
+          least(lit(nBins - 1L), expr(s"(__s * ${nBins}L) DIV 1000000L"))))
+    val bins = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"))
+    // ordinal positions over OBSERVED bins (empty bins carry no weight
+    // and cannot affect any interval mean) — bins-sized global window
+    val wOrd = Window.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("__i", count(lit(1)).over(wOrd))
+      .withColumn("__cw", sum(col("n")).over(wOrd))
+      .withColumn("__cy", sum(col("n_pos")).over(wOrd))
+    val lo = pre.select(col("__i").as("__j"),
+      (col("__cw") - col("n")).as("__cwj"),
+      (col("__cy") - col("n_pos")).as("__cyj"))
+    val hi = pre.select(col("__i").as("__k"), col("__cw").as("__cwk"),
+      col("__cy").as("__cyk"))
+    val intervals = lo.join(hi, col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        expr("(1000000L * (__cyk - __cyj)) DIV (__cwk - __cwj)")
+          .as("__a"))
+    val fits = pre.select(col("__i"), col("__bin"))
+      .join(intervals,
+        col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__bin"), col("__j"))
+      .agg(min(col("__a")).as("__mn"))
+      .groupBy(col("__bin"))
+      .agg(max(col("__mn")).as("fit_ppm"))
+    bins.join(fits, Seq("__bin"))
+      .select(col("__bin").cast("int").as("bin"), col("n"), col("n_pos"),
+        expr("(1000000L * n_pos) DIV n").as("rate_ppm"), col("fit_ppm"))
+      .orderBy("bin")
+  }
+
   /** Mutual information between two categorical columns — the
     * model-free "how much does knowing X tell you about Y" feature
     * screen, in nats:

@@ -287,6 +287,64 @@ object Fusion {
       .orderBy(queryCol, "pos")
   }
 
+  /** Expected Reciprocal Rank (Chapelle et al. CIKM'09) — the graded,
+    * CASCADE-model ranking metric [[rankEval]]'s NDCG can't express:
+    * a user scans top-down and stops at a satisfying result, so a
+    * relevant doc at rank 3 is worth little when rank 1 already
+    * satisfied most users.
+    *
+    *   ERR = Σ_r (1/r) · R_r · Π_{i<r} (1 − R_i),
+    *   R = (2^g − 1) / 2^gMax   (graded relevance g ∈ [0, gMax])
+    *
+    * Determinism: the cascade product is SEQUENTIAL by definition, so
+    * it runs as an in-row integer fold over each query's rank-sorted
+    * list — R in exact ppm (shiftleft/DIV), the continue-probability
+    * truncated to ppm at every step, each rank's contribution
+    * truncated to nano — one pinned order both engines replay exactly
+    * (no float ever).
+    *
+    * Scale posture: lists arrive rank-bounded from their producers
+    * (pass top-k, not corpora; ranks must be contiguous 1..m per query
+    * — the library list contract). One (query, item) grade join + one
+    * query-keyed collect of ≤ k structs + the O(k) in-row fold; the
+    * corpus never enters. Items absent from `truth` carry grade 0.
+    * Output: query, `k_used` LONG, `err_nano` LONG, `rest_ppm` LONG
+    * (the un-stopped mass Π(1−R) after the full list — the audit
+    * column: err + coverage account for every scan path); total order
+    * by query. */
+  def errEval(ranked: DataFrame, truth: DataFrame, k: Int, gMax: Int,
+              queryCol: String = "query_id", itemCol: String = "vec_id",
+              rankCol: String = "rank",
+              gradeCol: String = "grade"): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1, 100], got $k")
+    require(gMax >= 1 && gMax <= 20, s"gMax in [1, 20], got $gMax")
+    val top = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+        col(rankCol).cast("long").as("__r"))
+    val tr = truth.select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+      col(gradeCol).cast("long").as("__g"))
+    top.join(tr, Seq("__q", "__i"), "left_outer")
+      .withColumn("__gc",
+        coalesce(least(lit(gMax.toLong), greatest(lit(0L), col("__g"))),
+          lit(0L)))
+      .withColumn("__rel",
+        expr(s"(1000000L * (shiftleft(1L, CAST(__gc AS INT)) - 1L)) " +
+          s"DIV ${1L << gMax}L"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("k_used"),
+        expr("""aggregate(
+               |  array_sort(collect_list(struct(__r, __rel))),
+               |  struct(CAST(1000000 AS BIGINT) AS prod,
+               |         CAST(0 AS BIGINT) AS err),
+               |  (acc, x) -> struct(
+               |    (acc.prod * (1000000L - x.__rel)) DIV 1000000L AS prod,
+               |    acc.err + (acc.prod * x.__rel) DIV (1000L * x.__r)
+               |      AS err))""".stripMargin).as("__st"))
+      .select(col("__q").as(queryCol), col("k_used"),
+        col("__st.err").as("err_nano"), col("__st.prod").as("rest_ppm"))
+      .orderBy(queryCol)
+  }
+
   /** Click credit for an interleaved experiment: joins click events to
     * [[interleaveTeamDraft]] assignments and scores each query — the
     * team with MORE clicked picks wins it. Output (one row): `n_queries`

@@ -754,6 +754,112 @@ object Profile {
       .orderBy("group")
   }
 
+  /** Population Stability Index between two corpus slices — the
+    * credit-scoring-standard drift number ([[driftChi2]]'s
+    * information-theoretic sibling; KS is the binning-free one):
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * with p = current share, q = reference share. The conventional
+    * read: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted. Both
+    * sides are Laplace-smoothed (+1 per bin) so an empty bin on either
+    * side is a large finite signal, never ±∞ — and smoothing BOTH
+    * sides keeps PSI's defining symmetry property PSI(a,b) = PSI(b,a)
+    * with the roles swapped (terms negate; the total is identical).
+    *
+    * Determinism: per bin one pinned IEEE sequence from exact long
+    * counts — two divisions for p and q, one ln of their ratio
+    * computed as (c'·R')/(r'·N') (products first, the BM25 ln
+    * precedent), one multiply — floor-quantized to NANO (PSI terms of
+    * stable bins live at 1e-4) and summed as longs, order-free.
+    *
+    * Shape: one histogram aggregate per side (map-side combined, ≤ nb
+    * rows out), a bins-sized join, integer+pinned-IEEE arithmetic on
+    * the bins frame. Output: one row per bin (`bin`, `n_cur`, `n_ref`
+    * LONG, `term_nano` LONG) with the total `psi_nano` repeated per
+    * row; total order by bin. */
+  def psi(cur: DataFrame, ref: DataFrame, value: Column,
+          lo: Double, hi: Double, nb: Int): DataFrame = {
+    require(nb >= 1, s"need at least one bin, got $nb")
+    val bins = cur.sparkSession.range(0, nb).select(col("id").as("bin"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      histogram(df, value, lo, hi, nb)
+        .select(col("bucket").as("bin"), col("n").as(out))
+    val joined = bins
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    joined
+      // smoothed totals ride windows over the nb-row bins frame
+      .withColumn("__nc", sum(col("n_cur") + 1L).over(wAll))
+      .withColumn("__nr", sum(col("n_ref") + 1L).over(wAll))
+      .withColumn("term_nano",
+        floor((((col("n_cur") + 1L).cast("double") / col("__nc")) -
+          ((col("n_ref") + 1L).cast("double") / col("__nr"))) *
+          log(((col("n_cur") + 1L).cast("double") * col("__nr")) /
+            ((col("n_ref") + 1L).cast("double") * col("__nc"))) *
+          1000000000L + 0.5).cast("long"))
+      .withColumn("psi_nano",
+        coalesce(sum(col("term_nano")).over(wAll), lit(0L)))
+      .select(col("bin"), col("n_cur"), col("n_ref"), col("term_nano"),
+        col("psi_nano"))
+      .orderBy("bin")
+  }
+
+  /** Per-column categorical entropy profile — "how concentrated is
+    * this column": Shannon entropy in nano-nats over the value
+    * distribution of each requested column, plus the ln(k) ceiling a
+    * caller normalizes against. The schema-wide screen for
+    * near-constant columns (entropy ≈ 0: drop or alert) and
+    * key-like columns (entropy ≈ ln n). NULL is a VALUE here (a
+    * 90%-null column IS concentrated — that's the signal), counted
+    * separately in `n_null`.
+    *
+    * Determinism: per distinct value one pinned sequence — p = c/N
+    * (one division), ln(c/N) as ln with products-first seeding, one
+    * multiply, floor-nano-quantize — summed as longs (order-free);
+    * `ln_k_nano` is one pinned ln of the exact distinct count.
+    *
+    * Shape: one (value)-counts aggregate PER COLUMN (map-side
+    * combined; frames bounded by each column's value space), each
+    * collapsed to a one-row rollup, results unioned — the input scans
+    * once per column, embarrassingly independent. Output: `column`
+    * STRING, `n`, `n_null`, `n_distinct` LONG, `entropy_nano` LONG
+    * (−Σ p ln p ≥ 0), `ln_k_nano` LONG (ln n_distinct; 0 for a
+    * constant column); total order by column. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val parts = cols.map { c =>
+      val counts = df.select(col(c).cast("string").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      counts
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .withColumn("__t",
+          floor((col("__c").cast("double") / col("__n")) *
+            log(col("__c").cast("double") / col("__n")) *
+            -1000000000L + 0.5).cast("long"))
+        .agg(
+          coalesce(sum(col("__c")), lit(0L)).as("n"),
+          coalesce(sum(when(col("__v").isNull, col("__c"))
+            .otherwise(0L)), lit(0L)).as("n_null"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(sum(col("__t")), lit(0L)).as("entropy_nano"))
+        .select(lit(c).as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("entropy_nano"),
+          when(col("n_distinct") > 0L,
+            floor(log(col("n_distinct").cast("double")) * 1000000000L
+              + 0.5).cast("long")).otherwise(0L).as("ln_k_nano"))
+    }
+    parts.reduce(_ unionByName _).orderBy("column")
+  }
+
   /** Weighted per-group quantiles — order statistics where each row
     * carries a LONG weight (tokens, bytes, revenue): "the doc length
     * below which half the CORPUS TOKENS sit" is a weighted median, and

@@ -403,4 +403,35 @@ object Quality {
         lit(0L)).as("violating_rows"),
       coalesce(sum(col("__gn") - col("__maxc")), lit(0L)).as("repair_rows"))
   }
+
+  /** Compression-ratio quality signal (the Gopher/C4-family filter:
+    * Rae et al. '21 §A1 list compressibility among the document
+    * screens): deflate(text).bytes / utf8(text).bytes in ppm. Very
+    * LOW ratios flag machine-generated repetition (template spam,
+    * keyword stuffing — deflate finds the structure a human reader
+    * would); ratios near 10⁶ flag high-entropy non-text (base64 blobs,
+    * minified code, binary paste). Appends `utf8_len` LONG,
+    * `deflate_len` LONG, `ratio_ppm` LONG (NULL for NULL/empty text —
+    * an empty document has no compressibility, not a perfect one).
+    *
+    * Runs as the [[graft.plans.DeflateLen]] native expression — a
+    * static-call kernel inside whole-stage codegen, one thread-local
+    * Deflater reset per row (never re-allocated), no shuffle, no UDF.
+    * Layout-proof: a pure per-row function. Cross-JVM note: deflate
+    * output for a fixed (input, level) is deterministic for a fixed
+    * zlib build; the gate therefore audits INVARIANTS (bounds,
+    * separation) rather than cross-engine bytes — DuckDB has no
+    * deflate to replay. */
+  def compressionRatio(docs: DataFrame, textCol: Column,
+                       level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .withColumn("utf8_len", octet_length(textCol).cast("long"))
+      .withColumn("deflate_len",
+        graft.plans.SignalExprs.deflateLen(spark, textCol, level)
+          .cast("long"))
+      .withColumn("ratio_ppm",
+        when(col("utf8_len") > 0L,
+          expr("(1000000L * deflate_len) DIV utf8_len")))
+  }
 }

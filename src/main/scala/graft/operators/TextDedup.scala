@@ -558,4 +558,72 @@ object TextDedup {
         expr("(1000000L * n_common) DIV n_b").as("cont_b_ppm"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Span-level dedup with document REASSEMBLY (the CCNet/RefinedWeb
+    * move): where [[duplicatePassageStats]] only MEASURES repeated
+    * passages, this one REMOVES them — every document is cut into
+    * consecutive spans of `spanTokens` whitespace tokens, each span
+    * survives only at its globally FIRST occurrence (smallest
+    * (doc_id, span_idx) over the whole corpus), and each document is
+    * rebuilt from its surviving spans in order. Boilerplate shared by
+    * thousands of pages disappears from all but one of them while the
+    * unique prose stays — the corpus-side sibling of
+    * [[graft.operators.CorpusStats.stripBoilerplate]] (which needs a
+    * domain key and line granularity; this needs neither).
+    *
+    * Determinism: the winner per span is the MINIMUM (doc_id, idx)
+    * pair — a total order, so membership never depends on layout; a
+    * duplicated span inside ONE document keeps only its first position
+    * (idx breaks the tie). Reassembly is the in-row array_sort
+    * collect pattern (layout-proof).
+    *
+    * Scale posture: spans shuffle as md5 DIGESTS (16 bytes) for the
+    * winner aggregate, never span text; the winner frame is
+    * |distinct spans|-sized with map-side combine; the keep decision
+    * is one digest equi-join back. Reassembly is one doc-keyed
+    * aggregate over kept spans. No windows over row-scaled frames, no
+    * driver state. Output: `doc_id`, `n_spans`, `n_kept` LONG,
+    * `text_kept` STRING ('' when every span was seen earlier); total
+    * order by doc_id. */
+  def dropDuplicateSpans(docs: DataFrame, spanTokens: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val k = spanTokens
+    val toks = spread(docs)
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> length(x) > 0)")
+          .as("__toks"))
+    val spans = toks
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(greatest(0,
+             |    (size(__toks) + ${k - 1}) DIV $k - 1) AS INT)),
+             |  i -> array_join(slice(__toks, i * $k + 1, $k), ' '))"""
+            .stripMargin)))
+      .toDF("doc_id", "idx", "span")
+      .filter(length(col("span")) > 0) // empty docs produce no spans
+      .withColumn("__h", md5(col("span")))
+    val winners = spans.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
+    val kept = spans.join(winners, "__h")
+      .filter(struct(col("doc_id"), col("idx")) === col("__w"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(" +
+          "collect_list(struct(idx, span))), s -> s.span)"), " ")
+          .as("text_kept"))
+    val counts = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    toks.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
 }

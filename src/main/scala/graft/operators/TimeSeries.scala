@@ -511,4 +511,67 @@ object TimeSeries {
       .withColumn("gain_sq", col("cost_null_sq") - col("cost_split_sq"))
       .orderBy("key")
   }
+
+  /** Windowed Theil–Sen trend — the ROBUST slope [[Analytics.trend]]'s
+    * OLS can't give: the median of pairwise slopes shrugs off the
+    * outliers that drag a least-squares fit (one corrupt day of
+    * metrics bends OLS, not the slope median). The classic estimator
+    * is all-pairs O(n²); this is the standard windowed variant —
+    * pairs restricted to 0 < Δt ≤ maxLag — which keeps O(n·density)
+    * pairs, preserves the breakdown robustness for trend lengths ≫
+    * maxLag, and is the form a 100 TB metrics store can actually run.
+    *
+    * Determinism: each pair's slope is the EXACT truncating integer
+    * (10⁶·Δv) DIV Δt (both engines truncate toward zero, verified);
+    * the median is the ⌈(n+1)/2⌉-th smallest over the (group, slope)
+    * COUNTS frame — the winsorize order-statistic discipline, rows
+    * never sort, tie-safe by construction.
+    *
+    * Shape: the banded self-join runs as a TWO-BUCKET equi-join (left
+    * rows explode into time buckets b and b+1 of width maxLag; the
+    * band predicate rides the join) — linear in pairs, never a
+    * cartesian or a NestedLoop; then one (group, slope) aggregate +
+    * cumulative over that counts frame. NULL group is a real slice.
+    * Output: `group` STRING, `n_pairs` LONG, `slope_median_upm` LONG
+    * (NULL when no pairs); total order by group NULLS FIRST. */
+  def theilSenWindowed(df: DataFrame, group: Column, t: Column,
+                       v: Column, maxLag: Long): DataFrame = {
+    require(maxLag >= 1L, s"maxLag must be >= 1, got $maxLag")
+    val base = df.select(group.cast("string").as("__g"),
+        t.cast("long").as("__t"), v.cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+    val lx = base
+      .withColumn("__jb",
+        explode(array(expr(s"__t DIV ${maxLag}L"),
+          expr(s"__t DIV ${maxLag}L + 1L"))))
+    val right = base.select(col("__g").as("__g2"),
+        col("__t").as("__t2"), col("__v").as("__v2"))
+      .withColumn("__b2", expr(s"__t2 DIV ${maxLag}L"))
+    val pairs = lx.join(right,
+        col("__g") <=> col("__g2") && col("__jb") === col("__b2") &&
+          col("__t2") > col("__t") &&
+          col("__t2") <= col("__t") + maxLag)
+      .select(col("__g"),
+        expr("(1000000L * (__v2 - __v)) DIV (__t2 - __t)").as("__s"))
+    val counts = pairs.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("__g"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__rank", expr("(__n + 1L) DIV 2L"))
+    val med = cum.groupBy(col("__g").as("__gm"), col("__n"))
+      .agg(min(when(col("__cum") >= col("__rank"), col("__s")))
+        .as("slope_median_upm"))
+    // groups whose every row is alone in its window still report;
+    // null-safe join keeps the NULL slice real
+    base.select(col("__g")).distinct()
+      .join(med, col("__g") <=> col("__gm"), "left_outer")
+      .select(col("__g").as("group"),
+        coalesce(col("__n"), lit(0L)).as("n_pairs"),
+        col("slope_median_upm"))
+      .orderBy(col("group").asc)
+  }
 }

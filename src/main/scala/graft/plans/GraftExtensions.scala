@@ -82,6 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_asof", "as-of join marker: most recent right row at-or-before left ts") {
       e => AsOfMarker(e.head, e(1))
     }
+    inject("graft_deflate_len", "deflate byte length of a text column (compression-ratio quality signal)") {
+      e => DeflateLen(e.head, e(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("graft_luhn", "Luhn mod-10 checksum validity of a digit string") {
+      e => LuhnValid(e.head)
+    }
     // the native as-of join operator: rewrite rule + physical strategy
     ext.injectOptimizerRule(_ => RewriteAsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -7221,6 +7221,397 @@ object Probes {
            |FROM c WHERE n_events > 0 ORDER BY t""".stripMargin)
   )
 
+  /** Span-level dedup with reassembly (fully oracled): 5-token spans,
+    * global first occurrence by (doc_id, idx), documents rebuilt from
+    * surviving spans — DuckDB replays the chunking, the first-
+    * occurrence window, and the ordered reassembly on the raw span
+    * strings (Spark shuffles md5 digests of the same spans). */
+  val spanDedupProbe = Probe(
+    "q236_span_dedup",
+    (s, d) => {
+      import graft.operators.TextDedup
+      TextDedup.dropDuplicateSpans(Tables.documents(s, d), spanTokens = 5)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\s+'),
+           |      x -> len(x) > 0) AS toks
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND text IS NOT NULL),
+           |ch AS (SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+           |    array_to_string(list_slice(toks, u.i*5+1, u.i*5+5), ' ')
+           |      AS span
+           |  FROM t, unnest(range((len(toks) + 4) // 5)) AS u(i)),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY span
+           |    ORDER BY doc_id, idx) AS rn FROM ch),
+           |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |    string_agg(span, ' ' ORDER BY idx) AS text_kept
+           |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+           |  FROM ch GROUP BY doc_id)
+           |SELECT t.doc_id,
+           |  coalesce(cnt.n_spans, 0) AS n_spans,
+           |  coalesce(reb.n_kept, 0) AS n_kept,
+           |  coalesce(reb.text_kept, '') AS text_kept
+           |FROM t LEFT JOIN cnt USING (doc_id)
+           |LEFT JOIN reb USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
+  )
+
+  /** Isotonic (PAV) calibration (fully oracled): q230's binned scores
+    * under the closed minimax form — every interval mean an exact
+    * truncating integer, so DuckDB replays the whole B³ max-of-min
+    * table bit-for-bit. */
+  val isotonicProbe = Probe(
+    "q237_isotonic",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.isotonicCalibrate(Tables.documents(s, d),
+        least(lit(1000000L), col("n_chars") * 1800L),
+        col("lang") === "en", nBins = 10)
+    },
+    Some("""WITH b AS (SELECT least(1000000, n_chars * 1800) AS s,
+           |    (lang = 'en') AS t
+           |  FROM documents
+           |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           |bins AS (SELECT greatest(0, least(9, (s * 10) // 1000000))
+           |      AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_pos
+           |  FROM b GROUP BY 1),
+           |pre AS (SELECT *, row_number() OVER (ORDER BY bin) AS i,
+           |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cw,
+           |    sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cy
+           |  FROM bins),
+           |lo AS (SELECT i AS j, cw - n AS cwj, cy - n_pos AS cyj
+           |  FROM pre),
+           |hi AS (SELECT i AS k, cw AS cwk, cy AS cyk FROM pre),
+           |iv AS (SELECT j, k,
+           |    (1000000 * (cyk - cyj)) // (cwk - cwj) AS a
+           |  FROM lo, hi WHERE j <= k),
+           |mn AS (SELECT p.bin, iv.j, min(iv.a) AS m
+           |  FROM pre p JOIN iv ON iv.j <= p.i AND iv.k >= p.i
+           |  GROUP BY 1, 2),
+           |ft AS (SELECT bin, max(m) AS fit_ppm FROM mn GROUP BY 1)
+           |SELECT CAST(bins.bin AS INT) AS bin, n, n_pos,
+           |  CAST((1000000 * n_pos) // n AS BIGINT) AS rate_ppm,
+           |  CAST(ft.fit_ppm AS BIGINT) AS fit_ppm
+           |FROM bins JOIN ft USING (bin) ORDER BY bin""".stripMargin)
+  )
+
+  /** Expected Reciprocal Rank (fully oracled): top-10 parts per
+    * supplier (count-ranked, integer tiebreaks), graded truth from a
+    * deterministic rule — the sequential cascade fold replayed step by
+    * step in a DuckDB recursive CTE, every truncation identical. */
+  val errEvalProbe = Probe(
+    "q238_err_eval",
+    (s, d) => {
+      import graft.operators.Fusion
+      val agg = Tables.lineitem(s, d).filter(col("l_suppkey") < 30)
+        .groupBy(col("l_suppkey").as("query_id"),
+          col("l_partkey").as("vec_id"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__c").desc, col("vec_id").asc)
+      val ranked = agg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val truth = agg.filter(col("vec_id") % 3 === 0)
+        .select(col("query_id"), col("vec_id"),
+          (col("vec_id") % 4).as("grade"))
+      Fusion.errEval(ranked, truth, k = 10, gMax = 3)
+    },
+    Some("""WITH RECURSIVE a AS (SELECT l_suppkey AS q, l_partkey AS v,
+           |    count(*) AS c
+           |  FROM lineitem WHERE l_suppkey < 30 GROUP BY 1, 2),
+           |rk AS (SELECT q, v, row_number() OVER (PARTITION BY q
+           |    ORDER BY c DESC, v ASC) AS r FROM a),
+           |top AS (SELECT * FROM rk WHERE r <= 10),
+           |tr AS (SELECT q, v, v % 4 AS g FROM a WHERE v % 3 = 0),
+           |j AS (SELECT top.q, top.r,
+           |    CAST((1000000 * ((1 << CAST(least(3, greatest(0,
+           |      coalesce(tr.g, 0))) AS INT)) - 1)) // 8 AS BIGINT)
+           |      AS rel
+           |  FROM top LEFT JOIN tr ON top.q = tr.q AND top.v = tr.v),
+           |seq AS (
+           |  SELECT q, CAST(0 AS BIGINT) AS r,
+           |    CAST(1000000 AS BIGINT) AS prod, CAST(0 AS BIGINT) AS err
+           |  FROM (SELECT DISTINCT q FROM j)
+           |  UNION ALL
+           |  SELECT j.q, seq.r + 1,
+           |    CAST((seq.prod * (1000000 - j.rel)) // 1000000 AS BIGINT),
+           |    CAST(seq.err + (seq.prod * j.rel) // (1000 * (seq.r + 1))
+           |      AS BIGINT)
+           |  FROM seq JOIN j ON j.q = seq.q AND j.r = seq.r + 1),
+           |fin AS (SELECT q, max(r) AS mr FROM seq GROUP BY q)
+           |SELECT seq.q AS query_id, CAST(fin.mr AS BIGINT) AS k_used,
+           |  CAST(seq.err AS BIGINT) AS err_nano,
+           |  CAST(seq.prod AS BIGINT) AS rest_ppm
+           |FROM seq JOIN fin ON seq.q = fin.q AND seq.r = fin.mr
+           |ORDER BY query_id""".stripMargin)
+  )
+
+  /** Luhn checksum scan (fully oracled): synthetic 16-digit candidate
+    * numbers from order keys, validity per the native codegen kernel —
+    * DuckDB recomputes the mod-10 double-every-second-digit rule with
+    * a list lambda. Grouped by leading digit so the hash covers the
+    * distribution, not one row. */
+  val luhnProbe = Probe(
+    "q239_luhn",
+    (s, d) => {
+      val sp = s
+      graft.plans.SignalExprs.ensureRegistered(sp)
+      Tables.orders(sp, d)
+        .filter(col("o_orderkey").isNotNull)
+        .select(lpad(((col("o_orderkey") * 48271L) % 1000000000000000L)
+          .cast("string"), 16, "0").as("card"))
+        .select(substring(col("card"), 8, 1).as("bucket_digit"),
+          call_function("graft_luhn", col("card")).as("__v"))
+        .groupBy(col("bucket_digit"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("__v"), 1L).otherwise(0L)), lit(0L))
+            .as("n_valid"))
+        .orderBy("bucket_digit")
+    },
+    Some("""WITH c AS (SELECT lpad(CAST((o_orderkey * 48271) %
+           |      1000000000000000 AS VARCHAR), 16, '0') AS card
+           |  FROM orders WHERE o_orderkey IS NOT NULL),
+           |v AS (SELECT card[8] AS bucket_digit,
+           |    (list_sum(list_transform(range(1, len(card) + 1), i ->
+           |      CASE WHEN (len(card) - i) % 2 = 1 THEN
+           |        CASE WHEN 2 * CAST(card[i] AS INT) > 9
+           |          THEN 2 * CAST(card[i] AS INT) - 9
+           |          ELSE 2 * CAST(card[i] AS INT) END
+           |      ELSE CAST(card[i] AS INT) END)) % 10 = 0) AS ok
+           |  FROM c)
+           |SELECT bucket_digit, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(coalesce(sum(CASE WHEN ok THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_valid
+           |FROM v GROUP BY 1 ORDER BY bucket_digit""".stripMargin)
+  )
+
+  /** Compression-ratio quality signal (invariant-gated — DuckDB has no
+    * deflate to replay): per-source doc counts with measured-bound
+    * booleans. Measured at sf0.01: ratios 386k–913k ppm, mean ~527k
+    * (word-soup corpus, small vocabulary); gated at (200k, 1e6) per
+    * doc and mean in (300k, 800k) per source — wide margins around the
+    * measurement. DuckDB recomputes the per-source universe. */
+  val compressionProbe = Probe(
+    "q240_compression",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.compressionRatio(
+          Tables.documents(s, d)
+            .filter(col("source").isNotNull && col("text").isNotNull),
+          col("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ratio_ppm")).as("__mn"),
+          max(col("ratio_ppm")).as("__mx"),
+          expr("sum(ratio_ppm) DIV count(1)").as("__mean"))
+        .select(col("source"), col("n"),
+          (col("__mn") > 200000L && col("__mx") < 1000000L)
+            .as("ok_doc_bounds"),
+          (col("__mean") > 300000L && col("__mean") < 800000L)
+            .as("ok_mean_band"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |  true AS ok_doc_bounds, true AS ok_mean_band
+           |FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+           |GROUP BY source ORDER BY source""".stripMargin)
+  )
+
+  /** Population Stability Index (fully oracled): even vs odd doc-id
+    * length distributions over the q124 bin grid — per-bin terms one
+    * pinned IEEE sequence (two divisions, products-first ln, one
+    * multiply) floor-nano-quantized and summed as longs. */
+  val psiProbe = Probe(
+    "q241_psi",
+    (s, d) => {
+      import graft.operators.Profile
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      Profile.psi(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), 0.0, 600.0, nb = 12)
+    },
+    Some("""WITH cur AS (SELECT n_chars FROM documents
+           |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0),
+           |ref AS (SELECT n_chars FROM documents
+           |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 1),
+           |bins AS (SELECT unnest(range(0, 12)) AS bin),
+           |bc AS (SELECT greatest(0, least(11, CAST(floor((n_chars - 0.0)
+           |      / 600.0 * 12) AS BIGINT))) AS bin, count(*) AS n
+           |  FROM cur WHERE n_chars IS NOT NULL GROUP BY 1),
+           |br AS (SELECT greatest(0, least(11, CAST(floor((n_chars - 0.0)
+           |      / 600.0 * 12) AS BIGINT))) AS bin, count(*) AS n
+           |  FROM ref WHERE n_chars IS NOT NULL GROUP BY 1),
+           |j AS (SELECT bins.bin AS bin, coalesce(bc.n, 0) AS n_cur,
+           |    coalesce(br.n, 0) AS n_ref
+           |  FROM bins LEFT JOIN bc ON bins.bin = bc.bin
+           |  LEFT JOIN br ON bins.bin = br.bin),
+           |t AS (SELECT CAST(sum(n_cur) + 12 AS BIGINT) AS nc,
+           |    CAST(sum(n_ref) + 12 AS BIGINT) AS nr FROM j),
+           |terms AS (SELECT bin, CAST(n_cur AS BIGINT) AS n_cur,
+           |    CAST(n_ref AS BIGINT) AS n_ref,
+           |    CAST(floor((CAST(n_cur + 1 AS DOUBLE) / t.nc -
+           |      CAST(n_ref + 1 AS DOUBLE) / t.nr) *
+           |      ln((CAST(n_cur + 1 AS DOUBLE) * t.nr) /
+           |         (CAST(n_ref + 1 AS DOUBLE) * t.nc)) *
+           |      1000000000 + 0.5) AS BIGINT) AS term_nano
+           |  FROM j, t)
+           |SELECT bin, n_cur, n_ref, term_nano,
+           |  CAST(coalesce(sum(term_nano) OVER (), 0) AS BIGINT)
+           |    AS psi_nano
+           |FROM terms ORDER BY bin""".stripMargin)
+  )
+
+  /** Windowed Theil–Sen trend (fully oracled): hourly mean event value
+    * per type, slope median over pairs with Δt ≤ 5 h — every slope the
+    * exact truncating (10⁶·Δv) DIV Δt, the median an order statistic
+    * over the (group, slope) counts frame. */
+  val theilSenProbe = Probe(
+    "q242_theil_sen",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val series = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          floor(col("value") * 1000000L + 0.5).cast("long").as("vmu"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(expr("sum(vmu) DIV count(1)").as("v"))
+      TimeSeries.theilSenWindowed(series, col("event_type"), col("h"),
+        col("v"), maxLag = 5L)
+    },
+    Some("""WITH e AS (SELECT event_type AS g,
+           |    epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+           |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vmu
+           |  FROM events WHERE event_type IS NOT NULL
+           |    AND ts IS NOT NULL AND value IS NOT NULL),
+           |s AS (SELECT g, h, CAST(sum(vmu) // count(*) AS BIGINT) AS v
+           |  FROM e GROUP BY 1, 2),
+           |p AS (SELECT a.g,
+           |    (1000000 * (b.v - a.v)) // (b.h - a.h) AS sl
+           |  FROM s a JOIN s b ON a.g = b.g AND b.h > a.h
+           |    AND b.h <= a.h + 5),
+           |c AS (SELECT g, sl, count(*) AS c FROM p GROUP BY 1, 2),
+           |cm AS (SELECT g, sl,
+           |    sum(c) OVER (PARTITION BY g ORDER BY sl ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+           |m AS (SELECT g, CAST(n AS BIGINT) AS n_pairs,
+           |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN sl END)
+           |      AS BIGINT) AS slope_median_upm
+           |  FROM cm GROUP BY g, n)
+           |SELECT u.g AS "group", coalesce(m.n_pairs, 0) AS n_pairs,
+           |  m.slope_median_upm
+           |FROM (SELECT DISTINCT g FROM s) u LEFT JOIN m ON u.g = m.g
+           |ORDER BY "group" NULLS FIRST""".stripMargin)
+  )
+
+  /** Per-column entropy profile (fully oracled): lang / source /
+    * doc_id concentration in nano-nats — per-category pinned-IEEE
+    * terms summed as longs, ln(k) ceiling alongside. */
+  val columnEntropyProbe = Probe(
+    "q243_column_entropy",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.columnEntropy(Tables.documents(s, d),
+        Seq("lang", "source", "doc_id"))
+    },
+    Some("""WITH
+           |cl AS (SELECT CAST(lang AS VARCHAR) AS v FROM documents),
+           |cs AS (SELECT CAST(source AS VARCHAR) AS v FROM documents),
+           |ci AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents),
+           |gl AS (SELECT v, count(*) AS c FROM cl GROUP BY v),
+           |gs AS (SELECT v, count(*) AS c FROM cs GROUP BY v),
+           |gi AS (SELECT v, count(*) AS c FROM ci GROUP BY v),
+           |el AS (SELECT 'lang' AS "column",
+           |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN v IS NULL THEN c ELSE 0 END),
+           |      0) AS BIGINT) AS n_null,
+           |    CAST(count(*) AS BIGINT) AS n_distinct,
+           |    CAST(coalesce(sum(CAST(floor((CAST(c AS DOUBLE) / tot.n)
+           |      * ln(CAST(c AS DOUBLE) / tot.n) * -1000000000 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS entropy_nano
+           |  FROM gl, (SELECT sum(c) AS n FROM gl) tot GROUP BY tot.n),
+           |es AS (SELECT 'source' AS "column",
+           |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN v IS NULL THEN c ELSE 0 END),
+           |      0) AS BIGINT) AS n_null,
+           |    CAST(count(*) AS BIGINT) AS n_distinct,
+           |    CAST(coalesce(sum(CAST(floor((CAST(c AS DOUBLE) / tot.n)
+           |      * ln(CAST(c AS DOUBLE) / tot.n) * -1000000000 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS entropy_nano
+           |  FROM gs, (SELECT sum(c) AS n FROM gs) tot GROUP BY tot.n),
+           |ei AS (SELECT 'doc_id' AS "column",
+           |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN v IS NULL THEN c ELSE 0 END),
+           |      0) AS BIGINT) AS n_null,
+           |    CAST(count(*) AS BIGINT) AS n_distinct,
+           |    CAST(coalesce(sum(CAST(floor((CAST(c AS DOUBLE) / tot.n)
+           |      * ln(CAST(c AS DOUBLE) / tot.n) * -1000000000 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS entropy_nano
+           |  FROM gi, (SELECT sum(c) AS n FROM gi) tot GROUP BY tot.n),
+           |u AS (SELECT * FROM el UNION ALL SELECT * FROM es
+           |  UNION ALL SELECT * FROM ei)
+           |SELECT "column", n, n_null, n_distinct, entropy_nano,
+           |  CAST(CASE WHEN n_distinct > 0 THEN
+           |    floor(ln(CAST(n_distinct AS DOUBLE)) * 1000000000 + 0.5)
+           |    ELSE 0 END AS BIGINT) AS ln_k_nano
+           |FROM u ORDER BY "column"""".stripMargin)
+  )
+
+  /** Audio level metering (fully oracled END-TO-END through the real
+    * WAV codec): 16-bit samples from a generative integer formula are
+    * ENCODED to real WAV bytes, decoded back by the JDK codec, and
+    * metered on the q15 integer scale — DuckDB replays the formula
+    * directly (no WAV), so a codec that loses a single sample fails
+    * the hash. */
+  val audioLevelsProbe = Probe(
+    "q244_audio_levels",
+    (s, d) => {
+      implicit val spark = s
+      import spark.implicits._
+      import graft.multimodal.{Codecs, Multimodal}
+      val assets = spark.range(0, 120).as[Long].map { id =>
+        val n = 800 + (id % 5).toInt * 400
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+        Multimodal.Asset(id, "audio", Codecs.encodeWav16(samples, 8000f),
+          None, None, None)
+      }
+      Multimodal.audioLevels(assets).toDF()
+        .select(col("asset_id"), col("decoded"), col("n_samples"),
+          col("peak_q15"), col("sum_sq"), col("rms_q15"),
+          col("duration_ms"))
+        .orderBy("asset_id")
+    },
+    Some("""WITH s AS (SELECT t.i AS asset_id, u.j AS j,
+           |    ((t.i * 31 + u.j * 7919) % 65536) - 32768 AS v
+           |  FROM range(0, 120) t(i),
+           |    unnest(range(800 + (t.i % 5) * 400)) AS u(j)),
+           |a AS (SELECT asset_id, count(*) AS n, max(abs(v)) AS peak,
+           |    sum(CAST(v AS BIGINT) * v) AS ss
+           |  FROM s GROUP BY 1),
+           |r0 AS (SELECT *, ss // n AS m,
+           |    CAST(floor(sqrt(CAST(ss // n AS DOUBLE))) AS BIGINT) AS r
+           |  FROM a)
+           |SELECT asset_id, true AS decoded,
+           |  CAST(n AS BIGINT) AS n_samples,
+           |  CAST(peak AS BIGINT) AS peak_q15,
+           |  CAST(ss AS BIGINT) AS sum_sq,
+           |  CAST(CASE WHEN (r + 1) * (r + 1) <= m THEN r + 1
+           |       WHEN r * r > m THEN r - 1 ELSE r END AS BIGINT)
+           |    AS rms_q15,
+           |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+           |FROM r0 ORDER BY asset_id""".stripMargin)
+  )
+
   /** Two-sample KS distance (fully oracled): per-language n_chars
     * distribution, even vs odd doc ids — the binning-free CDF-gap
     * drift gate; the supremum an integer max over DECIMAL cross
@@ -8544,7 +8935,9 @@ object Probes {
     kaplanMeierProbe, lshIndexProbe, ipsProbe, conformalProbe,
     teamDraftProbe, drProbe, brierProbe, richnessProbe,
     weightedQuantileProbe, mutualInfoProbe, nelsonAalenProbe,
-    ksDistanceProbe
+    ksDistanceProbe, spanDedupProbe, isotonicProbe, errEvalProbe,
+    luhnProbe, compressionProbe, psiProbe, theilSenProbe,
+    columnEntropyProbe, audioLevelsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

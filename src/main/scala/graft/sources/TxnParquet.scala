@@ -216,15 +216,34 @@ object TxnParquet {
             s"($path is single-writer; coordinate or retry)")
       }
 
-      gc(f, root, gdir, nextV)
+      gc(f, root, gdir, nextV, keepManifests)
+    }
+
+    /** Explicit retention sweep — VACUUM: shrink the kept-manifest
+      * window to `retain` versions NOW and delete every chunk dir none
+      * of them references, without waiting for (or performing) a
+      * commit. The storage-reclaim half of [[readVersion]]'s
+      * time-travel contract: vacuumed versions fail loudly there
+      * afterwards, they never silently serve other data. Runs under
+      * the same single-writer contract as merges (a concurrent reader
+      * pinned INSIDE the retained window is safe; pinning outside it
+      * was already outside the grace contract). No-op before the first
+      * commit. */
+    def vacuum(spark: SparkSession, retain: Int = 1): Unit = {
+      require(retain >= 1, "vacuum must retain at least the live manifest")
+      currentManifest(spark, path).foreach { case (v, _) =>
+        val (f, root) = fs(spark, path)
+        gc(f, root, new Path(root, "_graft"), v, retain)
+      }
     }
 
     /** Post-commit sweep: drop manifests older than the kept window and
       * any chunk dir none of the kept manifests references (orphans of
       * crashed attempts included). Runs only in the committing writer —
       * under the single-writer contract nothing else is mid-write. */
-    private def gc(f: FileSystem, root: Path, gdir: Path, liveV: Long): Unit = {
-      val keepFrom = liveV - keepManifests + 1
+    private def gc(f: FileSystem, root: Path, gdir: Path, liveV: Long,
+                   keep: Int): Unit = {
+      val keepFrom = liveV - keep + 1
       f.listStatus(gdir).foreach(s => s.getPath.getName match {
         case ManifestRe(v) if v.toLong < keepFrom => f.delete(s.getPath, false)
         case n if n.startsWith(".manifest-") => f.delete(s.getPath, false)

@@ -748,6 +748,83 @@ object ScaleSweep {
         "ks_distance" -> (() => noop(
           Profile.ksDistance(docs.filter(col("doc_id").isNotNull),
             col("lang"), col("doc_id") % 2 === 0, col("n_chars")))),
+        // span explode + md5-digest winner agg + digest join + doc
+        // reassembly — linear in spans, never all-pairs
+        "span_dedup" -> (() => noop(
+          TextDedup.dropDuplicateSpans(docs, spanTokens = 5))),
+        // bins-keyed row agg; the whole B^3 minimax lives on the
+        // 10-row bins frame
+        "isotonic" -> (() => noop(
+          graft.operators.Classify.isotonicCalibrate(docs,
+            least(lit(1000000L), col("n_chars") * 1800L),
+            col("lang") === "en", nBins = 10))),
+        // (query, item) count agg + per-query top-10 window + O(k)
+        // in-row cascade fold; corpus never enters the fold
+        "err_eval" -> { () =>
+          val agg = li.filter(col("l_suppkey") < 30)
+            .groupBy(col("l_suppkey").as("query_id"),
+              col("l_partkey").as("vec_id"))
+            .agg(count(lit(1)).as("__c"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("__c").desc, col("vec_id").asc)
+          val ranked = agg.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+          val truth = agg.filter(col("vec_id") % 3 === 0)
+            .select(col("query_id"), col("vec_id"),
+              (col("vec_id") % 4).as("grade"))
+          noop(graft.operators.Fusion.errEval(ranked, truth, k = 10,
+            gMax = 3))
+        },
+        // two histogram aggs (map-side combined) + bins-frame windows
+        "psi" -> (() => noop(
+          Profile.psi(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            col("n_chars"), 0.0, 600.0, nb = 12))),
+        // hourly series agg, two-bucket banded pair join, slope-counts
+        // median — pairs bounded by series density × lag
+        "theil_sen" -> { () =>
+          val series = ev.filter(col("event_type").isNotNull &&
+              col("ts").isNotNull && col("value").isNotNull)
+            .select(col("event_type"),
+              expr("unix_micros(ts) DIV 3600000000").as("h"),
+              floor(col("value") * 1000000L + 0.5).cast("long").as("vmu"))
+            .groupBy(col("event_type"), col("h"))
+            .agg(expr("sum(vmu) DIV count(1)").as("v"))
+          noop(graft.operators.TimeSeries.theilSenWindowed(series,
+            col("event_type"), col("h"), col("v"), maxLag = 5L))
+        },
+        // one (value)-counts agg per column, one-row rollups unioned
+        "column_entropy" -> (() => noop(
+          Profile.columnEntropy(docs, Seq("lang", "source", "doc_id")))),
+        // per-row WAV encode+decode+meter inside mapPartitions — pure
+        // data parallelism, payloads shuffle once on asset_id
+        "audio_levels" -> { () =>
+          implicit val sp = spark
+          import sp.implicits._
+          import graft.multimodal.{Codecs, Multimodal}
+          val nAssets = 120 * rep
+          val assets = spark.range(0, nAssets).as[Long].map { id =>
+            val n = 800 + (id % 5).toInt * 400
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+            Multimodal.Asset(id, "audio",
+              Codecs.encodeWav16(samples, 8000f), None, None, None)
+          }
+          noop(Multimodal.audioLevels(assets).toDF())
+        },
+        // pure per-row codegen kernels (deflate + Luhn), one narrow agg
+        "quality_signals" -> { () =>
+          graft.plans.SignalExprs.ensureRegistered(spark)
+          noop(graft.operators.Quality.compressionRatio(docs, col("text"))
+            .select(col("source"), col("ratio_ppm"),
+              org.apache.spark.sql.functions.call_function("graft_luhn",
+                lpad(col("doc_id").cast("string"), 16, "0")).as("__l"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n"),
+              expr("sum(ratio_ppm) DIV count(1)").as("mean_ratio"),
+              coalesce(sum(when(col("__l"), 1L).otherwise(0L)), lit(0L))
+                .as("n_luhn")))
+        },
         // |vocab| shuffle rows (map-side combined) + ONE one-row tail agg
         "zipf_tail" -> (() => noop(
           CorpusStats.zipfTailIndex(docs, xMin = 5L))),

@@ -115,4 +115,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dupGroup.head.getAs[Long]("n_copies") === 3L) // ids 0, 10, 20
     assert(dupGroup.head.getAs[Long]("keep_id") === 0L)
   }
+
+  test("audioLevels: exact q15 metering through the real WAV codec") {
+    implicit val s = spark
+    import spark.implicits._
+    val shorts = Array[Short](0, 100, -200, 32767, -32768)
+    val payload = Codecs.encodeWav16(shorts, 8000f)
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", payload, None, None, None),
+      Multimodal.Asset(2L, "audio", Array[Byte](1, 2, 3), None, None, None))
+      .toDS()
+    val got = Multimodal.audioLevels(assets).collect().sortBy(_.asset_id)
+    val a = got(0)
+    assert(a.decoded && a.n_samples === 5L)
+    assert(a.peak_q15 === 32768L)
+    val ss = shorts.map(v => v.toLong * v).sum
+    assert(a.sum_sq === ss)
+    assert(a.rms_q15 === Multimodal.isqrt(ss / 5))
+    // undecodable payload quarantines, never throws
+    assert(!got(1).decoded && got(1).n_samples === 0L)
+  }
+
+  test("isqrt: exact on perfect squares and boundaries") {
+    val cases = Seq(0L, 1L, 3L, 4L, 8L, 9L, 999999L, 1000000L,
+      (1L << 30) - 1, 1L << 30, 429493622L)
+    cases.foreach { m =>
+      val r = Multimodal.isqrt(m)
+      assert(r * r <= m && (r + 1) * (r + 1) > m, s"m=$m r=$r")
+    }
+  }
 }

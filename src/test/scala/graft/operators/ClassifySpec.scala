@@ -513,6 +513,45 @@ class ClassifySpec extends AnyFunSuite {
     assert(r2.toSeq === r.toSeq)
   }
 
+  test("isotonicCalibrate: hand PAV pooling via the minimax form") {
+    import spark.implicits._
+    // bins 0/5/9 with raw rates 0.5 / 0 / 1 and equal weight 2:
+    // PAV pools {bin0, bin5} to (1e6·1) DIV 4 = 250000, leaves bin9
+    val rows = Seq((50000L, true), (50000L, false),
+      (550000L, false), (550000L, false),
+      (950000L, true), (950000L, true))
+    val got = Classify.isotonicCalibrate(rows.toDF("p", "y"), col("p"),
+        col("y"), nBins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0, 2L, 1L, 500000L, 250000L),
+      (5, 2L, 0L, 0L, 250000L),
+      (9, 2L, 2L, 1000000L, 1000000L)))
+    // pooled block preserves mass exactly here (integral means)
+    assert(got.map(r => r._2 * r._5).sum === got.map(r => r._2 * r._4).sum)
+  }
+
+  test("isotonicCalibrate: monotone on any input; already-isotonic is identity; layout-proof") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i =>
+      (((i * 7919) % 1000000).toLong, (i * 31) % 97 < (i * 7919) % 90))
+    val df = rows.toDF("p", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.isotonicCalibrate(d, col("p"), col("y"), nBins = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(4))).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(17)))
+    assert(a.sliding(2).forall(w =>
+      w.length < 2 || w(0)._2 <= w(1)._2), s"not monotone: $a")
+    // an input already nondecreasing must come back unchanged
+    val iso = Seq((50000L, false), (550000L, true), (550000L, false),
+      (950000L, true))
+    val ri = Classify.isotonicCalibrate(iso.toDF("p", "y"), col("p"),
+      col("y"), 10).collect().map(r => r.getLong(3) -> r.getLong(4))
+    ri.foreach { case (rate, fit) => assert(rate === fit) }
+  }
+
   test("mutualInfo: independence → 0; perfect dependence → ln 2; nulls drop") {
     import spark.implicits._
     // independent 2×2: all four cells equal → every contribution 0

@@ -181,4 +181,44 @@ class FusionSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((2L, 0L, 0L, 2L)))
   }
+
+  test("errEval: hand-computed cascade; absent grades are 0; clamping") {
+    // gMax=2 → R(g) = (2^g−1)/4 in ppm: g1→250000, g2→750000
+    val ranked = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 99L, 2L),
+      (2L, 10L, 2L)) // item 30 absent → grade 0; query 2 has no list
+      .toDF("query_id", "vec_id", "grade")
+    val r = Fusion.errEval(ranked, truth, k = 10, gMax = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    // r1: err += (1e6·250000)/(1000·1) → 250000000; prod → 750000
+    // r2: err += (750000·750000)/(1000·2) → +281250000; prod → 187500
+    // r3: R=0 — nothing changes
+    assert(r === Seq((1L, 3L, 531250000L, 187500L)))
+    // out-of-range grades clamp instead of exploding
+    val wild = Seq((1L, 10L, 99L), (1L, 20L, -5L))
+      .toDF("query_id", "vec_id", "grade")
+    val rw = Fusion.errEval(ranked.filter(col("rank") <= 2), wild,
+      k = 10, gMax = 2).collect().head
+    // g=99 clamps to 2 (R=750000); g=−5 clamps to 0
+    assert(rw.getLong(2) === 750000000L)
+  }
+
+  test("errEval: perfect top hit ≈ 1; layout-independent") {
+    import spark.implicits._
+    val ranked = (1L to 40L).flatMap(q =>
+      (1L to 5L).map(r => (q, q * 100 + r, r)))
+      .toDF("query_id", "vec_id", "rank")
+    val truth = (1L to 40L).map(q => (q, q * 100 + 1, 4L))
+      .toDF("query_id", "vec_id", "grade")
+    def run(a: org.apache.spark.sql.DataFrame) =
+      Fusion.errEval(a, truth, k = 5, gMax = 4)
+        .collect().map(_.toSeq).toSeq
+    val a = run(ranked)
+    assert(a === run(ranked.repartition(9)))
+    // R(4) with gMax 4 = 15/16 = 937500 ppm → err_nano = 937500000
+    assert(a.forall(_(2) === 937500000L))
+    assert(a.forall(_(3) === 62500L)) // rest mass = 1/16
+  }
 }

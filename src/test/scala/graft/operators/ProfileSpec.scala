@@ -486,6 +486,53 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("psi: identical distributions → 0; planted shift detected; symmetry") {
+    import spark.implicits._
+    val a = (0 until 1000).map(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Profile.psi(a, a, col("v"), 0, 100, 10).collect()
+    assert(same.forall(_.getLong(3) === 0L))
+    assert(same.head.getLong(4) === 0L)
+    // shifted current: mass moves up 30 → PSI well above the 0.25 alarm
+    val b = (0 until 1000).map(i => Tuple1((i % 100 * 0.4).toDouble)).toDF("v")
+    val drift = Profile.psi(b, a, col("v"), 0, 100, 10).collect()
+    assert(drift.head.getLong(4) > 250000000L, s"psi=${drift.head.getLong(4)}")
+    // PSI is symmetric up to per-term quantization (terms negate)
+    val rev = Profile.psi(a, b, col("v"), 0, 100, 10).collect()
+    assert(math.abs(drift.head.getLong(4) - rev.head.getLong(4)) <= 10L)
+  }
+
+  test("psi: empty-bin smoothing finite; layout-independent") {
+    import spark.implicits._
+    val cur = (0 until 500).map(i => Tuple1((i % 30).toDouble)).toDF("v")
+    val ref = (0 until 500).map(i => Tuple1((i % 90).toDouble)).toDF("v")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Profile.psi(c, ref, col("v"), 0, 100, 10)
+        .collect().map(_.toSeq).toSeq
+    val r = run(cur)
+    assert(r === run(cur.repartition(7)))
+    assert(r.forall(x => math.abs(x(3).asInstanceOf[Long]) < 10000000000L))
+  }
+
+  test("columnEntropy: constant → 0, uniform → ln k, null is a value") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (
+      "const",
+      s"u${i % 4}",
+      if (i < 90) None else Some("x"))) // 90% null column
+      .toDF("c1", "c2", "c3")
+    val got = Profile.columnEntropy(df, Seq("c1", "c2", "c3"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("c1") === ((100L, 0L, 1L, 0L, 0L)))
+    // uniform over 4: entropy = ln 4, each term 0.25·ln4
+    val ln4 = math.floor(0.25 * math.log(0.25) * -1e9 + 0.5).toLong * 4
+    assert(got("c2")._4 === ln4)
+    assert(got("c2")._5 === math.floor(math.log(4.0) * 1e9 + 0.5).toLong)
+    // null-heavy column: NULL is one of 2 values, 90 nulls counted
+    assert(got("c3")._2 === 90L && got("c3")._3 === 2L)
+    assert(got("c3")._4 > 0L && got("c3")._4 < got("c2")._4)
+  }
+
   test("weightedQuantile: hand table — weight mass, not row count, decides") {
     import spark.implicits._
     // values 1..4 with weights 1,1,1,7 → W=10; q50 rank=5 → value 4

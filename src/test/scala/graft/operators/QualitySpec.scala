@@ -228,4 +228,22 @@ class QualitySpec extends AnyFunSuite {
         .collect().head.toSeq
     assert(run(big) === run(big.repartition(17)))
   }
+
+  test("compressionRatio: ppm columns, empty/null text → NULL ratio, separation") {
+    import spark.implicits._
+    val rep = "spam spam spam spam spam spam spam spam " * 40
+    val eng = "each sentence here differs mildly from its neighbors " * 31
+    val rows: Seq[(Long, Option[String])] = Seq(
+      1L -> Some(rep), 2L -> Some(eng), 3L -> Some(""), 4L -> None)
+    val out = Quality.compressionRatio(rows.toDF("id", "text"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) None
+          else Some(r.getLong(4))))).toMap
+    assert(out(1)._2.get < out(2)._2.get, "template spam flags lower")
+    assert(out(1)._2.get > 0L && out(2)._2.get < 1000000L)
+    assert(out(3) === ((0L, None)))   // empty text: no ratio, not 0
+    assert(out(4)._2 === None)        // null text propagates
+  }
 }

@@ -362,4 +362,42 @@ class TimeSeriesSpec extends AnyFunSuite {
         .collect().map(r => r.toSeq).toSeq
     assert(run(df) === run(df.repartition(17)))
   }
+
+  test("theilSenWindowed: hand pairs — the outlier cannot drag the median") {
+    import spark.implicits._
+    // slope 10/step, then one wild point at t=3: OLS would bend, the
+    // slope median stays 10 (in µ/step: 10,000,000)
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 10L), ("g", 2L, 20L),
+      ("g", 3L, 1000L)).toDF("k", "t", "v")
+    val got = TimeSeries.theilSenWindowed(df, col("k"), col("t"),
+        col("v"), maxLag = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    // pairs (Δt≤2): 0→1, 0→2, 1→2 slope 1e7; 1→3: 495e6; 2→3: 980e6
+    // n=5, rank ⌈6/2⌉=3 → median 1e7
+    assert(got === Seq(("g", 5L, 10000000L)))
+  }
+
+  test("theilSenWindowed: window bound honored; pairless groups report; layout-proof") {
+    import spark.implicits._
+    val rows = (0 until 2000).map(i =>
+      (s"g${i % 3}", (i / 3).toLong * 10L,
+        (i / 3).toLong * 7L + (i % 3))) ++
+      Seq(("lonely", 0L, 5L)) // one row: no pairs
+    val df = rows.toDF("k", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.theilSenWindowed(d, col("k"), col("t"), col("v"), 30L)
+        .collect().map(_.toSeq).toSeq
+    val a = run(df)
+    assert(a === run(df.repartition(13)))
+    val lonely = a.find(_.head == "lonely").get
+    assert(lonely(1) === 0L && lonely(2) == null)
+    // clean series: slope exactly 7 per 10 ticks → 700000 µ/tick
+    a.filter(_.head != "lonely").foreach(r =>
+      assert(r(2) === 700000L, s"row $r"))
+    // every pair respects Δt ≤ maxLag: tighten the lag, pairs shrink
+    val narrow = TimeSeries.theilSenWindowed(df, col("k"), col("t"),
+      col("v"), 10L).collect().map(r => r.getLong(1)).sum
+    assert(narrow < a.map(_(1).asInstanceOf[Long]).sum)
+  }
 }

@@ -221,6 +221,33 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(snapshot(sink).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("vacuum: shrinks retention now, pinned-version reads fail loudly after") {
+    val path = tmp()
+    val sink = TxnParquetSink(path, keepManifests = 4)
+    (1 to 3).foreach(i =>
+      sink.mergeLastWins(df((i.toLong, "2025-11-26 04:00:00", i.toDouble)), keys))
+    // all three versions in the window before vacuum
+    assert(sink.readVersion(spark, 1L).count() === 1L)
+    assert(sink.readVersion(spark, 2L).count() === 2L)
+    sink.vacuum(spark, retain = 1)
+    val gdir = new java.io.File(path, "_graft")
+    assert(gdir.listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-")).toSet === Set("manifest-3.txt"))
+    // vacuumed versions fail LOUDLY, the live read is untouched
+    intercept[IllegalArgumentException](sink.readVersion(spark, 1L))
+    intercept[IllegalArgumentException](sink.readVersion(spark, 2L))
+    assert(snapshot(sink).map(_._1) === Set(1L, 2L, 3L))
+    // on-disk chunks = exactly the live manifest's references
+    val dataDirs = new java.io.File(path, "data").listFiles()
+      .filter(_.isDirectory).map(n => s"data/${n.getName}").toSet
+    val referenced = TxnParquet.currentManifest(spark, path).get._2
+      .values.map(_.split("/p_dir=", 2)(0)).toSet
+    assert(dataDirs === referenced)
+    // vacuum below 1 is rejected; vacuum on an empty table is a no-op
+    intercept[IllegalArgumentException](sink.vacuum(spark, retain = 0))
+    TxnParquetSink(tmp()).vacuum(spark) // must not throw
+  }
+
   test("null event dates ride the merge like any other partition") {
     val path = tmp()
     val sink = TxnParquetSink(path)
