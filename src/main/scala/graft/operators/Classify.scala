@@ -932,4 +932,155 @@ object Classify {
         col("n_y"), col("mi_contrib_nano"), col("mi_nano"))
       .orderBy("x_val", "y_val")
   }
+
+  /** McNemar's paired test — "is classifier A actually better than B on
+    * the SAME items?": the eval-tier question accuracy deltas can't
+    * answer (two models can differ by 2% accuracy yet disagree on 40%
+    * of items, or agree on all but a handful). Only the DISCORDANT
+    * pairs carry signal:
+    *
+    *   chi2_micro = ((b − c)² · 10⁶) DIV (b + c)
+    *
+    * with b = A-right-B-wrong, c = A-wrong-B-right — the numerator is a
+    * square so the truncating quotient is sign-safe cross-engine; NULL
+    * when b + c = 0 (the models never disagree — no evidence either
+    * way, never a fake 0). The full concordance grid is published as
+    * the audit surface.
+    *
+    * Scale posture: the corpus collapses in ONE map-side-combined
+    * aggregate to four counters; nothing else moves. Rows with a NULL
+    * truth or prediction are quarantined in `n_null`.
+    *
+    * Output (one row): `n`, `n_null`, `n_both_right`, `n_both_wrong`,
+    * `n_a_only`, `n_b_only` LONG, `chi2_micro` LONG-or-NULL.
+    */
+  def mcnemar(df: DataFrame, truth: Column, predA: Column,
+              predB: Column): DataFrame = {
+    val base = df.select(truth.cast("string").as("__t"),
+      predA.cast("string").as("__pa"), predB.cast("string").as("__pb"))
+    base.agg(
+        coalesce(sum(when(col("__t").isNotNull && col("__pa").isNotNull &&
+          col("__pb").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n"),
+        coalesce(sum(when(col("__t").isNull || col("__pa").isNull ||
+          col("__pb").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"),
+        coalesce(sum(when(col("__pa") === col("__t") &&
+          col("__pb") === col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_both_right"),
+        coalesce(sum(when(col("__t").isNotNull && col("__pa").isNotNull &&
+          col("__pb").isNotNull && col("__pa") =!= col("__t") &&
+          col("__pb") =!= col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_both_wrong"),
+        coalesce(sum(when(col("__pa") === col("__t") &&
+          col("__pb") =!= col("__t"), 1L).otherwise(0L)), lit(0L))
+          .as("n_a_only"),
+        coalesce(sum(when(col("__t").isNotNull && col("__pa").isNotNull &&
+          col("__pa") =!= col("__t") && col("__pb") === col("__t"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_b_only"))
+      .withColumn("chi2_micro",
+        when(col("n_a_only") + col("n_b_only") > 0L, expr(
+          """((n_a_only - n_b_only) * (n_a_only - n_b_only) * 1000000L)
+            | DIV (n_a_only + n_b_only)""".stripMargin)))
+      .select(col("n"), col("n_null"), col("n_both_right"),
+        col("n_both_wrong"), col("n_a_only"), col("n_b_only"),
+        col("chi2_micro"))
+  }
+
+  /** Exact average precision (area under the PR curve, interpolation-
+    * free) — the ranking-eval companion to [[aucExact]]: AUC is
+    * prevalence-blind, AP is what retrieval/rare-positive screens
+    * actually optimize. Ties are broken by `tieBreak` into a TOTAL
+    * order (score desc, tieBreak asc), so the metric is deterministic
+    * under any layout — the caller names the tie policy instead of
+    * inheriting a layout accident.
+    *
+    *   AP = (1/P) · Σ_{positive at rank k} precision@k,
+    *   precision@k published per row as (posRank·10⁶) DIV k
+    *
+    * — each term a truncating ppm quotient of exact integers (both
+    * positive — engine-safe), the sum order-free LONG, and the final
+    * mean one more truncating DIV. Quantization error is < P·10⁻⁶ in
+    * the sum, deterministic and identical in any engine.
+    *
+    * Scale posture: TWO [[Relational.globalRank]] passes (all rows,
+    * then positives only — a positive's rank among positives IS its
+    * cumulative-positives count), each a range exchange + O(#partitions)
+    * offsets window; rows never sort globally. NULL score/truth rows
+    * quarantine in `n_null`.
+    *
+    * Output (one row): `n_pos`, `n_neg`, `n_null`, `sum_prec_ppm` LONG,
+    * `ap_ppm` LONG-or-NULL (NULL when there are no positives).
+    */
+  def averagePrecision(scored: DataFrame, score: Column, truth: Column,
+                       tieBreak: Column): DataFrame = {
+    val base = scored.select(score.cast("long").as("__s"),
+      truth.cast("boolean").as("__t"), tieBreak.cast("long").as("__tb"))
+    val nNull = base.agg(coalesce(sum(when(col("__s").isNull ||
+      col("__t").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"))
+    val ranked = Relational.globalRank(
+      base.filter(col("__s").isNotNull && col("__t").isNotNull),
+      Seq(col("__s").desc, col("__tb").asc))
+    val counts = ranked.agg(
+      coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+      coalesce(sum(when(!col("__t"), 1L).otherwise(0L)), lit(0L)).as("n_neg"))
+    val pos = Relational.globalRank(
+      ranked.filter(col("__t")).withColumnRenamed("rank", "__k"),
+      Seq(col("__k").asc))
+    val sums = pos
+      .agg(coalesce(sum(expr("(rank * 1000000L) DIV __k")), lit(0L))
+        .as("sum_prec_ppm"))
+    counts.crossJoin(sums).crossJoin(nNull)
+      .withColumn("ap_ppm",
+        when(col("n_pos") > 0L, expr("sum_prec_ppm DIV n_pos")))
+      .select(col("n_pos"), col("n_neg"), col("n_null"),
+        col("sum_prec_ppm"), col("ap_ppm"))
+  }
+
+  /** Cross-entropy / log loss of ppm-scale probability predictions —
+    * the proper scoring rule that punishes CONFIDENT wrong answers the
+    * way accuracy and AUC can't; the standard distillation/teacher-
+    * quality readout.
+    *
+    * Per row the claimed probability of the TRUE outcome is
+    * p = scorePpm (truth) or 10⁶ − scorePpm (not truth), clamped to
+    * [1, 10⁶−1] ppm (`n_clamped` makes the epsilon visible — a model
+    * emitting exact 0/1 claims is a bug worth seeing). The surprisal is
+    * one pinned IEEE sequence, floor-nano-quantized per row
+    * (`mutualInfo`'s posture):
+    *
+    *   nano = floor(−ln(p/10⁶) · 10⁹ + 0.5)
+    *
+    * summed as order-free LONGs; the mean is one truncating DIV (both
+    * operands positive — engine-safe).
+    *
+    * Scale posture: one projection + one map-side-combined aggregate;
+    * nothing shuffles but partial sums. NULL score/truth rows
+    * quarantine in `n_null`. Out-of-range ppm (< 0 or > 10⁶) also
+    * clamps — and counts — rather than silently extrapolating.
+    *
+    * Output (one row): `n`, `n_null`, `n_clamped`, `sum_nano` LONG,
+    * `mean_nano` LONG-or-NULL.
+    */
+  def logLoss(scored: DataFrame, scorePpm: Column, truth: Column): DataFrame = {
+    val base = scored.select(scorePpm.cast("long").as("__p"),
+      truth.cast("boolean").as("__t"))
+    val rows = base
+      .filter(col("__p").isNotNull && col("__t").isNotNull)
+      .withColumn("__pt",
+        when(col("__t"), col("__p")).otherwise(lit(1000000L) - col("__p")))
+      .withColumn("__pc", greatest(lit(1L), least(lit(999999L), col("__pt"))))
+      .withColumn("__nano",
+        floor(-log(col("__pc").cast("double") / 1000000.0) * 1000000000L
+          + 0.5).cast("long"))
+    val nNull = base.agg(coalesce(sum(when(col("__p").isNull ||
+      col("__t").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"))
+    rows.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__pc") =!= col("__pt"), 1L).otherwise(0L)),
+          lit(0L)).as("n_clamped"),
+        coalesce(sum(col("__nano")), lit(0L)).as("sum_nano"))
+      .crossJoin(nNull)
+      .withColumn("mean_nano", when(col("n") > 0L, expr("sum_nano DIV n")))
+      .select(col("n"), col("n_null"), col("n_clamped"), col("sum_nano"),
+        col("mean_nano"))
+  }
 }

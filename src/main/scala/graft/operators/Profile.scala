@@ -978,4 +978,81 @@ object Profile {
           .as("ks_at"))
       .orderBy(col("group").asc)
   }
+
+  /** Mann–Whitney U rank-sum test per group — the nonparametric
+    * location-shift companion to [[ksDistance]] (KS asks "same
+    * distribution?", MWU asks "is one side systematically larger?"):
+    * side A vs side B of `sideA` within each `group` slice.
+    *
+    * The doubled U statistic is exact over the (group, value) counts
+    * frame — with c_a/c_b the per-value side counts and cumB< the
+    * B-mass strictly below:
+    *
+    *   u2 = Σ_v c_a(v) · (2·cumB<(v) + c_b(v))     (= 2·U_A, ties = ½)
+    *
+    * — the same credited-rank shape as `Classify.aucExact` (u2 there IS
+    * 2·U; here it generalizes to per-group slices and adds the test).
+    * The tie-corrected normal approximation is published as one pinned
+    * IEEE sequence over exact integers (exactly [[ksDistance]]'s
+    * posture for d_ppm, and `Graph.assortativity`'s for r):
+    *
+    *   var·(12·n·(n−1)) = n_a·n_b·((n+1)·n·(n−1) − T),  T = Σ_t t³−t
+    *   z = (u2 − n_a·n_b) / (2·√(varNum/varDen))
+    *
+    * div → sqrt → mul → div, each correctly rounded — identical bits in
+    * any engine. NULL z when either side is empty or every value is
+    * tied (var 0 — the test is undefined, never ±∞).
+    *
+    * Scale posture: one (group, value) counts aggregate (map-side
+    * combined) collapses rows to the value space; the cumulative and
+    * the totals ride windows over THAT frame (the winsorize/KS
+    * discipline — rows never sort). All products DECIMAL(38,0)-widened,
+    * published BIGINT (t³ alone passes 2^63 once a single value repeats
+    * ~2e6 times; the audit columns document the same bound as AUC's).
+    *
+    * Output: `group`, `n_a`, `n_b`, `u2`, `tie_term` LONG, `z`
+    * DOUBLE-or-NULL — total order by group.
+    */
+  def mannWhitney(df: DataFrame, group: Column, sideA: Column,
+                  value: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        sideA.cast("boolean").as("__sa"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__sa").isNotNull)
+    val counts = base.groupBy(col("group"), col("__v"))
+      .agg(coalesce(sum(when(col("__sa"), 1L).otherwise(0L)), lit(0L))
+          .as("__ca"),
+        coalesce(sum(when(!col("__sa"), 1L).otherwise(0L)), lit(0L))
+          .as("__cb"))
+    val below = Window.partitionBy(col("group")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__cumb", coalesce(sum(col("__cb")).over(below), lit(0L)))
+      .groupBy(col("group"))
+      .agg(
+        coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__ca").cast("decimal(38,0)") *
+            (col("__cumb").cast("decimal(38,0)") * 2L + col("__cb"))),
+          lit(0L).cast("decimal(38,0)")).as("__u2"),
+        coalesce(sum({
+          val t = (col("__ca") + col("__cb")).cast("decimal(38,0)")
+          t * t * t - t
+        }), lit(0L).cast("decimal(38,0)")).as("__tie"))
+      .withColumn("__n", (col("n_a") + col("n_b")).cast("decimal(38,0)"))
+      .withColumn("__varnum",
+        col("n_a").cast("decimal(38,0)") * col("n_b") *
+          ((col("__n") + 1L) * col("__n") * (col("__n") - 1L) - col("__tie")))
+      .withColumn("__varden", col("__n") * (col("__n") - 1L) * 12L)
+      .withColumn("z",
+        when(col("n_a") > 0L && col("n_b") > 0L &&
+            col("__varnum") > lit(0L).cast("decimal(38,0)"),
+          (col("__u2") - col("n_a").cast("decimal(38,0)") * col("n_b"))
+            .cast("double") /
+            (sqrt(col("__varnum").cast("double") /
+              col("__varden").cast("double")) * 2.0)))
+      .select(col("group"), col("n_a"), col("n_b"),
+        col("__u2").cast("long").as("u2"),
+        col("__tie").cast("long").as("tie_term"), col("z"))
+      .orderBy(col("group").asc)
+  }
 }

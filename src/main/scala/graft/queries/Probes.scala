@@ -7658,6 +7658,305 @@ object Probes {
            |ORDER BY "group" NULLS FIRST""".stripMargin)
   )
 
+  /** Mann–Whitney U (fully oracled): per-language location-shift test
+    * of n_chars, even vs odd doc ids — u2 and the tie term exact
+    * integers over the counts frame, z one pinned IEEE sequence
+    * (div → sqrt → mul → div). */
+  val mannWhitneyProbe = Probe(
+    "q245_mann_whitney",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.mannWhitney(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("lang"), col("doc_id") % 2 === 0, col("n_chars"))
+    },
+    Some("""WITH b AS (SELECT lang AS grp, doc_id % 2 = 0 AS sa,
+           |    n_chars AS v
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL),
+           |c AS (SELECT grp, v,
+           |    CAST(sum(CASE WHEN sa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |    CAST(sum(CASE WHEN NOT sa THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS cb
+           |  FROM b GROUP BY 1, 2),
+           |m AS (SELECT *, coalesce(sum(cb) OVER (PARTITION BY grp
+           |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    1 PRECEDING), 0) AS cumb FROM c),
+           |g AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+           |    CAST(sum(cb) AS BIGINT) AS n_b,
+           |    coalesce(sum(CAST(ca AS HUGEINT) *
+           |      (2 * CAST(cumb AS HUGEINT) + cb)), 0) AS u2,
+           |    coalesce(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) *
+           |      (ca + cb) - (ca + cb)), 0) AS tie
+           |  FROM m GROUP BY 1),
+           |z AS (SELECT *,
+           |    CAST(n_a AS HUGEINT) * n_b *
+           |      ((CAST(n_a + n_b AS HUGEINT) + 1) * (n_a + n_b) *
+           |       (CAST(n_a + n_b AS HUGEINT) - 1) - tie) AS varnum,
+           |    CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1) * 12
+           |      AS varden
+           |  FROM g)
+           |SELECT grp AS "group", n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+           |  CAST(tie AS BIGINT) AS tie_term,
+           |  CASE WHEN n_a > 0 AND n_b > 0 AND varnum > 0 THEN
+           |    CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+           |      (sqrt(CAST(varnum AS DOUBLE) / CAST(varden AS DOUBLE))
+           |        * 2.0)
+           |  END AS z
+           |FROM z ORDER BY "group" NULLS FIRST""".stripMargin)
+  )
+
+  /** Cohen's κ (fully oracled): the embedding labels vs an md5-noised
+    * copy (30% of items shifted one class) — chance-agreement products
+    * exact integers, κ one IEEE division. */
+  val cohenKappaProbe = Probe(
+    "q246_cohen_kappa",
+    (s, d) => {
+      import graft.operators.Agreement
+      val e = Tables.embeddings(s, d).filter(col("vec_id").isNotNull)
+      val noisy = e.withColumn("r2",
+        when(conv(substring(md5(concat(lit("r2|"),
+            col("vec_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 10 < 3,
+          (col("label") + 1) % 10).otherwise(col("label")))
+      Agreement.cohenKappa(noisy, col("label"), col("r2"))
+    },
+    Some("""WITH b AS (SELECT CAST(label AS VARCHAR) AS a,
+           |    CAST(CASE WHEN CAST('0x' || substr(md5('r2|' ||
+           |        CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 3
+           |      THEN (label + 1) % 10 ELSE label END AS VARCHAR) AS bb
+           |  FROM embeddings WHERE vec_id IS NOT NULL),
+           |cells AS (SELECT a, bb, count(*) AS n FROM b
+           |  WHERE a IS NOT NULL AND bb IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+           |    CAST(coalesce(sum(CASE WHEN a = bb THEN n ELSE 0 END), 0)
+           |      AS BIGINT) AS n_agree FROM cells),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE a IS NULL
+           |    OR bb IS NULL) AS BIGINT) AS n_null FROM b),
+           |ra AS (SELECT a AS c, sum(n) AS ra FROM cells GROUP BY 1),
+           |cbt AS (SELECT bb AS c, sum(n) AS cb FROM cells GROUP BY 1),
+           |pe AS (SELECT coalesce(sum(CAST(ra.ra AS HUGEINT) * cbt.cb),
+           |    0) AS pe FROM ra JOIN cbt USING (c))
+           |SELECT tot.n, nn.n_null, tot.n_agree,
+           |  CAST(pe.pe AS BIGINT) AS pe_num,
+           |  CASE WHEN CAST(tot.n AS HUGEINT) * tot.n != pe.pe THEN
+           |    CAST(CAST(tot.n_agree AS HUGEINT) * tot.n - pe.pe
+           |      AS DOUBLE) /
+           |    CAST(CAST(tot.n AS HUGEINT) * tot.n - pe.pe AS DOUBLE)
+           |  END AS kappa
+           |FROM tot, nn, pe""".stripMargin)
+  )
+
+  /** Shared synthetic votes frame for the Fleiss / majority-vote
+    * probes: 3 raters per item (a 4th on every 7th item — exercises
+    * the conformance drop), each vote the true label md5-shifted with
+    * probability 0.2. */
+  private def ratedVotes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0),
+          when(col("vec_id") % 7 === 0, 3).otherwise(2))).as("r"))
+      .withColumn("vote",
+        when(conv(substring(md5(concat_ws("|", lit("f"), col("vec_id"),
+            col("r"))), 1, 15), 16, 10).cast("long") % 10 < 2,
+          (col("label") + 1 + col("r")) % 10).otherwise(col("label")))
+
+  private val ratedVotesSql =
+    """v AS (SELECT vec_id, t.r AS r, label,
+      |    CASE WHEN CAST('0x' || substr(md5('f|' ||
+      |        CAST(vec_id AS VARCHAR) || '|' || CAST(t.r AS VARCHAR)),
+      |        1, 15) AS BIGINT) % 10 < 2
+      |      THEN (label + 1 + t.r) % 10 ELSE label END AS vote
+      |  FROM embeddings,
+      |    unnest(range(0, CASE WHEN vec_id % 7 = 0 THEN 4 ELSE 3 END))
+      |      AS t(r)
+      |  WHERE vec_id IS NOT NULL)""".stripMargin
+
+  /** Fleiss' κ (fully oracled): 3-rater agreement over the synthetic
+    * votes — S1/S2 exact integers, nonconforming items dropped
+    * visibly, κ one IEEE division. */
+  val fleissKappaProbe = Probe(
+    "q247_fleiss_kappa",
+    (s, d) => {
+      import graft.operators.Agreement
+      Agreement.fleissKappa(ratedVotes(s, d), col("vec_id"), col("vote"),
+        raters = 3)
+    },
+    Some(s"""WITH $ratedVotesSql,
+           |nij AS (SELECT CAST(vec_id AS VARCHAR) AS i,
+           |    CAST(vote AS VARCHAR) AS vv, count(*) AS n
+           |  FROM v WHERE vec_id IS NOT NULL AND vote IS NOT NULL
+           |  GROUP BY 1, 2),
+           |per AS (SELECT i, sum(n) AS ri, sum(n * n) AS sq
+           |  FROM nij GROUP BY 1),
+           |kept AS (SELECT * FROM per WHERE ri = 3),
+           |drp AS (SELECT CAST(count(*) FILTER (WHERE ri != 3)
+           |    AS BIGINT) AS n_dropped FROM per),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE vec_id IS NULL
+           |    OR vote IS NULL) AS BIGINT) AS n_null FROM v),
+           |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |    CAST(coalesce(sum(sq), 0) - count(*) * 3 AS BIGINT)
+           |      AS s1 FROM kept),
+           |s2 AS (SELECT coalesce(sum(CAST(cj AS HUGEINT) * cj), 0)
+           |    AS s2
+           |  FROM (SELECT vv, sum(n) AS cj FROM nij
+           |        WHERE i IN (SELECT i FROM kept) GROUP BY 1))
+           |SELECT n_items, n_dropped, n_null, s1,
+           |  CAST(s2 AS BIGINT) AS s2,
+           |  CASE WHEN (CAST(n_items AS HUGEINT) * n_items * 9 - s2)
+           |      * 2 != 0 THEN
+           |    CAST(CAST(s1 AS HUGEINT) * n_items * 3 - s2 * 2
+           |      AS DOUBLE) /
+           |    CAST((CAST(n_items AS HUGEINT) * n_items * 9 - s2) * 2
+           |      AS DOUBLE)
+           |  END AS kappa
+           |FROM s1, s2, drp, nn""".stripMargin)
+  )
+
+  /** Majority-vote label aggregation (fully oracled): per-item
+    * consensus label with lexical tiebreak and truncating agreement
+    * share, over the same votes frame as q247. */
+  val majorityVoteProbe = Probe(
+    "q248_majority_vote",
+    (s, d) => {
+      import graft.operators.Agreement
+      Agreement.majorityVote(ratedVotes(s, d), col("vec_id"), col("vote"))
+    },
+    Some(s"""WITH $ratedVotesSql,
+           |nij AS (SELECT CAST(vec_id AS VARCHAR) AS item,
+           |    CAST(vote AS VARCHAR) AS vv, count(*) AS n
+           |  FROM v WHERE vec_id IS NOT NULL AND vote IS NOT NULL
+           |  GROUP BY 1, 2),
+           |top AS (SELECT *, row_number() OVER (PARTITION BY item
+           |    ORDER BY n DESC, vv) AS rn FROM nij),
+           |tot AS (SELECT item, CAST(sum(n) AS BIGINT) AS n_votes
+           |  FROM nij GROUP BY 1)
+           |SELECT t.item, t.vv AS vote, tot.n_votes,
+           |  CAST(t.n AS BIGINT) AS n_top,
+           |  CAST((t.n * 1000000) // tot.n_votes AS BIGINT)
+           |    AS agreement_ppm
+           |FROM top t JOIN tot USING (item)
+           |WHERE rn = 1 ORDER BY t.item""".stripMargin)
+  )
+
+  /** McNemar's paired test (fully oracled): two md5-noised language
+    * classifiers on the same documents — concordance grid exact, chi2
+    * a sign-safe truncating quotient. */
+  val mcnemarProbe = Probe(
+    "q249_mcnemar",
+    (s, d) => {
+      import graft.operators.Classify
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      val scored = docs
+        .withColumn("pa",
+          when(conv(substring(md5(concat(lit("a|"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 4 < 3, col("lang")).otherwise(lit("en")))
+        .withColumn("pb",
+          when(conv(substring(md5(concat(lit("b|"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 4 < 2, col("lang")).otherwise(lit("de")))
+      Classify.mcnemar(scored, col("lang"), col("pa"), col("pb"))
+    },
+    Some("""WITH b AS (SELECT lang AS t,
+           |    CASE WHEN CAST('0x' || substr(md5('a|' ||
+           |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 < 3
+           |      THEN lang ELSE 'en' END AS pa,
+           |    CASE WHEN CAST('0x' || substr(md5('b|' ||
+           |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 < 2
+           |      THEN lang ELSE 'de' END AS pb
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |a AS (SELECT
+           |    CAST(count(*) FILTER (WHERE t IS NOT NULL
+           |      AND pa IS NOT NULL AND pb IS NOT NULL) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE t IS NULL OR pa IS NULL
+           |      OR pb IS NULL) AS BIGINT) AS n_null,
+           |    CAST(count(*) FILTER (WHERE pa = t AND pb = t)
+           |      AS BIGINT) AS n_both_right,
+           |    CAST(count(*) FILTER (WHERE t IS NOT NULL
+           |      AND pa IS NOT NULL AND pb IS NOT NULL
+           |      AND pa != t AND pb != t) AS BIGINT) AS n_both_wrong,
+           |    CAST(count(*) FILTER (WHERE pa = t AND pb != t)
+           |      AS BIGINT) AS n_a_only,
+           |    CAST(count(*) FILTER (WHERE t IS NOT NULL
+           |      AND pa IS NOT NULL AND pa != t AND pb = t)
+           |      AS BIGINT) AS n_b_only
+           |  FROM b)
+           |SELECT n, n_null, n_both_right, n_both_wrong, n_a_only,
+           |  n_b_only,
+           |  CASE WHEN n_a_only + n_b_only > 0 THEN
+           |    CAST(((n_a_only - n_b_only) * (n_a_only - n_b_only)
+           |      * 1000000) // (n_a_only + n_b_only) AS BIGINT)
+           |  END AS chi2_micro
+           |FROM a""".stripMargin)
+  )
+
+  /** Exact average precision (fully oracled): n_chars ranks documents,
+    * lang='en' is the positive class, doc_id breaks score ties — every
+    * precision@k a truncating ppm quotient. */
+  val averagePrecisionProbe = Probe(
+    "q250_average_precision",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.averagePrecision(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("n_chars"), col("lang") === "en", col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT n_chars AS s, (lang = 'en') AS t,
+           |    doc_id AS tb
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL AND lang IS NOT NULL),
+           |r AS (SELECT *, row_number() OVER (ORDER BY s DESC, tb)
+           |    AS k FROM b),
+           |p AS (SELECT k, row_number() OVER (ORDER BY k) AS pr
+           |  FROM r WHERE t),
+           |c AS (SELECT CAST(count(*) FILTER (WHERE t) AS BIGINT)
+           |      AS n_pos,
+           |    CAST(count(*) FILTER (WHERE NOT t) AS BIGINT) AS n_neg
+           |  FROM r),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL
+           |    OR lang IS NULL) AS BIGINT) AS n_null
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |sm AS (SELECT CAST(coalesce(sum((pr * 1000000) // k), 0)
+           |    AS BIGINT) AS sum_prec_ppm FROM p)
+           |SELECT n_pos, n_neg, n_null, sum_prec_ppm,
+           |  CASE WHEN n_pos > 0 THEN
+           |    CAST(sum_prec_ppm // n_pos AS BIGINT) END AS ap_ppm
+           |FROM c, nn, sm""".stripMargin)
+  )
+
+  /** Log loss (fully oracled): n_chars·2000 as a deliberately
+    * out-of-range ppm score (clamps on BOTH ends are exercised and
+    * counted), lang='en' the outcome — per-row pinned-IEEE surprisal,
+    * order-free nano sum, truncating mean. */
+  val logLossProbe = Probe(
+    "q251_log_loss",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.logLoss(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("n_chars") * 2000L, col("lang") === "en")
+    },
+    Some("""WITH b AS (SELECT n_chars * 2000 AS p, (lang = 'en') AS t
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |r AS (SELECT CASE WHEN t THEN p ELSE 1000000 - p END AS pt
+           |  FROM b WHERE p IS NOT NULL AND t IS NOT NULL),
+           |r2 AS (SELECT pt, greatest(1, least(999999, pt)) AS pc
+           |  FROM r),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE p IS NULL
+           |    OR t IS NULL) AS BIGINT) AS n_null FROM b),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE pc != pt) AS BIGINT)
+           |      AS n_clamped,
+           |    CAST(coalesce(sum(CAST(floor(-ln(CAST(pc AS DOUBLE)
+           |      / 1000000.0) * 1000000000 + 0.5) AS BIGINT)), 0)
+           |      AS BIGINT) AS sum_nano
+           |  FROM r2)
+           |SELECT n, n_null, n_clamped, sum_nano,
+           |  CASE WHEN n > 0 THEN sum_nano // n END AS mean_nano
+           |FROM agg, nn""".stripMargin)
+  )
+
   /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
     * tail — exact long counts, per-term ln floor-micro-quantized and
     * summed as longs (order-free), α one IEEE division of exact
@@ -8937,7 +9236,9 @@ object Probes {
     weightedQuantileProbe, mutualInfoProbe, nelsonAalenProbe,
     ksDistanceProbe, spanDedupProbe, isotonicProbe, errEvalProbe,
     luhnProbe, compressionProbe, psiProbe, theilSenProbe,
-    columnEntropyProbe, audioLevelsProbe
+    columnEntropyProbe, audioLevelsProbe, mannWhitneyProbe,
+    cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
+    averagePrecisionProbe, logLossProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -642,4 +642,64 @@ class ClassifySpec extends AnyFunSuite {
     val df = rows.toDF("s", "id", "y")
     assert(run(df) === run(df.repartition(17)))
   }
+
+  test("mcnemar: concordance grid, discordant-only chi2, never-disagree NULL") {
+    // truth t; A right on 1,2,3; B right on 1,4: b=2 (A only), c=1
+    val rows = Seq(
+      ("t", "t", "t"), ("t", "t", "x"), ("t", "t", "x"), // 1 both, 2 A-only
+      ("t", "x", "t"),                                   // 1 B-only
+      ("t", "x", "x"), (null, "t", "t"))                 // 1 both-wrong, 1 null
+    val got = Classify.mcnemar(rows.toDF("y", "pa", "pb"), col("y"),
+      col("pa"), col("pb")).collect().head
+    assert(got.getLong(0) === 5L && got.getLong(1) === 1L)
+    assert(got.getLong(2) === 1L && got.getLong(3) === 1L)
+    assert(got.getLong(4) === 2L && got.getLong(5) === 1L)
+    assert(got.getLong(6) === (1L * 1000000L) / 3L) // (2-1)^2 / 3
+    val agreeing = Seq(("t", "t", "t"), ("t", "x", "x"))
+    assert(Classify.mcnemar(agreeing.toDF("y", "pa", "pb"), col("y"),
+      col("pa"), col("pb")).collect().head.isNullAt(6))
+  }
+
+  test("averagePrecision: hand-ranked list, perfect ranking, no positives") {
+    // ranks 1..5 by score desc: pos at k=1,3,4
+    val rows = Seq((10L, true, 1L), (9L, false, 2L), (8L, true, 3L),
+      (7L, true, 4L), (6L, false, 5L)).toDF("s", "y", "id")
+    val got = Classify.averagePrecision(rows, col("s"), col("y"), col("id"))
+      .collect().head
+    val terms = 1000000L + 2000000L / 3L + 3000000L / 4L
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((3L, 2L, 0L)))
+    assert(got.getLong(3) === terms && got.getLong(4) === terms / 3L)
+    // all positives ranked first -> every precision@k = 1 -> AP = 1
+    val perfect = Seq((9L, true, 1L), (8L, true, 2L), (1L, false, 3L))
+      .toDF("s", "y", "id")
+    assert(Classify.averagePrecision(perfect, col("s"), col("y"), col("id"))
+      .collect().head.getLong(4) === 1000000L)
+    val none = Seq((9L, false, 1L)).toDF("s", "y", "id")
+    assert(Classify.averagePrecision(none, col("s"), col("y"), col("id"))
+      .collect().head.isNullAt(4))
+  }
+
+  test("averagePrecision: score ties resolved by tieBreak — layout-independent") {
+    val rows = (0 until 400).map(i => ((i % 5).toLong, i % 3 == 0, i.toLong))
+    val df = rows.toDF("s", "y", "id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.averagePrecision(d, col("s"), col("y"), col("id"))
+        .collect().head.toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
+  test("logLoss: pinned surprisals, clamp visibility, quarantine") {
+    def nano(p: Double): Long =
+      math.floor(-math.log(p) * 1e9 + 0.5).toLong
+    val rows = Seq[(Option[Long], Boolean)]((Some(900000L), true),
+      (Some(900000L), false), (Some(1000000L), true), (None, true))
+      .toDF("p", "y")
+    val got = Classify.logLoss(rows, col("p"), col("y")).collect().head
+    assert(got.getLong(0) === 3L && got.getLong(1) === 1L)
+    assert(got.getLong(2) === 1L) // the exact-1.0 claim clamps to 999999
+    val expected = nano(0.9) + nano(100000.0 / 1000000.0) +
+      nano(999999.0 / 1000000.0)
+    assert(got.getLong(3) === expected)
+    assert(got.getLong(4) === expected / 3L)
+  }
 }

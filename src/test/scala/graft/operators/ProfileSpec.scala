@@ -601,4 +601,45 @@ class ProfileSpec extends AnyFunSuite {
       .collect().head
     assert(flipped.getLong(3) === a.head(3))
   }
+
+  test("mannWhitney: textbook separation, tie credit, tie-corrected variance") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}: no A above any B -> u2 = 0; T = 0;
+    // var = 2*2*(5*4*3)/ (12*4*3) = 5/3; z = (0-4)/(2*sqrt(5/3))
+    val sep = Seq(("g", true, 1L), ("g", true, 2L),
+      ("g", false, 3L), ("g", false, 4L)).toDF("grp", "sa", "v")
+    val a = Profile.mannWhitney(sep, col("grp"), col("sa"), col("v"))
+      .collect().head
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ===
+      ((2L, 2L, 0L, 0L)))
+    assert(a.getDouble(5) === -4.0 / (2.0 * math.sqrt(240.0 / 144.0)))
+    // all tied: u2 = 2*(half-credit pairs), variance 0 -> z NULL
+    val tied = Seq(("g", true, 1L), ("g", true, 1L), ("g", false, 1L))
+      .toDF("grp", "sa", "v")
+    val t = Profile.mannWhitney(tied, col("grp"), col("sa"), col("v"))
+      .collect().head
+    assert(t.getLong(3) === 2L)       // 2U = 2 * (2 pairs * 1/2)
+    assert(t.getLong(4) === 24L)      // t=3: 27-3
+    assert(t.isNullAt(5))
+  }
+
+  test("mannWhitney: side flip mirrors u2 and negates z; one-sided group NULL") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i =>
+      ("g", i % 3 == 0, ((i * 13) % 50 + (if (i % 3 == 0) 4 else 0)).toLong))
+    val df = rows.toDF("grp", "sa", "v")
+    val a = Profile.mannWhitney(df, col("grp"), col("sa"), col("v"))
+      .collect().head
+    val b = Profile.mannWhitney(df, col("grp"), !col("sa"), col("v"))
+      .collect().head
+    // u2_A + u2_B = 2 * n_a * n_b (every pair credited once, ties half each)
+    assert(a.getLong(3) + b.getLong(3) === 2L * a.getLong(1) * a.getLong(2))
+    assert(b.getDouble(5) === -a.getDouble(5))
+    assert(a === Profile.mannWhitney(df.repartition(11), col("grp"),
+      col("sa"), col("v")).collect().head) // layout independence
+    val oneSided = Seq(("g", true, 1L), ("g", true, 5L))
+      .toDF("grp", "sa", "v")
+    assert(Profile.mannWhitney(oneSided, col("grp"), col("sa"), col("v"))
+      .collect().head.isNullAt(5))
+  }
 }
