@@ -369,4 +369,89 @@ object Fusion {
         coalesce(sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L)),
           lit(0L)).as("ties"))
   }
+
+  /** Bradley–Terry strengths from pairwise duels — the model behind
+    * preference-data curation (RLHF reward comparisons, LLM-judge
+    * A/B verdicts, [[interleaveTeamDraft]] click wins): each player i
+    * gets a strength w_i with P(i beats j) = w_i/(w_i+w_j), fit by the
+    * classic minorization–maximization recurrence (Hunter 2004):
+    *
+    *   w_i ← W_i / Σ_j n_ij/(w_i + w_j)
+    *
+    * (W_i total wins, n_ij games between i and j), run `iters`
+    * synchronous rounds in INTEGER MICRO-UNITS — the pagerank/HITS
+    * replay discipline: per-pair terms are (n_ij·10¹²) DIV (w_i+w_j),
+    * the update (W_i·10¹²) DIV Σterms, then a max-rescale pinning the
+    * leader at 10⁶ with a 1-micro floor (keeps zero-win players from
+    * collapsing a later denominator to 0; they bottom out at the floor,
+    * which is also the honest answer — the MLE sends them to 0).
+    * Every operand is exact integer arithmetic (DECIMAL(38,0)-widened
+    * sums), so any engine replays the fit bit-for-bit.
+    *
+    * Scale posture: duels collapse ONCE to a symmetric (i, j, n_ij)
+    * games frame and a per-player wins frame — pair-space sized, never
+    * duel-space. Each round is one join of the persisted games frame
+    * with the player-sized strength frame + one map-side-combined sum +
+    * a one-row max broadcast (the [[graft.operators.Graph]] edge-cache
+    * shape); state is one long per player, localCheckpoint'ed per round
+    * so lineage stays flat (the HITS 2^iters lesson).
+    *
+    * Output: `player`, `strength_micro` (leader = 10⁶), `wins`,
+    * `games` LONG — total order by player.
+    */
+  def bradleyTerry(duels: DataFrame, winner: Column, loser: Column,
+                   iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val d = duels.select(winner.cast("long").as("__w"),
+        loser.cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val games = d.select(col("__w").as("i"), col("__l").as("j"))
+      .union(d.select(col("__l").as("i"), col("__w").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .repartition(col("i")).persist()
+    val wins = d.groupBy(col("__w").as("p"))
+      .agg(count(lit(1)).as("wins"))
+    val players = games.select(col("i").as("player")).distinct()
+      .join(wins, col("player") === col("p"), "left")
+      .select(col("player"),
+        coalesce(col("wins"), lit(0L)).as("wins"))
+      .persist()
+
+    var strength = players.select(col("player"), lit(1000000L).as("s"))
+    var it = 0
+    while (it < iters) {
+      val terms = games
+        .join(strength.withColumnRenamed("player", "__pi")
+          .withColumnRenamed("s", "__si"), col("i") === col("__pi"))
+        .join(strength.withColumnRenamed("player", "__pj")
+          .withColumnRenamed("s", "__sj"), col("j") === col("__pj"))
+        .groupBy(col("i").as("player2"))
+        .agg(coalesce(sum(expr(
+          "(CAST(n AS DECIMAL(38,0)) * 1000000000000) DIV (__si + __sj)")),
+          lit(0L)).as("__t"))
+      val raw = players
+        .join(terms, col("player") === col("player2"))
+        .select(col("player"), when(col("__t") > 0L, expr(
+          "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) DIV __t"))
+          .otherwise(0L).as("__raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      strength = raw.crossJoin(broadcast(mx))
+        .select(col("player"), greatest(lit(1L), expr(
+          "(CAST(__raw AS DECIMAL(38,0)) * 1000000) DIV __mx")).as("s"))
+      it += 1
+    }
+    val gamesPer = games.groupBy(col("i").as("gp"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("games"))
+    val out = players
+      .join(strength, "player")
+      .join(gamesPer, col("player") === col("gp"))
+      .select(col("player"), col("s").as("strength_micro"), col("wins"),
+        col("games"))
+      .orderBy(col("player"))
+      .localCheckpoint(true)
+    games.unpersist(); players.unpersist()
+    out
+  }
 }

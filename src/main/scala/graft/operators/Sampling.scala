@@ -366,4 +366,87 @@ object Sampling {
       .select((strata.map(col) ++ Seq(col("key"), col("w"),
         col("priority"), col("rank"), col("tau"), col("w_est"))): _*)
   }
+
+  /** Poisson(1) cumulative-probability thresholds for the inverse-CDF
+    * draw in [[poissonBootstrap]] — standard shortest-repr double
+    * literals, so any engine parses the identical IEEE values. */
+  private val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** Poisson bootstrap of a mean — THE bootstrap that works at corpus
+    * scale: classical resampling needs n draws from a materialized
+    * population (a global shuffle per replicate), while Poisson(1)
+    * weights are a per-row pure function, so ALL `reps` replicates ride
+    * one scan (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012).
+    *
+    * Per (row, replicate) the weight is an inverse-CDF Poisson(1) draw
+    * from the seeded md5 uniform u = (h+1)/2⁶⁰ (exact power-of-two
+    * normalization — the DLT discipline above), capped at 6
+    * (P(X>6) < 10⁻⁴ — deterministic, documented truncation). Replicate
+    * means are truncating micro quotients of exact integer sums; the
+    * across-replicate summary rides a window over the REPS-sized frame:
+    *
+    *   boot_var_micro2 = Σ_r (R·m_r − S)² DIV R³,   S = Σ_r m_r
+    *
+    * — the population variance of the replicate means cleared to
+    * integers (all operands DECIMAL(38,0)-widened, numerators squares
+    * so every quotient is sign-safe).
+    *
+    * Scale posture: ONE projection fans out ×reps (key, value, rep)
+    * rows — narrow longs, map-side combined into reps-sized partial
+    * aggregates; no global sort, no per-replicate scan. Degenerate
+    * replicates (Σw = 0) publish NULL means and are excluded from the
+    * summary via `n_ok`.
+    *
+    * Output (`reps` rows): `rep` INT, `n_eff`, `sum_wv` LONG,
+    * `mean_micro` LONG-or-NULL, `n_ok`, `boot_mean_micro`,
+    * `boot_var_micro2` LONG (summary repeated per row — the psi
+    * window-total convention) — total order by rep.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                       reps: Int, seed: String = "42"): DataFrame = {
+    require(reps >= 2, s"poissonBootstrap needs reps >= 2, got $reps")
+    val base = df.select(key.cast("string").as("__k"),
+        value.cast("long").as("__v"))
+      .filter(col("__k").isNotNull && col("__v").isNotNull)
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+    val u = (conv(substring(md5(concat_ws("|", lit(seed), col("rep"),
+      col("__k"))), 1, 15), 16, 10).cast("long") + 1L).cast("double") /
+      1.152921504606846976e18
+    val w = PoissonCdf1.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((c, k), rest) => when(u <= c, k.toLong).otherwise(rest)
+    }
+    val perRep = base.withColumn("__w", w)
+      .groupBy(col("rep"))
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("n_eff"),
+        coalesce(sum(col("__w") * col("__v")), lit(0L)).as("sum_wv"))
+      .withColumn("mean_micro",
+        when(col("n_eff") > 0L,
+          expr("(CAST(sum_wv AS DECIMAL(38,0)) * 1000000) DIV n_eff")
+            .cast("long")))
+    val wall = Window.partitionBy()
+    perRep
+      .withColumn("n_ok",
+        coalesce(sum(when(col("mean_micro").isNotNull, 1L).otherwise(0L))
+          .over(wall), lit(0L)))
+      .withColumn("__s",
+        coalesce(sum(col("mean_micro")).over(wall), lit(0L)))
+      .withColumn("boot_mean_micro",
+        when(col("n_ok") > 0L, expr("__s DIV n_ok")))
+      .withColumn("__varnum",
+        coalesce(sum({
+          val d = col("mean_micro").cast("decimal(38,0)") * col("n_ok") -
+            col("__s")
+          d * d
+        }).over(wall), lit(0L).cast("decimal(38,0)")))
+      .withColumn("boot_var_micro2",
+        when(col("n_ok") > 0L, expr(
+          "__varnum DIV (CAST(n_ok AS DECIMAL(38,0)) * n_ok * n_ok)")))
+      .select(col("rep"), col("n_eff"), col("sum_wv"), col("mean_micro"),
+        col("n_ok"), col("boot_mean_micro"), col("boot_var_micro2"))
+      .orderBy(col("rep"))
+  }
 }

@@ -7957,6 +7957,146 @@ object Probes {
            |FROM agg, nn""".stripMargin)
   )
 
+  /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
+    * from seeded per-row Poisson(1) weights — all replicates on one
+    * scan, inverse-CDF thresholds and every quotient replayed
+    * bit-exactly in DuckDB. */
+  val poissonBootstrapProbe = Probe(
+    "q252_poisson_bootstrap",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.poissonBootstrap(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("doc_id"), col("n_chars"), reps = 24, seed = "b7")
+    },
+    Some("""WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS k, n_chars AS v
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL),
+           |f AS (SELECT t.r AS rep, k, v,
+           |    (CAST('0x' || substr(md5('b7|' || CAST(t.r AS VARCHAR)
+           |      || '|' || k), 1, 15) AS BIGINT) + 1)
+           |      / 1152921504606846976 AS u
+           |  FROM b, unnest(range(0, 24)) AS t(r)),
+           |w AS (SELECT rep, v,
+           |    CASE WHEN u <= 0.36787944117144233 THEN 0
+           |      WHEN u <= 0.7357588823428847 THEN 1
+           |      WHEN u <= 0.9196986029286058 THEN 2
+           |      WHEN u <= 0.9810118431238462 THEN 3
+           |      WHEN u <= 0.9963401531726563 THEN 4
+           |      WHEN u <= 0.9994058151824183 THEN 5 ELSE 6 END AS w
+           |  FROM f),
+           |p AS (SELECT rep, CAST(coalesce(sum(w), 0) AS BIGINT)
+           |      AS n_eff,
+           |    CAST(coalesce(sum(w * v), 0) AS BIGINT) AS sum_wv
+           |  FROM w GROUP BY 1),
+           |m AS (SELECT *, CASE WHEN n_eff > 0 THEN
+           |    CAST((CAST(sum_wv AS HUGEINT) * 1000000) // n_eff
+           |      AS BIGINT) END AS mean_micro FROM p),
+           |t AS (SELECT *, CAST(count(mean_micro) OVER () AS BIGINT)
+           |      AS n_ok,
+           |    coalesce(sum(mean_micro) OVER (), 0) AS s FROM m),
+           |v2 AS (SELECT *, coalesce(sum(CASE WHEN mean_micro IS NOT
+           |    NULL THEN (CAST(mean_micro AS HUGEINT) * n_ok - s) *
+           |      (CAST(mean_micro AS HUGEINT) * n_ok - s) END)
+           |    OVER (), 0) AS varnum FROM t)
+           |SELECT CAST(rep AS INT) AS rep, n_eff, sum_wv, mean_micro,
+           |  n_ok,
+           |  CASE WHEN n_ok > 0 THEN CAST(s // n_ok AS BIGINT) END
+           |    AS boot_mean_micro,
+           |  CASE WHEN n_ok > 0 THEN CAST(varnum //
+           |    (CAST(n_ok AS HUGEINT) * n_ok * n_ok) AS BIGINT) END
+           |    AS boot_var_micro2
+           |FROM v2 ORDER BY rep""".stripMargin)
+  )
+
+  /** Bradley–Terry preference strengths (fully oracled): suppliers
+    * (mod 16) duel on consecutive lineitems of each order, cheaper
+    * price wins — 3 unrolled MM iterations in integer micro-units,
+    * every DIV replayed in DuckDB HUGEINT. */
+  val bradleyTerryProbe = Probe(
+    "q253_bradley_terry",
+    (s, d) => {
+      import graft.operators.Fusion
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), (col("l_suppkey") % 16).as("pl"),
+        col("l_extendedprice").as("px"))
+      val b = li.select(col("ok").as("ok2"), col("ln").as("ln2"),
+        col("pl").as("pl2"), col("px").as("px2"))
+      val duels = li.join(b,
+          col("ok") === col("ok2") && col("ln2") === col("ln") + 1)
+        .filter(col("pl") =!= col("pl2"))
+        .select(
+          when(col("px") < col("px2") ||
+            (col("px") === col("px2") && col("pl") < col("pl2")),
+            col("pl")).otherwise(col("pl2")).as("w"),
+          when(col("px") < col("px2") ||
+            (col("px") === col("px2") && col("pl") < col("pl2")),
+            col("pl2")).otherwise(col("pl")).as("l"))
+      Fusion.bradleyTerry(duels, col("w"), col("l"), iters = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+           |    l_suppkey % 16 AS pl, l_extendedprice AS px
+           |  FROM lineitem),
+           |duel AS (SELECT
+           |    CASE WHEN a.px < b.px OR (a.px = b.px AND a.pl < b.pl)
+           |      THEN a.pl ELSE b.pl END AS w,
+           |    CASE WHEN a.px < b.px OR (a.px = b.px AND a.pl < b.pl)
+           |      THEN b.pl ELSE a.pl END AS l
+           |  FROM li a JOIN li b ON a.ok = b.ok AND b.ln = a.ln + 1
+           |  WHERE a.pl != b.pl),
+           |games AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT w AS i, l AS j FROM duel
+           |    UNION ALL SELECT l AS i, w AS j FROM duel) GROUP BY 1, 2),
+           |wins AS (SELECT w AS p, CAST(count(*) AS BIGINT) AS wins
+           |  FROM duel GROUP BY 1),
+           |players AS (SELECT DISTINCT i AS player FROM games),
+           |pw AS (SELECT player, coalesce(wins, 0) AS wins
+           |  FROM players LEFT JOIN wins ON player = p),
+           |s0 AS (SELECT player, CAST(1000000 AS BIGINT) AS s
+           |  FROM players),
+           |t1 AS (SELECT g.i AS player,
+           |    coalesce(sum((CAST(g.n AS HUGEINT) * 1000000000000)
+           |      // (si.s + sj.s)), 0) AS t
+           |  FROM games g JOIN s0 si ON g.i = si.player
+           |  JOIN s0 sj ON g.j = sj.player GROUP BY 1),
+           |r1 AS (SELECT pw.player, CASE WHEN t1.t > 0 THEN
+           |    (CAST(pw.wins AS HUGEINT) * 1000000000000) // t1.t
+           |    ELSE 0 END AS raw
+           |  FROM pw JOIN t1 ON pw.player = t1.player),
+           |m1 AS (SELECT max(raw) AS mx FROM r1),
+           |s1 AS (SELECT player, greatest(1, CAST((CAST(raw AS HUGEINT)
+           |    * 1000000) // m1.mx AS BIGINT)) AS s FROM r1, m1),
+           |t2 AS (SELECT g.i AS player,
+           |    coalesce(sum((CAST(g.n AS HUGEINT) * 1000000000000)
+           |      // (si.s + sj.s)), 0) AS t
+           |  FROM games g JOIN s1 si ON g.i = si.player
+           |  JOIN s1 sj ON g.j = sj.player GROUP BY 1),
+           |r2 AS (SELECT pw.player, CASE WHEN t2.t > 0 THEN
+           |    (CAST(pw.wins AS HUGEINT) * 1000000000000) // t2.t
+           |    ELSE 0 END AS raw
+           |  FROM pw JOIN t2 ON pw.player = t2.player),
+           |m2 AS (SELECT max(raw) AS mx FROM r2),
+           |s2 AS (SELECT player, greatest(1, CAST((CAST(raw AS HUGEINT)
+           |    * 1000000) // m2.mx AS BIGINT)) AS s FROM r2, m2),
+           |t3 AS (SELECT g.i AS player,
+           |    coalesce(sum((CAST(g.n AS HUGEINT) * 1000000000000)
+           |      // (si.s + sj.s)), 0) AS t
+           |  FROM games g JOIN s2 si ON g.i = si.player
+           |  JOIN s2 sj ON g.j = sj.player GROUP BY 1),
+           |r3 AS (SELECT pw.player, CASE WHEN t3.t > 0 THEN
+           |    (CAST(pw.wins AS HUGEINT) * 1000000000000) // t3.t
+           |    ELSE 0 END AS raw
+           |  FROM pw JOIN t3 ON pw.player = t3.player),
+           |m3 AS (SELECT max(raw) AS mx FROM r3),
+           |s3 AS (SELECT player, greatest(1, CAST((CAST(raw AS HUGEINT)
+           |    * 1000000) // m3.mx AS BIGINT)) AS s FROM r3, m3),
+           |gp AS (SELECT i AS player, CAST(sum(n) AS BIGINT) AS games
+           |  FROM games GROUP BY 1)
+           |SELECT pw.player, s3.s AS strength_micro, pw.wins, gp.games
+           |FROM pw JOIN s3 USING (player) JOIN gp USING (player)
+           |ORDER BY pw.player""".stripMargin)
+  )
+
   /** Zipf tail index (fully oracled): Hill MLE over the term-frequency
     * tail — exact long counts, per-term ln floor-micro-quantized and
     * summed as longs (order-free), α one IEEE division of exact
@@ -9238,7 +9378,8 @@ object Probes {
     luhnProbe, compressionProbe, psiProbe, theilSenProbe,
     columnEntropyProbe, audioLevelsProbe, mannWhitneyProbe,
     cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
-    averagePrecisionProbe, logLossProbe
+    averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
+    bradleyTerryProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -237,6 +237,66 @@ object TxnParquet {
       }
     }
 
+    /** COMPACTION: rewrite the live table into ONE fresh chunk dir (one
+      * file per date) and commit it as manifest v+1 — the small-files
+      * cure after a long run of incremental merges has scattered dates
+      * across many chunk dirs (every merge-touched date = a new dir; at
+      * 100 TB the scan's file-listing and per-file open cost grow with
+      * every commit until someone bin-packs).
+      *
+      * Runs THROUGH the commit protocol, not around it: stage to an
+      * unreferenced chunk, write manifest v+1 under a temp name, one
+      * atomic rename. A crash anywhere leaves the pre-compact table
+      * live plus one orphaned chunk (next commit's GC sweeps it);
+      * readers pinned to pre-compact versions inside the
+      * `keepManifests` window keep their snapshots byte-identically —
+      * compaction changes LAYOUT, never content, and old chunks survive
+      * until every manifest referencing them ages out. Same
+      * single-writer contract as merges (the rename token makes a racing
+      * writer fail loudly). No-op before the first commit.
+      *
+      * One file per date comes from `repartition(p_date)` — each date's
+      * rows collapse to one task before the partitioned write. Dates
+      * whose rows exceed one healthy file should stay on incremental
+      * merges (their chunk IS one dir already); this operator targets
+      * the many-small-dirs tail, the common shape after frequent small
+      * batches. */
+    def compact(spark: SparkSession): Unit = {
+      currentManifest(spark, path).foreach { case (v, dates) =>
+        val dirs = dates.values.toSeq.distinct
+        val all = spark.read.parquet(dirs.map(r => s"$path/$r"): _*)
+
+        val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
+        all
+          .repartition(col("p_date"))
+          .sortWithinPartitions(col("p_date"))
+          .withColumn("p_dir", coalesce(col("p_date").cast("string"), lit(NullKey)))
+          .write.partitionBy("p_dir").mode("errorifexists").parquet(s"$path/$chunkRel")
+
+        val (f, root) = fs(spark, path)
+        val gdir = new Path(root, "_graft")
+        val nextV = v + 1
+        val nextDates = dates.keys.map(k => k -> s"$chunkRel/p_dir=$k").toMap
+        val body = (s"v $nextV" +:
+          nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
+          .mkString("", "\n", "\n")
+        val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+
+        crashBeforeCommit() // same test seam as merge: staged, nothing live
+
+        val dst = new Path(gdir, s"manifest-$nextV.txt")
+        if (f.exists(dst) || !f.rename(tmp, dst)) {
+          f.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"TxnParquetSink: version $nextV already committed by another writer " +
+              s"($path is single-writer; coordinate or retry)")
+        }
+        gc(f, root, gdir, nextV, keepManifests)
+      }
+    }
+
     /** Post-commit sweep: drop manifests older than the kept window and
       * any chunk dir none of the kept manifests references (orphans of
       * crashed attempts included). Runs only in the committing writer —

@@ -221,4 +221,46 @@ class FusionSpec extends AnyFunSuite {
     assert(a.forall(_(2) === 937500000L))
     assert(a.forall(_(3) === 62500L)) // rest mass = 1/16
   }
+
+  test("bradleyTerry: hand MM iterations recover the 3:1 win ratio") {
+    import spark.implicits._
+    // A beats B 3x, B beats A once: MLE ratio w_A/w_B = 3
+    val duels = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("w", "l")
+    val got = Fusion.bradleyTerry(duels, col("w"), col("l"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // iter1: raw=(1.5e6, 5e5) -> (1e6, 333333); iter2+ fixed point
+    assert(got === Seq((1L, 1000000L, 3L, 4L), (2L, 333333L, 1L, 4L)))
+  }
+
+  test("bradleyTerry: symmetric record -> equal strengths; shutout floors at 1") {
+    import spark.implicits._
+    val even = Seq((1L, 2L), (2L, 1L)).toDF("w", "l")
+    val e = Fusion.bradleyTerry(even, col("w"), col("l"), 3)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(e === Seq(1000000L, 1000000L))
+    val shutout = Seq((1L, 2L), (1L, 2L)).toDF("w", "l")
+    val s = Fusion.bradleyTerry(shutout, col("w"), col("l"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the zero-win player bottoms out at the documented 1-micro floor
+    assert(s === Seq((1L, 1000000L, 2L), (2L, 1L, 0L)))
+  }
+
+  test("bradleyTerry: transitive chain orders strengths; layout-independent") {
+    import spark.implicits._
+    // a dominates b dominates c (plus one upset to connect the graph)
+    val duels = (Seq.fill(6)((1L, 2L)) ++ Seq.fill(6)((2L, 3L)) ++
+      Seq((3L, 1L)) ++ Seq.fill(2)((1L, 3L))).toDF("w", "l")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Fusion.bradleyTerry(d, col("w"), col("l"), 4)
+        .collect().map(_.toSeq).toSeq
+    val a = run(duels)
+    assert(a === run(duels.repartition(7)))
+    val strengths = a.map(_(1).asInstanceOf[Long])
+    assert(strengths(0) > strengths(1) && strengths(1) > strengths(2))
+    // self-duels and null sides are dropped, not scored
+    val noisy = duels.union(Seq((5L, 5L)).toDF("w", "l"))
+    assert(run(noisy) === a)
+  }
 }

@@ -284,4 +284,39 @@ class SamplingSpec extends AnyFunSuite {
         col("g"), col("id"), Seq(1.0), Seq("all"))
     }
   }
+
+  test("poissonBootstrap: constant corpus gives exact means and zero variance") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, 42L)).toDF("id", "v")
+    val got = Sampling.poissonBootstrap(df, col("id"), col("v"), reps = 8)
+      .collect()
+    assert(got.length === 8)
+    assert(got.map(_.getInt(0)).toSeq === (0 until 8))
+    // every replicate mean is exactly 42e6 (weights cancel), so var = 0
+    got.foreach { r =>
+      assert(r.getLong(3) === 42000000L)
+      assert(r.getLong(4) === 8L && r.getLong(5) === 42000000L)
+      assert(r.getLong(6) === 0L)
+    }
+  }
+
+  test("poissonBootstrap: deterministic, seed-sensitive, layout-independent") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.poissonBootstrap(d, col("id"), col("v"), 6, seed)
+        .collect().map(_.toSeq).toSeq
+    val a = run(df, "s1")
+    assert(a === run(df.repartition(13), "s1"))
+    assert(a !== run(df, "s2"))
+    // Poisson(1) weights: n_eff should be near n (mean weight 1)
+    val nEff = a.map(_(1).asInstanceOf[Long])
+    assert(nEff.forall(e => e > 350 && e < 650))
+    // replicate means stay inside the value range; variance non-negative
+    a.foreach { r =>
+      val m = r(3).asInstanceOf[Long]
+      assert(m >= 0L && m <= 96000000L)
+      assert(r(6).asInstanceOf[Long] >= 0L)
+    }
+  }
 }

@@ -259,4 +259,59 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(rows.length === 2)
     assert(rows.count(_.isNullAt(1)) === 1)
   }
+
+  test("compact: content identical, one chunk + one file per date, " +
+      "pinned pre-compact versions intact") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    // three merges scatter three dates across three chunk dirs
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0)), keys)
+    sink.mergeLastWins(df((2L, "2025-11-27 05:00:00", 25.0)), keys)
+    sink.mergeLastWins(df((3L, "2025-11-28 06:00:00", 30.0),
+      (1L, "2025-11-26 04:00:00", 99.0)), keys)
+    val before = snapshot(sink)
+    def chunkDirs() = new java.io.File(path, "data").listFiles()
+      .filter(_.isDirectory).toSeq
+    assert(chunkDirs().size === 3)
+
+    sink.compact(spark)
+    assert(sink.version(spark) === Some(4L))
+    assert(snapshot(sink) === before)
+    // the live manifest points every date into ONE chunk, one file each
+    val live = TxnParquet.currentManifest(spark, path).get._2
+    assert(live.values.map(_.split("/p_dir=", 2)(0)).toSet.size === 1)
+    live.values.foreach { rel =>
+      val files = new java.io.File(path, rel).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1)
+    }
+    // a reader pinned to the pre-compact version still sees its snapshot
+    assert(sink.readVersion(spark, 3L).collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).toString, r.getDouble(2))).toSet === before)
+    // vacuum to the live version: only the compacted chunk survives
+    sink.vacuum(spark, retain = 1)
+    assert(chunkDirs().size === 1)
+    assert(snapshot(sink) === before)
+  }
+
+  test("compact: crash before commit leaves the table untouched; " +
+      "empty table is a no-op") {
+    val path = tmp()
+    var arm = false
+    val sink = TxnParquetSink(path,
+      crashBeforeCommit = () => if (arm) sys.error("die mid-compact"))
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0),
+      (2L, "2025-11-27 05:00:00", 25.0)), keys)
+    val before = snapshot(sink)
+    arm = true
+    intercept[RuntimeException](sink.compact(spark))
+    arm = false
+    assert(sink.version(spark) === Some(1L))
+    assert(snapshot(sink) === before)
+    // replaying compaction after the crash succeeds (orphan swept by GC)
+    sink.compact(spark)
+    assert(sink.version(spark) === Some(2L))
+    assert(snapshot(sink) === before)
+    TxnParquetSink(tmp()).compact(spark) // empty table: must not throw
+  }
 }
