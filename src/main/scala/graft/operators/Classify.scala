@@ -1083,4 +1083,64 @@ object Classify {
       .select(col("n"), col("n_null"), col("n_clamped"), col("sum_nano"),
         col("mean_nano"))
   }
+
+  /** Benjamini–Hochberg FDR control over a battery of test p-values —
+    * the multiple-comparisons gate a monitoring pipeline needs the
+    * moment it runs drift/AB tests per slice: at α = 0.05 across 1 000
+    * slices, ~50 pure-noise alarms fire; BH picks the largest rank k
+    * with p_(k) ≤ k·α/m and accepts exactly the k smallest, bounding
+    * the EXPECTED false-discovery share at α.
+    *
+    * Entirely integer: ranks come from [[Relational.globalRank]] under
+    * the total order (p_micro asc, test asc) — the tie policy is named,
+    * not a layout accident — and the acceptance predicate is the
+    * cleared-denominator form p·m ≤ rank·α (DECIMAL(38,0)-widened
+    * products, no quotient at all on the decision path); the published
+    * per-row `threshold_micro` = (rank·α) DIV m is positive-truncating,
+    * engine-safe. Rows with NULL or out-of-[0, 10⁶] p are EXCLUDED
+    * (unrankable) and counted in `n_dropped`.
+    *
+    * The step-up subtlety is honored: `selected` is rank ≤ k_max (the
+    * LARGEST qualifying rank), so a non-qualifying p sandwiched below a
+    * qualifying one is still accepted — gated in the spec, wrong in
+    * most naive implementations.
+    *
+    * Scale posture: one globalRank range exchange + a one-row max
+    * broadcast; the battery frame is |tests|-sized throughout.
+    *
+    * Output: `test`, `p_micro`, `rank`, `n_tests`, `n_dropped` LONG,
+    * `threshold_micro` LONG, `selected` BOOLEAN — total order by rank.
+    */
+  def benjaminiHochberg(df: DataFrame, test: Column, pMicro: Column,
+                        alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val base = df.select(test.cast("string").as("test"),
+      pMicro.cast("long").as("p_micro"))
+    val dropped = base.agg(coalesce(sum(when(col("test").isNull ||
+      col("p_micro").isNull || col("p_micro") < 0L ||
+      col("p_micro") > 1000000L, 1L).otherwise(0L)), lit(0L))
+      .as("n_dropped"))
+    val ranked = Relational.globalRank(
+      base.filter(col("test").isNotNull && col("p_micro").isNotNull &&
+        col("p_micro") >= 0L && col("p_micro") <= 1000000L),
+      Seq(col("p_micro").asc, col("test").asc))
+    val m = ranked.agg(count(lit(1)).as("n_tests"))
+    val staged = ranked.crossJoin(broadcast(m))
+      .withColumn("__qual",
+        col("p_micro").cast("decimal(38,0)") * col("n_tests") <=
+          col("rank").cast("decimal(38,0)") * alphaMicro)
+    val kMax = staged
+      .agg(max(when(col("__qual"), col("rank"))).as("__kmax"))
+    staged.crossJoin(broadcast(kMax))
+      .select(col("test"), col("p_micro"), col("rank"), col("n_tests"),
+        expr(s"(CAST(rank AS DECIMAL(38,0)) * ${alphaMicro}L) DIV n_tests")
+          .as("threshold_micro"),
+        (col("__kmax").isNotNull && col("rank") <= col("__kmax"))
+          .as("selected"))
+      .crossJoin(broadcast(dropped))
+      .select(col("test"), col("p_micro"), col("rank"), col("n_tests"),
+        col("n_dropped"), col("threshold_micro"), col("selected"))
+      .orderBy(col("rank"))
+  }
 }

@@ -402,10 +402,14 @@ object Fusion {
   def bradleyTerry(duels: DataFrame, winner: Column, loser: Column,
                    iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // normalized duels persist for the round of frame-builds below —
+    // games AND wins each scan it (the graph tier's edge-cache
+    // discipline); two longs per duel, freed before returning
     val d = duels.select(winner.cast("long").as("__w"),
         loser.cast("long").as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
+      .persist()
     val games = d.select(col("__w").as("i"), col("__l").as("j"))
       .union(d.select(col("__l").as("i"), col("__w").as("j")))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
@@ -451,7 +455,7 @@ object Fusion {
         col("games"))
       .orderBy(col("player"))
       .localCheckpoint(true)
-    games.unpersist(); players.unpersist()
+    games.unpersist(); players.unpersist(); d.unpersist()
     out
   }
 }

@@ -193,4 +193,99 @@ object Survival {
         col("cum_haz_upm"), col("surv_ppm"))
       .orderBy("t")
   }
+
+  /** Log-rank (Mantel–Cox) test — "do cohorts A and B have the SAME
+    * survival curve?": the hypothesis test [[kaplanMeier]] draws the
+    * picture for. Under H₀, group A's expected events at each event
+    * time t are d_t·n1_t/n_t (its share of the risk set); the statistic
+    * accumulates observed−expected with the hypergeometric variance:
+    *
+    *   e1 at t:  (d_t·n1_t·10⁶) DIV n_t
+    *   v  at t:  (d_t·n1_t·(n_t−n1_t)·(n_t−d_t)·10⁶)
+    *               DIV (n_t²·(n_t−1))            (0 when n_t = 1)
+    *   z = (o1·10⁶ − Σe1) / (1000·√(Σv))
+    *
+    * Every per-step term is a truncating quotient of exact POSITIVE
+    * integers (DECIMAL(38,0)-widened products — n_t³-scale operands),
+    * summed order-free; z is one pinned IEEE sequence (sqrt → mul →
+    * div), NULL when Σv = 0 (no comparable event step — never ±∞).
+    *
+    * Scale posture: [[kaplanMeier]]'s exactly — one (duration)-keyed
+    * map-side-combined aggregate carrying per-GROUP event/censor
+    * counts, then both groups' at-risk suffix counts ride ONE range
+    * exchange (per-partition prefix sums + O(#partitions) broadcast
+    * offsets). Bucket continuous durations first, same contract as KM.
+    * Rows with NULL duration/side/observed are dropped (bucket upstream
+    * or gate with KM's quarantine).
+    *
+    * Output (one row): `n_a`, `n_b`, `o_a`, `o_b` LONG (subjects and
+    * observed events per side), `e_a_micro`, `var_micro` LONG,
+    * `z` DOUBLE-or-NULL.
+    */
+  def logRank(df: DataFrame, sideA: Column, duration: Column,
+              observed: Column): DataFrame = {
+    val base = df.select(sideA.cast("boolean").as("__a"),
+        duration.cast("long").as("__d"),
+        observed.cast("boolean").as("__o"))
+      .filter(col("__a").isNotNull && col("__d").isNotNull &&
+        col("__o").isNotNull)
+    val totals = base.agg(
+      coalesce(sum(when(col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(!col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_b"))
+    val perT = base.groupBy(col("__d"))
+      .agg(
+        coalesce(sum(when(col("__a") && col("__o"), 1L).otherwise(0L)),
+          lit(0L)).as("__d1"),
+        coalesce(sum(when(col("__a") && !col("__o"), 1L).otherwise(0L)),
+          lit(0L)).as("__c1"),
+        coalesce(sum(when(!col("__a") && col("__o"), 1L).otherwise(0L)),
+          lit(0L)).as("__d2"),
+        coalesce(sum(when(!col("__a") && !col("__o"), 1L).otherwise(0L)),
+          lit(0L)).as("__c2"))
+    val parted = perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wBefore = Window.partitionBy(col("__pid")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__d1") + col("__c1")), lit(0L)).as("__p1"),
+        coalesce(sum(col("__d2") + col("__c2")), lit(0L)).as("__p2"))
+      .withColumn("__off1",
+        coalesce(sum(col("__p1")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__off2",
+        coalesce(sum(col("__p2")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off1"), col("__off2"))
+    val steps = parted.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("__n1", col("n_a") - col("__off1") -
+        coalesce(sum(col("__d1") + col("__c1")).over(wBefore), lit(0L)))
+      .withColumn("__n2", col("n_b") - col("__off2") -
+        coalesce(sum(col("__d2") + col("__c2")).over(wBefore), lit(0L)))
+      .filter(col("__d1") + col("__d2") > 0L)
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+      .withColumn("__e1", expr(
+        """(CAST(__dt AS DECIMAL(38,0)) * __n1 * 1000000) DIV __n"""))
+      .withColumn("__v",
+        when(col("__n") > 1L, expr(
+          """(CAST(__dt AS DECIMAL(38,0)) * __n1 * (__n - __n1) *
+            | (__n - __dt) * 1000000)
+            | DIV (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1))"""
+            .stripMargin)).otherwise(0L))
+    steps
+      .agg(
+        coalesce(sum(col("__d1")), lit(0L)).as("o_a"),
+        coalesce(sum(col("__d2")), lit(0L)).as("o_b"),
+        coalesce(sum(col("__e1")), lit(0L)).as("e_a_micro"),
+        coalesce(sum(col("__v")), lit(0L)).as("var_micro"))
+      .crossJoin(broadcast(totals))
+      .withColumn("z",
+        when(col("var_micro") > 0L,
+          (col("o_a") * 1000000L - col("e_a_micro")).cast("double") /
+            (sqrt(col("var_micro").cast("double")) * 1000.0)))
+      .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+        col("e_a_micro"), col("var_micro"), col("z"))
+  }
 }

@@ -7957,6 +7957,129 @@ object Probes {
            |FROM agg, nn""".stripMargin)
   )
 
+  /** Log-rank test (fully oracled): do even and odd user cohorts show
+    * the same time-to-first-error curve? — q224's survival frame split
+    * into two cohorts; every e1/v term an exact HUGEINT-replayed
+    * truncating quotient, z one pinned IEEE sequence. */
+  val logRankProbe = Probe(
+    "q254_log_rank",
+    (s, d) => {
+      import graft.operators.Survival
+      val windowH = 24L
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+          col("event_type"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("__t")).as("__f"))
+      val firstErr = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+      val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+        .select(
+          (col("user_id") % 2 === 0).as("side_a"),
+          when(col("__te").isNotNull &&
+              expr("(__te - __f) DIV 3600000000") < windowH,
+            expr("(__te - __f) DIV 3600000000")).otherwise(lit(windowH))
+            .as("dur_h"),
+          (col("__te").isNotNull &&
+            expr("(__te - __f) DIV 3600000000") < windowH).as("observed"))
+      Survival.logRank(subjects, col("side_a"), col("dur_h"),
+        col("observed"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |u AS (SELECT user_id, min(t) AS f FROM e GROUP BY 1),
+           |err AS (SELECT user_id, min(t) AS te FROM e
+           |  WHERE event_type = 'error' GROUP BY 1),
+           |subj AS (SELECT user_id % 2 = 0 AS a,
+           |    CASE WHEN te IS NOT NULL AND (te - f) // 3600000000 < 24
+           |      THEN (te - f) // 3600000000 ELSE 24 END AS d,
+           |    te IS NOT NULL AND (te - f) // 3600000000 < 24 AS o
+           |  FROM u LEFT JOIN err USING (user_id)),
+           |tot AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b FROM subj),
+           |perT AS (SELECT d,
+           |    CAST(sum(CASE WHEN a AND o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS d1,
+           |    CAST(sum(CASE WHEN a AND NOT o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN NOT a AND o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS d2,
+           |    CAST(sum(CASE WHEN NOT a AND NOT o THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c2
+           |  FROM subj GROUP BY 1),
+           |r AS (SELECT *,
+           |    (SELECT n_a FROM tot) - coalesce(sum(d1 + c1) OVER (
+           |      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |      1 PRECEDING), 0) AS n1,
+           |    (SELECT n_b FROM tot) - coalesce(sum(d2 + c2) OVER (
+           |      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |      1 PRECEDING), 0) AS n2
+           |  FROM perT),
+           |st AS (SELECT d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS dt
+           |  FROM r WHERE d1 + d2 > 0),
+           |agg AS (SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o_a,
+           |    CAST(coalesce(sum(d2), 0) AS BIGINT) AS o_b,
+           |    CAST(coalesce(sum((CAST(dt AS HUGEINT) * n1 * 1000000)
+           |      // n), 0) AS BIGINT) AS e_a_micro,
+           |    CAST(coalesce(sum(CASE WHEN n > 1 THEN
+           |      (CAST(dt AS HUGEINT) * n1 * (n - n1) * (n - dt)
+           |        * 1000000) // (CAST(n AS HUGEINT) * n * (n - 1))
+           |      ELSE 0 END), 0) AS BIGINT) AS var_micro
+           |  FROM st)
+           |SELECT tot.n_a, tot.n_b, o_a, o_b, e_a_micro, var_micro,
+           |  CASE WHEN var_micro > 0 THEN
+           |    CAST(o_a * 1000000 - e_a_micro AS DOUBLE) /
+           |      (sqrt(CAST(var_micro AS DOUBLE)) * 1000.0)
+           |  END AS z
+           |FROM agg, tot""".stripMargin)
+  )
+
+  /** Benjamini–Hochberg FDR gate (fully oracled): a battery of
+    * per-(source, lang) md5 p-values with a planted low-p 'en' block —
+    * integer cleared-denominator acceptance, step-up k_max semantics. */
+  val bhProbe = Probe(
+    "q255_benjamini_hochberg",
+    (s, d) => {
+      import graft.operators.Classify
+      val cells = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(concat_ws(":", col("source"), col("lang")).as("tst"),
+          col("lang")).distinct()
+      val withP = cells
+        .withColumn("h",
+          conv(substring(md5(concat(lit("p|"), col("tst"))), 1, 15),
+            16, 10).cast("long") % 1000001L)
+        .withColumn("p",
+          when(col("lang") === "en", expr("h DIV 37")).otherwise(col("h")))
+      Classify.benjaminiHochberg(withP, col("tst"), col("p"), 50000L)
+    },
+    Some("""WITH cells AS (SELECT DISTINCT source || ':' || lang AS tst,
+           |    lang FROM documents
+           |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+           |hp AS (SELECT tst, lang,
+           |    CAST('0x' || substr(md5('p|' || tst), 1, 15) AS BIGINT)
+           |      % 1000001 AS h
+           |  FROM cells),
+           |p AS (SELECT tst, CASE WHEN lang = 'en' THEN h // 37
+           |    ELSE h END AS p FROM hp),
+           |r AS (SELECT tst, p, CAST(row_number() OVER (ORDER BY p,
+           |    tst) AS BIGINT) AS rank FROM p),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_tests FROM r),
+           |k AS (SELECT max(CASE WHEN CAST(p AS HUGEINT) * m.n_tests
+           |    <= CAST(rank AS HUGEINT) * 50000 THEN rank END) AS kmax
+           |  FROM r, m)
+           |SELECT tst AS test, p AS p_micro, rank, m.n_tests,
+           |  CAST(0 AS BIGINT) AS n_dropped,
+           |  CAST((CAST(rank AS HUGEINT) * 50000) // m.n_tests
+           |    AS BIGINT) AS threshold_micro,
+           |  k.kmax IS NOT NULL AND rank <= k.kmax AS selected
+           |FROM r, m, k ORDER BY rank""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9379,7 +9502,7 @@ object Probes {
     columnEntropyProbe, audioLevelsProbe, mannWhitneyProbe,
     cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
     averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
-    bradleyTerryProbe
+    bradleyTerryProbe, logRankProbe, bhProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1055,7 +1055,49 @@ object ScaleSweep {
         "funnel_windowed" -> (() => noop(
           Analytics.funnelWindowed(ev, col("user_id"),
             expr("unix_micros(ts)"), col("event_type"),
-            Seq("view", "click", "purchase"), 86400000000L)))
+            Seq("view", "click", "purchase"), 86400000000L))),
+        "mann_whitney" -> (() => noop(
+          Profile.mannWhitney(docs.filter(col("doc_id").isNotNull),
+            col("lang"), col("doc_id") % 2 === 0, col("n_chars")))),
+        "fleiss_kappa" -> { () =>
+          import graft.operators.Agreement
+          val votes = emb.filter(col("vec_id").isNotNull)
+            .select(col("vec_id"), col("label"),
+              explode(sequence(lit(0),
+                when(col("vec_id") % 7 === 0, 3).otherwise(2))).as("r"))
+            .withColumn("vote",
+              when(conv(substring(md5(concat_ws("|", lit("f"),
+                  col("vec_id"), col("r"))), 1, 15), 16, 10)
+                  .cast("long") % 10 < 2,
+                (col("label") + 1 + col("r")) % 10).otherwise(col("label")))
+          noop(Agreement.fleissKappa(votes, col("vec_id"), col("vote"), 3))
+        },
+        "average_precision" -> (() => noop(
+          graft.operators.Classify.averagePrecision(
+            docs.filter(col("doc_id").isNotNull), col("n_chars"),
+            col("lang") === "en", col("doc_id")))),
+        "poisson_bootstrap" -> (() => noop(
+          Sampling.poissonBootstrap(docs.filter(col("doc_id").isNotNull),
+            col("doc_id"), col("n_chars"), reps = 24, seed = "b7"))),
+        "bradley_terry_3it" -> { () =>
+          import graft.operators.Fusion
+          val l2 = li.select(col("l_orderkey").as("ok"),
+            col("l_linenumber").as("ln"), (col("l_suppkey") % 16).as("pl"),
+            col("l_extendedprice").as("px"))
+          val b = l2.select(col("ok").as("ok2"), col("ln").as("ln2"),
+            col("pl").as("pl2"), col("px").as("px2"))
+          val duels = l2.join(b,
+              col("ok") === col("ok2") && col("ln2") === col("ln") + 1)
+            .filter(col("pl") =!= col("pl2"))
+            .select(
+              when(col("px") < col("px2") ||
+                (col("px") === col("px2") && col("pl") < col("pl2")),
+                col("pl")).otherwise(col("pl2")).as("w"),
+              when(col("px") < col("px2") ||
+                (col("px") === col("px2") && col("pl") < col("pl2")),
+                col("pl2")).otherwise(col("pl")).as("l"))
+          noop(Fusion.bradleyTerry(duels, col("w"), col("l"), iters = 3))
+        }
       )
       val selected =
         if (opFilter.isEmpty) ops

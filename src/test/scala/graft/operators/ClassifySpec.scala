@@ -688,6 +688,48 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(df) === run(df.repartition(13)))
   }
 
+  test("benjaminiHochberg: hand battery — only the rank-1 alarm survives") {
+    // m=4, alpha=0.05: thresholds 12500/25000/37500/50000
+    val rows = Seq(("t1", 10000L), ("t2", 30000L), ("t3", 200000L),
+      ("t4", 900000L)).toDF("t", "p")
+    val got = Classify.benjaminiHochberg(rows, col("t"), col("p"), 50000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(5),
+        r.getBoolean(6))).toSeq
+    assert(got === Seq(("t1", 1L, 12500L, true), ("t2", 2L, 25000L, false),
+      ("t3", 3L, 37500L, false), ("t4", 4L, 50000L, false)))
+  }
+
+  test("benjaminiHochberg: step-up accepts a non-qualifying p below k_max") {
+    // rank 1 fails its own threshold but ranks 2 and 3 qualify -> ALL in
+    val rows = Seq(("a", 40000L), ("b", 60000L), ("c", 90000L))
+      .toDF("t", "p")
+    val got = Classify.benjaminiHochberg(rows, col("t"), col("p"), 100000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(6))).toSeq
+    assert(got === Seq(("a", true), ("b", true), ("c", true)))
+    // nothing qualifies -> nothing selected, no NULL booleans
+    val none = Seq(("a", 500000L), ("b", 900000L)).toDF("t", "p")
+    assert(Classify.benjaminiHochberg(none, col("t"), col("p"), 50000L)
+      .collect().forall(!_.getBoolean(6)))
+  }
+
+  test("benjaminiHochberg: invalid p-values drop visibly; ties break by name") {
+    val rows = Seq[(String, Option[Long])](("a", Some(10000L)),
+      ("z", Some(10000L)), ("bad", Some(2000000L)), ("nil", None))
+      .toDF("t", "p")
+    val got = Classify.benjaminiHochberg(rows, col("t"), col("p"), 100000L)
+      .collect()
+    assert(got.length === 2)
+    assert(got.map(_.getLong(4)).toSet === Set(2L)) // n_dropped
+    assert(got.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("a", 1L), ("z", 2L)))
+    val big = (0 until 300).map(i => (s"t$i", ((i * 37) % 1000001).toLong))
+      .toDF("t", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.benjaminiHochberg(d, col("t"), col("p"), 80000L)
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(13)))
+  }
+
   test("logLoss: pinned surprisals, clamp visibility, quarantine") {
     def nano(p: Double): Long =
       math.floor(-math.log(p) * 1e9 + 0.5).toLong

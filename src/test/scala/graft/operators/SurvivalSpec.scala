@@ -118,4 +118,58 @@ class SurvivalSpec extends AnyFunSuite {
       r(5).asInstanceOf[Long]).toMap
     ref.foreach { case (t, s) => assert(got(t) === s, s"t=$t") }
   }
+
+  test("logRank: textbook alternating-event table") {
+    // A events at 1,3; B events at 2,4 (all observed)
+    val rows = Seq((true, 1L, true), (true, 3L, true),
+      (false, 2L, true), (false, 4L, true)).toDF("a", "d", "o")
+    val got = Survival.logRank(rows, col("a"), col("d"), col("o"))
+      .collect().head
+    // per-step (e1, v): t1 (500000, 250000), t2 (333333, 222222),
+    // t3 (500000, 250000), t4 (0, 0 — risk set of one)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((2L, 2L, 2L, 2L)))
+    assert(got.getLong(4) === 1333333L && got.getLong(5) === 722222L)
+    assert(got.getDouble(6) ===
+      (2000000L - 1333333L).toDouble / (math.sqrt(722222.0) * 1000.0))
+  }
+
+  test("logRank: mirror-image cohorts score exactly 0; censoring shifts E") {
+    val sym = Seq((true, 1L, true), (true, 2L, true),
+      (false, 1L, true), (false, 2L, true)).toDF("a", "d", "o")
+    assert(Survival.logRank(sym, col("a"), col("d"), col("o"))
+      .collect().head.getDouble(6) === 0.0)
+    // censoring one A subject at t=1 shrinks A's later risk sets:
+    // t=2 (B event): e1 = 1/3; t=3 (both die): e1 = 1; O_A = 1 < 4/3
+    val cen = Seq((true, 1L, false), (true, 3L, true),
+      (false, 2L, true), (false, 3L, true)).toDF("a", "d", "o")
+    val r = Survival.logRank(cen, col("a"), col("d"), col("o"))
+      .collect().head
+    assert(r.getLong(4) === 1333333L && r.getLong(5) === 222222L)
+    assert(r.getDouble(6) < 0.0)
+  }
+
+  test("logRank: degenerate inputs give NULL z, never infinity") {
+    // no events at all
+    val none = Seq((true, 1L, false), (false, 2L, false)).toDF("a", "d", "o")
+    assert(Survival.logRank(none, col("a"), col("d"), col("o"))
+      .collect().head.isNullAt(6))
+    // one-sided cohort: O = E exactly, variance 0
+    val oneSide = Seq((true, 1L, true), (true, 2L, true)).toDF("a", "d", "o")
+    val r = Survival.logRank(oneSide, col("a"), col("d"), col("o"))
+      .collect().head
+    assert(r.getLong(4) === r.getLong(2) * 1000000L)
+    assert(r.isNullAt(6))
+  }
+
+  test("logRank: layout independence") {
+    val rows = (0 until 400).map(i =>
+      (i % 3 == 0, (i % 23).toLong + 1L, i % 5 != 0))
+    val df = rows.toDF("a", "d", "o")
+    val x = Survival.logRank(df, col("a"), col("d"), col("o"))
+      .collect().head
+    val y = Survival.logRank(df.repartition(11), col("a"), col("d"),
+      col("o")).collect().head
+    assert(x === y)
+  }
 }
