@@ -678,4 +678,54 @@ object CorpusStats {
       .select(col("n_terms"), col("x_min"), col("m_tail"),
         col("sum_ln_upm"), col("alpha"))
   }
+
+  /** Tokenizer fertility per language slice — chars/token, bytes/token
+    * and bytes/char: the numbers that size a tokenizer budget across
+    * languages (a whitespace "token" of Chinese carries ~3 UTF-8 bytes
+    * per char and several words' worth of content; a fixed token budget
+    * silently over- or under-samples languages unless these ratios are
+    * on the mixture dashboard).
+    *
+    * Tokens are the corpus convention (q21): whitespace-split,
+    * lowercased, empties dropped. All ratios are truncating ppm
+    * quotients of exact LONG sums (positive — engine-safe), NULL when
+    * the denominator is 0 (an all-whitespace slice reports NULL
+    * fertility, never a fake 0).
+    *
+    * Scale posture: one projection computing three per-doc integers +
+    * one map-side-combined aggregate per language; nothing else
+    * shuffles. NULL lang/text rows are dropped (the corpus gate
+    * upstream owns quarantine).
+    *
+    * Output: `lang`, `n_docs`, `n_tokens`, `n_chars`, `n_bytes` LONG,
+    * `chars_per_token_ppm`, `bytes_per_token_ppm`, `bytes_per_char_ppm`
+    * LONG-or-NULL — total order by lang.
+    */
+  def fertility(docs: DataFrame, lang: Column, text: Column): DataFrame = {
+    val base = docs.select(lang.cast("string").as("lang"),
+        text.cast("string").as("__t"))
+      .filter(col("lang").isNotNull && col("__t").isNotNull)
+      .select(col("lang"),
+        size(filter(split(lower(col("__t")), "\\s+"),
+          x => length(x) > 0)).cast("long").as("__tok"),
+        length(col("__t")).cast("long").as("__ch"),
+        octet_length(col("__t")).cast("long").as("__by"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__tok")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("__ch")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("__by")), lit(0L)).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        when(col("n_tokens") > 0L,
+          expr("(n_chars * 1000000L) DIV n_tokens"))
+          .as("chars_per_token_ppm"),
+        when(col("n_tokens") > 0L,
+          expr("(n_bytes * 1000000L) DIV n_tokens"))
+          .as("bytes_per_token_ppm"),
+        when(col("n_chars") > 0L,
+          expr("(n_bytes * 1000000L) DIV n_chars"))
+          .as("bytes_per_char_ppm"))
+      .orderBy(col("lang"))
+  }
 }

@@ -923,6 +923,70 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * over [[covarianceMoments]]' integer moment table — the one-vector
+    * answer to the anisotropy question that table raises ("WHICH
+    * direction is the space collapsing onto?"), and the direction a
+    * whitening/de-biasing step (all-but-the-top removal à la
+    * Arora et al.'s SIF) would subtract.
+    *
+    * Iteration stays ENTIRELY integer: u = C·v with exact
+    * DECIMAL(38,0) products, then the max-abs rescale
+    *
+    *   v'_i = sign(u_i) · ((|u_i| · 10⁶) DIV max|u|)
+    *
+    * — magnitude-only truncating quotients, so Spark DIV and DuckDB //
+    * agree even though components are SIGNED (the sign never enters a
+    * division). Leader magnitude pins at 10⁶; a zero matrix yields the
+    * zero vector, not a division error. `lambda_q2` = max|u| DIV 10⁶
+    * is the Rayleigh-style growth factor in cov_q2 units — the top
+    * eigenvalue estimate the fixed v0 = (1,…,1)·10⁶ start and `iters`
+    * rounds determine EXACTLY (deterministic, both engines replay
+    * bit-for-bit; the usual sign ambiguity of eigenvectors is resolved
+    * by that fixed start). v0 = (10⁶ + j) per dimension — the +j
+    * symmetry-breaker keeps the start from being exactly orthogonal to
+    * the top direction (the all-ones start provably stalls on, e.g., a
+    * pure (1, −1) principal axis).
+    *
+    * Scale posture: the corpus is touched ONCE, by covarianceMoments'
+    * mergeable one-pass aggregator (32 KB partials); every iteration
+    * after that is dim²-row joins against a dim-row vector — driver-
+    * scale work distributed only for uniformity. localCheckpoint per
+    * round keeps the max-consumer lineage flat (the HITS lesson).
+    *
+    * Output (dim rows): `i` LONG, `v_micro` LONG (signed, leader |·| =
+    * 10⁶), `lambda_q2` LONG (repeated — window-total convention);
+    * total order by i. */
+  def topComponent(df: DataFrame, vec: Column, dim: Int,
+                   iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val m = covarianceMoments(df, vec, dim)
+      .select(col("i"), col("j"), col("cov_q2"))
+      .localCheckpoint(true) // dim² rows; corpus scan happens HERE, once
+    var v = m.select(col("j")).distinct()
+      .select(col("j"), (lit(1000000L) + col("j")).as("s"))
+    var lastMx: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val u = m.join(v, "j")
+        .groupBy(col("i"))
+        .agg(coalesce(sum(col("cov_q2").cast("decimal(38,0)") * col("s")),
+          lit(0L).cast("decimal(38,0)")).as("__u"))
+        .localCheckpoint(true)
+      lastMx = u.agg(max(abs(col("__u"))).as("__mx"))
+      v = u.crossJoin(broadcast(lastMx))
+        .select(col("i").as("j"),
+          when(col("__mx") > 0,
+            (when(col("__u") < 0, -1L).otherwise(1L)) *
+              expr("(abs(__u) * 1000000) DIV __mx")).otherwise(0L).as("s"))
+      it += 1
+    }
+    v.select(col("j").as("i"), col("s").as("v_micro"))
+      .crossJoin(broadcast(lastMx.select(
+        coalesce(expr("__mx DIV 1000000"), lit(0L)).as("lambda_q2"))))
+      .orderBy(col("i"))
+  }
+
   def mutualPairs(knn: DataFrame, kMutual: Int = 1,
                   idCol: String = "vec_id",
                   queryIdCol: String = "query_id"): DataFrame = {

@@ -8080,6 +8080,93 @@ object Probes {
            |FROM r, m, k ORDER BY rank""".stripMargin)
   )
 
+  /** Top principal component (fully oracled): 3 power-iteration rounds
+    * over the exact integer covariance moments of the 64-dim embedding
+    * cloud — signed max-abs rescale with magnitude-only truncating
+    * quotients, every round replayed in DuckDB HUGEINT. */
+  val topComponentProbe = Probe(
+    "q256_top_component",
+    (s, d) => Similarity.topComponent(
+      Tables.embeddings(s, d), col("embedding"), dim = 64, iters = 3),
+    Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           |q AS (SELECT vec_id, g.i - 1 AS i,
+           |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000
+           |      + 0.5) AS BIGINT) AS qv
+           |  FROM v, generate_series(1, 64) g(i)),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v),
+           |s AS (SELECT i, CAST(sum(qv) AS BIGINT) AS sv FROM q
+           |  GROUP BY 1),
+           |p AS (SELECT a.i AS i, b.i AS j,
+           |    CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS sp
+           |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |c AS (SELECT p.i, p.j,
+           |    CAST((CAST(n.n_vecs AS HUGEINT) * p.sp
+           |      - CAST(si.sv AS HUGEINT) * sj.sv) // n.n_vecs
+           |      AS BIGINT) AS cov
+           |  FROM p, n JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j),
+           |v0 AS (SELECT DISTINCT j, CAST(1000000 + j AS BIGINT) AS sc
+           |  FROM c),
+           |u1 AS (SELECT c.i, sum(CAST(c.cov AS HUGEINT) * v0.sc) AS u
+           |  FROM c JOIN v0 ON c.j = v0.j GROUP BY 1),
+           |m1 AS (SELECT max(abs(u)) AS mx FROM u1),
+           |w1 AS (SELECT i AS j, CASE WHEN m1.mx > 0 THEN
+           |    (CASE WHEN u < 0 THEN -1 ELSE 1 END) *
+           |    CAST((abs(u) * 1000000) // m1.mx AS BIGINT)
+           |    ELSE 0 END AS sc FROM u1, m1),
+           |u2 AS (SELECT c.i, sum(CAST(c.cov AS HUGEINT) * w1.sc) AS u
+           |  FROM c JOIN w1 ON c.j = w1.j GROUP BY 1),
+           |m2 AS (SELECT max(abs(u)) AS mx FROM u2),
+           |w2 AS (SELECT i AS j, CASE WHEN m2.mx > 0 THEN
+           |    (CASE WHEN u < 0 THEN -1 ELSE 1 END) *
+           |    CAST((abs(u) * 1000000) // m2.mx AS BIGINT)
+           |    ELSE 0 END AS sc FROM u2, m2),
+           |u3 AS (SELECT c.i, sum(CAST(c.cov AS HUGEINT) * w2.sc) AS u
+           |  FROM c JOIN w2 ON c.j = w2.j GROUP BY 1),
+           |m3 AS (SELECT max(abs(u)) AS mx FROM u3),
+           |w3 AS (SELECT i AS j, CASE WHEN m3.mx > 0 THEN
+           |    (CASE WHEN u < 0 THEN -1 ELSE 1 END) *
+           |    CAST((abs(u) * 1000000) // m3.mx AS BIGINT)
+           |    ELSE 0 END AS sc FROM u3, m3)
+           |SELECT w3.j AS i, w3.sc AS v_micro,
+           |  CAST(coalesce(m3.mx // 1000000, 0) AS BIGINT) AS lambda_q2
+           |FROM w3, m3 ORDER BY i""".stripMargin)
+  )
+
+  /** Tokenizer fertility (fully oracled): per-language chars/token,
+    * bytes/token, bytes/char — the token-budget sizing table; exact
+    * LONG sums, truncating ppm quotients. */
+  val fertilityProbe = Probe(
+    "q257_fertility",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.fertility(Tables.documents(s, d), col("lang"),
+        col("text"))
+    },
+    Some("""WITH b AS (SELECT lang, text FROM documents
+           |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+           |t AS (SELECT lang,
+           |    CAST(len(list_filter(string_split_regex(lower(text),
+           |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS tok,
+           |    CAST(length(text) AS BIGINT) AS ch,
+           |    CAST(strlen(text) AS BIGINT) AS by FROM b),
+           |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+           |    CAST(sum(ch) AS BIGINT) AS n_chars,
+           |    CAST(sum(by) AS BIGINT) AS n_bytes FROM t GROUP BY 1)
+           |SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+           |  CASE WHEN n_tokens > 0 THEN
+           |    CAST((n_chars * 1000000) // n_tokens AS BIGINT) END
+           |    AS chars_per_token_ppm,
+           |  CASE WHEN n_tokens > 0 THEN
+           |    CAST((n_bytes * 1000000) // n_tokens AS BIGINT) END
+           |    AS bytes_per_token_ppm,
+           |  CASE WHEN n_chars > 0 THEN
+           |    CAST((n_bytes * 1000000) // n_chars AS BIGINT) END
+           |    AS bytes_per_char_ppm
+           |FROM a ORDER BY lang""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9502,7 +9589,8 @@ object Probes {
     columnEntropyProbe, audioLevelsProbe, mannWhitneyProbe,
     cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
     averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
-    bradleyTerryProbe, logRankProbe, bhProbe
+    bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
+    fertilityProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

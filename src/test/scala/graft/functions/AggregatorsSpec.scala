@@ -75,6 +75,47 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out((1L, 1L)) === 1000000000000L)
   }
 
+  test("topComponent: axis-aligned cloud pins the axis; lambda is the variance") {
+    implicit val s = spark
+    import s.implicits._
+    // all variance on dim 0: q = ±1e6, ±2e6 -> cov_q2 = (0,0)->1e13
+    val vecs = Seq(Array(1f, 0f), Array(-1f, 0f), Array(2f, 0f),
+      Array(-2f, 0f)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val out = Similarity.topComponent(vecs.toDF("id", "v"), col("v"),
+      dim = 2, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 1000000L, 10000000000000L),
+      (1L, 0L, 10000000000000L)))
+  }
+
+  test("topComponent: (1,-1) principal axis — symmetry-breaking start converges, " +
+      "lambda doubles, signs deterministic") {
+    implicit val s = spark
+    import s.implicits._
+    val vecs = Seq(Array(1f, -1f), Array(-1f, 1f), Array(2f, -2f),
+      Array(-2f, 2f)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val out = Similarity.topComponent(df, col("v"), 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // top eigenvalue of [[v,-v],[-v,v]] is 2v; iteration dynamics fix
+    // the sign: u after round 1 is (-1e13, +1e13)
+    assert(out === Seq((0L, -1000000L, 20000000000000L),
+      (1L, 1000000L, 20000000000000L)))
+    // layout independence
+    val out2 = Similarity.topComponent(df.repartition(5), col("v"), 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out2 === out)
+  }
+
+  test("topComponent: identical vectors (zero covariance) yield the zero vector") {
+    implicit val s = spark
+    import s.implicits._
+    val vecs = (0 until 5).map(i => (i.toLong, Array(0.25f, -0.75f)))
+    val out = Similarity.topComponent(vecs.toDF("id", "v"), col("v"), 2, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 0L), (0L, 0L)))
+  }
+
   test("typed Dataset view + chunker generator") {
     implicit val s = spark
     import s.implicits._

@@ -329,4 +329,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     val f = CorpusStats.zipfTailIndex(flat, xMin = 2L).collect().head
     assert(f.getLong(3) === 0L && f.isNullAt(4))
   }
+
+  test("fertility: hand ratios incl. multibyte density; whitespace slice NULLs") {
+    val docs = Seq(("en", "Hello world"), ("en", "a  b"),
+      ("zh", "你好 世界"), ("xx", "   "))
+      .toDF("lang", "text")
+    val got = CorpusStats.fertility(docs, col("lang"), col("text"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // en: 2 docs, 4 tokens, 15 chars, 15 bytes
+    assert(got("en") === Seq(2L, 4L, 15L, 15L,
+      3750000L, 3750000L, 1000000L))
+    // zh: 2 tokens, 5 chars, 13 UTF-8 bytes -> bytes/char 2.6
+    assert(got("zh") === Seq(1L, 2L, 5L, 13L,
+      2500000L, 6500000L, 2600000L))
+    // all-whitespace: 0 tokens -> per-token ratios NULL, not fake 0
+    assert(got("xx") === Seq(1L, 0L, 3L, 3L, null, null, 1000000L))
+  }
+
+  test("fertility: layout independence") {
+    val docs = (0 until 300).map(i =>
+      (s"l${i % 4}", s"w$i " * (i % 7 + 1))).toDF("lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.fertility(d, col("lang"), col("text"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(docs) === run(docs.repartition(11)))
+  }
 }
