@@ -432,6 +432,61 @@ object Analytics {
       .orderBy("from_state", "to_state")
   }
 
+  /** Conditional entropy of the next event given the current one —
+    * the one-number "how predictable are these flows" readout over
+    * [[transitionMatrix]]: H(next|cur) = Σ_s p(s)·H(next|s). Low means
+    * scripted/bot-like flows, high means exploratory; a DRIFT in it
+    * flags behavior change even when the state marginals hold still.
+    *
+    * Per transition cell the term is one pinned IEEE sequence
+    * (mutualInfo's posture), floor-nano-quantized:
+    *
+    *   term_nano = floor(−(n/n_from)·ln(n/n_from)·10⁹ + 0.5)
+    *
+    * summed per from_state into `h_nano` (order-free longs); the
+    * corpus-weighted conditional entropy is then the exact integer
+    * quotient Σ n_from·h_nano DIV N (positive — engine-safe),
+    * published on every row (window-total convention).
+    *
+    * Scale posture: [[transitionMatrix]]'s exactly — ONE entity-keyed
+    * exchange for the lag window, a states²-sized cell aggregate, and
+    * everything after rides windows over THAT frame.
+    *
+    * Output (one row per from_state): `from_state`, `n_from`,
+    * `h_nano`, `n_total`, `cond_h_nano` LONG — total order by
+    * from_state.
+    */
+  def transitionEntropy(events: DataFrame, entity: Column,
+                        order: Seq[Column], state: Column): DataFrame = {
+    val w = Window.partitionBy(col("__e")).orderBy(order: _*)
+    val cells = events
+      .withColumn("__e", entity)
+      .withColumn("__s", state.cast("string"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__prev").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_state"))
+    val perFrom = cells
+      .withColumn("n_from", sum(col("n")).over(rowTotal))
+      .withColumn("__term",
+        floor(-(col("n").cast("double") / col("n_from")) *
+          log(col("n").cast("double") / col("n_from")) * 1000000000L
+          + 0.5).cast("long"))
+      .groupBy(col("from_state"), col("n_from"))
+      .agg(coalesce(sum(col("__term")), lit(0L)).as("h_nano"))
+    val wall = Window.partitionBy()
+    perFrom
+      .withColumn("n_total",
+        coalesce(sum(col("n_from")).over(wall), lit(0L)))
+      .withColumn("cond_h_nano", expr(
+        """CAST(sum(CAST(n_from AS DECIMAL(38,0)) * h_nano)
+          |   OVER () DIV n_total AS BIGINT)""".stripMargin))
+      .select(col("from_state"), col("n_from"), col("h_nano"),
+        col("n_total"), col("cond_h_nano"))
+      .orderBy(col("from_state"))
+  }
+
   /** Share-of-parent decomposition: per (parent, child) the value
     * total, its ppm share WITHIN the parent, and the parent's ppm
     * share of the grand total — the two-level drill-down every BI

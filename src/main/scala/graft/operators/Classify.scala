@@ -1084,6 +1084,52 @@ object Classify {
         col("mean_nano"))
   }
 
+  /** Pinball (quantile) loss — the proper scoring rule for quantile
+    * forecasts: a p90 prediction is judged by under-covering 10% of the
+    * time with the right asymmetry, which MAE/MSE can't express. For
+    * quantile q (ppm) and signed error d = actual − predicted:
+    *
+    *   loss = max(q·d, (q − 10⁶)·d) DIV 10⁶
+    *
+    * — the max of the two signed products is ≥ 0 by construction, so
+    * the truncating quotient is engine-safe even though d is signed
+    * (the [[Agreement]] trunc/floor lesson applied structurally). Sums
+    * are exact (DECIMAL(38,0)-widened products), means truncating.
+    *
+    * Scale posture: one projection fans out ×|quantiles| narrow rows,
+    * then ONE map-side-combined aggregate to a |quantiles|-sized
+    * frame. NULL actual/predicted rows quarantine in `n_null`.
+    *
+    * Output (one row per quantile): `q_ppm`, `n`, `n_null`,
+    * `sum_micro`, `mean_micro` LONG — total order by q_ppm.
+    */
+  def pinballLoss(df: DataFrame, actual: Column, predicted: Column,
+                  quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q > 0L && q < 1000000L),
+      s"quantiles must be in (0, 1e6), got $quantilesPpm")
+    val base = df.select(actual.cast("long").as("__y"),
+      predicted.cast("long").as("__p"))
+    val nNull = base.agg(coalesce(sum(when(col("__y").isNull ||
+      col("__p").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"))
+    base
+      .filter(col("__y").isNotNull && col("__p").isNotNull)
+      .select(col("__y"), col("__p"),
+        explode(array(quantilesPpm.map(lit): _*)).as("q_ppm"))
+      .withColumn("__d", (col("__y") - col("__p")).cast("decimal(38,0)"))
+      .withColumn("__loss", expr(
+        "greatest(q_ppm * __d, (q_ppm - 1000000) * __d) DIV 1000000"))
+      .groupBy(col("q_ppm"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__loss")), lit(0L)).as("sum_micro"))
+      .crossJoin(broadcast(nNull))
+      .withColumn("mean_micro", when(col("n") > 0L,
+        expr("sum_micro DIV n")))
+      .select(col("q_ppm"), col("n"), col("n_null"), col("sum_micro"),
+        col("mean_micro"))
+      .orderBy(col("q_ppm"))
+  }
+
   /** Benjamini–Hochberg FDR control over a battery of test p-values —
     * the multiple-comparisons gate a monitoring pipeline needs the
     * moment it runs drift/AB tests per slice: at α = 0.05 across 1 000

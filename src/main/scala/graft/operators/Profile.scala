@@ -1013,6 +1013,77 @@ object Profile {
     * Output: `group`, `n_a`, `n_b`, `u2`, `tie_term` LONG, `z`
     * DOUBLE-or-NULL — total order by group.
     */
+  /** Spearman rank correlation per group — Pearson on MIDRANKS, the
+    * monotone-association screen that outlier-heavy columns need
+    * (Pearson q111 reads a single large doc pair as correlation;
+    * Spearman caps any row's influence at its rank). Ties get average
+    * ranks, kept integer by working in DOUBLED ranks: a tied block
+    * occupying ranks a..b has midrank (a+b)/2, so
+    *
+    *   r2 = 2·cumBefore + cnt + 1          (= 2 · midrank, exact)
+    *
+    * computed per (group, value) on the COUNTS frame (the KS/winsorize
+    * discipline — rows never sort) and joined back to rows. The moment
+    * sums are exact DECIMAL(38,0); rho is one pinned IEEE sequence
+    * num / (√denx · √deny) — `Graph.assortativity`'s exact posture,
+    * NULL when either axis is constant (never 0/0). The doubling
+    * cancels in rho (numerator and denominator each scale by 4).
+    *
+    * Scale posture: two (group, value) counts aggregates + two
+    * value-keyed join-backs + one moment aggregate — the rank maps are
+    * value-space sized. NULL x/y rows are dropped per pair (quarantine
+    * upstream); a NULL group is a REAL slice (the join-back is
+    * null-safe on group, so it ranks and correlates like any other). Moment audit columns publish as BIGINT (num ~ 4n⁴
+    * passes 2^63 near n ≈ 40k per group — the AUC-style documented
+    * bound; widen to hi/lo if that regime is ever gated).
+    *
+    * Output: `group`, `n` LONG, `num`, `den_x`, `den_y` LONG, `rho`
+    * DOUBLE-or-NULL — total order by group.
+    */
+  def spearman(df: DataFrame, group: Column, x: Column,
+               y: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rankMap(v: String): DataFrame = {
+      val counts = base.groupBy(col("group"), col(v))
+        .agg(count(lit(1)).as("__c"))
+      val wb = Window.partitionBy(col("group")).orderBy(col(v).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts.withColumn("__cum", coalesce(sum(col("__c")).over(wb), lit(0L)))
+        .select(col("group"), col(v),
+          (col("__cum") * 2L + col("__c") + 1L).as(s"__r$v"))
+    }
+    // null-safe group equality: a NULL group is a real slice here (the
+    // conformalThreshold lesson — equi-join keys silently drop it)
+    val rx = rankMap("__x").withColumnRenamed("group", "__gx")
+      .withColumnRenamed("__x", "__vx")
+    val ry = rankMap("__y").withColumnRenamed("group", "__gy")
+      .withColumnRenamed("__y", "__vy")
+    base
+      .join(rx, col("group") <=> col("__gx") && col("__x") === col("__vx"))
+      .join(ry, col("group") <=> col("__gy") && col("__y") === col("__vy"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__r__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__r__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__r__x").cast("decimal(38,0)") * col("__r__x")).as("__sxx"),
+        sum(col("__r__y").cast("decimal(38,0)") * col("__r__y")).as("__syy"),
+        sum(col("__r__x").cast("decimal(38,0)") * col("__r__y")).as("__sxy"))
+      .withColumn("__num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("rho",
+        when(col("__dx") > 0 && col("__dy") > 0,
+          col("__num").cast("double") /
+            (sqrt(col("__dx").cast("double")) *
+              sqrt(col("__dy").cast("double")))))
+      .select(col("group"), col("n"), col("__num").cast("long").as("num"),
+        col("__dx").cast("long").as("den_x"),
+        col("__dy").cast("long").as("den_y"), col("rho"))
+      .orderBy(col("group"))
+  }
+
   def mannWhitney(df: DataFrame, group: Column, sideA: Column,
                   value: Column): DataFrame = {
     val base = df.select(group.cast("string").as("group"),

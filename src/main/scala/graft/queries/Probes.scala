@@ -8167,6 +8167,118 @@ object Probes {
            |FROM a ORDER BY lang""".stripMargin)
   )
 
+  /** Pinball loss (fully oracled): a per-language truncating-mean
+    * forecaster of n_chars scored at q10/q50/q90 — signed errors,
+    * nonneg-by-construction losses, every quotient replayed. */
+  val pinballProbe = Probe(
+    "q258_pinball",
+    (s, d) => {
+      import graft.operators.Classify
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull &&
+        col("n_chars").isNotNull && col("lang").isNotNull)
+      val pred = docs.groupBy(col("lang"))
+        .agg(expr("sum(n_chars) DIV count(1)").as("pred"))
+      Classify.pinballLoss(docs.join(broadcast(pred), "lang"),
+        col("n_chars"), col("pred"), Seq(100000L, 500000L, 900000L))
+    },
+    Some("""WITH b AS (SELECT lang, n_chars FROM documents
+           |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+           |    AND lang IS NOT NULL),
+           |m AS (SELECT lang, CAST(sum(n_chars) // count(*) AS BIGINT)
+           |    AS pred FROM b GROUP BY 1),
+           |j AS (SELECT n_chars AS y, pred AS p FROM b
+           |  JOIN m USING (lang)),
+           |f AS (SELECT q.q AS q_ppm, CAST(y - p AS HUGEINT) AS d
+           |  FROM j, (VALUES (100000), (500000), (900000)) q(q)),
+           |l AS (SELECT q_ppm,
+           |    greatest(q_ppm * d, (q_ppm - 1000000) * d) // 1000000
+           |      AS loss FROM f)
+           |SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_null,
+           |  CAST(coalesce(sum(loss), 0) AS BIGINT) AS sum_micro,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST(coalesce(sum(loss), 0) // count(*) AS BIGINT) END
+           |    AS mean_micro
+           |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+
+  /** Transition conditional entropy (fully oracled): H(next|cur) over
+    * per-user event flows — q150's pair frame, pinned-ln nano terms,
+    * exact integer corpus weighting. */
+  val transitionEntropyProbe = Probe(
+    "q259_transition_entropy",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.transitionEntropy(Tables.events(s, d), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS s,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |p AS (SELECT prev AS f, s AS t, count(*) AS n FROM seq
+           |  WHERE prev IS NOT NULL AND s IS NOT NULL GROUP BY 1, 2),
+           |w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY f) AS BIGINT)
+           |    AS n_from FROM p),
+           |c AS (SELECT f, n_from,
+           |    CAST(coalesce(sum(CAST(floor(-(CAST(n AS DOUBLE)
+           |      / n_from) * ln(CAST(n AS DOUBLE) / n_from)
+           |      * 1000000000 + 0.5) AS BIGINT)), 0) AS BIGINT)
+           |      AS h_nano
+           |  FROM w GROUP BY 1, 2),
+           |t AS (SELECT *, CAST(sum(n_from) OVER () AS BIGINT)
+           |    AS n_total FROM c)
+           |SELECT f AS from_state, n_from, h_nano, n_total,
+           |  CAST(sum(CAST(n_from AS HUGEINT) * h_nano) OVER ()
+           |    // n_total AS BIGINT) AS cond_h_nano
+           |FROM t ORDER BY from_state""".stripMargin)
+  )
+
+  /** Spearman rank correlation (fully oracled): n_chars vs UTF-8 byte
+    * length per language — doubled midranks exact over the counts
+    * frame, moments in HUGEINT, rho one pinned IEEE sequence. */
+  val spearmanProbe = Probe(
+    "q260_spearman",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.spearman(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("lang"), col("n_chars"), octet_length(col("text")))
+    },
+    Some("""WITH b AS (SELECT lang AS g, n_chars AS x,
+           |    CAST(strlen(text) AS BIGINT) AS y
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL AND text IS NOT NULL),
+           |cx AS (SELECT g, x, count(*) AS c FROM b GROUP BY 1, 2),
+           |rx AS (SELECT g, x, 2 * coalesce(sum(c) OVER (
+           |    PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED
+           |    PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x FROM cx),
+           |cy AS (SELECT g, y, count(*) AS c FROM b GROUP BY 1, 2),
+           |ry AS (SELECT g, y, 2 * coalesce(sum(c) OVER (
+           |    PARTITION BY g ORDER BY y ROWS BETWEEN UNBOUNDED
+           |    PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y FROM cy),
+           |j AS (SELECT b.g, rx.r2x, ry.r2y FROM b
+           |  JOIN rx ON b.g IS NOT DISTINCT FROM rx.g AND b.x = rx.x
+           |  JOIN ry ON b.g IS NOT DISTINCT FROM ry.g AND b.y = ry.y),
+           |mo AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(r2x AS HUGEINT)) AS sx,
+           |    sum(CAST(r2y AS HUGEINT)) AS sy,
+           |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+           |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+           |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+           |  FROM j GROUP BY 1),
+           |z AS (SELECT g, n, n * sxy - sx * sy AS num,
+           |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+           |  FROM mo)
+           |SELECT g AS "group", n, CAST(num AS BIGINT) AS num,
+           |  CAST(dx AS BIGINT) AS den_x, CAST(dy AS BIGINT) AS den_y,
+           |  CASE WHEN dx > 0 AND dy > 0 THEN
+           |    CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE)) *
+           |      sqrt(CAST(dy AS DOUBLE)))
+           |  END AS rho
+           |FROM z ORDER BY "group" NULLS FIRST""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9590,7 +9702,7 @@ object Probes {
     cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
     averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
     bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
-    fertilityProbe
+    fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

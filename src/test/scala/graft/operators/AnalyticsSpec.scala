@@ -696,4 +696,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(mine === q49)
   }
+
+  test("transitionEntropy: deterministic flow scores 0; mixed flow scores ln 2") {
+    import spark.implicits._
+    // one user: a,b,a,c,a,b,a,c -> from a: {b:2, c:2}; b,c deterministic
+    val seq = Seq("a", "b", "a", "c", "a", "b", "a", "c").zipWithIndex
+      .map { case (s, i) => (1L, i.toLong, s) }
+    val df = seq.toDF("u", "t", "s")
+    val got = Analytics.transitionEntropy(df, col("u"),
+      Seq(col("t")), col("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val ln2term = math.floor(0.5 * -math.log(0.5) * 1e9 + 0.5).toLong
+    assert(got("a") === ((4L, 2L * ln2term, 7L,
+      4L * 2L * ln2term / 7L)))
+    assert(got("b")._2 === 0L && got("c")._2 === 0L)
+    assert(got.values.map(_._4).toSet.size === 1) // total repeated
+  }
+
+  test("transitionEntropy: layout independence") {
+    import spark.implicits._
+    val rows = (0 until 900).map(i =>
+      ((i % 13).toLong, i.toLong, s"s${(i * 7) % 5}"))
+    val df = rows.toDF("u", "t", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.transitionEntropy(d, col("u"), Seq(col("t")), col("s"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(df) === run(df.repartition(17)))
+  }
 }

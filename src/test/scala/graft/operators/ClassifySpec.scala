@@ -730,6 +730,26 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(big) === run(big.repartition(13)))
   }
 
+  test("pinballLoss: asymmetric penalties, exact means, quarantine") {
+    // d = +10 and d = -10 at q = 0.1 and q = 0.9
+    val rows = Seq[(Option[Long], Long)]((Some(110L), 100L),
+      (Some(90L), 100L), (None, 100L)).toDF("y", "p")
+    val got = Classify.pinballLoss(rows, col("y"), col("p"),
+      Seq(100000L, 900000L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // q=0.1: over-prediction hurts 9x more than under
+    assert(got(100000L) === ((2L, 1L, 10L, 5L)))  // 1 + 9
+    assert(got(900000L) === ((2L, 1L, 10L, 5L)))  // 9 + 1 (mirrored)
+    // perfect forecast scores exactly 0
+    val perfect = Seq((5L, 5L), (7L, 7L)).toDF("y", "p")
+    assert(Classify.pinballLoss(perfect, col("y"), col("p"), Seq(500000L))
+      .collect().head.getLong(4) === 0L)
+    intercept[IllegalArgumentException] {
+      Classify.pinballLoss(perfect, col("y"), col("p"), Seq(0L))
+    }
+  }
+
   test("logLoss: pinned surprisals, clamp visibility, quarantine") {
     def nano(p: Double): Long =
       math.floor(-math.log(p) * 1e9 + 0.5).toLong

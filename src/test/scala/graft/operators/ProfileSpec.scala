@@ -602,6 +602,66 @@ class ProfileSpec extends AnyFunSuite {
     assert(flipped.getLong(3) === a.head(3))
   }
 
+  test("spearman: monotone nonlinearity scores exactly ±1; midrank ties") {
+    import spark.implicits._
+    // y = x^3: Pearson < 1 but rank correlation is num/(√n·√n) — the
+    // pinned two-sqrt sequence, 1.0 up to one ulp (never past it)
+    def rho(r: org.apache.spark.sql.Row): Double =
+      r.getLong(2).toDouble /
+        (math.sqrt(r.getLong(3).toDouble) * math.sqrt(r.getLong(4).toDouble))
+    val cube = (1 to 5).map(i => ("g", i.toLong, (i * i * i).toLong))
+      .toDF("grp", "x", "y")
+    val rc = Profile.spearman(cube, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(rc.getLong(2) === rc.getLong(3) && rc.getLong(3) === rc.getLong(4))
+    assert(rc.getDouble(5) === rho(rc) && math.abs(rc.getDouble(5) - 1.0) < 1e-15)
+    val anti = (1 to 5).map(i => ("g", i.toLong, -(i * i * i).toLong))
+      .toDF("grp", "x", "y")
+    val ra = Profile.spearman(anti, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(ra.getDouble(5) === rho(ra) && math.abs(ra.getDouble(5) + 1.0) < 1e-15)
+    // tied x block gets the average rank: hand moments on doubled ranks
+    val tied = Seq(("g", 1L, 3L), ("g", 1L, 4L), ("g", 2L, 5L))
+      .toDF("grp", "x", "y")
+    val r = Profile.spearman(tied, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((18L, 18L, 24L)))
+    assert(r.getDouble(5) ===
+      18.0 / (math.sqrt(18.0) * math.sqrt(24.0)))
+  }
+
+  test("spearman: constant axis NULL; outlier cannot inflate; layout-proof") {
+    import spark.implicits._
+    val const = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("grp", "x", "y")
+    assert(Profile.spearman(const, col("grp"), col("x"), col("y"))
+      .collect().head.isNullAt(5))
+    // NULL group is a real slice (null-safe rank join), not a silent drop
+    val withNullG = Seq[(Option[String], Long, Long)](
+      (None, 1L, 2L), (None, 2L, 4L), (None, 3L, 6L),
+      (Some("g"), 1L, 1L)).toDF("grp", "x", "y")
+    val rows = Profile.spearman(withNullG, col("grp"), col("x"), col("y"))
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) === 3L &&
+      math.abs(rows.head.getDouble(5) - 1.0) < 1e-15)
+    // a consistent monotone outlier changes nothing: moments stay the
+    // perfect-correlation triple (num = den_x = den_y)
+    val base = (1 to 6).map(i => ("g", i.toLong, i.toLong * 2))
+    val withOutlier = (base :+ (("g", 1000000L, 99999999L)))
+      .toDF("grp", "x", "y")
+    val ro = Profile.spearman(withOutlier, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(ro.getLong(2) === ro.getLong(3) && ro.getLong(3) === ro.getLong(4))
+    assert(math.abs(ro.getDouble(5) - 1.0) < 1e-15)
+    val big = (0 until 500).map(i =>
+      (s"g${i % 3}", (i % 37).toLong, ((i * 13) % 41).toLong))
+      .toDF("grp", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.spearman(d, col("grp"), col("x"), col("y"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(13)))
+  }
+
   test("mannWhitney: textbook separation, tie credit, tie-corrected variance") {
     import spark.implicits._
     // A={1,2}, B={3,4}: no A above any B -> u2 = 0; T = 0;
