@@ -487,6 +487,72 @@ object Analytics {
       .orderBy(col("from_state"))
   }
 
+  /** CUPED variance reduction for A/B metrics (Deng–Xu–Kohavi–Walker
+    * 2013) — adjust each unit's metric by its PRE-EXPERIMENT covariate
+    * so the experiment reads signal, not the noise users brought in
+    * with them:
+    *
+    *   θ   = cov(y, x) / var(x)            (pooled)
+    *   ŷ_g = ȳ_g − θ·(x̄_g − x̄)            (per variant)
+    *
+    * The moment sums are exact DECIMAL(38,0) integers (num = n·Σxy −
+    * Σx·Σy, den = n·Σx² − (Σx)² — published BIGINT audit columns);
+    * θ and each adjusted mean are ONE pinned IEEE sequence over those
+    * exact integers (div / div / sub / mul / sub — correctly rounded,
+    * engine-identical). θ is NULL when the covariate is constant
+    * (den = 0) and the adjusted means then equal the raw means — the
+    * honest no-op, never a fake adjustment.
+    *
+    * Scale posture: ONE pass builds both the pooled moments and the
+    * per-variant sums (a variant-keyed map-side-combined aggregate +
+    * a one-row pooled rollup broadcast back); rows with a NULL
+    * variant/metric/covariate are dropped (gate upstream).
+    *
+    * Output (one row per variant): `variant`, `n`, `sum_y`, `sum_x`
+    * LONG, `num`, `den` LONG (pooled, repeated), `theta`
+    * DOUBLE-or-NULL, `mean_y`, `adj_mean` DOUBLE — total order by
+    * variant.
+    */
+  def cuped(df: DataFrame, variant: Column, metric: Column,
+            covariate: Column): DataFrame = {
+    val base = df.select(variant.cast("string").as("variant"),
+        metric.cast("long").as("__y"), covariate.cast("long").as("__x"))
+      .filter(col("variant").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+    val perVariant = base.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__y")), lit(0L)).as("sum_y"),
+        coalesce(sum(col("__x")), lit(0L)).as("sum_x"))
+    val pooled = base.agg(
+      count(lit(1)).as("__N"),
+      coalesce(sum(col("__x").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__Sx"),
+      coalesce(sum(col("__y").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__Sy"),
+      coalesce(sum(col("__x").cast("decimal(38,0)") * col("__y")),
+        lit(0L).cast("decimal(38,0)")).as("__Sxy"),
+      coalesce(sum(col("__x").cast("decimal(38,0)") * col("__x")),
+        lit(0L).cast("decimal(38,0)")).as("__Sxx"))
+      .withColumn("__num", col("__N") * col("__Sxy") - col("__Sx") * col("__Sy"))
+      .withColumn("__den", col("__N") * col("__Sxx") - col("__Sx") * col("__Sx"))
+    perVariant.crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")))
+      .withColumn("mean_y", col("sum_y").cast("double") / col("n"))
+      .withColumn("adj_mean",
+        when(col("__den") > 0,
+          col("mean_y") - col("theta") *
+            (col("sum_x").cast("double") / col("n") -
+              col("__Sx").cast("double") / col("__N")))
+          .otherwise(col("mean_y")))
+      .select(col("variant"), col("n"), col("sum_y"), col("sum_x"),
+        col("__num").cast("long").as("num"),
+        col("__den").cast("long").as("den"), col("theta"),
+        col("mean_y"), col("adj_mean"))
+      .orderBy(col("variant"))
+  }
+
   /** Share-of-parent decomposition: per (parent, child) the value
     * total, its ppm share WITHIN the parent, and the parent's ppm
     * share of the grand total — the two-level drill-down every BI

@@ -1013,6 +1013,66 @@ object Profile {
     * Output: `group`, `n_a`, `n_b`, `u2`, `tie_term` LONG, `z`
     * DOUBLE-or-NULL — total order by group.
     */
+  /** Quantile–quantile shift profile — WHERE two samples differ, not
+    * just whether ([[ksDistance]] says "different", this says "the top
+    * decile grew 40% while the median held"): for k = 1..nq the exact
+    * k/nq-quantile of each side and the signed delta.
+    *
+    * Order statistics come off the (side, value) COUNTS frame (rows
+    * never sort — the winsorize discipline): the k-th quantile is the
+    * value whose cumulative count first reaches r_k = ⌈k·n/nq⌉. Each
+    * counts row GENERATES exactly the k's it covers via integer bounds
+    *
+    *   k_lo = (cumBefore·nq) DIV n + 1,   k_hi = (cum·nq) DIV n
+    *
+    * (an in-row `sequence` explode — no range-condition join, so no
+    * NestedLoop in the plan), all arithmetic exact positive integers.
+    * A side with no rows yields NULL quantiles and deltas for every k
+    * — visible, never a fake 0.
+    *
+    * Scale posture: one (side, value) counts aggregate, one window
+    * over that frame for the cumulative, a ≤ nq-row generator per
+    * counts row, and one nq-sized pivot aggregate.
+    *
+    * Output (nq rows): `k` INT, `n_a`, `n_b`, `q_a`, `q_b`,
+    * `delta` LONG-or-NULL — total order by k.
+    */
+  def qqShift(df: DataFrame, sideA: Column, value: Column,
+              nq: Int = 10): DataFrame = {
+    require(nq >= 2, s"nq must be >= 2, got $nq")
+    val base = df.select(sideA.cast("boolean").as("__sa"),
+        value.cast("long").as("__v"))
+      .filter(col("__sa").isNotNull && col("__v").isNotNull)
+    val counts = base.groupBy(col("__sa"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wIncl = Window.partitionBy(col("__sa")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("__sa"))
+    val hits = counts
+      .withColumn("__cum", sum(col("__c")).over(wIncl))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .withColumn("__klo",
+        expr(s"((__cum - __c) * ${nq}L) DIV __n + 1L"))
+      .withColumn("__khi", expr(s"(__cum * ${nq}L) DIV __n"))
+      .filter(col("__khi") >= col("__klo"))
+      .select(col("__sa"), col("__v"), col("__n"),
+        explode(sequence(greatest(lit(1L), col("__klo")),
+          least(lit(nq.toLong), col("__khi")))).as("k"))
+    val kFrame = counts.sparkSession.range(1, nq + 1)
+      .select(col("id").cast("long").as("k"))
+    kFrame.join(hits, Seq("k"), "left_outer")
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("__sa"), col("__n"))).as("n_a"),
+        max(when(!col("__sa"), col("__n"))).as("n_b"),
+        min(when(col("__sa"), col("__v"))).as("q_a"),
+        min(when(!col("__sa"), col("__v"))).as("q_b"))
+      .withColumn("delta", col("q_b") - col("q_a"))
+      .select(col("k").cast("int").as("k"), col("n_a"), col("n_b"),
+        col("q_a"), col("q_b"), col("delta"))
+      .orderBy(col("k"))
+  }
+
   /** Spearman rank correlation per group — Pearson on MIDRANKS, the
     * monotone-association screen that outlier-heavy columns need
     * (Pearson q111 reads a single large doc pair as correlation;

@@ -367,6 +367,85 @@ object Sampling {
         col("priority"), col("rank"), col("tau"), col("w_est"))): _*)
   }
 
+  /** Post-stratification estimator — reweight a non-representative
+    * sample to known population stratum totals (the survey-sampling
+    * move a labeling/eval pipeline needs when annotation effort didn't
+    * follow the corpus mix):
+    *
+    *   post_mean = Σ_g pop_g · (Σv_g / n_g) / N_rep
+    *
+    * computed as nested truncating quotients of exact integers
+    * ((pop_g·Σv_g·10⁶) DIV n_g, summed, DIV N_rep — positive,
+    * engine-safe). N_rep is the population mass of REPRESENTED strata
+    * only: unsampled population strata cannot be estimated, so they're
+    * excluded and made VISIBLE via `pop_covered_ppm` (estimate scope)
+    * rather than silently extrapolated; sample strata missing from the
+    * population table carry NULL weights (they contribute to the naive
+    * mean but not the post-stratified one).
+    *
+    * Scale posture: one stratum-keyed map-side-combined sample
+    * aggregate, a (usually tiny) full-outer null-safe join with the
+    * population frame — NULL is a real stratum on both sides — and
+    * strata-sized windows for the rollups.
+    *
+    * Output (one row per stratum, either side): `stratum`, `n_sample`,
+    * `sum_v`, `pop_n`, `mean_micro`, `weight_ppm` LONG-or-NULL, plus
+    * window-total `naive_mean_micro`, `post_mean_micro`,
+    * `pop_covered_ppm` — total order by stratum (NULL first).
+    */
+  def postStratify(sample: DataFrame, stratum: Column, value: Column,
+                   pop: DataFrame): DataFrame = {
+    require(pop.columns.toSeq == Seq("stratum", "pop_n"),
+      s"pop frame must have columns (stratum, pop_n), got ${pop.columns.toSeq}")
+    val s = sample.select(stratum.cast("string").as("__s"),
+        value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_sample"),
+        coalesce(sum(col("__v")), lit(0L)).as("sum_v"))
+    val p = pop.select(col("stratum").cast("string").as("__p"),
+      col("pop_n").cast("long").as("pop_n"))
+    val joined = s.join(p, col("__s") <=> col("__p"), "full_outer")
+      .select(coalesce(col("__s"), col("__p")).as("stratum"),
+        col("n_sample"), col("sum_v"), col("pop_n"))
+    val wall = Window.partitionBy()
+    joined
+      .withColumn("__nTot",
+        coalesce(sum(col("n_sample")).over(wall), lit(0L)))
+      .withColumn("__vTot",
+        coalesce(sum(col("sum_v")).over(wall), lit(0L)))
+      .withColumn("__popTot",
+        coalesce(sum(col("pop_n")).over(wall), lit(0L)))
+      .withColumn("__nRep",
+        coalesce(sum(when(col("n_sample") > 0L, col("pop_n"))).over(wall),
+          lit(0L)))
+      .withColumn("__term",
+        when(col("n_sample") > 0L && col("pop_n").isNotNull, expr(
+          "(CAST(pop_n AS DECIMAL(38,0)) * sum_v * 1000000) DIV n_sample")))
+      .withColumn("__termSum",
+        coalesce(sum(col("__term")).over(wall), lit(0L)))
+      .withColumn("mean_micro",
+        when(col("n_sample") > 0L,
+          expr("(sum_v * 1000000L) DIV n_sample")))
+      .withColumn("weight_ppm",
+        when(col("n_sample") > 0L && col("pop_n").isNotNull &&
+            col("__nRep") > 0L, expr(
+          """(CAST(pop_n AS DECIMAL(38,0)) * __nTot * 1000000)
+            | DIV (CAST(__nRep AS DECIMAL(38,0)) * n_sample)"""
+            .stripMargin)))
+      .withColumn("naive_mean_micro",
+        when(col("__nTot") > 0L, expr("(__vTot * 1000000L) DIV __nTot")))
+      .withColumn("post_mean_micro",
+        when(col("__nRep") > 0L, expr("__termSum DIV __nRep")))
+      .withColumn("pop_covered_ppm",
+        when(col("__popTot") > 0L,
+          expr("(__nRep * 1000000L) DIV __popTot")))
+      .select(col("stratum"), col("n_sample"), col("sum_v"), col("pop_n"),
+        col("mean_micro"), col("weight_ppm"), col("naive_mean_micro"),
+        col("post_mean_micro"), col("pop_covered_ppm"))
+      .orderBy(col("stratum").asc_nulls_first)
+  }
+
   /** Poisson(1) cumulative-probability thresholds for the inverse-CDF
     * draw in [[poissonBootstrap]] — standard shortest-repr double
     * literals, so any engine parses the identical IEEE values. */

@@ -8279,6 +8279,143 @@ object Probes {
            |FROM z ORDER BY "group" NULLS FIRST""".stripMargin)
   )
 
+  /** CUPED adjustment (fully oracled): per-event cents metric with the
+    * event_id-derived covariate — pooled θ from exact integer moments,
+    * adjusted means one pinned IEEE sequence. */
+  val cupedProbe = Probe(
+    "q261_cuped",
+    (s, d) => {
+      import graft.operators.Analytics
+      val ev = Tables.events(s, d)
+        .filter(col("event_id").isNotNull && col("value").isNotNull)
+        .select(
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")
+            .as("variant"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"),
+          (col("event_id") % 100).as("x"))
+      Analytics.cuped(ev, col("variant"), col("y"), col("x"))
+    },
+    Some("""WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+           |      ELSE 'odd' END AS variant,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+           |    event_id % 100 AS x
+           |  FROM events WHERE event_id IS NOT NULL
+           |    AND value IS NOT NULL),
+           |pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(y) AS BIGINT) AS sum_y,
+           |    CAST(sum(x) AS BIGINT) AS sum_x FROM b GROUP BY 1),
+           |po AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+           |    sum(CAST(x AS HUGEINT)) AS sx,
+           |    sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM b),
+           |z AS (SELECT *, nn * sxy - sx * sy AS num,
+           |    nn * sxx - sx * sx AS den FROM po)
+           |SELECT variant, n, sum_y, sum_x,
+           |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) /
+           |    CAST(den AS DOUBLE) END AS theta,
+           |  CAST(sum_y AS DOUBLE) / n AS mean_y,
+           |  CASE WHEN den > 0 THEN CAST(sum_y AS DOUBLE) / n -
+           |    (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+           |    (CAST(sum_x AS DOUBLE) / n - CAST(sx AS DOUBLE) / nn)
+           |  ELSE CAST(sum_y AS DOUBLE) / n END AS adj_mean
+           |FROM pv, z ORDER BY variant""".stripMargin)
+  )
+
+  /** Post-stratification (fully oracled): documents reweighted to a
+    * fixed population mix with a pop-only ('ja') and a sample-only
+    * ('de') stratum — nested truncating quotients replayed exactly. */
+  val postStratifyProbe = Probe(
+    "q262_post_stratify",
+    (s, d) => {
+      import graft.operators.Sampling
+      val sp = s; import sp.implicits._
+      val pop = Seq(("en", 5000L), ("es", 2000L), ("fr", 1500L),
+        ("zh", 1500L), ("ja", 1000L)).toDF("stratum", "pop_n")
+      Sampling.postStratify(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("lang"), col("n_chars"), pop)
+    },
+    Some("""WITH samp AS (SELECT lang AS s, n_chars AS v FROM documents
+           |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+           |sa AS (SELECT s, CAST(count(*) AS BIGINT) AS n_sample,
+           |    CAST(sum(v) AS BIGINT) AS sum_v FROM samp GROUP BY 1),
+           |pop AS (SELECT * FROM (VALUES ('en', 5000), ('es', 2000),
+           |    ('fr', 1500), ('zh', 1500), ('ja', 1000))
+           |    p(stratum, pop_n)),
+           |j AS (SELECT coalesce(sa.s, pop.stratum) AS stratum,
+           |    sa.n_sample, sa.sum_v, CAST(pop.pop_n AS BIGINT) AS pop_n
+           |  FROM sa FULL OUTER JOIN pop
+           |    ON sa.s IS NOT DISTINCT FROM pop.stratum),
+           |t AS (SELECT *,
+           |    CAST(coalesce(sum(n_sample) OVER (), 0) AS BIGINT)
+           |      AS ntot,
+           |    CAST(coalesce(sum(sum_v) OVER (), 0) AS BIGINT) AS vtot,
+           |    CAST(coalesce(sum(pop_n) OVER (), 0) AS BIGINT)
+           |      AS poptot,
+           |    CAST(coalesce(sum(CASE WHEN n_sample > 0 THEN pop_n END)
+           |      OVER (), 0) AS BIGINT) AS nrep,
+           |    coalesce(sum(CASE WHEN n_sample > 0 AND pop_n IS NOT
+           |      NULL THEN (CAST(pop_n AS HUGEINT) * sum_v * 1000000)
+           |      // n_sample END) OVER (), 0) AS termsum
+           |  FROM j)
+           |SELECT stratum, n_sample, sum_v, pop_n,
+           |  CASE WHEN n_sample > 0 THEN
+           |    CAST((sum_v * 1000000) // n_sample AS BIGINT) END
+           |    AS mean_micro,
+           |  CASE WHEN n_sample > 0 AND pop_n IS NOT NULL AND nrep > 0
+           |    THEN CAST((CAST(pop_n AS HUGEINT) * ntot * 1000000) //
+           |      (CAST(nrep AS HUGEINT) * n_sample) AS BIGINT) END
+           |    AS weight_ppm,
+           |  CASE WHEN ntot > 0 THEN
+           |    CAST((vtot * 1000000) // ntot AS BIGINT) END
+           |    AS naive_mean_micro,
+           |  CASE WHEN nrep > 0 THEN CAST(termsum // nrep AS BIGINT)
+           |    END AS post_mean_micro,
+           |  CASE WHEN poptot > 0 THEN
+           |    CAST((nrep * 1000000) // poptot AS BIGINT) END
+           |    AS pop_covered_ppm
+           |FROM t ORDER BY stratum NULLS FIRST""".stripMargin)
+  )
+
+  /** Quantile–quantile shift (fully oracled): decile profile of
+    * n_chars, even vs odd doc ids — order statistics off the counts
+    * frame, generator-based k assignment, no range-condition join. */
+  val qqShiftProbe = Probe(
+    "q263_qq_shift",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.qqShift(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("doc_id") % 2 === 0, col("n_chars"), nq = 10)
+    },
+    Some("""WITH b AS (SELECT doc_id % 2 = 0 AS sa, n_chars AS v
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND n_chars IS NOT NULL),
+           |c AS (SELECT sa, v, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |w AS (SELECT *,
+           |    sum(cnt) OVER (PARTITION BY sa ORDER BY v ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER (PARTITION BY sa) AS n FROM c),
+           |h AS (SELECT sa, v, n, t.k AS k FROM w,
+           |    unnest(range(CAST(((cum - cnt) * 10) // n + 1 AS BIGINT),
+           |      CAST((cum * 10) // n + 1 AS BIGINT))) AS t(k)
+           |  WHERE t.k >= 1 AND t.k <= 10),
+           |ks AS (SELECT unnest(range(1, 11)) AS k),
+           |g AS (SELECT ks.k AS k,
+           |    max(CASE WHEN sa THEN n END) AS n_a,
+           |    max(CASE WHEN NOT sa THEN n END) AS n_b,
+           |    min(CASE WHEN sa THEN v END) AS q_a,
+           |    min(CASE WHEN NOT sa THEN v END) AS q_b
+           |  FROM ks LEFT JOIN h ON ks.k = h.k GROUP BY 1)
+           |SELECT CAST(k AS INT) AS k, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b, CAST(q_a AS BIGINT) AS q_a,
+           |  CAST(q_b AS BIGINT) AS q_b,
+           |  CAST(q_b - q_a AS BIGINT) AS delta
+           |FROM g ORDER BY k""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9702,7 +9839,8 @@ object Probes {
     cohenKappaProbe, fleissKappaProbe, majorityVoteProbe, mcnemarProbe,
     averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
     bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
-    fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe
+    fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe,
+    cupedProbe, postStratifyProbe, qqShiftProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -714,6 +714,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._4).toSet.size === 1) // total repeated
   }
 
+  test("cuped: hand moments — covariate imbalance shrinks the variant gap") {
+    import spark.implicits._
+    // y = x + small effect; A drew low-x users, B high-x: raw delta 25
+    val rows = Seq(("A", 110L, 10L), ("A", 120L, 20L),
+      ("B", 135L, 30L), ("B", 145L, 40L)).toDF("v", "y", "x")
+    val got = Analytics.cuped(rows, col("v"), col("y"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(4) === 2400L && got("A").getLong(5) === 2000L)
+    assert(got("A").getDouble(6) === 1.2)
+    assert(got("A").getDouble(7) === 115.0 && got("B").getDouble(7) === 140.0)
+    // adjusted: 115 − 1.2·(15−25) = 127; 140 − 1.2·(35−25) = 128
+    assert(got("A").getDouble(8) === 127.0 && got("B").getDouble(8) === 128.0)
+  }
+
+  test("cuped: constant covariate is an honest no-op; layout-proof") {
+    import spark.implicits._
+    val const = Seq(("A", 10L, 5L), ("B", 20L, 5L)).toDF("v", "y", "x")
+    val r = Analytics.cuped(const, col("v"), col("y"), col("x"))
+      .collect()
+    assert(r.forall(_.isNullAt(6)))
+    assert(r.forall(row => row.getDouble(8) === row.getDouble(7)))
+    val big = (0 until 400).map(i =>
+      (s"v${i % 2}", (i * 3 % 97).toLong, (i * 7 % 89).toLong))
+      .toDF("v", "y", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.cuped(d, col("v"), col("y"), col("x"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(13)))
+  }
+
   test("transitionEntropy: layout independence") {
     import spark.implicits._
     val rows = (0 until 900).map(i =>

@@ -662,6 +662,37 @@ class ProfileSpec extends AnyFunSuite {
     assert(run(big) === run(big.repartition(13)))
   }
 
+  test("qqShift: hand deciles on shifted uniforms; duplicate mass; empty side") {
+    import spark.implicits._
+    // A = 1..10, B = 11..20, nq=5: r_k = 2k, q_a = 2k, q_b = 2k+10
+    val rows = ((1 to 10).map(v => (true, v.toLong)) ++
+      (11 to 20).map(v => (false, v.toLong))).toDF("sa", "v")
+    val got = Profile.qqShift(rows, col("sa"), col("v"), nq = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got === (1 to 5).map(k => (k, 2L * k, 2L * k + 10L, 10L)))
+    // duplicated mass: [1,1,1,2] at nq=2 -> median 1, max 2
+    val dup = Seq((true, 1L), (true, 1L), (true, 1L), (true, 2L))
+      .toDF("sa", "v")
+    val d = Profile.qqShift(dup, col("sa"), col("v"), nq = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toSeq
+    assert(d === Seq((1, 1L), (2, 2L)))
+    // the other side is empty -> NULL q_b and delta, never fake zeros
+    val e = Profile.qqShift(dup, col("sa"), col("v"), nq = 2).collect()
+    assert(e.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("qqShift: layout independence") {
+    import spark.implicits._
+    val rows = (0 until 2000).map(i =>
+      (i % 2 == 0, ((i * 37) % 211 + (if (i % 2 == 0) 0 else 13)).toLong))
+      .toDF("sa", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.qqShift(d, col("sa"), col("v"), 10)
+        .collect().map(_.toSeq).toSeq
+    assert(run(rows) === run(rows.repartition(17)))
+  }
+
   test("mannWhitney: textbook separation, tie credit, tie-corrected variance") {
     import spark.implicits._
     // A={1,2}, B={3,4}: no A above any B -> u2 = 0; T = 0;

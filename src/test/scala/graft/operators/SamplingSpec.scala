@@ -285,6 +285,49 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("postStratify: hand reweighting incl. pop-only and sample-only strata") {
+    import spark.implicits._
+    val sample = Seq(("a", 10L), ("a", 20L), ("b", 30L), ("d", 50L))
+      .toDF("s", "v")
+    val pop = Seq(("a", 100L), ("b", 300L), ("c", 600L))
+      .toDF("stratum", "pop_n")
+    val got = Sampling.postStratify(sample, col("s"), col("v"), pop)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    // naive mean over ALL sampled rows: 110/4
+    assert(got("a").getLong(6) === 27500000L)
+    // post-stratified: (100·30e6/2 + 300·30e6/1) / 400 — d has no pop,
+    // c has no sample; N_rep = 400
+    assert(got("a").getLong(7) === 26250000L)
+    assert(got("a").getLong(8) === 400000L) // pop covered 400/1000
+    assert(got("a").getLong(5) === 500000L)  // weight (100/400)/(2/4)
+    assert(got("b").getLong(5) === 3000000L) // (300/400)/(1/4)
+    assert(got("c").isNullAt(1) && got("c").isNullAt(4) && got("c").isNullAt(5))
+    assert(got("d").isNullAt(3) && got("d").isNullAt(5))
+    intercept[IllegalArgumentException] {
+      Sampling.postStratify(sample, col("s"), col("v"),
+        pop.withColumnRenamed("pop_n", "count"))
+    }
+  }
+
+  test("postStratify: representative sample is a fixed point; layout-proof") {
+    import spark.implicits._
+    // sample shares == population shares -> post mean == naive mean
+    val sample = (0 until 200).map(i =>
+      (if (i % 4 == 0) "x" else "y", (i % 31).toLong)).toDF("s", "v")
+    val pop = Seq(("x", 250L), ("y", 750L)).toDF("stratum", "pop_n")
+    val r = Sampling.postStratify(sample, col("s"), col("v"), pop)
+      .collect().head
+    // weights are exactly 1e6 when shares line up
+    assert(Sampling.postStratify(sample, col("s"), col("v"), pop)
+      .collect().forall(_.getLong(5) === 1000000L))
+    assert(math.abs(r.getLong(7) - r.getLong(6)) <= 1L) // truncation only
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.postStratify(d, col("s"), col("v"), pop)
+        .collect().map(_.toSeq).toSeq
+    assert(run(sample) === run(sample.repartition(7)))
+  }
+
   test("poissonBootstrap: constant corpus gives exact means and zero variance") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, 42L)).toDF("id", "v")
