@@ -1130,6 +1130,80 @@ object Classify {
       .orderBy(col("q_ppm"))
   }
 
+  /** Youden-J optimal threshold — turn a scored validation set into
+    * THE operating point: the threshold maximizing J = TPR − FPR (the
+    * balanced cutoff AUC itself never picks). Decision rule: predict
+    * positive when score ≥ threshold, candidates = the distinct scores.
+    *
+    * Per candidate, TP/FP come from the cumulative class counts below
+    * each score ([[aucExact]]'s credited-rank staging on the same
+    * per-score frame); J is the difference of two positive truncating
+    * ppm quotients (deterministic — quantize-then-subtract, identical
+    * in any engine). The argmax is ONE `min(struct(−J, s))` aggregate:
+    * ties resolve to the SMALLEST threshold — a named total order, not
+    * a layout accident.
+    *
+    * Scale posture: one score-keyed map-side-combined aggregate, one
+    * range exchange for the cumulatives (globalRank discipline), one
+    * struct-min rollup. NULL score/truth rows quarantine in `n_null`.
+    *
+    * Output (one row): `n_pos`, `n_neg`, `n_null` LONG, `threshold`
+    * LONG-or-NULL (NULL when either class is empty — no trade-off
+    * exists), `tp`, `fp`, `fn`, `tn`, `j_micro` LONG-or-NULL.
+    */
+  def bestThreshold(scored: DataFrame, score: Column,
+                    truth: Column): DataFrame = {
+    val base = scored.select(score.cast("long").as("__s"),
+      truth.cast("boolean").as("__t"))
+    val nNull = base.agg(coalesce(sum(when(col("__s").isNull ||
+      col("__t").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"))
+    val perScore = base
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__s"))
+      .agg(
+        coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L)).as("__np"),
+        coalesce(sum(when(!col("__t"), 1L).otherwise(0L)), lit(0L)).as("__nn"))
+    val parted = perScore.repartitionByRange(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__np")), lit(0L)).as("__pp"),
+        coalesce(sum(col("__nn")), lit(0L)).as("__pn"))
+      .withColumn("__offp",
+        coalesce(sum(col("__pp")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offn",
+        coalesce(sum(col("__pn")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offp"), col("__offn"))
+    val totals = perScore.agg(
+      coalesce(sum(col("__np")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("__nn")), lit(0L)).as("n_neg"))
+    val wb = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scoredThresh = parted.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("__posBelow",
+        col("__offp") + coalesce(sum(col("__np")).over(wb), lit(0L)))
+      .withColumn("__negBelow",
+        col("__offn") + coalesce(sum(col("__nn")).over(wb), lit(0L)))
+      .withColumn("__tp", col("n_pos") - col("__posBelow"))
+      .withColumn("__fp", col("n_neg") - col("__negBelow"))
+      .withColumn("__j",
+        expr("(__tp * 1000000L) DIV n_pos - (__fp * 1000000L) DIV n_neg"))
+    val best = scoredThresh
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .agg(min(struct((-col("__j")).as("nj"), col("__s").as("s"),
+        col("__tp").as("tp"), col("__fp").as("fp"))).as("__b"))
+      .select(col("__b.s").as("threshold"), col("__b.tp").as("tp"),
+        col("__b.fp").as("fp"), (-col("__b.nj")).as("j_micro"))
+    totals.crossJoin(broadcast(nNull)).crossJoin(broadcast(best))
+      .select(col("n_pos"), col("n_neg"), col("n_null"), col("threshold"),
+        col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"), col("j_micro"))
+  }
+
   /** Benjamini–Hochberg FDR control over a battery of test p-values —
     * the multiple-comparisons gate a monitoring pipeline needs the
     * moment it runs drift/AB tests per slice: at α = 0.05 across 1 000

@@ -574,4 +574,48 @@ object TimeSeries {
         col("slope_median_upm"))
       .orderBy(col("group").asc)
   }
+
+  /** MASE — Mean Absolute Scaled Error (Hyndman–Koehler 2006): a
+    * forecast's MAE scaled by the naive lag-1 forecast's MAE on the
+    * SAME points, so "mase_ppm < 10⁶" literally reads "beats naive" —
+    * the unit-free backtest readout that makes per-series error
+    * comparable across series of wildly different scales.
+    *
+    * Scored points are those with a predecessor (t ≥ 2 in the `order`
+    * total order); for each, e_model = |y − ŷ| and e_naive = |y −
+    * y_prev| — exact LONG sums, then ONE positive truncating quotient:
+    *
+    *   mase_ppm = (Σ e_model · 10⁶) DIV Σ e_naive
+    *
+    * NULL when the naive baseline is perfect (Σ e_naive = 0 — a
+    * constant series scales nothing; never ±∞). Rows with NULL
+    * actual/pred drop; `order` must totally order each series (the
+    * transitionMatrix contract).
+    *
+    * Scale posture: ONE series-keyed exchange carries the lag window
+    * and the aggregate; output is series-sized.
+    *
+    * Output: `key`, `n_scored`, `sum_model_err`, `sum_naive_err` LONG,
+    * `mase_ppm` LONG-or-NULL — total order by key.
+    */
+  def mase(df: DataFrame, key: Column, order: Seq[Column], actual: Column,
+           predicted: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(order: _*)
+    df.withColumn("__k", key.cast("string"))
+      .withColumn("__y", actual.cast("long"))
+      .withColumn("__p", predicted.cast("long"))
+      .filter(col("__y").isNotNull && col("__p").isNotNull)
+      .withColumn("__prev", lag(col("__y"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        coalesce(sum(abs(col("__y") - col("__p"))), lit(0L))
+          .as("sum_model_err"),
+        coalesce(sum(abs(col("__y") - col("__prev"))), lit(0L))
+          .as("sum_naive_err"))
+      .withColumn("mase_ppm",
+        when(col("sum_naive_err") > 0L,
+          expr("(sum_model_err * 1000000L) DIV sum_naive_err")))
+      .orderBy(col("key").asc)
+  }
 }

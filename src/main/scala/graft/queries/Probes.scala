@@ -8416,6 +8416,95 @@ object Probes {
            |FROM g ORDER BY k""".stripMargin)
   )
 
+  /** MASE backtest (fully oracled): hourly per-type event-cents series
+    * scored by a lag-2 persistence model against the lag-1 naive —
+    * exact LONG error sums, one truncating quotient. */
+  val maseProbe = Probe(
+    "q264_mase",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("k"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      val series = ev.groupBy(col("k"), col("h"))
+        .agg(sum(col("c")).as("y"))
+      val wp = Window.partitionBy(col("k")).orderBy(col("h"))
+      val withPred = series.withColumn("p", lag(col("y"), 2).over(wp))
+      TimeSeries.mase(withPred, col("k"), Seq(col("h")), col("y"),
+        col("p"))
+    },
+    Some("""WITH e AS (SELECT event_type AS k,
+           |    epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+           |s AS (SELECT k, h, CAST(sum(c) AS BIGINT) AS y FROM e
+           |  GROUP BY 1, 2),
+           |w AS (SELECT *, lag(y, 2) OVER (PARTITION BY k ORDER BY h)
+           |    AS p FROM s),
+           |g AS (SELECT * FROM w WHERE y IS NOT NULL
+           |  AND p IS NOT NULL),
+           |f AS (SELECT k, y, p, lag(y, 1) OVER (PARTITION BY k
+           |    ORDER BY h) AS prev FROM g),
+           |a AS (SELECT k AS key, CAST(count(*) AS BIGINT) AS n_scored,
+           |    CAST(coalesce(sum(abs(y - p)), 0) AS BIGINT)
+           |      AS sum_model_err,
+           |    CAST(coalesce(sum(abs(y - prev)), 0) AS BIGINT)
+           |      AS sum_naive_err
+           |  FROM f WHERE prev IS NOT NULL GROUP BY 1)
+           |SELECT key, n_scored, sum_model_err, sum_naive_err,
+           |  CASE WHEN sum_naive_err > 0 THEN
+           |    CAST((sum_model_err * 1000000) // sum_naive_err
+           |      AS BIGINT) END AS mase_ppm
+           |FROM a ORDER BY key""".stripMargin)
+  )
+
+  /** Youden-J threshold (fully oracled): the q153 scored frame swept
+    * for the TPR−FPR-optimal cut — cumulative class counts, quantized
+    * J, smallest-threshold ties. */
+  val bestThresholdProbe = Probe(
+    "q265_best_threshold",
+    (s, d) => {
+      import graft.operators.Classify
+      Classify.bestThreshold(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en")
+    },
+    Some("""WITH s AS (SELECT n_chars AS sc, (lang = 'en') AS t
+           |  FROM documents WHERE n_chars IS NOT NULL
+           |    AND lang IS NOT NULL),
+           |g AS (SELECT sc,
+           |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS np,
+           |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nn
+           |  FROM s GROUP BY 1),
+           |tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           |    CAST(sum(nn) AS BIGINT) AS n_neg FROM g),
+           |c AS (SELECT sc, np, nn,
+           |    coalesce(sum(np) OVER (ORDER BY sc ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+           |    coalesce(sum(nn) OVER (ORDER BY sc ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+           |  FROM g),
+           |j AS (SELECT sc, tot.n_pos - pb AS tp, tot.n_neg - nb AS fp,
+           |    ((tot.n_pos - pb) * 1000000) // tot.n_pos -
+           |      ((tot.n_neg - nb) * 1000000) // tot.n_neg AS jm
+           |  FROM c, tot WHERE tot.n_pos > 0 AND tot.n_neg > 0),
+           |b AS (SELECT sc, tp, fp, jm FROM j
+           |  ORDER BY jm DESC, sc ASC LIMIT 1),
+           |z AS (SELECT CAST(count(*) FILTER (WHERE n_chars IS NULL
+           |    OR lang IS NULL) AS BIGINT) AS n_null FROM documents)
+           |SELECT tot.n_pos, tot.n_neg, z.n_null,
+           |  CAST(b.sc AS BIGINT) AS threshold,
+           |  CAST(b.tp AS BIGINT) AS tp, CAST(b.fp AS BIGINT) AS fp,
+           |  CAST(tot.n_pos - b.tp AS BIGINT) AS fn,
+           |  CAST(tot.n_neg - b.fp AS BIGINT) AS tn,
+           |  CAST(b.jm AS BIGINT) AS j_micro
+           |FROM tot, z, b""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9840,7 +9929,8 @@ object Probes {
     averagePrecisionProbe, logLossProbe, poissonBootstrapProbe,
     bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
     fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe,
-    cupedProbe, postStratifyProbe, qqShiftProbe
+    cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
+    bestThresholdProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -730,6 +730,39 @@ class ClassifySpec extends AnyFunSuite {
     assert(run(big) === run(big.repartition(13)))
   }
 
+  test("bestThreshold: hand ROC sweep picks the Youden point") {
+    // scores 1..5, labels n,p,n,p,p: best cut at s>=4 (TP 2, FP 0)
+    val rows = Seq((1L, false), (2L, true), (3L, false), (4L, true),
+      (5L, true)).toDF("s", "y")
+    val got = Classify.bestThreshold(rows, col("s"), col("y"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((3L, 2L, 0L)))
+    assert(got.getLong(3) === 4L)
+    assert((got.getLong(4), got.getLong(5), got.getLong(6),
+      got.getLong(7)) === ((2L, 0L, 1L, 2L)))
+    assert(got.getLong(8) === 666666L) // (2/3 - 0) in truncating ppm
+  }
+
+  test("bestThreshold: J ties resolve to the smallest threshold; " +
+      "single-class input yields NULLs") {
+    // alternating labels: J = 0 at s=1 and s=3 -> pick s=1
+    val tie = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("s", "y")
+    val t = Classify.bestThreshold(tie, col("s"), col("y")).collect().head
+    assert(t.getLong(3) === 1L && t.getLong(8) === 0L)
+    val oneClass = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val o = Classify.bestThreshold(oneClass, col("s"), col("y"))
+      .collect().head
+    assert(o.isNullAt(3) && o.isNullAt(8))
+    val big = (0 until 800).map(i => (((i * 37) % 101).toLong,
+      (i * 7) % 3 == 0)).toDF("s", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Classify.bestThreshold(d, col("s"), col("y"))
+        .collect().head.toSeq
+    assert(run(big) === run(big.repartition(13)))
+  }
+
   test("pinballLoss: asymmetric penalties, exact means, quarantine") {
     // d = +10 and d = -10 at q = 0.1 and q = 0.9
     val rows = Seq[(Option[Long], Long)]((Some(110L), 100L),

@@ -400,4 +400,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       col("v"), 10L).collect().map(r => r.getLong(1)).sum
     assert(narrow < a.map(_(1).asInstanceOf[Long]).sum)
   }
+
+  test("mase: hand errors; naive forecast scores exactly 1e6; constant NULL") {
+    import spark.implicits._
+    val rows = Seq(("k", 1L, 10L, 11L), ("k", 2L, 20L, 18L),
+      ("k", 3L, 15L, 15L), ("k", 4L, 25L, 24L)).toDF("k", "t", "y", "p")
+    val got = TimeSeries.mase(rows, col("k"), Seq(col("t")), col("y"),
+      col("p")).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((3L, 3L, 25L, 120000L)))
+    // a model that IS the naive forecast scores exactly 1.0
+    val naive = Seq(("k", 1L, 10L, 0L), ("k", 2L, 20L, 10L),
+      ("k", 3L, 15L, 20L)).toDF("k", "t", "y", "p")
+    assert(TimeSeries.mase(naive, col("k"), Seq(col("t")), col("y"),
+      col("p")).collect().head.getLong(4) === 1000000L)
+    // constant series: the naive baseline is perfect -> NULL, never inf
+    val const = Seq(("k", 1L, 5L, 4L), ("k", 2L, 5L, 4L))
+      .toDF("k", "t", "y", "p")
+    assert(TimeSeries.mase(const, col("k"), Seq(col("t")), col("y"),
+      col("p")).collect().head.isNullAt(4))
+  }
+
+  test("mase: layout independence") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (s"k${i % 5}", i.toLong,
+      ((i * 13) % 97).toLong, ((i * 7) % 89).toLong))
+      .toDF("k", "t", "y", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.mase(d, col("k"), Seq(col("t")), col("y"), col("p"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(rows) === run(rows.repartition(13)))
+  }
 }
