@@ -553,6 +553,109 @@ object Analytics {
       .orderBy(col("variant"))
   }
 
+  /** Empirical-Bayes rate shrinkage — the fix for "sort by rate" lists
+    * dominated by tiny-sample flukes (a 1/1 supplier outranking a
+    * 990/1000 one): each key's success rate shrinks toward a Beta
+    * prior in proportion to its evidence,
+    *
+    *   eb_ppm = ((s·10⁶ + α)·10⁶) DIV (t·10⁶ + α + β)
+    *
+    * with the prior given as MICRO pseudo-counts (α = 5·10⁶ reads "5
+    * pseudo-successes") — callers pick the prior explicitly; this
+    * operator refuses to hide a method-of-moments float fit inside an
+    * exact pipeline. All arithmetic positive exact integers
+    * (DECIMAL(38,0)-widened), so the RANKING the list exists for is
+    * engine-stable. As evidence t grows the estimate converges to the
+    * raw rate; at t = 1 it sits near the prior mean α/(α+β) — exactly
+    * the cold-start behavior a leaderboard needs.
+    *
+    * Scale posture: one key aggregate + [[Relational.globalRank]] on
+    * (eb desc, key asc) — a named total order for the leaderboard.
+    *
+    * Output: `key`, `trials`, `successes` LONG, `raw_ppm`
+    * LONG-or-NULL, `eb_ppm`, `rank` LONG — total order by rank.
+    */
+  def ebShrink(df: DataFrame, key: Column, success: Column,
+               alphaMicro: Long, betaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && betaMicro > 0L,
+      s"prior pseudo-counts must be positive, got ($alphaMicro, $betaMicro)")
+    val agg = df.select(key.cast("string").as("key"),
+        success.cast("boolean").as("__s"))
+      .filter(col("key").isNotNull && col("__s").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("trials"),
+        coalesce(sum(when(col("__s"), 1L).otherwise(0L)), lit(0L))
+          .as("successes"))
+      .withColumn("raw_ppm",
+        when(col("trials") > 0L,
+          expr("(successes * 1000000L) DIV trials")))
+      .withColumn("eb_ppm", expr(
+        s"""((CAST(successes AS DECIMAL(38,0)) * 1000000 + ${alphaMicro}L)
+           | * 1000000)
+           | DIV (CAST(trials AS DECIMAL(38,0)) * 1000000
+           |      + ${alphaMicro}L + ${betaMicro}L)""".stripMargin))
+    Relational.globalRank(agg,
+        Seq(col("eb_ppm").desc, col("key").asc))
+      .select(col("key"), col("trials"), col("successes"), col("raw_ppm"),
+        col("eb_ppm"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Simpson's-paradox detector — "B beats A overall, but A wins in
+    * every slice": the aggregation artifact that quietly inverts A/B
+    * readouts whenever traffic mix differs by variant. Direction is
+    * decided WITHOUT DIVISION — mean_a > mean_b ⟺ sum_a·n_b >
+    * sum_b·n_a, an exact DECIMAL(38,0) cross-product compare — so the
+    * verdict has no rounding policy at all, in either engine.
+    *
+    * Per slice: both sides' counts/sums, the slice direction
+    * (−1/0/+1), the overall direction (window-total convention), and
+    * `flipped` = the slice contradicts the aggregate (strict sign
+    * opposition; empty-side slices direction 0, never flipped).
+    *
+    * Scale posture: one (slice)-keyed map-side-combined aggregate;
+    * overall totals ride a window over the slices frame.
+    *
+    * Output: `slice`, `n_a`, `sum_a`, `n_b`, `sum_b` LONG,
+    * `dir_slice`, `dir_overall` INT, `flipped` BOOLEAN — total order
+    * by slice (NULL first; a NULL slice is a real slice).
+    */
+  def simpsonCheck(df: DataFrame, sideA: Column, slice: Column,
+                   value: Column): DataFrame = {
+    val base = df.select(sideA.cast("boolean").as("__a"),
+        slice.cast("string").as("slice"), value.cast("long").as("__v"))
+      .filter(col("__a").isNotNull && col("__v").isNotNull)
+    def dir(sa: Column, na: Column, sb: Column, nb: Column): Column = {
+      val left = sa.cast("decimal(38,0)") * nb
+      val right = sb.cast("decimal(38,0)") * na
+      when(na === 0L || nb === 0L, 0)
+        .when(left > right, 1).when(left < right, -1).otherwise(0)
+    }
+    val slices = base.groupBy(col("slice"))
+      .agg(
+        coalesce(sum(when(col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("__a"), col("__v")).otherwise(0L)), lit(0L))
+          .as("sum_a"),
+        coalesce(sum(when(!col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(!col("__a"), col("__v")).otherwise(0L)), lit(0L))
+          .as("sum_b"))
+    val wall = Window.partitionBy()
+    slices
+      .withColumn("__ta", coalesce(sum(col("n_a")).over(wall), lit(0L)))
+      .withColumn("__sa", coalesce(sum(col("sum_a")).over(wall), lit(0L)))
+      .withColumn("__tb", coalesce(sum(col("n_b")).over(wall), lit(0L)))
+      .withColumn("__sb", coalesce(sum(col("sum_b")).over(wall), lit(0L)))
+      .withColumn("dir_slice",
+        dir(col("sum_a"), col("n_a"), col("sum_b"), col("n_b")))
+      .withColumn("dir_overall",
+        dir(col("__sa"), col("__ta"), col("__sb"), col("__tb")))
+      .withColumn("flipped",
+        col("dir_slice") * col("dir_overall") === -1)
+      .select(col("slice"), col("n_a"), col("sum_a"), col("n_b"),
+        col("sum_b"), col("dir_slice"), col("dir_overall"), col("flipped"))
+      .orderBy(col("slice").asc_nulls_first)
+  }
+
   /** Share-of-parent decomposition: per (parent, child) the value
     * total, its ppm share WITHIN the parent, and the parent's ppm
     * share of the grand total — the two-level drill-down every BI

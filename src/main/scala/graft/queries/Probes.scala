@@ -8505,6 +8505,91 @@ object Probes {
            |FROM tot, z, b""".stripMargin)
   )
 
+  /** Empirical-Bayes shrinkage (fully oracled): supplier-bucket return
+    * rates shrunk toward a Beta(5, 15) prior — exact integer
+    * leaderboard, globalRank total order. */
+  val ebShrinkProbe = Probe(
+    "q266_eb_shrink",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.ebShrink(
+        Tables.lineitem(s, d).filter(col("l_suppkey").isNotNull &&
+          col("l_returnflag").isNotNull),
+        col("l_suppkey") % 50, col("l_returnflag") === "R",
+        alphaMicro = 5000000L, betaMicro = 15000000L)
+    },
+    Some("""WITH b AS (SELECT CAST(l_suppkey % 50 AS VARCHAR) AS key,
+           |    (l_returnflag = 'R') AS s
+           |  FROM lineitem WHERE l_suppkey IS NOT NULL
+           |    AND l_returnflag IS NOT NULL),
+           |a AS (SELECT key, CAST(count(*) AS BIGINT) AS trials,
+           |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS successes FROM b GROUP BY 1),
+           |e AS (SELECT *,
+           |    CAST((successes * 1000000) // trials AS BIGINT)
+           |      AS raw_ppm,
+           |    CAST(((CAST(successes AS HUGEINT) * 1000000 + 5000000)
+           |      * 1000000) // (CAST(trials AS HUGEINT) * 1000000
+           |      + 20000000) AS BIGINT) AS eb_ppm FROM a),
+           |r AS (SELECT *, CAST(row_number() OVER (ORDER BY eb_ppm
+           |    DESC, key) AS BIGINT) AS rank FROM e)
+           |SELECT key, trials, successes, raw_ppm, eb_ppm, rank
+           |FROM r ORDER BY rank""".stripMargin)
+  )
+
+  /** Simpson's-paradox scan (fully oracled): even-vs-odd user cohorts
+    * sliced by event type — direction via exact cross-product
+    * compares, zero divisions anywhere. */
+  val simpsonProbe = Probe(
+    "q267_simpson",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.simpsonCheck(
+        Tables.events(s, d).filter(col("value").isNotNull &&
+          col("user_id").isNotNull),
+        col("user_id") % 2 === 0, col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH b AS (SELECT user_id % 2 = 0 AS a,
+           |    event_type AS slice,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE value IS NOT NULL
+           |    AND user_id IS NOT NULL),
+           |s AS (SELECT slice,
+           |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(coalesce(sum(CASE WHEN a THEN v END), 0) AS BIGINT)
+           |      AS sum_a,
+           |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(coalesce(sum(CASE WHEN NOT a THEN v END), 0)
+           |      AS BIGINT) AS sum_b
+           |  FROM b GROUP BY 1),
+           |t AS (SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+           |    CAST(sum(sum_a) OVER () AS BIGINT) AS sa,
+           |    CAST(sum(n_b) OVER () AS BIGINT) AS tb,
+           |    CAST(sum(sum_b) OVER () AS BIGINT) AS sb FROM s),
+           |dd AS (SELECT *,
+           |    CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+           |      WHEN CAST(sum_a AS HUGEINT) * n_b >
+           |        CAST(sum_b AS HUGEINT) * n_a THEN 1
+           |      WHEN CAST(sum_a AS HUGEINT) * n_b <
+           |        CAST(sum_b AS HUGEINT) * n_a THEN -1 ELSE 0 END
+           |      AS dir_slice,
+           |    CASE WHEN ta = 0 OR tb = 0 THEN 0
+           |      WHEN CAST(sa AS HUGEINT) * tb >
+           |        CAST(sb AS HUGEINT) * ta THEN 1
+           |      WHEN CAST(sa AS HUGEINT) * tb <
+           |        CAST(sb AS HUGEINT) * ta THEN -1 ELSE 0 END
+           |      AS dir_overall
+           |  FROM t)
+           |SELECT slice, n_a, sum_a, n_b, sum_b,
+           |  CAST(dir_slice AS INT) AS dir_slice,
+           |  CAST(dir_overall AS INT) AS dir_overall,
+           |  dir_slice * dir_overall = -1 AS flipped
+           |FROM dd ORDER BY slice NULLS FIRST""".stripMargin)
+  )
+
   /** Poisson bootstrap (fully oracled): 24 replicate means of n_chars
     * from seeded per-row Poisson(1) weights — all replicates on one
     * scan, inverse-CDF thresholds and every quotient replayed
@@ -9930,7 +10015,7 @@ object Probes {
     bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
     fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe,
     cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
-    bestThresholdProbe
+    bestThresholdProbe, ebShrinkProbe, simpsonProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

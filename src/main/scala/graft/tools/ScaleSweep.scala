@@ -1097,7 +1097,39 @@ object ScaleSweep {
                 (col("px") === col("px2") && col("pl") < col("pl2")),
                 col("pl2")).otherwise(col("pl")).as("l"))
           noop(Fusion.bradleyTerry(duels, col("w"), col("l"), iters = 3))
-        }
+        },
+        "log_rank" -> { () =>
+          import graft.operators.Survival
+          val e2 = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+              col("event_type"))
+          val firsts = e2.groupBy(col("user_id")).agg(min(col("t")).as("f"))
+          val firstErr = e2.filter(col("event_type") === "error")
+            .groupBy(col("user_id")).agg(min(col("t")).as("te"))
+          val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+            .select((col("user_id") % 2 === 0).as("a"),
+              when(col("te").isNotNull &&
+                  expr("(te - f) DIV 3600000000") < 24L,
+                expr("(te - f) DIV 3600000000")).otherwise(lit(24L)).as("dh"),
+              (col("te").isNotNull &&
+                expr("(te - f) DIV 3600000000") < 24L).as("o"))
+          noop(Survival.logRank(subjects, col("a"), col("dh"), col("o")))
+        },
+        "spearman" -> (() => noop(
+          Profile.spearman(docs.filter(col("doc_id").isNotNull),
+            col("lang"), col("n_chars"), octet_length(col("text"))))),
+        "qq_shift" -> (() => noop(
+          Profile.qqShift(docs.filter(col("doc_id").isNotNull),
+            col("doc_id") % 2 === 0, col("n_chars"), nq = 10))),
+        "top_component" -> (() => noop(
+          Similarity.topComponent(emb, col("embedding"), dim = 64,
+            iters = 3))),
+        "transition_entropy" -> (() => noop(
+          Analytics.transitionEntropy(ev, col("user_id"),
+            Seq(col("ts"), col("event_id")), col("event_type")))),
+        "best_threshold" -> (() => noop(
+          graft.operators.Classify.bestThreshold(docs, col("n_chars"),
+            col("lang") === "en")))
       )
       val selected =
         if (opFilter.isEmpty) ops

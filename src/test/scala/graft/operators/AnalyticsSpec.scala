@@ -714,6 +714,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._4).toSet.size === 1) // total repeated
   }
 
+  test("ebShrink: small samples shrink to the prior, evidence wins out") {
+    import spark.implicits._
+    // prior: 5 pseudo-successes / 20 pseudo-trials (mean 0.25)
+    val rows = (Seq.fill(1)(("lucky", true)) ++
+      Seq.fill(990)(("solid", true)) ++ Seq.fill(10)(("solid", false)))
+      .toDF("k", "s")
+    val got = Analytics.ebShrink(rows, col("k"), col("s"),
+      alphaMicro = 5000000L, betaMicro = 15000000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // raw: lucky 1.0 beats solid 0.99 — EB inverts that
+    assert(got("lucky").getLong(3) === 1000000L)
+    assert(got("solid").getLong(3) === 990000L)
+    // lucky: (1e6+5e6)*1e6 DIV (1e6+20e6) = 285714; solid ≈ 975490
+    assert(got("lucky").getLong(4) === 6000000000000L / 21000000L)
+    assert(got("solid").getLong(4) ===
+      (990000000L + 5000000L) * 1000000L / (1000000000L + 20000000L))
+    assert(got("solid").getLong(5) === 1L && got("lucky").getLong(5) === 2L)
+    intercept[IllegalArgumentException] {
+      Analytics.ebShrink(rows, col("k"), col("s"), 0L, 1L)
+    }
+  }
+
+  test("simpsonCheck: the textbook flip is flagged, division-free") {
+    import spark.implicits._
+    // slice x: A mean 9 vs B mean 8 (A wins); slice y: A 2 vs B 1 (A
+    // wins); but A's traffic concentrates in the low-value slice:
+    // overall A = (9 + 2·9)/10 = 2.7 < B = (8·9 + 1)/10 = 7.3
+    val rows = (Seq((true, "x", 9L)) ++ Seq.fill(9)((true, "y", 2L)) ++
+      Seq.fill(9)((false, "x", 8L)) ++ Seq((false, "y", 1L)))
+      .toDF("a", "sl", "v")
+    val got = Analytics.simpsonCheck(rows, col("a"), col("sl"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getInt(5), r.getInt(6),
+        r.getBoolean(7))).toMap
+    assert(got("x") === ((1, -1, true)) && got("y") === ((1, -1, true)))
+    // a one-sided slice has direction 0 and never counts as a flip
+    val oneSided = rows.union(Seq((true, "z", 5L)).toDF("a", "sl", "v"))
+    val z = Analytics.simpsonCheck(oneSided, col("a"), col("sl"),
+      col("v")).collect().map(r => r.getString(0) -> r.getBoolean(7)).toMap
+    assert(!z("z"))
+  }
+
+  test("simpsonCheck: layout independence; exact tie is direction 0") {
+    import spark.implicits._
+    val tie = Seq((true, "t", 4L), (false, "t", 4L)).toDF("a", "sl", "v")
+    assert(Analytics.simpsonCheck(tie, col("a"), col("sl"), col("v"))
+      .collect().head.getInt(5) === 0)
+    val big = (0 until 700).map(i =>
+      (i % 3 == 0, s"s${i % 6}", ((i * 13) % 50).toLong))
+      .toDF("a", "sl", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.simpsonCheck(d, col("a"), col("sl"), col("v"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(11)))
+  }
+
   test("cuped: hand moments — covariate imbalance shrinks the variant gap") {
     import spark.implicits._
     // y = x + small effect; A drew low-x users, B high-x: raw delta 25
