@@ -176,4 +176,83 @@ object Agreement {
         expr("(__n * 1000000L) DIV n_votes").as("agreement_ppm"))
       .orderBy(col("item"))
   }
+
+  /** Krippendorff's α (nominal) — the agreement coefficient for the
+    * realistic labeling table [[cohenKappa]] and [[fleissKappa]] can't
+    * take: raters vary per item AND per-item vote counts vary (missing
+    * votes). With m_i votes on item i (d_i = ordered disagreeing pairs),
+    * n = Σ m_i pairable ratings and n_c the category totals:
+    *
+    *   α = 1 − [(n−1)·Σ_i d_i/(m_i−1)] / (n² − Σ_c n_c²)
+    *
+    * The per-item 1/(m_i−1) is the one exactness hazard (a float sum
+    * over items would be ORDER-DEPENDENT); it is cleared by `scaleL`, a
+    * caller-chosen common multiple of every expected m_i−1 (the default
+    * lcm(1..10) = 2520 covers ≤ 11 raters): each item contributes the
+    * exact integer d_i·(L DIV (m_i−1)), so
+    *
+    *   α = (L·D_e − (n−1)·D_o_scaled) / (L·D_e)
+    *
+    * is ONE IEEE division over DECIMAL(38,0)-exact integers. Items whose
+    * m_i−1 does NOT divide L (and single-vote items, which are
+    * unpairable) are EXCLUDED and counted in `n_dropped` — the
+    * [[fleissKappa]] visible-drop posture; pick L large enough that the
+    * count is 0.
+    *
+    * Scale posture: one (item, rating) counts aggregate, an item-sized
+    * rollup, category-sized totals — the corpus is touched once; no
+    * driver state (L is a static literal, so any SQL engine replays the
+    * whole computation). α is NULL when D_e = 0 (every kept rating in
+    * one category — chance explains everything; never a fake 0).
+    *
+    * Output (one row): `n_items`, `n_dropped`, `n_null`, `n_ratings`,
+    * `do_scaled`, `scale_l`, `de` LONG, `alpha` DOUBLE-or-NULL.
+    * i64 audit bound: de = n² − Σn_c² needs n ≤ ~3e9; do_scaled needs
+    * Σ d_i·L ≤ 2⁶³ — with L = 2520 that is ~10⁹ disagreeing pairs.
+    */
+  def krippendorffAlpha(votes: DataFrame, item: Column, rating: Column,
+                        scaleL: Long = 2520L): DataFrame = {
+    require(scaleL >= 1L, s"scaleL must be >= 1, got $scaleL")
+    val base = votes.select(item.cast("string").as("__i"),
+      rating.cast("string").as("__r"))
+    val nNull = base.agg(coalesce(sum(when(col("__i").isNull ||
+      col("__r").isNull, 1L).otherwise(0L)), lit(0L)).as("n_null"))
+    val nij = base
+      .filter(col("__i").isNotNull && col("__r").isNotNull)
+      .groupBy(col("__i"), col("__r"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = nij.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * (col("__n") - 1L)).as("__agree"))
+      .withColumn("__keep",
+        col("__m") >= 2L && lit(scaleL) % (col("__m") - 1L) === 0L)
+    val kept = perItem.filter(col("__keep"))
+    val dropped = perItem.agg(coalesce(sum(when(!col("__keep"), 1L)
+      .otherwise(0L)), lit(0L)).as("n_dropped"))
+    val doN = kept.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__m")), lit(0L)).as("n_ratings"),
+      coalesce(sum((col("__m") * (col("__m") - 1L) - col("__agree"))
+          .cast("decimal(38,0)") *
+          expr(s"${scaleL}L DIV (__m - 1L)")),
+        lit(0L).cast("decimal(38,0)")).as("__do"))
+    val de = nij.join(kept.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__r"))
+      .agg(sum(col("__n")).as("__nc"))
+      .agg(coalesce(sum(col("__nc").cast("decimal(38,0)") * col("__nc")),
+        lit(0L).cast("decimal(38,0)")).as("__sumsq"))
+    doN.crossJoin(de).crossJoin(dropped).crossJoin(nNull)
+      .withColumn("__de",
+        col("n_ratings").cast("decimal(38,0)") * col("n_ratings") -
+          col("__sumsq"))
+      .withColumn("__num",
+        col("__de") * scaleL - (col("n_ratings") - 1L) * col("__do"))
+      .withColumn("__den", col("__de") * scaleL)
+      .withColumn("alpha",
+        when(col("__den") > lit(0L).cast("decimal(38,0)"),
+          col("__num").cast("double") / col("__den").cast("double")))
+      .select(col("n_items"), col("n_dropped"), col("n_null"),
+        col("n_ratings"), col("__do").cast("long").as("do_scaled"),
+        lit(scaleL).as("scale_l"), col("__de").cast("long").as("de"),
+        col("alpha"))
+  }
 }

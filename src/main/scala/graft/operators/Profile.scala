@@ -1186,4 +1186,92 @@ object Profile {
         col("__tie").cast("long").as("tie_term"), col("z"))
       .orderBy(col("group").asc)
   }
+
+  /** Kendall's τ-b per group — concordance-based rank association, the
+    * third leg of the correlation triad (Pearson q111 reads magnitudes,
+    * Spearman q260 reads ranks; τ reads PAIR ORDERINGS, so it is the one
+    * with a direct probabilistic meaning: P(concordant) − P(discordant),
+    * tie-adjusted). The robust choice when the series are short and
+    * tie-heavy — exactly the per-key daily-rollup frames it is meant for.
+    *
+    * Every count is exact: pairs are enumerated on the (x, y) CELLS
+    * frame (V distinct cells → V² cell pairs weighted by c₁·c₂ — rows
+    * never pair), tie terms n₁ = Σ t(t−1)/2 come straight from the x/y
+    * MARGINAL counts (no pair join at all), and
+    *
+    *   τ_b = (C − D) / (√(n₀−n₁) · √(n₀−n₂)),   n₀ = n(n−1)/2
+    *
+    * is ONE pinned IEEE sequence over BIGINT-published integers
+    * ([[spearman]]'s posture), NULL when either axis is constant.
+    *
+    * Scale posture: the cell pair join is EQUI on the null-safe group
+    * key (a NULL group is a real slice) with the lexicographic (x, y)
+    * dedup as a post-join filter — SortMergeJoin, never NestedLoop; cost
+    * is Σ V_g² per group, so feed SERIES-SIZED frames (daily/hourly
+    * rollups — the [[TimeSeries.changepoint]] contract), not raw rows:
+    * quantize first if V_g is unbounded.
+    *
+    * Output: `group`, `n`, `conc`, `disc`, `tie_x`, `tie_y` LONG,
+    * `tau` DOUBLE-or-NULL — total order by group.
+    */
+  def kendallTau(df: DataFrame, group: Column, x: Column,
+                 y: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy(col("group"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    def tiePairs(v: String): DataFrame =
+      base.groupBy(col("group"), col(v)).agg(count(lit(1)).as("__t"))
+        .groupBy(col("group"))
+        .agg(coalesce(sum(expr(
+            "CAST(__t AS DECIMAL(38,0)) * (__t - 1) DIV 2")),
+          lit(0).cast("decimal(38,0)")).as(s"__tie$v"))
+    val a = cells.select(col("group").as("__ga"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca"))
+    val b = cells.select(col("group").as("__gb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb"))
+    val pairs = a.join(b, col("__ga") <=> col("__gb") &&
+        (col("__xa") < col("__xb") ||
+          (col("__xa") === col("__xb") && col("__ya") < col("__yb"))))
+      .withColumn("__w", col("__ca").cast("decimal(38,0)") * col("__cb"))
+      // the lexicographic dedup guarantees __xa <= __xb, so a pair is
+      // concordant iff both axes strictly rise, discordant iff x rises
+      // while y falls — pure integer predicates, no float sign
+      .groupBy(col("__ga").as("group"))
+      .agg(
+        coalesce(sum(when(col("__xa") < col("__xb") &&
+            col("__ya") < col("__yb"), col("__w"))),
+          lit(0).cast("decimal(38,0)")).as("__conc"),
+        coalesce(sum(when(col("__xa") < col("__xb") &&
+            col("__ya") > col("__yb"), col("__w"))),
+          lit(0).cast("decimal(38,0)")).as("__disc"))
+    val totals = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
+      .withColumn("__n0",
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2"))
+    totals
+      .join(tiePairs("__x").withColumnRenamed("group", "__gx"),
+        col("group") <=> col("__gx"), "left_outer")
+      .join(tiePairs("__y").withColumnRenamed("group", "__gy"),
+        col("group") <=> col("__gy"), "left_outer")
+      .join(pairs.withColumnRenamed("group", "__gp"),
+        col("group") <=> col("__gp"), "left_outer")
+      .withColumn("__c", coalesce(col("__conc"),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("__d", coalesce(col("__disc"),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("__dx", col("__n0") - col("__tie__x"))
+      .withColumn("__dy", col("__n0") - col("__tie__y"))
+      .withColumn("tau",
+        when(col("__dx") > 0 && col("__dy") > 0,
+          (col("__c") - col("__d")).cast("double") /
+            (sqrt(col("__dx").cast("double")) *
+              sqrt(col("__dy").cast("double")))))
+      .select(col("group"), col("n"),
+        col("__c").cast("long").as("conc"),
+        col("__d").cast("long").as("disc"),
+        col("__tie__x").cast("long").as("tie_x"),
+        col("__tie__y").cast("long").as("tie_y"), col("tau"))
+      .orderBy(col("group").asc_nulls_first)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality validation (the Deequ pattern, Spark-first):
@@ -207,6 +208,101 @@ object Quality {
     df.join(sizes, cond, "left")
       .drop(quasi.map(c => s"__q_$c"): _*)
       .withColumn("suppress", col("l_distinct") < l)
+  }
+
+  /** t-closeness audit — the third privacy gate (Li/Li/Venkatasubramanian
+    * '07): a class can be k-large and l-diverse yet still leak when its
+    * SENSITIVE-value distribution differs sharply from the corpus-wide
+    * one ("this zip code's salaries are all in the top decile"). For an
+    * ORDERED sensitive attribute the distance is the Earth Mover's
+    * Distance with unit ground distance — in cumulative form, with k
+    * distinct global values v₁<…<v_k:
+    *
+    *   t = (1/(k−1)) Σ_j |CumP_class(v_j) − CumP_global(v_j)|
+    *
+    * Exact integers end-to-end: the inner |·| clears to
+    * |cumc_j·N − cumg_j·n_class| (DECIMAL(38,0)), and t publishes as the
+    * truncating `t_ppm` = (10⁶·Σ) DIV ((k−1)·n_class·N) — positive, so
+    * trunc ≡ floor cross-engine. Quantize an unbounded-cardinality
+    * attribute first (deciles/buckets): cost and meaning both want a
+    * bounded value grid.
+    *
+    * Scale posture: rows collapse to a global value-counts frame and a
+    * (class, value) counts frame in one pass each; the evaluation grid
+    * is classes × values (BOTH aggregate-sized — the one documented
+    * cross join, same posture as the q50 pair generator), cumulated by
+    * a per-class window over the value order. NULL sensitive values are
+    * EXCLUDED from the distribution (and counted per class); NULL quasi
+    * values form their own class.
+    *
+    * Output per class: quasi cols, `n` (non-null sensitive rows),
+    * `n_null_sensitive`, `emd_num` (= Σ|·| audit, LONG), `t_ppm` LONG,
+    * `breach` BOOLEAN (t_ppm > tMaxPpm) — total order by quasi cols.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: Column,
+                 tMaxPpm: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(tMaxPpm >= 0L, s"tMaxPpm must be >= 0, got $tMaxPpm")
+    val base = df.select(quasi.map(col) :+
+      sensitive.cast("long").as("__v"): _*)
+    val perClass = base.groupBy(quasi.map(col): _*)
+      .agg(coalesce(sum(when(col("__v").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n"),
+        coalesce(sum(when(col("__v").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null_sensitive"))
+    val gCounts = base.filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
+    val wVal = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // global cum frame: O(#values) rows — the tiny single-partition
+    // window is over THAT frame, never rows
+    val gCum = gCounts
+      .withColumn("__cumg", sum(col("__cg")).over(wVal))
+      .withColumn("__nn", sum(col("__cg")).over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .select(col("__v"), col("__cumg"), col("__nn"), col("__k"))
+    val cCounts = base.filter(col("__v").isNotNull)
+      .groupBy(quasi.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cc"))
+      .select(quasi.map(c => col(c).as(s"__q_$c")) :+
+        col("__v").as("__cv") :+ col("__cc"): _*)
+    // classes × values grid — both frames aggregate-sized by contract
+    val grid = perClass.filter(col("n") > 0L).crossJoin(gCum)
+      .join(cCounts,
+        quasi.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _) &&
+          col("__v") === col("__cv"), "left_outer")
+      .drop(quasi.map(c => s"__q_$c"): _*)
+    val wClass = Window.partitionBy(quasi.map(col): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summed = grid
+      .withColumn("__cumc",
+        coalesce(sum(col("__cc")).over(wClass), lit(0L)))
+      .withColumn("__term",
+        abs(col("__cumc").cast("decimal(38,0)") * col("__nn") -
+          col("__cumg").cast("decimal(38,0)") * col("n")))
+      .groupBy((quasi.map(col) :+ col("n") :+ col("n_null_sensitive") :+
+        col("__nn") :+ col("__k")).map(c => c): _*)
+      .agg(sum(col("__term")).as("__emd"))
+    val zeroClasses = perClass.filter(col("n") === 0L)
+      .withColumn("emd_num", lit(null).cast("long"))
+      .withColumn("t_ppm", lit(null).cast("long"))
+      .withColumn("breach", lit(false))
+      .select(quasi.map(col) :+ col("n") :+ col("n_null_sensitive") :+
+        col("emd_num") :+ col("t_ppm") :+ col("breach"): _*)
+    summed
+      .withColumn("t_ppm",
+        when(col("__k") > 1L,
+          expr("CAST((__emd * 1000000) DIV " +
+            "((__k - 1) * CAST(n AS DECIMAL(38,0)) * __nn) AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("breach", col("t_ppm") > tMaxPpm)
+      .select(quasi.map(col) :+ col("n") :+ col("n_null_sensitive") :+
+        col("__emd").cast("long").as("emd_num") :+ col("t_ppm") :+
+        col("breach"): _*)
+      .unionByName(zeroClasses)
+      .orderBy(quasi.map(c => col(c).asc_nulls_first): _*)
   }
 
   /** Per-row curation gate report — the "why was this document dropped"

@@ -429,4 +429,56 @@ object Relational {
       .withColumn("rank", col("__offset") + row_number().over(w))
       .drop("__pid", "__offset")
   }
+
+  /** Interval OVERLAP join — all (left, right) pairs sharing a key whose
+    * closed intervals intersect (`l_start ≤ r_end AND r_start ≤ l_end`),
+    * WITHOUT the BroadcastNestedLoopJoin a naive range predicate plans
+    * to. The classic genomics/telemetry binning trick: each interval
+    * explodes into the fixed-width time buckets it covers, the join is
+    * EQUI on (key, bucket), and each surviving pair is emitted EXACTLY
+    * once because the match is pinned to the single bucket containing
+    * `greatest(l_start, r_start)` — that instant lies inside both
+    * intervals whenever they overlap, so no post-join `distinct` (and
+    * its full-pair shuffle) is ever needed. Non-overlapping same-bucket
+    * candidates die on the overlap predicate.
+    *
+    * Scale posture: fanout per row is `span DIV bucketUs + 1` — pick
+    * `bucketUs` near the typical span so the explode is O(1) per
+    * interval; the join is a plain shuffled equi-join on (key, bucket),
+    * so AQE's skew-join split handles hot buckets. Malformed intervals
+    * (null bounds, end < start) are dropped, never clamped. Touching
+    * intervals (l_end = r_start) DO match, with `overlap_us` 0 — closed
+    * intervals; callers wanting open semantics filter `overlap_us > 0`.
+    *
+    * Output: `key`, `l_id`, `r_id`, `l_start_us`, `l_end_us`,
+    * `r_start_us`, `r_end_us`, `overlap_us` LONG — total order
+    * (key, l_id, r_id).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lKey: Column, lId: Column, lStart: Column, lEnd: Column,
+                  rKey: Column, rId: Column, rStart: Column, rEnd: Column,
+                  bucketUs: Long): DataFrame = {
+    require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    def side(df: DataFrame, k: Column, id: Column, s: Column, e: Column,
+             p: String): DataFrame =
+      df.select(k.cast("long").as(s"${p}k"), id.cast("long").as(s"${p}id"),
+          s.cast("long").as(s"${p}s"), e.cast("long").as(s"${p}e"))
+        .filter(col(s"${p}k").isNotNull && col(s"${p}id").isNotNull &&
+          col(s"${p}s").isNotNull && col(s"${p}e").isNotNull &&
+          col(s"${p}e") >= col(s"${p}s"))
+        .withColumn("__b", explode(sequence(
+          expr(s"${p}s DIV ${bucketUs}L"), expr(s"${p}e DIV ${bucketUs}L"))))
+    val l = side(left, lKey, lId, lStart, lEnd, "__l")
+    val r = side(right, rKey, rId, rStart, rEnd, "__r")
+    l.join(r, col("__lk") === col("__rk") && l("__b") === r("__b"))
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+        l("__b") === expr(s"greatest(__ls, __rs) DIV ${bucketUs}L"))
+      .select(col("__lk").as("key"), col("__lid").as("l_id"),
+        col("__rid").as("r_id"), col("__ls").as("l_start_us"),
+        col("__le").as("l_end_us"), col("__rs").as("r_start_us"),
+        col("__re").as("r_end_us"),
+        (least(col("__le"), col("__re")) -
+          greatest(col("__ls"), col("__rs"))).as("overlap_us"))
+      .orderBy("key", "l_id", "r_id")
+  }
 }

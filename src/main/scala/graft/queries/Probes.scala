@@ -9952,6 +9952,216 @@ object Probes {
            |FROM m ORDER BY entity""".stripMargin)
   )
 
+  /** Interval overlap join (fully oracled): view vs purchase 30-minute
+    * activity windows per user through the bucket-explode equi-join —
+    * DuckDB replays the naive overlap predicate, so a pair emitted
+    * twice (bucket pinning broken) or dropped (bucket coverage broken)
+    * fails rows+hash. */
+  val overlapJoinProbe = Probe(
+    "q268_overlap_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def win(t: String) = ev.filter(col("event_type") === t)
+      Relational.overlapJoin(
+        win("view"), win("purchase"),
+        col("user_id"), col("event_id"), unix_micros(col("ts")),
+        unix_micros(col("ts")) + 1800000000L,
+        col("user_id"), col("event_id"), unix_micros(col("ts")),
+        unix_micros(col("ts")) + 1800000000L,
+        bucketUs = 3600000000L)
+    },
+    Some("""WITH l AS (SELECT user_id AS key, event_id AS l_id,
+           |    epoch_us(ts::TIMESTAMP) AS s,
+           |    epoch_us(ts::TIMESTAMP) + 1800000000 AS e
+           |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+           |    AND event_id IS NOT NULL AND ts IS NOT NULL),
+           |r AS (SELECT user_id AS key, event_id AS r_id,
+           |    epoch_us(ts::TIMESTAMP) AS s,
+           |    epoch_us(ts::TIMESTAMP) + 1800000000 AS e
+           |  FROM events WHERE event_type = 'purchase'
+           |    AND user_id IS NOT NULL
+           |    AND event_id IS NOT NULL AND ts IS NOT NULL)
+           |SELECT l.key AS key, l.l_id, r.r_id,
+           |  l.s AS l_start_us, l.e AS l_end_us,
+           |  r.s AS r_start_us, r.e AS r_end_us,
+           |  least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+           |FROM l JOIN r ON l.key = r.key AND l.s <= r.e AND r.s <= l.e
+           |ORDER BY l.key, l_id, r_id""".stripMargin)
+  )
+
+  /** Kendall τ-b (fully oracled): per event type, concordance between
+    * the daily event count and the daily distinct-user count — the
+    * cells pair join, both tie terms, and the pinned √·√ sequence all
+    * replayed in DuckDB HUGEINT. */
+  val kendallProbe = Probe(
+    "q269_kendall_tau",
+    (s, d) => {
+      import graft.operators.Profile
+      val daily = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"),
+          countDistinct(col("user_id")).as("y"))
+      Profile.kendallTau(daily, col("event_type"), col("x"), col("y"))
+    },
+    Some("""WITH dd AS (SELECT event_type AS g,
+           |    epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+           |    CAST(count(*) AS BIGINT) AS x,
+           |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |c AS (SELECT g, x, y, CAST(count(*) AS HUGEINT) AS cnt
+           |  FROM dd GROUP BY 1, 2, 3),
+           |p AS (SELECT a.g AS g,
+           |    coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+           |      THEN a.cnt * b.cnt END), 0) AS conc,
+           |    coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+           |      THEN a.cnt * b.cnt END), 0) AS disc
+           |  FROM c a JOIN c b ON a.g IS NOT DISTINCT FROM b.g
+           |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+           |  GROUP BY 1),
+           |tx AS (SELECT g, sum(CAST(t * (t - 1) // 2 AS HUGEINT))
+           |    AS tie_x
+           |  FROM (SELECT g, x, CAST(count(*) AS HUGEINT) AS t
+           |    FROM dd GROUP BY 1, 2) GROUP BY 1),
+           |ty AS (SELECT g, sum(CAST(t * (t - 1) // 2 AS HUGEINT))
+           |    AS tie_y
+           |  FROM (SELECT g, y, CAST(count(*) AS HUGEINT) AS t
+           |    FROM dd GROUP BY 1, 2) GROUP BY 1),
+           |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) AS HUGEINT)
+           |      * (count(*) - 1) // 2 AS n0
+           |  FROM dd GROUP BY 1),
+           |j AS (SELECT t.g, t.n,
+           |    coalesce(p.conc, 0) AS conc, coalesce(p.disc, 0) AS disc,
+           |    tx.tie_x, ty.tie_y,
+           |    t.n0 - tx.tie_x AS dx, t.n0 - ty.tie_y AS dy
+           |  FROM t
+           |  LEFT JOIN tx ON t.g IS NOT DISTINCT FROM tx.g
+           |  LEFT JOIN ty ON t.g IS NOT DISTINCT FROM ty.g
+           |  LEFT JOIN p ON t.g IS NOT DISTINCT FROM p.g)
+           |SELECT g AS group, n, CAST(conc AS BIGINT) AS conc,
+           |  CAST(disc AS BIGINT) AS disc,
+           |  CAST(tie_x AS BIGINT) AS tie_x,
+           |  CAST(tie_y AS BIGINT) AS tie_y,
+           |  CASE WHEN dx > 0 AND dy > 0 THEN
+           |    CAST(conc - disc AS DOUBLE) /
+           |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           |  END AS tau
+           |FROM j ORDER BY g NULLS FIRST""".stripMargin)
+  )
+
+  /** Krippendorff's α (fully oracled): the q246/q247 votes frame thinned
+    * so per-item vote counts VARY (1, 3 or 4) — single-vote items drop
+    * visibly, the scaled D_o clears the per-item 1/(m−1) exactly, and
+    * DuckDB replays every integer in HUGEINT. */
+  val krippendorffProbe = Probe(
+    "q270_krippendorff",
+    (s, d) => {
+      import graft.operators.Agreement
+      Agreement.krippendorffAlpha(
+        ratedVotes(s, d).filter(!(col("vec_id") % 11 === 0 &&
+          col("r") > 0)),
+        col("vec_id"), col("vote"), scaleL = 2520L)
+    },
+    Some(s"""WITH $ratedVotesSql,
+           |v2 AS (SELECT * FROM v
+           |  WHERE NOT (vec_id % 11 = 0 AND r > 0)),
+           |nij AS (SELECT CAST(vec_id AS VARCHAR) AS i,
+           |    CAST(vote AS VARCHAR) AS vv, count(*) AS n
+           |  FROM v2 WHERE vec_id IS NOT NULL AND vote IS NOT NULL
+           |  GROUP BY 1, 2),
+           |per AS (SELECT i, sum(n) AS m, sum(n * (n - 1)) AS agr
+           |  FROM nij GROUP BY 1),
+           |keep AS (SELECT * FROM per
+           |  WHERE m >= 2 AND 2520 % greatest(m - 1, 1) = 0),
+           |drp AS (SELECT CAST(count(*) FILTER (WHERE NOT (m >= 2
+           |    AND 2520 % greatest(m - 1, 1) = 0)) AS BIGINT)
+           |    AS n_dropped FROM per),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE vec_id IS NULL
+           |    OR vote IS NULL) AS BIGINT) AS n_null FROM v2),
+           |don AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |    CAST(coalesce(sum(m), 0) AS BIGINT) AS n_ratings,
+           |    coalesce(sum(CAST(m * (m - 1) - agr AS HUGEINT)
+           |      * (2520 // (m - 1))), 0) AS dos
+           |  FROM keep),
+           |dd AS (SELECT coalesce(sum(CAST(nc AS HUGEINT) * nc), 0)
+           |    AS sumsq
+           |  FROM (SELECT vv, sum(n) AS nc FROM nij
+           |        WHERE i IN (SELECT i FROM keep) GROUP BY 1)),
+           |f AS (SELECT *,
+           |    CAST(n_ratings AS HUGEINT) * n_ratings - sumsq AS dev
+           |  FROM don, dd, drp, nn)
+           |SELECT n_items, n_dropped, n_null, n_ratings,
+           |  CAST(dos AS BIGINT) AS do_scaled,
+           |  CAST(2520 AS BIGINT) AS scale_l,
+           |  CAST(dev AS BIGINT) AS de,
+           |  CASE WHEN dev * 2520 > 0 THEN
+           |    CAST(dev * 2520 - (n_ratings - 1) * dos AS DOUBLE) /
+           |      CAST(dev * 2520 AS DOUBLE)
+           |  END AS alpha
+           |FROM f""".stripMargin)
+  )
+
+  /** t-closeness audit (fully oracled): per (lang, source) class, the
+    * exact cumulative-EMD distance between the class's n_chars-bucket
+    * distribution and the corpus-wide one — the classes × values grid,
+    * both cum frames, and the cleared-denominator t all replayed in
+    * DuckDB HUGEINT. */
+  val tClosenessProbe = Probe(
+    "q271_t_closeness",
+    (s, d) => {
+      import graft.operators.Quality
+      Quality.tCloseness(
+        Tables.documents(s, d).withColumn("bucket",
+          expr("n_chars DIV 50")),
+        Seq("lang", "source"), col("bucket"), tMaxPpm = 150000L)
+    },
+    Some("""WITH b AS (SELECT lang, source,
+           |    CAST(n_chars // 50 AS BIGINT) AS v FROM documents),
+           |pc AS (SELECT lang, source,
+           |    CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT)
+           |      AS n,
+           |    CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT)
+           |      AS n_null_sensitive
+           |  FROM b GROUP BY 1, 2),
+           |g AS (SELECT v, count(*) AS cg FROM b
+           |  WHERE v IS NOT NULL GROUP BY 1),
+           |gc AS (SELECT v, sum(cg) OVER (ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS cumg,
+           |    sum(cg) OVER () AS nn, count(*) OVER () AS k FROM g),
+           |cc AS (SELECT lang, source, v, count(*) AS ccnt FROM b
+           |  WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+           |grid AS (SELECT pc.lang, pc.source, pc.n,
+           |    pc.n_null_sensitive, gc.v, gc.cumg, gc.nn, gc.k,
+           |    coalesce(cc.ccnt, 0) AS ccnt
+           |  FROM pc CROSS JOIN gc
+           |  LEFT JOIN cc ON cc.lang IS NOT DISTINCT FROM pc.lang
+           |    AND cc.source IS NOT DISTINCT FROM pc.source
+           |    AND cc.v = gc.v
+           |  WHERE pc.n > 0),
+           |cum AS (SELECT *, sum(ccnt) OVER (PARTITION BY lang, source
+           |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc FROM grid),
+           |s AS (SELECT lang, source, n, n_null_sensitive, nn, k,
+           |    sum(abs(CAST(cumc AS HUGEINT) * nn
+           |      - CAST(cumg AS HUGEINT) * n)) AS emd
+           |  FROM cum GROUP BY 1, 2, 3, 4, 5, 6),
+           |r AS (SELECT lang, source, n, n_null_sensitive,
+           |    CAST(emd AS BIGINT) AS emd_num,
+           |    CASE WHEN k > 1 THEN CAST((emd * 1000000)
+           |        // ((k - 1) * CAST(n AS HUGEINT) * nn) AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS t_ppm
+           |  FROM s
+           |  UNION ALL
+           |  SELECT lang, source, n, n_null_sensitive,
+           |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           |  FROM pc WHERE n = 0)
+           |SELECT lang, source, n, n_null_sensitive, emd_num, t_ppm,
+           |  coalesce(t_ppm > 150000, false) AS breach
+           |FROM r
+           |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10015,7 +10225,8 @@ object Probes {
     bradleyTerryProbe, logRankProbe, bhProbe, topComponentProbe,
     fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe,
     cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
-    bestThresholdProbe, ebShrinkProbe, simpsonProbe
+    bestThresholdProbe, ebShrinkProbe, simpsonProbe,
+    overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

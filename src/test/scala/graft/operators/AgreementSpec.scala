@@ -91,4 +91,53 @@ class AgreementSpec extends AnyFunSuite {
     assert(got === Seq(("1", "b", 3L, 2L, 666666L),
       ("2", "a", 2L, 1L, 500000L), ("3", "z", 1L, 1L, 1000000L)))
   }
+
+  test("krippendorffAlpha: hand two-item table — alpha exactly 0") {
+    // item1: A,A (agree); item2: A,B (disagree)
+    // Do = (0 + 2)/(4·1) = .5; De = (16 − (9+1))/(4·3) = .5; alpha = 0
+    val votes = Seq((1, "A"), (1, "A"), (2, "A"), (2, "B"))
+      .toDF("item", "vote")
+    val r = Agreement.krippendorffAlpha(votes, col("item"), col("vote"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L) // items, dropped
+    assert(r.getLong(3) === 4L)                        // n_ratings
+    assert(r.getLong(6) === 6L)                        // de = 16 - 10
+    assert(r.getDouble(7) === 0.0)
+  }
+
+  test("krippendorffAlpha: perfect agreement 1; constant category NULL") {
+    val perfect = Seq((1, "A"), (1, "A"), (2, "B"), (2, "B"), (2, "B"))
+      .toDF("item", "vote")
+    val p = Agreement.krippendorffAlpha(perfect, col("item"), col("vote"))
+      .collect().head
+    assert(p.getDouble(7) === 1.0)
+    val const = Seq((1, "A"), (1, "A"), (2, "A"), (2, "A"))
+      .toDF("item", "vote")
+    assert(Agreement.krippendorffAlpha(const, col("item"), col("vote"))
+      .collect().head.isNullAt(7)) // de = 0: chance explains everything
+  }
+
+  test("krippendorffAlpha: variable raters, visible drops, null quarantine, layout-proof") {
+    // item1: 3 votes, item2: 4 votes, item3: 1 vote (unpairable ->
+    // dropped), item4: 6 votes so m-1 = 5 does not divide scaleL=6 ->
+    // dropped visibly
+    val votes = (Seq((1, "A"), (1, "A"), (1, "B"),
+      (2, "A"), (2, "A"), (2, "A"), (2, "B"),
+      (3, "A")) ++ (1 to 6).map(_ => (4, "A")))
+      .toDF("item", "vote")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Integer], "A"))
+        .toDF("item", "vote"))
+    val r = Agreement.krippendorffAlpha(votes, col("item"), col("vote"),
+      scaleL = 6L).collect().head
+    assert(r.getLong(0) === 2L)  // items kept
+    assert(r.getLong(1) === 2L)  // item3 (single) + item4 (5 ∤ 6)
+    assert(r.getLong(2) === 1L)  // null quarantine
+    assert(r.getLong(3) === 7L)  // 3 + 4 kept ratings
+    // do_scaled: item1 d=6−2=4, L/(m−1)=3 -> 12; item2 d=12−6=6,
+    // L/3 = 2 -> 12; total 24
+    assert(r.getLong(4) === 24L)
+    val again = Agreement.krippendorffAlpha(votes.repartition(7),
+      col("item"), col("vote"), scaleL = 6L).collect().head
+    assert(r === again)
+  }
 }

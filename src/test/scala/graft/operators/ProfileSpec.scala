@@ -733,4 +733,57 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profile.mannWhitney(oneSided, col("grp"), col("sa"), col("v"))
       .collect().head.isNullAt(5))
   }
+
+  test("kendallTau: hand table with ties matches the textbook counts") {
+    import spark.implicits._
+    // x: 1 1 2 3, y: 1 2 2 3 — pairs (n0=6):
+    // (1,1)-(1,2): x tie; (1,1)-(2,2): conc; (1,1)-(3,3): conc
+    // (1,2)-(2,2): y tie (x rises, y tied -> neither conc nor disc)
+    // (1,2)-(3,3): conc; (2,2)-(3,3): conc
+    val df = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 2L),
+      ("g", 3L, 3L)).toDF("grp", "x", "y")
+    val r = Profile.kendallTau(df, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 4L && r.getLong(3) === 0L) // conc, disc
+    assert(r.getLong(4) === 1L && r.getLong(5) === 1L) // tie_x, tie_y
+    // tau_b = 4 / (sqrt(5) * sqrt(5)) = 0.8
+    assert(math.abs(r.getDouble(6) - 0.8) < 1e-15)
+  }
+
+  test("kendallTau: perfect monotone is 1, reversal is -1, constant axis NULL") {
+    import spark.implicits._
+    val n = 40
+    val up = (1 to n).map(i => ("g", i.toLong, (i * 7 + 3).toLong))
+    val r1 = Profile.kendallTau(up.toDF("grp", "x", "y"),
+      col("grp"), col("x"), col("y")).collect().head
+    // sqrt(n0)*sqrt(n0) can land one ulp off n0 — tolerance, not ===
+    assert(math.abs(r1.getDouble(6) - 1.0) < 1e-12)
+    val r2 = Profile.kendallTau(up.toDF("grp", "x", "y"),
+      col("grp"), col("x"), -col("y")).collect().head
+    assert(math.abs(r2.getDouble(6) + 1.0) < 1e-12)
+    val const = (1 to 5).map(i => ("g", i.toLong, 9L))
+    assert(Profile.kendallTau(const.toDF("grp", "x", "y"),
+      col("grp"), col("x"), col("y")).collect().head.isNullAt(6))
+  }
+
+  test("kendallTau: NULL group is a real slice; layout independence") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      val g: String = if (i % 3 == 0) null else s"g${i % 2}"
+      (g, (i % 7).toLong, ((i * 5) % 11).toLong)
+    }
+    val df = rows.toDF("grp", "x", "y")
+    val base = Profile.kendallTau(df, col("grp"), col("x"), col("y"))
+      .collect()
+    assert(base.length === 3) // null slice + g0 + g1
+    assert(base.head.isNullAt(0)) // NULLS FIRST
+    assert(Profile.kendallTau(df.repartition(13), col("grp"), col("x"),
+      col("y")).collect() === base)
+    // pair conservation: conc + disc <= n0 on every slice
+    base.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) + r.getLong(3) <= n * (n - 1) / 2)
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SharedSpark
 
@@ -245,5 +245,58 @@ class QualitySpec extends AnyFunSuite {
     assert(out(1)._2.get > 0L && out(2)._2.get < 1000000L)
     assert(out(3) === ((0L, None)))   // empty text: no ratio, not 0
     assert(out(4)._2 === None)        // null text propagates
+  }
+
+  test("tCloseness: hand EMD per class, breach threshold") {
+    import spark.implicits._
+    // global: v1:2 v2:2 v3:1 (N=5, k=3); g1 holds (1,1,2), g2 (2,3)
+    // S(g1) = |10-6|+|15-12|+|15-15| = 7 -> t = 7/30 -> 233333 ppm
+    // S(g2) = |0-4|+|5-8|+|10-10|  = 7 -> t = 7/20 -> 350000 ppm
+    val df = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g2", 2L),
+      ("g2", 3L)).toDF("g", "v")
+    val out = Quality.tCloseness(df, Seq("g"), col("v"),
+        tMaxPpm = 300000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out("g1") === ((3L, 7L, 233333L, false)))
+    assert(out("g2") === ((2L, 7L, 350000L, true)))
+  }
+
+  test("tCloseness: identical distribution is 0; all-null class NULL; null quasi is a class") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)),
+      (null.asInstanceOf[String], Some(1L)),
+      (null.asInstanceOf[String], Some(2L)),
+      ("dead", None), ("dead", None)).toDF("g", "v")
+    val rows = Quality.tCloseness(df, Seq("g"), col("v"), tMaxPpm = 1L)
+      .collect()
+    val byG = rows.map(r => Option(r.getString(0)).getOrElse("<null>") ->
+      r).toMap
+    // "a" and the NULL class each mirror the global 50/50 -> t = 0
+    assert(byG("a").getLong(4) === 0L && !byG("a").getBoolean(5))
+    assert(byG("<null>").getLong(4) === 0L)
+    assert(rows.head.isNullAt(0)) // NULLS FIRST total order
+    val dead = byG("dead")
+    assert(dead.getLong(1) === 0L && dead.getLong(2) === 2L)
+    assert(dead.isNullAt(3) && dead.isNullAt(4) && !dead.getBoolean(5))
+  }
+
+  test("tCloseness: layout independence and skew detection direction") {
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      // g2 is skewed high: its values sit in the top buckets
+      val v = if (i % 3 == 2) 8L + (i % 2) else (i % 10).toLong
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val a = Quality.tCloseness(df, Seq("g"), col("v"), 100000L).collect()
+    val b = Quality.tCloseness(df.repartition(13), Seq("g"), col("v"),
+      100000L).collect()
+    assert(a === b)
+    val t = a.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(t("g2") > t("g0") && t("g2") > t("g1"),
+      "the skewed class must measure farther from the corpus")
   }
 }

@@ -288,4 +288,62 @@ class RelationalSpec extends AnyFunSuite {
       assert(out("fwd") === (("a", "forward"))) // min struct among ties
     }
   }
+
+  test("overlapJoin: hand pairs — overlap, touch, disjoint, cross-key") {
+    import spark.implicits._
+    // key 1: L[0,100] overlaps R[50,150]; L[0,100] touches R[100,200]
+    // (closed: overlap_us 0); L[0,100] vs R[300,400] disjoint.
+    // key 2: R[50,150] must NOT pair with key 1's left.
+    val left = Seq((1L, 10L, 0L, 100L), (2L, 11L, 0L, 100L))
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 20L, 50L, 150L), (1L, 21L, 100L, 200L),
+      (1L, 22L, 300L, 400L), (2L, 23L, 50L, 150L))
+      .toDF("k", "id", "s", "e")
+    val out = Relational.overlapJoin(left, right,
+        col("k"), col("id"), col("s"), col("e"),
+        col("k"), col("id"), col("s"), col("e"), bucketUs = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getAs[Long]("overlap_us")).toMap
+    assert(out === Map((1L, 10L, 20L) -> 50L, (1L, 10L, 21L) -> 0L,
+      (2L, 11L, 23L) -> 50L))
+  }
+
+  test("overlapJoin: each pair emitted exactly once regardless of bucket width") {
+    import spark.implicits._
+    // long intervals spanning MANY buckets — the bucket pin must still
+    // emit one row per overlapping pair, for every width
+    val left = Seq((1L, 1L, 0L, 1000L), (1L, 2L, 500L, 1500L))
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 7L, 900L, 2000L), (1L, 8L, 1400L, 1450L))
+      .toDF("k", "id", "s", "e")
+    val expect = Map((1L, 1L, 7L) -> 100L, (1L, 2L, 7L) -> 600L,
+      (1L, 2L, 8L) -> 50L)
+    Seq(3L, 50L, 1000L, 100000L).foreach { w =>
+      val got = Relational.overlapJoin(left, right,
+          col("k"), col("id"), col("s"), col("e"),
+          col("k"), col("id"), col("s"), col("e"), bucketUs = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+          r.getAs[Long]("overlap_us")).toMap
+      assert(got === expect, s"width $w")
+    }
+  }
+
+  test("overlapJoin: malformed intervals dropped; layout-proof; no NestedLoop") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 0L, Some(100L)),
+      (1L, 2L, 50L, Some(10L)), // end < start
+      (1L, 3L, 0L, Option.empty[Long]))
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 7L, 40L, 60L)).toDF("k", "id", "s", "e")
+    def run(lp: Int) = Relational.overlapJoin(left.repartition(lp), right,
+      col("k"), col("id"), col("s"), col("e"),
+      col("k"), col("id"), col("s"), col("e"), bucketUs = 25L)
+    val rows = run(1).collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 7L)))
+    assert(run(7).collect() === rows)
+    val phys = run(1).queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
+      s"range join must plan as an equi join:\n$phys")
+  }
 }
