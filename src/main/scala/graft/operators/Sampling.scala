@@ -528,4 +528,97 @@ object Sampling {
         col("n_ok"), col("boot_mean_micro"), col("boot_var_micro2"))
       .orderBy(col("rep"))
   }
+
+  /** Randomization test for a two-group mean difference — the
+    * assumption-free sibling of the z/t readout in `Analytics.abTest`:
+    * under H₀ (labels exchangeable) the observed Δ should look typical
+    * among Δs computed under random label reassignment, so
+    *
+    *   p = (1 + #{r : |Δ_r| ≥ |Δ_obs|}) / (n_valid + 1)
+    *
+    * (the add-one form — the observed assignment is itself one draw, so
+    * p is never 0). Reassignment is the binomial(½) approximation of
+    * the permutation null ([[poissonBootstrap]]'s posture: replicate
+    * resampling that streams on ONE scan beats an exact shuffle that
+    * needs a global sort per replicate); each (row, rep) flips on a
+    * seeded md5 — deterministic, layout-independent, engine-replayable.
+    *
+    * Exactness: values are required NON-NEGATIVE (negative rows drop
+    * visibly into `n_dropped` — a signed micro-mean would hit the
+    * Spark-trunc/DuckDB-floor divergence); each Δ is the difference of
+    * two positive truncating micro-quotients, so every |Δ_r| ≥ |Δ_obs|
+    * compare is an exact integer predicate. Replicates where a side
+    * lands empty are degenerate: excluded from `n_valid`, never counted
+    * as extreme.
+    *
+    * Scale posture: one pass computes Δ_obs; the replicate stream is a
+    * ×reps explode with a (rep)-keyed map-side-combined aggregate (reps
+    * rows out); the verdict is a one-row rollup. No driver state.
+    *
+    * Output (one row): `n`, `n_dropped`, `n_a`, `n_b`, `t_obs_micro`,
+    * `reps`, `n_valid`, `n_extreme`, `p_ppm` LONG.
+    */
+  def randomizationTest(df: DataFrame, id: Column, sideA: Column,
+                        value: Column, reps: Int,
+                        seed: String = "42"): DataFrame = {
+    require(reps >= 2, s"randomizationTest needs reps >= 2, got $reps")
+    val all = df.select(id.cast("string").as("__id"),
+        sideA.cast("boolean").as("__a"), value.cast("long").as("__v"))
+      .filter(col("__id").isNotNull && col("__a").isNotNull &&
+        col("__v").isNotNull)
+    val base = all.filter(col("__v") >= 0L)
+    val nDropped = all.agg(coalesce(sum(when(col("__v") < 0L, 1L)
+      .otherwise(0L)), lit(0L)).as("n_dropped"))
+    def delta(na: String, sa: String, nb: String, sb: String): Column =
+      when(col(na) > 0L && col(nb) > 0L,
+        expr(s"(CAST($sa AS DECIMAL(38,0)) * 1000000) DIV $na")
+          .cast("long") -
+          expr(s"(CAST($sb AS DECIMAL(38,0)) * 1000000) DIV $nb")
+            .cast("long"))
+    val obs = base.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__a"), 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("__a"), col("__v")).otherwise(0L)),
+          lit(0L)).as("__suma"),
+        coalesce(sum(when(!col("__a"), 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(!col("__a"), col("__v")).otherwise(0L)),
+          lit(0L)).as("__sumb"))
+      .withColumn("t_obs_micro",
+        delta("n_a", "__suma", "n_b", "__sumb"))
+    val flips = base.select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("__fa",
+        conv(substring(md5(concat_ws("|", lit(seed), col("rep"),
+          col("__id"))), 1, 15), 16, 10).cast("long") % 2L === 0L)
+    val perRep = flips.groupBy(col("rep"))
+      .agg(
+        coalesce(sum(when(col("__fa"), 1L).otherwise(0L)), lit(0L))
+          .as("__na"),
+        coalesce(sum(when(col("__fa"), col("__v")).otherwise(0L)),
+          lit(0L)).as("__sa"),
+        coalesce(sum(when(!col("__fa"), 1L).otherwise(0L)), lit(0L))
+          .as("__nb"),
+        coalesce(sum(when(!col("__fa"), col("__v")).otherwise(0L)),
+          lit(0L)).as("__sb"))
+      .withColumn("__t",
+        delta("__na", "__sa", "__nb", "__sb"))
+    val verdict = perRep.crossJoin(
+        obs.select(col("t_obs_micro").as("__tobs")))
+      .agg(
+        coalesce(sum(when(col("__t").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_valid"),
+        coalesce(sum(when(col("__t").isNotNull &&
+            abs(col("__t")) >= abs(col("__tobs")), 1L).otherwise(0L)),
+          lit(0L)).as("n_extreme"))
+    obs.crossJoin(verdict).crossJoin(nDropped)
+      .withColumn("reps", lit(reps.toLong))
+      .withColumn("p_ppm",
+        when(col("t_obs_micro").isNotNull,
+          expr("((1L + n_extreme) * 1000000L) DIV (n_valid + 1L)")))
+      .select(col("n"), col("n_dropped"), col("n_a"), col("n_b"),
+        col("t_obs_micro"), col("reps"), col("n_valid"),
+        col("n_extreme"), col("p_ppm"))
+  }
 }

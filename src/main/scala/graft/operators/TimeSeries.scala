@@ -618,4 +618,71 @@ object TimeSeries {
           expr("(sum_model_err * 1000000L) DIV sum_naive_err")))
       .orderBy(col("key").asc)
   }
+
+  /** Cross-correlation lag scan — Pearson r between series x and the
+    * ℓ-shifted series y for every lag ℓ ∈ [−maxLag, maxLag], plus the
+    * argmax-|r| pick: "purchases trail views by how many hours?" — the
+    * lead/lag discovery step in front of any causal-ish dashboard claim
+    * (a lag-0 correlation readout silently misses shifted coupling).
+    *
+    * Input is one PRE-AGGREGATED point per (t, x, y) time bucket (the
+    * [[changepoint]] contract — buckets, not raw rows); pairing is by
+    * exact bucket equality, so missing buckets shrink n_ℓ rather than
+    * fabricating pairs. Moments per lag are exact DECIMAL(38,0); r is
+    * ONE pinned IEEE sequence num/(√·√) ([[graft.operators.Profile]]'s
+    * spearman posture), NULL when n < 2 or an axis is constant at that
+    * lag. `is_best` marks min(−|r|, ℓ) over non-NULL lags — ties break
+    * to the most-negative lag, a total order both engines replay.
+    *
+    * Scale posture: a ×(2·maxLag+1) explode of the buckets frame and
+    * ONE self equi-join on the shifted bucket key; per-lag moments are
+    * a (lag)-keyed map-side-combined aggregate, and the argmax window
+    * runs over the (2·maxLag+1)-row result — never rows.
+    *
+    * Output: `lag`, `n`, `num`, `den_x`, `den_y` LONG, `r`
+    * DOUBLE-or-NULL, `is_best` BOOLEAN — total order by lag.
+    */
+  def crossCorrelation(df: DataFrame, t: Column, x: Column, y: Column,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = df.select(t.cast("long").as("__t"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val fan = base.select(col("__t"), col("__x"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)))
+          .as("lag"))
+      .withColumn("__ty", col("__t") + col("lag"))
+    val ys = base.select(col("__t").as("__ty"), col("__y"))
+    val perLag = fan.join(ys, "__ty")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"))
+      .withColumn("__num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx",
+        col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy",
+        col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r",
+        when(col("n") >= 2L && col("__dx") > 0 && col("__dy") > 0,
+          col("__num").cast("double") /
+            (sqrt(col("__dx").cast("double")) *
+              sqrt(col("__dy").cast("double")))))
+    val wall = Window.partitionBy()
+    perLag
+      .withColumn("__key", when(col("r").isNotNull,
+        struct((-abs(col("r"))).as("na"), col("lag"))))
+      .withColumn("__best", min(col("__key")).over(wall))
+      .withColumn("is_best",
+        col("__key").isNotNull && col("__key") === col("__best"))
+      .select(col("lag"), col("n"), col("__num").cast("long").as("num"),
+        col("__dx").cast("long").as("den_x"),
+        col("__dy").cast("long").as("den_y"), col("r"), col("is_best"))
+      .orderBy(col("lag"))
+  }
 }

@@ -10162,6 +10162,116 @@ object Probes {
            |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
   )
 
+  /** Cross-correlation lag scan (fully oracled): hourly view counts vs
+    * hourly purchase counts at lags −6..+6 — per-lag exact moments, the
+    * pinned √·√ r, and the argmax-|r| tiebreak all replayed in DuckDB. */
+  val crossCorrProbe = Probe(
+    "q272_cross_correlation",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val hourly = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      TimeSeries.crossCorrelation(hourly, col("h"), col("x"), col("y"),
+        maxLag = 6)
+    },
+    Some("""WITH h AS (SELECT epoch_us(ts::TIMESTAMP) // 3600000000
+           |      AS t,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+           |      END) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+           |      ELSE 0 END) AS BIGINT) AS y
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           |lags AS (SELECT l AS lag FROM unnest(range(-6, 7)) AS t(l)),
+           |p AS (SELECT lags.lag, a.x, b.y
+           |  FROM lags CROSS JOIN h a JOIN h b ON b.t = a.t + lags.lag),
+           |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx,
+           |    sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy
+           |  FROM p GROUP BY 1),
+           |r0 AS (SELECT lag, n, n * sxy - sx * sy AS num,
+           |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+           |  FROM m),
+           |r1 AS (SELECT lag, n, num, dx, dy,
+           |    CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+           |      CAST(num AS DOUBLE) /
+           |        (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           |    END AS r FROM r0),
+           |bl AS (SELECT lag AS bestlag FROM r1 WHERE r IS NOT NULL
+           |  ORDER BY -abs(r) ASC, lag ASC LIMIT 1)
+           |SELECT CAST(lag AS BIGINT) AS lag, n,
+           |  CAST(num AS BIGINT) AS num, CAST(dx AS BIGINT) AS den_x,
+           |  CAST(dy AS BIGINT) AS den_y, r,
+           |  coalesce(lag = (SELECT bestlag FROM bl), false) AS is_best
+           |FROM r1 ORDER BY lag""".stripMargin)
+  )
+
+  /** Randomization test (fully oracled): is the even-user/odd-user
+    * spend gap bigger than label shuffling explains? 32 seeded
+    * binomial reassignments on one scan; every micro-quotient and the
+    * add-one p replayed in DuckDB HUGEINT. */
+  val randomizationProbe = Probe(
+    "q273_randomization_test",
+    (s, d) => {
+      import graft.operators.Sampling
+      Sampling.randomizationTest(
+        Tables.events(s, d).filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        col("event_id"), col("user_id") % 2 === 0,
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), reps = 32)
+    },
+    Some("""WITH b AS (SELECT CAST(event_id AS VARCHAR) AS id,
+           |    user_id % 2 = 0 AS a,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE event_id IS NOT NULL
+           |    AND user_id IS NOT NULL AND value IS NOT NULL),
+           |bb AS (SELECT * FROM b WHERE v >= 0),
+           |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n_a,
+           |    coalesce(sum(v) FILTER (WHERE a), 0) AS suma,
+           |    CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n_b,
+           |    coalesce(sum(v) FILTER (WHERE NOT a), 0) AS sumb
+           |  FROM bb),
+           |obs2 AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+           |    CAST((CAST(suma AS HUGEINT) * 1000000) // n_a AS BIGINT)
+           |    - CAST((CAST(sumb AS HUGEINT) * 1000000) // n_b
+           |        AS BIGINT) END AS tobs FROM obs),
+           |f AS (SELECT id, v, t.r AS rep,
+           |    CAST('0x' || substr(md5('42|' || CAST(t.r AS VARCHAR)
+           |      || '|' || id), 1, 15) AS BIGINT) % 2 = 0 AS fa
+           |  FROM bb, unnest(range(0, 32)) AS t(r)),
+           |pr AS (SELECT rep,
+           |    count(*) FILTER (WHERE fa) AS na,
+           |    coalesce(sum(v) FILTER (WHERE fa), 0) AS sa,
+           |    count(*) FILTER (WHERE NOT fa) AS nb,
+           |    coalesce(sum(v) FILTER (WHERE NOT fa), 0) AS sb
+           |  FROM f GROUP BY 1),
+           |pt AS (SELECT rep, CASE WHEN na > 0 AND nb > 0 THEN
+           |    CAST((CAST(sa AS HUGEINT) * 1000000) // na AS BIGINT)
+           |    - CAST((CAST(sb AS HUGEINT) * 1000000) // nb AS BIGINT)
+           |  END AS t FROM pr),
+           |vv AS (SELECT
+           |    CAST(count(*) FILTER (WHERE t IS NOT NULL) AS BIGINT)
+           |      AS n_valid,
+           |    CAST(count(*) FILTER (WHERE t IS NOT NULL AND abs(t) >=
+           |      abs((SELECT tobs FROM obs2))) AS BIGINT) AS n_extreme
+           |  FROM pt),
+           |dd AS (SELECT CAST(count(*) FILTER (WHERE v < 0) AS BIGINT)
+           |    AS n_dropped FROM b)
+           |SELECT n, n_dropped, n_a, n_b, tobs AS t_obs_micro,
+           |  CAST(32 AS BIGINT) AS reps, n_valid, n_extreme,
+           |  CASE WHEN tobs IS NOT NULL THEN
+           |    CAST(((1 + n_extreme) * 1000000) // (n_valid + 1)
+           |      AS BIGINT) END AS p_ppm
+           |FROM obs2, vv, dd""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10226,7 +10336,8 @@ object Probes {
     fertilityProbe, pinballProbe, transitionEntropyProbe, spearmanProbe,
     cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
     bestThresholdProbe, ebShrinkProbe, simpsonProbe,
-    overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe
+    overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe,
+    crossCorrProbe, randomizationProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -362,4 +362,41 @@ class SamplingSpec extends AnyFunSuite {
       assert(r(6).asInstanceOf[Long] >= 0L)
     }
   }
+
+  test("randomizationTest: planted separation is extreme, null is typical") {
+    import spark.implicits._
+    // A rows worth ~1000, B rows worth ~10: shuffling can't reproduce
+    // that gap -> p at the add-one floor 1/(n_valid+1)
+    val strong = (0 until 400).map(i =>
+      (i.toLong, i % 2 == 0, if (i % 2 == 0) 1000L + i % 3 else 10L))
+      .toDF("id", "a", "v")
+    val s = Sampling.randomizationTest(strong, col("id"), col("a"),
+      col("v"), reps = 40).collect().head
+    assert(s.getLong(6) === 40L)             // every rep valid
+    assert(s.getLong(7) === 0L)              // none as extreme
+    assert(s.getLong(8) === 1000000L / 41L)  // add-one floor
+    // labels independent of values: the observed gap is typical
+    val nullCase = (0 until 400).map(i =>
+      (i.toLong, i % 2 == 0, (i % 7).toLong)).toDF("id", "a", "v")
+    val p = Sampling.randomizationTest(nullCase, col("id"), col("a"),
+      col("v"), reps = 40).collect().head.getLong(8)
+    assert(p > 200000L, s"typical gap should not look significant: $p")
+  }
+
+  test("randomizationTest: one-sided input NULL; negatives drop visibly; layout-proof") {
+    import spark.implicits._
+    val oneSided = (0 until 20).map(i => (i.toLong, true, 5L))
+      .toDF("id", "a", "v")
+    val r = Sampling.randomizationTest(oneSided, col("id"), col("a"),
+      col("v"), reps = 8).collect().head
+    assert(r.isNullAt(4) && r.isNullAt(8)) // t_obs, p both NULL
+    val withNeg = (0 until 30).map(i =>
+      (i.toLong, i % 2 == 0, if (i == 7) -4L else (i % 5).toLong))
+      .toDF("id", "a", "v")
+    val d = Sampling.randomizationTest(withNeg, col("id"), col("a"),
+      col("v"), reps = 8).collect().head
+    assert(d.getLong(1) === 1L && d.getLong(0) === 29L)
+    assert(d.toSeq === Sampling.randomizationTest(withNeg.repartition(9),
+      col("id"), col("a"), col("v"), reps = 8).collect().head.toSeq)
+  }
 }

@@ -431,4 +431,40 @@ class TimeSeriesSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
     assert(run(rows) === run(rows.repartition(13)))
   }
+
+  test("crossCorrelation: planted shift found at the right lag") {
+    import spark.implicits._
+    // y is x delayed by 3 buckets (plus a wobble) -> |r| peaks at lag 3
+    val xs = (0 until 60).map(t => (t.toLong,
+      (math.sin(t / 5.0) * 100).toLong + 200L))
+    val ys = xs.map { case (t, v) => t -> v }.toMap
+    val rows = xs.map { case (t, x) =>
+      (t, x, ys.getOrElse(t - 3, 0L) + (t % 2)) }
+    val out = TimeSeries.crossCorrelation(rows.toDF("t", "x", "y"),
+        col("t"), col("x"), col("y"), maxLag = 5)
+      .collect()
+    assert(out.length === 11 && out.map(_.getLong(0)).toSeq ===
+      (-5L to 5L))
+    val best = out.filter(_.getBoolean(6))
+    assert(best.length === 1 && best.head.getLong(0) === 3L)
+    assert(best.head.getDouble(5) > 0.9)
+  }
+
+  test("crossCorrelation: lag-0 on identical series is 1; constant axis NULL; layout-proof") {
+    import spark.implicits._
+    val rows = (0 until 40).map(t => (t.toLong, (t * 7 % 13).toLong,
+      (t * 7 % 13).toLong))
+    val df = rows.toDF("t", "x", "y")
+    val out = TimeSeries.crossCorrelation(df, col("t"), col("x"),
+      col("y"), maxLag = 2).collect()
+    val at0 = out.find(_.getLong(0) === 0L).get
+    assert(math.abs(at0.getDouble(5) - 1.0) < 1e-12 && at0.getBoolean(6))
+    assert(out === TimeSeries.crossCorrelation(df.repartition(7),
+      col("t"), col("x"), col("y"), maxLag = 2).collect())
+    val const = (0 until 10).map(t => (t.toLong, 5L, t.toLong))
+    val cOut = TimeSeries.crossCorrelation(const.toDF("t", "x", "y"),
+      col("t"), col("x"), col("y"), maxLag = 1).collect()
+    assert(cOut.forall(_.isNullAt(5)))
+    assert(cOut.forall(!_.getBoolean(6)), "no best when every r is NULL")
+  }
 }
