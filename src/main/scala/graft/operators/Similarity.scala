@@ -1002,4 +1002,83 @@ object Similarity {
         col("rank_ab"), col("rank_ba"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Diagonal-Mahalanobis embedding outliers — the multivariate "is
+    * this vector even from this cloud?" intake screen (mislabeled
+    * modality, truncated encodes, adversarial junk): per row the sum of
+    * per-dimension squared z-scores against the corpus mean/variance,
+    * top-k reported. The diagonal form is the honest 100 TB choice —
+    * the full-Σ score needs an inverse, which is a driver-side float
+    * factorization; per-dimension variances keep everything exact and
+    * one-pass (and [[covarianceMoments]]/[[topComponent]] already
+    * cover the correlated-direction question).
+    *
+    * Exactness: vectors micro-quantize (q = ⌊x·10⁶ + 0.5⌋); with
+    * per-dim n, S_d = Σq and V_d = n·Σq² − S_d² (= n²·σ²_d),
+    *
+    *   z²_d (micro) = ((q_d·n − S_d)² · 10⁶) DIV V_d
+    *
+    * — numerator a square, V_d > 0, so the truncating quotient is
+    * engine-safe; constant dimensions (V_d = 0) contribute 0 and are
+    * counted once in `n_const_dims`. Ranking is [[graft.operators
+    * .Relational.globalRank]] on (score desc, id asc) — a total order.
+    * i64/decimal bound: (q·n − S)² ≤ (2·10⁶·n)², DECIMAL(38,0)-safe to
+    * n ≈ 10⁹ vectors with |x| ≤ 1-ish; quantize coarser above that.
+    *
+    * Scale posture: TWO corpus passes, both narrow — a per-dim moments
+    * aggregate collapsed to ONE row of dim-sized arrays (broadcast
+    * cross join back), then the per-row score as an in-row
+    * zip_with/aggregate expression (no row×dim explode ever shuffles);
+    * the top-k pick is globalRank + filter (rank ≤ k prunes at the
+    * exchange). Null / wrong-length vectors are excluded, matching
+    * [[covarianceMoments]].
+    *
+    * Output: `id`, `score_micro`, `rank` LONG (+ `n`, `n_const_dims`
+    * LONG, constant) — total order by rank, rank ≤ topK.
+    */
+  def mahalanobisDiag(df: DataFrame, id: Column, vec: Column, dim: Int,
+                      topK: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val clean = df.select(id.cast("long").as("id"), vec.as("__v"))
+      .filter(col("id").isNotNull && col("__v").isNotNull &&
+        size(col("__v")) === dim)
+      .withColumn("__q", expr(
+        "transform(__v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000" +
+          " + 0.5) AS BIGINT))"))
+    val stats = clean
+      .select(posexplode(col("__q")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__s2"))
+      .withColumn("__vn",
+        col("__n") * col("__s2") -
+          col("__s").cast("decimal(38,0)") * col("__s"))
+      .groupBy()
+      .agg(max(col("__n")).as("n"),
+        coalesce(sum(when(col("__vn") <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_const_dims"),
+        expr("transform(array_sort(collect_list(struct(__d, __s)))," +
+          " p -> p.__s)").as("__sums"),
+        expr("transform(array_sort(collect_list(struct(__d, " +
+          "CAST(__vn AS DECIMAL(38,0)) AS v))), p -> p.v)")
+          .as("__vars"))
+    clean.crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(
+        """CAST(aggregate(
+          |  zip_with(
+          |    zip_with(__q, __sums, (q, s) ->
+          |      CAST(q AS DECIMAL(38,0)) * n - s),
+          |    __vars, (e, v) ->
+          |      CASE WHEN v > 0 THEN (e * e * 1000000) DIV v
+          |        ELSE CAST(0 AS DECIMAL(38,0)) END),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)
+          |AS BIGINT)""".stripMargin))
+      .transform(d => Relational.globalRank(d,
+        Seq(col("score_micro").desc, col("id").asc)))
+      .filter(col("rank") <= topK.toLong)
+      .select(col("id"), col("score_micro"), col("rank"), col("n"),
+        col("n_const_dims"))
+      .orderBy(col("rank"))
+  }
 }

@@ -10272,6 +10272,123 @@ object Probes {
            |FROM obs2, vv, dd""".stripMargin)
   )
 
+  /** Corpus BLEU-2 (fully oracled): candidate = document + its first
+    * fifth re-appended (so clipping is ACTIVE on the duplicated grams
+    * and c > r pins BP at 1 only when truly longer) vs the original as
+    * reference — counts, clips, nano-logs, and the DIV-combined
+    * headline all replayed in DuckDB. */
+  val bleuProbe = Probe(
+    "q274_bleu",
+    (s, d) => {
+      import graft.operators.Classify
+      val ws = Text.words(col("text"))
+      val k = greatest(lit(1), (size(ws).cast("long") / lit(5L))
+        .cast("int"))
+      val pairs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          array_join(concat(ws, slice(ws, lit(1), k)), " ").as("cand"),
+          col("text").as("ref"))
+      Classify.bleu(pairs, col("doc_id"), col("cand"), col("ref"),
+        maxN = 2)
+    },
+    Some("""WITH w AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> len(x) > 0) AS ws
+           |  FROM documents
+           |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           |p AS (SELECT doc_id AS id,
+           |    list_concat(ws, ws[1:greatest(1, len(ws) // 5)]) AS cw,
+           |    ws AS rw FROM w),
+           |c1 AS (SELECT id, g, count(*) AS c
+           |  FROM (SELECT id, unnest(cw) AS g FROM p) GROUP BY 1, 2),
+           |r1 AS (SELECT id, g, count(*) AS c
+           |  FROM (SELECT id, unnest(rw) AS g FROM p) GROUP BY 1, 2),
+           |m1 AS (SELECT
+           |    coalesce(sum(least(c1.c, coalesce(r1.c, 0))), 0)
+           |      AS match_1,
+           |    coalesce(sum(c1.c), 0) AS total_1
+           |  FROM c1 LEFT JOIN r1 ON c1.id = r1.id AND c1.g = r1.g),
+           |b AS (SELECT id,
+           |    list_transform(range(1, len(cw)),
+           |      i -> cw[i] || ' ' || cw[i + 1]) AS cb,
+           |    list_transform(range(1, len(rw)),
+           |      i -> rw[i] || ' ' || rw[i + 1]) AS rb FROM p),
+           |c2 AS (SELECT id, g, count(*) AS c
+           |  FROM (SELECT id, unnest(cb) AS g FROM b) GROUP BY 1, 2),
+           |r2 AS (SELECT id, g, count(*) AS c
+           |  FROM (SELECT id, unnest(rb) AS g FROM b) GROUP BY 1, 2),
+           |m2 AS (SELECT
+           |    coalesce(sum(least(c2.c, coalesce(r2.c, 0))), 0)
+           |      AS match_2,
+           |    coalesce(sum(c2.c), 0) AS total_2
+           |  FROM c2 LEFT JOIN r2 ON c2.id = r2.id AND c2.g = r2.g),
+           |lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(coalesce(sum(len(cw)), 0) AS BIGINT) AS c_len,
+           |    CAST(coalesce(sum(len(rw)), 0) AS BIGINT) AS r_len
+           |  FROM p),
+           |f AS (SELECT *,
+           |    CASE WHEN match_1 > 0 THEN CAST(floor(
+           |      -ln(CAST(match_1 AS DOUBLE) / CAST(total_1 AS DOUBLE))
+           |      * 1000000000 + 0.5) AS BIGINT) END AS p1_nano,
+           |    CASE WHEN match_2 > 0 THEN CAST(floor(
+           |      -ln(CAST(match_2 AS DOUBLE) / CAST(total_2 AS DOUBLE))
+           |      * 1000000000 + 0.5) AS BIGINT) END AS p2_nano,
+           |    CASE WHEN c_len > 0 THEN CAST(floor(greatest(0.0,
+           |      CAST(r_len AS DOUBLE) / c_len - 1.0)
+           |      * 1000000000 + 0.5) AS BIGINT) END AS bp_nano
+           |  FROM lens, m1, m2)
+           |SELECT n_pairs, c_len, r_len,
+           |  CAST(match_1 AS BIGINT) AS match_1,
+           |  CAST(total_1 AS BIGINT) AS total_1, p1_nano,
+           |  CAST(match_2 AS BIGINT) AS match_2,
+           |  CAST(total_2 AS BIGINT) AS total_2, p2_nano,
+           |  bp_nano,
+           |  CAST(CASE WHEN bp_nano IS NOT NULL THEN
+           |    bp_nano + (p1_nano + p2_nano) // 2 END AS BIGINT)
+           |    AS neg_log_bleu_nano
+           |FROM f""".stripMargin)
+  )
+
+  /** Diagonal-Mahalanobis outliers (fully oracled): top-25 embedding
+    * rows by summed per-dimension squared z-score — micro quantization,
+    * per-dim moments, the square-over-variance quotient, and the
+    * (score desc, id) total order all replayed in DuckDB HUGEINT. */
+  val mahalanobisProbe = Probe(
+    "q275_mahalanobis_outliers",
+    (s, d) => {
+      Similarity.mahalanobisDiag(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), dim = 64, topK = 25)
+    },
+    Some("""WITH q AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> CAST(floor(
+           |      CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id IS NOT NULL
+           |    AND embedding IS NOT NULL AND len(embedding) = 64),
+           |e AS (SELECT id, t.d AS d, qv[t.d] AS x
+           |  FROM q, unnest(range(1, 65)) AS t(d)),
+           |st AS (SELECT d, count(*) AS n, sum(x) AS s,
+           |    sum(CAST(x AS HUGEINT) * x) AS s2 FROM e GROUP BY 1),
+           |st2 AS (SELECT d, n, s,
+           |    n * s2 - CAST(s AS HUGEINT) * s AS vn FROM st),
+           |sc AS (SELECT e.id,
+           |    sum(CASE WHEN st2.vn > 0 THEN
+           |      ((CAST(e.x AS HUGEINT) * st2.n - st2.s)
+           |       * (CAST(e.x AS HUGEINT) * st2.n - st2.s) * 1000000)
+           |        // st2.vn
+           |      ELSE 0 END) AS score
+           |  FROM e JOIN st2 ON e.d = st2.d GROUP BY 1),
+           |meta AS (SELECT CAST(max(n) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE vn <= 0) AS BIGINT)
+           |      AS n_const_dims FROM st2),
+           |r AS (SELECT id, CAST(score AS BIGINT) AS score_micro,
+           |    row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+           |  FROM sc)
+           |SELECT r.id, r.score_micro, CAST(r.rank AS BIGINT) AS rank,
+           |  meta.n, meta.n_const_dims
+           |FROM r, meta WHERE r.rank <= 25 ORDER BY r.rank""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10337,7 +10454,7 @@ object Probes {
     cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
     bestThresholdProbe, ebShrinkProbe, simpsonProbe,
     overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe,
-    crossCorrProbe, randomizationProbe
+    crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

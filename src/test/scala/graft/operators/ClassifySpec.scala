@@ -797,4 +797,49 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.getLong(3) === expected)
     assert(got.getLong(4) === expected / 3L)
   }
+
+  test("bleu: hand counts — clipping, precisions, zero brevity penalty") {
+    import spark.implicits._
+    // cand "the cat the cat" vs ref "the cat sat":
+    // 1-grams: clip the->1, cat->1 => 2/4; 2-grams: "the cat" 2 clip 1,
+    // "cat the" 0 => 1/3; c=4 > r=3 => BP term 0
+    val df = Seq((1L, "the cat THE cat", "the cat sat"))
+      .toDF("id", "cand", "ref")
+    val r = Classify.bleu(df, col("id"), col("cand"), col("ref")).collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 3L)))
+    assert((r.getLong(3), r.getLong(4)) === ((2L, 4L))) // match_1/total_1
+    assert((r.getLong(6), r.getLong(7)) === ((1L, 3L))) // match_2/total_2
+    val p1 = math.floor(-math.log(0.5) * 1e9 + 0.5).toLong
+    val p2 = math.floor(-math.log(1.0 / 3) * 1e9 + 0.5).toLong
+    assert(r.getLong(5) === p1 && r.getLong(8) === p2)
+    assert(r.getLong(9) === 0L) // c > r: no brevity penalty
+    assert(r.getLong(10) === (p1 + p2) / 2L)
+  }
+
+  test("bleu: brevity penalty on a perfect short prefix; zero-match NULLs the headline") {
+    import spark.implicits._
+    val short = Seq((1L, "a b", "a b c d")).toDF("id", "cand", "ref")
+    val s = Classify.bleu(short, col("id"), col("cand"), col("ref"))
+      .collect().head
+    assert(s.getLong(5) === 0L && s.getLong(8) === 0L) // perfect p1, p2
+    assert(s.getLong(9) === 1000000000L)               // -ln BP = r/c - 1
+    assert(s.getLong(10) === 1000000000L)
+    val miss = Seq((1L, "x y z", "a b c")).toDF("id", "cand", "ref")
+    val m = Classify.bleu(miss, col("id"), col("cand"), col("ref"))
+      .collect().head
+    assert(m.getLong(3) === 0L)                  // match_1 says why
+    assert(m.isNullAt(5) && m.isNullAt(10))      // p1, headline NULL
+  }
+
+  test("bleu: clipping is PER PAIR, not pooled; layout-proof") {
+    import spark.implicits._
+    // pooled clip would give match_1 = min(3,3) = 3; per-pair gives 2
+    val df = Seq((1L, "z z", "z"), (2L, "z", "z z"))
+      .toDF("id", "cand", "ref")
+    val r = Classify.bleu(df, col("id"), col("cand"), col("ref"))
+      .collect().head
+    assert(r.getLong(3) === 2L && r.getLong(4) === 3L)
+    assert(r.toSeq === Classify.bleu(df.repartition(5), col("id"),
+      col("cand"), col("ref")).collect().head.toSeq)
+  }
 }
