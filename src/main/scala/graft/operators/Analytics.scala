@@ -1163,4 +1163,61 @@ object Analytics {
           .as("rfm_code"))
       .orderBy("entity")
   }
+
+  /** Difference-in-differences — the quasi-experimental readout when a
+    * change hits one group mid-stream and there was never a randomized
+    * control: the treated group's pre→post shift, net of the control
+    * group's shift over the same periods,
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * (parallel-trends is the caller's modeling assumption; this
+    * operator owns the exact arithmetic and the audit surface). Values
+    * are required NON-NEGATIVE with visible drops (`n_dropped`) so
+    * every cell mean is a positive truncating micro-quotient — the
+    * [[Sampling.randomizationTest]] trunc/floor posture; DiD is then a
+    * difference of exact longs, and NULL when any of the four cells is
+    * empty (a one-sided design has no DiD — never a fake 0).
+    *
+    * Scale posture: ONE map-side-combined aggregate collapses the
+    * corpus to the 2×2 cell counts; everything after is one-row
+    * arithmetic.
+    *
+    * Output (one row): `n_t_pre`, `sum_t_pre`, `n_t_post`,
+    * `sum_t_post`, `n_c_pre`, `sum_c_pre`, `n_c_post`, `sum_c_post`,
+    * `n_dropped` LONG, `did_micro` LONG-or-NULL.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 value: Column): DataFrame = {
+    val all = df.select(treated.cast("boolean").as("__t"),
+        post.cast("boolean").as("__p"), value.cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__v").isNotNull)
+    def cell(t: Boolean, p: Boolean, suffix: String): Seq[Column] = {
+      val in = col("__t") === t && col("__p") === p && col("__v") >= 0L
+      Seq(
+        coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_$suffix"),
+        coalesce(sum(when(in, col("__v")).otherwise(0L)), lit(0L))
+          .as(s"sum_$suffix"))
+    }
+    val aggs = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post") :+
+      coalesce(sum(when(col("__v") < 0L, 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped")
+    def mean(s: String): String =
+      s"(CAST(sum_$s AS DECIMAL(38,0)) * 1000000) DIV n_$s"
+    all.agg(aggs.head, aggs.tail: _*)
+      .withColumn("did_micro",
+        when(col("n_t_pre") > 0L && col("n_t_post") > 0L &&
+            col("n_c_pre") > 0L && col("n_c_post") > 0L,
+          expr(s"(CAST(${mean("t_post")} AS BIGINT) " +
+            s"- CAST(${mean("t_pre")} AS BIGINT)) " +
+            s"- (CAST(${mean("c_post")} AS BIGINT) " +
+            s"- CAST(${mean("c_pre")} AS BIGINT))")))
+      .select(col("n_t_pre"), col("sum_t_pre"), col("n_t_post"),
+        col("sum_t_post"), col("n_c_pre"), col("sum_c_pre"),
+        col("n_c_post"), col("sum_c_post"), col("n_dropped"),
+        col("did_micro"))
+  }
 }

@@ -288,4 +288,59 @@ object Survival {
       .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
         col("e_a_micro"), col("var_micro"), col("z"))
   }
+
+  /** Restricted mean survival time — the AREA under the [[kaplanMeier]]
+    * curve up to a horizon τ: "expected event-free time within the
+    * first τ units", the one-number summary medians can't give when
+    * survival never crosses 50% and hazard ratios can't give when
+    * curves cross (Royston & Parmar '13). For retention: expected
+    * active days per user in their first τ days.
+    *
+    *   RMST(τ) = ∫₀^τ S(t) dt = Σ_steps S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)
+    *
+    * with S = 1 on [0, t₁). Exact integers on top of KM's published
+    * `surv_ppm` longs: each segment contributes surv_ppm·width, so
+    * `rmst_time_ppm` = RMST·10⁶ in duration units with NO new float —
+    * the only libm in the chain stays KM's one pinned exp per step.
+    *
+    * Scale posture: [[kaplanMeier]]'s range-exchange staging does the
+    * heavy lifting; the segment-width lead() and the final sum run on
+    * the STEPS frame (|distinct event durations| — bucket durations
+    * first, KM's own contract), one documented steps-sized window.
+    *
+    * Output (one row): `horizon`, `n_steps`, `n_subjects`,
+    * `rmst_time_ppm` LONG (RMST·10⁶), `mean_surv_ppm` LONG
+    * (= rmst_time_ppm DIV τ — time-averaged survival).
+    */
+  def rmst(df: DataFrame, duration: Column, observed: Column,
+           horizon: Long): DataFrame = {
+    require(horizon >= 1L, s"horizon must be >= 1, got $horizon")
+    val subjects = df.select(duration.cast("long").as("__d"),
+        observed.cast("boolean").as("__o"))
+      .filter(col("__d").isNotNull && col("__o").isNotNull)
+    val nSub = subjects.agg(count(lit(1)).as("n_subjects"))
+    val km = kaplanMeier(subjects, col("__d"), col("__o"))
+    // steps-sized frame by KM's bucketing contract: the single window
+    // is over |distinct event durations| rows, never subjects
+    val w = Window.orderBy(col("t"))
+    val segs = km
+      .withColumn("__tnext",
+        coalesce(lead(col("t"), 1).over(w), lit(horizon)))
+      .filter(col("t") < horizon)
+      .withColumn("__width",
+        least(col("__tnext"), lit(horizon)) - col("t"))
+      .agg(count(lit(1)).as("n_steps"),
+        coalesce(sum(col("surv_ppm") * col("__width")), lit(0L))
+          .as("__area"),
+        coalesce(min(col("t")), lit(horizon)).as("__t1"))
+    // the pre-first-event segment [0, min(t1, horizon)) at S = 1; when
+    // no step falls below the horizon the whole area is that segment
+    segs.crossJoin(nSub)
+      .withColumn("rmst_time_ppm",
+        least(col("__t1"), lit(horizon)) * 1000000L + col("__area"))
+      .withColumn("mean_surv_ppm",
+        expr(s"rmst_time_ppm DIV ${horizon}L"))
+      .select(lit(horizon).as("horizon"), col("n_steps"),
+        col("n_subjects"), col("rmst_time_ppm"), col("mean_surv_ppm"))
+  }
 }

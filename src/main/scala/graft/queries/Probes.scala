@@ -10389,6 +10389,252 @@ object Probes {
            |FROM r, meta WHERE r.rank <= 25 ORDER BY r.rank""".stripMargin)
   )
 
+  /** Difference-in-differences (fully oracled): even-user spend shift
+    * across the mid-month boundary net of the odd-user shift — all
+    * four cell means positive truncating micro-quotients in DuckDB
+    * HUGEINT. */
+  val didProbe = Probe(
+    "q276_diff_in_diff",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.diffInDiff(
+        Tables.events(s, d).filter(col("user_id").isNotNull &&
+          col("value").isNotNull && col("ts").isNotNull),
+        col("user_id") % 2 === 0,
+        expr("unix_micros(ts) DIV 86400000000") >= 19738L,
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+    },
+    Some("""WITH b AS (SELECT user_id % 2 = 0 AS t,
+           |    epoch_us(ts::TIMESTAMP) // 86400000000 >= 19738 AS p,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           |  FROM events WHERE user_id IS NOT NULL
+           |    AND value IS NOT NULL AND ts IS NOT NULL),
+           |a AS (SELECT
+           |    CAST(count(*) FILTER (WHERE t AND NOT p AND v >= 0)
+           |      AS BIGINT) AS n_t_pre,
+           |    CAST(coalesce(sum(v) FILTER (WHERE t AND NOT p
+           |      AND v >= 0), 0) AS BIGINT) AS sum_t_pre,
+           |    CAST(count(*) FILTER (WHERE t AND p AND v >= 0)
+           |      AS BIGINT) AS n_t_post,
+           |    CAST(coalesce(sum(v) FILTER (WHERE t AND p AND v >= 0),
+           |      0) AS BIGINT) AS sum_t_post,
+           |    CAST(count(*) FILTER (WHERE NOT t AND NOT p AND v >= 0)
+           |      AS BIGINT) AS n_c_pre,
+           |    CAST(coalesce(sum(v) FILTER (WHERE NOT t AND NOT p
+           |      AND v >= 0), 0) AS BIGINT) AS sum_c_pre,
+           |    CAST(count(*) FILTER (WHERE NOT t AND p AND v >= 0)
+           |      AS BIGINT) AS n_c_post,
+           |    CAST(coalesce(sum(v) FILTER (WHERE NOT t AND p
+           |      AND v >= 0), 0) AS BIGINT) AS sum_c_post,
+           |    CAST(count(*) FILTER (WHERE v < 0) AS BIGINT)
+           |      AS n_dropped
+           |  FROM b)
+           |SELECT *, CAST(CASE WHEN n_t_pre > 0 AND n_t_post > 0
+           |    AND n_c_pre > 0 AND n_c_post > 0 THEN
+           |  (CAST((CAST(sum_t_post AS HUGEINT) * 1000000) // n_t_post
+           |     AS BIGINT)
+           |   - CAST((CAST(sum_t_pre AS HUGEINT) * 1000000) // n_t_pre
+           |     AS BIGINT))
+           |  - (CAST((CAST(sum_c_post AS HUGEINT) * 1000000)
+           |       // n_c_post AS BIGINT)
+           |     - CAST((CAST(sum_c_pre AS HUGEINT) * 1000000)
+           |       // n_c_pre AS BIGINT))
+           |  END AS BIGINT) AS did_micro
+           |FROM a""".stripMargin)
+  )
+
+  /** Restricted mean survival time (fully oracled): expected
+    * error-free hours within the q224 cohort's first 24 — the KM
+    * staging plus the steps-frame segment integration replayed in
+    * DuckDB. */
+  val rmstProbe = Probe(
+    "q277_rmst",
+    (s, d) => {
+      import graft.operators.Survival
+      val windowH = 24L
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+          col("event_type"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("__t")).as("__f"))
+      val firstErr = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("__t")).as("__te"))
+      val subjects = firsts.join(firstErr, Seq("user_id"), "left_outer")
+        .select(
+          when(col("__te").isNotNull &&
+              expr("(__te - __f) DIV 3600000000") < windowH,
+            expr("(__te - __f) DIV 3600000000")).otherwise(lit(windowH))
+            .as("dur_h"),
+          (col("__te").isNotNull &&
+            expr("(__te - __f) DIV 3600000000") < windowH).as("observed"))
+      Survival.rmst(subjects, col("dur_h"), col("observed"),
+        horizon = 24L)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |u AS (SELECT user_id, min(t) AS f FROM e GROUP BY 1),
+           |err AS (SELECT user_id, min(t) AS te FROM e
+           |  WHERE event_type = 'error' GROUP BY 1),
+           |subj AS (SELECT
+           |    CASE WHEN te IS NOT NULL AND (te - f) // 3600000000 < 24
+           |      THEN (te - f) // 3600000000 ELSE 24 END AS d,
+           |    te IS NOT NULL AND (te - f) // 3600000000 < 24 AS o
+           |  FROM u LEFT JOIN err USING (user_id)),
+           |tot AS (SELECT count(*) AS n FROM subj),
+           |perT AS (SELECT d,
+           |    CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_events,
+           |    CAST(sum(CASE WHEN NOT o THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_censored
+           |  FROM subj GROUP BY d),
+           |r AS (SELECT *,
+           |    (SELECT n FROM tot) - coalesce(sum(n_events + n_censored)
+           |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |        1 PRECEDING), 0) AS n_risk
+           |  FROM perT),
+           |q AS (SELECT *,
+           |    CASE WHEN n_events = 0 THEN 0
+           |         WHEN n_events < n_risk THEN
+           |           CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+           |             n_risk) * 1000000 + 0.5) AS BIGINT) END AS lnq,
+           |    CASE WHEN n_events > 0 AND n_events = n_risk
+           |         THEN 1 ELSE 0 END AS z
+           |  FROM r),
+           |c AS (SELECT *,
+           |    coalesce(sum(lnq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS logS,
+           |    coalesce(sum(z) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS zs
+           |  FROM q),
+           |km AS (SELECT d AS t,
+           |    CAST(CASE WHEN zs > 0 THEN 0 ELSE
+           |      floor(exp(CAST(logS AS DOUBLE) / 1000000.0) * 1000000
+           |        + 0.5) END AS BIGINT) AS surv_ppm
+           |  FROM c WHERE n_events > 0),
+           |seg AS (SELECT t, surv_ppm,
+           |    coalesce(lead(t) OVER (ORDER BY t), 24) AS tnext
+           |  FROM km),
+           |area AS (SELECT CAST(count(*) AS BIGINT) AS n_steps,
+           |    CAST(coalesce(sum(surv_ppm * (least(tnext, 24) - t)), 0)
+           |      AS BIGINT) AS a,
+           |    coalesce(min(t), 24) AS t1
+           |  FROM seg WHERE t < 24)
+           |SELECT CAST(24 AS BIGINT) AS horizon, n_steps,
+           |  CAST((SELECT n FROM tot) AS BIGINT) AS n_subjects,
+           |  CAST(least(t1, 24) * 1000000 + a AS BIGINT)
+           |    AS rmst_time_ppm,
+           |  CAST((least(t1, 24) * 1000000 + a) // 24 AS BIGINT)
+           |    AS mean_surv_ppm
+           |FROM area""".stripMargin)
+  )
+
+  /** Fellegi–Sunter linkage weights (fully oracled): labeled pairs
+    * built deterministically from the documents frame — match pairs
+    * are noised copies (every 5th lang / 7th source agreement replaced
+    * by the NEXT doc's field), non-match pairs are doc-vs-next-doc;
+    * m/u ppm clamps and the pinned nano-ln weights replayed in
+    * DuckDB. */
+  val linkageProbe = Probe(
+    "q278_linkage_weights",
+    (s, d) => {
+      import graft.operators.Golden
+      val w = Window.orderBy(col("doc_id"))
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id").isNotNull)
+        .withColumn("nlang", lead(col("lang"), 1).over(w))
+        .withColumn("nsource", lead(col("source"), 1).over(w))
+        .withColumn("nlen", lead(expr("n_chars DIV 50"), 1).over(w))
+      val matches = docs.select(lit(true).as("m"),
+        (col("doc_id") % 5 =!= 0 ||
+          col("lang") === col("nlang")).as("a_lang"),
+        (col("doc_id") % 7 =!= 0 ||
+          col("source") === col("nsource")).as("a_source"),
+        lit(true).as("a_len"))
+      val nonmatches = docs.select(lit(false).as("m"),
+        (col("lang") === col("nlang")).as("a_lang"),
+        (col("source") === col("nsource")).as("a_source"),
+        (expr("n_chars DIV 50") === col("nlen")).as("a_len"))
+      Golden.linkageWeights(matches.unionByName(nonmatches), col("m"),
+        Seq("lang" -> col("a_lang"), "len" -> col("a_len"),
+          "source" -> col("a_source")))
+    },
+    Some("""WITH dd AS (SELECT doc_id, lang, source,
+           |    n_chars // 50 AS lb,
+           |    lead(lang) OVER (ORDER BY doc_id) AS nlang,
+           |    lead(source) OVER (ORDER BY doc_id) AS nsource,
+           |    lead(n_chars // 50) OVER (ORDER BY doc_id) AS nlen
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |p AS (
+           |  SELECT true AS m,
+           |    (doc_id % 5 != 0 OR lang = nlang) AS a_lang,
+           |    (doc_id % 7 != 0 OR source = nsource) AS a_source,
+           |    true AS a_len FROM dd
+           |  UNION ALL
+           |  SELECT false, lang = nlang, source = nsource, lb = nlen
+           |  FROM dd),
+           |tot AS (SELECT
+           |    CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_match,
+           |    CAST(count(*) FILTER (WHERE NOT m) AS BIGINT)
+           |      AS n_nonmatch FROM p),
+           |f AS (
+           |  SELECT 'lang' AS field,
+           |    CAST(count(*) FILTER (WHERE m AND a_lang) AS BIGINT)
+           |      AS agree_m,
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_lang) AS BIGINT)
+           |      AS agree_u,
+           |    CAST(count(*) FILTER (WHERE m AND a_lang IS NOT NULL)
+           |      AS BIGINT) AS n_cmp_m,
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_lang IS NOT
+           |      NULL) AS BIGINT) AS n_cmp_u,
+           |    CAST(count(*) FILTER (WHERE a_lang IS NULL) AS BIGINT)
+           |      AS n_null_cmp
+           |  FROM p
+           |  UNION ALL
+           |  SELECT 'len',
+           |    CAST(count(*) FILTER (WHERE m AND a_len) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_len) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE m AND a_len IS NOT NULL)
+           |      AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_len IS NOT
+           |      NULL) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE a_len IS NULL) AS BIGINT)
+           |  FROM p
+           |  UNION ALL
+           |  SELECT 'source',
+           |    CAST(count(*) FILTER (WHERE m AND a_source) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_source)
+           |      AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE m AND a_source IS NOT NULL)
+           |      AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE NOT m AND a_source IS NOT
+           |      NULL) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE a_source IS NULL) AS BIGINT)
+           |  FROM p),
+           |g AS (SELECT f.*, tot.n_match, tot.n_nonmatch,
+           |    greatest(1, least(999999,
+           |      (agree_m * 1000000) // n_cmp_m)) AS m_ppm,
+           |    greatest(1, least(999999,
+           |      (agree_u * 1000000) // n_cmp_u)) AS u_ppm,
+           |    (agree_m * 1000000) // n_cmp_m AS raw_m,
+           |    (agree_u * 1000000) // n_cmp_u AS raw_u
+           |  FROM f, tot)
+           |SELECT field, n_match, n_nonmatch, agree_m, agree_u,
+           |  n_cmp_m, n_cmp_u, n_null_cmp,
+           |  CAST((CASE WHEN m_ppm != raw_m THEN 1 ELSE 0 END)
+           |    + (CASE WHEN u_ppm != raw_u THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clamped,
+           |  CAST(m_ppm AS BIGINT) AS m_ppm,
+           |  CAST(u_ppm AS BIGINT) AS u_ppm,
+           |  CAST(floor(ln(CAST(m_ppm AS DOUBLE) / u_ppm)
+           |    * 1000000000 + 0.5) AS BIGINT) AS w_agree_nano,
+           |  CAST(floor(ln(CAST(1000000 - m_ppm AS DOUBLE) /
+           |    (1000000 - u_ppm)) * 1000000000 + 0.5) AS BIGINT)
+           |    AS w_disagree_nano
+           |FROM g ORDER BY field""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10454,7 +10700,8 @@ object Probes {
     cupedProbe, postStratifyProbe, qqShiftProbe, maseProbe,
     bestThresholdProbe, ebShrinkProbe, simpsonProbe,
     overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe,
-    crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe
+    crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe,
+    didProbe, rmstProbe, linkageProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

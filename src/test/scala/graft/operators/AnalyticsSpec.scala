@@ -809,4 +809,37 @@ class AnalyticsSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
     assert(run(df) === run(df.repartition(17)))
   }
+
+  test("diffInDiff: hand 2x2 cells, exact micro means") {
+    import spark.implicits._
+    // T pre mean 10, T post mean 25, C pre mean 5, C post mean 8
+    // DiD = (25 - 10) - (8 - 5) = 12 -> 12_000_000 micro
+    val rows = Seq(
+      (true, false, 10L), (true, false, 10L),
+      (true, true, 20L), (true, true, 30L),
+      (false, false, 5L), (false, true, 8L))
+    val r = Analytics.diffInDiff(rows.toDF("t", "p", "v"),
+      col("t"), col("p"), col("v")).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 20L)  // T pre
+    assert(r.getLong(2) === 2L && r.getLong(3) === 50L)  // T post
+    assert(r.getLong(8) === 0L)
+    assert(r.getLong(9) === 12000000L)
+  }
+
+  test("diffInDiff: empty cell NULLs the estimate; negatives drop visibly; layout-proof") {
+    import spark.implicits._
+    val noCpost = Seq((true, false, 1L), (true, true, 2L),
+      (false, false, 3L))
+    val r = Analytics.diffInDiff(noCpost.toDF("t", "p", "v"),
+      col("t"), col("p"), col("v")).collect().head
+    assert(r.isNullAt(9), "missing control-post cell: no DiD")
+    val withNeg = (0 until 40).map(i => (i % 2 == 0, i % 4 < 2,
+      if (i == 3) -9L else (i % 7).toLong))
+    val df = withNeg.toDF("t", "p", "v")
+    val d = Analytics.diffInDiff(df, col("t"), col("p"), col("v"))
+      .collect().head
+    assert(d.getLong(8) === 1L)
+    assert(d.toSeq === Analytics.diffInDiff(df.repartition(9), col("t"),
+      col("p"), col("v")).collect().head.toSeq)
+  }
 }

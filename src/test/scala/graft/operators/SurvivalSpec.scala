@@ -172,4 +172,34 @@ class SurvivalSpec extends AnyFunSuite {
       col("o")).collect().head
     assert(x === y)
   }
+
+  test("rmst: hand curve — area under KM steps clipped to the horizon") {
+    import spark.implicits._
+    // 4 subjects: events at t=2 (1 of 4) and t=5 (1 of 3), censored at
+    // t=5 (1), survivor censored at t=10 (1)
+    // S = 1 on [0,2), 0.75 on [2,5), 0.5 on [5,10)
+    // RMST(8) = 2*1 + 3*0.75 + 3*0.5 = 5.75 -> 5_750_000 ppm-time
+    val df = Seq((2L, true), (5L, true), (5L, false), (10L, false))
+      .toDF("d", "o")
+    val r = Survival.rmst(df, col("d"), col("o"), horizon = 8L)
+      .collect().head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 4L)
+    assert(r.getLong(3) === 5750000L)
+    assert(r.getLong(4) === 5750000L / 8L)
+  }
+
+  test("rmst: no events below horizon means S = 1 throughout; layout-proof") {
+    import spark.implicits._
+    val allLate = Seq((30L, true), (40L, false)).toDF("d", "o")
+    val r = Survival.rmst(allLate, col("d"), col("o"), horizon = 24L)
+      .collect().head
+    assert(r.getLong(3) === 24000000L && r.getLong(4) === 1000000L)
+    val mixed = (0 until 60).map(i => ((i % 9 + 1).toLong, i % 3 != 0))
+      .toDF("d", "o")
+    val a = Survival.rmst(mixed, col("d"), col("o"), 7L).collect().head
+    val b = Survival.rmst(mixed.repartition(11), col("d"), col("o"), 7L)
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+  }
 }
