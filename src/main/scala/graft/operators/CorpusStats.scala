@@ -728,4 +728,49 @@ object CorpusStats {
           .as("bytes_per_char_ppm"))
       .orderBy(col("lang"))
   }
+
+  /** Capture–recapture population estimate (Chapman '51) — "how many
+    * entities exist that NEITHER crawl saw?": two overlapping
+    * independent samples of the same population give
+    *
+    *   N̂ = (n₁+1)·(n₂+1) DIV (m+1) − 1
+    *
+    * (Chapman's bias-corrected Lincoln–Petersen; the +1s make the
+    * estimator finite even at m = 0 and the quotient positive, hence
+    * trunc ≡ floor cross-engine). The corpus-coverage companion to
+    * [[richness]]: Chao1 extrapolates from WITHIN-sample frequency-
+    * of-frequencies, capture–recapture from BETWEEN-sample overlap —
+    * when the two disagree wildly, the independence assumption (or the
+    * dedup keying) is broken, which is exactly worth knowing.
+    *
+    * Scale posture: each side collapses to distinct keys (one
+    * aggregate), the overlap is a semi-join count — three key-sized
+    * shuffles, no windows. The raw Lincoln–Petersen n₁·n₂ DIV m is
+    * published too (NULL at m = 0, never ±∞).
+    *
+    * Output (one row): `n1`, `n2`, `m`, `seen`, `chapman_est`,
+    * `unseen_est` LONG, `lincoln_est` LONG-or-NULL.
+    */
+  def captureRecapture(a: DataFrame, b: DataFrame, idA: Column,
+                       idB: Column): DataFrame = {
+    val da = a.select(idA.cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val db = b.select(idB.cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val n1 = da.agg(count(lit(1)).as("n1"))
+    val n2 = db.agg(count(lit(1)).as("n2"))
+    val m = da.join(db, Seq("__k"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    n1.crossJoin(n2).crossJoin(m)
+      .withColumn("seen", col("n1") + col("n2") - col("m"))
+      .withColumn("chapman_est", expr(
+        "(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) DIV (m + 1) - 1")
+        .cast("long"))
+      .withColumn("unseen_est", col("chapman_est") - col("seen"))
+      .withColumn("lincoln_est",
+        when(col("m") > 0L, expr(
+          "CAST((CAST(n1 AS DECIMAL(38,0)) * n2) DIV m AS BIGINT)")))
+      .select(col("n1"), col("n2"), col("m"), col("seen"),
+        col("chapman_est"), col("unseen_est"), col("lincoln_est"))
+  }
 }

@@ -108,4 +108,75 @@ object Layout {
         ((max(y) - min(y)).cast("double") / (yhi - ylo)).as("y_span"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Rendezvous (highest-random-weight) shard id for a key: argmax over
+    * shard candidates of a per-(key, shard) digest (Thaler & Ravishankar
+    * '98) — the shard mapping whose defining property is MINIMAL
+    * MOVEMENT under resizing: only keys whose NEW shard's digest wins
+    * move (~1/(k+1) of them on grow to k+1), where mod-hashing moves
+    * ~(1 − 1/k') of everything. The digest is md5-derived so any engine
+    * replays the assignment bit-for-bit ([[graft.operators.Sampling]]'s
+    * seeded-md5 discipline); the struct order breaks (impossible-in-
+    * practice) 60-bit digest ties to the smaller shard id. Pure in-row
+    * expression — no shuffle, no state; cost is O(shards) per row, so
+    * this is for shard counts in the hundreds (use jump hashing offline
+    * past that). */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 4096,
+      s"shards must be in 1..4096, got $shards")
+    val cands = transform(sequence(lit(0), lit(shards - 1)), s =>
+      struct(
+        (-conv(substring(md5(concat_ws("|", key.cast("string"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long")).as("nd"),
+        s.as("sid")))
+    array_min(cands).getField("sid").cast("long")
+  }
+
+  /** Reshard movement audit — before repartitioning a 100 TB bucketed
+    * store from `fromShards` to `toShards`, measure EXACTLY what the
+    * move costs: how many rows change shard under [[rendezvousShard]],
+    * and whether the movement is the theoretical minimum (on grow,
+    * every moved row must land on a NEW shard — rows moving between
+    * old shards would be wasted I/O and falsify the mapping).
+    *
+    * One narrow projection (two in-row rendezvous evaluations) + ONE
+    * map-side-combined aggregate; `moved_ppm` is a positive truncating
+    * quotient. NULL keys are dropped visibly (`n_null` — they need the
+    * caller's null policy, not a silent shard).
+    *
+    * Output (one row): `from_shards`, `to_shards`, `n`, `n_null`,
+    * `n_moved`, `moved_ppm`, `n_moved_to_new` LONG,
+    * `moves_minimal` BOOLEAN (every move targets a new shard; trivially
+    * true when shrinking is not involved — defined only for grow, NULL
+    * otherwise).
+    */
+  def reshardAudit(df: DataFrame, key: Column, fromShards: Int,
+                   toShards: Int): DataFrame = {
+    require(fromShards >= 1 && toShards >= 1 && fromShards != toShards,
+      s"need two distinct positive shard counts, got $fromShards -> $toShards")
+    val all = df.select(key.cast("string").as("__k"))
+    val nNull = all.agg(coalesce(sum(when(col("__k").isNull, 1L)
+      .otherwise(0L)), lit(0L)).as("n_null"))
+    val tagged = all.filter(col("__k").isNotNull)
+      .withColumn("__from", rendezvousShard(col("__k"), fromShards))
+      .withColumn("__to", rendezvousShard(col("__k"), toShards))
+      .withColumn("__moved", col("__from") =!= col("__to"))
+    tagged.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__moved"), 1L).otherwise(0L)), lit(0L))
+          .as("n_moved"),
+        coalesce(sum(when(col("__moved") &&
+            col("__to") >= fromShards.toLong, 1L).otherwise(0L)),
+          lit(0L)).as("n_moved_to_new"))
+      .crossJoin(nNull)
+      .withColumn("moved_ppm",
+        when(col("n") > 0L, expr("(n_moved * 1000000L) DIV n")))
+      .withColumn("moves_minimal",
+        when(lit(toShards > fromShards),
+          col("n_moved") === col("n_moved_to_new")))
+      .select(lit(fromShards.toLong).as("from_shards"),
+        lit(toShards.toLong).as("to_shards"), col("n"), col("n_null"),
+        col("n_moved"), col("moved_ppm"), col("n_moved_to_new"),
+        col("moves_minimal"))
+  }
 }

@@ -10635,6 +10635,87 @@ object Probes {
            |FROM g ORDER BY field""".stripMargin)
   )
 
+  /** Reshard movement audit (fully oracled): growing the event store
+    * from 8 to 12 rendezvous shards — the per-(key, shard) digests,
+    * both argmax picks, and the minimal-movement verdict replayed in
+    * DuckDB. */
+  val reshardProbe = Probe(
+    "q279_reshard_audit",
+    (s, d) => {
+      import graft.operators.Layout
+      Layout.reshardAudit(Tables.events(s, d), col("event_id"),
+        fromShards = 8, toShards = 12)
+    },
+    Some("""WITH k AS (SELECT CAST(event_id AS VARCHAR) AS k
+           |  FROM events WHERE event_id IS NOT NULL),
+           |nn AS (SELECT CAST(count(*) FILTER (WHERE event_id IS NULL)
+           |    AS BIGINT) AS n_null FROM events),
+           |f AS (SELECT k, t.s AS s,
+           |    CAST('0x' || substr(md5(k || '|' || CAST(t.s AS
+           |      VARCHAR)), 1, 15) AS BIGINT) AS dg
+           |  FROM k, unnest(range(0, 12)) AS t(s)),
+           |fr AS (SELECT k, s AS sf FROM (SELECT k, s, row_number()
+           |    OVER (PARTITION BY k ORDER BY dg DESC, s) AS rn
+           |  FROM f WHERE s < 8) WHERE rn = 1),
+           |tt AS (SELECT k, s AS st FROM (SELECT k, s, row_number()
+           |    OVER (PARTITION BY k ORDER BY dg DESC, s) AS rn
+           |  FROM f) WHERE rn = 1),
+           |j AS (SELECT fr.k, sf, st FROM fr JOIN tt USING (k))
+           |SELECT CAST(8 AS BIGINT) AS from_shards,
+           |  CAST(12 AS BIGINT) AS to_shards,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  (SELECT n_null FROM nn) AS n_null,
+           |  CAST(count(*) FILTER (WHERE sf != st) AS BIGINT)
+           |    AS n_moved,
+           |  CAST((count(*) FILTER (WHERE sf != st) * 1000000)
+           |    // count(*) AS BIGINT) AS moved_ppm,
+           |  CAST(count(*) FILTER (WHERE sf != st AND st >= 8)
+           |    AS BIGINT) AS n_moved_to_new,
+           |  count(*) FILTER (WHERE sf != st) =
+           |    count(*) FILTER (WHERE sf != st AND st >= 8)
+           |    AS moves_minimal
+           |FROM j""".stripMargin)
+  )
+
+  /** Capture–recapture (fully oracled): two seeded overlapping crawls
+    * of the documents table — Chapman and Lincoln–Petersen estimates
+    * of the true corpus size, every quotient replayed in DuckDB. */
+  val captureRecaptureProbe = Probe(
+    "q280_capture_recapture",
+    (s, d) => {
+      import graft.operators.CorpusStats
+      val docs = Tables.documents(s, d)
+      def crawl(salt: String, mod: Int) = docs.filter(
+        conv(substring(md5(concat_ws("|", lit(salt),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10 < mod)
+      CorpusStats.captureRecapture(crawl("ca", 6), crawl("cb", 7),
+        col("doc_id"), col("doc_id"))
+    },
+    Some("""WITH da AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND CAST('0x' || substr(md5('ca|' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 6),
+           |db AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |    AND CAST('0x' || substr(md5('cb|' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 7),
+           |c AS (SELECT
+           |    (SELECT CAST(count(*) AS BIGINT) FROM da) AS n1,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM db) AS n2,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM da
+           |     WHERE k IN (SELECT k FROM db)) AS m)
+           |SELECT n1, n2, m, n1 + n2 - m AS seen,
+           |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+           |    AS BIGINT) AS chapman_est,
+           |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+           |    AS BIGINT) - (n1 + n2 - m) AS unseen_est,
+           |  CASE WHEN m > 0 THEN
+           |    CAST((CAST(n1 AS HUGEINT) * n2) // m AS BIGINT) END
+           |    AS lincoln_est
+           |FROM c""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10701,7 +10782,8 @@ object Probes {
     bestThresholdProbe, ebShrinkProbe, simpsonProbe,
     overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe,
     crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe,
-    didProbe, rmstProbe, linkageProbe
+    didProbe, rmstProbe, linkageProbe, reshardProbe,
+    captureRecaptureProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

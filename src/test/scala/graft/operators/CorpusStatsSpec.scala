@@ -354,4 +354,37 @@ class CorpusStatsSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
     assert(run(docs) === run(docs.repartition(11)))
   }
+
+  test("captureRecapture: hand overlap table, both estimators exact") {
+    import spark.implicits._
+    // A = {1..60}, B = {41..100}: n1=60, n2=60, m=20
+    // Chapman = 61*61 // 21 - 1 = 176; Lincoln = 3600 // 20 = 180
+    val a = (1 to 60).map(i => Tuple1(i.toLong)).toDF("id")
+    val b = (41 to 100).map(i => Tuple1(i.toLong)).toDF("id")
+    val r = CorpusStats.captureRecapture(a, b, col("id"), col("id"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((60L, 60L, 20L)))
+    assert(r.getLong(3) === 100L)
+    assert(r.getLong(4) === 176L)
+    assert(r.getLong(5) === 76L)
+    assert(r.getLong(6) === 180L)
+  }
+
+  test("captureRecapture: disjoint samples stay finite; duplicates collapse; layout-proof") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 2L).map(Tuple1(_)).toDF("id") // dups collapse
+    val b = Seq(9L, 8L).map(Tuple1(_)).toDF("id")
+    val r = CorpusStats.captureRecapture(a, b, col("id"), col("id"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 0L)))
+    assert(r.getLong(4) === 8L)      // (3*3)//1 - 1: finite at m=0
+    assert(r.isNullAt(6))            // Lincoln undefined at m=0
+    val big = (1 to 400).map(i => Tuple1((i % 97).toLong)).toDF("id")
+    val sub = big.filter(col("id") < 50)
+    val x = CorpusStats.captureRecapture(big, sub, col("id"),
+      col("id")).collect().head
+    val y = CorpusStats.captureRecapture(big.repartition(13),
+      sub.repartition(7), col("id"), col("id")).collect().head
+    assert(x.toSeq === y.toSeq)
+  }
 }

@@ -74,4 +74,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.join(df, Seq("x", "y", "id"), "left_anti").count() === 0)
     assert(df.join(back, Seq("x", "y", "id"), "left_anti").count() === 0)
   }
+
+  test("rendezvousShard: deterministic, in-range, and stable under growth") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => Tuple1(s"k$i")).toDF("k")
+    val tagged = df
+      .withColumn("s8", Layout.rendezvousShard(col("k"), 8))
+      .withColumn("s12", Layout.rendezvousShard(col("k"), 12))
+      .collect()
+    assert(tagged.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 8L))
+    assert(tagged.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 12L))
+    // the rendezvous property: a key either keeps its shard or moves
+    // to one of the NEW shards — never between old shards
+    assert(tagged.forall(r =>
+      r.getLong(2) === r.getLong(1) || r.getLong(2) >= 8L))
+    // all 8 shards actually used at n=300 (sanity on the digest spread)
+    assert(tagged.map(_.getLong(1)).distinct.length === 8)
+  }
+
+  test("reshardAudit: movement bounded near 1/k', minimality verdict, null quarantine") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => Some(s"k$i")) :+ Option.empty[String])
+      .toDF("k")
+    val r = Layout.reshardAudit(df, col("k"), fromShards = 8,
+      toShards = 12).collect().head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 12L)
+    assert(r.getLong(2) === 1000L && r.getLong(3) === 1L)
+    assert(r.getLong(4) === r.getLong(6), "every move lands on a new shard")
+    assert(r.getBoolean(7))
+    // expected movement = 4/12 of keys; allow generous concentration
+    val ppm = r.getLong(5)
+    assert(ppm > 200000L && ppm < 470000L, s"moved_ppm $ppm")
+    // shrink direction: moves_minimal is NULL (not defined), moves happen
+    val back = Layout.reshardAudit(df, col("k"), fromShards = 12,
+      toShards = 8).collect().head
+    assert(back.isNullAt(7) && back.getLong(4) > 0L)
+  }
 }
