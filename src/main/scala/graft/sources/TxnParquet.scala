@@ -57,9 +57,39 @@ object TxnParquet {
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
   }
 
-  /** (version, dateKey → chunk-relative dir) of the live manifest. */
-  private[sources] def currentManifest(
-      spark: SparkSession, path: String): Option[(Long, Map[String, String])] = {
+  /** Manifest body → (dateKey → chunk dir, committed schema). The
+    * schema line (`schema\t<json>`, written since the schema-evolution
+    * change) is optional — pre-evolution manifests parse fine and
+    * simply carry no schema. */
+  private def parseBody(text: String)
+      : (Map[String, String], Option[org.apache.spark.sql.types.StructType]) = {
+    val lines = text.linesIterator.filter(_.nonEmpty).drop(1).toSeq
+    val (schemaLines, dateLines) = lines.partition(_.startsWith("schema\t"))
+    val dates = dateLines.map { line =>
+      val Array(k, d) = line.split("\t", 2)
+      k -> d
+    }.toMap
+    val schema = schemaLines.headOption.map { l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.split("\t", 2)(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    (dates, schema)
+  }
+
+  private def slurp(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** (version, dateKey → chunk-relative dir, committed schema) of the
+    * live manifest. */
+  private[sources] def currentManifest(spark: SparkSession, path: String)
+      : Option[(Long, Map[String, String],
+        Option[org.apache.spark.sql.types.StructType])] = {
     val (f, root) = fs(spark, path)
     val dir = new Path(root, "_graft")
     if (!f.exists(dir)) return None
@@ -69,31 +99,14 @@ object TxnParquet {
     })
     if (versions.isEmpty) return None
     val v = versions.max
-    val in = f.open(new Path(dir, s"manifest-$v.txt"))
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      bytes.toString("UTF-8")
-    } finally in.close()
-    val dates = text.linesIterator.filter(_.nonEmpty).drop(1).map { line =>
-      val Array(k, d) = line.split("\t", 2)
-      k -> d
-    }.toMap
-    Some((v, dates))
+    val (dates, schema) = parseBody(slurp(f, new Path(dir, s"manifest-$v.txt")))
+    Some((v, dates, schema))
   }
 
-  private def readManifestAt(f: FileSystem, dir: Path, v: Long): Map[String, String] = {
-    val in = f.open(new Path(dir, s"manifest-$v.txt"))
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      bytes.toString("UTF-8")
-    } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).drop(1).map { line =>
-      val Array(k, d) = line.split("\t", 2)
-      k -> d
-    }.toMap
-  }
+  private def readManifestAt(f: FileSystem, dir: Path, v: Long)
+      : (Map[String, String],
+        Option[org.apache.spark.sql.types.StructType]) =
+    parseBody(slurp(f, new Path(dir, s"manifest-$v.txt")))
 
   private def dateKey(d: java.sql.Date): String =
     if (d == null) NullKey else d.toString
@@ -115,7 +128,7 @@ object TxnParquet {
     def read(spark: SparkSession): DataFrame = {
       val m = currentManifest(spark, path).getOrElse(
         throw new IllegalStateException(s"TxnParquetSink: no committed table at $path"))
-      readDirs(spark, m._2.values.toSeq)
+      readDirs(spark, m._2.values.toSeq, m._3)
     }
 
     /** The table restricted to `dates` — pure driver-side manifest
@@ -124,7 +137,7 @@ object TxnParquet {
     def prunedRead(spark: SparkSession, dates: Seq[java.sql.Date]): DataFrame = {
       val m = currentManifest(spark, path).getOrElse(
         throw new IllegalStateException(s"TxnParquetSink: no committed table at $path"))
-      readDirs(spark, dates.map(dateKey).distinct.flatMap(m._2.get))
+      readDirs(spark, dates.map(dateKey).distinct.flatMap(m._2.get), m._3)
     }
 
     /** Live manifest version, None before the first commit. */
@@ -147,13 +160,23 @@ object TxnParquet {
           s"(live=${live.getOrElse("none")}, keepManifests=$keepManifests" +
           s" — older versions are GC'd past the grace window)"
       })
-      readDirs(spark, readManifestAt(f, gdir, v).values.toSeq)
+      val (dates, schema) = readManifestAt(f, gdir, v)
+      // per-version schema: a pre-evolution snapshot reads back with
+      // its OWN columns, not the live table's
+      readDirs(spark, dates.values.toSeq, schema)
     }
 
-    private def readDirs(spark: SparkSession, rel: Seq[String]): DataFrame = {
+    /** Chunk reads pin the manifest's committed schema when present:
+      * chunks written before an add-column evolution lack the new
+      * columns, and the explicit schema makes the parquet reader fill
+      * them with typed NULLs instead of letting first-file inference
+      * drop them. */
+    private def readDirs(spark: SparkSession, rel: Seq[String],
+        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
       require(rel.nonEmpty,
         "TxnParquetSink: committed table has no data for the requested dates")
-      spark.read.parquet(rel.map(r => s"$path/$r"): _*).drop("p_date")
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(rel.map(r => s"$path/$r"): _*).drop("p_date")
     }
 
     private def merge(updates: DataFrame, keys: Seq[String],
@@ -168,14 +191,39 @@ object TxnParquet {
       val current = currentManifest(spark, path)
       val touched = Store.touchedDates(batch, tsCol).map(dateKey)
       if (touched.isEmpty) return // empty batch: nothing to merge or commit
-      val cols = batch.columns.map(col).toIndexedSeq
+      // Schema evolution contract: adding columns is a merge (old rows
+      // read back with typed NULLs); dropping or re-typing a column is
+      // a REWRITE, and a merge attempting it fails loudly — silence
+      // here would truncate the table's schema one commit at a time.
+      current.flatMap(_._3).foreach { ts =>
+        val batchTypes = batch.schema.map(f => f.name -> f.dataType).toMap
+        val tableData = ts.filter(_.name != "p_date")
+        val missing = tableData.map(_.name).filterNot(batchTypes.contains)
+        require(missing.isEmpty,
+          s"TxnParquetSink: merge batch is missing existing table " +
+            s"column(s) ${missing.mkString(", ")} — dropping columns " +
+            s"requires an explicit rewrite, not a merge")
+        val retyped = tableData.filter(f =>
+          batchTypes(f.name) != f.dataType)
+        require(retyped.isEmpty,
+          s"TxnParquetSink: merge batch re-types column(s) " +
+            retyped.map(f => s"${f.name} (${f.dataType.simpleString} -> " +
+              s"${batchTypes(f.name).simpleString})").mkString(", ") +
+            " — type evolution requires an explicit rewrite")
+      }
       val merged = current match {
-        case Some((_, dates)) =>
+        case Some((_, dates, schemaOpt)) =>
           val dirs = touched.flatMap(dates.get)
           if (dirs.isEmpty) batch
           else {
-            val existing = spark.read.parquet(dirs.map(r => s"$path/$r"): _*)
-              .select(cols: _*)
+            val raw = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+              .parquet(dirs.map(r => s"$path/$r"): _*)
+            val have = raw.columns.toSet
+            // align to the batch's (possibly wider) schema: columns the
+            // old chunks lack surface as typed NULLs
+            val existing = raw.select(batch.schema.map(f =>
+              if (have.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)): _*)
             policy(existing, batch, keys)
           }
         case None => batch
@@ -197,7 +245,7 @@ object TxnParquet {
       val nextV = current.map(_._1 + 1).getOrElse(1L)
       val nextDates = current.map(_._2).getOrElse(Map.empty) ++
         touched.map(k => k -> s"$chunkRel/p_dir=$k")
-      val body = (s"v $nextV" +:
+      val body = (s"v $nextV" +: s"schema\t${merged.schema.json}" +:
         nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
         .mkString("", "\n", "\n")
       val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -231,7 +279,7 @@ object TxnParquet {
       * commit. */
     def vacuum(spark: SparkSession, retain: Int = 1): Unit = {
       require(retain >= 1, "vacuum must retain at least the live manifest")
-      currentManifest(spark, path).foreach { case (v, _) =>
+      currentManifest(spark, path).foreach { case (v, _, _) =>
         val (f, root) = fs(spark, path)
         gc(f, root, new Path(root, "_graft"), v, retain)
       }
@@ -262,9 +310,13 @@ object TxnParquet {
       * the many-small-dirs tail, the common shape after frequent small
       * batches. */
     def compact(spark: SparkSession): Unit = {
-      currentManifest(spark, path).foreach { case (v, dates) =>
+      currentManifest(spark, path).foreach { case (v, dates, schemaOpt) =>
         val dirs = dates.values.toSeq.distinct
-        val all = spark.read.parquet(dirs.map(r => s"$path/$r"): _*)
+        // schema-pinned read: post-evolution tables hold chunks of
+        // mixed width, and first-file inference would drop the newer
+        // columns from the whole compacted table
+        val all = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+          .parquet(dirs.map(r => s"$path/$r"): _*)
 
         val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
         all
@@ -277,7 +329,7 @@ object TxnParquet {
         val gdir = new Path(root, "_graft")
         val nextV = v + 1
         val nextDates = dates.keys.map(k => k -> s"$chunkRel/p_dir=$k").toMap
-        val body = (s"v $nextV" +:
+        val body = (s"v $nextV" +: s"schema\t${all.schema.json}" +:
           nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
           .mkString("", "\n", "\n")
         val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -311,7 +363,7 @@ object TxnParquet {
       })
       val referenced = (keepFrom to liveV)
         .filter(v => f.exists(new Path(gdir, s"manifest-$v.txt")))
-        .flatMap(v => readManifestAt(f, gdir, v).values)
+        .flatMap(v => readManifestAt(f, gdir, v)._1.values)
         .map(_.split("/p_dir=", 2)(0)).toSet
       val dataDir = new Path(root, "data")
       if (f.exists(dataDir))

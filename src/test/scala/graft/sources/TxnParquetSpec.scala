@@ -90,6 +90,7 @@ class TxnParquetSpec extends AnyFunSuite {
       val m = new java.io.File(path, s"_graft/manifest-$v.txt")
       if (m.exists())
         scala.io.Source.fromFile(m).getLines().drop(1)
+          .filterNot(_.startsWith("schema\t"))
           .map(_.split("\t")(1).split("/p_dir=")(0).stripPrefix("data/")).toSeq
       else Seq.empty
     }.toSet
@@ -134,6 +135,7 @@ class TxnParquetSpec extends AnyFunSuite {
       val m = new java.io.File(path, s"_graft/manifest-$v.txt")
       if (m.exists())
         scala.io.Source.fromFile(m).getLines().drop(1)
+          .filterNot(_.startsWith("schema\t"))
           .map(_.split("\t")(1).split("/p_dir=")(0).stripPrefix("data/")).toSeq
       else Seq.empty
     }.toSet
@@ -313,5 +315,69 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(sink.version(spark) === Some(2L))
     assert(snapshot(sink) === before)
     TxnParquetSink(tmp()).compact(spark) // empty table: must not throw
+  }
+
+  test("schema evolution: added column surfaces as typed NULL on old rows and old dates") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0),
+      (2L, "2025-11-27 05:00:00", 25.0)), keys)
+    // v2 adds a 'hum' column and touches ONLY the 26th
+    val wide = Seq((3L, "2025-11-26 08:00:00", 30.0, Some(71L)))
+      .toDF("city_id", "dt", "temp", "hum")
+      .withColumn("dt", col("dt").cast("timestamp"))
+    sink.mergeLastWins(wide, keys)
+    val out = sink.read(spark)
+    assert(out.columns.toSeq === Seq("city_id", "dt", "temp", "hum"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getLong(3) === 71L)
+    assert(byId(1L).isNullAt(3), "old row in a touched date: typed NULL")
+    assert(byId(2L).isNullAt(3), "row in an UNTOUCHED date chunk: the " +
+      "manifest schema must widen the read, not first-file inference")
+    // pruned read of the untouched date also carries the live schema
+    val pruned = sink.prunedRead(spark,
+      Seq(java.sql.Date.valueOf("2025-11-27")))
+    assert(pruned.columns.contains("hum") &&
+      pruned.collect().head.isNullAt(3))
+  }
+
+  test("schema evolution: time travel keeps each version's own schema; compact preserves width") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0)), keys)
+    val wide = Seq((2L, "2025-11-27 05:00:00", 25.0, Some(60L)))
+      .toDF("city_id", "dt", "temp", "hum")
+      .withColumn("dt", col("dt").cast("timestamp"))
+    sink.mergeLastWins(wide, keys)
+    assert(!sink.readVersion(spark, 1L).columns.contains("hum"),
+      "the pre-evolution snapshot reads back with its own columns")
+    assert(sink.readVersion(spark, 2L).columns.contains("hum"))
+    sink.compact(spark)
+    val compacted = sink.read(spark)
+    assert(compacted.columns.contains("hum"))
+    assert(compacted.collect().map(r =>
+      r.getLong(0) -> r.isNullAt(3)).toMap === Map(1L -> true, 2L -> false))
+  }
+
+  test("schema evolution: dropping or re-typing a column fails loudly") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    sink.mergeLastWins(df((1L, "2025-11-26 04:00:00", 22.0)), keys)
+    val narrower = Seq((2L, "2025-11-26 09:00:00"))
+      .toDF("city_id", "dt")
+      .withColumn("dt", col("dt").cast("timestamp"))
+    val e1 = intercept[IllegalArgumentException] {
+      sink.mergeLastWins(narrower, keys)
+    }
+    assert(e1.getMessage.contains("missing existing table column"))
+    val retyped = Seq((2L, "2025-11-26 09:00:00", "hot"))
+      .toDF("city_id", "dt", "temp")
+      .withColumn("dt", col("dt").cast("timestamp"))
+    val e2 = intercept[IllegalArgumentException] {
+      sink.mergeLastWins(retyped, keys)
+    }
+    assert(e2.getMessage.contains("re-types column"))
+    // the failed merges left the table intact
+    assert(snapshot(sink) === Set((1L, "2025-11-26 04:00:00.0", 22.0)))
   }
 }
