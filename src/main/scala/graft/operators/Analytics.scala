@@ -1164,6 +1164,87 @@ object Analytics {
       .orderBy("entity")
   }
 
+  /** Markov next-event backtest — does [[transitionMatrix]] actually
+    * PREDICT? Train the first-order model on transitions completing
+    * before `splitTs`, predict each later transition's next state as
+    * the argmax next for its current state, and score hit@1 against
+    * the majority-class baseline (always predict the train-globally
+    * most frequent next state). The honest check that a transition
+    * dashboard encodes structure, not just marginals — and the
+    * TEMPORAL split is the point: a random split would leak future
+    * behavior into the model.
+    *
+    * Determinism: a pair belongs to train iff its COMPLETING event's
+    * order key is < splitTs; argmaxes tiebreak to the lexically
+    * smallest state via struct order (total, engine-stable). Test
+    * transitions whose current state never appeared in train count in
+    * `n_unseen` and score as misses for the model (the baseline still
+    * predicts) — visible, never silently skipped. All rates are
+    * positive truncating ppm.
+    *
+    * Scale posture: ONE entity-keyed exchange builds all transitions;
+    * train collapses to a states²-sized cell frame (argmax per state
+    * via max(struct) — no window over rows); test joins that tiny
+    * frame broadcast-style on the current state.
+    *
+    * Output (one row): `n_train`, `n_test`, `n_unseen`, `n_hits`,
+    * `hit_ppm`, `n_base_hits`, `base_ppm`, `lift_ppm` LONG
+    * (hit·10⁶ DIV base; NULL when base is 0).
+    */
+  def markovBacktest(events: DataFrame, entity: Column, orderTs: Column,
+                     tieBreak: Column, state: Column,
+                     splitTsUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("__e"))
+      .orderBy(col("__t"), col("__tb"))
+    val pairs = events
+      .withColumn("__e", entity)
+      .withColumn("__t", orderTs.cast("long"))
+      .withColumn("__tb", tieBreak)
+      .withColumn("__s", state.cast("string"))
+      .filter(col("__e").isNotNull && col("__t").isNotNull)
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__s").isNotNull)
+      .select(col("__prev").as("cur"), col("__s").as("nxt"),
+        (col("__t") < splitTsUs).as("__train"))
+    val trainCells = pairs.filter(col("__train"))
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("__n"))
+    // per-state argmax: highest count, then lexically smallest next
+    // min(struct(−n, next)): highest count, then lexically smallest
+    val model = trainCells.groupBy(col("cur"))
+      .agg(min(struct((-col("__n")).as("n"), col("nxt").as("p")))
+        .getField("p").as("pred"))
+    val baseline = trainCells.groupBy(col("nxt"))
+      .agg(sum(col("__n")).as("__n"))
+      .agg(min(struct((-col("__n")).as("n"), col("nxt").as("p")))
+        .getField("p").as("base_pred"))
+    val nTrain = pairs.agg(coalesce(sum(when(col("__train"), 1L)
+      .otherwise(0L)), lit(0L)).as("n_train"))
+    val test = pairs.filter(!col("__train"))
+      .join(broadcast(model.withColumnRenamed("cur", "__mc")),
+        col("cur") === col("__mc"), "left_outer")
+      .crossJoin(broadcast(baseline))
+    test.agg(
+        count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("pred").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_unseen"),
+        coalesce(sum(when(col("pred") === col("nxt"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_hits"),
+        coalesce(sum(when(col("base_pred") === col("nxt"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_base_hits"))
+      .crossJoin(nTrain)
+      .withColumn("hit_ppm",
+        when(col("n_test") > 0L, expr("(n_hits * 1000000L) DIV n_test")))
+      .withColumn("base_ppm",
+        when(col("n_test") > 0L,
+          expr("(n_base_hits * 1000000L) DIV n_test")))
+      .withColumn("lift_ppm",
+        when(col("n_base_hits") > 0L,
+          expr("(n_hits * 1000000L) DIV n_base_hits")))
+      .select(col("n_train"), col("n_test"), col("n_unseen"),
+        col("n_hits"), col("hit_ppm"), col("n_base_hits"),
+        col("base_ppm"), col("lift_ppm"))
+  }
+
   /** Difference-in-differences — the quasi-experimental readout when a
     * change hits one group mid-stream and there was never a randomized
     * control: the treated group's pre→post shift, net of the control

@@ -1214,6 +1214,113 @@ object Profile {
     * Output: `group`, `n`, `conc`, `disc`, `tie_x`, `tie_y` LONG,
     * `tau` DOUBLE-or-NULL — total order by group.
     */
+  /** Index of dispersion per group — variance-to-mean ratio of count
+    * data, the overdispersion screen in front of any Poisson-ish
+    * assumption ("events per user per day are NOT Poisson when D ≫ 1"
+    * — burstiness/contagion; D ≪ 1 — regularity/rate limiting; both
+    * break the model naive alert thresholds assume). Cleared of
+    * denominators:
+    *
+    *   D·10⁶ = ((n·Σx² − (Σx)²) · 10⁶) DIV ((n−1) · Σx)
+    *
+    * — exact DECIMAL(38,0) moments over NON-NEGATIVE counts (negative
+    * rows drop visibly into `n_dropped`; they would make Σx's sign — and
+    * the truncating quotient — engine-divergent). NULL when n < 2 or
+    * Σx = 0 (no events: dispersion undefined, never a fake 0).
+    *
+    * Scale posture: ONE (group)-keyed map-side-combined aggregate.
+    *
+    * Output: `group`, `n`, `n_dropped`, `sum_x`, `sum_x2`,
+    * `dispersion_ppm` LONG, `overdispersed` BOOLEAN-or-NULL — total
+    * order by group (NULLS FIRST; a NULL group is a real slice).
+    */
+  def dispersionIndex(df: DataFrame, group: Column,
+                      x: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    base.groupBy(col("group"))
+      .agg(
+        coalesce(sum(when(col("__x") >= 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n"),
+        coalesce(sum(when(col("__x") < 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
+        coalesce(sum(when(col("__x") >= 0L, col("__x")).otherwise(0L)),
+          lit(0L)).as("sum_x"),
+        coalesce(sum(when(col("__x") >= 0L,
+            col("__x").cast("decimal(38,0)") * col("__x"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("__sx2"))
+      .withColumn("dispersion_ppm",
+        when(col("n") >= 2L && col("sum_x") > 0L, expr(
+          """CAST(((CAST(n AS DECIMAL(38,0)) * __sx2
+            |  - CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 1000000)
+            | DIV ((n - 1) * CAST(sum_x AS DECIMAL(38,0)))
+            | AS BIGINT)""".stripMargin)))
+      .withColumn("overdispersed",
+        when(col("dispersion_ppm").isNotNull,
+          col("dispersion_ppm") > 1000000L))
+      .select(col("group"), col("n"), col("n_dropped"), col("sum_x"),
+        col("__sx2").cast("long").as("sum_x2"), col("dispersion_ppm"),
+        col("overdispersed"))
+      .orderBy(col("group").asc_nulls_first)
+  }
+
+  /** Hellinger distance between two samples' categorical distributions
+    * — the bounded [0, 1] divergence that PSI can't give (PSI explodes
+    * on empty bins) and KS can't give for unordered categories. With
+    * cell counts a_v, b_v and totals N_a, N_b, the Bhattacharyya
+    * coefficient is BC = Σ_v √(a_v·b_v)/√(N_a·N_b) and H² = 1 − BC.
+    *
+    * Exactness: each cell contributes floor(√(a_v·b_v)·10⁹ + 0.5) — a
+    * pinned per-cell IEEE sqrt of an EXACT integer product, quantized
+    * BEFORE the sum so the total is an order-free long ([[graft
+    * .operators.Classify.logLoss]]'s posture); the final BC is one
+    * pinned √·√ division quantized to ppm, and `h2_ppm` = 10⁶ − bc_ppm
+    * is integer arithmetic from there. i64 bound: a_v·b_v ≤ ~8·10¹⁸
+    * needs cell counts below ~3·10⁹ — quantize heavier-tailed data
+    * coarser first.
+    *
+    * Scale posture: one (side, value) counts aggregate, a value-keyed
+    * FULL OUTER join of the two value-sized frames (absent cells
+    * contribute 0 — √(a·0) = 0 keeps them harmless but they still
+    * matter through the totals), one rollup row.
+    *
+    * Output (one row): `n_a`, `n_b`, `n_values`, `bc_num_nano` LONG
+    * (Σ per-cell quantized √ products), `bc_ppm`, `h2_ppm` LONG —
+    * NULL bc/h2 when either side is empty.
+    */
+  def hellinger(a: DataFrame, b: DataFrame, valA: Column,
+                valB: Column): DataFrame = {
+    def counts(df: DataFrame, v: Column, cn: String): DataFrame =
+      df.select(v.cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as(cn))
+    val ca = counts(a, valA, "__ca")
+    val cb = counts(b, valB, "__cb")
+    ca.join(cb, Seq("__v"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .agg(
+        coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("n_values"),
+        coalesce(sum(floor(sqrt((col("__ca") * col("__cb"))
+            .cast("double")) * 1000000000L + 0.5).cast("long")),
+          lit(0L)).as("bc_num_nano"))
+      .withColumn("bc_ppm",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floor(col("bc_num_nano").cast("double") /
+            (sqrt(col("n_a").cast("double")) *
+              sqrt(col("n_b").cast("double")) * 1000.0) + 0.5)
+            .cast("long")))
+      .withColumn("h2_ppm",
+        when(col("bc_ppm").isNotNull,
+          greatest(lit(0L), lit(1000000L) - col("bc_ppm"))))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        col("bc_num_nano"), col("bc_ppm"), col("h2_ppm"))
+  }
+
   def kendallTau(df: DataFrame, group: Column, x: Column,
                  y: Column): DataFrame = {
     val base = df.select(group.cast("string").as("group"),

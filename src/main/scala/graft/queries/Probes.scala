@@ -10716,6 +10716,142 @@ object Probes {
            |FROM c""".stripMargin)
   )
 
+  /** Markov next-event backtest (fully oracled): first-order model
+    * trained on the first three weeks, hit@1 scored on the rest vs the
+    * majority baseline — lag pairs, both argmaxes, and every ppm
+    * replayed in DuckDB. */
+  val markovBacktestProbe = Probe(
+    "q281_markov_backtest",
+    (s, d) => {
+      import graft.operators.Analytics
+      Analytics.markovBacktest(
+        Tables.events(s, d).filter(col("user_id").isNotNull &&
+          col("ts").isNotNull),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), splitTsUs = 1705881600000000L)
+    },
+    Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts::TIMESTAMP)
+           |      AS t, event_id AS eid, event_type AS s
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |p0 AS (SELECT u, t, s,
+           |    lag(s) OVER (PARTITION BY u ORDER BY t, eid) AS prev
+           |  FROM e),
+           |p AS (SELECT prev AS cur, s AS nxt,
+           |    t < 1705881600000000 AS train
+           |  FROM p0 WHERE prev IS NOT NULL AND s IS NOT NULL),
+           |tc AS (SELECT cur, nxt, count(*) AS n FROM p
+           |  WHERE train GROUP BY 1, 2),
+           |model AS (SELECT cur, nxt AS pred FROM (SELECT cur, nxt,
+           |    row_number() OVER (PARTITION BY cur
+           |      ORDER BY n DESC, nxt ASC) AS rn FROM tc)
+           |  WHERE rn = 1),
+           |base AS (SELECT nxt AS base_pred FROM (SELECT nxt,
+           |    sum(n) AS n FROM tc GROUP BY 1)
+           |  ORDER BY n DESC, nxt ASC LIMIT 1),
+           |tr AS (SELECT CAST(count(*) FILTER (WHERE train) AS BIGINT)
+           |    AS n_train FROM p),
+           |te AS (SELECT p.nxt, m.pred,
+           |    (SELECT base_pred FROM base) AS bp
+           |  FROM p LEFT JOIN model m ON p.cur = m.cur
+           |  WHERE NOT p.train),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+           |    CAST(count(*) FILTER (WHERE pred IS NULL) AS BIGINT)
+           |      AS n_unseen,
+           |    CAST(count(*) FILTER (WHERE pred = nxt) AS BIGINT)
+           |      AS n_hits,
+           |    CAST(count(*) FILTER (WHERE bp = nxt) AS BIGINT)
+           |      AS n_base_hits FROM te)
+           |SELECT n_train, n_test, n_unseen, n_hits,
+           |  CASE WHEN n_test > 0 THEN
+           |    CAST((n_hits * 1000000) // n_test AS BIGINT) END
+           |    AS hit_ppm,
+           |  n_base_hits,
+           |  CASE WHEN n_test > 0 THEN
+           |    CAST((n_base_hits * 1000000) // n_test AS BIGINT) END
+           |    AS base_ppm,
+           |  CASE WHEN n_base_hits > 0 THEN
+           |    CAST((n_hits * 1000000) // n_base_hits AS BIGINT) END
+           |    AS lift_ppm
+           |FROM agg, tr""".stripMargin)
+  )
+
+  /** Dispersion index (fully oracled): are per-(user, day) event
+    * counts Poisson-ish per event type? Exact moment arithmetic,
+    * truncating ppm, verdict boolean. */
+  val dispersionProbe = Probe(
+    "q282_dispersion_index",
+    (s, d) => {
+      import graft.operators.Profile
+      val counts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      Profile.dispersionIndex(counts, col("event_type"), col("x"))
+    },
+    Some("""WITH c AS (SELECT event_type AS g, user_id,
+           |    epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           |  GROUP BY 1, 2, 3),
+           |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(0 AS BIGINT) AS n_dropped,
+           |    CAST(sum(x) AS BIGINT) AS sum_x,
+           |    sum(CAST(x AS HUGEINT) * x) AS sx2
+           |  FROM c GROUP BY 1)
+           |SELECT g AS group, n, n_dropped, sum_x,
+           |  CAST(sx2 AS BIGINT) AS sum_x2,
+           |  CASE WHEN n >= 2 AND sum_x > 0 THEN
+           |    CAST(((n * sx2 - CAST(sum_x AS HUGEINT) * sum_x)
+           |      * 1000000) // ((n - 1) * CAST(sum_x AS HUGEINT))
+           |      AS BIGINT) END AS dispersion_ppm,
+           |  CASE WHEN n >= 2 AND sum_x > 0 THEN
+           |    ((n * sx2 - CAST(sum_x AS HUGEINT) * sum_x) * 1000000)
+           |      // ((n - 1) * CAST(sum_x AS HUGEINT)) > 1000000 END
+           |    AS overdispersed
+           |FROM a ORDER BY g NULLS FIRST""".stripMargin)
+  )
+
+  /** Hellinger distance (fully oracled): language mix of even- vs
+    * odd-id documents — per-cell pinned √ products quantized BEFORE
+    * the sum, final √·√ ppm, both replayed in DuckDB. */
+  val hellingerProbe = Probe(
+    "q283_hellinger",
+    (s, d) => {
+      import graft.operators.Profile
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      Profile.hellinger(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), col("lang"), col("lang"))
+    },
+    Some("""WITH a AS (SELECT lang AS v, count(*) AS ca FROM documents
+           |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0
+           |    AND lang IS NOT NULL GROUP BY 1),
+           |b AS (SELECT lang AS v, count(*) AS cb FROM documents
+           |  WHERE doc_id IS NOT NULL AND doc_id % 2 = 1
+           |    AND lang IS NOT NULL GROUP BY 1),
+           |j AS (SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0)
+           |    AS cb
+           |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+           |s AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+           |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b,
+           |    CAST(count(*) AS BIGINT) AS n_values,
+           |    CAST(coalesce(sum(CAST(floor(sqrt(CAST(ca * cb
+           |      AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)), 0)
+           |      AS BIGINT) AS bc_num_nano
+           |  FROM j)
+           |SELECT n_a, n_b, n_values, bc_num_nano,
+           |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+           |    CAST(floor(CAST(bc_num_nano AS DOUBLE) /
+           |      (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE))
+           |       * 1000.0) + 0.5) AS BIGINT) END AS bc_ppm,
+           |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+           |    greatest(0, 1000000 - CAST(floor(CAST(bc_num_nano
+           |      AS DOUBLE) / (sqrt(CAST(n_a AS DOUBLE)) *
+           |      sqrt(CAST(n_b AS DOUBLE)) * 1000.0) + 0.5)
+           |      AS BIGINT)) END AS h2_ppm
+           |FROM s""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10783,7 +10919,8 @@ object Probes {
     overlapJoinProbe, kendallProbe, krippendorffProbe, tClosenessProbe,
     crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe,
     didProbe, rmstProbe, linkageProbe, reshardProbe,
-    captureRecaptureProbe
+    captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
+    hellingerProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

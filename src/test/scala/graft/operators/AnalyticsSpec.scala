@@ -842,4 +842,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(d.toSeq === Analytics.diffInDiff(df.repartition(9), col("t"),
       col("p"), col("v")).collect().head.toSeq)
   }
+
+  test("markovBacktest: hand chains — model beats baseline, unseen counted") {
+    import spark.implicits._
+    // train (t < 100): u1: a->b, b->a, a->b ; u2: a->b
+    // model: a->b (3), b->a (1); baseline: b (3 wins over a's 1)
+    // test (t >= 100): u1: b->a (hit; base miss), a->b (hit; base hit),
+    //   u2: b->c (miss; base miss), then c->b: c UNSEEN (miss; base hit)
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "a"), (1L, 40L, "b"),
+      (2L, 10L, "a"), (2L, 20L, "b"),
+      (1L, 110L, "a"), (1L, 120L, "b"),
+      (2L, 110L, "c"), (2L, 120L, "b"))
+    val df = rows.toDF("u", "t", "s")
+    val r = Analytics.markovBacktest(df, col("u"), col("t"), col("t"),
+      col("s"), splitTsUs = 100L).collect().head
+    assert(r.getLong(0) === 4L)  // n_train
+    assert(r.getLong(1) === 4L)  // n_test
+    assert(r.getLong(2) === 1L)  // unseen 'c'
+    assert(r.getLong(3) === 2L)  // hits: b->a, a->b
+    assert(r.getLong(4) === 500000L)
+    assert(r.getLong(5) === 2L)  // baseline 'b' hits a->b and c->b
+    assert(r.getLong(7) === 1000000L) // lift 2/2
+  }
+
+  test("markovBacktest: deterministic tiebreak and layout independence") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val u = (i % 10).toLong
+      val t = (i / 10).toLong * 10 + u
+      (u, t, s"s${(i * 7) % 4}")
+    }
+    val df = rows.toDF("u", "t", "s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.markovBacktest(d, col("u"), col("t"), col("t"),
+        col("s"), splitTsUs = 120L).collect().head.toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
 }

@@ -786,4 +786,68 @@ class ProfileSpec extends AnyFunSuite {
       assert(r.getLong(2) + r.getLong(3) <= n * (n - 1) / 2)
     }
   }
+
+  test("dispersionIndex: hand moments, Poisson-ish vs bursty, NULL degenerates") {
+    import spark.implicits._
+    // g1 counts 2,2,2,2 -> var 0 -> D = 0 (underdispersed)
+    // g2 counts 0,0,0,8 -> n=4 sum=8 sx2=64: D*1e6 = (256-64)*1e6/(3*8)
+    val df = Seq(("g1", 2L), ("g1", 2L), ("g1", 2L), ("g1", 2L),
+      ("g2", 0L), ("g2", 0L), ("g2", 0L), ("g2", 8L)).toDF("g", "x")
+    val out = Profile.dispersionIndex(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out("g1") === ((0L, false)))
+    assert(out("g2") === ((8000000L, true)))
+    val deg = Seq(("z", 0L), ("z", 0L), ("one", 5L)).toDF("g", "x")
+    val d = Profile.dispersionIndex(deg, col("g"), col("x")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d("z").isNullAt(5), "sum 0: undefined, not 0")
+    assert(d("one").isNullAt(5), "n < 2: undefined")
+  }
+
+  test("dispersionIndex: negatives drop visibly; layout-proof") {
+    import spark.implicits._
+    val df = (0 until 90).map(i => (s"g${i % 2}",
+      if (i == 7) -3L else (i % 5).toLong)).toDF("g", "x")
+    val a = Profile.dispersionIndex(df, col("g"), col("x")).collect()
+    assert(a.map(r => r.getLong(2)).sum === 1L)
+    assert(a.map(_.toSeq).toSeq === Profile.dispersionIndex(
+      df.repartition(7), col("g"), col("x")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("hellinger: identical distributions 0, disjoint 1, hand mid-case") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "y").map(Tuple1(_)).toDF("v")
+    val same = Profile.hellinger(a, a, col("v"), col("v"))
+      .collect().head
+    assert(same.getLong(4) === 1000000L && same.getLong(5) === 0L)
+    val b = Seq("z", "w").map(Tuple1(_)).toDF("v")
+    val dis = Profile.hellinger(a, b, col("v"), col("v"))
+      .collect().head
+    assert(dis.getLong(3) === 0L && dis.getLong(5) === 1000000L)
+    assert(dis.getLong(2) === 4L) // union of values
+    // hand: a = {x:1, y:1}, b = {x:2}: BC = sqrt(2)/sqrt(2*2) = 0.7071
+    val h = Profile.hellinger(
+      Seq("x", "y").map(Tuple1(_)).toDF("v"),
+      Seq("x", "x").map(Tuple1(_)).toDF("v"), col("v"), col("v"))
+      .collect().head
+    assert(h.getLong(4) === 707107L)
+    assert(h.getLong(5) === 292893L)
+  }
+
+  test("hellinger: empty side NULLs the distance; layout-proof") {
+    import spark.implicits._
+    val a = Seq("x").map(Tuple1(_)).toDF("v")
+    val empty = a.filter(col("_1") === "nope")
+    val r = Profile.hellinger(a, empty, col("v"), col("v"))
+      .collect().head
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    val big = (0 until 300).map(i => Tuple1(s"v${i % 9}")).toDF("v")
+    val big2 = (0 until 200).map(i => Tuple1(s"v${i % 6}")).toDF("v")
+    val x = Profile.hellinger(big, big2, col("v"), col("v"))
+      .collect().head
+    val y = Profile.hellinger(big.repartition(11),
+      big2.repartition(5), col("v"), col("v")).collect().head
+    assert(x.toSeq === y.toSeq)
+  }
 }
