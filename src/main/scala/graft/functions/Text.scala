@@ -257,8 +257,18 @@ object Text {
     * [[shingles]], which dedups) — the unit of the within-document
     * repetition measure. Documents shorter than n words yield an empty
     * list. */
-  def ngramList(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def ngramList(text: Column, n: Int): Column =
+    ngramsFromTokens(words(text), n)
+
+  /** Word n-grams from an ALREADY-MATERIALIZED token array column.
+    * Callers doing heavy gram work must tokenize into an attribute in a
+    * child projection and pass that attribute here: `ws` appears n+2
+    * times in this expression tree, and when it is a raw `words(text)`
+    * EXPRESSION each occurrence re-evaluates the regex split per
+    * element_at — O(tokens²) per row, interpreted (the q274 lesson; the
+    * TextDedup HOF note is the same failure). An attribute evaluates
+    * once in its own projection and is reused. */
+  def ngramsFromTokens(ws: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))

@@ -1266,6 +1266,49 @@ object Profile {
       .orderBy(col("group").asc_nulls_first)
   }
 
+  /** Log-domain stats per group — geometric mean and log-variance of a
+    * POSITIVE measure, the right central tendency for multiplicative
+    * data (latencies, file sizes, token counts): the arithmetic mean of
+    * a log-normal-ish column tracks its outliers, the geometric mean
+    * tracks its typical value. Per row the term is one pinned
+    * nano-quantized ln ([[graft.operators.Classify.logLoss]]'s
+    * posture), so sums are order-free longs; the geometric mean is ONE
+    * pinned exp of the integer mean. Non-positive values drop VISIBLY
+    * (`n_nonpos` — ln is undefined there and a silent skip would bias
+    * the mean up).
+    *
+    * Scale posture: ONE (group)-keyed map-side-combined aggregate.
+    *
+    * Output: `group`, `n`, `n_nonpos`, `sum_ln_nano`, `mean_ln_nano`
+    * LONG, `geo_micro` LONG (geometric mean ·10⁶; NULL when n = 0) —
+    * total order by group (NULLS FIRST).
+    */
+  def logStats(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .withColumn("__ln",
+        when(col("__x") > 0L,
+          floor(log(col("__x").cast("double")) * 1000000000L + 0.5)
+            .cast("long")))
+    base.groupBy(col("group"))
+      .agg(
+        coalesce(sum(when(col("__ln").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n"),
+        coalesce(sum(when(col("__ln").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_nonpos"),
+        coalesce(sum(col("__ln")), lit(0L)).as("sum_ln_nano"))
+      .withColumn("mean_ln_nano",
+        when(col("n") > 0L, expr("sum_ln_nano DIV n")))
+      .withColumn("geo_micro",
+        when(col("n") > 0L,
+          floor(exp(col("mean_ln_nano").cast("double") / 1.0e9)
+            * 1000000L + 0.5).cast("long")))
+      .select(col("group"), col("n"), col("n_nonpos"),
+        col("sum_ln_nano"), col("mean_ln_nano"), col("geo_micro"))
+      .orderBy(col("group").asc_nulls_first)
+  }
+
   /** Hellinger distance between two samples' categorical distributions
     * — the bounded [0, 1] divergence that PSI can't give (PSI explodes
     * on empty bins) and KS can't give for unordered categories. With

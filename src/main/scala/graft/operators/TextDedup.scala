@@ -626,4 +626,73 @@ object TextDedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
       .orderBy("doc_id")
   }
+
+  /** Dedup-clustering evaluation — pairwise precision/recall/F1 of a
+    * predicted clustering against labeled truth, plus the blocking
+    * literature's reduction ratio: the metrics that tell you whether a
+    * cheaper dedup tier (exact digest, LSH bands) can replace an
+    * expensive one BEFORE you switch 100 TB over to it. Everything is
+    * counted in unordered WITHIN-CLUSTER PAIRS, straight off three
+    * counts frames (never materializing a pair):
+    *
+    *   P = Σ_pred c(c−1)/2,  T = Σ_true t(t−1)/2,
+    *   B = Σ_(pred,true) s(s−1)/2    (pairs both agree on)
+    *
+    * precision = B/P, recall = B/T and — the identity that keeps F1
+    * exact — F1 = 2B/(P+T), so `f1_ppm` is ONE truncating positive
+    * quotient, not a float of floats. `rr_ppm` = 10⁶ − P·10⁶/(n(n−1)/2)
+    * is the comparison-space reduction. A NULL cluster id on either
+    * side means "this row is its own singleton" (keyed by the row id —
+    * the [[graft.operators.Sampling.groupAwareSplit]] null policy;
+    * gluing unknowns into one mega-cluster would fabricate pairs).
+    *
+    * Scale posture: three map-side-combined counts aggregates over one
+    * projection — cluster-sized, (pred, true)-cell-sized frames; no
+    * joins, no windows, no pairs.
+    *
+    * Output (one row): `n`, `n_pred_pairs`, `n_true_pairs`,
+    * `n_both_pairs`, `precision_ppm`, `recall_ppm`, `f1_ppm`, `rr_ppm`
+    * LONG (ppms NULL when their denominator is 0).
+    */
+  def dedupEval(df: DataFrame, id: Column, predCluster: Column,
+                trueCluster: Column): DataFrame = {
+    val base = df.select(id.cast("string").as("__id"),
+        predCluster.cast("string").as("__p"),
+        trueCluster.cast("string").as("__t"))
+      .filter(col("__id").isNotNull)
+      .withColumn("__p", coalesce(col("__p"),
+        concat(lit("\u0000s:"), col("__id"))))
+      .withColumn("__t", coalesce(col("__t"),
+        concat(lit("\u0000s:"), col("__id"))))
+    def pairSum(d: DataFrame, keys: Seq[String], out: String): DataFrame =
+      d.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(expr(
+          "CAST(__c AS DECIMAL(38,0)) * (__c - 1) DIV 2")),
+          lit(0).cast("decimal(38,0)")).cast("long").as(out))
+    val n = base.agg(count(lit(1)).as("n"))
+    val p = pairSum(base, Seq("__p"), "n_pred_pairs")
+    val t = pairSum(base, Seq("__t"), "n_true_pairs")
+    val b = pairSum(base, Seq("__p", "__t"), "n_both_pairs")
+    n.crossJoin(p).crossJoin(t).crossJoin(b)
+      .withColumn("precision_ppm",
+        when(col("n_pred_pairs") > 0L, expr(
+          "CAST((CAST(n_both_pairs AS DECIMAL(38,0)) * 1000000)" +
+            " DIV n_pred_pairs AS BIGINT)")))
+      .withColumn("recall_ppm",
+        when(col("n_true_pairs") > 0L, expr(
+          "CAST((CAST(n_both_pairs AS DECIMAL(38,0)) * 1000000)" +
+            " DIV n_true_pairs AS BIGINT)")))
+      .withColumn("f1_ppm",
+        when(col("n_pred_pairs") + col("n_true_pairs") > 0L, expr(
+          "CAST((CAST(n_both_pairs AS DECIMAL(38,0)) * 2000000)" +
+            " DIV (n_pred_pairs + n_true_pairs) AS BIGINT)")))
+      .withColumn("rr_ppm",
+        when(col("n") >= 2L, lit(1000000L) - expr(
+          """CAST((CAST(n_pred_pairs AS DECIMAL(38,0)) * 1000000)
+            | DIV (CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2)
+            | AS BIGINT)""".stripMargin)))
+      .select(col("n"), col("n_pred_pairs"), col("n_true_pairs"),
+        col("n_both_pairs"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"), col("rr_ppm"))
+  }
 }

@@ -10852,6 +10852,83 @@ object Probes {
            |FROM s""".stripMargin)
   )
 
+  /** Dedup-clustering evaluation (fully oracled): raw-byte exact
+    * clusters scored against case-folded truth clusters — all three
+    * pair sums, the 2B/(P+T) F1 identity, and the reduction ratio
+    * replayed in DuckDB HUGEINT. */
+  val dedupEvalProbe = Probe(
+    "q284_dedup_eval",
+    (s, d) => {
+      TextDedup.dedupEval(
+        Tables.documents(s, d).filter(col("doc_id").isNotNull),
+        col("doc_id"), md5(col("text")), md5(lower(col("text"))))
+    },
+    Some("""WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+           |    coalesce(md5(text), chr(0) || 's:' ||
+           |      CAST(doc_id AS VARCHAR)) AS p,
+           |    coalesce(md5(lower(text)), chr(0) || 's:' ||
+           |      CAST(doc_id AS VARCHAR)) AS t
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |pp AS (SELECT coalesce(sum((CAST(c AS HUGEINT) * (c - 1))
+           |    // 2), 0) AS v
+           |  FROM (SELECT p, count(*) AS c FROM b GROUP BY 1)),
+           |tt AS (SELECT coalesce(sum((CAST(c AS HUGEINT) * (c - 1))
+           |    // 2), 0) AS v
+           |  FROM (SELECT t, count(*) AS c FROM b GROUP BY 1)),
+           |bb AS (SELECT coalesce(sum((CAST(c AS HUGEINT) * (c - 1))
+           |    // 2), 0) AS v
+           |  FROM (SELECT p, t, count(*) AS c FROM b GROUP BY 1, 2)),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+           |f AS (SELECT nn.n, pp.v AS np, tt.v AS nt, bb.v AS nb
+           |  FROM nn, pp, tt, bb)
+           |SELECT n, CAST(np AS BIGINT) AS n_pred_pairs,
+           |  CAST(nt AS BIGINT) AS n_true_pairs,
+           |  CAST(nb AS BIGINT) AS n_both_pairs,
+           |  CASE WHEN np > 0 THEN
+           |    CAST((nb * 1000000) // np AS BIGINT) END
+           |    AS precision_ppm,
+           |  CASE WHEN nt > 0 THEN
+           |    CAST((nb * 1000000) // nt AS BIGINT) END AS recall_ppm,
+           |  CASE WHEN np + nt > 0 THEN
+           |    CAST((nb * 2000000) // (np + nt) AS BIGINT) END
+           |    AS f1_ppm,
+           |  CASE WHEN n >= 2 THEN 1000000 - CAST((np * 1000000)
+           |    // ((CAST(n AS HUGEINT) * (n - 1)) // 2) AS BIGINT) END
+           |    AS rr_ppm
+           |FROM f""".stripMargin)
+  )
+
+  /** Log-domain stats (fully oracled): geometric mean of document
+    * length per language — per-row pinned nano-ln, integer mean, one
+    * pinned exp, all replayed in DuckDB. */
+  val logStatsProbe = Probe(
+    "q285_log_stats",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.logStats(Tables.documents(s, d), col("lang"),
+        col("n_chars"))
+    },
+    Some("""WITH b AS (SELECT lang AS g,
+           |    CASE WHEN n_chars > 0 THEN CAST(floor(
+           |      ln(CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5)
+           |      AS BIGINT) END AS lnv
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |a AS (SELECT g,
+           |    CAST(count(*) FILTER (WHERE lnv IS NOT NULL) AS BIGINT)
+           |      AS n,
+           |    CAST(count(*) FILTER (WHERE lnv IS NULL) AS BIGINT)
+           |      AS n_nonpos,
+           |    CAST(coalesce(sum(lnv), 0) AS BIGINT) AS sum_ln_nano
+           |  FROM b GROUP BY 1)
+           |SELECT g AS group, n, n_nonpos, sum_ln_nano,
+           |  CASE WHEN n > 0 THEN CAST(sum_ln_nano // n AS BIGINT) END
+           |    AS mean_ln_nano,
+           |  CASE WHEN n > 0 THEN CAST(floor(exp(
+           |    CAST(sum_ln_nano // n AS DOUBLE) / 1000000000.0)
+           |    * 1000000 + 0.5) AS BIGINT) END AS geo_micro
+           |FROM a ORDER BY g NULLS FIRST""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10920,7 +10997,7 @@ object Probes {
     crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe,
     didProbe, rmstProbe, linkageProbe, reshardProbe,
     captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
-    hellingerProbe
+    hellingerProbe, dedupEvalProbe, logStatsProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1129,7 +1129,39 @@ object ScaleSweep {
             Seq(col("ts"), col("event_id")), col("event_type")))),
         "best_threshold" -> (() => noop(
           graft.operators.Classify.bestThreshold(docs, col("n_chars"),
-            col("lang") === "en")))
+            col("lang") === "en"))),
+        // round-7 wave — range-join, multivariate outlier, backtest,
+        // reshard families
+        "overlap_join" -> (() => noop {
+          def win(t: String) = ev.filter(col("event_type") === t)
+          Relational.overlapJoin(
+            win("view"), win("purchase"),
+            col("user_id"), col("event_id"), unix_micros(col("ts")),
+            unix_micros(col("ts")) + 1800000000L,
+            col("user_id"), col("event_id"), unix_micros(col("ts")),
+            unix_micros(col("ts")) + 1800000000L,
+            bucketUs = 3600000000L)
+        }),
+        "mahalanobis_top25" -> (() => noop(
+          Similarity.mahalanobisDiag(emb, col("vec_id"),
+            col("embedding"), dim = 64, topK = 25))),
+        "markov_backtest" -> (() => noop(
+          Analytics.markovBacktest(ev, col("user_id"),
+            unix_micros(col("ts")), col("event_id"), col("event_type"),
+            splitTsUs = 1705881600000000L))),
+        "reshard_audit_8to12" -> (() => noop(
+          graft.operators.Layout.reshardAudit(ev, col("event_id"),
+            fromShards = 8, toShards = 12))),
+        "bleu2" -> (() => noop {
+          val ws = graft.functions.Text.words(col("text"))
+          val k = greatest(lit(1), (size(ws).cast("long") / lit(5L))
+            .cast("int"))
+          val pairs = docs.select(col("doc_id"),
+            array_join(concat(ws, slice(ws, lit(1), k)), " ")
+              .as("cand"), col("text").as("ref"))
+          graft.operators.Classify.bleu(pairs, col("doc_id"),
+            col("cand"), col("ref"), maxN = 2)
+        })
       )
       val selected =
         if (opFilter.isEmpty) ops

@@ -422,4 +422,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(b1 === b2)
   }
+
+  test("dedupEval: hand clusters — pair counts, F1 identity, reduction ratio") {
+    import spark.implicits._
+    // truth: {1,2,3} {4,5}; pred: {1,2} {3,4} {5}
+    // T = 3+1 = 4; P = 1+1 = 2; B = 1 ({1,2}) -> prec .5, rec .25,
+    // F1 = 2*1/(2+4) = 1/3; N0 = 10 -> RR = 1 - 2/10 = .8
+    val df = Seq((1L, "p1", "t1"), (2L, "p1", "t1"), (3L, "p2", "t1"),
+      (4L, "p2", "t2"), (5L, "p3", "t2")).toDF("id", "p", "t")
+    val r = TextDedup.dedupEval(df, col("id"), col("p"), col("t"))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 4L, 1L)))
+    assert(r.getLong(4) === 500000L && r.getLong(5) === 250000L)
+    assert(r.getLong(6) === 333333L)
+    assert(r.getLong(7) === 800000L)
+  }
+
+  test("dedupEval: perfect clustering, NULL singletons, degenerate NULL ppms") {
+    import spark.implicits._
+    val perfect = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "b"))
+      .toDF("id", "p", "t")
+    val pr = TextDedup.dedupEval(perfect, col("id"), col("p"), col("t"))
+      .collect().head
+    assert(pr.getLong(4) === 1000000L && pr.getLong(5) === 1000000L &&
+      pr.getLong(6) === 1000000L)
+    // NULL clusters are singletons keyed by id: no fabricated pairs
+    val nulls = Seq((1L, None, Some("t")), (2L, None, Some("t")),
+      (3L, Option.empty[String], Option.empty[String]))
+      .toDF("id", "p", "t")
+    val nr = TextDedup.dedupEval(nulls, col("id"), col("p"), col("t"))
+      .collect().head
+    assert(nr.getLong(1) === 0L && nr.getLong(2) === 1L)
+    assert(nr.isNullAt(4), "no predicted pairs: precision undefined")
+    assert(nr.getLong(5) === 0L)
+    val d = TextDedup.dedupEval(nulls.repartition(5), col("id"),
+      col("p"), col("t")).collect().head
+    assert(nr.toSeq === d.toSeq)
+  }
 }

@@ -850,4 +850,22 @@ class ProfileSpec extends AnyFunSuite {
       big2.repartition(5), col("v"), col("v")).collect().head
     assert(x.toSeq === y.toSeq)
   }
+
+  test("logStats: geometric vs arithmetic mean, non-positive drops, layout-proof") {
+    import spark.implicits._
+    // g: 1, 10, 100 -> geo = 10 exactly (ln sum symmetric), arith 37
+    val df = Seq(("g", 1L), ("g", 10L), ("g", 100L),
+      ("h", 5L), ("h", 0L), ("h", -3L)).toDF("grp", "x")
+    val out = Profile.logStats(df, col("grp"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) === 3L && g.getLong(2) === 0L)
+    assert(math.abs(g.getLong(5) - 10000000L) <= 1L) // geo ~ 10.0
+    val h = out("h")
+    assert(h.getLong(1) === 1L && h.getLong(2) === 2L) // 0 and -3 drop
+    assert(h.getLong(5) === 5000000L)
+    assert(Profile.logStats(df.repartition(7), col("grp"), col("x"))
+      .collect().map(_.toSeq).toSeq ===
+      Profile.logStats(df, col("grp"), col("x")).collect().map(_.toSeq).toSeq)
+  }
 }
