@@ -1266,6 +1266,68 @@ object Profile {
       .orderBy(col("group").asc_nulls_first)
   }
 
+  /** Top-k stability under half-sampling — is the leaderboard REAL or
+    * sampling noise? H independent seeded 50% row-subsets each rank
+    * their own top-k; each half reports its overlap with the full-data
+    * top-k. Overlap near k on every half = the ranking is supported by
+    * the data volume; overlap swinging low = the tail of the list is
+    * noise and downstream decisions should not read past the stable
+    * prefix. (The jackknife/subsampling idea, applied to the one
+    * artifact dashboards actually ship — the top-k list.)
+    *
+    * Determinism: membership of row r in half h is a seeded md5 bit —
+    * layout-independent and engine-replayable; ranking ties break to
+    * the lexically smallest key (total order). Exact integer sums.
+    *
+    * Scale posture: one ×H explode with a (h, key)-keyed map-side
+    * combined aggregate; per-half ranking is a window over the
+    * (h, keys)-sized totals frame, never rows; the full top-k set
+    * (≤ k rows) broadcasts back. Cost = H× one aggregation pass.
+    *
+    * Output (one row per half): `half`, `n_rows`, `overlap`,
+    * `overlap_ppm` LONG — total order by half.
+    */
+  def topkStability(df: DataFrame, id: Column, key: Column,
+                    value: Column, k: Int, halves: Int,
+                    seed: String = "42"): DataFrame = {
+    require(k >= 1 && halves >= 2 && halves <= 64,
+      s"need k >= 1 and halves in 2..64, got k=$k halves=$halves")
+    val base = df.select(id.cast("string").as("__id"),
+        key.cast("string").as("__k"), value.cast("long").as("__v"))
+      .filter(col("__id").isNotNull && col("__k").isNotNull &&
+        col("__v").isNotNull)
+    def topOf(totals: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("__s").desc, col("__k").asc)
+      totals.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+    }
+    val fullTop = topOf(
+      base.groupBy(col("__k")).agg(sum(col("__v")).as("__s"))
+        .withColumn("__all", lit(1)), Seq(col("__all")))
+      .select(col("__k").as("__fk"))
+    val halved = base
+      .select(col("__id"), col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(halves - 1))).as("half"))
+      .filter(conv(substring(md5(concat_ws("|", lit(seed), col("half"),
+        col("__id"))), 1, 15), 16, 10).cast("long") % 2L === 0L)
+    val perHalf = halved.groupBy(col("half"), col("__k"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    val halfTops = topOf(perHalf, Seq(col("half")))
+    val rows = halved.groupBy(col("half"))
+      .agg(count(lit(1)).as("n_rows"))
+    halfTops
+      .join(broadcast(fullTop), col("__k") === col("__fk"), "left_semi")
+      .groupBy(col("half")).agg(count(lit(1)).as("overlap"))
+      .join(rows, Seq("half"), "right_outer")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("overlap_ppm",
+        expr(s"(overlap * 1000000L) DIV ${k}L"))
+      .select(col("half").cast("long").as("half"), col("n_rows"),
+        col("overlap"), col("overlap_ppm"))
+      .orderBy(col("half"))
+  }
+
   /** Log-domain stats per group — geometric mean and log-variance of a
     * POSITIVE measure, the right central tendency for multiplicative
     * data (latencies, file sizes, token counts): the arithmetic mean of

@@ -305,6 +305,53 @@ object Quality {
       .orderBy(quasi.map(c => col(c).asc_nulls_first): _*)
   }
 
+  /** Train/test coverage audit — before trusting any per-entity model
+    * or backtest, measure how much of the evaluation data is COLD:
+    * test rows whose key never appeared in train score on prior
+    * knowledge the model doesn't have ([[graft.operators.Analytics
+    * .markovBacktest]]'s n_unseen, generalized to a standalone gate).
+    * Reports both row- and key-level unseen shares — they diverge
+    * exactly when cold keys are low-traffic, which is the common and
+    * the dangerous case (key-level looks bad, row-level looks fine,
+    * and the model silently fails on the long tail).
+    *
+    * Scale posture: train collapses to distinct keys once; test keys
+    * aggregate with row counts; ONE left-anti-shaped join (null-safe
+    * left join + null test) on the key frames. Truncating positive
+    * ppms. NULL keys count as unseen (a key the model cannot look up).
+    *
+    * Output (one row): `n_train_keys`, `n_test_rows`, `n_test_keys`,
+    * `n_unseen_rows`, `n_unseen_keys`, `unseen_rows_ppm`,
+    * `unseen_keys_ppm` LONG.
+    */
+  def coverageAudit(train: DataFrame, test: DataFrame, trainKey: Column,
+                    testKey: Column): DataFrame = {
+    val tk = train.select(trainKey.cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val nTrain = tk.agg(count(lit(1)).as("n_train_keys"))
+    val te = test.select(testKey.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val joined = te.join(tk.withColumn("__seen", lit(1)),
+      Seq("__k"), "left_outer")
+    joined.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_test_rows"),
+        count(lit(1)).as("n_test_keys"),
+        coalesce(sum(when(col("__seen").isNull, col("__n"))
+          .otherwise(0L)), lit(0L)).as("n_unseen_rows"),
+        coalesce(sum(when(col("__seen").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_unseen_keys"))
+      .crossJoin(nTrain)
+      .withColumn("unseen_rows_ppm",
+        when(col("n_test_rows") > 0L,
+          expr("(n_unseen_rows * 1000000L) DIV n_test_rows")))
+      .withColumn("unseen_keys_ppm",
+        when(col("n_test_keys") > 0L,
+          expr("(n_unseen_keys * 1000000L) DIV n_test_keys")))
+      .select(col("n_train_keys"), col("n_test_rows"),
+        col("n_test_keys"), col("n_unseen_rows"), col("n_unseen_keys"),
+        col("unseen_rows_ppm"), col("unseen_keys_ppm"))
+  }
+
   /** Per-row curation gate report — the "why was this document dropped"
     * ledger of a filtering pipeline (Dolma/FineWeb publish exactly this
     * per-filter attribution). Each gate is (name, pass-predicate); a

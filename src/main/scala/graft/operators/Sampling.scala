@@ -621,4 +621,50 @@ object Sampling {
         col("t_obs_micro"), col("reps"), col("n_valid"),
         col("n_extreme"), col("p_ppm"))
   }
+
+  /** Effective sample size and design effect of a weighted sample —
+    * the one-row verdict on whether a reweighting (post-stratification
+    * q262, importance weights, dedup multiplicities) quietly destroyed
+    * the sample's statistical power: Kish's
+    *
+    *   ESS = (Σw)² / Σw²,   deff = n·Σw² / (Σw)²  (≥ 1)
+    *
+    * — "your 1M reweighted rows carry the information of ESS rows".
+    * Exact DECIMAL(38,0) weight moments (micro-unit weights in, so Σw²
+    * is exact, never float), published as truncating positive
+    * quotients. Non-positive weights drop VISIBLY (`n_dropped` — a
+    * zero weight is a deletion, a negative one is a different
+    * estimator). NULL results when no positive weights.
+    *
+    * Scale posture: ONE map-side-combined aggregate.
+    *
+    * Output (one row): `n`, `n_dropped`, `sum_w_micro`, `ess_micro`
+    * (ESS·10⁶), `deff_ppm` LONG.
+    */
+  def effectiveSampleSize(df: DataFrame, weightMicro: Column): DataFrame = {
+    val base = df.select(weightMicro.cast("long").as("__w"))
+      .filter(col("__w").isNotNull)
+    base.agg(
+        coalesce(sum(when(col("__w") > 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n"),
+        coalesce(sum(when(col("__w") <= 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
+        coalesce(sum(when(col("__w") > 0L, col("__w")).otherwise(0L)),
+          lit(0L)).as("sum_w_micro"),
+        coalesce(sum(when(col("__w") > 0L,
+            col("__w").cast("decimal(38,0)") * col("__w"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("__sw2"))
+      .withColumn("ess_micro",
+        when(col("n") > 0L, expr(
+          """CAST((CAST(sum_w_micro AS DECIMAL(38,0)) * sum_w_micro
+            |  * 1000000) DIV __sw2 AS BIGINT)""".stripMargin)))
+      .withColumn("deff_ppm",
+        when(col("n") > 0L, expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * __sw2 * 1000000)
+            | DIV (CAST(sum_w_micro AS DECIMAL(38,0)) * sum_w_micro)
+            | AS BIGINT)""".stripMargin)))
+      .select(col("n"), col("n_dropped"), col("sum_w_micro"),
+        col("ess_micro"), col("deff_ppm"))
+  }
 }

@@ -153,6 +153,61 @@ object Sketches {
     * of the key's `depth` counters. The sketch side is depth·width
     * rows — broadcast at any sane size. Missing cells count 0 (the key
     * never occurred). Output: (`key`, `est`). */
+  /** Per-key KLL quantile sketches (Karnin–Lang–Liberty '16, the
+    * DataSketches build Spark 4 ships) — the QUANTILE analogue of
+    * [[kmvSignatures]]: build once at fine grain (e.g. per day), keep
+    * kilobytes per key, answer any later percentile question over any
+    * rollup of keys WITHOUT re-reading the corpus. `k` trades size for
+    * the rank-error guarantee (k = 200 ≈ 1.7% normalized rank error,
+    * 99.9% confidence).
+    *
+    * Determinism note: unlike KMV's canonical sorted bottom-k, a KLL
+    * sketch's BINARY form depends on merge order — so gates built on
+    * it must assert rank-error INVARIANTS (and the exact row count,
+    * which KLL carries losslessly), never estimate equality; the q289
+    * probe does exactly that.
+    *
+    * Output: `key`, `sketch` BINARY, `n` LONG (exact rows summarized).
+    */
+  def kllQuantileSketches(df: DataFrame, key: Column, value: Column,
+                          k: Int = 200): DataFrame = {
+    require(k >= 8 && k <= 65535, s"KLL k must be in 8..65535, got $k")
+    df.select(key.cast("string").as("key"), value.cast("long").as("__v"))
+      .filter(col("key").isNotNull && col("__v").isNotNull)
+      .groupBy(col("key"))
+      .agg(expr(s"kll_sketch_agg_bigint(__v, $k)").as("sketch"))
+      .withColumn("n", expr("kll_sketch_get_n_bigint(sketch)"))
+  }
+
+  /** Merge per-fine-key KLL sketches up to a coarser key and read out
+    * quantiles — the companion of [[kmvRollup]] for percentiles: any
+    * slice's p50/p90/p99 from kilobytes of pre-built state instead of
+    * a corpus re-scan (the latency-dashboard / SLA-rollup shape at
+    * 100 TB). The merge aggregate is sketch-sized; nothing touches
+    * rows. `n` stays EXACT under merging (KLL counts losslessly);
+    * quantile estimates carry the k-determined rank-error bound.
+    *
+    * Output: `key`, `n` LONG, `p50`, `p90`, `p99` LONG (value-domain
+    * estimates) + `sketch` BINARY for further rollups — total order by
+    * key.
+    */
+  def kllRollup(sketches: DataFrame, toKey: Column): DataFrame = {
+    sketches.select(toKey.as("__k"), col("sketch"))
+      .groupBy(col("__k"))
+      .agg(expr("kll_merge_agg_bigint(sketch)").as("sketch"))
+      .select(col("__k").as("key"), col("sketch"),
+        expr("kll_sketch_get_n_bigint(sketch)").as("n"),
+        expr("kll_sketch_get_quantile_bigint(sketch, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_bigint(sketch, 0.9)").as("p90"),
+        expr("kll_sketch_get_quantile_bigint(sketch, 0.99)").as("p99"))
+      .orderBy(col("key"))
+  }
+
+  /** Point-frequency estimates for `keys` (one row per distinct key)
+    * against a [[countMin]] sketch with the same depth/width: the min
+    * of the key's `depth` counters. The sketch side is depth·width
+    * rows — broadcast at any sane size. Missing cells count 0 (the key
+    * never occurred). Output: (`key`, `est`). */
   def cmEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
                  depth: Int, width: Int): DataFrame = {
     val probes = keys.select(key.as("key")).distinct()

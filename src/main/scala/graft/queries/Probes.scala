@@ -10929,6 +10929,188 @@ object Probes {
            |FROM a ORDER BY g NULLS FIRST""".stripMargin)
   )
 
+  /** Top-k stability (fully oracled): is the top-20 supplier revenue
+    * list real? — four seeded half-samples each rank their own top-20;
+    * the md5 halves, both rankings, and every overlap replayed in
+    * DuckDB. */
+  val topkStabilityProbe = Probe(
+    "q286_topk_stability",
+    (s, d) => {
+      import graft.operators.Profile
+      Profile.topkStability(Tables.lineitem(s, d),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+        col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        k = 20, halves = 4)
+    },
+    Some("""WITH b AS (SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+           |      CAST(l_linenumber AS VARCHAR) AS id,
+           |    CAST(l_suppkey AS VARCHAR) AS k,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |    AND l_suppkey IS NOT NULL),
+           |ft AS (SELECT k FROM (SELECT k, sum(v) AS s,
+           |    row_number() OVER (ORDER BY sum(v) DESC, k ASC) AS r
+           |  FROM b GROUP BY k) WHERE r <= 20),
+           |h AS (SELECT t.h AS half, b.* FROM b,
+           |    unnest(range(0, 4)) AS t(h)
+           |  WHERE CAST('0x' || substr(md5('42|' || CAST(t.h AS
+           |    VARCHAR) || '|' || id), 1, 15) AS BIGINT) % 2 = 0),
+           |ph AS (SELECT half, k, sum(v) AS s, count(*) AS n
+           |  FROM h GROUP BY 1, 2),
+           |ht AS (SELECT half, k FROM (SELECT half, k,
+           |    row_number() OVER (PARTITION BY half
+           |      ORDER BY s DESC, k ASC) AS r FROM ph) WHERE r <= 20),
+           |rows_ AS (SELECT half, CAST(count(*) AS BIGINT) AS n_rows
+           |  FROM h GROUP BY 1),
+           |ov AS (SELECT half, CAST(count(*) AS BIGINT) AS overlap
+           |  FROM ht WHERE k IN (SELECT k FROM ft) GROUP BY 1)
+           |SELECT CAST(rows_.half AS BIGINT) AS half, rows_.n_rows,
+           |  coalesce(ov.overlap, 0) AS overlap,
+           |  CAST((coalesce(ov.overlap, 0) * 1000000) // 20 AS BIGINT)
+           |    AS overlap_ppm
+           |FROM rows_ LEFT JOIN ov ON rows_.half = ov.half
+           |ORDER BY half""".stripMargin)
+  )
+
+  /** Train/test coverage audit (fully oracled): how cold is the
+    * second half of the month for per-user models trained on the
+    * first? — row- and key-level unseen shares replayed in DuckDB. */
+  val coverageAuditProbe = Probe(
+    "q287_coverage_audit",
+    (s, d) => {
+      import graft.operators.Quality
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val split = expr("unix_micros(ts) DIV 86400000000") >= 19738L
+      Quality.coverageAudit(ev.filter(!split), ev.filter(split),
+        col("user_id"), col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id AS k,
+           |    epoch_us(ts::TIMESTAMP) // 86400000000 >= 19738 AS te
+           |  FROM events WHERE ts IS NOT NULL),
+           |tk AS (SELECT DISTINCT CAST(k AS VARCHAR) AS k FROM e
+           |  WHERE NOT te AND k IS NOT NULL),
+           |tt AS (SELECT CAST(k AS VARCHAR) AS k, count(*) AS n
+           |  FROM e WHERE te GROUP BY 1),
+           |j AS (SELECT tt.n, tk.k IS NOT NULL AS seen
+           |  FROM tt LEFT JOIN tk ON tt.k = tk.k)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tk) AS n_train_keys,
+           |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_test_rows,
+           |  CAST(count(*) AS BIGINT) AS n_test_keys,
+           |  CAST(coalesce(sum(CASE WHEN NOT seen THEN n ELSE 0 END),
+           |    0) AS BIGINT) AS n_unseen_rows,
+           |  CAST(count(*) FILTER (WHERE NOT seen) AS BIGINT)
+           |    AS n_unseen_keys,
+           |  CASE WHEN coalesce(sum(n), 0) > 0 THEN
+           |    CAST((coalesce(sum(CASE WHEN NOT seen THEN n ELSE 0
+           |      END), 0) * 1000000) // sum(n) AS BIGINT) END
+           |    AS unseen_rows_ppm,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST((count(*) FILTER (WHERE NOT seen) * 1000000)
+           |      // count(*) AS BIGINT) END AS unseen_keys_ppm
+           |FROM j""".stripMargin)
+  )
+
+  /** Effective sample size (fully oracled): Kish ESS and design
+    * effect of the q262 post-stratification weights — exact weight
+    * moments, truncating quotients, replayed in DuckDB HUGEINT. */
+  val essProbe = Probe(
+    "q288_effective_sample_size",
+    (s, d) => {
+      import graft.operators.Sampling
+      // weights: document length relative to 100 chars, in micro units
+      Sampling.effectiveSampleSize(Tables.documents(s, d),
+        expr("n_chars * 10000L"))
+    },
+    Some("""WITH b AS (SELECT n_chars * 10000 AS w FROM documents
+           |  WHERE n_chars IS NOT NULL),
+           |a AS (SELECT
+           |    CAST(count(*) FILTER (WHERE w > 0) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE w <= 0) AS BIGINT)
+           |      AS n_dropped,
+           |    CAST(coalesce(sum(w) FILTER (WHERE w > 0), 0)
+           |      AS BIGINT) AS sw,
+           |    coalesce(sum(CAST(w AS HUGEINT) * w)
+           |      FILTER (WHERE w > 0), 0) AS sw2
+           |  FROM b)
+           |SELECT n, n_dropped, sw AS sum_w_micro,
+           |  CASE WHEN n > 0 THEN
+           |    CAST((CAST(sw AS HUGEINT) * sw * 1000000) // sw2
+           |      AS BIGINT) END AS ess_micro,
+           |  CASE WHEN n > 0 THEN
+           |    CAST((CAST(n AS HUGEINT) * sw2 * 1000000)
+           |      // (CAST(sw AS HUGEINT) * sw) AS BIGINT) END
+           |    AS deff_ppm
+           |FROM a""".stripMargin)
+  )
+
+  /** KLL quantile-sketch rollup (self-oracled like q213): per-(type,
+    * day) sketches merged up to event type — n is EXACT under merge
+    * (gated ===), and each readout quantile's TRUE rank must sit
+    * within 5% of its target (vs the k=200 sketch's ~1.7% guarantee);
+    * DuckDB recomputes the exact counts and expects every invariant
+    * true. Bench times the raw build+rollup, not the audit. */
+  val kllRollupProbe = Probe(
+    "q289_kll_rollup",
+    (s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("__v", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      val daily = Sketches.kllQuantileSketches(ev,
+        concat_ws("|", col("event_type"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")),
+        col("__v"))
+      val rolled = Sketches.kllRollup(daily,
+        substring_index(col("key"), "|", 1))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+      val ranks = ev.join(broadcast(rolled.select(col("key"),
+          col("p50"), col("p90"), col("p99"))),
+          col("event_type") === col("key"))
+        .groupBy(col("event_type"))
+        .agg(
+          coalesce(sum(when(col("__v") <= col("p50"), 1L)
+            .otherwise(0L)), lit(0L)).as("__r50"),
+          coalesce(sum(when(col("__v") <= col("p90"), 1L)
+            .otherwise(0L)), lit(0L)).as("__r90"),
+          coalesce(sum(when(col("__v") <= col("p99"), 1L)
+            .otherwise(0L)), lit(0L)).as("__r99"))
+      def okRank(r: String, qPpm: Long) =
+        abs(col(r) * 1000000L - lit(qPpm) * col("n_exact")) <=
+          lit(50000L) * col("n_exact")
+      rolled.join(exact, col("key") === col("event_type"))
+        .join(ranks, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("n") === col("n_exact")).as("ok_n"),
+          okRank("__r50", 500000L).as("ok_p50"),
+          okRank("__r90", 900000L).as("ok_p90"),
+          okRank("__r99", 990000L).as("ok_p99"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+           |  true AS ok_n, true AS ok_p50, true AS ok_p90,
+           |  true AS ok_p99
+           |FROM events WHERE event_type IS NOT NULL
+           |  AND value IS NOT NULL AND ts IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    benchRun = Some((s, d) => {
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("__v", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      Sketches.kllRollup(
+        Sketches.kllQuantileSketches(ev,
+          concat_ws("|", col("event_type"),
+            expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")),
+          col("__v")),
+        substring_index(col("key"), "|", 1)).drop("sketch")
+    })
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -10997,7 +11179,8 @@ object Probes {
     crossCorrProbe, randomizationProbe, bleuProbe, mahalanobisProbe,
     didProbe, rmstProbe, linkageProbe, reshardProbe,
     captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
-    hellingerProbe, dedupEvalProbe, logStatsProbe
+    hellingerProbe, dedupEvalProbe, logStatsProbe,
+    topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -187,4 +187,39 @@ object Streams {
           col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("amount"))
   }
+
+  /** LEFT OUTER stream-stream attribution — [[attributedPurchases]]
+    * plus the rows that pipeline exists to surface: clicks that
+    * converted to NOTHING inside the horizon. The streaming semantics
+    * worth pinning (the spec does): an unmatched click is only provably
+    * unmatched once BOTH watermarks clear its whole horizon window, so
+    * its NULL-padded row emits with that delay — until then the click
+    * sits in the state store as a potential match. The time-range
+    * predicate is also the state bound: without it (or without both
+    * watermarks) the state store grows forever, silently.
+    *
+    * Runs identically on a batch frame (plain left-outer interval
+    * join), which is the correctness oracle the spec compares against
+    * once the stream's watermark has advanced past all test data.
+    *
+    * Output: `user_id`, `click_id`, `click_ts`, `purchase_id`,
+    * `amount` (purchase cols NULL = unattributed click). */
+  def attributedPurchasesOuter(events: DataFrame, horizon: String = "1 hour",
+                               watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts")), "click_ts")
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount")), "purchase_ts")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("amount"))
+  }
 }

@@ -868,4 +868,41 @@ class ProfileSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq ===
       Profile.logStats(df, col("grp"), col("x")).collect().map(_.toSeq).toSeq)
   }
+
+  test("topkStability: stable head survives halving, noise tail does not") {
+    import spark.implicits._
+    // keys h1/h2 dominate massively (stable); t1..t6 all tie-ish
+    val rows = (0 until 400).map { i =>
+      val k = if (i % 4 < 2) s"h${i % 2}" else s"t${i % 6}"
+      val v = if (k.startsWith("h")) 1000L else 10L + (i % 3)
+      (i.toLong, k, v)
+    }
+    val df = rows.toDF("id", "k", "v")
+    val out = Profile.topkStability(df, col("id"), col("k"), col("v"),
+      k = 2, halves = 4).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    // the two huge keys are the full top-2 and every half agrees
+    assert(out.forall(_.getLong(2) === 2L),
+      s"stable head must survive halving: ${out.toSeq}")
+    assert(out.forall(_.getLong(3) === 1000000L))
+    // determinism across layouts
+    assert(out.map(_.toSeq).toSeq === Profile.topkStability(
+      df.repartition(13), col("id"), col("k"), col("v"), 2, 4)
+      .collect().map(_.toSeq).toSeq)
+  }
+
+  test("topkStability: half rows are ~50% and halves differ") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, s"k${i % 40}", 1L))
+      .toDF("id", "k", "v")
+    val out = Profile.topkStability(df, col("id"), col("k"), col("v"),
+      k = 5, halves = 3).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) > 800L && r.getLong(1) < 1200L,
+        s"half should hold ~1000 rows: ${r.getLong(1)}")
+    }
+    assert(out.map(_.getLong(1)).distinct.length > 1,
+      "independent seeds: halves should not be identical subsets")
+  }
 }

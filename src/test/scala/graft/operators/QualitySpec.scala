@@ -299,4 +299,37 @@ class QualitySpec extends AnyFunSuite {
     assert(t("g2") > t("g0") && t("g2") > t("g1"),
       "the skewed class must measure farther from the corpus")
   }
+
+  test("coverageAudit: hand cold-start table, row/key divergence") {
+    import spark.implicits._
+    val train = Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("k")
+    // test: key1 hot (3 rows, seen), key9 cold (1 row), key8 cold (1)
+    val test = Seq(1L, 1L, 1L, 9L, 8L).map(Tuple1(_)).toDF("k")
+    val r = Quality.coverageAudit(train, test, col("k"), col("k"))
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 5L)
+    assert(r.getLong(2) === 3L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 2L)
+    assert(r.getLong(5) === 400000L)  // 2/5 rows cold
+    assert(r.getLong(6) === 666666L)  // 2/3 keys cold
+  }
+
+  test("coverageAudit: NULL test keys are unseen; empty test NULL ppms; layout-proof") {
+    import spark.implicits._
+    val train = Seq(Some(1L)).toDF("k")
+    val test = Seq(Some(1L), Option.empty[Long]).toDF("k")
+    val r = Quality.coverageAudit(train, test, col("k"), col("k"))
+      .collect().head
+    assert(r.getLong(3) === 1L, "a NULL key cannot be looked up: unseen")
+    val empty = test.filter(col("k") === 99L)
+    val e = Quality.coverageAudit(train, empty, col("k"), col("k"))
+      .collect().head
+    assert(e.getLong(1) === 0L && e.isNullAt(5) && e.isNullAt(6))
+    val big = (0 until 300).map(i => Tuple1((i % 37).toLong)).toDF("k")
+    val x = Quality.coverageAudit(big, big, col("k"), col("k"))
+      .collect().head
+    val y = Quality.coverageAudit(big.repartition(7),
+      big.repartition(5), col("k"), col("k")).collect().head
+    assert(x.toSeq === y.toSeq && x.getLong(5) === 0L)
+  }
 }

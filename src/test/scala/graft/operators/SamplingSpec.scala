@@ -399,4 +399,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(d.toSeq === Sampling.randomizationTest(withNeg.repartition(9),
       col("id"), col("a"), col("v"), reps = 8).collect().head.toSeq)
   }
+
+  test("effectiveSampleSize: uniform weights keep full power, skew destroys it") {
+    import spark.implicits._
+    val uniform = (1 to 100).map(_ => Tuple1(1000000L)).toDF("w")
+    val u = Sampling.effectiveSampleSize(uniform, col("w"))
+      .collect().head
+    assert(u.getLong(0) === 100L)
+    assert(u.getLong(3) === 100000000L) // ESS = n exactly
+    assert(u.getLong(4) === 1000000L)   // deff = 1 exactly
+    // one giant weight: ESS collapses toward 1
+    val skew = (Tuple1(1000000000L) +: (1 to 99).map(_ => Tuple1(1000L)))
+      .toDF("w")
+    val s = Sampling.effectiveSampleSize(skew, col("w")).collect().head
+    assert(s.getLong(3) < 2000000L, s"ESS should collapse: ${s.getLong(3)}")
+    assert(s.getLong(4) > 50000000L)
+  }
+
+  test("effectiveSampleSize: non-positive weights drop visibly; empty NULLs; layout-proof") {
+    import spark.implicits._
+    val df = Seq(5000000L, 5000000L, 0L, -7L).map(Tuple1(_)).toDF("w")
+    val r = Sampling.effectiveSampleSize(df, col("w")).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(3) === 2000000L) // two equal weights: ESS = 2
+    assert(r.toSeq === Sampling.effectiveSampleSize(df.repartition(3),
+      col("w")).collect().head.toSeq)
+    val none = df.filter(col("w") > 99999999L)
+    val e = Sampling.effectiveSampleSize(none, col("w")).collect().head
+    assert(e.getLong(0) === 0L && e.isNullAt(3) && e.isNullAt(4))
+  }
 }

@@ -127,4 +127,40 @@ class SketchesSpec extends AnyFunSuite {
     val exact = rows.filter(_._2 == "g1").map(_._3).distinct.size.toDouble
     assert(math.abs(rolled("g1")._2 - exact) / exact <= 0.3)
   }
+
+  test("kllRollup: exact n under merge, quantiles within rank bound") {
+    import spark.implicits._
+    // values 1..10000 spread over 10 fine keys of one coarse group
+    val rows = (1 to 10000).map(i => (s"g|${i % 10}", i.toLong))
+      .toDF("fine", "v")
+    val sketches = Sketches.kllQuantileSketches(rows, col("fine"),
+      col("v"))
+    assert(sketches.count() === 10)
+    val r = Sketches.kllRollup(sketches,
+      org.apache.spark.sql.functions.substring_index(col("key"), "|", 1))
+      .collect().head
+    assert(r.getString(0) === "g")
+    assert(r.getLong(2) === 10000L, "KLL carries the row count exactly")
+    // true values are 1..10000: the q-quantile estimate must sit within
+    // the ~1.7% rank bound of q*n (5% slack here)
+    assert(math.abs(r.getLong(3) - 5000L) <= 500L)
+    assert(math.abs(r.getLong(4) - 9000L) <= 500L)
+    assert(math.abs(r.getLong(5) - 9900L) <= 500L)
+  }
+
+  test("kllRollup: per-group isolation and null hygiene") {
+    import spark.implicits._
+    val rows = ((1 to 500).map(i => (s"a|0", i.toLong)) ++
+      (1 to 500).map(i => (s"b|0", 100000L + i)) :+
+      ((null: String), 7L)).toDF("fine", "v")
+    val out = Sketches.kllRollup(
+      Sketches.kllQuantileSketches(rows, col("fine"), col("v")),
+      org.apache.spark.sql.functions.substring_index(col("key"), "|", 1))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set("a", "b")) // null fine key dropped upstream
+    assert(out("a")._1 === 500L && out("b")._1 === 500L)
+    assert(out("a")._2 <= 1000L && out("b")._2 >= 100000L,
+      "groups must not bleed into each other's quantiles")
+  }
 }

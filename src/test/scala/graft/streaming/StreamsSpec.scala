@@ -287,4 +287,69 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpusDir).count() === 5)
     assert(spark.read.parquet(indexDir).count() > 0)
   }
+
+  test("left-outer stream-stream join: unmatched clicks emit NULL-padded " +
+      "ONLY after the watermark clears their window") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + 60000L * min)
+    // user 1: click at t0 converts at t10 (inside the 1h horizon)
+    // user 2: click at t0 never converts -> must surface as NULL row,
+    //   but only once the watermark (2h delay) passes t0 + 1h
+    val phase1 = Seq(
+      (1L, t(0), 1L, "click", 0.0),
+      (1L, t(10), 2L, "purchase", 9.5),
+      (2L, t(0), 3L, "click", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ssj_outer").toString
+    def feed(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssj_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    feed(phase1, "p1")
+
+    val schema = phase1.schema
+    val streamed = spark.readStream.schema(schema).parquet(inDir)
+    val q = Streams.attributedPurchasesOuter(streamed)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_outer").start()
+    q.processAllAvailable()
+    val early = spark.table("ssj_outer").collect()
+    // the match emits promptly; user 2's NULL row must NOT have emitted
+    // yet (watermark has not cleared its window)
+    assert(early.map(_.getLong(1)).toSet === Set(1L))
+    assert(early.head.getLong(3) === 2L && early.head.getDouble(4) === 9.5)
+
+    // heartbeat events far in the future advance BOTH watermarks past
+    // user 2's whole window -> the unmatched row becomes provable
+    val heartbeat = Seq(
+      (999L, t(600), 90L, "click", 0.0),
+      (999L, t(600), 91L, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    feed(heartbeat, "p2")
+    q.processAllAvailable()
+    // one more empty-ish cycle lets the new watermark evict state
+    q.processAllAvailable()
+    q.stop()
+    val late = spark.table("ssj_outer").collect()
+    val u2 = late.filter(_.getLong(1) === 3L)
+    assert(u2.length === 1, s"unmatched click must emit exactly once: ${late.toSeq}")
+    assert(u2.head.isNullAt(3) && u2.head.isNullAt(4))
+
+    // batch oracle: the same frame through the same operator (plain
+    // left-outer interval join) agrees on the non-heartbeat rows
+    val batch = Streams.attributedPurchasesOuter(
+        phase1.unionByName(heartbeat))
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(_.toSeq).toSet
+    val stream = late.filter(_.getLong(1) != 90L)
+      .map(r => Seq(r.get(0), r.get(1), r.get(3))).toSet
+    assert(stream.subsetOf(batch))
+    assert(batch.map(_(1)).subsetOf(stream.map(_(1)) + 90L),
+      "every non-heartbeat click accounted for")
+  }
 }
