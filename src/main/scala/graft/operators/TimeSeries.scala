@@ -619,6 +619,173 @@ object TimeSeries {
       .orderBy(col("key").asc)
   }
 
+  /** Decomposition strength (Hyndman & Athanasopoulos, FPP) — ONE pair
+    * of numbers per series answering "is this KPI trend-driven,
+    * seasonality-driven, or noise": with a centered moving-average
+    * trend T, phase-mean seasonality S and remainder R = x − T − S,
+    *
+    *   F_trend    = max(0, 1 − Var(R)/Var(x − S))
+    *   F_seasonal = max(0, 1 − Var(R)/Var(x − T))
+    *
+    * Exactness: x is required NON-NEGATIVE (count/latency series — the
+    * practical case; negatives drop visibly), so the trend mean is a
+    * positive truncating micro-quotient; the seasonal mean of the
+    * SIGNED detrended series is computed through a +10¹⁶ shift (a
+    * positive-numerator DIV is floor division of the signed value —
+    * deterministic on both engines — and the shift cancels exactly
+    * when subtracted back). Variance RATIOS clear their /n
+    * denominators: both numerators are n·Σv² − (Σv)² at the same n,
+    * so each strength is one truncating quotient of exact
+    * DECIMAL(38,0) integers — no variance is ever divided by n.
+    * i64/decimal bound: micro values ~x·10⁶; n²·(x·10⁶)² must fit
+    * 10³⁸ — fine to n ≈ 10⁷ buckets at x ≤ 10⁶ (bucket first, the
+    * [[changepoint]] contract).
+    *
+    * Scale posture: ONE (group)-keyed exchange carries the trend
+    * range-window and the phase join-back; seasonal means come from a
+    * (group, phase)-sized aggregate; final moments are one map-side
+    * combined aggregate. NULL strengths when a variance is 0 (constant
+    * series — nothing to attribute).
+    *
+    * Output: `group`, `n`, `n_dropped`, `f_trend_ppm`,
+    * `f_seasonal_ppm` LONG — total order by group (NULLS FIRST).
+    */
+  def decompositionStrength(df: DataFrame, group: Column, t: Column,
+                            x: Column, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val half = (period / 2).toLong
+    val BIG = 10000000000000000L // 1e16: > any |x·1e6 − trend|
+    val all = df.select(group.cast("string").as("group"),
+        t.cast("long").as("__t"), x.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val base = all.filter(col("__x") >= 0L)
+    val dropped = all.groupBy(col("group"))
+      .agg(coalesce(sum(when(col("__x") < 0L, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped"))
+    val trended = base
+      .withColumn("__tr",
+        expr(s"(sum(__x) OVER (PARTITION BY group ORDER BY __t " +
+          s"RANGE BETWEEN $half PRECEDING AND $half FOLLOWING) " +
+          s"* 1000000L) DIV count(1) OVER (PARTITION BY group " +
+          s"ORDER BY __t RANGE BETWEEN $half PRECEDING AND " +
+          s"$half FOLLOWING)"))
+      .withColumn("__d", col("__x") * 1000000L - col("__tr"))
+      .withColumn("__phase", pmod(col("__t"), lit(period.toLong)))
+    val seasonal = trended.groupBy(col("group"), col("__phase"))
+      .agg(expr(s"CAST(sum(CAST(__d + ${BIG}L AS DECIMAL(38,0)))" +
+        s" DIV count(1) - ${BIG}L AS BIGINT)").as("__seas"))
+    // null-safe on group: a NULL group is a real slice (the
+    // conformalThreshold lesson — a plain equi-join would drop it)
+    val full = trended
+      .join(seasonal.withColumnRenamed("group", "__gs")
+          .withColumnRenamed("__phase", "__ps"),
+        col("group") <=> col("__gs") && col("__phase") === col("__ps"))
+      .withColumn("__r", col("__d") - col("__seas"))
+      .withColumn("__detr", col("__d")) // x·1e6 − T
+      .withColumn("__deseas", col("__x") * 1000000L - col("__seas"))
+    def varNum(c: String): Column =
+      count(lit(1)).cast("decimal(38,0)") *
+        sum(col(c).cast("decimal(38,0)") * col(c)) -
+        sum(col(c).cast("decimal(38,0)")) * sum(col(c).cast("decimal(38,0)"))
+    val agg = full.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        varNum("__r").as("__vr"),
+        varNum("__deseas").as("__vds"),
+        varNum("__detr").as("__vdt"))
+    def strength(den: String): Column =
+      when(col(den) > 0,
+        greatest(lit(0L), lit(1000000L) -
+          expr(s"CAST((__vr * 1000000) DIV $den AS BIGINT)")))
+    agg
+      .join(dropped.withColumnRenamed("group", "__gd"),
+        col("group") <=> col("__gd"), "left_outer")
+      .withColumn("f_trend_ppm", strength("__vds"))
+      .withColumn("f_seasonal_ppm", strength("__vdt"))
+      .select(col("group"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("f_trend_ppm"), col("f_seasonal_ppm"))
+      .orderBy(col("group").asc_nulls_first)
+  }
+
+  /** Mann–Kendall trend test per series — the nonparametric "is this
+    * KPI actually trending" verdict that pairs with [[theilSen]]'s
+    * robust slope (MK decides SIGNIFICANCE, Sen says how steep): S =
+    * Σ_{i<j} sign(x_j − x_i) over the time order, with the tie-adjusted
+    * variance
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    *
+    * and z = (S ∓ 1)/√Var(S) (continuity-corrected toward 0). Monotone
+    * trends of ANY shape trigger it; outliers can't dominate (each pair
+    * contributes ±1).
+    *
+    * Exactness: S and every tie term are exact integers off the
+    * [[graft.operators.Profile.kendallTau]] cells discipline — pairs
+    * enumerate on the (t, x) CELLS frame (series-sized by the caller's
+    * bucketing contract), the time axis is tie-free by construction
+    * (bucketed), so S = conc − disc with pure integer predicates; z is
+    * ONE pinned IEEE sequence over BIGINT-published integers, NULL when
+    * n < 2 or Var = 0 (all values tied).
+    *
+    * Scale posture: one (group, t, x) cells aggregate, the pair join
+    * EQUI on the null-safe group key (SortMergeJoin — never
+    * NestedLoop), tie terms from the value marginals with no join.
+    *
+    * Output: `group`, `n`, `s_stat`, `var18` (= 18·Var(S), exact),
+    * LONG, `z` DOUBLE-or-NULL — total order by group (NULLS FIRST).
+    */
+  def mannKendall(df: DataFrame, group: Column, t: Column,
+                  x: Column): DataFrame = {
+    val base = df.select(group.cast("string").as("group"),
+        t.cast("long").as("__t"), x.cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val cells = base.groupBy(col("group"), col("__t"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("group").as("__ga"), col("__t").as("__ta"),
+      col("__x").as("__xa"), col("__c").as("__ca"))
+    val b = cells.select(col("group").as("__gb"), col("__t").as("__tb"),
+      col("__x").as("__xb"), col("__c").as("__cb"))
+    val pairs = a.join(b, col("__ga") <=> col("__gb") &&
+        (col("__ta") < col("__tb") ||
+          (col("__ta") === col("__tb") && col("__xa") < col("__xb"))))
+      .withColumn("__w", col("__ca").cast("decimal(38,0)") * col("__cb"))
+      .groupBy(col("__ga").as("group"))
+      .agg(
+        coalesce(sum(when(col("__ta") < col("__tb") &&
+            col("__xa") < col("__xb"), col("__w"))),
+          lit(0).cast("decimal(38,0)")).as("__up"),
+        coalesce(sum(when(col("__ta") < col("__tb") &&
+            col("__xa") > col("__xb"), col("__w"))),
+          lit(0).cast("decimal(38,0)")).as("__dn"))
+    val ties = base.groupBy(col("group"), col("__x"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("group"))
+      .agg(coalesce(sum(col("__tc").cast("decimal(38,0)") *
+          (col("__tc") - 1L) * (col("__tc") * 2L + 5L)),
+        lit(0).cast("decimal(38,0)")).as("__tieterm"))
+    val totals = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    totals
+      .join(ties.withColumnRenamed("group", "__gt"),
+        col("group") <=> col("__gt"), "left_outer")
+      .join(pairs.withColumnRenamed("group", "__gp"),
+        col("group") <=> col("__gp"), "left_outer")
+      .withColumn("__s", coalesce(col("__up"),
+        lit(0).cast("decimal(38,0)")) -
+        coalesce(col("__dn"), lit(0).cast("decimal(38,0)")))
+      .withColumn("__v18",
+        col("n").cast("decimal(38,0)") * (col("n") - 1L) *
+          (col("n") * 2L + 5L) - col("__tieterm"))
+      .withColumn("z",
+        when(col("n") >= 2L && col("__v18") > 0,
+          when(col("__s") > 0, (col("__s") - 1L).cast("double"))
+            .when(col("__s") < 0, (col("__s") + 1L).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("__v18").cast("double") / 18.0)))
+      .select(col("group"), col("n"), col("__s").cast("long").as("s_stat"),
+        col("__v18").cast("long").as("var18"), col("z"))
+      .orderBy(col("group").asc_nulls_first)
+  }
+
   /** Cross-correlation lag scan — Pearson r between series x and the
     * ℓ-shifted series y for every lag ℓ ∈ [−maxLag, maxLag], plus the
     * argmax-|r| pick: "purchases trail views by how many hours?" — the

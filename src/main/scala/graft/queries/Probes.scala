@@ -11111,6 +11111,114 @@ object Probes {
     })
   )
 
+  /** Mann–Kendall trend test (fully oracled): daily event counts per
+    * type — S, the tie-adjusted 18·Var(S), and the continuity-corrected
+    * z replayed in DuckDB HUGEINT. */
+  val mannKendallProbe = Probe(
+    "q290_mann_kendall",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.mannKendall(daily, col("event_type"), col("day"),
+        col("x"))
+    },
+    Some("""WITH dd AS (SELECT event_type AS g,
+           |    epoch_us(ts::TIMESTAMP) // 86400000000 AS t,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |c AS (SELECT g, t, x, CAST(count(*) AS HUGEINT) AS cnt
+           |  FROM dd GROUP BY 1, 2, 3),
+           |p AS (SELECT a.g AS g,
+           |    coalesce(sum(CASE WHEN a.t < b.t AND a.x < b.x
+           |      THEN a.cnt * b.cnt END), 0) AS up,
+           |    coalesce(sum(CASE WHEN a.t < b.t AND a.x > b.x
+           |      THEN a.cnt * b.cnt END), 0) AS dn
+           |  FROM c a JOIN c b ON a.g IS NOT DISTINCT FROM b.g
+           |    AND (a.t < b.t OR (a.t = b.t AND a.x < b.x))
+           |  GROUP BY 1),
+           |tx AS (SELECT g, coalesce(sum(CAST(tc AS HUGEINT)
+           |    * (tc - 1) * (tc * 2 + 5)), 0) AS tie
+           |  FROM (SELECT g, x, count(*) AS tc FROM dd GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |tt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dd
+           |  GROUP BY 1),
+           |j AS (SELECT tt.g, tt.n,
+           |    coalesce(p.up, 0) - coalesce(p.dn, 0) AS s,
+           |    CAST(tt.n AS HUGEINT) * (tt.n - 1) * (tt.n * 2 + 5)
+           |      - tx.tie AS v18
+           |  FROM tt
+           |  LEFT JOIN tx ON tt.g IS NOT DISTINCT FROM tx.g
+           |  LEFT JOIN p ON tt.g IS NOT DISTINCT FROM p.g)
+           |SELECT g AS group, n, CAST(s AS BIGINT) AS s_stat,
+           |  CAST(v18 AS BIGINT) AS var18,
+           |  CASE WHEN n >= 2 AND v18 > 0 THEN
+           |    (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+           |          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+           |          ELSE 0.0 END) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+           |  END AS z
+           |FROM j ORDER BY g NULLS FIRST""".stripMargin)
+  )
+
+  /** Decomposition strength (fully oracled): hourly event counts per
+    * type at period 24 — the range-window trend, the shift-exact
+    * seasonal means, and both cleared-denominator strengths replayed
+    * in DuckDB HUGEINT. */
+  val decompStrengthProbe = Probe(
+    "q291_decomposition_strength",
+    (s, d) => {
+      import graft.operators.TimeSeries
+      val hourly = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("x"))
+      TimeSeries.decompositionStrength(hourly, col("event_type"),
+        col("h"), col("x"), period = 24)
+    },
+    Some("""WITH h AS (SELECT event_type AS g,
+           |    epoch_us(ts::TIMESTAMP) // 3600000000 AS t,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+           |tr AS (SELECT *,
+           |    CAST((sum(x) OVER w * 1000000) // (count(*) OVER w)
+           |      AS BIGINT) AS trend
+           |  FROM h WINDOW w AS (PARTITION BY g ORDER BY t
+           |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+           |dd AS (SELECT g, t, x, x * 1000000 - trend AS d,
+           |    t % 24 AS ph FROM tr),
+           |se AS (SELECT g, ph,
+           |    CAST(sum(CAST(d + 10000000000000000 AS HUGEINT))
+           |      // count(*) - 10000000000000000 AS BIGINT) AS seas
+           |  FROM dd GROUP BY 1, 2),
+           |f AS (SELECT dd.g, dd.d - se.seas AS r, dd.d AS detr,
+           |    dd.x * 1000000 - se.seas AS deseas
+           |  FROM dd JOIN se ON dd.g IS NOT DISTINCT FROM se.g
+           |    AND dd.ph = se.ph),
+           |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) AS HUGEINT) * sum(CAST(r AS HUGEINT) * r)
+           |      - sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT))
+           |      AS vr,
+           |    CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(deseas AS HUGEINT) * deseas)
+           |      - sum(CAST(deseas AS HUGEINT))
+           |        * sum(CAST(deseas AS HUGEINT)) AS vds,
+           |    CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(detr AS HUGEINT) * detr)
+           |      - sum(CAST(detr AS HUGEINT))
+           |        * sum(CAST(detr AS HUGEINT)) AS vdt
+           |  FROM f GROUP BY 1)
+           |SELECT g AS group, n, CAST(0 AS BIGINT) AS n_dropped,
+           |  CASE WHEN vds > 0 THEN greatest(0,
+           |    1000000 - CAST((vr * 1000000) // vds AS BIGINT)) END
+           |    AS f_trend_ppm,
+           |  CASE WHEN vdt > 0 THEN greatest(0,
+           |    1000000 - CAST((vr * 1000000) // vdt AS BIGINT)) END
+           |    AS f_seasonal_ppm
+           |FROM a ORDER BY g NULLS FIRST""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11180,7 +11288,8 @@ object Probes {
     didProbe, rmstProbe, linkageProbe, reshardProbe,
     captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
     hellingerProbe, dedupEvalProbe, logStatsProbe,
-    topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe
+    topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
+    mannKendallProbe, decompStrengthProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -1152,6 +1152,19 @@ object ScaleSweep {
         "reshard_audit_8to12" -> (() => noop(
           graft.operators.Layout.reshardAudit(ev, col("event_id"),
             fromShards = 8, toShards = 12))),
+        "kll_rollup" -> (() => noop {
+          import graft.operators.Sketches
+          val e2 = ev.filter(col("event_type").isNotNull &&
+            col("value").isNotNull && col("ts").isNotNull)
+            .withColumn("__v",
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          Sketches.kllRollup(
+            Sketches.kllQuantileSketches(e2,
+              concat_ws("|", col("event_type"),
+                expr("CAST(unix_micros(ts) DIV 86400000000 AS STRING)")),
+              col("__v")),
+            substring_index(col("key"), "|", 1)).drop("sketch")
+        }),
         "bleu2" -> (() => noop {
           val ws = graft.functions.Text.words(col("text"))
           val k = greatest(lit(1), (size(ws).cast("long") / lit(5L))

@@ -467,4 +467,86 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(cOut.forall(_.isNullAt(5)))
     assert(cOut.forall(!_.getBoolean(6)), "no best when every r is NULL")
   }
+
+  test("mannKendall: hand S and variance, monotone extremes, tie NULL") {
+    import spark.implicits._
+    // x: 1 3 2 4 over t 1..4: up pairs {13,12?}: (1,3)+,(1,2)+,(1,4)+,
+    // (3,2)-,(3,4)+,(2,4)+ -> S = 5-1 = 4; no ties: var18 = 4*3*13 = 156
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 2L),
+      ("g", 4L, 4L)).toDF("grp", "t", "x")
+    val r = TimeSeries.mannKendall(df, col("grp"), col("t"), col("x"))
+      .collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getLong(3) === 156L)
+    val want = 3.0 / math.sqrt(156.0 / 18.0)
+    assert(math.abs(r.getDouble(4) - want) < 1e-15)
+    // strictly increasing: S = n(n-1)/2; strictly decreasing mirrors
+    val up = (1 to 12).map(i => ("u", i.toLong, (i * 3).toLong))
+      .toDF("grp", "t", "x")
+    val ur = TimeSeries.mannKendall(up, col("grp"), col("t"), col("x"))
+      .collect().head
+    assert(ur.getLong(2) === 66L && ur.getDouble(4) > 3.0)
+    val const = (1 to 6).map(i => ("c", i.toLong, 5L))
+      .toDF("grp", "t", "x")
+    assert(TimeSeries.mannKendall(const, col("grp"), col("t"),
+      col("x")).collect().head.isNullAt(4)) // all tied: Var = 0
+  }
+
+  test("mannKendall: tie-adjusted variance and layout independence") {
+    import spark.implicits._
+    // x: 1 1 2 (t 1..3): pairs (1,1)0 (1,2)+ (1,2)+ -> S=2
+    // var18 = 3*2*11 - [2*1*9] = 66 - 18 = 48
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 2L))
+      .toDF("grp", "t", "x")
+    val r = TimeSeries.mannKendall(df, col("grp"), col("t"), col("x"))
+      .collect().head
+    assert(r.getLong(2) === 2L && r.getLong(3) === 48L)
+    val big = (0 until 200).map(i =>
+      (s"g${i % 2}", (i / 2).toLong, ((i * 13) % 17).toLong))
+      .toDF("grp", "t", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.mannKendall(d, col("grp"), col("t"), col("x"))
+        .collect().map(_.toSeq).toSeq
+    assert(run(big) === run(big.repartition(11)))
+  }
+
+  test("decompositionStrength: planted seasonality and trend are attributed") {
+    import spark.implicits._
+    // pure seasonal: x = 100 + 50*(t%4==0), no trend
+    val seasonal = (0 until 96).map(t => ("s", t.toLong,
+      if (t % 4 == 0) 150L else 100L)).toDF("g", "t", "x")
+    val sr = TimeSeries.decompositionStrength(seasonal, col("g"),
+      col("t"), col("x"), period = 4).collect().head
+    assert(sr.getLong(4) > 900000L,
+      s"seasonal strength should be high: ${sr.getLong(4)}")
+    // pure trend: x = t (seasonal means of detrended stay ~0)
+    val trend = (0 until 96).map(t => ("t", t.toLong, (10L * t)))
+      .toDF("g", "t", "x")
+    val tr = TimeSeries.decompositionStrength(trend, col("g"),
+      col("t"), col("x"), period = 4).collect().head
+    assert(tr.getLong(3) > 900000L,
+      s"trend strength should be high: ${tr.getLong(3)}")
+    // noise-free constant: both variances 0 -> NULLs, never fake 0
+    val const = (0 until 48).map(t => ("c", t.toLong, 7L))
+      .toDF("g", "t", "x")
+    val cr = TimeSeries.decompositionStrength(const, col("g"),
+      col("t"), col("x"), period = 4).collect().head
+    assert(cr.isNullAt(3) && cr.isNullAt(4))
+  }
+
+  test("decompositionStrength: negatives drop visibly; NULL group is a slice; layout-proof") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      val g: String = if (i % 3 == 0) null else "g"
+      (g, i.toLong, if (i == 5) -9L else (50 + (i % 6) * 10).toLong)
+    }
+    val df = rows.toDF("g", "t", "x")
+    val out = TimeSeries.decompositionStrength(df, col("g"), col("t"),
+      col("x"), period = 6).collect()
+    assert(out.length === 2 && out.head.isNullAt(0))
+    assert(out.map(_.getLong(2)).sum === 1L) // the -9 dropped visibly
+    assert(out.map(_.toSeq).toSeq === TimeSeries.decompositionStrength(
+      df.repartition(13), col("g"), col("t"), col("x"), 6)
+      .collect().map(_.toSeq).toSeq)
+  }
 }
