@@ -1266,6 +1266,72 @@ object Profile {
       .orderBy(col("group").asc_nulls_first)
   }
 
+  /** Missingness-association matrix — are NULLs independent, or does
+    * one column's absence predict another's? (MCAR vs the "fields from
+    * the same upstream join leg die together" pattern that silently
+    * biases any complete-case analysis.) For every column pair the phi
+    * coefficient of the null indicators:
+    *
+    *   φ = (n·n₁₁ − n₁·n₂) / √(n₁(n−n₁)) · √(n₂(n−n₂))
+    *
+    * with n₁, n₂ the per-column null counts and n₁₁ the co-null count —
+    * all exact integers from ONE aggregate over one scan (k(k+1)/2
+    * indicator-product sums ride the same pass; no per-pair jobs), φ
+    * one pinned √·√ sequence per pair, NULL when a column never or
+    * always nulls (φ undefined, never a fake 0).
+    *
+    * Output (one row per unordered pair, i < j by name): `col_a`,
+    * `col_b`, `n`, `null_a`, `null_b`, `null_both` LONG, `phi`
+    * DOUBLE-or-NULL — total order (col_a, col_b).
+    */
+  def missingnessMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 40,
+      s"need 2..40 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val sorted = cols.sorted
+    val ind = df.select(sorted.map(c =>
+      col(c).isNull.cast("long").as(s"__m_$c")): _*)
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      sorted.map(c => coalesce(sum(col(s"__m_$c")), lit(0L))
+        .as(s"__n_$c")) ++
+      pairs.map { case (a, b) =>
+        coalesce(sum(col(s"__m_$a") * col(s"__m_$b")), lit(0L))
+          .as(s"__b_${a}__$b")
+      }
+    val one = ind.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single aggregate row via explode-of-structs — a
+    // unionByName of per-pair selects would re-run the aggregate (and
+    // its scan) once per pair
+    val pairStructs = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_$a").as("null_a"), col(s"__n_$b").as("null_b"),
+        col(s"__b_${a}__$b").as("null_both"))
+    }: _*)
+    one.select(col("n"), explode(pairStructs).as("__p"))
+      .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
+        col("n"), col("__p.null_a").as("null_a"),
+        col("__p.null_b").as("null_b"),
+        col("__p.null_both").as("null_both"))
+      .withColumn("__num",
+        col("n").cast("decimal(38,0)") * col("null_both") -
+          col("null_a").cast("decimal(38,0)") * col("null_b"))
+      .withColumn("__da",
+        col("null_a").cast("decimal(38,0)") * (col("n") - col("null_a")))
+      .withColumn("__db",
+        col("null_b").cast("decimal(38,0)") * (col("n") - col("null_b")))
+      .withColumn("phi",
+        when(col("__da") > 0 && col("__db") > 0,
+          col("__num").cast("double") /
+            (sqrt(col("__da").cast("double")) *
+              sqrt(col("__db").cast("double")))))
+      .select(col("col_a"), col("col_b"), col("n"), col("null_a"),
+        col("null_b"), col("null_both"), col("phi"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Top-k stability under half-sampling — is the leaderboard REAL or
     * sampling noise? H independent seeded 50% row-subsets each rank
     * their own top-k; each half reports its overlap with the full-data

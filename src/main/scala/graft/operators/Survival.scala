@@ -289,6 +289,60 @@ object Survival {
         col("e_a_micro"), col("var_micro"), col("z"))
   }
 
+  /** Cumulative incidence under COMPETING risks (Aalen–Johansen) — the
+    * estimator for "what share will hit event TYPE k by time t when
+    * other event types remove subjects first": churn vs conversion,
+    * error vs completion. The naive per-type KM (censoring the other
+    * types) OVERSTATES every curve — the type-k incidence can only
+    * claim subjects still event-free of everything,
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_{k,i} / nᵢ
+    *
+    * with S the ALL-CAUSE Kaplan–Meier. Sanity property the spec pins:
+    * Σ_k CIF_k(∞) + S(∞) = 1 (every subject ends somewhere).
+    *
+    * Determinism: S(t⁻) is [[kaplanMeier]]'s published pinned-exp
+    * integer of the PREVIOUS event step (10⁶ before the first); each
+    * increment is then the exact positive quotient
+    * (surv_prev_ppm · d_k) DIV n_risk in micro-ppm units, and the CIF
+    * is a cumulative sum of longs in time order — no new float
+    * anywhere.
+    *
+    * Scale posture: KM's range-exchange staging + one (duration, type)
+    * cells aggregate joined on the steps frame; the prev-step lag and
+    * per-type cumulative run on the STEPS frame (bucket durations
+    * first — KM's contract). `event` NULL means censored.
+    *
+    * Output (one row per (event step, type)): `t` LONG, `event`,
+    * `n_risk`, `n_type_events` LONG, `surv_prev_ppm`, `inc_upm`,
+    * `cif_upm` LONG — total order (event, t).
+    */
+  def cumulativeIncidence(df: DataFrame, duration: Column,
+                          event: Column): DataFrame = {
+    val base = df.select(duration.cast("long").as("__d"),
+        event.cast("string").as("__e"))
+      .filter(col("__d").isNotNull)
+    val km = kaplanMeier(base, col("__d"), col("__e").isNotNull)
+    // steps-frame windows by KM's bucketing contract
+    val wPrev = Window.orderBy(col("t"))
+    val steps = km.select(col("t"), col("n_risk"), col("surv_ppm"))
+      .withColumn("surv_prev_ppm",
+        coalesce(lag(col("surv_ppm"), 1).over(wPrev), lit(1000000L)))
+    val cells = base.filter(col("__e").isNotNull)
+      .groupBy(col("__d").as("t"), col("__e").as("event"))
+      .agg(count(lit(1)).as("n_type_events"))
+    val wCum = Window.partitionBy(col("event")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(steps, Seq("t"))
+      .withColumn("inc_upm",
+        expr("(surv_prev_ppm * n_type_events) DIV n_risk"))
+      .withColumn("cif_upm", sum(col("inc_upm")).over(wCum))
+      .select(col("t"), col("event"), col("n_risk"),
+        col("n_type_events"), col("surv_prev_ppm"), col("inc_upm"),
+        col("cif_upm"))
+      .orderBy(col("event"), col("t"))
+  }
+
   /** Restricted mean survival time — the AREA under the [[kaplanMeier]]
     * curve up to a horizon τ: "expected event-free time within the
     * first τ units", the one-number summary medians can't give when

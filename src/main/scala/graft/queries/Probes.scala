@@ -11219,6 +11219,174 @@ object Probes {
            |FROM a ORDER BY g NULLS FIRST""".stripMargin)
   )
 
+  /** Missingness-association matrix (fully oracled): planted
+    * correlated nulls (lang/source share a failure mode, n_chars
+    * independent) — all pair counts from one pass and each pinned φ
+    * replayed in DuckDB. */
+  val missingnessProbe = Probe(
+    "q292_missingness_matrix",
+    (s, d) => {
+      import graft.operators.Profile
+      val planted = Tables.documents(s, d).select(
+        when(col("doc_id") % 7 === 0, lit(null))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0,
+          lit(null)).otherwise(col("source")).as("source"),
+        when(col("doc_id") % 13 === 0, lit(null))
+          .otherwise(col("n_chars")).as("n_chars"))
+      Profile.missingnessMatrix(planted,
+        Seq("lang", "source", "n_chars"))
+    },
+    Some("""WITH p AS (SELECT
+           |    (CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END)
+           |      IS NULL AS ma,
+           |    (CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+           |      THEN NULL ELSE source END) IS NULL AS mb,
+           |    (CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END)
+           |      IS NULL AS mc
+           |  FROM documents),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) FILTER (WHERE ma) AS BIGINT) AS nl,
+           |    CAST(count(*) FILTER (WHERE mc) AS BIGINT) AS nn,
+           |    CAST(count(*) FILTER (WHERE mb) AS BIGINT) AS ns,
+           |    CAST(count(*) FILTER (WHERE ma AND mc) AS BIGINT)
+           |      AS b_l_n,
+           |    CAST(count(*) FILTER (WHERE ma AND mb) AS BIGINT)
+           |      AS b_l_s,
+           |    CAST(count(*) FILTER (WHERE mc AND mb) AS BIGINT)
+           |      AS b_n_s
+           |  FROM p),
+           |r AS (
+           |  SELECT 'lang' AS col_a, 'n_chars' AS col_b, n,
+           |    nl AS null_a, nn AS null_b, b_l_n AS null_both FROM a
+           |  UNION ALL
+           |  SELECT 'lang', 'source', n, nl, ns, b_l_s FROM a
+           |  UNION ALL
+           |  SELECT 'n_chars', 'source', n, nn, ns, b_n_s FROM a)
+           |SELECT col_a, col_b, n, null_a, null_b, null_both,
+           |  CASE WHEN null_a > 0 AND null_a < n
+           |      AND null_b > 0 AND null_b < n THEN
+           |    CAST(CAST(n AS HUGEINT) * null_both
+           |      - CAST(null_a AS HUGEINT) * null_b AS DOUBLE) /
+           |    (sqrt(CAST(CAST(null_a AS HUGEINT) * (n - null_a)
+           |      AS DOUBLE)) *
+           |     sqrt(CAST(CAST(null_b AS HUGEINT) * (n - null_b)
+           |      AS DOUBLE)))
+           |  END AS phi
+           |FROM r ORDER BY col_a, col_b""".stripMargin)
+  )
+
+  /** Competing-risks cumulative incidence (fully oracled): first error
+    * vs first purchase within each user's first 24 h — the all-cause
+    * KM staging, the previous-step survival lag, and every per-type
+    * increment replayed in DuckDB. */
+  val cifProbe = Probe(
+    "q293_cumulative_incidence",
+    (s, d) => {
+      import graft.operators.Survival
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+          col("event_type"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("__t")).as("__f"))
+      def firstOf(t: String, out: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("user_id")).agg(min(col("__t")).as(out))
+      val subjects = firsts
+        .join(firstOf("error", "__te"), Seq("user_id"), "left_outer")
+        .join(firstOf("purchase", "__tp"), Seq("user_id"), "left_outer")
+        .select(
+          when(col("__te").isNotNull &&
+            expr("(__te - __f) DIV 3600000000") < 24L,
+            expr("(__te - __f) DIV 3600000000")).as("__eh"),
+          when(col("__tp").isNotNull &&
+            expr("(__tp - __f) DIV 3600000000") < 24L,
+            expr("(__tp - __f) DIV 3600000000")).as("__ph"))
+        .select(
+          when(col("__eh").isNotNull &&
+              (col("__ph").isNull || col("__eh") <= col("__ph")),
+            col("__eh"))
+            .when(col("__ph").isNotNull, col("__ph"))
+            .otherwise(lit(24L)).as("dur_h"),
+          when(col("__eh").isNotNull &&
+              (col("__ph").isNull || col("__eh") <= col("__ph")),
+            lit("error"))
+            .when(col("__ph").isNotNull, lit("purchase")).as("ev"))
+      Survival.cumulativeIncidence(subjects, col("dur_h"), col("ev"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           |    event_type
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |u AS (SELECT user_id, min(t) AS f FROM e GROUP BY 1),
+           |fe AS (SELECT user_id, min(t) AS te FROM e
+           |  WHERE event_type = 'error' GROUP BY 1),
+           |fp AS (SELECT user_id, min(t) AS tp FROM e
+           |  WHERE event_type = 'purchase' GROUP BY 1),
+           |hs AS (SELECT
+           |    CASE WHEN te IS NOT NULL AND (te - f) // 3600000000 < 24
+           |      THEN (te - f) // 3600000000 END AS eh,
+           |    CASE WHEN tp IS NOT NULL AND (tp - f) // 3600000000 < 24
+           |      THEN (tp - f) // 3600000000 END AS ph
+           |  FROM u LEFT JOIN fe USING (user_id)
+           |    LEFT JOIN fp USING (user_id)),
+           |subj AS (SELECT
+           |    CASE WHEN eh IS NOT NULL AND (ph IS NULL OR eh <= ph)
+           |        THEN eh
+           |      WHEN ph IS NOT NULL THEN ph ELSE 24 END AS d,
+           |    CASE WHEN eh IS NOT NULL AND (ph IS NULL OR eh <= ph)
+           |        THEN 'error'
+           |      WHEN ph IS NOT NULL THEN 'purchase' END AS ev
+           |  FROM hs),
+           |tot AS (SELECT count(*) AS n FROM subj),
+           |perT AS (SELECT d,
+           |    CAST(sum(CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_events,
+           |    CAST(sum(CASE WHEN ev IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_censored
+           |  FROM subj GROUP BY d),
+           |r AS (SELECT *,
+           |    (SELECT n FROM tot) - coalesce(sum(n_events + n_censored)
+           |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |        1 PRECEDING), 0) AS n_risk
+           |  FROM perT),
+           |q AS (SELECT *,
+           |    CASE WHEN n_events = 0 THEN 0
+           |         WHEN n_events < n_risk THEN
+           |           CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) /
+           |             n_risk) * 1000000 + 0.5) AS BIGINT) END AS lnq,
+           |    CASE WHEN n_events > 0 AND n_events = n_risk
+           |         THEN 1 ELSE 0 END AS z
+           |  FROM r),
+           |c AS (SELECT *,
+           |    coalesce(sum(lnq) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS logS,
+           |    coalesce(sum(z) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW), 0) AS zs
+           |  FROM q),
+           |km AS (SELECT d AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           |    CAST(CASE WHEN zs > 0 THEN 0 ELSE
+           |      floor(exp(CAST(logS AS DOUBLE) / 1000000.0) * 1000000
+           |        + 0.5) END AS BIGINT) AS surv_ppm
+           |  FROM c WHERE n_events > 0),
+           |st AS (SELECT *, coalesce(lag(surv_ppm) OVER (ORDER BY t),
+           |    1000000) AS surv_prev_ppm FROM km),
+           |cells AS (SELECT d AS t, ev AS event,
+           |    CAST(count(*) AS BIGINT) AS n_type_events
+           |  FROM subj WHERE ev IS NOT NULL GROUP BY 1, 2),
+           |j AS (SELECT cells.t, cells.event, st.n_risk,
+           |    cells.n_type_events, st.surv_prev_ppm,
+           |    CAST((st.surv_prev_ppm * cells.n_type_events)
+           |      // st.n_risk AS BIGINT) AS inc_upm
+           |  FROM cells JOIN st ON cells.t = st.t)
+           |SELECT t, event, n_risk, n_type_events, surv_prev_ppm,
+           |  inc_upm,
+           |  CAST(sum(inc_upm) OVER (PARTITION BY event ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS cif_upm
+           |FROM j ORDER BY event, t""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11289,7 +11457,7 @@ object Probes {
     captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
     hellingerProbe, dedupEvalProbe, logStatsProbe,
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
-    mannKendallProbe, decompStrengthProbe
+    mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -905,4 +905,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).distinct.length > 1,
       "independent seeds: halves should not be identical subsets")
   }
+
+  test("missingnessMatrix: hand pair counts, planted co-missingness, degenerate NULLs") {
+    import spark.implicits._
+    // a and b null together on rows 1,2; c null on row 3; d never null
+    val df = Seq(
+      (Option.empty[String], Option.empty[Long], Some(1L), 1L),
+      (Option.empty[String], Option.empty[Long], Some(2L), 2L),
+      (Some("x"), Some(5L), Option.empty[Long], 3L),
+      (Some("y"), Some(6L), Some(4L), 4L)
+    ).toDF("a", "b", "c", "d")
+    val out = Profile.missingnessMatrix(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 6)
+    val ab = out(("a", "b"))
+    assert((ab.getLong(3), ab.getLong(4), ab.getLong(5)) === ((2L, 2L, 2L)))
+    assert(ab.getDouble(6) === 1.0, "perfectly co-missing: phi = 1")
+    // a vs c: disjoint missingness -> negative phi
+    assert(out(("a", "c")).getDouble(6) < 0.0)
+    // d never null: phi undefined
+    assert(out(("a", "d")).isNullAt(6))
+    // one pass: single leaf in the optimized plan
+    val plan = Profile.missingnessMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan
+    assert(plan.collectLeaves().map(_.toString).distinct.size === 1)
+  }
+
+  test("missingnessMatrix: layout independence and name ordering") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (
+      if (i % 3 == 0) None else Some(i.toLong),
+      if (i % 4 == 0) None else Some(i.toString))).toDF("zz", "aa")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.missingnessMatrix(d, Seq("zz", "aa"))
+        .collect().map(_.toSeq).toSeq
+    val out = run(df)
+    assert(out.head.head === "aa", "pairs order by name, not input order")
+    assert(out === run(df.repartition(7)))
+  }
 }

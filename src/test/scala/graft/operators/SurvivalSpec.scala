@@ -202,4 +202,42 @@ class SurvivalSpec extends AnyFunSuite {
       .collect().head
     assert(a.toSeq === b.toSeq)
   }
+
+  test("cumulativeIncidence: hand table and the conservation identity") {
+    import spark.implicits._
+    // (2,a) (2,b) (3,censored) (5,a):
+    // t=2: n_risk 4, S(t-) = 1e6 -> inc 250000 each type
+    // t=5: n_risk 1, S(t-) = 500000 -> inc 500000 for a
+    val df = Seq((2L, Some("a")), (2L, Some("b")),
+      (3L, Option.empty[String]), (5L, Some("a"))).toDF("d", "ev")
+    val out = Survival.cumulativeIncidence(df, col("d"), col("ev"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("a", 2L)) === ((4L, 1000000L, 250000L, 250000L)))
+    assert(out(("b", 2L)) === ((4L, 1000000L, 250000L, 250000L)))
+    assert(out(("a", 5L)) === ((1L, 500000L, 500000L, 750000L)))
+    // conservation: sum of final CIFs + S(end) = 1 (S snaps to 0 here)
+    assert(750000L + 250000L === 1000000L)
+  }
+
+  test("cumulativeIncidence: naive per-type KM would overstate; layout-proof") {
+    import spark.implicits._
+    // heavy competing type 'x' removes half the cohort at t=1: type
+    // 'y' incidence at t=2 must be scaled by S(1) = 1/2
+    val rows = (1 to 50).map(_ => (1L, Some("x"))) ++
+      (1 to 25).map(_ => (2L, Some("y"))) ++
+      (1 to 25).map(_ => (3L, Option.empty[String]))
+    val df = rows.toDF("d", "ev")
+    val out = Survival.cumulativeIncidence(df, col("d"), col("ev"))
+      .collect().map(r => r.getString(1) -> r.getLong(6)).toMap
+    assert(out("x") === 500000L)
+    // naive KM on y alone (x censored) would claim 25/50 = 50%; the
+    // correct CIF is S(1)*25/50 = 25%
+    assert(out("y") === 250000L)
+    val again = Survival.cumulativeIncidence(df.repartition(7),
+      col("d"), col("ev")).collect().map(_.toSeq).toSeq
+    assert(again === Survival.cumulativeIncidence(df, col("d"),
+      col("ev")).collect().map(_.toSeq).toSeq)
+  }
 }
