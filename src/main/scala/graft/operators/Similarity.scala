@@ -539,6 +539,62 @@ object Similarity {
 
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
+  /** Persisted-index STALENESS audit — the refresh-policy input every
+    * long-lived ANN index needs: an index built at corpus snapshot T
+    * silently degrades as new vectors arrive (they are simply absent
+    * from its buckets), and "when do we rebuild" should be a measured
+    * recall number, not a guess. For a bounded probe set, compares the
+    * persisted [[writeLshIndex]] search against brute-force exact
+    * top-k over the CURRENT corpus:
+    *
+    *   recall@k(stale)  vs  the share of each probe's true top-k that
+    *   even EXISTS in the index snapshot (`reachable_ppm` — the
+    *   structural ceiling: no bucket layout can return a vector it
+    *   never indexed)
+    *
+    * — when recall ≈ ceiling, the index is as good as its snapshot
+    * allows and the decision is purely about corpus growth; recall ≪
+    * ceiling means bucket drift on top of missing data.
+    *
+    * Scale posture: probes are a bounded set (the q30/q225 contract);
+    * exact truth is probes × corpus but bounded by |probes|; the index
+    * search is the partition-pruned [[searchLshIndex]] path.
+    *
+    * Output (one row): `n_probes`, `k`, `n_true`, `n_hit`,
+    * `recall_ppm`, `n_reachable`, `reachable_ppm` LONG.
+    */
+  def indexStaleness(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, corpus: DataFrame,
+                     queries: DataFrame, k: Int, bits: Int,
+                     dim: Int, nProbe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id").as("__true_id"))
+    val indexed = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("__ix_id")).distinct()
+    val got = searchLshIndex(spark, indexPath, queries, k, bits, dim,
+        nProbe)
+      .select(col("query_id").as("__gq"), col("vec_id").as("__got_id"))
+    exact
+      .join(indexed, col("__true_id") === col("__ix_id"), "left_outer")
+      .join(got, col("query_id") === col("__gq") &&
+        col("__true_id") === col("__got_id"), "left_outer")
+      .agg(
+        countDistinct(col("query_id")).as("n_probes"),
+        count(lit(1)).as("n_true"),
+        coalesce(sum(when(col("__got_id").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_hit"),
+        coalesce(sum(when(col("__ix_id").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_reachable"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0L, expr("(n_hit * 1000000L) DIV n_true")))
+      .withColumn("reachable_ppm",
+        when(col("n_true") > 0L,
+          expr("(n_reachable * 1000000L) DIV n_true")))
+      .select(col("n_probes"), col("k"), col("n_true"), col("n_hit"),
+        col("recall_ppm"), col("n_reachable"), col("reachable_ppm"))
+  }
+
   def lshBucketStats(corpus: DataFrame, bits: Int, dim: Int,
                      vecCol: String = "embedding"): DataFrame =
     corpus

@@ -11387,6 +11387,47 @@ object Probes {
            |FROM j ORDER BY event, t""".stripMargin)
   )
 
+  /** ANN index staleness (self-oracled like q225): index built on the
+    * even-id HALF of the corpus, recall measured against brute-force
+    * exact over the FULL corpus — the structural ceiling (only indexed
+    * vectors are returnable), the reachable band, and the recall floor
+    * gate the audit; DuckDB recomputes the probe counts. */
+  val indexStalenessProbe = Probe(
+    "q294_index_staleness",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val snapshot = emb.filter(col("vec_id") % 2 === 0)
+      val queries = emb.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bits = annBits(emb)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q294_stale_index"
+      Similarity.writeLshIndex(snapshot, dir, bits, dim = 64)
+      Similarity.indexStaleness(s, dir, emb, queries, k = 10,
+          bits = bits, dim = 64)
+        .select(col("n_probes"), col("k"), col("n_true"),
+          (col("n_hit") <= col("n_reachable")).as("ok_ceiling"),
+          (col("reachable_ppm") >= 350000L &&
+            col("reachable_ppm") <= 650000L).as("ok_reachable_band"),
+          (col("recall_ppm") >= 100000L).as("ok_recall_floor"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           |  CAST(10 AS BIGINT) AS k,
+           |  CAST(count(*) * 10 AS BIGINT) AS n_true,
+           |  true AS ok_ceiling, true AS ok_reachable_band,
+           |  true AS ok_recall_floor
+           |FROM embeddings WHERE vec_id % 17 = 0""".stripMargin),
+    benchRun = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bits = annBits(emb)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q294_stale_b"
+      Similarity.writeLshIndex(emb.filter(col("vec_id") % 2 === 0),
+        dir, bits, dim = 64)
+      Similarity.indexStaleness(s, dir, emb, queries, k = 10,
+        bits = bits, dim = 64)
+    })
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11457,7 +11498,8 @@ object Probes {
     captureRecaptureProbe, markovBacktestProbe, dispersionProbe,
     hellingerProbe, dedupEvalProbe, logStatsProbe,
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
-    mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe
+    mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
+    indexStalenessProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

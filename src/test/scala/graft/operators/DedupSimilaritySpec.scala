@@ -459,4 +459,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       col("p"), col("t")).collect().head
     assert(nr.toSeq === d.toSeq)
   }
+
+  test("indexStaleness: fresh index hits the ceiling; stale index is capped by reachability") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val freshDir = java.nio.file.Files.createTempDirectory("stale_f").toString
+    Similarity.writeLshIndex(emb, freshDir, bits = 4, dim = 16)
+    val fresh = Similarity.indexStaleness(spark, freshDir, emb, queries,
+      k = 5, bits = 4, dim = 16).collect().head
+    assert(fresh.getLong(6) === 1000000L, "full index: everything reachable")
+    assert(fresh.getLong(3) <= fresh.getLong(5)) // hits <= reachable
+    val staleDir = java.nio.file.Files.createTempDirectory("stale_s").toString
+    Similarity.writeLshIndex(emb.filter(col("vec_id") % 3 === 0),
+      staleDir, bits = 4, dim = 16)
+    val stale = Similarity.indexStaleness(spark, staleDir, emb, queries,
+      k = 5, bits = 4, dim = 16).collect().head
+    assert(stale.getLong(6) < 1000000L, "a third-size snapshot cannot reach everything")
+    assert(stale.getLong(4) <= stale.getLong(6),
+      "recall is capped by the structural ceiling")
+    assert(stale.getLong(4) <= fresh.getLong(4),
+      "staleness never improves recall")
+  }
 }
