@@ -569,8 +569,15 @@ object Similarity {
                      dim: Int, nProbe: Int = 4): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, k)
       .select(col("query_id"), col("vec_id").as("__true_id"))
-    val indexed = spark.read.parquet(indexPath)
-      .select(col("vec_id").as("__ix_id")).distinct()
+    // an EMPTY snapshot writes a partitioned dir with no part files —
+    // schema inference fails there, and the honest answer is "nothing
+    // is reachable" (the searchLshIndex empty-corpus precedent)
+    val indexed = (try spark.read.parquet(indexPath)
+        .select(col("vec_id").as("__ix_id"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).select(col("id").as("__ix_id"))
+      }).distinct()
     val got = searchLshIndex(spark, indexPath, queries, k, bits, dim,
         nProbe)
       .select(col("query_id").as("__gq"), col("vec_id").as("__got_id"))

@@ -290,4 +290,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("p_date"),
       s"expected a p_date partition filter in:\n$p")
   }
+
+  test("round-7 cells pair joins plan as equi joins, never NestedLoop (kendall, mann-kendall)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with broadcasts OFF the null-safe group key must still carry
+      // the join as SMJ/SHJ; the lexicographic dedup is a post filter
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = (0 until 300).map(i =>
+        (s"g${i % 3}", (i % 11).toLong, ((i * 7) % 13).toLong))
+        .toDF("g", "x", "y")
+      val pk = graft.operators.Profile.kendallTau(df, col("g"),
+        col("x"), col("y")).queryExecution.executedPlan.toString
+      assert(!pk.contains("NestedLoop") && !pk.contains("Cartesian"),
+        s"kendall pair join must stay equi:\n$pk")
+      val pm = graft.operators.TimeSeries.mannKendall(df, col("g"),
+        col("x"), col("y")).queryExecution.executedPlan.toString
+      assert(!pm.contains("NestedLoop") && !pm.contains("Cartesian"),
+        s"mann-kendall pair join must stay equi:\n$pm")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("markovBacktest broadcasts the states-sized model to the test stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      ((i % 20).toLong, (i / 20).toLong * 10, s"s${(i * 7) % 4}")
+    }.toDF("u", "t", "s")
+    val p = graft.operators.Analytics.markovBacktest(rows, col("u"),
+        col("t"), col("t"), col("s"), splitTsUs = 100L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastExchange"),
+      s"the model/baseline frames must broadcast, not shuffle the test stream:\n$p")
+  }
 }
