@@ -33,6 +33,8 @@ object Bench {
       // at bench scale the fixed task-scheduling overhead dominates
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -90,6 +92,29 @@ object Bench {
     val total = medians.map(_._2).filter(_ >= 0).sum
     def sec(v: Double): String = f"$v%.3f"
 
+    // Self-binding drift gate: BENCH_BUDGET.json freezes a known-good
+    // round's per-query medians; any query now above 2× its budget is
+    // flagged in the parsed line (n_over_budget), so regressions are
+    // machine-visible instead of hand-adjudicated each round. New
+    // queries without a budget entry are skipped (they get frozen when
+    // the budget file is next refreshed).
+    val budgets: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_BUDGET.json"))
+        val qsBlock = txt.substring(txt.indexOf("\"queries\""))
+        """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(qsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val overBudget = medians.filter { case (n, v) =>
+      v >= 0 && budgets.get(n).exists(b => v > 2.0 * b)
+    }
+    overBudget.foreach { case (n, v) =>
+      System.err.println(f"[bench] OVER BUDGET $n: $v%.3f s > 2x " +
+        f"${budgets(n)}%.3f s")
+    }
+
     // Full per-query line → file. The driver's log capture keeps only
     // the LAST ~2000 chars of output, and a 200+-query map overflows
     // it — so stdout gets a COMPACT line (headline total + the slowest
@@ -97,9 +122,14 @@ object Bench {
     // lands in BENCH_FULL.json next to the repo's round artifacts.
     val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    val overList = overBudget.map { case (k, v) =>
+      "\"" + k + "\":" + sec(v)
+    }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
-        s""""iters":$iters,"n_queries":${medians.size},"queries":$qsFull,""" +
+        s""""iters":$iters,"n_queries":${medians.size},""" +
+        s""""n_over_budget":${overBudget.size},""" +
+        s""""over_budget":$overList,"queries":$qsFull,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
@@ -116,7 +146,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
-        s""""n_failed":${failed.size},"queries":$qsCompact,""" +
+        s""""n_failed":${failed.size},"n_over_budget":${overBudget.size},""" +
+        s""""queries":$qsCompact,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""note":"queries = slowest 35 of ${medians.size}; full map in BENCH_FULL.json",""" +
         s""""sf":"$sfDir"}""")

@@ -22,6 +22,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // typed-Aggregator (udaf) partials run in ObjectHashAggregateExec,
+      // whose default sort-based fallback triggers at 128 distinct keys —
+      // far below any real group count, silently turning a hash partial
+      // into a full sort of the input stream; lift it so bounded-buffer
+      // aggregates (bottom-k sketches, centroids) stay hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -42,6 +42,11 @@ object Bloom {
     * `new Column(expr)`; the session FunctionRegistry is the seam). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering per call floods logs with
+    // "SimpleFunctionRegistry ... replaced a previously registered
+    // function" warnings (one per query in a bench run)
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg"))) return
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")

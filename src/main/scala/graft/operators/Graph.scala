@@ -644,14 +644,17 @@ object Graph {
     * pairs but only 10⁵·k sketch rows).
     *
     * Construction uses KMV mergeability: each node's 1-hop sketch is
-    * the bottom-k of its neighbors' hashes (WindowGroupLimit — map
-    * tasks ship ≤ k hashes per node, never the neighbor set); the
-    * 2-hop sketch is the bottom-k of the UNION of the 1-hop sketches
-    * of its neighbors plus its own — valid because the bottom-k of a
-    * union of bottom-k sketches is the bottom-k of the union. The
-    * self hash is filtered out of the candidate stream BEFORE the
-    * final truncation (exact removal, mirroring twoHopReach's
-    * `u ≠ v`), and the stream is deduped so the sketch sees a set.
+    * the bottom-k of its neighbors' hashes; the 2-hop sketch is the
+    * bottom-k of the UNION of the 1-hop sketches of its neighbors plus
+    * its own — valid because the bottom-k of a union of bottom-k
+    * sketches is the bottom-k of the union. Each sketch is built by
+    * ONE mergeable [[graft.functions.Aggregators.bottomKDistinct]]
+    * aggregate whose bounded sorted-distinct buffer prunes duplicates
+    * and above-k values together map-side — one shuffle carrying ≤k-
+    * long arrays, replacing the former `distinct()` + `topKPerKey`
+    * double shuffle over the raw candidate stream. The self hash is
+    * filtered out of the candidate stream BEFORE the final truncation
+    * (exact removal, mirroring twoHopReach's `u ≠ v`).
     *
     * Exactness/error contract: a node whose candidate set fits in the
     * sketch (`n_sig < k`) gets the EXACT reach; a truncated node gets
@@ -675,27 +678,28 @@ object Graph {
     // flipped hash: unsigned order as signed (the Sketches convention)
     def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       xxhash64(c).bitwiseXOR(lit(Long.MinValue))
+    val bk = graft.functions.Aggregators.bottomKDistinct(k)
     val nbHash = adj.select(col("u"), fh(col("v")).as("__h"))
-    val nbSketch = Relational.topKPerKey(nbHash, Seq("u"), k,
-      Seq(col("__h").asc)).select(col("u"), col("__h"))
-    // ship each mid-node's 1-hop sketch to its neighbors: Σ deg·k rows
-    val twoHash = adj.select(col("u"), col("v").as("__mid"))
-      .join(nbSketch.select(col("u").as("__mid"), col("__h")), "__mid")
-      .select(col("u"), col("__h"))
-    // distinct FIRST, then the rank window — measured as the right
-    // order for this dup-heavy stream: a dense_rank bottom-k-distinct
-    // ([[Relational.bottomKDistinctPerKey]]) was tried in round 6 and
-    // ran ~9× SLOWER at sf0.1, because in a dense graph the same small
-    // hashes recur hundreds of times per node, so the WindowGroupLimit
-    // partial keeps ALL their copies (pruning ~nothing) while adding a
-    // per-map sort the hash-based distinct never pays
-    val candidates = nbHash.unionAll(twoHash)
-      .filter(col("__h") =!= fh(col("u"))) // self never counts
-      .distinct()
-    val sketch = Relational.topKPerKey(candidates, Seq("u"), k,
-        Seq(col("__h").asc))
-      .groupBy(col("u"))
-      .agg(sort_array(collect_list(col("__h"))).as("__sig"))
+    val nbSig = nbHash.groupBy(col("u")).agg(bk(col("__h")).as("__sig"))
+    // ship each mid-node's 1-hop sketch to its neighbors as ONE array
+    // row per edge (explode after the join, inside the same stage), so
+    // the join exchange moves Σ deg rows of ≤k-long arrays, not Σ deg·k
+    // scalar rows
+    val bkm = graft.functions.Aggregators.bottomKDistinctMerge(k)
+    val twoSets = adj.select(col("u"), col("v").as("__mid"))
+      .join(nbSig.select(col("u").as("__mid"), col("__sig")), "__mid")
+      .select(col("u"), col("__sig"))
+    // ONE mergeable bottom-k set-union aggregate replaces the former
+    // distinct()+topKPerKey double shuffle: whole sketches merge as
+    // single array rows (one linear merge per edge), and duplicates
+    // are pruned inside the bounded sorted buffer map-side — what the
+    // dense_rank attempt (PLANS.md round-6, ~9× SLOWER) could not do;
+    // its WindowGroupLimit partial kept every copy of a surviving hash
+    val sketch = nbHash.select(col("u"), array(col("__h")).as("__sig"))
+      .unionAll(twoSets)
+      .select(col("u"),
+        array_remove(col("__sig"), fh(col("u"))).as("__sig")) // no self
+      .groupBy(col("u")).agg(bkm(col("__sig")).as("__sig"))
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     deg.join(sketch.select(col("u").as("node"), col("__sig")), "node")
       .select(col("node"), col("deg"), size(col("__sig")).as("n_sig"),
@@ -716,14 +720,18 @@ object Graph {
     * Recurrence (per round, all relational):
     *   S₁(v) = bottom-k of neighbor hashes;
     *   Sₜ₊₁(v) = bottom-k(Sₜ(v) ∪ ⋃_{u∈N(v)} Sₜ(u)) minus h(v)
-    * — each round is ONE adjacency equi-join shipping ≤ k hashes per
-    * edge (O(edges·k) rows, never Σ degᵗ path materialization), a
-    * union, and a per-node [[Relational.topKPerKey]] (WindowGroupLimit
-    * caps rows below the exchange). Lineage cut per round
-    * (localCheckpoint), driver state none. KMV over HLL here for one
-    * reason: bottom-k unions are EXACT while the set fits (n_sig < k
-    * ⇒ exact reach, gate-able), where HLL is approximate from the
-    * first element.
+    * — each round is ONE adjacency equi-join shipping each node's
+    * sketch as a single ≤k-long ARRAY row per edge (O(edges) shuffled
+    * rows, O(edges·k) values, never Σ degᵗ path materialization), then
+    * ONE mergeable [[graft.functions.Aggregators.bottomKDistinct]]
+    * aggregate whose bounded sorted-distinct buffer prunes duplicates
+    * and above-k values together map-side (replacing the former
+    * `distinct()` + `topKPerKey` double shuffle; the snapshot is a
+    * free projection of the array, not another groupBy). Lineage cut
+    * per round (localCheckpoint), driver state none. KMV over HLL here
+    * for one reason: bottom-k unions are EXACT while the set fits
+    * (n_sig < k ⇒ exact reach, gate-able), where HLL is approximate
+    * from the first element.
     *
     * Same exactness/error contract as [[twoHopReachKmv]]: n_sig < k ⇒
     * exact; truncated ⇒ (k−1)/frac(kth), se ≈ 1/√(k−2). Deterministic
@@ -746,42 +754,41 @@ object Graph {
       .localCheckpoint(true)
     def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       xxhash64(c).bitwiseXOR(lit(Long.MinValue))
-    def snapshot(sk: DataFrame, hop: Int): DataFrame = sk
-      .groupBy(col("u").as("node"))
-      .agg(sort_array(collect_list(col("__h"))).as("__sig"))
-      .select(col("node"), lit(hop).as("hop"),
+    val bk = graft.functions.Aggregators.bottomKDistinct(k)
+    // the sketch lives as ONE sorted-array row per node; the snapshot
+    // is a free projection of it (no extra groupBy)
+    def snapshot(sig: DataFrame, hop: Int): DataFrame = sig
+      .select(col("u").as("node"), lit(hop).as("hop"),
         size(col("__sig")).as("n_sig"),
         Sketches.kmvDistinctEst(col("__sig"), k).as("reach_est"))
-    // EXPLICIT repartitions pin the partition count through the
-    // CPU-heavy union→distinct→rank cascade: the rows are tiny (two
-    // longs), so a byte-targeted AQE advisory folds these shuffles onto
-    // a couple of cores — the triangles lesson; measured on the bench
-    // session's 64 MB advisory at sf0.1: 85.6 s median before the
-    // guard, 21.3 s cold / 10.5 s warm after. A user-specified
-    // repartition is never re-coalesced.
-    val par = edges.sparkSession.sparkContext.defaultParallelism
-    var sketch = Relational.topKPerKey(
-        adj.select(col("u"), fh(col("v")).as("__h"))
-          .repartition(par, col("u")), Seq("u"), k,
-        Seq(col("__h").asc))
-      .select(col("u"), col("__h")).localCheckpoint(true)
-    val hops = scala.collection.mutable.ArrayBuffer(snapshot(sketch, 1))
+    // Each round is one array-shipping equi-join + ONE mergeable
+    // bottomKDistinct aggregate: the bounded sorted buffer dedups and
+    // truncates map-side, so the former union→distinct→rank cascade —
+    // the CPU-heavy tiny-row stage that needed explicit repartition
+    // pins against AQE coalescing (PLANS.md: 85.6 s before the pins) —
+    // no longer exists. Measured at sf0.1: 21.0 s cold / 10.3 s warm
+    // (pinned cascade) → 7.2 s cold / 3.4 s warm (this shape).
+    val bkm = graft.functions.Aggregators.bottomKDistinctMerge(k)
+    var sig = adj.select(col("u"), fh(col("v")).as("__h"))
+      .groupBy(col("u")).agg(bk(col("__h")).as("__sig"))
+      .localCheckpoint(true)
+    val hops = scala.collection.mutable.ArrayBuffer(snapshot(sig, 1))
     var t = 2
     while (t <= maxHops) {
+      // whole sketches flow as single array rows into the set-merge
+      // aggregate — one reduce per edge, not one per hash; the self
+      // hash is removed from each candidate array BEFORE any merge
+      // (identical to the former per-row filter: exact removal ahead
+      // of truncation)
       val shipped = adj.select(col("u"), col("v").as("__mid"))
-        .repartition(par, col("__mid"))
-        .join(sketch.select(col("u").as("__mid"), col("__h"))
-          .repartition(par, col("__mid")), "__mid")
-        .select(col("u"), col("__h"))
-      val cand = sketch.unionAll(shipped)
-        .filter(col("__h") =!= fh(col("u"))) // the ball excludes self
-        .repartition(par, col("u"), col("__h"))
-        .distinct() // dedup FIRST — see twoHopReachKmv's measured note
-      sketch = Relational.topKPerKey(
-          cand.repartition(par, col("u")), Seq("u"), k,
-          Seq(col("__h").asc))
-        .select(col("u"), col("__h")).localCheckpoint(true)
-      hops += snapshot(sketch, t)
+        .join(sig.select(col("u").as("__mid"), col("__sig")), "__mid")
+        .select(col("u"), col("__sig"))
+      sig = sig.select(col("u"), col("__sig")).unionAll(shipped)
+        .select(col("u"),
+          array_remove(col("__sig"), fh(col("u"))).as("__sig"))
+        .groupBy(col("u")).agg(bkm(col("__sig")).as("__sig"))
+        .localCheckpoint(true)
+      hops += snapshot(sig, t)
       t += 1
     }
     hops.reduce(_ unionByName _).orderBy("node", "hop")

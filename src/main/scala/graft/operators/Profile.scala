@@ -1187,33 +1187,6 @@ object Profile {
       .orderBy(col("group").asc)
   }
 
-  /** Kendall's τ-b per group — concordance-based rank association, the
-    * third leg of the correlation triad (Pearson q111 reads magnitudes,
-    * Spearman q260 reads ranks; τ reads PAIR ORDERINGS, so it is the one
-    * with a direct probabilistic meaning: P(concordant) − P(discordant),
-    * tie-adjusted). The robust choice when the series are short and
-    * tie-heavy — exactly the per-key daily-rollup frames it is meant for.
-    *
-    * Every count is exact: pairs are enumerated on the (x, y) CELLS
-    * frame (V distinct cells → V² cell pairs weighted by c₁·c₂ — rows
-    * never pair), tie terms n₁ = Σ t(t−1)/2 come straight from the x/y
-    * MARGINAL counts (no pair join at all), and
-    *
-    *   τ_b = (C − D) / (√(n₀−n₁) · √(n₀−n₂)),   n₀ = n(n−1)/2
-    *
-    * is ONE pinned IEEE sequence over BIGINT-published integers
-    * ([[spearman]]'s posture), NULL when either axis is constant.
-    *
-    * Scale posture: the cell pair join is EQUI on the null-safe group
-    * key (a NULL group is a real slice) with the lexicographic (x, y)
-    * dedup as a post-join filter — SortMergeJoin, never NestedLoop; cost
-    * is Σ V_g² per group, so feed SERIES-SIZED frames (daily/hourly
-    * rollups — the [[TimeSeries.changepoint]] contract), not raw rows:
-    * quantize first if V_g is unbounded.
-    *
-    * Output: `group`, `n`, `conc`, `disc`, `tie_x`, `tie_y` LONG,
-    * `tau` DOUBLE-or-NULL — total order by group.
-    */
   /** Index of dispersion per group — variance-to-mean ratio of count
     * data, the overdispersion screen in front of any Poisson-ish
     * assumption ("events per user per day are NOT Poisson when D ≫ 1"
@@ -1350,8 +1323,12 @@ object Profile {
     * (h, keys)-sized totals frame, never rows; the full top-k set
     * (≤ k rows) broadcasts back. Cost = H× one aggregation pass.
     *
-    * Output (one row per half): `half`, `n_rows`, `overlap`,
-    * `overlap_ppm` LONG — total order by half.
+    * Output (one row per half — an empty seeded subset still emits its
+    * row with `n_rows` = 0): `half`, `n_rows`, `overlap`,
+    * `overlap_ppm` LONG — total order by half. The ppm denominator is
+    * least(k, |full top|): on a corpus with fewer than k distinct keys
+    * a perfectly stable ranking still reads 10⁶, never a fake deficit;
+    * NULL when the corpus is empty (no full top to overlap with).
     */
   def topkStability(df: DataFrame, id: Column, key: Column,
                     value: Column, k: Int, halves: Int,
@@ -1382,13 +1359,26 @@ object Profile {
     val halfTops = topOf(perHalf, Seq(col("half")))
     val rows = halved.groupBy(col("half"))
       .agg(count(lit(1)).as("n_rows"))
-    halfTops
+    val overlaps = halfTops
       .join(broadcast(fullTop), col("__k") === col("__fk"), "left_semi")
       .groupBy(col("half")).agg(count(lit(1)).as("overlap"))
-      .join(rows, Seq("half"), "right_outer")
+    // the full top has ≤ k rows, so least(k, |fullTop|) is the honest
+    // ppm denominator (a corpus with < k distinct keys would otherwise
+    // cap a perfectly stable ranking below 10⁶); one broadcast row
+    val kEff = fullTop.agg(count(lit(1)).as("__keff"))
+    // anchor on the exploded 0..halves-1 frame, not on the per-half
+    // rows: an empty seeded subset must still emit its row (n_rows 0)
+    val allHalves = base.sparkSession.range(halves.toLong)
+      .select(col("id").cast("int").as("half"))
+    allHalves
+      .join(rows, Seq("half"), "left")
+      .join(overlaps, Seq("half"), "left")
+      .crossJoin(broadcast(kEff))
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
       .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
       .withColumn("overlap_ppm",
-        expr(s"(overlap * 1000000L) DIV ${k}L"))
+        when(col("__keff") > 0L, expr(
+          s"(overlap * 1000000L) DIV least(${k}L, __keff)")))
       .select(col("half").cast("long").as("half"), col("n_rows"),
         col("overlap"), col("overlap_ppm"))
       .orderBy(col("half"))
@@ -1492,6 +1482,33 @@ object Profile {
         col("bc_num_nano"), col("bc_ppm"), col("h2_ppm"))
   }
 
+  /** Kendall's τ-b per group — concordance-based rank association, the
+    * third leg of the correlation triad (Pearson q111 reads magnitudes,
+    * Spearman q260 reads ranks; τ reads PAIR ORDERINGS, so it is the one
+    * with a direct probabilistic meaning: P(concordant) − P(discordant),
+    * tie-adjusted). The robust choice when the series are short and
+    * tie-heavy — exactly the per-key daily-rollup frames it is meant for.
+    *
+    * Every count is exact: pairs are enumerated on the (x, y) CELLS
+    * frame (V distinct cells → V² cell pairs weighted by c₁·c₂ — rows
+    * never pair), tie terms n₁ = Σ t(t−1)/2 come straight from the x/y
+    * MARGINAL counts (no pair join at all), and
+    *
+    *   τ_b = (C − D) / (√(n₀−n₁) · √(n₀−n₂)),   n₀ = n(n−1)/2
+    *
+    * is ONE pinned IEEE sequence over BIGINT-published integers
+    * ([[spearman]]'s posture), NULL when either axis is constant.
+    *
+    * Scale posture: the cell pair join is EQUI on the null-safe group
+    * key (a NULL group is a real slice) with the lexicographic (x, y)
+    * dedup as a post-join filter — SortMergeJoin, never NestedLoop; cost
+    * is Σ V_g² per group, so feed SERIES-SIZED frames (daily/hourly
+    * rollups — the [[TimeSeries.changepoint]] contract), not raw rows:
+    * quantize first if V_g is unbounded.
+    *
+    * Output: `group`, `n`, `conc`, `disc`, `tie_x`, `tie_y` LONG,
+    * `tau` DOUBLE-or-NULL — total order by group.
+    */
   def kendallTau(df: DataFrame, group: Column, x: Column,
                  y: Column): DataFrame = {
     val base = df.select(group.cast("string").as("group"),

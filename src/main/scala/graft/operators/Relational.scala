@@ -446,7 +446,13 @@ object Relational {
     * `bucketUs` near the typical span so the explode is O(1) per
     * interval; the join is a plain shuffled equi-join on (key, bucket),
     * so AQE's skew-join split handles hot buckets. Malformed intervals
-    * (null bounds, end < start) are dropped, never clamped. Touching
+    * (null bounds, end < start) are dropped, never clamped — and so is
+    * any interval spanning more than `maxSpanBuckets` buckets: a single
+    * ordered-but-absurd row (a sentinel end timestamp against an hourly
+    * bucket) would otherwise explode into up to 2³¹ bucket rows and
+    * take the stage down; such rows are dropped by the same visible
+    * pre-explode filter, and callers with genuinely long intervals
+    * raise `bucketUs` (or `maxSpanBuckets`) instead. Touching
     * intervals (l_end = r_start) DO match, with `overlap_us` 0 — closed
     * intervals; callers wanting open semantics filter `overlap_us > 0`.
     *
@@ -457,15 +463,21 @@ object Relational {
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lKey: Column, lId: Column, lStart: Column, lEnd: Column,
                   rKey: Column, rId: Column, rStart: Column, rEnd: Column,
-                  bucketUs: Long): DataFrame = {
+                  bucketUs: Long, maxSpanBuckets: Long = 65536L): DataFrame = {
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
+    require(maxSpanBuckets > 0L,
+      s"maxSpanBuckets must be positive, got $maxSpanBuckets")
     def side(df: DataFrame, k: Column, id: Column, s: Column, e: Column,
              p: String): DataFrame =
       df.select(k.cast("long").as(s"${p}k"), id.cast("long").as(s"${p}id"),
           s.cast("long").as(s"${p}s"), e.cast("long").as(s"${p}e"))
         .filter(col(s"${p}k").isNotNull && col(s"${p}id").isNotNull &&
           col(s"${p}s").isNotNull && col(s"${p}e").isNotNull &&
-          col(s"${p}e") >= col(s"${p}s"))
+          col(s"${p}e") >= col(s"${p}s") &&
+          // span guard BEFORE the explode: a sentinel-wide interval
+          // must never fan out the stage
+          expr(s"${p}e DIV ${bucketUs}L - ${p}s DIV ${bucketUs}L")
+            < maxSpanBuckets)
         .withColumn("__b", explode(sequence(
           expr(s"${p}s DIV ${bucketUs}L"), expr(s"${p}e DIV ${bucketUs}L"))))
     val l = side(left, lKey, lId, lStart, lEnd, "__l")

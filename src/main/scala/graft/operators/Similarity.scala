@@ -461,6 +461,247 @@ object Similarity {
     rerank(cb.join(broadcast(qb), "__cell"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** Per-cell residual PQ codebooks — the quantizer half of the
+    * composed IVF-PQ index (Jégou et al., the standard 100 TB ANN
+    * layout): coarse IVF cells bound the scan, and inside each cell the
+    * vectors compress to m residual codes against that CELL's own
+    * codebooks, so the in-cell candidate scan is an O(m) table walk
+    * over codes that fit in cluster RAM — the raw vectors are touched
+    * only by the exact re-rank of the shortlist.
+    *
+    * Training follows the bounded-sample recipe of [[ivfCentroids]] /
+    * [[pqCodebooks]] (deterministic lowest-id sample, driver-local
+    * Lloyd's, flat cost in corpus size): each sample vector is assigned
+    * its coarse cell with EXACTLY the raw-space L2 argmin the encode
+    * expression uses, residuals are normalized(v) − centroid[cell], and
+    * each cell with ≥ kCodes sample residuals trains per-subspace
+    * codebooks (seeded per (cell, subspace)); thinner cells keep zero
+    * codebooks — their ADC scores collapse to the cell base term and
+    * the exact re-rank still orders them correctly (the library-wide
+    * ANN contract: approximation bounds recall, never fabricates
+    * similarity). Driver state: nCells·m·kCodes·(dim/m) doubles —
+    * bounded by the model configuration, never the corpus.
+    *
+    * Returns flat [nCells][m][kCodes][dim/m]. */
+  def ivfPqCodebooks(corpus: DataFrame, nCells: Int, dim: Int, m: Int,
+                     kCodes: Int, centroids: Array[Double],
+                     vecCol: String = "embedding", seed: Long = 42L,
+                     maxSample: Int = 4096,
+                     idCol: String = "vec_id"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(centroids.length == nCells * dim,
+      s"centroid array length ${centroids.length} != nCells*dim ${nCells * dim}")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col(idCol))
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    def cellOf(v: Array[Double]): Int = {
+      var bestC = -1; var bestD = Double.MaxValue; var c = 0
+      while (c < nCells) {
+        var s = 0.0; var j = 0; val off = c * dim
+        while (j < dim) { val d = v(j) - centroids(off + j); s += d * d; j += 1 }
+        if (bestC < 0 || s < bestD) { bestD = s; bestC = c }
+        c += 1
+      }
+      bestC
+    }
+    val residualsByCell = new Array[scala.collection.mutable.ArrayBuffer[Array[Double]]](nCells)
+    var i = 0
+    while (i < nCells) {
+      residualsByCell(i) = scala.collection.mutable.ArrayBuffer.empty
+      i += 1
+    }
+    sample.foreach { v =>
+      val cell = cellOf(v)
+      var n2 = 0.0; var j = 0
+      while (j < dim) { n2 += v(j) * v(j); j += 1 }
+      val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+      val r = new Array[Double](dim)
+      j = 0
+      while (j < dim) { r(j) = v(j) * inv - centroids(cell * dim + j); j += 1 }
+      residualsByCell(cell) += r
+    }
+    val out = new Array[Double](nCells * m * kCodes * dsub)
+    var cell = 0
+    while (cell < nCells) {
+      val rs = residualsByCell(cell).toArray
+      if (rs.length >= kCodes) {
+        var j = 0
+        while (j < m) {
+          val sub = rs.map(_.slice(j * dsub, (j + 1) * dsub))
+          val centers = lloyds(sub, kCodes, seed + cell.toLong * 31 + j)
+          var c = 0
+          while (c < kCodes) {
+            System.arraycopy(centers(c), 0, out,
+              (cell * m * kCodes + j * kCodes + c) * dsub, dsub)
+            c += 1
+          }
+          j += 1
+        }
+      }
+      cell += 1
+    }
+    out
+  }
+
+  /** IVF-PQ ANN top-k, in-memory: coarse cells prune the candidate set
+    * (only probed cells join), per-cell residual ADC picks the
+    * shortlist, exact cosine re-ranks it. Candidate estimates carry the
+    * cell base term (q̂·centroid), so scores are comparable ACROSS
+    * probed cells — the composed index never ranks cell-locally.
+    * Emitted `sim` values are TRUE cosines (the ANN-tier contract). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+                nProbe: Int, m: Int, kCodes: Int, dim: Int,
+                centroids: Array[Double], codebooks: Array[Double],
+                shortlist: Int = 32, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val spark = corpus.sparkSession
+    val enc = corpus.select(col(idCol), col(vecCol),
+        HashExprs.ivfPqEncode(spark, col(vecCol), centroids, codebooks,
+          nCells, m, kCodes, dim).as("__enc"))
+      .select(col(idCol), col(vecCol),
+        element_at(col("__enc"), 1).as("__cell"),
+        slice(col("__enc"), 2, m).as("__codes"))
+    val qb = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__cell",
+        explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids,
+          nCells, dim, nProbe)))
+      .withColumn("__table",
+        HashExprs.ivfPqTable(spark, col("__q_vec"), col("__cell"),
+          centroids, codebooks, m, kCodes, dim))
+    shortlistAndRerank(enc, qb, k, m, kCodes, shortlist, idCol, vecCol,
+      queryIdCol)
+  }
+
+  /** Shared IVF-PQ scoring tail: ADC estimate (base term + table walk)
+    * per candidate in a probed cell, per-query top-`shortlist`
+    * (WindowGroupLimit), exact-cosine re-rank of the survivors. */
+  private def shortlistAndRerank(enc: DataFrame, qb: DataFrame, k: Int,
+                                 m: Int, kCodes: Int, shortlist: Int,
+                                 idCol: String, vecCol: String,
+                                 queryIdCol: String): DataFrame = {
+    val spark = enc.sparkSession
+    val wAdc = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__est").desc, col(idCol).asc)
+    val short = enc.join(broadcast(qb), "__cell")
+      .withColumn("__est",
+        HashExprs.adcScore(spark, col("__codes"), col("__table"), kCodes) +
+          element_at(col("__table"), m * kCodes + 1))
+      .filter(col(idCol) =!= col(queryIdCol))
+      .withColumn("__arnk", row_number().over(wAdc))
+      .filter(col("__arnk") <= shortlist)
+      .select(col(idCol), col(vecCol), col(queryIdCol), col("__q_vec"))
+    rerank(short, k, idCol, queryIdCol, vecCol)
+  }
+
+  /** Persist an IVF-PQ index as a CELL-PARTITIONED parquet table — the
+    * composed layout [[writeIvfIndex]]'s scaladoc queues: probed-cell
+    * partition pruning bounds the scan I/O, and within each cell the
+    * ADC scan reads ONLY the (id, codes) columns (column pruning), so
+    * the per-query candidate pass touches m ints per vector; the raw
+    * embedding column is read just for the shortlist re-rank join. The
+    * fitted model (centroids + per-cell codebooks) persists alongside
+    * under `__model` — an underscore directory, hidden from the
+    * partitioned data listing but directly readable, so the index is
+    * SELF-CONTAINED: any session can search it from the path alone.
+    * Same static-overwrite posture as [[writeIvfIndex]]: an index write
+    * is a full rebuild. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nCells: Int,
+                      dim: Int, m: Int, kCodes: Int,
+                      centroids: Array[Double], codebooks: Array[Double],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    corpus
+      .select(col(idCol), col(vecCol),
+        HashExprs.ivfPqEncode(spark, col(vecCol), centroids, codebooks,
+          nCells, m, kCodes, dim).as("__enc"))
+      .select(col(idCol), col(vecCol),
+        element_at(col("__enc"), 1).as("__cell"),
+        slice(col("__enc"), 2, m).as("__codes"))
+      .repartition(col("__cell"))
+      .write
+      .partitionBy("__cell")
+      .mode("overwrite")
+      .parquet(path)
+    import spark.implicits._
+    Seq((nCells, dim, m, kCodes, centroids.toSeq, codebooks.toSeq))
+      .toDF("n_cells", "dim", "m", "k_codes", "centroids", "codebooks")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/__model")
+  }
+
+  /** ANN search against a persisted IVF-PQ index: load the model row,
+    * compute each query's probed cells, read ONLY those partitions
+    * (static partition filter), residual-ADC shortlist, exact re-rank.
+    * Bit-identical to [[ivfPqTopK]] on the same corpus/model — the
+    * persisted path changes where candidates are READ, never how they
+    * are scored. Missing-path / empty-snapshot discipline follows
+    * [[searchLshIndex]]. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, k: Int,
+                       nProbe: Int, shortlist: Int = 32,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       queryIdCol: String = "query_id"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(root.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(root), s"IVF-PQ index path does not exist: $path")
+    val model = spark.read.parquet(s"$path/__model").collect().head
+    val nCells = model.getAs[Int]("n_cells")
+    val dim = model.getAs[Int]("dim")
+    val m = model.getAs[Int]("m")
+    val kCodes = model.getAs[Int]("k_codes")
+    val centroids = model.getSeq[Double](model.fieldIndex("centroids")).toArray
+    val codebooks = model.getSeq[Double](model.fieldIndex("codebooks")).toArray
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    // evaluate the (tiny, by contract) query side ONCE — the collect
+    // feeds both the partition predicate and the join (searchIvfIndex's
+    // nondeterminism discipline)
+    val qRows = queries
+      .select(col(queryIdCol), col(vecCol).as("__q_vec"))
+      .withColumn("__cell",
+        explode(HashExprs.nearestCells(spark, col("__q_vec"), centroids,
+          nCells, dim, nProbe)))
+      .collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol,
+        queries.schema(queryIdCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__q_vec",
+        queries.schema(vecCol).dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val qb = spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), qSchema)
+      .withColumn("__table",
+        HashExprs.ivfPqTable(spark, col("__q_vec"), col("__cell"),
+          centroids, codebooks, m, kCodes, dim))
+    val probedCells = qRows.map(_.getAs[Number]("__cell").longValue()).distinct
+    if (!graft.sources.FsUtil.hasData(spark, path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(queryIdCol,
+            queries.schema(queryIdCol).dataType),
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType))))
+    val enc = spark.read.parquet(path)
+      .where(col("__cell").isin(probedCells.map(c => lit(c)): _*))
+    shortlistAndRerank(enc, broadcast(qb), k, m, kCodes, shortlist,
+      idCol, vecCol, queryIdCol)
+  }
+
   /** Persist an SRP-LSH index as a BUCKET-PARTITIONED parquet table —
     * [[writeIvfIndex]]'s sibling for the hyperplane family: each vector
     * stored under its sign-pattern bucket directory, so a search batch
@@ -515,24 +756,27 @@ object Similarity {
     val probed = qRows.map(_.getAs[Number]("__bucket").longValue()).distinct
     // an EMPTY corpus writes a partitioned dir with no part files, which
     // parquet cannot infer a schema from — the honest result there is an
-    // empty top-k frame (LONG ids, the library-wide vector-id contract),
-    // not a schema-inference crash
-    val cb =
-      try spark.read.parquet(path)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField(queryIdCol,
-                queries.schema(queryIdCol).dataType),
-              org.apache.spark.sql.types.StructField(idCol,
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("sim",
-                org.apache.spark.sql.types.DoubleType),
-              org.apache.spark.sql.types.StructField("rank",
-                org.apache.spark.sql.types.IntegerType))))
-      }
+    // empty top-k frame (LONG ids, the library-wide vector-id contract).
+    // ONLY that case maps to empty: a missing/mistyped path fails
+    // loudly (it is an operator error, not an empty snapshot), and any
+    // other read failure propagates — catching every AnalysisException
+    // here would make a broken index indistinguishable from an empty one
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(root.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(root), s"LSH index path does not exist: $path")
+    if (!graft.sources.FsUtil.hasData(spark, path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(queryIdCol,
+            queries.schema(queryIdCol).dataType),
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType))))
+    val cb = spark.read.parquet(path)
     rerank(cb.where(col("__bucket").isin(probed.map(b => lit(b)): _*))
       .join(broadcast(qb), "__bucket"), k, idCol, queryIdCol, vecCol)
   }
@@ -570,14 +814,16 @@ object Similarity {
     val exact = bruteForceTopK(corpus, queries, k)
       .select(col("query_id"), col("vec_id").as("__true_id"))
     // an EMPTY snapshot writes a partitioned dir with no part files —
-    // schema inference fails there, and the honest answer is "nothing
-    // is reachable" (the searchLshIndex empty-corpus precedent)
-    val indexed = (try spark.read.parquet(indexPath)
-        .select(col("vec_id").as("__ix_id"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.range(0).select(col("id").as("__ix_id"))
-      }).distinct()
+    // only THAT maps to "nothing is reachable" (the searchLshIndex
+    // empty-corpus precedent). A missing/mistyped path fails loudly
+    // instead of silently auditing as n_reachable=0, and any other
+    // read failure propagates
+    val ixRoot = new org.apache.hadoop.fs.Path(indexPath)
+    require(ixRoot.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(ixRoot), s"LSH index path does not exist: $indexPath")
+    val indexed = (if (graft.sources.FsUtil.hasData(spark, indexPath))
+        spark.read.parquet(indexPath).select(col("vec_id").as("__ix_id"))
+      else spark.range(0).select(col("id").as("__ix_id"))).distinct()
     val got = searchLshIndex(spark, indexPath, queries, k, bits, dim,
         nProbe)
       .select(col("query_id").as("__gq"), col("vec_id").as("__got_id"))

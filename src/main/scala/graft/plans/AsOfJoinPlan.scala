@@ -222,9 +222,14 @@ object AsOf {
 
   def marker(l: Column, r: Column): Column = call_function("graft_asof", l, r)
 
-  def registerMarker(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_asof", exprs => AsOfMarker(exprs.head, exprs(1)), "built-in")
+  def registerMarker(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent — see HashExprs.ensureRegistered
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_asof")))
+      reg.createOrReplaceTempFunction(
+        "graft_asof", exprs => AsOfMarker(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Install rule + strategy on an EXISTING session (extensions normally
     * inject them at build time via GraftExtensions). Idempotent. */

@@ -89,7 +89,12 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
 
 object FuzzyExprs {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    // idempotent — see HashExprs.ensureRegistered
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler")))
+      return
+    reg.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
   def jaroWinkler(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {

@@ -95,6 +95,11 @@ case class LuhnValid(child: Expression) extends UnaryExpression {
 object SignalExprs {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering per call floods logs with
+    // "SimpleFunctionRegistry ... replaced a previously registered
+    // function" warnings (one per query in a bench run)
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_deflate_len"))) return
     reg.createOrReplaceTempFunction("graft_deflate_len",
       exprs => DeflateLen(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")

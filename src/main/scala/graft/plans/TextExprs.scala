@@ -481,6 +481,11 @@ object TextExprs {
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering per call floods logs with
+    // "SimpleFunctionRegistry ... replaced a previously registered
+    // function" warnings (one per query in a bench run)
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_stats"))) return
     reg.createOrReplaceTempFunction("graft_token_stats",
       exprs => TokenStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition",

@@ -10964,12 +10964,16 @@ object Probes {
            |rows_ AS (SELECT half, CAST(count(*) AS BIGINT) AS n_rows
            |  FROM h GROUP BY 1),
            |ov AS (SELECT half, CAST(count(*) AS BIGINT) AS overlap
-           |  FROM ht WHERE k IN (SELECT k FROM ft) GROUP BY 1)
-           |SELECT CAST(rows_.half AS BIGINT) AS half, rows_.n_rows,
+           |  FROM ht WHERE k IN (SELECT k FROM ft) GROUP BY 1),
+           |keff AS (SELECT CAST(count(*) AS BIGINT) AS ke FROM ft)
+           |SELECT CAST(hh.half AS BIGINT) AS half,
+           |  coalesce(rows_.n_rows, 0) AS n_rows,
            |  coalesce(ov.overlap, 0) AS overlap,
-           |  CAST((coalesce(ov.overlap, 0) * 1000000) // 20 AS BIGINT)
-           |    AS overlap_ppm
-           |FROM rows_ LEFT JOIN ov ON rows_.half = ov.half
+           |  CASE WHEN ke > 0 THEN CAST((coalesce(ov.overlap, 0)
+           |    * 1000000) // least(20, ke) AS BIGINT) END AS overlap_ppm
+           |FROM range(0, 4) AS hh(half)
+           |LEFT JOIN rows_ ON hh.half = rows_.half
+           |LEFT JOIN ov ON hh.half = ov.half, keff
            |ORDER BY half""".stripMargin)
   )
 
@@ -11428,6 +11432,91 @@ object Probes {
         bits = bits, dim = 64)
     })
 
+  /** IVF-PQ composed index (the 100 TB ANN layout): coarse IVF cells
+    * bound the scan, per-cell residual PQ codes make the in-cell
+    * candidate pass an O(m) table walk, exact cosine re-ranks the
+    * shortlist. Gated in the q40/q77 style PLUS the q225 persistence
+    * contract: the persisted-index search must equal the in-memory
+    * composed search BIT-FOR-BIT (the index only changes where
+    * candidates are read), rank-1 sims never exceed the exact NN
+    * (+rounding), recall@1 over a floor, per-query ranks exactly
+    * 1..n ≤ k. DuckDB recomputes the query count. */
+  def ivfPqTrainStage(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    val sample = Tables.embeddings(s, d)
+      .orderBy("vec_id").limit(512).coalesce(1)
+    val cents = Similarity.ivfCentroids(sample, nCells = 8, dim = 64)
+    val cbs = Similarity.ivfPqCodebooks(sample, nCells = 8, dim = 64,
+      m = 8, kCodes = 16, cents, maxSample = 512)
+    (cents, cbs)
+  }
+
+  val annIvfPq = Probe(
+    "q295_ann_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (cents, cbs) = ivfPqTrainStage(s, d)
+      val inMem = Similarity.ivfPqTopK(emb, queries, k = 10, nCells = 8,
+        nProbe = 3, m = 8, kCodes = 16, dim = 64, cents, cbs,
+        shortlist = 48)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q295_ivfpq_index"
+      Similarity.writeIvfPqIndex(emb, dir, nCells = 8, dim = 64, m = 8,
+        kCodes = 16, cents, cbs)
+      val persisted = Similarity.searchIvfPqIndex(s, dir, queries,
+        k = 10, nProbe = 3, shortlist = 48)
+      // bit-equality: persisted search differs from in-memory only in
+      // WHERE candidates are read, never in scores or ranks
+      val pKeyed = persisted.select(col("query_id"), col("vec_id"),
+        col("sim").as("__p_sim"), col("rank").as("__p_rank"))
+      val mism = inMem.join(pKeyed, Seq("query_id", "vec_id"), "full_outer")
+        .agg(coalesce(sum(when(col("sim") <=> col("__p_sim") &&
+          col("rank") <=> col("__p_rank"), 0L).otherwise(1L)), lit(0L))
+          .as("__n_mismatch"))
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+        .select(col("query_id"), col("sim").as("__exact_sim"))
+      val top1 = inMem.filter(col("rank") === 1)
+        .select(col("query_id"), col("sim").as("__pq_sim"))
+      val audit = exact.join(top1, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("__pq_sim")).as("__n_found"),
+          coalesce(sum(when(col("__pq_sim") > col("__exact_sim") + 1e-9, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_viol"),
+          coalesce(sum(when(col("__pq_sim") >= col("__exact_sim") - 1e-9, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_hit1"))
+      val shape = inMem.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__minr"),
+          max(col("rank")).as("__maxr"))
+        .agg(coalesce(sum(when(
+          col("__n") === col("__maxr") && col("__minr") === 1 &&
+            col("__maxr") <= 10, 0L).otherwise(1L)), lit(0L))
+          .as("__n_bad_shape"))
+      audit.crossJoin(shape).crossJoin(mism)
+        .select(
+          col("n_queries"),
+          (col("__n_mismatch") === 0).as("ok_persist_bitident"),
+          (col("__n_viol") === 0).as("ok_never_above_exact"),
+          (col("__n_found") >= col("n_queries") * 0.95).as("ok_found"),
+          (col("__n_hit1") >= col("n_queries") * 0.3).as("ok_recall1"),
+          (col("__n_bad_shape") === 0).as("ok_topk_shape"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  true AS ok_persist_bitident, true AS ok_never_above_exact,
+           |  true AS ok_found, true AS ok_recall1, true AS ok_topk_shape
+           |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin),
+    benchRun = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (cents, cbs) = ivfPqTrainStage(s, d)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q295_ivfpq_b"
+      Similarity.writeIvfPqIndex(emb, dir, nCells = 8, dim = 64, m = 8,
+        kCodes = 16, cents, cbs)
+      Similarity.searchIvfPqIndex(s, dir, queries, k = 10, nProbe = 3,
+        shortlist = 48)
+    })
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11499,7 +11588,7 @@ object Probes {
     hellingerProbe, dedupEvalProbe, logStatsProbe,
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
     mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
-    indexStalenessProbe
+    indexStalenessProbe, annIvfPq
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

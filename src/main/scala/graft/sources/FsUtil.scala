@@ -18,11 +18,16 @@ object FsUtil {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
+    // Spark's own hidden-path rule (HadoopFsUtils): '_'/'.' prefixes are
+    // hidden EXCEPT names containing '=' — partition directories like
+    // `__bucket=5` are data, not metadata
+    def hidden(n: String): Boolean =
+      (n.startsWith("_") && !n.contains("=")) || n.startsWith(".")
+
     def hiddenAncestor(p: org.apache.hadoop.fs.Path): Boolean = {
       var cur = p.getParent
       while (cur != null && cur != root && cur.toUri != root.toUri) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
+        if (hidden(cur.getName)) return true
         cur = cur.getParent
       }
       false
@@ -33,9 +38,7 @@ object FsUtil {
       var found = false
       while (!found && it.hasNext) {
         val f = it.next()
-        val name = f.getPath.getName
-        if (f.isFile && f.getLen > 0 &&
-            !name.startsWith("_") && !name.startsWith(".") &&
+        if (f.isFile && f.getLen > 0 && !hidden(f.getPath.getName) &&
             !hiddenAncestor(f.getPath)) found = true
       }
       found

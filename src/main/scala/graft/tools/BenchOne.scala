@@ -2,7 +2,17 @@ package graft.tools
 
 object BenchOne {
   def main(a: Array[String]): Unit = {
-    val spark = graft.GraftSession.getOrCreate("benchone")
+    // SPARK_GRAFT_BENCHCONF=1 reproduces graft.Bench's session exactly
+    // (aggressive AQE coalescing: parallelismFirst=false + 64m advisory)
+    // so session-vs-warm gaps can be bisected to conf, not code
+    val b = graft.GraftSession.builder("benchone")
+    if (sys.env.get("SPARK_GRAFT_BENCHCONF").contains("1")) {
+      b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     for (n <- a) {
       // "bench:<name>" times the operator path (benchRun) the way

@@ -839,6 +839,22 @@ object ScaleSweep {
               col("value") + 1.0).otherwise(col("value")))
           noop(graft.operators.Diff.columnDiff(old, neu, Seq("event_id")))
         },
+        // probed-cell pruned scan + O(m) ADC walk per candidate +
+        // shortlist re-rank — constant probe budget, so rows track
+        // per-cell occupancy, never the corpus
+        "ivfpq" -> { () =>
+          val cents = Similarity.ivfCentroids(
+            emb.orderBy("vec_id").limit(512).coalesce(1), nCells = 8, dim = 64)
+          val cbs = Similarity.ivfPqCodebooks(
+            emb.orderBy("vec_id").limit(512).coalesce(1), nCells = 8,
+            dim = 64, m = 8, kCodes = 16, cents, maxSample = 512)
+          val queries = emb.filter(col("vec_id") % 13 === 0 &&
+              col("vec_id") < 30000)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          noop(Similarity.ivfPqTopK(emb, queries, k = 10, nCells = 8,
+            nProbe = 3, m = 8, kCodes = 16, dim = 64, cents, cbs,
+            shortlist = 48))
+        },
         // O(edges·k) sketch rows per round × maxHops rounds — the
         // HyperBall shape; immune to ball-size densification
         "reach_profile" -> { () =>

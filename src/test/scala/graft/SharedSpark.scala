@@ -9,6 +9,9 @@ object SharedSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // see GraftSession: keep typed-Aggregator partials hash-based
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -138,4 +138,45 @@ class AggregatorsSpec extends AnyFunSuite {
       .select("c").as[String].collect().toSeq
     assert(ch === Seq("a b c d", "e f g h", "i j"))
   }
+
+  test("bottomKDistinct buffer: reduce/merge dedup, truncate, stay sorted") {
+    val agg = new Aggregators.BottomKDistinctAggregator(4)
+    // reduce: insert, dup-reject, reject-above-max-when-full, displace
+    var b = agg.zero
+    for (v <- Seq(5L, 3L, 9L, 3L, 7L, 9L)) b = agg.reduce(b, v)
+    assert(b.toSeq === Seq(3L, 5L, 7L, 9L)) // full, dups rejected
+    b = agg.reduce(b, 100L) // above max while full: rejected
+    assert(b.toSeq === Seq(3L, 5L, 7L, 9L))
+    b = agg.reduce(b, 4L) // displaces the max
+    assert(b.toSeq === Seq(3L, 4L, 5L, 7L))
+    b = agg.reduce(b, Long.MinValue)
+    assert(b.toSeq === Seq(Long.MinValue, 3L, 4L, 5L))
+    // merge: two-pointer dedup-merge, truncation at k, empty identities
+    assert(agg.merge(agg.zero, b) eq b)
+    assert(agg.merge(b, agg.zero) eq b)
+    val m = agg.merge(Array(1L, 3L, 5L, 7L), Array(2L, 3L, 6L, 8L))
+    assert(m.toSeq === Seq(1L, 2L, 3L, 5L))
+    val short = agg.merge(Array(1L, 2L), Array(1L, 2L))
+    assert(short.toSeq === Seq(1L, 2L)) // deduped shorter-than-alloc copy
+  }
+
+  test("bottomKDistinct == distinct+sort+limit per key; layout-proof") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 4000).map(_ =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(40).toLong))
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy(col("g"))
+        .agg(Aggregators.bottomKDistinct(8)(col("v")).as("sig"))
+        .select(col("g"), col("sig"))
+        .as[(Long, Array[Long])].collect().map { case (g, a) => g -> a.toSeq }
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).distinct.sorted.take(8)
+      }
+      assert(got === want, s"parts=$parts")
+    }
+  }
 }

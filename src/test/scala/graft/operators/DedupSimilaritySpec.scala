@@ -484,4 +484,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(stale.getLong(4) <= fresh.getLong(4),
       "staleness never improves recall")
   }
+
+  test("IVF-PQ: layout-proof, sims are true cosines <= exact, persisted == in-memory") {
+    val cents = Similarity.ivfCentroids(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64)
+    val cbs = Similarity.ivfPqCodebooks(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64,
+      m = 8, kCodes = 8, cents, maxSample = 256)
+    assert(cbs.length === 4 * 8 * 8 * 8)
+    val queries = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def run(parts: Int) = Similarity.ivfPqTopK(emb.repartition(parts),
+        queries, k = 5, nCells = 4, nProbe = 2, m = 8, kCodes = 8,
+        dim = 64, cents, cbs, shortlist = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val a = run(1)
+    assert(a === run(7), "IVF-PQ result depends on partition layout")
+    // sims are TRUE cosines: never above the exact NN at the same rank
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    Similarity.ivfPqTopK(emb, queries, k = 1, nCells = 4, nProbe = 2,
+        m = 8, kCodes = 8, dim = 64, cents, cbs, shortlist = 16)
+      .collect().foreach { r =>
+        assert(r.getDouble(2) <= exact(r.getLong(0)) + 1e-12,
+          s"query ${r.getLong(0)}: ANN sim above exact")
+      }
+    // persisted index: bit-identical search, self-contained model
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(emb, dir, nCells = 4, dim = 64, m = 8,
+      kCodes = 8, cents, cbs)
+    val p = Similarity.searchIvfPqIndex(spark, dir, queries, k = 5,
+        nProbe = 2, shortlist = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(p === a, "persisted IVF-PQ search diverged from in-memory")
+    // probed cells must prune at the scan
+    val plan = Similarity.searchIvfPqIndex(spark, dir, queries, k = 5,
+        nProbe = 2, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"expected __cell partition pruning in:\n${plan.take(2000)}")
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(spark, dir + "_nope", queries, k = 5,
+        nProbe = 2)
+    }
+  }
+
+  test("index path discipline: empty snapshot reads as empty; missing path fails loudly") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(((i * 31 + 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.limit(2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // empty snapshot: partitioned dir exists but holds no part files
+    val emptyDir = java.nio.file.Files.createTempDirectory("stale_e").toString
+    Similarity.writeLshIndex(emb.filter(col("vec_id") < 0), emptyDir,
+      bits = 4, dim = 16)
+    assert(Similarity.searchLshIndex(spark, emptyDir, queries,
+      k = 3, bits = 4, dim = 16, nProbe = 2).count() === 0L)
+    val audit = Similarity.indexStaleness(spark, emptyDir, emb, queries,
+      k = 3, bits = 4, dim = 16).collect().head
+    assert(audit.getLong(5) === 0L && audit.getLong(3) === 0L)
+    // mistyped/missing path: an operator error, never a zeros audit
+    val missing = emptyDir + "_no_such_dir"
+    intercept[IllegalArgumentException] {
+      Similarity.searchLshIndex(spark, missing, queries,
+        k = 3, bits = 4, dim = 16, nProbe = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.indexStaleness(spark, missing, emb, queries,
+        k = 3, bits = 4, dim = 16)
+    }
+  }
 }

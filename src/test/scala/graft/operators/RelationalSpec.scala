@@ -346,4 +346,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"),
       s"range join must plan as an equi join:\n$phys")
   }
+
+  test("overlapJoin: sentinel-wide interval dropped by the span guard") {
+    import spark.implicits._
+    // id 2 is ordered but absurd: ~4e15 us / bucket 25 us would explode
+    // into ~1.6e14 bucket rows without the pre-explode span guard
+    val left = Seq((1L, 1L, 0L, 100L),
+      (1L, 2L, 0L, 4102444800000000L)) // sentinel end (year 2100)
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 7L, 40L, 60L)).toDF("k", "id", "s", "e")
+    val got = Relational.overlapJoin(left, right,
+        col("k"), col("id"), col("s"), col("e"),
+        col("k"), col("id"), col("s"), col("e"),
+        bucketUs = 25L, maxSpanBuckets = 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 7L))) // id 2 dropped, never exploded
+    // raising the ceiling readmits it
+    val wide = Relational.overlapJoin(left, right,
+        col("k"), col("id"), col("s"), col("e"),
+        col("k"), col("id"), col("s"), col("e"),
+        bucketUs = 1000000000000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(wide === Set((1L, 7L), (2L, 7L)))
+  }
 }

@@ -147,11 +147,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected candidate-stream dedup aggregate:\n$p")
   }
 
-  test("q196: KMV two-hop plans sketch-sized — WindowGroupLimit, no wedge cross join") {
+  test("q196: KMV two-hop plans sketch-sized — mergeable bottom-k agg, no wedge cross join") {
     val p = planOf("q196_two_hop_kmv")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
-    assert(p.contains("WindowGroupLimit"),
-      s"bottom-k sketches must plan as WindowGroupLimit (map-side k-cap):\n$p")
+    // the sketches build in ObjectHashAggregate partials (the mergeable
+    // bottomKDistinct/bottomKDistinctMerge buffers dedup+truncate
+    // map-side) — the round-8 replacement for the WindowGroupLimit +
+    // distinct() double shuffle; a sort-based fallback would mean the
+    // 128-key threshold regression resurfaced
+    assert(p.contains("ObjectHashAggregate"),
+      s"bottom-k sketches must plan as ObjectHashAggregate partials:\n$p")
   }
 
   test("q199: changepoint — the window and the totals agg share ONE key exchange each way") {
