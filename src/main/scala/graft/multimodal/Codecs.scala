@@ -42,6 +42,12 @@ object Codecs {
       s.indices.forall(i => at(from + i) == s.charAt(i).toInt)
     if (at(0) == 0x89 && ascii(1, "PNG")) Some("image")                 // PNG
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("image") // JPEG
+    // an ANIMATED GIF is a video container the JDK can actually demux —
+    // route it to the frame-sampling path. The NETSCAPE2.0 application
+    // extension (the loop block every animation encoder writes, ours
+    // included) is the discriminator; a single-frame GIF stays an image.
+    else if (ascii(0, "GIF8") && containsAscii(payload, "NETSCAPE2.0"))
+      Some("video")
     else if (ascii(0, "GIF8")) Some("image")                            // GIF87a/89a
     else if (ascii(0, "BM")) Some("image")                              // BMP
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio")        // WAV
@@ -50,6 +56,19 @@ object Codecs {
     else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
       Some("video")                                                     // Matroska/WebM
     else None
+  }
+
+  private def containsAscii(payload: Array[Byte], s: String): Boolean = {
+    val pat = s.getBytes("US-ASCII")
+    var i = 0
+    val end = payload.length - pat.length
+    while (i <= end) {
+      var j = 0
+      while (j < pat.length && payload(i + j) == pat(j)) j += 1
+      if (j == pat.length) return true
+      i += 1
+    }
+    false
   }
 
   // ------------------------------------------------------------------
@@ -115,6 +134,140 @@ object Codecs {
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Video (animated GIF — the one animated container the JDK demuxes)
+  // ------------------------------------------------------------------
+
+  /** One decoded, fully-COMPOSED video frame: `tsMs` its start on the
+    * animation timeline, `delayMs` how long it shows, `image` the whole
+    * canvas (GIF frames are patches over the previous state — raw
+    * sub-images are not what a feature extractor wants). */
+  final case class VideoFrame(tsMs: Long, delayMs: Long, image: BufferedImage)
+
+  /** Demux + compose an animated GIF into canvas frames with
+    * timestamps. The composition loop handles the two disposal modes
+    * real encoders emit (`none`/`doNotDispose` accumulate,
+    * `restoreToBackgroundColor` clears the patch region); zero frame
+    * delays render as the conventional 10 ms minimum. None ⇔ the
+    * payload is not a decodable GIF — the caller's cue to fall back to
+    * the stub (MP4/MKV land here: the JDK has no demuxer for them). */
+  def decodeGifFrames(payload: Array[Byte],
+                      maxFrames: Int = 100000): Option[Vector[VideoFrame]] = {
+    val isGif = payload.length > 6 && payload(0) == 'G' &&
+      payload(1) == 'I' && payload(2) == 'F'
+    if (!isGif) None
+    else Try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no GIF reader registered")
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try {
+        // logical screen = the composition canvas
+        val (cw, ch) = {
+          val st = reader.getStreamMetadata
+          val tree = st.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+          if (lsd.getLength > 0) {
+            val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+            (e.getAttribute("logicalScreenWidth").toInt,
+              e.getAttribute("logicalScreenHeight").toInt)
+          } else (reader.getWidth(0), reader.getHeight(0))
+        }
+        val n = math.min(reader.getNumImages(true), maxFrames)
+        val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+        var ts = 0L
+        val out = Vector.newBuilder[VideoFrame]
+        var i = 0
+        while (i < n) {
+          val patch = reader.read(i)
+          val tree = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          def attr(tag: String, name: String): Option[String] = {
+            val nodes = tree.getElementsByTagName(tag)
+            if (nodes.getLength > 0)
+              Some(nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+                .getAttribute(name))
+            else None
+          }
+          val delayMs = math.max(1L,
+            attr("GraphicControlExtension", "delayTime")
+              .flatMap(s => Try(s.toLong).toOption).getOrElse(0L)) * 10L
+          val x = attr("ImageDescriptor", "imageLeftPosition")
+            .flatMap(s => Try(s.toInt).toOption).getOrElse(0)
+          val y = attr("ImageDescriptor", "imageTopPosition")
+            .flatMap(s => Try(s.toInt).toOption).getOrElse(0)
+          val g = canvas.createGraphics()
+          try g.drawImage(patch, x, y, null) finally g.dispose()
+          val snap = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+          val g2 = snap.createGraphics()
+          try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+          out += VideoFrame(ts, delayMs, snap)
+          ts += delayMs
+          if (attr("GraphicControlExtension", "disposalMethod")
+              .contains("restoreToBackgroundColor")) {
+            val gc = canvas.createGraphics()
+            try {
+              gc.setColor(java.awt.Color.BLACK)
+              gc.fillRect(x, y, patch.getWidth, patch.getHeight)
+            } finally gc.dispose()
+          }
+          i += 1
+        }
+        out.result()
+      } finally { reader.dispose(); iis.close() }
+    }.toOption
+  }
+
+  /** Encode frames as an animated GIF (test-fixture generator, and the
+    * proof the sandbox really round-trips an animated container): one
+    * shared `delayCs` (centiseconds — GIF's native unit) per frame plus
+    * the NETSCAPE2.0 loop extension, which is also what
+    * [[sniffMediaType]] keys on to call the payload a video. */
+  def encodeAnimatedGif(frames: Seq[BufferedImage], delayCs: Int): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(delayCs >= 1, "delayCs must be >= 1")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val typeSpec = javax.imageio.ImageTypeSpecifier
+      .createFromBufferedImageType(BufferedImage.TYPE_INT_RGB)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      val meta = writer.getDefaultImageMetadata(typeSpec,
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = new javax.imageio.metadata.IIOMetadataNode(fmt)
+      val gce = new javax.imageio.metadata.IIOMetadataNode(
+        "GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      val apps = new javax.imageio.metadata.IIOMetadataNode(
+        "ApplicationExtensions")
+      val app = new javax.imageio.metadata.IIOMetadataNode(
+        "ApplicationExtension")
+      app.setAttribute("applicationID", "NETSCAPE")
+      app.setAttribute("authenticationCode", "2.0")
+      app.setUserObject(Array[Byte](1, 0, 0)) // loop forever
+      apps.appendChild(app)
+      root.appendChild(apps)
+      meta.mergeTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
     bos.toByteArray
   }
 

@@ -196,11 +196,19 @@ object Multimodal {
 
   /** Video frame sampling — the one-to-many GENERATOR shape for binary
     * columns: each video row yields one Frame row per `everyMs` of
-    * duration, streamed through an iterator flatMap so a real demuxer
-    * opens once per partition and never materializes all frames at once.
-    * Non-video rows (and videos without a duration) yield nothing.
-    * Frame payloads are STUB-decoded (deterministic, content- and
-    * timestamp-sensitive).
+    * duration, streamed through an iterator flatMap so the demuxer
+    * opens once per row and frames never all materialize at once.
+    * Non-video rows yield nothing.
+    *
+    * REAL decode path: payloads the JDK can demux (animated GIF —
+    * [[Codecs.decodeGifFrames]]) emit genuinely decoded frames: each
+    * `everyMs` tick carries the PNG of the composed canvas showing at
+    * that instant on the animation's own timeline, and the sampling
+    * duration comes from the timeline itself when the metadata carries
+    * none. Containers the JDK cannot demux (MP4/MKV) fall back to the
+    * deterministic STUB payload and need `duration_ms` metadata — the
+    * documented residual stub, now only for formats the sandbox
+    * genuinely lacks a codec for.
     *
     * `maxFramesPerAsset` bounds the fan-out of one row: corrupt metadata
     * (a duration in the billions) must not turn a single asset into a
@@ -213,20 +221,41 @@ object Multimodal {
     require(maxFramesPerAsset > 0, "maxFramesPerAsset must be positive")
     implicit val enc = Encoders.product[Frame]
     assets.mapPartitions { it =>
-      // real impl: val demuxer = Codec.open() — once per partition
       it.flatMap { a =>
         if (a.media_type != "video") Iterator.empty
-        else a.duration_ms match {
-          case Some(dur) if dur > 0 =>
-            // Long arithmetic first, THEN clamp: (dur/everyMs).toInt on a
-            // huge duration would wrap negative and silently emit nothing
+        else Codecs.decodeGifFrames(a.payload, maxFramesPerAsset) match {
+          case Some(frames) if frames.nonEmpty =>
+            val timeline = frames.last.tsMs + frames.last.delayMs
+            val dur = a.duration_ms.filter(_ > 0).getOrElse(timeline)
             val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
-            val base = contentHash(a.payload) // one payload scan per asset
+            // consecutive ticks often land on the same frame — encode
+            // each canvas at most once
+            var lastIdx = -1
+            var lastPng: Array[Byte] = null
             Iterator.range(0, n).map { idx =>
               val ts = idx * everyMs
-              Frame(a.asset_id, idx, ts, lcgBytes(base ^ ts, 32))
+              // the frame showing at ts: last with tsMs <= ts
+              var fi = frames.length - 1
+              while (fi > 0 && frames(fi).tsMs > ts) fi -= 1
+              if (fi != lastIdx) {
+                lastIdx = fi
+                lastPng = Codecs.encodePng(frames(fi).image)
+              }
+              Frame(a.asset_id, idx, ts, lastPng)
             }
-          case _ => Iterator.empty
+          case _ => a.duration_ms match {
+            case Some(dur) if dur > 0 =>
+              // Long arithmetic first, THEN clamp: (dur/everyMs).toInt on
+              // a huge duration would wrap negative and silently emit
+              // nothing
+              val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
+              val base = contentHash(a.payload) // one payload scan per asset
+              Iterator.range(0, n).map { idx =>
+                val ts = idx * everyMs
+                Frame(a.asset_id, idx, ts, lcgBytes(base ^ ts, 32))
+              }
+            case _ => Iterator.empty
+          }
         }
       }
     }

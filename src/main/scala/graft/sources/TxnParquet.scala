@@ -245,7 +245,20 @@ object TxnParquet {
       val nextV = current.map(_._1 + 1).getOrElse(1L)
       val nextDates = current.map(_._2).getOrElse(Map.empty) ++
         touched.map(k => k -> s"$chunkRel/p_dir=$k")
-      val body = (s"v $nextV" +: s"schema\t${merged.schema.json}" +:
+      // 3. THE commit: one atomic rename-to-fresh-name (see
+      //    commitManifest). crashBeforeCommit fires with everything
+      //    staged, nothing live.
+      commitManifest(f, root, gdir, nextV, nextDates, merged.schema.json)
+    }
+
+    /** Shared commit tail of merge/compact/compactSmall: write manifest
+      * `nextV` under a temp name, fire the crash seam, ONE atomic
+      * rename-to-fresh-name (fails loudly if another writer committed
+      * this version), then the retention GC. */
+    private def commitManifest(f: FileSystem, root: Path, gdir: Path,
+                               nextV: Long, nextDates: Map[String, String],
+                               schemaJson: String): Unit = {
+      val body = (s"v $nextV" +: s"schema\t$schemaJson" +:
         nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
         .mkString("", "\n", "\n")
       val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -254,8 +267,6 @@ object TxnParquet {
 
       crashBeforeCommit() // test seam: die with everything staged, nothing live
 
-      // 3. THE commit: one atomic rename-to-fresh-name. Fails (loudly)
-      //    if another writer already committed this version.
       val dst = new Path(gdir, s"manifest-$nextV.txt")
       if (f.exists(dst) || !f.rename(tmp, dst)) {
         f.delete(tmp, false)
@@ -327,25 +338,74 @@ object TxnParquet {
 
         val (f, root) = fs(spark, path)
         val gdir = new Path(root, "_graft")
-        val nextV = v + 1
         val nextDates = dates.keys.map(k => k -> s"$chunkRel/p_dir=$k").toMap
-        val body = (s"v $nextV" +: s"schema\t${all.schema.json}" +:
-          nextDates.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" })
-          .mkString("", "\n", "\n")
-        val tmp = new Path(gdir, s".manifest-$nextV.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = f.create(tmp, false)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
+        commitManifest(f, root, gdir, v + 1, nextDates, all.schema.json)
+      }
+    }
 
-        crashBeforeCommit() // same test seam as merge: staged, nothing live
-
-        val dst = new Path(gdir, s"manifest-$nextV.txt")
-        if (f.exists(dst) || !f.rename(tmp, dst)) {
-          f.delete(tmp, false)
-          throw new java.util.ConcurrentModificationException(
-            s"TxnParquetSink: version $nextV already committed by another writer " +
-              s"($path is single-writer; coordinate or retry)")
-        }
-        gc(f, root, gdir, nextV, keepManifests)
+    /** BIN-PACK compaction — the incremental form of [[compact]]:
+      * rewrite ONLY the dates whose live chunk directory is fragmented
+      * into more small files than its byte size justifies, leaving
+      * every healthy date's chunk untouched (and, for pinned readers,
+      * byte-identical — repointed dates' old chunks survive until the
+      * manifests referencing them age out, the [[compact]] contract).
+      * At 100 TB this is the operational difference: a full-table
+      * rewrite is O(table) I/O every time, while the small-file problem
+      * lives in the tail of recently-merged dates — this pass is
+      * O(selected dates' bytes), so it can run after every batch window.
+      *
+      * Selection reads CHUNK STATS ONLY (a driver-side file listing of
+      * each manifest-referenced date dir — bounded by the date count,
+      * no row data): a date is rewritten when its dir holds more than
+      * one data file AND its total bytes fit inside `targetBytes` (one
+      * bin) — dates already one-file-per-dir are left alone, and dates
+      * larger than a bin keep their multi-file layout (their files are
+      * full-sized; collapsing them to one task would make one giant
+      * file and one straggler task — use [[compact]] for deliberate
+      * full rewrites). All selected dates stage into ONE fresh chunk
+      * dir (one task per date → one file per date), then the usual
+      * atomic manifest swap. Returns the number of dates rewritten;
+      * 0 = nothing selected, NO commit (the table version is
+      * unchanged). */
+    def compactSmall(spark: SparkSession,
+                     targetBytes: Long = 64L << 20): Int = {
+      require(targetBytes > 0, "targetBytes must be positive")
+      currentManifest(spark, path) match {
+        case None => 0
+        case Some((v, dates, schemaOpt)) =>
+          val (f, root) = fs(spark, path)
+          def stats(rel: String): (Int, Long) = {
+            val p = new Path(root, rel)
+            if (!f.exists(p)) (0, 0L)
+            else {
+              val files = f.listStatus(p).filter(s => s.isFile &&
+                !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              (files.length, files.map(_.getLen).sum)
+            }
+          }
+          val selected = dates.toSeq.filter { case (_, rel) =>
+            val (nFiles, bytes) = stats(rel)
+            nFiles > 1 && bytes <= targetBytes
+          }
+          if (selected.isEmpty) return 0
+          val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+          val small = reader.parquet(
+            selected.map { case (_, rel) => s"$path/$rel" }: _*)
+          val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
+          small
+            .repartition(col("p_date"))
+            .sortWithinPartitions(col("p_date"))
+            .withColumn("p_dir",
+              coalesce(col("p_date").cast("string"), lit(NullKey)))
+            .write.partitionBy("p_dir").mode("errorifexists")
+            .parquet(s"$path/$chunkRel")
+          val gdir = new Path(root, "_graft")
+          val nextDates = dates ++
+            selected.map { case (k, _) => k -> s"$chunkRel/p_dir=$k" }
+          commitManifest(f, root, gdir, v + 1, nextDates,
+            small.schema.json)
+          selected.size
       }
     }
 

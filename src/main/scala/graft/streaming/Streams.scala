@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.weather.{Flatten, Schemas, Store}
@@ -122,6 +122,138 @@ object Streams {
         IncrementalDedup.appendToIndex(admitted, indexDir, p)
         admitted.write.mode("append").parquet(corpusDir)
       }
+
+  /** One input event of the streaming sessionizer: `entity` the session
+    * key, `ts` event time, `tie` the deterministic tiebreaker (an event
+    * id), `label` the entry/exit readout. */
+  final case class SessEvent(entity: Long, ts: java.sql.Timestamp,
+                             tie: Long, label: String)
+
+  /** One open (not-yet-final) session in the keyed state. */
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long,
+                               entryTie: Long, entryLabel: String,
+                               exitTie: Long, exitLabel: String)
+
+  /** Keyed state: the per-entity session counter (so `session_seq`
+    * matches the batch numbering across the entity's whole history) and
+    * the open-session interval list. */
+  final case class SessionState(nextSeq: Long, open: List[OpenSession])
+
+  /** One FINAL session — the [[graft.operators.Analytics.sessionStats]]
+    * output row, emitted exactly once. */
+  final case class SessionRow(entity: Long, session_seq: Long,
+                              session_start_us: Long, session_end_us: Long,
+                              duration_us: Long, n_events: Long,
+                              entry_label: String, exit_label: String)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** STATEFUL STREAMING SESSIONIZATION — the unbounded-input twin of
+    * [[graft.operators.Analytics.sessionStats]] (gap-based sessions,
+    * same rollup columns, same tie discipline), via
+    * `flatMapGroupsWithState` with EVENT-TIME timeout.
+    *
+    * Semantics: a session is emitted exactly once, when the watermark
+    * passes `session_end + gap` — the first instant no event can
+    * legally join it (events older than the watermark are filtered by
+    * the stateful operator itself under EventTimeTimeout, so an
+    * already-emitted session can never need reopening). Until then the
+    * session sits in keyed state as an interval; late events WITHIN the
+    * watermark extend or even MERGE open sessions (two fragments whose
+    * bridging event arrives a batch later collapse into one — the
+    * interval-merge sweep below is what a naive "extend the last
+    * session" recurrence gets wrong). An event at exactly
+    * `end + gap` joins (`≤ gap`, the batch rule); a session with
+    * `end + gap ≥ watermark` is withheld even if it looks closed.
+    *
+    * Replay/equality contract (StreamsSpec): feeding the same bounded
+    * input through the stream — in any batch split whose late arrivals
+    * respect the watermark — and flushing the watermark emits EXACTLY
+    * the batch operator's rows, session_seq included.
+    *
+    * Scale posture: state per entity = the open-session list, bounded
+    * by (watermark delay / gap) + 1 intervals of 7 scalars each — never
+    * the events (each event folds into its interval on arrival); the
+    * shuffle is the same one entity-keyed exchange the batch operator
+    * pays. A finalized entity keeps a 2-field tombstone (the seq
+    * counter) so numbering stays global across its whole history — the
+    * price of batch-equal `session_seq`; callers at extreme entity
+    * cardinality who treat seq as session-local can drop state by
+    * forking the emit branch.
+    *
+    * Input columns: `entity` LONG, `ts` TIMESTAMP, `tie` LONG,
+    * `label` STRING. Output: the batch rollup columns. */
+  def sessionStatsStream(events: DataFrame, gapUs: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("entity").cast("long").as("entity"),
+        col("ts").cast("timestamp").as("ts"),
+        col("tie").cast("long").as("tie"),
+        col("label").cast("string").as("label"))
+      .filter(col("entity").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .as[SessEvent]
+      .groupByKey(_.entity)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (entity, it, state) => advanceSessions(entity, it, state, gapUs)
+      }
+      .toDF()
+  }
+
+  /** One state transition of [[sessionStatsStream]] (exposed for the
+    * spec's direct unit cases): fold the batch's events into the
+    * interval list, emit the finalized prefix, re-arm the timeout at
+    * the earliest surviving `end + gap`. */
+  private[streaming] def advanceSessions(entity: Long,
+      it: Iterator[SessEvent], state: GroupState[SessionState],
+      gapUs: Long): Iterator[SessionRow] = {
+    val prior = if (state.exists) state.get else SessionState(1L, Nil)
+    val incoming = it.map(e =>
+      OpenSession(usOf(e.ts), usOf(e.ts), 1L, e.tie, e.label, e.tie, e.label))
+    // interval-merge sweep: open sessions are disjoint with gaps > gapUs
+    // and new events are points, so one (start, tie)-sorted pass merges
+    // everything a ≤ gap bridge connects
+    def combine(a: OpenSession, b: OpenSession): OpenSession = {
+      val (xt, xl) =
+        if (b.endUs > a.endUs ||
+            (b.endUs == a.endUs && b.exitTie > a.exitTie))
+          (b.exitTie, b.exitLabel)
+        else (a.exitTie, a.exitLabel)
+      val (et, el) =
+        if (b.startUs < a.startUs ||
+            (b.startUs == a.startUs && b.entryTie < a.entryTie))
+          (b.entryTie, b.entryLabel)
+        else (a.entryTie, a.entryLabel)
+      OpenSession(math.min(a.startUs, b.startUs),
+        math.max(a.endUs, b.endUs), a.n + b.n, et, el, xt, xl)
+    }
+    val all = (prior.open ++ incoming)
+      .sortBy(s => (s.startUs, s.entryTie))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    all.foreach { s =>
+      if (merged.nonEmpty && s.startUs - merged.last.endUs <= gapUs)
+        merged += combine(merged.remove(merged.length - 1), s)
+      else merged += s
+    }
+    // sessions are gap-separated, so ends are strictly increasing and
+    // the finalized set is a PREFIX — seq numbering never interleaves
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (done, open) = merged.partition(s => s.endUs + gapUs < wmUs)
+    val out = done.zipWithIndex.map { case (s, i) =>
+      SessionRow(entity, prior.nextSeq + i, s.startUs, s.endUs,
+        s.endUs - s.startUs, s.n, s.entryLabel, s.exitLabel)
+    }
+    state.update(SessionState(prior.nextSeq + done.length, open.toList))
+    if (open.nonEmpty)
+      // strictly above the watermark (ms floor could equal it)
+      state.setTimeoutTimestamp(open.map(_.endUs + gapUs).min / 1000L + 1L)
+    out.iterator
+  }
 
   /** Stream-static enrichment: join the live fact stream to a dimension
     * snapshot (the dashboard's fact⋈cities shape, streaming edition).

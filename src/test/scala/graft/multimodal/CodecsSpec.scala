@@ -23,6 +23,44 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.sniffMediaType(Array.emptyByteArray) === None)
   }
 
+  test("animated GIF: encode -> sniff as video -> decode frames with " +
+      "timestamps and composed pixels") {
+    import java.awt.image.BufferedImage
+    // three solid frames R, G, B at 6x4, 25 cs (250 ms) apart
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val frames = colors.map { c =>
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, c)
+      img
+    }
+    val gif = Codecs.encodeAnimatedGif(frames, delayCs = 25)
+    assert(Codecs.sniffMediaType(gif) === Some("video"),
+      "animated GIF (NETSCAPE loop) must sniff as video")
+    // single-frame GIF (no animation) stays an image
+    val still = Codecs.encodeAnimatedGif(frames.take(1), delayCs = 25)
+    // (our encoder always writes the loop block; build a plain GIF via
+    // ImageIO.write for the still case)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frames.head, "gif", bos)
+    assert(Codecs.sniffMediaType(bos.toByteArray) === Some("image"))
+
+    val decoded = Codecs.decodeGifFrames(gif).get
+    assert(decoded.length === 3)
+    assert(decoded.map(_.tsMs) === Vector(0L, 250L, 500L))
+    assert(decoded.forall(_.delayMs == 250L))
+    assert(decoded.forall(f =>
+      f.image.getWidth == 6 && f.image.getHeight == 4))
+    // composed pixel content: each canvas is its solid color
+    decoded.zip(colors).foreach { case (f, c) =>
+      assert((f.image.getRGB(3, 2) & 0xffffff) === c)
+    }
+    // non-GIF payloads refuse politely
+    assert(Codecs.decodeGifFrames(solidPng(2, 2, 0)) === None)
+    assert(Codecs.decodeGifFrames(Array[Byte](1, 2, 3)) === None)
+    assert(still.nonEmpty) // the loop-block still frame decodes too
+    assert(Codecs.decodeGifFrames(still).get.length === 1)
+  }
+
   test("decodeImage + imageFeatures: dimensions and histogram mass") {
     val png = solidPng(8, 6, 0x00808080) // mid-gray
     val img = Codecs.decodeImage(png).get

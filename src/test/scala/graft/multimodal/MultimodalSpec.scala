@@ -65,6 +65,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(f => java.util.Arrays.equals(f.payload, again((f.asset_id, f.frame_idx)))))
   }
 
+  test("sampleFrames: REAL decode end-to-end on an animated GIF — " +
+      "payloads are PNGs of the right frame at each tick") {
+    implicit val s = spark
+    import java.awt.image.BufferedImage
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val imgs = colors.map { c =>
+      val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, c)
+      img
+    }
+    // 100 cs = 1 s per frame → timeline 0/1000/2000, duration 3000 ms
+    val gif = Codecs.encodeAnimatedGif(imgs, delayCs = 100)
+    import spark.implicits._
+    val assets = spark.createDataset(Seq(
+      Multimodal.Asset(7L, Codecs.sniffMediaType(gif).get, gif,
+        None, None, None)))
+    val frames = Multimodal.sampleFrames(assets, everyMs = 500)
+      .collect().sortBy(_.frame_idx)
+    // duration from the GIF's own timeline (no metadata): 3000/500 + 1
+    assert(frames.length === 7)
+    assert(frames.map(_.ts_ms).toSeq === (0 until 7).map(_ * 500L))
+    // each payload is a REAL PNG of the frame showing at that tick
+    frames.foreach { f =>
+      val img = Codecs.decodeImage(f.payload).get
+      assert(img.getWidth === 5 && img.getHeight === 3)
+      val expect = colors(math.min(2, (f.ts_ms / 1000L).toInt))
+      assert((img.getRGB(2, 1) & 0xffffff) === expect,
+        s"tick ${f.ts_ms} shows the wrong frame")
+    }
+  }
+
   test("fromBinaryFiles loads a directory of media as typed Asset rows") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_binfiles")

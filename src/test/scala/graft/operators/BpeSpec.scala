@@ -59,4 +59,25 @@ class BpeSpec extends AnyFunSuite {
     val tiny = Seq((1L, "aa")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, col("text"), col("doc_id"), nMerges = 10).length <= 2)
   }
+
+  test("distributed trainer == driver trainer bitwise; layout-proof; early stop") {
+    val docs = graft.sources.Tables.documents(spark, SharedSpark.sf0001)
+    // same bounded sample through both trainers
+    val driver = Bpe.train(docs, col("text"), col("doc_id"),
+      nMerges = 60, maxSample = 64)
+    val dist = Bpe.trainDistributed(docs, col("text"), col("doc_id"),
+      nMerges = 60, maxSample = Some(64))
+    assert(dist === driver)
+    // corpus-wide, any layout
+    val full = Bpe.trainDistributed(docs, col("text"), col("doc_id"), 12)
+    val full2 = Bpe.trainDistributed(docs.repartition(7), col("text"),
+      col("doc_id"), 12)
+    assert(full === full2)
+    assert(full === Bpe.train(docs, col("text"), col("doc_id"), 12,
+      maxSample = Int.MaxValue))
+    // pair exhaustion stops the loop, same as the driver trainer
+    val tiny = Seq((1L, "aa")).toDF("doc_id", "text")
+    assert(Bpe.trainDistributed(tiny, col("text"), col("doc_id"), 10)
+      .length <= 2)
+  }
 }

@@ -296,6 +296,62 @@ class TxnParquetSpec extends AnyFunSuite {
     assert(snapshot(sink) === before)
   }
 
+  test("compactSmall: bin-packs only fragmented small dates; healthy " +
+      "chunks untouched byte-for-byte; pinned reader safe across the swap") {
+    val path = tmp()
+    val sink = TxnParquetSink(path)
+    // one merge writes two dates; the 26th gets many rows spread over
+    // several part files (repartition by (p_date, keys) fans them out),
+    // the 27th gets one row
+    val many = (1L to 40L).map(i => (i, "2025-11-26 04:00:00", i * 1.0)) :+
+      ((99L, "2025-11-27 05:00:00", 25.0))
+    // AQE's tiny-data coalescing would land this KB-scale merge in one
+    // task (one file per date) — disable it for the fixture write so the
+    // 26th fans out across the 4 shuffle partitions like a real batch
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try sink.mergeLastWins(df(many: _*), keys)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val before = snapshot(sink)
+    val manifestBefore = TxnParquet.currentManifest(spark, path).get._2
+    def fileStats(rel: String): (Int, Long) = {
+      val fl = new java.io.File(path, rel).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      (fl.length, fl.map(_.length).sum)
+    }
+    val fragBefore = fileStats(manifestBefore("2025-11-26"))
+    assert(fragBefore._1 > 1, "fixture must start fragmented")
+    val healthyRel = manifestBefore("2025-11-27")
+    val healthyBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(path, healthyRel).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath)
+
+    // a reader pins v1 BEFORE the swap
+    val pinnedV = sink.version(spark).get
+    val n = sink.compactSmall(spark)
+    assert(n === 1, "only the fragmented small date is rewritten " +
+      "(the 27th is already one file and must be skipped)")
+    assert(sink.version(spark) === Some(pinnedV + 1))
+    assert(snapshot(sink) === before, "compaction must not change content")
+    val manifestAfter = TxnParquet.currentManifest(spark, path).get._2
+    val fragAfter = fileStats(manifestAfter("2025-11-26"))
+    assert(fragAfter._1 === 1, "rewritten date collapses to one file")
+    // pinned reader still sees its snapshot, from the ORIGINAL chunks
+    assert(sink.readVersion(spark, pinnedV).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2))).toSet
+      === before)
+    val healthyAfter = java.nio.file.Files.readAllBytes(
+      new java.io.File(path, healthyRel).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath)
+    assert(java.util.Arrays.equals(healthyBytes, healthyAfter),
+      "pre-swap chunk files must survive byte-identically for pinned readers")
+    // second pass: nothing fragmented remains → no commit, version pinned
+    assert(sink.compactSmall(spark) === 0)
+    assert(sink.version(spark) === Some(pinnedV + 1))
+    // empty table: no-op returning 0
+    assert(TxnParquetSink(tmp()).compactSmall(spark) === 0)
+  }
+
   test("compact: crash before commit leaves the table untouched; " +
       "empty table is a no-op") {
     val path = tmp()

@@ -352,4 +352,69 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.map(_(1)).subsetOf(stream.map(_(1)) + 90L),
       "every non-heartbeat click accounted for")
   }
+
+  test("streaming sessionization == batch sessionStats under replay, " +
+      "late bridging event, timeout-boundary join") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
+    def ev(rows: (Long, String, Long, String)*) = rows
+      .toDF("entity", "ts", "tie", "label")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def feed(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    // gap 30 min, watermark 2 h. Entity 1: events 10:00/10:20, then one
+    // at EXACTLY end+gap (10:50 — must join, the <= gap batch rule), and
+    // a 12:00 event (a new session) arriving in batch 2. Entity 2:
+    // fragments at 09:00 and 09:50 land in batch 1 (two open sessions,
+    // 50 min apart), and the BRIDGING event at 09:25 arrives late in
+    // batch 2 — inside the watermark (batch-1 max is 10:50, so the
+    // batch-2 watermark is 08:50) — so the fragments must MERGE into
+    // one session.
+    val gapUs = 30L * 60 * 1000000
+    val phase1 = ev(
+      (1L, "2026-01-01 10:00:00", 100L, "a"),
+      (1L, "2026-01-01 10:20:00", 101L, "b"),
+      (1L, "2026-01-01 10:50:00", 102L, "c"),
+      (2L, "2026-01-01 09:00:00", 200L, "x"),
+      (2L, "2026-01-01 09:50:00", 201L, "y"))
+    val phase2 = ev(
+      (2L, "2026-01-01 09:25:00", 202L, "z"),
+      (1L, "2026-01-01 12:00:00", 103L, "d"))
+    // heartbeat entity pushes the watermark far past every session so
+    // all state times out and emits
+    val flush = ev((999L, "2026-01-02 12:00:00", 900L, "hb"))
+
+    val schema = phase1.schema
+    val streamed = spark.readStream.schema(schema).parquet(inDir)
+    val q = Streams.sessionStatsStream(streamed, gapUs, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    feed(phase1, "p1"); q.processAllAvailable()
+    feed(phase2, "p2"); q.processAllAvailable()
+    feed(flush, "p3"); q.processAllAvailable()
+    q.processAllAvailable() // timeout pass under the advanced watermark
+    q.stop()
+
+    val got = spark.table("sess_out")
+      .filter(col("entity") =!= 999L)
+      .orderBy("entity", "session_seq")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Analytics.sessionStats(
+        phase1.unionByName(phase2), col("entity"),
+        unix_micros(col("ts")), gapUs, col("tie"), col("label"))
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // the late bridge really merged: entity 2 has ONE 50-minute session
+    val e2 = got.filter(_.head == 2L)
+    assert(e2.length === 1 && e2.head(5) == 3L, s"bridge failed: $e2")
+    // the boundary event joined: entity 1's first session spans to 10:50
+    val e1 = got.filter(_.head == 1L)
+    assert(e1.length === 2 && e1.head(5) == 3L && e1.head(7) == "c",
+      s"end+gap event must join the session: $e1")
+  }
 }
