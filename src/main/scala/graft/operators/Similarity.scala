@@ -781,6 +781,98 @@ object Similarity {
       .join(broadcast(qb), "__bucket"), k, idCol, queryIdCol, vecCol)
   }
 
+  /** INT8 symmetric quantization audit — the storage/serving question
+    * every embedding pipeline answers before shipping vectors at 100 TB
+    * scale: per-vector symmetric int8 (scale = max|x|/127, q =
+    * round(x/scale) clamped) cuts the column 4×; this reports exactly
+    * what that costs, per vector. Every output is ENGINE-EXACT: the
+    * scale and each reconstruction error are single IEEE op chains over
+    * the float inputs, published as floor(x·10⁹ + 0.5) nano-integers,
+    * and the per-vector error SUM accumulates in those integers — no
+    * float-summation order anywhere, so DuckDB replays it bitwise (the
+    * value-oracle counterpart to the ANN tier's invariant gates).
+    *
+    * Zero vectors quantize to all-zero with zero error (scale 0 is a
+    * published fact, not a division). `n_clipped` counts elements at
+    * the ±127 rail — with a max-derived scale that's exactly the
+    * max-magnitude elements, so a value > dim signals NaN/Inf input.
+    *
+    * Shape: one narrow projection (per-row HOF chain), no shuffle; the
+    * presentation sort is the only exchange. Output: `vec_id`,
+    * `scale_nano`, `n_clipped` (elements at ±127), `max_err_nano`,
+    * `sum_err_nano` LONG — total order by vec_id. */
+  def quantizationAudit(corpus: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("vec_id").isNotNull && col("__v").isNotNull)
+      .withColumn("__scale",
+        expr("aggregate(__v, CAST(0.0 AS DOUBLE), (m, x) -> " +
+          "greatest(m, abs(x))) / 127.0"))
+      .withColumn("__q", expr(
+        "transform(__v, x -> CASE WHEN __scale = 0.0 THEN 0L ELSE " +
+          "greatest(-127L, least(127L, " +
+          "CAST(floor(x / __scale + 0.5) AS BIGINT))) END)"))
+      .withColumn("__err_nano", expr(
+        "zip_with(__v, __q, (x, q) -> " +
+          "CAST(floor(abs(x - q * __scale) * 1000000000.0 + 0.5) " +
+          "AS BIGINT))"))
+      .select(col("vec_id"),
+        expr("CAST(floor(__scale * 1000000000.0 + 0.5) AS BIGINT)")
+          .as("scale_nano"),
+        expr("CAST(size(filter(__q, q -> q = 127L OR q = -127L)) " +
+          "AS BIGINT)").as("n_clipped"),
+        expr("CAST(array_max(__err_nano) AS BIGINT)").as("max_err_nano"),
+        expr("CAST(aggregate(__err_nano, 0L, (a, e) -> a + e) AS BIGINT)")
+          .as("sum_err_nano"))
+      .orderBy("vec_id")
+  }
+
+  /** ANN HARD-NEGATIVE MINING — the contrastive-training data op: for
+    * each query vector, the k most similar vectors carrying a DIFFERENT
+    * label (the "hard negatives" that teach a model the decision
+    * boundary; random negatives are trivially separable). The label
+    * filter applies BEFORE the top-k cut — filtering an unconstrained
+    * top-k afterwards silently under-fills exactly when negatives are
+    * hardest to find.
+    *
+    * `exact = true`: brute-force truth (queries broadcast — the q25
+    * contract). `exact = false`: SRP-LSH multi-probe candidates, same
+    * filter, exact cosine re-rank — the 100 TB path; approximation
+    * bounds recall, never fabricates similarity (emitted sims are true
+    * cosines, the ANN-tier contract). Output: (`query_id`, `vec_id`,
+    * `label`, `sim`, `rank`). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String, exact: Boolean, bits: Int = 0,
+                    dim: Int = 0, nProbe: Int = 1,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__q_vec"),
+      col(labelCol).as("__q_label"))
+    val cands =
+      if (exact) corpus.crossJoin(broadcast(q))
+      else {
+        require(bits > 0 && dim > 0, "LSH path needs bits and dim")
+        val home = corpus.withColumn("__bucket",
+          HashExprs.srpBucket(spark, col(vecCol), bits, dim))
+        val probing = withProbedBuckets(q, "__q_vec", bits, dim, nProbe)
+        home.join(broadcast(probing), "__bucket")
+      }
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    cands
+      .filter(col(idCol) =!= col(queryIdCol) &&
+        !(col(labelCol) <=> col("__q_label"))) // negatives only
+      .withColumn("sim", HashExprs.cosine(spark, col(vecCol), col("__q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col(labelCol).as("label"),
+        col("sim"), col("rank"))
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   /** Persisted-index STALENESS audit — the refresh-policy input every

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * tree of IEEE ops over those hashes — same corpus, same bits, on any
   * partitioning (the correctness gate exploits exactly that).
   *
-  * Scale shape: signature building is a distinct aggregate on
-  * (key, hash) — 16-byte shuffle rows with map-side combine — followed
-  * by a per-key bottom-k window that plans to WindowGroupLimit (each
-  * map task ships ≤ k hashes per key, never the set). Pairwise
+  * Scale shape: signature building is ONE mergeable
+  * [[graft.functions.Aggregators.bottomKDistinct]] aggregate — the
+  * bounded sorted-distinct buffer dedups and truncates map-side, so
+  * the single shuffle carries one ≤k-long array per (key, partition)
+  * instead of the hash stream (this replaced the round-7
+  * distinct → WindowGroupLimit → collect_list cascade; bottom-k
+  * distinct is canonical, so results are bit-identical). Pairwise
   * estimation then touches #keys² × k longs of SKETCH data only —
   * independent of corpus size, the entire point.
   */
@@ -44,11 +47,9 @@ object Sketches {
   def kmvSignatures(df: DataFrame, key: Column, value: Column,
                     k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val hashed = df.select(key.as("__k"),
-        flip(xxhash64(value)).as("__h")).distinct()
-    Relational.topKPerKey(hashed, Seq("__k"), k, Seq(col("__h").asc))
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(col("__h"))).as("sig"))
+    val bk = graft.functions.Aggregators.bottomKDistinct(k)
+    df.select(key.as("__k"), flip(xxhash64(value)).as("__h"))
+      .groupBy(col("__k")).agg(bk(col("__h")).as("sig"))
       .select(col("__k").as("key"), col("sig"), size(col("sig")).as("n_sig"))
   }
 
@@ -109,18 +110,20 @@ object Sketches {
     * union — array-equal, not just statistically equivalent — which is
     * the invariant the gate asserts.
     *
-    * Shape: explode (≤ k rows per input key) → distinct → per-target
-    * bottom-k (WindowGroupLimit) → collect; everything sketch-sized.
+    * Shape: ONE [[graft.functions.Aggregators.bottomKDistinctMerge]]
+    * aggregate — each fine sketch is already a sorted distinct array,
+    * so the rollup is one linear two-pointer merge per input key,
+    * map-side combined (replaced the round-7
+    * explode → distinct → WindowGroupLimit → collect cascade;
+    * bit-identical, bottom-k is canonical). Everything sketch-sized.
     * Input (`key`, `sig`) as from [[kmvSignatures]] with the SAME k;
     * `toKey` maps the fine key to the coarse one. Output: (`key`,
     * `sig`, `n_sig`, `distinct_est`). */
   def kmvRollup(sigs: DataFrame, toKey: Column, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val exploded = sigs
-      .select(toKey.as("__k"), explode(col("sig")).as("__h")).distinct()
-    Relational.topKPerKey(exploded, Seq("__k"), k, Seq(col("__h").asc))
-      .groupBy(col("__k"))
-      .agg(sort_array(collect_list(col("__h"))).as("sig"))
+    val bkm = graft.functions.Aggregators.bottomKDistinctMerge(k)
+    sigs.select(toKey.as("__k"), col("sig"))
+      .groupBy(col("__k")).agg(bkm(col("sig")).as("sig"))
       .select(col("__k").as("key"), col("sig"),
         size(col("sig")).as("n_sig"),
         kmvDistinctEst(col("sig"), k).as("distinct_est"))

@@ -11620,6 +11620,96 @@ object Probes {
         .orderBy("asset_id", "frame_idx")
     })
 
+  /** INT8 quantization audit (fully oracled, per-vector value table):
+    * symmetric per-vector scale, clamped round, nano-integer error
+    * stats — every number a pinned IEEE chain DuckDB replays bitwise. */
+  val quantizationProbe = Probe(
+    "q298_embedding_quantization",
+    (s, d) => {
+      import graft.operators.Similarity
+      Similarity.quantizationAudit(Tables.embeddings(s, d))
+    },
+    Some("""WITH b AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings
+           |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |s AS (SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+           |  FROM b),
+           |q AS (SELECT vec_id, sc,
+           |    list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+           |      ELSE greatest(-127, least(127,
+           |        CAST(floor(x / sc + 0.5) AS BIGINT))) END) AS qv,
+           |    list_transform(v, x -> CAST(floor(abs(x -
+           |      (CASE WHEN sc = 0 THEN 0
+           |        ELSE greatest(-127, least(127,
+           |          CAST(floor(x / sc + 0.5) AS BIGINT))) END) * sc)
+           |      * 1000000000 + 0.5) AS BIGINT)) AS errs
+           |  FROM s)
+           |SELECT vec_id,
+           |  CAST(floor(sc * 1000000000 + 0.5) AS BIGINT) AS scale_nano,
+           |  CAST(len(list_filter(qv, x -> x = 127 OR x = -127))
+           |    AS BIGINT) AS n_clipped,
+           |  CAST(list_max(errs) AS BIGINT) AS max_err_nano,
+           |  CAST(list_sum(errs) AS BIGINT) AS sum_err_nano
+           |FROM q ORDER BY vec_id""".stripMargin)
+  )
+
+  /** ANN hard-negative mining (contrastive-training data op): label
+    * filter BEFORE the top-k cut; the LSH path audited against the
+    * exact miner — never-above-exact at rank 1, recall floor, all
+    * returned labels really differ from the query's. DuckDB recomputes
+    * the query count. */
+  val hardNegativesProbe = Probe(
+    "q299_hard_negatives",
+    (s, d) => {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label"))
+      val bits = annBits(emb)
+      val exact = Similarity.hardNegatives(emb, queries, k = 5,
+        "label", exact = true)
+      val ann = Similarity.hardNegatives(emb, queries, k = 5,
+        "label", exact = false, bits = bits, dim = 64, nProbe = 4)
+      val e1 = exact.filter(col("rank") === 1)
+        .select(col("query_id"), col("sim").as("__e_sim"))
+      val a1 = ann.filter(col("rank") === 1)
+        .select(col("query_id"), col("sim").as("__a_sim"))
+      val ql = queries.select(col("query_id"), col("label").as("__ql"))
+      val labelsOk = ann.join(ql, "query_id")
+        .agg(coalesce(sum(when(col("label") <=> col("__ql"), 1L)
+          .otherwise(0L)), lit(0L)).as("__n_bad_label"))
+      e1.join(a1, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          count(col("__a_sim")).as("__n_found"),
+          coalesce(sum(when(col("__a_sim") > col("__e_sim") + 1e-12, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_viol"),
+          coalesce(sum(when(col("__a_sim") >= col("__e_sim") - 1e-12, 1L)
+            .otherwise(0L)), lit(0L)).as("__n_hit1"))
+        .crossJoin(labelsOk)
+        .select(col("n_queries"),
+          (col("__n_viol") === 0).as("ok_never_above_exact"),
+          (col("__n_found") >= col("n_queries") * 0.9).as("ok_found"),
+          (col("__n_hit1") >= col("n_queries") * 0.3).as("ok_recall1"),
+          (col("__n_bad_label") === 0).as("ok_labels_differ"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  true AS ok_never_above_exact, true AS ok_found,
+           |  true AS ok_recall1, true AS ok_labels_differ
+           |FROM embeddings WHERE vec_id % 17 = 0""".stripMargin),
+    benchRun = Some { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label"))
+      Similarity.hardNegatives(emb, queries, k = 5, "label",
+        exact = false, bits = annBits(emb), dim = 64, nProbe = 4)
+    })
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11691,7 +11781,8 @@ object Probes {
     hellingerProbe, dedupEvalProbe, logStatsProbe,
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
     mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
-    indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe
+    indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe,
+    quantizationProbe, hardNegativesProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -529,6 +529,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantizationAudit: hand case, zero vector, layout-proof") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.27f, -0.635f, 0.0f)), // scale = 1.27/127 = 0.01
+      (2L, Array(0.0f, 0.0f, 0.0f)),     // zero vector: scale 0, no error
+      (3L, Array(-2.54f, 1.27f, 0.005f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizationAudit(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // v1: scale 0.01 → q = [127, -64 (-63.5 rounds to -63? floor(-63.5+0.5)=-63), 0]
+    val s1 = 1.27f.toDouble / 127.0
+    def q(x: Double, s: Double): Long =
+      math.max(-127L, math.min(127L, math.floor(x / s + 0.5).toLong))
+    def errNano(x: Double, s: Double): Long =
+      math.floor(math.abs(x - q(x, s) * s) * 1e9 + 0.5).toLong
+    val v1 = Seq(1.27f, -0.635f, 0.0f).map(_.toDouble)
+    assert(out(1L) === ((math.floor(s1 * 1e9 + 0.5).toLong,
+      1L, // only +1.27 sits at the rail
+      v1.map(errNano(_, s1)).max, v1.map(errNano(_, s1)).sum)))
+    assert(out(2L) === ((0L, 0L, 0L, 0L)),
+      "zero vector: scale 0, q = 0 everywhere, zero error, nothing clipped")
+    // layout-proof
+    val a = Similarity.quantizationAudit(emb).collect().map(_.toSeq).toSeq
+    val b = Similarity.quantizationAudit(emb.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("hardNegatives: label filter precedes the cut; ANN <= exact") {
+    import spark.implicits._
+    // query q (label A) — nearest vector shares its label and must be
+    // SKIPPED, not crowd out the true hard negative
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f), "A"),  // query
+      (11L, Array(0.99f, 0.14f), "A"), // same label: excluded
+      (12L, Array(0.9f, 0.43f), "B"),  // the hard negative
+      (13L, Array(0.0f, 1.0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter(col("vec_id") === 10L)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val got = Similarity.hardNegatives(vecs, queries, k = 2, "label",
+        exact = true)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(12L, 13L), "same-label neighbor must not appear")
+    // ANN path on the corpus: subset-of-exact sims at rank 1
+    val q2 = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val ex = Similarity.hardNegatives(emb, q2, k = 3, "label",
+        exact = true).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    Similarity.hardNegatives(emb, q2, k = 3, "label", exact = false,
+        bits = 4, dim = 64, nProbe = 3)
+      .filter(col("rank") === 1).collect().foreach { r =>
+        assert(r.getDouble(3) <= ex(r.getLong(0)) + 1e-12)
+      }
+  }
+
   test("index path discipline: empty snapshot reads as empty; missing path fails loudly") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>

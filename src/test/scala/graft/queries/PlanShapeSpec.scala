@@ -198,10 +198,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q213: KMV rollup plans sketch-sized — bottom-k via WindowGroupLimit") {
+  test("q213: KMV rollup plans sketch-sized — mergeable bottom-k agg") {
     val p = planOf("q213_kmv_rollup")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-key bottom-k must cap below the exchange:\n$p")
+    // round 8: signatures and rollups build in ObjectHashAggregate
+    // partials (bottomKDistinct/bottomKDistinctMerge buffers) — the
+    // WindowGroupLimit cascade no longer exists; see the q196 guard
+    assert(p.contains("ObjectHashAggregate"),
+      s"bottom-k sketches must plan as ObjectHashAggregate partials:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
