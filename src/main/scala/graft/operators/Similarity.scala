@@ -873,6 +873,50 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** TRUNCATED-DIMENSION (matryoshka) recall audit — the dimension-
+    * budget question for an embedding column at 100 TB: cutting vectors
+    * to their first d dimensions cuts storage, scan I/O, and every
+    * dot product proportionally; this measures exactly what recall@k
+    * that costs, per candidate d. For each d, the exact top-k in the
+    * TRUNCATED space is compared to the exact top-k in the full space;
+    * recall is published as a truncating-ppm integer, so the whole
+    * table is engine-exact (pinned cosine chains + integer set
+    * intersection — a VALUE oracle, not an invariant gate). d = full
+    * dim reproduces the full ranking identically (same ties, same
+    * order), so its row reading 10⁶ is a built-in self-check.
+    *
+    * Shape: per d, one broadcast brute-force pass over the corpus (the
+    * q25 contract — queries are bounded); the recall join touches only
+    * |queries|·k pairs. Output: `dim`, `n_queries`, `n_pairs`,
+    * `n_hits`, `recall_ppm` LONG — total order by dim. */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                      dims: Seq[Int], fullDim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      queryIdCol: String = "query_id"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"dims must be within 1..$fullDim, got $dims")
+    def topAt(d: Int): DataFrame = bruteForceTopK(
+      corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol)),
+      queries.select(col(queryIdCol), slice(col(vecCol), 1, d).as(vecCol)),
+      k, idCol, vecCol, queryIdCol)
+    val full = topAt(fullDim)
+      .select(col(queryIdCol), col(idCol)).localCheckpoint(true)
+    dims.map { d =>
+      topAt(d)
+        .join(full.withColumn("__hit", lit(1L)), Seq(queryIdCol, idCol),
+          "left")
+        .agg(countDistinct(col(queryIdCol)).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L))
+            .as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"), col("n_pairs"),
+          col("n_hits"),
+          expr("CASE WHEN n_pairs > 0 THEN (n_hits * 1000000L) " +
+            "DIV n_pairs END").as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
   /** Per-bucket occupancy stats for the LSH index — the operational view
     * of bucket skew (drives the bits/tables tuning). */
   /** Persisted-index STALENESS audit — the refresh-policy input every

@@ -11710,6 +11710,53 @@ object Probes {
         exact = false, bits = annBits(emb), dim = 64, nProbe = 4)
     })
 
+  /** Matryoshka truncated-dim recall (fully oracled value table): exact
+    * top-k recall at 8/16/32/64 of 64 dims, integer ppm; the d=64 row
+    * must read exactly 10⁶ (identical space, identical ties). */
+  val truncatedRecallProbe = Probe(
+    "q300_matryoshka_recall",
+    (s, d) => {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.truncatedRecall(emb, queries, k = 10,
+        dims = Seq(8, 16, 32, 64), fullDim = 64)
+    },
+    Some("""WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id % 29 = 0),
+           |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           |sc AS (SELECT d, query_id, vec_id,
+           |    list_dot_product(list_slice(cv, 1, d),
+           |      list_slice(qv, 1, d)) /
+           |    NULLIF(sqrt(list_dot_product(list_slice(cv, 1, d),
+           |        list_slice(cv, 1, d))) *
+           |      sqrt(list_dot_product(list_slice(qv, 1, d),
+           |        list_slice(qv, 1, d))), 0) AS sim
+           |  FROM c, q, dims WHERE vec_id <> query_id),
+           |r AS (SELECT d, query_id, vec_id, row_number() OVER (
+           |    PARTITION BY d, query_id ORDER BY sim DESC, vec_id)
+           |    AS rnk FROM sc),
+           |topd AS (SELECT d, query_id, vec_id FROM r WHERE rnk <= 10),
+           |full_ AS (SELECT query_id, vec_id FROM topd WHERE d = 64),
+           |j AS (SELECT topd.d, topd.query_id, topd.vec_id,
+           |    CASE WHEN full_.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           |      AS hit
+           |  FROM topd LEFT JOIN full_
+           |    ON topd.query_id = full_.query_id
+           |    AND topd.vec_id = full_.vec_id)
+           |SELECT CAST(d AS BIGINT) AS dim,
+           |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(hit) AS BIGINT) AS n_hits,
+           |  CASE WHEN count(*) > 0 THEN
+           |    CAST((sum(hit) * 1000000) // count(*) AS BIGINT) END
+           |    AS recall_ppm
+           |FROM j GROUP BY d ORDER BY dim""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11782,7 +11829,7 @@ object Probes {
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
     mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
     indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe,
-    quantizationProbe, hardNegativesProbe
+    quantizationProbe, hardNegativesProbe, truncatedRecallProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
