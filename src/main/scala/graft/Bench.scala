@@ -98,21 +98,30 @@ object Bench {
     // machine-visible instead of hand-adjudicated each round. New
     // queries without a budget entry are skipped (they get frozen when
     // the budget file is next refreshed).
-    val budgets: Map[String, Double] =
+    // a missing/unreadable budget file must be DISTINGUISHABLE from
+    // "everything within budget" (the searchLshIndex lesson): the gate
+    // reports -1, never a fake 0
+    val budgets: Option[Map[String, Double]] =
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("BENCH_BUDGET.json"))
         val qsBlock = txt.substring(txt.indexOf("\"queries\""))
-        """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+        Some(""""(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
           .findAllMatchIn(qsBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          .filter(_.nonEmpty)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_BUDGET.json unreadable " +
+          s"(${e.getMessage}) — drift gate reports n_over_budget=-1")
+        None
+      }
     val overBudget = medians.filter { case (n, v) =>
-      v >= 0 && budgets.get(n).exists(b => v > 2.0 * b)
+      v >= 0 && budgets.exists(_.get(n).exists(b => v > 2.0 * b))
     }
+    val nOverBudget = budgets.fold(-1)(_ => overBudget.size)
     overBudget.foreach { case (n, v) =>
       System.err.println(f"[bench] OVER BUDGET $n: $v%.3f s > 2x " +
-        f"${budgets(n)}%.3f s")
+        f"${budgets.flatMap(_.get(n)).getOrElse(Double.NaN)}%.3f s")
     }
 
     // Full per-query line → file. The driver's log capture keeps only
@@ -128,7 +137,7 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
-        s""""n_over_budget":${overBudget.size},""" +
+        s""""n_over_budget":$nOverBudget,""" +
         s""""over_budget":$overList,"queries":$qsFull,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""sf":"$sfDir"}"""
@@ -146,7 +155,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
-        s""""n_failed":${failed.size},"n_over_budget":${overBudget.size},""" +
+        s""""n_failed":${failed.size},"n_over_budget":$nOverBudget,""" +
         s""""queries":$qsCompact,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""note":"queries = slowest 35 of ${medians.size}; full map in BENCH_FULL.json",""" +

@@ -45,8 +45,12 @@ object Codecs {
     // an ANIMATED GIF is a video container the JDK can actually demux —
     // route it to the frame-sampling path. The NETSCAPE2.0 application
     // extension (the loop block every animation encoder writes, ours
-    // included) is the discriminator; a single-frame GIF stays an image.
-    else if (ascii(0, "GIF8") && containsAscii(payload, "NETSCAPE2.0"))
+    // included — a one-frame file carrying it still DECLARES animation
+    // and decodes fine as a 1-frame video) is the discriminator; a
+    // plain GIF stays an image. The scan is capped to the header
+    // region (header + global color table + extension blocks precede
+    // the first image descriptor), so sniffing never walks pixel data.
+    else if (ascii(0, "GIF8") && containsAscii(payload, "NETSCAPE2.0", 4096))
       Some("video")
     else if (ascii(0, "GIF8")) Some("image")                            // GIF87a/89a
     else if (ascii(0, "BM")) Some("image")                              // BMP
@@ -58,10 +62,11 @@ object Codecs {
     else None
   }
 
-  private def containsAscii(payload: Array[Byte], s: String): Boolean = {
+  private def containsAscii(payload: Array[Byte], s: String,
+                            maxScan: Int = Int.MaxValue): Boolean = {
     val pat = s.getBytes("US-ASCII")
     var i = 0
-    val end = payload.length - pat.length
+    val end = math.min(payload.length, maxScan) - pat.length
     while (i <= end) {
       var j = 0
       while (j < pat.length && payload(i + j) == pat(j)) j += 1
@@ -161,11 +166,12 @@ object Codecs {
     if (!isGif) None
     else Try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-      val readers = ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no GIF reader registered")
-      val reader = readers.next()
-      reader.setInput(iis, false, false)
       try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no GIF reader registered")
+        val reader = readers.next()
+        reader.setInput(iis, false, false)
+        try {
         // logical screen = the composition canvas
         val (cw, ch) = {
           val st = reader.getStreamMetadata
@@ -178,7 +184,20 @@ object Codecs {
               e.getAttribute("logicalScreenHeight").toInt)
           } else (reader.getWidth(0), reader.getHeight(0))
         }
-        val n = math.min(reader.getNumImages(true), maxFrames)
+        // corrupt-input guards BEFORE any allocation: the logical
+        // screen is two unvalidated header bytes each way, and the
+        // composed frames all materialize (a Vector of full canvases)
+        // — a 65535x65535 declaration or a deep frame stack on a big
+        // canvas must degrade to the stub, never OOM the executor.
+        // Budget: canvas <= 2^24 px (~64 MB ARGB int raster) and
+        // total retained pixels across frames <= 2^28 (~1 GB of
+        // canvases) — crawl-corpus GIFs sit orders of magnitude below.
+        require(cw > 0 && ch > 0 && cw.toLong * ch <= (1L << 24),
+          s"GIF canvas ${cw}x$ch exceeds the composition budget")
+        val n0 = math.min(reader.getNumImages(true), maxFrames)
+        val n = math.min(n0.toLong,
+          (1L << 28) / math.max(1L, cw.toLong * ch)).toInt
+        require(n >= 1, "GIF frame budget exhausted before the first frame")
         val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
         var ts = 0L
         val out = Vector.newBuilder[VideoFrame]
@@ -220,7 +239,8 @@ object Codecs {
           i += 1
         }
         out.result()
-      } finally { reader.dispose(); iis.close() }
+        } finally reader.dispose()
+      } finally iis.close()
     }.toOption
   }
 

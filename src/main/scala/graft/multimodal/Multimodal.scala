@@ -228,15 +228,16 @@ object Multimodal {
             val timeline = frames.last.tsMs + frames.last.delayMs
             val dur = a.duration_ms.filter(_ > 0).getOrElse(timeline)
             val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
-            // consecutive ticks often land on the same frame — encode
-            // each canvas at most once
+            // tick timestamps are monotone, so the showing-frame cursor
+            // only ever advances — O(nTicks + nFrames), and each canvas
+            // encodes at most once (consecutive ticks reuse the PNG)
+            var fi = 0
             var lastIdx = -1
             var lastPng: Array[Byte] = null
             Iterator.range(0, n).map { idx =>
               val ts = idx * everyMs
-              // the frame showing at ts: last with tsMs <= ts
-              var fi = frames.length - 1
-              while (fi > 0 && frames(fi).tsMs > ts) fi -= 1
+              while (fi < frames.length - 1 && frames(fi + 1).tsMs <= ts)
+                fi += 1
               if (fi != lastIdx) {
                 lastIdx = fi
                 lastPng = Codecs.encodePng(frames(fi).image)

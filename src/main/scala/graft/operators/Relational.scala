@@ -447,12 +447,14 @@ object Relational {
     * interval; the join is a plain shuffled equi-join on (key, bucket),
     * so AQE's skew-join split handles hot buckets. Malformed intervals
     * (null bounds, end < start) are dropped, never clamped — and so is
-    * any interval spanning more than `maxSpanBuckets` buckets: a single
-    * ordered-but-absurd row (a sentinel end timestamp against an hourly
-    * bucket) would otherwise explode into up to 2³¹ bucket rows and
-    * take the stage down; such rows are dropped by the same visible
-    * pre-explode filter, and callers with genuinely long intervals
-    * raise `bucketUs` (or `maxSpanBuckets`) instead. Touching
+    * any interval spanning more than `maxSpanBuckets` buckets
+    * (default 2²⁰ ≈ a 12-day interval at one-second buckets — far past
+    * any sane bucketUs choice, since fanout IS the cost the scaladoc
+    * above tells callers to tune bucketUs against, yet well below the
+    * 2³¹-row explosion a single sentinel end timestamp would otherwise
+    * trigger); such rows are dropped by the same pre-explode filter as
+    * malformed ones, and callers with genuinely long intervals raise
+    * `bucketUs` (or `maxSpanBuckets`) instead. Touching
     * intervals (l_end = r_start) DO match, with `overlap_us` 0 — closed
     * intervals; callers wanting open semantics filter `overlap_us > 0`.
     *
@@ -463,7 +465,7 @@ object Relational {
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lKey: Column, lId: Column, lStart: Column, lEnd: Column,
                   rKey: Column, rId: Column, rStart: Column, rEnd: Column,
-                  bucketUs: Long, maxSpanBuckets: Long = 65536L): DataFrame = {
+                  bucketUs: Long, maxSpanBuckets: Long = 1L << 20): DataFrame = {
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
     require(maxSpanBuckets > 0L,
       s"maxSpanBuckets must be positive, got $maxSpanBuckets")

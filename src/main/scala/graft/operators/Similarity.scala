@@ -39,6 +39,34 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Missing-path discipline shared by every persisted-index reader: a
+    * mistyped path is an operator error and fails LOUDLY — only a dir
+    * that exists but holds no part files (an empty snapshot) may read
+    * as empty. */
+  private def requireIndexPath(spark: org.apache.spark.sql.SparkSession,
+                               path: String, kind: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(root.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(root), s"$kind index path does not exist: $path")
+  }
+
+  /** The canonical empty top-k frame (query_id type from the caller's
+    * queries frame; LONG ids — the library-wide vector-id contract). */
+  private def emptyTopK(spark: org.apache.spark.sql.SparkSession,
+                        queries: DataFrame, queryIdCol: String,
+                        idCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(queryIdCol,
+          queries.schema(queryIdCol).dataType),
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType))))
+
   /** Exact top-k nearest neighbors by cosine for each query row.
     * `queries` must be small enough to broadcast. Output:
     * (query_id, vec_id, sim, rank). */
@@ -651,9 +679,7 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        queryIdCol: String = "query_id"): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    require(root.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(root), s"IVF-PQ index path does not exist: $path")
+    requireIndexPath(spark, path, "IVF-PQ")
     val model = spark.read.parquet(s"$path/__model").collect().head
     val nCells = model.getAs[Int]("n_cells")
     val dim = model.getAs[Int]("dim")
@@ -685,17 +711,7 @@ object Similarity {
           centroids, codebooks, m, kCodes, dim))
     val probedCells = qRows.map(_.getAs[Number]("__cell").longValue()).distinct
     if (!graft.sources.FsUtil.hasData(spark, path))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(queryIdCol,
-            queries.schema(queryIdCol).dataType),
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sim",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rank",
-            org.apache.spark.sql.types.IntegerType))))
+      return emptyTopK(spark, queries, queryIdCol, idCol)
     val enc = spark.read.parquet(path)
       .where(col("__cell").isin(probedCells.map(c => lit(c)): _*))
     shortlistAndRerank(enc, broadcast(qb), k, m, kCodes, shortlist,
@@ -756,26 +772,13 @@ object Similarity {
     val probed = qRows.map(_.getAs[Number]("__bucket").longValue()).distinct
     // an EMPTY corpus writes a partitioned dir with no part files, which
     // parquet cannot infer a schema from — the honest result there is an
-    // empty top-k frame (LONG ids, the library-wide vector-id contract).
-    // ONLY that case maps to empty: a missing/mistyped path fails
-    // loudly (it is an operator error, not an empty snapshot), and any
-    // other read failure propagates — catching every AnalysisException
-    // here would make a broken index indistinguishable from an empty one
-    val root = new org.apache.hadoop.fs.Path(path)
-    require(root.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(root), s"LSH index path does not exist: $path")
+    // empty top-k frame. ONLY that case maps to empty (requireIndexPath
+    // makes a mistyped path fail loudly), and any other read failure
+    // propagates — catching every AnalysisException here would make a
+    // broken index indistinguishable from an empty one
+    requireIndexPath(spark, path, "LSH")
     if (!graft.sources.FsUtil.hasData(spark, path))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(queryIdCol,
-            queries.schema(queryIdCol).dataType),
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sim",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rank",
-            org.apache.spark.sql.types.IntegerType))))
+      return emptyTopK(spark, queries, queryIdCol, idCol)
     val cb = spark.read.parquet(path)
     rerank(cb.where(col("__bucket").isin(probed.map(b => lit(b)): _*))
       .join(broadcast(qb), "__bucket"), k, idCol, queryIdCol, vecCol)
@@ -954,9 +957,7 @@ object Similarity {
     // empty-corpus precedent). A missing/mistyped path fails loudly
     // instead of silently auditing as n_reachable=0, and any other
     // read failure propagates
-    val ixRoot = new org.apache.hadoop.fs.Path(indexPath)
-    require(ixRoot.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(ixRoot), s"LSH index path does not exist: $indexPath")
+    requireIndexPath(spark, indexPath, "LSH")
     val indexed = (if (graft.sources.FsUtil.hasData(spark, indexPath))
         spark.read.parquet(indexPath).select(col("vec_id").as("__ix_id"))
       else spark.range(0).select(col("id").as("__ix_id"))).distinct()

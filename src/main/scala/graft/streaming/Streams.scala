@@ -192,7 +192,11 @@ object Streams {
     events
       .select(col("entity").cast("long").as("entity"),
         col("ts").cast("timestamp").as("ts"),
-        col("tie").cast("long").as("tie"),
+        // a NULL tie must not poison the long-running query (the typed
+        // encoder would throw on the non-nullable Long field and take
+        // the stream down); Long.MinValue mirrors the batch twin's
+        // NULLS-FIRST ordering of a null tiebreaker
+        coalesce(col("tie").cast("long"), lit(Long.MinValue)).as("tie"),
         col("label").cast("string").as("label"))
       .filter(col("entity").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark)

@@ -839,6 +839,15 @@ object ScaleSweep {
               col("value") + 1.0).otherwise(col("value")))
           noop(graft.operators.Diff.columnDiff(old, neu, Seq("event_id")))
         },
+        // per round: ONE (pair)-keyed map-side-combined count over the
+        // distinct-word vocab frame + a one-row driver argmax — cost
+        // tracks the vocab (which the per-replica text salt grows),
+        // never the corpus row count
+        "bpe_distributed" -> { () =>
+          val merges = Bpe.trainDistributed(docs, col("text"),
+            col("doc_id"), nMerges = 20)
+          require(merges.length == 20, s"expected 20 merges, got ${merges.length}")
+        },
         // probed-cell pruned scan + O(m) ADC walk per candidate +
         // shortlist re-rank — constant probe budget, so rows track
         // per-cell occupancy, never the corpus
