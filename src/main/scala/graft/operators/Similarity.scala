@@ -666,6 +666,52 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/__model")
   }
 
+  /** INCREMENTAL IVF-PQ admission — index maintenance without the
+    * O(corpus) rebuild (the [[graft.operators.IncrementalDedup]] move,
+    * ANN edition): new vectors encode under the index's OWN persisted
+    * model (same centroids, same per-cell codebooks — so their cells,
+    * codes, and every downstream ADC estimate are exactly what a full
+    * rebuild would assign) and land as NEW files appended into their
+    * cell directories; existing files are never touched. Search over
+    * the appended index is therefore BIT-IDENTICAL to a full rebuild
+    * over the union corpus under the same model — the q301 gate.
+    *
+    * Cost: O(batch) encode + write, vs O(corpus) for a rebuild. What
+    * it does NOT do: re-train (centroid/codebook drift against a
+    * growing corpus is the [[indexStaleness]] audit's question —
+    * re-train + [[writeIvfPqIndex]] when recall sags against its
+    * reachable ceiling), dedup (admitting the same vec_id twice stores
+    * it twice — gate admission upstream, e.g. via the incremental
+    * dedup sink), or transactional atomicity (a crash mid-append can
+    * leave a partial batch; wrap the call in [[graft.sources
+    * .TxnParquet]]-style staging if replays aren't idempotent for the
+    * caller). */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    requireIndexPath(spark, path, "IVF-PQ")
+    val model = spark.read.parquet(s"$path/__model").collect().head
+    val nCells = model.getAs[Int]("n_cells")
+    val dim = model.getAs[Int]("dim")
+    val m = model.getAs[Int]("m")
+    val kCodes = model.getAs[Int]("k_codes")
+    val centroids = model.getSeq[Double](model.fieldIndex("centroids")).toArray
+    val codebooks = model.getSeq[Double](model.fieldIndex("codebooks")).toArray
+    newVectors
+      .select(col(idCol), col(vecCol),
+        HashExprs.ivfPqEncode(spark, col(vecCol), centroids, codebooks,
+          nCells, m, kCodes, dim).as("__enc"))
+      .select(col(idCol), col(vecCol),
+        element_at(col("__enc"), 1).as("__cell"),
+        slice(col("__enc"), 2, m).as("__codes"))
+      .repartition(col("__cell"))
+      .write
+      .partitionBy("__cell")
+      .mode("append")
+      .parquet(path)
+  }
+
   /** ANN search against a persisted IVF-PQ index: load the model row,
     * compute each query's probed cells, read ONLY those partitions
     * (static partition filter), residual-ADC shortlist, exact re-rank.

@@ -11757,6 +11757,64 @@ object Probes {
            |FROM j GROUP BY d ORDER BY dim""".stripMargin)
   )
 
+  /** Incremental IVF-PQ admission (q295's maintenance path, q61's ANN
+    * twin): half the corpus indexed, the other half APPENDED under the
+    * persisted model — search must be BIT-IDENTICAL to a full rebuild
+    * over the union (same model ⇒ same cells, codes, estimates; only
+    * file layout differs). DuckDB recomputes the query count. */
+  val ivfPqAppendProbe = Probe(
+    "q301_ivfpq_append",
+    (s, d) => {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (cents, cbs) = ivfPqTrainStage(s, d)
+      val tmp = sys.props("java.io.tmpdir")
+      val incDir = tmp + "/graft_q301_ivfpq_inc"
+      val fullDir = tmp + "/graft_q301_ivfpq_full"
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        incDir, nCells = 8, dim = 64, m = 8, kCodes = 16, cents, cbs)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        incDir)
+      Similarity.writeIvfPqIndex(emb, fullDir, nCells = 8, dim = 64,
+        m = 8, kCodes = 16, cents, cbs)
+      val inc = Similarity.searchIvfPqIndex(s, incDir, queries, k = 10,
+        nProbe = 3, shortlist = 48)
+      val full = Similarity.searchIvfPqIndex(s, fullDir, queries, k = 10,
+        nProbe = 3, shortlist = 48)
+      val fKeyed = full.select(col("query_id"), col("vec_id"),
+        col("sim").as("__f_sim"), col("rank").as("__f_rank"))
+      inc.join(fKeyed, Seq("query_id", "vec_id"), "full_outer")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("sim") <=> col("__f_sim") &&
+            col("rank") <=> col("__f_rank"), 0L).otherwise(1L)), lit(0L))
+            .as("__n_mismatch"))
+        .select(col("n_queries"), col("n_pairs"),
+          (col("__n_mismatch") === 0).as("ok_append_eq_rebuild"),
+          (col("n_pairs") > 0).as("ok_nonempty"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(count(*) * 10 AS BIGINT) AS n_pairs,
+           |  true AS ok_append_eq_rebuild, true AS ok_nonempty
+           |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin),
+    benchRun = Some { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val (cents, cbs) = ivfPqTrainStage(s, d)
+      val dir = sys.props("java.io.tmpdir") + "/graft_q301_ivfpq_b"
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        dir, nCells = 8, dim = 64, m = 8, kCodes = 16, cents, cbs)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        dir)
+      val queries = emb.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.searchIvfPqIndex(s, dir, queries, k = 10, nProbe = 3,
+        shortlist = 48)
+    })
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11829,7 +11887,8 @@ object Probes {
     topkStabilityProbe, coverageAuditProbe, essProbe, kllRollupProbe,
     mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
     indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe,
-    quantizationProbe, hardNegativesProbe, truncatedRecallProbe
+    quantizationProbe, hardNegativesProbe, truncatedRecallProbe,
+    ivfPqAppendProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -587,6 +587,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("IVF-PQ append: search == full rebuild; pre-existing files untouched") {
+    val cents = Similarity.ivfCentroids(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64)
+    val cbs = Similarity.ivfPqCodebooks(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64,
+      m = 8, kCodes = 8, cents, maxSample = 256)
+    val queries = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      incDir, nCells = 4, dim = 64, m = 8, kCodes = 8, cents, cbs)
+    def dataFiles(dir: String): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          out(f.getAbsolutePath) = f.lastModified()
+      walk(new java.io.File(dir, "__cell=0").getParentFile)
+      out.toMap
+    }
+    val before = dataFiles(incDir)
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 =!= 0), incDir)
+    val after = dataFiles(incDir)
+    assert(before.keySet.subsetOf(after.keySet) && after.size > before.size,
+      "append must only ADD files")
+    Similarity.writeIvfPqIndex(emb, fullDir, nCells = 4, dim = 64,
+      m = 8, kCodes = 8, cents, cbs)
+    def run(dir: String) = Similarity.searchIvfPqIndex(spark, dir,
+        queries, k = 5, nProbe = 2, shortlist = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(incDir) === run(fullDir),
+      "append-then-search must equal rebuild-then-search bit-for-bit")
+  }
+
   test("index path discipline: empty snapshot reads as empty; missing path fails loudly") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>
