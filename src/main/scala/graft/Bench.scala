@@ -115,8 +115,13 @@ object Bench {
           s"(${e.getMessage}) — drift gate reports n_over_budget=-1")
         None
       }
+    // relative AND absolute: 87 queries have sub-0.5 s budgets, where
+    // a loaded box doubles times by scheduling noise alone — a flag
+    // needs v > 2× budget AND at least one absolute second of
+    // regression, so the gate trips on real plan changes, not jitter
     val overBudget = medians.filter { case (n, v) =>
-      v >= 0 && budgets.exists(_.get(n).exists(b => v > 2.0 * b))
+      v >= 0 && budgets.exists(_.get(n).exists(b =>
+        v > 2.0 * b && v - b > 1.0))
     }
     val nOverBudget = budgets.fold(-1)(_ => overBudget.size)
     overBudget.foreach { case (n, v) =>

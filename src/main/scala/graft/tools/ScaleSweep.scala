@@ -839,6 +839,19 @@ object ScaleSweep {
               col("value") + 1.0).otherwise(col("value")))
           noop(graft.operators.Diff.columnDiff(old, neu, Seq("event_id")))
         },
+        // one narrow per-row HOF projection, no shuffle — pure linear
+        "quantization" -> (() => noop(
+          Similarity.quantizationAudit(emb))),
+        // SRP-bucketed candidates + label filter + re-rank: constant
+        // query set, per-bucket occupancy growth (the q225 shape)
+        "hard_negatives" -> { () =>
+          val queries = emb.filter(col("vec_id") % 17 === 0 &&
+              col("vec_id") < 30000)
+            .select(col("vec_id").as("query_id"), col("embedding"),
+              col("label"))
+          noop(Similarity.hardNegatives(emb, queries, k = 5, "label",
+            exact = false, bits = 5, dim = 64, nProbe = 4))
+        },
         // per round: ONE (pair)-keyed map-side-combined count over the
         // distinct-word vocab frame + a one-row driver argmax — cost
         // tracks the vocab (which the per-replica text salt grows),
