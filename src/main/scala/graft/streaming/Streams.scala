@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -258,6 +258,64 @@ object Streams {
       state.setTimeoutTimestamp(open.map(_.endUs + gapUs).min / 1000L + 1L)
     out.iterator
   }
+
+  private[streaming] final case class KmvIn(key: String, h: Long)
+
+  /** One running distinct-cardinality row of [[kmvDistinctStream]]. */
+  final case class KmvDistinctRow(key: String, n_sig: Int,
+                                  distinct_est: Double)
+
+  /** STREAMING DISTINCT-CARDINALITY sketches — the unbounded twin of
+    * [[graft.operators.Sketches.kmvSignatures]] + `kmvDistinctEst`,
+    * with the round-8 bottom-k buffer as the keyed STATE: per key, the
+    * state is the sorted distinct bottom-k hash array (≤ k longs —
+    * bounded forever, by construction), each micro-batch folds its
+    * values in through exactly the batch aggregator's reduce, and the
+    * emitted estimate is the same pinned IEEE chain the batch column
+    * computes — so after any replay/batch-split of the same input the
+    * final per-key row is BIT-IDENTICAL to the batch operator's
+    * (bottom-k is canonical; StreamsSpec asserts it). Both `n_sig` and
+    * `distinct_est` are non-decreasing over a key's lifetime (a
+    * growing union can only lower the kth hash), which is what lets
+    * update-mode consumers keep the max per key.
+    *
+    * Update output mode (running estimates, no watermark/event-time —
+    * cardinality has no lateness semantics). State per key: ≤ k longs
+    * + the key. */
+  def kmvDistinctStream(events: DataFrame, key: Column, value: Column,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.Aggregators.BottomKDistinctAggregator(k)
+    events
+      .select(key.cast("string").as("key"),
+        xxhash64(value).bitwiseXOR(lit(Long.MinValue)).as("h"))
+      .filter(col("key").isNotNull)
+      .as[KmvIn]
+      .groupByKey(_.key)
+      .mapGroupsWithState[Array[Long], KmvDistinctRow](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          it.foreach(e => buf = agg.reduce(buf, e.h))
+          state.update(buf)
+          KmvDistinctRow(key, buf.length, kmvEstimate(buf, k))
+      }
+      .toDF()
+  }
+
+  /** The classic KMV estimator, bit-identical to
+    * [[graft.operators.Sketches.kmvDistinctEst]]'s column form: exact
+    * |set| while the sketch holds the whole set, else
+    * (k−1)/frac(kth smallest flipped hash). */
+  private def kmvEstimate(sig: Array[Long], k: Int): Double =
+    if (sig.length < k) sig.length.toDouble
+    else {
+      val frac = (sig(k - 1).toDouble + 9.223372036854776e18) /
+        1.8446744073709552e19
+      (k - 1).toDouble / frac
+    }
 
   /** Stream-static enrichment: join the live fact stream to a dimension
     * snapshot (the dashboard's fact⋈cities shape, streaming edition).

@@ -353,6 +353,48 @@ class StreamsSpec extends AnyFunSuite {
       "every non-heartbeat click accounted for")
   }
 
+  test("streaming KMV distinct == batch kmvSignatures estimate under replay") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_kmv_in").toString
+    // enough distinct values per key to overflow k=16 (the estimator
+    // path), split across two batches with overlap (state must dedup)
+    def ev(lo: Int, hi: Int) = (lo until hi).flatMap(i =>
+      Seq(("a", s"u$i"), ("b", s"v${i % 9}")))
+      .toDF("key", "v")
+    def feed(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_st").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    val schema = ev(0, 1).schema
+    val q = Streams.kmvDistinctStream(
+        spark.readStream.schema(schema).parquet(inDir),
+        col("key"), col("v"), k = 16)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_out").start()
+    feed(ev(0, 40), "p1"); q.processAllAvailable()
+    feed(ev(30, 80), "p2"); q.processAllAvailable() // overlap 30..40
+    q.stop()
+    // n_sig/est are NON-DECREASING per key, so the final state is the
+    // max across update-mode emissions
+    val got = spark.table("kmv_out")
+      .groupBy("key").agg(max("n_sig").as("n_sig"),
+        max("distinct_est").as("est"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2)))).toMap
+    val want = graft.operators.Sketches
+      .kmvSignatures(ev(0, 80), col("key"), col("v"), 16)
+      .select(col("key"), col("n_sig"),
+        graft.operators.Sketches.kmvDistinctEst(col("sig"), 16).as("est"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got === want) // bit-identical, estimator path AND exact path
+    assert(want("a")._1 === 16 && want("b")._2 === 9.0,
+      "fixture must exercise both the truncated and the exact regime")
+  }
+
   test("streaming sessionization == batch sessionStats under replay, " +
       "late bridging event, timeout-boundary join") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
