@@ -31,6 +31,8 @@ object GraftSession {
         "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SQL MERGE INTO over graft MergeSink temp views (graft.plans.SqlMerge)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

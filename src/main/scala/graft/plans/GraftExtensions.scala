@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_repetition", "duplicate word-n-gram fraction of a text column") {
       e => RepetitionRatio(e.head, e(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("graft_char_entropy", "character-distribution Shannon entropy of a text column") {
+      e => CharEntropy(e.head)
+    }
+    inject("graft_alnum_fold", "lowercase alphanumeric folding of a text column") {
+      e => AlnumFold(e.head)
+    }
     inject("graft_nfc", "Unicode NFC canonical composition of a text column") {
       e => NfcNormalize(e.head)
     }
@@ -91,5 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native as-of join operator: rewrite rule + physical strategy
     ext.injectOptimizerRule(_ => RewriteAsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+
+    // SQL MERGE INTO over graft MergeSink temp views (SqlMerge.scala).
+    // Injected BOTH into the resolution fixed point (captures the merge
+    // the moment it is fully resolved, ahead of later built-in batches
+    // that only know DSv2 row-level tables) and post-hoc as a safety
+    // net; the lowering is idempotent — once swapped, no MergeIntoTable
+    // remains to match.
+    ext.injectResolutionRule(s => GraftMergeRule(s))
+    ext.injectPostHocResolutionRule(s => GraftMergeRule(s))
   }
 }

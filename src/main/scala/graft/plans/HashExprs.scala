@@ -769,9 +769,16 @@ object HashExprs {
     val reg = spark.sessionState.functionRegistry
     // idempotent: re-registering per call floods logs with
     // "SimpleFunctionRegistry ... replaced a previously registered
-    // function" warnings (one per query in a bench run)
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash62"))) return
+    // function" warnings (one per query in a bench run). The guard must
+    // check EVERY name this method registers — GraftExtensions injects
+    // an overlapping set at session build, and a single-name guard
+    // would short-circuit on that overlap and leave the rest missing.
+    val names = Seq("graft_simhash62", "graft_minhash_sig",
+      "graft_shingles", "graft_minhash_sig_hashed",
+      "graft_hashed_shingles", "graft_band_hash", "graft_cosine",
+      "graft_srp_bucket")
+    if (names.forall(n => reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     reg.createOrReplaceTempFunction("graft_simhash62",
       exprs => SimHash62(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",

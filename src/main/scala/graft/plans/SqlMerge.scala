@@ -1,0 +1,404 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.MergeSink
+
+/** SQL-facing `MERGE INTO` over graft [[MergeSink]] tables (SURVEY.md §2.1
+  * S4/S5 — the reference's `INSERT … ON CONFLICT` load surface, which its
+  * users drive from SQL, dags/etl.py:66-121).
+  *
+  * Spark's analyzer fully resolves a `MergeIntoTable` whose target is a
+  * temp view (children, ON condition, actions, star expansion) but can
+  * only EXECUTE it against a DSv2 table with row-level-operation support.
+  * [[GraftMergeRule]] intercepts the resolved node when the target is a
+  * view registered through [[SqlMerge.register]] and lowers it onto the
+  * sink:
+  *
+  *  - '''fast path''' — the two reference shapes:
+  *    `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`
+  *    → [[MergeSink.mergeLastWins]] (ON CONFLICT DO UPDATE), and
+  *    `WHEN NOT MATCHED THEN INSERT *` alone →
+  *    [[MergeSink.mergeIfAbsent]] (DO NOTHING). These ride the sinks'
+  *    INCREMENTAL partition-pruned merge — O(touched partitions), the
+  *    shape that survives 100 TB.
+  *  - '''general path''' — conditional UPDATE/DELETE, explicit
+  *    assignments, `WHEN NOT MATCHED BY SOURCE`: expanded to a single
+  *    full-outer join + row-action projection (the standard MERGE
+  *    lowering, cf. Delta/Iceberg) and written back via
+  *    [[MergeSink.overwriteAll]]. This is an O(table) rewrite by design —
+  *    arbitrary per-row actions cannot be partition-pruned without
+  *    knowing which partitions the condition touches.
+  *
+  * After either path the target temp view is re-registered from the sink
+  * so subsequent statements read the post-merge table.
+  */
+object SqlMerge {
+
+  private val targets = new ConcurrentHashMap[String, MergeSink]()
+
+  private def norm(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+
+  /** Expose `sink` to SQL as temp view `name` and accept MERGE INTO
+    * statements targeting it. The view snapshots the sink's CURRENT
+    * contents; merges through this module refresh it automatically,
+    * out-of-band sink writes need a re-register. */
+  def register(spark: SparkSession, name: String, sink: MergeSink): Unit = {
+    sink.read(spark).createOrReplaceTempView(name)
+    targets.put(norm(name), sink)
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit = {
+    targets.remove(norm(name))
+    spark.catalog.dropTempView(name)
+  }
+
+  /** The registered sink a resolved MERGE target plan refers to: temp
+    * views resolve to `SubqueryAlias(name, …)`, pre-order so an explicit
+    * `MERGE INTO t AS alias` alias wrapper is skipped over. */
+  private[plans] def sinkFor(target: LogicalPlan): Option[(String, MergeSink)] =
+    target.collectFirst {
+      case SubqueryAlias(ident, _) if targets.containsKey(norm(ident.name)) =>
+        (ident.name, targets.get(norm(ident.name)))
+    }
+
+  private[plans] def registered(name: String): Option[MergeSink] =
+    Option(targets.get(norm(name)))
+}
+
+/** Resolution-stage lowering: swap a fully-resolved [[MergeIntoTable]]
+  * over a registered view for [[GraftMergeCommand]] before Spark's
+  * DSv2-only rewrite/check machinery can reject it. Injected via
+  * [[GraftExtensions]] at the END of the resolution batch (and again
+  * post-hoc, idempotently), so every built-in resolution step — view
+  * lookup, reference resolution, star expansion, assignment alignment —
+  * has already run on the node we capture. */
+final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case m: MergeIntoTable if readyToLower(m) =>
+      SqlMerge.sinkFor(m.targetTable) match {
+        case Some((name, sink)) =>
+          require(!m.withSchemaEvolution,
+            s"MERGE INTO $name: WITH SCHEMA EVOLUTION is not supported by graft merge " +
+              "targets — evolve the table schema with an explicit rewrite first")
+          GraftMergeCommand(name, sink, MergeSpec.from(name, sink, m))
+        case None => m // not ours: leave for Spark's own (DSv2) handling
+      }
+  }
+
+  /** Everything resolved except possibly star actions (which
+    * [[MergeSpec.from]] expands itself when the analyzer left them —
+    * non-DSv2 targets don't always get Spark's star expansion). */
+  private def readyToLower(m: MergeIntoTable): Boolean = {
+    def actionReady(a: MergeAction): Boolean = a match {
+      case u: UpdateAction => u.condition.forall(_.resolved) && u.assignments.forall(_.resolved)
+      case i: InsertAction => i.condition.forall(_.resolved) && i.assignments.forall(_.resolved)
+      case d: DeleteAction => d.condition.forall(_.resolved)
+      case s: UpdateStarAction => s.condition.forall(_.resolved)
+      case s: InsertStarAction => s.condition.forall(_.resolved)
+      case _ => false
+    }
+    m.childrenResolved && m.mergeCondition.resolved &&
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions).forall(actionReady)
+  }
+}
+
+/** The analyzed MERGE, normalized: stars expanded to explicit
+  * per-column assignments, ON-condition equi-keys extracted. Plain case
+  * class (not a TreeNode) — its expressions are final, no further
+  * analyzer rewriting is wanted. */
+final case class MergeSpec(
+    viewName: String,
+    target: LogicalPlan,
+    source: LogicalPlan,
+    condition: Expression,
+    matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction],
+    bySource: Seq[MergeAction]) {
+
+  /** ON-condition as pure same-column equi-join keys
+    * (targetAttr, sourceAttr) — None when any conjunct is anything else
+    * (expression, cast, inequality), which disqualifies the fast path. */
+  lazy val equiKeys: Option[Seq[(Attribute, Attribute)]] = {
+    val conjuncts = splitConjuncts(condition)
+    val tOut = AttributeSet(target.output)
+    val sOut = AttributeSet(source.output)
+    val pairs = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => Some((a: Attribute, b: Attribute))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => Some((a: Attribute, b: Attribute))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+object MergeSpec {
+
+  def from(name: String, sink: MergeSink, m: MergeIntoTable): MergeSpec = {
+    val expand = expandStar(m.targetTable, m.sourceTable, name) _
+    MergeSpec(
+      viewName = name,
+      target = m.targetTable,
+      source = m.sourceTable,
+      condition = m.mergeCondition,
+      matched = m.matchedActions.map(expand),
+      notMatched = m.notMatchedActions.map(expand),
+      bySource = m.notMatchedBySourceActions.map(expand))
+  }
+
+  /** `UPDATE SET *` / `INSERT *` → one by-name assignment per TARGET
+    * column from the source (the SQL-standard star semantics; fails
+    * loudly when the source lacks a target column). */
+  private def expandStar(target: LogicalPlan, source: LogicalPlan, name: String)
+                        (a: MergeAction): MergeAction = {
+    def srcAttr(col: Attribute): Attribute =
+      source.output.find(_.name.equalsIgnoreCase(col.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO $name: UPDATE SET * / INSERT * needs source column '${col.name}' " +
+            s"matching the target; source has [${source.output.map(_.name).mkString(", ")}]"))
+    a match {
+      case UpdateStarAction(cond) =>
+        UpdateAction(cond, target.output.map(t => Assignment(t, srcAttr(t))), fromStar = true)
+      case InsertStarAction(cond) =>
+        InsertAction(cond, target.output.map(t => Assignment(t, srcAttr(t))))
+      case other => other
+    }
+  }
+}
+
+/** Driver-side MERGE executor. Output is empty (like Spark's own v2
+  * merge); effects land in the sink and the refreshed temp view. */
+final case class GraftMergeCommand(name: String, sink: MergeSink, spec: MergeSpec)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    SqlMergeExec.execute(spark, sink, spec)
+    // subsequent statements must see the post-merge table
+    sink.read(spark).createOrReplaceTempView(name)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeCommand $name, matched=${spec.matched.size}, " +
+      s"notMatched=${spec.notMatched.size}, bySource=${spec.bySource.size}"
+}
+
+private[plans] object SqlMergeExec {
+
+  def execute(spark: SparkSession, sink: MergeSink, spec: MergeSpec): Unit =
+    fastPath(spec) match {
+      case Some((lastWins, keys, batchPlan)) =>
+        val batch = GraftSqlBridge.ofRows(spark, batchPlan)
+        try {
+          if (lastWins) sink.mergeLastWins(batch, keys) else sink.mergeIfAbsent(batch, keys)
+        } catch {
+          // a sink refusing the incremental form (e.g. date-partitioned
+          // sinks require the partition timestamp in the merge key) does
+          // not make the MERGE wrong — fall back to the always-correct
+          // full rewrite, loudly
+          case e: IllegalArgumentException =>
+            log.warn(s"MERGE INTO ${spec.viewName}: incremental merge declined " +
+              s"(${e.getMessage}); falling back to full-table rewrite")
+            generalPath(spark, sink, spec)
+        }
+      case None => generalPath(spark, sink, spec)
+    }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // ---------------------------------------------------------------- fast
+
+  /** Detect the two ON-CONFLICT shapes and build the batch projection:
+    * source projected to the exact target schema (column names, order,
+    * types). Returns (lastWins?, keys, batchPlan). */
+  private def fastPath(spec: MergeSpec): Option[(Boolean, Seq[String], LogicalPlan)] = {
+    if (spec.bySource.nonEmpty) return None
+    val keys = spec.equiKeys.getOrElse(return None)
+    if (keys.isEmpty) return None
+
+    def fullCoverage(assignments: Seq[Assignment]): Option[Map[ExprId, Expression]] = {
+      val byTarget = assignments.flatMap { asg =>
+        asg.key match {
+          case k: Attribute => Some(k.exprId -> asg.value)
+          case _ => None // nested-field assignment: general path
+        }
+      }.toMap
+      val sOut = AttributeSet(spec.source.output)
+      val ok = byTarget.size == assignments.size &&
+        spec.target.output.forall(t => byTarget.contains(t.exprId)) &&
+        // values must be computable from the source row alone
+        byTarget.values.forall(_.references.subsetOf(sOut))
+      if (ok) Some(byTarget) else None
+    }
+
+    // key columns must be assigned their own ON-condition source key —
+    // otherwise the written key differs from the matched key and the
+    // incremental join-on-names lowering would change semantics
+    def keysPreserved(vals: Map[ExprId, Expression]): Boolean =
+      keys.forall { case (t, s) =>
+        vals.get(t.exprId).exists {
+          case a: Attribute => a.exprId == s.exprId
+          case Cast(a: Attribute, _, _, _) => a.exprId == s.exprId
+          case _ => false
+        }
+      }
+
+    def batchPlan(vals: Map[ExprId, Expression]): LogicalPlan =
+      Project(spec.target.output.map { t =>
+        val v = vals(t.exprId)
+        val cast = if (v.dataType == t.dataType) v else Cast(v, t.dataType)
+        Alias(cast, t.name)()
+      }, spec.source)
+
+    val keyNames = keys.map(_._1.name)
+
+    (spec.matched, spec.notMatched) match {
+      // ON CONFLICT DO UPDATE: unconditional UPDATE covering every column
+      // + unconditional INSERT with the SAME per-column values
+      case (Seq(UpdateAction(None, uAsg, _)), Seq(InsertAction(None, iAsg))) =>
+        for {
+          u <- fullCoverage(uAsg)
+          i <- fullCoverage(iAsg)
+          if keysPreserved(u)
+          if spec.target.output.forall(t => u(t.exprId).semanticEquals(i(t.exprId)))
+        } yield (true, keyNames, batchPlan(u))
+      // ON CONFLICT DO NOTHING: insert-only
+      case (Seq(), Seq(InsertAction(None, iAsg))) =>
+        for {
+          i <- fullCoverage(iAsg)
+          if keysPreserved(i)
+        } yield (false, keyNames, batchPlan(i))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------- general
+
+  /** Standard MERGE lowering: full-outer join target⟗source on the ON
+    * condition, then one projection applying the FIRST matching action
+    * per row (SQL action-order semantics) and a keep-flag filter for
+    * DELETEs / unmatched rows. Two passes over the join:
+    *
+    *   1. cardinality check — SQL MERGE must fail when one target row
+    *      matches several source rows (run only when matched/by-source
+    *      update semantics could be corrupted, i.e. matched actions
+    *      exist); an aggregate on the inner-join shape, map-side
+    *      combined, and it fails BEFORE anything is written;
+    *   2. the merge projection itself, written via
+    *      [[MergeSink.overwriteAll]].
+    */
+  def generalPath(spark: SparkSession, sink: MergeSink, spec: MergeSpec): Unit = {
+    val tTag = Alias(Literal(true), "__graft_t")()
+    val sTag = Alias(Literal(true), "__graft_s")()
+    val tId = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+    val tPlan = Project(spec.target.output ++ Seq(tTag, tId), spec.target)
+    val sPlan = Project(spec.source.output :+ sTag, spec.source)
+    val tMark = tTag.toAttribute
+    val sMark = sTag.toAttribute
+    val tIdRef = tId.toAttribute
+
+    val join = Join(tPlan, sPlan, FullOuter, Some(spec.condition), JoinHint.NONE)
+
+    val isMatched = And(EqualNullSafe(tMark, Literal(true)), EqualNullSafe(sMark, Literal(true)))
+    val isSourceOnly = And(EqualNullSafe(sMark, Literal(true)),
+      Not(EqualNullSafe(tMark, Literal(true))))
+
+    if (spec.matched.nonEmpty) {
+      // cardinality violation check: >1 source row per matched target row
+      val one = Alias(AggregateExpression(
+        Count(Seq(Literal(1))), Complete, isDistinct = false), "__graft_n")()
+      val counts = Aggregate(Seq(tIdRef), Seq(one), Filter(isMatched, join), None)
+      val dup = Filter(GreaterThan(one.toAttribute, Literal(1L)), counts)
+      if (!GraftSqlBridge.ofRows(spark, dup).isEmpty) {
+        throw new IllegalStateException(
+          s"MERGE INTO ${spec.viewName}: cardinality violation — a target row matches " +
+            "more than one source row; deduplicate the source on the ON keys first")
+      }
+    }
+
+    def cond(a: MergeAction): Expression = a match {
+      case UpdateAction(c, _, _) => c.getOrElse(Literal(true))
+      case InsertAction(c, _) => c.getOrElse(Literal(true))
+      case DeleteAction(c) => c.getOrElse(Literal(true))
+      case other => throw new IllegalStateException(s"unexpected merge action $other")
+    }
+
+    def assigned(assignments: Seq[Assignment], t: Attribute): Expression = {
+      val v = assignments.collectFirst {
+        case Assignment(k: Attribute, value) if k.exprId == t.exprId => value
+      }.getOrElse(t) // UPDATE leaves unassigned columns untouched
+      if (v.dataType == t.dataType) v else Cast(v, t.dataType)
+    }
+
+    def insertedValue(assignments: Seq[Assignment], t: Attribute): Expression = {
+      val v = assignments.collectFirst {
+        case Assignment(k: Attribute, value) if k.exprId == t.exprId => value
+      }.getOrElse(Literal.create(null, t.dataType)) // INSERT leaves unassigned NULL
+      if (v.dataType == t.dataType) v else Cast(v, t.dataType)
+    }
+
+    def updateBranches(actions: Seq[MergeAction], t: Attribute): Expression =
+      CaseWhen(actions.map {
+        case a @ UpdateAction(_, asg, _) => (cond(a), assigned(asg, t))
+        case a: DeleteAction => (cond(a), Literal.create(null, t.dataType))
+        case other => throw new IllegalStateException(s"unexpected matched action $other")
+      }, Some(t: Expression))
+
+    def insertBranches(actions: Seq[MergeAction], t: Attribute): Expression =
+      CaseWhen(actions.map {
+        case a @ InsertAction(_, asg) => (cond(a), insertedValue(asg, t))
+        case other => throw new IllegalStateException(s"unexpected not-matched action $other")
+      }, Some(Literal.create(null, t.dataType)))
+
+    def keepBranches(actions: Seq[MergeAction], default: Boolean): Expression =
+      CaseWhen(actions.map {
+        case a: DeleteAction => (cond(a), Literal(false))
+        case a => (cond(a), Literal(true))
+      }, Some(Literal(default)))
+
+    val outCols = spec.target.output.map { t =>
+      val matchedVal: Expression =
+        if (spec.matched.isEmpty) t else updateBranches(spec.matched, t)
+      val insertVal: Expression =
+        if (spec.notMatched.isEmpty) Literal.create(null, t.dataType)
+        else insertBranches(spec.notMatched, t)
+      val bySourceVal: Expression =
+        if (spec.bySource.isEmpty) t else updateBranches(spec.bySource, t)
+      Alias(CaseWhen(Seq(
+        isMatched -> matchedVal,
+        isSourceOnly -> insertVal),
+        Some(bySourceVal)), t.name)()
+    }
+    val bySourceKeep: Expression =
+      if (spec.bySource.isEmpty) Literal(true)
+      else keepBranches(spec.bySource, default = true)
+    val keep = CaseWhen(Seq(
+      isMatched -> (if (spec.matched.isEmpty) Literal(true)
+                    else keepBranches(spec.matched, default = true)),
+      // a source row matching NO insert action's condition is dropped
+      isSourceOnly -> (if (spec.notMatched.isEmpty) Literal(false)
+                       else keepBranches(spec.notMatched, default = false))),
+      Some(bySourceKeep))
+
+    val merged = Project(outCols, Filter(keep, join))
+    sink.overwriteAll(GraftSqlBridge.ofRows(spark, merged))
+  }
+}

@@ -483,9 +483,16 @@ object TextExprs {
     val reg = spark.sessionState.functionRegistry
     // idempotent: re-registering per call floods logs with
     // "SimpleFunctionRegistry ... replaced a previously registered
-    // function" warnings (one per query in a bench run)
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_stats"))) return
+    // function" warnings (one per query in a bench run). The guard must
+    // check EVERY name this method registers — GraftExtensions injects
+    // an overlapping set at session build, and a single-name guard
+    // would short-circuit on that overlap and leave the rest missing.
+    val names = Seq("graft_token_stats", "graft_repetition",
+      "graft_stopword_stats", "graft_lang_id", "graft_fingerprint",
+      "graft_char_entropy", "graft_nfc", "graft_strip_accents",
+      "graft_alnum_fold")
+    if (names.forall(n => reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))) return
     reg.createOrReplaceTempFunction("graft_token_stats",
       exprs => TokenStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_repetition",

@@ -11815,6 +11815,128 @@ object Probes {
         shortlist = 48)
     })
 
+  /** S4 via SQL (dags/etl.py:71-76,97-114 — the reference's users type
+    * `INSERT … ON CONFLICT DO UPDATE` SQL; graft's equivalent surface is
+    * `MERGE INTO` over a registered MergeSink view, lowered by
+    * GraftMergeRule onto the incremental last-wins merge). Same data
+    * shape and oracle as q13, driven entirely through `spark.sql`. */
+  val sqlMergeUpdateProbe = Probe(
+    "q302_sql_merge_update",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q302_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q302_target", sink)
+      upd.createOrReplaceTempView("q302_source")
+      s.sql(
+        """MERGE INTO q302_target USING q302_source
+          |ON q302_target.o_orderkey = q302_source.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q302_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS prec FROM orders WHERE o_orderkey % 2 = 0),
+           |upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 1 AS prec FROM orders WHERE o_orderkey % 3 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM u)
+           |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** S5 via SQL (notebook cell 19 — ON CONFLICT DO NOTHING): insert-only
+    * MERGE lowered onto the incremental if-absent merge. Result is the
+    * FULL post-merge table (base kept verbatim + absent keys appended). */
+  val sqlMergeInsertProbe = Probe(
+    "q303_sql_merge_insert",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q303_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q303_target", sink)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("q303_source")
+      s.sql(
+        """MERGE INTO q303_target USING q303_source
+          |ON q303_target.o_orderkey = q303_source.o_orderkey
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM q303_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, o_totalprice FROM orders i
+           |WHERE o_orderkey % 3 = 0
+           |  AND NOT EXISTS (SELECT 1 FROM orders e
+           |                  WHERE e.o_orderkey % 2 = 0 AND e.o_orderkey = i.o_orderkey)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** General MERGE shapes via SQL: conditional UPDATE with explicit
+    * assignments, ordered-action DELETE, explicit-column INSERT, and
+    * WHEN NOT MATCHED BY SOURCE — the full-outer-join row-action
+    * lowering (SqlMergeExec.generalPath). DuckDB recomputes each action
+    * class set-wise. */
+  val sqlMergeGeneralProbe = Probe(
+    "q304_sql_merge_general",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q304_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q304_target", sink)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q304_source")
+      s.sql(
+        """MERGE INTO q304_target USING q304_source
+          |ON q304_target.o_orderkey = q304_source.o_orderkey
+          |WHEN MATCHED AND q304_source.o_totalprice > 150000.0
+          |  THEN UPDATE SET o_totalprice = q304_source.o_totalprice + 1.0
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+          |  VALUES (q304_source.o_orderkey, q304_source.o_totalprice)
+          |WHEN NOT MATCHED BY SOURCE AND q304_target.o_orderkey % 10 = 4
+          |  THEN DELETE""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q304_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+           |s AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+           |upd AS (SELECT t.o_orderkey, s.o_totalprice + 1.0 AS o_totalprice
+           |        FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+           |        WHERE s.o_totalprice > 150000.0),
+           |ins AS (SELECT s.o_orderkey, s.o_totalprice FROM s
+           |        WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)),
+           |keep AS (SELECT t.o_orderkey, t.o_totalprice FROM t
+           |         WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+           |           AND NOT (t.o_orderkey % 10 = 4))
+           |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM keep)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -11888,7 +12010,8 @@ object Probes {
     mannKendallProbe, decompStrengthProbe, missingnessProbe, cifProbe,
     indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe,
     quantizationProbe, hardNegativesProbe, truncatedRecallProbe,
-    ivfPqAppendProbe
+    ivfPqAppendProbe,
+    sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

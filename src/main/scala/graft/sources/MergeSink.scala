@@ -34,4 +34,15 @@ trait MergeSink {
 
   /** Current table contents. */
   def read(spark: SparkSession): DataFrame
+
+  /** Replace the ENTIRE table with `merged` — the write-back for general
+    * SQL MERGE shapes (conditional UPDATE/DELETE, WHEN NOT MATCHED BY
+    * SOURCE) whose effects cannot be partition-pruned. `merged` may read
+    * from this sink's current files; implementations must stage or
+    * materialize before swapping. O(table) by design — the incremental
+    * mergeLastWins/mergeIfAbsent paths stay the scale path. */
+  def overwriteAll(merged: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support full-table rewrite " +
+        "(general MERGE shapes); use the DO UPDATE / DO NOTHING forms")
 }

@@ -125,6 +125,39 @@ object TxnParquet {
     def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
       merge(updates, keys, Store.upsertDoNothing)
 
+    /** Full rewrite (general MERGE write-back) under the SAME commit
+      * protocol as merge: stage the whole table into a fresh chunk dir
+      * (live files untouched, so `merged` may read the current table —
+      * no checkpoint needed), then one atomic manifest swap whose date
+      * mapping is exactly the new contents: days the rewrite deleted
+      * simply vanish from the manifest. A crash leaves the old version
+      * live. Rewrites are also the sanctioned schema-evolution path, so
+      * no merge-style schema checks here. */
+    override def overwriteAll(merged: DataFrame): Unit = {
+      require(!merged.columns.contains("p_date") && !merged.columns.contains("p_dir"),
+        "TxnParquetSink: 'p_date'/'p_dir' are reserved layout columns")
+      val spark = merged.sparkSession
+      val batch = merged.withColumn("p_date", to_date(col(tsCol)))
+      val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
+      batch
+        .repartition(col("p_date"))
+        .sortWithinPartitions(col("p_date"))
+        .withColumn("p_dir", coalesce(col("p_date").cast("string"), lit(NullKey)))
+        .write.partitionBy("p_dir").mode("errorifexists").parquet(s"$path/$chunkRel")
+      // the staged dirs ARE the new table: list them rather than re-derive
+      // from the data (one listing of one fresh dir, driver-side)
+      val (f, root) = fs(spark, path)
+      val staged = f.listStatus(new Path(s"$path/$chunkRel")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_dir="))
+        .map(_.getPath.getName.stripPrefix("p_dir="))
+      val gdir = new Path(root, "_graft")
+      f.mkdirs(gdir)
+      val nextV = currentManifest(spark, path).map(_._1 + 1).getOrElse(1L)
+      val nextDates = staged.map(k => k -> s"$chunkRel/p_dir=$k").toMap
+      // manifest schema convention = data columns + p_date (see merge)
+      commitManifest(f, root, gdir, nextV, nextDates, batch.schema.json)
+    }
+
     def read(spark: SparkSession): DataFrame = {
       val m = currentManifest(spark, path).getOrElse(
         throw new IllegalStateException(s"TxnParquetSink: no committed table at $path"))
@@ -173,8 +206,14 @@ object TxnParquet {
       * drop them. */
     private def readDirs(spark: SparkSession, rel: Seq[String],
         schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-      require(rel.nonEmpty,
-        "TxnParquetSink: committed table has no data for the requested dates")
+      if (rel.isEmpty) {
+        // a committed-but-empty table (e.g. a rewrite that deleted every
+        // row) still reads: zero rows, the manifest's schema
+        val s = schema.getOrElse(throw new IllegalStateException(
+          "TxnParquetSink: committed table has no data for the requested dates"))
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s).drop("p_date")
+      }
       val reader = schema.fold(spark.read)(s => spark.read.schema(s))
       reader.parquet(rel.map(r => s"$path/$r"): _*).drop("p_date")
     }

@@ -145,6 +145,17 @@ object Store {
     def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
       mergeFactIfAbsent(updates, path, keys, tsCol)
     def read(spark: SparkSession): DataFrame = readFact(spark, path)
+
+    /** Full rewrite (general MERGE write-back): STATIC overwrite so
+      * partitions absent from `merged` (fully-deleted days) disappear —
+      * dynamic mode would leave them stale. Materialized first because a
+      * static overwrite deletes the target before the write job could
+      * scan it. */
+    override def overwriteAll(merged: DataFrame): Unit =
+      merged.localCheckpoint(true)
+        .withColumn("p_date", to_date(col(tsCol)))
+        .repartition(col("p_date"))
+        .write.partitionBy("p_date").mode("overwrite").parquet(path)
   }
 
   /** Unpartitioned snapshot [[MergeSink]] for SMALL dimension tables
@@ -161,6 +172,10 @@ object Store {
     def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
       write(merge(updates, keys, upsertDoNothing))
     def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+    /** Full rewrite (general MERGE write-back) — same materialize-then-
+      * overwrite as every other write through this sink. */
+    override def overwriteAll(merged: DataFrame): Unit = write(merged)
 
     private def merge(updates: DataFrame, keys: Seq[String],
                       policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): DataFrame = {

@@ -14,6 +14,10 @@ object SharedSpark {
       "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // production sessions (GraftSession, Verify, Bench) run with the
+    // graft extensions; tests should exercise the same analyzer —
+    // needed by the SQL MERGE INTO probes
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
   def sf0001 = "/root/testdata/sf0.001"
 }

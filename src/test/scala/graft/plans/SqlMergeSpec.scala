@@ -1,0 +1,225 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnParquet.TxnParquetSink
+import graft.weather.Store.{ParquetDateSink, ParquetSnapshotSink}
+
+/** SQL-facing MERGE INTO over registered MergeSink temp views
+  * (SqlMerge.scala): the reference's ON CONFLICT DO UPDATE / DO NOTHING
+  * driven from `spark.sql`, plus the general conditional-action shapes. */
+class SqlMergeSpec extends AnyFunSuite {
+
+  // merge lowering needs the injected analyzer rules — a dedicated
+  // session (newSession of the shared one would share extensions state;
+  // building with the full GraftExtensions mirrors production)
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sqlmerge-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def snapshotSink(view: String, rows: Seq[(Int, String, Double)]): ParquetSnapshotSink = {
+    import spark.implicits._
+    val sink = ParquetSnapshotSink(tmp(s"sqlmerge_$view"))
+    sink.overwriteAll(rows.toDF("k", "name", "v"))
+    SqlMerge.register(spark, view, sink)
+    sink
+  }
+
+  private def asSet(df: DataFrame): Set[(Int, String, Double)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def tableSet(view: String): Set[(Int, String, Double)] =
+    asSet(spark.sql(s"SELECT k, name, v FROM $view"))
+
+  test("DO UPDATE shape: UPDATE SET * / INSERT * lowers to last-wins merge") {
+    import spark.implicits._
+    snapshotSink("t_up", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    Seq((2, "B", 99.0), (3, "c", 30.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_up")
+    spark.sql(
+      """MERGE INTO t_up USING s_up ON t_up.k = s_up.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(tableSet("t_up") ===
+      Set((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)))
+  }
+
+  test("DO NOTHING shape: INSERT * alone lowers to insert-if-absent") {
+    import spark.implicits._
+    snapshotSink("t_dn", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    Seq((2, "B", 99.0), (3, "c", 30.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_dn")
+    spark.sql(
+      """MERGE INTO t_dn USING s_dn ON t_dn.k = s_dn.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(tableSet("t_dn") ===
+      Set((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+  }
+
+  test("merge is idempotent under replay (DO UPDATE shape)") {
+    import spark.implicits._
+    snapshotSink("t_replay", Seq((1, "a", 10.0)))
+    Seq((1, "A", 11.0), (2, "b", 22.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_replay")
+    val sql =
+      """MERGE INTO t_replay USING s_replay ON t_replay.k = s_replay.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    spark.sql(sql)
+    val once = tableSet("t_replay")
+    spark.sql(sql)
+    assert(tableSet("t_replay") === once)
+    assert(once === Set((1, "A", 11.0), (2, "b", 22.0)))
+  }
+
+  test("general path: conditional UPDATE, DELETE, explicit INSERT, NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    snapshotSink("t_gen", Seq((1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)))
+    Seq((2, "B", 99.0), (3, "c", 30.0), (4, "D", 1.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_gen")
+    spark.sql(
+      """MERGE INTO t_gen USING s_gen ON t_gen.k = s_gen.k
+        |WHEN MATCHED AND s_gen.v > 50 THEN UPDATE SET name = s_gen.name, v = s_gen.v + 1
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s_gen.k, s_gen.name, s_gen.v)
+        |WHEN NOT MATCHED BY SOURCE AND t_gen.k = 1 THEN DELETE""".stripMargin)
+    // k=1: target-only, by-source DELETE fires → gone
+    // k=2: matched, v=99>50 → updated to (B, 100.0)
+    // k=3: source-only → inserted
+    // k=4: matched, v=1 → second action DELETE → gone
+    assert(tableSet("t_gen") === Set((2, "B", 100.0), (3, "c", 30.0)))
+  }
+
+  test("general path: UPDATE leaves unassigned columns untouched") {
+    import spark.implicits._
+    snapshotSink("t_part", Seq((1, "a", 10.0)))
+    Seq((1, "ZZZ", 77.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_part")
+    spark.sql(
+      """MERGE INTO t_part USING s_part ON t_part.k = s_part.k
+        |WHEN MATCHED THEN UPDATE SET v = s_part.v""".stripMargin)
+    assert(tableSet("t_part") === Set((1, "a", 77.0)))
+  }
+
+  test("cardinality violation: two source rows matching one target row fail loudly") {
+    import spark.implicits._
+    snapshotSink("t_card", Seq((1, "a", 10.0)))
+    Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_card")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_card USING s_card ON t_card.k = s_card.k
+          |WHEN MATCHED AND s_card.v > 1 THEN UPDATE SET v = s_card.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality violation"))
+    // nothing was written
+    assert(tableSet("t_card") === Set((1, "a", 10.0)))
+  }
+
+  test("unregistered targets are left to Spark (its own unsupported error)") {
+    import spark.implicits._
+    Seq((1, "a", 10.0)).toDF("k", "name", "v").createOrReplaceTempView("t_unreg")
+    Seq((1, "b", 11.0)).toDF("k", "name", "v").createOrReplaceTempView("s_unreg")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_unreg USING s_unreg ON t_unreg.k = s_unreg.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+  }
+
+  test("TxnParquetSink target: fast path increments the manifest version; general path rewrites") {
+    import spark.implicits._
+    val sink = TxnParquetSink(tmp("sqlmerge_txn"), tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    sink.mergeLastWins(
+      Seq((1, d1, 10.0), (2, d2, 20.0)).toDF("id", "dt", "v"), Seq("id", "dt"))
+    SqlMerge.register(spark, "t_txn", sink)
+    Seq((2, d2, 99.0), (3, d2, 30.0)).toDF("id", "dt", "v")
+      .createOrReplaceTempView("s_txn")
+
+    // fast path: star merge keyed on (id, dt) — incremental txn merge
+    spark.sql(
+      """MERGE INTO t_txn USING s_txn ON t_txn.id = s_txn.id AND t_txn.dt = s_txn.dt
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sink.version(spark).contains(2L))
+    val afterFast = spark.sql("SELECT id, v FROM t_txn").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(afterFast === Set((1, 10.0), (2, 99.0), (3, 30.0)))
+
+    // general path: conditional DELETE — full rewrite, next version
+    spark.sql(
+      """MERGE INTO t_txn USING s_txn ON t_txn.id = s_txn.id AND t_txn.dt = s_txn.dt
+        |WHEN MATCHED AND s_txn.v > 50 THEN DELETE""".stripMargin)
+    assert(sink.version(spark).contains(3L))
+    val afterDel = spark.sql("SELECT id, v FROM t_txn").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(afterDel === Set((1, 10.0), (3, 30.0)))
+  }
+
+  test("date sink without partition key in ON: falls back to full rewrite, stays correct") {
+    import spark.implicits._
+    val sink = ParquetDateSink(tmp("sqlmerge_date"), tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-02-01")
+    val d2 = java.sql.Date.valueOf("2024-02-02")
+    sink.mergeLastWins(
+      Seq((1, d1, 10.0), (2, d1, 20.0)).toDF("id", "dt", "v"), Seq("id", "dt"))
+    SqlMerge.register(spark, "t_fallback", sink)
+    // the batch MOVES id=2 to another date: keyed on id alone the
+    // incremental merge must decline (its require) and the lowering
+    // must take the rewrite path instead
+    Seq((2, d2, 99.0)).toDF("id", "dt", "v").createOrReplaceTempView("s_fallback")
+    spark.sql(
+      """MERGE INTO t_fallback USING s_fallback ON t_fallback.id = s_fallback.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, dt, v FROM t_fallback").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getDouble(2))).toSet
+    assert(got === Set((1, "2024-02-01", 10.0), (2, "2024-02-02", 99.0)))
+  }
+
+  test("delete-all leaves a readable empty txn table") {
+    import spark.implicits._
+    val sink = TxnParquetSink(tmp("sqlmerge_empty"), tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    sink.mergeLastWins(Seq((1, d1, 1.0)).toDF("id", "dt", "v"), Seq("id", "dt"))
+    SqlMerge.register(spark, "t_empty", sink)
+    Seq((1, d1, 1.0)).toDF("id", "dt", "v").createOrReplaceTempView("s_empty")
+    spark.sql(
+      """MERGE INTO t_empty USING s_empty ON t_empty.id = s_empty.id AND t_empty.dt = s_empty.dt
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT * FROM t_empty").count() === 0)
+    assert(sink.read(spark).schema.fieldNames.toSeq === Seq("id", "dt", "v"))
+  }
+
+  test("source can be an arbitrary subquery") {
+    import spark.implicits._
+    snapshotSink("t_sub", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    Seq((2, "B", 99.0), (2, "IGNORED", 1.0), (3, "c", 30.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_sub_raw")
+    spark.sql(
+      """MERGE INTO t_sub USING (
+        |  SELECT k, max_by(name, v) AS name, max(v) AS v FROM s_sub_raw GROUP BY k
+        |) src ON t_sub.k = src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(tableSet("t_sub") ===
+      Set((1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)))
+  }
+}
