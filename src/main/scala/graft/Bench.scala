@@ -34,7 +34,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
+        "65536") // see GraftSession: hash-based sketch partials, bounded map memory
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // graft SQL functions, as-of join, MERGE INTO lowering

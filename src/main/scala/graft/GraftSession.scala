@@ -25,10 +25,14 @@ object GraftSession {
       // typed-Aggregator (udaf) partials run in ObjectHashAggregateExec,
       // whose default sort-based fallback triggers at 128 distinct keys —
       // far below any real group count, silently turning a hash partial
-      // into a full sort of the input stream; lift it so bounded-buffer
-      // aggregates (bottom-k sketches, centroids) stay hash-based
+      // into a full sort of the input stream. 64 Ki keys keeps every
+      // sketch/centroid aggregate hash-based at its actual group counts
+      // while bounding worst-case partial-map memory: 2^16 keys × ~2 KiB
+      // buffer (k=256-long bottom-k, the largest shipped) ≈ 128 MiB per
+      // task — safe headroom, where the previous 2^20 admitted ~2 GiB
+      // before the graceful sort fallback could engage
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
+        "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // SQL MERGE INTO over graft MergeSink temp views (graft.plans.SqlMerge)

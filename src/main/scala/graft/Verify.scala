@@ -30,7 +30,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1048576")
+        "65536") // see GraftSession: hash-based sketch partials, bounded map memory
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // graft SQL functions, as-of join, MERGE INTO lowering

@@ -11,7 +11,7 @@ object SharedSpark {
     .config("spark.sql.shuffle.partitions", "4")
     // see GraftSession: keep typed-Aggregator partials hash-based
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "1048576")
+      "65536") // see GraftSession: hash-based sketch partials, bounded map memory
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // production sessions (GraftSession, Verify, Bench) run with the
