@@ -12,12 +12,17 @@ import org.apache.spark.sql.SparkSession
   * one users run.
   *
   * Methodology: one q01 pass absorbs JVM/context startup, then every
-  * query runs `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the
-  * reported number is the per-query MEDIAN — iteration 1 carries codegen
-  * + footer-cache warmup, so medians make round-over-round regressions
-  * visible instead of noise. q40 (IVF ANN) additionally reports its two
-  * phases split: k-means training (flat cost — fit on a bounded sample)
-  * vs search (the part that scales with corpus size).
+  * query runs as a block — ONE untimed warm-up pass (codegen, parquet
+  * footer cache, broadcast reuse) immediately followed by
+  * `SPARK_GRAFT_BENCH_ITERS` timed runs (default 3) — and the reported
+  * number is the per-query MEDIAN of the timed runs. Sub-second queries
+  * used to flap over budget purely on session warm-up order; excluding
+  * the warm-up run from the sample kills that noise at the protocol
+  * level. Per-query spread (max−min of the timed runs) lands in
+  * BENCH_FULL.json so a noisy box is distinguishable from a real
+  * regression. q40 (IVF ANN) additionally reports its two phases split:
+  * k-means training (flat cost — fit on a bounded sample) vs search
+  * (the part that scales with corpus size).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,11 +73,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    exec(names.head) // warmup: JVM + codegen + parquet footer cache
+    exec(names.head) // session warmup: JVM + codegen + parquet footer cache
 
+    // per-query block: one UNTIMED warm-up pass, then the timed runs —
+    // warm-up cost never enters the sample (see methodology above)
     val samples: Map[String, Seq[Double]] =
-      (1 to iters).flatMap(_ => names.map(n => n -> exec(n)))
-        .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+      names.map { n =>
+        exec(n)
+        n -> (1 to iters).map(_ => exec(n))
+      }.toMap
 
     // q40 phase split: train once per iteration, search against the
     // pre-trained centroids — median of each phase. A q40 failure must
@@ -138,6 +147,14 @@ object Bench {
     // lands in BENCH_FULL.json next to the repo's round artifacts.
     val qsFull = medians.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    // per-query spread (max−min of the timed runs): noise diagnostic —
+    // a query over budget with a tight spread is a real regression, one
+    // with a wide spread is a loaded box
+    val spreadFull = names.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      val sp = if (ok.size >= 2) ok.max - ok.min else -1.0
+      "\"" + n + "\":" + sec(sp)
+    }.mkString("{", ",", "}")
     val overList = overBudget.map { case (k, v) =>
       "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
@@ -145,7 +162,7 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
         s""""n_over_budget":$nOverBudget,""" +
-        s""""over_budget":$overList,"queries":$qsFull,""" +
+        s""""over_budget":$overList,"queries":$qsFull,"spread":$spreadFull,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
