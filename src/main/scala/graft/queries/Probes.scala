@@ -10540,12 +10540,44 @@ object Probes {
     "q278_linkage_weights",
     (s, d) => {
       import graft.operators.Golden
-      val w = Window.orderBy(col("doc_id"))
-      val docs = Tables.documents(s, d)
+      // "next doc by id" WITHOUT a global unpartitioned window: lead
+      // within doc_id buckets (parallel over n), then a boundary join
+      // supplies each bucket-LAST row its successor — the head of the
+      // next non-empty bucket. The only ordered-single-partition work
+      // left is the lead over the HEADS frame: O(n/B) rows (one per
+      // non-empty bucket), made explicit with partitionBy(lit(0)) —
+      // bounded by B's choice, never by the corpus.
+      val base = Tables.documents(s, d)
         .filter(col("doc_id").isNotNull)
-        .withColumn("nlang", lead(col("lang"), 1).over(w))
-        .withColumn("nsource", lead(col("source"), 1).over(w))
-        .withColumn("nlen", lead(expr("n_chars DIV 50"), 1).over(w))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars DIV 50").as("lb"))
+        .withColumn("__b", expr("doc_id DIV 4096"))
+      val wb = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      val led = base
+        .withColumn("__next",
+          lead(struct(col("lang"), col("source"), col("lb")), 1).over(wb))
+        .withColumn("__is_last",
+          row_number().over(
+            Window.partitionBy(col("__b")).orderBy(col("doc_id").desc)) === 1)
+      val heads = base.groupBy(col("__b"))
+        .agg(min_by(struct(col("lang"), col("source"), col("lb")),
+          col("doc_id")).as("__h"))
+        .withColumn("__nh",
+          lead(col("__h"), 1).over(
+            // constant-VALUED but non-foldable partition key: an
+            // explicit single hash partition over the O(n/B) heads
+            // frame (lit(0) would be constant-folded out of the
+            // partitionSpec, reintroducing the unpartitioned-window
+            // path this rewrite exists to avoid)
+            Window.partitionBy(pmod(col("__b"), lit(1L))).orderBy(col("__b"))))
+        .select(col("__b"), col("__nh"))
+      val docs = led.join(broadcast(heads), Seq("__b"), "left")
+        .withColumn("__succ", when(col("__is_last"), col("__nh"))
+          .otherwise(col("__next")))
+        .select(col("doc_id"), col("lang"), col("source"), col("lb"),
+          col("__succ.lang").as("nlang"),
+          col("__succ.source").as("nsource"),
+          col("__succ.lb").as("nlen"))
       val matches = docs.select(lit(true).as("m"),
         (col("doc_id") % 5 =!= 0 ||
           col("lang") === col("nlang")).as("a_lang"),
@@ -10555,7 +10587,7 @@ object Probes {
       val nonmatches = docs.select(lit(false).as("m"),
         (col("lang") === col("nlang")).as("a_lang"),
         (col("source") === col("nsource")).as("a_source"),
-        (expr("n_chars DIV 50") === col("nlen")).as("a_len"))
+        (col("lb") === col("nlen")).as("a_len"))
       Golden.linkageWeights(matches.unionByName(nonmatches), col("m"),
         Seq("lang" -> col("a_lang"), "len" -> col("a_len"),
           "source" -> col("a_source")))
