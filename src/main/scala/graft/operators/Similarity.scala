@@ -712,6 +712,53 @@ object Similarity {
       .parquet(path)
   }
 
+  /** Per-cell BIN-PACK compaction for an appended IVF-PQ index — the
+    * maintenance half of [[appendToIvfPqIndex]]'s contract: every
+    * append lands one new file per touched cell, so under streaming
+    * admission a cell directory grows one file per batch without bound,
+    * and at scale file COUNT (listing pressure, one scan task per tiny
+    * file) degrades the probed-cell read long before data volume does.
+    *
+    * Rewrites ONLY the cells holding more than `maxFilesPerCell` data
+    * files — one task → one file per compacted cell — via dynamic
+    * partition overwrite, so healthy cells and the `__model` dir are
+    * untouched and the self-read is safe (commit-time swap, the
+    * [[graft.weather.Store.compactFact]] pattern). Search results are
+    * BIT-IDENTICAL across compaction: rows and model unchanged, only
+    * file layout differs (IvfPqCompactionSpec). Returns the compacted
+    * cell ids; run it on the batch cadence, it is O(selected cells'
+    * bytes), never O(index).
+    *
+    * Compaction does NOT cure model staleness — when [[indexStaleness]]
+    * shows recall sagging against its reachable ceiling, re-train and
+    * [[writeIvfPqIndex]] (O(corpus), the deliberate rebuild). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, maxFilesPerCell: Int = 8): Seq[Int] = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    requireIndexPath(spark, path, "IVF-PQ")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val offenders = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__cell="))
+      .filter { dir =>
+        fs.listStatus(dir.getPath).count { f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")
+        } > maxFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("__cell=").toInt)
+    if (offenders.isEmpty) return Nil
+    spark.read.parquet(path)
+      .where(col("__cell").isin(offenders.map(c => lit(c)): _*))
+      .repartition(col("__cell")) // one task → one file per compacted cell
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__cell")
+      .mode("overwrite")
+      .parquet(path)
+    offenders
+  }
+
   /** ANN search against a persisted IVF-PQ index: load the model row,
     * compute each query's probed cells, read ONLY those partitions
     * (static partition filter), residual-ADC shortlist, exact re-rank.

@@ -622,6 +622,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "append-then-search must equal rebuild-then-search bit-for-bit")
   }
 
+  test("IVF-PQ compaction: bounded per-cell file count, search bit-identical") {
+    val cents = Similarity.ivfCentroids(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64)
+    val cbs = Similarity.ivfPqCodebooks(
+      emb.orderBy("vec_id").limit(256).coalesce(1), nCells = 4, dim = 64,
+      m = 8, kCodes = 8, cents, maxSample = 256)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 4 === 0),
+      dir, nCells = 4, dim = 64, m = 8, kCodes = 8, cents, cbs)
+    // streaming admission shape: several small appended batches → one
+    // new file per batch per touched cell
+    (1 to 3).foreach(i =>
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 4 === i), dir))
+    def cellFileCounts: Map[String, Int] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).toMap
+    assert(cellFileCounts.values.exists(_ > 1), "fixture must be fragmented")
+    val queries = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def run() = Similarity.searchIvfPqIndex(spark, dir,
+        queries, k = 5, nProbe = 2, shortlist = 16)
+      .collect().map(_.toString).sorted.toSeq
+    val before = run()
+    val compacted = Similarity.compactIvfPqIndex(spark, dir, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty, "fragmented cells must be selected")
+    assert(cellFileCounts.values.forall(_ == 1),
+      s"every compacted cell must hold ONE data file, got $cellFileCounts")
+    assert(run() === before,
+      "search must be bit-identical across compaction")
+    // healthy index: second pass selects nothing, no rewrite
+    assert(Similarity.compactIvfPqIndex(spark, dir, maxFilesPerCell = 1).isEmpty)
+  }
+
   test("index path discipline: empty snapshot reads as empty; missing path fails loudly") {
     import spark.implicits._
     val emb = (0L until 40L).map(i =>
