@@ -135,9 +135,11 @@ object Streams {
                                exitTie: Long, exitLabel: String)
 
   /** Keyed state: the per-entity session counter (so `session_seq`
-    * matches the batch numbering across the entity's whole history) and
-    * the open-session interval list. */
-  final case class SessionState(nextSeq: Long, open: List[OpenSession])
+    * matches the batch numbering across the entity's whole history),
+    * the open-session interval list, and the last finalized end (the
+    * tombstone-TTL clock — 0 until a session finalizes). */
+  final case class SessionState(nextSeq: Long, open: List[OpenSession],
+                                lastEndUs: Long = 0L)
 
   /** One FINAL session — the [[graft.operators.Analytics.sessionStats]]
     * output row, emitted exactly once. */
@@ -176,17 +178,29 @@ object Streams {
     * by (watermark delay / gap) + 1 intervals of 7 scalars each — never
     * the events (each event folds into its interval on arrival); the
     * shuffle is the same one entity-keyed exchange the batch operator
-    * pays. A finalized entity keeps a 2-field tombstone (the seq
-    * counter) so numbering stays global across its whole history — the
-    * price of batch-equal `session_seq`; callers at extreme entity
-    * cardinality who treat seq as session-local can drop state by
-    * forking the emit branch.
+    * pays. A finalized entity keeps a small tombstone (the seq counter
+    * + TTL clock) so numbering stays global across its whole history —
+    * the price of batch-equal `session_seq`. WITHOUT a TTL that
+    * tombstone set grows with lifetime entity cardinality; pass
+    * `tombstoneTtlUs` to bound it: an entity idle (no open sessions,
+    * no events) past the TTL after its last session end has its state
+    * DROPPED — if it later reappears, `session_seq` restarts at 1, so
+    * global numbering is guaranteed only within TTL-continuous
+    * activity (the documented trade; pick TTL ≥ any reappearance gap
+    * that must stay globally numbered, and ≥ gap). Every drop
+    * increments `droppedTombstones` when supplied (also a named
+    * accumulator visible in the Spark UI), so unbounded-state relief
+    * is observable, never silent.
     *
     * Input columns: `entity` LONG, `ts` TIMESTAMP, `tie` LONG,
     * `label` STRING. Output: the batch rollup columns. */
   def sessionStatsStream(events: DataFrame, gapUs: Long,
-                         watermark: String = "1 hour"): DataFrame = {
+                         watermark: String = "1 hour",
+                         tombstoneTtlUs: Option[Long] = None,
+                         droppedTombstones: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    tombstoneTtlUs.foreach(t => require(t > 0, s"tombstoneTtlUs must be > 0, got $t"))
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -204,7 +218,9 @@ object Streams {
       .groupByKey(_.entity)
       .flatMapGroupsWithState[SessionState, SessionRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (entity, it, state) => advanceSessions(entity, it, state, gapUs)
+        (entity, it, state) =>
+          advanceSessions(entity, it, state, gapUs, tombstoneTtlUs,
+            droppedTombstones)
       }
       .toDF()
   }
@@ -215,7 +231,9 @@ object Streams {
     * the earliest surviving `end + gap`. */
   private[streaming] def advanceSessions(entity: Long,
       it: Iterator[SessEvent], state: GroupState[SessionState],
-      gapUs: Long): Iterator[SessionRow] = {
+      gapUs: Long, tombstoneTtlUs: Option[Long] = None,
+      droppedTombstones: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Iterator[SessionRow] = {
     val prior = if (state.exists) state.get else SessionState(1L, Nil)
     val incoming = it.map(e =>
       OpenSession(usOf(e.ts), usOf(e.ts), 1L, e.tie, e.label, e.tie, e.label))
@@ -252,10 +270,25 @@ object Streams {
       SessionRow(entity, prior.nextSeq + i, s.startUs, s.endUs,
         s.endUs - s.startUs, s.n, s.entryLabel, s.exitLabel)
     }
-    state.update(SessionState(prior.nextSeq + done.length, open.toList))
-    if (open.nonEmpty)
-      // strictly above the watermark (ms floor could equal it)
-      state.setTimeoutTimestamp(open.map(_.endUs + gapUs).min / 1000L + 1L)
+    val lastEnd = (prior.lastEndUs +: done.map(_.endUs)).max
+    if (open.isEmpty && tombstoneTtlUs.exists(t =>
+        lastEnd > 0 && wmUs > lastEnd + t)) {
+      // pure tombstone idle past the TTL: drop it (counted, never
+      // silent) — if the entity reappears, seq restarts at 1
+      state.remove()
+      droppedTombstones.foreach(_.add(1L))
+    } else {
+      state.update(
+        SessionState(prior.nextSeq + done.length, open.toList, lastEnd))
+      if (open.nonEmpty)
+        // strictly above the watermark (ms floor could equal it)
+        state.setTimeoutTimestamp(open.map(_.endUs + gapUs).min / 1000L + 1L)
+      else tombstoneTtlUs.foreach { t =>
+        // arm the TTL sweep: wake when the watermark passes lastEnd+ttl
+        if (lastEnd > 0)
+          state.setTimeoutTimestamp((lastEnd + t) / 1000L + 1L)
+      }
+    }
     out.iterator
   }
 

@@ -459,4 +459,64 @@ class StreamsSpec extends AnyFunSuite {
     assert(e1.length === 2 && e1.head(5) == 3L && e1.head(7) == "c",
       s"end+gap event must join the session: $e1")
   }
+
+  test("tombstone TTL bounds session-stream state: drops counted, seq restarts") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ttl_in").toString
+    def ev(rows: (Long, String, Long, String)*) = rows
+      .toDF("entity", "ts", "tie", "label")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def feed(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ttl_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    // pathological shape: many touch-once entities (each one session,
+    // never seen again) — without a TTL every one leaves a permanent
+    // tombstone; with a 2 h TTL their state must be DROPPED once the
+    // watermark passes session_end + ttl, visibly counted
+    val gapUs = 30L * 60 * 1000000
+    val dropped = spark.sparkContext.longAccumulator("graft_sess_tombstones")
+    val onceOff = (1L to 50L).map(e =>
+      (e, "2026-01-01 08:00:00", e, "x"))
+    val phase1 = ev(onceOff: _*)
+    // heartbeats advance the watermark in two hops: first enough to
+    // FINALIZE the 08:00 sessions (tombstones form), then past
+    // end + ttl so the TTL sweep fires
+    val hb1 = ev((999L, "2026-01-01 12:00:00", 900L, "hb"))
+    val hb2 = ev((999L, "2026-01-02 12:00:00", 901L, "hb"))
+    // entity 1 reappears AFTER its tombstone was dropped: seq restarts
+    val phase2 = ev((1L, "2026-01-02 13:00:00", 1000L, "y"))
+    val hb3 = ev((999L, "2026-01-03 12:00:00", 902L, "hb"))
+
+    val schema = phase1.schema
+    val streamed = spark.readStream.schema(schema).parquet(inDir)
+    val q = Streams.sessionStatsStream(streamed, gapUs,
+        watermark = "1 hour",
+        tombstoneTtlUs = Some(2L * 3600 * 1000000),
+        droppedTombstones = Some(dropped))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ttl_out").start()
+    feed(phase1, "p1"); q.processAllAvailable()
+    feed(hb1, "p2"); q.processAllAvailable()
+    feed(hb2, "p3"); q.processAllAvailable()
+    q.processAllAvailable()
+    val droppedAfterSweep = dropped.value
+    feed(phase2, "p4"); q.processAllAvailable()
+    feed(hb3, "p5"); q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(droppedAfterSweep === 50L,
+      s"all 50 touch-once tombstones must be dropped, got $droppedAfterSweep")
+    val e1 = spark.table("ttl_out").filter(col("entity") === 1L)
+      .orderBy("session_start_us")
+      .select("session_seq").collect().map(_.getLong(0)).toSeq
+    // both sessions numbered 1: the second because the tombstone (and
+    // its counter) was TTL-dropped before the entity reappeared — the
+    // documented trade for bounded state
+    assert(e1 === Seq(1L, 1L), s"seq must restart after a TTL drop: $e1")
+  }
 }
