@@ -452,9 +452,15 @@ object Relational {
     * any sane bucketUs choice, since fanout IS the cost the scaladoc
     * above tells callers to tune bucketUs against, yet well below the
     * 2³¹-row explosion a single sentinel end timestamp would otherwise
-    * trigger); such rows are dropped by the same pre-explode filter as
-    * malformed ones, and callers with genuinely long intervals raise
-    * `bucketUs` (or `maxSpanBuckets`) instead. Touching
+    * trigger) is handled by the same pre-explode guard, ACCOUNTED, not
+    * silent: pass `failOnOversize = true` to fail the job on the first
+    * such row, and/or `oversizeLeft`/`oversizeRight` accumulators to
+    * receive the per-side dropped-row counts (counted EAGERLY at call
+    * time with one pushed-down scan per requested side — an Observation
+    * attached below the final sort would double-count under the range
+    * partitioner's sampling pass — and logged when non-zero). Callers
+    * with genuinely long intervals raise `bucketUs` (or
+    * `maxSpanBuckets`) instead. Touching
     * intervals (l_end = r_start) DO match, with `overlap_us` 0 — closed
     * intervals; callers wanting open semantics filter `overlap_us > 0`.
     *
@@ -465,25 +471,50 @@ object Relational {
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lKey: Column, lId: Column, lStart: Column, lEnd: Column,
                   rKey: Column, rId: Column, rStart: Column, rEnd: Column,
-                  bucketUs: Long, maxSpanBuckets: Long = 1L << 20): DataFrame = {
+                  bucketUs: Long, maxSpanBuckets: Long = 1L << 20,
+                  failOnOversize: Boolean = false,
+                  oversizeLeft: Option[org.apache.spark.util.LongAccumulator] = None,
+                  oversizeRight: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     require(bucketUs > 0L, s"bucketUs must be positive, got $bucketUs")
     require(maxSpanBuckets > 0L,
       s"maxSpanBuckets must be positive, got $maxSpanBuckets")
     def side(df: DataFrame, k: Column, id: Column, s: Column, e: Column,
-             p: String): DataFrame =
-      df.select(k.cast("long").as(s"${p}k"), id.cast("long").as(s"${p}id"),
+             p: String, obs: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
+      val valid = df
+        .select(k.cast("long").as(s"${p}k"), id.cast("long").as(s"${p}id"),
           s.cast("long").as(s"${p}s"), e.cast("long").as(s"${p}e"))
         .filter(col(s"${p}k").isNotNull && col(s"${p}id").isNotNull &&
           col(s"${p}s").isNotNull && col(s"${p}e").isNotNull &&
-          col(s"${p}e") >= col(s"${p}s") &&
-          // span guard BEFORE the explode: a sentinel-wide interval
-          // must never fan out the stage
+          col(s"${p}e") >= col(s"${p}s"))
+        // span guard BEFORE the explode: a sentinel-wide interval must
+        // never fan out the stage — and its drops are never silent
+        // (observation count / fail-loud, per the no-silent-caps rule)
+        .withColumn("__over",
           expr(s"${p}e DIV ${bucketUs}L - ${p}s DIV ${bucketUs}L")
-            < maxSpanBuckets)
+            >= maxSpanBuckets)
+      obs.foreach { acc =>
+        val n = valid.filter(col("__over")).count()
+        if (n > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"overlapJoin: dropping $n ${p.stripPrefix("__")}-side " +
+              s"interval(s) wider than maxSpanBuckets=$maxSpanBuckets " +
+              s"(bucketUs=$bucketUs)")
+        acc.add(n)
+      }
+      val kept =
+        if (failOnOversize)
+          valid.filter(when(col("__over"), raise_error(concat(
+            lit(s"overlapJoin: interval wider than maxSpanBuckets=" +
+              s"$maxSpanBuckets buckets (bucketUs=$bucketUs) at ${p}id="),
+            col(s"${p}id").cast("string")))).otherwise(lit(true)))
+        else valid.filter(!col("__over"))
+      kept.drop("__over")
         .withColumn("__b", explode(sequence(
           expr(s"${p}s DIV ${bucketUs}L"), expr(s"${p}e DIV ${bucketUs}L"))))
-    val l = side(left, lKey, lId, lStart, lEnd, "__l")
-    val r = side(right, rKey, rId, rStart, rEnd, "__r")
+    }
+    val l = side(left, lKey, lId, lStart, lEnd, "__l", oversizeLeft)
+    val r = side(right, rKey, rId, rStart, rEnd, "__r", oversizeRight)
     l.join(r, col("__lk") === col("__rk") && l("__b") === r("__b"))
       .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
         l("__b") === expr(s"greatest(__ls, __rs) DIV ${bucketUs}L"))

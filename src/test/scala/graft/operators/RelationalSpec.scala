@@ -369,4 +369,39 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(wide === Set((1L, 7L), (2L, 7L)))
   }
+
+  test("overlapJoin: span-guard drops are counted, and fail-loud on request") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 0L, 100L),
+      (1L, 2L, 0L, 4102444800000000L), // sentinel end (year 2100)
+      (1L, 3L, 0L, 4102444800000000L))
+      .toDF("k", "id", "s", "e")
+    val right = Seq((1L, 7L, 40L, 60L)).toDF("k", "id", "s", "e")
+    val lAcc = spark.sparkContext.longAccumulator("overlap_l_oversize")
+    val rAcc = spark.sparkContext.longAccumulator("overlap_r_oversize")
+    val got = Relational.overlapJoin(left, right,
+        col("k"), col("id"), col("s"), col("e"),
+        col("k"), col("id"), col("s"), col("e"),
+        bucketUs = 25L, maxSpanBuckets = 1000L,
+        oversizeLeft = Some(lAcc), oversizeRight = Some(rAcc))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 7L)))
+    assert(lAcc.value === 2L,
+      "both sentinel-wide left intervals must be counted")
+    assert(rAcc.value === 0L)
+    // fail-loud mode: the first oversize row kills the job with a
+    // message naming the offender
+    val e = intercept[Exception] {
+      Relational.overlapJoin(left, right,
+          col("k"), col("id"), col("s"), col("e"),
+          col("k"), col("id"), col("s"), col("e"),
+          bucketUs = 25L, maxSpanBuckets = 1000L,
+          failOnOversize = true)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxSpanBuckets")), messages(e))
+  }
 }
