@@ -43,16 +43,14 @@ object Codecs {
     if (at(0) == 0x89 && ascii(1, "PNG")) Some("image")                 // PNG
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) Some("image") // JPEG
     // an ANIMATED GIF is a video container the JDK can actually demux —
-    // route it to the frame-sampling path. The NETSCAPE2.0 application
-    // extension (the loop block every animation encoder writes, ours
-    // included — a one-frame file carrying it still DECLARES animation
-    // and decodes fine as a 1-frame video) is the discriminator; a
-    // plain GIF stays an image. The scan is capped to the header
-    // region (header + global color table + extension blocks precede
-    // the first image descriptor), so sniffing never walks pixel data.
-    else if (ascii(0, "GIF8") && containsAscii(payload, "NETSCAPE2.0", 4096))
-      Some("video")
-    else if (ascii(0, "GIF8")) Some("image")                            // GIF87a/89a
+    // route it to the frame-sampling path. The discriminator is the
+    // REAL one: more than one image descriptor in the file's block
+    // structure (gifFrameCount walks blocks by their declared lengths,
+    // never scanning pixel bytes — a NETSCAPE2.0 substring match would
+    // false-positive on LZW data in small stills and miss animations
+    // whose loop block sits past any fixed scan cap).
+    else if (ascii(0, "GIF8"))
+      Some(if (gifFrameCount(payload, maxFrames = 2) >= 2) "video" else "image")
     else if (ascii(0, "BM")) Some("image")                              // BMP
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) Some("audio")        // WAV
     else if (ascii(0, ".snd")) Some("audio")                            // AU
@@ -62,19 +60,53 @@ object Codecs {
     else None
   }
 
-  private def containsAscii(payload: Array[Byte], s: String,
-                            maxScan: Int = Int.MaxValue): Boolean = {
-    val pat = s.getBytes("US-ASCII")
-    var i = 0
-    val end = math.min(payload.length, maxScan) - pat.length
-    while (i <= end) {
-      var j = 0
-      while (j < pat.length && payload(i + j) == pat(j)) j += 1
-      if (j == pat.length) return true
-      i += 1
+  /** Count image descriptors in a GIF by walking its block structure —
+    * header, logical screen descriptor (+ global color table), then a
+    * sequence of extension blocks (0x21: label + length-prefixed
+    * sub-blocks), image descriptors (0x2C: 9-byte descriptor + optional
+    * local color table + LZW code size + length-prefixed data
+    * sub-blocks), and the 0x3B trailer. Every hop is a declared length,
+    * so the walk SEEKS through pixel data without reading it — O(#blocks)
+    * byte probes, and it stops as soon as `maxFrames` descriptors are
+    * seen (an animation is recognized at its second frame header, not
+    * after walking the whole file). Truncated or corrupt structure stops
+    * the walk and classifies on the frames seen so far — sniffing must
+    * be total on crawl garbage. */
+  private[multimodal] def gifFrameCount(payload: Array[Byte],
+                                        maxFrames: Int = 2): Int = {
+    val n = payload.length
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (n < 13) return 0
+    var pos = 6 // past "GIF87a"/"GIF89a"
+    val packed = u8(pos + 4)
+    pos += 7 // logical screen descriptor
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+    var frames = 0
+    // length-prefixed sub-blocks, 0x00-terminated; false = truncated
+    def skipSubBlocks(): Boolean = {
+      while (pos < n && u8(pos) != 0) pos += 1 + u8(pos)
+      if (pos < n) { pos += 1; true } else false
     }
-    false
+    while (pos < n && frames < maxFrames) {
+      u8(pos) match {
+        case 0x3b => return frames // trailer
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          pos += 2
+          if (!skipSubBlocks()) return frames
+        case 0x2c => // image descriptor — one frame
+          frames += 1
+          if (frames >= maxFrames || pos + 10 > n) return frames
+          val p = u8(pos + 9)
+          pos += 10
+          if ((p & 0x80) != 0) pos += 3 * (1 << ((p & 7) + 1))
+          pos += 1 // LZW minimum code size
+          if (!skipSubBlocks()) return frames
+        case _ => return frames // corrupt: classify on what was seen
+      }
+    }
+    frames
   }
+
 
   // ------------------------------------------------------------------
   // Images (javax.imageio)

@@ -23,6 +23,53 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.sniffMediaType(Array.emptyByteArray) === None)
   }
 
+  test("GIF sniffing walks block structure: comment-text decoys and " +
+      "late second frames both route correctly") {
+    import java.awt.image.BufferedImage
+    def frame(w: Int, h: Int, seed: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      for (y <- 0 until h; x <- 0 until w) {
+        s = s * 1103515245 + 12345 // noisy pixels defeat LZW: big frames
+        img.setRGB(x, y, s & 0xffffff)
+      }
+      img
+    }
+    // (a) a STILL GIF carrying the literal text "NETSCAPE2.0" in a
+    // comment extension — a substring scan calls it animated, the block
+    // walk must not
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frame(4, 4, 1), "gif", bos)
+    val still = bos.toByteArray
+    val packed = still(10) & 0xff
+    val gctLen = if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0
+    val insertAt = 13 + gctLen
+    val decoy = "NETSCAPE2.0".getBytes("US-ASCII")
+    val comment = Array[Byte](0x21, 0xfe.toByte, decoy.length.toByte) ++
+      decoy :+ 0x00.toByte
+    val spliced = still.take(insertAt) ++ comment ++ still.drop(insertAt)
+    assert(Codecs.sniffMediaType(spliced) === Some("image"),
+      "comment-text decoy must not reroute a still GIF")
+    assert(Codecs.decodeImage(spliced).isDefined,
+      "the spliced fixture must remain a valid GIF")
+    // (b) an animation whose loop block is STRIPPED and whose first
+    // frame alone exceeds any fixed header-scan cap — the second image
+    // descriptor is the truth
+    val big = Codecs.encodeAnimatedGif(
+      Seq(frame(96, 96, 2), frame(96, 96, 3)), delayCs = 25)
+    val loop = Array[Byte](0x21, 0xff.toByte, 0x0b) ++
+      "NETSCAPE2.0".getBytes("US-ASCII")
+    val at = big.indices.find(i =>
+      loop.indices.forall(j => i + j < big.length && big(i + j) == loop(j)))
+    assert(at.isDefined, "encoder fixture must carry the loop block")
+    // app extension: introducer+label+11-byte id, 3-byte sub-block, term
+    val stripped = big.take(at.get) ++ big.drop(at.get + 19)
+    assert(stripped.length > 4096 + 1024,
+      "fixture must outgrow a fixed scan cap")
+    assert(Codecs.sniffMediaType(stripped) === Some("video"),
+      "loopless multi-frame GIF must still sniff as video")
+  }
+
   test("animated GIF: encode -> sniff as video -> decode frames with " +
       "timestamps and composed pixels") {
     import java.awt.image.BufferedImage
