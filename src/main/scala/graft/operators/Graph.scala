@@ -454,17 +454,38 @@ object Graph {
     * Input (`src`, `dst`) in any mix of directions/duplicates;
     * self-loops dropped. Returns (`node`, `degree`, `triangles`, `lcc`)
     * for every node of the graph, lcc 0.0 for degree < 2. */
+  /** Eager localCheckpoint that KEEPS its partitioning/ordering visible
+    * to the planner: under AQE the adaptive plan reports
+    * UnknownPartitioning until executed, so a plain checkpoint would
+    * strand its LogicalRDD partition-blind and every downstream join
+    * would re-shuffle it. Planning the checkpoint itself non-adaptively
+    * captures the real HashPartitioning/ordering (the explicit
+    * repartition below pins the partition count anyway — AQE had
+    * nothing to adapt here). */
+  private def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try df.localCheckpoint(true) finally spark.conf.set(key, prev)
+  }
+
   def triangles(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set, keyed (a < b)
-    val und = edges
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    // canonical undirected edge set, keyed (a < b). Checkpointed
+    // PRE-PARTITIONED and PRE-SORTED on (a, b): LogicalRDD captures the
+    // physical plan's output partitioning/ordering, so the wedge-CLOSING
+    // join later consumes this frame with NO exchange and NO sort — the
+    // co-location is paid once here, where the frame is materialized
+    // anyway (it also feeds the degree agg and both orientation joins,
+    // which rekey regardless).
+    val und = checkpointKeepingLayout(edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // the canonical set feeds the degree agg, BOTH sides of the
-      // orientation join, and the wedge-closing join — five scans of
-      // the same aggregation without this
-      .localCheckpoint(true)
+      .repartition(p, col("a"), col("b"))
+      .sortWithinPartitions(col("a"), col("b")))
 
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
@@ -474,30 +495,34 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-    val oriented = withDeg.select(
+    // the oriented list is checkpointed PRE-PARTITIONED on u and
+    // PRE-SORTED on (u, v): the wedge SELF-join then consumes the same
+    // co-located RDD on BOTH sides — zero exchange, zero sort, where a
+    // per-side repartition used to shuffle the list twice. Explicit
+    // partition counts are pinned (p): edge rows are tiny but the wedge
+    // join's output and per-row CPU are large, and byte-targeted AQE
+    // coalescing would fold these shuffles into one or two partitions —
+    // serializing exactly the work that needs the cluster (measured 4×
+    // on the bench session). AQE does not re-coalesce a user
+    // repartition, and a checkpoint's captured partitioning is equally
+    // firm.
+    val oriented = checkpointKeepingLayout(withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .repartition(p, col("u"))
+      .sortWithinPartitions(col("u"), col("v")))
 
     // wedges at each apex u: unordered pairs {v, w}, enumerated once by
-    // id order; closing edge looked up in the canonical (a < b) set.
-    // Both joins are EXPLICITLY repartitioned on their keys: edge rows
-    // are tiny (two longs) but the wedge join's output and per-row CPU
-    // are large, and byte-targeted AQE coalescing (e.g. a 64 MB
-    // advisory) would fold these shuffles into one or two partitions —
-    // serializing exactly the work that needs the cluster (measured 4×
-    // on the bench session). A user-specified repartition pins the
-    // partition count; AQE does not re-coalesce it.
-    val p = edges.sparkSession.sparkContext.defaultParallelism
+    // id order; closing edge looked up in the canonical (a < b) set,
+    // which is already partitioned+sorted on (a, b) — only the wedge
+    // side shuffles into the closing join.
     val o2 = oriented.select(col("u"), col("v").as("w"))
-    val wedges = oriented.repartition(p, col("u"))
-      .join(o2.repartition(p, col("u")), "u")
+    val wedges = oriented.join(o2, "u")
       .filter(col("v") < col("w"))
     val tris = wedges.repartition(p, col("v"), col("w"))
-      .join(und.repartition(p, col("a"), col("b")),
-        wedges("v") === und("a") && wedges("w") === und("b"))
+      .join(und, wedges("v") === und("a") && wedges("w") === und("b"))
       .select(col("u"), col("v"), col("w"))
 
     val perNode = tris
