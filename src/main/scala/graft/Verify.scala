@@ -44,6 +44,10 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
+      // stderr marker BEFORE each query: engine warnings in the log
+      // (WindowExec single-partition, codegen fallbacks…) become
+      // attributable to the query that emitted them
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

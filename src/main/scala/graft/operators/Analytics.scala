@@ -88,7 +88,7 @@ object Analytics {
         .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
     }.reduce(_.unionByName(_))
 
-    val w = Window.orderBy(col("stage_idx"))
+    val w = BoundedWindow.ordered(col("stage_idx"), col("stage_idx"))
     counts
       .withColumn("__prev", lag(col("n_users"), 1).over(w))
       .select(col("stage_idx"), col("stage"), col("n_users"),
@@ -272,7 +272,7 @@ object Analytics {
           lit(stages(i)).as("stage"), col("n_users"))
     }.reduce(_.unionByName(_))
 
-    val w = Window.orderBy(col("stage_idx")) // |stages|-sized frame
+    val w = BoundedWindow.ordered(col("stage_idx"), col("stage_idx")) // |stages|-sized frame
     counts
       .withColumn("__first", first(col("n_users")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -475,13 +475,14 @@ object Analytics {
           + 0.5).cast("long"))
       .groupBy(col("from_state"), col("n_from"))
       .agg(coalesce(sum(col("__term")), lit(0L)).as("h_nano"))
-    val wall = Window.partitionBy()
+    val wall = BoundedWindow.all(col("from_state"))
     perFrom
       .withColumn("n_total",
         coalesce(sum(col("n_from")).over(wall), lit(0L)))
       .withColumn("cond_h_nano", expr(
         """CAST(sum(CAST(n_from AS DECIMAL(38,0)) * h_nano)
-          |   OVER () DIV n_total AS BIGINT)""".stripMargin))
+          |   OVER (PARTITION BY pmod(hash(from_state), 1))
+          |   DIV n_total AS BIGINT)""".stripMargin))
       .select(col("from_state"), col("n_from"), col("h_nano"),
         col("n_total"), col("cond_h_nano"))
       .orderBy(col("from_state"))
@@ -639,7 +640,7 @@ object Analytics {
         coalesce(sum(when(!col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
         coalesce(sum(when(!col("__a"), col("__v")).otherwise(0L)), lit(0L))
           .as("sum_b"))
-    val wall = Window.partitionBy()
+    val wall = BoundedWindow.all(col("n_a"))
     slices
       .withColumn("__ta", coalesce(sum(col("n_a")).over(wall), lit(0L)))
       .withColumn("__sa", coalesce(sum(col("sum_a")).over(wall), lit(0L)))
@@ -678,7 +679,7 @@ object Analytics {
       .groupBy(col("parent"), col("child"))
       .agg(coalesce(sum(col("__v")), lit(0L)).as("total_cents"))
     val wp = Window.partitionBy(col("parent"))
-    val wg = Window.partitionBy()
+    val wg = BoundedWindow.all(col("parent"))
     agg
       .withColumn("parent_total_cents", sum(col("total_cents")).over(wp))
       .withColumn("__grand", sum(col("total_cents")).over(wg))
@@ -1013,7 +1014,7 @@ object Analytics {
       .agg(max(col("__ymax")).as("__pm"))
       .withColumn("__prev_best",
         max(col("__pm")).over(
-          Window.orderBy(col("__pid"))
+          BoundedWindow.ordered(col("__pid"), col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__pid"), col("__prev_best"))
     val wp = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)

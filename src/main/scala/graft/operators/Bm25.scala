@@ -136,7 +136,7 @@ object Bm25 {
     val dfreq = corpusTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = base.agg(count(lit(1)).as("__n"))
 
-    val w = Window.orderBy(col("w_ppm").desc, col("term").asc)
+    val w = BoundedWindow.ordered(col("term"), col("w_ppm").desc, col("term").asc)
     fbTf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("w_ppm", expr("fb_tf * ((1000000L * __n) DIV df)"))
       .orderBy(col("w_ppm").desc, col("term").asc)

@@ -322,7 +322,7 @@ object Classify {
       .agg(coalesce(sum(col("__nn")), lit(0L)).as("__pn"))
       .withColumn("__off",
         coalesce(sum(col("__pn")).over(
-          Window.orderBy(col("__pid"))
+          BoundedWindow.ordered(col("__pid"), col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
     val wp = Window.partitionBy(col("__pid")).orderBy(col("__s"))
@@ -435,7 +435,7 @@ object Classify {
       .groupBy(col("decile"), col("__n"), col("__pos"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
-    val cum = Window.orderBy(col("decile"))
+    val cum = BoundedWindow.ordered(col("decile"), col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tiles
       .withColumn("cum_n", sum(col("n_rows")).over(cum))
@@ -506,13 +506,13 @@ object Classify {
                | AS DECIMAL(38,0))""".stripMargin).as("__sq"),
         expr("sum(__s) DIV count(1)").as("__mp"), // mean pred ppm (trunc)
         expr("sum(__y) DIV count(1)").as("__pr")) // pos rate ppm (trunc)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    val wAll = BoundedWindow.total(col("__nb"))
     bins
       .withColumn("__n", sum(col("__nb")).over(wAll))
       .withColumn("__ybar",
         expr("""CAST(sum(CAST(__pr AS DECIMAL(38,0)) * __nb) OVER
-               | (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+               | (PARTITION BY pmod(hash(__nb), 1)
+               |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
                |  FOLLOWING) AS DECIMAL(38,0))""".stripMargin))
       .withColumn("__ybar_ppm", expr("CAST(__ybar DIV __n AS BIGINT)"))
       .groupBy(col("__n"), col("__ybar_ppm"))
@@ -798,8 +798,7 @@ object Classify {
       .withColumn("iv_upm",
         coalesce(sum(floor(col("iv_contrib") * 1000000L + 0.5)
           .cast("long")).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)), lit(0L)))
+          BoundedWindow.total(col("bin"))), lit(0L)))
       .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
         col("woe"), col("iv_contrib"), col("iv_upm"))
       .orderBy(col("bin").asc_nulls_first)
@@ -849,7 +848,7 @@ object Classify {
           .as("n_pos"))
     // ordinal positions over OBSERVED bins (empty bins carry no weight
     // and cannot affect any interval mean) — bins-sized global window
-    val wOrd = Window.orderBy(col("__bin"))
+    val wOrd = BoundedWindow.ordered(col("__bin"), col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins
       .withColumn("__i", count(lit(1)).over(wOrd))
@@ -916,7 +915,7 @@ object Classify {
       .agg(count(lit(1)).as("n"))
     val wx = Window.partitionBy(col("x_val"))
     val wy = Window.partitionBy(col("y_val"))
-    val wg = Window.partitionBy()
+    val wg = BoundedWindow.all(col("x_val"))
     cells
       .withColumn("n_x", sum(col("n")).over(wx))
       .withColumn("n_y", sum(col("n")).over(wy))
@@ -1170,10 +1169,10 @@ object Classify {
       .agg(coalesce(sum(col("__np")), lit(0L)).as("__pp"),
         coalesce(sum(col("__nn")), lit(0L)).as("__pn"))
       .withColumn("__offp",
-        coalesce(sum(col("__pp")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pp")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__offn",
-        coalesce(sum(col("__pn")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pn")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offp"), col("__offn"))
     val totals = perScore.agg(

@@ -439,7 +439,7 @@ object CorpusStats {
     val newPerPeriod = firstSeen.groupBy(col("period"))
       .agg(count(lit(1)).as("new_terms"))
     val periods = toks.select(col("__p").as("period")).distinct()
-    val w = Window.orderBy(col("period")) // |periods| rows — bounded axis
+    val w = BoundedWindow.ordered(col("period"), col("period")) // |periods| rows — bounded axis
     periods.join(newPerPeriod, Seq("period"), "left_outer")
       .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
       .withColumn("vocab", sum(col("new_terms")).over(
@@ -453,7 +453,7 @@ object CorpusStats {
       .select(explode(Text.words(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__r"))
       .groupBy(col("__r").as("r")).agg(count(lit(1)).as("n_terms"))
-    val w = Window.orderBy(col("r")) // ≤ √(2T) rows by construction
+    val w = BoundedWindow.ordered(col("r"), col("r")) // ≤ √(2T) rows by construction
     counts
       .withColumn("__next",
         when(lead(col("r"), 1).over(w) === col("r") + 1L,

@@ -168,7 +168,7 @@ object Mixture {
     val leftovers = broadcast(quotas.agg(
       (lit(budget) - coalesce(sum(col("base")), lit(0L))).as("__left")))
     // remainder ranking over the strata-sized frame; ties broken by name
-    val w = Window.orderBy(col("remainder").desc, col("stratum").asc)
+    val w = BoundedWindow.ordered(col("stratum"), col("remainder").desc, col("stratum").asc)
     quotas.crossJoin(leftovers)
       .withColumn("extra",
         when(row_number().over(w) <= col("__left") && col("remainder") > 0, 1L)

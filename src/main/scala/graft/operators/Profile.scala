@@ -181,7 +181,7 @@ object Profile {
     val totals = joined.agg(
       coalesce(sum(col("__na")), lit(0L)).as("n_a"),
       coalesce(sum(col("__nb")), lit(0L)).as("n_b"))
-    val w = Window.orderBy(col("bin"))
+    val w = BoundedWindow.ordered(col("bin"), col("bin"))
       .rowsBetween(Window.unboundedPreceding, 0) // bins-sized frame
     joined.crossJoin(broadcast(totals))
       .withColumn("__sa",
@@ -435,9 +435,9 @@ object Profile {
           .otherwise(lit(0L)))
       .withColumn("chi2_ppm", {
         import org.apache.spark.sql.expressions.Window
-        // nb-row frame by contract — the unkeyed window is bin-sized
-        sum(col("term_ppm")).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing))
+        // nb-row frame by contract — the single-partition window is
+        // bin-sized (explicit, BoundedWindow-style)
+        sum(col("term_ppm")).over(BoundedWindow.total(col("bin")))
       })
       .select(col("bin"), col("n_cur"), col("n_ref"), col("term_ppm"),
         col("chi2_ppm"))
@@ -503,7 +503,7 @@ object Profile {
       .agg(count(lit(1)).as("n"))
     val wr = Window.partitionBy(col("row_val"))
     val wc = Window.partitionBy(col("col_val"))
-    val wg = Window.partitionBy()
+    val wg = BoundedWindow.all(col("row_val"))
     cells
       .withColumn("__rt", sum(col("n")).over(wr))
       .withColumn("__ct", sum(col("n")).over(wc))
@@ -592,10 +592,10 @@ object Profile {
     val offsets = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), coalesce(sum(col("__m")), lit(0L)).as("__pm"))
       .withColumn("__rank_off",
-        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__cnt")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__mass_off",
-        coalesce(sum(col("__pm")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pm")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__rank_off"), col("__mass_off"))
     val wp = Window.partitionBy(col("__pid"))
@@ -791,8 +791,7 @@ object Profile {
       .select(col("bin"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    val wAll = BoundedWindow.total(col("bin"))
     joined
       // smoothed totals ride windows over the nb-row bins frame
       .withColumn("__nc", sum(col("n_cur") + 1L).over(wAll))
@@ -837,10 +836,14 @@ object Profile {
     val parts = cols.map { c =>
       val counts = df.select(col(c).cast("string").as("__v"))
         .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
+      // the value-count frame is O(distinct values) — corpus-sized for
+      // an id-like column — so the grand total joins in as ONE
+      // broadcast row instead of a single-partition window over the
+      // whole frame (the one former window here that was NOT bounded
+      // by construction)
+      val total = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
       counts
-        .withColumn("__n", sum(col("__c")).over(wAll))
+        .crossJoin(broadcast(total))
         .withColumn("__t",
           floor((col("__c").cast("double") / col("__n")) *
             log(col("__c").cast("double") / col("__n")) *
@@ -1347,7 +1350,7 @@ object Profile {
     }
     val fullTop = topOf(
       base.groupBy(col("__k")).agg(sum(col("__v")).as("__s"))
-        .withColumn("__all", lit(1)), Seq(col("__all")))
+        .withColumn("__all", pmod(hash(col("__k")), lit(1))), Seq(col("__all")))
       .select(col("__k").as("__fk"))
     val halved = base
       .select(col("__id"), col("__k"), col("__v"),

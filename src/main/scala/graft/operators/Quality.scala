@@ -252,9 +252,9 @@ object Quality {
           lit(0L)).as("n_null_sensitive"))
     val gCounts = base.filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__cg"))
-    val wVal = Window.orderBy(col("__v"))
+    val wVal = BoundedWindow.ordered(col("__v"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
+    val wAll = BoundedWindow.all(col("__v"))
     // global cum frame: O(#values) rows — the tiny single-partition
     // window is over THAT frame, never rows
     val gCum = gCounts

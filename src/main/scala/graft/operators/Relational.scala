@@ -421,7 +421,7 @@ object Relational {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__pid"))
+          BoundedWindow.ordered(col("__pid"), col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)

@@ -408,7 +408,7 @@ object Sampling {
     val joined = s.join(p, col("__s") <=> col("__p"), "full_outer")
       .select(coalesce(col("__s"), col("__p")).as("stratum"),
         col("n_sample"), col("sum_v"), col("pop_n"))
-    val wall = Window.partitionBy()
+    val wall = BoundedWindow.all(col("stratum"))
     joined
       .withColumn("__nTot",
         coalesce(sum(col("n_sample")).over(wall), lit(0L)))
@@ -506,7 +506,7 @@ object Sampling {
         when(col("n_eff") > 0L,
           expr("(CAST(sum_wv AS DECIMAL(38,0)) * 1000000) DIV n_eff")
             .cast("long")))
-    val wall = Window.partitionBy()
+    val wall = BoundedWindow.all(col("n_eff"))
     perRep
       .withColumn("n_ok",
         coalesce(sum(when(col("mean_micro").isNotNull, 1L).otherwise(0L))

@@ -69,7 +69,7 @@ object Survival {
       .agg(coalesce(sum(col("n_events") + col("n_censored")), lit(0L))
         .as("__pg"))
       .withColumn("__goff",
-        coalesce(sum(col("__pg")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pg")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__goff"))
     val withRisk = staged.join(broadcast(goneOffsets), "__pid")
@@ -88,10 +88,10 @@ object Survival {
       .agg(coalesce(sum(col("__lnq")), lit(0L)).as("__pl"),
         coalesce(sum(col("__zero")), lit(0L)).as("__pz"))
       .withColumn("__loff",
-        coalesce(sum(col("__pl")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pl")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__zoff",
-        coalesce(sum(col("__pz")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pz")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__loff"), col("__zoff"))
     withRisk.join(broadcast(lnOffsets), "__pid")
@@ -165,7 +165,7 @@ object Survival {
       .agg(coalesce(sum(col("n_events") + col("n_censored")), lit(0L))
         .as("__pg"))
       .withColumn("__goff",
-        coalesce(sum(col("__pg")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__pg")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__goff"))
     val withRisk = staged.join(broadcast(goneOffsets), "__pid")
@@ -178,7 +178,7 @@ object Survival {
     val hazOffsets = withRisk.groupBy(col("__pid"))
       .agg(coalesce(sum(col("__h")), lit(0L)).as("__ph"))
       .withColumn("__hoff",
-        coalesce(sum(col("__ph")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__ph")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__hoff"))
     withRisk.join(broadcast(hazOffsets), "__pid")
@@ -251,10 +251,10 @@ object Survival {
       .agg(coalesce(sum(col("__d1") + col("__c1")), lit(0L)).as("__p1"),
         coalesce(sum(col("__d2") + col("__c2")), lit(0L)).as("__p2"))
       .withColumn("__off1",
-        coalesce(sum(col("__p1")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__p1")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__off2",
-        coalesce(sum(col("__p2")).over(Window.orderBy(col("__pid"))
+        coalesce(sum(col("__p2")).over(BoundedWindow.ordered(col("__pid"), col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off1"), col("__off2"))
     val steps = parted.join(broadcast(offsets), "__pid")
@@ -324,7 +324,7 @@ object Survival {
       .filter(col("__d").isNotNull)
     val km = kaplanMeier(base, col("__d"), col("__e").isNotNull)
     // steps-frame windows by KM's bucketing contract
-    val wPrev = Window.orderBy(col("t"))
+    val wPrev = BoundedWindow.ordered(col("t"), col("t"))
     val steps = km.select(col("t"), col("n_risk"), col("surv_ppm"))
       .withColumn("surv_prev_ppm",
         coalesce(lag(col("surv_ppm"), 1).over(wPrev), lit(1000000L)))
@@ -376,7 +376,7 @@ object Survival {
     val km = kaplanMeier(subjects, col("__d"), col("__o"))
     // steps-sized frame by KM's bucketing contract: the single window
     // is over |distinct event durations| rows, never subjects
-    val w = Window.orderBy(col("t"))
+    val w = BoundedWindow.ordered(col("t"), col("t"))
     val segs = km
       .withColumn("__tnext",
         coalesce(lead(col("t"), 1).over(w), lit(horizon)))

@@ -190,7 +190,7 @@ object TimeSeries {
     spine.join(deltas, Seq("__b"), "left")
       .withColumn("n_active",
         sum(coalesce(col("__delta"), lit(0L)))
-          .over(Window.orderBy(col("__b"))))
+          .over(BoundedWindow.ordered(col("__b"), col("__b"))))
       .select(col("__b").as("bucket"), col("n_active"))
   }
 
@@ -840,7 +840,7 @@ object TimeSeries {
           col("__num").cast("double") /
             (sqrt(col("__dx").cast("double")) *
               sqrt(col("__dy").cast("double")))))
-    val wall = Window.partitionBy()
+    val wall = BoundedWindow.all(col("lag"))
     perLag
       .withColumn("__key", when(col("r").isNotNull,
         struct((-abs(col("r"))).as("na"), col("lag"))))
