@@ -40,6 +40,11 @@ import graft.sources.MergeSink
   *
   * After either path the target temp view is re-registered from the sink
   * so subsequent statements read the post-merge table.
+  *
+  * The same seam lowers the other two row-level DML statements over a
+  * registered view: `UPDATE name SET … [WHERE …]` (projection rewrite)
+  * and `DELETE FROM name WHERE …` (keep-filter rewrite), both through
+  * [[MergeSink.overwriteAll]].
   */
 object SqlMerge {
 
@@ -92,6 +97,23 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "targets — evolve the table schema with an explicit rewrite first")
           GraftMergeCommand(name, sink, MergeSpec.from(name, sink, m))
         case None => m // not ours: leave for Spark's own (DSv2) handling
+      }
+    // the other two row-level DML statements, same lowering seam: a
+    // resolved UPDATE/DELETE over a registered view becomes a
+    // filter/projection rewrite through MergeSink.overwriteAll
+    case u: UpdateTable
+        if u.childrenResolved && u.condition.forall(_.resolved) &&
+          u.assignments.forall(_.resolved) =>
+      SqlMerge.sinkFor(u.table) match {
+        case Some((name, sink)) =>
+          GraftUpdateCommand(name, sink, u.table, u.assignments, u.condition)
+        case None => u
+      }
+    case d: DeleteFromTable if d.childrenResolved && d.condition.resolved =>
+      SqlMerge.sinkFor(d.table) match {
+        case Some((name, sink)) =>
+          GraftDeleteCommand(name, sink, d.table, d.condition)
+        case None => d
       }
   }
 
@@ -199,6 +221,59 @@ final case class GraftMergeCommand(name: String, sink: MergeSink, spec: MergeSpe
   override def simpleString(maxFields: Int): String =
     s"GraftMergeCommand $name, matched=${spec.matched.size}, " +
       s"notMatched=${spec.notMatched.size}, bySource=${spec.bySource.size}"
+}
+
+/** `UPDATE name SET … [WHERE …]` over a registered sink: a full-table
+  * projection rewrite — each assigned column becomes
+  * `CASE WHEN cond THEN value ELSE current END`, unassigned columns
+  * pass through; NULL conditions update nothing (SQL semantics).
+  * O(table) by design: without knowing which partitions the predicate
+  * touches, a row-level UPDATE is a rewrite (the partition-pruned
+  * path is the MERGE fast path). */
+final case class GraftUpdateCommand(name: String, sink: MergeSink,
+    table: LogicalPlan, assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val applies = condition.map(c => EqualNullSafe(c, Literal(true)))
+    val outCols = table.output.map { t =>
+      val v = assignments.collectFirst {
+        case Assignment(k: Attribute, value) if k.exprId == t.exprId =>
+          if (value.dataType == t.dataType) value else Cast(value, t.dataType)
+      }
+      val updated = v.map { value =>
+        applies.fold(value)(c => CaseWhen(Seq(c -> value), Some(t: Expression)))
+      }.getOrElse(t: Expression)
+      Alias(updated, t.name)()
+    }
+    sink.overwriteAll(GraftSqlBridge.ofRows(spark, Project(outCols, table)))
+    sink.read(spark).createOrReplaceTempView(name)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand $name, ${assignments.size} assignment(s)"
+}
+
+/** `DELETE FROM name WHERE …` over a registered sink: keep exactly the
+  * rows whose condition is NOT true (NULL keeps, per SQL), written as
+  * a full-table rewrite through [[MergeSink.overwriteAll]]. */
+final case class GraftDeleteCommand(name: String, sink: MergeSink,
+    table: LogicalPlan, condition: Expression) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keep = Not(EqualNullSafe(condition, Literal(true)))
+    sink.overwriteAll(GraftSqlBridge.ofRows(spark, Filter(keep, table)))
+    sink.read(spark).createOrReplaceTempView(name)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand $name"
 }
 
 private[plans] object SqlMergeExec {

@@ -11969,6 +11969,60 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** SQL UPDATE over a registered table (the row-level DML surface
+    * beyond MERGE): conditional projection rewrite through the sink.
+    * DuckDB recomputes the post-update table from orders directly. */
+  val sqlUpdateProbe = Probe(
+    "q305_sql_update",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q305_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q305_target", sink)
+      s.sql(
+        """UPDATE q305_target SET o_totalprice = o_totalprice + 5.0
+          |WHERE o_orderkey % 10 = 6""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q305_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+           |  round(CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 5.0
+           |             ELSE o_totalprice END, 2) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** SQL DELETE over a registered table: keep-filter rewrite (NULL
+    * predicates keep, per SQL). DuckDB replays the complement filter. */
+  val sqlDeleteProbe = Probe(
+    "q306_sql_delete",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q306_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q306_target", sink)
+      s.sql("DELETE FROM q306_target WHERE o_totalprice > 200000.0")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM q306_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |  AND NOT (o_totalprice > 200000.0)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -12043,7 +12097,8 @@ object Probes {
     indexStalenessProbe, annIvfPq, bpeDistributedProbe, videoFramesProbe,
     quantizationProbe, hardNegativesProbe, truncatedRecallProbe,
     ivfPqAppendProbe,
-    sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe
+    sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe,
+    sqlUpdateProbe, sqlDeleteProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -208,6 +208,31 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(sink.read(spark).schema.fieldNames.toSeq === Seq("id", "dt", "v"))
   }
 
+  test("SQL UPDATE over a registered sink: conditional, unassigned columns intact") {
+    import spark.implicits._
+    snapshotSink("t_updml", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    spark.sql("UPDATE t_updml SET v = v * 2 WHERE k >= 2")
+    assert(tableSet("t_updml") ===
+      Set((1, "a", 10.0), (2, "b", 40.0), (3, "c", 60.0)))
+    // unconditional form touches every row
+    spark.sql("UPDATE t_updml SET name = concat(name, '!')")
+    assert(tableSet("t_updml") ===
+      Set((1, "a!", 10.0), (2, "b!", 40.0), (3, "c!", 60.0)))
+  }
+
+  test("SQL DELETE over a registered sink: NULL predicate keeps the row") {
+    import spark.implicits._
+    val sink = ParquetSnapshotSink(tmp("sqlmerge_delml"))
+    sink.overwriteAll(Seq((1, Some(10.0)), (2, None), (3, Some(30.0)))
+      .toDF("k", "v"))
+    SqlMerge.register(spark, "t_delml", sink)
+    spark.sql("DELETE FROM t_delml WHERE v > 15.0")
+    val got = spark.sql("SELECT k FROM t_delml").collect()
+      .map(_.getInt(0)).toSet
+    // k=3 deleted; k=2 has NULL v -> predicate NULL -> KEPT (SQL rule)
+    assert(got === Set(1, 2))
+  }
+
   test("source can be an arbitrary subquery") {
     import spark.implicits._
     snapshotSink("t_sub", Seq((1, "a", 10.0), (2, "b", 20.0)))
