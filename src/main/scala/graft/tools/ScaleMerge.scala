@@ -47,11 +47,32 @@ object ScaleMerge {
       (Store.readFact(spark, dir).count(), sec)
     }
 
-    measure(2) // warmup: codegen + shuffle machinery, discarded
+    // the same one-day correction driven through the SQL surface:
+    // MERGE INTO must lower onto the identical incremental merge
+    // (fast path), so its curve must be as flat as the DataFrame call
+    def measureSql(days: Int): (Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"merge_sql_$days").toString
+      Store.writeFactPartitioned(fact(days, 0, 0.0), dir)
+      graft.plans.SqlMerge.register(spark, "scale_fact",
+        Store.ParquetDateSink(dir))
+      fact(1, days - 1, 100.0).createOrReplaceTempView("scale_batch")
+      val t0 = System.nanoTime()
+      spark.sql(
+        """MERGE INTO scale_fact USING scale_batch
+          |ON scale_fact.city_id = scale_batch.city_id
+          |  AND scale_fact.dt = scale_batch.dt
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (Store.readFact(spark, dir).count(), sec)
+    }
+
+    measure(2); measureSql(2) // warmup: codegen + shuffle machinery, discarded
     for (days <- dayList) {
       val (total, sec) = measure(days)
+      val (totalSql, secSql) = measureSql(days)
       val expect = days.toLong * rowsPerDay
-      println(f"""{"days":$days,"rows":$total,"updated_not_inserted":${total == expect},"one_day_merge_sec":$sec%.2f}""")
+      println(f"""{"days":$days,"rows":$total,"updated_not_inserted":${total == expect && totalSql == expect},"one_day_merge_sec":$sec%.2f,"one_day_sql_merge_sec":$secSql%.2f}""")
     }
     spark.stop()
   }
