@@ -329,22 +329,26 @@ object Graph {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
-    // one rescaled half-round: raw sums → ppm-of-max, absentees → 0.
-    // The raw frame feeds BOTH the max aggregate and the scale join —
-    // without an eager materialization here, the recurrence would sit
-    // in the plan TWICE per half-round and re-execution would grow
-    // 2^(2·iters) (measured: 108 s for 3 iterations on the sf0.1 layer
-    // graph vs ~5 s checkpointed — the labelPropagation lesson, doubled
-    // by the max consumer). The checkpointed frame is one long per
-    // scored node, so the barrier costs O(V), not plan depth.
+    // one rescaled half-round: raw sums → ppm-of-max. The raw frame
+    // feeds BOTH the max aggregate and the scale join — without an
+    // eager materialization here, the recurrence would sit in the plan
+    // TWICE per half-round and re-execution would grow 2^(2·iters)
+    // (measured: 108 s for 3 iterations on the sf0.1 layer graph vs
+    // ~5 s checkpointed — the labelPropagation lesson, doubled by the
+    // max consumer). The checkpointed frame is one long per scored
+    // node, so the barrier costs O(V), not plan depth.
+    //
+    // Scores stay SPARSE between rounds: a node absent from the frame
+    // scores 0, and a zero score contributes exactly nothing to the
+    // next half-round's sums — so the per-half-round V-sized densify
+    // join the earlier shape paid (vertices left-join + coalesce 0) is
+    // deferred to ONE final pass.
     def rescale(rawLazy: DataFrame): DataFrame = {
       val raw = rawLazy.localCheckpoint(true)
       val mx = raw.agg(max(col("__raw")).as("__mx"))
-      val scaled = raw.crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("node2").as("node"),
-          expr("(CAST(__raw AS DECIMAL(38,0)) * 1000000) div __mx").as("__new"))
-      vertices.join(scaled, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__new"), lit(0L)).as("score"))
+          expr("(CAST(__raw AS DECIMAL(38,0)) * 1000000) div __mx").as("score"))
     }
 
     var hubs = vertices.withColumn("score", lit(init))
@@ -359,8 +363,13 @@ object Graph {
           .groupBy(e("src").as("node2")).agg(sum(col("score")).as("__raw")))
       i += 1
     }
-    val out = hubs.withColumnRenamed("score", "hub")
-      .join(auths.withColumnRenamed("score", "auth"), Seq("node"))
+    // densify ONCE: every vertex appears, absentees at 0 (exactly the
+    // value the sparse frames implied all along)
+    val out = vertices
+      .join(hubs.withColumnRenamed("score", "hub"), Seq("node"), "left")
+      .join(auths.withColumnRenamed("score", "auth"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
     e.unpersist(); vertices.unpersist()
     out
