@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
-import graft.sources.MergeSink
+import graft.sources.{DatePartitionedSink, MergeSink}
 
 /** SQL-facing `MERGE INTO` over graft [[MergeSink]] tables (SURVEY.md §2.1
   * S4/S5 — the reference's `INSERT … ON CONFLICT` load surface, which its
@@ -223,32 +223,59 @@ final case class GraftMergeCommand(name: String, sink: MergeSink, spec: MergeSpe
       s"notMatched=${spec.notMatched.size}, bySource=${spec.bySource.size}"
 }
 
-/** `UPDATE name SET … [WHERE …]` over a registered sink: a full-table
-  * projection rewrite — each assigned column becomes
+/** `UPDATE name SET … [WHERE …]` over a registered sink: a projection
+  * rewrite — each assigned column becomes
   * `CASE WHEN cond THEN value ELSE current END`, unassigned columns
   * pass through; NULL conditions update nothing (SQL semantics).
-  * O(table) by design: without knowing which partitions the predicate
-  * touches, a row-level UPDATE is a rewrite (the partition-pruned
-  * path is the MERGE fast path). */
+  *
+  * PARTITION-PRUNED on a [[DatePartitionedSink]] when the statement has
+  * a WHERE clause and the assignments do not move the partition
+  * timestamp: one filtered pass finds the affected dates (predicate
+  * pushed to the scan), the projection runs over the manifest/partition-
+  * pruned read of ONLY those dates, and [[DatePartitionedSink
+  * .replaceDates]] rewrites only them — O(touched dates). Everything
+  * else (no WHERE, tsCol reassigned, snapshot sinks) is the honest
+  * full rewrite via [[MergeSink.overwriteAll]]. */
 final case class GraftUpdateCommand(name: String, sink: MergeSink,
     table: LogicalPlan, assignments: Seq[Assignment],
     condition: Option[Expression]) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
-  override def run(spark: SparkSession): Seq[Row] = {
-    val applies = condition.map(c => EqualNullSafe(c, Literal(true)))
-    val outCols = table.output.map { t =>
+  private def projected(plan: LogicalPlan,
+                        remap: Expression => Expression): LogicalPlan = {
+    val applies = condition.map(c => EqualNullSafe(remap(c), Literal(true)))
+    val outCols = plan.output.map { t =>
       val v = assignments.collectFirst {
-        case Assignment(k: Attribute, value) if k.exprId == t.exprId =>
-          if (value.dataType == t.dataType) value else Cast(value, t.dataType)
+        case Assignment(k: Attribute, value) if k.name.equalsIgnoreCase(t.name) =>
+          val r = remap(value)
+          if (r.dataType == t.dataType) r else Cast(r, t.dataType)
       }
       val updated = v.map { value =>
         applies.fold(value)(c => CaseWhen(Seq(c -> value), Some(t: Expression)))
       }.getOrElse(t: Expression)
       Alias(updated, t.name)()
     }
-    sink.overwriteAll(GraftSqlBridge.ofRows(spark, Project(outCols, table)))
+    Project(outCols, plan)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val movesPartition = (p: DatePartitionedSink) => assignments.exists {
+      case Assignment(k: Attribute, _) => k.name.equalsIgnoreCase(p.tsCol)
+      case _ => true // non-column assignment target: be conservative
+    }
+    (sink, condition) match {
+      case (p: DatePartitionedSink, Some(c)) if !movesPartition(p) =>
+        val dates = SqlMergeExec.affectedDates(spark, table, c, p.tsCol)
+        if (dates.nonEmpty) {
+          val pruned = p.prunedRead(spark, dates).queryExecution.analyzed
+          p.replaceDates(dates, GraftSqlBridge.ofRows(spark,
+            projected(pruned, SqlMergeExec.remapTo(pruned))))
+        }
+      case _ =>
+        sink.overwriteAll(GraftSqlBridge.ofRows(spark,
+          projected(table, identity)))
+    }
     sink.read(spark).createOrReplaceTempView(name)
     Seq.empty
   }
@@ -258,16 +285,31 @@ final case class GraftUpdateCommand(name: String, sink: MergeSink,
 }
 
 /** `DELETE FROM name WHERE …` over a registered sink: keep exactly the
-  * rows whose condition is NOT true (NULL keeps, per SQL), written as
-  * a full-table rewrite through [[MergeSink.overwriteAll]]. */
+  * rows whose condition is NOT true (NULL keeps, per SQL).
+  * PARTITION-PRUNED on a [[DatePartitionedSink]]: affected dates from
+  * one pushed-down filtered pass, then [[DatePartitionedSink
+  * .replaceDates]] rewrites only those dates with their kept rows —
+  * a date the delete empties vanishes from the table. Snapshot sinks
+  * take the full rewrite via [[MergeSink.overwriteAll]]. */
 final case class GraftDeleteCommand(name: String, sink: MergeSink,
     table: LogicalPlan, condition: Expression) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val keep = Not(EqualNullSafe(condition, Literal(true)))
-    sink.overwriteAll(GraftSqlBridge.ofRows(spark, Filter(keep, table)))
+    sink match {
+      case p: DatePartitionedSink =>
+        val dates = SqlMergeExec.affectedDates(spark, table, condition, p.tsCol)
+        if (dates.nonEmpty) {
+          val pruned = p.prunedRead(spark, dates).queryExecution.analyzed
+          val keep = Not(EqualNullSafe(
+            SqlMergeExec.remapTo(pruned)(condition), Literal(true)))
+          p.replaceDates(dates, GraftSqlBridge.ofRows(spark, Filter(keep, pruned)))
+        }
+      case s =>
+        val keep = Not(EqualNullSafe(condition, Literal(true)))
+        s.overwriteAll(GraftSqlBridge.ofRows(spark, Filter(keep, table)))
+    }
     sink.read(spark).createOrReplaceTempView(name)
     Seq.empty
   }
@@ -277,6 +319,30 @@ final case class GraftDeleteCommand(name: String, sink: MergeSink,
 }
 
 private[plans] object SqlMergeExec {
+
+  /** Rebind an expression's column references onto `to`'s output BY NAME
+    * (case-insensitive): the expression was resolved against the
+    * registered view's frozen plan; the pruned re-read carries the same
+    * columns under fresh exprIds. */
+  private[plans] def remapTo(to: LogicalPlan)(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference =>
+        to.output.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+          throw new IllegalStateException(
+            s"column ${a.name} missing on pruned re-read of a registered table"))
+    }
+
+  /** The distinct partition dates a row-level predicate touches — ONE
+    * filtered pass (predicate pushed to the scan), a driver-side set
+    * bounded by the table's date count, the same move the incremental
+    * merges make. NULL-condition rows never match (EqualNullSafe true). */
+  private[plans] def affectedDates(spark: SparkSession, table: LogicalPlan,
+      condition: Expression, tsCol: String): Seq[java.sql.Date] =
+    GraftSqlBridge.ofRows(spark,
+        Filter(EqualNullSafe(condition, Literal(true)), table))
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col(tsCol)).as("__d"))
+      .distinct().collect().map(_.getAs[java.sql.Date]("__d")).toSeq
 
   def execute(spark: SparkSession, sink: MergeSink, spec: MergeSpec): Unit =
     fastPath(spec) match {

@@ -12023,6 +12023,38 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Partition-pruned SQL DELETE on the transactional sink: affected
+    * dates from one pushed-down pass, only those dates' chunks
+    * rewritten (emptied dates leave the manifest), untouched dates
+    * byte-identical — the replaceDates seam, driven end-to-end from
+    * `spark.sql`. DuckDB replays the complement filter. */
+  val sqlDeletePrunedProbe = Probe(
+    "q307_sql_delete_pruned",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.TxnParquet.TxnParquetSink
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val sink = TxnParquetSink(
+        sys.props("java.io.tmpdir") + "/graft_q307_target",
+        tsCol = "o_orderdate")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q307_target", sink)
+      s.sql(
+        """DELETE FROM q307_target
+          |WHERE o_totalprice > 250000.0 AND month(o_orderdate) = 3""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_orderdate, o_totalprice
+          |FROM q307_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |  AND NOT (o_totalprice > 250000.0
+           |           AND EXTRACT(month FROM o_orderdate) = 3)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -12098,7 +12130,7 @@ object Probes {
     quantizationProbe, hardNegativesProbe, truncatedRecallProbe,
     ivfPqAppendProbe,
     sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe,
-    sqlUpdateProbe, sqlDeleteProbe
+    sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -46,3 +46,26 @@ trait MergeSink {
       s"${getClass.getSimpleName} does not support full-table rewrite " +
         "(general MERGE shapes); use the DO UPDATE / DO NOTHING forms")
 }
+
+/** A [[MergeSink]] whose storage is partitioned by `date(tsCol)` and can
+  * therefore replace a SUBSET of dates without touching the rest — the
+  * seam that makes SQL UPDATE/DELETE partition-pruned: rewrite only the
+  * dates the predicate touches, O(touched dates), never O(table)
+  * (graft.plans.SqlMerge routes row-level DML here when it can). */
+trait DatePartitionedSink extends MergeSink {
+
+  /** The timestamp column whose date is the partition key. */
+  def tsCol: String
+
+  /** The table restricted to `dates` — a partition/manifest-PRUNED read
+    * (only those dates' files are listed and scanned). A null entry
+    * selects the null-date partition. */
+  def prunedRead(spark: SparkSession, dates: Seq[java.sql.Date]): DataFrame
+
+  /** Atomically replace EXACTLY the given dates' contents with `kept` —
+    * the full post-operation rows of those dates (rows of other dates
+    * must not appear; a date with no rows in `kept` is REMOVED from the
+    * table). Untouched dates' files stay byte-identical. `kept` may
+    * read from this sink's current files. */
+  def replaceDates(dates: Seq[java.sql.Date], kept: DataFrame): Unit
+}

@@ -117,7 +117,7 @@ object TxnParquet {
   final case class TxnParquetSink(path: String, tsCol: String = "dt",
                                   keepManifests: Int = 4,
                                   crashBeforeCommit: () => Unit = () => ())
-      extends MergeSink {
+      extends DatePartitionedSink {
     require(keepManifests >= 1, "must keep at least the live manifest")
 
     def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
@@ -315,6 +315,57 @@ object TxnParquet {
       }
 
       gc(f, root, gdir, nextV, keepManifests)
+    }
+
+    /** Replace EXACTLY `dates` with `kept` under the usual commit
+      * protocol: `kept` (those dates' full post-operation rows) stages
+      * into a fresh chunk dir, then ONE atomic manifest swap repoints
+      * the touched dates — a date with zero kept rows simply leaves the
+      * mapping. This is what makes SQL UPDATE/DELETE O(touched dates)
+      * on this sink (SqlMerge routes here): untouched dates' chunks are
+      * neither read nor written, and a crash leaves the old version
+      * live. Loud guards: `kept` must not smuggle rows of OTHER dates
+      * (the staged partition listing is checked against the replaced
+      * set), and must carry the table's exact schema (replaceDates is a
+      * row-level operation, never a schema evolution). */
+    def replaceDates(dates: Seq[java.sql.Date], kept: DataFrame): Unit = {
+      require(dates.nonEmpty, "replaceDates needs at least one date")
+      require(!kept.columns.contains("p_date") && !kept.columns.contains("p_dir"),
+        "TxnParquetSink: 'p_date'/'p_dir' are reserved layout columns")
+      val spark = kept.sparkSession
+      val current = currentManifest(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"TxnParquetSink: no committed table at $path"))
+      val keys = dates.map(dateKey).distinct
+      val batch = kept.withColumn("p_date", to_date(col(tsCol)))
+      current._3.foreach { stored =>
+        // names + types only: nullability/metadata legitimately drift
+        // through filters and projections without changing the data shape
+        def shape(st: org.apache.spark.sql.types.StructType) =
+          st.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+        require(shape(batch.schema) == shape(stored),
+          s"TxnParquetSink.replaceDates: kept schema ${batch.schema.simpleString} " +
+            s"!= table schema ${stored.simpleString} — row-level ops cannot evolve the schema")
+      }
+      val chunkRel = s"data/chunk-${java.util.UUID.randomUUID().toString.take(12)}"
+      batch
+        .repartition(col("p_date"))
+        .sortWithinPartitions(col("p_date"))
+        .withColumn("p_dir", coalesce(col("p_date").cast("string"), lit(NullKey)))
+        .write.partitionBy("p_dir").mode("errorifexists").parquet(s"$path/$chunkRel")
+      val (f, root) = fs(spark, path)
+      val staged = f.listStatus(new Path(s"$path/$chunkRel")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_dir="))
+        .map(_.getPath.getName.stripPrefix("p_dir="))
+      val stray = staged.filterNot(keys.contains)
+      require(stray.isEmpty,
+        s"TxnParquetSink.replaceDates: kept rows carry dates ${stray.mkString(", ")} " +
+          s"outside the replaced set ${keys.mkString(", ")}")
+      val gdir = new Path(root, "_graft")
+      val nextDates = (current._2 -- keys) ++
+        staged.map(k => k -> s"$chunkRel/p_dir=$k")
+      commitManifest(f, root, gdir, current._1 + 1, nextDates,
+        current._3.map(_.json).getOrElse(batch.schema.json))
     }
 
     /** Explicit retention sweep — VACUUM: shrink the kept-manifest

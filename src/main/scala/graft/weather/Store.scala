@@ -139,7 +139,8 @@ object Store {
     * multi-date states are unacceptable mid-crash, use
     * [[graft.sources.TxnParquet.TxnParquetSink]] — same incremental
     * merge behind an atomic manifest swap. */
-  final case class ParquetDateSink(path: String, tsCol: String = "dt") extends MergeSink {
+  final case class ParquetDateSink(path: String, tsCol: String = "dt")
+      extends graft.sources.DatePartitionedSink {
     def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
       mergeFactLastWins(updates, path, keys, tsCol)
     def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit =
@@ -156,6 +157,40 @@ object Store {
         .withColumn("p_date", to_date(col(tsCol)))
         .repartition(col("p_date"))
         .write.partitionBy("p_date").mode("overwrite").parquet(path)
+
+    def prunedRead(spark: SparkSession, dates: Seq[java.sql.Date]): DataFrame =
+      prunedFact(spark, path, dates)
+
+    /** Replace EXACTLY `dates` with `kept`: dynamic partition overwrite
+      * rewrites the dates present in `kept` (commit-time swap, so the
+      * self-read is safe), and dates the operation EMPTIED — which
+      * dynamic mode would silently leave stale — have their partition
+      * directories deleted explicitly. O(touched dates); untouched
+      * partitions' files stay byte-identical. NOT crash-atomic across
+      * several dates (the documented ParquetDateSink durability trade —
+      * use TxnParquetSink when torn multi-date states are unacceptable). */
+    def replaceDates(dates: Seq[java.sql.Date], kept: DataFrame): Unit = {
+      require(dates.nonEmpty, "replaceDates needs at least one date")
+      val spark = kept.sparkSession
+      // the emptied-date set needs the kept dates ANYWAY; localCheckpoint
+      // the kept frame once so the dates pass and the write share the scan
+      val k = kept.localCheckpoint(true)
+      val present = touchedDates(k, tsCol)
+      val stray = present.filterNot(dates.contains)
+      require(stray.isEmpty,
+        s"ParquetDateSink.replaceDates: kept rows carry dates " +
+          s"${stray.mkString(", ")} outside the replaced set")
+      if (present.nonEmpty) writeFactPartitioned(k, path, tsCol)
+      val emptied = dates.filterNot(present.contains)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { d =>
+          val dir = if (d == null) "__HIVE_DEFAULT_PARTITION__" else d.toString
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"p_date=$dir"), true)
+        }
+      }
+    }
   }
 
   /** Unpartitioned snapshot [[MergeSink]] for SMALL dimension tables

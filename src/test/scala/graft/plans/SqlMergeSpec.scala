@@ -233,6 +233,86 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(got === Set(1, 2))
   }
 
+  test("partition-pruned SQL DELETE on TxnParquetSink: untouched chunks byte-identical, emptied date dropped") {
+    import spark.implicits._
+    val dir = tmp("sqlmerge_prune_txn")
+    val sink = TxnParquetSink(dir, tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    val d3 = java.sql.Date.valueOf("2024-05-03")
+    sink.mergeLastWins(Seq(
+      (1, d1, 10.0), (2, d1, 20.0),
+      (3, d2, 99.0), (4, d2, 5.0),
+      (5, d3, 500.0)).toDF("id", "dt", "v"), Seq("id", "dt"))
+    SqlMerge.register(spark, "t_prune", sink)
+    def files(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          out(f.getAbsolutePath) = f.lastModified()
+      walk(new java.io.File(dir, "data"))
+      out.toMap
+    }
+    val before = files()
+    // touches d2 (one row deleted, one kept) and d3 (emptied); d1 untouched
+    spark.sql("DELETE FROM t_prune WHERE v > 50.0")
+    val after = files()
+    assert(before.filter(_._1.contains("p_dir=2024-05-01"))
+      .forall { case (p, m) => after.get(p).contains(m) },
+      "the untouched date's chunk files must remain byte-identical (same files)")
+    assert(sink.version(spark).contains(2L))
+    val got = spark.sql("SELECT id FROM t_prune").collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 2, 4))
+    // d3 vanished from the manifest: a pruned read of it is empty
+    assert(sink.prunedRead(spark, Seq(d3)).count() === 0)
+  }
+
+  test("partition-pruned SQL UPDATE on ParquetDateSink: only touched partitions rewritten") {
+    import spark.implicits._
+    val dir = tmp("sqlmerge_prune_date")
+    val sink = ParquetDateSink(dir, tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val d2 = java.sql.Date.valueOf("2024-06-02")
+    sink.mergeLastWins(Seq(
+      (1, d1, 10.0), (2, d2, 99.0), (3, d2, 5.0)).toDF("id", "dt", "v"),
+      Seq("id", "dt"))
+    SqlMerge.register(spark, "t_prune_upd", sink)
+    def files(sub: String): Set[(String, Long)] = {
+      val d = new java.io.File(dir, sub)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val d1Before = files("p_date=2024-06-01")
+    assert(d1Before.nonEmpty)
+    spark.sql("UPDATE t_prune_upd SET v = v + 1.0 WHERE v > 50.0")
+    assert(files("p_date=2024-06-01") === d1Before,
+      "the untouched partition's files must be byte-identical")
+    val got = spark.sql("SELECT id, v FROM t_prune_upd").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got === Set((1, 10.0), (2, 100.0), (3, 5.0)))
+    // delete that empties a whole date: its partition dir must go away
+    spark.sql("DELETE FROM t_prune_upd WHERE dt = DATE'2024-06-02'")
+    assert(files("p_date=2024-06-02").isEmpty,
+      "an emptied date's partition directory must be deleted")
+    assert(spark.sql("SELECT id FROM t_prune_upd").collect()
+      .map(_.getInt(0)).toSet === Set(1))
+  }
+
+  test("UPDATE that reassigns the partition timestamp falls back to full rewrite, stays correct") {
+    import spark.implicits._
+    val sink = ParquetDateSink(tmp("sqlmerge_move_dt"), tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-07-01")
+    sink.mergeLastWins(Seq((1, d1, 10.0), (2, d1, 20.0)).toDF("id", "dt", "v"),
+      Seq("id", "dt"))
+    SqlMerge.register(spark, "t_move", sink)
+    spark.sql("UPDATE t_move SET dt = DATE'2024-07-05' WHERE id = 2")
+    val got = spark.sql("SELECT id, dt FROM t_move").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSet
+    assert(got === Set((1, "2024-07-01"), (2, "2024-07-05")))
+  }
+
   test("source can be an arbitrary subquery") {
     import spark.implicits._
     snapshotSink("t_sub", Seq((1, "a", 10.0), (2, "b", 20.0)))
