@@ -67,12 +67,29 @@ object ScaleMerge {
       (Store.readFact(spark, dir).count(), sec)
     }
 
-    measure(2); measureSql(2) // warmup: codegen + shuffle machinery, discarded
+    // one-day SQL DELETE against a txn table of `days` days: the
+    // partition-pruned path must stay flat as history grows
+    def measureSqlDelete(days: Int): (Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"del_sql_$days").toString
+      val sink = graft.sources.TxnParquet.TxnParquetSink(dir)
+      sink.overwriteAll(fact(days, 0, 0.0))
+      graft.plans.SqlMerge.register(spark, "scale_del", sink)
+      val cutoff = java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(epoch0 / 86400 + days - 1))
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM scale_del WHERE to_date(dt) = DATE'$cutoff'")
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sink.read(spark).count(), sec)
+    }
+
+    measure(2); measureSql(2); measureSqlDelete(2) // warmup, discarded
     for (days <- dayList) {
       val (total, sec) = measure(days)
       val (totalSql, secSql) = measureSql(days)
+      val (totalDel, secDel) = measureSqlDelete(days)
       val expect = days.toLong * rowsPerDay
-      println(f"""{"days":$days,"rows":$total,"updated_not_inserted":${total == expect && totalSql == expect},"one_day_merge_sec":$sec%.2f,"one_day_sql_merge_sec":$secSql%.2f}""")
+      val expectDel = (days - 1).toLong * rowsPerDay
+      println(f"""{"days":$days,"rows":$total,"updated_not_inserted":${total == expect && totalSql == expect},"deleted_one_day":${totalDel == expectDel},"one_day_merge_sec":$sec%.2f,"one_day_sql_merge_sec":$secSql%.2f,"one_day_sql_delete_sec":$secDel%.2f}""")
     }
     spark.stop()
   }
