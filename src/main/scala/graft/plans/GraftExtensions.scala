@@ -106,5 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // remains to match.
     ext.injectResolutionRule(s => GraftMergeRule(s))
     ext.injectPostHocResolutionRule(s => GraftMergeRule(s))
+
+    // SQL time travel over registered TxnParquet tables:
+    //   SELECT … FROM graft_version('fact', 3)
+    // (a table function, because relation resolution rejects
+    // VERSION AS OF on temp views before injected rules run)
+    ext.injectTableFunction((FunctionIdentifier("graft_version"),
+      info("graft_version",
+        "table as of a committed TxnParquet manifest version"),
+      exprs => SqlMerge.versionPlan(exprs)))
   }
 }

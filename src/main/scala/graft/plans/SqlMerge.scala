@@ -77,6 +77,39 @@ object SqlMerge {
 
   private[plans] def registered(name: String): Option[MergeSink] =
     Option(targets.get(norm(name)))
+
+  /** TIME-TRAVEL table function body — `graft_version('name', v)` in SQL
+    * resolves to the registered txn sink's table exactly as manifest `v`
+    * committed it (TxnParquetSink.readVersion: fails loudly past the
+    * retention window, never silently serves other data). A table
+    * FUNCTION rather than `VERSION AS OF` because Spark's relation
+    * resolution rejects time-travel clauses on temp views before any
+    * injected rule can see them. Arguments must be literals (the name
+    * and version are resolved at analysis time). */
+  private[plans] def versionPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    require(exprs.length == 2,
+      "graft_version(name, version) takes exactly two arguments")
+    require(exprs.forall(_.foldable),
+      "graft_version arguments must be literals")
+    val name = String.valueOf(exprs.head.eval())
+    val v = exprs(1).eval() match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_version: version must be an integer literal, got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sink = registered(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_version: no registered table named '$name'"))
+    sink match {
+      case t: graft.sources.TxnParquet.TxnParquetSink =>
+        t.readVersion(spark, v).queryExecution.analyzed
+      case other => throw new UnsupportedOperationException(
+        s"graft_version: table '$name' (${other.getClass.getSimpleName}) " +
+          "does not keep versions — only TxnParquetSink tables time-travel")
+    }
+  }
 }
 
 /** Resolution-stage lowering: swap a fully-resolved [[MergeIntoTable]]

@@ -12055,6 +12055,48 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** SQL time travel: the table exactly as an earlier manifest
+    * committed it, via the graft_version table function over a
+    * TxnParquetSink — version 1 pinned while version 2 diverges.
+    * DuckDB recomputes version 1 (the pre-merge base) from orders. */
+  val sqlTimeTravelProbe = Probe(
+    "q308_sql_time_travel",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.TxnParquet.TxnParquetSink
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      // fresh dir each run: version numbers are the fixture's contract
+      val dir = sys.props("java.io.tmpdir") + "/graft_q308_target"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(dir))
+      val sink = TxnParquetSink(dir, tsCol = "o_orderdate")
+      sink.overwriteAll(base) // manifest v1
+      SqlMerge.register(s, "q308_target", sink)
+      upd.createOrReplaceTempView("q308_source")
+      s.sql(
+        """MERGE INTO q308_target USING q308_source
+          |ON q308_target.o_orderkey = q308_source.o_orderkey
+          |  AND q308_target.o_orderdate = q308_source.o_orderdate
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // manifest v2
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM graft_version('q308_target', 1)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -12130,7 +12172,8 @@ object Probes {
     quantizationProbe, hardNegativesProbe, truncatedRecallProbe,
     ivfPqAppendProbe,
     sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe,
-    sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe
+    sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe,
+    sqlTimeTravelProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

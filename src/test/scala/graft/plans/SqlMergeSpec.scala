@@ -313,6 +313,39 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(got === Set((1, "2024-07-01"), (2, "2024-07-05")))
   }
 
+  test("SQL time travel: graft_version(name, v) reads a pinned manifest") {
+    import spark.implicits._
+    val sink = TxnParquetSink(tmp("sqlmerge_tt"), tsCol = "dt")
+    val d1 = java.sql.Date.valueOf("2024-08-01")
+    sink.mergeLastWins(Seq((1, d1, 10.0), (2, d1, 20.0)).toDF("id", "dt", "v"),
+      Seq("id", "dt"))
+    SqlMerge.register(spark, "t_tt", sink)
+    spark.sql(
+      """MERGE INTO t_tt USING (SELECT 2 AS id, DATE'2024-08-01' AS dt, 99.0 AS v) s
+        |ON t_tt.id = s.id AND t_tt.dt = s.dt
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v1 = spark.sql("SELECT id, v FROM graft_version('t_tt', 1) ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val v2 = spark.sql("SELECT id, v FROM graft_version('t_tt', 2) ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(v1 === Seq((1, 10.0), (2, 20.0)))
+    assert(v2 === Seq((1, 10.0), (2, 99.0)))
+    // the function composes with the rest of SQL (join pinned vs live)
+    val drift = spark.sql(
+      """SELECT count(*) FROM graft_version('t_tt', 1) a
+        |JOIN t_tt b ON a.id = b.id AND a.v <> b.v""".stripMargin)
+      .collect().head.getLong(0)
+    assert(drift === 1L)
+    // loud errors: unknown name, versionless sink kind, GC'd version
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_version('nope', 1)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_version('t_tt', 99)").collect()
+    }
+  }
+
   test("source can be an arbitrary subquery") {
     import spark.implicits._
     snapshotSink("t_sub", Seq((1, "a", 10.0), (2, "b", 20.0)))
