@@ -12034,24 +12034,33 @@ object Probes {
       import graft.plans.SqlMerge
       import graft.sources.TxnParquet.TxnParquetSink
       val o = Tables.orders(s, d)
+      // synthetic 30-day axis: o_orderdate has ~2400 distinct days,
+      // which would make the DATE-PARTITIONED fixture a thousands-of-
+      // tiny-dirs pathology — the operator under test is the pruned
+      // rewrite, not partition-count stress
       val base = o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .select(col("o_orderkey"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (col("o_orderkey") % 30).cast("int")).as("dt"),
+          col("o_totalprice"))
       val sink = TxnParquetSink(
-        sys.props("java.io.tmpdir") + "/graft_q307_target",
-        tsCol = "o_orderdate")
+        sys.props("java.io.tmpdir") + "/graft_q307_target", tsCol = "dt")
       sink.overwriteAll(base)
       SqlMerge.register(s, "q307_target", sink)
+      // touches 5 of the 30 dates; the other 25 stay byte-identical
       s.sql(
         """DELETE FROM q307_target
-          |WHERE o_totalprice > 250000.0 AND month(o_orderdate) = 3""".stripMargin)
+          |WHERE o_totalprice > 250000.0 AND dt >= DATE'2024-01-26'""".stripMargin)
       s.sql(
-        """SELECT o_orderkey, o_orderdate, o_totalprice
+        """SELECT o_orderkey, dt, o_totalprice
           |FROM q307_target ORDER BY o_orderkey""".stripMargin)
     },
-    Some("""SELECT o_orderkey, o_orderdate, o_totalprice
-           |FROM orders WHERE o_orderkey % 2 = 0
-           |  AND NOT (o_totalprice > 250000.0
-           |           AND EXTRACT(month FROM o_orderdate) = 3)
+    Some("""WITH t AS (SELECT o_orderkey,
+           |    DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |    o_totalprice
+           |  FROM orders WHERE o_orderkey % 2 = 0)
+           |SELECT o_orderkey, dt, o_totalprice FROM t
+           |WHERE NOT (o_totalprice > 250000.0 AND dt >= DATE '2024-01-26')
            |ORDER BY o_orderkey""".stripMargin)
   )
 
@@ -12065,10 +12074,14 @@ object Probes {
       import graft.plans.SqlMerge
       import graft.sources.TxnParquet.TxnParquetSink
       val o = Tables.orders(s, d)
+      // same synthetic 30-day axis as q307 (date-partition count is
+      // fixture hygiene, not the operator under test)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
       val base = o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .select(col("o_orderkey"), dt30, col("o_totalprice"))
       val upd = o.filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_orderkey"), dt30,
           (col("o_totalprice") + 1000.0).as("o_totalprice"))
       // fresh dir each run: version numbers are the fixture's contract
       val dir = sys.props("java.io.tmpdir") + "/graft_q308_target"
@@ -12077,14 +12090,14 @@ object Probes {
         f.delete(); ()
       }
       rmrf(new java.io.File(dir))
-      val sink = TxnParquetSink(dir, tsCol = "o_orderdate")
+      val sink = TxnParquetSink(dir, tsCol = "dt")
       sink.overwriteAll(base) // manifest v1
       SqlMerge.register(s, "q308_target", sink)
       upd.createOrReplaceTempView("q308_source")
       s.sql(
         """MERGE INTO q308_target USING q308_source
           |ON q308_target.o_orderkey = q308_source.o_orderkey
-          |  AND q308_target.o_orderdate = q308_source.o_orderdate
+          |  AND q308_target.dt = q308_source.dt
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // manifest v2
       s.sql(
