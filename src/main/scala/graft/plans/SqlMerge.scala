@@ -5,12 +5,12 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
-import graft.sources.{DatePartitionedSink, MergeSink}
+import graft.sources.{DatePartitionedSink, IncrementalMergeDeclined, MergeSink}
 
 /** SQL-facing `MERGE INTO` over graft [[MergeSink]] tables (SURVEY.md §2.1
   * S4/S5 — the reference's `INSERT … ON CONFLICT` load surface, which its
@@ -55,7 +55,14 @@ object SqlMerge {
   /** Expose `sink` to SQL as temp view `name` and accept MERGE INTO
     * statements targeting it. The view snapshots the sink's CURRENT
     * contents; merges through this module refresh it automatically,
-    * out-of-band sink writes need a re-register. */
+    * out-of-band sink writes need a re-register.
+    *
+    * Duplicate-source-key semantics follow Postgres ON CONFLICT: the
+    * DO UPDATE shape FAILS on more than one source row per key
+    * ("cannot affect row a second time" — same violation the general
+    * path raises), while the DO NOTHING shape tolerates duplicates and
+    * inserts ONE row per absent key (which of the duplicates wins is
+    * unspecified, as in any unordered batch). */
   def register(spark: SparkSession, name: String, sink: MergeSink): Unit = {
     sink.read(spark).createOrReplaceTempView(name)
     targets.put(norm(name), sink)
@@ -67,12 +74,22 @@ object SqlMerge {
   }
 
   /** The registered sink a resolved MERGE target plan refers to: temp
-    * views resolve to `SubqueryAlias(name, …)`, pre-order so an explicit
-    * `MERGE INTO t AS alias` alias wrapper is skipped over. */
+    * views resolve to `SubqueryAlias(name, …)`, and `MERGE INTO t AS x`
+    * adds one more alias wrapper, so ONLY the strict alias chain from
+    * the root is unwrapped. Descending any further (into the view's
+    * definition) would be wrong: an UNREGISTERED view that merely reads
+    * FROM a registered view must not resolve to that inner sink — the
+    * statement would silently rewrite the registered table with the
+    * outer view's output. Such targets fall through to Spark's own
+    * handling (a loud unsupported-target error). */
+  @annotation.tailrec
   private[plans] def sinkFor(target: LogicalPlan): Option[(String, MergeSink)] =
-    target.collectFirst {
-      case SubqueryAlias(ident, _) if targets.containsKey(norm(ident.name)) =>
-        (ident.name, targets.get(norm(ident.name)))
+    target match {
+      case SubqueryAlias(ident, child) =>
+        if (targets.containsKey(norm(ident.name)))
+          Some((ident.name, targets.get(norm(ident.name))))
+        else sinkFor(child)
+      case _ => None
     }
 
   private[plans] def registered(name: String): Option[MergeSink] =
@@ -139,6 +156,7 @@ final case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           u.assignments.forall(_.resolved) =>
       SqlMerge.sinkFor(u.table) match {
         case Some((name, sink)) =>
+          MergeSpec.requireAttributeKeys(s"UPDATE $name", u.assignments)
           GraftUpdateCommand(name, sink, u.table, u.assignments, u.condition)
         case None => u
       }
@@ -207,7 +225,7 @@ object MergeSpec {
 
   def from(name: String, sink: MergeSink, m: MergeIntoTable): MergeSpec = {
     val expand = expandStar(m.targetTable, m.sourceTable, name) _
-    MergeSpec(
+    val spec = MergeSpec(
       viewName = name,
       target = m.targetTable,
       source = m.sourceTable,
@@ -215,7 +233,30 @@ object MergeSpec {
       matched = m.matchedActions.map(expand),
       notMatched = m.notMatchedActions.map(expand),
       bySource = m.notMatchedBySourceActions.map(expand))
+    (spec.matched ++ spec.notMatched ++ spec.bySource).foreach {
+      case UpdateAction(_, asg, _) => requireAttributeKeys(s"MERGE INTO $name", asg)
+      case InsertAction(_, asg) => requireAttributeKeys(s"MERGE INTO $name", asg)
+      case _ => ()
+    }
+    spec
   }
+
+  /** Row-level DML here assigns whole top-level columns only. A nested-
+    * field key (`SET addr.city = …` resolves to a GetStructField chain)
+    * would silently match none of the per-column rewrite lookups and the
+    * statement would report success while writing NOTHING — fail loudly
+    * instead. */
+  private[plans] def requireAttributeKeys(ctx: String,
+      assignments: Seq[Assignment]): Unit =
+    assignments.foreach { a =>
+      a.key match {
+        case _: Attribute => ()
+        case other => throw new UnsupportedOperationException(
+          s"$ctx: nested-field assignment to '${other.sql}' is not supported — " +
+            "row-level updates assign whole top-level columns; assign the full " +
+            "struct value instead (e.g. SET s = named_struct(...))")
+      }
+    }
 
   /** `UPDATE SET *` / `INSERT *` → one by-name assignment per TARGET
     * column from the source (the SQL-standard star semantics; fails
@@ -381,20 +422,42 @@ private[plans] object SqlMergeExec {
     fastPath(spec) match {
       case Some((lastWins, keys, batchPlan)) =>
         val batch = GraftSqlBridge.ofRows(spark, batchPlan)
+        // SQL MERGE semantics (and Postgres ON CONFLICT DO UPDATE:
+        // "cannot affect row a second time") require a loud failure when
+        // the source carries duplicate keys for an UPDATE merge — the
+        // general path raises the same violation via its join-cardinality
+        // check, so the fast path must not silently pick a winner. One
+        // cheap map-side-combined aggregate on the batch, before any
+        // write. (DO NOTHING keeps Postgres' tolerant shape: duplicates
+        // collapse to one inserted row, sink-side dropDuplicates.)
+        if (lastWins) requireUniqueKeys(spec.viewName, batch, keys)
         try {
           if (lastWins) sink.mergeLastWins(batch, keys) else sink.mergeIfAbsent(batch, keys)
         } catch {
-          // a sink refusing the incremental form (e.g. date-partitioned
-          // sinks require the partition timestamp in the merge key) does
-          // not make the MERGE wrong — fall back to the always-correct
-          // full rewrite, loudly
-          case e: IllegalArgumentException =>
+          // a sink DECLINING the incremental form (dedicated type — e.g.
+          // date-partitioned sinks require the partition timestamp in the
+          // merge key) does not make the MERGE wrong — fall back to the
+          // always-correct full rewrite, loudly. Any other failure
+          // (schema mismatch, bad sink state) propagates.
+          case e: IncrementalMergeDeclined =>
             log.warn(s"MERGE INTO ${spec.viewName}: incremental merge declined " +
               s"(${e.getMessage}); falling back to full-table rewrite")
             generalPath(spark, sink, spec)
         }
       case None => generalPath(spark, sink, spec)
     }
+
+  private def requireUniqueKeys(view: String, batch: DataFrame,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(org.apache.spark.sql.functions.col("__graft_n") > 1)
+    if (!dup.isEmpty) throw new IllegalStateException(
+      s"MERGE INTO $view: cardinality violation — the source has more than one " +
+        s"row per merge key (${keys.mkString(", ")}); an UPDATE merge cannot " +
+        "affect a target row twice — deduplicate the source on the ON keys first")
+  }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -466,47 +529,30 @@ private[plans] object SqlMergeExec {
 
   // ------------------------------------------------------------- general
 
-  /** Standard MERGE lowering: full-outer join target⟗source on the ON
-    * condition, then one projection applying the FIRST matching action
-    * per row (SQL action-order semantics) and a keep-flag filter for
-    * DELETEs / unmatched rows. Two passes over the join:
+  /** Standard MERGE lowering, in two shapes chosen by whether any
+    * `WHEN MATCHED` action exists:
     *
-    *   1. cardinality check — SQL MERGE must fail when one target row
-    *      matches several source rows (run only when matched/by-source
-    *      update semantics could be corrupted, i.e. matched actions
-    *      exist); an aggregate on the inner-join shape, map-side
-    *      combined, and it fails BEFORE anything is written;
-    *   2. the merge projection itself, written via
-    *      [[MergeSink.overwriteAll]].
+    *  - '''with matched actions''' — full-outer join target⟗source on
+    *    the ON condition, then one projection applying the FIRST
+    *    matching action per row (SQL action-order semantics) and a
+    *    keep-flag filter for DELETEs / unmatched rows. Preceded by the
+    *    cardinality check — SQL MERGE must fail when one target row
+    *    matches several source rows; an aggregate on the inner-join
+    *    shape, map-side combined, failing BEFORE anything is written.
+    *  - '''without matched actions''' — matched target rows pass
+    *    through UNCHANGED, so the full-outer join's fan-out (one output
+    *    row per matching source row) would DUPLICATE them. Lower
+    *    instead onto joins that cannot fan out the kept side: target
+    *    semi/anti joins for the target rows (by-source actions apply to
+    *    the anti side) unioned with a source-anti-target join for the
+    *    inserts. Also the cheaper plan — semi/anti joins beat a
+    *    full-outer join. Duplicate source matches are LEGAL here (SQL:
+    *    no second update/delete of any target row ever happens), so no
+    *    cardinality check.
+    *
+    * Either way the result is written via [[MergeSink.overwriteAll]].
     */
   def generalPath(spark: SparkSession, sink: MergeSink, spec: MergeSpec): Unit = {
-    val tTag = Alias(Literal(true), "__graft_t")()
-    val sTag = Alias(Literal(true), "__graft_s")()
-    val tId = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
-    val tPlan = Project(spec.target.output ++ Seq(tTag, tId), spec.target)
-    val sPlan = Project(spec.source.output :+ sTag, spec.source)
-    val tMark = tTag.toAttribute
-    val sMark = sTag.toAttribute
-    val tIdRef = tId.toAttribute
-
-    val join = Join(tPlan, sPlan, FullOuter, Some(spec.condition), JoinHint.NONE)
-
-    val isMatched = And(EqualNullSafe(tMark, Literal(true)), EqualNullSafe(sMark, Literal(true)))
-    val isSourceOnly = And(EqualNullSafe(sMark, Literal(true)),
-      Not(EqualNullSafe(tMark, Literal(true))))
-
-    if (spec.matched.nonEmpty) {
-      // cardinality violation check: >1 source row per matched target row
-      val one = Alias(AggregateExpression(
-        Count(Seq(Literal(1))), Complete, isDistinct = false), "__graft_n")()
-      val counts = Aggregate(Seq(tIdRef), Seq(one), Filter(isMatched, join), None)
-      val dup = Filter(GreaterThan(one.toAttribute, Literal(1L)), counts)
-      if (!GraftSqlBridge.ofRows(spark, dup).isEmpty) {
-        throw new IllegalStateException(
-          s"MERGE INTO ${spec.viewName}: cardinality violation — a target row matches " +
-            "more than one source row; deduplicate the source on the ON keys first")
-      }
-    }
 
     def cond(a: MergeAction): Expression = a match {
       case UpdateAction(c, _, _) => c.getOrElse(Literal(true))
@@ -548,31 +594,88 @@ private[plans] object SqlMergeExec {
         case a => (cond(a), Literal(true))
       }, Some(Literal(default)))
 
-    val outCols = spec.target.output.map { t =>
-      val matchedVal: Expression =
-        if (spec.matched.isEmpty) t else updateBranches(spec.matched, t)
-      val insertVal: Expression =
-        if (spec.notMatched.isEmpty) Literal.create(null, t.dataType)
-        else insertBranches(spec.notMatched, t)
-      val bySourceVal: Expression =
-        if (spec.bySource.isEmpty) t else updateBranches(spec.bySource, t)
-      Alias(CaseWhen(Seq(
-        isMatched -> matchedVal,
-        isSourceOnly -> insertVal),
-        Some(bySourceVal)), t.name)()
-    }
-    val bySourceKeep: Expression =
-      if (spec.bySource.isEmpty) Literal(true)
-      else keepBranches(spec.bySource, default = true)
-    val keep = CaseWhen(Seq(
-      isMatched -> (if (spec.matched.isEmpty) Literal(true)
-                    else keepBranches(spec.matched, default = true)),
-      // a source row matching NO insert action's condition is dropped
-      isSourceOnly -> (if (spec.notMatched.isEmpty) Literal(false)
-                       else keepBranches(spec.notMatched, default = false))),
-      Some(bySourceKeep))
+    val merged: LogicalPlan =
+      if (spec.matched.isEmpty) {
+        // ---- no-fan-out shape: semi/anti joins, matched rows untouched
+        val keptTarget: LogicalPlan =
+          if (spec.bySource.isEmpty) spec.target // every target row kept as-is
+          else {
+            val matchedT = Join(spec.target, spec.source, LeftSemi,
+              Some(spec.condition), JoinHint.NONE)
+            val unmatchedT = Join(spec.target, spec.source, LeftAnti,
+              Some(spec.condition), JoinHint.NONE)
+            // by-source actions see target columns only (analyzer-enforced)
+            val bySourceOut = spec.target.output.map(t =>
+              Alias(updateBranches(spec.bySource, t), t.name)())
+            Union(matchedT,
+              Project(bySourceOut,
+                Filter(keepBranches(spec.bySource, default = true), unmatchedT)))
+          }
+        if (spec.notMatched.isEmpty) keptTarget
+        else {
+          // insert conditions/values see source columns only
+          // (analyzer-enforced), so the anti join has all they need
+          val sourceOnly = Join(spec.source, spec.target, LeftAnti,
+            Some(spec.condition), JoinHint.NONE)
+          val insertOut = spec.target.output.map(t =>
+            Alias(insertBranches(spec.notMatched, t), t.name)())
+          Union(keptTarget,
+            Project(insertOut,
+              Filter(keepBranches(spec.notMatched, default = false), sourceOnly)))
+        }
+      } else {
+        // ---- full-outer shape: per-row action projection + keep filter
+        val tTag = Alias(Literal(true), "__graft_t")()
+        val sTag = Alias(Literal(true), "__graft_s")()
+        val tId = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+        val tPlan = Project(spec.target.output ++ Seq(tTag, tId), spec.target)
+        val sPlan = Project(spec.source.output :+ sTag, spec.source)
+        val tMark = tTag.toAttribute
+        val sMark = sTag.toAttribute
+        val tIdRef = tId.toAttribute
 
-    val merged = Project(outCols, Filter(keep, join))
+        val join = Join(tPlan, sPlan, FullOuter, Some(spec.condition), JoinHint.NONE)
+
+        val isMatched = And(EqualNullSafe(tMark, Literal(true)),
+          EqualNullSafe(sMark, Literal(true)))
+        val isSourceOnly = And(EqualNullSafe(sMark, Literal(true)),
+          Not(EqualNullSafe(tMark, Literal(true))))
+
+        // cardinality violation check: >1 source row per matched target row
+        val one = Alias(AggregateExpression(
+          Count(Seq(Literal(1))), Complete, isDistinct = false), "__graft_n")()
+        val counts = Aggregate(Seq(tIdRef), Seq(one), Filter(isMatched, join), None)
+        val dup = Filter(GreaterThan(one.toAttribute, Literal(1L)), counts)
+        if (!GraftSqlBridge.ofRows(spark, dup).isEmpty) {
+          throw new IllegalStateException(
+            s"MERGE INTO ${spec.viewName}: cardinality violation — a target row matches " +
+              "more than one source row; deduplicate the source on the ON keys first")
+        }
+
+        val outCols = spec.target.output.map { t =>
+          val matchedVal: Expression = updateBranches(spec.matched, t)
+          val insertVal: Expression =
+            if (spec.notMatched.isEmpty) Literal.create(null, t.dataType)
+            else insertBranches(spec.notMatched, t)
+          val bySourceVal: Expression =
+            if (spec.bySource.isEmpty) t else updateBranches(spec.bySource, t)
+          Alias(CaseWhen(Seq(
+            isMatched -> matchedVal,
+            isSourceOnly -> insertVal),
+            Some(bySourceVal)), t.name)()
+        }
+        val bySourceKeep: Expression =
+          if (spec.bySource.isEmpty) Literal(true)
+          else keepBranches(spec.bySource, default = true)
+        val keep = CaseWhen(Seq(
+          isMatched -> keepBranches(spec.matched, default = true),
+          // a source row matching NO insert action's condition is dropped
+          isSourceOnly -> (if (spec.notMatched.isEmpty) Literal(false)
+                           else keepBranches(spec.notMatched, default = false))),
+          Some(bySourceKeep))
+
+        Project(outCols, Filter(keep, join))
+      }
     sink.overwriteAll(GraftSqlBridge.ofRows(spark, merged))
   }
 }

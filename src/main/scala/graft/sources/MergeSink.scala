@@ -21,6 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a transactional table format (Delta/Iceberg MERGE INTO) would slot
   *    in the same way on a cluster with those catalogs.
   */
+/** Thrown by a sink to signal that the INCREMENTAL merge form cannot be
+  * applied to this (batch, keys) shape — e.g. a date-partitioned sink
+  * whose merge keys do not pin the partition timestamp. The SQL MERGE
+  * lowering (graft.plans.SqlMerge) catches EXACTLY this type to fall back
+  * to the always-correct full-table rewrite; any other exception from a
+  * sink (schema mismatch, bad state) propagates loudly instead of being
+  * masked as a performance downgrade. Extends IllegalArgumentException so
+  * direct DataFrame-API callers keep the familiar contract-violation
+  * type. */
+final class IncrementalMergeDeclined(msg: String)
+    extends IllegalArgumentException(msg)
+
 trait MergeSink {
 
   /** `ON CONFLICT DO UPDATE` — merge the batch keyed by `keys`; on

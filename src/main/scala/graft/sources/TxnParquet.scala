@@ -220,7 +220,7 @@ object TxnParquet {
 
     private def merge(updates: DataFrame, keys: Seq[String],
                       policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
-      require(keys.contains(tsCol),
+      if (!keys.contains(tsCol)) throw new IncrementalMergeDeclined(
         s"date-partitioned merge keys $keys must include the partition timestamp '$tsCol'")
       require(!updates.columns.contains("p_date") && !updates.columns.contains("p_dir"),
         "TxnParquetSink: 'p_date'/'p_dir' are reserved layout columns")

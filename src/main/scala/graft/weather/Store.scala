@@ -104,8 +104,10 @@ object Store {
     // move a key's tsCol to another date, the old date's partition is
     // never read and a stale copy of the key would survive — loud
     // failure here beats silent duplicate keys (use ParquetSnapshotSink
-    // for merge keys that don't pin the date)
-    require(keys.contains(tsCol),
+    // for merge keys that don't pin the date). The dedicated decline
+    // type lets the SQL MERGE lowering fall back to a full rewrite on
+    // exactly this condition and nothing else.
+    if (!keys.contains(tsCol)) throw new graft.sources.IncrementalMergeDeclined(
       s"date-partitioned merge keys $keys must include the partition timestamp '$tsCol'")
     val spark = updates.sparkSession
     // collapse within-batch duplicate keys up front so EVERY path —

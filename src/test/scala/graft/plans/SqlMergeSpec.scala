@@ -346,6 +346,129 @@ class SqlMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("no matched actions: multi-matched target rows are NOT duplicated (insert-only)") {
+    import spark.implicits._
+    // k=1 matches TWO source rows; with no WHEN MATCHED action it must
+    // come through exactly once (the full-outer lowering would fan it out)
+    snapshotSink("t_fan", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    Seq((1, "x", 1.0), (1, "y", 2.0), (3, "c", 30.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_fan")
+    spark.sql(
+      """MERGE INTO t_fan USING s_fan ON t_fan.k = s_fan.k
+        |WHEN NOT MATCHED AND s_fan.v > 5 THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT k, name, v FROM t_fan").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows.size === 3, s"target row fan-out: $rows")
+    assert(rows.toSet === Set((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+  }
+
+  test("no matched actions: by-source-only merge neither fans out nor loses rows") {
+    import spark.implicits._
+    snapshotSink("t_bysrc", Seq((1, "a", 10.0), (2, "b", 20.0), (5, "e", 50.0)))
+    Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_bysrc")
+    spark.sql(
+      """MERGE INTO t_bysrc USING s_bysrc ON t_bysrc.k = s_bysrc.k
+        |WHEN NOT MATCHED BY SOURCE AND t_bysrc.k = 2 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t_bysrc.k = 5 THEN UPDATE SET v = t_bysrc.v + 1""".stripMargin)
+    val rows = spark.sql("SELECT k, name, v FROM t_bysrc").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    // k=1 matched twice but untouched → exactly once; k=2 deleted; k=5 updated
+    assert(rows.size === 2, s"unexpected multiplicity: $rows")
+    assert(rows.toSet === Set((1, "a", 10.0), (5, "e", 51.0)))
+  }
+
+  test("fast path: duplicate source keys fail loudly on the DO UPDATE shape") {
+    import spark.implicits._
+    snapshotSink("t_dupfast", Seq((1, "a", 10.0)))
+    Seq((2, "x", 1.0), (2, "y", 2.0)).toDF("k", "name", "v")
+      .createOrReplaceTempView("s_dupfast")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_dupfast USING s_dupfast ON t_dupfast.k = s_dupfast.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality violation"))
+    assert(tableSet("t_dupfast") === Set((1, "a", 10.0)), "nothing written")
+    // DO NOTHING stays tolerant (Postgres): one row per absent key
+    spark.sql(
+      """MERGE INTO t_dupfast USING s_dupfast ON t_dupfast.k = s_dupfast.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val ks = spark.sql("SELECT k FROM t_dupfast").collect().map(_.getInt(0)).toSeq
+    assert(ks.sorted === Seq(1, 2))
+  }
+
+  test("DML against an outer view wrapping a registered view is NOT silently rewritten") {
+    import spark.implicits._
+    snapshotSink("t_inner", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    // an UNREGISTERED view whose definition reads from the registered one
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_outer AS SELECT * FROM t_inner WHERE k = 1")
+    intercept[Exception] { spark.sql("UPDATE t_outer SET v = 0.0") }
+    intercept[Exception] { spark.sql("DELETE FROM t_outer WHERE k = 1") }
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_outer USING (SELECT 1 AS k, 'z' AS name, 0.0 AS v) s
+          |ON t_outer.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    // the registered table is untouched
+    assert(tableSet("t_inner") === Set((1, "a", 10.0), (2, "b", 20.0)))
+    // an explicit alias of the REGISTERED view still works
+    spark.sql("UPDATE t_inner SET v = v + 1.0 WHERE k = 1")
+    assert(tableSet("t_inner") === Set((1, "a", 11.0), (2, "b", 20.0)))
+  }
+
+  test("nested-field assignment fails loudly instead of silently writing nothing") {
+    import spark.implicits._
+    val sink = ParquetSnapshotSink(tmp("sqlmerge_nested"))
+    sink.overwriteAll(
+      Seq((1, ("x", 10.0))).toDF("k", "s")
+        .selectExpr("k", "named_struct('name', s._1, 'v', s._2) AS s"))
+    SqlMerge.register(spark, "t_nested", sink)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE t_nested SET s.v = 99.0 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("nested-field assignment"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_nested USING (SELECT 1 AS k, 99.0 AS nv) src
+          |ON t_nested.k = src.k
+          |WHEN MATCHED THEN UPDATE SET s.v = src.nv""".stripMargin)
+    }
+    assert(e2.getMessage.contains("nested-field assignment"))
+    // whole-column struct assignment is the supported spelling
+    spark.sql("UPDATE t_nested SET s = named_struct('name', s.name, 'v', 99.0) WHERE k = 1")
+    val got = spark.sql("SELECT s.v FROM t_nested").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(99.0))
+  }
+
+  test("only IncrementalMergeDeclined triggers the rewrite fallback; other failures propagate") {
+    import spark.implicits._
+    val boom = new graft.sources.MergeSink {
+      var fellBack = false
+      def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
+        throw new IllegalArgumentException("unrelated sink bug — must propagate")
+      def mergeIfAbsent(updates: DataFrame, keys: Seq[String]): Unit = ()
+      def read(s: SparkSession): DataFrame = {
+        import s.implicits._
+        Seq((1, "a", 10.0)).toDF("k", "name", "v")
+      }
+      override def overwriteAll(merged: DataFrame): Unit = { fellBack = true }
+    }
+    SqlMerge.register(spark, "t_boom", boom)
+    Seq((2, "b", 2.0)).toDF("k", "name", "v").createOrReplaceTempView("s_boom")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO t_boom USING s_boom ON t_boom.k = s_boom.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("must propagate") ||
+      Option(e.getCause).exists(_.getMessage.contains("must propagate")))
+    assert(!boom.fellBack, "a plain IllegalArgumentException must NOT downgrade to a rewrite")
+    SqlMerge.unregister(spark, "t_boom")
+  }
+
   test("source can be an arbitrary subquery") {
     import spark.implicits._
     snapshotSink("t_sub", Seq((1, "a", 10.0), (2, "b", 20.0)))
