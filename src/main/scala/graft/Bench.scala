@@ -42,6 +42,9 @@ object Bench {
         "65536") // see GraftSession: hash-based sketch partials, bounded map memory
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound dead-block accumulation across the 308-query sweep (see
+      // GraftSession: ContextCleaner frees blocks only after driver GC)
+      .config("spark.cleaner.periodicGC.interval", "90s")
       // graft SQL functions, as-of join, MERGE INTO lowering
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -35,6 +35,18 @@ object GraftSession {
         "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long sessions (a 308-query bench/verify sweep) accumulate dead
+      // cached/checkpointed blocks: the ContextCleaner only frees a
+      // block once the driver GC collects the RDD handle, and a large,
+      // mostly-idle driver heap can go tens of minutes between full
+      // GCs — in local mode driver and executor share that heap, so
+      // storage memory silently fills with garbage blocks and live
+      // caches start evicting/spilling (the measured 3× run-to-run
+      // spread on the graph tier). Spark's own knob for exactly this
+      // ships at 30min; 90s bounds the garbage window to roughly one
+      // query. On a real cluster this stays harmless: a periodic
+      // System.gc() on an idle driver heap is microseconds.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       // SQL MERGE INTO over graft MergeSink temp views (graft.plans.SqlMerge)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 

@@ -463,38 +463,31 @@ object Graph {
     * Input (`src`, `dst`) in any mix of directions/duplicates;
     * self-loops dropped. Returns (`node`, `degree`, `triangles`, `lcc`)
     * for every node of the graph, lcc 0.0 for degree < 2. */
-  /** Eager localCheckpoint that KEEPS its partitioning/ordering visible
-    * to the planner: under AQE the adaptive plan reports
-    * UnknownPartitioning until executed, so a plain checkpoint would
-    * strand its LogicalRDD partition-blind and every downstream join
-    * would re-shuffle it. Planning the checkpoint itself non-adaptively
-    * captures the real HashPartitioning/ordering (the explicit
-    * repartition below pins the partition count anyway — AQE had
-    * nothing to adapt here). */
-  private def checkpointKeepingLayout(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(true) finally spark.conf.set(key, prev)
-  }
-
   def triangles(edges: DataFrame): DataFrame = {
     val p = edges.sparkSession.sparkContext.defaultParallelism
-    // canonical undirected edge set, keyed (a < b). Checkpointed
-    // PRE-PARTITIONED and PRE-SORTED on (a, b): LogicalRDD captures the
-    // physical plan's output partitioning/ordering, so the wedge-CLOSING
-    // join later consumes this frame with NO exchange and NO sort — the
-    // co-location is paid once here, where the frame is materialized
-    // anyway (it also feeds the degree agg and both orientation joins,
-    // which rekey regardless).
-    val und = checkpointKeepingLayout(edges
+    // MATERIALIZATION POSTURE: the multi-consumer frames below (und
+    // feeds the degree agg, both orientation joins and the closing
+    // join; oriented feeds both sides of the wedge self-join) are NOT
+    // checkpointed — each ends in an explicit repartition, and the
+    // whole operator executes as ONE action, so AQE's shuffle-stage
+    // reuse deduplicates the identical exchange subtrees: the upstream
+    // computes once into shuffle files ON DISK and every consumer
+    // re-reads those. That is the scale-safe form of the co-location
+    // a localCheckpoint used to capture: shuffle files are
+    // disk-backed and owned by the shuffle manager, while eagerly
+    // checkpointed blocks live in block-manager storage memory, where
+    // a long session's accumulated blocks caused eviction/spill churn
+    // and a measured 3× run-to-run spread on this very query.
+    //
+    // canonical undirected edge set, keyed (a < b), pre-partitioned and
+    // pre-sorted on (a, b) for the wedge-CLOSING join.
+    val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .repartition(p, col("a"), col("b"))
-      .sortWithinPartitions(col("a"), col("b")))
+      .sortWithinPartitions(col("a"), col("b"))
 
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
@@ -504,24 +497,22 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-    // the oriented list is checkpointed PRE-PARTITIONED on u and
-    // PRE-SORTED on (u, v): the wedge SELF-join then consumes the same
-    // co-located RDD on BOTH sides — zero exchange, zero sort, where a
-    // per-side repartition used to shuffle the list twice. Explicit
-    // partition counts are pinned (p): edge rows are tiny but the wedge
-    // join's output and per-row CPU are large, and byte-targeted AQE
-    // coalescing would fold these shuffles into one or two partitions —
-    // serializing exactly the work that needs the cluster (measured 4×
-    // on the bench session). AQE does not re-coalesce a user
-    // repartition, and a checkpoint's captured partitioning is equally
-    // firm.
-    val oriented = checkpointKeepingLayout(withDeg.select(
+    // the oriented list is PRE-PARTITIONED on u and PRE-SORTED on
+    // (u, v): the wedge SELF-join consumes the same shuffle stage on
+    // BOTH sides (AQE stage reuse) — zero extra exchange, zero sort.
+    // Explicit partition counts are pinned (p): edge rows are tiny but
+    // the wedge join's output and per-row CPU are large, and
+    // byte-targeted AQE coalescing would fold these shuffles into one
+    // or two partitions — serializing exactly the work that needs the
+    // cluster (measured 4× on the bench session). AQE does not
+    // re-coalesce a user repartition.
+    val oriented = withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(p, col("u"))
-      .sortWithinPartitions(col("u"), col("v")))
+      .sortWithinPartitions(col("u"), col("v"))
 
     // wedges at each apex u: unordered pairs {v, w}, enumerated once by
     // id order; closing edge looked up in the canonical (a < b) set,

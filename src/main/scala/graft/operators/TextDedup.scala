@@ -277,12 +277,18 @@ object TextDedup {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    // shingle ONCE, materialize (eager local checkpoint): the sets feed
-    // the prefix pass AND both verification sides, so without this the
-    // shingle expression runs three times per doc (measured: ~30% wall
-    // saved at 1×/4× sweep scale; neutral at 16× where the candidate
-    // join dominates). Storage is one (id, shingle-set) row per doc —
-    // the same linear class as the token shuffle below.
+    // shingle ONCE: the sets feed the prefix pass AND both verification
+    // sides, so the shingle expression would run three times per doc if
+    // each consumer recomputed it (measured: ~30% wall saved at 1×/4×
+    // sweep scale; neutral at 16× where the candidate join dominates).
+    // The explicit id-keyed repartition is the materialization point:
+    // the exchange computes the shingles once into shuffle files ON
+    // DISK and AQE stage reuse feeds all three consumers from them —
+    // the scale-safe replacement for the eager localCheckpoint this
+    // used to be (block-manager storage churned under long sessions),
+    // and the id partitioning is exactly what the verification joins
+    // consume. Storage is one (id, shingle-set) row per doc — the same
+    // linear class as the token shuffle below.
     // hashed shingle tokens: PPJoin's prefix filter is EXACT under any
     // consistent global token order (the df-ascending order just makes
     // prefixes rare-token-first), so hashed longs change neither the
@@ -292,7 +298,7 @@ object TextDedup {
         HashExprs.hashedShingles(spark, col(textCol), shingleN).as("sh"))
       .withColumn("__sz", size(col("sh")))
       .filter(col("__sz") > 0) // shingle-less docs have no defined Jaccard
-      .localCheckpoint(true)
+      .repartition(spark.sparkContext.defaultParallelism, col("__id"))
     val toks = shf.select(col("__id"), col("__sz"), explode(col("sh")).as("__tok"))
 
     // global document frequency per token (shingles are distinct per doc,
