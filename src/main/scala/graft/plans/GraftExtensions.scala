@@ -107,13 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => GraftMergeRule(s))
     ext.injectPostHocResolutionRule(s => GraftMergeRule(s))
 
-    // SQL time travel over registered TxnParquet tables:
-    //   SELECT … FROM graft_version('fact', 3)
-    // (a table function, because relation resolution rejects
-    // VERSION AS OF on temp views before injected rules run)
+    // SQL time travel over registered TxnParquet tables, two spellings:
+    //   SELECT … FROM graft_version('fact', 3)      (table function)
+    //   SELECT … FROM fact VERSION AS OF 3          (native clause)
+    // The function is the resolution target for both — relation
+    // resolution rejects VERSION AS OF on temp views before injected
+    // analyzer rules run, so the native clause is rewritten to the
+    // function at the PARSE seam (GraftSqlParser).
     ext.injectTableFunction((FunctionIdentifier("graft_version"),
       info("graft_version",
         "table as of a committed TxnParquet manifest version"),
       exprs => SqlMerge.versionPlan(exprs)))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

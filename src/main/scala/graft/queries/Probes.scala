@@ -12100,9 +12100,12 @@ object Probes {
           |  AND q308_target.dt = q308_source.dt
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // manifest v2
+      // NATIVE time-travel syntax (parser rewrite onto graft_version):
+      // reading v1 through `VERSION AS OF` must hash-match the oracle's
+      // recomputed pre-merge base exactly like the function spelling
       s.sql(
         """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-          |FROM graft_version('q308_target', 1)
+          |FROM q308_target VERSION AS OF 1
           |ORDER BY o_orderkey""".stripMargin)
     },
     Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -344,6 +344,28 @@ class SqlMergeSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_version('t_tt', 99)").collect()
     }
+    // NATIVE syntax (parser rewrite): same pinned reads, same results
+    val n1 = spark.sql("SELECT id, v FROM t_tt VERSION AS OF 1 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val n2 = spark.sql("SELECT id, v FROM t_tt VERSION AS OF 2 ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(n1 === v1)
+    assert(n2 === v2)
+    // composes with joins and aliases like any relation
+    val nd = spark.sql(
+      """SELECT count(*) FROM (SELECT * FROM t_tt VERSION AS OF 1) a
+        |JOIN t_tt b ON a.id = b.id AND a.v <> b.v""".stripMargin)
+      .collect().head.getLong(0)
+    assert(nd === 1L)
+    // unregistered targets keep Spark's own loud time-travel error
+    Seq((1, 1.0)).toDF("id", "v").createOrReplaceTempView("s_tt_unreg")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM s_tt_unreg VERSION AS OF 1").collect()
+    }
+    // GC'd/unknown version through the native clause is loud too
+    intercept[Exception] {
+      spark.sql("SELECT * FROM t_tt VERSION AS OF 99").collect()
+    }
   }
 
   test("no matched actions: multi-matched target rows are NOT duplicated (insert-only)") {
