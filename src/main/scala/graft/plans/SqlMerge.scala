@@ -120,11 +120,12 @@ object SqlMerge {
     val sink = registered(name).getOrElse(throw new IllegalArgumentException(
       s"graft_version: no registered table named '$name'"))
     sink match {
-      case t: graft.sources.TxnParquet.TxnParquetSink =>
+      case t: graft.sources.VersionedSink =>
         t.readVersion(spark, v).queryExecution.analyzed
       case other => throw new UnsupportedOperationException(
         s"graft_version: table '$name' (${other.getClass.getSimpleName}) " +
-          "does not keep versions — only TxnParquetSink tables time-travel")
+          "does not keep versions — only transactional (VersionedSink) " +
+          "tables time-travel")
     }
   }
 }

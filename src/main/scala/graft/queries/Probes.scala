@@ -12113,6 +12113,177 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Fresh fixture dir for version-numbered transactional probes (the
+    * commit counter is part of the fixture's contract — a stale dir from
+    * an earlier run would shift every version). */
+  private def freshDir(name: String): String = {
+    val dir = sys.props("java.io.tmpdir") + s"/$name"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(dir))
+    dir
+  }
+
+  /** S4 against the DELTA-PROTOCOL sink (SURVEY §2.1 S4 names
+    * "MERGE INTO on Delta/Iceberg" as the production mapping of
+    * dags/etl.py:71-76 ON CONFLICT DO UPDATE): the same star-shape MERGE
+    * as q302/q308, but the registered table's storage is a
+    * spec-conformant `_delta_log` table (graft.sources.DeltaLake) — the
+    * statement rides the sink's INCREMENTAL date-pruned merge and
+    * commits one atomic Delta log entry. DuckDB replays last-wins. */
+  val deltaSqlMergeProbe = Probe(
+    "q309_delta_sql_merge",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.DeltaLake.DeltaDateSink
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), dt30,
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val sink = DeltaDateSink(freshDir("graft_q309_target"), tsCol = "dt")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q309_target", sink)
+      upd.createOrReplaceTempView("q309_source")
+      s.sql(
+        """MERGE INTO q309_target USING q309_source
+          |ON q309_target.o_orderkey = q309_source.o_orderkey
+          |  AND q309_target.dt = q309_source.dt
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, dt, round(o_totalprice, 2) AS o_totalprice
+          |FROM q309_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""WITH dted AS (SELECT o_orderkey,
+           |    DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |    o_totalprice FROM orders),
+           |base AS (SELECT o_orderkey, dt, o_totalprice, 0 AS prec FROM dted WHERE o_orderkey % 2 = 0),
+           |upd AS (SELECT o_orderkey, dt, o_totalprice + 1000.0 AS o_totalprice, 1 AS prec FROM dted WHERE o_orderkey % 3 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey, dt ORDER BY prec DESC) AS rn FROM u)
+           |SELECT o_orderkey, dt, round(o_totalprice, 2) AS o_totalprice
+           |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Partition-pruned SQL UPDATE on the Delta-protocol sink: the date
+    * predicate pins the touched partitions, so only those dates' files
+    * are rewritten (DeltaDateSink.replaceDates — remove+add of exactly
+    * the touched dates' files in one atomic commit); untouched dates'
+    * files stay byte-identical AND readable by earlier versions. DuckDB
+    * replays the conditional projection. */
+  val deltaSqlUpdatePrunedProbe = Probe(
+    "q310_delta_sql_update_pruned",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.DeltaLake.DeltaDateSink
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (col("o_orderkey") % 30).cast("int")).as("dt"),
+          col("o_totalprice"))
+      val sink = DeltaDateSink(freshDir("graft_q310_target"), tsCol = "dt")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q310_target", sink)
+      // touches 5 of the 30 dates; the other 25 keep their files
+      s.sql(
+        """UPDATE q310_target SET o_totalprice = o_totalprice + 5.0
+          |WHERE dt >= DATE'2024-01-26'""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, dt, round(o_totalprice, 2) AS o_totalprice
+          |FROM q310_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""WITH t AS (SELECT o_orderkey,
+           |    DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |    o_totalprice
+           |  FROM orders WHERE o_orderkey % 2 = 0)
+           |SELECT o_orderkey, dt,
+           |  round(CASE WHEN dt >= DATE '2024-01-26' THEN o_totalprice + 5.0
+           |             ELSE o_totalprice END, 2) AS o_totalprice
+           |FROM t ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Delta-protocol EXPORT: a TxnParquet table published as a valid
+    * Delta table at the same root (DeltaLake.publish — `_delta_log`
+    * synthesized from the live manifest, zero data movement) and read
+    * back THROUGH the Delta log replay path, never the manifest. The
+    * round-trip must match the manifest read exactly; DuckDB recomputes
+    * the post-merge table from orders. */
+  val deltaPublishProbe = Probe(
+    "q311_delta_publish_roundtrip",
+    (s, d) => {
+      import graft.sources.{DeltaLake, TxnParquet}
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q311_target")
+      val txn = TxnParquet.TxnParquetSink(dir, tsCol = "dt")
+      txn.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice")))
+      txn.mergeLastWins(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), dt30,
+          (col("o_totalprice") + 1000.0).as("o_totalprice")),
+        Seq("o_orderkey", "dt"))
+      DeltaLake.publish(s, dir)
+      DeltaLake.readTable(s, dir).drop("p_date")
+        .select(col("o_orderkey"), col("dt"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH dted AS (SELECT o_orderkey,
+           |    DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |    o_totalprice FROM orders),
+           |base AS (SELECT o_orderkey, dt, o_totalprice, 0 AS prec FROM dted WHERE o_orderkey % 2 = 0),
+           |upd AS (SELECT o_orderkey, dt, o_totalprice + 1000.0 AS o_totalprice, 1 AS prec FROM dted WHERE o_orderkey % 3 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey, dt ORDER BY prec DESC) AS rn FROM u)
+           |SELECT o_orderkey, dt, round(o_totalprice, 2) AS o_totalprice
+           |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+  )
+
+  /** Native `VERSION AS OF` time travel on the Delta-protocol sink:
+    * version 0 (the pre-merge base) pinned while version 1 diverges —
+    * the same contract as q308 on TxnParquet, through the SAME parser
+    * rewrite + graft_version seam (VersionedSink). Delta versions are
+    * 0-based per the protocol. DuckDB recomputes the v0 base. */
+  val deltaTimeTravelProbe = Probe(
+    "q312_delta_time_travel",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.DeltaLake.DeltaDateSink
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val sink = DeltaDateSink(freshDir("graft_q312_target"), tsCol = "dt")
+      sink.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice"))) // v0
+      SqlMerge.register(s, "q312_target", sink)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), dt30,
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .createOrReplaceTempView("q312_source")
+      s.sql(
+        """MERGE INTO q312_target USING q312_source
+          |ON q312_target.o_orderkey = q312_source.o_orderkey
+          |  AND q312_target.dt = q312_source.dt
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v1
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q312_target VERSION AS OF 0
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -12189,7 +12360,9 @@ object Probes {
     ivfPqAppendProbe,
     sqlMergeUpdateProbe, sqlMergeInsertProbe, sqlMergeGeneralProbe,
     sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe,
-    sqlTimeTravelProbe
+    sqlTimeTravelProbe,
+    deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
+    deltaTimeTravelProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -33,6 +33,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class IncrementalMergeDeclined(msg: String)
     extends IllegalArgumentException(msg)
 
+/** A [[MergeSink]] that retains committed versions and can serve the
+  * table exactly as an earlier commit wrote it — the seam behind SQL
+  * time travel (`graft_version('name', v)` and the native
+  * `VERSION AS OF` spelling, graft.plans.SqlMerge.versionPlan). Both
+  * transactional backends implement it: [[TxnParquet.TxnParquetSink]]
+  * (manifest numbers, 1-based) and [[DeltaLake.DeltaDateSink]]
+  * (Delta-protocol commit versions, 0-based). Implementations must fail
+  * LOUDLY for a version outside the retention window — never silently
+  * serve different data. */
+trait VersionedSink {
+  /** Live committed version, None before the first commit. */
+  def version(spark: SparkSession): Option[Long]
+
+  /** The table exactly as version `v` committed it. */
+  def readVersion(spark: SparkSession, v: Long): DataFrame
+}
+
 trait MergeSink {
 
   /** `ON CONFLICT DO UPDATE` — merge the batch keyed by `keys`; on

@@ -117,7 +117,7 @@ object TxnParquet {
   final case class TxnParquetSink(path: String, tsCol: String = "dt",
                                   keepManifests: Int = 4,
                                   crashBeforeCommit: () => Unit = () => ())
-      extends DatePartitionedSink {
+      extends DatePartitionedSink with VersionedSink {
     require(keepManifests >= 1, "must keep at least the live manifest")
 
     def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =

@@ -1,0 +1,324 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{GraftExtensions, SqlMerge}
+import graft.sources.DeltaLake.DeltaDateSink
+import graft.sources.TxnParquet.TxnParquetSink
+
+/** Delta-protocol interop (DeltaLake.scala): log replay, snapshot
+  * reconstruction, the DeltaDateSink commit/merge/DML surface, the
+  * TxnParquet export, checkpoints, vacuum, and the concurrency/
+  * unsupported-feature failure modes. */
+class DeltaLakeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-deltalake-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def df(rows: Seq[(Int, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "dt_s", "v").withColumn("dt", to_timestamp(col("dt_s")))
+      .drop("dt_s").select("k", "dt", "v")
+  }
+
+  private def asSet(d: DataFrame): Set[(Int, String, Double)] =
+    d.select(col("k"), date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+
+  // ------------------------------------------------------------ native sink
+
+  test("DeltaDateSink: create + read round-trips; layout is hive-style; log exists") {
+    val dir = tmp("delta_create")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    val base = df(Seq((1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)))
+    sink.overwriteAll(base)
+    assert(sink.version(spark).contains(0L))
+    assert(asSet(sink.read(spark)) === asSet(base))
+    // spec-conformant bits on disk
+    val log = new java.io.File(dir, "_delta_log")
+    assert(log.isDirectory)
+    assert(new java.io.File(log, "0" * 20 + ".json").isFile)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("p_date=")))
+  }
+
+  test("DeltaDateSink: incremental last-wins merge rewrites ONLY touched dates") {
+    val dir = tmp("delta_merge")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0),
+      (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0))))
+    val untouched = new java.io.File(dir, "p_date=2024-01-02")
+      .listFiles().map(f => f.getName -> f.lastModified()).toSet
+
+    sink.mergeLastWins(df(Seq(
+      (1, "2024-01-01 10:00:00", 10.0),   // update day 1
+      (4, "2024-01-03 11:00:00", 4.0))),  // insert into day 3
+      Seq("k", "dt"))
+
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0),
+      (4, "2024-01-03 11:00:00", 4.0)))
+    // day 2's files untouched byte-for-byte (same names, same mtimes)
+    val after = new java.io.File(dir, "p_date=2024-01-02")
+      .listFiles().map(f => f.getName -> f.lastModified()).toSet
+    assert(after === untouched)
+    // the commit removed/added only day 1 and day 3 files
+    val s = DeltaLake.snapshotAt(spark, dir, 1L)
+    assert(s.adds.exists(_.partitionValues("p_date").contains("2024-01-02")))
+  }
+
+  test("DeltaDateSink: mergeIfAbsent keeps existing rows verbatim") {
+    val dir = tmp("delta_ifabsent")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    sink.mergeIfAbsent(df(Seq(
+      (1, "2024-01-01 10:00:00", 99.0),
+      (2, "2024-01-01 11:00:00", 2.0))), Seq("k", "dt"))
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0),
+      (2, "2024-01-01 11:00:00", 2.0)))
+  }
+
+  test("DeltaDateSink: merge keys must pin the partition timestamp (declined)") {
+    val dir = tmp("delta_decline")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    intercept[IncrementalMergeDeclined] {
+      sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 2.0))), Seq("k"))
+    }
+  }
+
+  test("DeltaDateSink: prunedRead + replaceDates rewrite only the asked dates") {
+    val dir = tmp("delta_replace")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0),
+      (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-02 11:00:00", 3.0))))
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    assert(asSet(sink.prunedRead(spark, Seq(d2))) === Set(
+      (2, "2024-01-02 10:00:00", 2.0), (3, "2024-01-02 11:00:00", 3.0)))
+    // keep only k=3 on day 2 — kept READS the current files (no-hazard path)
+    val kept = sink.prunedRead(spark, Seq(d2)).filter(col("k") === 3)
+    sink.replaceDates(Seq(d2), kept)
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (3, "2024-01-02 11:00:00", 3.0)))
+    // emptying a date removes it from the live version
+    sink.replaceDates(Seq(d2), kept.filter(col("k") === -1))
+    assert(asSet(sink.read(spark)) === Set((1, "2024-01-01 10:00:00", 1.0)))
+    // stray rows outside the replaced dates are rejected
+    intercept[IllegalArgumentException] {
+      sink.replaceDates(Seq(d2), df(Seq((9, "2024-01-05 10:00:00", 9.0))))
+    }
+  }
+
+  test("DeltaDateSink: time travel by version; graft VERSION AS OF works") {
+    val dir = tmp("delta_travel")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 5.0))), Seq("k", "dt")) // v1
+    assert(asSet(sink.readVersion(spark, 0L)) === Set((1, "2024-01-01 10:00:00", 1.0)))
+    assert(asSet(sink.readVersion(spark, 1L)) === Set((1, "2024-01-01 10:00:00", 5.0)))
+    intercept[IllegalArgumentException] { sink.readVersion(spark, 7L) }
+    SqlMerge.register(spark, "delta_travel_t", sink)
+    val viaSql = spark.sql(
+      "SELECT k, v FROM delta_travel_t VERSION AS OF 0 ORDER BY k")
+    assert(viaSql.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      === Seq((1, 1.0)))
+  }
+
+  test("DeltaDateSink: SQL MERGE/UPDATE/DELETE run against the Delta table") {
+    import spark.implicits._
+    val dir = tmp("delta_sql")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0),
+      (2, "2024-01-02 10:00:00", 2.0))))
+    SqlMerge.register(spark, "delta_sql_t", sink)
+    df(Seq((1, "2024-01-01 10:00:00", 10.0), (3, "2024-01-03 10:00:00", 3.0)))
+      .createOrReplaceTempView("delta_sql_src")
+    spark.sql(
+      """MERGE INTO delta_sql_t USING delta_sql_src
+        |ON delta_sql_t.k = delta_sql_src.k AND delta_sql_t.dt = delta_sql_src.dt
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 10.0),
+      (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0)))
+    spark.sql("UPDATE delta_sql_t SET v = v + 100.0 WHERE k = 2")
+    spark.sql("DELETE FROM delta_sql_t WHERE k = 1")
+    assert(asSet(sink.read(spark)) === Set(
+      (2, "2024-01-02 10:00:00", 102.0),
+      (3, "2024-01-03 10:00:00", 3.0)))
+  }
+
+  test("DeltaDateSink: schema widening via merge; old rows read as typed NULLs") {
+    val dir = tmp("delta_evolve")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    val widened = df(Seq((2, "2024-01-01 11:00:00", 2.0)))
+      .withColumn("extra", lit("x"))
+    sink.mergeLastWins(widened, Seq("k", "dt"))
+    val out = sink.read(spark).orderBy("k")
+      .select("k", "extra").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, null), (2, "x")))
+    // dropping a column must fail loudly
+    intercept[IllegalArgumentException] {
+      sink.mergeLastWins(df(Seq((3, "2024-01-01 12:00:00", 3.0))).drop("v"),
+        Seq("k", "dt"))
+    }
+  }
+
+  test("checkpoint: replay from parquet checkpoint + JSON tail matches full replay") {
+    val dir = tmp("delta_ckpt")
+    val sink = DeltaDateSink(dir, tsCol = "dt", checkpointInterval = 2)
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt")) // v1
+    sink.mergeLastWins(df(Seq((3, "2024-01-03 10:00:00", 3.0))), Seq("k", "dt")) // v2 -> ckpt
+    assert(new java.io.File(new java.io.File(dir, "_delta_log"),
+      f"${2L}%020d.checkpoint.parquet").isFile)
+    assert(new java.io.File(new java.io.File(dir, "_delta_log"),
+      "_last_checkpoint").isFile)
+    sink.mergeLastWins(df(Seq((4, "2024-01-04 10:00:00", 4.0))), Seq("k", "dt")) // v3
+    // delete pre-checkpoint JSON commits: replay must ride the checkpoint
+    (0L to 1L).foreach { v =>
+      new java.io.File(new java.io.File(dir, "_delta_log"), f"$v%020d.json").delete()
+    }
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0), (4, "2024-01-04 10:00:00", 4.0)))
+    // but a version BEHIND the vacuumed history must fail loudly
+    intercept[IllegalArgumentException] { sink.readVersion(spark, 1L) }
+  }
+
+  test("commit concurrency: second writer of the same version loses loudly") {
+    val dir = tmp("delta_race")
+    DeltaDateSink(dir, tsCol = "dt")
+      .overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    // the race: `loser` snapshots v0, then (preCommit seam) `other`
+    // lands v1 first; loser's rename to v1 must fail loudly
+    val other = DeltaDateSink(dir, tsCol = "dt")
+    val loser = DeltaDateSink(dir, tsCol = "dt", preCommit = () =>
+      other.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt")))
+    val ex = intercept[IllegalStateException] {
+      loser.mergeLastWins(df(Seq((3, "2024-01-03 10:00:00", 3.0))), Seq("k", "dt"))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the winner's commit is intact; the loser wrote nothing
+    assert(asSet(other.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)))
+  }
+
+  test("vacuum: files outside the retention window are reclaimed, window reads survive") {
+    val dir = tmp("delta_vacuum")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 2.0))), Seq("k", "dt")) // v1
+    sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 3.0))), Seq("k", "dt")) // v2
+    sink.vacuum(spark, retain = 2)
+    // live + previous still read
+    assert(asSet(sink.readVersion(spark, 2L)) === Set((1, "2024-01-01 10:00:00", 3.0)))
+    assert(asSet(sink.readVersion(spark, 1L)) === Set((1, "2024-01-01 10:00:00", 2.0)))
+    // v0's file is gone: reconstruction fails loudly, never serves wrong rows
+    intercept[Exception] { sink.readVersion(spark, 0L).collect() }
+  }
+
+  // --------------------------------------------------------- protocol gates
+
+  test("reader rejects column mapping and deletion vectors loudly") {
+    val dir = tmp("delta_reject")
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    def write(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(log, f"$v%020d.json").toPath, lines.mkString("\n") + "\n")
+    val schema = """{"type":"struct","fields":[{"name":"k","type":"integer","nullable":true,"metadata":{}}]}"""
+    write(0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schema)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+    val e1 = intercept[IllegalArgumentException] { DeltaLake.readTable(spark, dir) }
+    assert(e1.getMessage.contains("column mapping"))
+
+    val dir2 = tmp("delta_reject_dv")
+    val log2 = new java.io.File(dir2, "_delta_log"); log2.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log2, "0" * 20 + ".json").toPath,
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"t2","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schema)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
+      ).mkString("\n") + "\n")
+    val e2 = intercept[IllegalArgumentException] { DeltaLake.readTable(spark, dir2) }
+    assert(e2.getMessage.contains("deletion vector"))
+  }
+
+  test("reader reconstructs non-hive layouts from partitionValues (never from paths)") {
+    import spark.implicits._
+    val dir = tmp("delta_nonhive")
+    // data file at a FLAT path; partition value only in the log
+    val data = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
+    data.coalesce(1).write.parquet(s"$dir/flat")
+    val part = new java.io.File(s"$dir/flat").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, "chunk-a.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val fullSchema = new org.apache.spark.sql.types.StructType()
+      .add("k", "integer").add("v", "double").add("d", "date")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"t3","format":{"provider":"parquet","options":{}},"schemaString":${m.writeValueAsString(fullSchema.json)},"partitionColumns":["d"],"configuration":{},"createdTime":1}}""",
+        s"""{"add":{"path":"chunk-a.parquet","partitionValues":{"d":"2024-02-03"},"size":${dest.length()},"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n")
+    val out = DeltaLake.readTable(spark, dir).orderBy("k")
+      .select(col("k"), col("v"), col("d").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq === Seq((1, 1.0, "2024-02-03"), (2, 2.0, "2024-02-03")))
+  }
+
+  // ------------------------------------------------------- TxnParquet export
+
+  test("publish: a TxnParquet table becomes a readable Delta table, zero data movement") {
+    val dir = tmp("delta_publish")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0))))
+    val v0 = DeltaLake.publish(spark, dir)
+    assert(v0 === 0L)
+    val viaDelta = DeltaLake.readTable(spark, dir).drop("p_date")
+    assert(asSet(viaDelta) === asSet(txn.read(spark)))
+    // idempotent: unchanged manifest commits nothing
+    assert(DeltaLake.publish(spark, dir) === 0L)
+    // a merge then republish: Delta view catches up, old version pinned
+    txn.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 9.0))), Seq("k", "dt"))
+    val v1 = DeltaLake.publish(spark, dir)
+    assert(v1 === 1L)
+    assert(asSet(DeltaLake.readTable(spark, dir).drop("p_date"))
+      === asSet(txn.read(spark)))
+    assert(asSet(DeltaLake.readVersion(spark, dir, 0L).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)))
+  }
+}
