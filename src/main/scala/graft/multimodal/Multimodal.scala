@@ -205,10 +205,13 @@ object Multimodal {
     * `everyMs` tick carries the PNG of the composed canvas showing at
     * that instant on the animation's own timeline, and the sampling
     * duration comes from the timeline itself when the metadata carries
-    * none. Containers the JDK cannot demux (MP4/MKV) fall back to the
-    * deterministic STUB payload and need `duration_ms` metadata — the
-    * documented residual stub, now only for formats the sandbox
-    * genuinely lacks a codec for.
+    * none. MP4/MOV containers are REALLY demuxed ([[Codecs.parseMp4]]):
+    * each tick emits the raw bytes of the latest sync sample at or
+    * before it, with the container's own timestamps/duration — only
+    * pixel decode of the codec bitstream stays out of reach (no JVM
+    * H.26x decoder). Containers with no parsable sample tables fall
+    * back to the deterministic STUB payload and need `duration_ms`
+    * metadata — the documented residual stub.
     *
     * `maxFramesPerAsset` bounds the fan-out of one row: corrupt metadata
     * (a duration in the billions) must not turn a single asset into a
@@ -244,18 +247,47 @@ object Multimodal {
               }
               Frame(a.asset_id, idx, ts, lastPng)
             }
-          case _ => a.duration_ms match {
-            case Some(dur) if dur > 0 =>
-              // Long arithmetic first, THEN clamp: (dur/everyMs).toInt on
-              // a huge duration would wrap negative and silently emit
-              // nothing
+          case _ => Codecs.parseMp4(a.payload) match {
+            // REAL MP4 demux (Codecs.parseMp4: the stbl sample tables):
+            // each tick emits the bytes of the latest SYNC sample at or
+            // before it — the standard keyframe-thumbnail sampling that
+            // needs no pixel decode — with the container's own
+            // timestamps and duration. The cursor is monotone like the
+            // GIF path: O(nTicks + nSamples) per asset.
+            case Some(v) if v.samples.nonEmpty =>
+              val keys = v.samples.filter(_.keyframe)
+              val sync = if (keys.nonEmpty) keys else v.samples
+              val dur = a.duration_ms.filter(_ > 0).getOrElse(v.durationMs)
               val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
-              val base = contentHash(a.payload) // one payload scan per asset
+              var ki = 0
+              var lastKi = -1
+              var lastBytes: Array[Byte] = null
               Iterator.range(0, n).map { idx =>
                 val ts = idx * everyMs
-                Frame(a.asset_id, idx, ts, lcgBytes(base ^ ts, 32))
+                while (ki < sync.length - 1 && sync(ki + 1).tsMs <= ts)
+                  ki += 1
+                if (ki != lastKi) {
+                  lastKi = ki
+                  val sm = sync(ki)
+                  lastBytes = java.util.Arrays.copyOfRange(
+                    a.payload, sm.offset.toInt, (sm.offset + sm.size).toInt)
+                }
+                Frame(a.asset_id, idx, ts, lastBytes)
               }
-            case _ => Iterator.empty
+            case _ => a.duration_ms match {
+              case Some(dur) if dur > 0 =>
+                // residual STUB (containers with no parsable sample
+                // tables): Long arithmetic first, THEN clamp —
+                // (dur/everyMs).toInt on a huge duration would wrap
+                // negative and silently emit nothing
+                val n = math.min(dur / everyMs + 1, maxFramesPerAsset.toLong).toInt
+                val base = contentHash(a.payload) // one payload scan per asset
+                Iterator.range(0, n).map { idx =>
+                  val ts = idx * everyMs
+                  Frame(a.asset_id, idx, ts, lcgBytes(base ^ ts, 32))
+                }
+              case _ => Iterator.empty
+            }
           }
         }
       }

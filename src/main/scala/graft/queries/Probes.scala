@@ -12284,6 +12284,57 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** REAL MP4 demux through the sampleFrames generator (q297's GIF
+    * sibling — closes the "MP4 is an opaque stub" gap): containers are
+    * muxed in-gate with arithmetic sample tables (id-derived frame
+    * counts, sizes, key intervals), then [[graft.multimodal.Codecs
+    * .parseMp4]] walks the ISO BMFF stbl tables inside sampleFrames and
+    * each tick emits the LATEST SYNC SAMPLE's real byte extent with the
+    * container's own timestamps. The gate re-derives every expected
+    * byte of the emitted payload (ok_bytes); DuckDB replays the
+    * tick→keyframe snap arithmetic (m = least(k, nf-1) floored to its
+    * key interval) for counts, timestamps and sizes. */
+  val mp4DemuxProbe = Probe(
+    "q313_mp4_demux",
+    (s, d) => {
+      implicit val spark = s
+      import graft.multimodal.{Codecs, Multimodal}
+      import s.implicits._
+      def fb(i: Long, k: Int, sz: Int): Array[Byte] =
+        Array.tabulate(sz)(b => ((i * 31 + k * 7 + b) % 251).toByte)
+      val assets = spark.range(16).map { i =>
+        val nf = (3 + i % 4).toInt
+        val ke = (1 + i % 3).toInt
+        val frames = (0 until nf).map(k => fb(i, k, (10 + (i + k) % 7).toInt))
+        Multimodal.Asset(i, "video",
+          Codecs.encodeMp4(frames, frameDurMs = 500L,
+            w = (16 + i % 8).toInt, h = (9 + i % 5).toInt, keyEvery = ke),
+          None, None, None)
+      }
+      Multimodal.sampleFrames(assets, everyMs = 500L).map { f =>
+        val i = f.asset_id
+        val nf = (3 + i % 4).toInt
+        val ke = (1 + i % 3).toInt
+        val m = math.min(f.frame_idx.toLong, nf - 1L).toInt
+        val j = m - (m % ke) // the sync sample showing at this tick
+        val exp = fb(i, j, (10 + (i + j) % 7).toInt)
+        (i, f.frame_idx, f.ts_ms, f.payload.length,
+          java.util.Arrays.equals(f.payload, exp))
+      }.toDF("asset_id", "frame_idx", "ts_ms", "n_bytes", "ok_bytes")
+        .orderBy("asset_id", "frame_idx")
+    },
+    Some("""SELECT i AS asset_id, CAST(k AS INT) AS frame_idx,
+           |  CAST(k * 500 AS BIGINT) AS ts_ms,
+           |  CAST(10 + (i + (m - (m % ke))) % 7 AS INT) AS n_bytes,
+           |  true AS ok_bytes
+           |FROM (
+           |  SELECT i, k, least(k, (3 + i % 4) - 1) AS m, 1 + i % 3 AS ke
+           |  FROM range(0, 16) t(i),
+           |    LATERAL (SELECT unnest(range(0, (3 + i % 4) + 1)) AS k)
+           |)
+           |ORDER BY asset_id, frame_idx""".stripMargin)
+  )
+
   val extensionProbes: Seq[Probe] = Seq(
     textStats, tokenCount, stopwordRatio, dedupExact, wordFreq, knnBruteForce,
     centroid, minhashNearDup, ngramJaccard, simhashSig, annLsh,
@@ -12362,7 +12413,7 @@ object Probes {
     sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe,
     sqlTimeTravelProbe,
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
-    deltaTimeTravelProbe
+    deltaTimeTravelProbe, mp4DemuxProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
