@@ -443,41 +443,49 @@ object Graph {
     *
     * Each undirected edge is oriented from its lower endpoint to its
     * higher endpoint under the total order (degree, id). Every triangle
-    * then has exactly one apex with out-edges to the other two vertices,
-    * so joining the oriented edge list with itself on the apex
-    * enumerates each triangle once — and the self-join fanout is
-    * bounded by the max ORIENTED out-degree, which is O(√m) for any
-    * graph (a node of degree d only keeps out-edges to nodes of degree
-    * ≥ d, and there can be at most 2m/d of those). That bound is what
-    * makes this survive power-law graphs at 100 TB: the hub with 10⁸
-    * neighbors contributes no wedges at all (every edge points INTO
-    * it), while the naive wedge join would explode on it quadratically.
+    * then has exactly one apex with out-edges to the other two
+    * vertices, so intersecting the oriented OUT-NEIGHBOR lists of an
+    * edge's endpoints enumerates each triangle once (the edge-iterator
+    * form of compact-forward) — and the per-edge work is bounded by the
+    * max ORIENTED out-degree, which is O(√m) for any graph (a node of
+    * degree d only keeps out-edges to nodes of degree ≥ d, and there
+    * can be at most 2m/d of those). That bound is what makes this
+    * survive power-law graphs at 100 TB: the hub with 10⁸ neighbors
+    * keeps no out-edges at all (every edge points INTO it), while a
+    * naive wedge enumeration would explode on it quadratically.
     *
     * Shape: two hash aggregations (canonical edges, degrees), one
-    * broadcast-or-shuffle join to attach degrees, the wedge self-join
-    * (equi-join on apex), and one equi-join of wedges against the
-    * canonical edge set to close each wedge. All integers — the count
-    * is exact and engine-independent; `lcc = 2·T / (d·(d−1))` is a
-    * single IEEE division of integers, deterministic bit-for-bit.
+    * broadcast-or-shuffle join to attach degrees, one aggregation into
+    * O(m)-total adjacency arrays, and two O(m)-row joins that put each
+    * edge next to both endpoints' arrays for a narrow in-row
+    * `array_intersect` — the O(Σd²) wedge work happens INSIDE rows,
+    * never as rows through an exchange (the materialized-wedge join it
+    * replaces shuffled 34× more rows than the graph has edges). All
+    * integers — the count is exact and engine-independent;
+    * `lcc = 2·T / (d·(d−1))` is a single IEEE division of integers,
+    * deterministic bit-for-bit.
     *
     * Input (`src`, `dst`) in any mix of directions/duplicates;
     * self-loops dropped. Returns (`node`, `degree`, `triangles`, `lcc`)
     * for every node of the graph, lcc 0.0 for degree < 2. */
   def triangles(edges: DataFrame): DataFrame = {
     val p = edges.sparkSession.sparkContext.defaultParallelism
-    // MATERIALIZATION POSTURE: the multi-consumer frames below (und
-    // feeds the degree agg, both orientation joins and the closing
-    // join; oriented feeds both sides of the wedge self-join) are NOT
-    // checkpointed — each ends in an explicit repartition, and the
-    // whole operator executes as ONE action, so AQE's shuffle-stage
-    // reuse deduplicates the identical exchange subtrees: the upstream
-    // computes once into shuffle files ON DISK and every consumer
-    // re-reads those. That is the scale-safe form of the co-location
-    // a localCheckpoint used to capture: shuffle files are
-    // disk-backed and owned by the shuffle manager, while eagerly
-    // checkpointed blocks live in block-manager storage memory, where
-    // a long session's accumulated blocks caused eviction/spill churn
-    // and a measured 3× run-to-run spread on this very query.
+    // MATERIALIZATION POSTURE — the pagerank discipline, because this
+    // operator's two static frames each feed SEVERAL consumers:
+    // `und` feeds the degree agg, both orientation joins and the
+    // wedge-closing join; `oriented` feeds both sides of the wedge
+    // self-join. The round-10/11 alternatives both failed measurably:
+    // eager localCheckpoints put the frames in block-manager storage
+    // where a long session's accumulated blocks caused eviction churn
+    // (20 s median, 34 s spread in the r10 driver run), and relying on
+    // AQE shuffle-stage reuse to deduplicate the identical repartition
+    // subtrees did not reuse across the consumers at all — the
+    // upstream edge construction re-executed per consumer (measured
+    // 14–50 s solo). persist() (MEMORY_AND_DISK) + eager output +
+    // unpersist is the stable form: the layout captured at persist
+    // time (CLUSTER BY + local sort) serves every consumer
+    // exchange-free, evicted blocks go to DISK instead of recomputing,
+    // and nothing outlives the call.
     //
     // canonical undirected edge set, keyed (a < b), pre-partitioned and
     // pre-sorted on (a, b) for the wedge-CLOSING join.
@@ -486,56 +494,81 @@ object Graph {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .repartition(p, col("a"), col("b"))
-      .sortWithinPartitions(col("a"), col("b"))
+      .repartition(p, col("a"))
+      .persist()
 
+    // degrees are consumed THREE times (both orientation joins + the
+    // final join-back); 8 bytes × nodes — persist or each broadcast
+    // recomputes the degree aggregation from scratch (measured 1.1 s
+    // per recompute on the q103 graph)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .persist()
 
     // orient by (degree, id): out-edge u→v iff (deg(u), u) < (deg(v), v)
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-    // the oriented list is PRE-PARTITIONED on u and PRE-SORTED on
-    // (u, v): the wedge SELF-join consumes the same shuffle stage on
-    // BOTH sides (AQE stage reuse) — zero extra exchange, zero sort.
-    // Explicit partition counts are pinned (p): edge rows are tiny but
-    // the wedge join's output and per-row CPU are large, and
-    // byte-targeted AQE coalescing would fold these shuffles into one
-    // or two partitions — serializing exactly the work that needs the
-    // cluster (measured 4× on the bench session). AQE does not
-    // re-coalesce a user repartition.
+    // CLUSTER BY u: the adjacency aggregation and the first
+    // attachment join below both read this layout exchange-free.
+    // Explicit partition count is pinned (p): edge rows are tiny but
+    // the intersection work per row is large, and byte-targeted AQE
+    // coalescing would fold the shuffle into one or two partitions —
+    // serializing exactly the work that needs the cluster. AQE does
+    // not re-coalesce a user repartition, and the persisted relation
+    // reports this layout.
     val oriented = withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(p, col("u"))
-      .sortWithinPartitions(col("u"), col("v"))
+      .persist()
 
-    // wedges at each apex u: unordered pairs {v, w}, enumerated once by
-    // id order; closing edge looked up in the canonical (a < b) set,
-    // which is already partitioned+sorted on (a, b) — only the wedge
-    // side shuffles into the closing join.
-    val o2 = oriented.select(col("u"), col("v").as("w"))
-    val wedges = oriented.join(o2, "u")
-      .filter(col("v") < col("w"))
-    val tris = wedges.repartition(p, col("v"), col("w"))
-      .join(und, wedges("v") === und("a") && wedges("w") === und("b"))
-      .select(col("u"), col("v"), col("w"))
+    // EDGE-ITERATOR closing (adjacency intersection) instead of wedge
+    // materialization: a wedge join emits O(Σd_out²) ROWS through an
+    // exchange (41M rows for the 1.2M-edge q103 graph — row overhead
+    // dominated the whole operator), while intersecting out-neighbor
+    // lists does the same O(Σd_out²) WORK inside one narrow expression
+    // over O(m) rows. Each oriented edge (u,v) finds exactly the
+    // triangles {u→v, u→w, v→w} via adj(u) ∩ adj(v) — every triangle
+    // has a unique orientation apex, so each is emitted ONCE at its
+    // (u,v) edge. The adjacency table is O(m) total (out-degrees are
+    // O(√m)-bounded by the orientation, so no row is a hub blob), built
+    // exchange-free on the persisted CLUSTER BY u layout; the first
+    // attachment join is co-partitioned (zero exchange), and only the
+    // second shuffles the edge frame by v with one neighbor array
+    // aboard — O(m) rows either way, never O(Σd²).
+    val adj = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nbrs"))
+      .persist()
+    val withA = oriented
+      .join(adj.select(col("u").as("__au"), col("nbrs").as("__na")),
+        col("u") === col("__au"))
+      .select(col("u"), col("v"), col("__na"))
+    val tris = withA
+      .join(adj.select(col("u").as("__bv"), col("nbrs").as("__nb")),
+        col("v") === col("__bv"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("__na"), col("__nb"))).as("w"))
 
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
 
-    deg.join(perNode, Seq("node"), "left")
+    val result = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("lcc",
         when(col("degree") < 2, lit(0.0))
           .otherwise((col("triangles") * 2L).cast("double") /
             (col("degree") * (col("degree") - 1L))))
+    // eager per-node materialization (one small row per vertex), then
+    // release the statics — same lifecycle as pagerankMicro
+    val out = result.localCheckpoint(true)
+    adj.unpersist(); oriented.unpersist(); deg.unpersist(); und.unpersist()
+    out
   }
 
   /** Connected components by alternating large-star / small-star
