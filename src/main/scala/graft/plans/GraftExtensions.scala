@@ -107,17 +107,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => GraftMergeRule(s))
     ext.injectPostHocResolutionRule(s => GraftMergeRule(s))
 
-    // SQL time travel over registered TxnParquet tables, two spellings:
-    //   SELECT … FROM graft_version('fact', 3)      (table function)
-    //   SELECT … FROM fact VERSION AS OF 3          (native clause)
-    // The function is the resolution target for both — relation
-    // resolution rejects VERSION AS OF on temp views before injected
-    // analyzer rules run, so the native clause is rewritten to the
-    // function at the PARSE seam (GraftSqlParser).
+    // SQL time travel over registered transactional tables
+    // (VersionedSink: TxnParquet manifests, Delta-protocol commits),
+    // four spellings:
+    //   SELECT … FROM graft_version('fact', 3)             (function)
+    //   SELECT … FROM fact VERSION AS OF 3                 (native)
+    //   SELECT … FROM graft_version_ts('fact', '2024-…')   (function)
+    //   SELECT … FROM fact TIMESTAMP AS OF '2024-…'        (native)
+    // The functions are the resolution targets for all four — relation
+    // resolution rejects time-travel clauses on temp views before
+    // injected analyzer rules run, so the native clauses are rewritten
+    // to the functions at the PARSE seam (GraftSqlParser).
     ext.injectTableFunction((FunctionIdentifier("graft_version"),
       info("graft_version",
-        "table as of a committed TxnParquet manifest version"),
+        "table as of a committed transactional version"),
       exprs => SqlMerge.versionPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("graft_version_ts"),
+      info("graft_version_ts",
+        "table as of a wall-clock commit timestamp"),
+      exprs => SqlMerge.versionTsPlan(exprs)))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -22,11 +22,13 @@ import org.apache.spark.sql.types.StructType
   * The function form stays available; both spellings produce the same
   * plan.
   *
+  * `TIMESTAMP AS OF <ts>` on a registered name rewrites the same way to
+  * `graft_version_ts` (mtime-resolved version floor, the Delta
+  * timestamp-travel convention).
+  *
   * Pass-through discipline: anything else — unregistered names,
-  * multi-part catalog identifiers, `TIMESTAMP AS OF` — is left verbatim
-  * for Spark's own handling (real DSv2 time travel keeps working; a
-  * timestamp-travel on a graft table fails with Spark's loud
-  * unsupported error rather than a silent wrong read). */
+  * multi-part catalog identifiers — is left verbatim for Spark's own
+  * handling (real DSv2 time travel keeps working). */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -36,6 +38,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           version.nonEmpty && version.forall(_.isDigit) =>
       UnresolvedTableValuedFunction(Seq("graft_version"),
         Seq(Literal(rel.multipartIdentifier.head), Literal(version.toLong)))
+    // TIMESTAMP AS OF <foldable ts expr> on a registered name → the
+    // graft_version_ts function (same pass-through discipline: only
+    // single-part registered names; everything else stays Spark's)
+    case RelationTimeTravel(rel: UnresolvedRelation, Some(ts), None)
+        if rel.multipartIdentifier.length == 1 &&
+          SqlMerge.registered(rel.multipartIdentifier.head).isDefined =>
+      UnresolvedTableValuedFunction(Seq("graft_version_ts"),
+        Seq(Literal(rel.multipartIdentifier.head), ts))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

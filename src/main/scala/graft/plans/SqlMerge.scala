@@ -128,6 +128,45 @@ object SqlMerge {
           "tables time-travel")
     }
   }
+
+  /** `TIMESTAMP AS OF` resolution — `graft_version_ts('name', ts)`:
+    * the latest version committed at or before the wall-clock
+    * timestamp (VersionedSink.versionAt — commit-artifact mtimes, the
+    * convention Delta documents). A timestamp before the oldest
+    * RETAINED commit fails loudly; one past the live commit reads the
+    * live table. */
+  private[plans] def versionTsPlan(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    require(exprs.length == 2,
+      "graft_version_ts(name, timestamp) takes exactly two arguments")
+    require(exprs.forall(_.foldable),
+      "graft_version_ts arguments must be literals")
+    val name = String.valueOf(exprs.head.eval())
+    val spark = org.apache.spark.sql.SparkSession.active
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      exprs(1), org.apache.spark.sql.types.TimestampType,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval() match {
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_version_ts: cannot interpret '${exprs(1).sql}' as a timestamp" +
+          (if (other == null) " (casts to NULL)" else ""))
+    }
+    val sink = registered(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_version_ts: no registered table named '$name'"))
+    sink match {
+      case t: graft.sources.VersionedSink =>
+        val v = t.versionAt(spark, micros).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_version_ts: table '$name' has no commit at or before " +
+              s"${exprs(1).sql} — the timestamp predates the retained history"))
+        t.readVersion(spark, v).queryExecution.analyzed
+      case other => throw new UnsupportedOperationException(
+        s"graft_version_ts: table '$name' (${other.getClass.getSimpleName}) " +
+          "does not keep versions — only transactional (VersionedSink) " +
+          "tables time-travel")
+    }
+  }
 }
 
 /** Resolution-stage lowering: swap a fully-resolved [[MergeIntoTable]]

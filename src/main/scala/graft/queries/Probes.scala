@@ -12284,6 +12284,53 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Native `TIMESTAMP AS OF` time travel (q312's wall-clock sibling):
+    * version resolution floors the timestamp over the commit
+    * artifacts' mtimes (VersionedSink.versionAt — the convention Delta
+    * documents), which the gate pins DETERMINISTICALLY via setTimes on
+    * the log files, so a literal timestamp between the pinned commit
+    * times must serve exactly version 0. Same oracle as q312 (DuckDB
+    * recomputes the pre-merge base). */
+  val deltaTimestampTravelProbe = Probe(
+    "q314_delta_timestamp_travel",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.sources.DeltaLake.DeltaDateSink
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q314_target")
+      val sink = DeltaDateSink(dir, tsCol = "dt")
+      sink.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice"))) // v0
+      SqlMerge.register(s, "q314_target", sink)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), dt30,
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .createOrReplaceTempView("q314_source")
+      s.sql(
+        """MERGE INTO q314_target USING q314_source
+          |ON q314_target.o_orderkey = q314_source.o_orderkey
+          |  AND q314_target.dt = q314_source.dt
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin) // v1
+      // pin the two commit mtimes so the timestamp floor is exact
+      val log = new java.io.File(dir, "_delta_log")
+      def pin(v: Long, iso: String): Unit =
+        require(new java.io.File(log, f"$v%020d.json")
+          .setLastModified(java.time.Instant.parse(iso).toEpochMilli))
+      pin(0L, "2024-06-01T00:00:00Z")
+      pin(1L, "2024-06-02T00:00:00Z")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q314_target TIMESTAMP AS OF '2024-06-01 12:00:00'
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** REAL MP4 demux through the sampleFrames generator (q297's GIF
     * sibling — closes the "MP4 is an opaque stub" gap): containers are
     * muxed in-gate with arithmetic sample tables (id-derived frame
@@ -12413,7 +12460,7 @@ object Probes {
     sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe,
     sqlTimeTravelProbe,
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
-    deltaTimeTravelProbe, mp4DemuxProbe
+    deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

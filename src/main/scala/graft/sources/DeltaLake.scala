@@ -71,14 +71,18 @@ object DeltaLake {
       size: Long,
       modificationTime: Long)
 
-  /** Replayed table state at one version. */
+  /** Replayed table state at one version. `appTxns` is the spec's
+    * streaming-transaction ledger (`txn` actions): highest committed
+    * version per application id — the exactly-once handshake for
+    * replayed micro-batches. */
   final case class Snapshot(
       version: Long,
       tableId: String,
       schema: StructType,
       partitionColumns: Seq[String],
       configuration: Map[String, String],
-      adds: Seq[AddFile]) {
+      adds: Seq[AddFile],
+      appTxns: Map[String, Long] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
   }
@@ -145,6 +149,24 @@ object DeltaLake {
   def snapshot(spark: SparkSession, root: String): Option[Snapshot] =
     latestVersion(spark, root).map(v => snapshotAt(spark, root, v))
 
+  /** `TIMESTAMP AS OF` resolution: the highest commit whose log file's
+    * modification time is at or before `tsMicros` — the convention
+    * Delta Lake documents for timestamp travel. Checkpoint files count
+    * too (their JSON may have been vacuumed). */
+  def versionAtTime(spark: SparkSession, root: String,
+                    tsMicros: Long): Option[Long] = {
+    val (f, r) = fs(spark, root)
+    val logDir = new Path(r, LogDir)
+    if (!f.exists(logDir)) return None
+    f.listStatus(logDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case JsonRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
+        case CkptRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
+        case _ => None
+      }
+    }.maxOption
+  }
+
   /** Replay the log to exactly version `v`: largest checkpoint ≤ v, then
     * the JSON tail. Fails loudly on a gap (vacuumed history) rather than
     * serving a partial table. */
@@ -158,6 +180,7 @@ object DeltaLake {
 
     val ckptV = ckpts.filter(_ <= v).maxOption
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    val appTxns = mutable.Map.empty[String, Long]
     var tableId: String = null
     var schema: StructType = null
     var partCols: Seq[String] = Nil
@@ -218,6 +241,14 @@ object DeltaLake {
                 p.getSeq[String](idx("readerFeatures"))
               else Nil
             checkProtocol(p.getInt(idx("minReaderVersion")), feats)
+          }
+      }
+      if (cols.contains("txn")) {
+        ck.select("txn").where(col("txn.appId").isNotNull)
+          .collect().foreach { row =>
+            val t0 = row.getStruct(0)
+            val idx = t0.schema.fieldNames.zipWithIndex.toMap
+            appTxns(t0.getString(idx("appId"))) = t0.getLong(idx("version"))
           }
       }
       if (cols.contains("add")) {
@@ -284,12 +315,17 @@ object DeltaLake {
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L))
         }
         if (n.has("remove")) adds.remove(n.get("remove").get("path").asText())
+        if (n.has("txn")) {
+          val t0 = n.get("txn")
+          appTxns(t0.get("appId").asText()) = t0.get("version").asLong()
+        }
       }
     }
 
     require(schema != null,
       s"DeltaLake: no metaData action found replaying $root to version $v")
-    Snapshot(v, tableId, schema, partCols, conf, adds.values.toSeq)
+    Snapshot(v, tableId, schema, partCols, conf, adds.values.toSeq,
+      appTxns.toMap)
   }
 
   // --------------------------------------------------------- reconstruction
@@ -409,6 +445,14 @@ object DeltaLake {
     w.set[JsonNode]("remove", n); mapper.writeValueAsString(w)
   }
 
+  private def txnAction(appId: String, version: Long): String = {
+    val w = obj(); val n = obj()
+    n.put("appId", appId)
+    n.put("version", version)
+    n.put("lastUpdated", System.currentTimeMillis())
+    w.set[JsonNode]("txn", n); mapper.writeValueAsString(w)
+  }
+
   private def commitInfoAction(operation: String,
                                params: Map[String, String]): String = {
     val w = obj(); val n = obj()
@@ -471,19 +515,29 @@ object DeltaLake {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
-      StructField("add", addT)))
+      StructField("add", addT),
+      StructField("txn", txnT)))
 
-    val protoRow = Row(Row(1, 2), null, null)
+    val protoRow = Row(Row(1, 2), null, null, null)
     val metaRow = Row(null, Row(s.tableId, Row("parquet", Map.empty[String, String]),
       s.schema.json, s.partitionColumns, s.configuration,
-      System.currentTimeMillis()), null)
+      System.currentTimeMillis()), null, null)
     val addRows = s.adds.map(a => Row(null, null,
       Row(a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
-        a.size, a.modificationTime, true)))
-    val rows = protoRow +: metaRow +: addRows
+        a.size, a.modificationTime, true), null))
+    // txn actions MUST survive checkpointing (the spec requires it):
+    // dropping them would let a replayed micro-batch past the
+    // exactly-once gate after history compaction
+    val txnRows = s.appTxns.toSeq.sortBy(_._1).map { case (app, ver) =>
+      Row(null, null, null, Row(app, ver))
+    }
+    val rows = protoRow +: metaRow +: (addRows ++ txnRows)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptT)
 
@@ -588,6 +642,9 @@ object DeltaLake {
     def readVersion(spark: SparkSession, v: Long): DataFrame =
       reconstruct(spark, path, snapshotAt(spark, path, v)).drop(PCol)
 
+    def versionAt(spark: SparkSession, tsMicros: Long): Option[Long] =
+      versionAtTime(spark, path, tsMicros)
+
     def read(spark: SparkSession): DataFrame =
       readTable(spark, path).drop(PCol)
 
@@ -646,7 +703,8 @@ object DeltaLake {
                            adds: Seq[AddFile], removes: Seq[String],
                            op: String, emitMeta: Boolean,
                            tableId: Option[String],
-                           curV: Option[Long]): Unit = {
+                           curV: Option[Long],
+                           txn: Option[(String, Long)] = None): Unit = {
       val (f, root) = fs(spark, path)
       preCommit() // test seam: models a concurrent writer landing first
       val nextV = curV.map(_ + 1).getOrElse(0L)
@@ -656,10 +714,37 @@ object DeltaLake {
           (if (emitMeta) Seq(metaAction(
             tableId.getOrElse(java.util.UUID.randomUUID().toString),
             schema, Seq(PCol))) else Nil) ++
+          txn.map { case (app, ver) => txnAction(app, ver) }.toSeq ++
           removes.map(removeAction) ++ adds.map(addAction)
       commit(f, root, nextV, actions)
       if (nextV > 0 && nextV % checkpointInterval == 0)
         writeCheckpoint(spark, path)
+    }
+
+    /** Highest micro-batch version committed for `appId` (the spec's
+      * `txn` ledger), None if the app never committed. */
+    def lastTxnVersion(spark: SparkSession, appId: String): Option[Long] =
+      snap(spark).flatMap(_.appTxns.get(appId))
+
+    /** EXACTLY-ONCE last-wins merge for replayable micro-batches: the
+      * (appId, batchVersion) pair rides the SAME atomic commit as the
+      * data (the Delta `txn` action), so a foreachBatch replay after a
+      * crash either sees its version already in the ledger — and skips
+      * the batch entirely, returning false — or re-commits data+txn
+      * together. The skip check and the commit race are both guarded by
+      * the put-if-absent commit: a replay that loses the version race
+      * throws and the retry then observes the ledger. Returns true if
+      * the batch was applied, false if it was recognized as already
+      * committed. */
+    def mergeLastWinsTxn(updates: DataFrame, keys: Seq[String],
+                         appId: String, batchVersion: Long): Boolean = {
+      val spark = updates.sparkSession
+      if (lastTxnVersion(spark, appId).exists(_ >= batchVersion)) false
+      else {
+        merge(updates, keys, Store.upsertLastWins,
+          txn = Some((appId, batchVersion)))
+        true
+      }
     }
 
     def mergeLastWins(updates: DataFrame, keys: Seq[String]): Unit =
@@ -672,7 +757,8 @@ object DeltaLake {
       * only those dates' rows, stage, commit adds + removes for exactly
       * the touched dates. O(touched partitions), never O(table). */
     private def merge(updates: DataFrame, keys: Seq[String],
-                      policy: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
+                      policy: (DataFrame, DataFrame, Seq[String]) => DataFrame,
+                      txn: Option[(String, Long)] = None): Unit = {
       if (!keys.contains(tsCol)) throw new IncrementalMergeDeclined(
         s"date-partitioned merge keys $keys must include the partition timestamp '$tsCol'")
       require(!updates.columns.contains(PCol),
@@ -681,13 +767,27 @@ object DeltaLake {
       val batch = updates.dropDuplicates(keys)
         .withColumn(PCol, to_date(col(tsCol)))
       val touched = Store.touchedDates(batch, tsCol)
-      if (touched.isEmpty) return
+      if (touched.isEmpty) {
+        // an EMPTY batch still advances the txn ledger (a data-less
+        // commit) so a replayed empty micro-batch is recognized as
+        // committed instead of replaying forever
+        txn.foreach { _ =>
+          snap(spark) match {
+            case Some(s) => commitNext(spark, s.schema, Nil, Nil,
+              "GRAFT-MERGE", emitMeta = false, Some(s.tableId),
+              Some(s.version), txn)
+            case None => commitNext(spark, fullSchema(batch.schema), Nil,
+              Nil, "GRAFT-MERGE", emitMeta = true, None, None, txn)
+          }
+        }
+        return
+      }
       val touchedStr: Set[Option[String]] = touched.map(dateStr).toSet
 
       snap(spark) match {
         case None =>
           commitNext(spark, fullSchema(batch.schema), stage(batch), Nil,
-            "GRAFT-MERGE", emitMeta = true, None, None)
+            "GRAFT-MERGE", emitMeta = true, None, None, txn)
         case Some(s) =>
           // schema contract mirrors TxnParquetSink: widening is a merge,
           // dropping/re-typing is a rewrite and fails loudly here
@@ -724,7 +824,7 @@ object DeltaLake {
           commitNext(spark, fullSchema(batch.schema), staged,
             oldAdds.map(_.path), "GRAFT-MERGE",
             emitMeta = !s.schema.json.equals(fullSchema(batch.schema).json),
-            Some(s.tableId), Some(s.version))
+            Some(s.tableId), Some(s.version), txn)
       }
     }
 

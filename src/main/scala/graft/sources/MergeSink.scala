@@ -48,6 +48,16 @@ trait VersionedSink {
 
   /** The table exactly as version `v` committed it. */
   def readVersion(spark: SparkSession, v: Long): DataFrame
+
+  /** Latest version committed at or before wall-clock `tsMicros`
+    * (epoch microseconds) — the resolution step behind
+    * `TIMESTAMP AS OF`. Resolution uses the commit artifacts'
+    * filesystem modification times (the same convention Delta Lake
+    * documents for its timestamp travel): monotone with version for a
+    * single-writer table. None when nothing RETAINED was committed by
+    * then — a timestamp older than the retention window fails loudly
+    * at the caller rather than silently serving a later version. */
+  def versionAt(spark: SparkSession, tsMicros: Long): Option[Long]
 }
 
 trait MergeSink {

@@ -177,6 +177,21 @@ object TxnParquet {
     def version(spark: SparkSession): Option[Long] =
       currentManifest(spark, path).map(_._1)
 
+    /** `TIMESTAMP AS OF` resolution: the highest RETAINED manifest
+      * whose file modification time is at or before `tsMicros`. */
+    def versionAt(spark: SparkSession, tsMicros: Long): Option[Long] = {
+      val (f, root) = fs(spark, path)
+      val gdir = new Path(root, "_graft")
+      if (!f.exists(gdir)) return None
+      f.listStatus(gdir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case ManifestRe(v) if st.getModificationTime * 1000L <= tsMicros =>
+            Some(v.toLong)
+          case _ => None
+        }
+      }.maxOption
+    }
+
     /** TIME-TRAVEL read: the table exactly as manifest `v` committed it
       * — the audit/debug read "what did the merge job see last night",
       * and the explicit API form of the pinned-reader grace contract

@@ -65,6 +65,27 @@ object Streams {
         sink.mergeLastWins(batch, keys)
       }
 
+  /** EXACTLY-ONCE upsert into a Delta-protocol table: each micro-batch
+    * commits its (appId, batchId) pair as a Delta `txn` action IN THE
+    * SAME atomic log entry as its data, so a foreachBatch replay after
+    * a crash (Structured Streaming's at-least-once contract) is
+    * recognized from the table's own ledger and SKIPPED — the
+    * transactional upgrade of [[upsertSinkTo]]'s key-idempotence, and
+    * the handshake real Delta streaming writers use, readable by any
+    * Delta client. `appId` must be stable across restarts (it names
+    * this query in the ledger — pair it with the checkpointLocation). */
+  def upsertSinkExactlyOnce(deduped: DataFrame,
+                            sink: graft.sources.DeltaLake.DeltaDateSink,
+                            keys: Seq[String],
+                            appId: String): DataStreamWriter[Row] =
+    deduped.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.mergeLastWinsTxn(batch, keys, appId, batchId)
+        ()
+      }
+
   /** Streaming corpus admission — the training-data ingestion front
     * door: each micro-batch of documents is near-dup-checked against
     * the persisted corpus through its MinHash band index

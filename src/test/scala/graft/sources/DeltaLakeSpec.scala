@@ -244,6 +244,103 @@ class DeltaLakeSpec extends AnyFunSuite {
     intercept[Exception] { sink.readVersion(spark, 0L).collect() }
   }
 
+  test("TIMESTAMP AS OF: mtime-resolved version floor; pre-history fails loudly") {
+    val dir = tmp("delta_tsasof")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 5.0))),
+      Seq("k", "dt")) // v1
+    // pin commit mtimes deterministically (the resolution basis)
+    val log = new java.io.File(dir, "_delta_log")
+    def pin(v: Long, iso: String): Unit =
+      assert(new java.io.File(log, f"$v%020d.json")
+        .setLastModified(java.time.Instant.parse(iso).toEpochMilli))
+    pin(0L, "2024-06-01T00:00:00Z")
+    pin(1L, "2024-06-02T00:00:00Z")
+    SqlMerge.register(spark, "delta_ts_t", sink)
+    def q(ts: String): Seq[(Int, Double)] =
+      spark.sql(s"SELECT k, v FROM delta_ts_t TIMESTAMP AS OF '$ts' ORDER BY k")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(q("2024-06-01 12:00:00") === Seq((1, 1.0))) // between commits → v0
+    assert(q("2024-06-02 00:00:00") === Seq((1, 5.0))) // exactly v1's mtime
+    assert(q("2025-01-01 00:00:00") === Seq((1, 5.0))) // past live → live
+    val ex = intercept[Exception] { spark.sql(
+      "SELECT k, v FROM delta_ts_t TIMESTAMP AS OF '2020-01-01 00:00:00'") }
+    assert(ex.getMessage.contains("predates the retained history"))
+    // the function spelling resolves identically
+    assert(spark.sql("SELECT k, v FROM graft_version_ts('delta_ts_t', " +
+      "'2024-06-01 12:00:00')").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .toSeq === Seq((1, 1.0)))
+  }
+
+  test("txn ledger: replayed micro-batch versions are skipped exactly-once") {
+    val dir = tmp("delta_txn")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    // batch 0 applies
+    assert(sink.mergeLastWinsTxn(df(Seq((2, "2024-01-02 10:00:00", 2.0))),
+      Seq("k", "dt"), "app-a", 0L))
+    assert(sink.lastTxnVersion(spark, "app-a").contains(0L))
+    // REPLAY of batch 0 (crash-after-commit retry): recognized, skipped,
+    // even with different (corrupt) replay contents
+    assert(!sink.mergeLastWinsTxn(df(Seq((2, "2024-01-02 10:00:00", 999.0))),
+      Seq("k", "dt"), "app-a", 0L))
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)))
+    // batch 1 applies; an unrelated app has its own ledger
+    assert(sink.mergeLastWinsTxn(df(Seq((3, "2024-01-03 10:00:00", 3.0))),
+      Seq("k", "dt"), "app-a", 1L))
+    assert(sink.mergeLastWinsTxn(df(Seq((4, "2024-01-04 10:00:00", 4.0))),
+      Seq("k", "dt"), "app-b", 0L))
+    assert(sink.lastTxnVersion(spark, "app-a").contains(1L))
+    assert(sink.lastTxnVersion(spark, "app-b").contains(0L))
+    // an EMPTY batch still advances the ledger (data-less commit)
+    assert(sink.mergeLastWinsTxn(
+      df(Seq.empty[(Int, String, Double)]), Seq("k", "dt"), "app-a", 2L))
+    assert(sink.lastTxnVersion(spark, "app-a").contains(2L))
+    assert(!sink.mergeLastWinsTxn(
+      df(Seq.empty[(Int, String, Double)]), Seq("k", "dt"), "app-a", 2L))
+  }
+
+  test("txn ledger survives checkpoint compaction") {
+    val dir = tmp("delta_txn_ckpt")
+    val sink = DeltaDateSink(dir, tsCol = "dt", checkpointInterval = 2)
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    assert(sink.mergeLastWinsTxn(df(Seq((2, "2024-01-02 10:00:00", 2.0))),
+      Seq("k", "dt"), "stream-x", 7L)) // v1
+    sink.mergeLastWins(df(Seq((3, "2024-01-03 10:00:00", 3.0))),
+      Seq("k", "dt")) // v2 -> checkpoint written
+    // delete the pre-checkpoint JSON commits: the ledger must come back
+    // from the checkpoint parquet alone
+    val log = new java.io.File(dir, "_delta_log")
+    (0L to 1L).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete()
+    }
+    assert(sink.lastTxnVersion(spark, "stream-x").contains(7L))
+    assert(!sink.mergeLastWinsTxn(df(Seq((9, "2024-01-09 10:00:00", 9.0))),
+      Seq("k", "dt"), "stream-x", 7L))
+  }
+
+  test("streaming upsertSinkExactlyOnce: end-to-end through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("delta_stream")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    val mem = MemoryStream[(Int, String, Double)]
+    mem.addData((2, "2024-01-02 10:00:00", 2.0), (1, "2024-01-01 10:00:00", 5.0))
+    val stream = mem.toDF.toDF("k", "dt_s", "v")
+      .withColumn("dt", to_timestamp(col("dt_s"))).drop("dt_s")
+      .select("k", "dt", "v")
+    Streams.upsertSinkExactlyOnce(stream, sink, Seq("k", "dt"), "q-demo")
+      .start().awaitTermination()
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 5.0), (2, "2024-01-02 10:00:00", 2.0)))
+    assert(sink.lastTxnVersion(spark, "q-demo").contains(0L))
+  }
+
   // --------------------------------------------------------- protocol gates
 
   test("reader rejects column mapping and deletion vectors loudly") {
