@@ -91,6 +91,7 @@ object DeltaLake {
   private val LogDir = "_delta_log"
   private val JsonRe = "(\\d{20})\\.json".r
   private val CkptRe = "(\\d{20})\\.checkpoint\\.parquet".r
+  private val CkptPartRe = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
   /** Reader features this implementation actually understands. Column
@@ -130,13 +131,34 @@ object DeltaLake {
   // ---------------------------------------------------------------- replay
 
   /** All versions present in the log dir: (json commit versions,
-    * single-file checkpoint versions). */
+    * checkpoint versions). A checkpoint is either the classic single
+    * file or the multi-part form real writers produce for large tables
+    * (`%020d.checkpoint.%010d.%010d.parquet`); a multi-part checkpoint
+    * only counts when EVERY declared part is present — a torn upload
+    * must not serve a partial file list. */
   private def listLog(f: FileSystem, logDir: Path): (Seq[Long], Seq[Long]) = {
     if (!f.exists(logDir)) return (Nil, Nil)
     val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
     val jsons = names.collect { case JsonRe(v) => v.toLong }.sorted
-    val ckpts = names.collect { case CkptRe(v) => v.toLong }.sorted
-    (jsons, ckpts)
+    val singles = names.collect { case CkptRe(v) => v.toLong }
+    val multi = names.collect { case CkptPartRe(v, part, of) =>
+      (v.toLong, part.toInt, of.toInt)
+    }.groupBy(_._1).collect {
+      case (v, parts) if parts.map(_._3).distinct.size == 1 &&
+        parts.map(_._2).toSet == (1 to parts.head._3).toSet => v
+    }
+    (jsons, (singles ++ multi).distinct.sorted)
+  }
+
+  /** The parquet file(s) of version `cv`'s checkpoint. */
+  private def checkpointFiles(f: FileSystem, logDir: Path, cv: Long): Seq[String] = {
+    val single = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    if (f.exists(single)) Seq(single.toString)
+    else f.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => p.getName match {
+        case CkptPartRe(v, _, _) => v.toLong == cv
+        case _ => false
+      }).map(_.toString).sorted
   }
 
   /** Latest committed version, None for a non-Delta path. */
@@ -162,6 +184,8 @@ object DeltaLake {
       st.getPath.getName match {
         case JsonRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
         case CkptRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
+        case CkptPartRe(v, _, _) if st.getModificationTime * 1000L <= tsMicros =>
+          Some(v.toLong)
         case _ => None
       }
     }.maxOption
@@ -216,7 +240,7 @@ object DeltaLake {
     // 1. checkpoint base (parquet; distributed read, driver-side collect
     //    of the bounded file list)
     ckptV.foreach { cv =>
-      val ck = spark.read.parquet(new Path(logDir, f"$cv%020d.checkpoint.parquet").toString)
+      val ck = spark.read.parquet(checkpointFiles(f, logDir, cv): _*)
       val cols = ck.columns.toSet
       if (cols.contains("metaData")) {
         ck.select("metaData").where(col("metaData.id").isNotNull)

@@ -341,6 +341,45 @@ class DeltaLakeSpec extends AnyFunSuite {
     assert(sink.lastTxnVersion(spark, "q-demo").contains(0L))
   }
 
+  test("multi-part checkpoints replay like single-file ones; torn parts are ignored") {
+    val dir = tmp("delta_multickpt")
+    val sink = DeltaDateSink(dir, tsCol = "dt", checkpointInterval = 2)
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt")) // v1
+    sink.mergeLastWins(df(Seq((3, "2024-01-03 10:00:00", 3.0))), Seq("k", "dt")) // v2 -> ckpt
+    val log = new java.io.File(dir, "_delta_log")
+    val single = new java.io.File(log, f"${2L}%020d.checkpoint.parquet")
+    assert(single.isFile)
+    // split the single checkpoint into the spec's multi-part form:
+    // part 1 = protocol+metaData rows, part 2 = add rows
+    val ck = spark.read.parquet(single.getAbsolutePath)
+    def part(i: Int): java.io.File =
+      new java.io.File(log, f"${2L}%020d.checkpoint.$i%010d.${2}%010d.parquet")
+    def writePart(rows: org.apache.spark.sql.DataFrame, dest: java.io.File): Unit = {
+      val tmpDir = new java.io.File(log, s".split-${dest.getName}")
+      rows.coalesce(1).write.parquet(tmpDir.getAbsolutePath)
+      val p = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, dest.toPath)
+      def rmrf(f0: java.io.File): Unit = {
+        if (f0.isDirectory) f0.listFiles().foreach(rmrf); f0.delete(); ()
+      }
+      rmrf(tmpDir)
+    }
+    writePart(ck.where(col("add").isNull), part(1))
+    writePart(ck.where(col("add").isNotNull), part(2))
+    assert(single.delete())
+    // pre-checkpoint JSONs gone too: replay MUST ride the multi-part ckpt
+    (0L to 1L).foreach(v => new java.io.File(log, f"$v%020d.json").delete())
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0)))
+    // a TORN multi-part checkpoint (missing part) must not count at all
+    assert(part(2).delete())
+    val ex = intercept[IllegalArgumentException] { sink.read(spark) }
+    assert(ex.getMessage.contains("history gap") ||
+      ex.getMessage.contains("not present"))
+  }
+
   // --------------------------------------------------------- protocol gates
 
   test("reader rejects column mapping and deletion vectors loudly") {
