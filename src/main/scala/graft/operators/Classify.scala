@@ -827,9 +827,14 @@ object Classify {
     * block (the spec pins exact equality on integral-mean tables).
     *
     * Shape: one bins-keyed aggregate over the rows (map-side
-    * combined), then everything else — prefix sums, the B² interval
-    * frame, the B³ minimax join — lives on the bins-sized frame (the
-    * documented bounded exception). Output: `bin` INT, `n`, `n_pos`
+    * combined), collected — B ≤ 100 rows, the documented bounded
+    * exception (the BPE-argmax / centroid-table precedent) — then the
+    * O(B³) minimax folds on the driver and the result re-enters as a
+    * local relation. The relational tail this replaces (prefix window
+    * + two theta joins + join-back on the bins frame) re-ran the
+    * corpus scan per consumer and paid ~1 s of fixed job overhead for
+    * ≤ 100 rows of work; at any corpus scale the distributed part is
+    * exactly the one scan + aggregate. Output: `bin` INT, `n`, `n_pos`
     * LONG, `rate_ppm` LONG (raw binned rate), `fit_ppm` LONG (the
     * isotonic fit; always nondecreasing in bin); total order by bin. */
   def isotonicCalibrate(scored: DataFrame, scorePpm: Column,
@@ -842,37 +847,61 @@ object Classify {
       .withColumn("__bin",
         greatest(lit(0L),
           least(lit(nBins - 1L), expr(s"(__s * ${nBins}L) DIV 1000000L"))))
-    val bins = base.groupBy(col("__bin"))
+    // ONE distributed pass: the bins-keyed aggregate (map-side
+    // combined). Everything after it is ≤ nBins rows — collect and
+    // fold on the driver instead of paying 5+ tiny-stage jobs (the
+    // relational tail measured ~1.3 s of pure fixed overhead at sf0.1
+    // and re-ran the corpus scan per consumer).
+    val binRows = base.groupBy(col("__bin"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L))
           .as("n_pos"))
-    // ordinal positions over OBSERVED bins (empty bins carry no weight
-    // and cannot affect any interval mean) — bins-sized global window
-    val wOrd = BoundedWindow.ordered(col("__bin"), col("__bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = bins
-      .withColumn("__i", count(lit(1)).over(wOrd))
-      .withColumn("__cw", sum(col("n")).over(wOrd))
-      .withColumn("__cy", sum(col("n_pos")).over(wOrd))
-    val lo = pre.select(col("__i").as("__j"),
-      (col("__cw") - col("n")).as("__cwj"),
-      (col("__cy") - col("n_pos")).as("__cyj"))
-    val hi = pre.select(col("__i").as("__k"), col("__cw").as("__cwk"),
-      col("__cy").as("__cyk"))
-    val intervals = lo.join(hi, col("__j") <= col("__k"))
-      .select(col("__j"), col("__k"),
-        expr("(1000000L * (__cyk - __cyj)) DIV (__cwk - __cwj)")
-          .as("__a"))
-    val fits = pre.select(col("__i"), col("__bin"))
-      .join(intervals,
-        col("__j") <= col("__i") && col("__k") >= col("__i"))
-      .groupBy(col("__bin"), col("__j"))
-      .agg(min(col("__a")).as("__mn"))
-      .groupBy(col("__bin"))
-      .agg(max(col("__mn")).as("fit_ppm"))
-    bins.join(fits, Seq("__bin"))
-      .select(col("__bin").cast("int").as("bin"), col("n"), col("n_pos"),
-        expr("(1000000L * n_pos) DIV n").as("rate_ppm"), col("fit_ppm"))
+      .collect() // bounded: ≤ nBins ≤ 100 rows by the require above
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // prefix sums over OBSERVED bins (empty bins carry no weight and
+    // cannot affect any interval mean); exact long arithmetic — the
+    // truncating-DIV interval means are bit-identical to the SQL form
+    // this replaces (all quantities non-negative, so trunc == floor ==
+    // DuckDB's `//`)
+    val b = binRows.length
+    val cw = new Array[Long](b + 1)
+    val cy = new Array[Long](b + 1)
+    var i = 0
+    while (i < b) {
+      cw(i + 1) = cw(i) + binRows(i)._2
+      cy(i + 1) = cy(i) + binRows(i)._3
+      i += 1
+    }
+    // closed minimax: fit_i = max_{j ≤ i} min_{k ≥ i} mean(j..k), with
+    // mean(j..k) = (10⁶ · (cy_k − cy_{j−1})) DIV (cw_k − cw_{j−1})
+    val fit = new Array[Long](b)
+    i = 0
+    while (i < b) {
+      var best = Long.MinValue
+      var j = 0
+      while (j <= i) {
+        var mn = Long.MaxValue
+        var k = i
+        while (k < b) {
+          val a = (1000000L * (cy(k + 1) - cy(j))) / (cw(k + 1) - cw(j))
+          if (a < mn) mn = a
+          k += 1
+        }
+        if (mn > best) best = mn
+        j += 1
+      }
+      fit(i) = best
+      i += 1
+    }
+
+    val out = binRows.zipWithIndex.map { case ((bin, n, nPos), ix) =>
+      (bin.toInt, n, nPos, 1000000L * nPos / n, fit(ix))
+    }
+    // LocalRelation — no job, no partitions; B ≤ 100 rows
+    scored.sparkSession.createDataFrame(out.toSeq)
+      .toDF("bin", "n", "n_pos", "rate_ppm", "fit_ppm")
       .orderBy("bin")
   }
 

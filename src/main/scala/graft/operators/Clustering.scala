@@ -129,7 +129,7 @@ object Clustering {
     }
     val out = assignFrom(micro, centroids, idCol).drop("vm")
       .localCheckpoint(true)
-    micro.unpersist()
+    Lifecycle.drainAndUnpersist(embs.sparkSession, micro)
     out
   }
 
@@ -187,7 +187,7 @@ object Clustering {
         max(col("__s")).as("max_s_ppm"))
       .orderBy("cluster")
       .localCheckpoint(true)
-    micro.unpersist()
+    Lifecycle.drainAndUnpersist(embs.sparkSession, micro)
     out
   }
 

@@ -455,7 +455,7 @@ object Fusion {
         col("games"))
       .orderBy(col("player"))
       .localCheckpoint(true)
-    games.unpersist(); players.unpersist(); d.unpersist()
+    Lifecycle.drainAndUnpersist(duels.sparkSession, games, players, d)
     out
   }
 }

@@ -86,6 +86,15 @@ object Graph {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
+    // PER-ROUND eager materialization (the round-12 reproducibility
+    // fix): each round's rank frame — one long per vertex — is
+    // checkpointed before the next round's plan references it, so no
+    // plan anywhere composes more than ONE round of the recurrence.
+    // The single-composed-plan form this replaces was capable of the
+    // same wall time, but any straggler recompute (an evicted block
+    // under memory pressure, a raced fetch) re-ran the FULL
+    // multi-iteration lineage from the raw tables; with flat per-round
+    // lineage the worst recompute is one round over persisted statics.
     var ranks = vertices.withColumn("rank", lit(init))
     var i = 0
     while (i < iters) {
@@ -96,14 +105,14 @@ object Graph {
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
       ranks = vertices.join(sums, Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
       i += 1
     }
-    // eager materialization + static-frame release, as in
-    // [[labelPropagation]]: repeated calls (bench iterations, multiple
-    // graphs per session) must not accumulate dead cache entries
-    val out = ranks.localCheckpoint(true)
-    eDeg.unpersist(); vertices.unpersist(); e.unpersist()
-    out
+    // the last round IS the (already materialized) output; release the
+    // statics only after the session's async exchange jobs drain — see
+    // [[Lifecycle.drainAndUnpersist]] for the race this closes
+    Lifecycle.drainAndUnpersist(edges.sparkSession, eDeg, vertices, e)
+    ranks
   }
 
   /** Degree assortativity: the Pearson correlation between the
@@ -165,7 +174,7 @@ object Graph {
           |         * sqrt(CAST(n_edges * CAST(sum_y2 AS DECIMAL(38,0)) - CAST(sum_y AS DECIMAL(38,0)) * sum_y AS DOUBLE)))
           | END""".stripMargin))
       .localCheckpoint(true)
-    e.unpersist()
+    Lifecycle.drainAndUnpersist(edges.sparkSession, e)
     out
   }
 
@@ -213,14 +222,16 @@ object Graph {
           expr("(CAST(rank AS DECIMAL(38,0)) * __w) div __wt").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
+      // per-round checkpoint — flat lineage, bounded recompute (see
+      // [[pagerankMicro]]'s round-12 note)
       ranks = vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
       i += 1
     }
-    val out = ranks.localCheckpoint(true)
-    eW.unpersist(); vertices.unpersist(); e.unpersist()
-    out
+    Lifecycle.drainAndUnpersist(edges.sparkSession, eW, vertices, e)
+    ranks
   }
 
   /** Personalized PageRank: [[pagerankMicro]]'s teleport redirected to a
@@ -278,15 +289,17 @@ object Graph {
         .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
+      // per-round checkpoint — flat lineage, bounded recompute (see
+      // [[pagerankMicro]]'s round-12 note)
       ranks = vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L))
             + coalesce(col("__in"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
       i += 1
     }
-    val out = ranks.localCheckpoint(true)
-    eDeg.unpersist(); vertices.unpersist(); e.unpersist()
-    out
+    Lifecycle.drainAndUnpersist(edges.sparkSession, eDeg, vertices, e)
+    ranks
   }
 
   /** HITS (Kleinberg's hubs & authorities) over a directed edge list,
@@ -371,7 +384,7 @@ object Graph {
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
-    e.unpersist(); vertices.unpersist()
+    Lifecycle.drainAndUnpersist(edges.sparkSession, e, vertices)
     out
   }
 
@@ -424,17 +437,19 @@ object Graph {
       // absent from `winners` has in-degree 0, and a vote-less node can
       // never have left its initial label, so coalescing to `node` — not
       // to the previous label — is exact.
+      // per-round checkpoint — flat lineage, bounded recompute (see
+      // [[pagerankMicro]]'s round-12 note); the frame is one long per
+      // node, so the barrier costs O(V) storage per round
       labels = vertices.join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+        .localCheckpoint(true)
       i += 1
     }
-    // materialize eagerly (one long per node), then release the statics:
-    // a lazily-returned frame would pin the persisted edge/vertex caches
-    // forever (callers can't see them to unpersist), and repeated calls
-    // would accumulate dead cache entries
-    val out = labels.localCheckpoint(true)
-    e.unpersist(); vertices.unpersist()
-    out
+    // the last round IS the materialized output; release the statics
+    // (a lazily-returned frame would pin them forever) only after the
+    // async exchange jobs drain — see [[Lifecycle.drainAndUnpersist]]
+    Lifecycle.drainAndUnpersist(edges.sparkSession, e, vertices)
+    labels
   }
 
   /** Exact triangle count + local clustering coefficient per node, by
@@ -471,10 +486,11 @@ object Graph {
   def triangles(edges: DataFrame): DataFrame = {
     val p = edges.sparkSession.sparkContext.defaultParallelism
     // MATERIALIZATION POSTURE — the pagerank discipline, because this
-    // operator's two static frames each feed SEVERAL consumers:
-    // `und` feeds the degree agg, both orientation joins and the
-    // wedge-closing join; `oriented` feeds both sides of the wedge
-    // self-join. The round-10/11 alternatives both failed measurably:
+    // operator's static frames each feed SEVERAL consumers: `und`
+    // feeds the degree agg and the orientation joins; `oriented` feeds
+    // the adjacency build and the first attachment join; `adj` feeds
+    // both attachment joins. The round-10/11 alternatives both failed
+    // measurably:
     // eager localCheckpoints put the frames in block-manager storage
     // where a long session's accumulated blocks caused eviction churn
     // (20 s median, 34 s spread in the r10 driver run), and relying on
@@ -487,8 +503,9 @@ object Graph {
     // exchange-free, evicted blocks go to DISK instead of recomputing,
     // and nothing outlives the call.
     //
-    // canonical undirected edge set, keyed (a < b), pre-partitioned and
-    // pre-sorted on (a, b) for the wedge-CLOSING join.
+    // canonical undirected edge set, keyed (a < b), clustered on `a`
+    // so the degree aggregation and the a-side orientation join read
+    // the cached layout exchange-free.
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -567,7 +584,8 @@ object Graph {
     // eager per-node materialization (one small row per vertex), then
     // release the statics — same lifecycle as pagerankMicro
     val out = result.localCheckpoint(true)
-    adj.unpersist(); oriented.unpersist(); deg.unpersist(); und.unpersist()
+    Lifecycle.drainAndUnpersist(edges.sparkSession,
+      adj, oriented, deg, und)
     out
   }
 

@@ -281,14 +281,19 @@ object TextDedup {
     // sides, so the shingle expression would run three times per doc if
     // each consumer recomputed it (measured: ~30% wall saved at 1×/4×
     // sweep scale; neutral at 16× where the candidate join dominates).
-    // The explicit id-keyed repartition is the materialization point:
-    // the exchange computes the shingles once into shuffle files ON
-    // DISK and AQE stage reuse feeds all three consumers from them —
-    // the scale-safe replacement for the eager localCheckpoint this
-    // used to be (block-manager storage churned under long sessions),
-    // and the id partitioning is exactly what the verification joins
-    // consume. Storage is one (id, shingle-set) row per doc — the same
-    // linear class as the token shuffle below.
+    // persist() is the materialization point — the q103/graph-tier
+    // discipline. The round-11 form relied on AQE shuffle-stage reuse
+    // across the three consumers of one id-keyed repartition, but (the
+    // q103 SCALING.md finding, reconfirmed by the round-11 driver
+    // bench: 4.55 s vs 1.26 s budget with a 51 s spread) AQE does NOT
+    // reliably deduplicate identical repartition subtrees across
+    // consumers — each re-shingled the corpus. The persisted relation
+    // serves all consumers from MEMORY_AND_DISK, the id-keyed CLUSTER
+    // BY layout below survives into the cache so the verification
+    // joins read it exchange-free, and the cache is released (after
+    // the session's async exchange jobs drain) before returning.
+    // Storage is one (id, shingle-set) row per doc — the same linear
+    // class as the token shuffle below.
     // hashed shingle tokens: PPJoin's prefix filter is EXACT under any
     // consistent global token order (the df-ascending order just makes
     // prefixes rare-token-first), so hashed longs change neither the
@@ -299,6 +304,7 @@ object TextDedup {
       .withColumn("__sz", size(col("sh")))
       .filter(col("__sz") > 0) // shingle-less docs have no defined Jaccard
       .repartition(spark.sparkContext.defaultParallelism, col("__id"))
+      .persist()
     val toks = shf.select(col("__id"), col("__sz"), explode(col("sh")).as("__tok"))
 
     // global document frequency per token (shingles are distinct per doc,
@@ -324,8 +330,13 @@ object TextDedup {
       .distinct()
 
     val shNamed = shf.select(col("__id").as(idCol), col("sh"))
-    jaccardVerifyOnShingles(candidates, shNamed, shNamed, idCol)
+    // eager output (near-dup pairs — small), then drained release of
+    // the shingle cache: the [[graft.operators.Lifecycle]] contract
+    val out = jaccardVerifyOnShingles(candidates, shNamed, shNamed, idCol)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    Lifecycle.drainAndUnpersist(spark, shf)
+    out
   }
 
   /** Connected components over a near-dup pair graph — TRANSITIVE dedup:

@@ -33,11 +33,24 @@ object Tables {
     * caller's session with that schema made explicit, which the reader
     * accepts without the conf. No caller-visible conf is mutated.
     */
+  // ts-flavor schema inference memoized per path: the throwaway-session
+  // footer read is driver-side work on EVERY events query (dozens per
+  // bench/verify sweep over the same immutable file) — cache the result.
+  // The corpus dirs are read-only fixtures, so staleness is not a thing;
+  // a caller pointing at a rewritten path of the same name restarts the
+  // JVM (tests and the driver both do).
+  private val inferredSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def events(s: SparkSession, d: String): DataFrame = {
-    val iso = s.newSession()
-    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inferred = iso.read.parquet(s"$d/events.parquet").schema
-    val raw = s.read.schema(inferred).parquet(s"$d/events.parquet")
+    val path = s"$d/events.parquet"
+    val inferred = inferredSchemas.computeIfAbsent(path, { p =>
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso.read.parquet(p).schema
+    })
+    val raw = s.read.schema(inferred).parquet(path)
     // nanos arrive as LongType under the inferred-as-long schema; a
     // µs-encoded events table (e.g. one this engine wrote) infers as a
     // timestamp directly (the conf only affects NANOS columns)

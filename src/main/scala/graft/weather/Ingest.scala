@@ -98,8 +98,7 @@ object Ingest {
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.currentFact(wide), Seq("city_id", "dt"))
-    wide.unpersist()
-    parsed.unpersist()
+    graft.operators.Lifecycle.drainAndUnpersist(spark, wide, parsed)
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)
   }
 
@@ -125,8 +124,7 @@ object Ingest {
 
     citiesSink.mergeLastWins(Flatten.citiesDim(wide), Seq("city_id"))
     factSink.mergeLastWins(Flatten.forecastFact(wide), Seq("city_id", "dt"))
-    wide.unpersist()
-    parsed.unpersist()
+    graft.operators.Lifecycle.drainAndUnpersist(spark, wide, parsed)
     IngestResult(citiesSink.read(spark), factSink.read(spark), okCount, badCount, bad)
   }
 }
