@@ -25,11 +25,33 @@ import org.apache.spark.sql.SparkSession
   * (the part that scales with corpus size).
   */
 object Bench {
+  // Adversarial-mode heap ballast — pinned in a field so it stays
+  // strongly reachable for the whole run (see below).
+  private var ballast: Array[Array[Long]] = _
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
+    // SPARK_GRAFT_BENCH_ADVERSE=1: pin ~40% of the max heap as
+    // unreclaimable ballast BEFORE the session exists, so the whole
+    // sweep runs under genuine memory pressure — storage blocks evict,
+    // execution spills, GC runs hot. Spark's unified memory manager
+    // sizes itself from the heap and cannot see the ballast, which is
+    // exactly the adversarial point: budgets frozen on a friendly box
+    // must also hold here, or they are not reproducible numbers. The
+    // mode is recorded in the output line ("adverse":true) so budget
+    // provenance can name the run.
+    val adverse = sys.env.get("SPARK_GRAFT_BENCH_ADVERSE").contains("1")
+    if (adverse) {
+      val chunkElems = 1 << 20 // 1 Mi longs = 8 MiB per block
+      val nChunks =
+        ((Runtime.getRuntime.maxMemory() * 0.4) / (chunkElems * 8L)).toInt
+      ballast = Array.fill(nChunks)(new Array[Long](chunkElems))
+      System.err.println(s"[bench] ADVERSE mode: pinned ${nChunks * 8} MiB " +
+        s"of ${Runtime.getRuntime.maxMemory() >> 20} MiB max heap")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -164,7 +186,7 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
-        s""""n_over_budget":$nOverBudget,""" +
+        s""""adverse":$adverse,"n_over_budget":$nOverBudget,""" +
         s""""over_budget":$overList,"queries":$qsFull,"spread":$spreadFull,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""sf":"$sfDir"}"""
@@ -182,6 +204,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
+        s""""adverse":$adverse,""" +
         s""""n_failed":${failed.size},"n_over_budget":$nOverBudget,""" +
         s""""queries":$qsCompact,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +

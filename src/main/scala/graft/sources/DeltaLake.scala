@@ -54,22 +54,34 @@ import graft.weather.Store
   *
   * == Commit atomicity ==
   * Same discipline as `TxnParquet.commitManifest`: the commit JSON is
-  * staged under a temp name and atomically renamed to
-  * `_delta_log/%020d.json`; rename-to-existing FAILS, so the version
-  * number doubles as the optimistic-concurrency token the Delta spec
-  * prescribes. A crash before the rename leaves only unreferenced data
-  * files (swept by [[DeltaLake.DeltaDateSink.vacuum]]).
+  * staged under a temp name and published to `_delta_log/%020d.json`
+  * with an atomic put-if-absent primitive — hard-link creation on the
+  * local scheme (link(2) EEXIST), `FileContext.rename(Rename.NONE)`
+  * elsewhere — so the version number doubles as the
+  * optimistic-concurrency token the Delta spec prescribes and a racing
+  * writer of the same version loses LOUDLY, never by clobbering. A
+  * crash before publication leaves only unreferenced staging debris
+  * (swept, age-gated, by [[DeltaLake.DeltaDateSink.vacuum]]).
   */
 object DeltaLake {
 
   /** One live data file of a snapshot. `partitionValues` maps partition
     * column → string value (None = SQL NULL), exactly as the log stores
-    * it; `path` is the DECODED table-root-relative path. */
+    * it; `path` is the DECODED table-root-relative path; `raw` is the
+    * log-encoded form the add action carried (null for locally staged
+    * files — [[rawPath]] derives it). */
   final case class AddFile(
       path: String,
       partitionValues: Map[String, Option[String]],
       size: Long,
-      modificationTime: Long)
+      modificationTime: Long,
+      raw: String = null) {
+    /** The exact log form a `remove` for this file must reference:
+      * replay cancels adds by the RAW string (two spec-equivalent
+      * encodings of one path would otherwise fail to match — e.g. a
+      * foreign writer's `%3D` vs a literal `=`). */
+    def rawPath: String = if (raw != null) raw else encodePath(path)
+  }
 
   /** Replayed table state at one version. `appTxns` is the spec's
     * streaming-transaction ledger (`txn` actions): highest committed
@@ -111,11 +123,21 @@ object DeltaLake {
 
   /** add.path is RFC 2396 URL-encoded per the spec; foreign logs may
     * carry literal paths that are not valid URIs — fall back verbatim. */
-  private def decodePath(p: String): String =
+  private[sources] def decodePath(p: String): String =
     try {
       val d = new java.net.URI(p).getPath
       if (d == null || d.isEmpty) p else d
     } catch { case _: Exception => p }
+
+  /** RFC 2396 encoding of a table-root-relative path for add.path, the
+    * inverse of [[decodePath]] — the spec requires the log form to be
+    * URL-encoded (a literal on-disk '%', e.g. from a hive-escaped
+    * partition dir, must round-trip through foreign readers as `%25`).
+    * Falls back verbatim on the (never-produced-here) paths the URI
+    * class cannot represent. */
+  private[sources] def encodePath(p: String): String =
+    try new java.net.URI(null, null, p, null).getRawPath
+    catch { case _: Exception => p }
 
   private def slurp(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -173,22 +195,39 @@ object DeltaLake {
 
   /** `TIMESTAMP AS OF` resolution: the highest commit whose log file's
     * modification time is at or before `tsMicros` — the convention
-    * Delta Lake documents for timestamp travel. Checkpoint files count
-    * too (their JSON may have been vacuumed). */
+    * Delta Lake documents for timestamp travel. Only versions
+    * [[listLog]] VALIDATES are candidates (a torn multi-part checkpoint
+    * must not resolve here and then fail in `snapshotAt` — the two
+    * paths answer from one set). A version's timestamp is its JSON
+    * commit file's mtime (Delta's convention); a checkpoint-only
+    * version (JSON vacuumed) uses the newest checkpoint part's mtime. */
   def versionAtTime(spark: SparkSession, root: String,
                     tsMicros: Long): Option[Long] = {
     val (f, r) = fs(spark, root)
     val logDir = new Path(r, LogDir)
     if (!f.exists(logDir)) return None
-    f.listStatus(logDir).toSeq.flatMap { st =>
+    val (jsons, ckpts) = listLog(f, logDir)
+    val jsonSet = jsons.toSet
+    val ckptSet = ckpts.toSet
+    val jsonMt = mutable.Map.empty[Long, Long]
+    val ckptMt = mutable.Map.empty[Long, Long]
+    f.listStatus(logDir).foreach { st =>
       st.getPath.getName match {
-        case JsonRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
-        case CkptRe(v) if st.getModificationTime * 1000L <= tsMicros => Some(v.toLong)
-        case CkptPartRe(v, _, _) if st.getModificationTime * 1000L <= tsMicros =>
-          Some(v.toLong)
-        case _ => None
+        case JsonRe(v) if jsonSet.contains(v.toLong) =>
+          jsonMt(v.toLong) = st.getModificationTime
+        case CkptRe(v) if ckptSet.contains(v.toLong) =>
+          val vv = v.toLong
+          ckptMt(vv) = math.max(ckptMt.getOrElse(vv, 0L), st.getModificationTime)
+        case CkptPartRe(v, _, _) if ckptSet.contains(v.toLong) =>
+          val vv = v.toLong
+          ckptMt(vv) = math.max(ckptMt.getOrElse(vv, 0L), st.getModificationTime)
+        case _ =>
       }
-    }.maxOption
+    }
+    (jsonSet ++ ckptSet).toSeq
+      .filter(v => jsonMt.get(v).orElse(ckptMt.get(v))
+        .exists(_ * 1000L <= tsMicros))
+      .maxOption
   }
 
   /** Replay the log to exactly version `v`: largest checkpoint ≤ v, then
@@ -286,7 +325,8 @@ object DeltaLake {
             val pv = Option(row.getMap[String, String](1))
               .map(_.toMap).getOrElse(Map.empty)
               .map { case (k, vv) => k -> Option(vv) }
-            adds(raw) = AddFile(decodePath(raw), pv, row.getLong(2), row.getLong(3))
+            adds(raw) = AddFile(decodePath(raw), pv, row.getLong(2),
+              row.getLong(3), raw = raw)
           }
       }
     }
@@ -336,7 +376,8 @@ object DeltaLake {
           val raw = a.get("path").asText()
           adds(raw) = AddFile(decodePath(raw), pv,
             Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-            Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L))
+            Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+            raw = raw)
         }
         if (n.has("remove")) adds.remove(n.get("remove").get("path").asText())
         if (n.has("txn")) {
@@ -358,7 +399,7 @@ object DeltaLake {
     * characters Spark's own writer escapes). Used only to RECOGNIZE the
     * hive-style layout for the fast path — correctness never depends on
     * paths, only on `partitionValues`. */
-  private def escapePart(s: String): String =
+  private[sources] def escapePart(s: String): String =
     s.flatMap { c =>
       if (c < 0x20 || "\"#%'*/:=?\\{[]^".contains(c))
         f"%%${c.toInt}%02X"
@@ -368,6 +409,40 @@ object DeltaLake {
   private def hiveDir(partCols: Seq[String], pv: Map[String, Option[String]]): String =
     partCols.map(pc => s"${escapePart(pc)}=" +
       pv.getOrElse(pc, None).map(escapePart).getOrElse(HiveNull)).mkString("/")
+
+  /** Inverse of [[escapePart]]: decode hive partition-dir %XX escapes
+    * ONLY — hive escaping never maps '+' to space (that is
+    * application/x-www-form-urlencoded, which URLDecoder implements and
+    * which would corrupt a legitimate '+' in a partition value).
+    * Consecutive %XX groups decode as one UTF-8 byte run. */
+  private[sources] def hiveUnescape(s: String): String = {
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    if (!s.contains('%')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        if (bytes.size() > 0) {
+          out.append(new String(bytes.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+          bytes.reset()
+        }
+        out.append(c)
+        i += 1
+      }
+    }
+    if (bytes.size() > 0)
+      out.append(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+    out.toString
+  }
 
   /** The snapshot as a DataFrame. Partition columns come from the log:
     * when every file sits under the hive-style directory chain its
@@ -448,7 +523,7 @@ object DeltaLake {
 
   private def addAction(a: AddFile): String = {
     val w = obj(); val n = obj()
-    n.put("path", a.path)
+    n.put("path", a.rawPath) // log form is RFC 2396 encoded per the spec
     val pv = obj()
     a.partitionValues.foreach {
       case (k, Some(v)) => pv.put(k, v)
@@ -461,6 +536,10 @@ object DeltaLake {
     w.set[JsonNode]("add", n); mapper.writeValueAsString(w)
   }
 
+  /** `path` must be the RAW log form of the add it cancels
+    * ([[AddFile.rawPath]]) — replay matches adds and removes by the
+    * exact string, so re-encoding here could orphan a foreign writer's
+    * differently-but-equivalently-encoded add. */
   private def removeAction(path: String): String = {
     val w = obj(); val n = obj()
     n.put("path", path)
@@ -489,9 +568,22 @@ object DeltaLake {
   }
 
   /** THE commit: stage the JSON under a temp name, one atomic
-    * rename-to-fresh-name. Rename onto an existing `%020d.json` fails —
-    * the loser of a race throws instead of corrupting (the spec's
-    * put-if-absent requirement). */
+    * put-if-absent publication to `%020d.json`. The loser of a race
+    * throws instead of corrupting (the spec's requirement).
+    *
+    * The primitive matters: a plain `exists() + FileSystem.rename` is
+    * TOCTOU — on the local FS, `File.renameTo` is POSIX rename(2),
+    * which silently REPLACES an existing destination, so two racers of
+    * the same version could both pass the exists() check and the loser
+    * would clobber the winner's commit. Local scheme therefore uses
+    * hard-link creation (link(2) fails with EEXIST atomically — the
+    * classic POSIX put-if-absent); other filesystems go through
+    * `FileContext.rename(…, Options.Rename.NONE)`, which HDFS-class
+    * stores implement as a server-side atomic no-overwrite rename. On
+    * stores with neither primitive the no-overwrite check degrades to
+    * the store's own rename semantics — run a single writer per table
+    * there (the same caveat Delta itself documents for S3 without a
+    * coordination service). */
   private def commit(f: FileSystem, root: Path, version: Long,
                      actions: Seq[String]): Unit = {
     val logDir = new Path(root, LogDir)
@@ -503,11 +595,32 @@ object DeltaLake {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = commitPath(logDir, version)
-    if (f.exists(dest) || !f.rename(tmp, dest)) {
+    def lose(cause: Throwable): Nothing = {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"DeltaLake: concurrent commit detected — version $version already " +
-          s"exists at $root (optimistic-concurrency loser)")
+          s"exists at $root (optimistic-concurrency loser)", cause)
+    }
+    if (f.exists(dest)) lose(null) // cheap fast-path; the primitive below is the guard
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val tmpNio = java.nio.file.Paths.get(
+        f.makeQualified(tmp).toUri.getPath)
+      val destNio = java.nio.file.Paths.get(
+        f.makeQualified(dest).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(destNio, tmpNio) // atomic EEXIST
+        f.delete(tmp, false)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException => lose(e)
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, f.getConf)
+      try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => lose(e)
+      }
     }
   }
 
@@ -553,7 +666,7 @@ object DeltaLake {
       s.schema.json, s.partitionColumns, s.configuration,
       System.currentTimeMillis()), null, null)
     val addRows = s.adds.map(a => Row(null, null,
-      Row(a.path, a.partitionValues.map { case (k, v) => k -> v.orNull },
+      Row(a.rawPath, a.partitionValues.map { case (k, v) => k -> v.orNull },
         a.size, a.modificationTime, true), null))
     // txn actions MUST survive checkpointing (the spec requires it):
     // dropping them would let a replayed micro-batch past the
@@ -617,10 +730,11 @@ object DeltaLake {
       spark.read.parquet(liveDirs.map(r => s"$txnPath/$r"): _*).schema)
 
     val cur = snapshot(spark, txnPath)
-    val curPaths = cur.map(_.adds.map(_.path).toSet).getOrElse(Set.empty)
+    val curByPath = cur.map(_.adds.map(a => a.path -> a).toMap)
+      .getOrElse(Map.empty[String, AddFile])
     val livePaths = live.map(_.path).toSet
-    val removes = curPaths.diff(livePaths).toSeq.sorted
-    val addsNew = live.filterNot(a => curPaths.contains(a.path))
+    val removes = curByPath.keySet.diff(livePaths).toSeq.sorted
+    val addsNew = live.filterNot(a => curByPath.contains(a.path))
     val schemaChanged = !cur.exists(_.schema.json == schema.json)
     if (cur.isDefined && removes.isEmpty && addsNew.isEmpty && !schemaChanged)
       return cur.get.version
@@ -633,7 +747,8 @@ object DeltaLake {
         (if (cur.isEmpty) Seq(protocolAction()) else Nil) ++
         (if (cur.isEmpty || schemaChanged)
           Seq(metaAction(id, schema, Nil)) else Nil) ++
-        removes.map(removeAction) ++ addsNew.map(addAction)
+        removes.map(p => removeAction(curByPath(p).rawPath)) ++
+        addsNew.map(addAction)
     commit(f, root, nextV, actions)
     nextV
   }
@@ -701,7 +816,7 @@ object DeltaLake {
         val rawVal = dirName.substring(dirName.indexOf('=') + 1)
         val pv: Option[String] =
           if (rawVal == HiveNull) None
-          else Some(java.net.URLDecoder.decode(rawVal, "UTF-8"))
+          else Some(hiveUnescape(rawVal)) // %XX only — never '+'→space
         val destDir = new Path(root, dirName)
         f.mkdirs(destDir)
         f.listStatus(pd.getPath).filter(st => st.isFile &&
@@ -846,7 +961,7 @@ object DeltaLake {
           val staged = stage(merged.repartition(orderCols: _*)
             .sortWithinPartitions(orderCols: _*))
           commitNext(spark, fullSchema(batch.schema), staged,
-            oldAdds.map(_.path), "GRAFT-MERGE",
+            oldAdds.map(_.rawPath), "GRAFT-MERGE",
             emitMeta = !s.schema.json.equals(fullSchema(batch.schema).json),
             Some(s.tableId), Some(s.version), txn)
       }
@@ -872,7 +987,7 @@ object DeltaLake {
           stray.map(_.partitionValues).distinct.mkString(", "))
       val oldAdds = s.adds.filter(a =>
         want.contains(a.partitionValues.getOrElse(PCol, None)))
-      commitNext(spark, s.schema, staged, oldAdds.map(_.path),
+      commitNext(spark, s.schema, staged, oldAdds.map(_.rawPath),
         "GRAFT-REPLACE-DATES", emitMeta = false, Some(s.tableId), Some(s.version))
     }
 
@@ -886,17 +1001,22 @@ object DeltaLake {
       val staged = stage(withP.repartition(col(PCol))
         .sortWithinPartitions(col(PCol)))
       commitNext(spark, fullSchema(withP.schema), staged,
-        cur.map(_.adds.map(_.path)).getOrElse(Nil),
+        cur.map(_.adds.map(_.rawPath)).getOrElse(Nil),
         "GRAFT-OVERWRITE", emitMeta = true,
         cur.map(_.tableId), cur.map(_.version))
     }
 
     /** Reclaim data files referenced by NONE of the last `retain`
       * versions (the pinned-reader/time-travel grace window, like
-      * TxnParquet's keepManifests). Log files are kept — they are KBs
-      * and preserve auditability; a version whose files were vacuumed
-      * fails reconstruction loudly at read time. */
-    def vacuum(spark: SparkSession, retain: Int = 2): Unit = {
+      * TxnParquet's keepManifests), plus crashed-writer debris: stale
+      * `.stage-*` dirs under the root and `.ckpt-*` dirs / `.tmp-*`
+      * commit files under `_delta_log` older than `debrisMs` (age-gated
+      * so an IN-FLIGHT writer's staging is never swept). Committed log
+      * files are kept — they are KBs and preserve auditability; a
+      * version whose files were vacuumed fails reconstruction loudly at
+      * read time. */
+    def vacuum(spark: SparkSession, retain: Int = 2,
+               debrisMs: Long = 60L * 60 * 1000): Unit = {
       require(retain >= 1, "must retain at least the live version")
       val (f, root) = fs(spark, path)
       val live = version(spark).getOrElse(return)
@@ -912,6 +1032,19 @@ object DeltaLake {
         }
         if (f.listStatus(pd.getPath).isEmpty) f.delete(pd.getPath, false)
       }
+      // crashed-writer debris, age-gated
+      val cutoff = System.currentTimeMillis() - debrisMs
+      f.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".stage-") &&
+        st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, true))
+      val logDir = new Path(root, LogDir)
+      if (f.exists(logDir)) f.listStatus(logDir).filter { st =>
+        val n = st.getPath.getName
+        st.getModificationTime < cutoff &&
+          ((st.isDirectory && n.startsWith(".ckpt-")) ||
+            (st.isFile && n.startsWith(".tmp-")))
+      }.foreach(st => f.delete(st.getPath, st.isDirectory))
     }
   }
 }

@@ -457,4 +457,131 @@ class DeltaLakeSpec extends AnyFunSuite {
     assert(asSet(DeltaLake.readVersion(spark, dir, 0L).drop("p_date")) === Set(
       (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)))
   }
+
+  // ------------------------------------------- round-12 hardening (ADVICE)
+
+  test("commit put-if-absent: simultaneous racers of one version — exactly one wins") {
+    val dir = tmp("delta_race_sim")
+    DeltaDateSink(dir, tsCol = "dt")
+      .overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    // Both sinks snapshot v0, then meet at a barrier INSIDE preCommit so
+    // both race the physical publication of v1 at the same instant — the
+    // window the seam-based test above never reaches (there the loser's
+    // exists() check already sees the winner). A plain POSIX rename would
+    // let BOTH "win", the second silently clobbering the first; the
+    // link(2)/rename(NONE) put-if-absent cannot.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Option[Throwable]]()
+    def racer(k: Int, day: String): Thread = new Thread(() => {
+      try {
+        DeltaDateSink(dir, tsCol = "dt",
+          preCommit = () => barrier.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          .mergeLastWins(df(Seq((k, day, k.toDouble))), Seq("k", "dt"))
+        results.put(k, None)
+      } catch { case t: Throwable => results.put(k, Some(t)) }
+    })
+    val t2 = racer(2, "2024-01-02 10:00:00")
+    val t3 = racer(3, "2024-01-03 10:00:00")
+    t2.start(); t3.start(); t2.join(120000); t3.join(120000)
+    assert(results.size === 2)
+    val outcomes = Seq(2, 3).map(k => k -> results.get(k))
+    val winners = outcomes.collect { case (k, None) => k }
+    val losers = outcomes.collect { case (k, Some(t)) => (k, t) }
+    assert(winners.size === 1, s"expected exactly one winner, got $outcomes")
+    assert(losers.size === 1)
+    assert(losers.head._2.isInstanceOf[IllegalStateException] &&
+      losers.head._2.getMessage.contains("concurrent commit"),
+      s"loser must fail loudly as a concurrency loser: ${losers.head._2}")
+    // the committed v1 is the WINNER's content, uncorrupted
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    assert(sink.version(spark).contains(1L))
+    val w = winners.head
+    assert(asSet(sink.read(spark)) === Set(
+      (1, "2024-01-01 10:00:00", 1.0),
+      (w, s"2024-01-0$w 10:00:00", w.toDouble)))
+  }
+
+  test("hive partition unescape: %XX only — '+' stays '+', multibyte runs decode") {
+    assert(DeltaLake.hiveUnescape("a+b") === "a+b") // URLDecoder would say "a b"
+    assert(DeltaLake.hiveUnescape("a%3Db") === "a=b")
+    assert(DeltaLake.hiveUnescape("%C3%A9t%C3%A9") === "\u00e9t\u00e9") // UTF-8 run
+    assert(DeltaLake.hiveUnescape("50%") === "50%") // lone % passes through
+    assert(DeltaLake.hiveUnescape("%G1") === "%G1") // non-hex passes through
+    // round-trips its own escaper on the characters Spark writers escape
+    for (s <- Seq("2024-01-01", "a=b", "a/b", "a%b", "a+b", "caf\u00e9", "x:y"))
+      assert(DeltaLake.hiveUnescape(DeltaLake.escapePart(s)) === s, s)
+  }
+
+  test("add.path log form is RFC 2396 encoded; literal '%' and space round-trip") {
+    assert(DeltaLake.encodePath("p_date=2024-01-01/f.parquet")
+      === "p_date=2024-01-01/f.parquet") // identity on the common layout
+    assert(DeltaLake.encodePath("p_date=a%3Db/f.parquet")
+      === "p_date=a%253Db/f.parquet") // on-disk '%' must survive foreign readers
+    assert(DeltaLake.encodePath("dir with space/f.parquet")
+      === "dir%20with%20space/f.parquet")
+    for (p <- Seq("p_date=a%3Db/f.parquet", "dir with space/f.parquet",
+      "p_date=caf\u00e9/f.parquet"))
+      assert(DeltaLake.decodePath(DeltaLake.encodePath(p)) === p, p)
+    // AddFile.rawPath is the encoded form a remove must reference
+    assert(DeltaLake.AddFile("a b/f.parquet", Map.empty, 0L, 0L).rawPath
+      === "a%20b/f.parquet")
+  }
+
+  test("TIMESTAMP AS OF never resolves to a torn multi-part checkpoint version") {
+    val dir = tmp("delta_ts_torn")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    sink.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 5.0))), Seq("k", "dt")) // v1
+    val log = new java.io.File(dir, "_delta_log")
+    def pin(f: java.io.File, iso: String): Unit =
+      assert(f.setLastModified(java.time.Instant.parse(iso).toEpochMilli))
+    pin(new java.io.File(log, "0" * 20 + ".json"), "2024-06-01T00:00:00Z")
+    pin(new java.io.File(log, "0" * 19 + "1.json"), "2024-06-02T00:00:00Z")
+    // torn multi-part checkpoint at v5: part 1 of 2 present, part 2 missing
+    val torn = new java.io.File(log,
+      "0" * 19 + "5.checkpoint.0000000001.0000000002.parquet")
+    assert(torn.createNewFile())
+    pin(torn, "2024-06-03T00:00:00Z")
+    def at(iso: String): Option[Long] = DeltaLake.versionAtTime(spark, dir,
+      java.time.Instant.parse(iso).toEpochMilli * 1000L)
+    // before the fix this resolved to 5 and snapshotAt(5) then threw;
+    // now the timestamp path answers from the same VALIDATED version set
+    assert(at("2024-06-10T00:00:00Z") === Some(1L))
+    assert(at("2024-06-01T12:00:00Z") === Some(0L))
+    assert(DeltaLake.latestVersion(spark, dir) === Some(1L))
+    // and the resolved version actually replays
+    assert(asSet(sink.readVersion(spark, 1L)) === Set((1, "2024-01-01 10:00:00", 5.0)))
+  }
+
+  test("vacuum sweeps aged crashed-writer debris, never in-flight staging") {
+    val dir = tmp("delta_debris")
+    val sink = DeltaDateSink(dir, tsCol = "dt")
+    sink.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0)))) // v0
+    val old = System.currentTimeMillis() - 3 * 60 * 60 * 1000L
+    def mk(parent: java.io.File, name: String, dirLike: Boolean,
+           stale: Boolean): java.io.File = {
+      val f = new java.io.File(parent, name)
+      if (dirLike) { assert(f.mkdir())
+        val inner = new java.io.File(f, "part-x.parquet")
+        assert(inner.createNewFile())
+        if (stale) assert(inner.setLastModified(old))
+      } else assert(f.createNewFile())
+      if (stale) assert(f.setLastModified(old))
+      f
+    }
+    val root = new java.io.File(dir)
+    val log = new java.io.File(dir, "_delta_log")
+    val staleStage = mk(root, ".stage-deadbeef0001", dirLike = true, stale = true)
+    val freshStage = mk(root, ".stage-cafebabe0002", dirLike = true, stale = false)
+    val staleTmp = mk(log, ".tmp-deadbeef0001.json", dirLike = false, stale = true)
+    val freshTmp = mk(log, ".tmp-cafebabe0002.json", dirLike = false, stale = false)
+    val staleCkpt = mk(log, ".ckpt-deadbeef0001", dirLike = true, stale = true)
+    sink.vacuum(spark, retain = 1)
+    assert(!staleStage.exists() && !staleTmp.exists() && !staleCkpt.exists(),
+      "aged debris must be reclaimed")
+    assert(freshStage.exists() && freshTmp.exists(),
+      "young (possibly in-flight) staging must survive")
+    // the table itself is untouched
+    assert(asSet(sink.read(spark)) === Set((1, "2024-01-01 10:00:00", 1.0)))
+  }
 }
