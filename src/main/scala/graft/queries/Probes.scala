@@ -11969,6 +11969,57 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** The no-WHEN-MATCHED merge shape: `WHEN NOT MATCHED AND cond THEN
+    * INSERT` + `WHEN NOT MATCHED BY SOURCE THEN DELETE`, with NO
+    * matched-row action at all — matched target rows must pass through
+    * VERBATIM, exactly once. This is the shape whose general-path
+    * lowering fanned out duplicate target rows before the round-11
+    * `SqlMerge` hardening (an action-less matched row met a
+    * many-matches source join); the gate pins the fix with a DuckDB
+    * replay, not just ScalaTest. */
+  val sqlMergeUnmatchedOnlyProbe = Probe(
+    "q315_sql_merge_unmatched_only",
+    (s, d) => {
+      import graft.plans.SqlMerge
+      import graft.weather.Store
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val sink = Store.ParquetSnapshotSink(
+        sys.props("java.io.tmpdir") + "/graft_q315_target")
+      sink.overwriteAll(base)
+      SqlMerge.register(s, "q315_target", sink)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q315_source")
+      s.sql(
+        """MERGE INTO q315_target USING q315_source
+          |ON q315_target.o_orderkey = q315_source.o_orderkey
+          |WHEN NOT MATCHED AND q315_source.o_totalprice < 150000.0
+          |  THEN INSERT (o_orderkey, o_totalprice)
+          |  VALUES (q315_source.o_orderkey, q315_source.o_totalprice)
+          |WHEN NOT MATCHED BY SOURCE AND q315_target.o_orderkey % 10 = 2
+          |  THEN DELETE""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM q315_target ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+           |s AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+           |matched AS (SELECT t.o_orderkey, t.o_totalprice FROM t
+           |            WHERE EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)),
+           |ins AS (SELECT s.o_orderkey, s.o_totalprice FROM s
+           |        WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)
+           |          AND s.o_totalprice < 150000.0),
+           |keep AS (SELECT t.o_orderkey, t.o_totalprice FROM t
+           |         WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+           |           AND NOT (t.o_orderkey % 10 = 2))
+           |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           |FROM (SELECT * FROM matched UNION ALL SELECT * FROM ins
+           |      UNION ALL SELECT * FROM keep)
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** SQL UPDATE over a registered table (the row-level DML surface
     * beyond MERGE): conditional projection rewrite through the sink.
     * DuckDB recomputes the post-update table from orders directly. */
@@ -12466,7 +12517,8 @@ object Probes {
     sqlUpdateProbe, sqlDeleteProbe, sqlDeletePrunedProbe,
     sqlTimeTravelProbe,
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
-    deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe
+    deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe,
+    sqlMergeUnmatchedOnlyProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes
