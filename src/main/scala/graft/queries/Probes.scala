@@ -12298,6 +12298,46 @@ object Probes {
            |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Iceberg-format publish round-trip (SURVEY §2.1 S4's second
+    * lakehouse format): the same TxnParquet table published as an
+    * Iceberg v1 table — metadata-only (`metadata/` + Avro manifests,
+    * zero data movement) — and read back through the Iceberg snapshot
+    * path (metadata.json → manifest list → manifests → parquet).
+    * Publishes TWICE (base, then post-merge) so the read exercises a
+    * multi-snapshot log; DuckDB recomputes the post-merge table. */
+  val icebergPublishProbe = Probe(
+    "q316_iceberg_publish_roundtrip",
+    (s, d) => {
+      import graft.sources.{Iceberg, TxnParquet}
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q316_target")
+      val txn = TxnParquet.TxnParquetSink(dir, tsCol = "dt")
+      txn.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice")))
+      Iceberg.publish(s, dir) // snapshot 1: the base
+      txn.mergeLastWins(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), dt30,
+          (col("o_totalprice") + 1000.0).as("o_totalprice")),
+        Seq("o_orderkey", "dt"))
+      Iceberg.publish(s, dir) // snapshot 2: post-merge
+      Iceberg.readTable(s, dir).drop("p_date")
+        .select(col("o_orderkey"), col("dt"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH dted AS (SELECT o_orderkey,
+           |    DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |    o_totalprice FROM orders),
+           |base AS (SELECT o_orderkey, dt, o_totalprice, 0 AS prec FROM dted WHERE o_orderkey % 2 = 0),
+           |upd AS (SELECT o_orderkey, dt, o_totalprice + 1000.0 AS o_totalprice, 1 AS prec FROM dted WHERE o_orderkey % 3 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey, dt ORDER BY prec DESC) AS rn FROM u)
+           |SELECT o_orderkey, dt, round(o_totalprice, 2) AS o_totalprice
+           |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** Native `VERSION AS OF` time travel on the Delta-protocol sink:
     * version 0 (the pre-merge base) pinned while version 1 diverges —
     * the same contract as q308 on TxnParquet, through the SAME parser
@@ -12518,7 +12558,7 @@ object Probes {
     sqlTimeTravelProbe,
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
     deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe,
-    sqlMergeUnmatchedOnlyProbe
+    sqlMergeUnmatchedOnlyProbe, icebergPublishProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

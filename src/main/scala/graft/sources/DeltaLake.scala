@@ -568,22 +568,9 @@ object DeltaLake {
   }
 
   /** THE commit: stage the JSON under a temp name, one atomic
-    * put-if-absent publication to `%020d.json`. The loser of a race
-    * throws instead of corrupting (the spec's requirement).
-    *
-    * The primitive matters: a plain `exists() + FileSystem.rename` is
-    * TOCTOU — on the local FS, `File.renameTo` is POSIX rename(2),
-    * which silently REPLACES an existing destination, so two racers of
-    * the same version could both pass the exists() check and the loser
-    * would clobber the winner's commit. Local scheme therefore uses
-    * hard-link creation (link(2) fails with EEXIST atomically — the
-    * classic POSIX put-if-absent); other filesystems go through
-    * `FileContext.rename(…, Options.Rename.NONE)`, which HDFS-class
-    * stores implement as a server-side atomic no-overwrite rename. On
-    * stores with neither primitive the no-overwrite check degrades to
-    * the store's own rename semantics — run a single writer per table
-    * there (the same caveat Delta itself documents for S3 without a
-    * coordination service). */
+    * put-if-absent publication to `%020d.json` ([[AtomicFs]] — see
+    * there for why exists()+rename is not enough). The loser of a race
+    * throws instead of corrupting (the spec's requirement). */
   private def commit(f: FileSystem, root: Path, version: Long,
                      actions: Seq[String]): Unit = {
     val logDir = new Path(root, LogDir)
@@ -595,33 +582,10 @@ object DeltaLake {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = commitPath(logDir, version)
-    def lose(cause: Throwable): Nothing = {
-      f.delete(tmp, false)
+    if (!AtomicFs.putIfAbsent(f, tmp, dest))
       throw new IllegalStateException(
         s"DeltaLake: concurrent commit detected — version $version already " +
-          s"exists at $root (optimistic-concurrency loser)", cause)
-    }
-    if (f.exists(dest)) lose(null) // cheap fast-path; the primitive below is the guard
-    val scheme = Option(f.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      val tmpNio = java.nio.file.Paths.get(
-        f.makeQualified(tmp).toUri.getPath)
-      val destNio = java.nio.file.Paths.get(
-        f.makeQualified(dest).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(destNio, tmpNio) // atomic EEXIST
-        f.delete(tmp, false)
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException => lose(e)
-      }
-    } else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, f.getConf)
-      try fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
-      catch {
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException => lose(e)
-      }
-    }
+          s"exists at $root (optimistic-concurrency loser)")
   }
 
   /** Write a parquet checkpoint of the CURRENT snapshot plus the

@@ -1,0 +1,565 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg TABLE-FORMAT interop, Iceberg-jar-free: a reader and a
+  * metadata-only publisher for the open Iceberg table spec
+  * (iceberg.apache.org/spec — versioned `metadata/v*.metadata.json`,
+  * Avro manifest lists, Avro manifests, immutable parquet data files),
+  * implemented over Hadoop `FileSystem` + Spark parquet + the Avro
+  * container library Spark already ships (`org.apache.avro`, a public
+  * Apache format library — no Iceberg runtime involved). This is the
+  * second half of SURVEY.md §2.1 S4's production mapping ("MERGE INTO on
+  * Delta/Iceberg"): [[DeltaLake]] covers the Delta protocol in both
+  * directions; this module adds the Iceberg side:
+  *
+  *  - '''read''': [[Iceberg.readTable]] resolves the current metadata
+  *    (version-hint, falling back to listing), replays the current
+  *    snapshot's manifest list → manifests → live data files, and
+  *    reconstructs the table as a DataFrame under the Iceberg schema.
+  *    Snapshot and timestamp travel ride the same path
+  *    ([[Iceberg.readSnapshot]], [[Iceberg.snapshotAtTime]]).
+  *    Unsupported constructs fail LOUDLY, never return wrong rows:
+  *    format-version 3+, row-level delete files (v2 merge-on-read),
+  *    non-parquet data files, unknown schema types.
+  *  - '''publish''': [[Iceberg.publish]] makes an existing
+  *    [[TxnParquet.TxnParquetSink]] table ALSO a valid Iceberg table by
+  *    synthesizing `metadata/` at the same root from the live manifest —
+  *    metadata only, zero data movement (chunk files carry `p_date` as a
+  *    data column, so the export is an unpartitioned Iceberg v1 table).
+  *    Each publish is a new self-contained snapshot (one manifest
+  *    listing every live file) + a new `vN.metadata.json` committed with
+  *    the [[AtomicFs]] put-if-absent primitive, so concurrent publishers
+  *    lose loudly and old snapshots stay time-travelable.
+  *
+  * == Scale posture ==
+  * Metadata replay is driver-side over KB-sized JSON + Avro files — the
+  * same design Iceberg itself uses (manifests exist precisely so no
+  * engine ever lists data directories); the data plane stays fully
+  * distributed. Snapshot state on the driver is the live-file list,
+  * ~100 bytes/file — a 100 TB table at 1 GB/file is ~10^5 entries. Each
+  * publish writes ONE manifest for the whole live set: fine at the
+  * TxnParquet sink's file counts (thousands); a native multi-manifest
+  * incremental writer is the documented growth path, not a correctness
+  * gap (readers here already consume any number of manifests).
+  *
+  * == Column resolution caveat (documented, loud where checkable) ==
+  * Iceberg resolves columns by FIELD ID; Spark's parquet reader resolves
+  * by NAME. The two agree unless a column was RENAMED in Iceberg
+  * metadata after data was written. This reader is therefore safe for
+  * tables whose parquet column names match the current schema (all
+  * tables this engine writes, and any table never renamed) — the
+  * common interop case — and verifiable by the caller via
+  * `spark.read.parquet(file).schema` against [[Iceberg.tableSchema]].
+  */
+object Iceberg {
+
+  private val mapper = new ObjectMapper()
+  private val MetaDir = "metadata"
+  private val VersionHint = "version-hint.text"
+  private val VMetaRe = "v(\\d+)\\.metadata\\.json".r
+
+  // ------------------------------------------------------------- metadata
+
+  /** Parsed table metadata (one `vN.metadata.json`). `snapshots` maps
+    * snapshot-id → (timestamp-ms, manifest-list path). */
+  final case class TableMeta(
+      version: Int,
+      formatVersion: Int,
+      tableUuid: String,
+      location: String,
+      schema: StructType,
+      schemaJson: JsonNode,
+      lastColumnId: Int,
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[SnapshotRef])
+
+  final case class SnapshotRef(snapshotId: Long, timestampMs: Long,
+                               manifestList: String)
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val root = new Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def slurp(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Highest committed metadata version at `root`, None for a non-
+    * Iceberg path. The `version-hint.text` convention (HadoopTables) is
+    * exactly a HINT — listing `metadata/` is the truth, so a torn or
+    * stale hint can only slow resolution, never serve an old table. */
+  def latestMetaVersion(spark: SparkSession, root: String): Option[Int] = {
+    val (f, r) = fs(spark, root)
+    val md = new Path(r, MetaDir)
+    if (!f.exists(md)) return None
+    f.listStatus(md).toSeq.flatMap(_.getPath.getName match {
+      case VMetaRe(v) => Some(v.toInt)
+      case _ => None
+    }).maxOption
+  }
+
+  def currentMeta(spark: SparkSession, root: String): Option[TableMeta] =
+    latestMetaVersion(spark, root).map(v => metaAt(spark, root, v))
+
+  /** Parse `metadata/v{v}.metadata.json`. Format versions 1 and 2 are
+    * supported; anything newer fails loudly (v3 adds row lineage and
+    * new types this reader would silently mangle). */
+  def metaAt(spark: SparkSession, root: String, v: Int): TableMeta = {
+    val (f, r) = fs(spark, root)
+    val p = new Path(new Path(r, MetaDir), s"v$v.metadata.json")
+    require(f.exists(p), s"Iceberg: metadata version $v not present at $root")
+    val n = mapper.readTree(slurp(f, p))
+    val fv = n.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"Iceberg: format-version $fv is not supported (reader handles 1 and 2)")
+    // current schema: v2 carries schemas[] + current-schema-id; v1 may
+    // carry only the legacy single "schema"
+    val schemaNode =
+      if (n.hasNonNull("schemas")) {
+        val cur = n.get("current-schema-id").asInt()
+        n.get("schemas").elements().asScala
+          .find(s => s.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalStateException(
+            s"Iceberg: current-schema-id $cur not found in schemas[]"))
+      } else n.get("schema")
+    val snaps = Option(n.get("snapshots")).filter(!_.isNull).map {
+      _.elements().asScala.map { s =>
+        SnapshotRef(s.get("snapshot-id").asLong(),
+          s.get("timestamp-ms").asLong(),
+          s.get("manifest-list").asText())
+      }.toSeq
+    }.getOrElse(Nil)
+    val curSnap = Option(n.get("current-snapshot-id")).filter(!_.isNull)
+      .map(_.asLong()).filter(_ != -1L)
+    TableMeta(v, fv,
+      Option(n.get("table-uuid")).filter(!_.isNull).map(_.asText())
+        .getOrElse(""), // optional in format v1
+      n.get("location").asText(),
+      structFromIceberg(schemaNode), schemaNode,
+      n.get("last-column-id").asInt(), curSnap, snaps)
+  }
+
+  /** The current Iceberg schema as a Spark StructType. */
+  def tableSchema(spark: SparkSession, root: String): StructType =
+    currentMeta(spark, root).map(_.schema).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+
+  // ----------------------------------------------- schema json <-> spark
+
+  /** Iceberg schema JSON → Spark StructType. Every spec v1/v2 type is
+    * mapped or rejected loudly — silent coercion would corrupt rows. */
+  private[sources] def structFromIceberg(n: JsonNode): StructType = {
+    require(n.get("type").asText() == "struct",
+      s"Iceberg: schema root must be a struct, got ${n.get("type")}")
+    StructType(n.get("fields").elements().asScala.map { fn =>
+      StructField(fn.get("name").asText(), typeFromIceberg(fn.get("type")),
+        nullable = !fn.get("required").asBoolean())
+    }.toSeq)
+  }
+
+  private def typeFromIceberg(t: JsonNode): DataType =
+    if (t.isTextual) {
+      val s = t.asText()
+      val Dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+      val Fix = "fixed\\[(\\d+)\\]".r
+      s match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "date" => DateType
+        case "string" => StringType
+        case "uuid" => StringType // 16-byte logical uuid reads as text
+        case "binary" => BinaryType
+        case "timestamp" => TimestampNTZType // no tz, per spec
+        case "timestamptz" => TimestampType
+        case Dec(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case Fix(_) => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"Iceberg: unsupported type '$other' (time/timestamp_ns/" +
+            "variant/geometry need a newer reader)")
+      }
+    } else t.get("type").asText() match {
+      case "struct" => structFromIceberg(t)
+      case "list" => ArrayType(typeFromIceberg(t.get("element")),
+        containsNull = !t.get("element-required").asBoolean())
+      case "map" => MapType(typeFromIceberg(t.get("key")),
+        typeFromIceberg(t.get("value")),
+        valueContainsNull = !t.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(
+        s"Iceberg: unsupported nested type '$other'")
+    }
+
+  /** Spark StructType → Iceberg schema JSON with sequential field ids
+    * (publish path — fresh table, ids are ours to assign). Nested types
+    * are rejected loudly: the TxnParquet tables publish flattens are
+    * scalar-columned; silently inventing nested ids risks colliding
+    * with a future real writer. */
+  private def icebergSchemaJson(schema: StructType): ObjectNode = {
+    val root = mapper.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = mapper.createArrayNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = mapper.createObjectNode()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", f.dataType match {
+        case BooleanType => "boolean"
+        case IntegerType => "int"
+        case LongType => "long"
+        case FloatType => "float"
+        case DoubleType => "double"
+        case DateType => "date"
+        case StringType => "string"
+        case BinaryType => "binary"
+        case TimestampType => "timestamptz"
+        case TimestampNTZType => "timestamp"
+        case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"Iceberg.publish: unsupported column type ${other.simpleString} " +
+            s"for '${f.name}' — publish handles scalar columns")
+      })
+      fields.add(fn)
+    }
+    root.set[JsonNode]("fields", fields)
+    root
+  }
+
+  // --------------------------------------------------------- avro replay
+
+  /** Decode every record of an Avro container file into GenericRecords
+    * (driver-side; manifests are KB–MB metadata files by design). */
+  private def readAvro(f: FileSystem, p: Path): Seq[GenericRecord] = {
+    val in = f.open(p)
+    try {
+      val reader = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = mutable.ArrayBuffer.empty[GenericRecord]
+        while (reader.hasNext) out += reader.next()
+        out.toSeq
+      } finally reader.close()
+    } finally in.close()
+  }
+
+  private def str(r: GenericRecord, field: String): String =
+    Option(r.get(field)).map(_.toString).orNull
+
+  private def longOr(r: GenericRecord, field: String, dflt: Long): Long =
+    if (r.getSchema.getField(field) == null) dflt
+    else Option(r.get(field)).map(_.asInstanceOf[Number].longValue())
+      .getOrElse(dflt)
+
+  /** A snapshot's live data-file paths (absolute), via manifest list →
+    * manifests. Rejects loudly anything a naive scan would silently get
+    * wrong: delete manifests / delete files (v2 merge-on-read rows must
+    * be suppressed, which this reader does not do), non-parquet files. */
+  private def liveFiles(spark: SparkSession, root: Path, f: FileSystem,
+                        snap: SnapshotRef): Seq[String] = {
+    val mlPath = resolve(root, snap.manifestList)
+    val manifests = readAvro(f, mlPath)
+    manifests.flatMap { m =>
+      val content = longOr(m, "content", 0L)
+      require(content == 0L,
+        s"Iceberg: snapshot ${snap.snapshotId} carries a DELETE manifest " +
+          s"(${str(m, "manifest_path")}) — v2 merge-on-read tables are not " +
+          "supported; compact/rewrite the table to positional-delete-free form")
+      val entries = readAvro(f, resolve(root, str(m, "manifest_path")))
+      entries.flatMap { e =>
+        val status = e.get("status").asInstanceOf[Number].intValue()
+        if (status == 2) None // DELETED in this snapshot
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          require(longOr(df, "content", 0L) == 0L,
+            "Iceberg: data_file entry is a delete file — unsupported")
+          val fmt = str(df, "file_format")
+          require(fmt != null && fmt.equalsIgnoreCase("parquet"),
+            s"Iceberg: data file format '$fmt' is not supported (parquet only)")
+          Some(resolve(root, str(df, "file_path")).toString)
+        }
+      }
+    }
+  }
+
+  /** Manifest/data paths may be absolute URIs (what Iceberg writers
+    * produce) or table-relative (tolerated for relocated tables). */
+  private def resolve(root: Path, p: String): Path = {
+    val path = new Path(p)
+    if (path.isAbsolute || p.contains("://")) path else new Path(root, path)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** The current table as a DataFrame (empty-but-typed for a table with
+    * no current snapshot). */
+  def readTable(spark: SparkSession, root: String): DataFrame = {
+    val meta = currentMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+    meta.currentSnapshotId match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], meta.schema)
+      case Some(id) => readSnapshot(spark, root, id)
+    }
+  }
+
+  /** Time travel: the table as of snapshot `snapshotId` (must still be
+    * listed in the current metadata — expired snapshots fail loudly). */
+  def readSnapshot(spark: SparkSession, root: String,
+                   snapshotId: Long): DataFrame = {
+    val (f, r) = fs(spark, root)
+    val meta = currentMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+    val snap = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalStateException(
+        s"Iceberg: snapshot $snapshotId not in retained history at $root " +
+          s"(have ${meta.snapshots.map(_.snapshotId).mkString(", ")})"))
+    val files = liveFiles(spark, r, f, snap)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(files: _*)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest snapshot whose committed
+    * `timestamp-ms` is at or before `tsMicros` (snapshot timestamps are
+    * IN the metadata — no mtime heuristics needed on this format). */
+  def snapshotAtTime(spark: SparkSession, root: String,
+                     tsMicros: Long): Option[Long] =
+    currentMeta(spark, root).flatMap(_.snapshots
+      .filter(_.timestampMs * 1000L <= tsMicros)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
+      .map(_.snapshotId))
+
+  // ------------------------------------------------------------- publish
+
+  // Avro schemas for the v1 manifest list / manifest, with the spec's
+  // field-ids attached so real Iceberg readers resolve them by id.
+  private val ManifestFileSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+      |{"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+      |{"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+      |{"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506},
+      |{"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512},
+      |{"name":"existing_rows_count","type":["null","long"],"default":null,"field-id":513},
+      |{"name":"deleted_rows_count","type":["null","long"],"default":null,"field-id":514}
+      |]}""".stripMargin.replace("\n", ""))
+
+  private val ManifestEntrySchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"block_size_in_bytes","type":"long","field-id":105}
+      |]}}]}""".stripMargin.replace("\n", ""))
+
+  private def writeAvro(f: FileSystem, p: Path, schema: AvroSchema,
+                        meta: Map[String, String],
+                        rows: Seq[GenericRecord]): Long = {
+    val out = f.create(p, false)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out) // closes `out` on w.close()
+    try rows.foreach(w.append)
+    finally w.close()
+    f.getFileStatus(p).getLen
+  }
+
+  /** Make the TxnParquet table at `txnPath` ALSO a valid Iceberg v1
+    * table by synthesizing `metadata/` at the same root from its live
+    * manifest — metadata only, zero data movement (the export is an
+    * unpartitioned table; chunk files carry `p_date` as a data column).
+    * Idempotent: re-publishing an unchanged file set commits nothing.
+    * Returns the metadata version now live. Mirrors
+    * [[DeltaLake.publish]]; the two logs coexist at one root.
+    * `preCommit` is a test seam modeling a concurrent publisher landing
+    * between snapshot read and metadata publication. */
+  def publish(spark: SparkSession, txnPath: String,
+              preCommit: () => Unit = () => ()): Int = {
+    val m = TxnParquet.currentManifest(spark, txnPath).getOrElse(
+      throw new IllegalStateException(
+        s"Iceberg.publish: no committed TxnParquet table at $txnPath"))
+    val (f, root) = fs(spark, txnPath)
+    val qualifiedRoot = f.makeQualified(root)
+    val liveDirs = m._2.values.toSeq.distinct
+    // (absolute path, byte size, exact row count). Row counts come from
+    // the parquet FOOTERS (driver-side, one KB-read per live file,
+    // bounded by the sink's chunk counts) because real Iceberg engines
+    // trust `record_count` for stats and count(*) shortcuts — writing a
+    // wrong value would corrupt THEIR results, not just ours.
+    val live: Seq[(String, Long, Long)] = liveDirs.flatMap { rel =>
+      val dir = new Path(root, rel)
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, f.getConf))
+          val rows = try rd.getRecordCount finally rd.close()
+          (s"$qualifiedRoot/$rel/${st.getPath.getName}", st.getLen, rows)
+        }
+    }.sortBy(_._1)
+    val schema = m._3.getOrElse(
+      spark.read.parquet(liveDirs.map(r => s"$txnPath/$r"): _*).schema)
+
+    val cur = currentMeta(spark, txnPath)
+    val curFiles: Option[Seq[String]] = cur.flatMap { meta =>
+      meta.currentSnapshotId.flatMap(id =>
+        meta.snapshots.find(_.snapshotId == id))
+        .map(s => liveFiles(spark, root, f, s).sorted)
+    }
+    val schemaChanged = !cur.exists(_.schema.json == schema.json)
+    if (cur.isDefined && curFiles.contains(live.map(_._1)) && !schemaChanged)
+      return cur.get.version
+
+    val md = new Path(root, MetaDir)
+    f.mkdirs(md)
+    val nextV = cur.map(_.version + 1).getOrElse(1)
+    val snapId = nextV.toLong // deterministic, strictly increasing
+    val nowMs = System.currentTimeMillis()
+    val uid = java.util.UUID.randomUUID().toString
+
+    // 1. ONE manifest for the whole live set (self-contained snapshot)
+    val entries = live.map { case (path, size, rows) =>
+      val dfr = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", size)
+      dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1) // ADDED (self-contained snapshot)
+      e.put("snapshot_id", snapId)
+      e.put("data_file", dfr)
+      e
+    }
+    val schemaJson = icebergSchemaJson(schema)
+    val manifestPath = new Path(md, s"manifest-$uid.avro")
+    val manifestLen = writeAvro(f, manifestPath, ManifestEntrySchema,
+      Map("schema" -> mapper.writeValueAsString(schemaJson),
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "1", "content" -> "data"), entries)
+
+    // 2. the snapshot's manifest list
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", s"$qualifiedRoot/$MetaDir/${manifestPath.getName}")
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_data_files_count", live.size)
+    mf.put("existing_data_files_count", 0)
+    mf.put("deleted_data_files_count", 0)
+    mf.put("added_rows_count", live.map(_._3).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val mlPath = new Path(md, s"snap-$snapId-$uid.avro")
+    writeAvro(f, mlPath, ManifestFileSchema,
+      Map("snapshot-id" -> snapId.toString,
+        "parent-snapshot-id" -> cur.flatMap(_.currentSnapshotId)
+          .map(_.toString).getOrElse("null"),
+        "format-version" -> "1"), Seq(mf))
+
+    // 3. vN.metadata.json — atomic put-if-absent commit
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid",
+      cur.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString))
+    meta.put("location", qualifiedRoot.toString)
+    meta.put("last-updated-ms", nowMs)
+    meta.put("last-column-id", schema.fields.length)
+    meta.set[JsonNode]("schema", schemaJson)
+    val schemas = mapper.createArrayNode(); schemas.add(schemaJson)
+    meta.set[JsonNode]("schemas", schemas)
+    meta.put("current-schema-id", 0)
+    val spec = mapper.createObjectNode()
+    spec.put("spec-id", 0)
+    spec.set[JsonNode]("fields", mapper.createArrayNode())
+    meta.set[JsonNode]("partition-spec", mapper.createArrayNode())
+    val specs = mapper.createArrayNode(); specs.add(spec)
+    meta.set[JsonNode]("partition-specs", specs)
+    meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999)
+    meta.set[JsonNode]("properties", mapper.createObjectNode())
+    meta.put("current-snapshot-id", snapId)
+    val snaps = mapper.createArrayNode()
+    def snapNode(s: SnapshotRef): ObjectNode = {
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", s.snapshotId)
+      sn.put("timestamp-ms", s.timestampMs)
+      sn.put("manifest-list", s.manifestList)
+      val sm = mapper.createObjectNode(); sm.put("operation", "overwrite")
+      sn.set[JsonNode]("summary", sm)
+      sn
+    }
+    cur.toSeq.flatMap(_.snapshots).foreach(s => snaps.add(snapNode(s)))
+    snaps.add(snapNode(SnapshotRef(snapId, nowMs,
+      s"$qualifiedRoot/$MetaDir/${mlPath.getName}")))
+    meta.set[JsonNode]("snapshots", snaps)
+    val slog = mapper.createArrayNode()
+    cur.toSeq.flatMap(_.snapshots).foreach { s =>
+      val e = mapper.createObjectNode()
+      e.put("timestamp-ms", s.timestampMs); e.put("snapshot-id", s.snapshotId)
+      slog.add(e)
+    }
+    val slogE = mapper.createObjectNode()
+    slogE.put("timestamp-ms", nowMs); slogE.put("snapshot-id", snapId)
+    slog.add(slogE)
+    meta.set[JsonNode]("snapshot-log", slog)
+
+    val tmp = new Path(md, s".tmp-$uid.metadata.json")
+    val out = f.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(meta)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    preCommit() // test seam: a concurrent publisher lands here
+    if (!AtomicFs.putIfAbsent(f, tmp, new Path(md, s"v$nextV.metadata.json"))) {
+      f.delete(manifestPath, false); f.delete(mlPath, false)
+      throw new IllegalStateException(
+        s"Iceberg: concurrent commit detected — metadata version $nextV " +
+          s"already exists at $txnPath (optimistic-concurrency loser)")
+    }
+    // version-hint is a HINT (readers fall back to listing); last write
+    // wins is acceptable by the HadoopTables convention
+    val hint = new Path(md, VersionHint)
+    val ho = f.create(hint, true)
+    try ho.write(nextV.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally ho.close()
+    nextV
+  }
+}

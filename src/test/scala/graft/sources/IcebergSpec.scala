@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnParquet.TxnParquetSink
+
+/** Iceberg table-format interop (Iceberg.scala): metadata resolution,
+  * manifest-list/manifest Avro replay, snapshot + timestamp travel, the
+  * TxnParquet publish round-trip, and the loud unsupported-feature
+  * rejections (format v3, delete files, non-parquet, unknown types). */
+class IcebergSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-iceberg-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def df(rows: Seq[(Int, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "dt_s", "v").withColumn("dt", to_timestamp(col("dt_s")))
+      .drop("dt_s").select("k", "dt", "v")
+  }
+
+  private def asSet(d: DataFrame): Set[(Int, String, Double)] =
+    d.select(col("k"), date_format(col("dt"), "yyyy-MM-dd HH:mm:ss"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("publish: a TxnParquet table becomes a readable Iceberg table, zero data movement") {
+    val dir = tmp("iceberg_publish")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0))))
+    val v1 = Iceberg.publish(spark, dir)
+    assert(v1 === 1)
+    // spec-conformant bits on disk
+    val md = new java.io.File(dir, "metadata")
+    assert(md.isDirectory)
+    assert(new java.io.File(md, "v1.metadata.json").isFile)
+    assert(new java.io.File(md, "version-hint.text").isFile)
+    assert(md.listFiles().exists(_.getName.startsWith("snap-")))
+    assert(md.listFiles().exists(_.getName.startsWith("manifest-")))
+    // the Iceberg view equals the native view (p_date is a data column)
+    val ice = Iceberg.readTable(spark, dir).drop("p_date")
+    assert(asSet(ice) === asSet(txn.read(spark)))
+    // schema came from metadata, not inference
+    assert(Iceberg.tableSchema(spark, dir).fieldNames.toSeq
+      .containsSlice(Seq("k", "dt", "v")))
+    // idempotent: unchanged file set commits nothing
+    assert(Iceberg.publish(spark, dir) === 1)
+  }
+
+  test("snapshot + timestamp travel: old snapshots stay pinned after republish") {
+    val dir = tmp("iceberg_travel")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    txn.mergeLastWins(df(Seq((1, "2024-01-01 10:00:00", 9.0),
+      (2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt"))
+    assert(Iceberg.publish(spark, dir) === 2)
+
+    val meta = Iceberg.currentMeta(spark, dir).get
+    assert(meta.snapshots.map(_.snapshotId) === Seq(1L, 2L))
+    assert(meta.currentSnapshotId === Some(2L))
+    // current = post-merge; snapshot 1 = pre-merge, still readable
+    assert(asSet(Iceberg.readTable(spark, dir).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 9.0), (2, "2024-01-02 10:00:00", 2.0)))
+    assert(asSet(Iceberg.readSnapshot(spark, dir, 1L).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 1.0)))
+    // timestamp travel resolves on the metadata's own timestamp-ms
+    val t1 = meta.snapshots.head.timestampMs
+    assert(Iceberg.snapshotAtTime(spark, dir, t1 * 1000L) === Some(1L))
+    assert(Iceberg.snapshotAtTime(spark, dir,
+      System.currentTimeMillis() * 1000L + 1000000L) === Some(2L))
+    assert(Iceberg.snapshotAtTime(spark, dir, (t1 - 10000) * 1000L) === None)
+    // an expired/unknown snapshot id fails loudly
+    val ex = intercept[IllegalStateException] {
+      Iceberg.readSnapshot(spark, dir, 99L)
+    }
+    assert(ex.getMessage.contains("not in retained history"))
+  }
+
+  test("concurrent publish: same next version loses loudly (AtomicFs)") {
+    val dir = tmp("iceberg_race")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    txn.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt"))
+    // a racer lands v2 BETWEEN this publisher's snapshot read and its
+    // metadata publication (the preCommit seam): the put-if-absent on
+    // v2.metadata.json must make this publisher lose loudly instead of
+    // clobbering the racer's commit
+    val md = new java.io.File(dir, "metadata")
+    val ex = intercept[IllegalStateException] {
+      Iceberg.publish(spark, dir, preCommit = () =>
+        assert(new java.io.File(md, "v2.metadata.json").createNewFile()))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+  }
+
+  test("reader rejects format-version 3, delete manifests, delete files, non-parquet") {
+    val dir = tmp("iceberg_reject")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    Iceberg.publish(spark, dir)
+    val md = new java.io.File(dir, "metadata")
+
+    // format-version 3 → loud
+    val v1 = new String(Files.readAllBytes(
+      new java.io.File(md, "v1.metadata.json").toPath))
+    Files.write(new java.io.File(md, "v2.metadata.json").toPath,
+      v1.replace("\"format-version\" : 1", "\"format-version\" : 3").getBytes)
+    val e1 = intercept[IllegalArgumentException] {
+      Iceberg.readTable(spark, dir)
+    }
+    assert(e1.getMessage.contains("format-version 3"))
+    assert(new java.io.File(md, "v2.metadata.json").delete())
+
+    // a v2-style DELETE manifest in the manifest list → loud
+    val mlName = md.listFiles().map(_.getName).filter(_.startsWith("snap-")).head
+    val v2MlSchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val delMf = new GenericData.Record(v2MlSchema)
+    delMf.put("manifest_path", s"$dir/metadata/does-not-matter.avro")
+    delMf.put("manifest_length", 0L)
+    delMf.put("partition_spec_id", 0)
+    delMf.put("content", 1) // DELETES manifest
+    delMf.put("added_snapshot_id", 1L)
+    val mlFile = new java.io.File(md, mlName)
+    assert(mlFile.delete())
+    // the original was written through ChecksumFileSystem — drop the
+    // stale .crc sidecar or the re-written bytes fail checksum, masking
+    // the rejection under test
+    new java.io.File(md, s".$mlName.crc").delete()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](v2MlSchema))
+    w.create(v2MlSchema, mlFile)
+    w.append(delMf); w.close()
+    val e2 = intercept[IllegalArgumentException] {
+      Iceberg.readTable(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("DELETE manifest"))
+  }
+
+  test("schema json mapping: every spec type lands on the right Spark type; unknown is loud") {
+    val json =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"b","required":true,"type":"boolean"},
+        |{"id":2,"name":"i","required":false,"type":"int"},
+        |{"id":3,"name":"l","required":false,"type":"long"},
+        |{"id":4,"name":"fl","required":false,"type":"float"},
+        |{"id":5,"name":"d","required":false,"type":"double"},
+        |{"id":6,"name":"dt","required":false,"type":"date"},
+        |{"id":7,"name":"s","required":false,"type":"string"},
+        |{"id":8,"name":"u","required":false,"type":"uuid"},
+        |{"id":9,"name":"bin","required":false,"type":"binary"},
+        |{"id":10,"name":"ts","required":false,"type":"timestamp"},
+        |{"id":11,"name":"tsz","required":false,"type":"timestamptz"},
+        |{"id":12,"name":"dec","required":false,"type":"decimal(18, 2)"},
+        |{"id":13,"name":"fx","required":false,"type":"fixed[16]"},
+        |{"id":14,"name":"lst","required":false,"type":
+        |  {"type":"list","element-id":15,"element":"long","element-required":true}},
+        |{"id":16,"name":"mp","required":false,"type":
+        |  {"type":"map","key-id":17,"key":"string","value-id":18,
+        |   "value":"double","value-required":false}},
+        |{"id":19,"name":"st","required":false,"type":
+        |  {"type":"struct","fields":[
+        |    {"id":20,"name":"x","required":true,"type":"int"}]}}
+        |]}""".stripMargin
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val st = Iceberg.structFromIceberg(mapper.readTree(json))
+    assert(st("b").dataType === BooleanType && !st("b").nullable)
+    assert(st("i").dataType === IntegerType && st("i").nullable)
+    assert(st("l").dataType === LongType)
+    assert(st("fl").dataType === FloatType)
+    assert(st("d").dataType === DoubleType)
+    assert(st("dt").dataType === DateType)
+    assert(st("s").dataType === StringType)
+    assert(st("u").dataType === StringType)
+    assert(st("bin").dataType === BinaryType)
+    assert(st("ts").dataType === TimestampNTZType)
+    assert(st("tsz").dataType === TimestampType)
+    assert(st("dec").dataType === DecimalType(18, 2))
+    assert(st("fx").dataType === BinaryType)
+    assert(st("lst").dataType ===
+      ArrayType(LongType, containsNull = false))
+    assert(st("mp").dataType ===
+      MapType(StringType, DoubleType, valueContainsNull = true))
+    assert(st("st").dataType ===
+      StructType(Seq(StructField("x", IntegerType, nullable = false))))
+    val bad = json.replace("\"boolean\"", "\"geometry\"")
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.structFromIceberg(mapper.readTree(bad))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("version-hint is only a hint: stale or missing, listing still resolves") {
+    val dir = tmp("iceberg_hint")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    Iceberg.publish(spark, dir)
+    txn.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt"))
+    Iceberg.publish(spark, dir)
+    val hint = new java.io.File(dir, "metadata/version-hint.text")
+    Files.write(hint.toPath, "1".getBytes) // stale
+    assert(Iceberg.latestMetaVersion(spark, dir) === Some(2))
+    assert(hint.delete())
+    assert(Iceberg.latestMetaVersion(spark, dir) === Some(2))
+    assert(Iceberg.readTable(spark, dir).count() === 2L)
+  }
+
+  test("delta and iceberg logs coexist at one TxnParquet root") {
+    val dir = tmp("iceberg_coexist")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0))))
+    DeltaLake.publish(spark, dir)
+    Iceberg.publish(spark, dir)
+    val viaDelta = asSet(DeltaLake.readTable(spark, dir).drop("p_date"))
+    val viaIceberg = asSet(Iceberg.readTable(spark, dir).drop("p_date"))
+    val native = asSet(txn.read(spark))
+    assert(viaDelta === native && viaIceberg === native)
+  }
+}
