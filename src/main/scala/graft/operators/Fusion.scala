@@ -423,6 +423,9 @@ object Fusion {
       .persist()
 
     var strength = players.select(col("player"), lit(1000000L).as("s"))
+    // strength is a lazy view over each round's checkpointed `raw`;
+    // the previous round's raw is dead once the next raw materialized
+    var prevRaw: DataFrame = null
     var it = 0
     while (it < iters) {
       val terms = games
@@ -440,6 +443,8 @@ object Fusion {
           "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) DIV __t"))
           .otherwise(0L).as("__raw"))
         .localCheckpoint(true)
+      Lifecycle.releaseCheckpoint(duels.sparkSession, prevRaw)
+      prevRaw = raw
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       strength = raw.crossJoin(broadcast(mx))
         .select(col("player"), greatest(lit(1L), expr(
@@ -455,6 +460,7 @@ object Fusion {
         col("games"))
       .orderBy(col("player"))
       .localCheckpoint(true)
+    Lifecycle.releaseCheckpoint(duels.sparkSession, prevRaw) // out consumed it
     Lifecycle.drainAndUnpersist(duels.sparkSession, games, players, d)
     out
   }

@@ -103,9 +103,14 @@ object Graph {
         .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
-      ranks = vertices.join(sums, Seq("node"), "left")
+      val next = vertices.join(sums, Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` materializes — release them instead of parking iters ×
+      // O(V) block sets until the next ContextCleaner GC sweep
+      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+      ranks = next
       i += 1
     }
     // the last round IS the (already materialized) output; release the
@@ -223,11 +228,13 @@ object Graph {
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
       // per-round checkpoint — flat lineage, bounded recompute (see
-      // [[pagerankMicro]]'s round-12 note)
-      ranks = vertices.join(sums, Seq("node"), "left")
+      // [[pagerankMicro]]'s round-12 note); superseded round released
+      val next = vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+      ranks = next
       i += 1
     }
     Lifecycle.drainAndUnpersist(edges.sparkSession, eW, vertices, e)
@@ -290,12 +297,14 @@ object Graph {
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
       // per-round checkpoint — flat lineage, bounded recompute (see
-      // [[pagerankMicro]]'s round-12 note)
-      ranks = vertices.join(sums, Seq("node"), "left")
+      // [[pagerankMicro]]'s round-12 note); superseded round released
+      val next = vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L))
             + coalesce(col("__in"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+      ranks = next
       i += 1
     }
     Lifecycle.drainAndUnpersist(edges.sparkSession, eDeg, vertices, e)
@@ -356,24 +365,39 @@ object Graph {
     // next half-round's sums — so the per-half-round V-sized densify
     // join the earlier shape paid (vertices left-join + coalesce 0) is
     // deferred to ONE final pass.
-    def rescale(rawLazy: DataFrame): DataFrame = {
+    // returns (scaled-lazy-view, the checkpointed raw backing it) so
+    // the loop can release a raw's blocks the moment the NEXT
+    // half-round's checkpoint has consumed it
+    def rescale(rawLazy: DataFrame): (DataFrame, DataFrame) = {
       val raw = rawLazy.localCheckpoint(true)
       val mx = raw.agg(max(col("__raw")).as("__mx"))
-      raw.crossJoin(broadcast(mx))
+      (raw.crossJoin(broadcast(mx))
         .select(col("node2").as("node"),
-          expr("(CAST(__raw AS DECIMAL(38,0)) * 1000000) div __mx").as("score"))
+          expr("(CAST(__raw AS DECIMAL(38,0)) * 1000000) div __mx").as("score")),
+        raw)
     }
 
+    val spark = edges.sparkSession
     var hubs = vertices.withColumn("score", lit(init))
     var auths: DataFrame = hubs
+    // superseded-raw bookkeeping: a half-round's raw is dead as soon as
+    // the next half-round's checkpoint materialized from it; the LAST
+    // auth/hub raws must survive until the densify below has run
+    var rawAuth: DataFrame = null
+    var rawHub: DataFrame = null
     var i = 0
     while (i < iters) {
-      auths = rescale(
+      val (a, ra) = rescale(
         e.join(hubs, e("src") === hubs("node"))
           .groupBy(e("dst").as("node2")).agg(sum(col("score")).as("__raw")))
-      hubs = rescale(
+      Lifecycle.releaseCheckpoint(spark, rawHub) // consumed into ra
+      auths = a
+      val (h, rh) = rescale(
         e.join(auths, e("dst") === auths("node"))
           .groupBy(e("src").as("node2")).agg(sum(col("score")).as("__raw")))
+      Lifecycle.releaseCheckpoint(spark, rawAuth) // consumed into rh
+      hubs = h
+      rawAuth = ra; rawHub = rh
       i += 1
     }
     // densify ONCE: every vertex appears, absentees at 0 (exactly the
@@ -384,7 +408,8 @@ object Graph {
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
-    Lifecycle.drainAndUnpersist(edges.sparkSession, e, vertices)
+    Lifecycle.releaseCheckpoint(spark, rawAuth, rawHub) // densify consumed them
+    Lifecycle.drainAndUnpersist(spark, e, vertices)
     out
   }
 
@@ -439,10 +464,13 @@ object Graph {
       // to the previous label — is exact.
       // per-round checkpoint — flat lineage, bounded recompute (see
       // [[pagerankMicro]]'s round-12 note); the frame is one long per
-      // node, so the barrier costs O(V) storage per round
-      labels = vertices.join(winners, Seq("node"), "left")
+      // node, so the barrier costs O(V) storage per round, and the
+      // superseded round is released immediately
+      val next = vertices.join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
         .localCheckpoint(true)
+      Lifecycle.releaseCheckpoint(edges.sparkSession, labels)
+      labels = next
       i += 1
     }
     // the last round IS the materialized output; release the statics
@@ -658,6 +686,10 @@ object Graph {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = checksum(next)
       converged = nextSig == sig
+      // the superseded round is dead once `next` materialized — but
+      // NEVER `init`, which the node-set union below still reads
+      if (edges ne init)
+        Lifecycle.releaseCheckpoint(pairs.sparkSession, edges)
       edges = next
       sig = nextSig
       iter += 1
@@ -907,11 +939,14 @@ object Graph {
     var done = nEdges == 0L
     while (i < rounds && !done) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
-      e = e
+      val next = e
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      // superseded round — dead once `next` materialized
+      Lifecycle.releaseCheckpoint(edges.sparkSession, e)
+      e = next
       val n = e.count()
       done = n == nEdges
       nEdges = n

@@ -38,16 +38,55 @@ private[graft] object Lifecycle {
     frames.foreach(_.unpersist(blocking = false))
   }
 
-  /** Bounded wait for session quiescence (no active jobs). The status
-    * tracker is fed by the async listener bus, so a just-finished job
-    * may linger for a few polls — that only lengthens the wait, never
-    * shortens it, which is the safe direction here. */
+  /** Bounded wait for session quiescence (no active jobs), required
+    * EMPTY ON TWO POLLS ~15 ms apart. The status tracker is fed by the
+    * async listener bus, which lags in both directions: a just-finished
+    * job may linger (harmless — lengthens the wait) and a just-started
+    * job may not be visible yet (dangerous — a single empty poll could
+    * release blocks under it). The double poll covers the start-lag
+    * window; the residual race is additionally BOUNDED by the callers'
+    * per-round checkpoints — with flat lineage the worst recompute a
+    * leaked straggler can trigger is one round over persisted statics,
+    * never a multi-round rebuild. On a busy shared session the wait
+    * gives up at `timeoutMs` and degrades to the pre-drain behavior. */
   def drain(spark: SparkSession, timeoutMs: Long = 10000L): Unit = {
     val tracker = spark.sparkContext.statusTracker
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (tracker.getActiveJobIds().nonEmpty &&
-      System.nanoTime() < deadline) {
-      Thread.sleep(5)
+    var emptyStreak = 0
+    while (emptyStreak < 2 && System.nanoTime() < deadline) {
+      if (tracker.getActiveJobIds().isEmpty) {
+        emptyStreak += 1
+        if (emptyStreak < 2) Thread.sleep(15)
+      } else {
+        emptyStreak = 0
+        Thread.sleep(5)
+      }
+    }
+  }
+
+  /** Release the block-manager storage behind a superseded eagerly-
+    * localCheckpoint'ed frame (per-round state the next round has
+    * already been checkpointed FROM — nothing can legitimately read it
+    * again). Without this, an iters-round recurrence parks iters ×
+    * O(V) block sets until the ContextCleaner's next GC sweep — dead
+    * weight that at scale evicts live caches. Best-effort by design:
+    * drains first (a local-checkpoint block loss is NOT recomputable,
+    * so no straggler may be mid-read), and falls back to the
+    * ContextCleaner when the plan is not the expected checkpoint shape. */
+  def releaseCheckpoint(spark: SparkSession, frames: DataFrame*): Unit = {
+    val real = frames.filter(_ != null)
+    if (real.isEmpty) return
+    drain(spark)
+    real.foreach { df =>
+      // deliberately ONLY the root-is-checkpoint shape: traversing the
+      // tree for checkpoint LEAVES could release a caller-owned
+      // checkpoint that the initial round's frame still references
+      // (local-checkpoint loss is unrecoverable, not a recompute)
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -381,9 +381,15 @@ object TextDedup {
 
     var iter = 0
     var converged = false
+    // `labels` is a lazy projection from round 1 on — track the actual
+    // checkpoint frame backing it so superseded rounds' blocks release
+    // (the returned frame is a view over the LAST round only)
+    var labelsCkpt: DataFrame = labels
     while (!converged && iter < maxIter) {
       val next = propagate(labels)
       converged = next.filter(col("comp") =!= col("old")).count() == 0L
+      Lifecycle.releaseCheckpoint(pairs.sparkSession, labelsCkpt)
+      labelsCkpt = next
       labels = next.select("id", "comp")
       iter += 1
     }

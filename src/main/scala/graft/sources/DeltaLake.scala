@@ -113,10 +113,8 @@ object DeltaLake {
   private val SupportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants")
 
-  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val root = new Path(path)
-    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
-  }
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) =
+    FsUtil.fs(spark, path)
 
   private def commitPath(logDir: Path, v: Long): Path =
     new Path(logDir, f"$v%020d.json")
@@ -139,16 +137,7 @@ object DeltaLake {
     try new java.net.URI(null, null, p, null).getRawPath
     catch { case _: Exception => p }
 
-  private def slurp(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private def slurp(f: FileSystem, p: Path): String = FsUtil.slurp(f, p)
 
   // ---------------------------------------------------------------- replay
 
@@ -158,9 +147,13 @@ object DeltaLake {
     * (`%020d.checkpoint.%010d.%010d.parquet`); a multi-part checkpoint
     * only counts when EVERY declared part is present — a torn upload
     * must not serve a partial file list. */
-  private def listLog(f: FileSystem, logDir: Path): (Seq[Long], Seq[Long]) = {
-    if (!f.exists(logDir)) return (Nil, Nil)
-    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+  private def logStatuses(f: FileSystem, logDir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!f.exists(logDir)) Nil else f.listStatus(logDir).toSeq
+
+  private def listLog(f: FileSystem, logDir: Path): (Seq[Long], Seq[Long]) =
+    parseLog(logStatuses(f, logDir).map(_.getPath.getName))
+
+  private def parseLog(names: Seq[String]): (Seq[Long], Seq[Long]) = {
     val jsons = names.collect { case JsonRe(v) => v.toLong }.sorted
     val singles = names.collect { case CkptRe(v) => v.toLong }
     val multi = names.collect { case CkptPartRe(v, part, of) =>
@@ -205,13 +198,18 @@ object DeltaLake {
                     tsMicros: Long): Option[Long] = {
     val (f, r) = fs(spark, root)
     val logDir = new Path(r, LogDir)
-    if (!f.exists(logDir)) return None
-    val (jsons, ckpts) = listLog(f, logDir)
+    // ONE directory listing serves both the validated-version parse and
+    // the mtime pass (a second listing would double the metadata-store
+    // round-trips and could disagree with the first under concurrent
+    // vacuum)
+    val statuses = logStatuses(f, logDir)
+    if (statuses.isEmpty) return None
+    val (jsons, ckpts) = parseLog(statuses.map(_.getPath.getName))
     val jsonSet = jsons.toSet
     val ckptSet = ckpts.toSet
     val jsonMt = mutable.Map.empty[Long, Long]
     val ckptMt = mutable.Map.empty[Long, Long]
-    f.listStatus(logDir).foreach { st =>
+    statuses.foreach { st =>
       st.getPath.getName match {
         case JsonRe(v) if jsonSet.contains(v.toLong) =>
           jsonMt(v.toLong) = st.getModificationTime
@@ -996,18 +994,23 @@ object DeltaLake {
         }
         if (f.listStatus(pd.getPath).isEmpty) f.delete(pd.getPath, false)
       }
-      // crashed-writer debris, age-gated
+      // crashed-writer debris, age-gated on the NEWEST mtime anywhere
+      // in the tree — a directory's own mtime does not refresh while a
+      // live writer streams task files into nested _temporary dirs, so
+      // gating on it alone could sweep an in-flight stage mid-write
       val cutoff = System.currentTimeMillis() - debrisMs
+      def treeHasYoung(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        st.getModificationTime >= cutoff ||
+          (st.isDirectory &&
+            f.listStatus(st.getPath).exists(treeHasYoung))
       f.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(".stage-") &&
-        st.getModificationTime < cutoff)
+        st.getPath.getName.startsWith(".stage-") && !treeHasYoung(st))
         .foreach(st => f.delete(st.getPath, true))
       val logDir = new Path(root, LogDir)
       if (f.exists(logDir)) f.listStatus(logDir).filter { st =>
         val n = st.getPath.getName
-        st.getModificationTime < cutoff &&
-          ((st.isDirectory && n.startsWith(".ckpt-")) ||
-            (st.isFile && n.startsWith(".tmp-")))
+        ((st.isDirectory && n.startsWith(".ckpt-")) ||
+          (st.isFile && n.startsWith(".tmp-"))) && !treeHasYoung(st)
       }.foreach(st => f.delete(st.getPath, st.isDirectory))
     }
   }

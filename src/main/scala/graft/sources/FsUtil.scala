@@ -9,6 +9,29 @@ import org.apache.spark.sql.SparkSession
   * history. */
 object FsUtil {
 
+  /** Resolve a path against its configured filesystem — the shared
+    * entry the lakehouse modules ([[DeltaLake]], [[Iceberg]]) use, so
+    * the resolution rule lives once. */
+  private[sources] def fs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** Read a whole (KB-scale metadata) file as UTF-8 through the Hadoop
+    * FS API. */
+  private[sources] def slurp(f: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** True when the path exists AND holds at least one data file that
     * Spark's readers would actually see. Files that are hidden by name
     * ('_', '.') or that live under a hidden directory (e.g. a crashed

@@ -87,21 +87,10 @@ object Iceberg {
   final case class SnapshotRef(snapshotId: Long, timestampMs: Long,
                                manifestList: String)
 
-  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val root = new Path(path)
-    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
-  }
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) =
+    FsUtil.fs(spark, path)
 
-  private def slurp(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+  private def slurp(f: FileSystem, p: Path): String = FsUtil.slurp(f, p)
 
   /** Highest committed metadata version at `root`, None for a non-
     * Iceberg path. The `version-hint.text` convention (HadoopTables) is
@@ -561,5 +550,42 @@ object Iceberg {
       java.nio.charset.StandardCharsets.UTF_8))
     finally ho.close()
     nextV
+  }
+
+  /** Reclaim crashed-publisher debris under `metadata/`: `.tmp-*`
+    * commit files and `*.avro` manifests/manifest-lists referenced by
+    * NO retained `vN.metadata.json` — a publisher that dies between
+    * staging its Avro files and the metadata put-if-absent leaves
+    * exactly these orphans (the [[DeltaLake.DeltaDateSink.vacuum]]
+    * counterpart). Age-gated (`debrisMs`) so an IN-FLIGHT publisher's
+    * staging is never swept; committed metadata versions are kept (KBs,
+    * and they are the time-travel history). */
+  def vacuum(spark: SparkSession, root: String,
+             debrisMs: Long = 60L * 60 * 1000): Unit = {
+    val (f, r) = fs(spark, root)
+    val md = new Path(r, MetaDir)
+    if (!f.exists(md)) return
+    val versions = f.listStatus(md).toSeq.flatMap(_.getPath.getName match {
+      case VMetaRe(v) => Some(v.toInt)
+      case _ => None
+    })
+    val referenced = mutable.Set.empty[String]
+    versions.foreach { v =>
+      metaAt(spark, root, v).snapshots.foreach { s =>
+        val ml = resolve(r, s.manifestList)
+        referenced += ml.getName
+        if (f.exists(ml))
+          readAvro(f, ml).foreach(m =>
+            referenced += new Path(str(m, "manifest_path")).getName)
+      }
+    }
+    val cutoff = System.currentTimeMillis() - debrisMs
+    f.listStatus(md).foreach { st =>
+      val n = st.getPath.getName
+      val orphan = st.isFile && st.getModificationTime < cutoff &&
+        (n.startsWith(".tmp-") ||
+          (n.endsWith(".avro") && !referenced.contains(n)))
+      if (orphan) f.delete(st.getPath, false)
+    }
   }
 }

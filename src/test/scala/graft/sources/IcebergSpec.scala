@@ -18,17 +18,10 @@ import graft.sources.TxnParquet.TxnParquetSink
   * rejections (format v3, delete files, non-parquet, unknown types). */
 class IcebergSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-iceberg-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // the JVM-wide shared session (a per-suite extension-less
+  // getOrCreate here would poison later suites that need the graft
+  // extensions — getOrCreate returns whichever session was built first)
+  private lazy val spark: SparkSession = graft.SharedSpark.spark
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
@@ -244,5 +237,35 @@ class IcebergSpec extends AnyFunSuite {
     val viaIceberg = asSet(Iceberg.readTable(spark, dir).drop("p_date"))
     val native = asSet(txn.read(spark))
     assert(viaDelta === native && viaIceberg === native)
+  }
+
+  test("vacuum reclaims aged unreferenced metadata debris, keeps history + young staging") {
+    val dir = tmp("iceberg_vacuum")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    Iceberg.publish(spark, dir)
+    txn.mergeLastWins(df(Seq((2, "2024-01-02 10:00:00", 2.0))), Seq("k", "dt"))
+    Iceberg.publish(spark, dir)
+    val md = new java.io.File(dir, "metadata")
+    val old = System.currentTimeMillis() - 3 * 60 * 60 * 1000L
+    def mk(name: String, stale: Boolean): java.io.File = {
+      val f = new java.io.File(md, name)
+      assert(f.createNewFile())
+      if (stale) assert(f.setLastModified(old))
+      f
+    }
+    val staleOrphan = mk("manifest-deadbeef-orphan.avro", stale = true)
+    val freshOrphan = mk("manifest-cafebabe-young.avro", stale = false)
+    val staleTmp = mk(".tmp-deadbeef.metadata.json", stale = true)
+    // age everything REFERENCED too, proving the keep is by reference,
+    // not by youth (the young orphan keeps its fresh mtime)
+    md.listFiles().filter(f => f.getName.endsWith(".avro") && f != freshOrphan)
+      .foreach(f => f.setLastModified(old))
+    Iceberg.vacuum(spark, dir)
+    assert(!staleOrphan.exists() && !staleTmp.exists(), "aged orphans reclaimed")
+    assert(freshOrphan.exists(), "young (possibly in-flight) staging survives")
+    // both snapshots still read — referenced avros survived the sweep
+    assert(Iceberg.readTable(spark, dir).count() === 2L)
+    assert(Iceberg.readSnapshot(spark, dir, 1L).count() === 1L)
   }
 }
