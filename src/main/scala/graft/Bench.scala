@@ -2,6 +2,61 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Per-run counters captured around each timed query execution, so a
+  * bench artifact from ANY box is self-diagnosing: a slow iteration
+  * with high `gcMs` is memory pressure, with `stageRetry`/`taskFail`
+  * hits is lost-state recompute, with high `blocksRemoved` is cache
+  * eviction churn, with `spillBytes` is undersized execution memory —
+  * and a slow iteration with ALL ZEROS is plain CPU/disk contention.
+  * Four rounds of builder-passes/driver-fails on the iterative family
+  * were unattributable because the artifact carried none of these. */
+private final class BenchTelemetry extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  private val taskGc = new AtomicLong
+  private val fails = new AtomicLong
+  private val retries = new AtomicLong
+  private val removed = new AtomicLong
+  private val spill = new AtomicLong
+  private val tasks = new AtomicLong
+
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    tasks.incrementAndGet()
+    val m = e.taskMetrics
+    if (m != null) {
+      taskGc.addAndGet(m.jvmGCTime)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+    e.reason match {
+      case org.apache.spark.Success => ()
+      case _ => fails.incrementAndGet()
+    }
+  }
+  // a stage attempt > 0 IS a retry — the signature of non-recomputable
+  // state loss (e.g. an evicted local-checkpoint block)
+  override def onStageSubmitted(
+      e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+    if (e.stageInfo.attemptNumber() > 0) retries.incrementAndGet()
+  // a block update to an invalid storage level is a removal/eviction
+  override def onBlockUpdated(
+      e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+    if (!e.blockUpdatedInfo.storageLevel.isValid) removed.incrementAndGet()
+
+  /** Read-and-zero all counters. The listener bus is async, so a few
+    * events from a just-finished job can land AFTER the snapshot and
+    * bleed into the next run's counters — runs of one query execute
+    * back-to-back, so the bleed stays within (or adjacent to) the
+    * query being measured; a sleep-to-drain would cost the 1300-exec
+    * sweep minutes for cosmetics. */
+  def snapshotAndReset(): Bench.RunCounters = Bench.RunCounters(
+    taskGcMs = taskGc.getAndSet(0L),
+    taskFail = fails.getAndSet(0L),
+    stageRetry = retries.getAndSet(0L),
+    blocksRemoved = removed.getAndSet(0L),
+    spillBytes = spill.getAndSet(0L),
+    tasks = tasks.getAndSet(0L))
+}
+
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, writes the complete per-query map to
   * BENCH_FULL.json, and prints one COMPACT JSON line (total + slowest
@@ -20,7 +75,11 @@ import org.apache.spark.sql.SparkSession
   * the warm-up run from the sample kills that noise at the protocol
   * level. Per-query spread (max−min of the timed runs) lands in
   * BENCH_FULL.json so a noisy box is distinguishable from a real
-  * regression. q40 (IVF ANN) additionally reports its two phases split:
+  * regression — and since round 13 every run also carries telemetry
+  * (per-run wall times, whole-JVM GC ms, task failures, stage
+  * retries, block removals, spill — see [[BenchTelemetry]]) so an
+  * anomalous iteration names its cause in the artifact itself.
+  * q40 (IVF ANN) additionally reports its two phases split:
   * k-means training (flat cost — fit on a bounded sample) vs search
   * (the part that scales with corpus size).
   */
@@ -28,6 +87,17 @@ object Bench {
   // Adversarial-mode heap ballast — pinned in a field so it stays
   // strongly reachable for the whole run (see below).
   private var ballast: Array[Array[Long]] = _
+
+  /** Listener counters for one timed run (see [[BenchTelemetry]]). */
+  case class RunCounters(taskGcMs: Long, taskFail: Long, stageRetry: Long,
+                         blocksRemoved: Long, spillBytes: Long, tasks: Long)
+
+  /** One timed execution: wall seconds (−1 on failure), whole-JVM GC
+    * ms during the run (local mode: driver + executors are ONE JVM, so
+    * the MX-bean delta is the true process GC cost; `c.taskGcMs` is
+    * the per-task attribution a real cluster would report), and the
+    * listener counters. */
+  case class RunStats(sec: Double, gcMs: Long, c: RunCounters)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,15 +152,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Telemetry (round 13): every timed run carries whole-JVM GC ms,
+    // task-failure / stage-retry counts, block removals, and spill —
+    // so an over-budget iteration in ANY environment names its cause
+    // in the artifact instead of needing a reproduction.
+    val telemetry = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    def jvmGcMs: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+
     // Time the raw operator (Probe.benchRun) where the gate query wraps
     // it in a self-oracle audit — the audit's bounded exact-truth pass
     // would otherwise dominate and mask operator regressions.
     val benchBodies: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       graft.queries.Probes.all.map(p => p.name -> p.benchRun.getOrElse(p.run)).toMap
 
-    def exec(name: String): Double =
-      time(benchBodies(name)(spark, sfDir)
+    def exec(name: String): RunStats = {
+      telemetry.snapshotAndReset() // drop whatever bled in between queries
+      val gc0 = jvmGcMs
+      val sec = time(benchBodies(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
+      RunStats(sec, jvmGcMs - gc0, telemetry.snapshotAndReset())
+    }
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -100,13 +188,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     exec(names.head) // session warmup: JVM + codegen + parquet footer cache
 
-    // per-query block: one UNTIMED warm-up pass, then the timed runs —
-    // warm-up cost never enters the sample (see methodology above)
-    val samples: Map[String, Seq[Double]] =
+    // per-query block: one warm-up pass (recorded in telemetry, never
+    // in the timing sample), then the timed runs — warm-up cost never
+    // enters the sample (see methodology above)
+    val stats: Seq[(String, (RunStats, Seq[RunStats]))] =
       names.map { n =>
-        exec(n)
-        n -> (1 to iters).map(_ => exec(n))
-      }.toMap
+        val warm = exec(n)
+        n -> (warm, (1 to iters).map(_ => exec(n)))
+      }
+    val samples: Map[String, Seq[Double]] =
+      stats.map { case (n, (_, runs)) => n -> runs.map(_.sec) }.toMap
 
     // q40 phase split: train once per iteration, search against the
     // pre-trained centroids — median of each phase. A q40 failure must
@@ -183,11 +274,38 @@ object Bench {
     val overList = overBudget.map { case (k, v) =>
       "\"" + k + "\":" + sec(v)
     }.mkString("{", ",", "}")
+    // Per-run telemetry block: for EVERY query, each timed run's wall
+    // seconds, whole-JVM GC ms, task failures, stage retries, block
+    // removals, spill MiB, and task count (arrays aligned run-by-run),
+    // plus the untimed warm-up pass — the self-diagnosis the flap
+    // rounds lacked. A query over budget here now SHOWS whether the
+    // bad iteration burned GC, retried stages, lost blocks, spilled,
+    // or simply ran slow on a contended box (all counters zero).
+    def jl(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+    def jd(xs: Seq[Double]): String = xs.map(sec).mkString("[", ",", "]")
+    val telemetryFull = stats.map { case (n, (warm, runs)) =>
+      "\"" + n + "\":{" +
+        s""""warm_sec":${sec(warm.sec)},"warm_gc_ms":${warm.gcMs},""" +
+        s""""runs_sec":${jd(runs.map(_.sec))},""" +
+        s""""gc_ms":${jl(runs.map(_.gcMs))},""" +
+        s""""task_fail":${jl(runs.map(_.c.taskFail))},""" +
+        s""""stage_retry":${jl(runs.map(_.c.stageRetry))},""" +
+        s""""blocks_removed":${jl(runs.map(_.c.blocksRemoved))},""" +
+        s""""spill_mb":${jl(runs.map(_.c.spillBytes >> 20))},""" +
+        s""""tasks":${jl(runs.map(_.c.tasks))}}"""
+    }.mkString("{", ",", "}")
+    val allRuns = stats.flatMap { case (_, (w, rs)) => w +: rs }
+    val gcTotalMs = allRuns.map(_.gcMs).sum
+    val failTotal = allRuns.map(_.c.taskFail).sum
+    val retryTotal = allRuns.map(_.c.stageRetry).sum
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
         s""""iters":$iters,"n_queries":${medians.size},""" +
         s""""adverse":$adverse,"n_over_budget":$nOverBudget,""" +
+        s""""gc_total_ms":$gcTotalMs,"task_fail_total":$failTotal,""" +
+        s""""stage_retry_total":$retryTotal,""" +
         s""""over_budget":$overList,"queries":$qsFull,"spread":$spreadFull,""" +
+        s""""telemetry":$telemetryFull,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
@@ -206,9 +324,11 @@ object Bench {
         s""""iters":$iters,"n_queries":${medians.size},""" +
         s""""adverse":$adverse,""" +
         s""""n_failed":${failed.size},"n_over_budget":$nOverBudget,""" +
+        s""""gc_total_ms":$gcTotalMs,"task_fail_total":$failTotal,""" +
+        s""""stage_retry_total":$retryTotal,""" +
         s""""queries":$qsCompact,""" +
         s""""q40_split":{"train":${sec(q40Train)},"search":${sec(q40Search)}},""" +
-        s""""note":"queries = slowest 35 of ${medians.size}; full map in BENCH_FULL.json",""" +
+        s""""note":"queries = slowest 35 of ${medians.size}; full map+telemetry in BENCH_FULL.json",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -393,8 +393,9 @@ object Fusion {
     * duel-space. Each round is one join of the persisted games frame
     * with the player-sized strength frame + one map-side-combined sum +
     * a one-row max broadcast (the [[graft.operators.Graph]] edge-cache
-    * shape); state is one long per player, localCheckpoint'ed per round
-    * so lineage stays flat (the HITS 2^iters lesson).
+    * shape); state is one long per player, disk-checkpointed per round
+    * ([[Lifecycle.diskRound]]) so lineage stays flat (the HITS 2^iters
+    * lesson) and no round lives in non-recomputable evictable blocks.
     *
     * Output: `player`, `strength_micro` (leader = 10⁶), `wins`,
     * `games` LONG — total order by player.
@@ -437,13 +438,15 @@ object Fusion {
         .agg(coalesce(sum(expr(
           "(CAST(n AS DECIMAL(38,0)) * 1000000000000) DIV (__si + __sj)")),
           lit(0L)).as("__t"))
-      val raw = players
+      // per-round DISK state ([[Lifecycle.diskRound]] — flat lineage,
+      // recomputable from the scratch file; the localCheckpoint form
+      // flapped under driver-box memory pressure, r12 q253)
+      val raw = Lifecycle.diskRound(players
         .join(terms, col("player") === col("player2"))
         .select(col("player"), when(col("__t") > 0L, expr(
           "(CAST(wins AS DECIMAL(38,0)) * 1000000000000) DIV __t"))
-          .otherwise(0L).as("__raw"))
-        .localCheckpoint(true)
-      Lifecycle.releaseCheckpoint(duels.sparkSession, prevRaw)
+          .otherwise(0L).as("__raw")))
+      Lifecycle.releaseDiskRound(duels.sparkSession, prevRaw)
       prevRaw = raw
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       strength = raw.crossJoin(broadcast(mx))
@@ -460,7 +463,7 @@ object Fusion {
         col("games"))
       .orderBy(col("player"))
       .localCheckpoint(true)
-    Lifecycle.releaseCheckpoint(duels.sparkSession, prevRaw) // out consumed it
+    Lifecycle.releaseDiskRound(duels.sparkSession, prevRaw) // out consumed it
     Lifecycle.drainAndUnpersist(duels.sparkSession, games, players, d)
     out
   }

@@ -86,15 +86,16 @@ object Graph {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
 
-    // PER-ROUND eager materialization (the round-12 reproducibility
-    // fix): each round's rank frame — one long per vertex — is
-    // checkpointed before the next round's plan references it, so no
-    // plan anywhere composes more than ONE round of the recurrence.
-    // The single-composed-plan form this replaces was capable of the
-    // same wall time, but any straggler recompute (an evicted block
-    // under memory pressure, a raced fetch) re-ran the FULL
-    // multi-iteration lineage from the raw tables; with flat per-round
-    // lineage the worst recompute is one round over persisted statics.
+    // PER-ROUND eager materialization on RELIABLE storage (the
+    // round-13 substrate: [[Lifecycle.diskRound]]): each round's rank
+    // frame — one long per vertex — is written to parquet scratch
+    // before the next round's plan references it, so no plan anywhere
+    // composes more than ONE round of the recurrence AND no round's
+    // state lives in evictable, non-recomputable block-manager blocks
+    // (the localCheckpoint form this replaces flapped minutes-scale
+    // under driver-box memory pressure; a lost local-checkpoint block
+    // is a failed stage by construction, while a lost scan task here
+    // just re-reads the file).
     var ranks = vertices.withColumn("rank", lit(init))
     var i = 0
     while (i < iters) {
@@ -103,13 +104,12 @@ object Graph {
         .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
-      val next = vertices.join(sums, Seq("node"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
-      // the superseded round's checkpoint blocks are dead the moment
-      // `next` materializes — release them instead of parking iters ×
-      // O(V) block sets until the next ContextCleaner GC sweep
-      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+      val next = Lifecycle.diskRound(vertices.join(sums, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("rank")))
+      // the superseded round's scratch files are dead the moment
+      // `next` materializes — delete them instead of letting iters ×
+      // O(V) round files pile up in the scratch dir
+      Lifecycle.releaseDiskRound(edges.sparkSession, ranks)
       ranks = next
       i += 1
     }
@@ -227,13 +227,13 @@ object Graph {
           expr("(CAST(rank AS DECIMAL(38,0)) * __w) div __wt").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
-      // per-round checkpoint — flat lineage, bounded recompute (see
-      // [[pagerankMicro]]'s round-12 note); superseded round released
-      val next = vertices.join(sums, Seq("node"), "left")
+      // per-round DISK state — flat lineage, recomputable from the
+      // scratch file (see [[pagerankMicro]]'s round-13 note);
+      // superseded round's files deleted immediately
+      val next = Lifecycle.diskRound(vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
-      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank")))
+      Lifecycle.releaseDiskRound(edges.sparkSession, ranks)
       ranks = next
       i += 1
     }
@@ -296,14 +296,14 @@ object Graph {
         .select(col("dst").as("node"), expr("rank DIV __d").as("__c"))
       val sums = contribs.groupBy(col("node"))
         .agg(expr(s"($dampNum * sum(__c)) DIV $dampDen").as("__in"))
-      // per-round checkpoint — flat lineage, bounded recompute (see
-      // [[pagerankMicro]]'s round-12 note); superseded round released
-      val next = vertices.join(sums, Seq("node"), "left")
+      // per-round DISK state — flat lineage, recomputable from the
+      // scratch file (see [[pagerankMicro]]'s round-13 note);
+      // superseded round's files deleted immediately
+      val next = Lifecycle.diskRound(vertices.join(sums, Seq("node"), "left")
         .select(col("node"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L))
-            + coalesce(col("__in"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
-      Lifecycle.releaseCheckpoint(edges.sparkSession, ranks)
+            + coalesce(col("__in"), lit(0L))).as("rank")))
+      Lifecycle.releaseDiskRound(edges.sparkSession, ranks)
       ranks = next
       i += 1
     }
@@ -369,7 +369,7 @@ object Graph {
     // the loop can release a raw's blocks the moment the NEXT
     // half-round's checkpoint has consumed it
     def rescale(rawLazy: DataFrame): (DataFrame, DataFrame) = {
-      val raw = rawLazy.localCheckpoint(true)
+      val raw = Lifecycle.diskRound(rawLazy)
       val mx = raw.agg(max(col("__raw")).as("__mx"))
       (raw.crossJoin(broadcast(mx))
         .select(col("node2").as("node"),
@@ -390,12 +390,12 @@ object Graph {
       val (a, ra) = rescale(
         e.join(hubs, e("src") === hubs("node"))
           .groupBy(e("dst").as("node2")).agg(sum(col("score")).as("__raw")))
-      Lifecycle.releaseCheckpoint(spark, rawHub) // consumed into ra
+      Lifecycle.releaseDiskRound(spark, rawHub) // consumed into ra
       auths = a
       val (h, rh) = rescale(
         e.join(auths, e("dst") === auths("node"))
           .groupBy(e("src").as("node2")).agg(sum(col("score")).as("__raw")))
-      Lifecycle.releaseCheckpoint(spark, rawAuth) // consumed into rh
+      Lifecycle.releaseDiskRound(spark, rawAuth) // consumed into rh
       hubs = h
       rawAuth = ra; rawHub = rh
       i += 1
@@ -408,7 +408,7 @@ object Graph {
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
-    Lifecycle.releaseCheckpoint(spark, rawAuth, rawHub) // densify consumed them
+    Lifecycle.releaseDiskRound(spark, rawAuth, rawHub) // densify consumed them
     Lifecycle.drainAndUnpersist(spark, e, vertices)
     out
   }
@@ -462,14 +462,14 @@ object Graph {
       // absent from `winners` has in-degree 0, and a vote-less node can
       // never have left its initial label, so coalescing to `node` — not
       // to the previous label — is exact.
-      // per-round checkpoint — flat lineage, bounded recompute (see
-      // [[pagerankMicro]]'s round-12 note); the frame is one long per
-      // node, so the barrier costs O(V) storage per round, and the
-      // superseded round is released immediately
-      val next = vertices.join(winners, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
-        .localCheckpoint(true)
-      Lifecycle.releaseCheckpoint(edges.sparkSession, labels)
+      // per-round DISK state — flat lineage, recomputable from the
+      // scratch file (see [[pagerankMicro]]'s round-13 note); the
+      // frame is one long per node, so the barrier costs O(V) scratch
+      // bytes per round, and the superseded round's files are deleted
+      // immediately
+      val next = Lifecycle.diskRound(vertices.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("node")).as("label")))
+      Lifecycle.releaseDiskRound(edges.sparkSession, labels)
       labels = next
       i += 1
     }
@@ -637,11 +637,13 @@ object Graph {
     * Input: (id_a, id_b) pairs. Output: (id, component) for every
     * endpoint, component = min id reachable. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val init = pairs
+    // disk-backed (not localCheckpoint): `init` is read by EVERY
+    // round's convergence comparison and by the final node-set union —
+    // an evicted non-recomputable block here would fail the whole call
+    val init = Lifecycle.diskRound(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // large-star: symmetrize; per node u with neighborhood G(u),
     // m = min(G(u) ∪ {u}); emit (v, m) for v ∈ G(u), v > u
@@ -683,13 +685,13 @@ object Graph {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = Lifecycle.diskRound(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       // the superseded round is dead once `next` materialized — but
       // NEVER `init`, which the node-set union below still reads
       if (edges ne init)
-        Lifecycle.releaseCheckpoint(pairs.sparkSession, edges)
+        Lifecycle.releaseDiskRound(pairs.sparkSession, edges)
       edges = next
       sig = nextSig
       iter += 1
@@ -712,9 +714,20 @@ object Graph {
     * distance ≤ 2 — the neighborhood-size signal behind
     * friends-of-friends recommendations and influence/coverage
     * estimates (a node with modest degree but huge 2-hop reach borders
-    * a hub). Exact, via one wedge join: candidate volume is Σ deg²
-    * (the [[triangles]] budget — inherent to exact 2-hop; sketch with
-    * KMV per node if the graph's Σ deg² is prohibitive).
+    * a hub). Exact, on the [[triangles]] adjacency-array pattern: the
+    * inherent O(Σ deg²) candidate volume is done as in-row WORK over
+    * O(m) exchanged rows, never as wedge ROWS through a shuffle (the
+    * wedge-join form this replaces shuffled Σ deg² rows and the row
+    * overhead dominated — the q103 lesson applied to 2-hop).
+    *
+    * Shape: one adjacency-array aggregate (sorted-distinct neighbor
+    * ids per node), one O(m)-row join that ships each mid-node's array
+    * to its neighbors, then ONE mergeable distinct-union aggregate
+    * ([[graft.functions.Aggregators.bottomKDistinctMerge]] with k = ∞:
+    * sorted arrays merge linearly and dedup map-side). Per-node state
+    * is the node's true distance-≤2 set — exact 2-hop's inherent
+    * output cost; sketch with [[twoHopReachKmv]] when the graph's
+    * reach sets are prohibitive.
     *
     * Input edges are canonicalized (undirected, self-loops dropped,
     * dups collapsed). Output: `node`, `deg` LONG (direct neighbors),
@@ -730,18 +743,38 @@ object Graph {
       .distinct()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
-    val oneHop = adj
-    val twoHop = adj.select(col("u"), col("v").as("__mid"))
-      .join(adj.select(col("u").as("__mid"), col("v")), "__mid")
-      .filter(col("u") =!= col("v"))
-      .select(col("u"), col("v"))
-    val reach = oneHop.unionAll(twoHop).distinct()
-      .groupBy(col("u").as("node")).agg(count(lit(1)).as("reach2"))
-    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    deg.join(reach, "node")
+      .persist()
+    // neighbor ARRAYS, one sorted long array per node — edges are
+    // distinct so collect_list is duplicate-free; sorted for the merge
+    // aggregate's sorted-distinct input contract
+    val nbrs = adj.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v").cast("long"))).as("__nbrs"),
+        count(lit(1)).as("deg"))
+      .persist()
+    // ship each mid-node's array to its neighbors: O(m) rows through
+    // the exchange, each carrying ONE deg(mid)-long array
+    val shipped = adj.select(col("u"), col("v").as("__mid"))
+      .join(nbrs.select(col("u").as("__mid"), col("__nbrs")), "__mid")
+      .select(col("u"), col("__nbrs"))
+    // self is removed from every candidate array BEFORE the union
+    // (u ∈ N(mid) for every shipped mid; array_remove preserves sort
+    // order) — exact removal, mirroring the old `u ≠ v` wedge filter
+    val merge =
+      graft.functions.Aggregators.bottomKDistinctMerge(Int.MaxValue)
+    val reach = nbrs.select(col("u"), col("__nbrs")).unionAll(shipped)
+      .select(col("u"),
+        array_remove(col("__nbrs"), col("u").cast("long")).as("__nbrs"))
+      .groupBy(col("u"))
+      .agg(merge(col("__nbrs")).as("__set"))
+      .select(col("u").as("node"),
+        size(col("__set")).cast("long").as("reach2"))
+    val out = nbrs.select(col("u").as("node"), col("deg"))
+      .join(reach, "node")
       .select(col("node"), col("deg"), col("reach2"))
       .orderBy("node")
+      .localCheckpoint(true)
+    Lifecycle.drainAndUnpersist(edges.sparkSession, nbrs, adj)
+    out
   }
 
   /** KMV-sketched two-hop reach — the dense-graph fallback
@@ -780,9 +813,11 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
       .distinct()
-    val adj = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+    // disk-backed static ([[Lifecycle.diskRound]]): the returned frame
+    // reads it lazily, so it must be recomputable, not evictable
+    val adj = Lifecycle.diskRound(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
     // flipped hash: unsigned order as signed (the Sketches convention)
     def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       xxhash64(c).bitwiseXOR(lit(Long.MinValue))
@@ -857,9 +892,13 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
       .distinct()
-    val adj = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
+    // disk-backed statics/rounds ([[Lifecycle.diskRound]]): every
+    // round's sig frame stays LIVE in the lazy output (each hop's
+    // snapshot projects from its round), so nothing is released here —
+    // scratch files persist until the session's shutdown cleanup
+    val adj = Lifecycle.diskRound(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))))
     def fh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       xxhash64(c).bitwiseXOR(lit(Long.MinValue))
     val bk = graft.functions.Aggregators.bottomKDistinct(k)
@@ -877,9 +916,9 @@ object Graph {
     // no longer exists. Measured at sf0.1: 21.0 s cold / 10.3 s warm
     // (pinned cascade) → 7.2 s cold / 3.4 s warm (this shape).
     val bkm = graft.functions.Aggregators.bottomKDistinctMerge(k)
-    var sig = adj.select(col("u"), fh(col("v")).as("__h"))
-      .groupBy(col("u")).agg(bk(col("__h")).as("__sig"))
-      .localCheckpoint(true)
+    var sig = Lifecycle.diskRound(
+      adj.select(col("u"), fh(col("v")).as("__h"))
+        .groupBy(col("u")).agg(bk(col("__h")).as("__sig")))
     val hops = scala.collection.mutable.ArrayBuffer(snapshot(sig, 1))
     var t = 2
     while (t <= maxHops) {
@@ -891,11 +930,11 @@ object Graph {
       val shipped = adj.select(col("u"), col("v").as("__mid"))
         .join(sig.select(col("u").as("__mid"), col("__sig")), "__mid")
         .select(col("u"), col("__sig"))
-      sig = sig.select(col("u"), col("__sig")).unionAll(shipped)
-        .select(col("u"),
-          array_remove(col("__sig"), fh(col("u"))).as("__sig"))
-        .groupBy(col("u")).agg(bkm(col("__sig")).as("__sig"))
-        .localCheckpoint(true)
+      sig = Lifecycle.diskRound(
+        sig.select(col("u"), col("__sig")).unionAll(shipped)
+          .select(col("u"),
+            array_remove(col("__sig"), fh(col("u"))).as("__sig"))
+          .groupBy(col("u")).agg(bkm(col("__sig")).as("__sig")))
       hops += snapshot(sig, t)
       t += 1
     }
@@ -927,25 +966,23 @@ object Graph {
     def degrees(e: DataFrame): DataFrame = e
       .select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var e = edges
+    var e = Lifecycle.diskRound(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var nEdges = e.count()
     var i = 0
     var done = nEdges == 0L
     while (i < rounds && !done) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
-      val next = e
+      val next = Lifecycle.diskRound(e
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
-      // superseded round — dead once `next` materialized
-      Lifecycle.releaseCheckpoint(edges.sparkSession, e)
+        .select(col("a"), col("b")))
+      // superseded round — files dead once `next` materialized
+      Lifecycle.releaseDiskRound(edges.sparkSession, e)
       e = next
       val n = e.count()
       done = n == nEdges

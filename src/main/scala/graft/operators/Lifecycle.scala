@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Cache-release discipline for operators that persist static frames
   * for the duration of a call and release them before returning.
@@ -27,6 +28,101 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * running (the common case: one poll, no sleep).
   */
 private[graft] object Lifecycle {
+
+  // ------------------------------------------------------------------
+  // Disk-backed per-round state (the round-13 substrate change).
+  //
+  // The iterative operators used to park each round's state in the
+  // block manager via `localCheckpoint(true)`. Local-checkpoint blocks
+  // are NON-RECOMPUTABLE by construction — the lineage is truncated at
+  // the checkpoint, so a block lost to memory-pressure eviction churn
+  // or an executor death is a failed stage and a rerun job, not a
+  // recompute (Spark logs it as "lineage truncated, cannot be
+  // recomputed"). On a loaded box that turned seconds-scale graph
+  // recurrences into minute-scale flaps; at 1000-executor scale it is
+  // a job killer. [[diskRound]] replaces the substrate: each round is
+  // written ONCE to a session-scoped parquet scratch path and read
+  // back — the round frames are O(V) rows of longs, so the write is a
+  // fast narrow job, and the read-back plan is recomputable FOREVER
+  // (a lost scan task just re-reads the file). Superseded rounds are
+  // deleted promptly ([[releaseDiskRound]]); the FINAL round's files —
+  // which the returned frame still reads — live until the scratch
+  // root's shutdown-hook cleanup.
+  //
+  // Cluster posture: the default scratch root is `java.io.tmpdir`,
+  // correct for local[*] (one JVM, one filesystem). On a real cluster
+  // set `spark.graft.scratch.dir` to a path every executor can read
+  // (HDFS/S3), exactly as one would `sparkContext.setCheckpointDir` —
+  // the parquet write/read already goes through the Hadoop FS API, so
+  // no code changes.
+  // ------------------------------------------------------------------
+
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val roundIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session-scoped scratch root (qualified URI string), created on
+    * first use and best-effort deleted when the JVM exits. */
+  private def scratchRoot(spark: SparkSession): String =
+    scratchRoots.computeIfAbsent(spark.sparkContext.applicationId, _ => {
+      val configured = spark.conf.getOption("spark.graft.scratch.dir")
+        .getOrElse(new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-scratch-${spark.sparkContext.applicationId}")
+          .getAbsolutePath)
+      val p = new org.apache.hadoop.fs.Path(configured)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val q = fs.makeQualified(p)
+      fs.mkdirs(q)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try fs.delete(q, true)
+        catch { case _: Throwable => () }
+      }, "graft-scratch-cleanup"))
+      q.toString
+    })
+
+  /** Eagerly materialize a per-round frame to RELIABLE storage: one
+    * parquet write (the only computation of `df`'s plan) + a read-back
+    * whose scan is recomputable from disk — the eviction-proof
+    * replacement for `localCheckpoint(true)` in iterative recurrences.
+    * Lineage stays flat (the read-back plan is a file scan), and no
+    * block manager state is load-bearing for the next round. */
+  def diskRound(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val path = s"${scratchRoot(spark)}/round-${roundIds.incrementAndGet()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Delete the scratch files behind superseded [[diskRound]] frames —
+    * the disk twin of [[releaseCheckpoint]]. Only paths under this
+    * session's scratch root are ever touched (a caller accidentally
+    * passing a real table is a no-op), and a SHORT drain runs first so
+    * no straggling async-exchange task is mid-read when the file
+    * vanishes (a re-read retry after that would FileNotFound — the one
+    * non-recomputable window this substrate has, closed the same way
+    * the block release was). Null frames are skipped so first-round
+    * callers can pass their not-yet-disk-backed seed frame. */
+  def releaseDiskRound(spark: SparkSession, frames: DataFrame*): Unit = {
+    val real = frames.filter(_ != null)
+    if (real.isEmpty) return
+    val root = scratchRoot(spark)
+    drain(spark, timeoutMs = 250L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    real.foreach { df =>
+      try df.queryExecution.analyzed.foreach {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.foreach { p =>
+            if (p.toString.startsWith(root))
+              try p.getFileSystem(conf).delete(p, true)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+          case _ => ()
+        }
+        case _ => ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Unpersist `frames` once the session's in-flight jobs have drained
     * (bounded wait), so no straggler task can observe the blocks
@@ -72,11 +168,18 @@ private[graft] object Lifecycle {
     * weight that at scale evicts live caches. Best-effort by design:
     * drains first (a local-checkpoint block loss is NOT recomputable,
     * so no straggler may be mid-read), and falls back to the
-    * ContextCleaner when the plan is not the expected checkpoint shape. */
+    * ContextCleaner when the plan is not the expected checkpoint shape.
+    *
+    * The drain here is SHORT (250 ms, vs [[drainAndUnpersist]]'s 10 s):
+    * this runs once per LOOP ROUND of the iterative operators, and on a
+    * busy shared session whose tracker never empties a 10 s bounded
+    * wait per round would turn a seconds-scale N-round operator into
+    * minutes of idling. The long timeout stays reserved for the one
+    * final drain before the statics release. */
   def releaseCheckpoint(spark: SparkSession, frames: DataFrame*): Unit = {
     val real = frames.filter(_ != null)
     if (real.isEmpty) return
-    drain(spark)
+    drain(spark, timeoutMs = 250L)
     real.foreach { df =>
       // deliberately ONLY the root-is-checkpoint shape: traversing the
       // tree for checkpoint LEAVES could release a caller-owned

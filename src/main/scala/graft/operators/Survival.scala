@@ -53,9 +53,12 @@ object Survival {
         coalesce(sum(when(!col("__o"), 1L).otherwise(0L)), lit(0L))
           .as("n_censored"))
     // ONE range exchange carries every cumulative this estimator needs
-    val parted = perT.repartitionByRange(col("__d"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // staged on DISK ([[Lifecycle.diskRound]]): the returned plan reads
+    // this frame lazily through several windows — it must be
+    // recomputable (a re-readable file), not an evictable
+    // non-recomputable local-checkpoint block (the r12 q293 flap)
+    val parted = Lifecycle.diskRound(perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id()))
     val wRun = Window.partitionBy(col("__pid")).orderBy(col("__d"))
     val wBefore = wRun.rowsBetween(Window.unboundedPreceding, -1)
     val wIncl = wRun.rowsBetween(Window.unboundedPreceding,
@@ -150,9 +153,12 @@ object Survival {
           .as("n_events"),
         coalesce(sum(when(!col("__o"), 1L).otherwise(0L)), lit(0L))
           .as("n_censored"))
-    val parted = perT.repartitionByRange(col("__d"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // staged on DISK ([[Lifecycle.diskRound]]): the returned plan reads
+    // this frame lazily through several windows — it must be
+    // recomputable (a re-readable file), not an evictable
+    // non-recomputable local-checkpoint block (the r12 q293 flap)
+    val parted = Lifecycle.diskRound(perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id()))
     val wRun = Window.partitionBy(col("__pid")).orderBy(col("__d"))
     val wBefore = wRun.rowsBetween(Window.unboundedPreceding, -1)
     val wIncl = wRun.rowsBetween(Window.unboundedPreceding,
@@ -242,9 +248,12 @@ object Survival {
           lit(0L)).as("__d2"),
         coalesce(sum(when(!col("__a") && !col("__o"), 1L).otherwise(0L)),
           lit(0L)).as("__c2"))
-    val parted = perT.repartitionByRange(col("__d"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // staged on DISK ([[Lifecycle.diskRound]]): the returned plan reads
+    // this frame lazily through several windows — it must be
+    // recomputable (a re-readable file), not an evictable
+    // non-recomputable local-checkpoint block (the r12 q293 flap)
+    val parted = Lifecycle.diskRound(perT.repartitionByRange(col("__d"))
+      .withColumn("__pid", spark_partition_id()))
     val wBefore = Window.partitionBy(col("__pid")).orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy(col("__pid"))

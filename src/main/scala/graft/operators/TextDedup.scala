@@ -344,39 +344,42 @@ object TextDedup {
     * C never collided directly. Iterative min-label propagation: every
     * node's component label drops to the smallest label among itself and
     * its neighbors, repeated to a fixpoint. One equi-join + one partial
-    * aggregate per round, labels localCheckpoint'ed so the plan never
+    * aggregate per round, labels disk-checkpointed per round
+    * ([[graft.operators.Lifecycle.diskRound]]) so the plan never
     * accumulates lineage; rounds needed = component diameter, and
     * near-dup clusters are short chains in practice (`maxIter` guards the
     * pathological case — a loud error beats a silent wrong cluster).
     * Output: (id, component) for every id present in `pairs`, component =
     * min id reachable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true) // reused every round: materialize once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    // disk-backed statics/rounds ([[Lifecycle.diskRound]]): reused
+    // every round, so they must be recomputable (re-readable files),
+    // never evictable non-recomputable local-checkpoint blocks
+    val edges = Lifecycle.diskRound(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()) // reused every round: materialize once
+    var labels = Lifecycle.diskRound(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
 
     // one round: labels' comp drops to min over itself + neighbors; the
     // OLD label rides along so convergence is a filter over the already
-    // materialized result, not another join. Each round's checkpoint
-    // truncates lineage; superseded rounds' blocks are reclaimed by the
-    // context cleaner as their references drop, and the label set is
-    // O(|docs in ≥1 pair|) — small next to the corpus — so peak storage
+    // materialized result, not another join. Each round's disk
+    // checkpoint truncates lineage; superseded rounds' scratch files
+    // are deleted as the loop advances, and the label set is
+    // O(|docs in ≥1 pair|) — small next to the corpus — so peak scratch
     // across rounds stays modest.
     def propagate(cur: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(cur.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("nbr_comp"))
-      cur.select(col("id"), col("comp").as("old"))
+      Lifecycle.diskRound(cur.select(col("id"), col("comp").as("old"))
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr_comp"), col("old"))).as("comp"),
-          col("old"))
-        .localCheckpoint(true)
+          col("old")))
     }
 
     var iter = 0
@@ -388,7 +391,7 @@ object TextDedup {
     while (!converged && iter < maxIter) {
       val next = propagate(labels)
       converged = next.filter(col("comp") =!= col("old")).count() == 0L
-      Lifecycle.releaseCheckpoint(pairs.sparkSession, labelsCkpt)
+      Lifecycle.releaseDiskRound(pairs.sparkSession, labelsCkpt)
       labelsCkpt = next
       labels = next.select("id", "comp")
       iter += 1

@@ -999,10 +999,16 @@ object DeltaLake {
       // live writer streams task files into nested _temporary dirs, so
       // gating on it alone could sweep an in-flight stage mid-write
       val cutoff = System.currentTimeMillis() - debrisMs
+      // a concurrent writer can FINISH (and delete its staging dir)
+      // between our listing and the recursive descent — a vanished
+      // subtree is treated as young/skippable, never an abort (the
+      // next vacuum sees the final state)
       def treeHasYoung(st: org.apache.hadoop.fs.FileStatus): Boolean =
         st.getModificationTime >= cutoff ||
-          (st.isDirectory &&
-            f.listStatus(st.getPath).exists(treeHasYoung))
+          (st.isDirectory && {
+            try f.listStatus(st.getPath).exists(treeHasYoung)
+            catch { case _: java.io.FileNotFoundException => true }
+          })
       f.listStatus(root).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(".stage-") && !treeHasYoung(st))
         .foreach(st => f.delete(st.getPath, true))

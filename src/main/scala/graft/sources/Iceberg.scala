@@ -28,10 +28,14 @@ import org.apache.spark.sql.types._
   *    snapshot's manifest list → manifests → live data files, and
   *    reconstructs the table as a DataFrame under the Iceberg schema.
   *    Snapshot and timestamp travel ride the same path
-  *    ([[Iceberg.readSnapshot]], [[Iceberg.snapshotAtTime]]).
+  *    ([[Iceberg.readSnapshot]], [[Iceberg.snapshotAtTime]]), each
+  *    snapshot resolving under its own schema-id when recorded. v2
+  *    merge-on-read POSITION deletes are applied at scan time as a
+  *    distributed anti-join on (`_metadata.file_path`,
+  *    `_metadata.row_index`) — the common modern-writer shape.
   *    Unsupported constructs fail LOUDLY, never return wrong rows:
-  *    format-version 3+, row-level delete files (v2 merge-on-read),
-  *    non-parquet data files, unknown schema types.
+  *    format-version 3+, EQUALITY delete files, non-parquet data
+  *    files, unknown schema types.
   *  - '''publish''': [[Iceberg.publish]] makes an existing
   *    [[TxnParquet.TxnParquetSink]] table ALSO a valid Iceberg table by
   *    synthesizing `metadata/` at the same root from the live manifest —
@@ -72,7 +76,9 @@ object Iceberg {
   // ------------------------------------------------------------- metadata
 
   /** Parsed table metadata (one `vN.metadata.json`). `snapshots` maps
-    * snapshot-id → (timestamp-ms, manifest-list path). */
+    * snapshot-id → (timestamp-ms, manifest-list path, schema-id);
+    * `schemasById` carries EVERY retained schema so time travel can
+    * resolve a snapshot under the schema it was committed with. */
   final case class TableMeta(
       version: Int,
       formatVersion: Int,
@@ -82,10 +88,12 @@ object Iceberg {
       schemaJson: JsonNode,
       lastColumnId: Int,
       currentSnapshotId: Option[Long],
-      snapshots: Seq[SnapshotRef])
+      snapshots: Seq[SnapshotRef],
+      schemasById: Map[Int, StructType])
 
   final case class SnapshotRef(snapshotId: Long, timestampMs: Long,
-                               manifestList: String)
+                               manifestList: String,
+                               schemaId: Option[Int])
 
   private def fs(spark: SparkSession, path: String): (FileSystem, Path) =
     FsUtil.fs(spark, path)
@@ -130,11 +138,19 @@ object Iceberg {
           .getOrElse(throw new IllegalStateException(
             s"Iceberg: current-schema-id $cur not found in schemas[]"))
       } else n.get("schema")
+    // every retained schema, by id — snapshot reads resolve through
+    // this so a post-evolution time travel keeps its OWN shape
+    val schemasById: Map[Int, StructType] =
+      Option(n.get("schemas")).filter(!_.isNull).map {
+        _.elements().asScala.map(s =>
+          s.get("schema-id").asInt() -> structFromIceberg(s)).toMap
+      }.getOrElse(Map.empty)
     val snaps = Option(n.get("snapshots")).filter(!_.isNull).map {
       _.elements().asScala.map { s =>
         SnapshotRef(s.get("snapshot-id").asLong(),
           s.get("timestamp-ms").asLong(),
-          s.get("manifest-list").asText())
+          s.get("manifest-list").asText(),
+          Option(s.get("schema-id")).filter(!_.isNull).map(_.asInt()))
       }.toSeq
     }.getOrElse(Nil)
     val curSnap = Option(n.get("current-snapshot-id")).filter(!_.isNull)
@@ -144,7 +160,7 @@ object Iceberg {
         .getOrElse(""), // optional in format v1
       n.get("location").asText(),
       structFromIceberg(schemaNode), schemaNode,
-      n.get("last-column-id").asInt(), curSnap, snaps)
+      n.get("last-column-id").asInt(), curSnap, snaps, schemasById)
   }
 
   /** The current Iceberg schema as a Spark StructType. */
@@ -236,6 +252,18 @@ object Iceberg {
     root
   }
 
+  /** Recursively drop StructField metadata so schema equality is
+    * structural (name, type, nullability) — see the publish
+    * idempotence check. */
+  private def stripFieldMetadata(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, stripFieldMetadata(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = stripFieldMetadata(a.elementType))
+    case m: MapType => m.copy(keyType = stripFieldMetadata(m.keyType),
+      valueType = stripFieldMetadata(m.valueType))
+    case other => other
+  }
+
   // --------------------------------------------------------- avro replay
 
   /** Decode every record of an Avro container file into GenericRecords
@@ -261,36 +289,61 @@ object Iceberg {
     else Option(r.get(field)).map(_.asInstanceOf[Number].longValue())
       .getOrElse(dflt)
 
-  /** A snapshot's live data-file paths (absolute), via manifest list →
-    * manifests. Rejects loudly anything a naive scan would silently get
-    * wrong: delete manifests / delete files (v2 merge-on-read rows must
-    * be suppressed, which this reader does not do), non-parquet files. */
+  /** A snapshot's live file sets (absolute paths), via manifest list →
+    * manifests: data files plus v2 POSITION-delete files (applied at
+    * scan time by [[readSnapshot]]'s anti-join). Rejects loudly what a
+    * naive scan would silently get wrong: EQUALITY-delete files (their
+    * application needs the delete rows' full-column semantics plus
+    * sequence-number ordering) and non-parquet files. */
+  private final case class SnapshotFiles(data: Seq[String],
+                                         posDeletes: Seq[String])
+
   private def liveFiles(spark: SparkSession, root: Path, f: FileSystem,
-                        snap: SnapshotRef): Seq[String] = {
+                        snap: SnapshotRef): SnapshotFiles = {
     val mlPath = resolve(root, snap.manifestList)
     val manifests = readAvro(f, mlPath)
-    manifests.flatMap { m =>
-      val content = longOr(m, "content", 0L)
-      require(content == 0L,
-        s"Iceberg: snapshot ${snap.snapshotId} carries a DELETE manifest " +
-          s"(${str(m, "manifest_path")}) — v2 merge-on-read tables are not " +
-          "supported; compact/rewrite the table to positional-delete-free form")
+    val data = mutable.ArrayBuffer.empty[String]
+    val posDel = mutable.ArrayBuffer.empty[String]
+    manifests.foreach { m =>
+      // manifest-list content: 0 = data manifest, 1 = delete manifest
       val entries = readAvro(f, resolve(root, str(m, "manifest_path")))
-      entries.flatMap { e =>
+      entries.foreach { e =>
         val status = e.get("status").asInstanceOf[Number].intValue()
-        if (status == 2) None // DELETED in this snapshot
-        else {
+        if (status != 2) { // 2 = DELETED in this snapshot
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(longOr(df, "content", 0L) == 0L,
-            "Iceberg: data_file entry is a delete file — unsupported")
           val fmt = str(df, "file_format")
           require(fmt != null && fmt.equalsIgnoreCase("parquet"),
             s"Iceberg: data file format '$fmt' is not supported (parquet only)")
-          Some(resolve(root, str(df, "file_path")).toString)
+          val path = resolve(root, str(df, "file_path")).toString
+          // data_file content: 0 = data, 1 = position deletes,
+          // 2 = equality deletes
+          longOr(df, "content", 0L) match {
+            case 0L => data += path
+            case 1L => posDel += path
+            case 2L => throw new IllegalArgumentException(
+              s"Iceberg: snapshot ${snap.snapshotId} carries an EQUALITY " +
+                s"delete file ($path) — not supported; rewrite the table " +
+                "to position-delete or copy-on-write form")
+            case other => throw new IllegalArgumentException(
+              s"Iceberg: unknown data_file content $other in $path")
+          }
         }
       }
     }
+    SnapshotFiles(data.toSeq, posDel.toSeq)
   }
+
+  /** Canonicalize a file URI for position-delete matching: delete files
+    * record the data file's path AS THE WRITER SPELLED IT, while
+    * Spark's `_metadata.file_path` reports the qualified URI — the two
+    * can differ only in scheme spelling (`file:/x` vs `file:///x`).
+    * Stripping the scheme and collapsing the authority slashes gives
+    * one canonical form on both sides (both inputs name the same
+    * filesystem — a snapshot's files live on one store). */
+  private def canonPath(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Manifest/data paths may be absolute URIs (what Iceberg writers
     * produce) or table-relative (tolerated for relocated tables). */
@@ -314,7 +367,24 @@ object Iceberg {
   }
 
   /** Time travel: the table as of snapshot `snapshotId` (must still be
-    * listed in the current metadata — expired snapshots fail loudly). */
+    * listed in the current metadata — expired snapshots fail loudly).
+    *
+    * The snapshot resolves under ITS OWN schema when the metadata
+    * records a per-snapshot `schema-id` (Iceberg time-travel
+    * semantics: a post-evolution read of an old snapshot keeps the old
+    * shape), falling back to the current schema for v1 logs that never
+    * recorded one — this publisher never evolves schema ids, so the
+    * fallback only ever fires on foreign tables that predate the
+    * field.
+    *
+    * v2 merge-on-read: POSITION deletes (`file_path`, `pos`) are
+    * applied at scan time as a distributed anti-join of the data scan
+    * (extended with the parquet source's `_metadata.file_path` /
+    * `_metadata.row_index` columns) against the delete-file rows — the
+    * deletes frame stays a DataFrame end to end, so a snapshot with
+    * millions of deleted positions never lands on the driver, and AQE
+    * broadcasts it when it is small (the common case). Equality
+    * deletes stay a loud rejection. */
   def readSnapshot(spark: SparkSession, root: String,
                    snapshotId: Long): DataFrame = {
     val (f, r) = fs(spark, root)
@@ -324,10 +394,27 @@ object Iceberg {
       throw new IllegalStateException(
         s"Iceberg: snapshot $snapshotId not in retained history at $root " +
           s"(have ${meta.snapshots.map(_.snapshotId).mkString(", ")})"))
+    val schema = snap.schemaId.flatMap(meta.schemasById.get)
+      .getOrElse(meta.schema)
     val files = liveFiles(spark, r, f, snap)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(files: _*)
+    if (files.data.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val base = spark.read.schema(schema).parquet(files.data: _*)
+      if (files.posDeletes.isEmpty) base
+      else {
+        import org.apache.spark.sql.functions.col
+        val cols = schema.fieldNames.map(col).toSeq
+        val withPos = base
+          .withColumn("__ice_path", canonPath(col("_metadata.file_path")))
+          .withColumn("__ice_pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(files.posDeletes: _*)
+          .select(canonPath(col("file_path")).as("__ice_path"),
+            col("pos").cast("long").as("__ice_pos"))
+        withPos.join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
+          .select(cols: _*)
+      }
+    }
   }
 
   /** `TIMESTAMP AS OF` resolution: the newest snapshot whose committed
@@ -423,13 +510,21 @@ object Iceberg {
       spark.read.parquet(liveDirs.map(r => s"$txnPath/$r"): _*).schema)
 
     val cur = currentMeta(spark, txnPath)
-    val curFiles: Option[Seq[String]] = cur.flatMap { meta =>
+    val curFiles: Option[SnapshotFiles] = cur.flatMap { meta =>
       meta.currentSnapshotId.flatMap(id =>
         meta.snapshots.find(_.snapshotId == id))
-        .map(s => liveFiles(spark, root, f, s).sorted)
+        .map(s => liveFiles(spark, root, f, s))
     }
-    val schemaChanged = !cur.exists(_.schema.json == schema.json)
-    if (cur.isDefined && curFiles.contains(live.map(_._1)) && !schemaChanged)
+    // STRUCTURAL schema compare (names/types/nullability), not raw
+    // StructType.json equality: the Iceberg JSON round-trip drops
+    // StructField metadata, so a source schema carrying any metadata
+    // would otherwise read back "changed" forever and every publish of
+    // an unchanged table would commit a spurious snapshot
+    val schemaChanged = !cur.exists(m =>
+      stripFieldMetadata(m.schema) == stripFieldMetadata(schema))
+    val filesUnchanged = curFiles.exists(sf =>
+      sf.posDeletes.isEmpty && sf.data.sorted == live.map(_._1))
+    if (cur.isDefined && filesUnchanged && !schemaChanged)
       return cur.get.version
 
     val md = new Path(root, MetaDir)
@@ -502,7 +597,25 @@ object Iceberg {
     meta.set[JsonNode]("partition-specs", specs)
     meta.put("default-spec-id", 0)
     meta.put("last-partition-id", 999)
-    meta.set[JsonNode]("properties", mapper.createObjectNode())
+    // schema.name-mapping.default: the data files are pre-existing
+    // parquet WITHOUT Iceberg field ids (publish moves no data), and
+    // the spec's column-projection rule says a spec-compliant reader
+    // resolves id-less files through the table's name mapping — without
+    // it, engines that don't fall back to positional ids (e.g. Trino)
+    // would project every column as NULL. Maps each column name to the
+    // field id icebergSchemaJson assigned it (sequential, 1-based).
+    val props = mapper.createObjectNode()
+    val nameMapping = mapper.createArrayNode()
+    schema.fields.zipWithIndex.foreach { case (fld, i) =>
+      val e = mapper.createObjectNode()
+      e.put("field-id", i + 1)
+      val names = mapper.createArrayNode(); names.add(fld.name)
+      e.set[JsonNode]("names", names)
+      nameMapping.add(e)
+    }
+    props.put("schema.name-mapping.default",
+      mapper.writeValueAsString(nameMapping))
+    meta.set[JsonNode]("properties", props)
     meta.put("current-snapshot-id", snapId)
     val snaps = mapper.createArrayNode()
     def snapNode(s: SnapshotRef): ObjectNode = {
@@ -510,13 +623,14 @@ object Iceberg {
       sn.put("snapshot-id", s.snapshotId)
       sn.put("timestamp-ms", s.timestampMs)
       sn.put("manifest-list", s.manifestList)
+      s.schemaId.foreach(id => sn.put("schema-id", id))
       val sm = mapper.createObjectNode(); sm.put("operation", "overwrite")
       sn.set[JsonNode]("summary", sm)
       sn
     }
     cur.toSeq.flatMap(_.snapshots).foreach(s => snaps.add(snapNode(s)))
     snaps.add(snapNode(SnapshotRef(snapId, nowMs,
-      s"$qualifiedRoot/$MetaDir/${mlPath.getName}")))
+      s"$qualifiedRoot/$MetaDir/${mlPath.getName}", schemaId = Some(0))))
     meta.set[JsonNode]("snapshots", snaps)
     val slog = mapper.createArrayNode()
     cur.toSeq.flatMap(_.snapshots).foreach { s =>
@@ -544,6 +658,178 @@ object Iceberg {
     }
     // version-hint is a HINT (readers fall back to listing); last write
     // wins is acceptable by the HadoopTables convention
+    val hint = new Path(md, VersionHint)
+    val ho = f.create(hint, true)
+    try ho.write(nextV.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally ho.close()
+    nextV
+  }
+
+  // ---------------------------------- v2 merge-on-read fixture (interop)
+
+  // v2 twins of the v1 writer schemas: the manifest-list record grows
+  // `content` (0 = data, 1 = deletes) and the manifest entry's
+  // data_file grows `content` (0 = data, 1 = position deletes).
+  private val ManifestFileSchemaV2 = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+      |{"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+      |{"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+      |{"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
+      |]}""".stripMargin.replace("\n", ""))
+
+  private val ManifestEntrySchemaV2 = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin.replace("\n", ""))
+
+  /** FOREIGN-WRITER FIXTURE: graft a v2 position-delete commit onto an
+    * existing table, synthesizing exactly the artifacts a modern engine
+    * writer (Flink, Spark+Iceberg ≥ 3.4 defaults) leaves behind — a
+    * position-delete parquet file (`file_path` STRING, `pos` LONG), its
+    * delete manifest, a manifest list carrying the existing data
+    * manifests plus the delete manifest, and a new format-version-2
+    * metadata version. Exists so the spec and the q317 probe can
+    * exercise [[readSnapshot]]'s merge-on-read replay without the
+    * Iceberg runtime on the classpath; it is NOT part of the publish
+    * surface (this library's own commits stay copy-on-write).
+    * `deletes` = (absolute data-file path as spelled in the manifest,
+    * 0-based row position). Returns the new metadata version. */
+  private[graft] def stageForeignPositionDeletes(
+      spark: SparkSession, root: String,
+      deletes: Seq[(String, Long)]): Int = {
+    require(deletes.nonEmpty, "stageForeignPositionDeletes: empty delete set")
+    val (f, r) = fs(spark, root)
+    val qualifiedRoot = f.makeQualified(r)
+    val cur = currentMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+    val curSnap = cur.currentSnapshotId
+      .flatMap(id => cur.snapshots.find(_.snapshotId == id)).getOrElse(
+        throw new IllegalStateException(
+          s"Iceberg: no current snapshot to delete from at $root"))
+    val md = new Path(r, MetaDir)
+    val uid = java.util.UUID.randomUUID().toString
+    val snapId = cur.snapshots.map(_.snapshotId).max + 1L
+    val nowMs = System.currentTimeMillis()
+
+    // 1. the position-delete parquet file (written by Spark, moved to a
+    // stable name — the manifest records the final absolute path)
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val stage = new Path(r, s".delstage-$uid")
+    spark.createDataFrame(
+        deletes.map { case (p, pos) => Row(p, pos) }.asJava, delSchema)
+      .coalesce(1).write.parquet(stage.toString)
+    val part = f.listStatus(stage).toSeq.map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"Iceberg fixture: no parquet part written under $stage"))
+    val delFile = new Path(r, s"delete-$uid.parquet")
+    require(f.rename(part, delFile),
+      s"Iceberg fixture: rename $part -> $delFile failed")
+    f.delete(stage, true)
+    val delLen = f.getFileStatus(delFile).getLen
+
+    // 2. the delete manifest (one entry, data_file content = 1)
+    val dfr = new GenericData.Record(
+      ManifestEntrySchemaV2.getField("data_file").schema())
+    dfr.put("content", 1)
+    dfr.put("file_path", f.makeQualified(delFile).toString)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("partition", new GenericData.Record(
+      dfr.getSchema.getField("partition").schema()))
+    dfr.put("record_count", deletes.size.toLong)
+    dfr.put("file_size_in_bytes", delLen)
+    val entry = new GenericData.Record(ManifestEntrySchemaV2)
+    entry.put("status", 1)
+    entry.put("snapshot_id", snapId)
+    entry.put("data_file", dfr)
+    val delManifest = new Path(md, s"manifest-$uid-deletes.avro")
+    val delManifestLen = writeAvro(f, delManifest, ManifestEntrySchemaV2,
+      Map("schema" -> mapper.writeValueAsString(cur.schemaJson),
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "deletes"), Seq(entry))
+
+    // 3. the manifest list: existing data manifests carried over
+    // (content preserved) + the new delete manifest
+    val carried = readAvro(f, resolve(r, curSnap.manifestList)).map { m =>
+      val rec = new GenericData.Record(ManifestFileSchemaV2)
+      rec.put("manifest_path", str(m, "manifest_path"))
+      rec.put("manifest_length", longOr(m, "manifest_length", 0L))
+      rec.put("partition_spec_id",
+        longOr(m, "partition_spec_id", 0L).toInt)
+      rec.put("content", longOr(m, "content", 0L).toInt)
+      rec.put("added_snapshot_id", longOr(m, "added_snapshot_id", snapId))
+      rec
+    }
+    val delMf = new GenericData.Record(ManifestFileSchemaV2)
+    delMf.put("manifest_path",
+      s"$qualifiedRoot/$MetaDir/${delManifest.getName}")
+    delMf.put("manifest_length", delManifestLen)
+    delMf.put("partition_spec_id", 0)
+    delMf.put("content", 1)
+    delMf.put("added_snapshot_id", snapId)
+    val mlPath = new Path(md, s"snap-$snapId-$uid.avro")
+    writeAvro(f, mlPath, ManifestFileSchemaV2,
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "2"),
+      carried :+ delMf)
+
+    // 4. new metadata version: the old tree upgraded to format v2 with
+    // the new snapshot appended and made current
+    val p = new Path(md, s"v${cur.version}.metadata.json")
+    val tree = mapper.readTree(slurp(f, p)).asInstanceOf[ObjectNode]
+    tree.put("format-version", 2)
+    tree.put("last-sequence-number", 1)
+    tree.put("last-updated-ms", nowMs)
+    tree.put("current-snapshot-id", snapId)
+    if (!tree.hasNonNull("sort-orders")) {
+      val so = mapper.createObjectNode()
+      so.put("order-id", 0)
+      so.set[JsonNode]("fields", mapper.createArrayNode())
+      val sos = mapper.createArrayNode(); sos.add(so)
+      tree.set[JsonNode]("sort-orders", sos)
+      tree.put("default-sort-order-id", 0)
+    }
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", 1)
+    sn.put("timestamp-ms", nowMs)
+    sn.put("manifest-list", s"$qualifiedRoot/$MetaDir/${mlPath.getName}")
+    curSnap.schemaId.foreach(id => sn.put("schema-id", id))
+    val sm = mapper.createObjectNode(); sm.put("operation", "delete")
+    sn.set[JsonNode]("summary", sm)
+    tree.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(sn)
+    val sl = mapper.createObjectNode()
+    sl.put("timestamp-ms", nowMs); sl.put("snapshot-id", snapId)
+    tree.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .add(sl)
+
+    val nextV = cur.version + 1
+    val tmp = new Path(md, s".tmp-$uid.metadata.json")
+    val out = f.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(tree)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!AtomicFs.putIfAbsent(f, tmp, new Path(md, s"v$nextV.metadata.json")))
+      throw new IllegalStateException(
+        s"Iceberg fixture: concurrent commit at $root (v$nextV exists)")
     val hint = new Path(md, VersionHint)
     val ho = f.create(hint, true)
     try ho.write(nextV.toString.getBytes(

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.{Schema => AvroSchema}
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -108,7 +110,7 @@ class IcebergSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("concurrent commit"))
   }
 
-  test("reader rejects format-version 3, delete manifests, delete files, non-parquet") {
+  test("reader rejects format-version 3 and equality-delete files loudly") {
     val dir = tmp("iceberg_reject")
     val txn = TxnParquetSink(dir, tsCol = "dt")
     txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
@@ -126,7 +128,35 @@ class IcebergSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("format-version 3"))
     assert(new java.io.File(md, "v2.metadata.json").delete())
 
-    // a v2-style DELETE manifest in the manifest list → loud
+    // an EQUALITY-delete manifest entry (data_file content = 2) → loud.
+    // Position deletes are APPLIED since round 13 (see the
+    // merge-on-read test below); equality deletes stay a rejection.
+    val entrySchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val dfr = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfr.put("content", 2) // EQUALITY deletes
+    dfr.put("file_path", s"$dir/eq-del.parquet")
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 1L)
+    dfr.put("file_size_in_bytes", 1L)
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("data_file", dfr)
+    val eqManifest = new java.io.File(md, "manifest-eqdel.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, eqManifest)
+    w.append(entry); w.close()
+
     val mlName = md.listFiles().map(_.getName).filter(_.startsWith("snap-")).head
     val v2MlSchema = new AvroSchema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
@@ -137,8 +167,8 @@ class IcebergSpec extends AnyFunSuite {
         |{"name":"added_snapshot_id","type":["null","long"],"default":null}
         |]}""".stripMargin.replace("\n", ""))
     val delMf = new GenericData.Record(v2MlSchema)
-    delMf.put("manifest_path", s"$dir/metadata/does-not-matter.avro")
-    delMf.put("manifest_length", 0L)
+    delMf.put("manifest_path", eqManifest.getAbsolutePath)
+    delMf.put("manifest_length", eqManifest.length())
     delMf.put("partition_spec_id", 0)
     delMf.put("content", 1) // DELETES manifest
     delMf.put("added_snapshot_id", 1L)
@@ -148,14 +178,76 @@ class IcebergSpec extends AnyFunSuite {
     // stale .crc sidecar or the re-written bytes fail checksum, masking
     // the rejection under test
     new java.io.File(md, s".$mlName.crc").delete()
-    val w = new DataFileWriter[GenericRecord](
+    val w2 = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](v2MlSchema))
-    w.create(v2MlSchema, mlFile)
-    w.append(delMf); w.close()
+    w2.create(v2MlSchema, mlFile)
+    w2.append(delMf); w2.close()
     val e2 = intercept[IllegalArgumentException] {
       Iceberg.readTable(spark, dir).collect()
     }
-    assert(e2.getMessage.contains("DELETE manifest"))
+    assert(e2.getMessage.contains("EQUALITY"))
+  }
+
+  test("v2 merge-on-read: position deletes are applied at scan time; old snapshot stays whole") {
+    val dir = tmp("iceberg_posdel")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0),
+      (3, "2024-01-02 10:00:00", 3.0), (4, "2024-01-02 11:00:00", 4.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+
+    // find the physical (file, pos) of the k ∈ {2, 3} rows — the
+    // fixture deletes by position, exactly like a foreign v2 writer
+    val meta = Iceberg.currentMeta(spark, dir).get
+    val full = Iceberg.readTable(spark, dir)
+    val withPos = full
+      .withColumn("__p", col("_metadata.file_path"))
+      .withColumn("__i", col("_metadata.row_index"))
+      .filter(col("k").isin(2, 3))
+      .select("__p", "__i").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(withPos.size === 2)
+    val v2 = Iceberg.stageForeignPositionDeletes(spark, dir, withPos)
+    assert(v2 === 2)
+
+    // current read suppresses exactly the deleted positions
+    assert(asSet(Iceberg.readTable(spark, dir).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (4, "2024-01-02 11:00:00", 4.0)))
+    // metadata is now v2 with two snapshots; the PRE-delete snapshot
+    // still reads whole (time travel unaffected by later deletes)
+    val m2 = Iceberg.currentMeta(spark, dir).get
+    assert(m2.formatVersion === 2)
+    val firstSnap = m2.snapshots.map(_.snapshotId).min
+    assert(Iceberg.readSnapshot(spark, dir, firstSnap).count() === 4L)
+    // a publish on top of a deletes-bearing snapshot is NOT treated as
+    // idempotent (the data-file set alone no longer describes the
+    // table): it commits a fresh copy-on-write snapshot of the live
+    // TxnParquet rows — which still include the k ∈ {2,3} rows, since
+    // the deletes exist only on the Iceberg side
+    val v3 = Iceberg.publish(spark, dir)
+    assert(v3 === 3)
+    assert(Iceberg.readTable(spark, dir).count() === 4L)
+    assert(meta.formatVersion === 1)
+  }
+
+  test("publish writes a schema.name-mapping.default property (id-less parquet interop)") {
+    val dir = tmp("iceberg_namemap")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq((1, "2024-01-01 10:00:00", 1.0))))
+    Iceberg.publish(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(new java.io.File(dir, "metadata/v1.metadata.json"))
+    val nm = tree.get("properties").get("schema.name-mapping.default")
+    assert(nm != null, "name mapping property missing")
+    val arr = mapper.readTree(nm.asText())
+    val byName = arr.elements().asScala.toSeq
+      .map(e => e.get("names").get(0).asText() -> e.get("field-id").asInt())
+      .toMap
+    // ids must match the schema's sequential assignment
+    val schemaIds = tree.get("schema").get("fields").elements().asScala.toSeq
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    assert(byName === schemaIds)
+    assert(byName.keySet.contains("k") && byName.keySet.contains("v"))
   }
 
   test("schema json mapping: every spec type lands on the right Spark type; unknown is loud") {
