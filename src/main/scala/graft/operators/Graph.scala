@@ -720,14 +720,16 @@ object Graph {
     * wedge-join form this replaces shuffled Σ deg² rows and the row
     * overhead dominated — the q103 lesson applied to 2-hop).
     *
-    * Shape: one adjacency-array aggregate (sorted-distinct neighbor
-    * ids per node), one O(m)-row join that ships each mid-node's array
-    * to its neighbors, then ONE mergeable distinct-union aggregate
-    * ([[graft.functions.Aggregators.bottomKDistinctMerge]] with k = ∞:
-    * sorted arrays merge linearly and dedup map-side). Per-node state
-    * is the node's true distance-≤2 set — exact 2-hop's inherent
-    * output cost; sketch with [[twoHopReachKmv]] when the graph's
-    * reach sets are prohibitive.
+    * Shape: one adjacency-array aggregate (sorted neighbor ids per
+    * node), one O(m)-row join that ships each mid-node's array to its
+    * neighbors, then ONE distinct-union aggregate per node
+    * (`array_distinct(flatten(collect_list(...)))` — concat partials,
+    * one hash-dedup at finish; measured ~40% faster than a
+    * dedup-in-buffer sorted-merge Aggregator on this graph, whose
+    * per-row merges cost more than the dup volume they saved).
+    * Per-node state is the node's true distance-≤2 set — exact
+    * 2-hop's inherent output cost; sketch with [[twoHopReachKmv]]
+    * when the graph's reach sets are prohibitive.
     *
     * Input edges are canonicalized (undirected, self-loops dropped,
     * dups collapsed). Output: `node`, `deg` LONG (direct neighbors),
@@ -757,17 +759,15 @@ object Graph {
       .join(nbrs.select(col("u").as("__mid"), col("__nbrs")), "__mid")
       .select(col("u"), col("__nbrs"))
     // self is removed from every candidate array BEFORE the union
-    // (u ∈ N(mid) for every shipped mid; array_remove preserves sort
-    // order) — exact removal, mirroring the old `u ≠ v` wedge filter
-    val merge =
-      graft.functions.Aggregators.bottomKDistinctMerge(Int.MaxValue)
+    // (u ∈ N(mid) for every shipped mid) — exact removal, mirroring
+    // the old `u ≠ v` wedge filter
     val reach = nbrs.select(col("u"), col("__nbrs")).unionAll(shipped)
       .select(col("u"),
         array_remove(col("__nbrs"), col("u").cast("long")).as("__nbrs"))
       .groupBy(col("u"))
-      .agg(merge(col("__nbrs")).as("__set"))
-      .select(col("u").as("node"),
-        size(col("__set")).cast("long").as("reach2"))
+      .agg(size(array_distinct(flatten(collect_list(col("__nbrs")))))
+        .cast("long").as("reach2"))
+      .select(col("u").as("node"), col("reach2"))
     val out = nbrs.select(col("u").as("node"), col("deg"))
       .join(reach, "node")
       .select(col("node"), col("deg"), col("reach2"))

@@ -12338,6 +12338,54 @@ object Probes {
            |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Iceberg v2 MERGE-ON-READ (read side): a published table onto
+    * which a foreign writer grafts a position-delete commit
+    * (`Iceberg.stageForeignPositionDeletes` synthesizes exactly the
+    * artifacts Flink / Spark+Iceberg ≥3.4 leave behind: the delete
+    * parquet, its delete manifest, a v2 manifest list + metadata).
+    * The read must suppress EXACTLY the deleted (file, pos) rows via
+    * the scan-time anti-join on `_metadata`. The deleted positions are
+    * chosen by predicate (o_orderkey % 10 = 0) so DuckDB can replay
+    * the expected relation without knowing physical row order. */
+  val icebergPosDeleteProbe = Probe(
+    "q317_iceberg_pos_delete",
+    (s, d) => {
+      import graft.sources.{Iceberg, TxnParquet}
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q317_target")
+      val txn = TxnParquet.TxnParquetSink(dir, tsCol = "dt")
+      txn.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice")))
+      Iceberg.publish(s, dir) // snapshot 1: copy-on-write base
+      // the foreign writer deletes the %10 rows BY POSITION — resolve
+      // their physical (file, pos) through the same parquet metadata
+      // columns the reader will anti-join on (bounded collect: the
+      // delete set, the thing a delete commit materializes anyway).
+      // An EMPTY table reads back as a file-less frame with no
+      // `_metadata` column — nothing to delete there.
+      val base = Iceberg.readTable(s, dir)
+      val delPos =
+        if (base.isEmpty) Seq.empty[(String, Long)]
+        else base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("_metadata.file_path"), col("_metadata.row_index"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (delPos.nonEmpty) // empty corpus: nothing to delete, stay v1
+        Iceberg.stageForeignPositionDeletes(s, dir, delPos)
+      Iceberg.readTable(s, dir).drop("p_date")
+        .select(col("o_orderkey"), col("dt"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |  round(o_totalprice, 2) AS o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** Native `VERSION AS OF` time travel on the Delta-protocol sink:
     * version 0 (the pre-merge base) pinned while version 1 diverges —
     * the same contract as q308 on TxnParquet, through the SAME parser
@@ -12558,7 +12606,8 @@ object Probes {
     sqlTimeTravelProbe,
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
     deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe,
-    sqlMergeUnmatchedOnlyProbe, icebergPublishProbe
+    sqlMergeUnmatchedOnlyProbe, icebergPublishProbe,
+    icebergPosDeleteProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -660,6 +660,64 @@ object ScaleSweep {
           noop(graft.operators.Survival.kaplanMeier(subjects,
             col("dur_h"), col("observed")))
         },
+        // duels collapse ONCE to pair space; per round one games⋈strength
+        // join + map-side sums + a one-row max broadcast, per-round state
+        // on disk scratch (the q253 shape — flap set, swept post-rework)
+        "bradley_terry_3it" -> { () =>
+          val duelLi = li.select(col("l_orderkey").as("ok"),
+            col("l_linenumber").as("ln"), (col("l_suppkey") % 16).as("pl"),
+            col("l_extendedprice").as("px"))
+          val b = duelLi.select(col("ok").as("ok2"), col("ln").as("ln2"),
+            col("pl").as("pl2"), col("px").as("px2"))
+          val duels = duelLi.join(b,
+              col("ok") === col("ok2") && col("ln2") === col("ln") + 1)
+            .filter(col("pl") =!= col("pl2"))
+            .select(
+              when(col("px") < col("px2") ||
+                (col("px") === col("px2") && col("pl") < col("pl2")),
+                col("pl")).otherwise(col("pl2")).as("w"),
+              when(col("px") < col("px2") ||
+                (col("px") === col("px2") && col("pl") < col("pl2")),
+                col("pl2")).otherwise(col("pl")).as("l"))
+          noop(graft.operators.Fusion.bradleyTerry(duels,
+            col("w"), col("l"), iters = 3))
+        },
+        // KM's range-exchange staging + a (duration, type) cells agg
+        // joined back on the steps frame (the q293 shape — flap set,
+        // swept post-rework)
+        "cumulative_incidence" -> { () =>
+          val evt = ev.filter(col("user_id").isNotNull &&
+              col("ts").isNotNull)
+            .select(col("user_id"), unix_micros(col("ts")).as("__t"),
+              col("event_type"))
+          val firsts = evt.groupBy(col("user_id"))
+            .agg(min(col("__t")).as("__f"))
+          def firstOf(t: String, out: String) =
+            evt.filter(col("event_type") === t)
+              .groupBy(col("user_id")).agg(min(col("__t")).as(out))
+          val subjects = firsts
+            .join(firstOf("error", "__te"), Seq("user_id"), "left_outer")
+            .join(firstOf("purchase", "__tp"), Seq("user_id"), "left_outer")
+            .select(
+              when(col("__te").isNotNull &&
+                expr("(__te - __f) DIV 3600000000") < 24L,
+                expr("(__te - __f) DIV 3600000000")).as("__eh"),
+              when(col("__tp").isNotNull &&
+                expr("(__tp - __f) DIV 3600000000") < 24L,
+                expr("(__tp - __f) DIV 3600000000")).as("__ph"))
+            .select(
+              when(col("__eh").isNotNull &&
+                  (col("__ph").isNull || col("__eh") <= col("__ph")),
+                col("__eh"))
+                .when(col("__ph").isNotNull, col("__ph"))
+                .otherwise(lit(24L)).as("dur_h"),
+              when(col("__eh").isNotNull &&
+                  (col("__ph").isNull || col("__eh") <= col("__ph")),
+                lit("error"))
+                .when(col("__ph").isNotNull, lit("purchase")).as("ev"))
+          noop(graft.operators.Survival.cumulativeIncidence(subjects,
+            col("dur_h"), col("ev")))
+        },
         // |vocab| shuffle + ONE one-row f1/f2 aggregate
         "richness" -> (() => noop(
           CorpusStats.richness(docs))),
