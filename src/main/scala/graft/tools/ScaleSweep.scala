@@ -969,14 +969,29 @@ object ScaleSweep {
         "triples" -> (() => noop(
           graft.operators.Assoc.tripleCounts(ev, col("user_id"),
             col("event_type"), minCount = 2L))),
-        // two_hop_reach (exact) is NOT swept: replication densifies the
-        // co-purchase graph, so Σ deg² (the inherent exact-2-hop
-        // budget) grows quadratically with the replica count — the
-        // sweep would time the graph's density, not the plan; see
-        // SCALING.md's margin-kNN note for the same treatment.
-        // The KMV-sketched fallback IS sweepable — its budget is
-        // O(edges·k) sketch rows, immune to the deg² densification
-        // that disqualifies the exact operator:
+        // two_hop_reach (exact) on NAIVELY replicated data would time
+        // the graph's density, not the plan: only l_orderkey shifts
+        // per replica, so replicas share part nodes and Σ deg² (the
+        // inherent exact-2-hop budget) grows QUADRATICALLY with the
+        // replica count. Shifting the part side by the replica id
+        // (recovered as o DIV KEY_OFF) makes each replica a DISJOINT
+        // copy of the base graph — 16× data = 16× identical graphs =
+        // the honest linear-scaling test for the plan itself:
+        "two_hop_exact_disjoint" -> { () =>
+          val op = li.select(col("l_orderkey").as("o"),
+              (col("l_partkey") +
+                expr(s"(l_orderkey DIV ${KEY_OFF}L) * ${KEY_OFF}L"))
+                .as("p")).distinct()
+          val o2 = op.select(col("o"), col("p").as("p2"))
+          val edges = op.join(o2, "o").filter(col("p") < col("p2"))
+            .groupBy(col("p").as("src"), col("p2").as("dst"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2L)
+            .select(col("src"), col("dst"))
+          noop(Graph.twoHopReach(edges))
+        },
+        // The KMV-sketched fallback IS sweepable on the densifying
+        // replication too — its budget is O(edges·k) sketch rows,
+        // immune to the deg² densification:
         "two_hop_kmv" -> { () =>
           val op = li.select(col("l_orderkey").as("o"),
             col("l_partkey").as("p")).distinct()
