@@ -147,6 +147,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected candidate-stream dedup aggregate:\n$p")
   }
 
+  test("q183: exact two-hop ships neighbor ARRAYS, never wedge rows through an exchange") {
+    // twoHopReach eagerly materializes (its executed plan is the
+    // checkpoint barrier), so the guard mirrors its internal reach
+    // shape — adjacency arrays, the O(m)-row array-shipping join, and
+    // ONE distinct-union aggregate — kept in sync with Graph.scala by
+    // hand. The r12 wedge form joined adj⋈adj and shipped Σ deg² rows;
+    // its signature in the plan was a row-exploding join ABOVE the
+    // reach aggregate. Here the aggregate consumes array rows and no
+    // Generate/explode sits on the reach path at all.
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.lineitem(spark, SharedSpark.sf0001)
+      .select(col("l_suppkey").as("a"), col("l_partkey").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val nbrs = adj.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v").cast("long"))).as("__nbrs"))
+    val shipped = adj.select(col("u"), col("v").as("__mid"))
+      .join(nbrs.select(col("u").as("__mid"), col("__nbrs")), "__mid")
+      .select(col("u"), col("__nbrs"))
+    val reach = nbrs.select(col("u"), col("__nbrs")).unionAll(shipped)
+      .select(col("u"),
+        array_remove(col("__nbrs"), col("u").cast("long")).as("__nbrs"))
+      .groupBy(col("u"))
+      .agg(size(array_distinct(flatten(collect_list(col("__nbrs")))))
+        .cast("long").as("reach2"))
+    val p = reach.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(!p.contains("Generate"),
+      s"no explode may sit on the exact-reach path (wedge-row regression):\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the distinct-union must plan as ObjectHashAggregate partials:\n$p")
+  }
+
   test("q196: KMV two-hop plans sketch-sized — mergeable bottom-k agg, no wedge cross join") {
     val p = planOf("q196_two_hop_kmv")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
