@@ -12386,6 +12386,43 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Iceberg PARTITION-PRUNED read: publish declares the p_date
+    * identity spec and per-file partition tuples (the TxnParquet
+    * layout holds one date per file, so each tuple is true by
+    * construction), and `readTableForDates` prunes the file list
+    * driver-side from the KB manifests BEFORE Spark lists anything —
+    * the Iceberg pruning story a 100 TB table lives on (a 10-day read
+    * of a 30-day table plans a third of the files). Row-level filter
+    * applies regardless, so DuckDB replays the relation as a plain
+    * BETWEEN. */
+  val icebergPrunedReadProbe = Probe(
+    "q318_iceberg_pruned_read",
+    (s, d) => {
+      import graft.sources.{Iceberg, TxnParquet}
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q318_target")
+      val txn = TxnParquet.TxnParquetSink(dir, tsCol = "dt")
+      txn.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice")))
+      Iceberg.publish(s, dir)
+      Iceberg.readTableForDates(s, dir, "2024-01-06", "2024-01-15")
+        .drop("p_date")
+        .select(col("o_orderkey"), col("dt"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |  round(o_totalprice, 2) AS o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0
+           |  AND DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER)
+           |    BETWEEN DATE '2024-01-06' AND DATE '2024-01-15'
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** Native `VERSION AS OF` time travel on the Delta-protocol sink:
     * version 0 (the pre-merge base) pinned while version 1 diverges —
     * the same contract as q308 on TxnParquet, through the SAME parser
@@ -12607,7 +12644,7 @@ object Probes {
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
     deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe,
     sqlMergeUnmatchedOnlyProbe, icebergPublishProbe,
-    icebergPosDeleteProbe
+    icebergPosDeleteProbe, icebergPrunedReadProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -295,14 +295,20 @@ object Iceberg {
     * naive scan would silently get wrong: EQUALITY-delete files (their
     * application needs the delete rows' full-column semantics plus
     * sequence-number ordering) and non-parquet files. */
-  private final case class SnapshotFiles(data: Seq[String],
+  /** One live data file: its path and, when the manifest carried a
+    * `p_date` partition tuple, that value — `pDate` outer None = no
+    * partition info (never prune), inner None = null date. */
+  private final case class DataFileRef(path: String,
+                                       pDate: Option[Option[Int]])
+
+  private final case class SnapshotFiles(data: Seq[DataFileRef],
                                          posDeletes: Seq[String])
 
   private def liveFiles(spark: SparkSession, root: Path, f: FileSystem,
                         snap: SnapshotRef): SnapshotFiles = {
     val mlPath = resolve(root, snap.manifestList)
     val manifests = readAvro(f, mlPath)
-    val data = mutable.ArrayBuffer.empty[String]
+    val data = mutable.ArrayBuffer.empty[DataFileRef]
     val posDel = mutable.ArrayBuffer.empty[String]
     manifests.foreach { m =>
       // manifest-list content: 0 = data manifest, 1 = delete manifest
@@ -318,7 +324,7 @@ object Iceberg {
           // data_file content: 0 = data, 1 = position deletes,
           // 2 = equality deletes
           longOr(df, "content", 0L) match {
-            case 0L => data += path
+            case 0L => data += DataFileRef(path, pDateOf(df))
             case 1L => posDel += path
             case 2L => throw new IllegalArgumentException(
               s"Iceberg: snapshot ${snap.snapshotId} carries an EQUALITY " +
@@ -331,6 +337,17 @@ object Iceberg {
       }
     }
     SnapshotFiles(data.toSeq, posDel.toSeq)
+  }
+
+  /** The `p_date` identity-partition value of a manifest data_file
+    * record, when present (days since epoch; inner None = null). */
+  private def pDateOf(df: GenericRecord): Option[Option[Int]] = {
+    val pf = df.getSchema.getField("partition")
+    if (pf == null) return None
+    val part = df.get("partition").asInstanceOf[GenericRecord]
+    if (part == null || part.getSchema.getField("p_date") == null) None
+    else Some(Option(part.get("p_date"))
+      .map(_.asInstanceOf[Number].intValue()))
   }
 
   /** Canonicalize a file URI for position-delete matching: delete files
@@ -397,24 +414,91 @@ object Iceberg {
     val schema = snap.schemaId.flatMap(meta.schemasById.get)
       .getOrElse(meta.schema)
     val files = liveFiles(spark, r, f, snap)
-    if (files.data.isEmpty)
+    assemble(spark, schema, files.data.map(_.path), files.posDeletes)
+  }
+
+  /** Build the snapshot DataFrame from resolved file sets: the data
+    * scan, with position deletes anti-joined out when present. */
+  private def assemble(spark: SparkSession, schema: StructType,
+                       dataPaths: Seq[String],
+                       posDeletes: Seq[String]): DataFrame = {
+    if (dataPaths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      val base = spark.read.schema(schema).parquet(files.data: _*)
-      if (files.posDeletes.isEmpty) base
+      val base = spark.read.schema(schema).parquet(dataPaths: _*)
+      if (posDeletes.isEmpty) base
       else {
         import org.apache.spark.sql.functions.col
         val cols = schema.fieldNames.map(col).toSeq
         val withPos = base
           .withColumn("__ice_path", canonPath(col("_metadata.file_path")))
           .withColumn("__ice_pos", col("_metadata.row_index"))
-        val dels = spark.read.parquet(files.posDeletes: _*)
+        val dels = spark.read.parquet(posDeletes: _*)
           .select(canonPath(col("file_path")).as("__ice_path"),
             col("pos").cast("long").as("__ice_pos"))
         withPos.join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
           .select(cols: _*)
       }
     }
+  }
+
+  /** Date-pruned read of the current snapshot: `p_date BETWEEN minDate
+    * AND maxDate` (inclusive ISO dates), with the FILE LIST pruned
+    * driver-side from the manifests' identity-partition tuples before
+    * Spark ever lists or opens data — the Iceberg metadata pruning
+    * story at work (a one-day read of a year-long table plans 1/365th
+    * of the files). Files without partition info are kept (no false
+    * pruning on foreign/legacy manifests); files with a NULL partition
+    * date are pruned (BETWEEN never selects NULL). The row-level
+    * filter is applied regardless, so the result is exactly the
+    * filtered relation even when pruning was impossible. Position
+    * deletes apply as in [[readSnapshot]]. */
+  def readTableForDates(spark: SparkSession, root: String,
+                        minDate: String, maxDate: String): DataFrame = {
+    val (f, r) = fs(spark, root)
+    val meta = currentMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+    require(meta.schema.fieldNames.contains("p_date"),
+      s"Iceberg.readTableForDates: table at $root has no p_date column")
+    val lo = java.time.LocalDate.parse(minDate).toEpochDay.toInt
+    val hi = java.time.LocalDate.parse(maxDate).toEpochDay.toInt
+    require(lo <= hi, s"empty date range: $minDate > $maxDate")
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = col("p_date").between(
+      lit(minDate).cast("date"), lit(maxDate).cast("date"))
+    meta.currentSnapshotId match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], meta.schema).filter(pred)
+      case Some(id) =>
+        val snap = meta.snapshots.find(_.snapshotId == id).get
+        val files = liveFiles(spark, r, f, snap)
+        val kept = files.data.filter(d => d.pDate match {
+          case None => true // no partition info — never prune
+          case Some(None) => false // NULL date can't satisfy BETWEEN
+          case Some(Some(days)) => days >= lo && days <= hi
+        })
+        assemble(spark, meta.schema, kept.map(_.path), files.posDeletes)
+          .filter(pred)
+    }
+  }
+
+  /** Does metadata version `v` at `root` declare the p_date identity
+    * partition spec? (Publish never EVOLVES a spec — an existing
+    * unpartitioned table stays unpartitioned.) */
+  private def specIsPartitioned(spark: SparkSession, root: String,
+                                v: Int): Boolean = {
+    val (f, r) = fs(spark, root)
+    val p = new Path(new Path(r, MetaDir), s"v$v.metadata.json")
+    if (!f.exists(p)) return false
+    val n = mapper.readTree(slurp(f, p))
+    Option(n.get("partition-specs")).filter(!_.isNull)
+      .flatMap(_.elements().asScala.find(s =>
+        s.get("spec-id").asInt() == Option(n.get("default-spec-id"))
+          .map(_.asInt()).getOrElse(0)))
+      .map(_.get("fields").size() > 0)
+      .orElse(Option(n.get("partition-spec")).filter(!_.isNull)
+        .map(_.size() > 0))
+      .getOrElse(false)
   }
 
   /** `TIMESTAMP AS OF` resolution: the newest snapshot whose committed
@@ -458,6 +542,28 @@ object Iceberg {
       |{"name":"block_size_in_bytes","type":"long","field-id":105}
       |]}}]}""".stripMargin.replace("\n", ""))
 
+  // Partitioned twin: the data_file.partition record carries the
+  // identity-transformed `p_date` value (Iceberg date = int days since
+  // epoch; field-id 1000 matches the metadata's partition-spec), so
+  // spec-compliant engines prune manifest entries by date without
+  // touching data files. TxnParquet's layout guarantees the invariant
+  // a partition tuple asserts — every row of a chunk's `p_dir=<date>`
+  // file carries exactly that p_date.
+  private val ManifestEntrySchemaPart = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
+      |{"name":"p_date","type":["null",{"type":"int","logicalType":"date"}],"default":null,"field-id":1000}
+      |]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"block_size_in_bytes","type":"long","field-id":105}
+      |]}}]}""".stripMargin.replace("\n", ""))
+
   private def writeAvro(f: FileSystem, p: Path, schema: AvroSchema,
                         meta: Map[String, String],
                         rows: Seq[GenericRecord]): Long = {
@@ -473,13 +579,21 @@ object Iceberg {
 
   /** Make the TxnParquet table at `txnPath` ALSO a valid Iceberg v1
     * table by synthesizing `metadata/` at the same root from its live
-    * manifest — metadata only, zero data movement (the export is an
-    * unpartitioned table; chunk files carry `p_date` as a data column).
-    * Idempotent: re-publishing an unchanged file set commits nothing.
-    * Returns the metadata version now live. Mirrors
-    * [[DeltaLake.publish]]; the two logs coexist at one root.
-    * `preCommit` is a test seam modeling a concurrent publisher landing
-    * between snapshot read and metadata publication. */
+    * manifest — metadata only, zero data movement. The export is
+    * PARTITIONED on `p_date` (identity transform) when the committed
+    * schema carries it as a DATE: the TxnParquet layout already holds
+    * exactly one date per file, so each manifest entry's partition
+    * tuple is true by construction and spec-compliant engines (and
+    * [[readTableForDates]]) prune by date from the KB-sized manifests
+    * without touching data. An EXISTING table published unpartitioned
+    * by an earlier version keeps its empty spec — partition-spec
+    * EVOLUTION is out of scope, and silently redefining spec-id 0
+    * would contradict the old snapshots' manifests. Idempotent:
+    * re-publishing an unchanged file set commits nothing. Returns the
+    * metadata version now live. Mirrors [[DeltaLake.publish]]; the two
+    * logs coexist at one root. `preCommit` is a test seam modeling a
+    * concurrent publisher landing between snapshot read and metadata
+    * publication. */
   def publish(spark: SparkSession, txnPath: String,
               preCommit: () => Unit = () => ()): Int = {
     val m = TxnParquet.currentManifest(spark, txnPath).getOrElse(
@@ -488,24 +602,28 @@ object Iceberg {
     val (f, root) = fs(spark, txnPath)
     val qualifiedRoot = f.makeQualified(root)
     val liveDirs = m._2.values.toSeq.distinct
-    // (absolute path, byte size, exact row count). Row counts come from
-    // the parquet FOOTERS (driver-side, one KB-read per live file,
-    // bounded by the sink's chunk counts) because real Iceberg engines
-    // trust `record_count` for stats and count(*) shortcuts — writing a
-    // wrong value would corrupt THEIR results, not just ours.
-    val live: Seq[(String, Long, Long)] = liveDirs.flatMap { rel =>
-      val dir = new Path(root, rel)
-      if (!f.exists(dir)) Nil
-      else f.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              st.getPath, f.getConf))
-          val rows = try rd.getRecordCount finally rd.close()
-          (s"$qualifiedRoot/$rel/${st.getPath.getName}", st.getLen, rows)
-        }
-    }.sortBy(_._1)
+    // (absolute path, byte size, exact row count, dateKey). Row counts
+    // come from the parquet FOOTERS (driver-side, one KB-read per live
+    // file, bounded by the sink's chunk counts) because real Iceberg
+    // engines trust `record_count` for stats and count(*) shortcuts —
+    // writing a wrong value would corrupt THEIR results, not just
+    // ours. The dateKey rides along from the TxnParquet manifest (one
+    // date per live dir) to become the file's partition tuple.
+    val live: Seq[(String, Long, Long, String)] =
+      m._2.toSeq.flatMap { case (dateKey, rel) =>
+        val dir = new Path(root, rel)
+        if (!f.exists(dir)) Nil
+        else f.listStatus(dir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                st.getPath, f.getConf))
+            val rows = try rd.getRecordCount finally rd.close()
+            (s"$qualifiedRoot/$rel/${st.getPath.getName}", st.getLen, rows,
+              dateKey)
+          }
+      }.sortBy(_._1)
     val schema = m._3.getOrElse(
       spark.read.parquet(liveDirs.map(r => s"$txnPath/$r"): _*).schema)
 
@@ -523,7 +641,7 @@ object Iceberg {
     val schemaChanged = !cur.exists(m =>
       stripFieldMetadata(m.schema) == stripFieldMetadata(schema))
     val filesUnchanged = curFiles.exists(sf =>
-      sf.posDeletes.isEmpty && sf.data.sorted == live.map(_._1))
+      sf.posDeletes.isEmpty && sf.data.map(_.path).sorted == live.map(_._1))
     if (cur.isDefined && filesUnchanged && !schemaChanged)
       return cur.get.version
 
@@ -534,18 +652,36 @@ object Iceberg {
     val nowMs = System.currentTimeMillis()
     val uid = java.util.UUID.randomUUID().toString
 
+    // partition on p_date when the schema carries it as a DATE — but
+    // NEVER redefine an existing table's spec (see scaladoc): a table
+    // first published unpartitioned stays unpartitioned
+    val pDateIdx = schema.fields.indexWhere(fl =>
+      fl.name == "p_date" && fl.dataType == DateType)
+    val partitioned = pDateIdx >= 0 &&
+      cur.forall(c => specIsPartitioned(spark, txnPath, c.version))
+    val entrySchema =
+      if (partitioned) ManifestEntrySchemaPart else ManifestEntrySchema
+    val specFieldsJson =
+      if (partitioned)
+        s"""[{"name":"p_date","transform":"identity","source-id":${pDateIdx + 1},"field-id":1000}]"""
+      else "[]"
+
     // 1. ONE manifest for the whole live set (self-contained snapshot)
-    val entries = live.map { case (path, size, rows) =>
+    val entries = live.map { case (path, size, rows, dateKey) =>
       val dfr = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       dfr.put("file_path", path)
       dfr.put("file_format", "PARQUET")
-      dfr.put("partition", new GenericData.Record(
-        dfr.getSchema.getField("partition").schema()))
+      val part = new GenericData.Record(
+        dfr.getSchema.getField("partition").schema())
+      if (partitioned && dateKey != "null")
+        part.put("p_date", java.time.LocalDate.parse(dateKey)
+          .toEpochDay.toInt)
+      dfr.put("partition", part)
       dfr.put("record_count", rows)
       dfr.put("file_size_in_bytes", size)
       dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
-      val e = new GenericData.Record(ManifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED (self-contained snapshot)
       e.put("snapshot_id", snapId)
       e.put("data_file", dfr)
@@ -553,9 +689,9 @@ object Iceberg {
     }
     val schemaJson = icebergSchemaJson(schema)
     val manifestPath = new Path(md, s"manifest-$uid.avro")
-    val manifestLen = writeAvro(f, manifestPath, ManifestEntrySchema,
+    val manifestLen = writeAvro(f, manifestPath, entrySchema,
       Map("schema" -> mapper.writeValueAsString(schemaJson),
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> specFieldsJson, "partition-spec-id" -> "0",
         "format-version" -> "1", "content" -> "data"), entries)
 
     // 2. the snapshot's manifest list
@@ -589,14 +725,17 @@ object Iceberg {
     val schemas = mapper.createArrayNode(); schemas.add(schemaJson)
     meta.set[JsonNode]("schemas", schemas)
     meta.put("current-schema-id", 0)
+    val specFields = mapper.readTree(specFieldsJson)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
-    spec.set[JsonNode]("fields", mapper.createArrayNode())
-    meta.set[JsonNode]("partition-spec", mapper.createArrayNode())
+    spec.set[JsonNode]("fields", specFields)
+    // v1 legacy key carries the same fields; v2-era readers use
+    // partition-specs/default-spec-id
+    meta.set[JsonNode]("partition-spec", mapper.readTree(specFieldsJson))
     val specs = mapper.createArrayNode(); specs.add(spec)
     meta.set[JsonNode]("partition-specs", specs)
     meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999)
+    meta.put("last-partition-id", if (partitioned) 1000 else 999)
     // schema.name-mapping.default: the data files are pre-existing
     // parquet WITHOUT Iceberg field ids (publish moves no data), and
     // the spec's column-projection rule says a spec-compliant reader

@@ -230,6 +230,61 @@ class IcebergSpec extends AnyFunSuite {
     assert(meta.formatVersion === 1)
   }
 
+  test("partitioned publish: p_date identity spec, manifest tuples, date-pruned read") {
+    val dir = tmp("iceberg_part")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0),
+      (3, "2024-01-03 10:00:00", 3.0), (4, "2024-01-03 11:00:00", 4.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    // the metadata declares the identity spec on p_date with the
+    // schema's field id as source-id and partition field-id 1000
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(
+      new java.io.File(dir, "metadata/v1.metadata.json"))
+    val fields = tree.get("partition-specs").get(0).get("fields")
+    assert(fields.size() === 1)
+    assert(fields.get(0).get("name").asText() === "p_date")
+    assert(fields.get(0).get("transform").asText() === "identity")
+    assert(fields.get(0).get("field-id").asInt() === 1000)
+    val srcId = tree.get("schema").get("fields").elements().asScala
+      .find(_.get("name").asText() == "p_date").get.get("id").asInt()
+    assert(fields.get(0).get("source-id").asInt() === srcId)
+    // pruned read = filtered relation, over FEWER files (driver-side
+    // manifest pruning, before Spark lists anything)
+    val full = Iceberg.readTable(spark, dir)
+    val pruned = Iceberg.readTableForDates(spark, dir,
+      "2024-01-03", "2024-01-03")
+    assert(asSet(pruned.drop("p_date")) === Set(
+      (3, "2024-01-03 10:00:00", 3.0), (4, "2024-01-03 11:00:00", 4.0)))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruning must plan fewer files (${pruned.inputFiles.length} vs " +
+        s"${full.inputFiles.length})")
+    // spec NEVER evolves: a table whose committed metadata declares an
+    // EMPTY spec (published by an earlier version) stays unpartitioned
+    // on republish
+    val v1File = new java.io.File(dir, "metadata/v1.metadata.json")
+    val edited = mapper.readTree(v1File)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    edited.set[com.fasterxml.jackson.databind.JsonNode]("partition-spec",
+      mapper.createArrayNode())
+    val spec0 = edited.get("partition-specs").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    spec0.set[com.fasterxml.jackson.databind.JsonNode]("fields",
+      mapper.createArrayNode())
+    Files.write(v1File.toPath, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(edited).getBytes)
+    new java.io.File(dir, "metadata/.v1.metadata.json.crc").delete()
+    txn.mergeLastWins(df(Seq((5, "2024-01-05 10:00:00", 5.0))),
+      Seq("k", "dt"))
+    assert(Iceberg.publish(spark, dir) === 2)
+    val tree2 = mapper.readTree(
+      new java.io.File(dir, "metadata/v2.metadata.json"))
+    assert(tree2.get("partition-specs").get(0).get("fields").size() === 0,
+      "an unpartitioned table must not be retro-partitioned on republish")
+    assert(Iceberg.readTable(spark, dir).count() === 5L)
+  }
+
   test("publish writes a schema.name-mapping.default property (id-less parquet interop)") {
     val dir = tmp("iceberg_namemap")
     val txn = TxnParquetSink(dir, tsCol = "dt")
