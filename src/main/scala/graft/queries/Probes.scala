@@ -12423,6 +12423,49 @@ object Probes {
            |ORDER BY o_orderkey""".stripMargin)
   )
 
+  /** Iceberg v2 merge-on-read, EQUALITY flavor: a foreign CDC/upsert
+    * writer retracts rows BY KEY VALUE (a parquet file of key values +
+    * a delete manifest carrying `equality_ids` and a data sequence
+    * number above the live files') — no file/pos resolution at write
+    * time, the reader resolves it at scan time as a null-safe
+    * anti-join scoped by the spec's strict sequence rule. The q317
+    * position twin deletes the same logical rows by (file, pos); this
+    * probe deletes them by value, and both must land on the same
+    * relation DuckDB computes directly. */
+  val icebergEqDeleteProbe = Probe(
+    "q319_iceberg_eq_delete",
+    (s, d) => {
+      import graft.sources.{Iceberg, TxnParquet}
+      val o = Tables.orders(s, d)
+      val dt30 = date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("o_orderkey") % 30).cast("int")).as("dt")
+      val dir = freshDir("graft_q319_target")
+      val txn = TxnParquet.TxnParquetSink(dir, tsCol = "dt")
+      txn.overwriteAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), dt30, col("o_totalprice")))
+      Iceberg.publish(s, dir) // snapshot 1: copy-on-write base
+      // the retracted KEYS (bounded collect: the delete set — the
+      // thing the foreign writer's commit materializes anyway)
+      val delKeys = Iceberg.readTable(s, dir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey").distinct()
+        .collect().map(r => org.apache.spark.sql.Row(r.get(0))).toSeq
+      if (delKeys.nonEmpty) // empty corpus: nothing to retract, stay v1
+        Iceberg.stageForeignEqualityDeletes(s, dir,
+          Seq("o_orderkey"), delKeys)
+      Iceberg.readTable(s, dir).drop("p_date")
+        .select(col("o_orderkey"), col("dt"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  DATE '2024-01-01' + CAST(o_orderkey % 30 AS INTEGER) AS dt,
+           |  round(o_totalprice, 2) AS o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+           |ORDER BY o_orderkey""".stripMargin)
+  )
+
   /** Native `VERSION AS OF` time travel on the Delta-protocol sink:
     * version 0 (the pre-merge base) pinned while version 1 diverges —
     * the same contract as q308 on TxnParquet, through the SAME parser
@@ -12644,7 +12687,7 @@ object Probes {
     deltaSqlMergeProbe, deltaSqlUpdatePrunedProbe, deltaPublishProbe,
     deltaTimeTravelProbe, mp4DemuxProbe, deltaTimestampTravelProbe,
     sqlMergeUnmatchedOnlyProbe, icebergPublishProbe,
-    icebergPosDeleteProbe, icebergPrunedReadProbe
+    icebergPosDeleteProbe, icebergPrunedReadProbe, icebergEqDeleteProbe
   )
 
   def all: Seq[Probe] = relationalProbes ++ extensionProbes

@@ -78,7 +78,11 @@ object Iceberg {
   /** Parsed table metadata (one `vN.metadata.json`). `snapshots` maps
     * snapshot-id → (timestamp-ms, manifest-list path, schema-id);
     * `schemasById` carries EVERY retained schema so time travel can
-    * resolve a snapshot under the schema it was committed with. */
+    * resolve a snapshot under the schema it was committed with;
+    * `schemaNodesById` keeps the raw schema JSON per id so
+    * field-id-addressed metadata (equality-delete `equality_ids`)
+    * resolves to names under the same schema (field ids survive JSON
+    * parsing; StructType does not carry them). */
   final case class TableMeta(
       version: Int,
       formatVersion: Int,
@@ -89,7 +93,8 @@ object Iceberg {
       lastColumnId: Int,
       currentSnapshotId: Option[Long],
       snapshots: Seq[SnapshotRef],
-      schemasById: Map[Int, StructType])
+      schemasById: Map[Int, StructType],
+      schemaNodesById: Map[Int, JsonNode] = Map.empty)
 
   final case class SnapshotRef(snapshotId: Long, timestampMs: Long,
                                manifestList: String,
@@ -140,11 +145,13 @@ object Iceberg {
       } else n.get("schema")
     // every retained schema, by id — snapshot reads resolve through
     // this so a post-evolution time travel keeps its OWN shape
-    val schemasById: Map[Int, StructType] =
+    val schemaNodesById: Map[Int, JsonNode] =
       Option(n.get("schemas")).filter(!_.isNull).map {
         _.elements().asScala.map(s =>
-          s.get("schema-id").asInt() -> structFromIceberg(s)).toMap
+          s.get("schema-id").asInt() -> s).toMap
       }.getOrElse(Map.empty)
+    val schemasById: Map[Int, StructType] =
+      schemaNodesById.map { case (id, s) => id -> structFromIceberg(s) }
     val snaps = Option(n.get("snapshots")).filter(!_.isNull).map {
       _.elements().asScala.map { s =>
         SnapshotRef(s.get("snapshot-id").asLong(),
@@ -160,7 +167,8 @@ object Iceberg {
         .getOrElse(""), // optional in format v1
       n.get("location").asText(),
       structFromIceberg(schemaNode), schemaNode,
-      n.get("last-column-id").asInt(), curSnap, snaps, schemasById)
+      n.get("last-column-id").asInt(), curSnap, snaps, schemasById,
+      schemaNodesById)
   }
 
   /** The current Iceberg schema as a Spark StructType. */
@@ -252,6 +260,14 @@ object Iceberg {
     root
   }
 
+  /** Top-level field-id → column-name map of an Iceberg schema JSON
+    * node (equality-delete resolution). Nested field ids are absent on
+    * purpose: an equality id addressing a nested field fails the
+    * lookup and rejects loudly rather than matching the wrong column. */
+  private def fieldIdToName(schemaNode: JsonNode): Map[Int, String] =
+    schemaNode.get("fields").elements().asScala
+      .map(fn => fn.get("id").asInt() -> fn.get("name").asText()).toMap
+
   /** Recursively drop StructField metadata so schema equality is
     * structural (name, type, nullability) — see the publish
     * idempotence check. */
@@ -290,19 +306,28 @@ object Iceberg {
       .getOrElse(dflt)
 
   /** A snapshot's live file sets (absolute paths), via manifest list →
-    * manifests: data files plus v2 POSITION-delete files (applied at
-    * scan time by [[readSnapshot]]'s anti-join). Rejects loudly what a
-    * naive scan would silently get wrong: EQUALITY-delete files (their
-    * application needs the delete rows' full-column semantics plus
-    * sequence-number ordering) and non-parquet files. */
-  /** One live data file: its path and, when the manifest carried a
-    * `p_date` partition tuple, that value — `pDate` outer None = no
-    * partition info (never prune), inner None = null date. */
-  private final case class DataFileRef(path: String,
+    * manifests: data files plus v2 POSITION- and EQUALITY-delete files
+    * (both applied at scan time by [[readSnapshot]]'s anti-joins).
+    * Rejects loudly what a naive scan would silently get wrong:
+    * equality deletes missing their `equality_ids` (spec-invalid) and
+    * non-parquet files. */
+  /** One live data file: its path, its data sequence number (v2
+    * merge-on-read ordering; 0 for v1 / seq-less manifests), and, when
+    * the manifest carried a `p_date` partition tuple, that value —
+    * `pDate` outer None = no partition info (never prune), inner None
+    * = null date. */
+  private final case class DataFileRef(path: String, seq: Long,
                                        pDate: Option[Option[Int]])
 
+  /** One equality-delete file: its rows delete every data row, in data
+    * files with sequence number STRICTLY BELOW `seq`, whose
+    * `equalityIds`-addressed columns null-safe-equal a delete row. */
+  private final case class EqDeleteRef(path: String, seq: Long,
+                                       equalityIds: Seq[Int])
+
   private final case class SnapshotFiles(data: Seq[DataFileRef],
-                                         posDeletes: Seq[String])
+                                         posDeletes: Seq[String],
+                                         eqDeletes: Seq[EqDeleteRef])
 
   private def liveFiles(spark: SparkSession, root: Path, f: FileSystem,
                         snap: SnapshotRef): SnapshotFiles = {
@@ -310,8 +335,15 @@ object Iceberg {
     val manifests = readAvro(f, mlPath)
     val data = mutable.ArrayBuffer.empty[DataFileRef]
     val posDel = mutable.ArrayBuffer.empty[String]
+    val eqDel = mutable.ArrayBuffer.empty[EqDeleteRef]
     manifests.foreach { m =>
-      // manifest-list content: 0 = data manifest, 1 = delete manifest
+      // manifest-list content: 0 = data manifest, 1 = delete manifest.
+      // v2 sequence-number inheritance: an entry whose sequence_number
+      // is null/absent takes the manifest's (manifest-list) sequence
+      // number; v1 manifest lists carry neither → everything is seq 0,
+      // which is exactly the "all data predates all deletes" ordering
+      // a v1→v2 upgrade wants.
+      val mSeq = longOr(m, "sequence_number", 0L)
       val entries = readAvro(f, resolve(root, str(m, "manifest_path")))
       entries.foreach { e =>
         val status = e.get("status").asInstanceOf[Number].intValue()
@@ -321,22 +353,34 @@ object Iceberg {
           require(fmt != null && fmt.equalsIgnoreCase("parquet"),
             s"Iceberg: data file format '$fmt' is not supported (parquet only)")
           val path = resolve(root, str(df, "file_path")).toString
+          val eSeq = longOr(e, "sequence_number", mSeq)
           // data_file content: 0 = data, 1 = position deletes,
           // 2 = equality deletes
           longOr(df, "content", 0L) match {
-            case 0L => data += DataFileRef(path, pDateOf(df))
+            case 0L => data += DataFileRef(path, eSeq, pDateOf(df))
             case 1L => posDel += path
-            case 2L => throw new IllegalArgumentException(
-              s"Iceberg: snapshot ${snap.snapshotId} carries an EQUALITY " +
-                s"delete file ($path) — not supported; rewrite the table " +
-                "to position-delete or copy-on-write form")
+            case 2L =>
+              val ids: Seq[Int] = (df.getSchema.getField("equality_ids")
+                match {
+                  case null => Nil
+                  case _ => Option(df.get("equality_ids")) match {
+                    case Some(l: java.util.List[_]) =>
+                      l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+                    case _ => Nil
+                  }
+                })
+              if (ids.isEmpty) throw new IllegalArgumentException(
+                s"Iceberg: snapshot ${snap.snapshotId} carries an EQUALITY " +
+                  s"delete file ($path) with no equality_ids — " +
+                  "spec-invalid; cannot apply")
+              eqDel += EqDeleteRef(path, eSeq, ids)
             case other => throw new IllegalArgumentException(
               s"Iceberg: unknown data_file content $other in $path")
           }
         }
       }
     }
-    SnapshotFiles(data.toSeq, posDel.toSeq)
+    SnapshotFiles(data.toSeq, posDel.toSeq, eqDel.toSeq)
   }
 
   /** The `p_date` identity-partition value of a manifest data_file
@@ -400,8 +444,14 @@ object Iceberg {
     * `_metadata.row_index` columns) against the delete-file rows — the
     * deletes frame stays a DataFrame end to end, so a snapshot with
     * millions of deleted positions never lands on the driver, and AQE
-    * broadcasts it when it is small (the common case). Equality
-    * deletes stay a loud rejection. */
+    * broadcasts it when it is small (the common case). EQUALITY
+    * deletes are applied the same way: one anti-join per distinct
+    * `equality_ids` set, null-safe on the addressed columns (a NULL in
+    * a delete row matches NULL data values, per spec) and scoped by
+    * the strict sequence-number rule — the delete hits only data files
+    * whose data sequence number is BELOW the delete file's. Equality
+    * deletes without `equality_ids` stay a loud rejection
+    * (spec-invalid). */
   def readSnapshot(spark: SparkSession, root: String,
                    snapshotId: Long): DataFrame = {
     val (f, r) = fs(spark, root)
@@ -413,34 +463,82 @@ object Iceberg {
           s"(have ${meta.snapshots.map(_.snapshotId).mkString(", ")})"))
     val schema = snap.schemaId.flatMap(meta.schemasById.get)
       .getOrElse(meta.schema)
+    val schemaNode = snap.schemaId.flatMap(meta.schemaNodesById.get)
+      .getOrElse(meta.schemaJson)
     val files = liveFiles(spark, r, f, snap)
-    assemble(spark, schema, files.data.map(_.path), files.posDeletes)
+    assemble(spark, schema, files.data, files.posDeletes, files.eqDeletes,
+      fieldIdToName(schemaNode))
   }
 
   /** Build the snapshot DataFrame from resolved file sets: the data
-    * scan, with position deletes anti-joined out when present. */
+    * scan, with v2 merge-on-read deletes applied when present —
+    * position deletes as a (file, pos) anti-join, equality deletes as
+    * one anti-join per distinct `equality_ids` set, null-safe on the
+    * addressed columns and scoped by the spec's STRICT sequence-number
+    * rule (a delete applies only to data files with a lower data
+    * sequence number, so rows committed in the delete's own snapshot
+    * survive). The delete frames stay DataFrames end to end (AQE
+    * broadcasts the typical small case); the only driver-side piece is
+    * the per-FILE sequence map — manifest metadata the reader already
+    * holds, one short row per file, shipped as a broadcast join. */
   private def assemble(spark: SparkSession, schema: StructType,
-                       dataPaths: Seq[String],
-                       posDeletes: Seq[String]): DataFrame = {
-    if (dataPaths.isEmpty)
+                       data: Seq[DataFileRef],
+                       posDeletes: Seq[String],
+                       eqDeletes: Seq[EqDeleteRef],
+                       idToName: Map[Int, String]): DataFrame = {
+    if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      val dataPaths = data.map(_.path)
       val base = spark.read.schema(schema).parquet(dataPaths: _*)
-      if (posDeletes.isEmpty) base
-      else {
-        import org.apache.spark.sql.functions.col
-        val cols = schema.fieldNames.map(col).toSeq
-        val withPos = base
-          .withColumn("__ice_path", canonPath(col("_metadata.file_path")))
-          .withColumn("__ice_pos", col("_metadata.row_index"))
+      if (posDeletes.isEmpty && eqDeletes.isEmpty) return base
+      val cols = schema.fieldNames.map(col).toSeq
+      var cur = base
+        .withColumn("__ice_path", canonPath(col("_metadata.file_path")))
+      if (posDeletes.nonEmpty) {
         val dels = spark.read.parquet(posDeletes: _*)
           .select(canonPath(col("file_path")).as("__ice_path"),
             col("pos").cast("long").as("__ice_pos"))
-        withPos.join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
-          .select(cols: _*)
+        cur = cur.withColumn("__ice_pos", col("_metadata.row_index"))
+          .join(dels, Seq("__ice_path", "__ice_pos"), "left_anti")
+          .drop("__ice_pos")
       }
+      if (eqDeletes.nonEmpty) {
+        // per-file data sequence numbers, keyed by the same canonical
+        // path form the scan-side column uses
+        import spark.implicits._
+        val seqDf = broadcast(
+          data.map(d => (canonPathStr(d.path), d.seq))
+            .toDF("__ice_path", "__ice_seq"))
+        cur = cur.join(seqDf, Seq("__ice_path"), "left")
+        eqDeletes.groupBy(_.equalityIds).foreach { case (ids, refs) =>
+          val names = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"Iceberg: equality_ids field id $id does not resolve to a " +
+                "top-level column of the snapshot schema — cannot apply " +
+                "EQUALITY deletes")))
+          names.foreach(n => require(schema.fieldNames.contains(n),
+            s"Iceberg: equality-delete column '$n' missing from snapshot " +
+              "schema"))
+          // files sharing a sequence number read in one scan
+          val delFrame = refs.groupBy(_.seq).map { case (seq, g) =>
+            spark.read.parquet(g.map(_.path): _*)
+              .select(names.map(n => col(n).as(s"__del_$n")) :+
+                lit(seq).as("__del_seq"): _*)
+          }.reduce(_ unionByName _)
+          val cond = names.map(n => col(n) <=> col(s"__del_$n"))
+            .reduce(_ && _) && col("__del_seq") > col("__ice_seq")
+          cur = cur.join(delFrame, cond, "left_anti")
+        }
+      }
+      cur.select(cols: _*)
     }
   }
+
+  /** Driver-side twin of [[canonPath]] for manifest-recorded paths. */
+  private def canonPathStr(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Date-pruned read of the current snapshot: `p_date BETWEEN minDate
     * AND maxDate` (inclusive ISO dates), with the FILE LIST pruned
@@ -477,7 +575,8 @@ object Iceberg {
           case Some(None) => false // NULL date can't satisfy BETWEEN
           case Some(Some(days)) => days >= lo && days <= hi
         })
-        assemble(spark, meta.schema, kept.map(_.path), files.posDeletes)
+        assemble(spark, meta.schema, kept, files.posDeletes,
+          files.eqDeletes, fieldIdToName(meta.schemaJson))
           .filter(pred)
     }
   }
@@ -641,7 +740,8 @@ object Iceberg {
     val schemaChanged = !cur.exists(m =>
       stripFieldMetadata(m.schema) == stripFieldMetadata(schema))
     val filesUnchanged = curFiles.exists(sf =>
-      sf.posDeletes.isEmpty && sf.data.map(_.path).sorted == live.map(_._1))
+      sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty &&
+        sf.data.map(_.path).sorted == live.map(_._1))
     if (cur.isDefined && filesUnchanged && !schemaChanged)
       return cur.get.version
 
@@ -826,13 +926,15 @@ object Iceberg {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |]}}]}""".stripMargin.replace("\n", ""))
 
   /** FOREIGN-WRITER FIXTURE: graft a v2 position-delete commit onto an
@@ -851,6 +953,52 @@ object Iceberg {
       spark: SparkSession, root: String,
       deletes: Seq[(String, Long)]): Int = {
     require(deletes.nonEmpty, "stageForeignPositionDeletes: empty delete set")
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    stageForeignDeleteCommit(spark, root,
+      deletes.map { case (p, pos) => Row(p, pos) }, delSchema,
+      content = 1, equalityIds = Nil, deleteSeq = None)
+  }
+
+  /** FOREIGN-WRITER FIXTURE, equality flavor: graft a v2
+    * EQUALITY-delete commit onto an existing table — the shape a
+    * Flink CDC / upsert writer leaves behind (a parquet file of
+    * equality-column values plus a delete manifest whose entry carries
+    * `equality_ids` and a data sequence number above every live data
+    * file's). `rows` carry values for exactly `eqCols` (order
+    * matters); a NULL value matches NULL data values, per spec.
+    * `deleteSeq` overrides the commit's data sequence number — pass
+    * the CURRENT last-sequence-number to model a delete that
+    * sequences with (and therefore, under the spec's strict-inequality
+    * rule, does NOT hit) the live data files. Returns the new
+    * metadata version. */
+  private[graft] def stageForeignEqualityDeletes(
+      spark: SparkSession, root: String, eqCols: Seq[String],
+      rows: Seq[Row], deleteSeq: Option[Long] = None): Int = {
+    require(eqCols.nonEmpty, "stageForeignEqualityDeletes: no columns")
+    require(rows.nonEmpty, "stageForeignEqualityDeletes: empty delete set")
+    val cur = currentMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"Iceberg: no table at $root"))
+    val idByName = fieldIdToName(cur.schemaJson).map(_.swap)
+    val ids = eqCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"stageForeignEqualityDeletes: '$c' is not a top-level column")))
+    val delSchema = StructType(eqCols.map(c =>
+      cur.schema(cur.schema.fieldIndex(c)).copy(nullable = true)))
+    stageForeignDeleteCommit(spark, root, rows, delSchema,
+      content = 2, equalityIds = ids, deleteSeq = deleteSeq)
+  }
+
+  /** Shared fixture plumbing: write the delete parquet, its delete
+    * manifest (entry content = `content`, explicit sequence number),
+    * a manifest list carrying the existing data manifests, and a new
+    * format-v2 metadata version whose snapshot/last sequence numbers
+    * advance past the live data files'. */
+  private def stageForeignDeleteCommit(
+      spark: SparkSession, root: String, delRows: Seq[Row],
+      delSchema: StructType, content: Int, equalityIds: Seq[Int],
+      deleteSeq: Option[Long]): Int = {
     val (f, r) = fs(spark, root)
     val qualifiedRoot = f.makeQualified(r)
     val cur = currentMeta(spark, root).getOrElse(
@@ -864,14 +1012,10 @@ object Iceberg {
     val snapId = cur.snapshots.map(_.snapshotId).max + 1L
     val nowMs = System.currentTimeMillis()
 
-    // 1. the position-delete parquet file (written by Spark, moved to a
+    // 1. the delete parquet file (written by Spark, moved to a
     // stable name — the manifest records the final absolute path)
-    val delSchema = StructType(Seq(
-      StructField("file_path", StringType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
     val stage = new Path(r, s".delstage-$uid")
-    spark.createDataFrame(
-        deletes.map { case (p, pos) => Row(p, pos) }.asJava, delSchema)
+    spark.createDataFrame(delRows.asJava, delSchema)
       .coalesce(1).write.parquet(stage.toString)
     val part = f.listStatus(stage).toSeq.map(_.getPath)
       .find(p => p.getName.startsWith("part-") &&
@@ -884,19 +1028,29 @@ object Iceberg {
     f.delete(stage, true)
     val delLen = f.getFileStatus(delFile).getLen
 
-    // 2. the delete manifest (one entry, data_file content = 1)
+    // 2. the delete manifest (one entry, data_file content = 1 or 2,
+    // explicit data sequence number — deletes must sequence AFTER the
+    // live data files, whose v1-upgraded entries inherit seq 0)
+    val treePath = new Path(md, s"v${cur.version}.metadata.json")
+    val tree = mapper.readTree(slurp(f, treePath)).asInstanceOf[ObjectNode]
+    val lastSeq = Option(tree.get("last-sequence-number"))
+      .filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+    val newSeq = deleteSeq.getOrElse(lastSeq + 1L)
     val dfr = new GenericData.Record(
       ManifestEntrySchemaV2.getField("data_file").schema())
-    dfr.put("content", 1)
+    dfr.put("content", content)
     dfr.put("file_path", f.makeQualified(delFile).toString)
     dfr.put("file_format", "PARQUET")
     dfr.put("partition", new GenericData.Record(
       dfr.getSchema.getField("partition").schema()))
-    dfr.put("record_count", deletes.size.toLong)
+    dfr.put("record_count", delRows.size.toLong)
     dfr.put("file_size_in_bytes", delLen)
+    if (equalityIds.nonEmpty)
+      dfr.put("equality_ids", equalityIds.map(Int.box).asJava)
     val entry = new GenericData.Record(ManifestEntrySchemaV2)
     entry.put("status", 1)
     entry.put("snapshot_id", snapId)
+    entry.put("sequence_number", java.lang.Long.valueOf(newSeq))
     entry.put("data_file", dfr)
     val delManifest = new Path(md, s"manifest-$uid-deletes.avro")
     val delManifestLen = writeAvro(f, delManifest, ManifestEntrySchemaV2,
@@ -930,10 +1084,8 @@ object Iceberg {
 
     // 4. new metadata version: the old tree upgraded to format v2 with
     // the new snapshot appended and made current
-    val p = new Path(md, s"v${cur.version}.metadata.json")
-    val tree = mapper.readTree(slurp(f, p)).asInstanceOf[ObjectNode]
     tree.put("format-version", 2)
-    tree.put("last-sequence-number", 1)
+    tree.put("last-sequence-number", math.max(lastSeq, newSeq))
     tree.put("last-updated-ms", nowMs)
     tree.put("current-snapshot-id", snapId)
     if (!tree.hasNonNull("sort-orders")) {
@@ -946,7 +1098,7 @@ object Iceberg {
     }
     val sn = mapper.createObjectNode()
     sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", 1)
+    sn.put("sequence-number", newSeq)
     sn.put("timestamp-ms", nowMs)
     sn.put("manifest-list", s"$qualifiedRoot/$MetaDir/${mlPath.getName}")
     curSnap.schemaId.foreach(id => sn.put("schema-id", id))

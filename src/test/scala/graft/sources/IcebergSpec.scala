@@ -128,9 +128,11 @@ class IcebergSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("format-version 3"))
     assert(new java.io.File(md, "v2.metadata.json").delete())
 
-    // an EQUALITY-delete manifest entry (data_file content = 2) → loud.
-    // Position deletes are APPLIED since round 13 (see the
-    // merge-on-read test below); equality deletes stay a rejection.
+    // an EQUALITY-delete manifest entry (data_file content = 2) with
+    // NO equality_ids → loud. Position AND well-formed equality
+    // deletes are APPLIED since round 13 (see the merge-on-read tests
+    // below); an ids-less equality delete is spec-invalid and stays a
+    // rejection — silently skipping it would resurrect deleted rows.
     val entrySchema = new AvroSchema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int"},
@@ -228,6 +230,100 @@ class IcebergSpec extends AnyFunSuite {
     assert(v3 === 3)
     assert(Iceberg.readTable(spark, dir).count() === 4L)
     assert(meta.formatVersion === 1)
+  }
+
+  test("v2 merge-on-read: equality deletes apply by key; old snapshot stays whole") {
+    val dir = tmp("iceberg_eqdel")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0),
+      (3, "2024-01-02 10:00:00", 3.0), (4, "2024-01-02 11:00:00", 4.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    // a foreign CDC writer retracts k ∈ {2, 3} BY VALUE — no file/pos
+    // resolution, just the keys (the upsert-writer shape)
+    val v2 = Iceberg.stageForeignEqualityDeletes(spark, dir,
+      Seq("k"), Seq(org.apache.spark.sql.Row(2), org.apache.spark.sql.Row(3)))
+    assert(v2 === 2)
+    assert(asSet(Iceberg.readTable(spark, dir).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 1.0), (4, "2024-01-02 11:00:00", 4.0)))
+    // the PRE-delete snapshot still reads whole (sequence scoping:
+    // the delete's seq is above the data's, so time travel to the
+    // data snapshot never sees it — it is not in that manifest list)
+    val m2 = Iceberg.currentMeta(spark, dir).get
+    assert(m2.formatVersion === 2)
+    val firstSnap = m2.snapshots.map(_.snapshotId).min
+    assert(Iceberg.readSnapshot(spark, dir, firstSnap).count() === 4L)
+    // metadata sequence bookkeeping: last-sequence-number advanced
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(
+      new java.io.File(dir, s"metadata/v$v2.metadata.json"))
+    assert(tree.get("last-sequence-number").asLong() === 1L)
+  }
+
+  test("equality deletes: NULL matches NULL; multi-column ids hit exact tuples") {
+    val dir = tmp("iceberg_eqnull")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("dt", TimestampType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1, ts("2024-01-01 10:00:00"), 1.0),
+      org.apache.spark.sql.Row(2, ts("2024-01-01 11:00:00"), null),
+      org.apache.spark.sql.Row(2, ts("2024-01-02 10:00:00"), 5.0),
+      org.apache.spark.sql.Row(3, ts("2024-01-02 11:00:00"), null))
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(spark.createDataFrame(rows.asJava, schema))
+    assert(Iceberg.publish(spark, dir) === 1)
+    // delete (k=2, v=NULL): per spec, a NULL delete value matches NULL
+    // data values — the (2, 5.0) row must SURVIVE, the (2, null) row
+    // must go; (3, null) survives (k mismatch)
+    Iceberg.stageForeignEqualityDeletes(spark, dir, Seq("k", "v"),
+      Seq(org.apache.spark.sql.Row(2, null)))
+    val got = Iceberg.readTable(spark, dir).drop("p_date")
+      .select("k", "v").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)))).toSet
+    assert(got === Set((1, Some(1.0)), (2, Some(5.0)), (3, None)))
+  }
+
+  test("equality deletes: STRICT sequence scoping — a delete at the data's own sequence number hits nothing") {
+    val dir = tmp("iceberg_eqseq")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    // v1-upgraded data files inherit sequence number 0; a delete
+    // pinned to seq 0 sequences WITH them, and the spec's rule is
+    // strictly-less-than — so it deletes nothing (this is what keeps
+    // rows added in the delete's own snapshot alive in real tables)
+    Iceberg.stageForeignEqualityDeletes(spark, dir, Seq("k"),
+      Seq(org.apache.spark.sql.Row(2)), deleteSeq = Some(0L))
+    assert(Iceberg.readTable(spark, dir).count() === 2L)
+    // and the same delete one sequence later hits
+    Iceberg.stageForeignEqualityDeletes(spark, dir, Seq("k"),
+      Seq(org.apache.spark.sql.Row(2)))
+    assert(asSet(Iceberg.readTable(spark, dir).drop("p_date")) === Set(
+      (1, "2024-01-01 10:00:00", 1.0)))
+  }
+
+  test("equality + position deletes coexist in one table") {
+    val dir = tmp("iceberg_eqpos")
+    val txn = TxnParquetSink(dir, tsCol = "dt")
+    txn.overwriteAll(df(Seq(
+      (1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0),
+      (3, "2024-01-02 10:00:00", 3.0), (4, "2024-01-02 11:00:00", 4.0))))
+    assert(Iceberg.publish(spark, dir) === 1)
+    val pos = Iceberg.readTable(spark, dir)
+      .withColumn("__p", col("_metadata.file_path"))
+      .withColumn("__i", col("_metadata.row_index"))
+      .filter(col("k") === 1)
+      .select("__p", "__i").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    Iceberg.stageForeignPositionDeletes(spark, dir, pos)
+    Iceberg.stageForeignEqualityDeletes(spark, dir, Seq("k"),
+      Seq(org.apache.spark.sql.Row(4)))
+    assert(asSet(Iceberg.readTable(spark, dir).drop("p_date")) === Set(
+      (2, "2024-01-01 11:00:00", 2.0), (3, "2024-01-02 10:00:00", 3.0)))
   }
 
   test("partitioned publish: p_date identity spec, manifest tuples, date-pruned read") {
