@@ -92,12 +92,22 @@ object Bench {
   case class RunCounters(taskGcMs: Long, taskFail: Long, stageRetry: Long,
                          blocksRemoved: Long, spillBytes: Long, tasks: Long)
 
+  /** Substrate counters for one timed run (round-13 optimization
+    * telemetry — see [[graft.operators.Lifecycle.substrateStatsSnapshot]]):
+    * driver wall ms spent polling in Lifecycle.drain, how many drains
+    * hit their deadline, wall ms inside diskRound writes, and the
+    * diskRound count. A slow iteration with zero task-level counters
+    * can still name its cause here. */
+  case class SubstrateStats(drainMs: Long, drainTimeouts: Long,
+                            roundWriteMs: Long, rounds: Long)
+
   /** One timed execution: wall seconds (−1 on failure), whole-JVM GC
     * ms during the run (local mode: driver + executors are ONE JVM, so
     * the MX-bean delta is the true process GC cost; `c.taskGcMs` is
     * the per-task attribution a real cluster would report), and the
     * listener counters. */
-  case class RunStats(sec: Double, gcMs: Long, c: RunCounters)
+  case class RunStats(sec: Double, gcMs: Long, c: RunCounters,
+                      s: SubstrateStats)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,10 +184,14 @@ object Bench {
 
     def exec(name: String): RunStats = {
       telemetry.snapshotAndReset() // drop whatever bled in between queries
+      graft.operators.Lifecycle.substrateStatsSnapshot()
       val gc0 = jvmGcMs
       val sec = time(benchBodies(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
-      RunStats(sec, jvmGcMs - gc0, telemetry.snapshotAndReset())
+      val (dMs, dTo, wMs, nR) =
+        graft.operators.Lifecycle.substrateStatsSnapshot()
+      RunStats(sec, jvmGcMs - gc0, telemetry.snapshotAndReset(),
+        SubstrateStats(dMs, dTo, wMs, nR))
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -292,7 +306,11 @@ object Bench {
         s""""stage_retry":${jl(runs.map(_.c.stageRetry))},""" +
         s""""blocks_removed":${jl(runs.map(_.c.blocksRemoved))},""" +
         s""""spill_mb":${jl(runs.map(_.c.spillBytes >> 20))},""" +
-        s""""tasks":${jl(runs.map(_.c.tasks))}}"""
+        s""""tasks":${jl(runs.map(_.c.tasks))},""" +
+        s""""drain_ms":${jl(runs.map(_.s.drainMs))},""" +
+        s""""drain_timeouts":${jl(runs.map(_.s.drainTimeouts))},""" +
+        s""""round_write_ms":${jl(runs.map(_.s.roundWriteMs))},""" +
+        s""""rounds":${jl(runs.map(_.s.rounds))}}"""
     }.mkString("{", ",", "}")
     val allRuns = stats.flatMap { case (_, (w, rs)) => w +: rs }
     val gcTotalMs = allRuns.map(_.gcMs).sum

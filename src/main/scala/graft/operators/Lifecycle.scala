@@ -61,6 +61,28 @@ private[graft] object Lifecycle {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val roundIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // ------------------------------------------------------------------
+  // Substrate telemetry (round-13 optimization): cumulative wall time
+  // spent (a) polling in [[drain]] and (b) writing round state in
+  // [[diskRound]], plus how often a drain gave up at its deadline.
+  // graft.Bench snapshots these per timed run, so a slow iteration
+  // whose task counters are all zero (no GC, no retries, no spill) can
+  // still name its cause in the artifact: an idling drain poll or a
+  // stalled scratch write, both invisible to task metrics.
+  // ------------------------------------------------------------------
+  private val drainNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val drainTimeoutsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val roundWriteNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val roundWritesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Read-and-zero the substrate counters:
+    * (drainMs, drainTimeouts, roundWriteMs, roundWrites). */
+  def substrateStatsSnapshot(): (Long, Long, Long, Long) = (
+    drainNanosAcc.getAndSet(0L) / 1000000L,
+    drainTimeoutsAcc.getAndSet(0L),
+    roundWriteNanosAcc.getAndSet(0L) / 1000000L,
+    roundWritesAcc.getAndSet(0L))
+
   /** Session-scoped scratch root (qualified URI string), created on
     * first use and best-effort deleted when the JVM exits. */
   private def scratchRoot(spark: SparkSession): String =
@@ -88,18 +110,30 @@ private[graft] object Lifecycle {
     * Lineage stays flat (the read-back plan is a file scan), and no
     * block manager state is load-bearing for the next round.
     *
-    * The write goes through an AQE REBALANCE: round frames inherit
-    * their producer's partitioning (often the persisted statics' 32
-    * partitions regardless of size), and writing a KB-scale round as
-    * 32 files costs more in commit/CRC round-trips than the data
-    * itself (measured ~0.5 s/round on local FS vs ~0.15 s rebalanced).
-    * At scale the same rebalance right-sizes output files toward the
-    * advisory partition size — the standard small-files-on-write cure,
-    * paid with one shuffle of the (id, long)-shaped state. */
+    * Write machinery is kept deliberately bare (measured on the
+    * pagerank-round-shaped producer, tools/RoundVariants): the round-13
+    * build's REBALANCE hint added a full extra AQE shuffle stage per
+    * round for files the producer already sizes — every round frame
+    * here is the output of an aggregate or a join over AQE-coalesced
+    * inputs, so its partitioning is already advisory-right-sized at any
+    * scale, and the rebalance was pure overhead (0.63–0.74 s/round with
+    * it vs 0.44–0.52 without, compute alone 0.07–0.14). The _SUCCESS
+    * marker and parquet summary files are skipped the same way — this
+    * is session-scoped scratch nobody discovers by directory listing.
+    * Scratch stays SNAPPY regardless of any session-level zstd choice:
+    * round state is written once, read once and deleted, so cheap CPU
+    * beats ratio. */
   def diskRound(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val path = s"${scratchRoot(spark)}/round-${roundIds.incrementAndGet()}"
-    df.hint("rebalance").write.mode(SaveMode.ErrorIfExists).parquet(path)
+    val t0 = System.nanoTime()
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .option("parquet.summary.metadata.level", "NONE")
+      .option("compression", "snappy")
+      .parquet(path)
+    roundWriteNanosAcc.addAndGet(System.nanoTime() - t0)
+    roundWritesAcc.incrementAndGet()
     spark.read.parquet(path)
   }
 
@@ -156,7 +190,8 @@ private[graft] object Lifecycle {
     * gives up at `timeoutMs` and degrades to the pre-drain behavior. */
   def drain(spark: SparkSession, timeoutMs: Long = 10000L): Unit = {
     val tracker = spark.sparkContext.statusTracker
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val t0 = System.nanoTime()
+    val deadline = t0 + timeoutMs * 1000000L
     var emptyStreak = 0
     while (emptyStreak < 2 && System.nanoTime() < deadline) {
       if (tracker.getActiveJobIds().isEmpty) {
@@ -167,6 +202,8 @@ private[graft] object Lifecycle {
         Thread.sleep(5)
       }
     }
+    if (emptyStreak < 2) drainTimeoutsAcc.incrementAndGet()
+    drainNanosAcc.addAndGet(System.nanoTime() - t0)
   }
 
   /** Release the block-manager storage behind a superseded eagerly-

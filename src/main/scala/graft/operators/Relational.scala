@@ -405,29 +405,69 @@ object Relational {
     * row_number. No step touches more than one partition's rows at
     * once.
     *
-    * The range-partitioned frame is localCheckpoint'ed (eager): range
-    * bounds come from sampling, so the counts pass and the rank pass
-    * MUST see the same physical partitioning — recomputation could
-    * legally re-sample different bounds and mis-offset every rank.
+    * The counts pass and the rank pass MUST see the same physical
+    * partitioning (range bounds come from sampling, and a second
+    * sampling could legally draw different bounds). Both passes read
+    * ONE persisted frame — the range exchange, in-partition sort, and
+    * per-partition row id materialized together: `persist()`
+    * substitutes a single InMemoryRelation into both branches, so the
+    * shuffle (and its sampling) happens exactly once, the partition
+    * count is pinned explicitly (REPARTITION_BY_NUM, which AQE never
+    * coalesces — and cached-plan output partitioning is additionally
+    * frozen by
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`'s
+    * default), and chained ranks (RFM's three tilings, AP's two
+    * passes) stay LINEAR in plan size because each level's subtree is
+    * one table-scan node, not a copy of the whole upstream. Every
+    * consumer of the ranked output pays a narrow projection + a
+    * broadcast join per read — never a re-sort. Unlike the
+    * localCheckpoint this replaces, the cache is RECOMPUTABLE: an
+    * evicted partition re-fetches the same shuffle output under the
+    * partitioner object already pinned on the driver, re-sorts, and
+    * re-derives the same row ids — same bounds, same ranks — instead
+    * of failing the stage (the r12 flap signature). It also drops the
+    * checkpoint form's second full exchange: the per-partition row
+    * number no longer needs a window keyed by a partitioning Catalyst
+    * can't see.
+    *
+    * Per-partition row numbers come from `monotonically_increasing_id`
+    * AFTER an in-partition sort: the id is (partitionId << 33) + local
+    * row position, so `mid − (pid << 33)` is the 0-based position in
+    * the sorted partition — no window, no extra exchange. Tasks are
+    * bounded to 2³³ rows each (≈ 8.6 B — far past any sane partition).
+    * The cache is deliberately not unpersisted here (the returned
+    * frame reads it lazily); the ContextCleaner frees it once the
+    * caller's frame is garbage — the same lifecycle the checkpoint
+    * blocks had.
     *
     * `keys` must be a TOTAL order (include a tiebreaker); ties would
     * make ranks nondeterministic across runs. */
   def globalRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "globalRank needs at least one ordering column")
-    val parted = df.repartitionByRange(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val offsets = parted.groupBy(col("__pid"))
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // cache ABOVE the in-partition sort: every consumer of the ranked
+    // output (decileLift reads it twice, AP chains two ranks) then
+    // pays only a narrow projection + broadcast join per read — never
+    // a re-sort
+    val sorted = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist()
+    val offsets = sorted
+      .select(shiftright(col("__mid"), 33).cast("int").as("__pid"))
+      .groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
           BoundedWindow.ordered(col("__pid"), col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
-    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    parted.join(broadcast(offsets), "__pid")
-      .withColumn("rank", col("__offset") + row_number().over(w))
-      .drop("__pid", "__offset")
+    sorted
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rank",
+        col("__offset") + (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + 1L)
+      .drop("__pid", "__offset", "__mid")
   }
 
   /** Interval OVERLAP join — all (left, right) pairs sharing a key whose

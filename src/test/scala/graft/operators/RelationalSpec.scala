@@ -202,17 +202,49 @@ class RelationalSpec extends AnyFunSuite {
     // only the final plan section
     val plan = ranked.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // the DATA path must be hash-distributed by __pid; the ONE allowed
-    // SinglePartition exchange is the offsets cumsum, which runs over
-    // the O(#partitions)-row counts frame, and must feed the broadcast
-    // side only (i.e. sit directly on the tiny count aggregate)
-    assert(plan.contains("hashpartitioning(__pid"), plan)
+    // both the counts pass and the rank pass must read the ONE persisted
+    // range-partitioned frame (the shared barrier that pins sampling-
+    // derived bounds), and the row number must come from the sorted
+    // cache's monotonically_increasing_id — never a row-scaled window
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("windowspecdefinition(__pid"), plan)
+    // the ONE allowed SinglePartition exchange is the offsets cumsum,
+    // which runs over the O(#partitions)-row counts frame, and must
+    // feed the broadcast side only (i.e. sit near the tiny count
+    // aggregate)
     val single = "Exchange SinglePartition".r.findAllIn(plan).length
     assert(single <= 1, plan)
     if (single == 1)
-      assert("""Exchange SinglePartition[\s\S]{0,500}HashAggregate\(keys=\[__pid""".r
+      assert("""Exchange SinglePartition[\s\S]{0,800}HashAggregate\(keys=\[__pid""".r
         .findFirstIn(plan).isDefined, plan)
     assert(ranked.agg(min("rank"), max("rank")).as[(Long, Long)].head() === ((1L, 2000L)))
+  }
+
+  test("globalRank: chained ranks stay linear and exact (the RFM shape)") {
+    // three successive rankings of the same frame — the q206 chain that
+    // made the duplicated-subtree form exponential; with the persisted
+    // barrier each level reads one InMemoryRelation and ranks stay exact
+    val vals = (0 until 3000).map(i => (i * 48271L % 9973, i.toLong))
+    val df = vals.toDF("a", "tie").repartition(13)
+    val r1 = Relational.globalRank(df, Seq(col("a").asc, col("tie").asc))
+      .withColumnRenamed("rank", "r1")
+    val r2 = Relational.globalRank(r1, Seq(col("a").desc, col("tie").asc))
+      .withColumnRenamed("rank", "r2")
+    val r3 = Relational.globalRank(r2, Seq(col("tie").desc))
+      .withColumnRenamed("rank", "r3")
+    val got = r3.select("a", "tie", "r1", "r2", "r3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val asc = vals.sortBy { case (a, t) => (a, t) }.zipWithIndex
+      .map { case (kv, i) => kv -> (i + 1L) }.toMap
+    val desc = vals.sortBy { case (a, t) => (-a, t) }.zipWithIndex
+      .map { case (kv, i) => kv -> (i + 1L) }.toMap
+    val byTie = vals.sortBy { case (_, t) => -t }.zipWithIndex
+      .map { case (kv, i) => kv -> (i + 1L) }.toMap
+    got.foreach { case (a, t, g1, g2, g3) =>
+      assert(g1 === asc((a, t)), s"r1 of ($a,$t)")
+      assert(g2 === desc((a, t)), s"r2 of ($a,$t)")
+      assert(g3 === byTie((a, t)), s"r3 of ($a,$t)")
+    }
   }
 
   test("asOfNearest: nearer side wins, tie prefers backward, tolerance gates") {

@@ -113,12 +113,15 @@ class PlanShapeSpec extends AnyFunSuite {
       col("doc_id"), nShards = 8)
     // a SinglePartition exchange DOES appear — on the O(#partitions)
     // offsets cumsum frame, which is the documented tiny-frame window;
-    // the guard is that the row-scaled rank window is keyed by __pid
-    // (a naive global row_number would put the whole table through one
-    // unkeyed window instead)
+    // the guard is that the row-scaled rank comes from the persisted
+    // sorted frame's per-partition row id (monotonically_increasing_id
+    // over the range-partitioned cache), never an unkeyed global
+    // row_number window over the whole table
     val p = op.queryExecution.executedPlan.toString
-    assert(p.contains("windowspecdefinition(__pid"),
-      s"expected the per-partition rank window keyed by __pid in:\n$p")
+    assert(p.contains("monotonically_increasing_id"),
+      s"expected the per-partition row id from globalRank's sorted cache in:\n$p")
+    assert(!p.contains("windowspecdefinition(rank"),
+      s"unexpected row-scaled rank window in:\n$p")
   }
 
   test("q113: Count-Min build aggregates with a map-side partial") {
@@ -202,14 +205,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
-  test("q202: decile lift ranks via globalRank's checkpoint barrier, no row-scaled global window") {
+  test("q202: decile lift ranks via globalRank's persisted barrier, no row-scaled global window") {
     val p = planOf("q202_decile_lift")
-    // globalRank materializes the range-partitioned frame via
-    // localCheckpoint (its offsets pass and rank pass MUST share one
-    // physical layout), so the downstream plan reads the barrier —
-    // the range exchange itself lives behind it
-    assert(p.contains("ExistingRDD"),
-      s"globalRank's checkpoint barrier missing:\n$p")
+    // globalRank persists the range-partitioned sorted frame (its
+    // offsets pass and rank pass MUST share one physical layout; the
+    // cache is recomputable, unlike the localCheckpoint it replaced) —
+    // the downstream plan reads that one in-memory relation
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"globalRank's persisted barrier missing:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
